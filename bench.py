@@ -1,0 +1,66 @@
+"""Benchmark runner (driver contract).
+
+Runs the flagship ingest pipeline plus every catalog query at
+``$SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1) on
+``local[$SPARK_GRAFT_CPUS]`` and prints ONE JSON line:
+
+    {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Each query is fully materialized through the noop sink (computes every
+output column, no driver-side collect) so timings reflect the real plan.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+
+def _materialize(df) -> None:
+    df.write.format("noop").mode("overwrite").save()
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    try:
+        sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1])
+    except ValueError:
+        sf = -1.0
+
+    from sstable_migrator_spark.queries import QUERIES, flagship_ingest
+    from sstable_migrator_spark.session import get_spark
+
+    spark = get_spark(app_name="bench")
+
+    # JVM/codegen warmup so the first timed query isn't paying startup.
+    spark.range(1000).selectExpr("sum(id)").collect()
+
+    timings: dict[str, float] = {}
+
+    for name, fn in {"q00_flagship_ingest": flagship_ingest, **QUERIES}.items():
+        t0 = time.perf_counter()
+        try:
+            _materialize(fn(spark, sf_dir))
+            timings[name] = round(time.perf_counter() - t0, 4)
+        except Exception as e:  # noqa: BLE001
+            timings[name] = -1.0
+            print(f"# bench error {name}: {e!r}"[:300], file=sys.stderr)
+
+    total = round(sum(t for t in timings.values() if t >= 0), 4)
+    print(
+        json.dumps(
+            {
+                "metric": "catalog_total_wall",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

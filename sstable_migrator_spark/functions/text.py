@@ -1,0 +1,156 @@
+"""Text-analysis expressions for the training-data pipeline extensions.
+
+These are the north-star LLM-pipeline operators (BASELINE.json): token
+counting, quality scoring, language-ID heuristic, fingerprinting,
+shingling for MinHash. All native Column expressions — at 100 TB these
+run inside whole-stage codegen with zero Python in the loop.
+
+Design constraint: every function here must be reproducible in ANSI-ish
+SQL (the DuckDB oracle), so hashes are md5-based (both engines agree on
+md5 of UTF-8) and tokenization is a plain whitespace regex split.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Small fixed stopword sets for the language-ID heuristic. Deterministic
+# and tiny by design — the operator shape (token-overlap scoring) is what
+# matters, not linguistic accuracy.
+STOPWORDS = {
+    "en": ["the", "a", "of", "and", "to", "in", "is", "that", "it", "for"],
+    "de": ["der", "die", "das", "und", "ist", "nicht", "ein", "mit", "auf", "zu"],
+    "fr": ["le", "la", "les", "et", "est", "pas", "un", "une", "dans", "pour"],
+    "es": ["el", "la", "los", "y", "es", "no", "un", "una", "en", "por"],
+}
+DEFAULT_STOPWORDS = STOPWORDS["en"]
+
+
+def tokens(col: Column) -> Column:
+    """Whitespace tokenization -> array<string> (empty array for blank)."""
+    t = F.trim(col)
+    return F.when(F.length(t) == 0, F.array().cast("array<string>")).otherwise(
+        F.split(t, "\\s+")
+    )
+
+
+def token_count(col: Column) -> Column:
+    return F.size(tokens(col))
+
+
+_SEP = "\u0001"  # marker char for mark-and-split tokenization
+
+
+def word_tokens(col: Column) -> Column:
+    """BPE-ish regex tokenization: letter runs, digit runs, single
+    punctuation marks — closer to how a tokenizer counts than whitespace.
+    Implemented as mark-and-split so it stays a native expression."""
+    marked = F.regexp_replace(
+        F.lower(col), "([A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s])", "$1" + _SEP
+    )
+    return F.filter(
+        F.split(marked, _SEP), lambda x: F.length(F.trim(x)) > 0
+    )
+
+
+def punct_ratio(col: Column) -> Column:
+    """Fraction of non-alphanumeric, non-space characters."""
+    total = F.length(col)
+    punct = F.length(F.regexp_replace(col, "[A-Za-z0-9\\s]", ""))
+    return F.when(total > 0, punct.cast("double") / total).otherwise(F.lit(0.0))
+
+
+def stopword_ratio(col: Column, stopwords: list[str] | None = None) -> Column:
+    sw = stopwords or DEFAULT_STOPWORDS
+    toks = tokens(F.lower(col))
+    hits = F.size(F.filter(toks, lambda x: x.isin(*sw)))
+    n = F.size(toks)
+    return F.when(n > 0, hits.cast("double") / n).otherwise(F.lit(0.0))
+
+
+def mean_word_length(col: Column) -> Column:
+    toks = tokens(col)
+    n = F.size(toks)
+    total = F.aggregate(toks, F.lit(0), lambda acc, x: acc + F.length(x))
+    return F.when(n > 0, total.cast("double") / n).otherwise(F.lit(0.0))
+
+
+def quality_score(col: Column, stopwords: list[str] | None = None) -> Column:
+    """Composite [0,1] quality heuristic: enough tokens, sane word
+    length, some stopwords, not punctuation soup. Weights fixed so the
+    score is deterministic and oracle-reproducible."""
+    tc = token_count(col).cast("double")
+    len_score = F.least(tc / 100.0, F.lit(1.0))
+    mwl = mean_word_length(col)
+    wl_score = F.when((mwl >= 3.0) & (mwl <= 10.0), 1.0).otherwise(0.0)
+    sw_score = F.least(stopword_ratio(col, stopwords) * 5.0, F.lit(1.0))
+    punct_score = F.lit(1.0) - F.least(punct_ratio(col) * 4.0, F.lit(1.0))
+    return (
+        0.3 * len_score + 0.2 * wl_score + 0.3 * sw_score + 0.2 * punct_score
+    )
+
+
+def lang_id(col: Column) -> Column:
+    """N-gram/stopword language-ID heuristic: the language whose
+    stopword set overlaps the token set most; ties break on language
+    code order; no hits -> 'und'."""
+    toks = tokens(F.lower(col))
+
+    def _hits(sw: list[str]):
+        # closure factory — a defaulted lambda param would be miscounted
+        # as the (element, index) two-arg filter form
+        return lambda x: x.isin(*sw)
+
+    scores = [
+        (lang, F.size(F.filter(toks, _hits(sw))))
+        for lang, sw in sorted(STOPWORDS.items())
+    ]
+    best = scores[0]
+    expr = F.lit(best[0])
+    best_score = best[1]
+    for lang, score in scores[1:]:
+        expr = F.when(score > best_score, F.lit(lang)).otherwise(expr)
+        best_score = F.greatest(score, best_score)
+    return F.when(best_score > 0, expr).otherwise(F.lit("und"))
+
+
+def normalize_text(col: Column) -> Column:
+    """Canonical form for hashing/dedup: lowercase, collapse whitespace,
+    strip edges."""
+    return F.trim(F.regexp_replace(F.lower(col), "\\s+", " "))
+
+
+def fingerprint(col: Column) -> Column:
+    """Document fingerprint: md5 of the normalized text (the exact-dup
+    key). md5 chosen over xxhash64 for oracle portability."""
+    return F.md5(normalize_text(col))
+
+
+def shingles(col: Column, k: int = 3) -> Column:
+    """Word k-shingles of the normalized text -> array<string>.
+    Documents shorter than k words get a single shingle of the whole
+    text so they still participate in MinHash."""
+    toks = F.split(normalize_text(col), " ")
+    n = F.size(toks)
+    idx = F.sequence(F.lit(1), F.greatest(n - (k - 1), F.lit(1)))
+    return F.transform(
+        idx, lambda i: F.concat_ws(" ", F.slice(toks, i, F.least(F.lit(k), n)))
+    )
+
+
+def char_ngrams(col: Column, n: int = 4) -> Column:
+    """Character n-grams of normalized text -> array<string> (distinct
+    not applied; caller chooses)."""
+    t = normalize_text(col)
+    ln = F.length(t)
+    idx = F.sequence(F.lit(1), F.greatest(ln - (n - 1), F.lit(1)))
+    return F.transform(idx, lambda i: t.substr(i, F.lit(n)))
+
+
+def hash64(col: Column, seed: int = 0) -> Column:
+    """Portable 60-bit hash: first 15 hex chars of md5(seed || x) parsed
+    base-16. Reproducible in DuckDB via the same md5/substr and hex
+    parse — slower than xxhash64 but engine-agnostic. Use xxhash64 for
+    pure-Spark paths."""
+    return F.conv(F.substring(F.md5(F.concat(F.lit(str(seed) + "|"), col)), 1, 15), 16, 10).cast("long")

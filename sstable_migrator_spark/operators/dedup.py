@@ -1,0 +1,275 @@
+"""Deduplication operators.
+
+Reference surface (SURVEY A1/A4/J4/T2): stage-boundary ``sort -u``,
+Cassandra last-write-wins upsert, and the 25-day anti-join window.
+
+Training-data-pipeline extensions (BASELINE.json north star): exact
+hash dedup, MinHash+LSH near-dup, SimHash, n-gram Jaccard, embedding
+cosine near-dup — each designed so the heavy side shuffles once on a
+short key and small sides broadcast.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from sstable_migrator_spark.functions import text as TX
+from sstable_migrator_spark.functions import vectors as VX
+
+# --- reference-surface dedup ----------------------------------------------
+
+
+def distinct_rows(df: DataFrame, cols: list[str] | None = None) -> DataFrame:
+    """A1 — ``sort -u`` analog. dropDuplicates, not orderBy+distinct:
+    dedup in Spark needs no global sort (partial aggregation map-side,
+    one shuffle on the key)."""
+    return df.dropDuplicates(cols) if cols else df.distinct()
+
+
+def upsert_latest(
+    df: DataFrame, key_cols: list[str], order_col: str, tiebreak_cols: list[str] | None = None
+) -> DataFrame:
+    """A4 — Cassandra PK upsert semantics (last write wins on re-insert,
+    App.java:143,154): keep the newest row per key. Deterministic
+    tie-break so results are oracle-testable."""
+    order = [F.col(order_col).desc()] + [F.col(c).desc() for c in (tiebreak_cols or [])]
+    w = Window.partitionBy(*key_cols).orderBy(*order)
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
+def anti_join_history(
+    today: DataFrame,
+    history: DataFrame,
+    key: str = "domain",
+    date_col: str = "batch_date",
+    window_days: int = 25,
+    as_of=None,
+) -> DataFrame:
+    """J4/T2 — the 25-day dedup window
+    (daily_certstream_download.sh:75-93). The reference runs ``comm -23``
+    once per retained day; one left-anti join against the date-pruned
+    history replaces the 25-pass loop. ``history`` should be
+    date-partitioned so the window filter prunes partitions at scale.
+    """
+    as_of_expr = F.lit(as_of).cast("date") if as_of else F.current_date()
+    recent = history.filter(
+        F.col(date_col) >= F.date_sub(as_of_expr, window_days)
+    ).select(key).distinct()
+    return today.join(recent, key, "left_anti")
+
+
+# --- extension: exact & near-duplicate document dedup ----------------------
+
+
+def exact_dedup(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Exact dedup on the normalized-text fingerprint; keeps the lowest
+    id per group (deterministic). One shuffle on a 32-char key."""
+    w = Window.partitionBy("fingerprint").orderBy(F.col(id_col).asc())
+    return (
+        docs.withColumn("fingerprint", TX.fingerprint(F.col(text_col)))
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
+def minhash_signatures(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 16,
+    shingle_k: int = 3,
+) -> DataFrame:
+    """MinHash signature per document: word-k-shingles -> per-seed min
+    of a portable 60-bit hash. Pure expression work (transform +
+    array_min over the shingle array) — no explode, no shuffle."""
+    sh = F.array_distinct(TX.shingles(F.col(text_col), shingle_k))
+
+    def _hasher(seed: int):
+        # NOTE: closure factory, not a default arg — PySpark counts
+        # defaulted params as lambda arity and would misread (s, seed)
+        # as the (element, index) two-arg form.
+        return lambda s: F.conv(
+            F.substring(F.md5(F.concat(F.lit(f"{seed}|"), s)), 1, 15), 16, 10
+        ).cast("long")
+
+    sig = F.array(
+        *[
+            F.array_min(F.transform(sh, _hasher(seed))).alias(f"h{seed}")
+            for seed in range(num_hashes)
+        ]
+    )
+    return docs.select(F.col(id_col), F.col(text_col), sig.alias("signature"))
+
+
+def minhash_lsh_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_k: int = 3,
+    jaccard_threshold: float = 0.5,
+) -> DataFrame:
+    """MinHash+LSH near-dup candidate pairs above an estimated Jaccard
+    threshold.
+
+    Scale path: signatures (narrow) -> explode to ``bands`` rows/doc ->
+    shuffle on (band, band_hash) buckets -> within-bucket self-join ->
+    distinct pairs -> signature-estimated Jaccard filter. The self-join
+    shuffles only bucketed signature rows (num_hashes longs/doc), never
+    the text. Returns (id_a, id_b, est_jaccard) with id_a < id_b.
+    """
+    rows_per_band = num_hashes // bands
+    sigs = minhash_signatures(docs, text_col, id_col, num_hashes, shingle_k)
+    banded = sigs.select(
+        F.col(id_col),
+        F.col("signature"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.md5(
+                            F.concat_ws(
+                                ",",
+                                *[
+                                    F.element_at("signature", b * rows_per_band + i + 1).cast("string")
+                                    for i in range(rows_per_band)
+                                ],
+                            )
+                        ).alias("bucket"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select(id_col, "signature", "bb.band", "bb.bucket")
+
+    a = banded.alias("a")
+    b = banded.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.col("a.signature").alias("sig_a"),
+            F.col("b.signature").alias("sig_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    est = (
+        F.size(
+            F.filter(
+                F.zip_with("sig_a", "sig_b", lambda x, y: (x == y).cast("int")),
+                lambda v: v == 1,
+            )
+        ).cast("double")
+        / F.lit(float(num_hashes))
+    )
+    return (
+        pairs.withColumn("est_jaccard", est)
+        .filter(F.col("est_jaccard") >= jaccard_threshold)
+        .select("id_a", "id_b", "est_jaccard")
+    )
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    threshold: float = 0.4,
+    group_col: str | None = None,
+) -> DataFrame:
+    """Exact word-n-gram Jaccard similarity for candidate pairs.
+
+    Without ``group_col`` this is an O(N^2) self-join — correct but only
+    for small N or as the verification stage after LSH blocking. With
+    ``group_col`` (e.g. LSH bucket or source) pairs are generated within
+    groups only.
+    """
+    grams = docs.select(
+        F.col(id_col),
+        *( [F.col(group_col)] if group_col else [] ),
+        F.array_distinct(TX.shingles(F.col(text_col), n)).alias("grams"),
+    )
+    a, b = grams.alias("a"), grams.alias("b")
+    cond = F.col(f"a.{id_col}") < F.col(f"b.{id_col}")
+    if group_col:
+        cond = cond & (F.col(f"a.{group_col}") == F.col(f"b.{group_col}"))
+    inter = F.size(F.array_intersect(F.col("a.grams"), F.col("b.grams")))
+    union = F.size(F.array_union(F.col("a.grams"), F.col("b.grams")))
+    jac = F.when(union > 0, inter.cast("double") / union.cast("double")).otherwise(F.lit(0.0))
+    return (
+        a.join(b, cond)
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            jac.alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def simhash(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = 16) -> DataFrame:
+    """SimHash fingerprint (bit-majority over token hashes), md5-nibble
+    based so the oracle can reproduce it: bit i of a token = (hex nibble
+    i of md5(token)) >= 8; document bit i = majority vote."""
+    toks = TX.tokens(TX.normalize_text(F.col(text_col)))
+
+    def _vote(i: int):
+        # closure factory (see _hasher note in minhash_signatures)
+        return lambda acc, t: acc + F.when(
+            F.substring(F.md5(t), i + 1, 1).isin(*"89abcdef"), F.lit(1)
+        ).otherwise(F.lit(-1))
+
+    votes = [F.aggregate(toks, F.lit(0), _vote(i)) for i in range(bits)]
+    value = None
+    for i, v in enumerate(votes):
+        bit = F.when(v > 0, F.lit(1 << i)).otherwise(F.lit(0))
+        value = bit if value is None else value + bit
+    return docs.select(F.col(id_col), value.cast("long").alias("simhash"))
+
+
+def embedding_near_dup_pairs(
+    embeddings: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    threshold: float = 0.95,
+    block_col: str | None = None,
+) -> DataFrame:
+    """Embedding-cosine near-dup pairs (id_a < id_b, cosine >= t).
+
+    All-pairs without blocking — use the LSH signature from
+    ``simsearch.lsh_bucketize`` as ``block_col`` at scale so the
+    self-join happens per bucket.
+    """
+    base = embeddings.select(
+        F.col(id_col), F.col(vec_col).alias("v"),
+        *( [F.col(block_col).alias("blk")] if block_col else [] ),
+    )
+    a, b = base.alias("a"), base.alias("b")
+    cond = F.col(f"a.{id_col}") < F.col(f"b.{id_col}")
+    if block_col:
+        cond = cond & (F.col("a.blk") == F.col("b.blk"))
+    cos = VX.cosine(F.col("a.v"), F.col("b.v"))
+    return (
+        a.join(b, cond)
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            cos.alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
+    )

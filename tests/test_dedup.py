@@ -1,0 +1,84 @@
+"""Dedup extensions: exact, MinHash/LSH, SimHash, n-gram Jaccard,
+embedding near-dup. Verifies recall of planted duplicates and estimator
+sanity — the operator shapes the 100 TB path relies on."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from sstable_migrator_spark.operators.dedup import (
+    embedding_near_dup_pairs,
+    exact_dedup,
+    minhash_lsh_pairs,
+    minhash_signatures,
+    ngram_jaccard_pairs,
+    simhash,
+)
+
+BASE = (
+    "the quick brown fox jumps over the lazy dog while the cat sleeps "
+    "near the warm stove in the small kitchen of the old house"
+)
+
+
+def _docs(spark):
+    rows = [
+        (0, BASE),
+        (1, BASE),                                  # exact dup of 0
+        (2, BASE.replace("cat", "bird")),           # near dup of 0
+        (3, "completely different text about spark query engines and shuffles"),
+        (4, "another unrelated document mentioning parquet and arrow batches"),
+        (5, "THE  quick   brown fox jumps over the lazy dog while the cat sleeps "
+            "near the warm stove in the small kitchen of the old house"),  # ws/case dup
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_exact_dedup(spark):
+    out = exact_dedup(_docs(spark))
+    kept = {r["doc_id"] for r in out.collect()}
+    # 0,1,5 collapse to fingerprint-min doc 0
+    assert 0 in kept and 1 not in kept and 5 not in kept
+    assert {2, 3, 4} <= kept
+
+
+def test_minhash_recall(spark):
+    sigs = minhash_signatures(_docs(spark), num_hashes=16)
+    assert sigs.count() == 6
+    pairs = minhash_lsh_pairs(
+        _docs(spark), num_hashes=16, bands=8, jaccard_threshold=0.5
+    ).collect()
+    found = {(r["id_a"], r["id_b"]) for r in pairs}
+    assert (0, 1) in found and (0, 5) in found and (1, 5) in found
+    assert (0, 2) in found  # near dup shares most shingles
+    assert not any({a, b} & {3, 4} and {a, b} & {0, 1, 2, 5} for a, b in found)
+
+
+def test_ngram_jaccard(spark):
+    pairs = {(r["id_a"], r["id_b"]): r["jaccard"]
+             for r in ngram_jaccard_pairs(_docs(spark), threshold=0.3).collect()}
+    assert pairs[(0, 1)] == 1.0
+    assert pairs[(0, 5)] == 1.0           # normalization collapses ws/case
+    assert 0.5 < pairs[(0, 2)] < 1.0
+    assert (3, 4) not in pairs
+
+
+def test_simhash_similarity(spark):
+    out = {r["doc_id"]: r["simhash"] for r in simhash(_docs(spark)).collect()}
+    assert out[0] == out[1] == out[5]
+    ham_near = bin(out[0] ^ out[2]).count("1")
+    ham_far = bin(out[0] ^ out[3]).count("1")
+    assert ham_near <= ham_far
+
+
+def test_embedding_near_dup(spark):
+    rows = [
+        (0, [1.0, 0.0, 0.0]),
+        (1, [0.999, 0.01, 0.0]),    # near dup of 0
+        (2, [0.0, 1.0, 0.0]),
+        (3, [-1.0, 0.0, 0.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    pairs = {(r["id_a"], r["id_b"]) for r in
+             embedding_near_dup_pairs(df, threshold=0.95).collect()}
+    assert pairs == {(0, 1)}

@@ -1,0 +1,45 @@
+from __future__ import annotations
+
+import hashlib
+
+import pytest
+from pyspark.sql import functions as F
+
+from sstable_migrator_spark.operators.multimodal import (
+    DecoderUnavailable,
+    decode_features,
+    frame_sample_plan,
+    synthetic_media,
+)
+
+
+def test_decode_features_schema_and_determinism(spark):
+    media = synthetic_media(spark, n=12)
+    out = decode_features(media, dim=8)
+    rows = {r["media_id"]: r for r in out.collect()}
+    assert len(rows) == 12
+    payload = b"media-3" * 4
+    assert rows[3]["payload_sha256"] == hashlib.sha256(payload).hexdigest()
+    assert rows[3]["payload_bytes"] == len(payload)
+    assert len(rows[3]["feature"]) == 8
+    assert all(0.0 <= v <= 1.0 for v in rows[3]["feature"])
+    # run twice -> identical (deterministic stub)
+    again = {r["media_id"]: r["feature"] for r in decode_features(media, dim=8).collect()}
+    assert again[3] == rows[3]["feature"]
+
+
+def test_real_decode_is_marked_stub(spark):
+    media = synthetic_media(spark, n=2)
+    with pytest.raises(Exception) as exc:
+        decode_features(media, real_decode=True).collect()
+    assert "DecoderUnavailable" in str(exc.value) or "codecs" in str(exc.value)
+
+
+def test_frame_sample_plan(spark):
+    media = synthetic_media(spark, n=12)
+    out = frame_sample_plan(media, every_ms=1000)
+    rows = out.collect()
+    assert all(r["frame_ts_ms"] % 1000 == 0 for r in rows)
+    # video rows only (kind index 2 mod 3)
+    vid_ids = {r["media_id"] for r in rows}
+    assert vid_ids == {i for i in range(12) if i % 3 == 2}

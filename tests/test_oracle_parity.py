@@ -1,0 +1,39 @@
+"""Pytest wrapper over the oracle harness: every catalog query must
+hash-match its DuckDB oracle at sf0.001 (the full sf0.01 sweep runs via
+``python -m tests.oracle_harness``)."""
+
+from __future__ import annotations
+
+import pytest
+
+import __spark_entry__ as entrymod
+from tests.oracle_harness import compare_one, duck_connection
+
+SF = "/root/testdata/sf0.001"
+
+_QUERIES = entrymod.queries()
+_ORACLES = entrymod.oracle_sql()
+
+
+@pytest.fixture(scope="module")
+def duck():
+    return duck_connection(SF)
+
+
+@pytest.mark.parametrize("name", sorted(_QUERIES))
+def test_oracle_match(spark, duck, name):
+    res = compare_one(spark, duck, name, _QUERIES[name], _ORACLES.get(name), SF)
+    assert res["ok"], res
+
+
+def test_every_query_has_oracle_or_is_declared():
+    missing = set(_QUERIES) - set(_ORACLES)
+    # rows-only queries are allowed but must be deliberate; none yet
+    assert missing == set(), f"queries without oracle SQL: {missing}"
+
+
+def test_entry_contract(spark):
+    df = entrymod.entry(spark)
+    rows = df.collect()
+    assert len(rows) > 0
+    assert df.columns == ["apexDomain", "cnt"]

@@ -1,0 +1,58 @@
+"""Similarity search: brute-force exactness vs a NumPy reference, LSH
+bucket behavior and candidate scoring."""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import functions as F
+
+from sstable_migrator_spark.operators.simsearch import (
+    brute_force_topk,
+    lsh_bucketize,
+    lsh_topk,
+    make_hyperplanes,
+)
+
+
+def _corpus(spark, n=50, dim=8, seed=3):
+    rng = np.random.default_rng(seed)
+    vecs = rng.normal(size=(n, dim)).astype("float64")
+    df = spark.createDataFrame(
+        [(i, vecs[i].tolist()) for i in range(n)], "vec_id long, embedding array<double>"
+    )
+    return df, vecs
+
+
+def test_brute_force_matches_numpy(spark):
+    corpus, vecs = _corpus(spark)
+    queries = spark.createDataFrame(
+        [(0, vecs[0].tolist()), (1, vecs[7].tolist())],
+        "query_id long, query_vec array<double>",
+    )
+    out = brute_force_topk(corpus, queries, k=5).collect()
+    got = {}
+    for r in out:
+        got.setdefault(r["query_id"], []).append((r["rank"], r["neighbor_id"]))
+    norms = np.linalg.norm(vecs, axis=1)
+    sims = (vecs @ vecs.T) / np.outer(norms, norms)
+    for qid, qvec_idx in [(0, 0), (1, 7)]:
+        expected = np.argsort(-sims[qvec_idx], kind="stable")[:5].tolist()
+        mine = [n for _, n in sorted(got[qid])]
+        assert mine == expected, f"query {qid}: {mine} != {expected}"
+
+
+def test_lsh_bucketize_and_topk(spark):
+    corpus, vecs = _corpus(spark)
+    planes = make_hyperplanes(dim=8, bits=4, seed=7)
+    bucketed = lsh_bucketize(corpus, planes)
+    buckets = [r["lsh_bucket"] for r in bucketed.collect()]
+    assert all(0 <= b < 16 for b in buckets)
+    assert len(set(buckets)) > 1  # spread across buckets
+
+    queries = spark.createDataFrame(
+        [(0, vecs[0].tolist())], "query_id long, query_vec array<double>"
+    )
+    out = lsh_topk(corpus, queries, planes, k=3).collect()
+    assert out, "query vector must at least find itself in its own bucket"
+    best = min(out, key=lambda r: r["rank"])
+    assert best["neighbor_id"] == 0 and abs(best["cosine"] - 1.0) < 1e-9
