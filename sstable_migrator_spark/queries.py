@@ -659,3 +659,596 @@ ORACLES: dict[str, str] = {
     "q41_token_stats": SQL_TOKEN_STATS,
     "q60_hourly_window": SQL_HOURLY_WINDOW,
 }
+
+
+# ---------------------------------------------------------------------------
+# Batch 2 — blocklists, cleaner pipelines, full-ingest parity, windows,
+# sessions, text/LLM extensions, ANN
+# ---------------------------------------------------------------------------
+
+BLOCKLIST_PATTERNS = ["\\.xyz$", "^[0-9]+\\.[a-z]+$", "\\.dyndns\\.", "^cdn[0-9]*\\."]
+_BLOCK_RE = "(" + "|".join(BLOCKLIST_PATTERNS) + ")"
+ALLOWLIST_RE = "\\.(gov\\.[a-z]{2,}|gov|ru|ai|de|fr|io|in)$"
+
+
+def q_blocklist_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P6 — regex blocklist anti-filter: the 116-pattern ``grep -v -E -f``
+    compiled into ONE alternation evaluated once per row
+    (daily_certstream_download.sh:97, SURVEY §4 'regex prefilter')."""
+    d = synth_domains(spark, sf_dir)
+    return d.filter(~F.col("domain").rlike(_BLOCK_RE)).select("id", "domain")
+
+
+SQL_BLOCKLIST_FILTER = f"""
+WITH {SQL_DOMAINS_CTE.strip()}
+SELECT id, domain FROM domains WHERE NOT regexp_matches(domain, '{_BLOCK_RE}')
+"""
+
+
+def q_tld_allowlist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P7 — TLD allowlist pre-filter (daily_certstream_download.sh:47-57)."""
+    d = synth_domains(spark, sf_dir)
+    return d.filter(F.lower(F.col("domain")).rlike(ALLOWLIST_RE)).select("id", "domain")
+
+
+SQL_TLD_ALLOWLIST = f"""
+WITH {SQL_DOMAINS_CTE.strip()}
+SELECT id, domain FROM domains WHERE regexp_matches(lower(domain), '{ALLOWLIST_RE}')
+"""
+
+
+def _synth_rdns_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV wire lines for the -rdns cleaner: valid / cleanable / EL / ED."""
+    ips = synth_ips(spark, sf_dir)
+    k = F.col("c_custkey")
+    base = F.concat(
+        F.lit("h"), (k % 97).cast("string"), F.lit(".example."),
+        F.when(k % 3 == 0, "com").when(k % 3 == 1, "de").otherwise("org"),
+    )
+    dom = F.when(k % 4 == 0, F.concat(F.lit("*."), base)).otherwise(base)
+    line = (
+        F.when(k % 9 == 0, F.lit("only_one_field"))
+        .when(k % 9 == 1, F.concat(F.col("ip"), F.lit(",bad..domain")))
+        .when(k % 9 == 2, F.lit("a,b,c"))
+        .otherwise(F.concat(F.col("ip"), F.lit(","), dom))
+    )
+    return ips.select(line.alias("value"))
+
+
+SQL_RDNS_LINES_CTE = (
+    SQL_IPS_CTE.strip().rstrip(")")
+    + """),
+rdns_lines AS (
+  SELECT CASE
+           WHEN c_custkey % 9 = 0 THEN 'only_one_field'
+           WHEN c_custkey % 9 = 1 THEN ip || ',bad..domain'
+           WHEN c_custkey % 9 = 2 THEN 'a,b,c'
+           ELSE ip || ',' ||
+                (CASE WHEN c_custkey % 4 = 0 THEN '*.' ELSE '' END) ||
+                'h' || CAST(c_custkey % 97 AS VARCHAR) || '.example.' ||
+                (CASE CAST(c_custkey % 3 AS INT) WHEN 0 THEN 'com' WHEN 1 THEN 'de' ELSE 'org' END)
+         END AS value
+  FROM ips),
+rdns_split AS (
+  SELECT value, len(string_split(value, ',')) AS arity,
+         string_split(value, ',')[1] AS f0, string_split(value, ',')[2] AS f1
+  FROM rdns_lines)
+"""
+)
+
+
+def q_clean_rdns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§3.2 cleaner parity as an oracle query: -rdns validate/normalize
+    with EL/ED reject codes and the valid output line."""
+    from sstable_migrator_spark.operators.clean import clean_rdns
+
+    return clean_rdns(_synth_rdns_lines(spark, sf_dir))
+
+
+def _sql_clean_rdns() -> str:
+    strip0 = _sql_strip("f0")
+    cleaned1 = _sql_cleaned(_sql_strip("f1"))
+    return f"""
+WITH {SQL_RDNS_LINES_CTE.strip()},
+staged AS (
+  SELECT value, arity, {strip0} AS ip_s, {cleaned1} AS dom_c FROM rdns_split)
+SELECT value,
+       CASE WHEN arity != 2 THEN 'EL' WHEN dom_c IS NULL THEN 'ED' END AS error_code,
+       CASE WHEN arity = 2 THEN ip_s END AS ip,
+       CASE WHEN arity = 2 THEN dom_c END AS domain,
+       CASE WHEN arity = 2 AND dom_c IS NOT NULL THEN ip_s || ',' || dom_c END AS output
+FROM staged
+"""
+
+
+def _synth_subs_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """8-col reversed-parts wire lines for the -subs cleaner."""
+    part = _t(spark, sf_dir, "part")
+    k = F.col("p_partkey")
+    w1 = F.substring_index(F.col("p_name"), " ", 1)
+    w2 = F.substring_index(F.col("p_name"), " ", -1)
+    slot = F.when(k % 3 == 0, "*").when(k % 3 == 1, "").otherwise("x")
+    line = F.concat(
+        F.lit("com,"), w1, F.lit(","), w2, F.lit(","), slot,
+        F.lit(",,,,"), F.lit("2024-01-0"), ((k % 9) + 1).cast("string"),
+    )
+    return part.select(line.alias("value"))
+
+
+SQL_SUBS_LINES_CTE = """
+subs_lines AS (
+  SELECT 'com,' || split_part(p_name, ' ', 1) || ',' || split_part(p_name, ' ', -1) || ',' ||
+         (CASE CAST(p_partkey % 3 AS INT) WHEN 0 THEN '*' WHEN 1 THEN '' ELSE 'x' END) ||
+         ',,,,' || '2024-01-0' || CAST((p_partkey % 9) + 1 AS VARCHAR) AS value
+  FROM part)
+"""
+
+
+def q_clean_subs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """-subs cleaner: 7-slot re-join skipping ''/'*' (F8) + validity."""
+    from sstable_migrator_spark.operators.clean import clean_subdomains
+
+    return clean_subdomains(_synth_subs_lines(spark, sf_dir))
+
+
+def _sql_clean_subs() -> str:
+    valid = _sql_valid("dom")
+    return f"""
+WITH {SQL_SUBS_LINES_CTE.strip()},
+subs_split AS (
+  SELECT value, len(string_split(value, ',')) AS arity,
+         string_split(value, ',') AS p
+  FROM subs_lines),
+joined AS (
+  SELECT value, arity, p[8] AS last_seen,
+         array_to_string(list_reverse(list_filter(p[1:7], x -> x != '' AND x != '*')), '.') AS dom
+  FROM subs_split)
+SELECT value,
+       CASE WHEN arity != 8 THEN 'EL' WHEN NOT {valid} THEN 'ED' END AS error_code,
+       CASE WHEN arity = 8 AND {valid} THEN dom END AS domain,
+       CASE WHEN arity = 8 AND {valid} THEN dom || ',' || last_seen END AS output
+FROM joined
+"""
+
+
+def q_route_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full §3.1 ingest-pipeline parity, aggregated: parse/clean/decompose/
+    route the synthesized massdns feed and count rows per (route, keep)."""
+    parsed = ingest.parse_and_route(
+        _flagship_records(spark, sf_dir), tld_set=QUERY_TLDS, source="oracle"
+    )
+    return (
+        parsed.groupBy("is_cname", "keep")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def q_flagship_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The flagship itself, oracle-checked end to end: ingest pipeline ->
+    apex popularity top-100 (clickhouse_queries.md:35-43)."""
+    return flagship_ingest(spark, sf_dir)
+
+
+def _flagship_records(spark: SparkSession, sf_dir: str) -> DataFrame:
+    n_cust = _t(spark, sf_dir, "customer").count()
+    domains = synth_domains(spark, sf_dir)
+    ips = synth_ips(spark, sf_dir)
+    return (
+        domains.withColumn("_j", (F.col("id") % n_cust) + 1)
+        .join(ips.withColumnRenamed("c_custkey", "_j"), "_j")
+        .select(
+            F.col("id"),
+            F.col("domain"),
+            F.when(F.col("id") % 3 == 0, "CNAME").otherwise("A").alias("record_type"),
+            F.when(F.col("id") % 3 == 0, F.lit("cdn.target.example.com"))
+            .otherwise(F.col("ip"))
+            .alias("ip"),
+        )
+        .drop("id")
+    )
+
+
+IPV4_SQL_RE = "^(25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9]?[0-9])(\\.(25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9]?[0-9])){3}$"
+
+
+def _sql_ingest_parsed() -> str:
+    """The whole parse/clean/decompose/route pipeline in DuckDB SQL —
+    the oracle twin of ingest.parse_and_route over the flagship feed."""
+    cleaned = _sql_cleaned("domain")
+    return f"""
+{SQL_DOMAINS_CTE.strip()},
+{SQL_IPS_CTE.strip()},
+records AS (
+  SELECT d.domain,
+         CASE WHEN d.id % 3 = 0 THEN 'CNAME' ELSE 'A' END AS record_type,
+         CASE WHEN d.id % 3 = 0 THEN 'cdn.target.example.com' ELSE i.ip END AS ip
+  FROM domains d
+  JOIN ips i ON i.c_custkey = (d.id % (SELECT count(*) FROM customer)) + 1),
+rec_clean AS (
+  SELECT domain, record_type, ip, {cleaned} AS domain_clean FROM records
+  WHERE domain IS NOT NULL AND record_type IS NOT NULL AND ip IS NOT NULL),
+rec_parts AS (
+  SELECT *, string_split(lower(domain_clean), '.') AS parts,
+         COALESCE(len(string_split(lower(domain_clean), '.')), -1) AS n,
+         (record_type != 'A') AS is_cname
+  FROM rec_clean),
+rec_route AS (
+  SELECT domain_clean AS domain, record_type, ip, is_cname,
+         CASE WHEN is_cname THEN ip
+              WHEN n >= 2 THEN array_to_string(parts[greatest(n - (CASE WHEN parts[n-1] IN {_TLD_IN} THEN 2 ELSE 1 END), 1):n], '.')
+              ELSE '' END AS apexDomain,
+         (n >= 2) AS dp_success, n, parts
+  FROM rec_parts),
+rec_flagged AS (
+  SELECT *,
+         COALESCE(domain IS NOT NULL AND dp_success
+                  AND (is_cname OR regexp_matches(ip, '{IPV4_SQL_RE}'))
+                  AND apexDomain IS NOT NULL AND apexDomain != '', FALSE) AS keep
+  FROM rec_route)
+"""
+
+
+def _sql_route_counts() -> str:
+    return f"""
+WITH {_sql_ingest_parsed().strip()}
+SELECT is_cname, keep, CAST(count(*) AS BIGINT) AS cnt
+FROM rec_flagged GROUP BY is_cname, keep
+"""
+
+
+def _sql_flagship_topk() -> str:
+    return f"""
+WITH {_sql_ingest_parsed().strip()}
+SELECT apexDomain, CAST(count(*) AS BIGINT) AS cnt
+FROM rec_flagged WHERE keep
+GROUP BY apexDomain ORDER BY cnt DESC, apexDomain ASC LIMIT 100
+"""
+
+
+def q_running_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative window aggregation: running revenue per supplier in a
+    deterministic clustering order (sequential fold -> bit-exact)."""
+    li = _t(spark, sf_dir, "lineitem")
+    w = (
+        Window.partitionBy("l_suppkey")
+        .orderBy(F.col("l_shipdate").asc(), F.col("l_orderkey").asc(), F.col("l_linenumber").asc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    # rounded on the 2dp data grid: windowed sums are pairwise-
+    # aggregated in DuckDB (not sequential), so raw doubles differ in
+    # the last ulp
+    return li.select(
+        "l_suppkey", "l_orderkey", "l_linenumber",
+        F.round(F.sum("l_extendedprice").over(w), 2).alias("running_revenue"),
+    )
+
+
+SQL_RUNNING_WINDOW = """
+SELECT l_suppkey, l_orderkey, l_linenumber,
+       round(sum(l_extendedprice) OVER (
+         PARTITION BY l_suppkey
+         ORDER BY l_shipdate ASC, l_orderkey ASC, l_linenumber ASC
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_revenue
+FROM lineitem
+"""
+
+
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization: gap > 30 min starts a new session per user
+    (lag + cumulative sum — the batch twin of session_window)."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    prev = F.lag(F.col("ts")).over(w)
+    new_sess = F.when(
+        prev.isNull() | (F.unix_micros(F.col("ts")) - F.unix_micros(prev) > 1800 * 1_000_000),
+        F.lit(1),
+    ).otherwise(F.lit(0))
+    return (
+        ev.withColumn("_new", new_sess)
+        .withColumn(
+            "session_id",
+            F.sum("_new").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+        )
+        .select("user_id", "event_id", "ts", "session_id")
+    )
+
+
+SQL_SESSIONIZE = """
+WITH flagged AS (
+  SELECT user_id, event_id, ts,
+         CASE WHEN lag(ts) OVER w IS NULL
+                   OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800 * 1000000
+              THEN 1 ELSE 0 END AS _new
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC))
+SELECT user_id, event_id, ts,
+       CAST(sum(_new) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+FROM flagged
+"""
+
+
+def q_semi_join_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-semi join (EXISTS): orders having a high-quantity lineitem."""
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_quantity") > 45).select(
+        F.col("l_orderkey").alias("o_orderkey")
+    )
+    return orders.join(li, "o_orderkey", "left_semi").select("o_orderkey", "o_totalprice")
+
+
+SQL_SEMI_JOIN = """
+SELECT o_orderkey, o_totalprice FROM orders
+WHERE EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey AND l_quantity > 45)
+"""
+
+
+def q_union_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set op: union of nation keys referenced by customers and suppliers."""
+    cust = _t(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    supp = _t(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    return cust.union(supp).distinct()
+
+
+SQL_UNION_DISTINCT = """
+SELECT c_nationkey AS nationkey FROM customer
+UNION
+SELECT s_nationkey AS nationkey FROM supplier
+"""
+
+
+# ---------------------------------------------------------------------------
+# Batch 2b — text-analysis / dedup / similarity extensions (north star)
+# ---------------------------------------------------------------------------
+
+SQL_NORM = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
+_HEXHI = "('8','9','a','b','c','d','e','f')"
+
+
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID heuristic: stopword-overlap argmax with deterministic
+    tie-break (first language in code order wins)."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select("doc_id", TX.lang_id(F.col("text")).alias("lang_guess"))
+
+
+def _sql_lang_id() -> str:
+    score_cols = []
+    for lang, sw in sorted(TX.STOPWORDS.items()):
+        inlist = ", ".join(f"'{w}'" for w in sw)
+        score_cols.append(
+            f"len(list_filter(tk, x -> x IN ({inlist}))) AS s_{lang}"
+        )
+    langs = sorted(TX.STOPWORDS)
+    expr_sql = f"'{langs[0]}'"
+    best_sql = f"s_{langs[0]}"
+    for lang in langs[1:]:
+        expr_sql = f"(CASE WHEN s_{lang} > {best_sql} THEN '{lang}' ELSE {expr_sql} END)"
+        best_sql = f"greatest(s_{lang}, {best_sql})"
+    return f"""
+WITH toks AS (
+  SELECT doc_id,
+         CASE WHEN length(trim(lower(text))) = 0 THEN []
+              ELSE regexp_split_to_array(trim(lower(text)), '\\s+') END AS tk
+  FROM documents),
+scored AS (
+  SELECT doc_id, {', '.join(score_cols)} FROM toks)
+SELECT doc_id, CASE WHEN {best_sql} > 0 THEN {expr_sql} ELSE 'und' END AS lang_guess
+FROM scored
+"""
+
+
+def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite quality heuristic — per-row arithmetic in a fixed order
+    so the double is bit-identical to the oracle."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select("doc_id", TX.quality_score(F.col("text")).alias("quality"))
+
+
+SQL_QUALITY = """
+WITH toks AS (
+  SELECT doc_id, text,
+         CASE WHEN length(trim(text)) = 0 THEN []
+              ELSE regexp_split_to_array(trim(text), '\\s+') END AS tk
+  FROM documents),
+comp AS (
+  SELECT doc_id,
+    least(CAST(len(tk) AS DOUBLE) / 100.0, 1.0) AS len_score,
+    CASE WHEN len(tk) > 0
+         THEN CAST(list_sum(list_transform(tk, t -> length(t))) AS DOUBLE) / len(tk)
+         ELSE 0.0 END AS mwl,
+    CASE WHEN len(tk) > 0
+         THEN CAST(len(list_filter(list_transform(tk, t -> lower(t)),
+              t -> t IN ('the','a','of','and','to','in','is','that','it','for'))) AS DOUBLE) / len(tk)
+         ELSE 0.0 END AS swr,
+    CASE WHEN length(text) > 0
+         THEN CAST(length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) AS DOUBLE) / length(text)
+         ELSE 0.0 END AS pr
+  FROM toks)
+SELECT doc_id,
+       0.3 * least_sc + 0.2 * wl_sc + 0.3 * sw_sc + 0.2 * p_sc AS quality
+FROM (
+  SELECT doc_id,
+         len_score AS least_sc,
+         CASE WHEN mwl >= 3.0 AND mwl <= 10.0 THEN 1.0 ELSE 0.0 END AS wl_sc,
+         least(swr * 5.0, 1.0) AS sw_sc,
+         1.0 - least(pr * 4.0, 1.0) AS p_sc
+  FROM comp)
+"""
+
+
+def q_fingerprint_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprinting: exact md5 fingerprint + 16-bit SimHash."""
+    from sstable_migrator_spark.operators.dedup import simhash
+
+    docs = _t(spark, sf_dir, "documents")
+    sh = simhash(docs, bits=16)
+    fp = docs.select("doc_id", TX.fingerprint(F.col("text")).alias("fingerprint"))
+    return fp.join(sh, "doc_id")
+
+
+def _sql_fingerprint_simhash() -> str:
+    votes = ", ".join(
+        f"COALESCE(list_sum(list_transform(tk, t -> CASE WHEN substr(md5(t), {i + 1}, 1) IN {_HEXHI} THEN 1 ELSE -1 END)), 0) AS s_{i}"
+        for i in range(16)
+    )
+    value = " + ".join(f"(CASE WHEN s_{i} > 0 THEN {1 << i} ELSE 0 END)" for i in range(16))
+    return f"""
+WITH norm AS (
+  SELECT doc_id, md5({SQL_NORM}) AS fingerprint,
+         CASE WHEN length({SQL_NORM}) = 0 THEN []
+              ELSE regexp_split_to_array({SQL_NORM}, '\\s+') END AS tk
+  FROM documents),
+votes AS (SELECT doc_id, fingerprint, {votes} FROM norm)
+SELECT doc_id, fingerprint, CAST({value} AS BIGINT) AS simhash FROM votes
+"""
+
+
+SQL_GRAMS_CTE = f"""
+grams AS (
+  SELECT doc_id,
+         list_distinct(list_transform(
+           generate_series(1, greatest(nt - 2, 1)),
+           i -> array_to_string(toks[i:least(i + 2, nt)], ' '))) AS g
+  FROM (SELECT doc_id, toks, len(toks) AS nt
+        FROM (SELECT doc_id, string_split({SQL_NORM}, ' ') AS toks
+              FROM documents WHERE doc_id < 60)))
+"""
+
+
+def q_ngram_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact word-3-gram Jaccard near-dup pairs (verification-stage
+    operator; blocked/LSH variants cover the scale path)."""
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 60)
+    return dedup.ngram_jaccard_pairs(docs, n=3, threshold=0.2)
+
+
+SQL_NGRAM_PAIRS = f"""
+WITH {SQL_GRAMS_CTE.strip()}
+SELECT id_a, id_b, jaccard FROM (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         CASE WHEN len(list_distinct(list_concat(a.g, b.g))) > 0
+              THEN CAST(len(list_intersect(a.g, b.g)) AS DOUBLE)
+                   / CAST(len(list_distinct(list_concat(a.g, b.g))) AS DOUBLE)
+              ELSE 0.0 END AS jaccard
+  FROM grams a JOIN grams b ON a.doc_id < b.doc_id)
+WHERE jaccard >= 0.2
+"""
+
+
+_SQL_COS = (
+    "CASE WHEN sqrt(list_dot_product({a}, {a})) > 0 AND sqrt(list_dot_product({b}, {b})) > 0 "
+    "THEN list_dot_product({a}, {b}) / (sqrt(list_dot_product({a}, {a})) * sqrt(list_dot_product({b}, {b}))) "
+    "ELSE 0.0 END"
+)
+
+
+def q_embedding_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs over a blocked subset."""
+    emb = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 60)
+    return dedup.embedding_near_dup_pairs(emb, threshold=0.2)
+
+
+SQL_EMBEDDING_PAIRS = f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+           FROM embeddings WHERE vec_id < 60)
+SELECT id_a, id_b, cosine FROM (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         {_SQL_COS.format(a='a.v', b='b.v')} AS cosine
+  FROM e a JOIN e b ON a.vec_id < b.vec_id)
+WHERE cosine >= 0.2
+"""
+
+
+def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-10 per query vector (exact ANN baseline:
+    broadcast query set, one corpus pass, per-query window top-k)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    return simsearch.brute_force_topk(emb, queries, k=10)
+
+
+SQL_ANN_TOPK = f"""
+WITH c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+     q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+           FROM embeddings WHERE vec_id < 5)
+SELECT query_id, neighbor_id, cosine, CAST(rank AS INT) AS rank FROM (
+  SELECT q.query_id, c.vec_id AS neighbor_id,
+         {_SQL_COS.format(a='c.v', b='q.qv')} AS cosine,
+         row_number() OVER (PARTITION BY q.query_id
+                            ORDER BY {_SQL_COS.format(a='c.v', b='q.qv')} DESC,
+                                     c.vec_id ASC) AS rank
+  FROM c CROSS JOIN q)
+WHERE rank <= 10
+"""
+
+
+def q_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash signatures (16 portable md5-based hash functions over
+    word-3-shingles) — the LSH building block, fully oracle-checked."""
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    sigs = dedup.minhash_signatures(docs, num_hashes=16)
+    return sigs.select(
+        "doc_id",
+        *[F.element_at("signature", i + 1).alias(f"h{i}") for i in range(16)],
+    )
+
+
+def _sql_minhash() -> str:
+    hashes = ", ".join(
+        "list_min(list_transform(g, s -> CAST(concat('0x', substr(md5('"
+        + f"{seed}|' || s), 1, 15)) AS BIGINT))) AS h{seed}"
+        for seed in range(16)
+    )
+    grams_cte = SQL_GRAMS_CTE.replace("doc_id < 60", "doc_id < 100")
+    return f"""
+WITH {grams_cte.strip()}
+SELECT doc_id, {hashes} FROM grams
+"""
+
+
+QUERIES.update(
+    {
+        "q10_running_window": q_running_window,
+        "q11_semi_join": q_semi_join_exists,
+        "q12_union_distinct": q_union_distinct,
+        "q26_blocklist_filter": q_blocklist_filter,
+        "q27_tld_allowlist": q_tld_allowlist,
+        "q30_clean_rdns": q_clean_rdns,
+        "q31_clean_subs": q_clean_subs,
+        "q32_route_counts": q_route_counts,
+        "q33_flagship_topk": q_flagship_topk,
+        "q42_minhash_sigs": q_minhash_signatures,
+        "q44_ngram_pairs": q_ngram_pairs,
+        "q45_embedding_pairs": q_embedding_pairs,
+        "q46_ann_topk": q_ann_topk,
+        "q47_lang_id": q_lang_id,
+        "q48_quality_score": q_quality_score,
+        "q49_fingerprint_simhash": q_fingerprint_simhash,
+        "q61_sessionize": q_sessionize,
+    }
+)
+
+ORACLES.update(
+    {
+        "q10_running_window": SQL_RUNNING_WINDOW,
+        "q11_semi_join": SQL_SEMI_JOIN,
+        "q12_union_distinct": SQL_UNION_DISTINCT,
+        "q26_blocklist_filter": SQL_BLOCKLIST_FILTER,
+        "q27_tld_allowlist": SQL_TLD_ALLOWLIST,
+        "q30_clean_rdns": _sql_clean_rdns(),
+        "q31_clean_subs": _sql_clean_subs(),
+        "q32_route_counts": _sql_route_counts(),
+        "q33_flagship_topk": _sql_flagship_topk(),
+        "q42_minhash_sigs": _sql_minhash(),
+        "q44_ngram_pairs": SQL_NGRAM_PAIRS,
+        "q45_embedding_pairs": SQL_EMBEDDING_PAIRS,
+        "q46_ann_topk": SQL_ANN_TOPK,
+        "q47_lang_id": _sql_lang_id(),
+        "q48_quality_score": SQL_QUALITY,
+        "q49_fingerprint_simhash": _sql_fingerprint_simhash(),
+        "q61_sessionize": SQL_SESSIONIZE,
+    }
+)
