@@ -88,8 +88,6 @@ def minhash_signatures(
     """MinHash signature per document: word-k-shingles -> per-seed min
     of a portable 60-bit hash. Pure expression work (transform +
     array_min over the shingle array) — no explode, no shuffle."""
-    sh = F.array_distinct(TX.shingles(F.col(text_col), shingle_k))
-
     def _hasher(seed: int):
         # NOTE: closure factory, not a default arg — PySpark counts
         # defaulted params as lambda arity and would misread (s, seed)
@@ -98,13 +96,17 @@ def minhash_signatures(
             F.substring(F.md5(F.concat(F.lit(f"{seed}|"), s)), 1, 15), 16, 10
         ).cast("long")
 
+    # Stage the distinct shingle array ONCE as a column: the 16 per-seed
+    # expressions then read one attribute instead of re-inlining (and
+    # re-executing) the normalize/split/slice chain per hash function.
+    staged = docs.withColumn("_sh", F.array_distinct(TX.shingles(F.col(text_col), shingle_k)))
     sig = F.array(
         *[
-            F.array_min(F.transform(sh, _hasher(seed))).alias(f"h{seed}")
+            F.array_min(F.transform(F.col("_sh"), _hasher(seed))).alias(f"h{seed}")
             for seed in range(num_hashes)
         ]
     )
-    return docs.select(F.col(id_col), F.col(text_col), sig.alias("signature"))
+    return staged.select(F.col(id_col), F.col(text_col), sig.alias("signature"))
 
 
 def minhash_lsh_pairs(
@@ -226,20 +228,28 @@ def simhash(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id", bit
     """SimHash fingerprint (bit-majority over token hashes), md5-nibble
     based so the oracle can reproduce it: bit i of a token = (hex nibble
     i of md5(token)) >= 8; document bit i = majority vote."""
-    toks = TX.tokens(TX.normalize_text(F.col(text_col)))
+    # md5 each token ONCE (staged column); the per-bit votes then only
+    # slice nibbles out of the precomputed hex strings. Without staging,
+    # tokenize+md5 would run `bits` times per row.
+    staged = docs.withColumn(
+        "_tokmd5",
+        F.transform(TX.tokens(TX.normalize_text(F.col(text_col))), F.md5),
+    )
 
     def _vote(i: int):
         # closure factory (see _hasher note in minhash_signatures)
-        return lambda acc, t: acc + F.when(
-            F.substring(F.md5(t), i + 1, 1).isin(*"89abcdef"), F.lit(1)
+        return lambda acc, h: acc + F.when(
+            F.substring(h, i + 1, 1).isin(*"89abcdef"), F.lit(1)
         ).otherwise(F.lit(-1))
 
-    votes = [F.aggregate(toks, F.lit(0), _vote(i)) for i in range(bits)]
+    votes = [
+        F.aggregate(F.col("_tokmd5"), F.lit(0), _vote(i)) for i in range(bits)
+    ]
     value = None
     for i, v in enumerate(votes):
         bit = F.when(v > 0, F.lit(1 << i)).otherwise(F.lit(0))
         value = bit if value is None else value + bit
-    return docs.select(F.col(id_col), value.cast("long").alias("simhash"))
+    return staged.select(F.col(id_col), value.cast("long").alias("simhash"))
 
 
 def embedding_near_dup_pairs(

@@ -533,14 +533,25 @@ FROM documents GROUP BY 1
 
 
 def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Token counting + quality signals (per-row doubles: bit-exact)."""
+    """Token counting + quality signals (per-row doubles: bit-exact).
+
+    The token array is staged once as a column; every statistic reads
+    the attribute (one tokenize per row, codegen-friendly)."""
     docs = _t(spark, sf_dir, "documents")
-    return docs.select(
+    staged = docs.withColumn("_tk", TX.tokens(F.col("text")))
+    tk = F.col("_tk")
+    n = F.size(tk)
+    total_len = F.aggregate(tk, F.lit(0), lambda acc, x: acc + F.length(x))
+    sw = TX.DEFAULT_STOPWORDS
+    hits = F.size(F.filter(F.transform(tk, F.lower), lambda x: x.isin(*sw)))
+    punct = F.length(F.regexp_replace(F.col("text"), "[A-Za-z0-9\\s]", ""))
+    return staged.select(
         "doc_id",
-        TX.token_count(F.col("text")).alias("n_tokens"),
-        TX.mean_word_length(F.col("text")).alias("mean_word_len"),
-        TX.punct_ratio(F.col("text")).alias("punct_ratio"),
-        TX.stopword_ratio(F.col("text")).alias("stopword_ratio"),
+        n.alias("n_tokens"),
+        F.when(n > 0, total_len.cast("double") / n).otherwise(0.0).alias("mean_word_len"),
+        F.when(F.length("text") > 0, punct.cast("double") / F.length("text"))
+        .otherwise(0.0).alias("punct_ratio"),
+        F.when(n > 0, hits.cast("double") / n).otherwise(0.0).alias("stopword_ratio"),
     )
 
 
@@ -1009,7 +1020,22 @@ def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Language-ID heuristic: stopword-overlap argmax with deterministic
     tie-break (first language in code order wins)."""
     docs = _t(spark, sf_dir, "documents")
-    return docs.select("doc_id", TX.lang_id(F.col("text")).alias("lang_guess"))
+    staged = docs.withColumn("_tkl", TX.tokens(F.lower(F.col("text"))))
+
+    def _hits(sw):
+        return lambda x: x.isin(*sw)
+
+    scores = [
+        (lang, F.size(F.filter(F.col("_tkl"), _hits(sw))))
+        for lang, sw in sorted(TX.STOPWORDS.items())
+    ]
+    expr, best = F.lit(scores[0][0]), scores[0][1]
+    for lang, score in scores[1:]:
+        expr = F.when(score > best, F.lit(lang)).otherwise(expr)
+        best = F.greatest(score, best)
+    return staged.select(
+        "doc_id", F.when(best > 0, expr).otherwise(F.lit("und")).alias("lang_guess")
+    )
 
 
 def _sql_lang_id() -> str:
@@ -1042,7 +1068,23 @@ def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Composite quality heuristic — per-row arithmetic in a fixed order
     so the double is bit-identical to the oracle."""
     docs = _t(spark, sf_dir, "documents")
-    return docs.select("doc_id", TX.quality_score(F.col("text")).alias("quality"))
+    staged = docs.withColumn("_tk", TX.tokens(F.col("text")))
+    tk = F.col("_tk")
+    n = F.size(tk)
+    tc = n.cast("double")
+    len_score = F.least(tc / 100.0, F.lit(1.0))
+    total_len = F.aggregate(tk, F.lit(0), lambda acc, x: acc + F.length(x))
+    mwl = F.when(n > 0, total_len.cast("double") / n).otherwise(0.0)
+    wl_score = F.when((mwl >= 3.0) & (mwl <= 10.0), 1.0).otherwise(0.0)
+    sw = TX.DEFAULT_STOPWORDS
+    hits = F.size(F.filter(F.transform(tk, F.lower), lambda x: x.isin(*sw)))
+    swr = F.when(n > 0, hits.cast("double") / n).otherwise(0.0)
+    sw_score = F.least(swr * 5.0, F.lit(1.0))
+    punct = F.length(F.regexp_replace(F.col("text"), "[A-Za-z0-9\\s]", ""))
+    pr = F.when(F.length("text") > 0, punct.cast("double") / F.length("text")).otherwise(0.0)
+    punct_score = F.lit(1.0) - F.least(pr * 4.0, F.lit(1.0))
+    quality = 0.3 * len_score + 0.2 * wl_score + 0.3 * sw_score + 0.2 * punct_score
+    return staged.select("doc_id", quality.alias("quality"))
 
 
 SQL_QUALITY = """
