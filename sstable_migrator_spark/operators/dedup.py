@@ -252,6 +252,71 @@ def simhash(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id", bit
     return staged.select(F.col(id_col), value.cast("long").alias("simhash"))
 
 
+def simhash_near_dup_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bits: int = 16,
+    bands: int = 4,
+    max_hamming: int = 3,
+) -> DataFrame:
+    """SimHash near-dup pairs with hamming distance <= ``max_hamming``.
+
+    Scale path: the b-bit fingerprint is split into ``bands`` equal
+    slices; by pigeonhole, any pair within hamming ``bands - 1`` shares
+    at least one identical slice, so a shuffle on (band, slice_value)
+    followed by a within-bucket self-join finds EVERY qualifying pair —
+    exact, not probabilistic — while only fingerprint rows (one long per
+    doc) ever shuffle. Requires ``max_hamming < bands``.
+
+    Returns (id_a, id_b, hamming) with id_a < id_b.
+    """
+    if bits % bands != 0:
+        raise ValueError("bits must divide evenly into bands")
+    if max_hamming >= bands:
+        raise ValueError("band join is only complete for max_hamming < bands")
+    width = bits // bands
+    mask = (1 << width) - 1
+    sh = simhash(docs, text_col, id_col, bits)
+    banded = sh.select(
+        F.col(id_col),
+        F.col("simhash"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.shiftright("simhash", b * width).bitwiseAND(F.lit(mask)).alias("val"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select(id_col, "simhash", "bb.band", "bb.val")
+    a, b = banded.alias("a"), banded.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.val") == F.col("b.val"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.col("a.simhash").alias("sh_a"),
+            F.col("b.simhash").alias("sh_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    ham = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))).cast("int")
+    return (
+        pairs.withColumn("hamming", ham)
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )
+
+
 def embedding_near_dup_pairs(
     embeddings: DataFrame,
     vec_col: str = "embedding",

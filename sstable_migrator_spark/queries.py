@@ -1294,3 +1294,439 @@ ORACLES.update(
         "q61_sessionize": SQL_SESSIONIZE,
     }
 )
+
+
+# ---------------------------------------------------------------------------
+# Batch 3 — cname cleaner, LSH candidate pairs, backfills, ip blocks,
+# simhash pairs, rolling fingerprints, window dedup, ANN-LSH, multimodal,
+# JSON props
+# ---------------------------------------------------------------------------
+
+
+def _synth_cname_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV wire lines for the -cname cleaner (clean_cname.go:9-31):
+    valid triple / EL arity / ED invalid / trailing-dot FQDNs."""
+    cust = _t(spark, sf_dir, "customer")
+    k = F.col("c_custkey")
+    tgt = F.concat(
+        F.lit("cdn"), (k % 13).cast("string"), F.lit(".edge."),
+        F.when(k % 3 == 0, "com").when(k % 3 == 1, "net").otherwise("io"),
+    )
+    apex = F.concat(F.lit("site"), (k % 89).cast("string"), F.lit(".example.com"))
+    dom = F.concat(F.lit("w"), (k % 53).cast("string"), F.lit("."), apex)
+    line = (
+        F.when(k % 9 == 0, F.lit("a,b"))
+        .when(k % 9 == 1, F.concat_ws(",", tgt, F.lit("bad..apex"), dom))
+        .when(
+            k % 9 == 2,
+            F.concat_ws(",", F.concat(tgt, F.lit(".")), apex, F.concat(dom, F.lit("."))),
+        )
+        .otherwise(F.concat_ws(",", tgt, apex, dom))
+    )
+    return cust.select(line.alias("value"))
+
+
+SQL_CNAME_LINES_CTE = """
+cname_raw AS (
+  SELECT c_custkey,
+         'cdn' || CAST(c_custkey % 13 AS VARCHAR) || '.edge.' ||
+           (CASE CAST(c_custkey % 3 AS INT) WHEN 0 THEN 'com' WHEN 1 THEN 'net' ELSE 'io' END) AS tgt,
+         'site' || CAST(c_custkey % 89 AS VARCHAR) || '.example.com' AS apex,
+         'w' || CAST(c_custkey % 53 AS VARCHAR) || '.site' ||
+           CAST(c_custkey % 89 AS VARCHAR) || '.example.com' AS dom
+  FROM customer),
+cname_lines AS (
+  SELECT CASE
+           WHEN c_custkey % 9 = 0 THEN 'a,b'
+           WHEN c_custkey % 9 = 1 THEN tgt || ',bad..apex,' || dom
+           WHEN c_custkey % 9 = 2 THEN tgt || '.,' || apex || ',' || dom || '.'
+           ELSE tgt || ',' || apex || ',' || dom
+         END AS value
+  FROM cname_raw),
+cname_split AS (
+  SELECT value, len(string_split(value, ',')) AS arity,
+         string_split(value, ',')[1] AS f0,
+         string_split(value, ',')[2] AS f1,
+         string_split(value, ',')[3] AS f2
+  FROM cname_lines)
+"""
+
+
+def q_clean_cname(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§3.2 cleaner parity, third format: -cname validates all three
+    domains (stripDot, no cleanup) and emits ``target,domain``."""
+    from sstable_migrator_spark.operators.clean import clean_cname
+
+    return clean_cname(_synth_cname_lines(spark, sf_dir))
+
+
+def _sql_clean_cname() -> str:
+    ok = f"({_sql_valid('f0')} AND {_sql_valid('f1')} AND {_sql_valid('f2')})"
+    return f"""
+WITH {SQL_CNAME_LINES_CTE.strip()}
+SELECT value,
+       CASE WHEN arity != 3 THEN 'EL'
+            WHEN NOT {ok} THEN 'ED' END AS error_code,
+       CASE WHEN arity = 3 AND {ok}
+            THEN {_sql_strip('f0')} || ',' || {_sql_strip('f2')} END AS output
+FROM cname_split
+"""
+
+
+def _synth_near_dup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents subset + perturbed copies (one appended phrase): the
+    corpus has no natural near-dups, so near-dup operators are exercised
+    against planted ones with known ids (dup of doc d is d + 1000)."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    base = docs.filter(F.col("doc_id") < 80)
+    dups = docs.filter(F.col("doc_id") < 40).select(
+        (F.col("doc_id") + 1000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" extra trailing token")).alias("text"),
+    )
+    return base.unionByName(dups)
+
+
+SQL_ND_DOCS_CTE = """
+nd_docs AS (
+  SELECT doc_id, text FROM documents WHERE doc_id < 80
+  UNION ALL
+  SELECT doc_id + 1000 AS doc_id, text || ' extra trailing token' AS text
+  FROM documents WHERE doc_id < 40)
+"""
+
+
+def _sql_grams_over(relation: str) -> str:
+    """Word-3-shingle CTE body over an arbitrary (doc_id, text) relation
+    — mirrors functions.text.shingles exactly (see SQL_GRAMS_CTE)."""
+    return f"""
+grams AS (
+  SELECT doc_id,
+         list_distinct(list_transform(
+           generate_series(1, greatest(nt - 2, 1)),
+           i -> array_to_string(toks[i:least(i + 2, nt)], ' '))) AS g
+  FROM (SELECT doc_id, toks, len(toks) AS nt
+        FROM (SELECT doc_id, string_split({SQL_NORM}, ' ') AS toks
+              FROM {relation})))
+"""
+
+
+def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup candidate pairs (signatures -> band buckets
+    -> bucket self-join -> signature-estimated Jaccard >= 0.5). Only
+    banded signature rows shuffle; text never does."""
+    docs = _synth_near_dup_docs(spark, sf_dir)
+    return dedup.minhash_lsh_pairs(
+        docs, num_hashes=16, bands=4, jaccard_threshold=0.5
+    )
+
+
+def _sql_minhash_lsh() -> str:
+    hashes = ", ".join(
+        "list_min(list_transform(g, s -> CAST(concat('0x', substr(md5('"
+        + f"{seed}|' || s), 1, 15)) AS BIGINT))) AS h{seed}"
+        for seed in range(16)
+    )
+    band_rows = " UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band, md5("
+        + " || ',' || ".join(f"CAST(h{b * 4 + i} AS VARCHAR)" for i in range(4))
+        + ") AS bucket FROM sigs"
+        for b in range(4)
+    )
+    matches = " + ".join(f"(CASE WHEN sa.h{i} = sb.h{i} THEN 1 ELSE 0 END)" for i in range(16))
+    return f"""
+WITH {SQL_ND_DOCS_CTE.strip()},
+{_sql_grams_over('nd_docs').strip()},
+sigs AS (SELECT doc_id, {hashes} FROM grams),
+banded AS ({band_rows}),
+pairs AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+          FROM banded a JOIN banded b
+          ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id)
+SELECT id_a, id_b, est_jaccard FROM (
+  SELECT id_a, id_b, CAST({matches} AS DOUBLE) / 16.0 AS est_jaccard
+  FROM pairs
+  JOIN sigs sa ON sa.doc_id = pairs.id_a
+  JOIN sigs sb ON sb.doc_id = pairs.id_b)
+WHERE est_jaccard >= 0.5
+"""
+
+
+def q_backfill_derived(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q3 — ClickHouse derived-column backfill
+    (clickhouse_queries.md:21-33): naive 2-label apex + tld attached to
+    every row (the ALTER TABLE UPDATE as a withColumn + overwrite)."""
+    d = synth_domains(spark, sf_dir)
+    parts = F.split(F.lower(F.col("domain")), "\\.")
+    return d.select(
+        "id",
+        "domain",
+        apex_domain_naive(F.col("domain")).alias("apexdomain"),
+        F.element_at(parts, -1).alias("tld"),
+    )
+
+
+SQL_BACKFILL_DERIVED = f"""
+WITH {SQL_DOMAINS_CTE.strip()}
+SELECT id, domain,
+       array_to_string(list_slice(string_split(lower(domain), '.'), -2, -1), '.') AS apexdomain,
+       string_split(lower(domain), '.')[-1] AS tld
+FROM domains
+"""
+
+
+def q_ip_blocks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F6 — getIPBlock (App.java:673-699): /8 /16 /24 network addresses
+    plus the int64 form used by range joins. Pure expression."""
+    ips = synth_ips(spark, sf_dir)
+    c = F.col("ip")
+    return ips.select(
+        "c_custkey",
+        "ip",
+        ip_block(c, 8).alias("ip8"),
+        ip_block(c, 16).alias("ip16"),
+        ip_block(c, 24).alias("ip24"),
+        ip_int(c).alias("ip_num"),
+    )
+
+
+SQL_IP_BLOCKS = f"""
+WITH {SQL_IPS_CTE.strip()}
+SELECT c_custkey, ip,
+       o1 || '.0.0.0' AS ip8,
+       o1 || '.' || o2 || '.0.0' AS ip16,
+       o1 || '.' || o2 || '.' || o3 || '.0' AS ip24,
+       ip_int_ AS ip_num
+FROM (SELECT c_custkey, ip, ip_int_,
+             string_split(ip, '.')[1] AS o1,
+             string_split(ip, '.')[2] AS o2,
+             string_split(ip, '.')[3] AS o3
+      FROM ips)
+"""
+
+
+def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs, hamming <= 3 over 16-bit fingerprints.
+    Banded self-join (pigeonhole-complete for hamming < bands) — only
+    fingerprints shuffle."""
+    docs = _t(spark, sf_dir, "documents")
+    return dedup.simhash_near_dup_pairs(docs, bits=16, bands=4, max_hamming=3)
+
+
+def _sql_simhash_pairs() -> str:
+    votes = ", ".join(
+        f"COALESCE(list_sum(list_transform(tk, t -> CASE WHEN substr(md5(t), {i + 1}, 1) IN {_HEXHI} THEN 1 ELSE -1 END)), 0) AS s_{i}"
+        for i in range(16)
+    )
+    value = " + ".join(f"(CASE WHEN s_{i} > 0 THEN {1 << i} ELSE 0 END)" for i in range(16))
+    return f"""
+WITH norm AS (
+  SELECT doc_id,
+         CASE WHEN length({SQL_NORM}) = 0 THEN []
+              ELSE regexp_split_to_array({SQL_NORM}, '\\s+') END AS tk
+  FROM documents),
+votes AS (SELECT doc_id, {votes} FROM norm),
+sh AS (SELECT doc_id, CAST({value} AS BIGINT) AS simhash FROM votes)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+"""
+
+
+def q_winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling-hash document fingerprint (winnowing-lite): min/max of
+    the 60-bit hashes of all char-4-grams of the normalized text, plus
+    the distinct-gram count. Substring windows = Rabin-Karp rolling
+    windows; the min is the winnow fingerprint with window = document."""
+    docs = _t(spark, sf_dir, "documents")
+    norm = TX.normalize_text(F.col("text"))
+    staged = docs.withColumn(
+        "_grams",
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), F.greatest(F.length(norm) - 3, F.lit(1))),
+                lambda i: F.substring(norm, i, 4),
+            )
+        ),
+    )
+    hashed = F.transform(
+        F.col("_grams"),
+        lambda g: F.conv(F.substring(F.md5(g), 1, 15), 16, 10).cast("long"),
+    )
+    return staged.select(
+        "doc_id",
+        F.array_min(hashed).alias("fp_min"),
+        F.array_max(hashed).alias("fp_max"),
+        F.size(F.col("_grams")).alias("n_grams"),
+    )
+
+
+SQL_WINNOW = f"""
+WITH grams AS (
+  SELECT doc_id,
+         list_distinct(list_transform(
+           generate_series(1, greatest(length(t) - 3, 1)),
+           i -> substr(t, i, 4))) AS g
+  FROM (SELECT doc_id, {SQL_NORM} AS t FROM documents)),
+hashed AS (
+  SELECT doc_id,
+         list_transform(g, x -> CAST(concat('0x', substr(md5(x), 1, 15)) AS BIGINT)) AS h,
+         len(g) AS n_grams
+  FROM grams)
+SELECT doc_id, list_min(h) AS fp_min, list_max(h) AS fp_max,
+       CAST(n_grams AS INT) AS n_grams
+FROM hashed
+"""
+
+
+def q_window_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J4/T2 — rolling-window dedup: keys first seen 'today'
+    (2024-01-30) that did not appear in the trailing history window
+    (the reference's 25-day ``comm -23`` loop as ONE date-pruned
+    left-anti join; window shortened to the dataset's span)."""
+    ev = _t(spark, sf_dir, "events")
+    d = F.to_date("ts")
+    key = [F.col("user_id"), F.col("event_type")]
+    today = ev.filter(d == F.lit("2024-01-30").cast("date")).select(*key).distinct()
+    hist = ev.filter(
+        (d >= F.lit("2024-01-27").cast("date")) & (d <= F.lit("2024-01-29").cast("date"))
+    ).select(*key)
+    return today.join(hist, ["user_id", "event_type"], "left_anti")
+
+
+SQL_WINDOW_DEDUP = """
+SELECT DISTINCT user_id, event_type
+FROM events WHERE CAST(ts AS DATE) = DATE '2024-01-30'
+EXCEPT
+SELECT DISTINCT user_id, event_type
+FROM events WHERE CAST(ts AS DATE) BETWEEN DATE '2024-01-27' AND DATE '2024-01-29'
+"""
+
+
+ANN_PLANES = simsearch.make_hyperplanes(dim=64, bits=8, seed=7)
+
+
+def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN scale path: random-hyperplane (cosine) LSH. Corpus gets an
+    8-bit signature (pure expression, map-only); queries probe only
+    their own bucket; candidates scored exactly. Same output shape as
+    the brute-force baseline, recall < 1 by construction."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    return simsearch.lsh_topk(emb, queries, ANN_PLANES, k=10)
+
+
+def _sql_ann_lsh() -> str:
+    def bucket(v: str) -> str:
+        bits = " + ".join(
+            f"(CASE WHEN list_dot_product({v}, ["
+            + ", ".join(repr(x) for x in plane)
+            + f"]) >= 0 THEN {1 << i} ELSE 0 END)"
+            for i, plane in enumerate(ANN_PLANES)
+        )
+        return f"({bits})"
+
+    return f"""
+WITH c AS (SELECT vec_id, v, {bucket('v')} AS bkt
+           FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)),
+     q AS (SELECT vec_id AS query_id, qv, {bucket('qv')} AS bkt
+           FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS qv
+                 FROM embeddings WHERE vec_id < 8))
+SELECT query_id, neighbor_id, cosine, CAST(rank AS INT) AS rank FROM (
+  SELECT q.query_id, c.vec_id AS neighbor_id,
+         {_SQL_COS.format(a='c.v', b='q.qv')} AS cosine,
+         row_number() OVER (PARTITION BY q.query_id
+                            ORDER BY {_SQL_COS.format(a='c.v', b='q.qv')} DESC,
+                                     c.vec_id ASC) AS rank
+  FROM c JOIN q ON c.bkt = q.bkt)
+WHERE rank <= 10
+"""
+
+
+def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing as a catalog query: documents.text re-encoded
+    as opaque binary payloads with typed metadata, pushed through the
+    Arrow-batched mapInPandas feature extractor (decode step stubbed
+    with the deterministic fake; operators/multimodal.py). The oracle
+    checks the content hash + byte length of every payload."""
+    from sstable_migrator_spark.operators import multimodal
+
+    docs = _t(spark, sf_dir, "documents")
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.when(F.col("doc_id") % 3 == 0, "image")
+        .when(F.col("doc_id") % 3 == 1, "audio")
+        .otherwise("video")
+        .alias("kind"),
+        F.encode(F.col("text"), "UTF-8").alias("payload"),
+        F.struct(
+            F.lit(64).alias("width"),
+            F.lit(48).alias("height"),
+            F.lit(0).alias("duration_ms"),
+            F.lit("fake").alias("codec"),
+        ).alias("meta"),
+    )
+    feats = multimodal.decode_features(media, dim=8)
+    return feats.select("media_id", "kind", "payload_sha256", "payload_bytes")
+
+
+SQL_MEDIA_FEATURES = """
+SELECT doc_id AS media_id,
+       CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+            ELSE 'video' END AS kind,
+       sha256(text) AS payload_sha256,
+       CAST(strlen(text) AS INT) AS payload_bytes
+FROM documents
+"""
+
+
+def q_props_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F12-analog for modern metadata: JSON property extraction from the
+    events.props column + group rollup (get_json_object stays JVM-side;
+    no Python in the path)."""
+    ev = _t(spark, sf_dir, "events")
+    k = F.get_json_object(F.col("props"), "$.k").cast("int")
+    return (
+        ev.select(F.col("event_type"), k.alias("k"))
+        .groupBy("event_type", "k")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+SQL_PROPS_EXTRACT = """
+SELECT event_type, CAST(json_extract(props, '$.k') AS INT) AS k,
+       CAST(count(*) AS BIGINT) AS n
+FROM events GROUP BY 1, 2
+"""
+
+
+QUERIES.update(
+    {
+        "q34_clean_cname": q_clean_cname,
+        "q43_minhash_lsh_pairs": q_minhash_lsh_pairs,
+        "q50_backfill_derived": q_backfill_derived,
+        "q51_ip_blocks": q_ip_blocks,
+        "q52_simhash_pairs": q_simhash_pairs,
+        "q53_winnow_fingerprint": q_winnow_fingerprint,
+        "q54_window_dedup": q_window_dedup,
+        "q55_ann_lsh": q_ann_lsh,
+        "q56_media_features": q_media_features,
+        "q62_props_extract": q_props_extract,
+    }
+)
+
+ORACLES.update(
+    {
+        "q34_clean_cname": _sql_clean_cname(),
+        "q43_minhash_lsh_pairs": _sql_minhash_lsh(),
+        "q50_backfill_derived": SQL_BACKFILL_DERIVED,
+        "q51_ip_blocks": SQL_IP_BLOCKS,
+        "q52_simhash_pairs": _sql_simhash_pairs(),
+        "q53_winnow_fingerprint": SQL_WINNOW,
+        "q54_window_dedup": SQL_WINDOW_DEDUP,
+        "q55_ann_lsh": _sql_ann_lsh(),
+        "q56_media_features": SQL_MEDIA_FEATURES,
+        "q62_props_extract": SQL_PROPS_EXTRACT,
+    }
+)

@@ -82,3 +82,36 @@ def test_embedding_near_dup(spark):
     pairs = {(r["id_a"], r["id_b"]) for r in
              embedding_near_dup_pairs(df, threshold=0.95).collect()}
     assert pairs == {(0, 1)}
+
+
+def test_simhash_near_dup_pairs_complete(spark):
+    """Banded join must find EVERY pair within max_hamming (pigeonhole
+    completeness) — compare against a brute-force cross join."""
+    from itertools import combinations
+
+    from sstable_migrator_spark.operators.dedup import simhash_near_dup_pairs
+
+    docs = _docs(spark)
+    sh = {r["doc_id"]: r["simhash"] for r in simhash(docs, bits=16).collect()}
+    brute = {
+        (a, b, bin(sh[a] ^ sh[b]).count("1"))
+        for a, b in combinations(sorted(sh), 2)
+        if bin(sh[a] ^ sh[b]).count("1") <= 3
+    }
+    banded = {
+        (r["id_a"], r["id_b"], r["hamming"])
+        for r in simhash_near_dup_pairs(docs, bits=16, bands=4, max_hamming=3).collect()
+    }
+    assert banded == brute
+    assert (0, 1, 0) in banded  # exact dup -> identical fingerprint
+
+
+def test_simhash_near_dup_pairs_guards(spark):
+    import pytest
+
+    from sstable_migrator_spark.operators.dedup import simhash_near_dup_pairs
+
+    with pytest.raises(ValueError):
+        simhash_near_dup_pairs(_docs(spark), bits=16, bands=4, max_hamming=4)
+    with pytest.raises(ValueError):
+        simhash_near_dup_pairs(_docs(spark), bits=16, bands=5)
