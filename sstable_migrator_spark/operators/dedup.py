@@ -155,20 +155,28 @@ def minhash_lsh_pairs(
 
     a = banded.alias("a")
     b = banded.alias("b")
-    pairs = (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bucket") == F.col("b.bucket"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
-        )
-        .select(
-            F.col(f"a.{id_col}").alias("id_a"),
-            F.col(f"b.{id_col}").alias("id_b"),
-            F.col("a.signature").alias("sig_a"),
-            F.col("b.signature").alias("sig_b"),
-        )
-        .dropDuplicates(["id_a", "id_b"])
+    joined = a.join(
+        b,
+        (F.col("a.band") == F.col("b.band"))
+        & (F.col("a.bucket") == F.col("b.bucket"))
+        & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+    )
+    # Keep each colliding pair only at its FIRST matching band (slice
+    # comparison on the carried signatures) instead of paying a
+    # dropDuplicates shuffle over the candidate set.
+    def _slice_match(bi: int):
+        sa = F.slice(F.col("a.signature"), bi * rows_per_band + 1, rows_per_band)
+        sb = F.slice(F.col("b.signature"), bi * rows_per_band + 1, rows_per_band)
+        return sa == sb
+
+    first_band = F.lit(bands - 1)
+    for bi in range(bands - 2, -1, -1):
+        first_band = F.when(_slice_match(bi), F.lit(bi)).otherwise(first_band)
+    pairs = joined.filter(F.col("a.band") == first_band).select(
+        F.col(f"a.{id_col}").alias("id_a"),
+        F.col(f"b.{id_col}").alias("id_b"),
+        F.col("a.signature").alias("sig_a"),
+        F.col("b.signature").alias("sig_b"),
     )
     est = (
         F.size(
@@ -294,26 +302,26 @@ def simhash_near_dup_pairs(
         ).alias("bb"),
     ).select(id_col, "simhash", "bb.band", "bb.val")
     a, b = banded.alias("a"), banded.alias("b")
-    pairs = (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.val") == F.col("b.val"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
-        )
-        .select(
-            F.col(f"a.{id_col}").alias("id_a"),
-            F.col(f"b.{id_col}").alias("id_b"),
-            F.col("a.simhash").alias("sh_a"),
-            F.col("b.simhash").alias("sh_b"),
-        )
-        .dropDuplicates(["id_a", "id_b"])
+    joined = a.join(
+        b,
+        (F.col("a.band") == F.col("b.band"))
+        & (F.col("a.val") == F.col("b.val"))
+        & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
     )
-    ham = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))).cast("int")
-    return (
-        pairs.withColumn("hamming", ham)
-        .filter(F.col("hamming") <= max_hamming)
-        .select("id_a", "id_b", "hamming")
+    # A pair collides in up to `bands` buckets; instead of a
+    # dropDuplicates shuffle over the (large) candidate set, keep each
+    # pair only at its FIRST matching band — pure bit arithmetic on the
+    # xor of the two fingerprints, no extra exchange.
+    xor = F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+    first_band = F.lit(bands - 1)
+    for bi in range(bands - 2, -1, -1):
+        slice_match = F.shiftright(xor, bi * width).bitwiseAND(F.lit(mask)) == 0
+        first_band = F.when(slice_match, F.lit(bi)).otherwise(first_band)
+    ham = F.bit_count(xor).cast("int")
+    return joined.filter((F.col("a.band") == first_band) & (ham <= max_hamming)).select(
+        F.col(f"a.{id_col}").alias("id_a"),
+        F.col(f"b.{id_col}").alias("id_b"),
+        ham.alias("hamming"),
     )
 
 

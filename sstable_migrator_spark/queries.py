@@ -1548,14 +1548,19 @@ def q_winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ),
     )
-    hashed = F.transform(
-        F.col("_grams"),
-        lambda g: F.conv(F.substring(F.md5(g), 1, 15), 16, 10).cast("long"),
+    # Stage the hashed array ONCE: array_min and array_max would each
+    # re-evaluate an inlined transform (2x the md5/conv work per row).
+    hashed = staged.withColumn(
+        "_h",
+        F.transform(
+            F.col("_grams"),
+            lambda g: F.conv(F.substring(F.md5(g), 1, 15), 16, 10).cast("long"),
+        ),
     )
-    return staged.select(
+    return hashed.select(
         "doc_id",
-        F.array_min(hashed).alias("fp_min"),
-        F.array_max(hashed).alias("fp_max"),
+        F.array_min(F.col("_h")).alias("fp_min"),
+        F.array_max(F.col("_h")).alias("fp_max"),
         F.size(F.col("_grams")).alias("n_grams"),
     )
 
