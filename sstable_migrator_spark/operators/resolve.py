@@ -1,0 +1,87 @@
+"""T4 — the external DNS-resolution boundary (SURVEY §2.9).
+
+The reference shells out to puredns/massdns with ``--rate-limit 1000``
+(daily_certstream_download.sh:107-108) between the prepare and upload
+jobs. That is an out-of-engine network stage; here it is a pluggable
+Arrow-batched ``mapInPandas`` operator:
+
+- the *plumbing* is real — batch shape, rate limiting, output wire
+  schema (``domain,record_type,ip`` massdns triples, App.java:343-353);
+- the *resolver* is injectable; the default is a deterministic fake
+  (md5-derived answers incl. NXDOMAIN and CNAME cases) because this
+  container has no DNS egress. A real deployment passes a resolver
+  callable backed by an async DNS client.
+
+Rate limiting happens per executor slot: each task meters its own
+lookups to ``rate_limit_qps / parallelism`` so the aggregate respects
+the cap — the Spark analog of massdns' single-process limiter.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import time
+from collections.abc import Callable, Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import types as T
+
+RESOLVED_SCHEMA = T.StructType(
+    [
+        T.StructField("domain", T.StringType()),
+        T.StructField("record_type", T.StringType()),
+        T.StructField("ip", T.StringType()),
+    ]
+)
+
+
+def fake_resolver(domain: str) -> tuple[str, str] | None:
+    """Deterministic stand-in for a DNS lookup: ~1/16 NXDOMAIN, ~1/16
+    CNAME, else an A record with md5-derived octets."""
+    h = hashlib.md5(domain.encode("utf-8", "surrogatepass")).digest()
+    if h[0] % 16 == 0:
+        return None  # NXDOMAIN
+    if h[0] % 16 == 1:
+        return ("CNAME", f"cdn{h[1] % 10}.edge.example.com")
+    return ("A", f"{h[1] % 223 + 1}.{h[2]}.{h[3]}.{h[4]}")
+
+
+def resolve_domains(
+    domains: DataFrame,
+    domain_col: str = "domain",
+    resolver: Callable[[str], tuple[str, str] | None] | None = None,
+    rate_limit_qps: float | None = None,
+    parallelism: int | None = None,
+) -> DataFrame:
+    """Resolve a domain list into massdns-style triples; NXDOMAIN rows
+    are dropped (massdns simply emits nothing for them).
+
+    ``rate_limit_qps`` is the *aggregate* cap; each task self-limits to
+    its share. None disables metering (tests, offline fakes).
+    """
+    fn = resolver or fake_resolver
+    n_slots = parallelism or domains.sparkSession.sparkContext.defaultParallelism
+    per_task_qps = (rate_limit_qps / max(n_slots, 1)) if rate_limit_qps else None
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        interval = (1.0 / per_task_qps) if per_task_qps else 0.0
+        next_ok = time.monotonic()
+        for pdf in batches:
+            out = {"domain": [], "record_type": [], "ip": []}
+            for d in pdf[domain_col]:
+                if interval:
+                    now = time.monotonic()
+                    if now < next_ok:
+                        time.sleep(next_ok - now)
+                    next_ok = max(next_ok, now) + interval
+                ans = fn(d)
+                if ans is None:
+                    continue
+                rt, ip = ans
+                out["domain"].append(d)
+                out["record_type"].append(rt)
+                out["ip"].append(ip)
+            yield pd.DataFrame(out, columns=["domain", "record_type", "ip"])
+
+    return domains.select(domain_col).mapInPandas(op, RESOLVED_SCHEMA)

@@ -1,0 +1,4 @@
+from sstable_migrator_spark.pipelines.daily import (  # noqa: F401
+    daily_prepare_job,
+    daily_upload_job,
+)

@@ -66,3 +66,31 @@ def load_tables(spark: SparkSession, sf_dir: str, names: list[str] | None = None
         "orders", "lineitem", "events", "documents", "embeddings",
     ]
     return {n: read_parquet_table(spark, sf_dir, n) for n in names}
+
+
+def stage_url(urls: list[str] | str, dest_path: str, retries: int = 2, timeout: int = 60) -> str:
+    """S4/S5/S7 — driver-side fetch-to-staging with mirror failover.
+
+    The reference wgets daily dumps with a cs1 -> cs2 mirror fallback
+    (daily_all_upload.sh:28-31) and ClickHouse ingests straight from a
+    URL (clickhouse_queries.md:15-18). Spark has no OSS URL datasource,
+    so ingestion wrappers stage the payload locally (Spark then reads
+    ``.gz`` natively; 7z must be re-archived first) and read the staged
+    file. Tries every mirror per attempt round, ``retries`` rounds.
+    """
+    import shutil
+    import urllib.request
+
+    mirror_list = [urls] if isinstance(urls, str) else list(urls)
+    errors: list[str] = []
+    for _ in range(max(retries, 1)):
+        for url in mirror_list:
+            try:
+                with urllib.request.urlopen(url, timeout=timeout) as resp, open(
+                    dest_path, "wb"
+                ) as out:
+                    shutil.copyfileobj(resp, out)
+                return dest_path
+            except Exception as e:  # noqa: BLE001 — collect and fail over
+                errors.append(f"{url}: {e!r}")
+    raise OSError(f"all mirrors failed after {retries} rounds: {errors}")
