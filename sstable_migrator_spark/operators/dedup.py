@@ -356,3 +356,74 @@ def embedding_near_dup_pairs(
         )
         .filter(F.col("cosine") >= threshold)
     )
+
+
+def duplicate_clusters(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iters: int = 25,
+) -> DataFrame:
+    """Resolve near-dup PAIRS into duplicate CLUSTERS (connected
+    components): every doc in a component gets ``cluster_id`` = the
+    minimum doc id reachable through the pair graph, plus an
+    ``is_canonical`` keep/drop flag (the survivor is the min id).
+
+    This is the step a real training-data dedup pipeline needs after
+    LSH/simhash pair generation — pairs alone over-delete (A~B, B~C
+    must keep exactly one of {A,B,C}, not zero).
+
+    Algorithm: min-label propagation with pointer jumping
+    (label <- min(label, min neighbor label, label[label])), which
+    converges in O(log diameter) rounds; each round is one shuffle on
+    node id over the PAIR GRAPH ONLY (never the documents). Rounds are
+    localCheckpoint()ed so iterative lineage doesn't grow. At 100 TB the
+    same loop holds because near-dup graphs are sparse (|edges| ~
+    |dups|); for adversarial dense graphs swap in large-star/small-star
+    (Kiveris et al., "Connected Components in MapReduce").
+    """
+    e = pairs.select(
+        F.col(id_a).cast("long").alias("src"), F.col(id_b).cast("long").alias("dst")
+    )
+    edges = (
+        e.union(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        .distinct()
+        .localCheckpoint()
+    )
+    labels = (
+        edges.groupBy("src")
+        .agg(F.min("dst").alias("m"))
+        .select(F.col("src").alias("node"), F.least("src", "m").alias("label"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iters):
+        nbr = (
+            edges.join(labels, edges.src == labels.node)
+            .select(F.col("dst").alias("node"), "label")
+            .groupBy("node")
+            .agg(F.min("label").alias("nl"))
+        )
+        stepped = labels.join(nbr, "node", "left").select(
+            "node", F.least("label", F.coalesce("nl", F.col("label"))).alias("label")
+        )
+        # pointer jump: label <- label(label)
+        ptr = stepped.select(F.col("node").alias("pn"), F.col("label").alias("pl"))
+        jumped = (
+            stepped.join(ptr, stepped.label == ptr.pn, "left")
+            .select("node", F.least("label", F.coalesce("pl", F.col("label"))).alias("label"))
+            .localCheckpoint()
+        )
+        changed = (
+            jumped.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels = jumped
+        if changed == 0:
+            break
+    return labels.select(
+        F.col("node").alias("doc_id"),
+        F.col("label").alias("cluster_id"),
+        (F.col("node") == F.col("label")).alias("is_canonical"),
+    )

@@ -9,6 +9,12 @@
   own bucket (optionally hamming-adjacent buckets); candidates are
   scored exactly. Recall < 1 by construction — the scale path when one
   pass over the corpus per query batch is too much.
+- ``ivf_assign`` + ``ivf_topk``: IVF-flat over fixed centroids. Cell
+  assignment is a MAP-ONLY pass (centroids are broadcast as literal
+  expressions — no shuffle, no window); queries probe their n_probe
+  nearest cells and score only those cells' vectors exactly. At 100 TB
+  the corpus is written ``partitionBy(cell)`` once, so a probe prunes
+  to n_probe/n_cells of the data before any scan.
 """
 
 from __future__ import annotations
@@ -85,6 +91,87 @@ def lsh_topk(
     c = lsh_bucketize(corpus, planes, corpus_vec, "_cb")
     q = lsh_bucketize(queries, planes, query_vec, "_qb")
     scored = c.join(F.broadcast(q), F.col("_cb") == F.col("_qb")).select(
+        F.col(query_id),
+        F.col(corpus_id).alias("neighbor_id"),
+        VX.cosine(F.col(corpus_vec), F.col(query_vec)).alias("cosine"),
+    )
+    w = Window.partitionBy(query_id).orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
+# --- IVF-flat (inverted-file) ANN -----------------------------------------
+
+
+def _lit_vec(v: list[float]):
+    return F.array(*[F.lit(float(x)) for x in v])
+
+
+def _ranked_cells(vec_col, centroids: list[tuple[int, list[float]]]):
+    """array<struct<naff,cell>> sorted best-cell-first: max cosine
+    affinity, ties broken by min cell id (naff = -cosine so the
+    ascending array_sort yields exactly that order). Centroids are
+    literals => whole thing is one codegen'd expression, map-only."""
+    return F.array_sort(
+        F.array(
+            *[
+                F.struct(
+                    (-VX.cosine(vec_col, _lit_vec(cv))).alias("naff"),
+                    F.lit(int(cid)).alias("cell"),
+                )
+                for cid, cv in centroids
+            ]
+        )
+    )
+
+
+def ivf_assign(
+    df: DataFrame,
+    centroids: list[tuple[int, list[float]]],
+    vec_col: str = "embedding",
+    cell_col: str = "cell",
+) -> DataFrame:
+    """Attach each vector's nearest-centroid cell id. Map-only (no
+    shuffle): the scale path writes the result partitionBy(cell) so
+    probes become partition pruning."""
+    ranked = _ranked_cells(F.col(vec_col), centroids)
+    return df.withColumn(cell_col, F.element_at(ranked, 1)["cell"])
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    centroids: list[tuple[int, list[float]]],
+    k: int = 10,
+    n_probe: int = 2,
+    corpus_id: str = "vec_id",
+    corpus_vec: str = "embedding",
+    query_id: str = "query_id",
+    query_vec: str = "query_vec",
+) -> DataFrame:
+    """IVF-flat approximate top-k: each query probes its ``n_probe``
+    nearest cells and scores only vectors assigned there. Same output
+    shape as brute_force_topk (rank within probed candidates). The
+    probe table (|Q| x n_probe rows) is broadcast; the corpus never
+    shuffles."""
+    from pyspark.sql import Window
+
+    c = ivf_assign(corpus, centroids, corpus_vec, "_cell")
+    probes = queries.select(
+        F.col(query_id),
+        F.col(query_vec),
+        F.explode(
+            F.transform(
+                F.slice(_ranked_cells(F.col(query_vec), centroids), 1, n_probe),
+                lambda s: s["cell"],
+            )
+        ).alias("_probe"),
+    )
+    scored = c.join(F.broadcast(probes), F.col("_cell") == F.col("_probe")).select(
         F.col(query_id),
         F.col(corpus_id).alias("neighbor_id"),
         VX.cosine(F.col(corpus_vec), F.col(query_vec)).alias("cosine"),

@@ -1735,3 +1735,103 @@ ORACLES.update(
         "q62_props_extract": SQL_PROPS_EXTRACT,
     }
 )
+
+
+# ---------------------------------------------------------------------------
+# Batch 4 — IVF ANN (the scale-path index), duplicate-cluster resolution
+# (connected components over near-dup pairs)
+# ---------------------------------------------------------------------------
+
+
+def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-flat ANN: 8 seeded centroids (vec_id % 20 == 0, < 160), cell
+    assignment as a map-only literal expression, queries probe their 2
+    nearest cells, exact scoring within probed cells
+    (simsearch.ivf_topk). The collect() below is index *construction*
+    (8 rows), not data movement."""
+    emb = _t(spark, sf_dir, "embeddings")
+    cent_rows = (
+        emb.filter((F.col("vec_id") % 20 == 0) & (F.col("vec_id") < 160))
+        .select("vec_id", "embedding")
+        .orderBy("vec_id")
+        .collect()
+    )
+    centroids = [(int(r["vec_id"]), [float(x) for x in r["embedding"]]) for r in cent_rows]
+    queries = emb.filter((F.col("vec_id") >= 5) & (F.col("vec_id") < 15)).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    return simsearch.ivf_topk(emb, queries, centroids, k=5, n_probe=2)
+
+
+SQL_ANN_IVF = f"""
+WITH c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+cent AS (SELECT vec_id AS cell_id, CAST(embedding AS DOUBLE[]) AS cv
+         FROM embeddings WHERE vec_id % 20 = 0 AND vec_id < 160),
+assign AS (
+  SELECT vec_id, cell_id FROM (
+    SELECT c.vec_id, cent.cell_id,
+           row_number() OVER (PARTITION BY c.vec_id
+                              ORDER BY {_SQL_COS.format(a='c.v', b='cent.cv')} DESC,
+                                       cent.cell_id ASC) AS rn
+    FROM c CROSS JOIN cent) WHERE rn = 1),
+q AS (SELECT vec_id AS query_id, v AS qv FROM c WHERE vec_id >= 5 AND vec_id < 15),
+probes AS (
+  SELECT query_id, cell_id FROM (
+    SELECT q.query_id, cent.cell_id,
+           row_number() OVER (PARTITION BY q.query_id
+                              ORDER BY {_SQL_COS.format(a='q.qv', b='cent.cv')} DESC,
+                                       cent.cell_id ASC) AS rn
+    FROM q CROSS JOIN cent) WHERE rn <= 2)
+SELECT query_id, neighbor_id, cosine, CAST(rank AS INT) AS rank FROM (
+  SELECT p.query_id, a.vec_id AS neighbor_id,
+         {_SQL_COS.format(a='cv2.v', b='qv2.qv')} AS cosine,
+         row_number() OVER (PARTITION BY p.query_id
+                            ORDER BY {_SQL_COS.format(a='cv2.v', b='qv2.qv')} DESC,
+                                     a.vec_id ASC) AS rank
+  FROM probes p
+  JOIN assign a ON a.cell_id = p.cell_id
+  JOIN c cv2 ON cv2.vec_id = a.vec_id
+  JOIN q qv2 ON qv2.query_id = p.query_id)
+WHERE rank <= 5
+"""
+
+
+def q_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup PAIRS -> duplicate CLUSTERS: connected components over
+    the MinHash-LSH pair graph (dedup.duplicate_clusters), cluster_id =
+    min reachable doc id, is_canonical = the keep decision. The oracle
+    is a recursive CTE over the identical pair set."""
+    docs = _synth_near_dup_docs(spark, sf_dir)
+    pairs = dedup.minhash_lsh_pairs(docs, num_hashes=16, bands=4, jaccard_threshold=0.5)
+    return dedup.duplicate_clusters(pairs)
+
+
+def _sql_dup_clusters() -> str:
+    return f"""
+WITH RECURSIVE fpairs AS ({_sql_minhash_lsh()}),
+edges AS (SELECT id_a AS src, id_b AS dst FROM fpairs
+          UNION SELECT id_b, id_a FROM fpairs),
+reach(node, r) AS (
+    SELECT src, src FROM edges
+    UNION
+    SELECT e.src, r2.r FROM edges e JOIN reach r2 ON e.dst = r2.node)
+SELECT CAST(node AS BIGINT) AS doc_id,
+       CAST(MIN(r) AS BIGINT) AS cluster_id,
+       (node = MIN(r)) AS is_canonical
+FROM reach GROUP BY node
+"""
+
+
+QUERIES.update(
+    {
+        "q57_ann_ivf": q_ann_ivf,
+        "q58_dup_clusters": q_dup_clusters,
+    }
+)
+
+ORACLES.update(
+    {
+        "q57_ann_ivf": SQL_ANN_IVF,
+        "q58_dup_clusters": _sql_dup_clusters(),
+    }
+)

@@ -67,3 +67,92 @@ def run_available_now(
     deduped = watermark_dedup(stream, key="domain", ts_col="seen_ts")
     q = write_bronze(deduped, out_path, checkpoint)
     q.awaitTermination()
+
+
+# --- custom stateful operator: session windows with explicit state ---------
+
+SESSION_OUTPUT_SCHEMA = (
+    "user_id long, session_start timestamp, session_end timestamp, n_events int"
+)
+# state keeps the open session as epoch-microsecond bounds + count
+SESSION_STATE_SCHEMA = "start long, end long, n long"
+
+
+def _sessionize_fn(gap_seconds: int):
+    import pandas as pd
+
+    gap_us = gap_seconds * 1_000_000
+
+    def fn(key, pdf_iter, state):
+        (user_id,) = key
+        if state.hasTimedOut:
+            if state.exists:
+                s, e, n = state.get
+                state.remove()
+                yield pd.DataFrame(
+                    {
+                        "user_id": [user_id],
+                        "session_start": [pd.Timestamp(s, unit="us")],
+                        "session_end": [pd.Timestamp(e, unit="us")],
+                        "n_events": [int(n)],
+                    }
+                )
+            return
+        ts: list[int] = []
+        for pdf in pdf_iter:
+            # datetime64[ns] -> int64 ns -> us
+            ts.extend((pdf["ts"].astype("int64") // 1_000).tolist())
+        ts.sort()
+        if state.exists:
+            s, e, n = state.get
+        else:
+            s = e = None
+            n = 0
+        closed = []
+        for t in ts:
+            if s is None:
+                s, e, n = t, t, 1
+            elif t - e <= gap_us:
+                e, n = t, n + 1
+            else:
+                closed.append((user_id, s, e, n))
+                s, e, n = t, t, 1
+        if s is not None:
+            state.update((int(s), int(e), int(n)))
+        if closed:
+            yield pd.DataFrame(
+                {
+                    "user_id": [c[0] for c in closed],
+                    "session_start": [pd.Timestamp(c[1], unit="us") for c in closed],
+                    "session_end": [pd.Timestamp(c[2], unit="us") for c in closed],
+                    "n_events": [int(c[3]) for c in closed],
+                }
+            )
+
+    return fn
+
+
+def stateful_sessionize(
+    events: DataFrame, gap_seconds: int = 1800
+) -> DataFrame:
+    """Custom stateful streaming operator (applyInPandasWithState): per
+    user, an open session lives in explicit state across micro-batches;
+    a session CLOSES (and is emitted) when a later event arrives more
+    than ``gap_seconds`` after it. The in-flight session stays in state
+    until the next batch closes it — standard append-mode session
+    semantics.
+
+    State is one (start, end, n) triple per user — O(active users), not
+    O(events) — so the operator scales to arbitrarily long streams; the
+    shuffle key is user_id (the groupBy), exactly once per batch. Batch
+    twin with identical output: queries.q_sessionize (q61).
+    """
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        _sessionize_fn(gap_seconds),
+        outputStructType=SESSION_OUTPUT_SCHEMA,
+        stateStructType=SESSION_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -115,3 +115,22 @@ def test_simhash_near_dup_pairs_guards(spark):
         simhash_near_dup_pairs(_docs(spark), bits=16, bands=4, max_hamming=4)
     with pytest.raises(ValueError):
         simhash_near_dup_pairs(_docs(spark), bits=16, bands=5)
+
+
+def test_duplicate_clusters_chain_and_islands(spark):
+    """A-B-C chain collapses to min id; disjoint pair keeps its own
+    cluster; transitivity survives a long path (exercises >1 round of
+    label propagation)."""
+    from sstable_migrator_spark.operators.dedup import duplicate_clusters
+
+    chain = [(10, 11), (11, 12), (12, 13), (13, 14), (14, 15), (15, 16)]
+    pairs = [(1, 2), (2, 3), (7, 8)] + chain
+    df = spark.createDataFrame(pairs, "id_a long, id_b long")
+    got = {r["doc_id"]: (r["cluster_id"], r["is_canonical"])
+           for r in duplicate_clusters(df).collect()}
+    assert {d: c for d, (c, _) in got.items()} == {
+        1: 1, 2: 1, 3: 1, 7: 7, 8: 7,
+        **{n: 10 for n in range(10, 17)},
+    }
+    canonical = {d for d, (_, keep) in got.items() if keep}
+    assert canonical == {1, 7, 10}

@@ -56,3 +56,50 @@ def test_lsh_bucketize_and_topk(spark):
     assert out, "query vector must at least find itself in its own bucket"
     best = min(out, key=lambda r: r["rank"])
     assert best["neighbor_id"] == 0 and abs(best["cosine"] - 1.0) < 1e-9
+
+
+def test_ivf_assign_matches_numpy(spark):
+    from sstable_migrator_spark.operators.simsearch import ivf_assign
+
+    corpus, vecs = _corpus(spark)
+    cent_ids = [0, 10, 20, 30]
+    centroids = [(i, vecs[i].tolist()) for i in cent_ids]
+    got = {r["vec_id"]: r["cell"] for r in ivf_assign(corpus, centroids).collect()}
+    norms = np.linalg.norm(vecs, axis=1)
+    for vid in range(len(vecs)):
+        sims = [
+            (vecs[vid] @ vecs[c]) / (norms[vid] * norms[c]) for c in cent_ids
+        ]
+        best = cent_ids[int(np.argmax(sims))]
+        assert got[vid] == best, f"vec {vid}: {got[vid]} != {best}"
+
+
+def test_ivf_full_probe_equals_brute_force(spark):
+    """Probing every cell makes IVF exact — must equal brute force."""
+    from sstable_migrator_spark.operators.simsearch import ivf_topk
+
+    corpus, vecs = _corpus(spark)
+    centroids = [(i, vecs[i].tolist()) for i in (0, 10, 20, 30)]
+    queries = spark.createDataFrame(
+        [(0, vecs[3].tolist()), (1, vecs[42].tolist())],
+        "query_id long, query_vec array<double>",
+    )
+    brute = brute_force_topk(corpus, queries, k=5)
+    ivf = ivf_topk(corpus, queries, centroids, k=5, n_probe=4)
+    b = {(r["query_id"], r["rank"]): r["neighbor_id"] for r in brute.collect()}
+    i = {(r["query_id"], r["rank"]): r["neighbor_id"] for r in ivf.collect()}
+    assert b == i
+
+
+def test_ivf_narrow_probe_finds_self(spark):
+    from sstable_migrator_spark.operators.simsearch import ivf_topk
+
+    corpus, vecs = _corpus(spark)
+    centroids = [(i, vecs[i].tolist()) for i in (0, 10, 20, 30)]
+    queries = spark.createDataFrame(
+        [(7, vecs[7].tolist())], "query_id long, query_vec array<double>"
+    )
+    out = ivf_topk(corpus, queries, centroids, k=3, n_probe=1).collect()
+    assert out, "query's own cell must contain at least itself"
+    best = min(out, key=lambda r: r["rank"])
+    assert best["neighbor_id"] == 7 and abs(best["cosine"] - 1.0) < 1e-9

@@ -34,3 +34,64 @@ def test_available_now_micro_batch(spark, tmp_path):
     got = spark.read.parquet(out_dir)
     doms = [r["domain"] for r in got.collect()]
     assert sorted(doms) == ["dup.example.com", "fresh.example.com", "www.example.com"]
+
+
+def test_stateful_sessionize(spark, tmp_path):
+    """applyInPandasWithState sessionizer: a closed session is emitted as
+    soon as a later event exceeds the gap; the still-open session stays
+    in state (append semantics), then closes on the next batch."""
+    from pyspark.sql import types as T
+
+    from sstable_migrator_spark.streaming.daily import stateful_sessionize
+
+    in_dir = tmp_path / "ev"
+    in_dir.mkdir()
+    out_dir = str(tmp_path / "sessions")
+    ckpt = str(tmp_path / "ckpt")
+    schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType()),
+            T.StructField("ts", T.TimestampType()),
+        ]
+    )
+
+    def run_tick():
+        stream = spark.readStream.schema(schema).csv(str(in_dir) + "/*.csv")
+        q = (
+            stateful_sessionize(stream, gap_seconds=1800)
+            .writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    # user 1: two events 10s apart, then a 2h jump (closes session 1),
+    # then one more event 5s later. user 2: single event.
+    (in_dir / "b1.csv").write_text(
+        "1,2024-01-01 00:00:00\n"
+        "1,2024-01-01 00:00:10\n"
+        "1,2024-01-01 02:00:00\n"
+        "1,2024-01-01 02:00:05\n"
+        "2,2024-01-01 00:00:00\n"
+    )
+    run_tick()
+    got = spark.read.parquet(out_dir).collect()
+    assert len(got) == 1  # only the CLOSED session is emitted
+    r = got[0]
+    assert r["user_id"] == 1 and r["n_events"] == 2
+    assert r["session_start"].isoformat() == "2024-01-01T00:00:00"
+    assert r["session_end"].isoformat() == "2024-01-01T00:00:10"
+
+    # batch 2: an event far past both open sessions closes them
+    (in_dir / "b2.csv").write_text(
+        "1,2024-01-02 00:00:00\n"
+        "2,2024-01-02 00:00:00\n"
+    )
+    run_tick()
+    rows = spark.read.parquet(out_dir).collect()
+    closed = sorted((r["user_id"], r["n_events"]) for r in rows)
+    # session 1 (batch 1) + the two opens closed by batch 2
+    assert closed == [(1, 2), (1, 2), (2, 1)]
