@@ -129,6 +129,12 @@ def minhash_lsh_pairs(
     """
     rows_per_band = num_hashes // bands
     sigs = minhash_signatures(docs, text_col, id_col, num_hashes, shingle_k)
+    # Materialize the (tiny: id + num_hashes longs) signature table
+    # before the self-join: both join sides would otherwise re-execute
+    # the whole shingle+md5 expression tree (sf0.1: ~2x wall). At 100 TB
+    # the signature table is persisted storage reused across runs;
+    # localCheckpoint is the in-session stand-in.
+    sigs = sigs.select(id_col, "signature").localCheckpoint()
     banded = sigs.select(
         F.col(id_col),
         F.col("signature"),
@@ -285,7 +291,10 @@ def simhash_near_dup_pairs(
         raise ValueError("band join is only complete for max_hamming < bands")
     width = bits // bands
     mask = (1 << width) - 1
-    sh = simhash(docs, text_col, id_col, bits)
+    # materialize fingerprints (one long per doc) so the banded
+    # self-join doesn't execute the md5-vote tree twice — see the
+    # matching note in minhash_lsh_pairs
+    sh = simhash(docs, text_col, id_col, bits).localCheckpoint()
     banded = sh.select(
         F.col(id_col),
         F.col("simhash"),

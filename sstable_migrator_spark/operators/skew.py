@@ -1,0 +1,80 @@
+"""Skew-mitigation operators (100 TB scale path).
+
+A hot key (one domain, one user, one LSH bucket holding 1% of 100 TB)
+turns a shuffle into a single straggler task. AQE's skew-join split
+handles sort-merge joins at runtime; these helpers cover the cases AQE
+does not: hot-key *aggregation* fan-in and broadcast-ineligible joins
+where one side must be salted explicitly. All salts are HASH-derived
+(deterministic) so results stay oracle-checkable — never rand().
+
+Reference relevance: the reference's hottest keys are apex domains
+(millions of subdomains under one apex, SURVEY A2) and /8 ip blocks
+(one partition key per /8, SURVEY §1.1) — both are exactly the
+hot-aggregation shape handled here.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def salt_expr(cols: list[str | Column], buckets: int) -> Column:
+    """Deterministic salt in [0, buckets): hash of distinguishing
+    columns (NOT the group key — salt must vary within a group)."""
+    return F.pmod(F.xxhash64(*cols), F.lit(buckets)).cast("int")
+
+
+def salted_count(
+    df: DataFrame, keys: list[str], salt_cols: list[str], buckets: int = 16
+) -> DataFrame:
+    """Two-stage count: groupBy(keys + salt) partial, then combine on
+    keys. Result identical to ``groupBy(keys).count()``; the first
+    shuffle spreads each hot key over ``buckets`` reducers so no task
+    receives a whole hot key. (For plain counts Spark's map-side partial
+    aggregation usually suffices — reach for this when the partial agg
+    is defeated, e.g. high group cardinality per mapper.)"""
+    part = (
+        df.withColumn("_salt", salt_expr(salt_cols, buckets))
+        .groupBy(*keys, "_salt")
+        .agg(F.count(F.lit(1)).alias("_c"))
+    )
+    return part.groupBy(*keys).agg(F.sum("_c").alias("n"))
+
+
+def salted_distinct_count(
+    df: DataFrame, keys: list[str], distinct_col: str
+) -> DataFrame:
+    """Exact COUNT(DISTINCT x) per key without funneling a hot key's
+    whole value set through one reducer: dedup on (key, x) first — that
+    shuffle is spread by x — then count per key. The classic two-phase
+    expansion of count-distinct."""
+    return (
+        df.select(*keys, distinct_col)
+        .dropDuplicates([*keys, distinct_col])
+        .groupBy(*keys)
+        .agg(F.count(F.lit(1)).alias("n_distinct"))
+    )
+
+
+def salted_join(
+    big: DataFrame,
+    small: DataFrame,
+    key: str,
+    salt_cols: list[str],
+    buckets: int = 8,
+    how: str = "inner",
+) -> DataFrame:
+    """Equi-join where ``big`` has hot keys and ``small`` is too large
+    to broadcast: big rows get a deterministic salt, small rows are
+    replicated once per bucket (explode of a literal range), and the
+    join key becomes (key, salt) — a hot key now lands on ``buckets``
+    tasks instead of one. Output equals ``big.join(small, key, how)``
+    for 1:N joins (small unique on key).
+    """
+    b = big.withColumn("_salt", salt_expr(salt_cols, buckets))
+    s = small.withColumn(
+        "_salt", F.explode(F.array(*[F.lit(i) for i in range(buckets)]))
+    )
+    out = b.join(s, [key, "_salt"], how)
+    return out.drop("_salt")

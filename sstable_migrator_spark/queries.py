@@ -62,6 +62,18 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+def _dense(spark: SparkSession, df: DataFrame) -> DataFrame:
+    """Spread a small-but-compute-dense input over all cores. Parquet
+    split sizing is BYTE-based; a 0.6 MB documents file arrives as ONE
+    partition, serializing millions of md5 calls on one core. A
+    round-robin repartition to cluster parallelism costs a tiny shuffle
+    (the raw text once) and unlocks the full width for the expression-
+    heavy projection that follows (sf0.1: winnow 14.9s -> 1.8s). At
+    100 TB inputs already arrive as many splits and this becomes a
+    no-op-sized cost; keep it keyless so no skew is introduced."""
+    return df.repartition(spark.sparkContext.defaultParallelism)
+
+
 # ---------------------------------------------------------------------------
 # Shared synthesis: domains from `part`, IPv4s from `customer`
 # ---------------------------------------------------------------------------
@@ -622,7 +634,11 @@ def flagship_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("ip"),
         )
     )
-    parsed = ingest.parse_and_route(records, tld_set=QUERY_TLDS, source="flagship").persist()
+    # No persist: this plan has ONE consumer, so caching would only add
+    # a columnar write+read and break whole-stage fusion (sf0.1: 9.1s vs
+    # 6.9s). persist() belongs to the multi-sink path (route_tables),
+    # where the parse feeds three writes.
+    parsed = ingest.parse_and_route(records, tld_set=QUERY_TLDS, source="flagship")
     valid = parsed.filter(F.col("keep"))
     return analytics.group_count_topk(valid, ["apexDomain"], k=100, count_alias="cnt")
 
@@ -1123,7 +1139,7 @@ def q_fingerprint_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Document fingerprinting: exact md5 fingerprint + 16-bit SimHash."""
     from sstable_migrator_spark.operators.dedup import simhash
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = _dense(spark, _t(spark, sf_dir, "documents"))
     sh = simhash(docs, bits=16)
     fp = docs.select("doc_id", TX.fingerprint(F.col("text")).alias("fingerprint"))
     return fp.join(sh, "doc_id")
@@ -1507,7 +1523,7 @@ def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup pairs, hamming <= 3 over 16-bit fingerprints.
     Banded self-join (pigeonhole-complete for hamming < bands) — only
     fingerprints shuffle."""
-    docs = _t(spark, sf_dir, "documents")
+    docs = _dense(spark, _t(spark, sf_dir, "documents"))
     return dedup.simhash_near_dup_pairs(docs, bits=16, bands=4, max_hamming=3)
 
 
@@ -1537,7 +1553,7 @@ def q_winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     the 60-bit hashes of all char-4-grams of the normalized text, plus
     the distinct-gram count. Substring windows = Rabin-Karp rolling
     windows; the min is the winnow fingerprint with window = document."""
-    docs = _t(spark, sf_dir, "documents")
+    docs = _dense(spark, _t(spark, sf_dir, "documents"))
     norm = TX.normalize_text(F.col("text"))
     staged = docs.withColumn(
         "_grams",
@@ -1657,6 +1673,9 @@ def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     checks the content hash + byte length of every payload."""
     from sstable_migrator_spark.operators import multimodal
 
+    # NOT _dense()d: the heavy step is Arrow-batched mapInPandas, and a
+    # pre-shuffle + 32 python workers costs more than the work itself at
+    # this input size (sf0.1: 2.0s as-is vs 6.9s repartitioned).
     docs = _t(spark, sf_dir, "documents")
     media = docs.select(
         F.col("doc_id").alias("media_id"),
@@ -1833,5 +1852,74 @@ ORACLES.update(
     {
         "q57_ann_ivf": SQL_ANN_IVF,
         "q58_dup_clusters": _sql_dup_clusters(),
+    }
+)
+
+
+# ---------------------------------------------------------------------------
+# Batch 5 — corpus token accounting (BPE-ish regex), skew-safe aggregation
+# ---------------------------------------------------------------------------
+
+
+def q_token_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus token accounting per source: whitespace tokens AND the
+    BPE-ish regex count (letter runs / digit runs / single punctuation
+    — functions.text.word_tokens), the number every training-data
+    pipeline budget starts from. Map-side partial agg; one shuffle on
+    the tiny source key."""
+    docs = _dense(spark, _t(spark, sf_dir, "documents"))
+    ws = TX.token_count(F.col("text")).cast("long")
+    bpe = F.size(TX.word_tokens(F.col("text"))).cast("long")
+    return (
+        docs.select("source", ws.alias("_ws"), bpe.alias("_bpe"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("docs"),
+            F.sum("_ws").alias("ws_tokens"),
+            F.sum("_bpe").alias("bpe_tokens"),
+        )
+    )
+
+
+SQL_TOKEN_ACCOUNTING = r"""
+SELECT source,
+       CAST(count(*) AS BIGINT) AS docs,
+       CAST(sum(CASE WHEN trim(text) = '' THEN 0
+                ELSE len(string_split_regex(trim(text), '\s+')) END) AS BIGINT)
+         AS ws_tokens,
+       CAST(sum(len(regexp_extract_all(lower(text),
+                '[a-z]+|[0-9]+|[^a-z0-9\s]'))) AS BIGINT) AS bpe_tokens
+FROM documents GROUP BY source
+"""
+
+
+def q_skew_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distinct-user count per event_type via the two-phase
+    expansion (operators.skew.salted_distinct_count): the first shuffle
+    spreads each hot event_type across reducers by user_id instead of
+    funneling a hot key's whole value set through one task."""
+    from sstable_migrator_spark.operators import skew
+
+    ev = _t(spark, sf_dir, "events")
+    return skew.salted_distinct_count(ev, ["event_type"], "user_id")
+
+
+SQL_SKEW_DISTINCT = """
+SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS n_distinct
+FROM events GROUP BY event_type
+"""
+
+
+QUERIES.update(
+    {
+        "q63_token_accounting": q_token_accounting,
+        "q64_skew_distinct": q_skew_distinct,
+    }
+)
+
+ORACLES.update(
+    {
+        "q63_token_accounting": SQL_TOKEN_ACCOUNTING,
+        "q64_skew_distinct": SQL_SKEW_DISTINCT,
     }
 )

@@ -54,3 +54,40 @@ def test_flagship_compiles_whole_stage(spark, sf_dir):
     plan = df._jdf.queryExecution().executedPlan().toString()
     # '*(n)' prefixes mark operators inside a compiled whole-stage span
     assert "*(1)" in plan and "*(2)" in plan, plan[:2000]
+
+
+def test_ivf_assign_is_shuffle_free(spark, sf_dir):
+    """IVF cell assignment must stay a map-only expression: no Exchange,
+    no Window in the plan (the whole point of literal broadcast
+    centroids)."""
+    from sstable_migrator_spark.operators.simsearch import ivf_assign
+    from sstable_migrator_spark.plans.explain import _plan
+    from sstable_migrator_spark.queries import _t
+
+    emb = _t(spark, sf_dir, "embeddings")
+    cents = [
+        (int(r["vec_id"]), [float(x) for x in r["embedding"]])
+        for r in emb.filter("vec_id < 4").collect()
+    ]
+    plan = _plan(ivf_assign(emb, cents))
+    assert "Exchange" not in plan, plan
+    assert "Window" not in plan, plan
+
+
+def test_ivf_probe_join_is_broadcast(spark, sf_dir):
+    """The probe-to-cell join must broadcast the probe table — the
+    corpus never shuffles before scoring."""
+    from sstable_migrator_spark.operators.simsearch import ivf_topk
+    from sstable_migrator_spark.plans.explain import has_broadcast_hash_join
+    from sstable_migrator_spark.queries import _t
+    from pyspark.sql import functions as F
+
+    emb = _t(spark, sf_dir, "embeddings")
+    cents = [
+        (int(r["vec_id"]), [float(x) for x in r["embedding"]])
+        for r in emb.filter("vec_id < 4").collect()
+    ]
+    queries = emb.filter("vec_id < 2").select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    assert has_broadcast_hash_join(ivf_topk(emb, queries, cents, k=3, n_probe=2))
