@@ -34,8 +34,37 @@ def main() -> None:
 
     spark = get_spark(app_name="bench")
 
-    # JVM/codegen warmup so the first timed query isn't paying startup.
+    # JVM warmup so the first timed query isn't paying one-time startup:
+    # exercise the parquet reader, a broadcast exchange, whole-stage
+    # codegen, and the regex/split expression paths once each.
     spark.range(1000).selectExpr("sum(id)").collect()
+    try:
+        warm = spark.read.parquet(f"{sf_dir}/region.parquet")
+        (
+            warm.join(warm.limit(1).hint("broadcast"), "r_regionkey", "left")
+            .selectExpr(
+                "count(if(r_name rlike '^[A-Z]+$', 1, NULL))",
+                "count(split(r_comment, ' ')[0])",
+            )
+            .collect()
+        )
+        # spawn + warm the Arrow python workers (pandas import is ~1 s
+        # per worker; q56 is otherwise charged the whole spawn storm)
+        import pandas as pd  # noqa: PLC0415
+
+        def _identity(batches):
+            yield from batches
+
+        (
+            spark.range(spark.sparkContext.defaultParallelism * 2)
+            .repartition(spark.sparkContext.defaultParallelism)
+            .mapInPandas(_identity, "id long")
+            .write.format("noop")
+            .mode("overwrite")
+            .save()
+        )
+    except Exception:  # noqa: BLE001 — warmup must never fail the bench
+        pass
 
     timings: dict[str, float] = {}
 

@@ -59,6 +59,27 @@ def strip_dot(col: Column) -> Column:
     ).otherwise(col)
 
 
+def _norm_trailing_dot(col: Column) -> Column:
+    """Strip one trailing dot when length > 1 (the validator's own
+    normalization step, distinct from strip_dot's len>2 quirk)."""
+    return F.when(
+        (F.length(col) > 1) & col.endswith("."), col.substr(F.lit(1), F.length(col) - 1)
+    ).otherwise(col)
+
+
+def _valid_norm(t: Column) -> Column:
+    """Validity checks over an ALREADY-normalized (trailing-dot-stripped)
+    value. Callers on hot paths stage ``t`` as a real column first so
+    this tree references one attribute 4 times instead of inlining the
+    normalization CASE 4 times (plan size, then codegen size)."""
+    return (
+        (F.length(t) >= 1)
+        & (F.length(t) <= 253)
+        & t.rlike(DOMAIN_CORE_RE)
+        & ~t.rlike(ALL_NUMERIC_RE)
+    )
+
+
 def is_valid_domain(col: Column) -> Column:
     """Go-cleaner domain validity as one boolean Column.
 
@@ -66,13 +87,7 @@ def is_valid_domain(col: Column) -> Column:
     name must be 1..253 chars of dot-separated 1..63-char labels
     ([A-Za-z0-9_-], no label-edge hyphen), and not all digits/dots.
     """
-    t = F.when((F.length(col) > 1) & col.endswith("."), col.substr(F.lit(1), F.length(col) - 1)).otherwise(col)
-    return (
-        (F.length(t) >= 1)
-        & (F.length(t) <= 253)
-        & t.rlike(DOMAIN_CORE_RE)
-        & ~t.rlike(ALL_NUMERIC_RE)
-    )
+    return _valid_norm(_norm_trailing_dot(col))
 
 
 def cleanup_candidate(col: Column) -> Column:
@@ -112,15 +127,16 @@ def with_clean_domain(df, src: str = "domain", out: str = "domain_clean"):
     """Staged, codegen-friendly validate_or_clean: computes the cleanup
     candidate as an intermediate column so every ``is_valid_domain``
     call sees a plain attribute (no exponential CASE nesting)."""
-    cand = "_vc_cand"
-    df = df.withColumn(cand, cleanup_candidate(F.col(src)))
+    df = df.withColumn("_vc_t", _norm_trailing_dot(F.col(src)))
+    df = df.withColumn("_vc_cand", cleanup_candidate(F.col(src)))
+    df = df.withColumn("_vc_candt", _norm_trailing_dot(F.col("_vc_cand")))
     df = df.withColumn(
         out,
-        F.when(is_valid_domain(F.col(src)), F.col(src)).when(
-            is_valid_domain(F.col(cand)), F.col(cand)
+        F.when(_valid_norm(F.col("_vc_t")), F.col(src)).when(
+            _valid_norm(F.col("_vc_candt")), F.col("_vc_cand")
         ),
     )
-    return df.drop(cand)
+    return df.drop("_vc_t", "_vc_cand", "_vc_candt")
 
 
 def _tld_member(c: Column, tld_set: Iterable[str]) -> Column:
@@ -136,16 +152,29 @@ def _strip_lower(col: Column) -> Column:
     ).otherwise(low)
 
 
-def _parts_struct(parts: Column, n: Column, tlds: list[str]) -> Column:
-    """Slot layout from a pre-split label array (see domain_parts)."""
+def _parts_struct(
+    parts: Column,
+    n: Column,
+    tlds: list[str],
+    has_l2: Column | None = None,
+    prev: Column | None = None,
+) -> Column:
+    """Slot layout from a pre-split label array (see domain_parts).
+
+    ``has_l2``/``prev`` may be passed as pre-staged columns (hot path:
+    ``with_domain_parts``) so the TLD membership tree appears ONCE in
+    the plan instead of being inlined into apex, l2tld, p2 and p3.
+    """
 
     def at(i: Column) -> Column:
         # 1-based element_at with bounds guard -> '' outside range
         return F.when((i >= 1) & (i <= n), F.element_at(parts, i)).otherwise(F.lit(""))
 
     success = n >= 2
-    prev = F.element_at(parts, n - 1)  # parts[tldIndex-1]
-    has_l2 = F.when(success, _tld_member(prev, tlds)).otherwise(F.lit(False))
+    if prev is None:
+        prev = F.element_at(parts, n - 1)  # parts[tldIndex-1]
+    if has_l2 is None:
+        has_l2 = F.when(success, _tld_member(prev, tlds)).otherwise(F.lit(False))
 
     tld = F.when(success, F.element_at(parts, n)).otherwise(F.lit(""))
     l2tld = F.when(has_l2, prev).otherwise(F.lit(""))
@@ -210,10 +239,27 @@ def with_domain_parts(
     tlds = list(tld_set) if tld_set is not None else default_tld_set()
     df = df.withColumn("_dp_parts", F.split(_strip_lower(F.col(src)), "\\."))
     df = df.withColumn("_dp_n", F.size(F.col("_dp_parts")))
+    # stage prev + TLD membership so the member tree appears once
     df = df.withColumn(
-        out, _parts_struct(F.col("_dp_parts"), F.col("_dp_n"), tlds)
+        "_dp_prev",
+        F.when(
+            F.col("_dp_n") >= 2, F.element_at(F.col("_dp_parts"), F.col("_dp_n") - 1)
+        ),
     )
-    return df.drop("_dp_parts", "_dp_n")
+    df = df.withColumn(
+        "_dp_hasl2", F.coalesce(_tld_member(F.col("_dp_prev"), tlds), F.lit(False))
+    )
+    df = df.withColumn(
+        out,
+        _parts_struct(
+            F.col("_dp_parts"),
+            F.col("_dp_n"),
+            tlds,
+            has_l2=F.col("_dp_hasl2"),
+            prev=F.coalesce(F.col("_dp_prev"), F.lit("")),
+        ),
+    )
+    return df.drop("_dp_parts", "_dp_n", "_dp_prev", "_dp_hasl2")
 
 
 def apex_domain(col: Column, tld_set: Iterable[str] | None = None) -> Column:

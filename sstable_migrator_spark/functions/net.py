@@ -41,6 +41,27 @@ def ip_int(col: Column) -> Column:
     )
 
 
+def ip_int_from_parts(parts: Column) -> Column:
+    """ip_int over a pre-split octet array (hot paths stage the split
+    once instead of re-splitting for each of ip8/ip16/ip24/ip_int)."""
+    return (
+        F.get(parts, 0).cast("long") * 16777216
+        + F.get(parts, 1).cast("long") * 65536
+        + F.get(parts, 2).cast("long") * 256
+        + F.get(parts, 3).cast("long")
+    )
+
+
+def ip_block_from_parts(parts: Column, prefix: int) -> Column:
+    """ip_block over a pre-split octet array (see ip_int_from_parts)."""
+    if prefix not in (8, 16, 24):
+        raise ValueError("byte-aligned prefixes only: 8, 16, 24")
+    keep = prefix // 8
+    kept = [F.get(parts, i) for i in range(keep)]
+    zeros = [F.lit("0")] * (4 - keep)
+    return F.concat_ws(".", *kept, *zeros)
+
+
 def ip_block(col: Column, prefix: int) -> Column:
     """Network address for /8 /16 /24 as dotted-quad string.
 

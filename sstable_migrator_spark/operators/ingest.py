@@ -35,7 +35,12 @@ from sstable_migrator_spark.functions.domains import (
     with_clean_domain,
     with_domain_parts,
 )
-from sstable_migrator_spark.functions.net import ip_block, ip_int, is_valid_ipv4
+from sstable_migrator_spark.functions.net import (
+    ip_block_from_parts,
+    ip_int_from_parts,
+    is_valid_ipv4,
+)
+from sstable_migrator_spark.plans.explain import fence
 
 
 def parse_and_route(
@@ -81,11 +86,13 @@ def parse_and_route(
         *[F.col(f"_dp.p{i}").alias(f"p{i}") for i in range(1, 8)],
         F.lit(source).alias("source"),
     ]
+    # one split of the IP per row, shared by all four derived columns
+    df = df.withColumn("_ipp", F.split(F.col("ip"), "\\."))
     a_cols = [
-        F.when(~F.col("is_cname"), ip_block(F.col("ip"), 8)).alias("ip8"),
-        F.when(~F.col("is_cname"), ip_block(F.col("ip"), 16)).alias("ip16"),
-        F.when(~F.col("is_cname"), ip_block(F.col("ip"), 24)).alias("ip24"),
-        F.when(~F.col("is_cname"), ip_int(F.col("ip"))).alias("ip_int"),
+        F.when(~F.col("is_cname"), ip_block_from_parts(F.col("_ipp"), 8)).alias("ip8"),
+        F.when(~F.col("is_cname"), ip_block_from_parts(F.col("_ipp"), 16)).alias("ip16"),
+        F.when(~F.col("is_cname"), ip_block_from_parts(F.col("_ipp"), 24)).alias("ip24"),
+        F.when(~F.col("is_cname"), ip_int_from_parts(F.col("_ipp"))).alias("ip_int"),
     ]
     # P3 (validity after cleanup), F5 success, P10 (unparseable A-record
     # IP), P11 (empty apex) — one combined keep-flag over attributes.
@@ -105,7 +112,17 @@ def parse_and_route(
         & F.col("apexDomain").isNotNull()
         & (F.col("apexDomain") != "")
     )
-    return df.select(*sel, *a_cols, F.coalesce(ok, F.lit(False)).alias("keep"))
+    # The fence stops Catalyst from pushing a caller's filter("keep")
+    # below these projections: alias substitution re-inlines the whole
+    # clean->parts->apex lineage into the pushed predicate, and because
+    # each stage references the previous one several times the inlined
+    # tree grows EXPONENTIALLY (~185 KB of join condition in the
+    # flagship plan; seconds of optimizer + janino time per action).
+    # Filtering above the staged projection is the plan we want — the
+    # fence just keeps it there.
+    return df.select(
+        *sel, *a_cols, fence(F.coalesce(ok, F.lit(False))).alias("keep")
+    )
 
 
 def _explode_dim_to_buckets(dim: DataFrame) -> DataFrame:

@@ -1,11 +1,31 @@
-"""Plan-inspection helpers: assert the physical plan we *want*, not just
-one that passes (pushdown reached the scan, join went broadcast, codegen
-spans cover the hot path). Used by tests and by bench tuning.
+"""Plan-inspection and plan-control helpers: assert the physical plan we
+*want*, not just one that passes (pushdown reached the scan, join went
+broadcast, codegen spans cover the hot path), and fence off the one
+Catalyst rewrite that hurts us (predicate pushdown through deep staged
+derivations). Used by operators, tests and bench tuning.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def fence(col: Column) -> Column:
+    """Optimizer fence: returns a value-identical column that Catalyst
+    treats as nondeterministic, so predicates are NOT pushed through the
+    Project that produces it. Use on derived flag columns whose lineage
+    is a deep chain of staged expressions: pushdown substitutes aliases,
+    and a chain where each stage references the previous one k times
+    inlines the tree k^depth times (observed 185 KB single predicate).
+    Implementation: ``element_at(shuffle(array(col)), 1)`` — shuffling a
+    single-element array is a value identity, but ``shuffle`` is a
+    nondeterministic expression with no folding rule, so the fence
+    survives optimization. (A ``rand() >= -1`` guard does NOT: the
+    optimizer knows rand's range and folds the guard away, re-enabling
+    pushdown.)
+    """
+    return F.element_at(F.shuffle(F.array(col)), 1)
 
 
 def formatted_plan(df: DataFrame) -> str:

@@ -49,6 +49,11 @@ def get_spark(
         .config("spark.hadoop.parquet.block.size", "134217728")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        # Per-call Python stack inspection + a JVM origin roundtrip on
+        # EVERY DataFrame API call — measured ~0.6 s per large query
+        # construction. Error call-sites are a debugging nicety; off in
+        # an engine.
+        .config("spark.python.sql.dataFrameDebugging.enabled", "false")
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
