@@ -1923,3 +1923,263 @@ ORACLES.update(
         "q64_skew_distinct": SQL_SKEW_DISTINCT,
     }
 )
+
+
+# ---------------------------------------------------------------------------
+# Batch 6 — as-of join, multi-dim aggregation (rollup/cube), set ops,
+# edit-distance blocking, classic join-agg analytics, exact percentiles
+# ---------------------------------------------------------------------------
+
+
+def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Backward as-of join (operators.asof): every click event enriched
+    with the latest purchase (same user, purchase.ts <= click.ts) —
+    union + one keyed window, no join blow-up. Oracle: LATERAL top-1."""
+    from sstable_migrator_spark.operators.asof import asof_join
+
+    ev = _t(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"), "user_id", F.col("ts").alias("click_ts")
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", F.col("event_id").alias("purchase_id"),
+        F.round(F.col("value"), 2).alias("purchase_value"),
+    )
+    out = asof_join(
+        clicks, purchases, on="user_id", left_ts="click_ts", right_ts="ts",
+        value_cols=["purchase_id", "purchase_value"], tie_col="purchase_id",
+    )
+    return out.select(
+        "click_id", "user_id", "click_ts",
+        F.col("right_purchase_id").alias("purchase_id"),
+        F.col("right_purchase_value").alias("purchase_value"),
+    )
+
+
+SQL_ASOF_JOIN = """
+SELECT c.event_id AS click_id, c.user_id, c.ts AS click_ts,
+       p.purchase_id, p.purchase_value
+FROM events c
+LEFT JOIN LATERAL (
+    SELECT r.event_id AS purchase_id,
+           round(CAST(r.value AS DOUBLE), 2) AS purchase_value
+    FROM events r
+    WHERE r.user_id = c.user_id AND r.event_type = 'purchase'
+      AND r.ts <= c.ts
+    ORDER BY r.ts DESC, r.event_id DESC LIMIT 1
+) p ON true
+WHERE c.event_type = 'click'
+"""
+
+
+def q_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical totals in one pass: ROLLUP (status, priority) —
+    Spark expands to grouping sets inside a single hash aggregate
+    (one shuffle, partial agg map-side), no N-pass unioning."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.rollup("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("o_totalprice"), 2).alias("total"),
+        )
+    )
+
+
+SQL_ROLLUP = """
+SELECT o_orderstatus, o_orderpriority, CAST(count(*) AS BIGINT) AS n,
+       round(CAST(sum(o_totalprice) AS DOUBLE), 2) AS total
+FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+"""
+
+
+def q_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE (returnflag, linestatus): all 4 grouping sets in one
+    aggregate over one scan."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.cube("l_returnflag", "l_linestatus")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        )
+    )
+
+
+SQL_CUBE = """
+SELECT l_returnflag, l_linestatus, CAST(count(*) AS BIGINT) AS n,
+       round(CAST(sum(l_quantity) AS DOUBLE), 2) AS sum_qty
+FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+"""
+
+
+def q_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT / EXCEPT as distinct-set algebra: (user, day) slots
+    with a click AND a purchase but no error. Each leg is a distinct
+    projection, so the set ops shuffle only distinct keys."""
+    ev = _t(spark, sf_dir, "events")
+
+    def slots(t: str) -> DataFrame:
+        return ev.filter(F.col("event_type") == t).select(
+            "user_id", F.to_date("ts").alias("day")
+        )
+
+    return slots("click").intersect(slots("purchase")).exceptAll(
+        slots("error").distinct()
+    )
+
+
+SQL_SET_OPS = """
+SELECT user_id, CAST(ts AS DATE) AS day FROM events WHERE event_type = 'click'
+INTERSECT
+SELECT user_id, CAST(ts AS DATE) AS day FROM events WHERE event_type = 'purchase'
+EXCEPT
+SELECT user_id, CAST(ts AS DATE) AS day FROM events WHERE event_type = 'error'
+"""
+
+
+def q_edit_distance_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked fuzzy matching: part-name pairs with edit distance <= 20
+    inside (brand, size) blocks. The equi-join on the block key keeps
+    the candidate set quadratic only within a block (the standard
+    entity-resolution blocking pattern); levenshtein runs JVM-side on
+    candidates only."""
+    p = _t(spark, sf_dir, "part").select("p_partkey", "p_name", "p_brand", "p_size")
+    a = p.select(
+        F.col("p_brand").alias("brand"), F.col("p_size").alias("size"),
+        F.col("p_partkey").alias("id_a"), F.col("p_name").alias("name_a"),
+    )
+    b = p.select(
+        F.col("p_brand").alias("brand"), F.col("p_size").alias("size"),
+        F.col("p_partkey").alias("id_b"), F.col("p_name").alias("name_b"),
+    )
+    return (
+        a.join(b, ["brand", "size"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("dist", F.levenshtein("name_a", "name_b"))
+        .filter(F.col("dist") <= 20)
+        .select("brand", "size", "id_a", "id_b", "dist")
+    )
+
+
+SQL_EDIT_DISTANCE_PAIRS = """
+SELECT a.p_brand AS brand, a.p_size AS size,
+       a.p_partkey AS id_a, b.p_partkey AS id_b,
+       CAST(levenshtein(a.p_name, b.p_name) AS INT) AS dist
+FROM part a JOIN part b
+  ON a.p_brand = b.p_brand AND a.p_size = b.p_size
+ AND a.p_partkey < b.p_partkey
+WHERE levenshtein(a.p_name, b.p_name) <= 20
+"""
+
+
+def q_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classic 3-table join-aggregate (TPC-H Q3 shape): the small
+    filtered dimension (customer segment) broadcasts; orders-lineitem is
+    the one real shuffle join; top-k via TakeOrderedAndProject."""
+    cutoff = "1998-04-25 00:00:00"
+    cust = _t(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    ).select("c_custkey")
+    orders = _t(spark, sf_dir, "orders").filter(F.col("o_orderdate") < cutoff).select(
+        "o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority"
+    )
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > cutoff).select(
+        "l_orderkey", "l_extendedprice", "l_discount"
+    )
+    return (
+        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(li, li.l_orderkey == orders.o_orderkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .orderBy(F.desc("revenue"), "o_orderdate", "l_orderkey")
+        .limit(10)
+    )
+
+
+SQL_SHIPPING_PRIORITY = """
+SELECT l_orderkey, o_orderdate, o_orderpriority,
+       round(CAST(sum(l_extendedprice * (1 - l_discount)) AS DOUBLE), 2)
+         AS revenue
+FROM customer JOIN orders ON c_custkey = o_custkey
+     JOIN lineitem ON l_orderkey = o_orderkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1998-04-25 00:00:00'
+  AND l_shipdate > TIMESTAMP '1998-04-25 00:00:00'
+GROUP BY l_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, o_orderdate, l_orderkey LIMIT 10
+"""
+
+
+def q_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact DISCRETE percentiles per group via rank selection (value at
+    1-based index ceil(p*n) of the sorted group): one shuffle + window,
+    and — unlike continuous interpolation (`F.percentile` /
+    quantile_cont) — no float arithmetic whose 1-ulp engine differences
+    split any rounding at the boundary. At 100 TB swap in the
+    approx_percentile sketch; this is the exact oracle-checkable form."""
+    from pyspark.sql import Window
+
+    li = _t(spark, sf_dir, "lineitem")
+    w = Window.partitionBy("l_returnflag").orderBy("l_extendedprice")
+    wn = Window.partitionBy("l_returnflag")
+    ranked = li.select(
+        "l_returnflag",
+        "l_extendedprice",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+    )
+    pick = lambda p: F.max(  # noqa: E731
+        F.when(
+            F.col("rn") == F.ceil(F.lit(p) * F.col("n")).cast("long"),
+            F.col("l_extendedprice"),
+        )
+    )
+    return ranked.groupBy("l_returnflag").agg(
+        pick(0.5).alias("p50"), pick(0.95).alias("p95")
+    )
+
+
+SQL_PERCENTILES = """
+WITH ranked AS (
+  SELECT l_returnflag, l_extendedprice,
+         row_number() OVER (PARTITION BY l_returnflag
+                            ORDER BY l_extendedprice) AS rn,
+         count(*) OVER (PARTITION BY l_returnflag) AS n
+  FROM lineitem)
+SELECT l_returnflag,
+       max(CASE WHEN rn = CAST(ceil(CAST(0.5 AS DOUBLE) * n) AS BIGINT)
+                THEN l_extendedprice END) AS p50,
+       max(CASE WHEN rn = CAST(ceil(CAST(0.95 AS DOUBLE) * n) AS BIGINT)
+                THEN l_extendedprice END) AS p95
+FROM ranked GROUP BY l_returnflag
+"""
+
+
+QUERIES.update(
+    {
+        "q65_asof_join": q_asof_join,
+        "q66_rollup": q_rollup,
+        "q67_cube": q_cube,
+        "q68_set_ops": q_set_ops,
+        "q69_edit_distance_pairs": q_edit_distance_pairs,
+        "q70_shipping_priority": q_shipping_priority,
+        "q71_percentiles": q_percentiles,
+    }
+)
+
+ORACLES.update(
+    {
+        "q65_asof_join": SQL_ASOF_JOIN,
+        "q66_rollup": SQL_ROLLUP,
+        "q67_cube": SQL_CUBE,
+        "q68_set_ops": SQL_SET_OPS,
+        "q69_edit_distance_pairs": SQL_EDIT_DISTANCE_PAIRS,
+        "q70_shipping_priority": SQL_SHIPPING_PRIORITY,
+        "q71_percentiles": SQL_PERCENTILES,
+    }
+)

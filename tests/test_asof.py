@@ -1,0 +1,66 @@
+"""asof_join: backward point-in-time semantics, tie-breaks, plan shape."""
+
+from datetime import datetime
+
+import pytest
+from pyspark.sql import functions as F
+
+from sstable_migrator_spark.operators.asof import asof_join
+
+
+def _ts(s: str) -> datetime:
+    return datetime.fromisoformat(s)
+
+
+@pytest.fixture(scope="module")
+def frames(spark):
+    left = spark.createDataFrame(
+        [
+            (1, _ts("2024-01-01T10:00:00"), "a"),
+            (1, _ts("2024-01-01T12:00:00"), "b"),
+            (2, _ts("2024-01-01T09:00:00"), "c"),  # before any right row
+            (3, _ts("2024-01-01T09:00:00"), "d"),  # key with no right rows
+        ],
+        "user_id int, ts timestamp, tag string",
+    )
+    right = spark.createDataFrame(
+        [
+            (1, _ts("2024-01-01T10:00:00"), 100, 1.0),  # exact match for first left
+            (1, _ts("2024-01-01T11:00:00"), 101, 2.0),
+            (1, _ts("2024-01-01T11:00:00"), 102, None),  # ts tie: max id wins
+            (2, _ts("2024-01-01T09:30:00"), 200, 4.0),
+        ],
+        "user_id int, ts timestamp, rid int, score double",
+    )
+    return left, right
+
+
+def test_backward_asof_semantics(frames):
+    left, right = frames
+    out = asof_join(
+        left, right, on="user_id", value_cols=["rid", "score"], tie_col="rid"
+    )
+    rows = {r["tag"]: (r["right_rid"], r["right_score"]) for r in out.collect()}
+    assert rows["a"] == (100, 1.0)  # exact-timestamp match allowed
+    # ts tie at 11:00 -> rid 102 wins, and BOTH carried cols come from
+    # that row (score None, not 2.0 from rid 101)
+    assert rows["b"] == (102, None)
+    assert rows["c"] == (None, None)  # right rows exist but all later
+    assert rows["d"] == (None, None)  # no right rows for key
+    assert out.count() == 4  # every left row survives
+
+
+def test_asof_single_shuffle(frames):
+    """The whole operator must cost one Exchange (the keyed window) —
+    no join operator in the plan at all."""
+    left, right = frames
+    out = asof_join(left, right, on="user_id", value_cols=["rid"], tie_col="rid")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan, plan
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+
+
+def test_asof_default_value_cols(frames):
+    left, right = frames
+    out = asof_join(left, right, on="user_id")
+    assert {"right_rid", "right_score"} <= set(out.columns)
