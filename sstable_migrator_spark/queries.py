@@ -2183,3 +2183,76 @@ ORACLES.update(
         "q71_percentiles": SQL_PERCENTILES,
     }
 )
+
+
+# ---------------------------------------------------------------------------
+# Batch 7 — non-broadcast interval join, approximate sketches
+# ---------------------------------------------------------------------------
+
+
+def q_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-interval join WITHOUT broadcast (operators.rangejoin):
+    orders priced into 25 price bands derived from nation. Both sides
+    shuffle once on the shared bucket grid — the plan is a co-partitioned
+    hash join, never a NestedLoopJoin. Sums go through DECIMAL so both
+    engines add exactly (float sum order differs between engines)."""
+    from sstable_migrator_spark.operators.rangejoin import interval_join
+
+    n = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("band_id"),
+        F.col("n_name").alias("band_name"),
+        (F.col("n_nationkey").cast("double") * 20000.0).alias("lo"),
+        (F.col("n_nationkey").cast("double") * 20000.0 + 19999.99).alias("hi"),
+    )
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    joined = interval_join(o, n, "o_totalprice", "lo", "hi", bucket_width=20000.0)
+    return joined.groupBy("band_id", "band_name").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("total"),
+    )
+
+
+SQL_INTERVAL_JOIN = """
+SELECT n.n_nationkey AS band_id, n.n_name AS band_name,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+FROM orders o
+JOIN nation n
+  ON o.o_totalprice >= n.n_nationkey * 20000.0
+ AND o.o_totalprice <= n.n_nationkey * 20000.0 + 19999.99
+GROUP BY 1, 2
+"""
+
+
+def q_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch aggregates for the 100 TB path: HyperLogLog++ distinct
+    users and a quantile sketch of value per event_type, next to the
+    exact count. Sketches are mergeable across partitions (one shuffle
+    of fixed-size state, never the value set). No SQL oracle: sketch
+    estimates are engine-specific by construction — the driver records
+    the rows-only check; tests/test_sketches.py bounds the error vs the
+    exact answers instead."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
+        F.percentile_approx("value", 0.5, 10000).alias("approx_p50"),
+    )
+
+
+QUERIES.update(
+    {
+        "q72_interval_join": q_interval_join,
+        "q73_approx_sketches": q_approx_sketches,
+    }
+)
+
+ORACLES.update(
+    {
+        "q72_interval_join": SQL_INTERVAL_JOIN,
+        # q73 intentionally absent: sketch estimates have no cross-engine
+        # oracle; accuracy is bounded in tests/test_sketches.py.
+    }
+)

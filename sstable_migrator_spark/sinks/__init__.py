@@ -90,3 +90,30 @@ def observe_counts(df: DataFrame, name: str = "metrics") -> DataFrame:
 
     obs = Observation(name)
     return df.observe(obs, F.count(F.lit(1)).alias("rows"))
+
+
+def bucketed_write(
+    df: DataFrame,
+    table: str,
+    bucket_cols: list[str],
+    n_buckets: int,
+    sort_cols: list[str] | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Bucketed table write — the shuffle-free-join layout.
+
+    Two tables bucketed by the same columns into the same bucket count
+    join WITHOUT an Exchange on either side: the bucket id IS the
+    partitioning, established once at write time and reused by every
+    downstream join/aggregation on those keys. This is the batch analog
+    of co-located storage: at 100 TB, bucketing the fact tables on their
+    join key turns the nightly join from a 2-sided shuffle of the whole
+    data into a local zip of bucket pairs.
+
+    Requires a saveAsTable catalog target (bucket metadata lives in the
+    catalog, not the files).
+    """
+    w = df.write.format("parquet").mode(mode).bucketBy(n_buckets, *bucket_cols)
+    if sort_cols:
+        w = w.sortBy(*sort_cols)
+    w.saveAsTable(table)

@@ -1,0 +1,49 @@
+"""Stream-stream joins with event-time constraints.
+
+Structured Streaming can join two unbounded streams only when the
+engine can bound its buffered state; that bound comes from (a) a
+watermark on both sides and (b) an event-time constraint in the join
+condition. With those, each side's state store keeps only rows young
+enough to still find a partner, and rows age out exactly when the
+watermark passes ``ts + max_delay``.
+
+The reference has no stream joins (its pipelines are daily file
+batches), so this is extension surface: the canonical use is
+click-to-conversion attribution — join each purchase to the click that
+preceded it within an attribution window, while both arrive as live
+streams.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def interval_stream_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_ts: str,
+    right_ts: str,
+    max_delay: str = "1 hour",
+    watermark: str = "2 hours",
+    how: str = "inner",
+) -> DataFrame:
+    """Join streaming ``right`` rows to streaming ``left`` rows with the
+    same key where ``left_ts <= right_ts <= left_ts + max_delay``.
+
+    Both inputs must be streaming DataFrames. State per side is bounded
+    by ``watermark`` + ``max_delay``; the output carries all columns of
+    both sides (the caller projects). ``how`` may be 'inner' or
+    'leftOuter' (outer rows emit once their side's watermark proves no
+    partner can arrive).
+    """
+    l_wm = left.withWatermark(left_ts, watermark)
+    r_wm = right.withWatermark(right_ts, watermark)
+    cond = (
+        (l_wm[on] == r_wm[on])
+        & (r_wm[right_ts] >= l_wm[left_ts])
+        & (r_wm[right_ts] <= l_wm[left_ts] + F.expr(f"INTERVAL {max_delay}"))
+    )
+    return l_wm.join(r_wm, cond, how)

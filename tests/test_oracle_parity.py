@@ -26,10 +26,17 @@ def test_oracle_match(spark, duck, name):
     assert res["ok"], res
 
 
+# rows-only catalog entries, each with a reason and a dedicated test
+ROWS_ONLY = {
+    # sketch estimates have no cross-engine oracle; error bounded in
+    # tests/test_sketches.py
+    "q73_approx_sketches",
+}
+
+
 def test_every_query_has_oracle_or_is_declared():
     missing = set(_QUERIES) - set(_ORACLES)
-    # rows-only queries are allowed but must be deliberate; none yet
-    assert missing == set(), f"queries without oracle SQL: {missing}"
+    assert missing == ROWS_ONLY, f"undeclared queries without oracle SQL: {missing - ROWS_ONLY}"
 
 
 def test_entry_contract(spark):
