@@ -2256,3 +2256,193 @@ ORACLES.update(
         # oracle; accuracy is bounded in tests/test_sketches.py.
     }
 )
+
+
+# ---------------------------------------------------------------------------
+# Batch 8 — composed training-data pipeline: corpus-clean funnel, TF-IDF
+# term scoring, deterministic hash sampling
+# ---------------------------------------------------------------------------
+
+
+def q_corpus_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed training-data cleaning funnel, per source: raw ->
+    quality-scored -> language-identified -> exact-deduped. One scan,
+    one shuffle (the groupBy on source); the dedup stage is
+    count(DISTINCT fingerprint) so no second pass or self-join. The
+    per-stage counts are exactly what a 100 TB curation run reports."""
+    docs = _dense(spark, _t(spark, sf_dir, "documents"))
+    staged = (
+        docs.withColumn("_q", TX.quality_score(F.col("text")))
+        .withColumn("_lang", TX.lang_id(F.col("text")))
+        .withColumn("_fp", TX.fingerprint(F.col("text")))
+    )
+    q_pass = F.col("_q") >= 0.5
+    l_pass = q_pass & (F.col("_lang") != "und")
+    return staged.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_raw"),
+        F.sum(q_pass.cast("long")).alias("n_quality"),
+        F.sum(l_pass.cast("long")).alias("n_lang"),
+        F.count_distinct(F.when(l_pass, F.col("_fp"))).alias("n_unique"),
+    )
+
+
+def _sql_corpus_clean() -> str:
+    score_cols = []
+    for lang, sw in sorted(TX.STOPWORDS.items()):
+        inlist = ", ".join(f"'{w}'" for w in sw)
+        score_cols.append(f"len(list_filter(tk, x -> x IN ({inlist}))) AS s_{lang}")
+    langs = sorted(TX.STOPWORDS)
+    expr_sql = f"'{langs[0]}'"
+    best_sql = f"s_{langs[0]}"
+    for lang in langs[1:]:
+        expr_sql = f"(CASE WHEN s_{lang} > {best_sql} THEN '{lang}' ELSE {expr_sql} END)"
+        best_sql = f"greatest(s_{lang}, {best_sql})"
+    sw10 = ", ".join(f"'{w}'" for w in TX.DEFAULT_STOPWORDS)
+    return f"""
+WITH toks AS (
+  SELECT doc_id, source, text, md5({SQL_NORM}) AS fp,
+         CASE WHEN length(trim(text)) = 0 THEN []
+              ELSE regexp_split_to_array(trim(text), '\\s+') END AS tk,
+         CASE WHEN length(trim(lower(text))) = 0 THEN []
+              ELSE regexp_split_to_array(trim(lower(text)), '\\s+') END AS tkl
+  FROM documents),
+comp AS (
+  SELECT doc_id, source, fp, tkl,
+    least(CAST(len(tk) AS DOUBLE) / 100.0, 1.0) AS len_score,
+    CASE WHEN len(tk) > 0
+         THEN CAST(list_sum(list_transform(tk, t -> length(t))) AS DOUBLE) / len(tk)
+         ELSE 0.0 END AS mwl,
+    CASE WHEN len(tk) > 0
+         THEN CAST(len(list_filter(list_transform(tk, t -> lower(t)),
+              t -> t IN ({sw10}))) AS DOUBLE) / len(tk)
+         ELSE 0.0 END AS swr,
+    CASE WHEN length(text) > 0
+         THEN CAST(length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) AS DOUBLE) / length(text)
+         ELSE 0.0 END AS pr
+  FROM toks),
+scored AS (
+  SELECT doc_id, source, fp,
+         0.3 * len_score
+           + 0.2 * (CASE WHEN mwl >= 3.0 AND mwl <= 10.0 THEN 1.0 ELSE 0.0 END)
+           + 0.3 * least(swr * 5.0, 1.0)
+           + 0.2 * (1.0 - least(pr * 4.0, 1.0)) AS q,
+         {', '.join(score_cols)}
+  FROM (SELECT comp.*, tkl AS tk FROM comp)),
+flags AS (
+  SELECT source, fp, q >= 0.5 AS q_pass,
+         (q >= 0.5 AND {best_sql} > 0) AS l_pass
+  FROM scored)
+SELECT source, CAST(count(*) AS BIGINT) AS n_raw,
+       CAST(sum(CASE WHEN q_pass THEN 1 ELSE 0 END) AS BIGINT) AS n_quality,
+       CAST(sum(CASE WHEN l_pass THEN 1 ELSE 0 END) AS BIGINT) AS n_lang,
+       CAST(count(DISTINCT CASE WHEN l_pass THEN fp END) AS BIGINT) AS n_unique
+FROM flags GROUP BY source
+"""
+
+
+def q_tfidf_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF term scoring: tokenize (BPE-ish regex), term frequencies
+    per doc, document frequencies over the FULL corpus, score = tf*N/df
+    (the rational idf variant — integer products and one IEEE division,
+    bit-identical across engines, unlike ln()), top-3 terms per sampled
+    doc. Two shuffles: (doc,term) agg and term df; the window runs on
+    the small sampled slice only."""
+    from pyspark.sql import Window
+
+    docs = _dense(spark, _t(spark, sf_dir, "documents"))
+    terms = docs.select(
+        "doc_id",
+        # NB: lambda, not bare F.trim — trim's optional 2nd arg makes
+        # transform treat it as the (element, index) form (no trim applied)
+        F.explode(
+            F.transform(TX.word_tokens(F.col("text")), lambda x: F.trim(x))
+        ).alias("term"),
+    )
+    tf = terms.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.filter(F.col("doc_id") % 10 == 0)
+        .join(dfreq, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn(
+            "score",
+            (F.col("tf") * F.col("n_docs")).cast("double") / F.col("df"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("term"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select("doc_id", "term", F.col("tf").cast("long").alias("tf"),
+                F.col("df").cast("long").alias("df"), "score", "rank")
+    )
+
+
+SQL_TFIDF_TERMS = r"""
+WITH terms AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text),
+         '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS term
+  FROM documents),
+tf AS (
+  SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+  FROM terms GROUP BY doc_id, term),
+dfreq AS (
+  SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term),
+scored AS (
+  SELECT t.doc_id, t.term, t.tf, d.df,
+         CAST(t.tf * (SELECT count(*) FROM documents) AS DOUBLE) / d.df
+           AS score
+  FROM tf t JOIN dfreq d USING (term)
+  WHERE t.doc_id % 10 = 0),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY doc_id
+                               ORDER BY score DESC, term ASC) AS rank
+  FROM scored)
+SELECT doc_id, term, tf, df, score, CAST(rank AS INT) AS rank
+FROM ranked WHERE rank <= 3
+"""
+
+
+def q_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 1/16 sampling: keep rows whose md5(stable key)
+    starts with '0'. Unlike TABLESAMPLE / rand(), the sample is a pure
+    row property — reproducible across engines, runs, and partitionings
+    (the property a 100 TB eval-holdout split needs). Aggregated per
+    returnflag; sums via DECIMAL for exact cross-engine addition."""
+    li = _t(spark, sf_dir, "lineitem")
+    key = F.concat_ws("-", F.col("l_orderkey"), F.col("l_linenumber"))
+    sampled = li.filter(F.substring(F.md5(key), 1, 1) == "0")
+    return sampled.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("l_quantity").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("sum_qty"),
+    )
+
+
+SQL_HASH_SAMPLE = """
+SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+FROM lineitem
+WHERE substr(md5(concat(CAST(l_orderkey AS VARCHAR), '-',
+                        CAST(l_linenumber AS VARCHAR))), 1, 1) = '0'
+GROUP BY l_returnflag
+"""
+
+
+QUERIES.update(
+    {
+        "q74_corpus_clean": q_corpus_clean,
+        "q75_tfidf_terms": q_tfidf_terms,
+        "q76_hash_sample": q_hash_sample,
+    }
+)
+
+ORACLES.update(
+    {
+        "q74_corpus_clean": _sql_corpus_clean(),
+        "q75_tfidf_terms": SQL_TFIDF_TERMS,
+        "q76_hash_sample": SQL_HASH_SAMPLE,
+    }
+)
