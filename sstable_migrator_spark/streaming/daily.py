@@ -156,3 +156,33 @@ def stateful_sessionize(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def windowed_counts(
+    events: DataFrame,
+    ts_col: str = "ts",
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+    key: str | None = None,
+) -> DataFrame:
+    """Watermarked tumbling-window aggregation: counts per event-time
+    window (and optional key), with late data handled by the watermark —
+    rows later than ``watermark`` behind the max seen event time are
+    dropped and their window's result finalizes (append mode emits a
+    window exactly once, when the watermark passes its end).
+
+    State is one running aggregate per open window (x key): bounded by
+    watermark horizon / window length, independent of stream length."""
+    keys = [F.window(F.col(ts_col), window).alias("win")] + (
+        [F.col(key)] if key else []
+    )
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(*keys)
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.col("win.start").alias("window_start"),
+            *( [F.col(key)] if key else [] ),
+            F.col("n"),
+        )
+    )

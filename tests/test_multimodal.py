@@ -43,3 +43,33 @@ def test_frame_sample_plan(spark):
     # video rows only (kind index 2 mod 3)
     vid_ids = {r["media_id"] for r in rows}
     assert vid_ids == {i for i in range(12) if i % 3 == 2}
+
+
+def test_resize_images(spark):
+    from sstable_migrator_spark.operators.multimodal import (
+        resize_images,
+        synthetic_media,
+    )
+
+    media = synthetic_media(spark, 30)
+    out = resize_images(media, width=8, height=4)
+    rows = out.collect()
+    assert len(rows) == 10  # only the 'image' third of the kinds
+    for r in rows:
+        assert len(r["payload"]) == 3 * 8 * 4
+        assert (r["meta"]["width"], r["meta"]["height"]) == (8, 4)
+
+
+def test_resize_real_decode_is_stubbed(spark):
+    from sstable_migrator_spark.operators.multimodal import (
+        DecoderUnavailable,
+        resize_images,
+        synthetic_media,
+    )
+
+    import pytest as _pytest
+    from py4j.protocol import Py4JJavaError
+
+    media = synthetic_media(spark, 6)
+    with _pytest.raises((DecoderUnavailable, Py4JJavaError, Exception)):
+        resize_images(media, 8, 4, real_decode=True).collect()
