@@ -113,17 +113,31 @@ def _lit_vec(v: list[float]):
 
 def _ranked_cells(vec_col, centroids: list[tuple[int, list[float]]]):
     """array<struct<naff,cell>> sorted best-cell-first: max cosine
-    affinity, ties broken by min cell id (naff = -cosine so the
-    ascending array_sort yields exactly that order). Centroids are
-    literals => whole thing is one codegen'd expression, map-only."""
+    affinity, ties broken by min cell id (naff so the ascending
+    array_sort yields exactly that order). Centroids are literals =>
+    whole thing is one codegen'd expression, map-only.
+
+    Affinity is ``-dot(vec, centroid/|centroid|)``: the centroid norm
+    is divided out IN PYTHON (plain float literals) and the vector's
+    own norm is constant across cells, so the ordering equals the
+    cosine ordering while each centroid's literal array appears ONCE in
+    the plan — cosine() would re-embed it twice more (its own norm +
+    the division), tripling a plan that already carries n_cells x dim
+    literals."""
+    import math
+
+    unit = [
+        (int(cid), [x / (math.sqrt(sum(y * y for y in cv)) or 1.0) for x in cv])
+        for cid, cv in centroids
+    ]
     return F.array_sort(
         F.array(
             *[
                 F.struct(
-                    (-VX.cosine(vec_col, _lit_vec(cv))).alias("naff"),
-                    F.lit(int(cid)).alias("cell"),
+                    (-VX.dot(vec_col, _lit_vec(cv))).alias("naff"),
+                    F.lit(cid).alias("cell"),
                 )
-                for cid, cv in centroids
+                for cid, cv in unit
             ]
         )
     )
