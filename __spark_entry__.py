@@ -17,11 +17,23 @@ from pyspark.sql import functions as F
 SF0001 = "/root/testdata/sf0.001"
 
 
+def _tune_runtime(spark: SparkSession) -> None:
+    """Runtime confs safe to set on a caller-provided (vanilla) session:
+    disable pyspark's per-DataFrame-call call-site capture — a Python
+    stack inspection + JVM roundtrip on EVERY API call, ~0.6s per large
+    query construction. Best-effort: ignored on sessions that reject it."""
+    try:
+        spark.conf.set("spark.python.sql.dataFrameDebugging.enabled", "false")
+    except Exception:  # noqa: BLE001
+        pass
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: ingest-shaped pipeline over synthesized DNS triples,
     then the reference's apex-popularity top-k."""
     from sstable_migrator_spark.queries import flagship_ingest
 
+    _tune_runtime(spark)
     return flagship_ingest(spark, SF0001)
 
 
