@@ -75,6 +75,19 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+def _nrows(spark: SparkSession, sf_dir: str, name: str) -> int:
+    """Exact row count from parquet footer metadata (driver-side, no
+    Spark job). `df.count()` here launches a whole scan job just to
+    size a modulus — at any scale the footers already carry the answer.
+    Falls back to a Spark count for stores without local footers."""
+    try:
+        import pyarrow.dataset as ds
+
+        return ds.dataset(f"{sf_dir}/{name}.parquet", format="parquet").count_rows()
+    except Exception:  # noqa: BLE001 - non-local fs, odd layout
+        return _t(spark, sf_dir, name).count()
+
+
 def _dense(spark: SparkSession, df: DataFrame) -> DataFrame:
     """Spread a small-but-compute-dense input over all cores. Parquet
     split sizing is BYTE-based; a 0.6 MB documents file arrives as ONE
@@ -643,7 +656,7 @@ def flagship_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     key = (spark.sparkContext.applicationId, sf_dir)
     if key in _FLAGSHIP_CACHE:
         return _FLAGSHIP_CACHE[key]
-    n_cust = _t(spark, sf_dir, "customer").count()
+    n_cust = _nrows(spark, sf_dir, "customer")
     domains = synth_domains(spark, sf_dir)
     ips = synth_ips(spark, sf_dir)
     records = (
@@ -882,7 +895,7 @@ def q_flagship_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _flagship_records(spark: SparkSession, sf_dir: str) -> DataFrame:
-    n_cust = _t(spark, sf_dir, "customer").count()
+    n_cust = _nrows(spark, sf_dir, "customer")
     domains = synth_domains(spark, sf_dir)
     ips = synth_ips(spark, sf_dir)
     return (
