@@ -413,22 +413,25 @@ def duplicate_clusters(
             .agg(F.min("label").alias("nl"))
         )
         stepped = labels.join(nbr, "node", "left").select(
-            "node", F.least("label", F.coalesce("nl", F.col("label"))).alias("label")
+            "node",
+            F.col("label").alias("old"),
+            F.least("label", F.coalesce("nl", F.col("label"))).alias("label"),
         )
-        # pointer jump: label <- label(label)
+        # pointer jump: label <- label(label); carry the pre-round label
+        # so convergence is a filter on the checkpointed result, not a
+        # second shuffle-join job per round
         ptr = stepped.select(F.col("node").alias("pn"), F.col("label").alias("pl"))
         jumped = (
             stepped.join(ptr, stepped.label == ptr.pn, "left")
-            .select("node", F.least("label", F.coalesce("pl", F.col("label"))).alias("label"))
+            .select(
+                "node",
+                F.least("label", F.coalesce("pl", F.col("label"))).alias("label"),
+                "old",
+            )
             .localCheckpoint()
         )
-        changed = (
-            jumped.alias("n")
-            .join(labels.alias("o"), "node")
-            .filter(F.col("n.label") != F.col("o.label"))
-            .count()
-        )
-        labels = jumped
+        changed = jumped.filter(F.col("label") != F.col("old")).count()
+        labels = jumped.select("node", "label")
         if changed == 0:
             break
     return labels.select(
