@@ -439,3 +439,53 @@ def duplicate_clusters(
         F.col("label").alias("cluster_id"),
         (F.col("node") == F.col("label")).alias("is_canonical"),
     )
+
+
+def paragraph_dedup(
+    paras: DataFrame,
+    doc_col: str = "doc_id",
+    pos_col: str = "pos",
+    para_col: str = "para",
+    joiner: str = " ",
+    pos_cap: int = 4096,
+) -> DataFrame:
+    """Corpus-wide paragraph-level dedup (the RefinedWeb/CCNet recipe the
+    reference's stage-boundary `sort -u` (start.sh:8) approximates at
+    whole-record granularity): every paragraph that already appeared
+    anywhere earlier in the corpus is dropped, docs are reassembled from
+    their surviving paragraphs in order, and fully-duplicate docs vanish.
+
+    "Earlier" is the total order (doc_id, pos), encoded as the scalar
+    ``doc_id * pos_cap + pos`` (requires pos < pos_cap) so the
+    first-occurrence winner is a plain ``min`` — a map-side-partial
+    aggregation that stays cheap even when one boilerplate paragraph
+    occurs a billion times (the classic skew case where a
+    row_number-over-hash window would sort the whole hot bucket on one
+    task). Shuffles: one hash agg on the paragraph hash, one join back
+    on it (both sides hash-partitioned the same way), one final agg on
+    doc_id for reassembly. Only (ids, md5) move through the first two;
+    paragraph text is shuffled once, for reassembly.
+    """
+    h = paras.select(
+        F.col(doc_col),
+        F.col(pos_col),
+        F.col(para_col),
+        F.md5(F.col(para_col)).alias("_ph"),
+        (F.col(doc_col) * pos_cap + F.col(pos_col)).alias("_k"),
+    )
+    firsts = h.groupBy("_ph").agg(F.min("_k").alias("_first_k"))
+    kept = (
+        h.join(firsts, "_ph")
+        .filter(F.col("_k") == F.col("_first_k"))
+        .select(doc_col, pos_col, para_col)
+    )
+    return kept.groupBy(doc_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct(pos_col, para_col))),
+                lambda x: x[para_col],
+            ),
+            joiner,
+        ).alias("clean_text"),
+        F.count("*").alias("kept_chunks"),
+    )

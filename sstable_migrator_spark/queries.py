@@ -2545,3 +2545,63 @@ FROM cum GROUP BY 1, 2
 
 QUERIES.update({"q77_token_packing": q_token_packing})
 ORACLES.update({"q77_token_packing": SQL_TOKEN_PACKING})
+
+
+# ---------------------------------------------------------------------------
+# Batch 10 — corpus-wide paragraph-level dedup (RefinedWeb/CCNet recipe)
+# ---------------------------------------------------------------------------
+
+
+def q_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Paragraph-level corpus dedup: documents are chunked into 8-word
+    pseudo-paragraphs (the synthetic corpus is single-line; real corpora
+    split on '\\n\\n'), every chunk that appeared anywhere earlier in
+    (doc_id, pos) order is dropped, and docs are reassembled from the
+    survivors. The whole-record analog in the reference is the
+    stage-boundary `sort -u` (start.sh:8); this is the sub-document
+    version a training-data pipeline needs. First-occurrence selection
+    is a min-aggregation on the paragraph hash (map-side partial agg —
+    skew-proof against boilerplate paragraphs), not a window sort."""
+    chunk = 8
+    docs = _dense(spark, _t(spark, sf_dir, "documents"))
+    words = F.split(F.col("text"), " ")
+    n_chunks = (F.ceil(F.size(words) / F.lit(float(chunk)))).cast("int")
+    paras = docs.select(
+        "doc_id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), n_chunks - F.lit(1)),
+                lambda i: F.array_join(
+                    F.slice(words, i * chunk + F.lit(1), chunk), " "
+                ),
+            )
+        ).alias("pos", "para"),
+    )
+    return dedup.paragraph_dedup(paras)
+
+
+# chunking mirrors the Spark side: 1-based inclusive list slices of the
+# split word array, 512 bounds the chunk count (pos_cap guard; the
+# synthetic docs are ~60 words). md5 keys are engine-portable.
+SQL_PARAGRAPH_DEDUP = """
+WITH w AS (
+  SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+p AS (
+  SELECT w.doc_id, r.i AS pos,
+         array_to_string(ws[(r.i*8+1):(r.i*8+8)], ' ') AS para
+  FROM w JOIN (SELECT unnest(range(0, 512)) AS i) r
+    ON r.i < CAST(ceil(len(ws) / 8.0) AS BIGINT)),
+h AS (SELECT doc_id, pos, para, md5(para) AS ph FROM p),
+firsts AS (SELECT ph, min(doc_id * 4096 + pos) AS first_k FROM h GROUP BY ph),
+kept AS (
+  SELECT h.doc_id, h.pos, h.para FROM h JOIN firsts ON h.ph = firsts.ph
+  WHERE h.doc_id * 4096 + h.pos = firsts.first_k)
+SELECT doc_id,
+       string_agg(para, ' ' ORDER BY pos) AS clean_text,
+       CAST(count(*) AS BIGINT) AS kept_chunks
+FROM kept GROUP BY doc_id
+"""
+
+
+QUERIES.update({"q78_paragraph_dedup": q_paragraph_dedup})
+ORACLES.update({"q78_paragraph_dedup": SQL_PARAGRAPH_DEDUP})

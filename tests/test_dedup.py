@@ -134,3 +134,37 @@ def test_duplicate_clusters_chain_and_islands(spark):
     }
     canonical = {d for d, (_, keep) in got.items() if keep}
     assert canonical == {1, 7, 10}
+
+
+def test_paragraph_dedup(spark):
+    from sstable_migrator_spark.operators.dedup import paragraph_dedup
+
+    # doc 0: A B ; doc 1: B C (B already seen -> only C survives)
+    # doc 2: A B  (everything seen -> doc disappears entirely)
+    rows = [
+        (0, 0, "alpha beta"), (0, 1, "gamma delta"),
+        (1, 0, "gamma delta"), (1, 1, "epsilon zeta"),
+        (2, 0, "alpha beta"), (2, 1, "gamma delta"),
+    ]
+    paras = spark.createDataFrame(rows, "doc_id long, pos int, para string")
+    out = {r["doc_id"]: r for r in paragraph_dedup(paras).collect()}
+    assert set(out) == {0, 1}
+    assert out[0]["clean_text"] == "alpha beta gamma delta"
+    assert out[0]["kept_chunks"] == 2
+    assert out[1]["clean_text"] == "epsilon zeta"
+    assert out[1]["kept_chunks"] == 1
+
+
+def test_paragraph_dedup_order_and_ties(spark):
+    from sstable_migrator_spark.operators.dedup import paragraph_dedup
+
+    # same paragraph twice WITHIN one doc: only the first pos survives;
+    # reassembly preserves pos order even when input order is shuffled
+    rows = [
+        (7, 2, "tail chunk"), (7, 0, "dup chunk"), (7, 1, "dup chunk"),
+    ]
+    paras = spark.createDataFrame(rows, "doc_id long, pos int, para string")
+    out = paragraph_dedup(paras).collect()
+    assert len(out) == 1
+    assert out[0]["clean_text"] == "dup chunk tail chunk"
+    assert out[0]["kept_chunks"] == 2
