@@ -2605,3 +2605,58 @@ FROM kept GROUP BY doc_id
 
 QUERIES.update({"q78_paragraph_dedup": q_paragraph_dedup})
 ORACLES.update({"q78_paragraph_dedup": SQL_PARAGRAPH_DEDUP})
+
+
+# ---------------------------------------------------------------------------
+# Batch 10b — benchmark decontamination
+# ---------------------------------------------------------------------------
+
+
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: flag corpus documents sharing any
+    word-5-shingle with a held-out eval set (here: doc_id % 97 == 0
+    stands in for the benchmark). The eval shingle set is SMALL AND
+    FIXED by construction at any corpus scale — it broadcasts, so the
+    corpus side never shuffles for the probe; the only shuffle is the
+    per-doc rollup. At 100 TB the same shape holds (or swap the
+    broadcast for a bloom filter to trade exactness for memory).
+    Returns per-doc shingle/hit counts and the contamination flag."""
+    docs = _dense(spark, _t(spark, sf_dir, "documents"))
+    sh = docs.select("doc_id", F.explode(TX.shingles(F.col("text"), 5)).alias("s"))
+    ev = (
+        sh.filter(F.col("doc_id") % 97 == 0)
+        .select("s").distinct()
+        .withColumn("_hit", F.lit(1))
+    )
+    corpus = sh.filter(F.col("doc_id") % 97 != 0)
+    return (
+        corpus.join(F.broadcast(ev), "s", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.count("_hit").alias("n_hits"),
+            (F.count("_hit") > 0).alias("contaminated"),
+        )
+    )
+
+
+SQL_DECONTAMINATE = f"""
+WITH sh AS (
+  SELECT doc_id, unnest(list_transform(
+      generate_series(1, greatest(nt - 4, 1)),
+      i -> array_to_string(toks[i:least(i + 4, nt)], ' '))) AS s
+  FROM (SELECT doc_id, toks, len(toks) AS nt
+        FROM (SELECT doc_id, string_split({SQL_NORM}, ' ') AS toks
+              FROM documents))),
+ev AS (SELECT DISTINCT s FROM sh WHERE doc_id % 97 = 0),
+corpus AS (SELECT doc_id, s FROM sh WHERE doc_id % 97 <> 0)
+SELECT corpus.doc_id, CAST(count(*) AS BIGINT) AS n_shingles,
+       CAST(count(ev.s) AS BIGINT) AS n_hits,
+       (count(ev.s) > 0) AS contaminated
+FROM corpus LEFT JOIN ev ON corpus.s = ev.s
+GROUP BY corpus.doc_id
+"""
+
+
+QUERIES.update({"q79_decontaminate": q_decontaminate})
+ORACLES.update({"q79_decontaminate": SQL_DECONTAMINATE})
