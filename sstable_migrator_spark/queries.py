@@ -2660,3 +2660,61 @@ GROUP BY corpus.doc_id
 
 QUERIES.update({"q79_decontaminate": q_decontaminate})
 ORACLES.update({"q79_decontaminate": SQL_DECONTAMINATE})
+
+
+# ---------------------------------------------------------------------------
+# Batch 10c — within-doc repetition quality metrics (Gopher-style rule)
+# ---------------------------------------------------------------------------
+
+
+def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-document repetition metrics (the Gopher/MassiveText
+    repetition rules): duplicate-word fraction and most-common-word
+    fraction, plus the keep decision. Pure map-only expression work —
+    zero shuffles at any scale; the word array and its distinct form
+    are staged once as columns so the per-word count lambda reads
+    attributes instead of re-inlining the normalize/split chain."""
+    docs = _dense(spark, _t(spark, sf_dir, "documents"))
+    staged = docs.select(
+        "doc_id", F.split(TX.normalize_text(F.col("text")), " ").alias("_ws")
+    ).withColumn("_dws", F.array_distinct(F.col("_ws")))
+    n = F.size(F.col("_ws")).cast("long")
+    nd = F.size(F.col("_dws")).cast("long")
+    top = F.array_max(
+        F.transform(
+            F.col("_dws"),
+            lambda w: F.size(F.filter(F.col("_ws"), lambda x: x == w)),
+        )
+    ).cast("long")
+    dup_frac = F.lit(1.0) - nd.cast("double") / n.cast("double")
+    top_frac = top.cast("double") / n.cast("double")
+    return staged.select(
+        "doc_id",
+        n.alias("n_words"),
+        nd.alias("n_distinct"),
+        dup_frac.alias("dup_word_frac"),
+        top_frac.alias("top_word_frac"),
+        ((dup_frac <= 0.55) & (top_frac <= 0.15)).alias("keep"),
+    )
+
+
+SQL_REPETITION_STATS = f"""
+WITH w AS (SELECT doc_id, string_split({SQL_NORM}, ' ') AS ws FROM documents),
+m AS (
+  SELECT doc_id,
+         CAST(len(ws) AS BIGINT) AS n_words,
+         CAST(len(list_distinct(ws)) AS BIGINT) AS n_distinct,
+         CAST(list_max(list_transform(list_distinct(ws),
+              w -> len(list_filter(ws, x -> x = w)))) AS BIGINT) AS top_cnt
+  FROM w)
+SELECT doc_id, n_words, n_distinct,
+       1.0 - CAST(n_distinct AS DOUBLE) / CAST(n_words AS DOUBLE) AS dup_word_frac,
+       CAST(top_cnt AS DOUBLE) / CAST(n_words AS DOUBLE) AS top_word_frac,
+       ((1.0 - CAST(n_distinct AS DOUBLE) / CAST(n_words AS DOUBLE)) <= 0.55
+        AND (CAST(top_cnt AS DOUBLE) / CAST(n_words AS DOUBLE)) <= 0.15) AS keep
+FROM m
+"""
+
+
+QUERIES.update({"q80_repetition_stats": q_repetition_stats})
+ORACLES.update({"q80_repetition_stats": SQL_REPETITION_STATS})
