@@ -2718,3 +2718,66 @@ FROM m
 
 QUERIES.update({"q80_repetition_stats": q_repetition_stats})
 ORACLES.update({"q80_repetition_stats": SQL_REPETITION_STATS})
+
+
+# ---------------------------------------------------------------------------
+# Batch 10d — weighted mixture sampling (dataset mixing for training runs)
+# ---------------------------------------------------------------------------
+
+# per-source mixing weights: >1 replicates whole epochs, the fractional
+# tail is a deterministic md5-keyed Bernoulli (portable across engines)
+_MIX_WEIGHTS = [
+    (f"src{i}", 2.5 if i < 5 else (1.0 if i < 10 else 0.25)) for i in range(20)
+]
+
+
+def q_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted mixture sampling: each source is up-/down-sampled to its
+    mixing weight — floor(w) full epochs plus one fractional epoch taken
+    by deterministic hash (u = md5(doc_id)/2^60 < frac(w)). The weights
+    dim is tiny -> broadcast; replication is explode(sequence(1, n)), a
+    map-side row generator (no shuffle to make copies). Only the final
+    per-(source, epoch) rollup shuffles. Reports the sampled doc count
+    per source and epoch."""
+    docs = _dense(spark, _t(spark, sf_dir, "documents"))
+    wdf = spark.createDataFrame(_MIX_WEIGHTS, "source string, weight double")
+    u = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10)
+        .cast("long")
+        .cast("double")
+        / F.lit(float(1 << 60))
+    )
+    n_copies = (
+        F.floor(F.col("weight")).cast("long")
+        + (u < (F.col("weight") - F.floor(F.col("weight")))).cast("long")
+    )
+    return (
+        docs.join(F.broadcast(wdf), "source")
+        .withColumn("_n", n_copies)
+        .filter(F.col("_n") > 0)
+        .select("source", "weight", F.explode(F.sequence(F.lit(1), F.col("_n"))).alias("epoch"))
+        .groupBy("source", "weight", "epoch")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
+def _sql_mixture_sample() -> str:
+    values = ", ".join(f"('{s}', {w})" for s, w in _MIX_WEIGHTS)
+    return f"""
+WITH wts(source, weight) AS (VALUES {values}),
+d AS (
+  SELECT doc.source, wts.weight,
+         CAST(floor(weight) AS BIGINT)
+         + CASE WHEN CAST(concat('0x', substr(md5(CAST(doc.doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
+                     / 1152921504606846976.0 < weight - floor(weight)
+                THEN 1 ELSE 0 END AS n
+  FROM documents doc JOIN wts ON doc.source = wts.source)
+SELECT source, weight, CAST(e.epoch AS BIGINT) AS epoch,
+       CAST(count(*) AS BIGINT) AS n_docs
+FROM d JOIN (SELECT unnest(range(1, 16)) AS epoch) e ON e.epoch <= d.n
+GROUP BY 1, 2, 3
+"""
+
+
+QUERIES.update({"q81_mixture_sample": q_mixture_sample})
+ORACLES.update({"q81_mixture_sample": _sql_mixture_sample()})
