@@ -489,3 +489,43 @@ def paragraph_dedup(
         ).alias("clean_text"),
         F.count("*").alias("kept_chunks"),
     )
+
+
+def semantic_dedup(
+    embeddings: DataFrame,
+    centroids: list[tuple[int, list[float]]],
+    threshold: float = 0.35,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """SemDeDup-style semantic dedup (Abbas et al. 2023 recipe): assign
+    every vector to its nearest centroid cell (map-only literal
+    expression, ``simsearch.ivf_assign``), then within each cell flag a
+    vector as duplicate iff some LOWER-ID cell-mate has cosine >=
+    threshold (keep-first canonicalization). Returns
+    ``(id, cell, is_dup)``.
+
+    Scale shape: the cluster step bounds pair cost to
+    sum_c |cell_c|^2 — at 100 TB you raise n_cells so cells stay
+    ~1-10k vectors (the paper uses 50k clusters for LAION-scale), and
+    the only shuffles are the cell-keyed self-join and the final
+    per-id rollup; no all-pairs stage exists anywhere. The left join
+    carries the cosine predicate in the ON clause so non-matching
+    cell-mates are dropped before the aggregation.
+    """
+    from sstable_migrator_spark.operators.simsearch import ivf_assign
+
+    assigned = ivf_assign(embeddings, centroids, vec_col, "cell").select(
+        F.col(id_col), F.col("cell"), F.col(vec_col).alias("_v")
+    )
+    a, b = assigned.alias("a"), assigned.alias("b")
+    cond = (
+        (F.col("a.cell") == F.col("b.cell"))
+        & (F.col(f"b.{id_col}") < F.col(f"a.{id_col}"))
+        & (VX.cosine(F.col("a._v"), F.col("b._v")) >= threshold)
+    )
+    return (
+        a.join(b, cond, "left")
+        .groupBy(F.col(f"a.{id_col}").alias(id_col), F.col("a.cell").alias("cell"))
+        .agg((F.count(F.col(f"b.{id_col}")) > 0).alias("is_dup"))
+    )

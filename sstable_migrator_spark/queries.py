@@ -2781,3 +2781,207 @@ GROUP BY 1, 2, 3
 
 QUERIES.update({"q81_mixture_sample": q_mixture_sample})
 ORACLES.update({"q81_mixture_sample": _sql_mixture_sample()})
+
+
+# ---------------------------------------------------------------------------
+# Batch 11 — PII scrubbing, SemDeDup, per-language adaptive quality cutoffs
+# ---------------------------------------------------------------------------
+
+
+def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub: count + redact emails / IPv4s / phone numbers
+    (functions.pii). The corpus has no organic PII, so a deterministic
+    doc_id-keyed tail injects one span into 3/4 of the docs — both
+    engines build the identical text, then count and redact it.
+    Map-only: regexp_count + chained regexp_replace, zero shuffles at
+    any corpus scale."""
+    from sstable_migrator_spark.functions import pii as PII
+
+    docs = _dense(spark, _t(spark, sf_dir, "documents"))
+    d = F.col("doc_id")
+    m = d % 4
+    tail = (
+        F.when(m == 0, F.concat(F.lit(" contact user"), d.cast("string"), F.lit("@example.com")))
+        .when(m == 1, F.concat(F.lit(" call 555-"), F.lpad((d % 1000).cast("string"), 3, "0"),
+                               F.lit("-"), F.lpad((d % 10000).cast("string"), 4, "0")))
+        .when(m == 2, F.concat(F.lit(" from 10."), (d % 256).cast("string"),
+                               F.lit("."), ((d * 7) % 256).cast("string"), F.lit(".99")))
+        .otherwise(F.lit(""))
+    )
+    staged = docs.select("doc_id", F.concat(F.col("text"), tail).alias("_t"))
+    red = PII.redact_pii(F.col("_t"))
+    return staged.select(
+        "doc_id",
+        PII.pii_count(F.col("_t"), "email").cast("long").alias("n_email"),
+        PII.pii_count(F.col("_t"), "ipv4").cast("long").alias("n_ipv4"),
+        PII.pii_count(F.col("_t"), "phone").cast("long").alias("n_phone"),
+        F.length(red).cast("long").alias("red_len"),
+        F.md5(red).alias("red_md5"),
+    )
+
+
+def _sql_pii_redact() -> str:
+    from sstable_migrator_spark.functions.pii import PII_PATTERNS
+
+    reds = "t"
+    for kind, pat in PII_PATTERNS.items():
+        reds = f"regexp_replace({reds}, '{pat}', '<{kind.upper()}>', 'g')"
+    counts = ",\n       ".join(
+        f"CAST(len(regexp_extract_all(t, '{pat}')) AS BIGINT) AS n_{kind}"
+        for kind, pat in PII_PATTERNS.items()
+    )
+    return f"""
+WITH t AS (
+  SELECT doc_id,
+         text || CASE
+           WHEN doc_id % 4 = 0 THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com'
+           WHEN doc_id % 4 = 1 THEN ' call 555-' || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0')
+                                || '-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+           WHEN doc_id % 4 = 2 THEN ' from 10.' || CAST(doc_id % 256 AS VARCHAR)
+                                || '.' || CAST((doc_id * 7) % 256 AS VARCHAR) || '.99'
+           ELSE '' END AS t
+  FROM documents)
+SELECT doc_id,
+       {counts},
+       CAST(length({reds}) AS BIGINT) AS red_len,
+       md5({reds}) AS red_md5
+FROM t
+"""
+
+
+def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup over the embeddings table: 16 seeded IVF centroids
+    (vec_id % 20 == 0, < 320 — index construction, 16 rows collected),
+    map-only cell assignment, then keep-first duplicate flagging within
+    each cell at cosine >= 0.35 (dedup.semantic_dedup). The threshold
+    is corpus-calibrated (the synthetic embeddings are near-isotropic);
+    real corpora run ~0.95+."""
+    emb = _t(spark, sf_dir, "embeddings")
+    cent_rows = (
+        emb.filter((F.col("vec_id") % 20 == 0) & (F.col("vec_id") < 320))
+        .select("vec_id", "embedding")
+        .orderBy("vec_id")
+        .collect()
+    )
+    centroids = [(int(r["vec_id"]), [float(x) for x in r["embedding"]]) for r in cent_rows]
+    out = dedup.semantic_dedup(emb, centroids, threshold=0.35)
+    return out.select("vec_id", F.col("cell").cast("long").alias("cell"), "is_dup")
+
+
+SQL_SEMDEDUP = f"""
+WITH c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+cent AS (SELECT vec_id AS cell_id, CAST(embedding AS DOUBLE[]) AS cv
+         FROM embeddings WHERE vec_id % 20 = 0 AND vec_id < 320),
+assign AS (
+  SELECT vec_id, v, cell_id AS cell FROM (
+    SELECT c.vec_id, c.v, cent.cell_id,
+           row_number() OVER (PARTITION BY c.vec_id
+                              ORDER BY {_SQL_COS.format(a='c.v', b='cent.cv')} DESC,
+                                       cent.cell_id ASC) AS rn
+    FROM c CROSS JOIN cent) WHERE rn = 1)
+SELECT a.vec_id, a.cell, (count(b.vec_id) > 0) AS is_dup
+FROM assign a LEFT JOIN assign b
+  ON a.cell = b.cell AND b.vec_id < a.vec_id
+     AND {_SQL_COS.format(a='a.v', b='b.v')} >= 0.35
+GROUP BY a.vec_id, a.cell
+"""
+
+
+def q_adaptive_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language adaptive quality filtering: each document keeps or
+    drops against the 25th-percentile quality score OF ITS LANGUAGE,
+    not a global constant (the CCNet/fineweb practice — absolute
+    thresholds over-prune low-resource languages). The cutoff is the
+    rank-selected discrete percentile (cross-engine exact, same recipe
+    as q71); the cutoff table is tiny -> broadcast back, so the corpus
+    shuffles only the 2-column (lang, score) projection for the window,
+    never the text. Score arithmetic mirrors q48 bit-for-bit."""
+    docs = _t(spark, sf_dir, "documents")
+    staged = docs.withColumn("_tk", TX.tokens(F.col("text")))
+    tk = F.col("_tk")
+    n = F.size(tk)
+    tc = n.cast("double")
+    len_score = F.least(tc / 100.0, F.lit(1.0))
+    total_len = F.aggregate(tk, F.lit(0), lambda acc, x: acc + F.length(x))
+    mwl = F.when(n > 0, total_len.cast("double") / n).otherwise(0.0)
+    wl_score = F.when((mwl >= 3.0) & (mwl <= 10.0), 1.0).otherwise(0.0)
+    sw = TX.DEFAULT_STOPWORDS
+    hits = F.size(F.filter(F.transform(tk, F.lower), lambda x: x.isin(*sw)))
+    swr = F.when(n > 0, hits.cast("double") / n).otherwise(0.0)
+    sw_score = F.least(swr * 5.0, F.lit(1.0))
+    punct = F.length(F.regexp_replace(F.col("text"), "[A-Za-z0-9\\s]", ""))
+    pr = F.when(F.length("text") > 0, punct.cast("double") / F.length("text")).otherwise(0.0)
+    punct_score = F.lit(1.0) - F.least(pr * 4.0, F.lit(1.0))
+    quality = 0.3 * len_score + 0.2 * wl_score + 0.3 * sw_score + 0.2 * punct_score
+    scores = staged.select("doc_id", "lang", quality.alias("score"))
+
+    w = Window.partitionBy("lang").orderBy("score")
+    wc = Window.partitionBy("lang")
+    ranked = (
+        scores.select("lang", "score")
+        .withColumn("rn", F.row_number().over(w))
+        .withColumn("n", F.count(F.lit(1)).over(wc))
+    )
+    cutoffs = ranked.filter(
+        F.col("rn") == F.ceil(F.col("n") * 0.25)
+    ).select("lang", F.col("score").alias("cutoff"))
+    return scores.join(F.broadcast(cutoffs), "lang").select(
+        "doc_id", "lang", "score", "cutoff",
+        (F.col("score") >= F.col("cutoff")).alias("keep"),
+    )
+
+
+SQL_ADAPTIVE_QUALITY = """
+WITH toks AS (
+  SELECT doc_id, lang, text,
+         CASE WHEN length(trim(text)) = 0 THEN []
+              ELSE regexp_split_to_array(trim(text), '\\s+') END AS tk
+  FROM documents),
+comp AS (
+  SELECT doc_id, lang,
+    least(CAST(len(tk) AS DOUBLE) / 100.0, 1.0) AS len_score,
+    CASE WHEN len(tk) > 0
+         THEN CAST(list_sum(list_transform(tk, t -> length(t))) AS DOUBLE) / len(tk)
+         ELSE 0.0 END AS mwl,
+    CASE WHEN len(tk) > 0
+         THEN CAST(len(list_filter(list_transform(tk, t -> lower(t)),
+              t -> t IN ('the','a','of','and','to','in','is','that','it','for'))) AS DOUBLE) / len(tk)
+         ELSE 0.0 END AS swr,
+    CASE WHEN length(text) > 0
+         THEN CAST(length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) AS DOUBLE) / length(text)
+         ELSE 0.0 END AS pr
+  FROM toks),
+q AS (
+  SELECT doc_id, lang,
+         0.3 * len_score
+         + 0.2 * (CASE WHEN mwl >= 3.0 AND mwl <= 10.0 THEN 1.0 ELSE 0.0 END)
+         + 0.3 * least(swr * 5.0, 1.0)
+         + 0.2 * (1.0 - least(pr * 4.0, 1.0)) AS score
+  FROM comp),
+ranked AS (
+  SELECT lang, score,
+         row_number() OVER (PARTITION BY lang ORDER BY score) AS rn,
+         count(*) OVER (PARTITION BY lang) AS n
+  FROM q),
+cut AS (SELECT lang, score AS cutoff FROM ranked
+        WHERE rn = CAST(ceil(n * 0.25) AS BIGINT))
+SELECT q.doc_id, q.lang, q.score, cut.cutoff, (q.score >= cut.cutoff) AS keep
+FROM q JOIN cut USING (lang)
+"""
+
+
+QUERIES.update(
+    {
+        "q82_pii_redact": q_pii_redact,
+        "q83_semdedup": q_semdedup,
+        "q84_adaptive_quality": q_adaptive_quality,
+    }
+)
+
+ORACLES.update(
+    {
+        "q82_pii_redact": _sql_pii_redact(),
+        "q83_semdedup": SQL_SEMDEDUP,
+        "q84_adaptive_quality": SQL_ADAPTIVE_QUALITY,
+    }
+)

@@ -168,3 +168,24 @@ def test_paragraph_dedup_order_and_ties(spark):
     assert len(out) == 1
     assert out[0]["clean_text"] == "dup chunk tail chunk"
     assert out[0]["kept_chunks"] == 2
+
+
+def test_semantic_dedup(spark):
+    from sstable_migrator_spark.operators.dedup import semantic_dedup
+
+    # two tight clusters around orthogonal axes + one outlier
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0]),
+        (1, [0.99, 0.01, 0.0, 0.0]),   # near-dup of 0 (same cell)
+        (2, [0.0, 1.0, 0.0, 0.0]),
+        (3, [0.01, 0.99, 0.0, 0.0]),   # near-dup of 2
+        (4, [0.0, 0.0, 1.0, 0.0]),     # alone in its cell
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cents = [(0, [1.0, 0.0, 0.0, 0.0]), (1, [0.0, 1.0, 0.0, 0.0]),
+             (2, [0.0, 0.0, 1.0, 0.0])]
+    out = {r["vec_id"]: (r["cell"], r["is_dup"])
+           for r in semantic_dedup(emb, cents, threshold=0.9).collect()}
+    assert out[0] == (0, False) and out[1] == (0, True)
+    assert out[2] == (1, False) and out[3] == (1, True)
+    assert out[4] == (2, False)
