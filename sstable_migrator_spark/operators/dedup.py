@@ -515,8 +515,17 @@ def semantic_dedup(
     """
     from sstable_migrator_spark.operators.simsearch import ivf_assign
 
-    assigned = ivf_assign(embeddings, centroids, vec_col, "cell").select(
-        F.col(id_col), F.col("cell"), F.col(vec_col).alias("_v")
+    # Materialize the assignment before the self-join: the literal
+    # centroid tree (n_cells x dim doubles) would otherwise be embedded
+    # in BOTH join branches — doubling an already-large plan and its
+    # janino compile (sf0.1: ~4.5s -> ~1.5s). At 100 TB the assignment
+    # IS the persisted IVF index (written partitionBy(cell));
+    # localCheckpoint is the in-session stand-in, same as the LSH
+    # signature tables above.
+    assigned = (
+        ivf_assign(embeddings, centroids, vec_col, "cell")
+        .select(F.col(id_col), F.col("cell"), F.col(vec_col).alias("_v"))
+        .localCheckpoint()
     )
     a, b = assigned.alias("a"), assigned.alias("b")
     cond = (

@@ -2985,3 +2985,179 @@ ORACLES.update(
         "q84_adaptive_quality": SQL_ADAPTIVE_QUALITY,
     }
 )
+
+
+# ---------------------------------------------------------------------------
+# Batch 12 — URL-domain doc filtering, per-source caps, unigram-LM scoring
+# ---------------------------------------------------------------------------
+
+# blocked apexes for q85 — the P6/J5 blocklist semantics applied to URLs
+# *inside* document text instead of to a domain feed
+_BLOCKED_APEX = ["dom1.com", "dom3.com", "dom5.org"]
+
+
+def q_url_domain_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-aware document filter: extract URLs from text, reduce each
+    host to its (naive, clickhouse_queries.md:24) apex, drop documents
+    citing a blocklisted apex — the reference's blocklist anti-filter
+    (P6/J5) lifted to document corpora. URLs are injected
+    deterministically (the synthetic corpus has none): 2/3 of docs gain
+    one of two URL shapes keyed on doc_id. Pure expression work —
+    extract/transform/filter over an array column, zero shuffles at any
+    corpus scale; the blocklist is a literal IN-set (broadcast-set
+    analog, same as J1)."""
+    docs = _dense(spark, _t(spark, sf_dir, "documents"))
+    d = F.col("doc_id")
+    m = d % 3
+    tail = (
+        F.when(m == 0, F.concat(F.lit(" see https://sub"), (d % 7).cast("string"),
+                                F.lit(".dom"), (d % 23).cast("string"),
+                                F.lit(".com/p/"), d.cast("string")))
+        .when(m == 1, F.concat(F.lit(" ref http://dom"), (d % 23).cast("string"),
+                               F.lit(".org/x")))
+        .otherwise(F.lit(""))
+    )
+    staged = docs.select("doc_id", F.concat(F.col("text"), tail).alias("_t"))
+    hosts = F.regexp_extract_all(F.col("_t"), F.lit(r"https?://([A-Za-z0-9.-]+)"), 1)
+    apexes = F.transform(hosts, lambda h: _apex2(h))
+    n_blocked = F.size(F.filter(apexes, lambda a: a.isin(*_BLOCKED_APEX)))
+    return staged.select(
+        "doc_id",
+        F.size(hosts).cast("long").alias("n_urls"),
+        n_blocked.cast("long").alias("n_blocked"),
+        (n_blocked == 0).alias("keep"),
+    )
+
+
+def _apex2(h):
+    parts = F.split(F.lower(h), "\\.")
+    n = F.size(parts)
+    return F.concat_ws(".", F.slice(parts, F.greatest(n - 1, F.lit(1)), n))
+
+
+def _sql_url_domain_filter() -> str:
+    blocked = ", ".join(f"'{a}'" for a in _BLOCKED_APEX)
+    return rf"""
+WITH t AS (
+  SELECT doc_id,
+         text || CASE
+           WHEN doc_id % 3 = 0 THEN ' see https://sub' || CAST(doc_id % 7 AS VARCHAR)
+                || '.dom' || CAST(doc_id % 23 AS VARCHAR) || '.com/p/' || CAST(doc_id AS VARCHAR)
+           WHEN doc_id % 3 = 1 THEN ' ref http://dom' || CAST(doc_id % 23 AS VARCHAR) || '.org/x'
+           ELSE '' END AS t
+  FROM documents),
+h AS (
+  SELECT doc_id,
+         regexp_extract_all(t, 'https?://([A-Za-z0-9.-]+)', 1) AS hosts
+  FROM t),
+a AS (
+  SELECT doc_id, hosts,
+         list_transform(hosts, x ->
+           array_to_string(list_slice(string_split(lower(x), '.'), -2, -1), '.')) AS apexes
+  FROM h)
+SELECT doc_id,
+       CAST(len(hosts) AS BIGINT) AS n_urls,
+       CAST(len(list_filter(apexes, x -> x IN ({blocked}))) AS BIGINT) AS n_blocked,
+       (len(list_filter(apexes, x -> x IN ({blocked}))) = 0) AS keep
+FROM a
+"""
+
+
+def q_per_source_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source document cap: keep a deterministic pseudo-random 25
+    docs per source (rank by md5(doc_id) inside each source) — the
+    uniform per-stratum sample a mixture builder takes before weighting
+    (q81). One shuffle (partition by source); a pathologically hot
+    source is the q64 skew-salting case; the md5 orders is a pure row
+    property so the sample is reproducible on any engine/partitioning."""
+    docs = _t(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy(
+        F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
+    )
+    return (
+        docs.select("source", "doc_id")
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 25)
+    )
+
+
+SQL_PER_SOURCE_CAP = """
+SELECT source, doc_id, CAST(rk AS INT) AS rk FROM (
+  SELECT source, doc_id,
+         row_number() OVER (PARTITION BY source
+                            ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+  FROM documents)
+WHERE rk <= 25
+"""
+
+
+def q_unigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM document scoring (the CCNet/importance-filter shape):
+    score each doc by the mean corpus-frequency of its tokens. All
+    arithmetic stays INTEGER until one final double divide —
+    sum_ctf / (T * n_tokens) — so the score is bit-identical on any
+    engine and any aggregation order (no float-sum nondeterminism).
+    Shuffles: token-frequency agg, token-keyed join back (vocab can
+    exceed memory at 100 TB -> equi-join, not a broadcast map), per-doc
+    rollup. The 1-row corpus total rides a broadcast cross join."""
+    docs = _dense(spark, _t(spark, sf_dir, "documents"))
+    terms = docs.select(
+        "doc_id",
+        # lambda-wrapped trim — see the q75 note on transform's arity trap
+        F.explode(
+            F.transform(TX.word_tokens(F.col("text")), lambda x: F.trim(x))
+        ).alias("term"),
+    )
+    freq = terms.groupBy("term").agg(F.count(F.lit(1)).alias("ctf"))
+    total = terms.agg(F.count(F.lit(1)).alias("t_total"))
+    per_doc = (
+        terms.join(freq, "term")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum("ctf").alias("sum_ctf"),
+        )
+    )
+    return per_doc.crossJoin(F.broadcast(total)).select(
+        "doc_id",
+        "n_tokens",
+        "sum_ctf",
+        (
+            F.col("sum_ctf").cast("double")
+            / (F.col("t_total").cast("double") * F.col("n_tokens").cast("double"))
+        ).alias("mean_p"),
+    )
+
+
+SQL_UNIGRAM_LM = r"""
+WITH terms AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text),
+         '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS term
+  FROM documents),
+freq AS (SELECT term, CAST(count(*) AS BIGINT) AS ctf FROM terms GROUP BY term),
+tot AS (SELECT CAST(count(*) AS BIGINT) AS t_total FROM terms),
+pd AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+         CAST(sum(ctf) AS BIGINT) AS sum_ctf
+  FROM terms JOIN freq USING (term) GROUP BY doc_id)
+SELECT doc_id, n_tokens, sum_ctf,
+       CAST(sum_ctf AS DOUBLE) / (CAST(t_total AS DOUBLE) * CAST(n_tokens AS DOUBLE)) AS mean_p
+FROM pd CROSS JOIN tot
+"""
+
+
+QUERIES.update(
+    {
+        "q85_url_domain_filter": q_url_domain_filter,
+        "q86_per_source_cap": q_per_source_cap,
+        "q87_unigram_lm": q_unigram_lm_score,
+    }
+)
+
+ORACLES.update(
+    {
+        "q85_url_domain_filter": _sql_url_domain_filter(),
+        "q86_per_source_cap": SQL_PER_SOURCE_CAP,
+        "q87_unigram_lm": SQL_UNIGRAM_LM,
+    }
+)

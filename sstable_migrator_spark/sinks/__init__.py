@@ -155,3 +155,11 @@ def compact_small_files(
     shutil.rmtree(path)
     os.rename(tmp, path)
     return n_files
+
+
+def write_jsonl_shards(df: DataFrame, path: str, n_shards: int, mode: str = "overwrite") -> None:
+    """Training-export sink: gzip'd JSON-lines in ``n_shards`` files.
+    Round-robin repartition (keyless — no skew) sizes the shards
+    evenly; at scale pick n_shards from bytes/128 MB like
+    ``compact_small_files`` does rather than a constant."""
+    df.repartition(n_shards).write.mode(mode).option("compression", "gzip").json(path)

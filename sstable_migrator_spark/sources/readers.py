@@ -94,3 +94,18 @@ def stage_url(urls: list[str] | str, dest_path: str, retries: int = 2, timeout: 
             except Exception as e:  # noqa: BLE001 — collect and fail over
                 errors.append(f"{url}: {e!r}")
     raise OSError(f"all mirrors failed after {retries} rounds: {errors}")
+
+
+def read_jsonl(spark: SparkSession, path: str, schema: T.StructType | str | None = None) -> DataFrame:
+    """JSON-lines reader — the interchange format LLM-data pipelines
+    emit/consume. With an explicit schema the reader skips the
+    inference pass (two scans -> one; mandatory at 100 TB) and
+    malformed lines land in ``_corrupt_record`` instead of failing the
+    job (PERMISSIVE is the analog of the reference cleaners'
+    reject-stream, utils.go:95-109)."""
+    r = spark.read
+    if schema is not None:
+        r = r.schema(schema)
+    return r.option("mode", "PERMISSIVE").option(
+        "columnNameOfCorruptRecord", "_corrupt_record"
+    ).json(path)
