@@ -3161,3 +3161,136 @@ ORACLES.update(
         "q87_unigram_lm": SQL_UNIGRAM_LM,
     }
 )
+
+
+# ---------------------------------------------------------------------------
+# Batch 13 — snapshot diff, histograms, corpus n-gram mining
+# ---------------------------------------------------------------------------
+
+
+def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-over-day snapshot diff: the reference's `comm -23` anti-join
+    (J4, daily_certstream_download.sh:75-93) gives only ADDED; the full
+    operator a feed pipeline needs classifies added / removed / changed
+    / unchanged in ONE full-outer join on the key. Snapshots are carved
+    deterministically from `documents` (yesterday: doc_id % 97 != 0;
+    today: doc_id % 89 != 0, with text 'edited' when doc_id % 13 == 0).
+    Content equality is md5-based — at 100 TB the compared column is a
+    16-byte digest, never the document body; one co-partitioned
+    shuffle join on the key."""
+    docs = _t(spark, sf_dir, "documents")
+    yday = docs.filter(F.col("doc_id") % 97 != 0).select(
+        F.col("doc_id"), F.md5(F.col("text")).alias("h_old")
+    )
+    today = docs.filter(F.col("doc_id") % 89 != 0).select(
+        F.col("doc_id"),
+        F.md5(
+            F.when(F.col("doc_id") % 13 == 0, F.concat(F.col("text"), F.lit(" [edited]")))
+            .otherwise(F.col("text"))
+        ).alias("h_new"),
+    )
+    joined = yday.join(today, "doc_id", "full_outer")
+    status = (
+        F.when(F.col("h_old").isNull(), "added")
+        .when(F.col("h_new").isNull(), "removed")
+        .when(F.col("h_old") == F.col("h_new"), "unchanged")
+        .otherwise("changed")
+    )
+    return joined.select("doc_id", status.alias("status")).groupBy("status").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("doc_id").alias("min_id"),
+        F.max("doc_id").alias("max_id"),
+    )
+
+
+SQL_SNAPSHOT_DIFF = """
+WITH yday AS (
+  SELECT doc_id, md5(text) AS h_old FROM documents WHERE doc_id % 97 <> 0),
+today AS (
+  SELECT doc_id,
+         md5(CASE WHEN doc_id % 13 = 0 THEN text || ' [edited]' ELSE text END) AS h_new
+  FROM documents WHERE doc_id % 89 <> 0),
+j AS (
+  SELECT COALESCE(yday.doc_id, today.doc_id) AS doc_id, h_old, h_new
+  FROM yday FULL OUTER JOIN today ON yday.doc_id = today.doc_id)
+SELECT CASE WHEN h_old IS NULL THEN 'added'
+            WHEN h_new IS NULL THEN 'removed'
+            WHEN h_old = h_new THEN 'unchanged'
+            ELSE 'changed' END AS status,
+       CAST(count(*) AS BIGINT) AS n,
+       min(doc_id) AS min_id, max(doc_id) AS max_id
+FROM j GROUP BY 1
+"""
+
+
+def q_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram of document byte lengths (bucket = 100
+    chars): the data-profiling primitive behind corpus length curves.
+    floor-division bucketing is a map-side expression; one partial-agg
+    shuffle on the (small) bucket key — mergeable at any scale, unlike
+    a sort-based histogram."""
+    docs = _t(spark, sf_dir, "documents")
+    b = F.floor(F.col("n_chars") / 100).cast("long")
+    return docs.groupBy(b.alias("bucket")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("n_chars").alias("lo"),
+        F.max("n_chars").alias("hi"),
+    )
+
+
+SQL_LENGTH_HISTOGRAM = """
+SELECT CAST(floor(n_chars / 100) AS BIGINT) AS bucket,
+       CAST(count(*) AS BIGINT) AS n,
+       min(n_chars) AS lo, max(n_chars) AS hi
+FROM documents GROUP BY 1
+"""
+
+
+def q_top_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level phrase mining: top-50 word bigrams by document
+    frequency (each doc votes once per distinct bigram — boilerplate
+    inside one doc can't dominate). Shuffles: one (bigram) partial agg;
+    top-k is TakeOrderedAndProject (no global sort). The per-doc
+    distinct is array_distinct inside the projection — map-side."""
+    docs = _dense(spark, _t(spark, sf_dir, "documents"))
+    grams = docs.select(
+        "doc_id",
+        F.explode(F.array_distinct(TX.shingles(F.col("text"), 2))).alias("gram"),
+    )
+    return (
+        grams.groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("docs"))
+        .orderBy(F.desc("docs"), F.asc("gram"))
+        .limit(50)
+    )
+
+
+SQL_TOP_NGRAMS = f"""
+WITH g AS (
+  SELECT doc_id, unnest(list_distinct(list_transform(
+           generate_series(1, greatest(nt - 1, 1)),
+           i -> array_to_string(toks[i:least(i + 1, nt)], ' ')))) AS gram
+  FROM (SELECT doc_id, toks, len(toks) AS nt
+        FROM (SELECT doc_id, string_split({SQL_NORM}, ' ') AS toks
+              FROM documents)))
+SELECT gram, CAST(count(*) AS BIGINT) AS docs
+FROM g GROUP BY gram
+ORDER BY docs DESC, gram ASC LIMIT 50
+"""
+
+
+QUERIES.update(
+    {
+        "q88_snapshot_diff": q_snapshot_diff,
+        "q89_length_histogram": q_length_histogram,
+        "q90_top_ngrams": q_top_ngrams,
+    }
+)
+
+ORACLES.update(
+    {
+        "q88_snapshot_diff": SQL_SNAPSHOT_DIFF,
+        "q89_length_histogram": SQL_LENGTH_HISTOGRAM,
+        "q90_top_ngrams": SQL_TOP_NGRAMS,
+    }
+)
