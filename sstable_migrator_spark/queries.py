@@ -3294,3 +3294,145 @@ ORACLES.update(
         "q90_top_ngrams": SQL_TOP_NGRAMS,
     }
 )
+
+
+# ---------------------------------------------------------------------------
+# Batch 14 — event funnel, cohort retention, table profiling
+# ---------------------------------------------------------------------------
+
+
+def q_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered conversion funnel view -> click -> purchase: a user
+    counts at stage k only if stage k's earliest qualifying event is
+    strictly after their stage k-1 time. Each stage is one conditional
+    min-agg plus an equi-join on user_id — 100 TB-safe (user-keyed
+    hash joins, no window over the full event log, no collect_list of
+    a user's history). Returns one row per stage with the surviving
+    user count."""
+    ev = _t(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    s1 = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id").agg(F.min("ts").alias("t1"))
+    )
+    s2 = (
+        ev.filter(F.col("event_type") == "click")
+        .join(s1, "user_id")
+        .filter(F.col("ts") > F.col("t1"))
+        .groupBy("user_id").agg(F.min("ts").alias("t2"))
+    )
+    s3 = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(s2, "user_id")
+        .filter(F.col("ts") > F.col("t2"))
+        .groupBy("user_id").agg(F.min("ts").alias("t3"))
+    )
+    rows = [
+        s1.agg(F.lit(1).alias("stage"), F.lit("view").alias("event_type"),
+               F.count(F.lit(1)).alias("n_users")),
+        s2.agg(F.lit(2).alias("stage"), F.lit("click").alias("event_type"),
+               F.count(F.lit(1)).alias("n_users")),
+        s3.agg(F.lit(3).alias("stage"), F.lit("purchase").alias("event_type"),
+               F.count(F.lit(1)).alias("n_users")),
+    ]
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out
+
+
+SQL_EVENT_FUNNEL = """
+WITH s1 AS (SELECT user_id, min(ts) AS t1 FROM events
+            WHERE event_type = 'view' GROUP BY user_id),
+s2 AS (SELECT e.user_id, min(ts) AS t2 FROM events e JOIN s1 USING (user_id)
+       WHERE event_type = 'click' AND ts > t1 GROUP BY e.user_id),
+s3 AS (SELECT e.user_id, min(ts) AS t3 FROM events e JOIN s2 USING (user_id)
+       WHERE event_type = 'purchase' AND ts > t2 GROUP BY e.user_id)
+SELECT 1 AS stage, 'view' AS event_type, CAST((SELECT count(*) FROM s1) AS BIGINT) AS n_users
+UNION ALL
+SELECT 2, 'click', CAST((SELECT count(*) FROM s2) AS BIGINT)
+UNION ALL
+SELECT 3, 'purchase', CAST((SELECT count(*) FROM s3) AS BIGINT)
+"""
+
+
+def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention: users grouped by first-activity day, counted
+    on each later active day as a day offset. Shuffle shape: first-seen
+    min-agg (user), distinct user-day projection, user-keyed join, then
+    the (cohort, offset) rollup — every key is either user_id or the
+    tiny (day, offset) pair; event payloads never move. Offsets capped
+    at 7 to bound output."""
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", F.to_date("ts").alias("d")
+    )
+    first = ev.groupBy("user_id").agg(F.min("d").alias("cohort_day"))
+    active = ev.distinct()
+    joined = active.join(first, "user_id").withColumn(
+        "offset_days", F.datediff(F.col("d"), F.col("cohort_day"))
+    )
+    return (
+        joined.filter(F.col("offset_days").between(0, 7))
+        .groupBy("cohort_day", "offset_days")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+    )
+
+
+SQL_COHORT_RETENTION = """
+WITH ev AS (SELECT user_id, CAST(ts AS DATE) AS d FROM events),
+first AS (SELECT user_id, min(d) AS cohort_day FROM ev GROUP BY user_id),
+active AS (SELECT DISTINCT user_id, d FROM ev)
+SELECT cohort_day, CAST(datediff('day', cohort_day, d) AS INT) AS offset_days,
+       CAST(count(*) AS BIGINT) AS n_users
+FROM active JOIN first USING (user_id)
+WHERE datediff('day', cohort_day, d) BETWEEN 0 AND 7
+GROUP BY 1, 2
+"""
+
+
+def q_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANALYZE-style table profile of `documents`: one pass computing
+    per-column null counts, exact distinct cardinalities, and length /
+    value extrema — the statistics a cost-based optimizer (and a data
+    engineer) wants. Single aggregation, no joins; at 100 TB swap the
+    exact count_distinct for approx_count_distinct (q73's sketch) —
+    kept exact here for the oracle."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.col("text").isNull().cast("long")).alias("null_text"),
+        F.countDistinct("lang").alias("n_langs"),
+        F.countDistinct("source").alias("n_sources"),
+        F.min("n_chars").alias("min_chars"),
+        F.max("n_chars").alias("max_chars"),
+        F.min(F.length("text")).alias("min_len"),
+        F.max(F.length("text")).alias("max_len"),
+    )
+
+
+SQL_TABLE_PROFILE = """
+SELECT CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(CASE WHEN text IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_text,
+       CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+       CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+       min(n_chars) AS min_chars, max(n_chars) AS max_chars,
+       CAST(min(length(text)) AS INT) AS min_len,
+       CAST(max(length(text)) AS INT) AS max_len
+FROM documents
+"""
+
+
+QUERIES.update(
+    {
+        "q91_event_funnel": q_event_funnel,
+        "q92_cohort_retention": q_cohort_retention,
+        "q93_table_profile": q_table_profile,
+    }
+)
+
+ORACLES.update(
+    {
+        "q91_event_funnel": SQL_EVENT_FUNNEL,
+        "q92_cohort_retention": SQL_COHORT_RETENTION,
+        "q93_table_profile": SQL_TABLE_PROFILE,
+    }
+)
