@@ -3436,3 +3436,280 @@ ORACLES.update(
         "q93_table_profile": SQL_TABLE_PROFILE,
     }
 )
+
+
+# ---------------------------------------------------------------------------
+# Batch 15 — multi-join volume, pivot, range-frame window, inverted index,
+# equi-depth binning, SCD2 interval building
+# ---------------------------------------------------------------------------
+
+
+def q_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: revenue by nation where customer and supplier
+    share the nation, scoped to one region and a date window. Join
+    geometry for 100 TB: region/nation/supplier/customer are dims ->
+    broadcast; orders-lineitem is the single fact-fact shuffle join.
+    The c_nationkey = s_nationkey co-nation constraint rides the join
+    condition, never a post-filter cross product. Sums go through
+    DECIMAL so both engines add exactly."""
+    region = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    nation = _t(spark, sf_dir, "nation")
+    rn = nation.join(
+        F.broadcast(region), nation.n_regionkey == region.r_regionkey
+    ).select("n_nationkey", "n_name")
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    supp = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1998-01-01")
+    ).select("o_orderkey", "o_custkey")
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    rev = (
+        F.col("l_extendedprice").cast("decimal(18,2)")
+        * (F.lit(1).cast("decimal(18,2)") - F.col("l_discount").cast("decimal(18,2)"))
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(
+            F.broadcast(cust),
+            (orders.o_custkey == cust.c_custkey)
+            & (supp.s_nationkey == cust.c_nationkey),
+        )
+        .join(F.broadcast(rn), supp.s_nationkey == rn.n_nationkey)
+        .groupBy("n_name")
+        .agg(F.sum(rev).cast("double").alias("revenue"))
+        .orderBy(F.desc("revenue"), "n_name")
+    )
+
+
+SQL_LOCAL_SUPPLIER_VOLUME = """
+SELECT n_name,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))))
+            AS DOUBLE) AS revenue
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN customer ON o_custkey = c_custkey AND s_nationkey = c_nationkey
+JOIN nation   ON s_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate <  TIMESTAMP '1998-01-01'
+GROUP BY n_name
+ORDER BY revenue DESC, n_name
+"""
+
+
+_PIVOT_LANGS = ["de", "en", "es", "fr", "zh"]
+
+
+def q_lang_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot (long -> wide): per-source doc counts spread across one
+    column per language. Explicit pivot values keep it ONE pass (no
+    distinct-values pre-job) and a stable schema at any scale; a pivot
+    is just a grouped conditional aggregation, so the shuffle is the
+    same single source-keyed exchange a plain count would use."""
+    docs = _t(spark, sf_dir, "documents").select("source", "lang")
+    return (
+        docs.groupBy("source")
+        .pivot("lang", _PIVOT_LANGS)
+        .agg(F.count(F.lit(1)))
+        .select(
+            "source",
+            *[F.coalesce(F.col(l), F.lit(0)).cast("long").alias(l) for l in _PIVOT_LANGS],
+        )
+    )
+
+
+SQL_LANG_PIVOT = """
+SELECT source,
+       CAST(count(*) FILTER (lang = 'de') AS BIGINT) AS de,
+       CAST(count(*) FILTER (lang = 'en') AS BIGINT) AS en,
+       CAST(count(*) FILTER (lang = 'es') AS BIGINT) AS es,
+       CAST(count(*) FILTER (lang = 'fr') AS BIGINT) AS fr,
+       CAST(count(*) FILTER (lang = 'zh') AS BIGINT) AS zh
+FROM documents GROUP BY source
+"""
+
+
+def q_rolling_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing 7-day revenue: daily order totals, then a RANGE-framed
+    window (6 preceding days .. current) over a day-number ordering —
+    RANGE, not ROWS, so calendar gaps shorten the frame instead of
+    silently widening it. Day totals go through DECIMAL; the window
+    input is one row per day (tiny), so the sort after the daily rollup
+    shuffle is trivial at any corpus scale."""
+    daily = (
+        _t(spark, sf_dir, "orders")
+        .groupBy(F.to_date("o_orderdate").alias("d"))
+        .agg(F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("day_total"))
+        .withColumn("day_num", F.datediff(F.col("d"), F.lit("1995-01-01").cast("date")))
+    )
+    w = Window.orderBy("day_num").rangeBetween(-6, 0)
+    return daily.select(
+        "d",
+        F.col("day_total").cast("double").alias("day_total"),
+        F.sum("day_total").over(w).cast("double").alias("rev_7d"),
+    )
+
+
+SQL_ROLLING_REVENUE = """
+WITH daily AS (
+  SELECT CAST(o_orderdate AS DATE) AS d,
+         sum(CAST(o_totalprice AS DECIMAL(18,2))) AS day_total,
+         datediff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS day_num
+  FROM orders GROUP BY 1, 3)
+SELECT d, CAST(day_total AS DOUBLE) AS day_total,
+       CAST(sum(day_total) OVER (ORDER BY day_num
+            RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) AS DOUBLE) AS rev_7d
+FROM daily
+"""
+
+
+def q_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted-index build: token -> sorted posting list of doc_ids.
+    Postings are per-doc-distinct (collect_set), sorted for determinism,
+    and bounded to rare-ish terms (df in [2, 40]) so list payloads stay
+    small; the full-index variant at 100 TB would write postings bucketed
+    by term instead of collecting them. One (term) shuffle; the tokenize
+    + explode stage is map-only."""
+    docs = _dense(spark, _t(spark, sf_dir, "documents"))
+    terms = docs.select(
+        "doc_id",
+        F.explode_outer(
+            F.array_distinct(
+                F.transform(TX.word_tokens(F.col("text")), lambda x: F.trim(x))
+            )
+        ).alias("term"),
+    ).filter(F.col("term").rlike("^[a-z]{7,}$"))
+    return (
+        terms.groupBy("term")
+        .agg(
+            F.sort_array(F.collect_set("doc_id")).alias("postings"),
+            F.count(F.lit(1)).alias("df"),
+        )
+        .filter((F.col("df") >= 2) & (F.col("df") <= 40))
+        .select("term", "df", "postings")
+    )
+
+
+SQL_INVERTED_INDEX = r"""
+WITH terms AS (
+  SELECT DISTINCT doc_id,
+         unnest(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS term
+  FROM documents),
+postings AS (
+  SELECT term, CAST(count(*) AS BIGINT) AS df,
+         list(doc_id ORDER BY doc_id) AS postings
+  FROM terms WHERE regexp_matches(term, '^[a-z]{7,}$')
+  GROUP BY term)
+SELECT term, df, postings FROM postings WHERE df BETWEEN 2 AND 40
+"""
+
+
+def q_ntile_binning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-depth binning: customers quartiled by account balance within
+    their nation (ntile over a total order — balance then custkey, so
+    ties break identically everywhere), then a per-(nation, bin) profile.
+    One customer-sized shuffle + per-nation sort; the bin summary reuses
+    the same partitioning. The 100 TB variant swaps ntile for
+    percentile_approx cutpoints (q73's sketch) to avoid the full sort."""
+    cust = _t(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_nationkey").orderBy("c_acctbal", "c_custkey")
+    binned = cust.withColumn("bin", F.ntile(4).over(w))
+    return (
+        binned.groupBy("c_nationkey", "bin")
+        .agg(
+            F.count(F.lit(1)).alias("n_cust"),
+            F.min("c_acctbal").alias("lo"),
+            F.max("c_acctbal").alias("hi"),
+        )
+        .select(F.col("c_nationkey").cast("int").alias("c_nationkey"),
+                F.col("bin").cast("int").alias("bin"), "n_cust", "lo", "hi")
+    )
+
+
+SQL_NTILE_BINNING = """
+WITH binned AS (
+  SELECT c_nationkey, c_acctbal,
+         ntile(4) OVER (PARTITION BY c_nationkey
+                        ORDER BY c_acctbal, c_custkey) AS bin
+  FROM customer)
+SELECT CAST(c_nationkey AS INT) AS c_nationkey, CAST(bin AS INT) AS bin,
+       CAST(count(*) AS BIGINT) AS n_cust,
+       min(c_acctbal) AS lo, max(c_acctbal) AS hi
+FROM binned GROUP BY 1, 2
+"""
+
+
+def q_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD Type-2 interval building: per-customer order-priority history
+    collapsed into validity intervals [valid_from, valid_to) — a change
+    row opens an interval, the next change closes it (lead), NULL
+    valid_to marks the current record. All window work shares ONE
+    customer-keyed shuffle; runs are detected with lag (no self-join),
+    so it scales as a single pass over the fact table."""
+    o = _t(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderdate", "o_orderkey", "o_orderpriority"
+    )
+    wo = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    changed = (
+        o.withColumn("prev", F.lag("o_orderpriority").over(wo))
+        .filter(F.col("prev").isNull() | (F.col("prev") != F.col("o_orderpriority")))
+    )
+    wc = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return (
+        changed.withColumn("valid_to", F.lead("o_orderdate").over(wc))
+        .select(
+            "o_custkey",
+            F.col("o_orderpriority").alias("priority"),
+            F.col("o_orderdate").alias("valid_from"),
+            "valid_to",
+            F.col("valid_to").isNull().alias("is_current"),
+        )
+    )
+
+
+SQL_SCD2_HISTORY = """
+WITH runs AS (
+  SELECT o_custkey, o_orderdate, o_orderkey, o_orderpriority,
+         lag(o_orderpriority) OVER (PARTITION BY o_custkey
+                                    ORDER BY o_orderdate, o_orderkey) AS prev
+  FROM orders),
+changed AS (
+  SELECT * FROM runs
+  WHERE prev IS NULL OR prev <> o_orderpriority)
+SELECT o_custkey, o_orderpriority AS priority, o_orderdate AS valid_from,
+       lead(o_orderdate) OVER (PARTITION BY o_custkey
+                               ORDER BY o_orderdate, o_orderkey) AS valid_to,
+       lead(o_orderdate) OVER (PARTITION BY o_custkey
+                               ORDER BY o_orderdate, o_orderkey) IS NULL
+         AS is_current
+FROM changed
+"""
+
+
+QUERIES.update(
+    {
+        "q94_local_supplier_volume": q_local_supplier_volume,
+        "q95_lang_pivot": q_lang_pivot,
+        "q96_rolling_revenue": q_rolling_revenue,
+        "q97_inverted_index": q_inverted_index,
+        "q98_ntile_binning": q_ntile_binning,
+        "q99_scd2_history": q_scd2_history,
+    }
+)
+
+ORACLES.update(
+    {
+        "q94_local_supplier_volume": SQL_LOCAL_SUPPLIER_VOLUME,
+        "q95_lang_pivot": SQL_LANG_PIVOT,
+        "q96_rolling_revenue": SQL_ROLLING_REVENUE,
+        "q97_inverted_index": SQL_INVERTED_INDEX,
+        "q98_ntile_binning": SQL_NTILE_BINNING,
+        "q99_scd2_history": SQL_SCD2_HISTORY,
+    }
+)
