@@ -3713,3 +3713,214 @@ ORACLES.update(
         "q99_scd2_history": SQL_SCD2_HISTORY,
     }
 )
+
+
+# ---------------------------------------------------------------------------
+# Batch 16 — decorrelation, unpivot, grouping sets, rank ratios,
+# forward fill, gaps-and-islands
+# ---------------------------------------------------------------------------
+
+
+def q_above_avg_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated scalar subquery, SQL surface: orders whose price
+    exceeds 1.5x their customer's average. Catalyst DECORRELATES this
+    into an aggregate + equi-join (no per-row subquery execution) — the
+    plan is the same single o_custkey-keyed shuffle you would write by
+    hand. The average is kept rational (DECIMAL sum / count compared
+    cross-multiplied) so no division ever happens."""
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("v_orders")
+    return spark.sql("""
+        SELECT o_orderkey, o_custkey, o_totalprice
+        FROM v_orders o
+        WHERE CAST(o_totalprice AS DECIMAL(18,2)) * 2 * (
+                SELECT count(*) FROM v_orders i
+                WHERE i.o_custkey = o.o_custkey) >
+              (SELECT sum(CAST(o_totalprice AS DECIMAL(18,2))) * 3
+               FROM v_orders i WHERE i.o_custkey = o.o_custkey)
+    """)
+
+
+SQL_ABOVE_AVG_ORDERS = """
+SELECT o_orderkey, o_custkey, o_totalprice
+FROM orders o
+WHERE CAST(o_totalprice AS DECIMAL(18,2)) * 2 * (
+        SELECT count(*) FROM orders i WHERE i.o_custkey = o.o_custkey) >
+      (SELECT sum(CAST(o_totalprice AS DECIMAL(18,2))) * 3
+       FROM orders i WHERE i.o_custkey = o.o_custkey)
+"""
+
+
+def q_unpivot_long(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot (wide -> long): the q95 language matrix melted back to
+    (source, lang, n_docs) rows. DataFrame.unpivot is a map-only row
+    generator (each input row fans out to |value columns| rows) — the
+    only shuffle is the upstream pivot's; round-tripping pivot+unpivot
+    proves the two are lossless inverses."""
+    wide = q_lang_pivot(spark, sf_dir)
+    return (
+        wide.unpivot("source", _PIVOT_LANGS, "lang", "n_docs")
+        .filter(F.col("n_docs") > 0)
+    )
+
+
+SQL_UNPIVOT_LONG = """
+SELECT source, lang, CAST(count(*) AS BIGINT) AS n_docs
+FROM documents GROUP BY source, lang
+"""
+
+
+def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS — per-lang totals, per-source totals, and
+    the grand total in ONE pass (the generalization of q66/q67's
+    rollup/cube): Spark expands the sets map-side and aggregates once,
+    instead of three scans + union. grouping_id() disambiguates the
+    NULL-keyed rows."""
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.groupingSets([["lang"], ["source"], []], "lang", "source")
+        .agg(
+            F.grouping_id().cast("long").alias("gid"),
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+        )
+        .select("lang", "source", "gid", "n_docs", "total_chars")
+    )
+
+
+SQL_GROUPING_SETS = """
+SELECT lang, source, CAST(grouping(lang, source) AS BIGINT) AS gid,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS total_chars
+FROM documents GROUP BY GROUPING SETS ((lang), (source), ())
+"""
+
+
+def q_rank_ratios(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """percent_rank / cume_dist over account balance within nation.
+    Both are pure rank ratios — (rank-1)/(n-1) and rank/n computed as
+    one integer-by-integer IEEE division — so they are bit-identical
+    across engines with no rounding discipline needed. Single
+    nation-keyed shuffle + sort, same cost envelope as q98."""
+    cust = _t(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_nationkey").orderBy("c_acctbal", "c_custkey")
+    return cust.select(
+        F.col("c_custkey"),
+        F.col("c_nationkey").cast("int").alias("c_nationkey"),
+        "c_acctbal",
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.cume_dist().over(w).alias("cume"),
+    ).filter(F.col("c_custkey") % 7 == 0)
+
+
+SQL_RANK_RATIOS = """
+SELECT c_custkey, CAST(c_nationkey AS INT) AS c_nationkey, c_acctbal,
+       percent_rank() OVER (PARTITION BY c_nationkey
+                            ORDER BY c_acctbal, c_custkey) AS pct_rank,
+       cume_dist() OVER (PARTITION BY c_nationkey
+                         ORDER BY c_acctbal, c_custkey) AS cume
+FROM customer
+QUALIFY c_custkey % 7 = 0
+"""
+
+
+def q_forward_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward fill (last-observation-carried-forward): sensor-style
+    sparse readings (value nulled on a deterministic stride) carried
+    forward per user in event order. last_value(ignoreNulls) over an
+    unbounded-preceding frame shares ONE user-keyed shuffle+sort; no
+    self-join, no collect. The classic gap-filling primitive for
+    feature pipelines."""
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id", "user_id", "ts",
+        F.when(F.col("event_id") % 5 != 0, F.col("value")).alias("reading"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return ev.select(
+        "event_id", "user_id", "reading",
+        F.last("reading", ignorenulls=True).over(w).alias("filled"),
+    )
+
+
+SQL_FORWARD_FILL = """
+WITH ev AS (
+  SELECT event_id, user_id, ts,
+         CASE WHEN event_id % 5 <> 0 THEN value END AS reading
+  FROM events)
+SELECT event_id, user_id, reading,
+       last_value(reading IGNORE NULLS) OVER (
+         PARTITION BY user_id ORDER BY ts, event_id
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled
+FROM ev
+"""
+
+
+def q_activity_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands: maximal runs of consecutive active days per
+    user via the row_number difference trick (day_num - rank is
+    constant within a run — pure integer arithmetic, no self-join, no
+    iteration). One user-keyed shuffle shared by the window and the
+    run rollup. Returns each user's islands with start/end/length."""
+    days = (
+        _t(spark, sf_dir, "events")
+        .select("user_id", F.to_date("ts").alias("d"))
+        .distinct()
+        .withColumn("day_num", F.datediff(F.col("d"), F.lit("2024-01-01").cast("date")))
+    )
+    w = Window.partitionBy("user_id").orderBy("day_num")
+    runs = days.withColumn(
+        "grp", F.col("day_num") - F.row_number().over(w)
+    )
+    return (
+        runs.groupBy("user_id", "grp")
+        .agg(
+            F.min("d").alias("start_day"),
+            F.max("d").alias("end_day"),
+            F.count(F.lit(1)).alias("run_len"),
+        )
+        .drop("grp")
+        .filter(F.col("run_len") >= 2)
+    )
+
+
+SQL_ACTIVITY_ISLANDS = """
+WITH days AS (
+  SELECT DISTINCT user_id, CAST(ts AS DATE) AS d,
+         datediff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS day_num
+  FROM events),
+runs AS (
+  SELECT user_id, d, day_num,
+         day_num - row_number() OVER (PARTITION BY user_id ORDER BY day_num)
+           AS grp
+  FROM days)
+SELECT user_id, min(d) AS start_day, max(d) AS end_day,
+       CAST(count(*) AS BIGINT) AS run_len
+FROM runs GROUP BY user_id, grp
+HAVING count(*) >= 2
+"""
+
+
+QUERIES.update(
+    {
+        "q100_above_avg_orders": q_above_avg_orders,
+        "q101_unpivot_long": q_unpivot_long,
+        "q102_grouping_sets": q_grouping_sets,
+        "q103_rank_ratios": q_rank_ratios,
+        "q104_forward_fill": q_forward_fill,
+        "q105_activity_islands": q_activity_islands,
+    }
+)
+
+ORACLES.update(
+    {
+        "q100_above_avg_orders": SQL_ABOVE_AVG_ORDERS,
+        "q101_unpivot_long": SQL_UNPIVOT_LONG,
+        "q102_grouping_sets": SQL_GROUPING_SETS,
+        "q103_rank_ratios": SQL_RANK_RATIOS,
+        "q104_forward_fill": SQL_FORWARD_FILL,
+        "q105_activity_islands": SQL_ACTIVITY_ISLANDS,
+    }
+)
