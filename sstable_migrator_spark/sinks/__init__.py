@@ -163,3 +163,21 @@ def write_jsonl_shards(df: DataFrame, path: str, n_shards: int, mode: str = "ove
     evenly; at scale pick n_shards from bytes/128 MB like
     ``compact_small_files`` does rather than a constant."""
     df.repartition(n_shards).write.mode(mode).option("compression", "gzip").json(path)
+
+
+def orc_export(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """ORC sink (K3's columnar-export analog in the other major
+    columnar format): snappy-compressed, dictionary-encoded. Kept
+    option-for-option parallel to ``parquet_export`` so format choice
+    is a one-word swap."""
+    df.write.option("compression", "snappy").mode(mode).orc(path)
+
+
+def partitioned_export(
+    df: DataFrame, path: str, partition_cols: list[str], mode: str = "overwrite"
+) -> None:
+    """Hive-style partitioned layout (T3's dated bronze generalized):
+    directory-per-value so reads filtered on the partition column scan
+    ONLY matching directories (partition pruning — the file-layout twin
+    of Cassandra's partition-key routing, README.md:40)."""
+    df.write.partitionBy(*partition_cols).mode(mode).parquet(path)

@@ -109,3 +109,12 @@ def read_jsonl(spark: SparkSession, path: str, schema: T.StructType | str | None
     return r.option("mode", "PERMISSIVE").option(
         "columnNameOfCorruptRecord", "_corrupt_record"
     ).json(path)
+
+
+def read_orc(spark: SparkSession, path: str) -> DataFrame:
+    """ORC reader — same columnar contract as parquet (predicate
+    pushdown, column pruning, vectorized scan) for pipelines whose
+    upstream emits ORC (Hive-era warehouses). Schema comes from the
+    file footer; filters land in the scan's PushedFilters the same way
+    tests/test_plans.py proves for parquet."""
+    return spark.read.orc(path)
