@@ -95,3 +95,55 @@ def test_stateful_sessionize(spark, tmp_path):
     closed = sorted((r["user_id"], r["n_events"]) for r in rows)
     # session 1 (batch 1) + the two opens closed by batch 2
     assert closed == [(1, 2), (1, 2), (2, 1)]
+
+
+def test_routed_stream_sink_multi_table(spark, tmp_path):
+    """foreachBatch multi-sink: ONE micro-batch parse feeds all three
+    routed tables (the streaming twin of daily_upload_job); a second
+    tick appends without reprocessing the first batch (checkpoint)."""
+    from sstable_migrator_spark import schemas
+    from sstable_migrator_spark.sources import dims
+    from sstable_migrator_spark.streaming.daily import routed_stream_sink
+
+    in_dir = tmp_path / "in"
+    in_dir.mkdir()
+    (in_dir / "b1.csv").write_text(
+        "www.example.com,A,1.2.3.4\n"
+        "alias.example.org,CNAME,target.example.net\n"
+        "bad_domain_,A,1.2.3.5\n"
+    )
+    out_dir = str(tmp_path / "tables")
+    ckpt = str(tmp_path / "ckpt")
+    stream = spark.readStream.schema(schemas.DNS_RECORDS).csv(str(in_dir) + "/*.csv")
+    q = routed_stream_sink(
+        stream,
+        dims.synthetic_geoip_city(spark),
+        dims.synthetic_geoip_asn(spark),
+        out_dir,
+        ckpt,
+    )
+    q.awaitTermination()
+
+    rdns = spark.read.parquet(f"{out_dir}/rdnsv4")
+    subs = spark.read.parquet(f"{out_dir}/subdomains")
+    cnames = spark.read.parquet(f"{out_dir}/cnames")
+    # A record lands in BOTH rdns and subdomains; CNAME only in cnames
+    assert rdns.count() == 1
+    assert subs.count() == 1
+    assert cnames.count() == 1
+    assert rdns.collect()[0]["ipAddress"] == "1.2.3.4"
+    assert cnames.collect()[0]["target"] == "target.example.net"
+
+    # tick 2: only the new file is processed (checkpoint), appends add up
+    (in_dir / "b2.csv").write_text("another.example.io,A,9.8.7.6\n")
+    stream = spark.readStream.schema(schemas.DNS_RECORDS).csv(str(in_dir) + "/*.csv")
+    q = routed_stream_sink(
+        stream,
+        dims.synthetic_geoip_city(spark),
+        dims.synthetic_geoip_asn(spark),
+        out_dir,
+        ckpt,
+    )
+    q.awaitTermination()
+    assert spark.read.parquet(f"{out_dir}/rdnsv4").count() == 2
+    assert spark.read.parquet(f"{out_dir}/cnames").count() == 1
