@@ -3924,3 +3924,295 @@ ORACLES.update(
         "q105_activity_islands": SQL_ACTIVITY_ISLANDS,
     }
 )
+
+
+# ---------------------------------------------------------------------------
+# Batch 17 — URL canonicalization, stopword-strip normalization, partial-agg
+# merge, co-occurrence counts, vocabulary coverage
+# ---------------------------------------------------------------------------
+
+
+def q_url_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization + dedup: messy synthesized URLs (mixed-case
+    scheme/host, default ports, utm_* tracking params, fragments,
+    trailing slashes) normalized with a pure regexp_replace chain — no
+    group backreferences, because Spark ($1) and RE2 (\\1) disagree on
+    replacement syntax — then grouped by canonical form. Map-only until
+    the final canon-keyed count; the classic crawl-dedup front door."""
+    docs = _dense(spark, _t(spark, sf_dir, "documents"))
+    d = F.col("doc_id")
+    m = d % 4
+    host = F.concat(F.lit("Dom"), (d % 13).cast("string"))
+    url = (
+        F.when(m == 0, F.concat(F.lit("HTTPS://WWW."), host, F.lit(".COM:443/Path/"),
+                                (d % 5).cast("string"),
+                                F.lit("?utm_source=x&id="), (d % 7).cast("string"),
+                                F.lit("#frag")))
+        .when(m == 1, F.concat(F.lit("http://"), host, F.lit(".com/Path/"),
+                               (d % 5).cast("string"),
+                               F.lit("?utm_campaign=y")))
+        .when(m == 2, F.concat(F.lit("https://"), host, F.lit(".com:8080/p/")))
+        .otherwise(F.concat(F.lit("http://Sub."), host, F.lit(".ORG/")))
+    )
+    staged = docs.select("doc_id", url.alias("url"))
+    c = F.col("url")
+    c = F.regexp_replace(c, "#.*$", "")                       # fragment
+    c = F.regexp_replace(c, "utm_[a-z_]+=[^&]*&", "")         # utm + following
+    c = F.regexp_replace(c, "\\?utm_[a-z_]+=[^&]*$", "")      # utm alone
+    # scheme + host lowercase, rebuilt from parts (path stays cased)
+    scheme = F.lower(F.regexp_extract(c, "^([A-Za-z]+)://", 1))
+    host_part = F.lower(F.regexp_extract(c, "^[A-Za-z]+://([^/?#]+)", 1))
+    rest = F.regexp_extract(c, "^[A-Za-z]+://[^/?#]+(.*)$", 1)
+    host_part = F.when(
+        scheme == "https", F.regexp_replace(host_part, ":443$", "")
+    ).when(
+        scheme == "http", F.regexp_replace(host_part, ":80$", "")
+    ).otherwise(host_part)
+    canon = F.regexp_replace(F.concat(scheme, F.lit("://"), host_part, rest), "/$", "")
+    return (
+        staged.select("doc_id", canon.alias("canon"))
+        .groupBy("canon")
+        .agg(F.count(F.lit(1)).alias("n_dups"), F.min("doc_id").alias("first_doc"))
+    )
+
+
+SQL_URL_CANONICALIZE = r"""
+WITH staged AS (
+  SELECT doc_id,
+         CASE CAST(doc_id % 4 AS INT)
+           WHEN 0 THEN 'HTTPS://WWW.Dom' || CAST(doc_id % 13 AS VARCHAR)
+                       || '.COM:443/Path/' || CAST(doc_id % 5 AS VARCHAR)
+                       || '?utm_source=x&id=' || CAST(doc_id % 7 AS VARCHAR) || '#frag'
+           WHEN 1 THEN 'http://Dom' || CAST(doc_id % 13 AS VARCHAR)
+                       || '.com/Path/' || CAST(doc_id % 5 AS VARCHAR) || '?utm_campaign=y'
+           WHEN 2 THEN 'https://Dom' || CAST(doc_id % 13 AS VARCHAR) || '.com:8080/p/'
+           ELSE 'http://Sub.Dom' || CAST(doc_id % 13 AS VARCHAR) || '.ORG/'
+         END AS url
+  FROM documents),
+stripped AS (
+  SELECT doc_id,
+         regexp_replace(regexp_replace(regexp_replace(url, '#.*$', ''),
+                        'utm_[a-z_]+=[^&]*&', ''),
+                        '\?utm_[a-z_]+=[^&]*$', '') AS c
+  FROM staged),
+parts AS (
+  SELECT doc_id,
+         lower(regexp_extract(c, '^([A-Za-z]+)://', 1)) AS scheme,
+         lower(regexp_extract(c, '^[A-Za-z]+://([^/?#]+)', 1)) AS host_part,
+         regexp_extract(c, '^[A-Za-z]+://[^/?#]+(.*)$', 1) AS rest
+  FROM stripped),
+canon AS (
+  SELECT doc_id,
+         regexp_replace(
+           scheme || '://' ||
+           CASE WHEN scheme = 'https' THEN regexp_replace(host_part, ':443$', '')
+                WHEN scheme = 'http' THEN regexp_replace(host_part, ':80$', '')
+                ELSE host_part END || rest,
+           '/$', '') AS canon
+  FROM parts)
+SELECT canon, CAST(count(*) AS BIGINT) AS n_dups, min(doc_id) AS first_doc
+FROM canon GROUP BY canon
+"""
+
+
+_STRIP_WORDS = ["the", "a", "of", "and", "to", "in", "is", "that", "it", "for"]
+
+
+def q_stopword_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary-pruning normalization: tokenize on whitespace, drop
+    stopwords and 1-char tokens, re-join — the standard pre-embedding
+    text normalization. Pure array filter + concat (map-only, zero
+    shuffles at any scale); reports old/new token counts and the
+    normalized text's digest so the oracle checks the full rewrite."""
+    docs = _dense(spark, _t(spark, sf_dir, "documents"))
+    toks = F.split(F.col("text"), " ")
+    kept = F.filter(
+        toks, lambda t: (~t.isin(*_STRIP_WORDS)) & (F.length(t) > 1)
+    )
+    return docs.select(
+        "doc_id",
+        F.size(toks).cast("long").alias("n_tokens"),
+        F.size(kept).cast("long").alias("n_kept"),
+        F.md5(F.concat_ws(" ", kept)).alias("norm_md5"),
+    )
+
+
+def _sql_stopword_strip() -> str:
+    inlist = ", ".join(f"'{w}'" for w in _STRIP_WORDS)
+    return f"""
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+kept AS (
+  SELECT doc_id, ts,
+         list_filter(ts, t -> t NOT IN ({inlist}) AND length(t) > 1) AS ks
+  FROM toks)
+SELECT doc_id, CAST(len(ts) AS BIGINT) AS n_tokens,
+       CAST(len(ks) AS BIGINT) AS n_kept,
+       md5(array_to_string(ks, ' ')) AS norm_md5
+FROM kept
+"""
+
+
+def q_partial_agg_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-level re-aggregation (the combiner pattern made explicit):
+    per-(day, priority) partial states (sum/count/min/max) merged into
+    monthly finals WITHOUT touching row data again. This is how 100 TB
+    rollups actually run — nightly partials are small, mergeable, and
+    re-aggregable to any coarser grain; the merge input here is |days| x
+    |priorities| rows, so the second shuffle is trivial at any scale.
+    Sums stay DECIMAL until the final cast."""
+    daily = (
+        _t(spark, sf_dir, "orders")
+        .groupBy(
+            F.to_date("o_orderdate").alias("d"),
+            F.col("o_orderpriority").alias("priority"),
+        )
+        .agg(
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("s"),
+            F.count(F.lit(1)).alias("c"),
+            F.min("o_totalprice").alias("mn"),
+            F.max("o_totalprice").alias("mx"),
+        )
+    )
+    return (
+        daily.groupBy(F.date_trunc("month", "d").cast("date").alias("month"), "priority")
+        .agg(
+            F.sum("s").cast("double").alias("total"),
+            F.sum("c").alias("n_orders"),
+            F.min("mn").alias("min_price"),
+            F.max("mx").alias("max_price"),
+        )
+    )
+
+
+SQL_PARTIAL_AGG_MERGE = """
+WITH daily AS (
+  SELECT CAST(o_orderdate AS DATE) AS d, o_orderpriority AS priority,
+         sum(CAST(o_totalprice AS DECIMAL(18,2))) AS s,
+         CAST(count(*) AS BIGINT) AS c,
+         min(o_totalprice) AS mn, max(o_totalprice) AS mx
+  FROM orders GROUP BY 1, 2)
+SELECT CAST(date_trunc('month', d) AS DATE) AS month, priority,
+       CAST(sum(s) AS DOUBLE) AS total,
+       CAST(sum(c) AS BIGINT) AS n_orders,
+       min(mn) AS min_price, max(mx) AS max_price
+FROM daily GROUP BY 1, 2
+"""
+
+
+def q_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Word co-occurrence counts (the raw statistic under PMI /
+    word-vector training): per document, DISTINCT adjacent-pair
+    skipgrams (window 1) with the pair canonicalized (a <= b) so
+    (x,y) and (y,x) accumulate together; document frequency per pair,
+    top 50. Integer counts only. The pair explode is map-side; one
+    (pair) shuffle."""
+    docs = _dense(spark, _t(spark, sf_dir, "documents"))
+    toks = F.split(F.col("text"), " ")
+    pairs = F.array_distinct(
+        F.filter(
+            F.zip_with(
+                toks,
+                F.slice(toks, 2, F.greatest(F.size(toks) - 1, F.lit(1))),
+                lambda a, b: F.when(
+                    a < b, F.concat_ws("|", a, b)
+                ).otherwise(F.concat_ws("|", b, a)),
+            ),
+            lambda p: p.isNotNull(),
+        )
+    )
+    return (
+        docs.select(F.explode(pairs).alias("pair"))
+        .groupBy("pair")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .orderBy(F.desc("n_docs"), "pair")
+        .limit(50)
+    )
+
+
+SQL_COOCCURRENCE = """
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+pairs AS (
+  SELECT DISTINCT doc_id,
+         unnest(list_transform(range(1, len(ts)),
+                i -> CASE WHEN ts[i] <= ts[i+1]
+                          THEN ts[i] || '|' || ts[i+1]
+                          ELSE ts[i+1] || '|' || ts[i] END)) AS pair
+  FROM toks)
+SELECT pair, CAST(count(*) AS BIGINT) AS n_docs
+FROM pairs GROUP BY pair
+ORDER BY n_docs DESC, pair LIMIT 50
+"""
+
+
+def q_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-coverage audit: build the top-100 corpus vocabulary,
+    broadcast it back, report per-document out-of-vocabulary rates
+    bucketed per source. Two shuffles (vocab build, per-source rollup);
+    the vocab join is a broadcast IN-set at any corpus size because the
+    vocabulary is top-K by construction. OOV rate is an integer ratio
+    divided once per doc, then min/max per source (no float sums)."""
+    docs = _dense(spark, _t(spark, sf_dir, "documents"))
+    toks = docs.select("doc_id", "source", F.split(F.col("text"), " ").alias("ts"))
+    vocab = (
+        toks.select(F.explode("ts").alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), "w")
+        .limit(100)
+        .select(F.collect_list("w").alias("vocab"))
+    )
+    joined = toks.crossJoin(F.broadcast(vocab))
+    per_doc = joined.select(
+        "source",
+        (
+            F.size(F.filter(F.col("ts"), lambda t: ~F.array_contains(F.col("vocab"), t))).cast("double")
+            / F.size("ts")
+        ).alias("oov_rate"),
+    )
+    return per_doc.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.min("oov_rate").alias("min_oov"),
+        F.max("oov_rate").alias("max_oov"),
+    )
+
+
+SQL_VOCAB_COVERAGE = """
+WITH toks AS (
+  SELECT doc_id, source, string_split(text, ' ') AS ts FROM documents),
+vocab AS (
+  SELECT w FROM (
+    SELECT unnest(ts) AS w FROM toks) u
+  GROUP BY w ORDER BY count(*) DESC, w LIMIT 100),
+vlist AS (SELECT list(w ORDER BY w) AS vocab FROM vocab),
+per_doc AS (
+  SELECT source,
+         CAST(len(list_filter(ts, t -> NOT list_contains(vocab, t))) AS DOUBLE)
+           / len(ts) AS oov_rate
+  FROM toks CROSS JOIN vlist)
+SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+       min(oov_rate) AS min_oov, max(oov_rate) AS max_oov
+FROM per_doc GROUP BY source
+"""
+
+
+QUERIES.update(
+    {
+        "q106_url_canonicalize": q_url_canonicalize,
+        "q107_stopword_strip": q_stopword_strip,
+        "q108_partial_agg_merge": q_partial_agg_merge,
+        "q109_cooccurrence": q_cooccurrence,
+        "q110_vocab_coverage": q_vocab_coverage,
+    }
+)
+
+ORACLES.update(
+    {
+        "q106_url_canonicalize": SQL_URL_CANONICALIZE,
+        "q107_stopword_strip": _sql_stopword_strip(),
+        "q108_partial_agg_merge": SQL_PARTIAL_AGG_MERGE,
+        "q109_cooccurrence": SQL_COOCCURRENCE,
+        "q110_vocab_coverage": SQL_VOCAB_COVERAGE,
+    }
+)
