@@ -181,3 +181,27 @@ def partitioned_export(
     ONLY matching directories (partition pruning — the file-layout twin
     of Cassandra's partition-key routing, README.md:40)."""
     df.write.partitionBy(*partition_cols).mode(mode).parquet(path)
+
+
+def dynamic_partition_upsert(
+    delta_df: DataFrame, path: str, partition_cols: list[str]
+) -> None:
+    """Partition-scoped upsert WITHOUT a table format: with
+    ``partitionOverwriteMode=dynamic``, ``mode('overwrite')`` rewrites
+    ONLY the partitions present in the incoming delta and leaves every
+    other directory untouched — the copy-on-write MERGE pattern for a
+    date-partitioned bronze/silver layer (Q3's backfill, T3's dated
+    appends) at 100 TB: a one-day correction touches one directory,
+    never the table. The conf is set per-write and restored."""
+    spark = delta_df.sparkSession
+    key = "spark.sql.sources.partitionOverwriteMode"
+    prev = spark.conf.get(key, "static")
+    spark.conf.set(key, "dynamic")
+    try:
+        (
+            delta_df.write.partitionBy(*partition_cols)
+            .mode("overwrite")
+            .parquet(path)
+        )
+    finally:
+        spark.conf.set(key, prev)
