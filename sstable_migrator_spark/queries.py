@@ -4216,3 +4216,145 @@ ORACLES.update(
         "q110_vocab_coverage": SQL_VOCAB_COVERAGE,
     }
 )
+
+
+# ---------------------------------------------------------------------------
+# Batch 18 — market-share ratio, one-pass multi-distinct, HAVING join-back
+# ---------------------------------------------------------------------------
+
+
+def q_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape: one region's share of revenue per order-year —
+    a ratio of two conditional sums computed in the SAME aggregation
+    (no second scan, no self-join). Both sums stay DECIMAL (exact
+    regardless of add order) and divide once per year at the end, so
+    the doubles are bit-identical cross-engine. Dims broadcast; the
+    orders-customer join is the only fact shuffle."""
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region")
+    rn = nation.join(
+        F.broadcast(region), nation.n_regionkey == region.r_regionkey
+    ).select("n_nationkey", "r_name")
+    cust = _t(spark, sf_dir, "customer").join(
+        F.broadcast(rn), F.col("c_nationkey") == F.col("n_nationkey")
+    ).select("c_custkey", "r_name")
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_custkey",
+        F.year("o_orderdate").alias("yr"),
+        F.col("o_totalprice").cast("decimal(18,2)").alias("price"),
+    )
+    j = orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+    agg = j.groupBy("yr").agg(
+        F.sum(F.when(F.col("r_name") == "EUROPE", F.col("price"))
+              .otherwise(F.lit(0).cast("decimal(18,2)"))).alias("eu"),
+        F.sum("price").alias("total"),
+    )
+    return agg.select(
+        F.col("yr").cast("int").alias("yr"),
+        F.col("eu").cast("double").alias("eu_rev"),
+        F.col("total").cast("double").alias("total_rev"),
+        (F.col("eu").cast("double") / F.col("total").cast("double")).alias("share"),
+    )
+
+
+SQL_MARKET_SHARE = """
+WITH j AS (
+  SELECT EXTRACT(year FROM o_orderdate) AS yr,
+         CAST(o_totalprice AS DECIMAL(18,2)) AS price, r_name
+  FROM orders
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation ON c_nationkey = n_nationkey
+  JOIN region ON n_regionkey = r_regionkey),
+agg AS (
+  SELECT yr,
+         sum(CASE WHEN r_name = 'EUROPE' THEN price
+                  ELSE CAST(0 AS DECIMAL(18,2)) END) AS eu,
+         sum(price) AS total
+  FROM j GROUP BY yr)
+SELECT CAST(yr AS INT) AS yr, CAST(eu AS DOUBLE) AS eu_rev,
+       CAST(total AS DOUBLE) AS total_rev,
+       CAST(eu AS DOUBLE) / CAST(total AS DOUBLE) AS share
+FROM agg
+"""
+
+
+def q_multi_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Several COUNT(DISTINCT ...) over different columns in ONE
+    aggregation — Spark plans this with an Expand (one input row fans
+    to one row per distinct-aggregate) + two-level agg, a single
+    pipeline instead of N separate distinct scans unioned. The
+    per-priority customer/day/clerk-bucket distincts are the classic
+    daily-ops dashboard query."""
+    o = _t(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.countDistinct("o_custkey").alias("n_custs"),
+        F.countDistinct(F.to_date("o_orderdate")).alias("n_days"),
+        F.countDistinct((F.col("o_orderkey") % 97)).alias("n_buckets"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+
+
+SQL_MULTI_DISTINCT = """
+SELECT o_orderpriority,
+       CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_custs,
+       CAST(count(DISTINCT CAST(o_orderdate AS DATE)) AS BIGINT) AS n_days,
+       CAST(count(DISTINCT o_orderkey % 97) AS BIGINT) AS n_buckets,
+       CAST(count(*) AS BIGINT) AS n_orders
+FROM orders GROUP BY o_orderpriority
+"""
+
+
+def q_big_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: orders whose total lineitem quantity clears a
+    threshold (HAVING over a fact-side agg), then the qualifying keys
+    join BACK to order attributes. The agg output after HAVING is tiny,
+    so the join-back broadcasts the qualifier side — at any scale the
+    expensive side is aggregated FIRST, then reduced keys drive the
+    lookup (semi-join-reduction discipline). Quantities are exact
+    DECIMAL sums."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", F.col("l_quantity").cast("decimal(18,2)").alias("q")
+    )
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("q").alias("total_qty"))
+        .filter(F.col("total_qty") > 110)
+    )
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"
+    )
+    return (
+        o.join(F.broadcast(big), o.o_orderkey == big.l_orderkey)
+        .select(
+            "o_orderkey", "o_custkey", "o_orderdate", "o_totalprice",
+            F.col("total_qty").cast("double").alias("total_qty"),
+        )
+    )
+
+
+SQL_BIG_ORDERS = """
+WITH big AS (
+  SELECT l_orderkey, sum(CAST(l_quantity AS DECIMAL(18,2))) AS total_qty
+  FROM lineitem GROUP BY l_orderkey
+  HAVING sum(CAST(l_quantity AS DECIMAL(18,2))) > 110)
+SELECT o_orderkey, o_custkey, o_orderdate, o_totalprice,
+       CAST(total_qty AS DOUBLE) AS total_qty
+FROM orders JOIN big ON o_orderkey = l_orderkey
+"""
+
+
+QUERIES.update(
+    {
+        "q111_market_share": q_market_share,
+        "q112_multi_distinct": q_multi_distinct,
+        "q113_big_orders": q_big_orders,
+    }
+)
+
+ORACLES.update(
+    {
+        "q111_market_share": SQL_MARKET_SHARE,
+        "q112_multi_distinct": SQL_MULTI_DISTINCT,
+        "q113_big_orders": SQL_BIG_ORDERS,
+    }
+)
