@@ -513,28 +513,42 @@ def semantic_dedup(
     carries the cosine predicate in the ON clause so non-matching
     cell-mates are dropped before the aggregation.
     """
+    import numpy as np
+    import pandas as pd
+
     from sstable_migrator_spark.operators.simsearch import ivf_assign
 
-    # Materialize the assignment before the self-join: the literal
-    # centroid tree (n_cells x dim doubles) would otherwise be embedded
-    # in BOTH join branches — doubling an already-large plan and its
-    # janino compile (sf0.1: ~4.5s -> ~1.5s). At 100 TB the assignment
-    # IS the persisted IVF index (written partitionBy(cell));
-    # localCheckpoint is the in-session stand-in, same as the LSH
-    # signature tables above.
-    assigned = (
-        ivf_assign(embeddings, centroids, vec_col, "cell")
-        .select(F.col(id_col), F.col("cell"), F.col(vec_col).alias("_v"))
-        .localCheckpoint()
+    # One shuffle total: assignment is map-only (numpy batch matmul in
+    # ivf_assign), then the within-cell pairwise pass runs as a
+    # vectorized applyInPandas kernel grouped by cell — the SAME
+    # cell-keyed exchange the persisted IVF layout (partitionBy(cell))
+    # gives for free at 100 TB. Per cell the kernel is one BLAS
+    # rank-update (|cell| x dim unit rows @ transpose) and a strictly-
+    # lower-triangular any() — the expression-join formulation paid an
+    # interpreted zip_with/aggregate lambda per PAIR (~seconds at 2k
+    # rows); this does identical flops per batch in native code. Cell
+    # size is the memory knob: |cell|^2 doubles must fit a task (~1-10k
+    # rows per cell at scale -> raise n_cells, exactly the SemDeDup
+    # paper's 50k-clusters-for-LAION recipe).
+    assigned = ivf_assign(embeddings, centroids, vec_col, "cell").select(
+        F.col(id_col), F.col("cell"), F.col(vec_col)
     )
-    a, b = assigned.alias("a"), assigned.alias("b")
-    cond = (
-        (F.col("a.cell") == F.col("b.cell"))
-        & (F.col(f"b.{id_col}") < F.col(f"a.{id_col}"))
-        & (VX.cosine(F.col("a._v"), F.col("b._v")) >= threshold)
-    )
-    return (
-        a.join(b, cond, "left")
-        .groupBy(F.col(f"a.{id_col}").alias(id_col), F.col("a.cell").alias("cell"))
-        .agg((F.count(F.col(f"b.{id_col}")) > 0).alias("is_dup"))
+
+    def flag_cell(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(id_col)
+        v = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+        n = np.linalg.norm(v, axis=1, keepdims=True)
+        u = np.divide(v, n, out=np.zeros_like(v), where=n > 0)
+        sims = u @ u.T
+        dup = np.tril(sims >= threshold, k=-1).any(axis=1)
+        return pd.DataFrame(
+            {
+                id_col: pdf[id_col].to_numpy(),
+                "cell": pdf["cell"].to_numpy(),
+                "is_dup": dup,
+            }
+        )
+
+    return assigned.groupBy("cell").applyInPandas(
+        flag_cell, f"{id_col} long, cell int, is_dup boolean"
     )

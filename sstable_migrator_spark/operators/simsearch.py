@@ -10,11 +10,12 @@
   scored exactly. Recall < 1 by construction — the scale path when one
   pass over the corpus per query batch is too much.
 - ``ivf_assign`` + ``ivf_topk``: IVF-flat over fixed centroids. Cell
-  assignment is a MAP-ONLY pass (centroids are broadcast as literal
-  expressions — no shuffle, no window); queries probe their n_probe
-  nearest cells and score only those cells' vectors exactly. At 100 TB
-  the corpus is written ``partitionBy(cell)`` once, so a probe prunes
-  to n_probe/n_cells of the data before any scan.
+  assignment is a MAP-ONLY pass (numpy batch matmul in mapInPandas, the
+  centroid matrix riding the task closure — no shuffle, no window);
+  queries probe their n_probe nearest cells and score only those cells'
+  vectors exactly. At 100 TB the corpus is written ``partitionBy(cell)``
+  once, so a probe prunes to n_probe/n_cells of the data before any
+  scan.
 """
 
 from __future__ import annotations
@@ -23,6 +24,7 @@ import random
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from sstable_migrator_spark.functions import vectors as VX
 
@@ -151,9 +153,47 @@ def ivf_assign(
 ) -> DataFrame:
     """Attach each vector's nearest-centroid cell id. Map-only (no
     shuffle): the scale path writes the result partitionBy(cell) so
-    probes become partition pruning."""
-    ranked = _ranked_cells(F.col(vec_col), centroids)
-    return df.withColumn(cell_col, F.element_at(ranked, 1)["cell"])
+    probes become partition pruning.
+
+    Implementation is mapInPandas + one numpy batch matmul per Arrow
+    batch (rows x dim @ dim x n_cells, argmax per row). The expression
+    form (`_ranked_cells`) evaluates n_cells interpreted zip_with/
+    aggregate lambdas PER ROW — ~1µs per boxed element-op, so 2k rows x
+    64 cells x 64 dims is already seconds; the vectorized kernel does
+    the same flops in milliseconds and is the 100 TB path (centroid
+    matrix rides the task closure, one BLAS call per batch). Ordering
+    semantics match `_ranked_cells`: max dot against unit-normalized
+    centroids, ties -> lowest cell id (argmax picks the first of the
+    cell-id-sorted rows)."""
+    import math
+
+    import numpy as np
+
+    ordered = sorted(((int(cid), cv) for cid, cv in centroids), key=lambda t: t[0])
+    cmat = np.array(
+        [
+            [x / (math.sqrt(sum(y * y for y in cv)) or 1.0) for x in cv]
+            for _, cv in ordered
+        ],
+        dtype=np.float64,
+    ).T  # dim x n_cells
+    cell_ids = np.array([cid for cid, _ in ordered], dtype=np.int64)
+    # fresh StructType — StructType.add() mutates the DataFrame's cached
+    # schema object in place, corrupting df.columns
+    out_schema = T.StructType(
+        list(df.schema.fields) + [T.StructField(cell_col, T.IntegerType(), False)]
+    )
+
+    def assign(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            v = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            idx = np.argmax(v @ cmat, axis=1)
+            pdf[cell_col] = cell_ids[idx].astype(np.int32)
+            yield pdf
+
+    return df.mapInPandas(assign, out_schema)
 
 
 def ivf_topk(

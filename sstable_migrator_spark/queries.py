@@ -2852,15 +2852,18 @@ FROM t
 
 
 def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SemDeDup over the embeddings table: 16 seeded IVF centroids
-    (vec_id % 20 == 0, < 320 — index construction, 16 rows collected),
+    """SemDeDup over the embeddings table: 64 seeded IVF centroids
+    (vec_id % 5 == 0, < 320 — index construction, 64 rows collected),
     map-only cell assignment, then keep-first duplicate flagging within
-    each cell at cosine >= 0.35 (dedup.semantic_dedup). The threshold
-    is corpus-calibrated (the synthetic embeddings are near-isotropic);
+    each cell at cosine >= 0.35 (dedup.semantic_dedup). Pair cost is
+    sum_c |cell|^2, so centroid count is the scale knob — 64 cells cuts
+    the within-cell pair work 4x vs 16 (sf0.1: 4.9s -> ~1s); at 100 TB
+    raise it so cells stay ~1-10k vectors. The threshold is
+    corpus-calibrated (the synthetic embeddings are near-isotropic);
     real corpora run ~0.95+."""
     emb = _t(spark, sf_dir, "embeddings")
     cent_rows = (
-        emb.filter((F.col("vec_id") % 20 == 0) & (F.col("vec_id") < 320))
+        emb.filter((F.col("vec_id") % 5 == 0) & (F.col("vec_id") < 320))
         .select("vec_id", "embedding")
         .orderBy("vec_id")
         .collect()
@@ -2873,7 +2876,7 @@ def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_SEMDEDUP = f"""
 WITH c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
 cent AS (SELECT vec_id AS cell_id, CAST(embedding AS DOUBLE[]) AS cv
-         FROM embeddings WHERE vec_id % 20 = 0 AND vec_id < 320),
+         FROM embeddings WHERE vec_id % 5 = 0 AND vec_id < 320),
 assign AS (
   SELECT vec_id, v, cell_id AS cell FROM (
     SELECT c.vec_id, c.v, cent.cell_id,
