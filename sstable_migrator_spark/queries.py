@@ -4962,3 +4962,210 @@ ORACLES.update(
         "q126_idle_rich_customers": SQL_IDLE_RICH_CUSTOMERS,
     }
 )
+
+
+# ---------------------------------------------------------------------------
+# Batch 20 — graph propagation (PageRank step), k-means cell profile,
+# deterministic ordered collect, integer-exact anomaly z-scores
+# ---------------------------------------------------------------------------
+
+
+def q_pagerank_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One PageRank iteration over the customer->supplier purchase
+    graph (edges = distinct (o_custkey, l_suppkey) pairs via
+    orders |x| lineitem). The iterative-algorithm representative: each
+    step is out-degree -> per-edge contribution -> destination rollup,
+    i.e. two key-shuffles per iteration, which is exactly the loop body
+    you'd run to convergence (driver loop, dataframe per step, persist
+    + unpersist the frontier). Float discipline: contributions are
+    floor-scaled to 1e12 BIGINTs (IEEE double division then floor is
+    bit-identical cross-engine), summed exactly as integers, and only
+    converted to a double rank at the very end."""
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    edges = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .select("o_custkey", "l_suppkey")
+        .distinct()
+    )
+    outdeg = edges.groupBy("o_custkey").agg(F.count(F.lit(1)).alias("od"))
+    contrib = F.floor(
+        F.lit(1000000000000).cast("double") / F.col("od").cast("double")
+    ).cast("long")
+    return (
+        edges.join(outdeg, "o_custkey")
+        .withColumn("contrib", contrib)
+        .groupBy(F.col("l_suppkey").alias("s_suppkey"))
+        .agg(F.sum("contrib").alias("mass"))
+        .select(
+            "s_suppkey",
+            (F.lit(0.15) + F.lit(0.85) * (F.col("mass").cast("double") / F.lit(1e12)))
+            .alias("rank"),
+            F.col("mass").alias("mass_scaled"),
+        )
+    )
+
+
+SQL_PAGERANK_STEP = """
+WITH edges AS (
+  SELECT DISTINCT o_custkey, l_suppkey
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+outdeg AS (
+  SELECT o_custkey, CAST(count(*) AS BIGINT) AS od FROM edges GROUP BY o_custkey),
+contribs AS (
+  SELECT l_suppkey,
+         CAST(floor(CAST(1000000000000 AS DOUBLE) / CAST(od AS DOUBLE)) AS BIGINT)
+           AS contrib
+  FROM edges JOIN outdeg USING (o_custkey))
+SELECT l_suppkey AS s_suppkey,
+       0.15 + 0.85 * (CAST(sum(contrib) AS DOUBLE) / 1e12) AS rank,
+       CAST(sum(contrib) AS BIGINT) AS mass_scaled
+FROM contribs GROUP BY l_suppkey
+"""
+
+
+def q_kmeans_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-means assignment profile: assign every embedding to its
+    nearest of 8 fixed centroids (the Lloyd-step assignment half,
+    numpy-vectorized map-only ivf_assign) and roll up per-cluster
+    membership stats. Cluster sizes/extents are the per-iteration
+    convergence signal; all outputs are exact integers so the check is
+    hash-stable. The update half (new centroid = member mean) is the
+    same rollup with vector sums — run to convergence as a driver loop."""
+    emb = _t(spark, sf_dir, "embeddings")
+    cent_rows = (
+        emb.filter((F.col("vec_id") % 25 == 0) & (F.col("vec_id") < 200))
+        .select("vec_id", "embedding")
+        .orderBy("vec_id")
+        .collect()
+    )
+    centroids = [(int(r["vec_id"]), [float(x) for x in r["embedding"]]) for r in cent_rows]
+    assigned = simsearch.ivf_assign(emb, centroids, "embedding", "cluster")
+    return assigned.groupBy(F.col("cluster").cast("int").alias("cluster")).agg(
+        F.count(F.lit(1)).alias("n_members"),
+        F.min("vec_id").alias("min_vec_id"),
+        F.max("vec_id").alias("max_vec_id"),
+        F.sum("vec_id").alias("sum_vec_ids"),
+    )
+
+
+SQL_KMEANS_PROFILE = f"""
+WITH c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+cent AS (SELECT vec_id AS cell_id, CAST(embedding AS DOUBLE[]) AS cv
+         FROM embeddings WHERE vec_id % 25 = 0 AND vec_id < 200),
+assign AS (
+  SELECT vec_id, cell_id AS cluster FROM (
+    SELECT c.vec_id, cent.cell_id,
+           row_number() OVER (PARTITION BY c.vec_id
+                              ORDER BY {_SQL_COS.format(a='c.v', b='cent.cv')} DESC,
+                                       cent.cell_id ASC) AS rn
+    FROM c CROSS JOIN cent) WHERE rn = 1)
+SELECT CAST(cluster AS INT) AS cluster,
+       CAST(count(*) AS BIGINT) AS n_members,
+       min(vec_id) AS min_vec_id,
+       max(vec_id) AS max_vec_id,
+       CAST(sum(vec_id) AS BIGINT) AS sum_vec_ids
+FROM assign GROUP BY cluster
+"""
+
+
+def q_ordered_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-group collect: each order's part names as ONE
+    sorted delimiter-joined string (array_sort(collect_list(...))) —
+    the canonical form for downstream exact-dedup of baskets/token
+    lists. collect_list alone is partition-order-nondeterministic;
+    the in-group sort is what makes the result stable and
+    oracle-checkable. One shuffle (orderkey), part is a broadcast dim."""
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") % 11 == 0).select(
+        "l_orderkey", "l_partkey"
+    )
+    part = _t(spark, sf_dir, "part").select("p_partkey", "p_name")
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("l_orderkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_parts"),
+            F.array_join(F.array_sort(F.collect_list("p_name")), "|").alias("basket"),
+        )
+    )
+
+
+SQL_ORDERED_COLLECT = """
+SELECT l_orderkey, CAST(count(*) AS BIGINT) AS n_parts,
+       string_agg(p_name, '|' ORDER BY p_name) AS basket
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE l_orderkey % 11 = 0
+GROUP BY l_orderkey
+"""
+
+
+def q_daily_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily-volume anomaly flags per event type: z-score of each day's
+    event count against that type's mean/stddev. Statistics come from
+    EXACT integer sums (n, sum, sum of squares are BIGINTs; the only
+    float ops are the final identical-order divisions/sqrt), so the
+    doubles are bit-identical cross-engine — never stddev_samp(), whose
+    merge order varies. Two shuffles: the daily rollup and the per-type
+    window; at 100 TB the window input is already one row per
+    (type, day)."""
+    ev = _t(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.to_date("ts").alias("day")
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    w = Window.partitionBy("event_type")
+    n = F.count(F.lit(1)).over(w)
+    s = F.sum("cnt").over(w)
+    s2 = F.sum(F.col("cnt") * F.col("cnt")).over(w)
+    mean = s.cast("double") / n
+    var = (s2.cast("double") - s.cast("double") * s.cast("double") / n) / (n - 1)
+    std = F.sqrt(var)
+    z = F.when((n > 1) & (std > 0), (F.col("cnt") - mean) / std).otherwise(F.lit(0.0))
+    return daily.select(
+        "event_type", "day", "cnt",
+        z.alias("z"),
+        (F.abs(z) > 2.0).alias("is_anomaly"),
+    )
+
+
+SQL_DAILY_ANOMALY = """
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS day, CAST(count(*) AS BIGINT) AS cnt
+  FROM events GROUP BY event_type, CAST(ts AS DATE)),
+stats AS (
+  SELECT event_type, day, cnt,
+         count(*) OVER w AS n,
+         sum(cnt) OVER w AS s,
+         sum(cnt * cnt) OVER w AS s2
+  FROM daily
+  WINDOW w AS (PARTITION BY event_type)),
+scored AS (
+  SELECT event_type, day, cnt,
+         CASE WHEN n > 1
+                   AND sqrt((CAST(s2 AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / n)
+                            / (n - 1)) > 0
+              THEN (cnt - CAST(s AS DOUBLE) / n)
+                   / sqrt((CAST(s2 AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / n)
+                          / (n - 1))
+              ELSE 0.0 END AS z
+  FROM stats)
+SELECT event_type, day, cnt, z, (abs(z) > 2.0) AS is_anomaly FROM scored
+"""
+
+
+QUERIES.update(
+    {
+        "q127_pagerank_step": q_pagerank_step,
+        "q128_kmeans_profile": q_kmeans_profile,
+        "q129_ordered_collect": q_ordered_collect,
+        "q130_daily_anomaly": q_daily_anomaly,
+    }
+)
+
+ORACLES.update(
+    {
+        "q127_pagerank_step": SQL_PAGERANK_STEP,
+        "q128_kmeans_profile": SQL_KMEANS_PROFILE,
+        "q129_ordered_collect": SQL_ORDERED_COLLECT,
+        "q130_daily_anomaly": SQL_DAILY_ANOMALY,
+    }
+)
