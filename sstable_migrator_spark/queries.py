@@ -5169,3 +5169,56 @@ ORACLES.update(
         "q130_daily_anomaly": SQL_DAILY_ANOMALY,
     }
 )
+
+
+def q_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native session_window aggregation (the batch twin of the
+    Structured Streaming sessionizer in streaming/daily.py): per-user
+    sessions split at 30-minute silence, via Spark's built-in merging
+    session windows — one shuffle on (user_id), the window merge
+    happens inside the aggregation, no lag/cumsum window pass. Oracle
+    replicates the merge rule exactly: a new session starts when
+    ts >= prev_ts + 30min (Spark merges only OVERLAPPING [ts, ts+gap)
+    intervals, so a gap of exactly 30min splits — note this differs
+    from q61's manual > rule)."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy("user_id", F.session_window("ts", "30 minutes").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("event_id")).alias("sum_event_ids"),
+        )
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+            "sum_event_ids",
+        )
+    )
+
+
+SQL_SESSION_WINDOW = """
+WITH flagged AS (
+  SELECT user_id, event_id, ts,
+         CASE WHEN lag(ts) OVER w IS NULL
+                   OR ts >= lag(ts) OVER w + INTERVAL 30 MINUTE
+              THEN 1 ELSE 0 END AS _new
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)),
+sess AS (
+  SELECT user_id, event_id, ts,
+         sum(_new) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+  FROM flagged)
+SELECT user_id,
+       min(ts) AS session_start,
+       max(ts) + INTERVAL 30 MINUTE AS session_end,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(event_id) AS BIGINT) AS sum_event_ids
+FROM sess GROUP BY user_id, sid
+"""
+
+
+QUERIES.update({"q131_session_window": q_session_window})
+ORACLES.update({"q131_session_window": SQL_SESSION_WINDOW})

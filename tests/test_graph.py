@@ -1,0 +1,61 @@
+"""PageRank driver-loop: golden values on a hand-computed graph plus
+structural properties (sink handling, early stop)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from sstable_migrator_spark.operators.graph import pagerank
+
+
+@pytest.fixture(scope="module")
+def star_chain(spark):
+    # 1 -> 2, 1 -> 3, 2 -> 3, 3 -> 1  (3 is the hub; 1 feeds two)
+    return spark.createDataFrame(
+        [(1, 2), (1, 3), (2, 3), (3, 1)], "src long, dst long"
+    )
+
+
+def test_one_iteration_golden(spark, star_chain):
+    # after 1 iter from rank=1: deg(1)=2, deg(2)=1, deg(3)=1
+    # r(1) = .15 + .85*(1/1)          = 1.0
+    # r(2) = .15 + .85*(1/2)          = 0.575
+    # r(3) = .15 + .85*(1/2 + 1/1)    = 1.425
+    got = {r["node"]: r["rank"] for r in pagerank(star_chain, iters=1).collect()}
+    assert got[1] == pytest.approx(1.0)
+    assert got[2] == pytest.approx(0.575)
+    assert got[3] == pytest.approx(1.425)
+
+
+def test_two_iterations_golden(spark, star_chain):
+    # r2(1) = .15 + .85*1.425         = 1.36125
+    # r2(2) = .15 + .85*(1.0/2)       = 0.575
+    # r2(3) = .15 + .85*(1.0/2+0.575) = 1.06375
+    got = {r["node"]: r["rank"] for r in pagerank(star_chain, iters=2).collect()}
+    assert got[1] == pytest.approx(1.36125)
+    assert got[2] == pytest.approx(0.575)
+    assert got[3] == pytest.approx(1.06375)
+
+
+def test_no_inlink_node_keeps_reset_mass(spark):
+    edges = spark.createDataFrame([(10, 20), (20, 30)], "src long, dst long")
+    got = {r["node"]: r["rank"] for r in pagerank(edges, iters=3).collect()}
+    assert got[10] == pytest.approx(0.15)  # nothing points at 10
+    assert set(got) == {10, 20, 30}
+
+
+def test_tol_early_stop_matches_fixed(spark):
+    # a 2-cycle converges to rank=1 immediately; tol stops after iter 1
+    edges = spark.createDataFrame([(1, 2), (2, 1)], "src long, dst long")
+    with_tol = {r["node"]: r["rank"] for r in pagerank(edges, iters=50, tol=1e-9).collect()}
+    fixed = {r["node"]: r["rank"] for r in pagerank(edges, iters=3).collect()}
+    assert with_tol == pytest.approx(fixed)
+    assert with_tol[1] == pytest.approx(1.0)
+
+
+def test_duplicate_edges_collapse(spark):
+    dup = spark.createDataFrame([(1, 2), (1, 2), (1, 2)], "src long, dst long")
+    got = {r["node"]: r["rank"] for r in pagerank(dup, iters=1).collect()}
+    # deg(1)=1 after distinct: r(2) = .15 + .85*1 = 1.0
+    assert got[2] == pytest.approx(1.0)
