@@ -4830,9 +4830,11 @@ def q_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     receipt-after-commit): suppliers who were the SOLE late supplier on
     a finalized multi-supplier order. The double EXISTS/NOT EXISTS
     decorrelates into one per-order aggregate — distinct suppliers vs
-    distinct late suppliers — computed in a single grouped pass, then
-    the late pairs join the qualifying orders. Top-25 deterministic via
-    (numwait DESC, s_name)."""
+    distinct late suppliers — and because the qualifier demands EXACTLY
+    one late supplier, that supplier's id pops out of the SAME pass as
+    max(late suppkey): no second scan of the join, no distinct-pairs
+    join-back. Only the tiny qualified order set shuffles again (on
+    s_name). Top-25 deterministic via (numwait DESC, s_name)."""
     o = _t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F").select(
         "o_orderkey", "o_orderdate"
     )
@@ -4843,12 +4845,11 @@ def q_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     per_order = j.groupBy("l_orderkey").agg(
         F.countDistinct("l_suppkey").alias("n_supp"),
         F.countDistinct(F.when(F.col("is_late"), F.col("l_suppkey"))).alias("n_late"),
+        F.max(F.when(F.col("is_late"), F.col("l_suppkey"))).alias("late_supp"),
     ).filter((F.col("n_supp") > 1) & (F.col("n_late") == 1))
-    late_pairs = j.filter(F.col("is_late")).select("l_orderkey", "l_suppkey").distinct()
     supp = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
     return (
-        late_pairs.join(per_order, "l_orderkey")
-        .join(F.broadcast(supp), late_pairs.l_suppkey == supp.s_suppkey)
+        per_order.join(F.broadcast(supp), per_order.late_supp == supp.s_suppkey)
         .groupBy("s_name")
         .agg(F.count(F.lit(1)).alias("numwait"))
         .orderBy(F.desc("numwait"), "s_name")
@@ -4864,17 +4865,13 @@ WITH j AS (
   WHERE o_orderstatus = 'F'),
 per_order AS (
   SELECT l_orderkey,
-         count(DISTINCT l_suppkey) AS n_supp,
-         count(DISTINCT CASE WHEN is_late THEN l_suppkey END) AS n_late
+         max(CASE WHEN is_late THEN l_suppkey END) AS late_supp
   FROM j GROUP BY l_orderkey
   HAVING count(DISTINCT l_suppkey) > 1
-     AND count(DISTINCT CASE WHEN is_late THEN l_suppkey END) = 1),
-late_pairs AS (
-  SELECT DISTINCT l_orderkey, l_suppkey FROM j WHERE is_late)
+     AND count(DISTINCT CASE WHEN is_late THEN l_suppkey END) = 1)
 SELECT s_name, CAST(count(*) AS BIGINT) AS numwait
-FROM late_pairs
-JOIN per_order USING (l_orderkey)
-JOIN supplier ON l_suppkey = s_suppkey
+FROM per_order
+JOIN supplier ON late_supp = s_suppkey
 GROUP BY s_name
 ORDER BY numwait DESC, s_name
 LIMIT 25
