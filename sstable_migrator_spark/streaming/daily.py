@@ -231,3 +231,60 @@ def routed_stream_sink(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def ttl_dedup_stream(
+    records: DataFrame,
+    key_col: str = "domain",
+    ttl_ms: int = 25 * 24 * 3600 * 1000,
+) -> DataFrame:
+    """T2's rolling dedup horizon as a modern stateful operator
+    (transformWithStateInPandas): per key, a TTL'd ValueState marks
+    first-seen — the first row of a key passes, repeats within the TTL
+    are dropped, and the state store itself EVICTS expired keys, so the
+    reference's 25-pass `comm -23` loop against daily snapshots
+    (daily_certstream_download.sh:75-93) becomes a single always-on
+    operator whose state size is the number of live keys inside the
+    horizon, not 25 files.
+
+    Requires the RocksDB state store provider (transformWithState's
+    backing store), which also gives changelog checkpointing at scale,
+    and the protobuf package in the Python workers (Spark's
+    state-schema protocol) — absent here, so the unit test import-skips;
+    applyInPandasWithState above is the locally-exercised stateful path.
+    Shuffle key is ``key_col`` once per micro-batch. The batch twin is
+    `dedup.anti_join_history` (q04/q54)."""
+    from pyspark.sql import types as T
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    out_schema = T.StructType(list(records.schema.fields))
+
+    class FirstSeen(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._seen = handle.getValueState(
+                "seen", "seen boolean", ttlDurationMs=ttl_ms
+            )
+
+        def handleInputRows(self, key, rows, timer_values):
+            first_time = not self._seen.exists()
+            if first_time:
+                self._seen.update((True,))
+                for pdf in rows:
+                    if len(pdf) > 0:
+                        # exactly one row per newly-seen key (in-batch
+                        # repeats collapse too)
+                        yield pdf.iloc[[0]]
+                        return
+
+        def close(self) -> None:
+            pass
+
+    return records.groupBy(key_col).transformWithStateInPandas(
+        statefulProcessor=FirstSeen(),
+        outputStructType=out_schema,
+        outputMode="Append",
+        timeMode="ProcessingTime",
+    )

@@ -147,3 +147,70 @@ def test_routed_stream_sink_multi_table(spark, tmp_path):
     q.awaitTermination()
     assert spark.read.parquet(f"{out_dir}/rdnsv4").count() == 2
     assert spark.read.parquet(f"{out_dir}/cnames").count() == 1
+
+
+def test_ttl_dedup_stream(spark, tmp_path):
+    """transformWithState TTL dedup: first occurrence of a key passes,
+    cross-batch and in-batch repeats are dropped while state lives.
+
+    Skipped where protobuf is unavailable: transformWithState's Python
+    driver worker imports google.protobuf (state-schema protocol); the
+    operator itself is the 100 TB design and applyInPandasWithState
+    (test_stateful_sessionize) is the tested stateful path here."""
+    import pytest
+
+    pytest.importorskip("google.protobuf")
+    from pyspark.sql import types as T
+
+    from sstable_migrator_spark.streaming.daily import ttl_dedup_stream
+
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        in_dir = tmp_path / "feed"
+        in_dir.mkdir()
+        out_dir = str(tmp_path / "deduped")
+        ckpt = str(tmp_path / "ckpt_ttl")
+        schema = T.StructType(
+            [
+                T.StructField("domain", T.StringType()),
+                T.StructField("ip", T.StringType()),
+            ]
+        )
+
+        def run_tick():
+            stream = spark.readStream.schema(schema).csv(str(in_dir) + "/*.csv")
+            q = (
+                ttl_dedup_stream(stream, key_col="domain", ttl_ms=3600_000)
+                .writeStream.format("parquet")
+                .option("path", out_dir)
+                .option("checkpointLocation", ckpt)
+                .outputMode("append")
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+
+        (in_dir / "b1.csv").write_text(
+            "a.example.com,1.1.1.1\n"
+            "a.example.com,1.1.1.2\n"   # in-batch repeat collapses
+            "b.example.com,2.2.2.2\n"
+        )
+        run_tick()
+        got = {r["domain"] for r in spark.read.parquet(out_dir).collect()}
+        assert got == {"a.example.com", "b.example.com"}
+
+        (in_dir / "b2.csv").write_text(
+            "a.example.com,9.9.9.9\n"   # cross-batch repeat: dropped
+            "c.example.com,3.3.3.3\n"
+        )
+        run_tick()
+        rows = spark.read.parquet(out_dir).collect()
+        assert len(rows) == 3
+        assert {r["domain"] for r in rows} == {
+            "a.example.com", "b.example.com", "c.example.com",
+        }
+    finally:
+        spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
