@@ -91,3 +91,19 @@ def test_ivf_probe_join_is_broadcast(spark, sf_dir):
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
     )
     assert has_broadcast_hash_join(ivf_topk(emb, queries, cents, k=3, n_probe=2))
+
+
+def test_cluster_conf_scales_with_fleet():
+    """cluster_conf is the documented 100 TB deployment contract:
+    partition counts track the fleet size, split/broadcast sizing is
+    fixed at the engine's layout constants."""
+    from sstable_migrator_spark.session import cluster_conf
+
+    c = cluster_conf(executors=1000, cores_per_executor=4)
+    assert c["spark.sql.shuffle.partitions"] == str(2 * 1000 * 4)
+    assert c["spark.sql.files.maxPartitionBytes"] == "134217728"
+    assert c["spark.sql.adaptive.enabled"] == "true"
+    small = cluster_conf(executors=10, cores_per_executor=8)
+    assert small["spark.sql.shuffle.partitions"] == str(2 * 10 * 8)
+    # every value must be a string (spark-submit --conf form)
+    assert all(isinstance(v, str) for v in c.values())
