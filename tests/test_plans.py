@@ -107,3 +107,35 @@ def test_cluster_conf_scales_with_fleet():
     assert small["spark.sql.shuffle.partitions"] == str(2 * 10 * 8)
     # every value must be a string (spark-submit --conf form)
     assert all(isinstance(v, str) for v in c.values())
+
+
+def test_q6_shape_pushdown_and_no_shuffle(spark, sf_dir):
+    """TPC-H Q6 (q114): all three predicates must reach the parquet
+    scan and the plan must contain NO hash-partitioned exchange — a
+    pure scan + partial/final agg pipeline."""
+    df = Q.q_forecast_revenue(spark, sf_dir)
+    plan = explain._plan(df)
+    assert "PushedFilters" in plan and "l_quantity" in plan.split("PushedFilters")[1][:400]
+    assert "Exchange hashpartitioning" not in plan
+
+
+def test_q19_or_block_stays_broadcast_hash(spark, sf_dir):
+    """TPC-H Q19 (q124): the OR-of-ANDs must ride as a residual on the
+    partkey BroadcastHashJoin, never degrade to a nested-loop or
+    cartesian plan."""
+    df = Q.q_or_predicate_revenue(spark, sf_dir)
+    plan = explain._plan(df)
+    assert "BroadcastHashJoin" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_q13_exchange_budget(spark, sf_dir):
+    """TPC-H Q13 (q120): per-customer count + histogram + ordered output
+    must cost at most 3 exchanges in the FINAL (AQE) plan — the
+    per-customer aggregation must never add an exchange beyond the join
+    partitioning."""
+    from sstable_migrator_spark.plans.report import plan_stats
+
+    stats = plan_stats(Q.q_customer_distribution(spark, sf_dir))
+    assert stats["shuffles"] <= 3, stats
