@@ -2398,7 +2398,11 @@ def q_tfidf_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.transform(TX.word_tokens(F.col("text")), lambda x: F.trim(x))
         ).alias("term"),
     )
-    tf = terms.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    # tf feeds BOTH the df rollup and the scored join — checkpoint it so
+    # the tokenize+count subtree runs once, not once per branch (the
+    # in-session stand-in for the persisted term-frequency table a
+    # production pipeline keeps)
+    tf = terms.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf")).localCheckpoint()
     dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     n_docs = docs.agg(F.count(F.lit(1)).alias("n_docs"))
     scored = (
