@@ -4722,13 +4722,19 @@ def q_parts_supplier_relation(spark: SparkSession, sf_dir: str) -> DataFrame:
         & F.col("p_size").isin(1, 5, 10, 15, 20, 25)
     ).select("p_partkey", "p_brand", "p_type", "p_size")
     bad_supp = _t(spark, sf_dir, "supplier").filter(F.col("s_acctbal") < 0).select("s_suppkey")
+    # broadcast-join the pre-filtered part dim BEFORE the pair distinct:
+    # the part predicate keeps ~1/8 of rows, so the distinct (the only
+    # wide operation here) shuffles the reduced stream, not all of
+    # lineitem. Anti-join and rollup ride after.
     pairs = (
-        _t(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey").distinct()
+        _t(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+        .join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .select("l_suppkey", "p_brand", "p_type", "p_size")
+        .distinct()
         .join(F.broadcast(bad_supp), F.col("l_suppkey") == F.col("s_suppkey"), "left_anti")
     )
     return (
-        pairs.join(F.broadcast(part), pairs.l_partkey == part.p_partkey)
-        .groupBy("p_brand", "p_type", "p_size")
+        pairs.groupBy("p_brand", "p_type", "p_size")
         .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
     )
 
@@ -4984,10 +4990,15 @@ def q_pagerank_step(spark: SparkSession, sf_dir: str) -> DataFrame:
     converted to a double rank at the very end."""
     orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
     li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    # checkpoint the distinct edge list: it feeds BOTH the out-degree
+    # rollup and the contribution join — without this the li|x|orders
+    # join + distinct runs twice (the in-session stand-in for the edge
+    # table an iterative job persists once; graph.pagerank does the same)
     edges = (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
         .select("o_custkey", "l_suppkey")
         .distinct()
+        .localCheckpoint()
     )
     outdeg = edges.groupBy("o_custkey").agg(F.count(F.lit(1)).alias("od"))
     contrib = F.floor(
