@@ -552,3 +552,78 @@ def semantic_dedup(
     return assigned.groupBy("cell").applyInPandas(
         flag_cell, f"{id_col} long, cell int, is_dup boolean"
     )
+
+
+def prefix_filter_jaccard_pairs(
+    docs: DataFrame,
+    threshold_num: int = 3,
+    threshold_den: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """EXACT set-similarity join (PPJoin-style prefix filtering): all
+    doc pairs with token-set Jaccard >= threshold, found WITHOUT an
+    all-pairs pass and WITHOUT the probabilistic misses of LSH.
+
+    Recipe (Chaudhuri/Xiao prefix-filter family):
+    1. global token order, rarest first (df asc, token asc) — computed
+       over the VOCAB, which is zipf-bounded and tiny next to the
+       corpus, then broadcast back;
+    2. each doc's token set becomes a sorted rank array; any pair with
+       Jaccard >= t MUST share a token inside each other's first
+       ``p = n - ceil(t*n) + 1`` ranks (pigeonhole), so only prefix
+       tokens are exploded and joined — and prefixes hold the RAREST
+       tokens, so candidate buckets stay small by construction;
+    3. candidates verify exactly with integer math:
+       den*|inter| >= num*|union|  (never a float threshold).
+
+    The threshold is a rational num/den so the prefix length
+    ``ceil(num*n/den)`` is computed in integer arithmetic — no
+    0.6*n float-ulp edge anywhere. Shuffles: vocab df rollup, prefix
+    token join, pair distinct — the corpus text itself never shuffles,
+    only (doc, rank) ints. Returns (id_a, id_b, inter, union, jaccard).
+    """
+    toks = docs.select(
+        F.col(id_col).alias("doc"),
+        F.explode(F.array_distinct(TX.tokens(F.lower(F.col(text_col))))).alias("tok"),
+    )
+    vocab = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("df_"))
+    # rank window runs over the vocab only (tiny); single ordered pass
+    rank_w = Window.orderBy(F.col("df_").asc(), F.col("tok").asc())
+    ranked_vocab = vocab.select("tok", F.row_number().over(rank_w).alias("rnk"))
+    doc_ranks = (
+        toks.join(F.broadcast(ranked_vocab), "tok")
+        .groupBy("doc")
+        .agg(F.sort_array(F.collect_set("rnk")).alias("ranks"))
+        .withColumn("n", F.size("ranks"))
+        .localCheckpoint()  # feeds prefix explode AND both verify sides
+    )
+    num, den = threshold_num, threshold_den
+    # p = n - ceil(num*n/den) + 1, all integer
+    p = (F.col("n") - ((F.col("n") * num + (den - 1)) / den).cast("int") + 1).cast("int")
+    prefixes = doc_ranks.select(
+        "doc", F.explode(F.slice("ranks", F.lit(1), p)).alias("rnk")
+    )
+    a, b = prefixes.alias("a"), prefixes.alias("b")
+    cand = (
+        a.join(b, (F.col("a.rnk") == F.col("b.rnk")) & (F.col("a.doc") < F.col("b.doc")))
+        .select(F.col("a.doc").alias("id_a"), F.col("b.doc").alias("id_b"))
+        .distinct()
+    )
+    ra = doc_ranks.select(F.col("doc").alias("id_a"), F.col("ranks").alias("ra"),
+                          F.col("n").alias("na"))
+    rb = doc_ranks.select(F.col("doc").alias("id_b"), F.col("ranks").alias("rb"),
+                          F.col("n").alias("nb"))
+    verified = (
+        cand.join(ra, "id_a")
+        .join(rb, "id_b")
+        .withColumn("inter", F.size(F.array_intersect("ra", "rb")))
+        .withColumn("union", F.col("na") + F.col("nb") - F.col("inter"))
+        .filter(F.col("inter") * den >= F.col("union") * num)
+    )
+    return verified.select(
+        "id_a", "id_b",
+        F.col("inter").cast("long").alias("inter"),
+        F.col("union").cast("long").alias("union"),
+        (F.col("inter").cast("double") / F.col("union")).alias("jaccard"),
+    )

@@ -5234,3 +5234,49 @@ FROM sess GROUP BY user_id, sid
 
 QUERIES.update({"q131_session_window": q_session_window})
 ORACLES.update({"q131_session_window": SQL_SESSION_WINDOW})
+
+
+def q_prefix_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT set-similarity self-join via PPJoin-style prefix filtering
+    (dedup.prefix_filter_jaccard_pairs) over the planted near-dup
+    corpus: every pair with token-set Jaccard >= 3/5, no all-pairs
+    pass, no LSH misses. Thresholds and prefix lengths are integer
+    arithmetic end-to-end (den*inter >= num*union; ceil via
+    (3n+4) div 5) so there is no float boundary anywhere."""
+    docs = _synth_near_dup_docs(spark, sf_dir)
+    return dedup.prefix_filter_jaccard_pairs(docs, threshold_num=3, threshold_den=5)
+
+
+SQL_PREFIX_JACCARD = f"""
+WITH {SQL_ND_DOCS_CTE.strip()},
+toks AS (
+  SELECT doc_id AS doc, unnest(list_distinct(
+    CASE WHEN length(trim(lower(text))) = 0 THEN []
+         ELSE regexp_split_to_array(trim(lower(text)), '\\s+') END)) AS tok
+  FROM nd_docs),
+vocab AS (SELECT tok, count(*) AS df_ FROM toks GROUP BY tok),
+ranked AS (SELECT tok, row_number() OVER (ORDER BY df_ ASC, tok ASC) AS rnk FROM vocab),
+doc_ranks AS (
+  SELECT doc, array_agg(rnk ORDER BY rnk) AS ranks, count(*) AS n
+  FROM toks JOIN ranked USING (tok) GROUP BY doc),
+prefixes AS (
+  SELECT doc, unnest(ranks[1:CAST(n - (n*3 + 4) // 5 + 1 AS INT)]) AS rnk
+  FROM doc_ranks),
+cand AS (
+  SELECT DISTINCT a.doc AS id_a, b.doc AS id_b
+  FROM prefixes a JOIN prefixes b ON a.rnk = b.rnk AND a.doc < b.doc),
+verified AS (
+  SELECT id_a, id_b,
+         len(list_intersect(ra.ranks, rb.ranks)) AS inter,
+         ra.n + rb.n - len(list_intersect(ra.ranks, rb.ranks)) AS u
+  FROM cand
+  JOIN doc_ranks ra ON ra.doc = id_a
+  JOIN doc_ranks rb ON rb.doc = id_b)
+SELECT id_a, id_b, CAST(inter AS BIGINT) AS inter, CAST(u AS BIGINT) AS "union",
+       CAST(inter AS DOUBLE) / u AS jaccard
+FROM verified WHERE inter * 5 >= u * 3
+"""
+
+
+QUERIES.update({"q132_prefix_jaccard": q_prefix_jaccard})
+ORACLES.update({"q132_prefix_jaccard": SQL_PREFIX_JACCARD})

@@ -189,3 +189,38 @@ def test_semantic_dedup(spark):
     assert out[0] == (0, False) and out[1] == (0, True)
     assert out[2] == (1, False) and out[3] == (1, True)
     assert out[4] == (2, False)
+
+
+def test_prefix_jaccard_complete_vs_brute_force(spark):
+    """Prefix filtering must find EVERY pair >= threshold (it is exact,
+    unlike LSH): compare against the all-pairs answer on a small corpus
+    with planted overlaps."""
+    from itertools import combinations
+
+    from sstable_migrator_spark.operators.dedup import prefix_filter_jaccard_pairs
+
+    rows = [
+        (1, "alpha beta gamma delta epsilon"),
+        (2, "alpha beta gamma delta zeta"),      # 4/6 with doc 1 -> 2/3 >= 3/5
+        (3, "alpha beta unrelated words here"),  # 2/8 with doc 1
+        (4, "alpha beta gamma delta epsilon"),   # exact dup of 1
+        (5, "totally different content tokens"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in prefix_filter_jaccard_pairs(docs, 3, 5).collect()
+    }
+
+    def jac(a, b):
+        sa, sb = set(a.split()), set(b.split())
+        return len(sa & sb) / len(sa | sb)
+
+    want = {
+        (i, j)
+        for (i, ta), (j, tb) in combinations(rows, 2)
+        if jac(ta, tb) * 5 >= 3 * 1  # inter*5 >= union*3 equivalent on sets
+        and len(set(ta.split()) & set(tb.split())) * 5
+        >= len(set(ta.split()) | set(tb.split())) * 3
+    }
+    assert got == want, (got, want)
