@@ -44,14 +44,21 @@ def asof_join(
     right_ts: str = "ts",
     value_cols: list[str] | None = None,
     tie_col: str | None = None,
+    direction: str = "backward",
 ) -> DataFrame:
-    """Backward as-of join (exact timestamp matches allowed).
+    """As-of join (exact timestamp matches allowed), both directions.
 
-    Returns every ``left`` row with ``value_cols`` from the latest
-    ``right`` row at or before its timestamp (NULLs when none exists).
+    ``backward`` (default): every ``left`` row gets ``value_cols`` from
+    the LATEST right row at or before its timestamp. ``forward``: from
+    the EARLIEST right row at or after it. NULLs when none exists.
     ``tie_col`` (a right-side column, default the first value col)
     breaks right-side timestamp ties: the greatest value wins.
+
+    Single-shuffle in either direction — the union-window trick sorts
+    once per key; direction only flips the timestamp ordering.
     """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward, got {direction!r}")
     if value_cols is None:
         value_cols = [c for c in right.columns if c not in (on, right_ts)]
     tie = tie_col or value_cols[0]
@@ -82,10 +89,13 @@ def asof_join(
     )
 
     # rights sort before lefts at equal ts (exact match allowed); among
-    # equal-ts rights the greatest tie_col lands closest to the left row
+    # equal-ts rights the greatest tie_col lands closest to the left row.
+    # forward = the same scan over a reversed timestamp order: the "last
+    # preceding" right in descending-ts order IS the earliest at-or-after.
+    ts_order = F.col("_ts").asc() if direction == "backward" else F.col("_ts").desc()
     w = (
         Window.partitionBy(on)
-        .orderBy(F.col("_ts").asc(), F.col("_side").asc(), F.col("_tie").asc_nulls_first())
+        .orderBy(ts_order, F.col("_side").asc(), F.col("_tie").asc_nulls_first())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     tagged = l_tag.unionByName(r_tag).select(

@@ -5280,3 +5280,51 @@ FROM verified WHERE inter * 5 >= u * 3
 
 QUERIES.update({"q132_prefix_jaccard": q_prefix_jaccard})
 ORACLES.update({"q132_prefix_jaccard": SQL_PREFIX_JACCARD})
+
+
+def q_forward_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward as-of join (operators/asof.py direction='forward'): for
+    each order, the EARLIEST shipment at or after a 30-day probe point,
+    ties broken by greatest line number. Single shuffle (the union-
+    window trick sorts once per orderkey); the oracle decorrelates to a
+    candidate join + row_number pick."""
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 7 == 0).select(
+        "o_orderkey",
+        (F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS")).alias("probe_ts"),
+    )
+    li = _t(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("o_orderkey"), "l_shipdate", "l_linenumber"
+    )
+    from sstable_migrator_spark.operators.asof import asof_join
+
+    out = asof_join(
+        o, li, on="o_orderkey", left_ts="probe_ts", right_ts="l_shipdate",
+        value_cols=["l_shipdate", "l_linenumber"], tie_col="l_linenumber",
+        direction="forward",
+    )
+    return out.select(
+        "o_orderkey", "probe_ts",
+        F.col("right_l_shipdate").alias("next_ship"),
+        F.col("right_l_linenumber").alias("next_line"),
+    )
+
+
+SQL_FORWARD_ASOF = """
+WITH probes AS (
+  SELECT o_orderkey, o_orderdate + INTERVAL 30 DAY AS probe_ts
+  FROM orders WHERE o_orderkey % 7 = 0),
+cand AS (
+  SELECT p.o_orderkey, p.probe_ts, l.l_shipdate, l.l_linenumber,
+         row_number() OVER (PARTITION BY p.o_orderkey
+                            ORDER BY l.l_shipdate ASC, l.l_linenumber DESC) AS rn
+  FROM probes p JOIN lineitem l
+    ON l.l_orderkey = p.o_orderkey AND l.l_shipdate >= p.probe_ts)
+SELECT p.o_orderkey, p.probe_ts, c.l_shipdate AS next_ship,
+       c.l_linenumber AS next_line
+FROM probes p LEFT JOIN (SELECT * FROM cand WHERE rn = 1) c
+  ON p.o_orderkey = c.o_orderkey
+"""
+
+
+QUERIES.update({"q133_forward_asof": q_forward_asof})
+ORACLES.update({"q133_forward_asof": SQL_FORWARD_ASOF})

@@ -64,3 +64,33 @@ def test_asof_default_value_cols(frames):
     left, right = frames
     out = asof_join(left, right, on="user_id")
     assert {"right_rid", "right_score"} <= set(out.columns)
+
+
+def test_forward_asof_join(spark):
+    """Forward direction: earliest right row at-or-after each left ts;
+    exact matches allowed; NULL when no future right exists."""
+    from sstable_migrator_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame(
+        [("k", 10), ("k", 25), ("k", 40)], "on string, ts long"
+    )
+    right = spark.createDataFrame(
+        [("k", 10, 1.0), ("k", 20, 2.0), ("k", 30, 3.0)],
+        "on string, ts long, px double",
+    )
+    got = {
+        r["ts"]: r["right_px"]
+        for r in asof_join(left, right, "on", direction="forward").collect()
+    }
+    assert got == {10: 1.0, 25: 3.0, 40: None}, got
+
+
+def test_forward_asof_tie_greatest_wins(spark):
+    from sstable_migrator_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame([("k", 5)], "on string, ts long")
+    right = spark.createDataFrame(
+        [("k", 7, 1.0), ("k", 7, 9.0)], "on string, ts long, px double"
+    )
+    got = asof_join(left, right, "on", direction="forward").collect()[0]["right_px"]
+    assert got == 9.0
