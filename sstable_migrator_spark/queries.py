@@ -5328,3 +5328,58 @@ FROM probes p LEFT JOIN (SELECT * FROM cand WHERE rn = 1) c
 
 QUERIES.update({"q133_forward_asof": q_forward_asof})
 ORACLES.update({"q133_forward_asof": SQL_FORWARD_ASOF})
+
+
+def q_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One BPE-training iteration's core: corpus-weighted adjacent
+    symbol-pair counts (the statistic that picks the next merge).
+    Word frequencies aggregate FIRST (the classic BPE trick — pair
+    counting then runs over the vocab, thousands of types, not millions
+    of tokens), then each word type explodes into its adjacent char
+    pairs weighted by its count. Top-20 pairs = the next 20 merge
+    candidates. Iterating = apply merge, recount — a driver loop like
+    graph.pagerank. Two shuffles: word rollup + pair rollup."""
+    docs = _dense(spark, _t(spark, sf_dir, "documents"))
+    words = docs.select(
+        F.explode(TX.tokens(F.lower(F.col("text")))).alias("w")
+    ).filter(F.col("w").rlike("^[a-z]+$"))
+    vocab = words.groupBy("w").agg(F.count(F.lit(1)).alias("wc"))
+    pairs = vocab.filter(F.length("w") >= 2).select(
+        "wc",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.length("w") - 1),
+                lambda i: F.col("w").substr(i, F.lit(2)),
+            )
+        ).alias("pair"),
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.sum("wc").alias("freq"))
+        .orderBy(F.desc("freq"), "pair")
+        .limit(20)
+    )
+
+
+SQL_BPE_PAIR_COUNTS = """
+WITH toks AS (
+  SELECT unnest(CASE WHEN length(trim(lower(text))) = 0 THEN []
+                     ELSE regexp_split_to_array(trim(lower(text)), '\\s+') END) AS w
+  FROM documents),
+vocab AS (
+  SELECT w, CAST(count(*) AS BIGINT) AS wc FROM toks
+  WHERE regexp_matches(w, '^[a-z]+$') GROUP BY w),
+pairs AS (
+  SELECT substr(w, CAST(i AS INT), 2) AS pair, wc
+  FROM vocab JOIN (SELECT unnest(range(1, 200)) AS i) r
+    ON r.i <= length(w) - 1
+  WHERE length(w) >= 2)
+SELECT pair, CAST(sum(wc) AS BIGINT) AS freq
+FROM pairs GROUP BY pair
+ORDER BY freq DESC, pair
+LIMIT 20
+"""
+
+
+QUERIES.update({"q134_bpe_pair_counts": q_bpe_pair_counts})
+ORACLES.update({"q134_bpe_pair_counts": SQL_BPE_PAIR_COUNTS})
