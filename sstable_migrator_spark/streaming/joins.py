@@ -47,3 +47,19 @@ def interval_stream_join(
         & (r_wm[right_ts] <= l_wm[left_ts] + F.expr(f"INTERVAL {max_delay}"))
     )
     return l_wm.join(r_wm, cond, how)
+
+
+def stream_static_enrich(
+    stream: DataFrame,
+    dim: DataFrame,
+    on: str,
+    how: str = "left",
+) -> DataFrame:
+    """Stream-static join: enrich a stream against a batch dimension
+    (the streaming twin of the GeoIP/TLD broadcast joins, SURVEY
+    J1-J3). The static side is re-planned each micro-batch, so a
+    slowly-changing dim picks up updates between batches WITHOUT
+    restarting the query — the standard pattern for dimension freshness
+    in long-running pipelines. Stateless (no watermark needed): each
+    batch row joins and leaves, nothing accumulates."""
+    return stream.join(F.broadcast(dim), on, how)

@@ -66,3 +66,39 @@ def test_stream_join_requires_streaming_plan(spark, tmp_path):
         clicks, buys, on="user_id", left_ts="click_ts", right_ts="buy_ts"
     )
     assert out.isStreaming
+
+
+def test_stream_static_enrich_picks_up_dim(spark, tmp_path):
+    """Stream-static join is stateless and re-reads the static plan per
+    batch: rows join the dimension as of their batch."""
+    from pyspark.sql import types as T
+
+    from sstable_migrator_spark.streaming.joins import stream_static_enrich
+
+    in_dir = tmp_path / "s"
+    in_dir.mkdir()
+    out = str(tmp_path / "enriched")
+    ckpt = str(tmp_path / "ck")
+    dim_path = str(tmp_path / "dim")
+    spark.createDataFrame(
+        [("com", "generic"), ("de", "country")], "tld string, kind string"
+    ).write.parquet(dim_path)
+
+    schema = T.StructType([T.StructField("domain", T.StringType()),
+                           T.StructField("tld", T.StringType())])
+    (in_dir / "b1.csv").write_text("a.com,com\nb.de,de\nc.xyz,xyz\n")
+
+    dim = spark.read.parquet(dim_path)
+    stream = spark.readStream.schema(schema).csv(str(in_dir) + "/*.csv")
+    q = (
+        stream_static_enrich(stream, dim, "tld")
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {(r["domain"], r["kind"]) for r in spark.read.parquet(out).collect()}
+    assert got == {("a.com", "generic"), ("b.de", "country"), ("c.xyz", None)}
