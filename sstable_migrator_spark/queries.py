@@ -5383,3 +5383,55 @@ LIMIT 20
 
 QUERIES.update({"q134_bpe_pair_counts": q_bpe_pair_counts})
 ORACLES.update({"q134_bpe_pair_counts": SQL_BPE_PAIR_COUNTS})
+
+
+def q_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping token-window chunking (context-window prep for
+    training/retrieval): 32-token windows at stride 24 (8-token
+    overlap), emitted as (doc_id, chunk_id, n_tok, chunk_text). Pure
+    map-side explode — no shuffle at all; at 100 TB this is the
+    pre-tokenize pass that feeds q77's shard packing. Start offsets are
+    integer arithmetic (1 + k*stride), so chunk boundaries are
+    hash-stable."""
+    size, stride = 32, 24
+    docs = _dense(spark, _t(spark, sf_dir, "documents"))
+    tk = TX.tokens(F.lower(F.col("text")))
+    staged = docs.select("doc_id", tk.alias("tk")).filter(F.size("tk") > 0)
+    n = F.size("tk")
+    n_chunks = F.floor((n - 1) / F.lit(stride)).cast("int") + 1
+    return staged.select(
+        "doc_id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), n_chunks - 1),
+                lambda k: F.slice(F.col("tk"), k * stride + 1, size),
+            )
+        ).alias("chunk_id", "toks"),
+    ).select(
+        "doc_id",
+        F.col("chunk_id").cast("long").alias("chunk_id"),
+        F.size("toks").cast("long").alias("n_tok"),
+        F.array_join("toks", " ").alias("chunk_text"),
+    )
+
+
+SQL_CHUNK_OVERLAP = """
+WITH w AS (
+  SELECT doc_id,
+         CASE WHEN length(trim(lower(text))) = 0 THEN []
+              ELSE regexp_split_to_array(trim(lower(text)), '\\s+') END AS tk
+  FROM documents),
+staged AS (SELECT doc_id, tk, len(tk) AS n FROM w WHERE len(tk) > 0),
+chunks AS (
+  SELECT doc_id, k.i AS chunk_id, tk[(k.i*24 + 1):(k.i*24 + 32)] AS toks
+  FROM staged JOIN (SELECT unnest(range(0, 512)) AS i) k
+    ON k.i <= (n - 1) // 24)
+SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
+       CAST(len(toks) AS BIGINT) AS n_tok,
+       array_to_string(toks, ' ') AS chunk_text
+FROM chunks
+"""
+
+
+QUERIES.update({"q135_chunk_overlap": q_chunk_overlap})
+ORACLES.update({"q135_chunk_overlap": SQL_CHUNK_OVERLAP})
