@@ -224,3 +224,28 @@ def test_prefix_jaccard_complete_vs_brute_force(spark):
         >= len(set(ta.split()) | set(tb.split())) * 3
     }
     assert got == want, (got, want)
+
+
+def test_lsh_recall_against_exact_shingle_jaccard(spark, sf_dir):
+    """Operator-quality pin: on the planted near-dup corpus, MinHash-LSH
+    (16 hashes / 4 bands) catches EVERY pair whose true word-3-shingle
+    Jaccard >= 0.5 — recall 1.0, deterministic (fixed md5 hash family,
+    fixed corpus). If a hashing or banding change drops recall, this
+    fails before the pipeline silently under-dedups."""
+    from sstable_migrator_spark.operators.dedup import (
+        minhash_lsh_pairs,
+        ngram_jaccard_pairs,
+    )
+    from sstable_migrator_spark.queries import _synth_near_dup_docs
+
+    docs = _synth_near_dup_docs(spark, sf_dir)
+    truth = {
+        (r["id_a"], r["id_b"])
+        for r in ngram_jaccard_pairs(docs, n=3, threshold=0.5).collect()
+    }
+    lsh = {
+        (r["id_a"], r["id_b"])
+        for r in minhash_lsh_pairs(docs, jaccard_threshold=0.5).collect()
+    }
+    assert truth, "planted corpus must contain true near-dups"
+    assert truth <= lsh, f"LSH missed {len(truth - lsh)} true pairs"
