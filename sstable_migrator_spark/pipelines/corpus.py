@@ -1,0 +1,133 @@
+"""End-to-end training-corpus build: the LLM-data twin of the daily DNS
+pipeline (pipelines/daily.py). One composed DataFrame program takes raw
+documents through the standard data-curation funnel and writes
+token-budgeted shards:
+
+    quality filter -> language allowlist -> exact dedup ->
+    MinHash-LSH near-dup clustering (keep canonical) ->
+    PII redaction -> overlapping chunking -> shard packing -> write
+
+Per-stage row counts come from ONE pass via the Observation API (each
+stage carries an ``observe``), not per-stage count() jobs — at 100 TB
+the funnel runs exactly once. Every stage is an operator that already
+has its own oracle-checked query or unit suite (q48/q84 quality,
+q47 lang-id, q40 exact dedup, q43/q58 LSH+clusters, q82 PII, q135
+chunking, q77 packing); this module is the composition, wired the way
+a user would actually run it.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Observation, Window
+from pyspark.sql import functions as F
+
+from sstable_migrator_spark.functions import text as TX
+from sstable_migrator_spark.functions.pii import redact_pii
+from sstable_migrator_spark.operators import dedup
+
+__all__ = ["quality_score", "build_training_corpus"]
+
+
+def quality_score(text_col) -> "F.Column":
+    """Composite quality heuristic over a raw text column (same recipe
+    the oracle-checked q48/q84 queries pin: length, mean word length,
+    stopword ratio, punctuation ratio; fixed arithmetic order)."""
+    tk = TX.tokens(text_col)
+    n = F.size(tk)
+    len_score = F.least(n.cast("double") / 100.0, F.lit(1.0))
+    total_len = F.aggregate(tk, F.lit(0), lambda acc, x: acc + F.length(x))
+    mwl = F.when(n > 0, total_len.cast("double") / n).otherwise(0.0)
+    wl_score = F.when((mwl >= 3.0) & (mwl <= 10.0), 1.0).otherwise(0.0)
+    hits = F.size(
+        F.filter(F.transform(tk, F.lower), lambda x: x.isin(*TX.DEFAULT_STOPWORDS))
+    )
+    swr = F.when(n > 0, hits.cast("double") / n).otherwise(0.0)
+    sw_score = F.least(swr * 5.0, F.lit(1.0))
+    punct = F.length(F.regexp_replace(text_col, "[A-Za-z0-9\\s]", ""))
+    pr = F.when(
+        F.length(text_col) > 0, punct.cast("double") / F.length(text_col)
+    ).otherwise(0.0)
+    punct_score = F.lit(1.0) - F.least(pr * 4.0, F.lit(1.0))
+    return 0.3 * len_score + 0.2 * wl_score + 0.3 * sw_score + 0.2 * punct_score
+
+
+def build_training_corpus(
+    docs: DataFrame,
+    out_dir: str,
+    quality_min: float = 0.3,
+    langs: tuple[str, ...] = ("en", "de", "es", "fr", "zh"),
+    chunk_size: int = 32,
+    stride: int = 24,
+    shard_tokens: int = 2000,
+) -> dict[str, int]:
+    """Run the curation funnel and write chunk shards to ``out_dir``
+    (parquet, partitioned by shard_id). Returns per-stage row counts.
+
+    Scale shape: quality/lang/PII/chunking are map-only; exact dedup is
+    one fingerprint shuffle; the near-dup stage shuffles only signature
+    rows and the (tiny) pair graph; packing windows over per-doc token
+    counts, not text. The near-dup survivors anti-join as a broadcast
+    (cluster lists are |dups|-sized, not corpus-sized).
+    """
+    spark = docs.sparkSession
+    obs = {k: Observation(k) for k in ("input", "quality", "lang", "exact")}
+
+    staged = docs.observe(obs["input"], F.count(F.lit(1)).alias("n"))
+    q = staged.filter(quality_score(F.col("text")) >= quality_min).observe(
+        obs["quality"], F.count(F.lit(1)).alias("n")
+    )
+    lg = q.filter(F.col("lang").isin(*langs)).observe(
+        obs["lang"], F.count(F.lit(1)).alias("n")
+    )
+    exact = dedup.exact_dedup(lg).drop("fingerprint").observe(
+        obs["exact"], F.count(F.lit(1)).alias("n")
+    )
+    # near-dup: pairs -> connected clusters -> keep the canonical doc.
+    # The funnel re-reads `exact` here (pairs + anti-join), so cut the
+    # lineage once; at scale this is the persisted post-exact-dedup
+    # bronze table.
+    exact = exact.localCheckpoint()
+    pairs = dedup.minhash_lsh_pairs(exact, jaccard_threshold=0.5)
+    clusters = dedup.duplicate_clusters(pairs)
+    losers = clusters.filter(~F.col("is_canonical")).select(
+        F.col("doc_id").cast("long").alias("doc_id")
+    )
+    kept = exact.join(F.broadcast(losers), "doc_id", "left_anti")
+
+    clean = kept.withColumn("text", redact_pii(F.col("text")))
+
+    tk = TX.tokens(F.lower(F.col("text")))
+    chunked_src = clean.select("doc_id", tk.alias("tk")).filter(F.size("tk") > 0)
+    n = F.size("tk")
+    n_chunks = F.floor((n - 1) / F.lit(stride)).cast("int") + 1
+    chunks = chunked_src.select(
+        "doc_id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), n_chunks - 1),
+                lambda k: F.slice(F.col("tk"), k * stride + 1, chunk_size),
+            )
+        ).alias("chunk_id", "toks"),
+    ).select(
+        "doc_id",
+        "chunk_id",
+        F.size("toks").alias("n_tok"),
+        F.array_join("toks", " ").alias("chunk_text"),
+    )
+    # shard packing: running token total over deterministic (doc, chunk)
+    # order -> shard boundaries at the token budget (q77's recipe)
+    w = Window.orderBy("doc_id", "chunk_id")
+    packed = chunks.withColumn(
+        "shard_id",
+        F.floor(
+            (F.sum("n_tok").over(w) - F.col("n_tok")) / F.lit(shard_tokens)
+        ).cast("int"),
+    )
+    packed.write.mode("overwrite").partitionBy("shard_id").parquet(out_dir)
+
+    counts = {k: int(o.get["n"]) for k, o in obs.items()}
+    counts["near_dup_kept"] = kept.count()
+    counts["chunks"] = int(
+        spark.read.parquet(out_dir).count()
+    )
+    return counts

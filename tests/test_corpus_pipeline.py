@@ -1,0 +1,42 @@
+"""E2E training-corpus funnel: quality -> lang -> exact dedup ->
+near-dup clusters -> PII -> chunk -> shard packing, one composed run."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from sstable_migrator_spark.pipelines.corpus import build_training_corpus
+
+
+def test_full_funnel(spark, sf_dir, tmp_path):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    # plant an exact dup and a near dup so both dedup stages have work
+    base = docs.limit(50)
+    exact_dup = base.filter(F.col("doc_id") == base.first()["doc_id"]).select(
+        (F.col("doc_id") + 100000).alias("doc_id"), "text", "lang", "source", "n_chars"
+    )
+    near_dup = base.limit(5).select(
+        (F.col("doc_id") + 200000).alias("doc_id"),
+        F.concat("text", F.lit(" tail token")).alias("text"),
+        "lang", "source", "n_chars",
+    )
+    corpus = base.unionByName(exact_dup).unionByName(near_dup)
+
+    out = str(tmp_path / "shards")
+    counts = build_training_corpus(corpus, out, quality_min=0.0, shard_tokens=500)
+
+    # funnel is monotone and every stage is accounted
+    assert counts["input"] == 56
+    assert counts["input"] >= counts["quality"] >= counts["lang"] >= counts["exact"]
+    assert counts["exact"] >= counts["near_dup_kept"]
+    # the planted exact dup must die in exact dedup (same fingerprint)
+    assert counts["exact"] < counts["lang"]
+    assert counts["chunks"] > 0
+
+    shards = spark.read.parquet(out)
+    assert set(shards.columns) >= {"doc_id", "chunk_id", "n_tok", "chunk_text", "shard_id"}
+    # shard budget respected: each shard's token total stays under
+    # budget + one max chunk (the packing rule's slack)
+    per_shard = shards.groupBy("shard_id").agg(F.sum("n_tok").alias("t")).collect()
+    max_chunk = shards.agg(F.max("n_tok")).first()[0]
+    assert all(r["t"] <= 500 + max_chunk for r in per_shard), per_shard
