@@ -196,6 +196,49 @@ def ivf_assign(
     return df.mapInPandas(assign, out_schema)
 
 
+def ivf_probe_cells(
+    queries: DataFrame,
+    centroids: list[tuple[int, list[float]]],
+    n_probe: int = 2,
+    vec_col: str = "query_vec",
+    probe_col: str = "_probe",
+) -> DataFrame:
+    """One row per (query, probed cell): the n_probe nearest cells by
+    unit-centroid dot, numpy-vectorized like ivf_assign (stable argsort
+    on (-dot, cell-id order) -> ties break to the lower cell id, the
+    same rule as `_ranked_cells`)."""
+    import math
+
+    import numpy as np
+
+    ordered = sorted(((int(cid), cv) for cid, cv in centroids), key=lambda t: t[0])
+    cmat = np.array(
+        [
+            [x / (math.sqrt(sum(y * y for y in cv)) or 1.0) for x in cv]
+            for _, cv in ordered
+        ],
+        dtype=np.float64,
+    ).T
+    cell_ids = np.array([cid for cid, _ in ordered], dtype=np.int64)
+    p = min(n_probe, len(ordered))
+    out_schema = T.StructType(
+        list(queries.schema.fields) + [T.StructField(probe_col, T.IntegerType(), False)]
+    )
+
+    def probe(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            v = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            # stable sort keeps cell-id order among exact dot ties
+            top = np.argsort(-(v @ cmat), axis=1, kind="stable")[:, :p]
+            rep = pdf.loc[pdf.index.repeat(p)].reset_index(drop=True)
+            rep[probe_col] = cell_ids[top.ravel()].astype(np.int32)
+            yield rep
+
+    return queries.mapInPandas(probe, out_schema)
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -215,16 +258,12 @@ def ivf_topk(
     from pyspark.sql import Window
 
     c = ivf_assign(corpus, centroids, corpus_vec, "_cell")
-    probes = queries.select(
-        F.col(query_id),
-        F.col(query_vec),
-        F.explode(
-            F.transform(
-                F.slice(_ranked_cells(F.col(query_vec), centroids), 1, n_probe),
-                lambda s: s["cell"],
-            )
-        ).alias("_probe"),
-    )
+    # probe selection is the same numpy kernel as assignment (top
+    # n_probe cells by unit-centroid dot, ties -> lower cell id via the
+    # cell-id-sorted stable argsort). The expression form built
+    # n_cells x dim literal columns PER CALL — ~1s of pure plan
+    # construction at 64 cells before any data moved.
+    probes = ivf_probe_cells(queries, centroids, n_probe, query_vec, "_probe")
     scored = c.join(F.broadcast(probes), F.col("_cell") == F.col("_probe")).select(
         F.col(query_id),
         F.col(corpus_id).alias("neighbor_id"),
