@@ -95,6 +95,10 @@ def test_stateful_sessionize(spark, tmp_path):
     closed = sorted((r["user_id"], r["n_events"]) for r in rows)
     # session 1 (batch 1) + the two opens closed by batch 2
     assert closed == [(1, 2), (1, 2), (2, 1)]
+    # exactly-once: a no-new-data rerun from the same checkpoint must
+    # not reprocess or re-emit anything
+    run_tick()
+    assert spark.read.parquet(out_dir).count() == len(rows)
 
 
 def test_routed_stream_sink_multi_table(spark, tmp_path):
