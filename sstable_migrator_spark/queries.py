@@ -5435,3 +5435,59 @@ FROM chunks
 
 QUERIES.update({"q135_chunk_overlap": q_chunk_overlap})
 ORACLES.update({"q135_chunk_overlap": SQL_CHUNK_OVERLAP})
+
+
+def q_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Containment near-dup pairs (asymmetric overlap): pairs where the
+    SMALLER token set is >= 4/5 inside the larger — catches
+    boilerplate/subset documents that symmetric Jaccard misses (a page
+    embedded in a bigger page has low Jaccard but high containment).
+    Bounded all-pairs over the planted corpus (the verification-scale
+    form, like q44/q45); the scale path blocks candidates with the
+    prefix-filter machinery of q132 first. Threshold is integer-exact:
+    5*inter >= 4*min(na, nb)."""
+    docs = _synth_near_dup_docs(spark, sf_dir)
+    toks = docs.select(
+        F.col("doc_id").alias("doc"),
+        F.sort_array(
+            F.array_distinct(TX.tokens(F.lower(F.col("text"))))
+        ).alias("tset"),
+    ).withColumn("n", F.size("tset")).filter(F.col("n") > 0).localCheckpoint()
+    a = toks.select(F.col("doc").alias("id_a"), F.col("tset").alias("ta"), F.col("n").alias("na"))
+    b = toks.select(F.col("doc").alias("id_b"), F.col("tset").alias("tb"), F.col("n").alias("nb"))
+    pairs = (
+        a.crossJoin(b)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("inter", F.size(F.array_intersect("ta", "tb")))
+        .filter(F.col("inter") * 5 >= F.least("na", "nb") * 4)
+    )
+    return pairs.select(
+        "id_a", "id_b",
+        F.col("inter").cast("long").alias("inter"),
+        F.col("na").cast("long").alias("na"),
+        F.col("nb").cast("long").alias("nb"),
+        (F.col("inter").cast("double") / F.least("na", "nb")).alias("containment"),
+    )
+
+
+SQL_CONTAINMENT_PAIRS = f"""
+WITH {SQL_ND_DOCS_CTE.strip()},
+toks AS (
+  SELECT doc_id AS doc,
+         list_sort(list_distinct(
+           CASE WHEN length(trim(lower(text))) = 0 THEN []
+                ELSE regexp_split_to_array(trim(lower(text)), '\\s+') END)) AS tset
+  FROM nd_docs),
+sized AS (SELECT doc, tset, len(tset) AS n FROM toks WHERE len(tset) > 0)
+SELECT a.doc AS id_a, b.doc AS id_b,
+       CAST(len(list_intersect(a.tset, b.tset)) AS BIGINT) AS inter,
+       CAST(a.n AS BIGINT) AS na, CAST(b.n AS BIGINT) AS nb,
+       CAST(len(list_intersect(a.tset, b.tset)) AS DOUBLE) / least(a.n, b.n)
+         AS containment
+FROM sized a JOIN sized b ON a.doc < b.doc
+WHERE len(list_intersect(a.tset, b.tset)) * 5 >= least(a.n, b.n) * 4
+"""
+
+
+QUERIES.update({"q136_containment_pairs": q_containment_pairs})
+ORACLES.update({"q136_containment_pairs": SQL_CONTAINMENT_PAIRS})
