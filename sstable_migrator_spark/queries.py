@@ -5491,3 +5491,52 @@ WHERE len(list_intersect(a.tset, b.tset)) * 5 >= least(a.n, b.n) * 4
 
 QUERIES.update({"q136_containment_pairs": q_containment_pairs})
 ORACLES.update({"q136_containment_pairs": SQL_CONTAINMENT_PAIRS})
+
+
+def q_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-proof salted join, oracle-checked for INVISIBILITY: a
+    synthetically hot-keyed fact (every 10th lineitem collapses onto
+    key 0 — one key carrying ~10% of the table) joins a non-broadcast
+    dim through operators/skew.salted_join (salt on the big side,
+    bucket-replicate the small side), and the rolled-up result must
+    equal the plain join bit-for-bit. This is the manual fallback for
+    skew AQE can't fix (AQE splits shuffle partitions, but a single hot
+    KEY inside one partition still serializes without salting)."""
+    from sstable_migrator_spark.operators.skew import salted_join
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        F.when(F.col("l_orderkey") % 10 == 0, F.lit(0))
+        .otherwise(F.col("l_orderkey") % 1000)
+        .alias("k"),
+        F.col("l_quantity").cast("decimal(18,2)").alias("q"),
+        "l_linenumber",
+    )
+    dim = (
+        spark.range(0, 1000)
+        .select(F.col("id").alias("k"), (F.col("id") * 7 + 3).alias("dim_val"))
+    )
+    joined = salted_join(li, dim, "k", salt_cols=["l_linenumber"], buckets=8)
+    return (
+        joined.groupBy("k", "dim_val")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("q").cast("double").alias("sum_qty"),
+        )
+    )
+
+
+SQL_SALTED_JOIN = """
+WITH fact AS (
+  SELECT CASE WHEN l_orderkey % 10 = 0 THEN 0 ELSE l_orderkey % 1000 END AS k,
+         CAST(l_quantity AS DECIMAL(18,2)) AS q
+  FROM lineitem),
+dim AS (SELECT i AS k, i * 7 + 3 AS dim_val FROM (SELECT unnest(range(0, 1000)) AS i))
+SELECT f.k, d.dim_val, CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(q) AS DOUBLE) AS sum_qty
+FROM fact f JOIN dim d ON f.k = d.k
+GROUP BY f.k, d.dim_val
+"""
+
+
+QUERIES.update({"q137_salted_join": q_salted_join})
+ORACLES.update({"q137_salted_join": SQL_SALTED_JOIN})
