@@ -109,15 +109,50 @@ def main() -> None:
         gc.collect()
 
     total = round(sum(t for t in timings.values() if t >= 0), 4)
+    n_err = sum(1 for t in timings.values() if t < 0)
+
+    # The driver captures only a short stdout tail, so the full per-query
+    # timing map (137 entries, ~6 KB) goes to a sidecar file and stdout
+    # carries ONE compact line: headline total + the 10 slowest queries.
+    detail_file = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json")
+    try:
+        with open(detail_file, "w") as f:
+            json.dump(
+                {
+                    "metric": "catalog_total_wall",
+                    "value": total,
+                    "unit": "sec",
+                    "sf": sf,
+                    "cpus": os.environ.get("SPARK_GRAFT_CPUS", ""),
+                    "n_queries": len(timings),
+                    "n_errors": n_err,
+                    "queries": timings,
+                },
+                f,
+                indent=1,
+            )
+    except OSError as e:
+        print(f"# bench sidecar write failed: {e!r}", file=sys.stderr)
+
+    slowest = dict(
+        sorted(
+            ((k, v) for k, v in timings.items() if v >= 0),
+            key=lambda kv: -kv[1],
+        )[:10]
+    )
     print(
         json.dumps(
             {
                 "metric": "catalog_total_wall",
                 "value": total,
                 "unit": "sec",
-                "queries": timings,
                 "sf": sf,
-            }
+                "n_queries": len(timings),
+                "n_errors": n_err,
+                "queries": slowest,
+                "detail_file": "BENCH_DETAIL.json",
+            },
+            separators=(",", ":"),
         )
     )
 
