@@ -68,15 +68,25 @@ def load_tables(spark: SparkSession, sf_dir: str, names: list[str] | None = None
     return {n: read_parquet_table(spark, sf_dir, n) for n in names}
 
 
-def stage_url(urls: list[str] | str, dest_path: str, retries: int = 2, timeout: int = 60) -> str:
+def stage_url(
+    urls: list[str] | str,
+    dest_path: str,
+    retries: int = 2,
+    timeout: int = 60,
+    extract_archives: bool = True,
+) -> str:
     """S4/S5/S7 — driver-side fetch-to-staging with mirror failover.
 
     The reference wgets daily dumps with a cs1 -> cs2 mirror fallback
     (daily_all_upload.sh:28-31) and ClickHouse ingests straight from a
     URL (clickhouse_queries.md:15-18). Spark has no OSS URL datasource,
-    so ingestion wrappers stage the payload locally (Spark then reads
-    ``.gz`` natively; 7z must be re-archived first) and read the staged
-    file. Tries every mirror per attempt round, ``retries`` rounds.
+    so ingestion wrappers stage the payload locally and read the staged
+    file. ``.gz`` is left as-is (Spark reads it natively); a 7z payload
+    (certstream dumps, daily_certstream_download.sh:33-39) is detected
+    by magic and extracted in place with the dependency-free
+    ``sources.sevenzip`` reader — ``dest_path`` then becomes a
+    *directory* of members, which ``spark.read`` globs exactly like a
+    multi-file input. Tries every mirror per round, ``retries`` rounds.
     """
     import shutil
     import urllib.request
@@ -90,10 +100,34 @@ def stage_url(urls: list[str] | str, dest_path: str, retries: int = 2, timeout: 
                     dest_path, "wb"
                 ) as out:
                     shutil.copyfileobj(resp, out)
+                if extract_archives:
+                    return _extract_if_7z(dest_path)
                 return dest_path
             except Exception as e:  # noqa: BLE001 — collect and fail over
                 errors.append(f"{url}: {e!r}")
     raise OSError(f"all mirrors failed after {retries} rounds: {errors}")
+
+
+def _extract_if_7z(dest_path: str) -> str:
+    """If the staged payload is a 7z archive, replace it with a
+    directory of its extracted members (S5). Non-7z payloads pass
+    through untouched."""
+    import os
+
+    from sstable_migrator_spark.sources.sevenzip import extract_7z, is_7z
+
+    with open(dest_path, "rb") as f:
+        head = f.read(6)
+    if not is_7z(head):
+        return dest_path
+    members = extract_7z(dest_path)
+    os.remove(dest_path)
+    os.makedirs(dest_path, exist_ok=True)
+    for name, data in members.items():
+        safe = os.path.basename(name.replace("\\", "/")) or "member"
+        with open(os.path.join(dest_path, safe), "wb") as out:
+            out.write(data)
+    return dest_path
 
 
 def read_jsonl(spark: SparkSession, path: str, schema: T.StructType | str | None = None) -> DataFrame:
