@@ -1,0 +1,187 @@
+"""Cassandra Murmur3Partitioner token parity (SURVEY K1/O4).
+
+The reference hands rows to ``CQLSSTableWriter`` and lets Cassandra's
+``Murmur3Partitioner`` place them on the token ring (App.java:231-250).
+The Spark stand-in (sinks.cassandra_shaped_write) previously used plain
+hash repartitioning — correct distribution, wrong *placement identity*.
+This module computes the exact Cassandra token so the written layout
+can be mapped 1:1 to the target ring.
+
+Algorithm facts, all from public sources:
+
+- Murmur3Partitioner hashes the serialized partition key with
+  MurmurHash3 x64_128, seed 0, and takes the FIRST 64-bit half as the
+  token, normalizing ``Long.MIN_VALUE`` to ``Long.MAX_VALUE``
+  (org.apache.cassandra.dht.Murmur3Partitioner#getToken).
+- Cassandra's Java MurmurHash keeps Java's *signed* bytes in the tail
+  block (org.apache.cassandra.utils.MurmurHash#hash3_x64_128), so for
+  tail bytes >= 0x80 its output deliberately diverges from the
+  canonical x64_128. The ``cassandra_variant`` flag reproduces that
+  sign extension; with it off this is the canonical algorithm (pinned
+  to the public mmh3 test vectors in tests).
+- Composite partition keys serialize each component as
+  ``uint16 length + bytes + 0x00`` (CompositeType.build).
+
+Execution shape: tokens are computed in an Arrow-batched pandas UDF —
+one Python roundtrip per batch at write time only; query paths never
+pay it. The pure-python core doubles as the oracle for golden tests.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import pandas as pd
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+
+_MASK64 = (1 << 64) - 1
+_C1 = 0x87C37B91114253D5
+_C2 = 0x4CF5AD432745937F
+
+
+def _rotl(x: int, r: int) -> int:
+    return ((x << r) | (x >> (64 - r))) & _MASK64
+
+
+def _fmix(k: int) -> int:
+    k ^= k >> 33
+    k = (k * 0xFF51AFD7ED558CCD) & _MASK64
+    k ^= k >> 33
+    k = (k * 0xC4CEB9FE1A85EC53) & _MASK64
+    k ^= k >> 33
+    return k
+
+
+def _tail_byte(b: int, cassandra_variant: bool) -> int:
+    """Cassandra keeps Java's signed byte in tail assembly."""
+    if cassandra_variant and b >= 0x80:
+        return (b - 0x100) & _MASK64  # sign-extend to 64 bits
+    return b
+
+
+def murmur3_x64_128(
+    data: bytes, seed: int = 0, cassandra_variant: bool = True
+) -> tuple[int, int]:
+    """MurmurHash3 x64_128; returns (h1, h2) as *signed* 64-bit ints."""
+    length = len(data)
+    nblocks = length // 16
+    h1 = h2 = seed & _MASK64
+
+    for i in range(nblocks):
+        k1, k2 = struct.unpack_from("<QQ", data, i * 16)
+        k1 = (k1 * _C1) & _MASK64
+        k1 = _rotl(k1, 31)
+        k1 = (k1 * _C2) & _MASK64
+        h1 ^= k1
+        h1 = _rotl(h1, 27)
+        h1 = (h1 + h2) & _MASK64
+        h1 = (h1 * 5 + 0x52DCE729) & _MASK64
+        k2 = (k2 * _C2) & _MASK64
+        k2 = _rotl(k2, 33)
+        k2 = (k2 * _C1) & _MASK64
+        h2 ^= k2
+        h2 = _rotl(h2, 31)
+        h2 = (h2 + h1) & _MASK64
+        h2 = (h2 * 5 + 0x38495AB5) & _MASK64
+
+    tail = data[nblocks * 16 :]
+    k1 = k2 = 0
+    for i in range(len(tail) - 1, 7, -1):  # bytes 8..14 -> k2
+        k2 ^= (_tail_byte(tail[i], cassandra_variant) << (8 * (i - 8))) & _MASK64
+    for i in range(min(len(tail), 8) - 1, -1, -1):  # bytes 0..7 -> k1
+        k1 ^= (_tail_byte(tail[i], cassandra_variant) << (8 * i)) & _MASK64
+    if len(tail) > 8:
+        k2 = (k2 * _C2) & _MASK64
+        k2 = _rotl(k2, 33)
+        k2 = (k2 * _C1) & _MASK64
+        h2 ^= k2
+    if tail:
+        k1 = (k1 * _C1) & _MASK64
+        k1 = _rotl(k1, 31)
+        k1 = (k1 * _C2) & _MASK64
+        h1 ^= k1
+
+    h1 ^= length
+    h2 ^= length
+    h1 = (h1 + h2) & _MASK64
+    h2 = (h2 + h1) & _MASK64
+    h1 = _fmix(h1)
+    h2 = _fmix(h2)
+    h1 = (h1 + h2) & _MASK64
+    h2 = (h2 + h1) & _MASK64
+
+    def _signed(v: int) -> int:
+        return v - (1 << 64) if v >= 1 << 63 else v
+
+    return _signed(h1), _signed(h2)
+
+
+def cassandra_token_bytes(key: bytes) -> int:
+    """Murmur3Partitioner token of an already-serialized partition key."""
+    token = murmur3_x64_128(key, 0, cassandra_variant=True)[0]
+    if token == -(1 << 63):  # Murmur3Partitioner.normalize
+        return (1 << 63) - 1
+    return token
+
+
+def serialize_key(*components: str | bytes | int) -> bytes:
+    """CQL partition-key serialization.
+
+    Single component -> the component's raw CQL bytes. Composite key ->
+    ``uint16_be(len) + bytes + 0x00`` per component (CompositeType).
+    text -> UTF-8; int -> 4-byte BE; bigint -> 8-byte BE (callers pick
+    by passing the python int range, matching CQL int/bigint).
+    """
+
+    def _raw(c: str | bytes | int) -> bytes:
+        if isinstance(c, bytes):
+            return c
+        if isinstance(c, str):
+            return c.encode("utf-8")
+        if isinstance(c, int):
+            if -(1 << 31) <= c < 1 << 31:
+                return struct.pack(">i", c)
+            return struct.pack(">q", c)
+        raise TypeError(f"unsupported key component type {type(c)}")
+
+    if len(components) == 1:
+        return _raw(components[0])
+    out = b""
+    for c in components:
+        raw = _raw(c)
+        out += struct.pack(">H", len(raw)) + raw + b"\x00"
+    return out
+
+
+def cassandra_token(*components: str | bytes | int) -> int:
+    return cassandra_token_bytes(serialize_key(*components))
+
+
+def cassandra_token_col(*cols: Column | str) -> Column:
+    """Column expression computing the Cassandra token of a partition
+    key. String columns serialize as text; numeric columns should be
+    cast to string upstream if the CQL schema says text. Arrow-batched;
+    write-path only."""
+
+    @pandas_udf("long")
+    def _token(*series: pd.Series) -> pd.Series:
+        n = len(series[0])
+        out = []
+        for i in range(n):
+            comps = []
+            for s in series:
+                v = s.iloc[i]
+                if v is None:
+                    comps.append(b"")
+                elif isinstance(v, (bytes, bytearray)):
+                    comps.append(bytes(v))
+                elif isinstance(v, str):
+                    comps.append(v)
+                else:
+                    comps.append(int(v))
+            out.append(cassandra_token(*comps))
+        return pd.Series(out, dtype="int64")
+
+    return _token(*[F.col(c) if isinstance(c, str) else c for c in cols])

@@ -27,14 +27,35 @@ def cassandra_shaped_write(
     clustering: list[str],
     num_partitions: int | None = None,
     mode: str = "overwrite",
+    token_placement: bool = False,
 ) -> None:
     """K1/O2/O4 — sorted, hash-placed write.
 
-    ``repartition(partition_key)`` is the Murmur3-token placement analog
-    (App.java:232,239,246); ``sortWithinPartitions`` delivers the
-    in-PK-order stream the SSTable format wants (README.md:82).
+    Default: ``repartition(partition_key)`` approximates Murmur3-token
+    placement (App.java:232,239,246) and ``sortWithinPartitions``
+    delivers the in-PK-order stream the SSTable format wants
+    (README.md:82).
+
+    ``token_placement=True`` upgrades the approximation to exact
+    parity: a ``cass_token`` column carries the real Murmur3Partitioner
+    token (functions.cassandra, golden-tested against the public
+    Cassandra vectors) and the layout is range-partitioned + sorted *in
+    ring order* — each output file covers one contiguous token range,
+    which is precisely what sstableloader streams to one replica set.
+    Costs one Arrow-batched UDF pass at write time only.
     """
     n = num_partitions or df.sparkSession.sparkContext.defaultParallelism
+    if token_placement:
+        from sstable_migrator_spark.functions.cassandra import cassandra_token_col
+
+        (
+            df.withColumn("cass_token", cassandra_token_col(*partition_key))
+            .repartitionByRange(n, F.col("cass_token"))
+            .sortWithinPartitions("cass_token", *clustering)
+            .write.mode(mode)
+            .parquet(path)
+        )
+        return
     (
         df.repartition(n, *[F.col(c) for c in partition_key])
         .sortWithinPartitions(*partition_key, *clustering)

@@ -1,0 +1,118 @@
+"""Cassandra Murmur3Partitioner token parity (SURVEY K1/O4 —
+App.java:231-250 placement semantics).
+
+Golden vectors: the canonical x64_128 pair for "foo" from the public
+mmh3 documentation, and Murmur3Partitioner tokens from the public
+cassandra python-driver unit tests (tests/unit/test_murmur3.py) —
+including high-bit inputs that exercise Cassandra's signed-byte tail,
+where the canonical algorithm and Cassandra's deliberately diverge.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from sstable_migrator_spark.functions.cassandra import (
+    cassandra_token,
+    cassandra_token_bytes,
+    cassandra_token_col,
+    murmur3_x64_128,
+    serialize_key,
+)
+
+# (serialized key bytes, Murmur3Partitioner token) — cassandra
+# python-driver tests/unit/test_murmur3.py
+DRIVER_VECTORS = [
+    (b"123", -7468325962851647638),
+    (b"\x00\xff\x10\xfa\x99" * 10, 5837342703291459765),
+    (b"\xfe" * 8, -8927430733708461935),
+    (b"\x10" * 8, 1446172840243228796),
+]
+
+
+def test_canonical_vectors():
+    assert murmur3_x64_128(b"", cassandra_variant=False) == (0, 0)
+    assert murmur3_x64_128(b"foo", cassandra_variant=False) == (
+        -2129773440516405919,
+        9128664383759220103,
+    )
+
+
+@pytest.mark.parametrize("key,token", DRIVER_VECTORS)
+def test_cassandra_partitioner_vectors(key, token):
+    assert cassandra_token_bytes(key) == token
+
+
+def test_signed_tail_diverges_from_canonical():
+    """For tail bytes >= 0x80 Cassandra's variant must differ from the
+    canonical algorithm (it matches the driver vector above, so the
+    divergence is the proof the flag matters)."""
+    key = b"\xfe" * 8
+    std = murmur3_x64_128(key, cassandra_variant=False)[0]
+    assert std != cassandra_token_bytes(key)
+
+
+def test_ascii_keys_match_canonical():
+    for key in (b"", b"a", b"domain.example.com", b"0123456789abcdef"):
+        assert (
+            murmur3_x64_128(key, cassandra_variant=True)
+            == murmur3_x64_128(key, cassandra_variant=False)
+        )
+
+
+def test_composite_key_serialization():
+    # single component: raw bytes; composite: u16len + bytes + 0x00
+    assert serialize_key("ab") == b"ab"
+    assert serialize_key("ab", "c") == b"\x00\x02ab\x00\x00\x01c\x00"
+    assert serialize_key(7) == b"\x00\x00\x00\x07"
+    assert serialize_key(1 << 40) == (1 << 40).to_bytes(8, "big")
+
+
+def test_token_column_matches_python(spark):
+    rows = [("dom%03d.example.com" % i,) for i in range(200)]
+    df = spark.createDataFrame(rows, ["domain"])
+    got = {
+        r["domain"]: r["tok"]
+        for r in df.select("domain", cassandra_token_col("domain").alias("tok")).collect()
+    }
+    for (d,) in rows:
+        assert got[d] == cassandra_token(d)
+
+
+def test_token_placement_layout(spark, tmp_path):
+    """token_placement=True writes ring-ordered files: every file's
+    token range is disjoint and internally sorted."""
+    from sstable_migrator_spark.sinks import cassandra_shaped_write
+
+    rows = [("dom%04d" % i, i % 7, "v%d" % i) for i in range(500)]
+    df = spark.createDataFrame(rows, ["domain", "bucket", "val"])
+    out = str(tmp_path / "cass")
+    cassandra_shaped_write(
+        df, out, ["domain"], ["val"], num_partitions=4, token_placement=True
+    )
+    import pyarrow.parquet as pq
+    import glob
+
+    files = sorted(glob.glob(f"{out}/part-*.parquet"))
+    assert len(files) >= 2
+    spans = []
+    for f in files:
+        toks = pq.read_table(f, columns=["cass_token"])["cass_token"].to_pylist()
+        if not toks:
+            continue
+        assert toks == sorted(toks)  # ring order inside the file
+        spans.append((min(toks), max(toks)))
+    spans.sort()
+    for (lo1, hi1), (lo2, hi2) in zip(spans, spans[1:]):
+        assert hi1 <= lo2  # disjoint contiguous token ranges
+    # tokens are the real partitioner tokens
+    all_toks = dict(
+        (d, t)
+        for f in files
+        for d, t in zip(
+            pq.read_table(f, columns=["domain"])["domain"].to_pylist(),
+            pq.read_table(f, columns=["cass_token"])["cass_token"].to_pylist(),
+        )
+    )
+    for (d, _, _) in rows:
+        assert all_toks[d] == cassandra_token(d)
