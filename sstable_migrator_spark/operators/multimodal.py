@@ -54,9 +54,11 @@ FEATURE_SCHEMA = T.StructType(
 
 
 class DecoderUnavailable(NotImplementedError):
-    """Raised by the real-decode path: codec libraries are not baked
-    into this environment. The deterministic fake keeps the pipeline
-    testable end-to-end."""
+    """Raised by the real-decode path for media kinds whose codecs are
+    not available (audio/video — no decode libraries in this
+    environment). Images DO real-decode: functions.imagecodec ships a
+    dependency-free PNG/PPM/BMP codec, so ``real_decode=True`` is the
+    real path for ``kind == 'image'`` and a loud stub otherwise."""
 
 
 def _fake_feature(payload: bytes, dim: int = 8) -> list[float]:
@@ -69,16 +71,45 @@ def _fake_feature(payload: bytes, dim: int = 8) -> list[float]:
 def decode_features(media: DataFrame, dim: int = 8, real_decode: bool = False) -> DataFrame:
     """mapInPandas feature extraction over binary payloads.
 
-    ``real_decode=True`` raises DecoderUnavailable — the marked stub for
-    the codec step; the default path computes the deterministic fake so
-    schema/batching/partition behavior is fully exercised.
+    ``real_decode=True`` decodes image payloads for real (PNG/PPM/BMP
+    via functions.imagecodec — pixels, not hashes) and computes
+    channel-statistic features; non-image kinds raise DecoderUnavailable
+    (audio/video codecs genuinely absent here). The default fake path
+    keeps schema/batching/partition behavior exercised without any
+    codec dependency.
     """
 
     def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         if real_decode:
-            raise DecoderUnavailable(
-                "image/audio codecs not available in this environment"
+            from sstable_migrator_spark.functions.imagecodec import (
+                decode_image,
+                image_features,
             )
+
+            for pdf in batches:
+                kinds = pdf["kind"]
+                if (kinds != "image").any():
+                    raise DecoderUnavailable(
+                        "audio/video codecs not available in this environment; "
+                        "filter to kind == 'image' for real decode"
+                    )
+                payloads = pdf["payload"]
+                yield pd.DataFrame(
+                    {
+                        "media_id": pdf["media_id"],
+                        "kind": kinds,
+                        "payload_sha256": payloads.map(
+                            lambda b: hashlib.sha256(b or b"").hexdigest()
+                        ),
+                        "payload_bytes": payloads.map(lambda b: len(b or b"")).astype(
+                            "int32"
+                        ),
+                        "feature": payloads.map(
+                            lambda b: image_features(decode_image(bytes(b)), dim)
+                        ),
+                    }
+                )
+            return
         for pdf in batches:
             payloads = pdf["payload"]
             yield pd.DataFrame(
@@ -109,6 +140,33 @@ def synthetic_media(spark, n: int = 64) -> DataFrame:
                 bytearray(payload),
                 (64 + i, 48 + i, 1000 * (i % 30), "fake"),
             )
+        )
+    return spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+
+def synthetic_image_media(spark, n: int = 24) -> DataFrame:
+    """Media table whose payloads are REAL encoded images (deterministic
+    gradients, alternating PNG and PPM) so the real-decode paths are
+    exercised end-to-end without codec libraries."""
+    import numpy as np
+
+    from sstable_migrator_spark.functions.imagecodec import encode_png, encode_ppm
+
+    rows = []
+    for i in range(n):
+        w, h = 16 + (i % 5) * 4, 12 + (i % 3) * 4
+        yy, xx = np.mgrid[0:h, 0:w]
+        arr = np.stack(
+            [
+                (xx * 255 // max(w - 1, 1)).astype(np.uint8),
+                (yy * 255 // max(h - 1, 1)).astype(np.uint8),
+                np.full((h, w), i * 9 % 256, dtype=np.uint8),
+            ],
+            axis=2,
+        )
+        payload = encode_png(arr) if i % 2 == 0 else encode_ppm(arr)
+        rows.append(
+            (i, "image", bytearray(payload), (w, h, 0, "png" if i % 2 == 0 else "ppm"))
         )
     return spark.createDataFrame(rows, MEDIA_SCHEMA)
 
@@ -152,20 +210,46 @@ def resize_images(
 ) -> DataFrame:
     """mapInPandas image resize over binary payloads.
 
-    The codec call is the stubbed step (``real_decode=True`` raises
-    DecoderUnavailable); the default deterministic fake models the
-    resource shape of a real resize — output payload size proportional
-    to the target pixel count (truncate/cycle the source bytes to
-    3*width*height) and metadata rewritten — so partitioning, Arrow
-    batch flow and schema are exercised end-to-end. Map-only: no
+    ``real_decode=True`` is the real path: decode (PNG/PPM/BMP,
+    functions.imagecodec) -> nearest-neighbor resize -> re-encode PNG,
+    metadata rewritten to the actual output dimensions. The default
+    deterministic fake models only the resource shape (payload bytes
+    proportional to target pixel count). Both paths are map-only: no
     shuffle, payload bytes never cross an exchange.
     """
 
     def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         if real_decode:
-            raise DecoderUnavailable(
-                "image codecs not available in this environment"
+            from sstable_migrator_spark.functions.imagecodec import (
+                decode_image,
+                encode_png,
+                resize_nearest,
             )
+
+            for pdf in batches:
+                out_payloads = pdf["payload"].map(
+                    lambda b: bytearray(
+                        encode_png(resize_nearest(decode_image(bytes(b)), width, height))
+                    )
+                )
+                meta = pd.DataFrame(
+                    {
+                        "width": [width] * len(pdf),
+                        "height": [height] * len(pdf),
+                        "duration_ms": [
+                            m["duration_ms"] if m else 0 for m in pdf["meta"]
+                        ],
+                        "codec": ["png"] * len(pdf),
+                    }
+                )
+                yield pd.DataFrame(
+                    {
+                        "media_id": pdf["media_id"],
+                        "payload": out_payloads,
+                        "meta": meta.to_dict("records"),
+                    }
+                )
+            return
         target = 3 * width * height
 
         def fake_resize(b: bytes) -> bytes:

@@ -1,0 +1,245 @@
+"""Dependency-free image codec + real multimodal decode paths.
+
+Covers the pure decoders (PNG all color types and all five scanline
+filters, PPM/PGM, BMP), the resize, and the Spark-side real_decode
+operators over payloads that are genuine encoded images.
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+import numpy as np
+import pytest
+
+from sstable_migrator_spark.functions.imagecodec import (
+    ImageFormatError,
+    decode_bmp,
+    decode_image,
+    decode_png,
+    decode_ppm,
+    encode_png,
+    encode_ppm,
+    image_features,
+    image_meta,
+    resize_nearest,
+    sniff_format,
+)
+
+
+def _gradient(h: int, w: int) -> np.ndarray:
+    yy, xx = np.mgrid[0:h, 0:w]
+    return np.stack(
+        [
+            (xx * 255 // max(w - 1, 1)).astype(np.uint8),
+            (yy * 255 // max(h - 1, 1)).astype(np.uint8),
+            ((xx + yy) % 256).astype(np.uint8),
+        ],
+        axis=2,
+    )
+
+
+def _png_with_filters(arr: np.ndarray, filters: list[int]) -> bytes:
+    """Hand-encode a color-type-2 PNG applying a chosen filter per row,
+    to exercise every decoder unfilter branch."""
+    h, w, _ = arr.shape
+    bpp = 3
+    raw = bytearray()
+    prev = np.zeros(w * bpp, dtype=np.int32)
+    for y in range(h):
+        line = arr[y].reshape(-1).astype(np.int32)
+        f = filters[y % len(filters)]
+        raw.append(f)
+        if f == 0:
+            enc = line
+        elif f == 1:
+            left = np.concatenate([np.zeros(bpp, np.int32), line[:-bpp]])
+            enc = (line - left) & 0xFF
+        elif f == 2:
+            enc = (line - prev) & 0xFF
+        elif f == 3:
+            left = np.concatenate([np.zeros(bpp, np.int32), line[:-bpp]])
+            enc = (line - ((left + prev) >> 1)) & 0xFF
+        else:  # Paeth
+            enc = np.empty_like(line)
+            for x in range(len(line)):
+                a = int(line[x - bpp]) if x >= bpp else 0
+                b = int(prev[x])
+                c = int(prev[x - bpp]) if x >= bpp else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                enc[x] = (line[x] - pred) & 0xFF
+        raw.extend(int(v) for v in enc)
+        prev = line
+
+    def chunk(ctype: bytes, payload: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(payload))
+            + ctype
+            + payload
+            + struct.pack(">I", zlib.crc32(ctype + payload))
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + chunk(b"IEND", b"")
+    )
+
+
+def test_png_roundtrip():
+    arr = _gradient(13, 17)
+    assert np.array_equal(decode_png(encode_png(arr)), arr)
+
+
+@pytest.mark.parametrize("filters", [[0], [1], [2], [3], [4], [0, 1, 2, 3, 4]])
+def test_png_all_filters(filters):
+    arr = _gradient(10, 9)
+    assert np.array_equal(decode_png(_png_with_filters(arr, filters)), arr)
+
+
+def test_png_gray_palette_alpha_types():
+    # gray (type 0)
+    gray = np.arange(48, dtype=np.uint8).reshape(6, 8)
+    raw = b"".join(b"\x00" + gray[y].tobytes() for y in range(6))
+
+    def chunk(ctype, payload):
+        return (
+            struct.pack(">I", len(payload)) + ctype + payload
+            + struct.pack(">I", zlib.crc32(ctype + payload))
+        )
+
+    sig = b"\x89PNG\r\n\x1a\n"
+    png0 = (
+        sig
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", 8, 6, 8, 0, 0, 0, 0))
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+    out = decode_png(png0)
+    assert out.shape == (6, 8, 3)
+    assert np.array_equal(out[:, :, 0], gray)
+    assert np.array_equal(out[:, :, 1], gray)
+
+    # palette (type 3)
+    palette = np.array([[255, 0, 0], [0, 255, 0], [0, 0, 255]], dtype=np.uint8)
+    idx = (np.arange(24) % 3).astype(np.uint8).reshape(4, 6)
+    raw3 = b"".join(b"\x00" + idx[y].tobytes() for y in range(4))
+    png3 = (
+        sig
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", 6, 4, 8, 3, 0, 0, 0))
+        + chunk(b"PLTE", palette.tobytes())
+        + chunk(b"IDAT", zlib.compress(raw3))
+        + chunk(b"IEND", b"")
+    )
+    assert np.array_equal(decode_png(png3), palette[idx])
+
+    # RGBA (type 6): alpha dropped
+    arr = _gradient(3, 5)
+    rgba = np.dstack([arr, np.full((3, 5), 128, np.uint8)])
+    raw6 = b"".join(b"\x00" + rgba[y].tobytes() for y in range(3))
+    png6 = (
+        sig
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", 5, 3, 8, 6, 0, 0, 0))
+        + chunk(b"IDAT", zlib.compress(raw6))
+        + chunk(b"IEND", b"")
+    )
+    assert np.array_equal(decode_png(png6), arr)
+
+
+def test_ppm_pgm():
+    arr = _gradient(7, 11)
+    data = encode_ppm(arr)
+    assert sniff_format(data) == "ppm"
+    assert np.array_equal(decode_ppm(data), arr)
+    # PGM with a comment line in the header
+    gray = np.arange(35, dtype=np.uint8).reshape(5, 7)
+    pgm = b"P5\n# comment\n7 5\n255\n" + gray.tobytes()
+    out = decode_ppm(pgm)
+    assert np.array_equal(out[:, :, 0], gray)
+
+
+def test_bmp():
+    arr = _gradient(5, 4)
+    # hand-build a 24-bit bottom-up BMP
+    row_bytes = (4 * 3 + 3) & ~3
+    px = bytearray()
+    for y in range(4, -1, -1):
+        row = arr[y][:, ::-1].tobytes()  # RGB -> BGR
+        px += row + b"\x00" * (row_bytes - len(row))
+    header = b"BM" + struct.pack("<IHHI", 54 + len(px), 0, 0, 54)
+    dib = struct.pack("<IiiHHIIiiII", 40, 4, 5, 1, 24, 0, len(px), 0, 0, 0, 0)
+    assert np.array_equal(decode_bmp(header + dib + px), arr)
+
+
+def test_meta_and_resize():
+    arr = _gradient(20, 30)
+    w, h, codec = image_meta(encode_png(arr))
+    assert (w, h, codec) == (30, 20, "png")
+    small = resize_nearest(arr, 15, 10)
+    assert small.shape == (10, 15, 3)
+    assert np.array_equal(small, arr[::2, ::2])
+    feats = image_features(arr, 8)
+    assert len(feats) == 8
+    assert all(0.0 <= f <= 1.0 for f in feats)
+
+
+def test_decode_rejects_junk():
+    with pytest.raises(ImageFormatError):
+        decode_image(b"\x00\x01\x02 junk")
+
+
+def test_real_decode_features_spark(spark):
+    from sstable_migrator_spark.operators.multimodal import (
+        decode_features,
+        synthetic_image_media,
+    )
+
+    media = synthetic_image_media(spark, 12)
+    out = decode_features(media, dim=8, real_decode=True).collect()
+    assert len(out) == 12
+    by_id = {r["media_id"]: r for r in out}
+    # cross-check one row against a local decode
+    import hashlib
+
+    from sstable_migrator_spark.functions.imagecodec import decode_image as dec
+
+    row0 = media.filter("media_id = 0").collect()[0]
+    payload = bytes(row0["payload"])
+    expect = image_features(dec(payload), 8)
+    assert by_id[0]["payload_sha256"] == hashlib.sha256(payload).hexdigest()
+    assert by_id[0]["feature"] == pytest.approx(expect, abs=1e-6)
+
+
+def test_real_resize_spark(spark):
+    from sstable_migrator_spark.operators.multimodal import (
+        resize_images,
+        synthetic_image_media,
+    )
+
+    media = synthetic_image_media(spark, 6)
+    out = resize_images(media, 8, 6, real_decode=True).collect()
+    assert len(out) == 6
+    for r in out:
+        arr = decode_image(bytes(r["payload"]))  # output is a valid PNG
+        assert arr.shape == (6, 8, 3)
+        assert r["meta"]["width"] == 8 and r["meta"]["height"] == 6
+        assert r["meta"]["codec"] == "png"
+
+
+def test_real_decode_rejects_non_image_kinds(spark):
+    from sstable_migrator_spark.operators.multimodal import (
+        decode_features,
+        synthetic_media,
+    )
+
+    media = synthetic_media(spark, 6)  # kinds image/audio/video, junk bytes
+    with pytest.raises(Exception) as ei:
+        decode_features(media, real_decode=True).collect()
+    assert "DecoderUnavailable" in str(ei.value) or "codecs not available" in str(
+        ei.value
+    ) or "unrecognized" in str(ei.value)
