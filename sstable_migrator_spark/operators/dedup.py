@@ -512,6 +512,18 @@ def semantic_dedup(
     per-id rollup; no all-pairs stage exists anywhere. The left join
     carries the cosine predicate in the ON clause so non-matching
     cell-mates are dropped before the aggregation.
+
+    Cross-engine float note (accepted ulp risk): the dup flag is a
+    float-cosine >= threshold compare. This kernel accumulates dot
+    products via BLAS (pairwise/blocked summation); a sequential-fold
+    engine (e.g. the DuckDB oracle) can differ in the last few ulps,
+    so a similarity landing within ~1e-12 of the threshold could flip
+    ``is_dup`` across engines. No quantization is applied because the
+    boundary is empirically unoccupied: tests assert every within-cell
+    pair at the test SFs clears the threshold by a wide margin
+    (tests/test_dedup.py::test_semantic_dedup_threshold_margin). For
+    an adversarial corpus, round sims to a fixed decimal on BOTH
+    engines before the compare.
     """
     import numpy as np
     import pandas as pd

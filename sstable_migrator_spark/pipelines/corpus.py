@@ -114,14 +114,47 @@ def build_training_corpus(
         F.size("toks").alias("n_tok"),
         F.array_join("toks", " ").alias("chunk_text"),
     )
-    # shard packing: running token total over deterministic (doc, chunk)
-    # order -> shard boundaries at the token budget (q77's recipe)
-    w = Window.orderBy("doc_id", "chunk_id")
-    packed = chunks.withColumn(
-        "shard_id",
-        F.floor(
-            (F.sum("n_tok").over(w) - F.col("n_tok")) / F.lit(shard_tokens)
-        ).cast("int"),
+    # shard packing: GLOBAL running token total over deterministic
+    # (doc, chunk) order -> shard boundaries at the token budget (q77's
+    # recipe), computed as a distributed two-phase prefix sum instead of
+    # an un-partitioned Window.orderBy (which would funnel the whole
+    # chunk set through one task at 100 TB):
+    #   1. repartitionByRange(doc, chunk) — global order becomes
+    #      partition-id order;
+    #   2. per-partition token totals -> driver (one row PER PARTITION,
+    #      not per chunk) -> exclusive prefix offsets broadcast back;
+    #   3. running sum inside each range partition (bounded window) +
+    #      that partition's offset = the exact global running sum.
+    parts = max(chunks.sparkSession.sparkContext.defaultParallelism, 1)
+    ranged = (
+        chunks.repartitionByRange(parts, "doc_id", "chunk_id")
+        .withColumn("_pid", F.spark_partition_id())
+        .localCheckpoint()  # phase 1+2 both scan it; pin the partitioning
+    )
+    totals = sorted(
+        (r["_pid"], r["tot"])
+        for r in ranged.groupBy("_pid").agg(F.sum("n_tok").alias("tot")).collect()
+    )
+    offsets, acc = {}, 0
+    for pid, tot in totals:
+        offsets[pid] = acc
+        acc += tot
+    off_df = F.broadcast(
+        chunks.sparkSession.createDataFrame(
+            [(int(p), int(o)) for p, o in offsets.items()], "_pid int, _off long"
+        )
+    )
+    w = Window.partitionBy("_pid").orderBy("doc_id", "chunk_id")
+    packed = (
+        ranged.join(off_df, "_pid")
+        .withColumn(
+            "shard_id",
+            F.floor(
+                (F.col("_off") + F.sum("n_tok").over(w) - F.col("n_tok"))
+                / F.lit(shard_tokens)
+            ).cast("int"),
+        )
+        .drop("_pid", "_off")
     )
     packed.write.mode("overwrite").partitionBy("shard_id").parquet(out_dir)
 

@@ -5370,9 +5370,8 @@ vocab AS (
   SELECT w, CAST(count(*) AS BIGINT) AS wc FROM toks
   WHERE regexp_matches(w, '^[a-z]+$') GROUP BY w),
 pairs AS (
-  SELECT substr(w, CAST(i AS INT), 2) AS pair, wc
-  FROM vocab JOIN (SELECT unnest(range(1, 200)) AS i) r
-    ON r.i <= length(w) - 1
+  SELECT substr(w, CAST(r.i AS INT), 2) AS pair, wc
+  FROM vocab, LATERAL unnest(range(1, length(w))) AS r(i)
   WHERE length(w) >= 2)
 SELECT pair, CAST(sum(wc) AS BIGINT) AS freq
 FROM pairs GROUP BY pair
@@ -5424,8 +5423,7 @@ WITH w AS (
 staged AS (SELECT doc_id, tk, len(tk) AS n FROM w WHERE len(tk) > 0),
 chunks AS (
   SELECT doc_id, k.i AS chunk_id, tk[(k.i*24 + 1):(k.i*24 + 32)] AS toks
-  FROM staged JOIN (SELECT unnest(range(0, 512)) AS i) k
-    ON k.i <= (n - 1) // 24)
+  FROM staged, LATERAL unnest(range(0, (n - 1) // 24 + 1)) AS k(i))
 SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
        CAST(len(toks) AS BIGINT) AS n_tok,
        array_to_string(toks, ' ') AS chunk_text

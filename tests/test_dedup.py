@@ -191,6 +191,36 @@ def test_semantic_dedup(spark):
     assert out[4] == (2, False)
 
 
+def test_semantic_dedup_threshold_margin(spark, sf_dir):
+    """Empirical backing for the accepted cross-engine ulp risk
+    documented on semantic_dedup: q83's float-cosine >= 0.35 compare is
+    only hash-stable across engines if no within-cell pair's similarity
+    sits within summation-order noise (~1e-12) of the threshold. Assert
+    every pair clears the boundary by >= 1e-6 on the real test data so
+    the boundary is provably unoccupied at the correctness-gate SFs."""
+    import numpy as np
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    rows = emb.select("vec_id", "embedding").collect()
+    ids = np.array([r["vec_id"] for r in rows])
+    v = np.stack([np.asarray(r["embedding"], dtype=np.float64) for r in rows])
+    mask = (ids % 5 == 0) & (ids < 320)
+    cents = v[mask][np.argsort(ids[mask])]
+    assert len(cents) > 0
+    # q83's assignment: nearest centroid by cosine
+    nv = v / np.linalg.norm(v, axis=1, keepdims=True)
+    nc = cents / np.linalg.norm(cents, axis=1, keepdims=True)
+    cell = (nv @ nc.T).argmax(axis=1)
+    margin = np.inf
+    for c in np.unique(cell):
+        u = nv[cell == c]
+        if len(u) < 2:
+            continue
+        sims = (u @ u.T)[np.tril_indices(len(u), k=-1)]
+        margin = min(margin, float(np.abs(sims - 0.35).min()))
+    assert margin > 1e-6, f"pair cosine within {margin} of threshold"
+
+
 def test_prefix_jaccard_complete_vs_brute_force(spark):
     """Prefix filtering must find EVERY pair >= threshold (it is exact,
     unlike LSH): compare against the all-pairs answer on a small corpus
