@@ -1,0 +1,179 @@
+"""sstableloader-style token-ring placement (SURVEY K1/K2).
+
+The reference's upload step hands CQLSSTableWriter output to
+``sstableloader`` (daily_all_upload.sh:37-39), which discovers the
+cluster's vnode ring and streams each SSTable's sections to the
+replica set that owns each token range. This module reproduces that
+placement plan Spark-side, so the bulk-load step becomes a plain
+file/stream copy with no re-routing:
+
+- ``build_ring`` — a deterministic vnode ring (tokens are the Murmur3
+  tokens of ``"node:vnode_index"``, i.e. the same spread a random
+  vnode assignment gives, but reproducible);
+- ``replica_plan`` — per-range RF endpoints, SimpleStrategy (next RF
+  distinct nodes clockwise) or rack-aware (NetworkTopologyStrategy's
+  single-DC behavior: prefer unseen racks while any remain);
+- ``ring_placement_write`` — routes every row to its owning range in
+  ONE Arrow pass (vectorized ``np.searchsorted`` over the broadcast
+  boundary array — O(log vnodes) per row, no join), writes one
+  ring-ordered directory per range (``cass_range=<id>/``, rows sorted
+  by token then clustering, exactly the in-PK-order stream the SSTable
+  format wants), and emits a JSON stream manifest mapping every range
+  to its endpoints — the analog of sstableloader's stream plan.
+
+Scale shape: the ring is thousands of entries at most (nodes x
+vnodes), broadcast by closure; row routing is map-only; the only
+shuffle is the repartition on range id, which is the SAME exchange any
+bulk-load layout needs and is skew-free because Murmur3 tokens are
+uniform. At 100 TB nothing on the driver grows with data size — the
+manifest is O(vnodes).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+
+from sstable_migrator_spark.functions.cassandra import (
+    cassandra_token,
+    cassandra_token_col,
+)
+
+__all__ = ["build_ring", "replica_plan", "ring_range_col", "ring_placement_write"]
+
+MIN_TOKEN = -(1 << 63)
+MAX_TOKEN = (1 << 63) - 1
+
+
+def build_ring(
+    nodes: list[str], vnodes_per_node: int = 8
+) -> list[tuple[int, str]]:
+    """Deterministic vnode ring: each node owns ``vnodes_per_node``
+    tokens, each the Murmur3 token of ``f"{node}:{i}"`` — the same
+    uniform spread as Cassandra's random vnode allocation, minus the
+    randomness. Returns ``[(token, node)]`` sorted by token; raises if
+    two vnodes collide (practically impossible at 64-bit)."""
+    ring = [
+        (cassandra_token(f"{node}:{i}"), node)
+        for node in nodes
+        for i in range(vnodes_per_node)
+    ]
+    ring.sort()
+    tokens = [t for t, _ in ring]
+    if len(set(tokens)) != len(tokens):
+        raise ValueError("vnode token collision — change vnodes_per_node")
+    return ring
+
+
+def replica_plan(
+    ring: list[tuple[int, str]],
+    rf: int = 3,
+    racks: dict[str, str] | None = None,
+) -> list[dict]:
+    """Per-range replica endpoints, the way sstableloader's stream plan
+    resolves them. Range ``i`` is ``(prev_token, token_i]`` (range 0
+    wraps through MIN/MAX); its endpoints are found by walking the ring
+    clockwise from the owning vnode:
+
+    - SimpleStrategy (``racks=None``): first RF *distinct nodes*;
+    - rack-aware (``racks`` maps node -> rack): Cassandra's single-DC
+      NetworkTopologyStrategy behavior — a node on an already-used
+      rack is skipped while any unseen rack still has candidates, then
+      the skipped nodes fill the remainder in ring order.
+    """
+    ring = sorted(ring)
+    m = len(ring)
+    n_nodes = len({n for _, n in ring})
+    if rf > n_nodes:
+        raise ValueError(f"rf={rf} exceeds node count {n_nodes}")
+    all_racks = set(racks.values()) if racks else set()
+    plan = []
+    for i, (tok, _owner) in enumerate(ring):
+        endpoints: list[str] = []
+        skipped: list[str] = []
+        seen_racks: set[str] = set()
+        for step in range(m):
+            node = ring[(i + step) % m][1]
+            if node in endpoints or node in skipped:
+                continue
+            if racks is None:
+                endpoints.append(node)
+            else:
+                rack = racks[node]
+                if rack in seen_racks and len(seen_racks) < len(all_racks):
+                    skipped.append(node)
+                    continue
+                endpoints.append(node)
+                seen_racks.add(rack)
+            if len(endpoints) == rf:
+                break
+        for node in skipped:  # racks exhausted -> fill in ring order
+            if len(endpoints) == rf:
+                break
+            endpoints.append(node)
+        start = ring[i - 1][0] if i > 0 else ring[-1][0]
+        plan.append(
+            {
+                "range_id": i,
+                "start": start,
+                "end": tok,
+                "wraps": i == 0,
+                "endpoints": endpoints,
+            }
+        )
+    return plan
+
+
+def ring_range_col(ring: list[tuple[int, str]], token_col: Column | str) -> Column:
+    """Map a Murmur3 token column to its owning range id: the index of
+    the first ring token >= t (ranges are ``(prev, curr]``), wrapping
+    tokens beyond the last vnode back to range 0. Vectorized
+    ``np.searchsorted`` over the closure-broadcast boundary array."""
+    boundaries = np.array(sorted(t for t, _ in ring), dtype=np.int64)
+
+    @pandas_udf("int")
+    def _rng(tokens: pd.Series) -> pd.Series:
+        idx = np.searchsorted(boundaries, tokens.to_numpy(np.int64), side="left")
+        idx[idx == len(boundaries)] = 0
+        return pd.Series(idx.astype(np.int32))
+
+    return _rng(F.col(token_col) if isinstance(token_col, str) else token_col)
+
+
+def ring_placement_write(
+    df: DataFrame,
+    path: str,
+    partition_key: list[str],
+    clustering: list[str],
+    ring: list[tuple[int, str]],
+    rf: int = 3,
+    racks: dict[str, str] | None = None,
+    mode: str = "overwrite",
+) -> list[dict]:
+    """Route every row to its owning token range and write one
+    ring-ordered directory per range plus a stream manifest
+    (``_stream_plan.json``) mapping ranges to RF endpoints. The
+    bulk-load step then streams ``cass_range=<id>/`` to exactly
+    ``manifest[id]["endpoints"]`` — sstableloader's job, precomputed.
+    Returns the plan."""
+    ring = sorted(ring)
+    plan = replica_plan(ring, rf=rf, racks=racks)
+    routed = df.withColumn(
+        "cass_token", cassandra_token_col(*partition_key)
+    ).withColumn("cass_range", ring_range_col(ring, "cass_token"))
+    (
+        routed.repartition(len(ring), "cass_range")
+        .sortWithinPartitions("cass_range", "cass_token", *clustering)
+        .write.mode(mode)
+        .partitionBy("cass_range")
+        .parquet(path)
+    )
+    with open(os.path.join(path, "_stream_plan.json"), "w") as fh:
+        json.dump({"rf": rf, "rack_aware": racks is not None, "ranges": plan}, fh)
+    return plan

@@ -1,0 +1,106 @@
+"""Ring placement (SURVEY K1/K2): vnode ring construction, replica
+resolution, and the routed write layout — the Spark-side analog of
+sstableloader's stream plan (daily_all_upload.sh:37-39)."""
+
+from __future__ import annotations
+
+import glob
+import json
+
+import pytest
+
+from sstable_migrator_spark.functions.cassandra import cassandra_token
+from sstable_migrator_spark.sinks.ring import (
+    MAX_TOKEN,
+    MIN_TOKEN,
+    build_ring,
+    replica_plan,
+    ring_placement_write,
+)
+
+
+def _owns(entry: dict, token: int) -> bool:
+    if entry["wraps"]:
+        return token > entry["start"] or token <= entry["end"]
+    return entry["start"] < token <= entry["end"]
+
+
+def test_build_ring_deterministic_and_sorted():
+    ring = build_ring(["n1", "n2", "n3"], vnodes_per_node=16)
+    assert ring == build_ring(["n1", "n2", "n3"], vnodes_per_node=16)
+    toks = [t for t, _ in ring]
+    assert toks == sorted(toks) and len(set(toks)) == 48
+    assert all(MIN_TOKEN <= t <= MAX_TOKEN for t in toks)
+    # vnodes interleave nodes (uniform murmur spread): no node owns a
+    # clockwise run longer than a handful of consecutive vnodes
+    nodes = [n for _, n in ring]
+    longest, cur = 1, 1
+    for a, b in zip(nodes, nodes[1:]):
+        cur = cur + 1 if a == b else 1
+        longest = max(longest, cur)
+    assert longest <= 5
+
+
+def test_replica_plan_simple_strategy():
+    ring = [(-100, "a"), (0, "b"), (50, "a"), (100, "c")]
+    plan = replica_plan(ring, rf=2)
+    by_id = {p["range_id"]: p for p in plan}
+    assert by_id[0]["wraps"] and by_id[0]["start"] == 100 and by_id[0]["end"] == -100
+    assert by_id[0]["endpoints"] == ["a", "b"]
+    assert by_id[1]["endpoints"] == ["b", "a"]
+    assert by_id[2]["endpoints"] == ["a", "c"]
+    assert by_id[3]["endpoints"] == ["c", "a"]
+    # every range covered, boundaries chain
+    for i in range(1, 4):
+        assert by_id[i]["start"] == ring[i - 1][0]
+
+
+def test_replica_plan_rack_aware_prefers_unseen_racks():
+    # a,b share rack r1; c is alone on r2. rf=2 must span both racks,
+    # so the walk from 'a' skips rack-mate 'b' in favor of 'c'.
+    ring = [(-100, "a"), (0, "b"), (100, "c")]
+    racks = {"a": "r1", "b": "r1", "c": "r2"}
+    plan = replica_plan(ring, rf=2, racks=racks)
+    by_id = {p["range_id"]: p for p in plan}
+    assert by_id[0]["endpoints"] == ["a", "c"]
+    assert by_id[1]["endpoints"] == ["b", "c"]
+    assert by_id[2]["endpoints"] == ["c", "a"]
+    # rf beyond rack count falls back to ring order (skipped nodes fill)
+    plan3 = replica_plan(ring, rf=3, racks=racks)
+    assert plan3[0]["endpoints"] == ["a", "c", "b"]
+
+
+def test_replica_plan_rejects_impossible_rf():
+    with pytest.raises(ValueError):
+        replica_plan([(0, "a"), (10, "b")], rf=3)
+
+
+def test_ring_placement_write_layout(spark, tmp_path):
+    ring = build_ring(["n1", "n2", "n3"], vnodes_per_node=4)
+    df = spark.createDataFrame(
+        [(f"dom{i}.example", i % 7, f"p{i}") for i in range(300)],
+        "domain string, shard int, payload string",
+    )
+    out = str(tmp_path / "ring_out")
+    plan = ring_placement_write(
+        df, out, partition_key=["domain"], clustering=["shard"], ring=ring, rf=2
+    )
+    manifest = json.load(open(f"{out}/_stream_plan.json"))
+    assert manifest["rf"] == 2 and len(manifest["ranges"]) == 12
+    assert manifest["ranges"] == plan
+    by_id = {p["range_id"]: p for p in plan}
+
+    seen = 0
+    for d in glob.glob(f"{out}/cass_range=*"):
+        rid = int(d.rsplit("=", 1)[1])
+        part = spark.read.parquet(d).collect()
+        seen += len(part)
+        toks = [r["cass_token"] for r in part]
+        for r in part:
+            # routed token is the real Murmur3 token of the key and
+            # falls inside the manifest's range bounds
+            assert r["cass_token"] == cassandra_token(r["domain"])
+            assert _owns(by_id[rid], r["cass_token"])
+        # file is ring-ordered: sorted by token (then clustering)
+        assert toks == sorted(toks)
+    assert seen == 300
