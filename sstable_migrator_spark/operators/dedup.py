@@ -639,3 +639,72 @@ def prefix_filter_jaccard_pairs(
         F.col("union").cast("long").alias("union"),
         (F.col("inter").cast("double") / F.col("union")).alias("jaccard"),
     )
+
+
+def exact_span_pairs(
+    docs: DataFrame,
+    k: int = 8,
+    max_df: int = 10,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """ExactSubstr-style span dedup (Lee et al. 2022, "Deduplicating
+    Training Data Makes Language Models Better"): two documents sharing
+    ANY verbatim k-token window contain a duplicated span — the
+    criterion that catches copied paragraphs which whole-doc
+    fingerprints (q40) and near-dup signatures (q43) both miss when the
+    rest of the documents differ.
+
+    Recipe: every doc explodes into its k-token windows, keyed by
+    md5 of the joined window text (content-keyed and engine-portable —
+    no hash-function parity concerns); windows are distinct per doc;
+    window keys seen in more than ``max_df`` docs are dropped as
+    boilerplate (site chrome, licenses) — the same bucket-fanout cap
+    LSH banding applies, and the suffix-array paper's own preprocessing
+    prunes. Surviving keys group into doc lists (bounded by max_df) and
+    emit in-bucket pairs via an array comprehension — no self-join.
+    Returns ``(id_a, id_b, shared_windows)``.
+
+    Scale shape: window explode is map-only; the shuffles are the
+    per-doc window distinct, the df-cap rollup, and the final pair
+    rollup — and they move 16-byte keys + ids, never text. Pair cost is
+    bounded by sum_w C(df_w, 2) <= C(max_df, 2) * |windows|, so the cap
+    is the knob, exactly like LSH bucket caps. The full Lee et al.
+    pipeline additionally merges adjacent shared windows into maximal
+    spans; ``shared_windows`` is monotone in span length (a shared run
+    of L tokens yields L-k+1 shared windows), so the count IS the span
+    signal at fixed k.
+    """
+    toks = docs.select(
+        F.col(id_col).alias("doc"),
+        TX.tokens(F.lower(F.col(text_col))).alias("tk"),
+    ).filter(F.size("tk") >= k)
+    wins = (
+        toks.select(
+            "doc",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("tk") - (k - 1)),
+                    lambda i: F.md5(F.array_join(F.slice("tk", i, k), " ")),
+                )
+            ).alias("wkey"),
+        )
+        .distinct()
+    )
+    grouped = (
+        wins.groupBy("wkey")
+        .agg(F.sort_array(F.collect_list("doc")).alias("ds"))
+        .filter((F.size("ds") >= 2) & (F.size("ds") <= max_df))
+    )
+    pairs = grouped.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(ds, (a, i) -> "
+                "transform(slice(ds, i + 2, size(ds)), b -> "
+                "struct(a AS id_a, b AS id_b))))"
+            )
+        ).alias("p")
+    ).select("p.*")
+    return pairs.groupBy("id_a", "id_b").agg(
+        F.count(F.lit(1)).alias("shared_windows")
+    )

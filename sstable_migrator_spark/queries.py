@@ -5540,6 +5540,144 @@ QUERIES.update({"q137_salted_join": q_salted_join})
 ORACLES.update({"q137_salted_join": SQL_SALTED_JOIN})
 
 
+def q_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ExactSubstr span dedup (Lee et al. 2022) over the documents
+    table: doc pairs sharing >= 1 verbatim 8-token window, with the
+    shared-window count as the span-length signal (a shared L-token run
+    yields L-7 shared windows). Window keys are md5 of the joined
+    window text — content-keyed, so the oracle needs no hash-function
+    parity. Windows in > 10 docs are dropped as boilerplate (the same
+    fan-out cap LSH buckets use). Shuffles move 16-byte keys + ids
+    only; pairs emit from bounded in-bucket lists, no self-join."""
+    from sstable_migrator_spark.operators.dedup import exact_span_pairs
+
+    docs = _dense(spark, _t(spark, sf_dir, "documents"))
+    out = exact_span_pairs(docs, k=8, max_df=10)
+    return out.select(
+        "id_a", "id_b", F.col("shared_windows").cast("long").alias("shared_windows")
+    )
+
+
+SQL_SPAN_DEDUP = """
+WITH w AS (
+  SELECT doc_id AS doc,
+         CASE WHEN length(trim(lower(text))) = 0 THEN []
+              ELSE regexp_split_to_array(trim(lower(text)), '\\s+') END AS tk
+  FROM documents),
+s AS (SELECT doc, tk, len(tk) AS n FROM w WHERE len(tk) >= 8),
+wins AS (
+  SELECT DISTINCT doc,
+         md5(array_to_string(tk[CAST(k.i AS INT):CAST(k.i + 7 AS INT)], ' ')) AS wkey
+  FROM s, LATERAL unnest(range(1, n - 6)) AS k(i)),
+ok AS (SELECT wkey FROM wins GROUP BY wkey HAVING count(*) BETWEEN 2 AND 10)
+SELECT a.doc AS id_a, b.doc AS id_b, CAST(count(*) AS BIGINT) AS shared_windows
+FROM wins a JOIN wins b ON a.wkey = b.wkey AND a.doc < b.doc
+WHERE a.wkey IN (SELECT wkey FROM ok)
+GROUP BY a.doc, b.doc
+"""
+
+
+QUERIES.update({"q138_span_dedup": q_span_dedup})
+ORACLES.update({"q138_span_dedup": SQL_SPAN_DEDUP})
+
+
+def q_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-style importance weighting (Xie et al. 2023, "Data Selection
+    for Language Models via Importance Resampling"), integer-exact
+    variant: documents are scored by how much their hashed-bigram mass
+    sits in the TARGET distribution (here lang='en' as the quality
+    domain) vs the RAW corpus distribution. Bigrams hash into 4096
+    buckets with the portable md5-60bit hash; per-bucket counts for
+    target and raw are tiny (<= 4096 rows) and broadcast back; the keep
+    decision is the cross-multiplied rational compare
+    ``target_mass * total_raw >= raw_mass * total_target`` — the
+    normalized-ratio test with NO float log anywhere, so it is
+    hash-stable across engines. Shuffles: bucket rollups (bounded) +
+    per-doc rollup; text never shuffles — only (doc, bucket) ints."""
+    docs = _dense(spark, _t(spark, sf_dir, "documents"))
+    tk = TX.tokens(F.lower(F.col("text")))
+    staged = docs.select("doc_id", "lang", tk.alias("tk")).filter(F.size("tk") >= 2)
+    bg = F.transform(
+        F.sequence(F.lit(1), F.size("tk") - 1),
+        lambda i: F.concat_ws(
+            " ", F.element_at("tk", i), F.element_at("tk", i + 1)
+        ),
+    )
+    buckets = staged.select(
+        "doc_id",
+        "lang",
+        F.explode(bg).alias("b"),
+    ).select(
+        "doc_id",
+        "lang",
+        F.pmod(
+            F.conv(F.substring(F.md5("b"), 1, 15), 16, 10).cast("long"), F.lit(4096)
+        ).alias("bucket"),
+    ).localCheckpoint()  # feeds raw counts, target counts, totals, AND the probe
+    raw = buckets.groupBy("bucket").agg(F.count(F.lit(1)).alias("cr"))
+    tgt = (
+        buckets.filter(F.col("lang") == "en")
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("ct"))
+    )
+    totals = buckets.groupBy().agg(
+        F.count(F.lit(1)).alias("tr"),
+        F.sum((F.col("lang") == "en").cast("long")).alias("tt"),
+    )
+    scored = (
+        buckets.join(F.broadcast(raw), "bucket")
+        .join(F.broadcast(tgt), "bucket", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.coalesce(F.sum("ct"), F.lit(0)).alias("target_mass"),
+            F.sum("cr").alias("raw_mass"),
+        )
+    )
+    return scored.crossJoin(F.broadcast(totals)).select(
+        "doc_id",
+        F.col("n_bigrams").cast("long").alias("n_bigrams"),
+        F.col("target_mass").cast("long").alias("target_mass"),
+        F.col("raw_mass").cast("long").alias("raw_mass"),
+        (
+            F.col("target_mass") * F.col("tr") >= F.col("raw_mass") * F.col("tt")
+        ).alias("keep"),
+    )
+
+
+SQL_DSIR_IMPORTANCE = """
+WITH w AS (
+  SELECT doc_id, lang,
+         CASE WHEN length(trim(lower(text))) = 0 THEN []
+              ELSE regexp_split_to_array(trim(lower(text)), '\\s+') END AS tk
+  FROM documents),
+s AS (SELECT doc_id, lang, tk, len(tk) AS n FROM w WHERE len(tk) >= 2),
+bg AS (
+  SELECT doc_id, lang,
+         CAST(concat('0x', substr(md5(tk[CAST(k.i AS INT)] || ' ' ||
+                                      tk[CAST(k.i + 1 AS INT)]), 1, 15))
+              AS BIGINT) % 4096 AS bucket
+  FROM s, LATERAL unnest(range(1, n)) AS k(i)),
+raw AS (SELECT bucket, count(*) AS cr FROM bg GROUP BY bucket),
+tgt AS (SELECT bucket, count(*) AS ct FROM bg WHERE lang = 'en' GROUP BY bucket),
+tot AS (SELECT count(*) AS tr,
+               count(*) FILTER (WHERE lang = 'en') AS tt
+        FROM bg)
+SELECT b.doc_id,
+       CAST(count(*) AS BIGINT) AS n_bigrams,
+       CAST(COALESCE(sum(t.ct), 0) AS BIGINT) AS target_mass,
+       CAST(sum(r.cr) AS BIGINT) AS raw_mass,
+       (COALESCE(sum(t.ct), 0) * (SELECT tr FROM tot)
+          >= sum(r.cr) * (SELECT tt FROM tot)) AS keep
+FROM bg b JOIN raw r USING (bucket) LEFT JOIN tgt t USING (bucket)
+GROUP BY b.doc_id
+"""
+
+
+QUERIES.update({"q139_dsir_importance": q_dsir_importance})
+ORACLES.update({"q139_dsir_importance": SQL_DSIR_IMPORTANCE})
+
+
 # ---------------------------------------------------------------------------
 # Driver-sample ordering.
 #

@@ -279,3 +279,25 @@ def test_lsh_recall_against_exact_shingle_jaccard(spark, sf_dir):
     }
     assert truth, "planted corpus must contain true near-dups"
     assert truth <= lsh, f"LSH missed {len(truth - lsh)} true pairs"
+
+
+def test_exact_span_pairs(spark):
+    """Planted verbatim spans: only pairs sharing a >=8-token run
+    appear; shared_windows reflects run length (L-k+1); boilerplate
+    windows above max_df are suppressed."""
+    from sstable_migrator_spark.operators.dedup import exact_span_pairs
+
+    span = "alpha bravo charlie delta echo foxtrot golf hotel india"  # 9 toks
+    boiler = "one two three four five six seven eight"  # 8 toks, everywhere
+    rows = [
+        (0, f"{span} unique0 filler0 pad0 more0"),
+        (1, f"start1 {span} tail1 tail1b tail1c"),
+        (2, "totally different words without any shared run at all here ok"),
+    ]
+    # 12 docs all sharing the boilerplate window -> df=12 > max_df=10
+    rows += [(10 + i, f"{boiler} suffix{i} extra{i}") for i in range(12)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {(r["id_a"], r["id_b"]): r["shared_windows"]
+           for r in exact_span_pairs(docs, k=8, max_df=10).collect()}
+    # 9-token shared run -> 9-8+1 = 2 shared windows
+    assert out == {(0, 1): 2}
