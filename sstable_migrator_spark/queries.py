@@ -5679,6 +5679,321 @@ ORACLES.update({"q139_dsir_importance": SQL_DSIR_IMPORTANCE})
 
 
 # ---------------------------------------------------------------------------
+# Batch 21 — TPC-H sweep completion (Q2, Q11, Q15, Q20 shapes).
+#
+# With these four, every one of the 22 TPC-H query shapes has a catalog
+# twin. partsupp does not exist in the testdata, so (as q122/Q16
+# already does) the observed DISTINCT (l_partkey, l_suppkey) pairs
+# stand in, with ps_supplycost / ps_availqty synthesized from the keys
+# by integer arithmetic — deterministic, engine-portable, and every
+# threshold compare stays on the exact integer/DECIMAL grid.
+# ---------------------------------------------------------------------------
+
+_SQL_PS_CTE = """
+ps AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem),
+psx AS (
+  SELECT l_partkey, l_suppkey,
+         (l_partkey * 31 + l_suppkey * 17) % 100000 AS cost_cents,
+         (l_partkey * 7 + l_suppkey * 3) % 1000 + 1 AS availqty
+  FROM ps)
+"""
+
+
+def _ps_standin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """partsupp stand-in: observed distinct pairs + key-synthesized
+    integer cost/availability (mirrors _SQL_PS_CTE exactly)."""
+    return (
+        _t(spark, sf_dir, "lineitem")
+        .select("l_partkey", "l_suppkey")
+        .distinct()
+        .select(
+            "l_partkey",
+            "l_suppkey",
+            ((F.col("l_partkey") * 31 + F.col("l_suppkey") * 17) % 100000).alias(
+                "cost_cents"
+            ),
+            ((F.col("l_partkey") * 7 + F.col("l_suppkey") * 3) % 1000 + 1).alias(
+                "availqty"
+            ),
+        )
+    )
+
+
+def q_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape: for EUROPE suppliers, the supplier(s) offering
+    each part's minimum supply cost, restricted to one size/type slice.
+    The correlated MIN subquery decorrelates into a per-part min
+    aggregate joined back on (partkey, cost == min); supplier->nation->
+    region is a broadcast dim chain, part is a pre-filtered broadcast —
+    the only wide ops are the pair distinct and the per-part min, both
+    shuffling (partkey, suppkey, int) rows, never wide tuples. The
+    ORDER BY carries s_name + p_partkey, which is a total order, so the
+    LIMIT is tie-stable across engines."""
+    region = _t(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    nation = _t(spark, sf_dir, "nation").join(
+        F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey")
+    ).select("n_nationkey", "n_name")
+    supp = (
+        _t(spark, sf_dir, "supplier")
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    ps_eu = _ps_standin(spark, sf_dir).join(
+        F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey")
+    )
+    min_cost = ps_eu.groupBy(F.col("l_partkey").alias("mc_partkey")).agg(
+        F.min("cost_cents").alias("mcost")
+    )
+    part = _t(spark, sf_dir, "part").filter(
+        F.col("p_type") == "LARGE"
+    ).select("p_partkey", "p_type")
+    return (
+        ps_eu.join(
+            min_cost,
+            (F.col("l_partkey") == F.col("mc_partkey"))
+            & (F.col("cost_cents") == F.col("mcost")),
+        )
+        .join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .select(
+            "s_acctbal",
+            "s_name",
+            "n_name",
+            F.col("p_partkey").cast("long").alias("p_partkey"),
+            "p_type",
+            F.col("cost_cents").cast("long").alias("cost_cents"),
+        )
+        .orderBy(F.desc("s_acctbal"), "n_name", "s_name", "p_partkey")
+        .limit(100)
+    )
+
+
+SQL_MIN_COST_SUPPLIER = f"""
+WITH {_SQL_PS_CTE.strip()},
+eu AS (
+  SELECT s_suppkey, s_name, s_acctbal, n_name
+  FROM supplier JOIN nation ON s_nationkey = n_nationkey
+  JOIN region ON n_regionkey = r_regionkey
+  WHERE r_name = 'EUROPE'),
+pse AS (SELECT * FROM psx JOIN eu ON l_suppkey = s_suppkey),
+mc AS (SELECT l_partkey AS mc_partkey, min(cost_cents) AS mcost
+       FROM pse GROUP BY l_partkey)
+SELECT s_acctbal, s_name, n_name,
+       CAST(p_partkey AS BIGINT) AS p_partkey, p_type,
+       CAST(cost_cents AS BIGINT) AS cost_cents
+FROM pse JOIN mc ON pse.l_partkey = mc.mc_partkey AND cost_cents = mcost
+JOIN part ON pse.l_partkey = p_partkey
+WHERE p_type = 'LARGE'
+ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+LIMIT 100
+"""
+
+
+def q_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape: per-part stock value (cost * availqty, integer
+    cents) within one region's suppliers, keeping parts whose value
+    exceeds twice the average part value. The HAVING-against-scalar
+    decorrelates into a single-row broadcast cross; the threshold
+    compare is the cross-multiplied integer test
+    value_cents * n_parts > 2 * total_cents — scale-invariant, no
+    division, no float."""
+    supp = (
+        _t(spark, sf_dir, "supplier")
+        .join(
+            F.broadcast(
+                _t(spark, sf_dir, "nation").join(
+                    F.broadcast(
+                        _t(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+                    ),
+                    F.col("n_regionkey") == F.col("r_regionkey"),
+                )
+            ),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_suppkey")
+    )
+    ps = _ps_standin(spark, sf_dir).join(
+        F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey")
+    )
+    per_part = ps.groupBy("l_partkey").agg(
+        F.sum(F.col("cost_cents") * F.col("availqty")).alias("value_cents")
+    )
+    total = per_part.groupBy().agg(
+        F.sum("value_cents").alias("total_cents"),
+        F.count(F.lit(1)).alias("n_parts"),
+    )
+    return (
+        per_part.crossJoin(F.broadcast(total))
+        .filter(F.col("value_cents") * F.col("n_parts") > F.col("total_cents") * 2)
+        .select(
+            F.col("l_partkey").cast("long").alias("l_partkey"),
+            F.col("value_cents").cast("long").alias("value_cents"),
+        )
+        .orderBy(F.desc("value_cents"), "l_partkey")
+    )
+
+
+SQL_IMPORTANT_STOCK = f"""
+WITH {_SQL_PS_CTE.strip()},
+nat AS (
+  SELECT l_partkey, cost_cents, availqty
+  FROM psx JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation ON s_nationkey = n_nationkey
+  JOIN region ON n_regionkey = r_regionkey
+  WHERE r_name = 'EUROPE'),
+per_part AS (
+  SELECT l_partkey, sum(cost_cents * availqty) AS value_cents
+  FROM nat GROUP BY l_partkey),
+tot AS (SELECT sum(value_cents) AS total_cents, count(*) AS n_parts FROM per_part)
+SELECT CAST(l_partkey AS BIGINT) AS l_partkey,
+       CAST(value_cents AS BIGINT) AS value_cents
+FROM per_part, tot
+WHERE value_cents * n_parts > total_cents * 2
+ORDER BY value_cents DESC, l_partkey
+"""
+
+
+def q_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape: supplier(s) with the maximum revenue over one
+    quarter. The revenue view is one DECIMAL rollup; the max is a
+    single-row broadcast cross compared with exact DECIMAL equality
+    (never a float ==). Supplier dim broadcasts onto the winner(s)."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1998-01-01") & (F.col("l_shipdate") < "1998-04-01")
+    )
+    rev = li.groupBy("l_suppkey").agg(
+        F.sum(_dec("l_extendedprice") * (F.lit(1).cast(_D2) - _dec("l_discount"))).alias(
+            "total_rev"
+        )
+    )
+    mx = rev.groupBy().agg(F.max("total_rev").alias("max_rev"))
+    supp = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        rev.crossJoin(F.broadcast(mx))
+        .filter(F.col("total_rev") == F.col("max_rev"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select(
+            F.col("s_suppkey").cast("long").alias("s_suppkey"),
+            "s_name",
+            F.col("total_rev").cast("double").alias("total_revenue"),
+        )
+        .orderBy("s_suppkey")
+    )
+
+
+SQL_TOP_SUPPLIER = """
+WITH rev AS (
+  SELECT l_suppkey,
+         sum(CAST(l_extendedprice AS DECIMAL(18,2))
+             * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))))
+           AS total_rev
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1998-01-01'
+    AND l_shipdate < TIMESTAMP '1998-04-01'
+  GROUP BY l_suppkey),
+mx AS (SELECT max(total_rev) AS max_rev FROM rev)
+SELECT CAST(s_suppkey AS BIGINT) AS s_suppkey, s_name,
+       CAST(total_rev AS DOUBLE) AS total_revenue
+FROM rev, mx
+JOIN supplier ON l_suppkey = s_suppkey
+WHERE total_rev = max_rev
+ORDER BY s_suppkey
+"""
+
+
+def q_potential_promotion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape: suppliers in one nation holding excess stock of
+    name-prefixed parts — availqty must exceed half the quantity they
+    actually shipped of that part in 1997. The nested IN subqueries
+    decorrelate into: part-prefix broadcast semi-filter -> per
+    (part, supplier) shipped-qty rollup -> integer-grid compare
+    2*availqty > shipped (DECIMAL qty, int avail — exact) -> semi-join
+    back to the region's suppliers."""
+    part = _t(spark, sf_dir, "part").filter(
+        F.col("p_name").startswith("large")
+    ).select("p_partkey")
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .filter(
+            (F.col("l_shipdate") >= "1997-01-01") & (F.col("l_shipdate") < "1998-01-01")
+        )
+        .join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+    )
+    shipped = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.sum(_dec("l_quantity")).alias("shipped_qty")
+    )
+    ps = _ps_standin(spark, sf_dir).withColumnRenamed("l_partkey", "ps_partkey")\
+        .withColumnRenamed("l_suppkey", "ps_suppkey")
+    excess = ps.join(
+        shipped,
+        (F.col("ps_partkey") == F.col("l_partkey"))
+        & (F.col("ps_suppkey") == F.col("l_suppkey")),
+    ).filter(
+        (F.col("availqty") * 2).cast(_D2) > F.col("shipped_qty")
+    ).select("ps_suppkey").distinct()
+    supp = (
+        _t(spark, sf_dir, "supplier")
+        .join(
+            F.broadcast(
+                _t(spark, sf_dir, "nation").join(
+                    F.broadcast(
+                        _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+                    ),
+                    F.col("n_regionkey") == F.col("r_regionkey"),
+                )
+            ),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_suppkey", "s_name")
+    )
+    return (
+        supp.join(excess, F.col("s_suppkey") == F.col("ps_suppkey"), "left_semi")
+        .select(F.col("s_suppkey").cast("long").alias("s_suppkey"), "s_name")
+        .orderBy("s_name")
+    )
+
+
+SQL_POTENTIAL_PROMOTION = f"""
+WITH {_SQL_PS_CTE.strip()},
+pp AS (SELECT p_partkey FROM part WHERE p_name LIKE 'large%'),
+shipped AS (
+  SELECT l_partkey, l_suppkey,
+         sum(CAST(l_quantity AS DECIMAL(18,2))) AS shipped_qty
+  FROM lineitem JOIN pp ON l_partkey = p_partkey
+  WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+    AND l_shipdate < TIMESTAMP '1998-01-01'
+  GROUP BY l_partkey, l_suppkey),
+excess AS (
+  SELECT DISTINCT psx.l_suppkey AS es
+  FROM psx JOIN shipped
+    ON psx.l_partkey = shipped.l_partkey AND psx.l_suppkey = shipped.l_suppkey
+  WHERE CAST(availqty * 2 AS DECIMAL(18,2)) > shipped_qty)
+SELECT CAST(s_suppkey AS BIGINT) AS s_suppkey, s_name
+FROM supplier JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA' AND s_suppkey IN (SELECT es FROM excess)
+ORDER BY s_name
+"""
+
+
+QUERIES.update(
+    {
+        "q140_min_cost_supplier": q_min_cost_supplier,
+        "q141_important_stock": q_important_stock,
+        "q142_top_supplier": q_top_supplier,
+        "q143_potential_promotion": q_potential_promotion,
+    }
+)
+ORACLES.update(
+    {
+        "q140_min_cost_supplier": SQL_MIN_COST_SUPPLIER,
+        "q141_important_stock": SQL_IMPORTANT_STOCK,
+        "q142_top_supplier": SQL_TOP_SUPPLIER,
+        "q143_potential_promotion": SQL_POTENTIAL_PROMOTION,
+    }
+)
+
+
+# ---------------------------------------------------------------------------
 # Driver-sample ordering.
 #
 # The round driver's correctness gate checks only the FIRST ~50 catalog
