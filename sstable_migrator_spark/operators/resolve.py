@@ -85,3 +85,50 @@ def resolve_domains(
             yield pd.DataFrame(out, columns=["domain", "record_type", "ip"])
 
     return domains.select(domain_col).mapInPandas(op, RESOLVED_SCHEMA)
+
+
+def wire_resolver(
+    transport: Callable[[bytes], bytes], qtype: str = "A"
+) -> Callable[[str], tuple[str, str] | None]:
+    """Real-protocol resolver for ``resolve_domains``: speaks RFC 1035
+    wire format (functions/dnswire.py) through an injected byte
+    transport — ``transport(query_bytes) -> response_bytes``. In a
+    deployment the transport is a UDP socket pair (the exact protocol
+    massdns speaks, daily_certstream_download.sh:107-108); in tests it
+    is canned bytes built with ``dnswire.build_response``. Keeping the
+    socket OUT of this callable keeps the operator deterministic and
+    the network at the edge.
+
+    Query ids derive from the domain hash so retries/reruns are
+    reproducible; a qid mismatch in the response raises (the spoofing
+    guard every stub resolver performs). NXDOMAIN / empty answer
+    sections return None (massdns emits nothing for them); CNAME
+    answers win over address records only when no address is present,
+    matching the reference's A-record-first triple shape
+    (App.java:343-353).
+    """
+    from sstable_migrator_spark.functions.dnswire import (
+        RCODE_NXDOMAIN,
+        build_query,
+        parse_message,
+    )
+
+    def resolve(domain: str) -> tuple[str, str] | None:
+        qid = int.from_bytes(
+            hashlib.md5(domain.encode("utf-8", "surrogatepass")).digest()[:2], "big"
+        )
+        resp = parse_message(transport(build_query(domain, qtype=qtype, qid=qid)))
+        if resp["qid"] != qid:
+            raise ValueError(f"qid mismatch for {domain}: sent {qid}, got {resp['qid']}")
+        if resp["rcode"] == RCODE_NXDOMAIN or not resp["answers"]:
+            return None
+        addr = next((a for a in resp["answers"] if a["rtype"] == qtype), None)
+        if addr is not None:
+            return (qtype, addr["value"])
+        cname = next((a for a in resp["answers"] if a["rtype"] == "CNAME"), None)
+        if cname is not None:
+            return ("CNAME", cname["value"])
+        a0 = resp["answers"][0]
+        return (a0["rtype"], a0["value"])
+
+    return resolve
