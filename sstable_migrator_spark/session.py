@@ -88,6 +88,14 @@ def cluster_conf(
     - speculation on: a 1000-executor fleet always has slow disks; the
       catalog's tasks are idempotent (no side-effecting UDFs), so
       re-attempts are safe.
+    - runtime bloom-filter join pruning on: when a selective dim filter
+      (EUROPE suppliers, one brand of part) feeds a shuffle join,
+      Catalyst injects a bloom filter of the filtered keys into the
+      fact-side scan, dropping non-joining rows BEFORE the exchange —
+      at 100 TB that is the difference between shuffling the whole
+      fact table and shuffling the ~1% that survives the dim filter.
+      Free on this catalog (TPC-H sweep, GeoIP enrich, blocklist
+      joins); threshold defaults are sized for exactly this shape.
     - off-heap disabled by default: Tungsten on-heap + G1 is the
       well-trodden path; flip per-site after profiling, not before.
     """
@@ -109,6 +117,7 @@ def cluster_conf(
         "spark.shuffle.compress": "true",
         "spark.speculation": "true",
         "spark.speculation.quantile": "0.9",
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
         "spark.sql.execution.arrow.pyspark.enabled": "true",
         "spark.sql.parquet.compression.codec": "snappy",
         "spark.hadoop.parquet.block.size": "134217728",
