@@ -59,3 +59,48 @@ def test_duplicate_edges_collapse(spark):
     got = {r["node"]: r["rank"] for r in pagerank(dup, iters=1).collect()}
     # deg(1)=1 after distinct: r(2) = .15 + .85*1 = 1.0
     assert got[2] == pytest.approx(1.0)
+
+
+def _brute_components(pairs):
+    parent = {}
+
+    def find(x):
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {n: find(n) for n in parent}
+
+
+def test_connected_components_vs_union_find(spark):
+    """Star contraction must agree with a driver-side union-find on a
+    graph mixing a long chain (high diameter — the label-propagation
+    worst case), a hub star, a triangle with a redundant edge, and
+    isolated pairs."""
+    from sstable_migrator_spark.operators.graph import connected_components
+
+    chain = [(i, i + 1) for i in range(100, 160)]          # diameter 60
+    star = [(500, 500 + i) for i in range(1, 40)]          # hub
+    tri = [(1, 2), (2, 3), (1, 3), (3, 1)]
+    pairs = chain + star + tri + [(900, 901), (950, 951)]
+    df = spark.createDataFrame(pairs, "src long, dst long")
+    got = {r["node"]: r["component"]
+           for r in connected_components(df).collect()}
+    assert got == _brute_components(pairs)
+
+
+def test_connected_components_directionless(spark):
+    """Edge direction must not matter (reversed duplicates collapse)."""
+    from sstable_migrator_spark.operators.graph import connected_components
+
+    df = spark.createDataFrame(
+        [(5, 4), (4, 5), (4, 3), (9, 8)], "src long, dst long"
+    )
+    got = {r["node"]: r["component"]
+           for r in connected_components(df).collect()}
+    assert got == {3: 3, 4: 3, 5: 3, 8: 8, 9: 8}
