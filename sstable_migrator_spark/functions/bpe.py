@@ -31,7 +31,7 @@ from pyspark.sql import functions as F
 
 from sstable_migrator_spark.functions import text as TX
 
-__all__ = ["train_bpe", "encode_word"]
+__all__ = ["bpe_encode_docs", "encode_word", "train_bpe"]
 
 
 def _char_symbols(w):
@@ -131,3 +131,38 @@ def encode_word(word: str, merges: list[tuple[str, str]]) -> list[str]:
                 i += 1
         sym = out
     return sym
+
+
+def bpe_encode_docs(
+    docs: DataFrame,
+    merges: list[tuple[str, str]],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Corpus-scale BPE encoding: apply a learned merge list to every
+    document, returning ``(id, pieces array<string>, n_pieces)``. The
+    merge table rides to executors once (task-closure broadcast — it is
+    a tokenizer artifact, KBs); encoding is an Arrow-batched mapInPandas
+    with a per-batch word cache, so each distinct word in a batch is
+    encoded once regardless of frequency (zipf makes the cache hit rate
+    high). Map-only — no shuffle anywhere."""
+    import pandas as pd
+
+    def op(batches):
+        for pdf in batches:
+            cache: dict[str, list[str]] = {}
+            out_ids, out_pieces = [], []
+            for did, text in zip(pdf[id_col], pdf[text_col]):
+                pieces: list[str] = []
+                for w in (text or "").lower().split():
+                    if w not in cache:
+                        cache[w] = encode_word(w, merges)
+                    pieces.extend(cache[w])
+                out_ids.append(did)
+                out_pieces.append(pieces)
+            yield pd.DataFrame({id_col: out_ids, "pieces": out_pieces})
+
+    enc = docs.select(id_col, text_col).mapInPandas(
+        op, f"{id_col} long, pieces array<string>"
+    )
+    return enc.select(id_col, "pieces", F.size("pieces").cast("long").alias("n_pieces"))

@@ -65,3 +65,18 @@ def test_train_bpe_exhausts_small_corpus(spark):
     docs = spark.createDataFrame([(0, "ab ab")], "doc_id long, text string")
     got = train_bpe(docs, n_merges=10)
     assert got == [("a", "b")]  # after merging 'ab', no pairs remain
+
+
+def test_bpe_encode_docs(spark):
+    from sstable_migrator_spark.functions.bpe import bpe_encode_docs
+
+    merges = [("e", "s"), ("es", "t"), ("l", "o"), ("lo", "w")]
+    docs = spark.createDataFrame(
+        [(0, "lowest low"), (1, "test"), (2, "")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: (r["pieces"], r["n_pieces"])
+           for r in bpe_encode_docs(docs, merges).collect()}
+    assert out[0] == (["low", "est", "low"], 3)
+    assert out[1] == (["t", "est"], 2)
+    assert out[2] == ([], 0)
