@@ -333,3 +333,121 @@ def write_ring_placed(
         .trigger(availableNow=True)
         .start()
     )
+
+
+NEAR_DUP_OUTPUT_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("dup_of", T.LongType()),
+        T.StructField("band", T.IntegerType()),
+        T.StructField("matches", T.IntegerType()),
+    ]
+)
+
+NEAR_DUP_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("ids", T.ArrayType(T.LongType())),
+        T.StructField("sigs", T.ArrayType(T.ArrayType(T.LongType()))),
+    ]
+)
+
+
+def _near_dup_fn(num_hashes: int, min_matches: int, max_bucket: int):
+    import pandas as pd
+
+    def fn(key, pdf_iter, state):
+        _band, _bucket = key
+        if state.exists:
+            ids, sigs = state.get
+            ids, sigs = list(ids), [list(s) for s in sigs]
+        else:
+            ids, sigs = [], []
+        out = {"doc_id": [], "dup_of": [], "band": [], "matches": []}
+        rows = []
+        for pdf in pdf_iter:
+            for did, sig in zip(pdf["doc_id"], pdf["signature"]):
+                rows.append((int(did), [int(x) for x in sig]))
+        rows.sort()  # deterministic: earlier ids register first
+        for did, sig in rows:
+            best = None
+            for sid, ssig in zip(ids, sigs):
+                m = sum(a == b for a, b in zip(sig, ssig))
+                if m >= min_matches and (best is None or m > best[1]):
+                    best = (sid, m)
+            if best is not None:
+                out["doc_id"].append(did)
+                out["dup_of"].append(best[0])
+                out["band"].append(int(_band))
+                out["matches"].append(int(best[1]))
+            if len(ids) < max_bucket:
+                ids.append(did)
+                sigs.append(sig)
+        state.update((ids, sigs))
+        if out["doc_id"]:
+            yield pd.DataFrame(out)
+
+    return fn
+
+
+def streaming_near_dup_candidates(
+    docs: DataFrame,
+    num_hashes: int = 16,
+    bands: int = 4,
+    min_matches: int = 8,
+    max_bucket: int = 64,
+) -> DataFrame:
+    """Cross-batch streaming near-duplicate detection: the stateful
+    twin of dedup.minhash_lsh_pairs. MinHash signatures and LSH band
+    buckets are plain streaming projections (map-only); the custom
+    state lives per (band, bucket) — up to ``max_bucket`` registered
+    (doc_id, signature) pairs — so a document arriving TODAY is checked
+    against near-misses first seen in any earlier micro-batch, which
+    watermarked dropDuplicates cannot express (it needs exact keys).
+
+    Emits ``(doc_id, dup_of, band, matches)`` when a new doc's
+    signature agrees with a registered bucket-mate on >= min_matches
+    hash positions (integer compare — no float threshold). The same
+    pair can surface from several bands; downstream canonicalization
+    dedups on (doc_id, dup_of) exactly as the batch twin's first-band
+    trick does. State is O(buckets x max_bucket) longs, independent of
+    stream length; the per-batch shuffle key is the bucket — identical
+    to the batch plan's exchange.
+    """
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    from sstable_migrator_spark.operators.dedup import minhash_signatures
+
+    rows_per_band = num_hashes // bands
+    sigs = minhash_signatures(docs, num_hashes=num_hashes)
+    banded = sigs.select(
+        F.col("doc_id"),
+        F.col("signature"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.md5(
+                            F.concat_ws(
+                                ",",
+                                *[
+                                    F.element_at(
+                                        "signature", b * rows_per_band + i + 1
+                                    ).cast("string")
+                                    for i in range(rows_per_band)
+                                ],
+                            )
+                        ).alias("bucket"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("doc_id", "signature", "bb.band", "bb.bucket")
+    return banded.groupBy("band", "bucket").applyInPandasWithState(
+        _near_dup_fn(num_hashes, min_matches, max_bucket),
+        outputStructType=NEAR_DUP_OUTPUT_SCHEMA,
+        stateStructType=NEAR_DUP_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -274,3 +274,52 @@ def test_write_ring_placed_stream(spark, tmp_path):
         ring=ring, rf=2,
     ).awaitTermination(120)
     assert spark.read.parquet(out).count() == 50
+
+
+def test_streaming_near_dup_across_batches(spark, tmp_path):
+    """Cross-batch near-dup: a doc arriving in a LATER availableNow run
+    (fresh query, same checkpoint) is flagged against a signature
+    registered in an earlier run — state survives via the checkpoint."""
+    from sstable_migrator_spark.streaming.daily import streaming_near_dup_candidates
+
+    base = ("the quick brown fox jumps over the lazy dog while the cat "
+            "sleeps near the warm stove in the old kitchen")
+    other = "completely different text about spark engines and shuffle plans"
+
+    src = tmp_path / "docs"
+    src.mkdir()
+    ckpt = str(tmp_path / "ckpt")
+
+    out = str(tmp_path / "hits")
+
+    def drain(_name):
+        stream = spark.readStream.schema("doc_id long, text string").json(str(src))
+        q = (
+            streaming_near_dup_candidates(stream, num_hashes=16, bands=8,
+                                          min_matches=10)
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True).start()
+        )
+        q.awaitTermination(120)
+        try:
+            return spark.read.parquet(out).collect()
+        except Exception:  # no files yet (no hits emitted)
+            return []
+
+    import json as _json
+    (src / "b1.jsonl").write_text(
+        "\n".join(_json.dumps({"doc_id": i, "text": t})
+                  for i, t in [(0, base), (1, other)])
+    )
+    first = drain("nd_run1")
+    assert first == []  # nothing to collide with yet
+
+    (src / "b2.jsonl").write_text(
+        _json.dumps({"doc_id": 10, "text": base.replace("cat", "bird")})
+    )
+    second = drain("nd_run2")
+    hits = {(r["doc_id"], r["dup_of"]) for r in second}
+    assert hits == {(10, 0)}
+    assert all(r["matches"] >= 10 for r in second)
