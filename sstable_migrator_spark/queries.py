@@ -5975,6 +5975,100 @@ ORDER BY s_name
 """
 
 
+def q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining for contrastive-embedding training: per
+    probe anchor (vec_id % 97 == 0), 16 deterministic candidates are
+    drawn with the portable md5 hash modulo the corpus size (no RNG —
+    reproducible across engines, reruns, and task retries), cosines
+    computed with the sequential expression fold (bit-identical to
+    DuckDB's list_dot_product), and the hardest USABLE negative kept:
+    max cosine below the 0.9 near-dup ceiling, ties broken by id. The
+    corpus size comes from parquet footers (driver-side, no count job);
+    candidate generation is a map-only explode of 16 ints; the only
+    join is the candidate-id equi-join into the narrow embeddings
+    table; the per-anchor argmax is a bounded window (<= 16 rows per
+    anchor)."""
+    n = _nrows(spark, sf_dir, "embeddings")
+    emb = _t(spark, sf_dir, "embeddings")
+    anchors = emb.filter(F.col("vec_id") % 97 == 0).select(
+        F.col("vec_id").alias("anchor_id"), F.col("embedding").alias("va")
+    )
+    cand = anchors.select(
+        "anchor_id",
+        "va",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(15)),
+                lambda k: F.pmod(
+                    F.conv(
+                        F.substring(
+                            F.md5(
+                                F.concat_ws(
+                                    "|",
+                                    F.col("anchor_id").cast("string"),
+                                    k.cast("string"),
+                                )
+                            ),
+                            1,
+                            15,
+                        ),
+                        16,
+                        10,
+                    ).cast("long"),
+                    F.lit(n),
+                ),
+            )
+        ).alias("cand_id"),
+    )
+    scored = (
+        cand.join(
+            emb.select(F.col("vec_id").alias("cand_id"), F.col("embedding").alias("vb")),
+            "cand_id",
+        )
+        .filter(F.col("cand_id") != F.col("anchor_id"))
+        .withColumn("cos", VX.cosine(F.col("va"), F.col("vb")))
+        .filter(F.col("cos") < 0.9)
+    )
+    w = Window.partitionBy("anchor_id").orderBy(F.desc("cos"), F.col("cand_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            F.col("anchor_id").cast("long").alias("anchor_id"),
+            F.col("cand_id").cast("long").alias("negative_id"),
+            "cos",
+        )
+    )
+
+
+_SQL_HN_COS = _SQL_COS.format(a="va", b="vb")
+SQL_HARD_NEGATIVES = f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+anchors AS (SELECT vec_id AS anchor_id, v AS va FROM e WHERE vec_id % 97 = 0),
+cand AS (
+  SELECT anchor_id, va,
+         CAST(concat('0x', substr(md5(CAST(anchor_id AS VARCHAR) || '|' ||
+                                       CAST(k.i AS VARCHAR)), 1, 15))
+              AS BIGINT) % (SELECT count(*) FROM embeddings) AS cand_id
+  FROM anchors, LATERAL unnest(range(0, 16)) AS k(i)),
+scored AS (
+  SELECT anchor_id, cand_id, vb, va, {_SQL_HN_COS} AS cos
+  FROM (SELECT anchor_id, va, cand_id FROM cand) c
+  JOIN (SELECT vec_id AS cand_id, v AS vb FROM e) t USING (cand_id)
+  WHERE cand_id <> anchor_id)
+SELECT anchor_id, cand_id AS negative_id, cos FROM (
+  SELECT anchor_id, cand_id, cos,
+         row_number() OVER (PARTITION BY anchor_id
+                            ORDER BY cos DESC, cand_id) AS rn
+  FROM scored WHERE cos < 0.9)
+WHERE rn = 1
+"""
+
+
+QUERIES.update({"q144_hard_negatives": q_hard_negatives})
+ORACLES.update({"q144_hard_negatives": SQL_HARD_NEGATIVES})
+
+
 QUERIES.update(
     {
         "q140_min_cost_supplier": q_min_cost_supplier,
