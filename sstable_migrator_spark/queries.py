@@ -6069,6 +6069,30 @@ QUERIES.update({"q144_hard_negatives": q_hard_negatives})
 ORACLES.update({"q144_hard_negatives": SQL_HARD_NEGATIVES})
 
 
+def q_dup_clusters_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q58's cluster semantics through the OTHER algorithm: the same
+    MinHash-LSH pair graph resolved by graph.connected_components
+    (large-star/small-star contraction — O(log^2 n) rounds regardless
+    of component diameter, the scale path for big components) instead
+    of label propagation. Oracle-checked against the identical
+    recursive-CTE truth as q58, which pins that both algorithms agree
+    bit-for-bit on cluster ids and keep decisions."""
+    from sstable_migrator_spark.operators.graph import connected_components
+
+    docs = _synth_near_dup_docs(spark, sf_dir)
+    pairs = dedup.minhash_lsh_pairs(docs, num_hashes=16, bands=4, jaccard_threshold=0.5)
+    cc = connected_components(pairs, src="id_a", dst="id_b")
+    return cc.select(
+        F.col("node").cast("long").alias("doc_id"),
+        F.col("component").cast("long").alias("cluster_id"),
+        (F.col("node") == F.col("component")).alias("is_canonical"),
+    )
+
+
+QUERIES.update({"q145_dup_clusters_star": q_dup_clusters_star})
+ORACLES.update({"q145_dup_clusters_star": _sql_dup_clusters()})
+
+
 QUERIES.update(
     {
         "q140_min_cost_supplier": q_min_cost_supplier,
