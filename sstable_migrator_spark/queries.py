@@ -6093,6 +6093,79 @@ QUERIES.update({"q145_dup_clusters_star": q_dup_clusters_star})
 ORACLES.update({"q145_dup_clusters_star": _sql_dup_clusters()})
 
 
+def q_html_to_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WET-style HTML -> text extraction (the CommonCrawl prep step
+    upstream of every text-pipeline operator here): drop script/style
+    blocks first (their CONTENT is not text — a tag-only strip would
+    leak JavaScript into the corpus), then strip tags, unescape the
+    five XML entities, collapse whitespace. Pure map-only regexp work;
+    the patterns stay in the Java-regex ∩ RE2 common subset so the
+    DuckDB oracle runs the identical expressions. The synthetic page
+    wraps each document's text in boilerplate markup derived from its
+    id (deterministic)."""
+    docs = _dense(spark, _t(spark, sf_dir, "documents"))
+    page = F.concat(
+        F.lit("<html><head><title>doc "),
+        F.col("doc_id").cast("string"),
+        F.lit("</title><script>var x = 1 < 2;</script>"
+              "<style>p { color: red; }</style></head><body><h1>T&amp;C</h1><p>"),
+        F.col("text"),
+        F.lit("</p><br/>&lt;end&gt; &quot;fin&quot; &#39;.</body></html>"),
+    )
+    no_blocks = F.regexp_replace(
+        page, "(?s)<(script|style)[^>]*>.*?</(script|style)>", " "
+    )
+    no_tags = F.regexp_replace(no_blocks, "<[^>]*>", " ")
+    unescaped = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(
+                F.regexp_replace(
+                    F.regexp_replace(no_tags, "&lt;", "<"), "&gt;", ">"
+                ),
+                "&quot;", "\"",
+            ),
+            "&#39;", "'",
+        ),
+        "&amp;", "&",
+    )
+    clean = F.trim(F.regexp_replace(unescaped, "\\s+", " "))
+    return docs.select(
+        "doc_id",
+        clean.alias("clean_text"),
+        F.length(clean).cast("long").alias("clean_len"),
+    )
+
+
+SQL_HTML_TO_TEXT = """
+WITH page AS (
+  SELECT doc_id,
+         '<html><head><title>doc ' || CAST(doc_id AS VARCHAR) ||
+         '</title><script>var x = 1 < 2;</script>' ||
+         '<style>p { color: red; }</style></head><body><h1>T&amp;C</h1><p>' ||
+         text ||
+         '</p><br/>&lt;end&gt; &quot;fin&quot; &#39;.</body></html>' AS h
+  FROM documents),
+stripped AS (
+  SELECT doc_id,
+         trim(regexp_replace(
+           replace(replace(replace(replace(replace(
+             regexp_replace(
+               regexp_replace(h, '(?s)<(script|style)[^>]*>.*?</(script|style)>',
+                              ' ', 'g'),
+               '<[^>]*>', ' ', 'g'),
+             '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', ''''),
+             '&amp;', '&'),
+           '\\s+', ' ', 'g')) AS clean_text
+  FROM page)
+SELECT doc_id, clean_text, CAST(length(clean_text) AS BIGINT) AS clean_len
+FROM stripped
+"""
+
+
+QUERIES.update({"q146_html_to_text": q_html_to_text})
+ORACLES.update({"q146_html_to_text": SQL_HTML_TO_TEXT})
+
+
 QUERIES.update(
     {
         "q140_min_cost_supplier": q_min_cost_supplier,
