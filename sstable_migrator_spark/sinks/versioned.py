@@ -1,0 +1,179 @@
+"""Manifest-versioned parquet tables: snapshots, time travel, rollback.
+
+The reference's durability story is dated directories + rolling
+snapshot files (daily_all_upload.sh:16-19, the 25-day snapshot dirs).
+This generalizes that pattern into the mechanism the modern table
+formats (Iceberg/Delta) are built on, with zero dependencies:
+
+- every commit writes its data under a fresh ``data/v<N>-...`` subtree
+  and then publishes ``_manifests/v<N>.json`` listing ALL directories
+  the new snapshot comprises;
+- readers resolve a manifest and read exactly those directories — the
+  manifest IS the file listing, so reads never depend on eventually-
+  consistent directory listing and never see a half-written commit
+  (data is invisible until the manifest publish);
+- the manifest publish is an exclusive-create (``open(..., 'x')``) —
+  two racing writers cannot both claim version N; the loser retries on
+  the next number (optimistic concurrency, single-filesystem scope; a
+  multi-writer deployment swaps this one primitive for a catalog/log
+  store CAS, which is precisely what Delta's LogStore does);
+- old snapshots stay readable (time travel) until ``vacuum`` drops
+  directories unreferenced by the retained manifests.
+
+Scale shape: a manifest lists directories (one per commit), so its
+size is O(commits since last compaction), independent of data size;
+``compact`` folds the accumulated small commits into one directory and
+publishes a new snapshot without touching history.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import shutil
+import time
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+
+__all__ = [
+    "versioned_write",
+    "read_version",
+    "history",
+    "rollback",
+    "compact",
+    "vacuum",
+]
+
+_MANIFEST_RE = re.compile(r"^v(\d{6})\.json$")
+
+
+def _manifest_dir(path: str) -> str:
+    return os.path.join(path, "_manifests")
+
+
+def _versions(path: str) -> list[int]:
+    d = _manifest_dir(path)
+    if not os.path.isdir(d):
+        return []
+    return sorted(
+        int(m.group(1)) for f in os.listdir(d) if (m := _MANIFEST_RE.match(f))
+    )
+
+
+def _load(path: str, version: int) -> dict:
+    with open(os.path.join(_manifest_dir(path), f"v{version:06d}.json")) as fh:
+        return json.load(fh)
+
+
+def _publish(path: str, manifest: dict) -> int:
+    """Exclusive-create the next manifest; retry on version races."""
+    os.makedirs(_manifest_dir(path), exist_ok=True)
+    while True:
+        v = (_versions(path)[-1] if _versions(path) else 0) + 1
+        manifest["version"] = v
+        target = os.path.join(_manifest_dir(path), f"v{v:06d}.json")
+        try:
+            with open(target, "x") as fh:
+                json.dump(manifest, fh)
+            return v
+        except FileExistsError:  # lost the race — next number
+            continue
+
+
+def versioned_write(df: DataFrame, path: str, mode: str = "append") -> int:
+    """Commit ``df`` as a new snapshot. ``append`` keeps the previous
+    snapshot's directories; ``overwrite`` starts fresh (old data stays
+    on disk for time travel until vacuumed). Returns the new version."""
+    if mode not in ("append", "overwrite"):
+        raise ValueError(f"mode must be append|overwrite, got {mode!r}")
+    dirname = f"v{uuid.uuid4().hex[:12]}"
+    data_dir = os.path.join(path, "data", dirname)
+    df.write.mode("error").parquet(data_dir)
+    prev = _versions(path)
+    base: list[str] = []
+    if mode == "append" and prev:
+        base = _load(path, prev[-1])["dirs"]
+    return _publish(
+        path,
+        {"op": mode, "ts": time.time(), "dirs": base + [os.path.join("data", dirname)]},
+    )
+
+
+def read_version(
+    spark: SparkSession, path: str, version: int | None = None
+) -> DataFrame:
+    """Read a snapshot (latest by default). The manifest is the file
+    listing — no directory scan, no partial-commit visibility."""
+    vs = _versions(path)
+    if not vs:
+        raise FileNotFoundError(f"no manifests under {path}")
+    v = version if version is not None else vs[-1]
+    if v not in vs:
+        raise FileNotFoundError(f"version {v} not in {vs}")
+    dirs = [os.path.join(path, d) for d in _load(path, v)["dirs"]]
+    if not dirs:
+        raise FileNotFoundError(f"version {v} is empty")
+    return spark.read.parquet(*dirs)
+
+
+def history(path: str) -> list[dict]:
+    return [_load(path, v) for v in _versions(path)]
+
+
+def rollback(path: str, version: int) -> int:
+    """Publish a NEW snapshot whose content is an old version's —
+    history is never rewritten, exactly like Delta's RESTORE."""
+    old = _load(path, version)
+    return _publish(
+        path,
+        {"op": f"rollback:{version}", "ts": time.time(), "dirs": old["dirs"]},
+    )
+
+
+def compact(spark: SparkSession, path: str, target_file_bytes: int = 134217728) -> int:
+    """Fold the accumulated commit directories into one sized rewrite
+    and publish it as a new snapshot (op=compact). Old snapshots remain
+    readable — compaction is just another commit."""
+    import math
+
+    df = read_version(spark, path)
+    latest = _load(path, _versions(path)[-1])
+    total = 0
+    for d in latest["dirs"]:
+        for root, _dirs, files in os.walk(os.path.join(path, d)):
+            total += sum(
+                os.path.getsize(os.path.join(root, f))
+                for f in files
+                if not f.startswith(("_", "."))
+            )
+    n_files = max(1, math.ceil(total / target_file_bytes))
+    dirname = f"v{uuid.uuid4().hex[:12]}"
+    data_dir = os.path.join(path, "data", dirname)
+    df.repartition(n_files).write.mode("error").parquet(data_dir)
+    return _publish(
+        path,
+        {"op": "compact", "ts": time.time(), "dirs": [os.path.join("data", dirname)]},
+    )
+
+
+def vacuum(path: str, keep_last: int = 1) -> list[str]:
+    """Delete data directories unreferenced by the last ``keep_last``
+    manifests (and drop the older manifests). Returns removed dirs.
+    Time travel reaches only retained manifests afterwards."""
+    vs = _versions(path)
+    if not vs:
+        return []
+    keep_vs = vs[-keep_last:]
+    referenced = {d for v in keep_vs for d in _load(path, v)["dirs"]}
+    removed = []
+    data_root = os.path.join(path, "data")
+    for d in sorted(os.listdir(data_root)) if os.path.isdir(data_root) else []:
+        rel = os.path.join("data", d)
+        if rel not in referenced:
+            shutil.rmtree(os.path.join(data_root, d))
+            removed.append(rel)
+    for v in vs[:-keep_last]:
+        os.remove(os.path.join(_manifest_dir(path), f"v{v:06d}.json"))
+    return removed

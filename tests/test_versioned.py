@@ -1,0 +1,64 @@
+"""Manifest-versioned table layout: snapshots, time travel, rollback,
+compaction, vacuum — the zero-dependency Iceberg/Delta mechanism."""
+
+from __future__ import annotations
+
+import pytest
+
+from sstable_migrator_spark.sinks.versioned import (
+    compact,
+    history,
+    read_version,
+    rollback,
+    vacuum,
+    versioned_write,
+)
+
+
+def _df(spark, lo, hi):
+    return spark.range(lo, hi).selectExpr("id", "id * 2 AS val")
+
+
+def test_append_overwrite_time_travel(spark, tmp_path):
+    t = str(tmp_path / "tbl")
+    assert versioned_write(_df(spark, 0, 10), t) == 1
+    assert versioned_write(_df(spark, 10, 15), t) == 2
+    assert read_version(spark, t).count() == 15          # latest
+    assert read_version(spark, t, version=1).count() == 10  # time travel
+    assert versioned_write(_df(spark, 100, 103), t, mode="overwrite") == 3
+    assert read_version(spark, t).count() == 3
+    assert read_version(spark, t, version=2).count() == 15  # still readable
+    ops = [m["op"] for m in history(t)]
+    assert ops == ["append", "append", "overwrite"]
+    with pytest.raises(FileNotFoundError):
+        read_version(spark, t, version=9)
+
+
+def test_rollback_is_a_new_commit(spark, tmp_path):
+    t = str(tmp_path / "tbl")
+    versioned_write(_df(spark, 0, 10), t)
+    versioned_write(_df(spark, 100, 103), t, mode="overwrite")
+    v = rollback(t, 1)
+    assert v == 3
+    assert read_version(spark, t).count() == 10
+    assert read_version(spark, t, version=2).count() == 3  # history intact
+
+
+def test_compact_and_vacuum(spark, tmp_path):
+    t = str(tmp_path / "tbl")
+    for i in range(4):
+        versioned_write(_df(spark, i * 5, i * 5 + 5), t)
+    assert len(history(t)[-1]["dirs"]) == 4
+    v = compact(spark, t)
+    latest = history(t)[-1]
+    assert latest["op"] == "compact" and len(latest["dirs"]) == 1
+    got = sorted(r["id"] for r in read_version(spark, t).collect())
+    assert got == list(range(20))
+    # pre-compact snapshot still time-travels
+    assert read_version(spark, t, version=2).count() == 10
+
+    removed = vacuum(t, keep_last=1)
+    assert len(removed) == 4  # the four pre-compaction commit dirs
+    assert read_version(spark, t, version=v).count() == 20
+    with pytest.raises(FileNotFoundError):
+        read_version(spark, t, version=2)  # vacuumed away
