@@ -44,6 +44,8 @@ __all__ = [
     "rollback",
     "compact",
     "vacuum",
+    "merge_upsert",
+    "diff_versions",
 ]
 
 _MANIFEST_RE = re.compile(r"^v(\d{6})\.json$")
@@ -177,3 +179,68 @@ def vacuum(path: str, keep_last: int = 1) -> list[str]:
     for v in vs[:-keep_last]:
         os.remove(os.path.join(_manifest_dir(path), f"v{v:06d}.json"))
     return removed
+
+
+def merge_upsert(
+    spark: SparkSession,
+    path: str,
+    delta: DataFrame,
+    key_cols: list[str],
+) -> int:
+    """MERGE INTO semantics on a versioned table: rows matching on
+    ``key_cols`` are replaced by the delta's version, unmatched delta
+    rows insert, everything else carries over — published as ONE new
+    snapshot (copy-on-write MERGE, Delta's model). Base rows shuffle
+    once on the key via the anti-join; a small delta broadcasts. The
+    pre-merge snapshot stays time-travelable — history is never
+    rewritten."""
+    base = read_version(spark, path)
+    survivors = base.join(delta.select(*key_cols).distinct(), key_cols, "left_anti")
+    merged = survivors.unionByName(delta)
+    dirname = f"v{uuid.uuid4().hex[:12]}"
+    data_dir = os.path.join(path, "data", dirname)
+    merged.write.mode("error").parquet(data_dir)
+    return _publish(
+        path,
+        {"op": "merge", "ts": time.time(), "dirs": [os.path.join("data", dirname)]},
+    )
+
+
+def diff_versions(
+    spark: SparkSession,
+    path: str,
+    v_old: int,
+    v_new: int,
+    key_cols: list[str],
+) -> DataFrame:
+    """CDC between two snapshots: full-outer join on the key with an
+    md5 digest over the remaining columns (q88's snapshot-diff shape
+    applied to the version store). Returns (key..., change) with change
+    in {added, removed, changed}; unchanged rows drop out before the
+    result materializes."""
+    from pyspark.sql import functions as F
+
+    old = read_version(spark, path, v_old)
+    new = read_version(spark, path, v_new)
+    rest = [c for c in old.columns if c not in key_cols]
+
+    def dig(df, name):
+        return df.select(
+            *key_cols,
+            F.md5(F.concat_ws("", *[F.col(c).cast("string") for c in rest])).alias(
+                name
+            ),
+        )
+
+    joined = dig(old, "_old").join(dig(new, "_new"), key_cols, "full_outer")
+    return joined.select(
+        *key_cols,
+        F.when(F.col("_old").isNull(), F.lit("added"))
+        .when(F.col("_new").isNull(), F.lit("removed"))
+        .otherwise(F.lit("changed"))
+        .alias("change"),
+    ).filter(
+        F.col("_old").isNull()
+        | F.col("_new").isNull()
+        | (F.col("_old") != F.col("_new"))
+    )

@@ -62,3 +62,33 @@ def test_compact_and_vacuum(spark, tmp_path):
     assert read_version(spark, t, version=v).count() == 20
     with pytest.raises(FileNotFoundError):
         read_version(spark, t, version=2)  # vacuumed away
+
+
+def test_merge_upsert(spark, tmp_path):
+    t = str(tmp_path / "tbl")
+    versioned_write(_df(spark, 0, 5), t)  # ids 0-4, val = 2*id
+    from sstable_migrator_spark.sinks.versioned import merge_upsert
+
+    delta = spark.createDataFrame([(3, 999), (100, 7)], "id long, val long")
+    v = merge_upsert(spark, t, delta, key_cols=["id"])
+    assert v == 2
+    got = {r["id"]: r["val"] for r in read_version(spark, t).collect()}
+    assert got == {0: 0, 1: 2, 2: 4, 3: 999, 4: 8, 100: 7}
+    # pre-merge snapshot intact
+    assert {r["id"]: r["val"] for r in
+            read_version(spark, t, version=1).collect()}[3] == 6
+
+
+def test_diff_versions(spark, tmp_path):
+    t = str(tmp_path / "tbl")
+    versioned_write(_df(spark, 0, 5), t)
+    from sstable_migrator_spark.sinks.versioned import diff_versions, merge_upsert
+
+    delta = spark.createDataFrame([(3, 999), (100, 7)], "id long, val long")
+    merge_upsert(spark, t, delta, key_cols=["id"])
+    changes = {r["id"]: r["change"]
+               for r in diff_versions(spark, t, 1, 2, key_cols=["id"]).collect()}
+    assert changes == {3: "changed", 100: "added"}
+    reverse = {r["id"]: r["change"]
+               for r in diff_versions(spark, t, 2, 1, key_cols=["id"]).collect()}
+    assert reverse == {3: "changed", 100: "removed"}
