@@ -145,7 +145,13 @@ def bpe_encode_docs(
     a tokenizer artifact, KBs); encoding is an Arrow-batched mapInPandas
     with a per-batch word cache, so each distinct word in a batch is
     encoded once regardless of frequency (zipf makes the cache hit rate
-    high). Map-only — no shuffle anywhere."""
+    high). Map-only — no shuffle anywhere.
+
+    Tokenization note: encoding lowercases + whitespace-splits ALL
+    words, while train_bpe learns only from ``^[a-z]+$`` word types —
+    so punctuation-bearing words encode mostly character-wise (no
+    learned merges cover them). That is the standard train-on-clean /
+    encode-everything asymmetry; pre-clean the text if it matters."""
     import pandas as pd
 
     def op(batches):
@@ -162,7 +168,8 @@ def bpe_encode_docs(
                 out_pieces.append(pieces)
             yield pd.DataFrame({id_col: out_ids, "pieces": out_pieces})
 
+    id_type = docs.schema[id_col].dataType.simpleString()
     enc = docs.select(id_col, text_col).mapInPandas(
-        op, f"{id_col} long, pieces array<string>"
+        op, f"{id_col} {id_type}, pieces array<string>"
     )
     return enc.select(id_col, "pieces", F.size("pieces").cast("long").alias("n_pieces"))

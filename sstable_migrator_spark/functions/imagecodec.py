@@ -258,13 +258,16 @@ def decode_image(data: bytes) -> np.ndarray:
     """Binary payload -> (H, W, 3) uint8. Prefers PIL when importable
     (JPEG etc.); otherwise the pure decoders above."""
     fmt = sniff_format(data)
-    try:  # optional fast/wide path
+    try:  # optional fast/wide path; ANY failure falls through to the
+        # pure decoders so the contract stays ImageFormatError, not a
+        # PIL-specific exception, and PIL-rejected-but-valid payloads
+        # still get a second chance
         import io
 
         from PIL import Image  # noqa: PLC0415
 
         return np.asarray(Image.open(io.BytesIO(data)).convert("RGB"))
-    except ImportError:
+    except Exception:  # noqa: BLE001 — ImportError or PIL decode failure
         pass
     if fmt == "png":
         return decode_png(data)
@@ -287,8 +290,20 @@ def image_meta(data: bytes) -> tuple[int, int, str]:
                 return w, h, "png"
         raise ImageFormatError("missing IHDR")
     if fmt == "ppm":
-        arr_probe = decode_ppm(data)  # header parse dominates; tiny files
-        return arr_probe.shape[1], arr_probe.shape[0], "ppm"
+        # header-only: parse the three ASCII fields, never touch pixels
+        fields, pos = [], 2
+        while len(fields) < 2:
+            while pos < len(data) and data[pos : pos + 1].isspace():
+                pos += 1
+            if data[pos : pos + 1] == b"#":  # comment line
+                pos = data.index(b"\n", pos) + 1
+                continue
+            start = pos
+            while pos < len(data) and not data[pos : pos + 1].isspace():
+                pos += 1
+            fields.append(int(data[start:pos]))
+        w, h = fields[0], fields[1]
+        return w, h, "ppm"
     if fmt == "bmp":
         w, h = struct.unpack_from("<ii", data, 18)
         return w, abs(h), "bmp"
@@ -312,7 +327,9 @@ def image_features(arr: np.ndarray, dim: int = 8) -> list[float]:
     if dim > 6:
         gray = f.mean(axis=2)
         cells = dim - 6
-        # pool the grayscale into `cells` horizontal bands
+        # pool the grayscale into `cells` horizontal bands; an image
+        # with fewer rows than bands would yield empty splits whose
+        # mean is NaN — empty bands contribute 0.0 instead
         bands = np.array_split(gray, cells, axis=0)
-        feats += [float(b.mean()) for b in bands]
+        feats += [float(b.mean()) if b.size else 0.0 for b in bands]
     return feats[:dim]

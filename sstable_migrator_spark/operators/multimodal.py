@@ -105,7 +105,7 @@ def decode_features(media: DataFrame, dim: int = 8, real_decode: bool = False) -
                             "int32"
                         ),
                         "feature": payloads.map(
-                            lambda b: image_features(decode_image(bytes(b)), dim)
+                            lambda b: image_features(decode_image(bytes(b or b"")), dim)
                         ),
                     }
                 )
@@ -229,7 +229,7 @@ def resize_images(
             for pdf in batches:
                 out_payloads = pdf["payload"].map(
                     lambda b: bytearray(
-                        encode_png(resize_nearest(decode_image(bytes(b)), width, height))
+                        encode_png(resize_nearest(decode_image(bytes(b or b"")), width, height))
                     )
                 )
                 meta = pd.DataFrame(

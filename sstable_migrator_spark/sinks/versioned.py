@@ -13,10 +13,14 @@ formats (Iceberg/Delta) are built on, with zero dependencies:
   consistent directory listing and never see a half-written commit
   (data is invisible until the manifest publish);
 - the manifest publish is an exclusive-create (``open(..., 'x')``) —
-  two racing writers cannot both claim version N; the loser retries on
-  the next number (optimistic concurrency, single-filesystem scope; a
-  multi-writer deployment swaps this one primitive for a catalog/log
-  store CAS, which is precisely what Delta's LogStore does);
+  two racing writers cannot both claim version N. Commits whose content
+  depends on the snapshot they read (append, merge) are CONDITIONAL:
+  the loser gets ConcurrentWriteError and must re-read and retry, never
+  silently dropping the winner's directories; base-independent commits
+  (overwrite/compact/rollback) retry onto the next number. Optimistic
+  concurrency, single-filesystem scope; a multi-writer deployment swaps
+  this one primitive for a catalog/log-store CAS, which is precisely
+  what Delta's LogStore does;
 - old snapshots stay readable (time travel) until ``vacuum`` drops
   directories unreferenced by the retained manifests.
 
@@ -38,6 +42,7 @@ import uuid
 from pyspark.sql import DataFrame, SparkSession
 
 __all__ = [
+    "ConcurrentWriteError",
     "versioned_write",
     "read_version",
     "history",
@@ -69,18 +74,40 @@ def _load(path: str, version: int) -> dict:
         return json.load(fh)
 
 
-def _publish(path: str, manifest: dict) -> int:
-    """Exclusive-create the next manifest; retry on version races."""
+class ConcurrentWriteError(RuntimeError):
+    """A commit that DEPENDS on the snapshot it read (append/merge)
+    found that snapshot superseded at publish time. Re-read and retry —
+    silently taking the next version number would drop the winner's
+    data (a lost update)."""
+
+
+def _publish(path: str, manifest: dict, base_version: int | None = None) -> int:
+    """Exclusive-create the next manifest. With ``base_version`` the
+    commit is conditional — it claims exactly base+1 and raises
+    ConcurrentWriteError if another writer got there first (the
+    read-modify-write commits: append, merge). Without it the content
+    is base-independent (overwrite/compact/rollback) and the publish
+    retries onto the next free number."""
     os.makedirs(_manifest_dir(path), exist_ok=True)
     while True:
-        v = (_versions(path)[-1] if _versions(path) else 0) + 1
+        vs = _versions(path)
+        latest = vs[-1] if vs else 0
+        if base_version is not None and latest != base_version:
+            raise ConcurrentWriteError(
+                f"snapshot advanced to v{latest} after reading v{base_version}"
+            )
+        v = latest + 1
         manifest["version"] = v
         target = os.path.join(_manifest_dir(path), f"v{v:06d}.json")
         try:
             with open(target, "x") as fh:
                 json.dump(manifest, fh)
             return v
-        except FileExistsError:  # lost the race — next number
+        except FileExistsError:
+            if base_version is not None:
+                raise ConcurrentWriteError(
+                    f"lost the publish race for v{v}; re-read and retry"
+                ) from None
             continue
 
 
@@ -92,14 +119,14 @@ def versioned_write(df: DataFrame, path: str, mode: str = "append") -> int:
         raise ValueError(f"mode must be append|overwrite, got {mode!r}")
     dirname = f"v{uuid.uuid4().hex[:12]}"
     data_dir = os.path.join(path, "data", dirname)
-    df.write.mode("error").parquet(data_dir)
     prev = _versions(path)
-    base: list[str] = []
-    if mode == "append" and prev:
-        base = _load(path, prev[-1])["dirs"]
+    base_v = prev[-1] if prev else 0
+    df.write.mode("error").parquet(data_dir)
+    base: list[str] = _load(path, base_v)["dirs"] if (mode == "append" and base_v) else []
     return _publish(
         path,
         {"op": mode, "ts": time.time(), "dirs": base + [os.path.join("data", dirname)]},
+        base_version=base_v if mode == "append" else None,
     )
 
 
@@ -193,8 +220,10 @@ def merge_upsert(
     snapshot (copy-on-write MERGE, Delta's model). Base rows shuffle
     once on the key via the anti-join; a small delta broadcasts. The
     pre-merge snapshot stays time-travelable — history is never
-    rewritten."""
-    base = read_version(spark, path)
+    rewritten. Conditional commit: raises ConcurrentWriteError if the
+    snapshot advanced between read and publish (re-read and retry)."""
+    base_v = _versions(path)[-1]
+    base = read_version(spark, path, base_v)
     survivors = base.join(delta.select(*key_cols).distinct(), key_cols, "left_anti")
     merged = survivors.unionByName(delta)
     dirname = f"v{uuid.uuid4().hex[:12]}"
@@ -203,6 +232,7 @@ def merge_upsert(
     return _publish(
         path,
         {"op": "merge", "ts": time.time(), "dirs": [os.path.join("data", dirname)]},
+        base_version=base_v,
     )
 
 
@@ -217,7 +247,10 @@ def diff_versions(
     md5 digest over the remaining columns (q88's snapshot-diff shape
     applied to the version store). Returns (key..., change) with change
     in {added, removed, changed}; unchanged rows drop out before the
-    result materializes."""
+    result materializes. The digest separates columns with an \\x1f
+    unit separator and maps NULL to a distinct sentinel, so
+    column-boundary shifts ('ab','c' vs 'a','bc') and NULL-vs-empty
+    differences cannot collide."""
     from pyspark.sql import functions as F
 
     old = read_version(spark, path, v_old)
@@ -225,11 +258,12 @@ def diff_versions(
     rest = [c for c in old.columns if c not in key_cols]
 
     def dig(df, name):
+        cells = [
+            F.coalesce(F.col(c).cast("string"), F.lit("\x00<NULL>")) for c in rest
+        ]
         return df.select(
             *key_cols,
-            F.md5(F.concat_ws("", *[F.col(c).cast("string") for c in rest])).alias(
-                name
-            ),
+            F.md5(F.concat_ws("\x1f", *cells)).alias(name),
         )
 
     joined = dig(old, "_old").join(dig(new, "_new"), key_cols, "full_outer")

@@ -123,8 +123,16 @@ def _extract_if_7z(dest_path: str) -> str:
     members = extract_7z(dest_path)
     os.remove(dest_path)
     os.makedirs(dest_path, exist_ok=True)
-    for name, data in members.items():
+    used: set[str] = set()
+    for i, (name, data) in enumerate(members.items()):
+        # flatten directories but keep names collision-free: two members
+        # named a/certs.csv and b/certs.csv must NOT overwrite each
+        # other (that would silently halve the data)
         safe = os.path.basename(name.replace("\\", "/")) or "member"
+        if safe in used:
+            root, ext = os.path.splitext(safe)
+            safe = f"{root}.{i}{ext}"
+        used.add(safe)
         with open(os.path.join(dest_path, safe), "wb") as out:
             out.write(data)
     return dest_path

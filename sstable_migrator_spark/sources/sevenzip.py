@@ -118,6 +118,7 @@ class _Folder:
         self.unpack_sizes: list[int] = []
         self.num_unpack_streams = 1
         self.substream_sizes: list[int] = []
+        self.crc_defined = False  # folder CRC present in UnpackInfo
 
     @property
     def unpack_size(self) -> int:
@@ -269,6 +270,8 @@ def _parse_streams_info(r: _Reader) -> tuple[int, list[int], list[_Folder]]:
             if p == _K_CRC:
                 defined = r.bool_vector_all_defined(len(folders))
                 r.bytes(4 * sum(defined))
+                for folder, d in zip(folders, defined):
+                    folder.crc_defined = bool(d)
             else:
                 raise SevenZipError(f"unexpected prop {p} in UnpackInfo")
         prop = r.number()
@@ -289,7 +292,14 @@ def _parse_streams_info(r: _Reader) -> tuple[int, list[int], list[_Folder]]:
                     sizes = [r.number() for _ in range(cnt - 1)]
                     folder.substream_sizes = [*sizes, folder.unpack_size - sum(sizes)]
             elif p == _K_CRC:
-                n_digests = sum(counts)  # fixture archives carry no folder CRCs
+                # 7zFormat.txt: digests are stored for every substream
+                # EXCEPT folders whose single substream already has its
+                # CRC in UnpackInfo (cnt == 1 and folder CRC defined)
+                n_digests = sum(
+                    cnt
+                    for folder, cnt in zip(folders, counts)
+                    if not (cnt == 1 and folder.crc_defined)
+                )
                 defined = r.bool_vector_all_defined(n_digests)
                 r.bytes(4 * sum(defined))
             else:

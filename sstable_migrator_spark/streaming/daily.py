@@ -368,9 +368,12 @@ def _near_dup_fn(num_hashes: int, min_matches: int, max_bucket: int):
             for did, sig in zip(pdf["doc_id"], pdf["signature"]):
                 rows.append((int(did), [int(x) for x in sig]))
         rows.sort()  # deterministic: earlier ids register first
+        registered = set(ids)
         for did, sig in rows:
             best = None
             for sid, ssig in zip(ids, sigs):
+                if sid == did:  # re-emitted doc: never its own dup
+                    continue
                 m = sum(a == b for a, b in zip(sig, ssig))
                 if m >= min_matches and (best is None or m > best[1]):
                     best = (sid, m)
@@ -379,9 +382,10 @@ def _near_dup_fn(num_hashes: int, min_matches: int, max_bucket: int):
                 out["dup_of"].append(best[0])
                 out["band"].append(int(_band))
                 out["matches"].append(int(best[1]))
-            if len(ids) < max_bucket:
+            if did not in registered and len(ids) < max_bucket:
                 ids.append(did)
                 sigs.append(sig)
+                registered.add(did)
         state.update((ids, sigs))
         if out["doc_id"]:
             yield pd.DataFrame(out)

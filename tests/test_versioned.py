@@ -92,3 +92,20 @@ def test_diff_versions(spark, tmp_path):
     reverse = {r["id"]: r["change"]
                for r in diff_versions(spark, t, 2, 1, key_cols=["id"]).collect()}
     assert reverse == {3: "changed", 100: "removed"}
+
+
+def test_concurrent_append_detected(spark, tmp_path):
+    """A read-modify-write commit whose base snapshot was superseded
+    must fail loudly (lost-update guard), not silently drop the
+    winner's directories."""
+    from sstable_migrator_spark.sinks.versioned import (
+        ConcurrentWriteError,
+        _publish,
+    )
+
+    t = str(tmp_path / "tbl")
+    versioned_write(_df(spark, 0, 5), t)     # v1
+    versioned_write(_df(spark, 5, 10), t)    # v2
+    with pytest.raises(ConcurrentWriteError):
+        # a writer that read v1 and tries to publish against it
+        _publish(t, {"op": "append", "ts": 0.0, "dirs": []}, base_version=1)
