@@ -6166,6 +6166,61 @@ QUERIES.update({"q146_html_to_text": q_html_to_text})
 ORACLES.update({"q146_html_to_text": SQL_HTML_TO_TEXT})
 
 
+def q_stratified_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified train/val/test split (the dataset-prep
+    step every training run needs): each document's md5 of
+    (doc_id, salt) maps to a [0,1000) integer slot; slots <900 train,
+    <950 val, else test — WITHIN each language stratum the same
+    proportions hold in expectation, and the assignment is a pure row
+    property (stable under repartitioning, retries, and re-runs; no
+    RNG, no coordination). Output is the per-(lang, split) contingency
+    table plus each split's min/max slot as an audit. One rollup
+    shuffle on (lang, split)."""
+    docs = _t(spark, sf_dir, "documents")
+    slot = F.pmod(
+        F.conv(
+            F.substring(F.md5(F.concat_ws("|", F.col("doc_id").cast("string"),
+                                          F.lit("split-v1"))), 1, 15),
+            16, 10,
+        ).cast("long"),
+        F.lit(1000),
+    )
+    split = (
+        F.when(slot < 900, "train").when(slot < 950, "val").otherwise("test")
+    )
+    return (
+        docs.select("lang", split.alias("split"), slot.alias("slot"))
+        .groupBy("lang", "split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("slot").alias("min_slot"),
+            F.max("slot").alias("max_slot"),
+        )
+    )
+
+
+SQL_STRATIFIED_SPLIT = """
+WITH s AS (
+  SELECT lang,
+         CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR) || '|' ||
+                                       'split-v1'), 1, 15)) AS BIGINT) % 1000
+           AS slot
+  FROM documents)
+SELECT lang,
+       CASE WHEN slot < 900 THEN 'train'
+            WHEN slot < 950 THEN 'val'
+            ELSE 'test' END AS split,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(min(slot) AS BIGINT) AS min_slot,
+       CAST(max(slot) AS BIGINT) AS max_slot
+FROM s GROUP BY 1, 2
+"""
+
+
+QUERIES.update({"q147_stratified_split": q_stratified_split})
+ORACLES.update({"q147_stratified_split": SQL_STRATIFIED_SPLIT})
+
+
 QUERIES.update(
     {
         "q140_min_cost_supplier": q_min_cost_supplier,
