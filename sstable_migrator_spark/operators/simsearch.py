@@ -276,3 +276,121 @@ def ivf_topk(
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
     )
+
+
+# --- product quantization (IVF-PQ's compression half) ----------------------
+
+
+def pq_train(
+    sample: "list[list[float]]", m: int = 4, k: int = 16, iters: int = 10
+):
+    """Train PQ codebooks (Jegou et al. 2011, "Product Quantization for
+    Nearest Neighbor Search") on a DRIVER-SIDE sample: the vector
+    splits into ``m`` subspaces, each quantized by its own k-means
+    codebook of ``k`` centroids. Deterministic: init takes every
+    (len/k)-th sample point (no RNG), Lloyd iterations are pure numpy.
+    The sample is the scale control — codebooks are a fixed-size model
+    (m*k*dsub floats, KBs), trained once on ~10-100k sampled vectors
+    regardless of corpus size, exactly like the IVF centroid index.
+    Returns an (m, k, dsub) ndarray."""
+    import numpy as np
+
+    x = np.asarray(sample, dtype=np.float64)
+    n, dim = x.shape
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    dsub = dim // m
+    books = np.empty((m, k, dsub))
+    for s in range(m):
+        sub = x[:, s * dsub : (s + 1) * dsub]
+        # init from DISTINCT sub-vectors, spread across their sorted
+        # order — a strided pick over raw rows can land on k copies of
+        # one point (clustered data), which Lloyd can never split
+        uniq = np.unique(sub, axis=0)
+        if len(uniq) >= k:
+            cents = uniq[np.linspace(0, len(uniq) - 1, k).astype(int)].copy()
+        else:
+            cents = uniq[np.arange(k) % len(uniq)].copy()
+        for _ in range(iters):
+            d2 = ((sub[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+            assign = d2.argmin(axis=1)
+            for c in range(k):
+                mask = assign == c
+                if mask.any():
+                    cents[c] = sub[mask].mean(axis=0)
+        books[s] = cents
+    return books
+
+
+def pq_assign(
+    df: DataFrame, codebooks, vec_col: str = "embedding", out_col: str = "pq_code"
+) -> DataFrame:
+    """Map-only PQ encoding: each vector becomes ``m`` small codes
+    (array<int>, one codebook index per subspace) via a vectorized
+    numpy argmin per Arrow batch — the codebooks ride the task closure.
+    At 100 TB this is the compression pass that turns a 64-float
+    embedding into m bytes; no shuffle anywhere."""
+    import numpy as np
+    import pandas as pd
+
+    books = np.asarray(codebooks)
+    m, _k, dsub = books.shape
+    out_fields = ", ".join(f"{f.name} {f.dataType.simpleString()}"
+                           for f in df.schema.fields)
+
+    def enc(batches):
+        for pdf in batches:
+            v = np.stack(pdf[vec_col].to_numpy())
+            codes = np.empty((len(v), m), dtype=np.int32)
+            for s in range(m):
+                sub = v[:, s * dsub : (s + 1) * dsub]
+                d2 = ((sub[:, None, :] - books[s][None, :, :]) ** 2).sum(axis=2)
+                codes[:, s] = d2.argmin(axis=1)
+            pdf = pdf.copy()
+            pdf[out_col] = list(codes)
+            yield pdf
+
+    return df.mapInPandas(enc, f"{out_fields}, {out_col} array<int>")
+
+
+def pq_adc_topk(
+    df_codes: DataFrame,
+    codebooks,
+    query: "list[float]",
+    k: int = 10,
+    id_col: str = "vec_id",
+    code_col: str = "pq_code",
+) -> DataFrame:
+    """Asymmetric distance computation: the query stays un-quantized;
+    a per-query (m x k) lookup table of squared distances to every
+    codebook centroid is built on the driver (m*k floats) and folded
+    into a pure EXPRESSION over the code array — approx distance =
+    sum_s lut[s][code_s]. The corpus is scanned once, reading only the
+    m-int code column (the point of PQ: the scan touches codes, never
+    raw vectors); top-k via global sort-limit (TakeOrderedAndProject).
+    Returns (id, approx_d2) ascending."""
+    import numpy as np
+
+    books = np.asarray(codebooks)
+    m, kk, dsub = books.shape
+    q = np.asarray(query, dtype=np.float64)
+    lut = np.empty((m, kk))
+    for s in range(m):
+        lut[s] = ((books[s] - q[s * dsub : (s + 1) * dsub]) ** 2).sum(axis=1)
+    lut_lit = F.array(*[
+        F.array(*[F.lit(float(lut[s][c])) for c in range(kk)]) for s in range(m)
+    ])
+    dist = F.aggregate(
+        F.zip_with(
+            F.col(code_col),
+            lut_lit,
+            lambda code, row: F.element_at(row, code + 1),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return (
+        df_codes.select(F.col(id_col), dist.alias("approx_d2"))
+        .orderBy(F.col("approx_d2").asc(), F.col(id_col).asc())
+        .limit(k)
+    )

@@ -103,3 +103,51 @@ def test_ivf_narrow_probe_finds_self(spark):
     assert out, "query's own cell must contain at least itself"
     best = min(out, key=lambda r: r["rank"])
     assert best["neighbor_id"] == 7 and abs(best["cosine"] - 1.0) < 1e-9
+
+
+def test_pq_roundtrip_and_adc(spark):
+    """PQ on a clustered corpus: vectors sitting AT subspace centroids
+    quantize losslessly, so ADC must reproduce exact squared distances
+    and the true nearest neighbor."""
+    import numpy as np
+
+    from sstable_migrator_spark.operators.simsearch import (
+        pq_adc_topk,
+        pq_assign,
+        pq_train,
+    )
+
+    rng_pts = []
+    # 8-dim vectors built from 4 subspaces x 4 distinct 2-d patterns
+    patterns = [[0.0, 0.0], [1.0, 0.0], [0.0, 1.0], [1.0, 1.0]]
+    for i in range(64):
+        v = []
+        for s in range(4):
+            v.extend(patterns[(i >> s) % 4])
+        rng_pts.append((i, v))
+    books = pq_train([v for _, v in rng_pts], m=4, k=4, iters=5)
+    assert books.shape == (4, 4, 2)
+
+    df = spark.createDataFrame(rng_pts, "vec_id long, embedding array<double>")
+    coded = pq_assign(df, books)
+    rows = {r["vec_id"]: r["pq_code"] for r in coded.collect()}
+    assert all(len(c) == 4 for c in rows.values())
+
+    query = rng_pts[13][1]
+    top = pq_adc_topk(coded, books, query, k=3).collect()
+    # lossless quantization -> the query's own vector is distance 0
+    assert top[0]["vec_id"] == 13 and abs(top[0]["approx_d2"]) < 1e-9
+    # ADC distances match exact L2^2 for every returned neighbor
+    by_id = dict(rng_pts)
+    for r in top:
+        exact = sum((a - b) ** 2 for a, b in zip(by_id[r["vec_id"]], query))
+        assert abs(r["approx_d2"] - exact) < 1e-9
+
+
+def test_pq_dim_guard():
+    import pytest
+
+    from sstable_migrator_spark.operators.simsearch import pq_train
+
+    with pytest.raises(ValueError):
+        pq_train([[1.0, 2.0, 3.0]], m=2)
