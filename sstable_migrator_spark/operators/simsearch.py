@@ -394,3 +394,96 @@ def pq_adc_topk(
         .orderBy(F.col("approx_d2").asc(), F.col(id_col).asc())
         .limit(k)
     )
+
+
+def ivf_pq_topk(
+    corpus: DataFrame,
+    queries: "list[tuple[int, list[float]]]",
+    centroids: list[tuple[int, list[float]]],
+    codebooks,
+    k: int = 10,
+    n_probe: int = 2,
+    corpus_id: str = "vec_id",
+    corpus_vec: str = "embedding",
+) -> DataFrame:
+    """The composed 100 TB ANN path: IVF cell pruning + PQ-ADC scoring
+    (IVF-PQ, the FAISS default). The corpus is cell-assigned and
+    PQ-encoded (both map-only; at scale both are precomputed at write
+    time and the table is partitionBy(cell)); each query probes its
+    n_probe nearest cells, and candidates are scored by ADC lookup —
+    the scan reads m code ints per row, never the raw embedding.
+
+    ``queries`` is an explicit (id, vector) list: query sets are small
+    by definition (they are the probe side), and their LUTs — (m x k')
+    squared-distance tables, KBs total — ride the task closure, so
+    scoring needs no per-query join. Ranking is a per-query window over
+    probed candidates only. Returns (query_id, neighbor_id, approx_d2,
+    rank) with rank 1 = nearest."""
+    import numpy as np
+    import pandas as pd
+
+    from pyspark.sql import Window
+
+    books = np.asarray(codebooks)
+    m, kk, dsub = books.shape
+    luts = {}
+    probe_rows = []
+    cents = sorted(centroids)
+    cent_mat = np.stack([np.asarray(v, dtype=np.float64) for _, v in cents])
+    cent_ids = np.asarray([c for c, _ in cents])
+    for qid, qv in queries:
+        q = np.asarray(qv, dtype=np.float64)
+        lut = np.empty((m, kk))
+        for s in range(m):
+            lut[s] = ((books[s] - q[s * dsub : (s + 1) * dsub]) ** 2).sum(axis=1)
+        luts[int(qid)] = lut
+        # probe by the SAME rule ivf_assign places corpus vectors with
+        # (max dot against unit centroids, ties -> lowest cell id) — a
+        # different probe metric would prune cells the true neighbors
+        # actually live in
+        norms = np.linalg.norm(cent_mat, axis=1, keepdims=True)
+        unit = np.divide(cent_mat, norms, out=np.zeros_like(cent_mat), where=norms > 0)
+        order = np.argsort(-(unit @ q), kind="stable")[:n_probe]
+        for c in cent_ids[order]:
+            probe_rows.append((int(qid), int(c)))
+
+    spark = corpus.sparkSession
+    probes = F.broadcast(
+        spark.createDataFrame(probe_rows, "query_id int, _probe int")
+    )
+    coded = pq_assign(
+        ivf_assign(corpus, centroids, corpus_vec, "_cell"),
+        books,
+        vec_col=corpus_vec,
+    )
+    cand = coded.join(probes, F.col("_cell") == F.col("_probe")).select(
+        "query_id", F.col(corpus_id).alias("neighbor_id"), "pq_code"
+    )
+
+    def score(batches):
+        for pdf in batches:
+            codes = np.stack(pdf["pq_code"].to_numpy()).astype(np.int64)
+            qids = pdf["query_id"].to_numpy()
+            d = np.empty(len(pdf))
+            for qid in np.unique(qids):
+                mask = qids == qid
+                lut = luts[int(qid)]
+                c = codes[mask]
+                d[mask] = lut[np.arange(m)[None, :], c].sum(axis=1)
+            yield pd.DataFrame(
+                {
+                    "query_id": pdf["query_id"],
+                    "neighbor_id": pdf["neighbor_id"],
+                    "approx_d2": d,
+                }
+            )
+
+    scored = cand.mapInPandas(
+        score, "query_id int, neighbor_id long, approx_d2 double"
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("approx_d2").asc(), F.col("neighbor_id").asc()
+    )
+    return scored.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= k
+    )

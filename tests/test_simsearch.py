@@ -151,3 +151,40 @@ def test_pq_dim_guard():
 
     with pytest.raises(ValueError):
         pq_train([[1.0, 2.0, 3.0]], m=2)
+
+
+def test_ivf_pq_topk_recall(spark):
+    """Composed IVF-PQ vs brute-force L2 truth on a clustered corpus:
+    the probed-cell + ADC path must recover the true nearest neighbors
+    when quantization is lossless and the query's cell is probed."""
+    import numpy as np
+
+    from sstable_migrator_spark.operators.simsearch import ivf_pq_topk, pq_train
+
+    # two tight clusters on orthogonal axes, 8-dim, losslessly PQ-able
+    pts = []
+    for i in range(40):
+        base = [2.0, 0.0] if i % 2 == 0 else [0.0, 2.0]
+        v = (base + [float(i % 4), 0.0] + base + [0.0, float(i % 3)])
+        pts.append((i, v))
+    centroids = [(0, pts[0][1]), (1, pts[1][1])]
+    books = pq_train([v for _, v in pts], m=4, k=16, iters=5)
+
+    corpus = spark.createDataFrame(pts, "vec_id long, embedding array<double>")
+    queries = [(100, pts[6][1]), (101, pts[9][1])]
+    got = ivf_pq_topk(corpus, queries, centroids, books, k=3, n_probe=1)
+    rows = sorted((r["query_id"], r["rank"], r["neighbor_id"], r["approx_d2"])
+                  for r in got.collect())
+    by_q = {}
+    for qid, rank, nid, d2 in rows:
+        by_q.setdefault(qid, []).append((rank, nid, d2))
+    # rank-1 hit is the query's own vector at distance ~0
+    assert by_q[100][0][1] == 6 and abs(by_q[100][0][2]) < 1e-9
+    assert by_q[101][0][1] == 9 and abs(by_q[101][0][2]) < 1e-9
+    # every returned ADC distance equals the exact L2^2 (lossless PQ)
+    vecs = dict(pts)
+    qs = dict(queries)
+    for qid, triples in by_q.items():
+        for _rank, nid, d2 in triples:
+            exact = sum((a - b) ** 2 for a, b in zip(vecs[nid], qs[qid]))
+            assert abs(d2 - exact) < 1e-9
