@@ -1,0 +1,118 @@
+"""Declarative data-contract validation (the dbt-tests / Great
+Expectations analog, engine-side).
+
+A pipeline ingesting 100 TB/day needs its contracts checked WITHOUT
+extra passes: every expectation here compiles to a conditional
+aggregate, and the whole rule set runs as ONE aggregation over ONE scan
+(plus one exact-distinct shuffle per uniqueness rule and one broadcast
+anti-join per referential rule — those genuinely need a rendezvous).
+The result is a per-rule violation count, the shape a run log or a
+notify gate consumes directly (sinks/ops.py).
+
+Rules (dicts, declarative):
+- {"rule": "not_null", "col": c}
+- {"rule": "unique", "cols": [c, ...]}
+- {"rule": "accepted_values", "col": c, "values": [...]}
+- {"rule": "in_range", "col": c, "lo": x, "hi": y}   (inclusive; NULLs
+  are not range violations — pair with not_null to demand presence)
+- {"rule": "matches", "col": c, "pattern": regex}    (same caveat)
+- {"rule": "references", "col": c, "ref": DataFrame, "ref_col": r}
+  (NULL FKs are not violations, SQL semantics)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["validate"]
+
+
+def _name(rule: dict) -> str:
+    if rule["rule"] == "unique":
+        return f"unique_{'_'.join(rule['cols'])}"
+    if rule["rule"] == "references":
+        return f"references_{rule['col']}"
+    return f"{rule['rule']}_{rule['col']}"
+
+
+def validate(df: DataFrame, rules: list[dict]) -> DataFrame:
+    """Evaluate every rule; returns ``(rule, violations)`` one row per
+    rule, violations = 0 means the contract holds. Conditional-count
+    rules share a single aggregation pass."""
+    agg_exprs = []
+    extra_rows: list[DataFrame] = []
+    spark = df.sparkSession
+    for rule in rules:
+        kind, name = rule["rule"], _name(rule)
+        if kind == "not_null":
+            cond = F.col(rule["col"]).isNull()
+        elif kind == "accepted_values":
+            cond = ~F.col(rule["col"]).isin(*rule["values"]) | F.col(rule["col"]).isNull()
+        elif kind == "in_range":
+            c = F.col(rule["col"])
+            cond = c.isNotNull() & ((c < rule["lo"]) | (c > rule["hi"]))
+        elif kind == "matches":
+            c = F.col(rule["col"])
+            cond = c.isNotNull() & ~c.rlike(rule["pattern"])
+        elif kind == "unique":
+            # rows beyond the first per key = violations
+            dup = (
+                df.groupBy(*rule["cols"])
+                .agg(F.count(F.lit(1)).alias("_n"))
+                .agg(
+                    F.coalesce(
+                        F.sum(F.col("_n") - 1), F.lit(0)
+                    ).cast("long").alias("violations")
+                )
+                .select(F.lit(name).alias("rule"), "violations")
+            )
+            extra_rows.append(dup)
+            continue
+        elif kind == "references":
+            orphans = (
+                df.select(F.col(rule["col"]).alias("_fk"))
+                .filter(F.col("_fk").isNotNull())
+                .join(
+                    F.broadcast(
+                        rule["ref"].select(
+                            F.col(rule["ref_col"]).alias("_fk")
+                        ).distinct()
+                    ),
+                    "_fk",
+                    "left_anti",
+                )
+                .agg(F.count(F.lit(1)).cast("long").alias("violations"))
+                .select(F.lit(name).alias("rule"), "violations")
+            )
+            extra_rows.append(orphans)
+            continue
+        else:
+            raise ValueError(f"unknown rule kind {kind!r}")
+        agg_exprs.append(F.sum(cond.cast("long")).alias(name))
+
+    parts: list[DataFrame] = []
+    if agg_exprs:
+        wide = df.agg(*agg_exprs)
+        names = [e for e in wide.columns]
+        stacked = wide.select(
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(n).alias("rule"),
+                            F.coalesce(F.col(n), F.lit(0)).cast("long").alias(
+                                "violations"
+                            ),
+                        )
+                        for n in names
+                    ]
+                )
+            ).alias("kv")
+        ).select("kv.rule", "kv.violations")
+        parts.append(stacked)
+    parts.extend(extra_rows)
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out

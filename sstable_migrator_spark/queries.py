@@ -6221,6 +6221,68 @@ QUERIES.update({"q147_stratified_split": q_stratified_split})
 ORACLES.update({"q147_stratified_split": SQL_STRATIFIED_SPLIT})
 
 
+def q_data_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-contract audit over lineitem (operators/expectations): the
+    dbt-tests shape — every conditional rule folds into ONE aggregation
+    over ONE scan; uniqueness adds one exact-distinct rollup and the
+    referential rule one broadcast anti-join (the rendezvous those
+    semantics genuinely need). Output is the per-rule violation table a
+    run-log gate consumes."""
+    from sstable_migrator_spark.operators.expectations import validate
+
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    rules = [
+        {"rule": "not_null", "col": "l_orderkey"},
+        {"rule": "unique", "cols": ["l_orderkey", "l_linenumber"]},
+        {"rule": "accepted_values", "col": "l_returnflag", "values": ["A", "N", "R"]},
+        {"rule": "in_range", "col": "l_discount", "lo": 0.0, "hi": 0.5},
+        {"rule": "in_range", "col": "l_quantity", "lo": 1.0, "hi": 50.0},
+        {"rule": "references", "col": "l_orderkey", "ref": orders,
+         "ref_col": "o_orderkey"},
+    ]
+    return validate(li, rules).orderBy("rule")
+
+
+SQL_DATA_CONTRACT = """
+SELECT rule, CAST(violations AS BIGINT) AS violations FROM (
+  SELECT 'not_null_l_orderkey' AS rule,
+         count(*) FILTER (WHERE l_orderkey IS NULL) AS violations
+  FROM lineitem
+  UNION ALL
+  SELECT 'unique_l_orderkey_l_linenumber',
+         COALESCE(sum(n - 1), 0)
+  FROM (SELECT count(*) AS n FROM lineitem
+        GROUP BY l_orderkey, l_linenumber)
+  UNION ALL
+  SELECT 'accepted_values_l_returnflag',
+         count(*) FILTER (WHERE l_returnflag NOT IN ('A','N','R')
+                          OR l_returnflag IS NULL)
+  FROM lineitem
+  UNION ALL
+  SELECT 'in_range_l_discount',
+         count(*) FILTER (WHERE l_discount IS NOT NULL
+                          AND (l_discount < 0.0 OR l_discount > 0.5))
+  FROM lineitem
+  UNION ALL
+  SELECT 'in_range_l_quantity',
+         count(*) FILTER (WHERE l_quantity IS NOT NULL
+                          AND (l_quantity < 1.0 OR l_quantity > 50.0))
+  FROM lineitem
+  UNION ALL
+  SELECT 'references_l_orderkey',
+         count(*) FILTER (WHERE l_orderkey IS NOT NULL
+                          AND l_orderkey NOT IN
+                              (SELECT o_orderkey FROM orders))
+  FROM lineitem
+) ORDER BY rule
+"""
+
+
+QUERIES.update({"q148_data_contract": q_data_contract})
+ORACLES.update({"q148_data_contract": SQL_DATA_CONTRACT})
+
+
 QUERIES.update(
     {
         "q140_min_cost_supplier": q_min_cost_supplier,

@@ -1,0 +1,54 @@
+"""Declarative data-contract validation: every rule kind, NULL
+semantics, and the single-pass aggregation shape."""
+
+from __future__ import annotations
+
+import pytest
+
+from sstable_migrator_spark.operators.expectations import validate
+
+
+def test_all_rule_kinds(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "a", 10, "x@y.com"),
+            (2, "b", 200, "bad"),
+            (2, None, 5, None),       # dup id, null name
+            (4, "zz", -1, "q@r.org"),
+        ],
+        "id long, name string, qty long, email string",
+    )
+    ref = spark.createDataFrame([(1,), (2,)], "id long")
+    rules = [
+        {"rule": "not_null", "col": "name"},
+        {"rule": "unique", "cols": ["id"]},
+        {"rule": "accepted_values", "col": "name", "values": ["a", "b", "c"]},
+        {"rule": "in_range", "col": "qty", "lo": 0, "hi": 100},
+        {"rule": "matches", "col": "email", "pattern": "^[^@]+@[^@]+$"},
+        {"rule": "references", "col": "id", "ref": ref, "ref_col": "id"},
+    ]
+    got = {r["rule"]: r["violations"] for r in validate(df, rules).collect()}
+    assert got == {
+        "not_null_name": 1,
+        "unique_id": 1,                 # id=2 appears twice -> 1 extra row
+        "accepted_values_name": 2,      # 'zz' and NULL
+        "in_range_qty": 2,              # 200 and -1
+        "matches_email": 1,             # 'bad' (NULL email not a violation)
+        "references_id": 1,             # id=4 has no parent
+    }
+
+
+def test_clean_table_all_zero(spark):
+    df = spark.createDataFrame([(1, "a"), (2, "b")], "id long, name string")
+    rules = [
+        {"rule": "not_null", "col": "name"},
+        {"rule": "unique", "cols": ["id"]},
+    ]
+    got = {r["rule"]: r["violations"] for r in validate(df, rules).collect()}
+    assert got == {"not_null_name": 0, "unique_id": 0}
+
+
+def test_unknown_rule_rejected(spark):
+    df = spark.createDataFrame([(1,)], "id long")
+    with pytest.raises(ValueError):
+        validate(df, [{"rule": "nope", "col": "id"}])
