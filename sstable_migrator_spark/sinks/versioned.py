@@ -51,6 +51,7 @@ __all__ = [
     "vacuum",
     "merge_upsert",
     "diff_versions",
+    "schema_drift",
 ]
 
 _MANIFEST_RE = re.compile(r"^v(\d{6})\.json$")
@@ -278,3 +279,29 @@ def diff_versions(
         | F.col("_new").isNull()
         | (F.col("_old") != F.col("_new"))
     )
+
+
+def schema_drift(spark: SparkSession, path: str, v_old: int, v_new: int) -> list[dict]:
+    """Schema evolution audit between two snapshots: added / removed /
+    type-changed columns, from parquet footers only (no data scan).
+    The contract gate for pipelines where an upstream producer changing
+    a column type must fail the run BEFORE anything reads the data."""
+    old = dict(
+        (f.name, f.dataType.simpleString())
+        for f in read_version(spark, path, v_old).schema.fields
+    )
+    new = dict(
+        (f.name, f.dataType.simpleString())
+        for f in read_version(spark, path, v_new).schema.fields
+    )
+    out = []
+    for c in sorted(set(old) | set(new)):
+        if c not in old:
+            out.append({"column": c, "change": "added", "type": new[c]})
+        elif c not in new:
+            out.append({"column": c, "change": "removed", "type": old[c]})
+        elif old[c] != new[c]:
+            out.append(
+                {"column": c, "change": "type", "type": f"{old[c]} -> {new[c]}"}
+            )
+    return out

@@ -109,3 +109,22 @@ def test_concurrent_append_detected(spark, tmp_path):
     with pytest.raises(ConcurrentWriteError):
         # a writer that read v1 and tries to publish against it
         _publish(t, {"op": "append", "ts": 0.0, "dirs": []}, base_version=1)
+
+
+def test_schema_drift(spark, tmp_path):
+    from sstable_migrator_spark.sinks.versioned import schema_drift
+
+    t = str(tmp_path / "tbl")
+    versioned_write(spark.range(3).selectExpr("id", "CAST(id AS INT) AS a",
+                                              "'x' AS gone"), t)
+    versioned_write(
+        spark.range(3).selectExpr("id", "CAST(id AS DOUBLE) AS a",
+                                  "'y' AS fresh"),
+        t, mode="overwrite",
+    )
+    drift = schema_drift(spark, t, 1, 2)
+    assert drift == [
+        {"column": "a", "change": "type", "type": "int -> double"},
+        {"column": "fresh", "change": "added", "type": "string"},
+        {"column": "gone", "change": "removed", "type": "string"},
+    ]
