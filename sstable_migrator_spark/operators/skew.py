@@ -78,3 +78,46 @@ def salted_join(
     )
     out = b.join(s, [key, "_salt"], how)
     return out.drop("_salt")
+
+
+def skew_report(df: DataFrame, cols: list[str], top: int = 5) -> dict:
+    """Key-skew diagnostic for a planned groupBy/join key: one per-key
+    rollup (map-side partial aggregation, a single shuffle of key +
+    count), then a tiny second agg + top-N — the measurement that
+    decides BETWEEN the tools in this module before any expensive job
+    runs. Returns total rows, distinct keys, max/mean key share, the
+    ``top`` hottest keys, and the recommendation the numbers imply:
+
+    - hot key > 20x the mean -> 'salt' (a single key dominates; AQE
+      splits partitions, not keys — salted_count/salted_join apply);
+    - > 4x -> 'aqe' (partition-level skew; AQE's skew-join split and
+      coalescing absorb it);
+    - else 'none'.
+
+    Driver-side result is O(top) — safe at any scale."""
+    from pyspark.sql import functions as F
+
+    counts = df.groupBy(*cols).agg(F.count(F.lit(1)).alias("n"))
+    stats = counts.agg(
+        F.sum("n").alias("total"),
+        F.count(F.lit(1)).alias("n_keys"),
+        F.max("n").alias("max_n"),
+    ).collect()[0]
+    total, n_keys, max_n = int(stats["total"]), int(stats["n_keys"]), int(stats["max_n"])
+    mean = total / n_keys if n_keys else 0.0
+    hot = [
+        {"key": tuple(r[c] for c in cols), "rows": int(r["n"]),
+         "share": int(r["n"]) / total if total else 0.0}
+        for r in counts.orderBy(F.desc("n"), *cols).limit(top).collect()
+    ]
+    ratio = max_n / mean if mean else 0.0
+    rec = "salt" if ratio > 20 else ("aqe" if ratio > 4 else "none")
+    return {
+        "total_rows": total,
+        "distinct_keys": n_keys,
+        "mean_rows_per_key": mean,
+        "max_rows_per_key": max_n,
+        "hot_ratio": ratio,
+        "hot_keys": hot,
+        "recommendation": rec,
+    }

@@ -61,3 +61,18 @@ def test_salted_join_left_keeps_unmatched(spark):
     out = salted_join(big, dim, "k", salt_cols=["id"], buckets=4, how="left")
     assert out.count() == 100
     assert out.filter(F.col("label").isNull()).count() == big.filter(F.col("k") != "hot").count()
+
+
+def test_skew_report_detects_hot_key(spark):
+    from sstable_migrator_spark.operators.skew import skew_report
+
+    rows = [(0,)] * 500 + [(k,) for k in range(1, 101)]
+    df = spark.createDataFrame(rows, "k long")
+    rep = skew_report(df, ["k"], top=3)
+    assert rep["total_rows"] == 600 and rep["distinct_keys"] == 101
+    assert rep["max_rows_per_key"] == 500
+    assert rep["hot_keys"][0] == {"key": (0,), "rows": 500, "share": 500 / 600}
+    assert rep["recommendation"] == "salt"
+
+    uniform = spark.createDataFrame([(k % 10,) for k in range(100)], "k long")
+    assert skew_report(uniform, ["k"])["recommendation"] == "none"
