@@ -39,12 +39,20 @@ def _name(rule: dict) -> str:
 def validate(df: DataFrame, rules: list[dict]) -> DataFrame:
     """Evaluate every rule; returns ``(rule, violations)`` one row per
     rule, violations = 0 means the contract holds. Conditional-count
-    rules share a single aggregation pass."""
+    rules share a single aggregation pass. Two rules of the same kind
+    on the same column (e.g. a warn range and a hard range) get
+    ``_2``, ``_3`` suffixes so verdicts never collide."""
     agg_exprs = []
     extra_rows: list[DataFrame] = []
     spark = df.sparkSession
+    if not rules:
+        return spark.createDataFrame([], "rule string, violations long")
+    seen: dict[str, int] = {}
     for rule in rules:
         kind, name = rule["rule"], _name(rule)
+        seen[name] = seen.get(name, 0) + 1
+        if seen[name] > 1:
+            name = f"{name}_{seen[name]}"
         if kind == "not_null":
             cond = F.col(rule["col"]).isNull()
         elif kind == "accepted_values":
@@ -94,7 +102,7 @@ def validate(df: DataFrame, rules: list[dict]) -> DataFrame:
     parts: list[DataFrame] = []
     if agg_exprs:
         wide = df.agg(*agg_exprs)
-        names = [e for e in wide.columns]
+        names = wide.columns
         stacked = wide.select(
             F.explode(
                 F.array(

@@ -331,7 +331,6 @@ def pq_assign(
     At 100 TB this is the compression pass that turns a 64-float
     embedding into m bytes; no shuffle anywhere."""
     import numpy as np
-    import pandas as pd
 
     books = np.asarray(codebooks)
     m, _k, dsub = books.shape
@@ -431,25 +430,26 @@ def ivf_pq_topk(
     cents = sorted(centroids)
     cent_mat = np.stack([np.asarray(v, dtype=np.float64) for _, v in cents])
     cent_ids = np.asarray([c for c, _ in cents])
+    # probe by the SAME rule ivf_assign places corpus vectors with
+    # (max dot against unit centroids, ties -> lowest cell id) — a
+    # different probe metric would prune cells the true neighbors
+    # actually live in. Query-invariant normalization hoisted out of
+    # the loop.
+    norms = np.linalg.norm(cent_mat, axis=1, keepdims=True)
+    unit = np.divide(cent_mat, norms, out=np.zeros_like(cent_mat), where=norms > 0)
     for qid, qv in queries:
         q = np.asarray(qv, dtype=np.float64)
         lut = np.empty((m, kk))
         for s in range(m):
             lut[s] = ((books[s] - q[s * dsub : (s + 1) * dsub]) ** 2).sum(axis=1)
         luts[int(qid)] = lut
-        # probe by the SAME rule ivf_assign places corpus vectors with
-        # (max dot against unit centroids, ties -> lowest cell id) — a
-        # different probe metric would prune cells the true neighbors
-        # actually live in
-        norms = np.linalg.norm(cent_mat, axis=1, keepdims=True)
-        unit = np.divide(cent_mat, norms, out=np.zeros_like(cent_mat), where=norms > 0)
         order = np.argsort(-(unit @ q), kind="stable")[:n_probe]
         for c in cent_ids[order]:
             probe_rows.append((int(qid), int(c)))
 
     spark = corpus.sparkSession
     probes = F.broadcast(
-        spark.createDataFrame(probe_rows, "query_id int, _probe int")
+        spark.createDataFrame(probe_rows, "query_id long, _probe int")
     )
     coded = pq_assign(
         ivf_assign(corpus, centroids, corpus_vec, "_cell"),
@@ -478,8 +478,9 @@ def ivf_pq_topk(
                 }
             )
 
+    id_type = corpus.schema[corpus_id].dataType.simpleString()
     scored = cand.mapInPandas(
-        score, "query_id int, neighbor_id long, approx_d2 double"
+        score, f"query_id long, neighbor_id {id_type}, approx_d2 double"
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("approx_d2").asc(), F.col("neighbor_id").asc()

@@ -95,21 +95,27 @@ def skew_report(df: DataFrame, cols: list[str], top: int = 5) -> dict:
     - else 'none'.
 
     Driver-side result is O(top) — safe at any scale."""
-    from pyspark.sql import functions as F
-
-    counts = df.groupBy(*cols).agg(F.count(F.lit(1)).alias("n"))
-    stats = counts.agg(
-        F.sum("n").alias("total"),
-        F.count(F.lit(1)).alias("n_keys"),
-        F.max("n").alias("max_n"),
-    ).collect()[0]
-    total, n_keys, max_n = int(stats["total"]), int(stats["n_keys"]), int(stats["max_n"])
-    mean = total / n_keys if n_keys else 0.0
-    hot = [
-        {"key": tuple(r[c] for c in cols), "rows": int(r["n"]),
-         "share": int(r["n"]) / total if total else 0.0}
-        for r in counts.orderBy(F.desc("n"), *cols).limit(top).collect()
-    ]
+    # persist the rollup: the stats agg and the top-N are two actions,
+    # and without the pin the second would re-run the full upstream
+    # scan + shuffle — the opposite of a cheap pre-flight measurement
+    counts = df.groupBy(*cols).agg(F.count(F.lit(1)).alias("n")).persist()
+    try:
+        stats = counts.agg(
+            F.sum("n").alias("total"),
+            F.count(F.lit(1)).alias("n_keys"),
+            F.max("n").alias("max_n"),
+        ).collect()[0]
+        total = int(stats["total"] or 0)
+        n_keys = int(stats["n_keys"] or 0)
+        max_n = int(stats["max_n"] or 0)
+        mean = total / n_keys if n_keys else 0.0
+        hot = [
+            {"key": tuple(r[c] for c in cols), "rows": int(r["n"]),
+             "share": int(r["n"]) / total if total else 0.0}
+            for r in counts.orderBy(F.desc("n"), *cols).limit(top).collect()
+        ]
+    finally:
+        counts.unpersist()
     ratio = max_n / mean if mean else 0.0
     rec = "salt" if ratio > 20 else ("aqe" if ratio > 4 else "none")
     return {

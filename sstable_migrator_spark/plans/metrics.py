@@ -37,9 +37,10 @@ def _walk(node, depth, out):
     vals = {}
     while it.hasNext():
         kv = it.next()
-        v = kv._2().value()
-        if v:
-            vals[kv._1()] = int(v)
+        # keep zeros: numOutputRows == 0 is a real measurement, and
+        # dropping it would make the root-row heuristic in
+        # shuffle_summary fall through to a deeper operator
+        vals[kv._1()] = int(kv._2().value())
     out.append({"op": node.nodeName(), "depth": depth, "metrics": vals})
     for i in range(node.children().length()):
         _walk(node.children().apply(i), depth + 1, out)

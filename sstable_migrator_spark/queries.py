@@ -6177,10 +6177,12 @@ def q_stratified_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     table plus each split's min/max slot as an audit. One rollup
     shuffle on (lang, split)."""
     docs = _t(spark, sf_dir, "documents")
+    # F.concat, not concat_ws: a NULL doc_id must propagate to a NULL
+    # slot (-> 'test' via the CASE else) exactly like the oracle's ||
     slot = F.pmod(
         F.conv(
-            F.substring(F.md5(F.concat_ws("|", F.col("doc_id").cast("string"),
-                                          F.lit("split-v1"))), 1, 15),
+            F.substring(F.md5(F.concat(F.col("doc_id").cast("string"),
+                                       F.lit("|"), F.lit("split-v1"))), 1, 15),
             16, 10,
         ).cast("long"),
         F.lit(1000),
