@@ -52,3 +52,20 @@ def test_unknown_rule_rejected(spark):
     df = spark.createDataFrame([(1,)], "id long")
     with pytest.raises(ValueError):
         validate(df, [{"rule": "nope", "col": "id"}])
+
+
+def test_duplicate_rules_get_suffixes(spark):
+    df = spark.createDataFrame([(10,), (200,), (75,)], "qty long")
+    rules = [
+        {"rule": "in_range", "col": "qty", "lo": 0, "hi": 100},    # hard
+        {"rule": "in_range", "col": "qty", "lo": 0, "hi": 50},     # warn
+    ]
+    got = {r["rule"]: r["violations"] for r in validate(df, rules).collect()}
+    assert got == {"in_range_qty": 1, "in_range_qty_2": 2}
+
+
+def test_empty_rule_set(spark):
+    df = spark.createDataFrame([(1,)], "id long")
+    out = validate(df, [])
+    assert out.columns == ["rule", "violations"]
+    assert out.count() == 0
