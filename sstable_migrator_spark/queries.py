@@ -6313,6 +6313,12 @@ ORACLES.update(
 # dicts so every SURVEY §2-mapped query AND the LLM-extension flagships land
 # inside the first 50 entries; everything else follows in original order.
 # Pure reordering — no query is added, removed, or changed.
+#
+# Round 2: the four new flagships (q138 span dedup, q139 DSIR, q145
+# star-contraction clusters, q148 data contract) replace four bounded
+# verification forms (q44/q45/q46/q53) in the head — each displaced entry
+# keeps an in-head sibling covering the same operator family (q132/q43,
+# q55/q57, q49/q52) and full local-harness coverage at position 51+.
 # ---------------------------------------------------------------------------
 _DRIVER_PRIORITY: list[str] = [
     # reference-core §2 operators (cleaners, domains, filters, geoip, aggs)
@@ -6348,14 +6354,14 @@ _DRIVER_PRIORITY: list[str] = [
     "q41_token_stats",
     "q42_minhash_sigs",
     "q43_minhash_lsh_pairs",
-    "q44_ngram_pairs",
-    "q45_embedding_pairs",
-    "q46_ann_topk",
+    "q138_span_dedup",
+    "q139_dsir_importance",
+    "q145_dup_clusters_star",
     "q47_lang_id",
     "q48_quality_score",
     "q49_fingerprint_simhash",
     "q52_simhash_pairs",
-    "q53_winnow_fingerprint",
+    "q148_data_contract",
     "q55_ann_lsh",
     "q56_media_features",
     "q57_ann_ivf",
