@@ -185,3 +185,79 @@ def cassandra_token_col(*cols: Column | str) -> Column:
         return pd.Series(out, dtype="int64")
 
     return _token(*[F.col(c) if isinstance(c, str) else c for c in cols])
+
+
+_CQL_TYPES = {
+    "string": "VARCHAR",
+    "int": "INT",
+    "bigint": "BIGINT",
+    "double": "DOUBLE",
+    "float": "FLOAT",
+    "boolean": "BOOLEAN",
+    "binary": "BLOB",
+    "date": "DATE",
+    "timestamp": "timestamp",
+}
+
+
+def cassandra_ddl(
+    schema,
+    keyspace: str,
+    table: str,
+    partition_key: list[str],
+    clustering: list[str],
+    type_overrides: dict[str, str] | None = None,
+) -> str:
+    """Generate the ``CREATE TABLE`` DDL CQLSSTableWriter is fed
+    (App.java:117-143, 161-171, 183-198) from a Spark schema + key
+    spec: Spark types map to their CQL equivalents, a multi-column
+    partition key gets the composite parens (``((p1,p2,p3),p4,...)``),
+    and ``type_overrides`` covers CQL types Spark lacks (the
+    reference's INET columns are strings Spark-side). Golden-matched
+    against all three reference schemas in tests."""
+    over = type_overrides or {}
+    cols = []
+    for f in schema.fields:
+        t = over.get(f.name) or _CQL_TYPES.get(f.dataType.simpleString())
+        if t is None:
+            raise ValueError(f"no CQL mapping for {f.name}: {f.dataType.simpleString()}")
+        cols.append(f"{f.name} {t}")
+    names = {f.name for f in schema.fields}
+    for c in [*partition_key, *clustering]:
+        if c not in names:
+            raise ValueError(f"key column {c} not in schema")
+    pk = (
+        partition_key[0]
+        if len(partition_key) == 1
+        else "(" + ",".join(partition_key) + ")"
+    )
+    key = ", ".join([pk, *clustering])
+    return (
+        f"CREATE TABLE {keyspace}.{table} ( "
+        + ", ".join(cols)
+        + f", PRIMARY KEY ({key}) );"
+    )
+
+
+def cassandra_insert(
+    keyspace: str,
+    table: str,
+    columns: list[str],
+    server_now: tuple[str, ...] = ("lastSeen", "updatedAt"),
+) -> str:
+    """The matching prepared ``INSERT`` (App.java:145-155): bound
+    markers for data columns, ``toTimestamp(now())`` for the
+    server-stamped timestamp columns (the reference's F9 batch
+    timestamps; the Spark pipeline pins these as batch literals
+    instead — operators/ingest.py — so the two stay equivalent
+    per-batch)."""
+    vals = [
+        "toTimestamp(now())" if c in server_now else "?" for c in columns
+    ]
+    return (
+        f"INSERT INTO {keyspace}.{table} ("
+        + ", ".join(columns)
+        + ") VALUES ("
+        + ", ".join(vals)
+        + ")"
+    )

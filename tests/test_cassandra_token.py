@@ -116,3 +116,75 @@ def test_token_placement_layout(spark, tmp_path):
     )
     for (d, _, _) in rows:
         assert all_toks[d] == cassandra_token(d)
+
+
+def _norm(s: str) -> str:
+    import re
+
+    return re.sub(r"[\s]+", " ", s.replace(" ,", ",").replace("( ", "(")
+                  .replace(" )", ")")).strip().lower()
+
+
+def test_ddl_matches_reference_rdnsv4():
+    """Generated DDL reproduces App.java:117-143 (normalized for
+    whitespace): INET overrides, full clustering chain, no composite
+    parens for the single-column partition key."""
+    from sstable_migrator_spark import schemas
+    from sstable_migrator_spark.functions.cassandra import cassandra_ddl
+
+    ddl = cassandra_ddl(
+        schemas.RDNSV4, "ferret", "rdnsv4",
+        schemas.RDNSV4_PARTITION_KEY, schemas.RDNSV4_CLUSTERING,
+        type_overrides={c: "INET" for c in ("ip8", "ip16", "ip24", "ipAddress")},
+    )
+    ref = (
+        "CREATE TABLE ferret.rdnsv4 ( ip8 INET, ip16 INET, ip24 INET,"
+        " ipAddress INET, p1 VARCHAR, p2 VARCHAR, p3 VARCHAR, p4 VARCHAR,"
+        " p5 VARCHAR, p6 VARCHAR, p7 VARCHAR, country VARCHAR, city VARCHAR,"
+        " asn INT, as_name VARCHAR, source VARCHAR, sourceRecordType VARCHAR,"
+        " firstSeen timestamp, lastSeen timestamp, updatedAt timestamp,"
+        " PRIMARY KEY (ip8, ip16, ip24, ipAddress, p1, p2, p3, p4, p5, p6, p7) );"
+    )
+    assert _norm(ddl) == _norm(ref)
+
+
+def test_ddl_composite_partition_key_and_insert():
+    """subdomains (App.java:183-198): composite partition parens; the
+    INSERT stamps lastSeen/updatedAt server-side (App.java:145-155)."""
+    from sstable_migrator_spark import schemas
+    from sstable_migrator_spark.functions.cassandra import (
+        cassandra_ddl,
+        cassandra_insert,
+    )
+
+    ddl = cassandra_ddl(
+        schemas.SUBDOMAINS, "ferret", "subdomains",
+        schemas.SUBDOMAINS_PARTITION_KEY, schemas.SUBDOMAINS_CLUSTERING,
+    )
+    assert "PRIMARY KEY ((p1,p2,p3), p4, p5, p6, p7) );" in ddl
+
+    ins = cassandra_insert(
+        "ferret", "cnames",
+        ["target", "apexDomain", "domain", "source", "lastSeen", "updatedAt"],
+    )
+    assert ins == (
+        "INSERT INTO ferret.cnames (target, apexDomain, domain, source,"
+        " lastSeen, updatedAt) VALUES (?, ?, ?, ?, toTimestamp(now()),"
+        " toTimestamp(now()))"
+    )
+
+
+def test_ddl_rejects_unknown_key_or_type(spark):
+    import pytest
+    from pyspark.sql import types as T
+
+    from sstable_migrator_spark.functions.cassandra import cassandra_ddl
+
+    strings = T.StructType([T.StructField("a", T.StringType()),
+                            T.StructField("b", T.StringType())])
+    with pytest.raises(ValueError, match="key column"):
+        cassandra_ddl(strings, "k", "t", ["a"], ["nope"])
+    with_map = T.StructType([T.StructField("a", T.StringType()),
+                             T.StructField("m", T.MapType(T.StringType(), T.StringType()))])
+    with pytest.raises(ValueError, match="no CQL mapping"):
+        cassandra_ddl(with_map, "k", "t", ["a"], [])
