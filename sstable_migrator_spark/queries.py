@@ -6285,6 +6285,72 @@ QUERIES.update({"q148_data_contract": q_data_contract})
 ORACLES.update({"q148_data_contract": SQL_DATA_CONTRACT})
 
 
+def q_budget_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sampling-budget allocation across sources by largest remainder
+    (Hamilton's method), fully integer: the step that turns mixture
+    WEIGHTS into exact per-source COUNTS summing to the budget — the
+    prerequisite of every mixture-sampling run (q81 consumes such
+    quotas). base = floor(budget*n/total); the leftover units go to
+    the largest scaled remainders (budget*n mod total), ties to the
+    lexicographically first source. No floats anywhere, so the
+    allocation is bit-stable across engines and reruns. The per-source
+    table is tiny (sources, not documents), so the remainder-rank
+    window and the two scalar crosses cost nothing."""
+    budget = 10000
+    docs = _t(spark, sf_dir, "documents")
+    counts = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
+    tot = counts.groupBy().agg(F.sum("n").alias("total"))
+    staged = (
+        counts.crossJoin(F.broadcast(tot))
+        .withColumn("base_alloc", (F.lit(budget) * F.col("n")) / F.col("total"))
+        .withColumn("base_alloc", F.floor("base_alloc").cast("long"))
+        .withColumn("rem", (F.lit(budget) * F.col("n")) % F.col("total"))
+    )
+    leftover = staged.groupBy().agg(
+        (F.lit(budget) - F.sum("base_alloc")).alias("leftover")
+    )
+    w = Window.orderBy(F.desc("rem"), F.col("source").asc())
+    return (
+        staged.crossJoin(F.broadcast(leftover))
+        .withColumn("rk", F.row_number().over(w))
+        .select(
+            "source",
+            F.col("n").cast("long").alias("n_docs"),
+            "base_alloc",
+            (F.col("rk") <= F.col("leftover")).cast("long").alias("extra"),
+            (F.col("base_alloc") + (F.col("rk") <= F.col("leftover")).cast("long"))
+            .alias("alloc"),
+        )
+    )
+
+
+SQL_BUDGET_ALLOCATION = """
+WITH counts AS (SELECT source, count(*) AS n FROM documents GROUP BY source),
+tot AS (SELECT sum(n) AS total FROM counts),
+staged AS (
+  SELECT source, n,
+         (10000 * n) // total AS base_alloc,
+         (10000 * n) % total AS rem
+  FROM counts, tot),
+lo AS (SELECT 10000 - sum(base_alloc) AS leftover FROM staged),
+ranked AS (
+  SELECT source, n, base_alloc, rem,
+         row_number() OVER (ORDER BY rem DESC, source ASC) AS rk
+  FROM staged)
+SELECT source, CAST(n AS BIGINT) AS n_docs,
+       CAST(base_alloc AS BIGINT) AS base_alloc,
+       CAST(CASE WHEN rk <= (SELECT leftover FROM lo) THEN 1 ELSE 0 END
+            AS BIGINT) AS extra,
+       CAST(base_alloc + CASE WHEN rk <= (SELECT leftover FROM lo)
+                              THEN 1 ELSE 0 END AS BIGINT) AS alloc
+FROM ranked
+"""
+
+
+QUERIES.update({"q149_budget_allocation": q_budget_allocation})
+ORACLES.update({"q149_budget_allocation": SQL_BUDGET_ALLOCATION})
+
+
 QUERIES.update(
     {
         "q140_min_cost_supplier": q_min_cost_supplier,
