@@ -6351,6 +6351,91 @@ QUERIES.update({"q149_budget_allocation": q_budget_allocation})
 ORACLES.update({"q149_budget_allocation": SQL_BUDGET_ALLOCATION})
 
 
+def q_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series gap filling with linear interpolation: per user, the
+    daily value series is completed over its own [min_day, max_day]
+    span — observed days keep their exact DECIMAL sum, missing days get
+    the straight line between the surrounding observations. The grid
+    explodes from a per-user date sequence (no calendar dim join);
+    prev/next observations come from two frames over ONE user-keyed
+    sort (last ignoreNulls backward, first ignoreNulls forward). Float
+    discipline: daily sums stay DECIMAL until the interpolation, which
+    casts once to double and runs the identical operation order on both
+    engines (pv + ((nv - pv) * d1) / d2) — IEEE ops, bit-stable."""
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", F.to_date("ts").alias("d"), _dec("value").alias("v")
+    )
+    daily = ev.groupBy("user_id", "d").agg(F.sum("v").alias("val"))
+    span = daily.groupBy("user_id").agg(F.min("d").alias("lo"), F.max("d").alias("hi"))
+    grid = span.select(
+        "user_id",
+        F.explode(F.sequence("lo", "hi", F.expr("interval 1 day"))).alias("d"),
+    ).join(daily, ["user_id", "d"], "left")
+    wb = (
+        Window.partitionBy("user_id")
+        .orderBy("d")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wf = (
+        Window.partitionBy("user_id")
+        .orderBy("d")
+        .rowsBetween(0, Window.unboundedFollowing)
+    )
+    pv = F.last(F.col("val").cast("double"), ignorenulls=True).over(wb)
+    pd_ = F.last(F.when(F.col("val").isNotNull(), F.col("d")), ignorenulls=True).over(wb)
+    nv = F.first(F.col("val").cast("double"), ignorenulls=True).over(wf)
+    nd = F.first(F.when(F.col("val").isNotNull(), F.col("d")), ignorenulls=True).over(wf)
+    interp = pv + ((nv - pv) * F.datediff(F.col("d"), pd_)) / F.datediff(nd, pd_)
+    return grid.select(
+        "user_id",
+        "d",
+        F.when(F.col("val").isNotNull(), F.col("val").cast("double"))
+        .otherwise(interp)
+        .alias("value_filled"),
+        F.col("val").isNull().alias("interpolated"),
+    )
+
+
+SQL_GAP_FILL = """
+WITH daily AS (
+  SELECT user_id, CAST(ts AS DATE) AS d,
+         sum(CAST(value AS DECIMAL(18,2))) AS val
+  FROM events GROUP BY user_id, CAST(ts AS DATE)),
+span AS (SELECT user_id, min(d) AS lo, max(d) AS hi FROM daily GROUP BY user_id),
+grid AS (
+  SELECT span.user_id, CAST(g.gd AS DATE) AS d
+  FROM span, LATERAL unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS g(gd)),
+joined AS (
+  SELECT grid.user_id, grid.d, daily.val
+  FROM grid LEFT JOIN daily ON grid.user_id = daily.user_id AND grid.d = daily.d),
+framed AS (
+  SELECT user_id, d, val,
+         last_value(CAST(val AS DOUBLE) IGNORE NULLS)
+           OVER (PARTITION BY user_id ORDER BY d
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
+         last_value(CASE WHEN val IS NOT NULL THEN d END IGNORE NULLS)
+           OVER (PARTITION BY user_id ORDER BY d
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pd,
+         first_value(CAST(val AS DOUBLE) IGNORE NULLS)
+           OVER (PARTITION BY user_id ORDER BY d
+                 ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+         first_value(CASE WHEN val IS NOT NULL THEN d END IGNORE NULLS)
+           OVER (PARTITION BY user_id ORDER BY d
+                 ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nd
+  FROM joined)
+SELECT user_id, d,
+       CASE WHEN val IS NOT NULL THEN CAST(val AS DOUBLE)
+            ELSE pv + ((nv - pv) * date_diff('day', pd, d))
+                   / date_diff('day', pd, nd) END AS value_filled,
+       (val IS NULL) AS interpolated
+FROM framed
+"""
+
+
+QUERIES.update({"q150_gap_fill": q_gap_fill})
+ORACLES.update({"q150_gap_fill": SQL_GAP_FILL})
+
+
 QUERIES.update(
     {
         "q140_min_cost_supplier": q_min_cost_supplier,
