@@ -139,3 +139,23 @@ def test_q13_exchange_budget(spark, sf_dir):
 
     stats = plan_stats(Q.q_customer_distribution(spark, sf_dir))
     assert stats["shuffles"] <= 3, stats
+
+
+def test_collect_table_stats_feeds_cbo(spark, tmp_path):
+    """ANALYZE helper records table + column statistics the CBO reads
+    (row counts visible in DESCRIBE EXTENDED; NDV on the analyzed
+    column)."""
+    from sstable_migrator_spark.session import collect_table_stats
+
+    spark.sql("DROP TABLE IF EXISTS stats_t")
+    spark.range(500).selectExpr("id", "id % 7 AS k").write.saveAsTable("stats_t")
+    try:
+        collect_table_stats(spark, ["stats_t"], columns={"stats_t": ["k"]})
+        ext = {r["col_name"]: r["data_type"]
+               for r in spark.sql("DESCRIBE EXTENDED stats_t").collect()}
+        assert "500 rows" in ext["Statistics"]
+        colstats = {r["info_name"]: r["info_value"]
+                    for r in spark.sql("DESCRIBE EXTENDED stats_t k").collect()}
+        assert colstats.get("distinct_count") == "7"
+    finally:
+        spark.sql("DROP TABLE stats_t")
