@@ -6436,6 +6436,62 @@ QUERIES.update({"q150_gap_fill": q_gap_fill})
 ORACLES.update({"q150_gap_fill": SQL_GAP_FILL})
 
 
+def q_epoch_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-epoch training order: every epoch is an independent
+    deterministic permutation of the corpus — rank of the portable md5
+    of (epoch, doc_id). No RNG, no driver state: the order is a pure
+    row property, so any worker can compute any epoch's order for any
+    shard independently (the property data loaders need for resumable
+    sharded training). Emitting 3 epochs = one map-only explode; the
+    only shuffle is the per-epoch rank window over (epoch), and at
+    scale the rank is replaced by sorting each epoch's files by the
+    same hash key at write time (the window here makes the contract
+    oracle-checkable). Returns (epoch, doc_id, ord)."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    epochs = docs.select(
+        "doc_id", F.explode(F.array(*[F.lit(e) for e in range(3)])).alias("epoch")
+    )
+    key = F.conv(
+        F.substring(
+            F.md5(
+                F.concat(
+                    F.col("epoch").cast("string"), F.lit("|"),
+                    F.col("doc_id").cast("string"),
+                )
+            ),
+            1, 15,
+        ),
+        16, 10,
+    ).cast("long")
+    w = Window.partitionBy("epoch").orderBy(key.asc(), F.col("doc_id").asc())
+    return epochs.select(
+        F.col("epoch").cast("int").alias("epoch"),
+        "doc_id",
+        F.row_number().over(w).cast("long").alias("ord"),
+    )
+
+
+SQL_EPOCH_ORDER = """
+WITH e AS (
+  SELECT doc_id, CAST(k.i AS INT) AS epoch
+  FROM documents, LATERAL unnest(range(0, 3)) AS k(i)),
+keyed AS (
+  SELECT epoch, doc_id,
+         CAST(concat('0x', substr(md5(CAST(epoch AS VARCHAR) || '|' ||
+                                       CAST(doc_id AS VARCHAR)), 1, 15))
+              AS BIGINT) AS h
+  FROM e)
+SELECT epoch, doc_id,
+       CAST(row_number() OVER (PARTITION BY epoch ORDER BY h, doc_id)
+            AS BIGINT) AS ord
+FROM keyed
+"""
+
+
+QUERIES.update({"q151_epoch_order": q_epoch_order})
+ORACLES.update({"q151_epoch_order": SQL_EPOCH_ORDER})
+
+
 QUERIES.update(
     {
         "q140_min_cost_supplier": q_min_cost_supplier,
