@@ -6492,6 +6492,82 @@ QUERIES.update({"q151_epoch_order": q_epoch_order})
 ORACLES.update({"q151_epoch_order": SQL_EPOCH_ORDER})
 
 
+def q_robust_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier detection on daily order volume: median + MAD
+    (median absolute deviation) instead of mean + stddev, so the
+    outliers themselves cannot drag the threshold (the weakness of
+    q130's z-scores). EVERYTHING is integer-exact: daily counts are
+    ints, both medians are rank-selected discrete lower medians (the
+    q71 recipe — value at ceil(n/2) in sorted order, ties broken by
+    day), deviations are |int - int|, and the flag is the
+    cross-multiplied compare dev > 3 * mad. No float exists anywhere
+    in the query, so it is hash-stable by construction. Two bounded
+    rollups + two tiny rank windows over the per-day table."""
+    daily = (
+        _t(spark, sf_dir, "orders")
+        .groupBy(F.to_date("o_orderdate").alias("d"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+    def lower_median(df, col, tiebreak):
+        w = Window.orderBy(F.col(col).asc(), F.col(tiebreak).asc())
+        ranked = df.withColumn("_rn", F.row_number().over(w)).withColumn(
+            "_cnt", F.count(F.lit(1)).over(Window.partitionBy())
+        )
+        return ranked.filter(
+            F.col("_rn") == F.ceil(F.col("_cnt") / 2)
+        ).select(F.col(col).alias("_med"))
+
+    med = F.broadcast(lower_median(daily, "n", "d"))
+    devs = daily.crossJoin(med).withColumn(
+        "dev", F.abs(F.col("n") - F.col("_med"))
+    )
+    mad = F.broadcast(
+        lower_median(devs.select("dev", "d"), "dev", "d").select(
+            F.col("_med").alias("_mad")
+        )
+    )
+    return (
+        devs.crossJoin(mad)
+        .select(
+            "d",
+            F.col("n").cast("long").alias("n"),
+            F.col("_med").cast("long").alias("median_n"),
+            F.col("dev").cast("long").alias("dev"),
+            F.col("_mad").cast("long").alias("mad"),
+            (F.col("dev") > 3 * F.col("_mad")).alias("is_outlier"),
+        )
+    )
+
+
+SQL_ROBUST_OUTLIERS = """
+WITH daily AS (
+  SELECT CAST(o_orderdate AS DATE) AS d, count(*) AS n
+  FROM orders GROUP BY 1),
+r1 AS (
+  SELECT n, row_number() OVER (ORDER BY n, d) AS rn,
+         count(*) OVER () AS cnt
+  FROM daily),
+med AS (SELECT n AS m FROM r1 WHERE rn = CAST(ceil(cnt / 2.0) AS BIGINT)),
+devs AS (SELECT d, n, abs(n - (SELECT m FROM med)) AS dev FROM daily),
+r2 AS (
+  SELECT dev, row_number() OVER (ORDER BY dev, d) AS rn,
+         count(*) OVER () AS cnt
+  FROM devs),
+mad AS (SELECT dev AS m FROM r2 WHERE rn = CAST(ceil(cnt / 2.0) AS BIGINT))
+SELECT d, CAST(n AS BIGINT) AS n,
+       CAST((SELECT m FROM med) AS BIGINT) AS median_n,
+       CAST(dev AS BIGINT) AS dev,
+       CAST((SELECT m FROM mad) AS BIGINT) AS mad,
+       (dev > 3 * (SELECT m FROM mad)) AS is_outlier
+FROM devs
+"""
+
+
+QUERIES.update({"q152_robust_outliers": q_robust_outliers})
+ORACLES.update({"q152_robust_outliers": SQL_ROBUST_OUTLIERS})
+
+
 QUERIES.update(
     {
         "q140_min_cost_supplier": q_min_cost_supplier,
