@@ -6568,6 +6568,72 @@ QUERIES.update({"q152_robust_outliers": q_robust_outliers})
 ORACLES.update({"q152_robust_outliers": SQL_ROBUST_OUTLIERS})
 
 
+def q_forget_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Right-to-be-forgotten audit: before a deletion run, count every
+    row that an erasure request touches across the table graph —
+    customers themselves, their orders, and the order lines reachable
+    through them (the FK cascade). The request set (c_custkey % 97 = 0
+    here; in production the DSAR list) broadcasts into semi-joins; each
+    table is counted in its own scan and the tiny per-table counts
+    union. This is the audit HALF of deletion — the write half is
+    sinks.dynamic_partition_upsert / versioned merge, which rewrite
+    only affected partitions. Deterministic, integer-only output."""
+    req = (
+        _t(spark, sf_dir, "customer")
+        .filter(F.col("c_custkey") % 97 == 0)
+        .select(F.col("c_custkey").alias("k"))
+    )
+    customers = (
+        _t(spark, sf_dir, "customer")
+        .join(F.broadcast(req), F.col("c_custkey") == F.col("k"), "left_semi")
+        .agg(F.count(F.lit(1)).alias("affected_rows"))
+        .select(F.lit("customer").alias("table_name"), "affected_rows")
+    )
+    orders = (
+        _t(spark, sf_dir, "orders")
+        .join(F.broadcast(req), F.col("o_custkey") == F.col("k"), "left_semi")
+    )
+    orders_cnt = orders.agg(F.count(F.lit(1)).alias("affected_rows")).select(
+        F.lit("orders").alias("table_name"), "affected_rows"
+    )
+    li_cnt = (
+        _t(spark, sf_dir, "lineitem")
+        .join(
+            orders.select(F.col("o_orderkey").alias("ok")),
+            F.col("l_orderkey") == F.col("ok"),
+            "left_semi",
+        )
+        .agg(F.count(F.lit(1)).alias("affected_rows"))
+        .select(F.lit("lineitem").alias("table_name"), "affected_rows")
+    )
+    return (
+        customers.unionByName(orders_cnt)
+        .unionByName(li_cnt)
+        .select("table_name", F.col("affected_rows").cast("long").alias("affected_rows"))
+        .orderBy("table_name")
+    )
+
+
+SQL_FORGET_AUDIT = """
+WITH req AS (SELECT c_custkey AS k FROM customer WHERE c_custkey % 97 = 0),
+aff_orders AS (SELECT o_orderkey, o_custkey FROM orders
+               WHERE o_custkey IN (SELECT k FROM req))
+SELECT table_name, CAST(affected_rows AS BIGINT) AS affected_rows FROM (
+  SELECT 'customer' AS table_name, count(*) AS affected_rows
+  FROM customer WHERE c_custkey IN (SELECT k FROM req)
+  UNION ALL
+  SELECT 'orders', count(*) FROM aff_orders
+  UNION ALL
+  SELECT 'lineitem', count(*) FROM lineitem
+  WHERE l_orderkey IN (SELECT o_orderkey FROM aff_orders)
+) ORDER BY table_name
+"""
+
+
+QUERIES.update({"q153_forget_audit": q_forget_audit})
+ORACLES.update({"q153_forget_audit": SQL_FORGET_AUDIT})
+
+
 QUERIES.update(
     {
         "q140_min_cost_supplier": q_min_cost_supplier,
