@@ -78,7 +78,7 @@ SESSION_OUTPUT_SCHEMA = (
 SESSION_STATE_SCHEMA = "start long, end long, n long"
 
 
-def _sessionize_fn(gap_seconds: int):
+def _sessionize_fn(gap_seconds: int, event_time_timeout: bool = False):
     import pandas as pd
 
     gap_us = gap_seconds * 1_000_000
@@ -119,6 +119,10 @@ def _sessionize_fn(gap_seconds: int):
                 s, e, n = t, t, 1
         if s is not None:
             state.update((int(s), int(e), int(n)))
+            if event_time_timeout:
+                # close when the WATERMARK passes session end + gap —
+                # no follow-up event needed (ms epoch per the API)
+                state.setTimeoutTimestamp(int(e) // 1000 + gap_seconds * 1000)
         if closed:
             yield pd.DataFrame(
                 {
@@ -454,4 +458,33 @@ def streaming_near_dup_candidates(
         stateStructType=NEAR_DUP_STATE_SCHEMA,
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def stateful_sessionize_event_time(
+    events: DataFrame,
+    gap_seconds: int = 1800,
+    ts_col: str = "ts",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """stateful_sessionize with the PRODUCTION close semantics: an open
+    session also emits when the event-time WATERMARK passes its end +
+    gap — a user who never comes back still gets their session, without
+    waiting for a later event of theirs (the NoTimeout variant's
+    limitation, visible in its test where a second batch must poke each
+    user). State registers an event-time timeout at (end + gap); late
+    rows beyond the watermark are dropped by the same watermark that
+    drives the timeouts. State remains one triple per OPEN session."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _sessionize_fn(gap_seconds, event_time_timeout=True),
+            outputStructType=SESSION_OUTPUT_SCHEMA,
+            stateStructType=SESSION_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
     )

@@ -323,3 +323,56 @@ def test_streaming_near_dup_across_batches(spark, tmp_path):
     hits = {(r["doc_id"], r["dup_of"]) for r in second}
     assert hits == {(10, 0)}
     assert all(r["matches"] >= 10 for r in second)
+
+
+def test_sessionize_event_time_timeout(spark, tmp_path):
+    """EventTimeTimeout close semantics: sessions of users who never
+    return are emitted once the watermark (driven by OTHER users'
+    events) passes session end + gap — no per-user poke needed."""
+    from pyspark.sql import types as T
+
+    from sstable_migrator_spark.streaming.daily import stateful_sessionize_event_time
+
+    in_dir = tmp_path / "ev"
+    in_dir.mkdir()
+    out_dir = str(tmp_path / "sessions")
+    ckpt = str(tmp_path / "ckpt")
+    schema = T.StructType(
+        [T.StructField("user_id", T.LongType()), T.StructField("ts", T.TimestampType())]
+    )
+
+    def run_tick():
+        stream = spark.readStream.schema(schema).csv(str(in_dir) + "/*.csv")
+        q = (
+            stateful_sessionize_event_time(stream, gap_seconds=1800,
+                                           watermark="10 minutes")
+            .writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    (in_dir / "b1.csv").write_text(
+        "1,2024-01-01 00:00:00\n1,2024-01-01 00:00:10\n2,2024-01-01 00:00:30\n"
+    )
+    run_tick()
+    import glob
+
+    first = (spark.read.parquet(out_dir).collect()
+             if glob.glob(f"{out_dir}/*.parquet") else [])
+    assert first == []  # watermark hasn't passed end+gap yet
+
+    # ONLY user 99 appears later; its event pushes the watermark past
+    # users 1 and 2's (end + 30 min), closing their sessions unpoked
+    (in_dir / "b2.csv").write_text("99,2024-01-01 03:00:00\n")
+    run_tick()
+    rows = spark.read.parquet(out_dir).collect()
+    got = {(r["user_id"], r["n_events"]) for r in rows}
+    assert got == {(1, 2), (2, 1)}
+    for r in rows:
+        if r["user_id"] == 1:
+            assert r["session_start"].isoformat() == "2024-01-01T00:00:00"
+            assert r["session_end"].isoformat() == "2024-01-01T00:00:10"
