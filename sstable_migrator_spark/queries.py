@@ -6634,6 +6634,64 @@ QUERIES.update({"q153_forget_audit": q_forget_audit})
 ORACLES.update({"q153_forget_audit": SQL_FORGET_AUDIT})
 
 
+def q_trimmed_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """10%-trimmed mean of order value per priority: the robust center
+    q152's MAD flags pair with. Trim boundaries are INTEGER-exact —
+    rank > floor(n/10) and rank <= n - floor(n/10) over a deterministic
+    (price, orderkey) order — the kept rows sum in DECIMAL, and the
+    single division to double at the end is IEEE-identical cross-engine
+    (same exact operands). One window over each priority group + one
+    rollup."""
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderpriority", _dec("o_totalprice").alias("p"), "o_orderkey"
+    )
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.col("p").asc(), F.col("o_orderkey").asc()
+    )
+    wc = Window.partitionBy("o_orderpriority")
+    ranked = o.withColumn("rn", F.row_number().over(w)).withColumn(
+        "n", F.count(F.lit(1)).over(wc)
+    )
+    trim = F.floor(F.col("n") / 10)
+    kept = ranked.filter((F.col("rn") > trim) & (F.col("rn") <= F.col("n") - trim))
+    return (
+        kept.groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_kept"),
+            F.sum("p").alias("sum_kept"),
+        )
+        .select(
+            "o_orderpriority",
+            F.col("n_kept").cast("long").alias("n_kept"),
+            (F.col("sum_kept").cast("double") / F.col("n_kept")).alias("trimmed_mean"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+SQL_TRIMMED_MEAN = """
+WITH ranked AS (
+  SELECT o_orderpriority, CAST(o_totalprice AS DECIMAL(18,2)) AS p,
+         row_number() OVER (PARTITION BY o_orderpriority
+                            ORDER BY CAST(o_totalprice AS DECIMAL(18,2)),
+                                     o_orderkey) AS rn,
+         count(*) OVER (PARTITION BY o_orderpriority) AS n
+  FROM orders),
+kept AS (
+  SELECT o_orderpriority, p FROM ranked
+  WHERE rn > n // 10 AND rn <= n - (n // 10))
+SELECT o_orderpriority,
+       CAST(count(*) AS BIGINT) AS n_kept,
+       CAST(sum(p) AS DOUBLE) / count(*) AS trimmed_mean
+FROM kept GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
+QUERIES.update({"q154_trimmed_mean": q_trimmed_mean})
+ORACLES.update({"q154_trimmed_mean": SQL_TRIMMED_MEAN})
+
+
 QUERIES.update(
     {
         "q140_min_cost_supplier": q_min_cost_supplier,
