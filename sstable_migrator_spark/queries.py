@@ -6692,6 +6692,68 @@ QUERIES.update({"q154_trimmed_mean": q_trimmed_mean})
 ORACLES.update({"q154_trimmed_mean": SQL_TRIMMED_MEAN})
 
 
+def q_feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashing-trick vectorization (Weinberger et al. 2009): each
+    document becomes a sparse feature vector over a FIXED 1024-bucket
+    space — token -> portable-hash bucket, per-bucket counts — the
+    vocabulary-free featurization linear models and MinHash-free
+    dedup-sketches use (q139's DSIR buckets are this same trick at the
+    bigram level). Map-only until the per-doc rollup; output is sorted
+    integer arrays (indices + counts), so the result is hash-exact with
+    no float anywhere. At 100 TB: no vocabulary build, no broadcast —
+    the feature space is the hash function."""
+    docs = _dense(spark, _t(spark, sf_dir, "documents"))
+    toks = docs.select(
+        "doc_id",
+        F.explode(TX.tokens(F.lower(F.col("text")))).alias("tok"),
+    ).select(
+        "doc_id",
+        F.pmod(
+            F.conv(F.substring(F.md5("tok"), 1, 15), 16, 10).cast("long"),
+            F.lit(1024),
+        ).alias("bucket"),
+    )
+    per_bucket = toks.groupBy("doc_id", "bucket").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    return per_bucket.groupBy("doc_id").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("bucket", "c"))),
+            lambda x: x["bucket"],
+        ).alias("indices"),
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("bucket", "c"))),
+            lambda x: x["c"],
+        ).alias("counts"),
+        F.count(F.lit(1)).cast("long").alias("nnz"),
+    )
+
+
+SQL_FEATURE_HASHING = """
+WITH toks AS (
+  SELECT doc_id,
+         unnest(CASE WHEN length(trim(lower(text))) = 0 THEN []
+                     ELSE regexp_split_to_array(trim(lower(text)), '\\s+') END)
+           AS tok
+  FROM documents),
+b AS (
+  SELECT doc_id,
+         CAST(concat('0x', substr(md5(tok), 1, 15)) AS BIGINT) % 1024 AS bucket
+  FROM toks),
+per_bucket AS (
+  SELECT doc_id, bucket, count(*) AS c FROM b GROUP BY doc_id, bucket)
+SELECT doc_id,
+       list(bucket ORDER BY bucket) AS indices,
+       list(c ORDER BY bucket) AS counts,
+       CAST(count(*) AS BIGINT) AS nnz
+FROM per_bucket GROUP BY doc_id
+"""
+
+
+QUERIES.update({"q155_feature_hashing": q_feature_hashing})
+ORACLES.update({"q155_feature_hashing": SQL_FEATURE_HASHING})
+
+
 QUERIES.update(
     {
         "q140_min_cost_supplier": q_min_cost_supplier,
