@@ -104,3 +104,25 @@ def test_ring_placement_write_layout(spark, tmp_path):
         # file is ring-ordered: sorted by token (then clustering)
         assert toks == sorted(toks)
     assert seen == 300
+
+
+def test_replica_plan_properties_large_ring():
+    """Property check over a realistic ring (6 nodes x 16 vnodes, 3
+    racks): every range has exactly RF distinct endpoints, the owner
+    leads, and endpoints span min(RF, n_racks) racks."""
+    nodes = [f"n{i}" for i in range(6)]
+    racks = {f"n{i}": f"r{i % 3}" for i in range(6)}
+    ring = build_ring(nodes, vnodes_per_node=16)
+    for rf in (2, 3):
+        plan = replica_plan(ring, rf=rf, racks=racks)
+        assert len(plan) == 96
+        by_tok = dict(ring)
+        for ent in plan:
+            eps = ent["endpoints"]
+            assert len(eps) == rf == len(set(eps))
+            assert eps[0] == by_tok[ent["end"]]  # owner leads
+            assert len({racks[e] for e in eps}) >= min(rf, 3)
+        # SimpleStrategy: same invariants minus rack spread
+        simple = replica_plan(ring, rf=rf)
+        for ent in simple:
+            assert len(ent["endpoints"]) == rf == len(set(ent["endpoints"]))
