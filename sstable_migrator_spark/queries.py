@@ -6754,6 +6754,78 @@ QUERIES.update({"q155_feature_hashing": q_feature_hashing})
 ORACLES.update({"q155_feature_hashing": SQL_FEATURE_HASHING})
 
 
+def q_boilerplate_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequency-based boilerplate removal (the CCNet recipe; q78's
+    complement): chunks whose DOCUMENT FREQUENCY exceeds the threshold
+    are dropped from EVERY document — site chrome, licenses, navigation
+    — while low-frequency repeats stay intact (q78's first-occurrence
+    dedup keeps one copy of everything; this keeps all copies of rare
+    text and zero copies of ubiquitous text — pipelines run both).
+    Chunking mirrors q78 (8-word pseudo-paragraphs, md5 content keys);
+    the chunk-df table rolls up on the 16-byte key with per-doc
+    distinct first. Shuffles move keys + ids only; docs reassemble in
+    position order."""
+    chunk = 8
+    df_cap = 2  # > 2 docs sharing a chunk = boilerplate at these SFs
+    docs = _dense(spark, _t(spark, sf_dir, "documents"))
+    words = F.split(F.col("text"), " ")
+    n_chunks = (F.ceil(F.size(words) / F.lit(float(chunk)))).cast("int")
+    paras = docs.select(
+        "doc_id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), n_chunks - F.lit(1)),
+                lambda i: F.array_join(
+                    F.slice(words, i * chunk + F.lit(1), chunk), " "
+                ),
+            )
+        ).alias("pos", "para"),
+    ).withColumn("ph", F.md5("para"))
+    chunk_df = (
+        paras.select("ph", "doc_id")
+        .distinct()
+        .groupBy("ph")
+        .agg(F.count(F.lit(1)).alias("df_"))
+    )
+    kept = paras.join(chunk_df, "ph").filter(F.col("df_") <= df_cap)
+    return kept.groupBy("doc_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "para"))),
+                lambda x: x["para"],
+            ),
+            " ",
+        ).alias("clean_text"),
+        F.count(F.lit(1)).cast("long").alias("kept_chunks"),
+    )
+
+
+SQL_BOILERPLATE_REMOVAL = """
+WITH w AS (
+  SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+p AS (
+  SELECT w.doc_id, CAST(r.i AS INT) AS pos,
+         array_to_string(ws[(r.i*8+1):(r.i*8+8)], ' ') AS para
+  FROM w, LATERAL unnest(range(0, CAST(ceil(len(ws) / 8.0) AS BIGINT)))
+         AS r(i)),
+h AS (SELECT doc_id, pos, para, md5(para) AS ph FROM p),
+cdf AS (
+  SELECT ph, count(*) AS df_
+  FROM (SELECT DISTINCT ph, doc_id FROM h) GROUP BY ph),
+kept AS (
+  SELECT h.doc_id, h.pos, h.para FROM h JOIN cdf ON h.ph = cdf.ph
+  WHERE cdf.df_ <= 2)
+SELECT doc_id,
+       string_agg(para, ' ' ORDER BY pos) AS clean_text,
+       CAST(count(*) AS BIGINT) AS kept_chunks
+FROM kept GROUP BY doc_id
+"""
+
+
+QUERIES.update({"q156_boilerplate_removal": q_boilerplate_removal})
+ORACLES.update({"q156_boilerplate_removal": SQL_BOILERPLATE_REMOVAL})
+
+
 QUERIES.update(
     {
         "q140_min_cost_supplier": q_min_cost_supplier,
