@@ -188,3 +188,44 @@ def test_ivf_pq_topk_recall(spark):
         for _rank, nid, d2 in triples:
             exact = sum((a - b) ** 2 for a, b in zip(vecs[nid], qs[qid]))
             assert abs(d2 - exact) < 1e-9
+
+
+def test_ivf_recall_on_real_embeddings(spark, sf_dir):
+    """Quantitative recall pin for the IVF scale path on the REAL
+    embeddings table: recall@10 vs brute-force cosine truth must stay
+    high at n_probe=4 of 8 cells, and rise monotonically with n_probe
+    (the accuracy/cost knob the 100 TB deployment turns)."""
+    from pyspark.sql import functions as F
+
+    from sstable_migrator_spark.operators.simsearch import brute_force_topk, ivf_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    cents = [
+        (int(r["vec_id"]), [float(x) for x in r["embedding"]])
+        for r in emb.filter(F.col("vec_id") % 40 == 0)
+        .orderBy("vec_id").limit(8).collect()
+    ]
+    queries = (
+        emb.filter(F.col("vec_id") % 37 == 0)
+        .limit(6)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("query_vec"),
+        )
+    )
+    truth = {
+        (r["query_id"], r["neighbor_id"])
+        for r in brute_force_topk(emb, queries, k=10).collect()
+    }
+
+    def recall(n_probe):
+        got = {
+            (r["query_id"], r["neighbor_id"])
+            for r in ivf_topk(emb, queries, cents, k=10, n_probe=n_probe).collect()
+        }
+        return len(got & truth) / len(truth)
+
+    r2, r4, r8 = recall(2), recall(4), recall(8)
+    assert r8 == 1.0          # probing every cell = exact
+    assert r4 >= 0.5          # half the cells recovers most of top-10
+    assert r2 <= r4 <= r8     # monotone in the knob
