@@ -12,7 +12,8 @@ notify gate consumes directly (sinks/ops.py).
 Rules (dicts, declarative):
 - {"rule": "not_null", "col": c}
 - {"rule": "unique", "cols": [c, ...]}
-- {"rule": "accepted_values", "col": c, "values": [...]}
+- {"rule": "accepted_values", "col": c, "values": [...]}  (NULL passes,
+  as in dbt/GE — pair with not_null to demand presence)
 - {"rule": "in_range", "col": c, "lo": x, "hi": y}   (inclusive; NULLs
   are not range violations — pair with not_null to demand presence)
 - {"rule": "matches", "col": c, "pattern": regex}    (same caveat)
@@ -56,7 +57,10 @@ def validate(df: DataFrame, rules: list[dict]) -> DataFrame:
         if kind == "not_null":
             cond = F.col(rule["col"]).isNull()
         elif kind == "accepted_values":
-            cond = ~F.col(rule["col"]).isin(*rule["values"]) | F.col(rule["col"]).isNull()
+            # NULL passes, matching in_range/matches (and dbt/GE): pair
+            # with not_null to demand presence.
+            c = F.col(rule["col"])
+            cond = c.isNotNull() & ~c.isin(*rule["values"])
         elif kind == "in_range":
             c = F.col(rule["col"])
             cond = c.isNotNull() & ((c < rule["lo"]) | (c > rule["hi"]))

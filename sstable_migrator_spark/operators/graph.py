@@ -144,7 +144,11 @@ def connected_components(
     """Connected components via alternating large-star / small-star
     rounds (Kiveris et al. 2014, "Connected Components in MapReduce and
     Beyond"). Returns ``(node, component)`` with component = minimum
-    node id in the component, for every node incident to an edge.
+    node id in the component, for every node incident to a NON-self-loop
+    edge (self-loops carry no connectivity information and are dropped
+    up front; a node appearing only in self-loops does not appear in
+    the output — union the node set back in if singleton components
+    matter to the caller).
 
     This is the scale path for LARGE components:
     ``dedup.duplicate_clusters`` (min-label propagation) needs
@@ -155,7 +159,10 @@ def connected_components(
     groupBy-min, never a collect_list. Lineage is cut per round
     (localCheckpoint) so plan depth stays O(1); convergence is detected
     by an edge-set checksum (count + xor of xxhash64), one cheap action
-    per round instead of a set-difference join.
+    per round instead of a set-difference join. The checksum alone
+    could collide (64-bit xor over the edge set), so a signature match
+    is CONFIRMED by one exact exceptAll before returning — the exact
+    check runs once, at convergence, not per round.
     """
     e = (
         edges.select(
@@ -167,15 +174,20 @@ def connected_components(
     )
     prev: tuple | None = None
     for _ in range(max_iters):
-        e = _small_star(_large_star(e)).localCheckpoint()
-        row = e.groupBy().agg(
+        e2 = _small_star(_large_star(e)).localCheckpoint()
+        row = e2.groupBy().agg(
             F.count(F.lit(1)).alias("n"),
             F.expr("bit_xor(xxhash64(u, v))").alias("x"),
         ).collect()[0]
         sig = (row["n"], row["x"])
-        if sig == prev:
+        # equal counts + one-direction exceptAll empty => equal sets;
+        # rules out a 64-bit checksum collision silently returning
+        # partially-contracted components
+        if sig == prev and e2.exceptAll(e).isEmpty():
+            e = e2
             break
         prev = sig
+        e = e2
     else:
         raise RuntimeError(f"no convergence in {max_iters} star rounds")
     parents = e.select(F.col("u").alias("node"), F.col("v").alias("component"))

@@ -2628,13 +2628,21 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast for a bloom filter to trade exactness for memory).
     Returns per-doc shingle/hit counts and the contamination flag."""
     docs = _dense(spark, _t(spark, sf_dir, "documents"))
-    sh = docs.select("doc_id", F.explode(TX.shingles(F.col("text"), 5)).alias("s"))
+    # Filter docs BEFORE the shingle explode: each branch shingles only its
+    # own documents, so the (tiny) eval side never pays the full-corpus
+    # explode and the corpus side never shingles eval docs. Previously both
+    # branches derived from one full-corpus explode that Spark recomputed
+    # per-branch (2x the shingling work; the round-2 bench regression).
     ev = (
-        sh.filter(F.col("doc_id") % 97 == 0)
-        .select("s").distinct()
+        docs.filter(F.col("doc_id") % 97 == 0)
+        .select(F.explode(TX.shingles(F.col("text"), 5)).alias("s"))
+        .distinct()
         .withColumn("_hit", F.lit(1))
     )
-    corpus = sh.filter(F.col("doc_id") % 97 != 0)
+    corpus = (
+        docs.filter(F.col("doc_id") % 97 != 0)
+        .select("doc_id", F.explode(TX.shingles(F.col("text"), 5)).alias("s"))
+    )
     return (
         corpus.join(F.broadcast(ev), "s", "left")
         .groupBy("doc_id")
@@ -6258,8 +6266,8 @@ SELECT rule, CAST(violations AS BIGINT) AS violations FROM (
         GROUP BY l_orderkey, l_linenumber)
   UNION ALL
   SELECT 'accepted_values_l_returnflag',
-         count(*) FILTER (WHERE l_returnflag NOT IN ('A','N','R')
-                          OR l_returnflag IS NULL)
+         count(*) FILTER (WHERE l_returnflag IS NOT NULL
+                          AND l_returnflag NOT IN ('A','N','R'))
   FROM lineitem
   UNION ALL
   SELECT 'in_range_l_discount',

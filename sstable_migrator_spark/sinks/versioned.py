@@ -86,8 +86,8 @@ def _publish(path: str, manifest: dict, base_version: int | None = None) -> int:
     """Exclusive-create the next manifest. With ``base_version`` the
     commit is conditional — it claims exactly base+1 and raises
     ConcurrentWriteError if another writer got there first (the
-    read-modify-write commits: append, merge). Without it the content
-    is base-independent (overwrite/compact/rollback) and the publish
+    read-modify-write commits: append, merge, compact). Without it the
+    content is base-independent (overwrite/rollback) and the publish
     retries onto the next free number."""
     os.makedirs(_manifest_dir(path), exist_ok=True)
     while True:
@@ -168,8 +168,9 @@ def compact(spark: SparkSession, path: str, target_file_bytes: int = 134217728) 
     readable — compaction is just another commit."""
     import math
 
-    df = read_version(spark, path)
-    latest = _load(path, _versions(path)[-1])
+    base_v = _versions(path)[-1]
+    df = read_version(spark, path, base_v)
+    latest = _load(path, base_v)
     total = 0
     for d in latest["dirs"]:
         for root, _dirs, files in os.walk(os.path.join(path, d)):
@@ -182,9 +183,15 @@ def compact(spark: SparkSession, path: str, target_file_bytes: int = 134217728) 
     dirname = f"v{uuid.uuid4().hex[:12]}"
     data_dir = os.path.join(path, "data", dirname)
     df.repartition(n_files).write.mode("error").parquet(data_dir)
+    # Conditional publish against the snapshot compact actually read: a
+    # commit landing between the read and this publish must surface as
+    # ConcurrentWriteError (caller re-reads and retries) — otherwise the
+    # compacted manifest, which lists only the compacted directory, would
+    # silently drop the concurrent commit's directories (lost update).
     return _publish(
         path,
         {"op": "compact", "ts": time.time(), "dirs": [os.path.join("data", dirname)]},
+        base_version=base_v,
     )
 
 

@@ -113,7 +113,12 @@ def _sessionize_fn(gap_seconds: int, event_time_timeout: bool = False):
             if s is None:
                 s, e, n = t, t, 1
             elif t - e <= gap_us:
-                e, n = t, n + 1
+                # max(): a late-but-above-watermark event from a later
+                # micro-batch may have t < stored e; the session end must
+                # stay monotone or the event-time timeout (registered at
+                # e+gap) would close and split the session prematurely
+                # relative to the batch twin.
+                e, n = max(e, t), n + 1
             else:
                 closed.append((user_id, s, e, n))
                 s, e, n = t, t, 1

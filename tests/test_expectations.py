@@ -31,7 +31,7 @@ def test_all_rule_kinds(spark):
     assert got == {
         "not_null_name": 1,
         "unique_id": 1,                 # id=2 appears twice -> 1 extra row
-        "accepted_values_name": 2,      # 'zz' and NULL
+        "accepted_values_name": 1,      # 'zz' (NULL passes; pair with not_null)
         "in_range_qty": 2,              # 200 and -1
         "matches_email": 1,             # 'bad' (NULL email not a violation)
         "references_id": 1,             # id=4 has no parent

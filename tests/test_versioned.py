@@ -111,6 +111,32 @@ def test_concurrent_append_detected(spark, tmp_path):
         _publish(t, {"op": "append", "ts": 0.0, "dirs": []}, base_version=1)
 
 
+def test_concurrent_compact_detected(spark, tmp_path, monkeypatch):
+    """compact() is a read-modify-write: a commit landing between its
+    read and its publish must raise, or the compacted manifest (listing
+    only the compacted dir) would silently drop the concurrent commit's
+    directories."""
+    from sstable_migrator_spark.sinks import versioned as V
+
+    t = str(tmp_path / "tbl")
+    versioned_write(_df(spark, 0, 5), t)
+    versioned_write(_df(spark, 5, 10), t)
+
+    orig = V.read_version
+
+    def race(spark_, path, version=None):
+        df = orig(spark_, path, version)
+        # concurrent append wins the race while compact is rewriting
+        versioned_write(_df(spark, 10, 12), path)
+        return df
+
+    monkeypatch.setattr(V, "read_version", race)
+    with pytest.raises(V.ConcurrentWriteError):
+        V.compact(spark, t)
+    # the concurrent append's rows survived
+    assert read_version(spark, t).count() == 12
+
+
 def test_schema_drift(spark, tmp_path):
     from sstable_migrator_spark.sinks.versioned import schema_drift
 
