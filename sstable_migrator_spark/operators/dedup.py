@@ -579,8 +579,11 @@ def prefix_filter_jaccard_pairs(
 
     Recipe (Chaudhuri/Xiao prefix-filter family):
     1. global token order, rarest first (df asc, token asc) — computed
-       over the VOCAB, which is zipf-bounded and tiny next to the
-       corpus, then broadcast back;
+       over the VOCAB as a distributed two-phase rank (range-partition
+       by (df, tok), per-partition offsets via one row-per-partition
+       driver pass, bounded within-partition row_number) — never a
+       single-task global sort, because a web-scale vocabulary is
+       hundreds of millions of types — then broadcast back;
     2. each doc's token set becomes a sorted rank array; any pair with
        Jaccard >= t MUST share a token inside each other's first
        ``p = n - ceil(t*n) + 1`` ranks (pigeonhole), so only prefix
@@ -600,9 +603,38 @@ def prefix_filter_jaccard_pairs(
         F.explode(F.array_distinct(TX.tokens(F.lower(F.col(text_col))))).alias("tok"),
     )
     vocab = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("df_"))
-    # rank window runs over the vocab only (tiny); single ordered pass
-    rank_w = Window.orderBy(F.col("df_").asc(), F.col("tok").asc())
-    ranked_vocab = vocab.select("tok", F.row_number().over(rank_w).alias("rnk"))
+    # Distributed rarest-first rank (corpus.py shard-packing recipe): a
+    # web-scale vocabulary is hundreds of millions of types, so a global
+    # Window.orderBy (one-task sort of the whole vocab) is out.
+    #   1. repartitionByRange(df_, tok) — global (df asc, tok asc) order
+    #      becomes partition-id order;
+    #   2. per-partition type counts -> driver (one row PER PARTITION)
+    #      -> exclusive prefix offsets broadcast back;
+    #   3. bounded per-partition row_number + offset = exact global rank.
+    parts = max(docs.sparkSession.sparkContext.defaultParallelism, 1)
+    ranged = (
+        vocab.repartitionByRange(parts, "df_", "tok")
+        .withColumn("_pid", F.spark_partition_id())
+        .localCheckpoint()  # count pass + rank pass both scan it
+    )
+    counts = sorted(
+        (r["_pid"], r["c"])
+        for r in ranged.groupBy("_pid").agg(F.count(F.lit(1)).alias("c")).collect()
+    )
+    offsets, acc = {}, 0
+    for pid, c in counts:
+        offsets[pid] = acc
+        acc += c
+    off_df = F.broadcast(
+        docs.sparkSession.createDataFrame(
+            [(int(p), int(o)) for p, o in offsets.items()], "_pid int, _off long"
+        )
+    )
+    rank_w = Window.partitionBy("_pid").orderBy(F.col("df_").asc(), F.col("tok").asc())
+    ranked_vocab = (
+        ranged.join(off_df, "_pid")
+        .select("tok", (F.col("_off") + F.row_number().over(rank_w)).cast("int").alias("rnk"))
+    )
     doc_ranks = (
         toks.join(F.broadcast(ranked_vocab), "tok")
         .groupBy("doc")

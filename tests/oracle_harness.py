@@ -91,12 +91,29 @@ def compare_one(spark, con, name: str, qfn, sql: str | None, sf_dir: str) -> dic
     return res
 
 
+def assert_fixture_caps(con: duckdb.DuckDBPyConnection) -> None:
+    """The q78 oracle enumerates chunk positions with a FIXED
+    ``range(0, 512)`` (512 chunks x 8 words = 4096 words max per doc);
+    the Spark side is unbounded. If the fixture docs ever outgrow the
+    cap the two would silently diverge — fail loudly here instead."""
+    (max_words,) = con.execute(
+        "SELECT coalesce(max(len(string_split(text, ' '))), 0) FROM documents"
+    ).fetchone()
+    if max_words > 512 * 8:
+        raise AssertionError(
+            f"documents fixture has a {max_words}-word doc; the q78 oracle's "
+            "512-chunk cap (4096 words) no longer covers the data — raise the "
+            "cap in SQL_PARAGRAPH_DEDUP or shrink the fixture"
+        )
+
+
 def run_all(sf_dir: str, only: list[str] | None = None) -> list[dict]:
     import __spark_entry__ as entrymod
     from sstable_migrator_spark.session import get_spark
 
     spark = get_spark(app_name="oracle_harness", shuffle_partitions=8)
     con = duck_connection(sf_dir)
+    assert_fixture_caps(con)
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
     results = []

@@ -141,6 +141,53 @@ def test_q13_exchange_budget(spark, sf_dir):
     assert stats["shuffles"] <= 3, stats
 
 
+def test_plan_audit_roundrobin_and_single_partition_allowlist():
+    """Audit guard over PLANS.md (regenerated per round): a keyless
+    round-robin exchange is allowed ONLY in queries that stage the
+    documents scan through the documented `_dense` local-bench fan-out
+    (queries.py), and an unpartitioned ordered Window (whole input
+    through one task) ONLY in the three queries whose window input is
+    a bounded rollup (per-day / per-source aggregates). Any other
+    occurrence is a scale regression, not a style issue. Also fails if
+    PLANS.md is stale (missing a catalog query)."""
+    import inspect
+    import os
+    import re
+
+    plans_md = os.path.join(os.path.dirname(__file__), "..", "PLANS.md")
+    rows = {}
+    with open(plans_md) as f:
+        for ln in f:
+            m = re.match(r"\| (q\w+) \| (\d+) \| (\d+) \| (\d+) \| (\d+) \|", ln)
+            if m:
+                rows[m.group(1)] = {
+                    "shuffles": int(m.group(2)),
+                    "roundrobin": int(m.group(3)),
+                    "single": int(m.group(4)),
+                    "unpart_windows": int(m.group(5)),
+                }
+    assert len(rows) > 100, "PLANS.md missing or truncated"
+
+    missing = [n for n in Q.QUERIES if n not in rows]
+    assert not missing, f"PLANS.md is stale — regenerate (missing {missing[:5]})"
+
+    # the three bounded scalar windows: per-day rolling revenue, the
+    # Hamilton-quota ranking over per-source totals, median+MAD over the
+    # per-day rollup (2 medians ride the same bounded input)
+    uw_allow = {"q96_rolling_revenue", "q149_budget_allocation", "q152_robust_outliers"}
+    bad_uw = {n: r["unpart_windows"] for n, r in rows.items()
+              if r["unpart_windows"] and n not in uw_allow}
+    assert not bad_uw, f"non-allowlisted unpartitioned windows: {bad_uw}"
+
+    for name, r in rows.items():
+        if not r["roundrobin"]:
+            continue
+        fn = Q.QUERIES.get(name)
+        assert fn is not None and "_dense(" in inspect.getsource(fn), (
+            f"{name}: round-robin exchange outside the _dense allowlist"
+        )
+
+
 def test_collect_table_stats_feeds_cbo(spark, tmp_path):
     """ANALYZE helper records table + column statistics the CBO reads
     (row counts visible in DESCRIBE EXTENDED; NDV on the analyzed
