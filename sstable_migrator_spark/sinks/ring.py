@@ -45,7 +45,13 @@ from sstable_migrator_spark.functions.cassandra import (
     cassandra_token_col,
 )
 
-__all__ = ["build_ring", "replica_plan", "ring_range_col", "ring_placement_write"]
+__all__ = [
+    "build_ring",
+    "replica_plan",
+    "ring_range_col",
+    "ring_placement_write",
+    "write_sstables",
+]
 
 MIN_TOKEN = -(1 << 63)
 MAX_TOKEN = (1 << 63) - 1
@@ -176,4 +182,128 @@ def ring_placement_write(
     )
     with open(os.path.join(path, "_stream_plan.json"), "w") as fh:
         json.dump({"rf": rf, "rack_aware": racks is not None, "ranges": plan}, fh)
+    return plan
+
+
+_SPARK_TO_CQL = {
+    "string": "varchar",
+    "int": "int",
+    "bigint": "bigint",
+    "long": "bigint",
+    "double": "double",
+    "boolean": "boolean",
+    "binary": "blob",
+    "timestamp": "timestamp",
+    "date": "date",
+}
+
+
+def write_sstables(
+    df: DataFrame,
+    path: str,
+    keyspace: str,
+    table: str,
+    partition_key: list[str],
+    clustering: list[str],
+    ring: list[tuple[int, str]],
+    rf: int = 3,
+    racks: dict[str, str] | None = None,
+    cql_type_overrides: dict[str, str] | None = None,
+    write_timestamp_us: int = 1700000000000000,
+) -> list[dict]:
+    """K1 end-to-end: route every row to its owning token range and
+    write ONE actual BIG-format SSTable per range — the exact artifact
+    ``CQLSSTableWriter`` + ``sstableloader`` produce and stream
+    (App.java:231-250, daily_all_upload.sh:37-39). Each range directory
+    ``cass_range=<id>/`` holds ``nb-<id+1>-big-*`` components; the
+    stream manifest maps it to its RF endpoints, so the bulk load is a
+    plain file copy per range.
+
+    Execution shape: the ONLY shuffle is the repartition on range id
+    (the rendezvous any bulk-load layout needs; Murmur3 tokens make it
+    skew-free); serialization runs as an Arrow-batched ``mapInPandas``
+    per partition with O(rows-in-range) executor memory and O(vnodes)
+    driver state. ``cql_type_overrides`` maps columns to CQL types
+    Spark lacks (the reference's INET columns ride as strings
+    Spark-side, exactly like cassandra_ddl's overrides).
+
+    Returns the stream plan; per-sstable manifests land in
+    ``_sstable_manifests.json`` (written from collected results —
+    one small row per RANGE, not per data row)."""
+    from pyspark import TaskContext
+
+    from sstable_migrator_spark.sinks.sstable_format import CqlTable, SSTableWriter
+
+    over = cql_type_overrides or {}
+    data_cols = [f.name for f in df.schema.fields]
+    columns = []
+    for f in df.schema.fields:
+        cql = over.get(f.name) or _SPARK_TO_CQL.get(f.dataType.simpleString())
+        if cql is None:
+            raise ValueError(f"no CQL mapping for {f.name}: {f.dataType.simpleString()}")
+        columns.append((f.name, cql))
+
+    ring = sorted(ring)
+    plan = replica_plan(ring, rf=rf, racks=racks)
+    os.makedirs(path, exist_ok=True)
+
+    routed = (
+        df.withColumn("cass_token", cassandra_token_col(*partition_key))
+        .withColumn("cass_range", ring_range_col(ring, "cass_token"))
+        .repartition(len(ring), "cass_range")
+    )
+
+    keep = set(data_cols)
+
+    def _write(batches):
+        rows_by_range: dict[int, list[dict]] = {}
+        for pdf in batches:
+            for rec in pdf.to_dict("records"):
+                rid = int(rec.pop("cass_range"))
+                rec.pop("cass_token")
+                rows_by_range.setdefault(rid, []).append(
+                    {k: (None if pd.isna(v) else v) for k, v in rec.items()
+                     if k in keep}
+                )
+        part_id = TaskContext.get().partitionId()
+        out = []
+        for rid, rows in rows_by_range.items():
+            schema = CqlTable(
+                keyspace=keyspace, table=table, columns=columns,
+                partition_key=partition_key, clustering=clustering,
+            )
+            w = SSTableWriter(
+                os.path.join(path, f"cass_range={rid}"),
+                schema,
+                generation=rid + 1,
+                write_timestamp_us=write_timestamp_us,
+            )
+            for r in rows:
+                w.add_row(r)
+            m = w.close()
+            out.append(
+                {
+                    "range_id": rid,
+                    "task_partition": part_id,
+                    "prefix": m["prefix"],
+                    "partitions": m["partitions"],
+                    "rows": m["rows"],
+                    "data_bytes": m["data_bytes"],
+                    "min_token": m["min_token"],
+                    "max_token": m["max_token"],
+                }
+            )
+        if out:
+            yield pd.DataFrame(out)
+
+    manifests = routed.mapInPandas(
+        _write,
+        "range_id int, task_partition int, prefix string, partitions long, "
+        "rows long, data_bytes long, min_token long, max_token long",
+    ).collect()
+    by_range = {m["range_id"]: m.asDict() for m in manifests}
+    with open(os.path.join(path, "_stream_plan.json"), "w") as fh:
+        json.dump({"rf": rf, "rack_aware": racks is not None, "ranges": plan}, fh)
+    with open(os.path.join(path, "_sstable_manifests.json"), "w") as fh:
+        json.dump(sorted(by_range.values(), key=lambda m: m["range_id"]), fh)
     return plan

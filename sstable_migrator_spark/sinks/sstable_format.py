@@ -1,0 +1,887 @@
+"""Cassandra BIG-format ("nb") SSTable file writer + self-contained reader.
+
+This is the K1 "last mile": the reference's output artifact is actual
+SSTable files produced by ``CQLSSTableWriter`` (App.java:231-250 builds
+one writer per table with ``Murmur3Partitioner``). Everything upstream
+already exists Spark-side — exact Murmur3 tokens
+(functions/cassandra.py), CQL DDL parity, ring-range layout
+(sinks/ring.py) — this module emits the on-disk format itself.
+
+Every encoding below implements the PUBLIC Cassandra 4.x storage format
+(the post-3.0 "storage engine with structure" layout), from the
+published format documentation and the Apache Cassandra source tree
+(java classes named per structure). Components written, per sstable
+``nb-<gen>-big-<Component>``:
+
+- ``Data.db``   — partitions in (token, key) order; per partition:
+  u16 key length + serialized key, partition DeletionTime
+  (int localDeletionTime, long markedForDeleteAt —
+  ``DeletionTime.Serializer``; LIVE = (0x7FFFFFFF, Long.MIN_VALUE)),
+  then rows serialized per ``UnfilteredSerializer`` (flags byte,
+  clustering header+values per ``ClusteringPrefix.Serializer``, row
+  size + previous row size unsigned vints, timestamp delta against
+  ``EncodingStats.minTimestamp``, optional missing-columns bitmap per
+  ``Columns.Serializer.serializeSubset``, cells per
+  ``Cell.Serializer``), closed by the 0x01 END_OF_PARTITION flag.
+- ``Index.db``  — per partition: u16 key length + key, then
+  ``RowIndexEntry``: unsigned vint Data.db position + unsigned vint 0
+  (no promoted index — partitions small enough to skip index samples,
+  the same fast path Cassandra takes under 64 KiB).
+- ``Filter.db`` — bloom filter: int hashCount, then the
+  ``OffHeapBitSet`` serialization (int word count + big-endian longs
+  whose bytes are the little-endian-bit bitset bytes). Key hashing is
+  the Cassandra-variant Murmur3 x64_128 already golden-pinned in
+  functions/cassandra.py; bit indexes follow ``BloomFilter.indexes``:
+  ``abs((h2 + i*h1) mod capacity)`` with Java signed semantics.
+- ``Statistics.db`` — metadata TOC (int count, then (int type ordinal,
+  int offset) pairs; ordinals VALIDATION=0, COMPACTION=1, STATS=2,
+  HEADER=3) with the VALIDATION component (writeUTF partitioner FQCN +
+  double bloom fp chance) and the HEADER component
+  (``SerializationHeader.Component``: EncodingStats vint deltas
+  against the public epochs TIMESTAMP_EPOCH=1442880000000000us /
+  DELETION_TIME_EPOCH=1442880000s / TTL_EPOCH=0, key type name,
+  clustering type names, static + regular column name/type maps with
+  vint-length strings). COMPACTION (HyperLogLog cardinality) and STATS
+  (estimated histograms) are NOT written — they are statistics, not
+  data; Cassandra rebuilds/tolerates their absence on upgradesstables
+  paths, and this writer's manifest flags their omission honestly.
+- ``Digest.crc32`` — CRC32 of the Data.db bytes, ASCII decimal.
+- ``CRC.db``    — int chunk size + per-64KiB-chunk CRC32 ints
+  (``DataIntegrityMetadata.ChecksumWriter``).
+- ``TOC.txt``   — the component list, itself included.
+
+``Summary.db`` is deliberately not written: Cassandra regenerates a
+missing index summary from Index.db on open (``SSTableReader``'s
+buildSummary path), and its serialization is raw off-heap memory whose
+layout is platform/native-order dependent — the one component with no
+stable public byte contract.
+
+The matching ``read_sstable`` is a fully independent parser: it learns
+the column types from the Statistics.db HEADER component (not from the
+writer's in-memory schema), walks Data.db partition by partition,
+cross-checks every Index.db offset against the real partition starts,
+verifies the digest, and evaluates bloom membership — the same
+verification recipe used for the mmdb and 7z binary readers.
+
+Scale shape: one sstable per Spark partition (see
+``sinks.write_sstables``), rows arrive ring-routed and token-sorted
+from ``ring_placement_write``'s layout, so the writer is a streaming
+single pass with O(partitions-per-sstable) index state and nothing on
+the driver.
+"""
+
+from __future__ import annotations
+
+import io
+import os
+import struct
+import zlib
+from dataclasses import dataclass, field
+
+from sstable_migrator_spark.functions.cassandra import (
+    cassandra_token_bytes,
+    serialize_key,
+)
+
+__all__ = [
+    "CqlTable",
+    "SSTableWriter",
+    "read_sstable",
+    "encode_unsigned_vint",
+    "decode_unsigned_vint",
+    "encode_signed_vint",
+    "decode_signed_vint",
+]
+
+# ---------------------------------------------------------------------------
+# vint codec (org.apache.cassandra.utils.vint.VIntCoding)
+# ---------------------------------------------------------------------------
+
+_MASK64 = (1 << 64) - 1
+
+
+def _unsigned_vint_size(value: int) -> int:
+    """(639 - numberOfLeadingZeros(value|1) * 9) >> 6 — the Java size
+    formula verbatim (computeUnsignedVIntSize)."""
+    v = (value | 1) & _MASK64
+    nlz = 64 - v.bit_length()
+    return (639 - nlz * 9) >> 6
+
+
+def encode_unsigned_vint(value: int) -> bytes:
+    """First byte carries as many leading 1-bits as there are extra
+    bytes; 0..127 encode in one byte."""
+    value &= _MASK64
+    size = _unsigned_vint_size(value)
+    if size == 1:
+        return bytes([value])
+    extra = size - 1
+    buf = bytearray(size)
+    v = value
+    for i in range(extra, -1, -1):
+        buf[i] = v & 0xFF
+        v >>= 8
+    buf[0] |= (~(0xFF >> extra)) & 0xFF  # the leading-ones prefix
+    return bytes(buf)
+
+
+def decode_unsigned_vint(data: bytes, offset: int = 0) -> tuple[int, int]:
+    """Returns (value, next_offset)."""
+    first = data[offset]
+    extra = 0
+    mask = 0x80
+    while extra < 8 and first & mask:
+        extra += 1
+        mask >>= 1
+    value = first & (0xFF >> extra) if extra < 8 else 0
+    for i in range(extra):
+        value = (value << 8) | data[offset + 1 + i]
+    return value, offset + 1 + extra
+
+
+def encode_signed_vint(value: int) -> bytes:
+    """Zigzag then unsigned (writeVInt)."""
+    v = value & _MASK64
+    zig = ((v << 1) & _MASK64) ^ (_MASK64 if value < 0 else 0)
+    return encode_unsigned_vint(zig)
+
+
+def decode_signed_vint(data: bytes, offset: int = 0) -> tuple[int, int]:
+    zig, off = decode_unsigned_vint(data, offset)
+    value = (zig >> 1) ^ -(zig & 1)
+    return value, off
+
+
+# ---------------------------------------------------------------------------
+# CQL marshal types (org.apache.cassandra.db.marshal.*)
+# ---------------------------------------------------------------------------
+
+_MARSHAL = "org.apache.cassandra.db.marshal."
+
+
+def _ser_text(v) -> bytes:
+    return v.encode("utf-8") if isinstance(v, str) else bytes(v)
+
+
+def _ser_int32(v) -> bytes:
+    return struct.pack(">i", int(v))
+
+
+def _ser_long(v) -> bytes:
+    return struct.pack(">q", int(v))
+
+
+def _ser_double(v) -> bytes:
+    return struct.pack(">d", float(v))
+
+
+def _ser_bool(v) -> bytes:
+    return b"\x01" if v else b"\x00"
+
+
+def _ser_timestamp(v) -> bytes:
+    """TimestampType: 8-byte big-endian millis since unix epoch."""
+    if hasattr(v, "timestamp"):  # datetime
+        return struct.pack(">q", int(v.timestamp() * 1000))
+    return struct.pack(">q", int(v))
+
+
+def _ser_inet(v) -> bytes:
+    import ipaddress
+
+    return ipaddress.ip_address(v).packed
+
+
+def _ser_blob(v) -> bytes:
+    return bytes(v)
+
+
+def _ser_date(v) -> bytes:
+    """SimpleDateType: unsigned 4-byte days-since-epoch + 2^31."""
+    if hasattr(v, "toordinal"):
+        days = v.toordinal() - 719163  # 1970-01-01
+    else:
+        days = int(v)
+    return struct.pack(">I", (days + (1 << 31)) & 0xFFFFFFFF)
+
+
+@dataclass(frozen=True)
+class _CqlType:
+    cql: str
+    marshal: str  # FQCN suffix
+    fixed_len: int | None
+    ser: object
+    deser: object
+
+
+def _deser_text(b: bytes):
+    return b.decode("utf-8")
+
+
+def _deser_int32(b: bytes):
+    return struct.unpack(">i", b)[0]
+
+
+def _deser_long(b: bytes):
+    return struct.unpack(">q", b)[0]
+
+
+def _deser_double(b: bytes):
+    return struct.unpack(">d", b)[0]
+
+
+def _deser_bool(b: bytes):
+    return b != b"\x00"
+
+
+def _deser_timestamp(b: bytes):
+    return struct.unpack(">q", b)[0]  # millis; caller converts if needed
+
+
+def _deser_inet(b: bytes):
+    import ipaddress
+
+    return str(ipaddress.ip_address(b))
+
+
+def _deser_date(b: bytes):
+    return struct.unpack(">I", b)[0] - (1 << 31)
+
+
+def _deser_blob(b: bytes):
+    return b
+
+
+CQL_TYPES: dict[str, _CqlType] = {
+    t.cql: t
+    for t in [
+        _CqlType("text", "UTF8Type", None, _ser_text, _deser_text),
+        _CqlType("varchar", "UTF8Type", None, _ser_text, _deser_text),
+        _CqlType("ascii", "AsciiType", None, _ser_text, _deser_text),
+        _CqlType("int", "Int32Type", 4, _ser_int32, _deser_int32),
+        _CqlType("bigint", "LongType", 8, _ser_long, _deser_long),
+        _CqlType("double", "DoubleType", 8, _ser_double, _deser_double),
+        _CqlType("boolean", "BooleanType", 1, _ser_bool, _deser_bool),
+        _CqlType("timestamp", "TimestampType", 8, _ser_timestamp, _deser_timestamp),
+        _CqlType("inet", "InetAddressType", None, _ser_inet, _deser_inet),
+        _CqlType("blob", "BytesType", None, _ser_blob, _deser_blob),
+        _CqlType("date", "SimpleDateType", 4, _ser_date, _deser_date),
+    ]
+}
+
+_BY_MARSHAL = {t.marshal: t for t in CQL_TYPES.values()}
+
+
+def _norm_cql(name: str) -> str:
+    return name.strip().lower()
+
+
+# ---------------------------------------------------------------------------
+# Schema
+# ---------------------------------------------------------------------------
+
+
+@dataclass
+class CqlTable:
+    """A CQL table shape: ordered (name, cql_type) columns plus the key
+    spec — the same inputs ``cassandra_ddl`` takes. Regular (non-key)
+    columns are kept name-sorted, which IS Cassandra's cell order
+    (``Columns`` sorts by column name bytes); cells in every row and
+    the missing-column bitmap both index that order."""
+
+    keyspace: str
+    table: str
+    columns: list[tuple[str, str]]
+    partition_key: list[str]
+    clustering: list[str] = field(default_factory=list)
+
+    def __post_init__(self) -> None:
+        names = [n for n, _ in self.columns]
+        if len(set(names)) != len(names):
+            raise ValueError("duplicate column names")
+        self.types = {n: CQL_TYPES[_norm_cql(t)] for n, t in self.columns}
+        for c in [*self.partition_key, *self.clustering]:
+            if c not in self.types:
+                raise ValueError(f"key column {c} not in columns")
+        keyset = set(self.partition_key) | set(self.clustering)
+        self.regular = sorted(
+            (n for n, _ in self.columns if n not in keyset),
+            key=lambda n: n.encode("utf-8"),
+        )
+
+    def key_type_name(self) -> str:
+        parts = [_MARSHAL + self.types[c].marshal for c in self.partition_key]
+        if len(parts) == 1:
+            return parts[0]
+        return _MARSHAL + "CompositeType(" + ",".join(parts) + ")"
+
+    def serialize_partition_key(self, row: dict) -> bytes:
+        comps = []
+        for c in self.partition_key:
+            v = row.get(c)
+            if v is None:
+                raise ValueError(f"partition key column {c} is null")
+            comps.append(self.types[c].ser(v))
+        return serialize_key(*comps)
+
+
+# EncodingStats public epoch constants (EncodingStats.java: Sep 22 2015)
+TIMESTAMP_EPOCH_US = 1442880000000000
+DELETION_TIME_EPOCH_S = 1442880000
+NO_DELETION_TIME = 0x7FFFFFFF  # Integer.MAX_VALUE: "live"
+LIVE_MARKED_FOR_DELETE = -(1 << 63)  # Long.MIN_VALUE
+
+# Unfiltered flags (UnfilteredSerializer)
+END_OF_PARTITION = 0x01
+IS_MARKER = 0x02
+HAS_TIMESTAMP = 0x04
+HAS_TTL = 0x08
+HAS_DELETION = 0x10
+HAS_ALL_COLUMNS = 0x20
+HAS_COMPLEX_DELETION = 0x40
+EXTENSION_FLAG = 0x80
+
+# Cell flags (Cell.Serializer)
+CELL_IS_DELETED = 0x01
+CELL_IS_EXPIRING = 0x02
+CELL_HAS_EMPTY_VALUE = 0x04
+CELL_USE_ROW_TIMESTAMP = 0x08
+CELL_USE_ROW_TTL = 0x10
+
+# Statistics.db metadata ordinals (MetadataType)
+META_VALIDATION = 0
+META_COMPACTION = 1
+META_STATS = 2
+META_HEADER = 3
+
+PARTITIONER = "org.apache.cassandra.dht.Murmur3Partitioner"
+VERSION = "nb"
+CHUNK_SIZE = 65536
+
+
+def _write_value(t: _CqlType, raw: bytes, out: io.BytesIO) -> None:
+    """AbstractType.writeValue: fixed-length types raw, variable-length
+    types unsigned-vint length + bytes."""
+    if t.fixed_len is not None:
+        if len(raw) != t.fixed_len:
+            raise ValueError(f"bad fixed-length value for {t.cql}")
+        out.write(raw)
+    else:
+        out.write(encode_unsigned_vint(len(raw)))
+        out.write(raw)
+
+
+def _read_value(t: _CqlType, data: bytes, off: int) -> tuple[bytes, int]:
+    if t.fixed_len is not None:
+        return data[off : off + t.fixed_len], off + t.fixed_len
+    n, off = decode_unsigned_vint(data, off)
+    return data[off : off + n], off + n
+
+
+def _vint_len_str(s: str) -> bytes:
+    b = s.encode("utf-8")
+    return encode_unsigned_vint(len(b)) + b
+
+
+# ---------------------------------------------------------------------------
+# Bloom filter (BloomFilter + OffHeapBitSet)
+# ---------------------------------------------------------------------------
+
+
+def _java_mod(a: int, m: int) -> int:
+    """Java % : truncated toward zero on the signed value."""
+    r = abs(a) % m
+    return -r if a < 0 else r
+
+
+class _Bloom:
+    def __init__(self, n_keys: int, fp: float = 0.01):
+        import math
+
+        n = max(n_keys, 1)
+        m = max(64, math.ceil(-n * math.log(fp) / (math.log(2) ** 2)))
+        words = ((m - 1) >> 6) + 1  # OffHeapBitSet.bits2words
+        self.capacity = words * 64
+        self.hash_count = max(1, round(math.log(2) * self.capacity / n))
+        self.bits = bytearray(words * 8)
+
+    def _indexes(self, key: bytes) -> list[int]:
+        from sstable_migrator_spark.functions.cassandra import murmur3_x64_128
+
+        h1, h2 = murmur3_x64_128(key, seed=0, cassandra_variant=True)
+        out = []
+        base, inc = h2, h1  # BloomFilter.setIndexes(b[1], b[0], ...)
+        for _ in range(self.hash_count):
+            out.append(abs(_java_mod(base, self.capacity)))
+            base = ((base + inc + (1 << 63)) & _MASK64) - (1 << 63)  # signed add
+        return out
+
+    def add(self, key: bytes) -> None:
+        for idx in self._indexes(key):
+            self.bits[idx >> 3] |= 1 << (idx & 7)
+
+    def might_contain(self, key: bytes) -> bool:
+        return all(self.bits[i >> 3] & (1 << (i & 7)) for i in self._indexes(key))
+
+    def serialize(self) -> bytes:
+        """int hashCount, int word count, then each 8-byte group read
+        little-endian and written as a big-endian long — byte-for-byte
+        what OffHeapBitSet.serialize does (native LE memory getLong +
+        DataOutput BE writeLong)."""
+        out = io.BytesIO()
+        words = len(self.bits) // 8
+        out.write(struct.pack(">ii", self.hash_count, words))
+        for i in range(words):
+            (w,) = struct.unpack_from("<Q", self.bits, i * 8)
+            out.write(struct.pack(">Q", w))
+        return out.getvalue()
+
+    @classmethod
+    def deserialize(cls, data: bytes) -> "_Bloom":
+        hash_count, words = struct.unpack_from(">ii", data, 0)
+        bf = cls.__new__(cls)
+        bf.hash_count = hash_count
+        bf.capacity = words * 64
+        bits = bytearray(words * 8)
+        for i in range(words):
+            (w,) = struct.unpack_from(">Q", data, 8 + i * 8)
+            struct.pack_into("<Q", bits, i * 8, w)
+        bf.bits = bits
+        return bf
+
+
+# ---------------------------------------------------------------------------
+# Writer
+# ---------------------------------------------------------------------------
+
+
+class SSTableWriter:
+    """Buffering BIG-format writer: ``add_row(dict)`` then ``close()``.
+    Rows are sorted by (token, key bytes, clustering) at close — the
+    DecoratedKey order Murmur3Partitioner gives CQLSSTableWriter — so
+    callers may feed unsorted batches (CQLSSTableWriter's unsorted mode
+    does exactly this buffer-then-sort). All rows share one write
+    timestamp (micros), matching the reference's batch-stamped
+    ``toTimestamp(now())`` semantics (App.java INSERTs)."""
+
+    def __init__(
+        self,
+        directory: str,
+        schema: CqlTable,
+        generation: int = 1,
+        write_timestamp_us: int = 1700000000000000,
+        bloom_fp: float = 0.01,
+    ):
+        self.dir = directory
+        self.schema = schema
+        self.gen = generation
+        self.ts = write_timestamp_us
+        self.bloom_fp = bloom_fp
+        self._rows: list[dict] = []
+
+    def add_row(self, row: dict) -> None:
+        self._rows.append(row)
+
+    # -- serialization pieces ------------------------------------------------
+
+    def _clustering_blob(self, row: dict) -> bytes:
+        """ClusteringPrefix.Serializer.serializeValuesWithoutSize: per
+        32 columns one unsigned-vint header with 2 bits per column
+        (bit 2i = empty value, bit 2i+1 = null), then each non-null
+        non-empty value via writeValue."""
+        s = self.schema
+        out = io.BytesIO()
+        cols = s.clustering
+        for base in range(0, len(cols), 32):
+            batch = cols[base : base + 32]
+            header = 0
+            raws: list[bytes | None] = []
+            for i, c in enumerate(batch):
+                v = row.get(c)
+                if v is None:
+                    header |= 1 << (i * 2 + 1)
+                    raws.append(None)
+                    continue
+                raw = s.types[c].ser(v)
+                if len(raw) == 0:
+                    header |= 1 << (i * 2)
+                raws.append(raw)
+            out.write(encode_unsigned_vint(header))
+            for c, raw in zip(batch, raws):
+                if raw:
+                    _write_value(s.types[c], raw, out)
+        return out.getvalue()
+
+    def _row_cells(self, row: dict) -> tuple[bytes, list[int]]:
+        """Cells in regular-column order; returns (cells blob, present
+        column indexes)."""
+        s = self.schema
+        out = io.BytesIO()
+        present = []
+        for i, c in enumerate(s.regular):
+            v = row.get(c)
+            if v is None:
+                continue  # absent cell -> missing-columns bitmap
+            present.append(i)
+            raw = s.types[c].ser(v)
+            flags = CELL_USE_ROW_TIMESTAMP
+            if len(raw) == 0:
+                flags |= CELL_HAS_EMPTY_VALUE
+            out.write(bytes([flags]))
+            if len(raw):
+                _write_value(s.types[c], raw, out)
+        return out.getvalue(), present
+
+    def _missing_bitmap(self, present: list[int]) -> int:
+        """Columns.Serializer.encodeBitmap: bit i set when superset
+        column i is MISSING from the row (superset < 64 columns)."""
+        n = len(self.schema.regular)
+        if n >= 64:
+            raise NotImplementedError("large column-set subset encoding")
+        missing = set(range(n)) - set(present)
+        bm = 0
+        for i in missing:
+            bm |= 1 << i
+        return bm
+
+    def _serialize_row(self, row: dict, prev_size: int) -> bytes:
+        cells, present = self._row_cells(row)
+        all_cols = len(present) == len(self.schema.regular)
+        flags = HAS_TIMESTAMP | (HAS_ALL_COLUMNS if all_cols else 0)
+        body = io.BytesIO()
+        body.write(encode_unsigned_vint(self.ts - self.ts))  # delta vs minTimestamp
+        if not all_cols:
+            body.write(encode_unsigned_vint(self._missing_bitmap(present)))
+        body.write(cells)
+        b = body.getvalue()
+        prev_vint = encode_unsigned_vint(prev_size)
+        out = io.BytesIO()
+        out.write(bytes([flags]))
+        out.write(self._clustering_blob(row))
+        # rowSize covers prevSize vint + body (UnfilteredSerializer)
+        out.write(encode_unsigned_vint(len(b) + len(prev_vint)))
+        out.write(prev_vint)
+        out.write(b)
+        return out.getvalue()
+
+    def _sort_key(self, row: dict):
+        s = self.schema
+        key = s.serialize_partition_key(row)
+        tok = cassandra_token_bytes(key)
+        clus = []
+        for c in s.clustering:
+            v = row.get(c)
+            # nulls sort first within a prefix level (we key on the
+            # serialized bytes; None -> empty sorts before everything)
+            clus.append(s.types[c].ser(v) if v is not None else b"")
+        return (tok, key, *clus)
+
+    # -- components ----------------------------------------------------------
+
+    def _statistics_blob(self) -> bytes:
+        s = self.schema
+        header = io.BytesIO()
+        # EncodingStats: vint deltas against the public epochs
+        header.write(encode_unsigned_vint(self.ts - TIMESTAMP_EPOCH_US))
+        header.write(encode_unsigned_vint(NO_DELETION_TIME - DELETION_TIME_EPOCH_S))
+        header.write(encode_unsigned_vint(0))  # minTTL - TTL_EPOCH
+        header.write(_vint_len_str(s.key_type_name()))
+        header.write(encode_unsigned_vint(len(s.clustering)))
+        for c in s.clustering:
+            header.write(_vint_len_str(_MARSHAL + s.types[c].marshal))
+        header.write(encode_unsigned_vint(0))  # static columns
+        header.write(encode_unsigned_vint(len(s.regular)))
+        for c in s.regular:
+            header.write(_vint_len_str(c))
+            header.write(_vint_len_str(_MARSHAL + s.types[c].marshal))
+        hdr = header.getvalue()
+
+        val = io.BytesIO()
+        pb = PARTITIONER.encode("utf-8")
+        val.write(struct.pack(">H", len(pb)) + pb)  # writeUTF
+        val.write(struct.pack(">d", self.bloom_fp))
+        vl = val.getvalue()
+
+        # TOC: count + (ordinal, offset) pairs, offsets from file start
+        out = io.BytesIO()
+        count = 2
+        toc_size = 4 + count * 8
+        out.write(struct.pack(">i", count))
+        out.write(struct.pack(">ii", META_VALIDATION, toc_size))
+        out.write(struct.pack(">ii", META_HEADER, toc_size + len(vl)))
+        out.write(vl)
+        out.write(hdr)
+        return out.getvalue()
+
+    def close(self) -> dict:
+        s = self.schema
+        os.makedirs(self.dir, exist_ok=True)
+        prefix = f"{VERSION}-{self.gen}-big-"
+
+        decorated = sorted(
+            ((self._sort_key(r), r) for r in self._rows), key=lambda kr: kr[0]
+        )
+
+        data = io.BytesIO()
+        index = io.BytesIO()
+        keys: list[bytes] = []
+        tokens: list[int] = []
+        n_rows = 0
+        # group rows by partition key (adjacent after the sort)
+        i = 0
+        while i < len(decorated):
+            key = decorated[i][0][1]
+            tok = decorated[i][0][0]
+            pos = data.tell()
+            index.write(struct.pack(">H", len(key)) + key)
+            index.write(encode_unsigned_vint(pos))
+            index.write(encode_unsigned_vint(0))  # no promoted index
+            keys.append(key)
+            tokens.append(tok)
+            data.write(struct.pack(">H", len(key)) + key)
+            data.write(struct.pack(">iq", NO_DELETION_TIME, LIVE_MARKED_FOR_DELETE))
+            prev = 0
+            while i < len(decorated) and decorated[i][0][1] == key:
+                blob = self._serialize_row(decorated[i][1], prev)
+                data.write(blob)
+                prev = len(blob)
+                n_rows += 1
+                i += 1
+            data.write(bytes([END_OF_PARTITION]))
+        data_bytes = data.getvalue()
+
+        bloom = _Bloom(len(keys), self.bloom_fp)
+        for k in keys:
+            bloom.add(k)
+
+        crc = io.BytesIO()
+        crc.write(struct.pack(">i", CHUNK_SIZE))
+        for off in range(0, max(len(data_bytes), 1), CHUNK_SIZE):
+            crc.write(struct.pack(">I", zlib.crc32(data_bytes[off : off + CHUNK_SIZE])))
+
+        components = {
+            "Data.db": data_bytes,
+            "Index.db": index.getvalue(),
+            "Filter.db": bloom.serialize(),
+            "Statistics.db": self._statistics_blob(),
+            "Digest.crc32": str(zlib.crc32(data_bytes)).encode("ascii"),
+            "CRC.db": crc.getvalue(),
+        }
+        toc = "\n".join([*components.keys(), "TOC.txt"]) + "\n"
+        components["TOC.txt"] = toc.encode("ascii")
+        for name, blob in components.items():
+            with open(os.path.join(self.dir, prefix + name), "wb") as fh:
+                fh.write(blob)
+        return {
+            "prefix": prefix[:-1],
+            "dir": self.dir,
+            "partitions": len(keys),
+            "rows": n_rows,
+            "data_bytes": len(data_bytes),
+            "min_token": tokens[0] if tokens else None,
+            "max_token": tokens[-1] if tokens else None,
+            "components": sorted(components),
+            "omitted_metadata": ["COMPACTION", "STATS", "Summary.db"],
+        }
+
+
+# ---------------------------------------------------------------------------
+# Reader (independent: types come from Statistics.db, not the writer)
+# ---------------------------------------------------------------------------
+
+
+def _read_vint_str(data: bytes, off: int) -> tuple[str, int]:
+    n, off = decode_unsigned_vint(data, off)
+    return data[off : off + n].decode("utf-8"), off + n
+
+
+def _parse_statistics(blob: bytes) -> dict:
+    count = struct.unpack_from(">i", blob, 0)[0]
+    toc = {}
+    for i in range(count):
+        ordinal, offset = struct.unpack_from(">ii", blob, 4 + i * 8)
+        toc[ordinal] = offset
+    out: dict = {"toc": toc}
+    if META_VALIDATION in toc:
+        off = toc[META_VALIDATION]
+        (n,) = struct.unpack_from(">H", blob, off)
+        out["partitioner"] = blob[off + 2 : off + 2 + n].decode("utf-8")
+        (out["bloom_fp"],) = struct.unpack_from(">d", blob, off + 2 + n)
+    if META_HEADER in toc:
+        off = toc[META_HEADER]
+        min_ts, off = decode_unsigned_vint(blob, off)
+        min_ldt, off = decode_unsigned_vint(blob, off)
+        min_ttl, off = decode_unsigned_vint(blob, off)
+        out["min_timestamp_us"] = min_ts + TIMESTAMP_EPOCH_US
+        out["min_local_deletion_time"] = min_ldt + DELETION_TIME_EPOCH_S
+        out["min_ttl"] = min_ttl
+        key_type, off = _read_vint_str(blob, off)
+        out["key_type"] = key_type
+        n_clus, off = decode_unsigned_vint(blob, off)
+        clus = []
+        for _ in range(n_clus):
+            t, off = _read_vint_str(blob, off)
+            clus.append(t)
+        out["clustering_types"] = clus
+        n_static, off = decode_unsigned_vint(blob, off)
+        if n_static:
+            raise NotImplementedError("static columns")
+        n_reg, off = decode_unsigned_vint(blob, off)
+        regs = []
+        for _ in range(n_reg):
+            name, off = _read_vint_str(blob, off)
+            t, off = _read_vint_str(blob, off)
+            regs.append((name, t))
+        out["regular_columns"] = regs
+    return out
+
+
+def _marshal_to_type(fqcn: str) -> _CqlType:
+    suffix = fqcn.rsplit(".", 1)[-1]
+    if suffix not in _BY_MARSHAL:
+        raise ValueError(f"unknown marshal type {fqcn}")
+    return _BY_MARSHAL[suffix]
+
+
+def _split_key(key: bytes, key_type: str) -> list[bytes]:
+    """Invert serialize_key: composite keys are u16 len + bytes + 0x00
+    per component (CompositeType)."""
+    if not key_type.endswith(")"):
+        return [key]
+    comps = []
+    off = 0
+    while off < len(key):
+        (n,) = struct.unpack_from(">H", key, off)
+        comps.append(key[off + 2 : off + 2 + n])
+        off += 2 + n + 1
+    return comps
+
+
+def read_sstable(directory: str, prefix: str | None = None, verify: bool = True) -> dict:
+    """Parse a BIG-format sstable written by SSTableWriter. Types come
+    from the Statistics.db HEADER component; Index.db positions are
+    cross-checked against the real partition starts; the digest is
+    recomputed; bloom membership is evaluated for every key. Returns
+    ``{stats, partitions: [{key, key_components, token, rows: [{clustering,
+    cells}]}], index_ok, digest_ok, bloom_all_present}``."""
+    if prefix is None:
+        tocs = [f for f in os.listdir(directory) if f.endswith("-TOC.txt")]
+        if len(tocs) != 1:
+            raise ValueError(f"expected one sstable in {directory}, found {tocs}")
+        prefix = tocs[0][: -len("-TOC.txt")]
+
+    def comp(name: str) -> bytes:
+        with open(os.path.join(directory, f"{prefix}-{name}"), "rb") as fh:
+            return fh.read()
+
+    stats = _parse_statistics(comp("Statistics.db"))
+    clus_types = [_marshal_to_type(t) for t in stats["clustering_types"]]
+    reg = [(n, _marshal_to_type(t)) for n, t in stats["regular_columns"]]
+    min_ts = stats["min_timestamp_us"]
+
+    data = comp("Data.db")
+    partitions = []
+    off = 0
+    while off < len(data):
+        (klen,) = struct.unpack_from(">H", data, off)
+        start = off
+        off += 2
+        key = data[off : off + klen]
+        off += klen
+        ldt, marked = struct.unpack_from(">iq", data, off)
+        off += 12
+        rows = []
+        while True:
+            flags = data[off]
+            off += 1
+            if flags & END_OF_PARTITION:
+                break
+            if flags & (IS_MARKER | EXTENSION_FLAG | HAS_DELETION | HAS_TTL):
+                raise NotImplementedError(f"flags 0x{flags:02x}")
+            # clustering
+            clustering = []
+            ci = 0
+            while ci < len(clus_types):
+                batch = clus_types[ci : ci + 32]
+                header, off = decode_unsigned_vint(data, off)
+                for i, t in enumerate(batch):
+                    if header & (1 << (i * 2 + 1)):
+                        clustering.append(None)
+                    elif header & (1 << (i * 2)):
+                        clustering.append(t.deser(b"") if t.fixed_len is None else None)
+                    else:
+                        raw, off = _read_value(t, data, off)
+                        clustering.append(t.deser(raw))
+                ci += 32
+            row_size, off = decode_unsigned_vint(data, off)
+            _prev_size, off = decode_unsigned_vint(data, off)
+            if flags & HAS_TIMESTAMP:
+                ts_delta, off = decode_unsigned_vint(data, off)
+            present = list(range(len(reg)))
+            if not flags & HAS_ALL_COLUMNS:
+                bitmap, off = decode_unsigned_vint(data, off)
+                present = [i for i in range(len(reg)) if not bitmap & (1 << i)]
+            cells = {}
+            for i in present:
+                name, t = reg[i]
+                cflags = data[off]
+                off += 1
+                if not cflags & CELL_USE_ROW_TIMESTAMP:
+                    _, off = decode_unsigned_vint(data, off)
+                if cflags & CELL_HAS_EMPTY_VALUE:
+                    cells[name] = t.deser(b"") if t.fixed_len is None else None
+                elif cflags & CELL_IS_DELETED:
+                    cells[name] = None
+                else:
+                    raw, off = _read_value(t, data, off)
+                    cells[name] = t.deser(raw)
+            rows.append(
+                {
+                    "clustering": clustering,
+                    "cells": cells,
+                    "timestamp_us": min_ts + (ts_delta if flags & HAS_TIMESTAMP else 0),
+                }
+            )
+        partitions.append(
+            {
+                "key": key,
+                "key_components": _split_key(key, stats["key_type"]),
+                "token": cassandra_token_bytes(key),
+                "start": start,
+                "live": ldt == NO_DELETION_TIME and marked == LIVE_MARKED_FOR_DELETE,
+                "rows": rows,
+            }
+        )
+
+    result = {"stats": stats, "partitions": partitions, "prefix": prefix}
+    if verify:
+        # Index.db positions must equal the real partition starts
+        idx = comp("Index.db")
+        entries = []
+        ioff = 0
+        while ioff < len(idx):
+            (n,) = struct.unpack_from(">H", idx, ioff)
+            ioff += 2
+            k = idx[ioff : ioff + n]
+            ioff += n
+            pos, ioff = decode_unsigned_vint(idx, ioff)
+            promoted, ioff = decode_unsigned_vint(idx, ioff)
+            entries.append((k, pos, promoted))
+        result["index_ok"] = [(p["key"], p["start"]) for p in partitions] == [
+            (k, pos) for k, pos, _ in entries
+        ]
+        result["digest_ok"] = comp("Digest.crc32").decode("ascii") == str(
+            zlib.crc32(data)
+        )
+        bloom = _Bloom.deserialize(comp("Filter.db"))
+        result["bloom_all_present"] = all(
+            bloom.might_contain(p["key"]) for p in partitions
+        )
+        crc = comp("CRC.db")
+        (chunk,) = struct.unpack_from(">i", crc, 0)
+        ok = True
+        for ci, off2 in enumerate(range(0, max(len(data), 1), chunk)):
+            (want,) = struct.unpack_from(">I", crc, 4 + ci * 4)
+            ok = ok and want == zlib.crc32(data[off2 : off2 + chunk])
+        result["crc_ok"] = ok
+    return result

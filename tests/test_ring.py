@@ -126,3 +126,53 @@ def test_replica_plan_properties_large_ring():
         simple = replica_plan(ring, rf=rf)
         for ent in simple:
             assert len(ent["endpoints"]) == rf == len(set(ent["endpoints"]))
+
+
+def test_write_sstables_end_to_end(spark, tmp_path):
+    """K1 full path: Spark rows -> ring-routed BIG-format SSTables.
+    Every range directory must hold one readable sstable whose
+    partitions all fall inside the range's token bounds; the union of
+    all sstables must be the input; and null columns must round-trip
+    as absent cells."""
+    import os
+
+    from sstable_migrator_spark.sinks.ring import write_sstables
+    from sstable_migrator_spark.sinks.sstable_format import read_sstable
+
+    ring = build_ring(["n1", "n2", "n3"], vnodes_per_node=4)
+    rows = [
+        (f"dom{i}.example.com", f"src{i % 3}" if i % 7 else None, i)
+        for i in range(200)
+    ]
+    df = spark.createDataFrame(rows, "domain string, source string, seq bigint")
+    plan = write_sstables(
+        df, str(tmp_path / "out"), keyspace="ferret", table="cnames",
+        partition_key=["domain"], clustering=[], ring=ring, rf=2,
+    )
+    by_id = {p["range_id"]: p for p in plan}
+
+    seen = {}
+    n_sstables = 0
+    for d in sorted(glob.glob(str(tmp_path / "out" / "cass_range=*"))):
+        rid = int(d.rsplit("=", 1)[1])
+        got = read_sstable(d)
+        assert got["index_ok"] and got["digest_ok"] and got["crc_ok"]
+        assert got["bloom_all_present"]
+        n_sstables += 1
+        toks = [p["token"] for p in got["partitions"]]
+        assert toks == sorted(toks)
+        for p in got["partitions"]:
+            assert _owns(by_id[rid], p["token"])
+            dom = p["key_components"][0].decode()
+            assert dom not in seen
+            seen[dom] = p["rows"][0]["cells"]
+    assert len(seen) == 200
+    assert n_sstables >= 2  # 200 keys over a 12-vnode ring spread out
+    assert seen["dom1.example.com"]["source"] == "src1"
+    assert seen["dom1.example.com"]["seq"] == 1
+    assert "source" not in seen["dom7.example.com"]  # null -> absent cell
+
+    with open(tmp_path / "out" / "_sstable_manifests.json") as fh:
+        manifests = json.load(fh)
+    assert sum(m["rows"] for m in manifests) == 200
+    assert all(m["prefix"] == f"nb-{m['range_id'] + 1}-big" for m in manifests)
