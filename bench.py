@@ -111,6 +111,39 @@ def main() -> None:
     total = round(sum(t for t in timings.values() if t >= 0), 4)
     n_err = sum(1 for t in timings.values() if t < 0)
 
+    # Measured skew-toolkit comparison (sidecar only; stdout stays ONE
+    # line): a deliberately hot-keyed COUNT(DISTINCT) — 80% of lineitem
+    # under one key, the shape where map-side partial aggregation can't
+    # help and the hot key's whole value set funnels through a single
+    # reducer — timed unsalted vs the two-phase salted_distinct_count.
+    skew_bench: dict = {}
+    try:
+        from pyspark.sql import functions as F
+
+        from sstable_migrator_spark.operators.skew import salted_distinct_count
+        from sstable_migrator_spark.queries import _t
+
+        li = _t(spark, sf_dir, "lineitem").select(
+            F.when(F.col("l_orderkey") % 10 < 8, F.lit("HOT"))
+            .otherwise(F.concat(F.lit("k"), F.col("l_orderkey") % 1000))
+            .alias("key"),
+            F.xxhash64("l_orderkey", "l_linenumber").alias("value"),
+        )
+        unsalted = li.groupBy("key").agg(
+            F.countDistinct("value").alias("n_distinct")
+        )
+        salted = salted_distinct_count(li, ["key"], "value")
+        for variant, df_v in (("unsalted", unsalted), ("salted", salted)):
+            _materialize(df_v)  # warm (codegen + scan cache)
+            t0 = time.perf_counter()
+            _materialize(df_v)
+            skew_bench[variant] = round(time.perf_counter() - t0, 4)
+        skew_bench["salted_not_slower"] = (
+            skew_bench["salted"] <= skew_bench["unsalted"] * 1.1
+        )
+    except Exception as e:  # noqa: BLE001 — diagnostics must not fail the bench
+        skew_bench = {"error": repr(e)[:200]}
+
     # The driver captures only a short stdout tail, so the full per-query
     # timing map (137 entries, ~6 KB) goes to a sidecar file and stdout
     # carries ONE compact line: headline total + the 10 slowest queries.
@@ -127,6 +160,7 @@ def main() -> None:
                     "n_queries": len(timings),
                     "n_errors": n_err,
                     "queries": timings,
+                    "skew_bench": skew_bench,
                 },
                 f,
                 indent=1,

@@ -132,3 +132,51 @@ def wire_resolver(
         return (a0["rtype"], a0["value"])
 
     return resolve
+
+
+def udp_transport(
+    host: str,
+    port: int = 53,
+    timeout_s: float = 2.0,
+    retries: int = 2,
+    enabled: bool | None = None,
+) -> Callable[[bytes], bytes]:
+    """The REAL network transport for ``wire_resolver``: one UDP
+    datagram out, one back — exactly what massdns puts on the wire
+    (daily_certstream_download.sh:107-108). OFF by default: network
+    egress stays an explicit opt-in via ``SPARK_GRAFT_DNS_UDP=1`` (or
+    ``enabled=True`` for tests against a loopback server), so reruns of
+    the pipeline never silently reach the internet; the deterministic
+    fake remains the default resolver everywhere.
+
+    Timeouts retry ``retries`` times with a fresh socket (fresh
+    ephemeral port — the same anti-birthday-attack measure stub
+    resolvers take, complementing wire_resolver's qid check), then
+    raise TimeoutError. Truncated (TC) responses are the caller's
+    concern: massdns-style pipelines re-query elsewhere rather than
+    fall back to TCP."""
+    import os
+    import socket
+
+    if enabled is None:
+        enabled = os.environ.get("SPARK_GRAFT_DNS_UDP") == "1"
+    if not enabled:
+        raise RuntimeError(
+            "UDP DNS transport is disabled by default; set SPARK_GRAFT_DNS_UDP=1 "
+            "(or pass enabled=True) to allow network egress"
+        )
+
+    def transport(query: bytes) -> bytes:
+        last: Exception | None = None
+        for _ in range(retries + 1):
+            try:
+                with socket.socket(socket.AF_INET, socket.SOCK_DGRAM) as s:
+                    s.settimeout(timeout_s)
+                    s.sendto(query, (host, port))
+                    data, _addr = s.recvfrom(4096)
+                    return data
+            except socket.timeout as e:  # noqa: PERF203 — retry loop
+                last = e
+        raise TimeoutError(f"no DNS response from {host}:{port}") from last
+
+    return transport

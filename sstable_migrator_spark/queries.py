@@ -6834,6 +6834,89 @@ QUERIES.update({"q156_boilerplate_removal": q_boilerplate_removal})
 ORACLES.update({"q156_boilerplate_removal": SQL_BOILERPLATE_REMOVAL})
 
 
+# ---------------------------------------------------------------------------
+# Batch — REAL image decode under the oracle gate
+# ---------------------------------------------------------------------------
+
+
+def q_image_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Oracle-checked REAL image decode (closes q56's gap, where only
+    the sha-hash feature path was driver-gated): per sampled doc, a
+    deterministic 8x8 RGB image (md5(doc_id) bytes tiled) is encoded to
+    PNG and decoded back with the from-scratch codec
+    (functions/imagecodec.py decode_png/encode_png, NOT the fake), then
+    pixel statistics — per-channel sums, min/max, and the channel-0 sum
+    of a 4x4 nearest-neighbor resize — are computed from the DECODED
+    array. The oracle derives the same statistics arithmetically from
+    the md5 byte pattern, so any codec bit-slip (row filter bytes,
+    stride, channel order, resize index math) breaks the hash match.
+    Map-only Arrow-batched work; zero shuffles at any scale."""
+    import hashlib
+
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 5 == 0)
+        .select("doc_id")
+    )
+
+    def op(batches):
+        import numpy as np
+        import pandas as pd
+
+        from sstable_migrator_spark.functions import imagecodec as IC
+
+        for pdf in batches:
+            out = {k: [] for k in (
+                "doc_id", "width", "height", "sum_r", "sum_g", "sum_b",
+                "min_px", "max_px", "resized_sum_r",
+            )}
+            for did in pdf["doc_id"]:
+                pat = hashlib.md5(str(int(did)).encode()).digest()
+                px = np.frombuffer(pat * 12, dtype=np.uint8).reshape(8, 8, 3)
+                arr = IC.decode_png(IC.encode_png(px))
+                small = IC.resize_nearest(arr, 4, 4)
+                out["doc_id"].append(int(did))
+                out["height"].append(int(arr.shape[0]))
+                out["width"].append(int(arr.shape[1]))
+                out["sum_r"].append(int(arr[:, :, 0].sum()))
+                out["sum_g"].append(int(arr[:, :, 1].sum()))
+                out["sum_b"].append(int(arr[:, :, 2].sum()))
+                out["min_px"].append(int(arr.min()))
+                out["max_px"].append(int(arr.max()))
+                out["resized_sum_r"].append(int(small[:, :, 0].sum()))
+            yield pd.DataFrame(out)
+
+    return docs.mapInPandas(
+        op,
+        "doc_id long, width int, height int, sum_r long, sum_g long, "
+        "sum_b long, min_px int, max_px int, resized_sum_r long",
+    )
+
+
+SQL_IMAGE_PIXEL_STATS = """
+WITH px AS (
+  SELECT d.doc_id, i.i AS i,
+         CAST(concat('0x', substr(md5(CAST(d.doc_id AS VARCHAR)),
+                                  (i.i % 16) * 2 + 1, 2)) AS INT) AS b
+  FROM (SELECT doc_id FROM documents WHERE doc_id % 5 = 0) d,
+       LATERAL (SELECT unnest(range(0, 192)) AS i) i(i))
+SELECT doc_id, CAST(8 AS INT) AS width, CAST(8 AS INT) AS height,
+       CAST(sum(b) FILTER (WHERE i % 3 = 0) AS BIGINT) AS sum_r,
+       CAST(sum(b) FILTER (WHERE i % 3 = 1) AS BIGINT) AS sum_g,
+       CAST(sum(b) FILTER (WHERE i % 3 = 2) AS BIGINT) AS sum_b,
+       CAST(min(b) AS INT) AS min_px,
+       CAST(max(b) AS INT) AS max_px,
+       CAST(sum(b) FILTER (WHERE i % 3 = 0 AND ((i // 3) // 8) % 2 = 0
+                             AND ((i // 3) % 8) % 2 = 0) AS BIGINT)
+         AS resized_sum_r
+FROM px GROUP BY doc_id
+"""
+
+
+QUERIES.update({"q157_image_pixel_stats": q_image_pixel_stats})
+ORACLES.update({"q157_image_pixel_stats": SQL_IMAGE_PIXEL_STATS})
+
+
 QUERIES.update(
     {
         "q140_min_cost_supplier": q_min_cost_supplier,
@@ -6885,7 +6968,9 @@ _DRIVER_PRIORITY: list[str] = [
     "q27_tld_allowlist",
     "q08_geoip_enrich",
     "q01_pricing_summary",
-    "q02_group_topk",
+    # q02_group_topk dropped from the 50-sample: its §2 row (A2/O3
+    # group-count top-k) is driver-covered by q33_flagship_topk above;
+    # the slot goes to the real-image-decode oracle q157
     "q03_distinct",
     "q04_anti_join",
     "q05_upsert_latest",
@@ -6913,6 +6998,7 @@ _DRIVER_PRIORITY: list[str] = [
     "q148_data_contract",
     "q55_ann_lsh",
     "q56_media_features",
+    "q157_image_pixel_stats",
     "q57_ann_ivf",
     "q58_dup_clusters",
     "q82_pii_redact",

@@ -100,3 +100,81 @@ def test_wire_resolver_end_to_end(spark):
         "a.example.com": ("A", "198.51.100.1"),
         "b.example.com": ("CNAME", "cdn.example.net"),
     }
+
+
+def test_udp_transport_loopback_roundtrip():
+    """Integration: wire_resolver over the real UDP socket transport
+    against a loopback server speaking canned RFC 1035 responses."""
+    import socket
+    import threading
+
+    from sstable_migrator_spark.functions.dnswire import (
+        RCODE_NXDOMAIN,
+        build_response,
+        parse_message,
+    )
+    from sstable_migrator_spark.operators.resolve import udp_transport, wire_resolver
+
+    srv = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
+    srv.bind(("127.0.0.1", 0))
+    port = srv.getsockname()[1]
+    srv.settimeout(5.0)
+
+    canned = {
+        "a.example.com": [("A", 300, "10.1.2.3")],
+        "alias.example.com": [("CNAME", 300, "cdn.example.net")],
+    }
+
+    def serve(n):
+        for _ in range(n):
+            data, addr = srv.recvfrom(4096)
+            q = parse_message(data)
+            name = q["questions"][0][0]
+            if name in canned:
+                srv.sendto(build_response(data, canned[name]), addr)
+            else:
+                srv.sendto(build_response(data, [], rcode=RCODE_NXDOMAIN), addr)
+
+    t = threading.Thread(target=serve, args=(3,), daemon=True)
+    t.start()
+    try:
+        resolve = wire_resolver(
+            udp_transport("127.0.0.1", port, timeout_s=2.0, enabled=True)
+        )
+        assert resolve("a.example.com") == ("A", "10.1.2.3")
+        assert resolve("alias.example.com") == ("CNAME", "cdn.example.net")
+        assert resolve("gone.example.com") is None
+    finally:
+        t.join(timeout=5)
+        srv.close()
+
+
+def test_udp_transport_disabled_by_default(monkeypatch):
+    import pytest
+
+    from sstable_migrator_spark.operators.resolve import udp_transport
+
+    monkeypatch.delenv("SPARK_GRAFT_DNS_UDP", raising=False)
+    with pytest.raises(RuntimeError, match="disabled by default"):
+        udp_transport("127.0.0.1", 5353)
+    monkeypatch.setenv("SPARK_GRAFT_DNS_UDP", "1")
+    udp_transport("127.0.0.1", 5353)  # flag set -> constructs fine
+
+
+def test_udp_transport_timeout_raises():
+    """No server listening: transport must retry then raise TimeoutError,
+    never hang or return garbage."""
+    import socket
+
+    import pytest
+
+    from sstable_migrator_spark.operators.resolve import udp_transport
+
+    # reserve a port with no reader
+    hole = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
+    hole.bind(("127.0.0.1", 0))
+    port = hole.getsockname()[1]
+    hole.close()  # closed -> datagrams dropped, no response ever
+    t = udp_transport("127.0.0.1", port, timeout_s=0.2, retries=1, enabled=True)
+    with pytest.raises(TimeoutError):
+        t(b"\x00\x01" + b"\x00" * 10)

@@ -157,13 +157,23 @@ def test_ttl_dedup_stream(spark, tmp_path):
     """transformWithState TTL dedup: first occurrence of a key passes,
     cross-batch and in-batch repeats are dropped while state lives.
 
-    Skipped where protobuf is unavailable: transformWithState's Python
-    driver worker imports google.protobuf (state-schema protocol); the
-    operator itself is the 100 TB design and applyInPandasWithState
-    (test_stateful_sessionize) is the tested stateful path here."""
-    import pytest
+    transformWithState's Python worker needs google.protobuf for the
+    state-server protocol; the vendored shim (streaming/protoshim.py,
+    activated in conftest BEFORE the session so workers inherit the
+    PYTHONPATH) stands in when no real wheel is installed.
 
-    pytest.importorskip("google.protobuf")
+    The query runs as ONE always-on stream (processing-time trigger,
+    stopped explicitly) — its production shape. availableNow is
+    deliberately NOT used: with TTL state enabled every micro-batch
+    advances the batch timestamp, TransformWithState then reports more
+    TTL work, and the run-one-more-batch loop never drains ("No new
+    data but cleaning up state" forever) — a trigger/TTL interaction
+    worth knowing about at any scale."""
+    import time
+
+    from sstable_migrator_spark.streaming.protoshim import ensure_protobuf
+
+    ensure_protobuf()
     from pyspark.sql import types as T
 
     from sstable_migrator_spark.streaming.daily import ttl_dedup_stream
@@ -172,51 +182,60 @@ def test_ttl_dedup_stream(spark, tmp_path):
         "spark.sql.streaming.stateStore.providerClass",
         "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
     )
+    in_dir = tmp_path / "feed"
+    in_dir.mkdir()
+    out_dir = str(tmp_path / "deduped")
+    ckpt = str(tmp_path / "ckpt_ttl")
+    schema = T.StructType(
+        [
+            T.StructField("domain", T.StringType()),
+            T.StructField("ip", T.StringType()),
+        ]
+    )
+
+    (in_dir / "b1.csv").write_text(
+        "a.example.com,1.1.1.1\n"
+        "a.example.com,1.1.1.2\n"   # in-batch repeat collapses
+        "b.example.com,2.2.2.2\n"
+    )
+    stream = spark.readStream.schema(schema).csv(str(in_dir) + "/*.csv")
+    q = (
+        ttl_dedup_stream(stream, key_col="domain", ttl_ms=3600_000)
+        .writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(processingTime="1 second")
+        .start()
+    )
+
+    def wait_for(expected: set[str], timeout_s: float = 180.0) -> set[str]:
+        deadline = time.monotonic() + timeout_s
+        got: set[str] = set()
+        while time.monotonic() < deadline:
+            if q.exception():
+                raise AssertionError(f"query failed: {q.exception()}")
+            try:
+                got = {r["domain"] for r in spark.read.parquet(out_dir).collect()}
+            except Exception:  # noqa: BLE001 — sink not committed yet
+                got = set()
+            if got == expected:
+                return got
+            time.sleep(2)
+        raise AssertionError(f"timed out waiting for {expected}, got {got}")
+
     try:
-        in_dir = tmp_path / "feed"
-        in_dir.mkdir()
-        out_dir = str(tmp_path / "deduped")
-        ckpt = str(tmp_path / "ckpt_ttl")
-        schema = T.StructType(
-            [
-                T.StructField("domain", T.StringType()),
-                T.StructField("ip", T.StringType()),
-            ]
-        )
-
-        def run_tick():
-            stream = spark.readStream.schema(schema).csv(str(in_dir) + "/*.csv")
-            q = (
-                ttl_dedup_stream(stream, key_col="domain", ttl_ms=3600_000)
-                .writeStream.format("parquet")
-                .option("path", out_dir)
-                .option("checkpointLocation", ckpt)
-                .outputMode("append")
-                .trigger(availableNow=True)
-                .start()
-            )
-            q.awaitTermination()
-
-        (in_dir / "b1.csv").write_text(
-            "a.example.com,1.1.1.1\n"
-            "a.example.com,1.1.1.2\n"   # in-batch repeat collapses
-            "b.example.com,2.2.2.2\n"
-        )
-        run_tick()
-        got = {r["domain"] for r in spark.read.parquet(out_dir).collect()}
-        assert got == {"a.example.com", "b.example.com"}
+        wait_for({"a.example.com", "b.example.com"})
 
         (in_dir / "b2.csv").write_text(
             "a.example.com,9.9.9.9\n"   # cross-batch repeat: dropped
             "c.example.com,3.3.3.3\n"
         )
-        run_tick()
+        wait_for({"a.example.com", "b.example.com", "c.example.com"})
         rows = spark.read.parquet(out_dir).collect()
-        assert len(rows) == 3
-        assert {r["domain"] for r in rows} == {
-            "a.example.com", "b.example.com", "c.example.com",
-        }
+        assert len(rows) == 3  # the two repeats never reached the sink
     finally:
+        q.stop()
         spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
 
 
