@@ -45,9 +45,19 @@ published format documentation and the Apache Cassandra source tree
   (estimated histograms) are NOT written — they are statistics, not
   data; Cassandra rebuilds/tolerates their absence on upgradesstables
   paths, and this writer's manifest flags their omission honestly.
-- ``Digest.crc32`` — CRC32 of the Data.db bytes, ASCII decimal.
+- ``Digest.crc32`` — CRC32 of the Data.db bytes as written (the
+  compressed bytes when compression is on), ASCII decimal.
 - ``CRC.db``    — int chunk size + per-64KiB-chunk CRC32 ints
-  (``DataIntegrityMetadata.ChecksumWriter``).
+  (``DataIntegrityMetadata.ChecksumWriter``); uncompressed tables only.
+- ``CompressionInfo.db`` — with ``compression="deflate"``: the
+  ``CompressionMetadata`` layout (writeUTF compressor simple name, int
+  option count + options, int chunk length, long uncompressed data
+  length, int chunk count, long on-disk chunk offsets). Data.db then
+  holds per-chunk deflated bytes each followed by a 4-byte CRC32 of
+  the compressed chunk (``CompressedSequentialWriter``), Index.db
+  positions stay UNCOMPRESSED offsets, and CRC.db is not written
+  (checksums are inline). Deflate because java.util.zip.Deflater's
+  default zlib framing IS python zlib — no third-party codec needed.
 - ``TOC.txt``   — the component list, itself included.
 
 ``Summary.db`` is deliberately not written: Cassandra regenerates a
@@ -471,12 +481,20 @@ class SSTableWriter:
         generation: int = 1,
         write_timestamp_us: int = 1700000000000000,
         bloom_fp: float = 0.01,
+        compression: str | None = None,
+        chunk_length: int = 16384,
     ):
+        if compression not in (None, "deflate"):
+            raise ValueError("compression must be None or 'deflate'")
+        if chunk_length & (chunk_length - 1):
+            raise ValueError("chunk_length must be a power of two")
         self.dir = directory
         self.schema = schema
         self.gen = generation
         self.ts = write_timestamp_us
         self.bloom_fp = bloom_fp
+        self.compression = compression
+        self.chunk_length = chunk_length
         self._rows: list[dict] = []
 
     def add_row(self, row: dict) -> None:
@@ -654,19 +672,58 @@ class SSTableWriter:
         for k in keys:
             bloom.add(k)
 
-        crc = io.BytesIO()
-        crc.write(struct.pack(">i", CHUNK_SIZE))
-        for off in range(0, max(len(data_bytes), 1), CHUNK_SIZE):
-            crc.write(struct.pack(">I", zlib.crc32(data_bytes[off : off + CHUNK_SIZE])))
+        if self.compression == "deflate":
+            # Compressed layout (CompressedSequentialWriter +
+            # CompressionMetadata): the LOGICAL stream is chunked at
+            # chunk_length uncompressed bytes; each on-disk chunk is the
+            # zlib-deflated bytes followed by a 4-byte CRC32 of the
+            # COMPRESSED bytes. Index.db positions stay UNCOMPRESSED
+            # offsets — CompressionInfo.db's chunk-offset array is the
+            # logical->physical map. DeflateCompressor wraps
+            # java.util.zip.Deflater in its default zlib framing, which
+            # is exactly python zlib. No CRC.db: checksums are inline.
+            comp = io.BytesIO()
+            offsets = []
+            for off in range(0, max(len(data_bytes), 1), self.chunk_length):
+                offsets.append(comp.tell())
+                chunk = zlib.compress(data_bytes[off : off + self.chunk_length])
+                comp.write(chunk)
+                comp.write(struct.pack(">I", zlib.crc32(chunk)))
+            comp_bytes = comp.getvalue()
 
-        components = {
-            "Data.db": data_bytes,
-            "Index.db": index.getvalue(),
-            "Filter.db": bloom.serialize(),
-            "Statistics.db": self._statistics_blob(),
-            "Digest.crc32": str(zlib.crc32(data_bytes)).encode("ascii"),
-            "CRC.db": crc.getvalue(),
-        }
+            cinfo = io.BytesIO()
+            name = b"DeflateCompressor"
+            cinfo.write(struct.pack(">H", len(name)) + name)  # writeUTF
+            cinfo.write(struct.pack(">i", 0))  # no compressor options
+            cinfo.write(struct.pack(">i", self.chunk_length))
+            cinfo.write(struct.pack(">q", len(data_bytes)))  # uncompressed len
+            cinfo.write(struct.pack(">i", len(offsets)))
+            for o in offsets:
+                cinfo.write(struct.pack(">q", o))
+
+            components = {
+                "Data.db": comp_bytes,
+                "Index.db": index.getvalue(),
+                "Filter.db": bloom.serialize(),
+                "CompressionInfo.db": cinfo.getvalue(),
+                "Statistics.db": self._statistics_blob(),
+                # digest covers the file as written (the compressed bytes)
+                "Digest.crc32": str(zlib.crc32(comp_bytes)).encode("ascii"),
+            }
+        else:
+            crc = io.BytesIO()
+            crc.write(struct.pack(">i", CHUNK_SIZE))
+            for off in range(0, max(len(data_bytes), 1), CHUNK_SIZE):
+                crc.write(struct.pack(">I", zlib.crc32(data_bytes[off : off + CHUNK_SIZE])))
+
+            components = {
+                "Data.db": data_bytes,
+                "Index.db": index.getvalue(),
+                "Filter.db": bloom.serialize(),
+                "Statistics.db": self._statistics_blob(),
+                "Digest.crc32": str(zlib.crc32(data_bytes)).encode("ascii"),
+                "CRC.db": crc.getvalue(),
+            }
         toc = "\n".join([*components.keys(), "TOC.txt"]) + "\n"
         components["TOC.txt"] = toc.encode("ascii")
         for name, blob in components.items():
@@ -677,7 +734,9 @@ class SSTableWriter:
             "dir": self.dir,
             "partitions": len(keys),
             "rows": n_rows,
-            "data_bytes": len(data_bytes),
+            "data_bytes": len(data_bytes),  # logical (uncompressed) size
+            "disk_bytes": len(components["Data.db"]),
+            "compression": self.compression,
             "min_token": tokens[0] if tokens else None,
             "max_token": tokens[-1] if tokens else None,
             "components": sorted(components),
@@ -774,12 +833,54 @@ def read_sstable(directory: str, prefix: str | None = None, verify: bool = True)
         with open(os.path.join(directory, f"{prefix}-{name}"), "rb") as fh:
             return fh.read()
 
+    def has(name: str) -> bool:
+        return os.path.exists(os.path.join(directory, f"{prefix}-{name}"))
+
     stats = _parse_statistics(comp("Statistics.db"))
     clus_types = [_marshal_to_type(t) for t in stats["clustering_types"]]
     reg = [(n, _marshal_to_type(t)) for n, t in stats["regular_columns"]]
     min_ts = stats["min_timestamp_us"]
 
-    data = comp("Data.db")
+    raw_file = comp("Data.db")
+    compression_meta = None
+    if has("CompressionInfo.db"):
+        ci = comp("CompressionInfo.db")
+        (nlen,) = struct.unpack_from(">H", ci, 0)
+        cname = ci[2 : 2 + nlen].decode("utf-8")
+        o = 2 + nlen
+        (n_opts,) = struct.unpack_from(">i", ci, o)
+        o += 4
+        for _ in range(n_opts):
+            for _ in range(2):  # key, value writeUTF pairs
+                (sl,) = struct.unpack_from(">H", ci, o)
+                o += 2 + sl
+        chunk_len, data_len = struct.unpack_from(">iq", ci, o)
+        o += 12
+        (n_chunks,) = struct.unpack_from(">i", ci, o)
+        o += 4
+        offsets = [struct.unpack_from(">q", ci, o + i * 8)[0] for i in range(n_chunks)]
+        if cname != "DeflateCompressor":
+            raise NotImplementedError(f"compressor {cname}")
+        chunks = []
+        crc_ok_chunks = True
+        for i, start in enumerate(offsets):
+            end = offsets[i + 1] if i + 1 < n_chunks else len(raw_file)
+            blob, crc_bytes = raw_file[start : end - 4], raw_file[end - 4 : end]
+            crc_ok_chunks = crc_ok_chunks and (
+                struct.unpack(">I", crc_bytes)[0] == zlib.crc32(blob)
+            )
+            chunks.append(zlib.decompress(blob))
+        data = b"".join(chunks)
+        if len(data) != data_len:
+            raise ValueError(f"decompressed {len(data)} != declared {data_len}")
+        compression_meta = {
+            "compressor": cname,
+            "chunk_length": chunk_len,
+            "n_chunks": n_chunks,
+            "chunk_crcs_ok": crc_ok_chunks,
+        }
+    else:
+        data = raw_file
     partitions = []
     off = 0
     while off < len(data):
@@ -853,7 +954,12 @@ def read_sstable(directory: str, prefix: str | None = None, verify: bool = True)
             }
         )
 
-    result = {"stats": stats, "partitions": partitions, "prefix": prefix}
+    result = {
+        "stats": stats,
+        "partitions": partitions,
+        "prefix": prefix,
+        "compression": compression_meta,
+    }
     if verify:
         # Index.db positions must equal the real partition starts
         idx = comp("Index.db")
@@ -870,18 +976,23 @@ def read_sstable(directory: str, prefix: str | None = None, verify: bool = True)
         result["index_ok"] = [(p["key"], p["start"]) for p in partitions] == [
             (k, pos) for k, pos, _ in entries
         ]
+        # digest covers the file as written (compressed bytes when
+        # compression is on)
         result["digest_ok"] = comp("Digest.crc32").decode("ascii") == str(
-            zlib.crc32(data)
+            zlib.crc32(raw_file)
         )
         bloom = _Bloom.deserialize(comp("Filter.db"))
         result["bloom_all_present"] = all(
             bloom.might_contain(p["key"]) for p in partitions
         )
-        crc = comp("CRC.db")
-        (chunk,) = struct.unpack_from(">i", crc, 0)
-        ok = True
-        for ci, off2 in enumerate(range(0, max(len(data), 1), chunk)):
-            (want,) = struct.unpack_from(">I", crc, 4 + ci * 4)
-            ok = ok and want == zlib.crc32(data[off2 : off2 + chunk])
-        result["crc_ok"] = ok
+        if compression_meta is not None:
+            result["crc_ok"] = compression_meta["chunk_crcs_ok"]
+        else:
+            crc = comp("CRC.db")
+            (chunk,) = struct.unpack_from(">i", crc, 0)
+            ok = True
+            for ci2, off2 in enumerate(range(0, max(len(data), 1), chunk)):
+                (want,) = struct.unpack_from(">I", crc, 4 + ci2 * 4)
+                ok = ok and want == zlib.crc32(data[off2 : off2 + chunk])
+            result["crc_ok"] = ok
     return result

@@ -373,3 +373,73 @@ def test_fixed_length_types_roundtrip(tmp_path):
     cells = read_sstable(str(tmp_path))["partitions"][0]["rows"][0]["cells"]
     assert cells == {"i": -42, "b": 2**40, "d": 1.5, "f": True,
                      "ts": 1700000000123, "bl": b"\x00\xff\x10"}
+
+
+# ---------------------------------------------------------------------------
+# deflate compression
+# ---------------------------------------------------------------------------
+
+
+def test_compressed_roundtrip_multi_chunk(tmp_path):
+    """chunk_length=256 forces many chunks; partitions span chunk
+    boundaries and the reader must reassemble the logical stream from
+    per-chunk deflate + inline CRCs."""
+    t = _tiny_table()
+    w = SSTableWriter(str(tmp_path), t, compression="deflate", chunk_length=256)
+    for i in range(80):
+        w.add_row({"k": f"key{i:03d}", "v": f"value-{i}-" + "x" * 50})
+    m = w.close()
+    assert m["compression"] == "deflate"
+    assert m["data_bytes"] > 256 * 4          # logical stream spans chunks
+    assert m["disk_bytes"] < m["data_bytes"]  # xxxx... actually compresses
+    got = read_sstable(str(tmp_path))
+    assert got["compression"]["compressor"] == "DeflateCompressor"
+    assert got["compression"]["chunk_length"] == 256
+    assert got["compression"]["n_chunks"] >= 4
+    assert got["index_ok"] and got["digest_ok"] and got["crc_ok"]
+    assert got["bloom_all_present"]
+    assert len(got["partitions"]) == 80
+    vals = {p["key_components"][0].decode(): p["rows"][0]["cells"]["v"]
+            for p in got["partitions"]}
+    assert vals["key007"] == "value-7-" + "x" * 50
+    toks = [p["token"] for p in got["partitions"]]
+    assert toks == sorted(toks)
+
+
+def test_compression_info_golden_header(tmp_path):
+    """CompressionInfo.db layout golden: writeUTF name, option count,
+    chunk length, uncompressed length, chunk count, offsets."""
+    import struct as _s
+
+    w = SSTableWriter(str(tmp_path), _tiny_table(), compression="deflate",
+                      chunk_length=16384)
+    w.add_row({"k": "a", "v": "hello"})
+    m = w.close()
+    ci = (tmp_path / "nb-1-big-CompressionInfo.db").read_bytes()
+    name = b"DeflateCompressor"
+    assert ci[:2] == _s.pack(">H", len(name)) and ci[2 : 2 + len(name)] == name
+    o = 2 + len(name)
+    n_opts, chunk_len, data_len = _s.unpack_from(">iiq", ci, o)
+    assert n_opts == 0 and chunk_len == 16384
+    assert data_len == m["data_bytes"]
+    (n_chunks,) = _s.unpack_from(">i", ci, o + 16)
+    assert n_chunks == 1
+    (off0,) = _s.unpack_from(">q", ci, o + 20)
+    assert off0 == 0
+    # no CRC.db for compressed tables; CompressionInfo in the TOC
+    toc = (tmp_path / "nb-1-big-TOC.txt").read_text().splitlines()
+    assert "CompressionInfo.db" in toc and "CRC.db" not in toc
+
+
+def test_compressed_index_positions_are_logical(tmp_path):
+    """Index.db must keep UNCOMPRESSED offsets (the CompressionInfo map
+    is the only logical->physical translation): positions parsed from
+    the index equal the partition starts in the DECOMPRESSED stream."""
+    w = SSTableWriter(str(tmp_path), _tiny_table(), compression="deflate",
+                      chunk_length=256)
+    for i in range(40):
+        w.add_row({"k": f"k{i}", "v": "v" * 40})
+    w.close()
+    got = read_sstable(str(tmp_path))
+    assert got["index_ok"]  # index_ok compares against decompressed starts
+    assert got["partitions"][-1]["start"] > 256  # beyond the first chunk
