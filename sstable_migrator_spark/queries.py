@@ -6917,6 +6917,172 @@ QUERIES.update({"q157_image_pixel_stats": q_image_pixel_stats})
 ORACLES.update({"q157_image_pixel_stats": SQL_IMAGE_PIXEL_STATS})
 
 
+# ---------------------------------------------------------------------------
+# Batch — n-gram novelty scoring (first-occurrence contribution)
+# ---------------------------------------------------------------------------
+
+
+def q_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document n-gram novelty: the fraction of a doc's DISTINCT
+    word bigrams whose corpus-wide FIRST occurrence (min doc_id) is
+    this document — the curriculum/dedup 'contribution' score (a doc
+    whose bigrams all appeared earlier adds nothing; near-1 novelty
+    marks fresh content). Shuffles: one bigram rollup (min doc_id,
+    map-side combinable) + one join back on the bigram — signatures
+    only, the text never moves. The keep rule is cross-multiplied
+    integer math (novel*4 >= total => keep), no float threshold."""
+    docs = _dense(spark, _t(spark, sf_dir, "documents"))
+    bg = docs.select(
+        "doc_id",
+        F.explode(F.array_distinct(TX.shingles(F.col("text"), 2))).alias("s"),
+    )
+    firsts = bg.groupBy("s").agg(F.min("doc_id").alias("first_doc"))
+    return (
+        bg.join(firsts, "s")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.count(F.when(F.col("first_doc") == F.col("doc_id"), 1)).alias("n_novel"),
+        )
+        .select(
+            "doc_id",
+            "n_bigrams",
+            "n_novel",
+            (F.col("n_novel") / F.col("n_bigrams")).alias("novelty"),
+            (F.col("n_novel") * 4 >= F.col("n_bigrams")).alias("keep"),
+        )
+    )
+
+
+SQL_NGRAM_NOVELTY = f"""
+WITH sh AS (
+  SELECT DISTINCT doc_id, s FROM (
+    SELECT doc_id, unnest(list_transform(
+        generate_series(1, greatest(nt - 1, 1)),
+        i -> array_to_string(toks[i:least(i + 1, nt)], ' '))) AS s
+    FROM (SELECT doc_id, toks, len(toks) AS nt
+          FROM (SELECT doc_id, string_split({SQL_NORM}, ' ') AS toks
+                FROM documents)))),
+firsts AS (SELECT s, min(doc_id) AS first_doc FROM sh GROUP BY s)
+SELECT sh.doc_id,
+       CAST(count(*) AS BIGINT) AS n_bigrams,
+       CAST(count(*) FILTER (WHERE firsts.first_doc = sh.doc_id) AS BIGINT)
+         AS n_novel,
+       count(*) FILTER (WHERE firsts.first_doc = sh.doc_id)
+         / CAST(count(*) AS DOUBLE) AS novelty,
+       (count(*) FILTER (WHERE firsts.first_doc = sh.doc_id) * 4
+         >= count(*)) AS keep
+FROM sh JOIN firsts ON sh.s = firsts.s
+GROUP BY sh.doc_id
+"""
+
+
+QUERIES.update({"q158_ngram_novelty": q_ngram_novelty})
+ORACLES.update({"q158_ngram_novelty": SQL_NGRAM_NOVELTY})
+
+
+# ---------------------------------------------------------------------------
+# Batch — content-defined chunking (FastCDC/LBFS analog at word level)
+# ---------------------------------------------------------------------------
+
+
+def q_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-defined chunking: chunk boundaries land where the hash
+    of a sliding 3-word window hits a target pattern (md5 last hex
+    digit = '0', ~1/16 words), so identical passages chunk identically
+    REGARDLESS of their byte offset — the storage-dedup trick (LBFS/
+    FastCDC) that fixed-size chunking (q135) cannot do: an insertion
+    shifts every fixed chunk but only the one CDC chunk it touches.
+    Per doc: chunk count, total/max chunk words, and how many of its
+    chunks are corpus-wide duplicates (same chunk text elsewhere).
+    Shuffles: per-doc window (partitioned by doc — bounded by doc
+    length), one chunk-hash rollup, one rollup back to docs."""
+    docs = _dense(spark, _t(spark, sf_dir, "documents"))
+    toks = docs.select(
+        "doc_id", F.posexplode(F.split(TX.normalize_text(F.col("text")), " "))
+    ).select("doc_id", F.col("pos").alias("i"), F.col("col").alias("w"))
+    # boundary AFTER word i when the trailing 3-word window hashes to 0 mod 16
+    win3 = F.concat_ws(
+        " ",
+        F.lag("w", 2).over(Window.partitionBy("doc_id").orderBy("i")),
+        F.lag("w", 1).over(Window.partitionBy("doc_id").orderBy("i")),
+        F.col("w"),
+    )
+    flagged = toks.withColumn(
+        "boundary",
+        (F.col("i") >= 2)
+        & (F.substring(F.md5(win3), 32, 1) == "0"),
+    )
+    # chunk id = boundaries BEFORE this word (running sum, exclusive)
+    w_run = (
+        Window.partitionBy("doc_id")
+        .orderBy("i")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    chunked = flagged.withColumn(
+        "chunk_id",
+        F.coalesce(F.sum(F.col("boundary").cast("int")).over(w_run), F.lit(0)),
+    )
+    # deterministic chunk text: collect_list order is nondeterministic,
+    # so sort the (position, word) structs before joining
+    chunks = chunked.groupBy("doc_id", "chunk_id").agg(
+        F.count(F.lit(1)).alias("n_words"),
+        F.array_join(
+            F.transform(F.array_sort(F.collect_list(F.struct("i", "w"))), lambda s: s["w"]),
+            " ",
+        ).alias("chunk_text"),
+    )
+    freq = chunks.groupBy("chunk_text").agg(F.count(F.lit(1)).alias("df_"))
+    return (
+        chunks.join(freq, "chunk_text")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_chunks"),
+            F.sum("n_words").alias("n_words"),
+            F.max("n_words").alias("max_chunk_words"),
+            F.count(F.when(F.col("df_") > 1, 1)).alias("n_dup_chunks"),
+        )
+    )
+
+
+SQL_CDC_CHUNKS = f"""
+WITH toks AS (
+  SELECT doc_id, i.i - 1 AS i, ws[i.i] AS w
+  FROM (SELECT doc_id, string_split({SQL_NORM}, ' ') AS ws FROM documents),
+       LATERAL unnest(generate_series(1, len(ws))) AS i(i)),
+flagged AS (
+  SELECT doc_id, i, w,
+         (i >= 2 AND substr(md5(concat_ws(' ',
+             lag(w, 2) OVER (PARTITION BY doc_id ORDER BY i),
+             lag(w, 1) OVER (PARTITION BY doc_id ORDER BY i),
+             w)), 32, 1) = '0') AS boundary
+  FROM toks),
+chunked AS (
+  SELECT doc_id, i, w,
+         COALESCE(sum(CASE WHEN boundary THEN 1 ELSE 0 END)
+           OVER (PARTITION BY doc_id ORDER BY i
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS chunk_id
+  FROM flagged),
+chunks AS (
+  SELECT doc_id, chunk_id, count(*) AS n_words,
+         string_agg(w, ' ' ORDER BY i) AS chunk_text
+  FROM chunked GROUP BY doc_id, chunk_id),
+freq AS (SELECT chunk_text, count(*) AS df_ FROM chunks GROUP BY chunk_text)
+SELECT chunks.doc_id,
+       CAST(count(*) AS BIGINT) AS n_chunks,
+       CAST(sum(chunks.n_words) AS BIGINT) AS n_words,
+       CAST(max(chunks.n_words) AS BIGINT) AS max_chunk_words,
+       CAST(count(*) FILTER (WHERE freq.df_ > 1) AS BIGINT) AS n_dup_chunks
+FROM chunks JOIN freq ON chunks.chunk_text = freq.chunk_text
+GROUP BY chunks.doc_id
+"""
+
+
+QUERIES.update({"q159_cdc_chunks": q_cdc_chunks})
+ORACLES.update({"q159_cdc_chunks": SQL_CDC_CHUNKS})
+
+
 QUERIES.update(
     {
         "q140_min_cost_supplier": q_min_cost_supplier,

@@ -395,3 +395,4 @@ def test_sessionize_event_time_timeout(spark, tmp_path):
         if r["user_id"] == 1:
             assert r["session_start"].isoformat() == "2024-01-01T00:00:00"
             assert r["session_end"].isoformat() == "2024-01-01T00:00:10"
+
