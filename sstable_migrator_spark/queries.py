@@ -7083,6 +7083,55 @@ QUERIES.update({"q159_cdc_chunks": q_cdc_chunks})
 ORACLES.update({"q159_cdc_chunks": SQL_CDC_CHUNKS})
 
 
+# ---------------------------------------------------------------------------
+# Batch — incremental materialized-view maintenance
+# ---------------------------------------------------------------------------
+
+
+def q_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental MV maintenance proven against full recompute: the
+    per-customer order rollup is SPLIT at a cutoff date — pre-cutoff
+    rows aggregate into a 'snapshot', the rest into a 'delta' — and
+    ``merge_aggregate_state`` folds the delta in WITHOUT touching base
+    data. All measures are integer and associative (count via sum, sum
+    of orderkeys, max of date string), so the merged state is
+    bit-identical to the oracle's single-pass rollup over the whole
+    table — the property that makes nightly delta maintenance safe at
+    100 TB. Shuffles: two branch rollups + one merge agg, all on
+    o_custkey."""
+    from sstable_migrator_spark.operators.analytics import merge_aggregate_state
+
+    orders = _t(spark, sf_dir, "orders")
+    cutoff = "1997-01-01"
+
+    def rollup(df):
+        return df.groupBy("o_custkey").agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum("o_orderkey").alias("sum_okey"),
+            F.max(F.col("o_orderdate").cast("string")).alias("last_date"),
+        )
+
+    snap = rollup(orders.filter(F.col("o_orderdate") < cutoff))
+    delta = rollup(orders.filter(F.col("o_orderdate") >= cutoff))
+    return merge_aggregate_state(
+        snap, delta, keys=["o_custkey"],
+        merges={"n_orders": "count", "sum_okey": "sum", "last_date": "max"},
+    )
+
+
+SQL_INCREMENTAL_AGG = """
+SELECT o_custkey,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(sum(o_orderkey) AS BIGINT) AS sum_okey,
+       CAST(max(o_orderdate) AS VARCHAR) AS last_date
+FROM orders GROUP BY o_custkey
+"""
+
+
+QUERIES.update({"q160_incremental_agg": q_incremental_agg})
+ORACLES.update({"q160_incremental_agg": SQL_INCREMENTAL_AGG})
+
+
 QUERIES.update(
     {
         "q140_min_cost_supplier": q_min_cost_supplier,

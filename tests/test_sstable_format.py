@@ -443,3 +443,81 @@ def test_compressed_index_positions_are_logical(tmp_path):
     got = read_sstable(str(tmp_path))
     assert got["index_ok"]  # index_ok compares against decompressed starts
     assert got["partitions"][-1]["start"] > 256  # beyond the first chunk
+
+
+# ---------------------------------------------------------------------------
+# property-based round-trip (hypothesis)
+# ---------------------------------------------------------------------------
+
+try:
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    _HYP = True
+except ImportError:  # pragma: no cover
+    _HYP = False
+
+
+if _HYP:
+    _text = st.text(
+        alphabet=st.characters(blacklist_categories=("Cs",)), max_size=40
+    )
+    _row = st.fixed_dictionaries(
+        {
+            "k": st.text(
+                alphabet=st.characters(blacklist_categories=("Cs",)),
+                min_size=1, max_size=20,
+            ),
+            "c": st.integers(min_value=-(2**31), max_value=2**31 - 1),
+            "s": st.one_of(st.none(), _text),
+            "n": st.one_of(
+                st.none(), st.integers(min_value=-(2**63), max_value=2**63 - 1)
+            ),
+            "b": st.one_of(st.none(), st.binary(max_size=64)),
+            "f": st.one_of(st.none(), st.booleans()),
+        }
+    )
+
+    @settings(max_examples=40, deadline=None)
+    @given(rows=st.lists(_row, min_size=1, max_size=30))
+    def test_roundtrip_property(rows, tmp_path_factory):
+        """Any bag of rows (unicode keys, nulls, empty strings, full
+        int64 range -> every vint width, duplicate PKs collapsing into
+        multi-row partitions) must round-trip exactly, keep token
+        order, and pass every cross-check."""
+        tmp = tmp_path_factory.mktemp("sst")
+        t = CqlTable(
+            keyspace="ks", table="t",
+            columns=[("k", "varchar"), ("c", "int"), ("s", "varchar"),
+                     ("n", "bigint"), ("b", "blob"), ("f", "boolean")],
+            partition_key=["k"], clustering=["c"],
+        )
+        # writer keeps ALL buffered rows incl. exact (k, c) duplicates;
+        # dedupe here so expectations are well-defined
+        uniq = {}
+        for r in rows:
+            uniq[(r["k"], r["c"])] = r
+        rows = list(uniq.values())
+        w = SSTableWriter(str(tmp), t, compression="deflate", chunk_length=256)
+        for r in rows:
+            w.add_row(r)
+        m = w.close()
+        got = read_sstable(str(tmp))
+        assert got["index_ok"] and got["digest_ok"] and got["crc_ok"]
+        assert got["bloom_all_present"]
+        toks = [p["token"] for p in got["partitions"]]
+        assert toks == sorted(toks)
+        assert m["rows"] == len(rows)
+        back = {}
+        for p in got["partitions"]:
+            k = p["key_components"][0].decode()
+            for r in p["rows"]:
+                back[(k, r["clustering"][0])] = r["cells"]
+        assert set(back) == {(r["k"], r["c"]) for r in rows}
+        for r in rows:
+            cells = back[(r["k"], r["c"])]
+            for col in ("s", "n", "b", "f"):
+                if r[col] is None:
+                    assert col not in cells
+                else:
+                    assert cells[col] == r[col], (col, r)

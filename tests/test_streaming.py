@@ -396,3 +396,51 @@ def test_sessionize_event_time_timeout(spark, tmp_path):
             assert r["session_start"].isoformat() == "2024-01-01T00:00:00"
             assert r["session_end"].isoformat() == "2024-01-01T00:00:10"
 
+
+def test_watermark_dedup_within(spark, tmp_path):
+    """dropDuplicatesWithinWatermark: key-only dedup across micro-
+    batches with evictable state — repeats with DIFFERENT event times
+    collapse; a fresh key passes."""
+    from pyspark.sql import types as T
+
+    from sstable_migrator_spark.streaming.daily import watermark_dedup_within
+
+    in_dir = tmp_path / "in"
+    in_dir.mkdir()
+    out = str(tmp_path / "out")
+    ck = str(tmp_path / "ck")
+    schema = T.StructType([
+        T.StructField("domain", T.StringType()),
+        T.StructField("seen_ts", T.TimestampType()),
+    ])
+
+    def tick():
+        stream = spark.readStream.schema(schema).csv(str(in_dir) + "/*.csv")
+        q = (
+            watermark_dedup_within(stream, key="domain", window="1 hour")
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ck)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    (in_dir / "b1.csv").write_text(
+        "a.com,2024-01-01 10:00:00\n"
+        "a.com,2024-01-01 10:05:00\n"   # same key, different ts: collapses
+        "b.com,2024-01-01 10:00:00\n"
+    )
+    tick()
+    assert sorted(r["domain"] for r in spark.read.parquet(out).collect()) == [
+        "a.com", "b.com",
+    ]
+    (in_dir / "b2.csv").write_text(
+        "a.com,2024-01-01 10:10:00\n"   # cross-batch repeat inside window
+        "c.com,2024-01-01 10:10:00\n"
+    )
+    tick()
+    assert sorted(r["domain"] for r in spark.read.parquet(out).collect()) == [
+        "a.com", "b.com", "c.com",
+    ]
