@@ -55,10 +55,11 @@ FEATURE_SCHEMA = T.StructType(
 
 class DecoderUnavailable(NotImplementedError):
     """Raised by the real-decode path for media kinds whose codecs are
-    not available (audio/video — no decode libraries in this
-    environment). Images DO real-decode: functions.imagecodec ships a
-    dependency-free PNG/PPM/BMP codec, so ``real_decode=True`` is the
-    real path for ``kind == 'image'`` and a loud stub otherwise."""
+    not available (video only — no container format is stdlib-
+    feasible). Images real-decode via functions.imagecodec (PNG/PPM/
+    BMP) and audio via functions.audiocodec (RIFF/PCM WAV), both
+    dependency-free, so ``real_decode=True`` is the real path for
+    image and audio and a loud stub for video."""
 
 
 def _fake_feature(payload: bytes, dim: int = 8) -> list[float]:
@@ -71,42 +72,62 @@ def _fake_feature(payload: bytes, dim: int = 8) -> list[float]:
 def decode_features(media: DataFrame, dim: int = 8, real_decode: bool = False) -> DataFrame:
     """mapInPandas feature extraction over binary payloads.
 
-    ``real_decode=True`` decodes image payloads for real (PNG/PPM/BMP
-    via functions.imagecodec — pixels, not hashes) and computes
-    channel-statistic features; non-image kinds raise DecoderUnavailable
-    (audio/video codecs genuinely absent here). The default fake path
-    keeps schema/batching/partition behavior exercised without any
-    codec dependency.
+    ``real_decode=True`` decodes image payloads (PNG/PPM/BMP via
+    functions.imagecodec — pixels, not hashes) and audio payloads
+    (RIFF/PCM WAV via functions.audiocodec — samples, not hashes) for
+    real, computing channel-/sample-statistic features; video raises
+    DecoderUnavailable (no container codec is stdlib-feasible, and a
+    fake decoder would be worse than an honest error). The default
+    fake path keeps schema/batching/partition behavior exercised
+    without touching any codec.
     """
 
     def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         if real_decode:
+            from sstable_migrator_spark.functions.audiocodec import (
+                audio_features,
+                decode_wav,
+            )
             from sstable_migrator_spark.functions.imagecodec import (
                 decode_image,
                 image_features,
             )
 
+            def real_feature(kind: str, b: bytes) -> list[float]:
+                if kind == "image":
+                    return image_features(decode_image(b), dim)
+                if kind == "audio":
+                    samples, rate = decode_wav(b)
+                    f = audio_features(samples, rate)
+                    scale = 32768.0
+                    feats = [
+                        f["peak"] / scale,
+                        f["rms"] / scale,
+                        f["zero_crossings"] / max(f["n_frames"], 1),
+                        f["duration_ms"] / 1000.0,
+                    ]
+                    return (feats * ((dim + 3) // 4))[:dim]
+                raise DecoderUnavailable(
+                    f"no codec for kind {kind!r}: images decode via imagecodec, "
+                    "audio via audiocodec (WAV/PCM); video is stubbed"
+                )
+
             for pdf in batches:
-                kinds = pdf["kind"]
-                if (kinds != "image").any():
-                    raise DecoderUnavailable(
-                        "audio/video codecs not available in this environment; "
-                        "filter to kind == 'image' for real decode"
-                    )
                 payloads = pdf["payload"]
                 yield pd.DataFrame(
                     {
                         "media_id": pdf["media_id"],
-                        "kind": kinds,
+                        "kind": pdf["kind"],
                         "payload_sha256": payloads.map(
                             lambda b: hashlib.sha256(b or b"").hexdigest()
                         ),
                         "payload_bytes": payloads.map(lambda b: len(b or b"")).astype(
                             "int32"
                         ),
-                        "feature": payloads.map(
-                            lambda b: image_features(decode_image(bytes(b or b"")), dim)
-                        ),
+                        "feature": [
+                            real_feature(k, bytes(b or b""))
+                            for k, b in zip(pdf["kind"], payloads)
+                        ],
                     }
                 )
             return

@@ -7132,6 +7132,94 @@ QUERIES.update({"q160_incremental_agg": q_incremental_agg})
 ORACLES.update({"q160_incremental_agg": SQL_INCREMENTAL_AGG})
 
 
+# ---------------------------------------------------------------------------
+# Batch — REAL audio decode under the oracle gate
+# ---------------------------------------------------------------------------
+
+
+def q_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Oracle-checked REAL audio decode (q157's recipe for the WAV
+    codec): per sampled doc, 64 deterministic 16-bit PCM samples
+    (md5(doc_id) bytes as little-endian int16, tiled) are encoded to a
+    RIFF/WAV container and decoded back with the from-scratch codec
+    (functions/audiocodec.py), then INTEGER sample statistics — frame
+    count, peak |s|, sum of squares, strict sign-change zero crossings
+    — come from the DECODED samples. The oracle derives the same
+    statistics arithmetically from the md5 byte pattern, so any codec
+    slip (chunk walk, alignment, endianness, sign handling) breaks the
+    hash match. Map-only Arrow-batched work; zero shuffles."""
+    import hashlib
+
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 7 == 0)
+        .select("doc_id")
+    )
+
+    def op(batches):
+        import numpy as np
+        import pandas as pd
+
+        from sstable_migrator_spark.functions import audiocodec as AC
+
+        for pdf in batches:
+            out = {k: [] for k in (
+                "doc_id", "n_frames", "duration_ms", "peak", "sum_sq",
+                "zero_crossings",
+            )}
+            for did in pdf["doc_id"]:
+                pat = hashlib.md5(str(int(did)).encode()).digest()
+                samples = np.frombuffer(pat * 8, dtype="<i2").astype(np.int32)
+                wav = AC.encode_wav(samples, rate=8000)
+                arr, rate = AC.decode_wav(wav)
+                f = AC.audio_features(arr, rate)
+                out["doc_id"].append(int(did))
+                for k in ("n_frames", "duration_ms", "peak", "sum_sq",
+                          "zero_crossings"):
+                    out[k].append(int(f[k]))
+            yield pd.DataFrame(out)
+
+    return docs.mapInPandas(
+        op,
+        "doc_id long, n_frames int, duration_ms int, peak int, sum_sq long, "
+        "zero_crossings int",
+    )
+
+
+SQL_AUDIO_FEATURES = """
+WITH raw AS (
+  SELECT d.doc_id, j.j AS j,
+         CAST(concat('0x', substr(md5(CAST(d.doc_id AS VARCHAR)),
+                                  ((j.j * 2) % 16) * 2 + 1, 2)) AS INT)
+         + 256 * CAST(concat('0x', substr(md5(CAST(d.doc_id AS VARCHAR)),
+                                          ((j.j * 2 + 1) % 16) * 2 + 1, 2)) AS INT)
+           AS u16
+  FROM (SELECT doc_id FROM documents WHERE doc_id % 7 = 0) d,
+       LATERAL (SELECT unnest(range(0, 64)) AS j) j(j)),
+s AS (
+  SELECT doc_id, j,
+         CASE WHEN u16 >= 32768 THEN u16 - 65536 ELSE u16 END AS v
+  FROM raw),
+z AS (
+  SELECT doc_id, j, v,
+         lag(v) OVER (PARTITION BY doc_id ORDER BY j) AS pv
+  FROM s)
+SELECT doc_id,
+       CAST(64 AS INT) AS n_frames,
+       CAST(64 * 1000 // 8000 AS INT) AS duration_ms,
+       CAST(max(abs(v)) AS INT) AS peak,
+       CAST(sum(CAST(v AS BIGINT) * v) AS BIGINT) AS sum_sq,
+       CAST(count(*) FILTER (WHERE pv IS NOT NULL
+                             AND (v < 0) <> (pv < 0)) AS INT)
+         AS zero_crossings
+FROM z GROUP BY doc_id
+"""
+
+
+QUERIES.update({"q161_audio_features": q_audio_features})
+ORACLES.update({"q161_audio_features": SQL_AUDIO_FEATURES})
+
+
 QUERIES.update(
     {
         "q140_min_cost_supplier": q_min_cost_supplier,
