@@ -54,12 +54,14 @@ FEATURE_SCHEMA = T.StructType(
 
 
 class DecoderUnavailable(NotImplementedError):
-    """Raised by the real-decode path for media kinds whose codecs are
-    not available (video only — no container format is stdlib-
-    feasible). Images real-decode via functions.imagecodec (PNG/PPM/
-    BMP) and audio via functions.audiocodec (RIFF/PCM WAV), both
-    dependency-free, so ``real_decode=True`` is the real path for
-    image and audio and a loud stub for video."""
+    """Raised by the real-decode path for media whose codecs are not
+    available (non-GIF video containers — H.264 & friends are not
+    stdlib-feasible). Images real-decode via functions.imagecodec
+    (PNG/PPM/BMP), audio via functions.audiocodec (RIFF/PCM WAV), and
+    animated GIF video via functions.gifcodec (real LZW + frame
+    compositing) — all dependency-free — so ``real_decode=True`` is
+    the real path for everything but proprietary video codecs, which
+    stay a loud stub."""
 
 
 def _fake_feature(payload: bytes, dim: int = 8) -> list[float]:
@@ -107,9 +109,14 @@ def decode_features(media: DataFrame, dim: int = 8, real_decode: bool = False) -
                         f["duration_ms"] / 1000.0,
                     ]
                     return (feats * ((dim + 3) // 4))[:dim]
+                if kind == "video" and b[:6] in (b"GIF89a", b"GIF87a"):
+                    from sstable_migrator_spark.functions.gifcodec import decode_gif
+
+                    return image_features(decode_gif(b)[0]["pixels"], dim)
                 raise DecoderUnavailable(
                     f"no codec for kind {kind!r}: images decode via imagecodec, "
-                    "audio via audiocodec (WAV/PCM); video is stubbed"
+                    "audio via audiocodec (WAV/PCM), animated GIF via gifcodec; "
+                    "other video containers are stubbed"
                 )
 
             for pdf in batches:
@@ -194,8 +201,9 @@ def synthetic_image_media(spark, n: int = 24) -> DataFrame:
 
 def frame_sample_plan(media: DataFrame, every_ms: int = 1000) -> DataFrame:
     """Video frame-sampling *plan*: one row per planned frame timestamp
-    (sequence over duration) — the decode of each frame is the stubbed
-    step. Shows the explode/partition shape without codecs."""
+    (sequence over duration) — metadata only, no decode. Kept as the
+    cheap planning shape; ``sample_frames(real_decode=True)`` below is
+    the real path for animated-GIF payloads."""
     return (
         media.filter(F.col("kind") == "video")
         .select(
@@ -205,6 +213,81 @@ def frame_sample_plan(media: DataFrame, every_ms: int = 1000) -> DataFrame:
             ).alias("frame_ts_ms"),
         )
     )
+
+
+FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("frame_index", T.IntegerType()),
+        T.StructField("frame_ts_ms", T.IntegerType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("feature", T.ArrayType(T.FloatType())),
+    ]
+)
+
+
+def sample_frames(
+    media: DataFrame, every_ms: int = 1000, dim: int = 8, real_decode: bool = False
+) -> DataFrame:
+    """Real video frame sampling over animated-GIF payloads
+    (functions/gifcodec.py — the one animation container with a fully
+    public stdlib-feasible stack): decode the animation, walk the
+    frame timeline, keep the frame on display at each ``every_ms``
+    tick, and compute real pixel features per kept frame
+    (imagecodec.image_features over the composited canvas). The fake
+    path emits the same schema from metadata alone. Both are map-only
+    Arrow-batched passes — frames never cross a shuffle; downstream
+    rollups shuffle features, not pixels."""
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from sstable_migrator_spark.functions.gifcodec import decode_gif
+        from sstable_migrator_spark.functions.imagecodec import image_features
+
+        for pdf in batches:
+            out = {k: [] for k in (
+                "media_id", "frame_index", "frame_ts_ms", "width", "height",
+                "feature",
+            )}
+            for mid, kind, payload, meta in zip(
+                pdf["media_id"], pdf["kind"], pdf["payload"], pdf["meta"]
+            ):
+                if kind != "video":
+                    continue
+                if not real_decode:
+                    dur = max(int(meta["duration_ms"]), 1)
+                    for fi, ts in enumerate(range(0, dur, every_ms)):
+                        out["media_id"].append(mid)
+                        out["frame_index"].append(fi)
+                        out["frame_ts_ms"].append(ts)
+                        out["width"].append(int(meta["width"]))
+                        out["height"].append(int(meta["height"]))
+                        out["feature"].append(_fake_feature(bytes(payload or b"") + bytes([fi]), dim))
+                    continue
+                frames = decode_gif(bytes(payload))
+                # frame f is on display in [start_f, start_f + delay_f)
+                starts = []
+                t = 0
+                for f in frames:
+                    starts.append(t)
+                    t += max(f["delay_ms"], 1)
+                total = t
+                fi = 0
+                for ts in range(0, total, every_ms):
+                    while fi + 1 < len(frames) and starts[fi + 1] <= ts:
+                        fi += 1
+                    px = frames[fi]["pixels"]
+                    out["media_id"].append(mid)
+                    out["frame_index"].append(fi)
+                    out["frame_ts_ms"].append(ts)
+                    out["width"].append(px.shape[1])
+                    out["height"].append(px.shape[0])
+                    out["feature"].append(image_features(px, dim))
+            yield pd.DataFrame(out) if out["media_id"] else pd.DataFrame(
+                {k: pd.Series(dtype="object") for k in out}
+            )
+
+    return media.mapInPandas(op, FRAME_SCHEMA)
 
 
 RESIZED_SCHEMA = T.StructType(

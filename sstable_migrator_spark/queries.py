@@ -7220,6 +7220,87 @@ QUERIES.update({"q161_audio_features": q_audio_features})
 ORACLES.update({"q161_audio_features": SQL_AUDIO_FEATURES})
 
 
+# ---------------------------------------------------------------------------
+# Batch — REAL animated-GIF decode under the oracle gate
+# ---------------------------------------------------------------------------
+
+
+def q_video_frame_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Oracle-checked REAL video-container decode (q157/q161's recipe
+    for the GIF codec): per sampled doc, a 3-frame 8x8 animation is
+    built from md5-derived palette indices, encoded to an animated
+    GIF89a (functions/gifcodec.py — real LZW), decoded back, and
+    per-frame channel sums come from the DECODED composited frames.
+    The oracle derives the same sums arithmetically from the md5
+    pattern + the fixed palette, so any LZW/width/palette/compositing
+    slip breaks the hash. Map-only Arrow-batched; zero shuffles."""
+    import hashlib
+
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 11 == 0)
+        .select("doc_id")
+    )
+
+    def op(batches):
+        import numpy as np
+        import pandas as pd
+
+        from sstable_migrator_spark.functions.gifcodec import decode_gif, encode_gif
+
+        pal = np.array(
+            [[0, 0, 0], [255, 0, 0], [0, 255, 0], [0, 0, 255],
+             [255, 255, 0], [0, 255, 255], [255, 255, 255]],
+            dtype=np.uint8,
+        )
+        for pdf in batches:
+            out = {k: [] for k in ("doc_id", "frame", "sum_r", "sum_g", "sum_b")}
+            for did in pdf["doc_id"]:
+                frames = []
+                for f in range(3):
+                    pat = hashlib.md5(f"{int(did)}:{f}".encode()).digest()
+                    idx = np.frombuffer((pat * 4), dtype=np.uint8) % 7
+                    frames.append(pal[idx.reshape(8, 8)])
+                decoded = decode_gif(encode_gif(frames, [100, 100, 100]))
+                for f, fr in enumerate(decoded):
+                    px = fr["pixels"].astype(np.int64)
+                    out["doc_id"].append(int(did))
+                    out["frame"].append(f)
+                    out["sum_r"].append(int(px[:, :, 0].sum()))
+                    out["sum_g"].append(int(px[:, :, 1].sum()))
+                    out["sum_b"].append(int(px[:, :, 2].sum()))
+            yield pd.DataFrame(out)
+
+    return docs.mapInPandas(
+        op, "doc_id long, frame int, sum_r long, sum_g long, sum_b long"
+    )
+
+
+SQL_VIDEO_FRAME_STATS = """
+WITH pal(i, r, g, b) AS (VALUES
+  (0, 0, 0, 0), (1, 255, 0, 0), (2, 0, 255, 0), (3, 0, 0, 255),
+  (4, 255, 255, 0), (5, 0, 255, 255), (6, 255, 255, 255)),
+px AS (
+  SELECT d.doc_id, f.f AS frame, p.p AS p,
+         CAST(concat('0x', substr(md5(concat(CAST(d.doc_id AS VARCHAR), ':',
+                                             CAST(f.f AS VARCHAR))),
+                                  (p.p % 16) * 2 + 1, 2)) AS INT) % 7 AS i
+  FROM (SELECT doc_id FROM documents WHERE doc_id % 11 = 0) d,
+       LATERAL (SELECT unnest(range(0, 3)) AS f) f(f),
+       LATERAL (SELECT unnest(range(0, 64)) AS p) p(p))
+SELECT doc_id, CAST(frame AS INT) AS frame,
+       CAST(sum(pal.r) AS BIGINT) AS sum_r,
+       CAST(sum(pal.g) AS BIGINT) AS sum_g,
+       CAST(sum(pal.b) AS BIGINT) AS sum_b
+FROM px JOIN pal ON px.i = pal.i
+GROUP BY doc_id, frame
+"""
+
+
+QUERIES.update({"q162_video_frame_stats": q_video_frame_stats})
+ORACLES.update({"q162_video_frame_stats": SQL_VIDEO_FRAME_STATS})
+
+
 QUERIES.update(
     {
         "q140_min_cost_supplier": q_min_cost_supplier,
