@@ -7301,6 +7301,75 @@ QUERIES.update({"q162_video_frame_stats": q_video_frame_stats})
 ORACLES.update({"q162_video_frame_stats": SQL_VIDEO_FRAME_STATS})
 
 
+# ---------------------------------------------------------------------------
+# Batch — one-pass table profiler
+# ---------------------------------------------------------------------------
+
+_PROFILE_COLS = [
+    ("o_orderkey", True),
+    ("o_custkey", True),
+    ("o_orderstatus", True),
+    ("o_totalprice", False),  # double: min/max string form is engine-shaped
+    ("o_orderdate", True),
+    ("o_orderpriority", True),
+]
+
+
+def q_profile_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-pass table profiler (the engine's SUMMARIZE / dbt-docs
+    analog): per column — null count, exact distinct count, min/max as
+    strings — computed in a SINGLE aggregation over one scan, then
+    unpivoted to one row per column. Exact multi-column distinct uses
+    Spark's expand rewrite (row multiplies by column count) — fine for
+    a profile pass; at 100 TB swap COUNT(DISTINCT) for
+    approx_count_distinct and the pass is pure map-side HLL merge.
+    Double columns keep null/distinct but skip min/max strings: float
+    decimal rendering is engine-shaped, and a profiler must never
+    invent cross-engine-unstable text."""
+    df = _t(spark, sf_dir, "orders")
+    aggs = []
+    for c, strable in _PROFILE_COLS:
+        aggs.append(F.count(F.when(F.col(c).isNull(), 1)).alias(f"{c}__nulls"))
+        aggs.append(F.countDistinct(c).alias(f"{c}__nd"))
+        if strable:
+            aggs.append(F.min(c).cast("string").alias(f"{c}__min"))
+            aggs.append(F.max(c).cast("string").alias(f"{c}__max"))
+    row = df.agg(*aggs)
+    stacked = []
+    for c, strable in _PROFILE_COLS:
+        stacked.append(
+            F.struct(
+                F.lit(c).alias("column"),
+                F.col(f"{c}__nulls").alias("n_nulls"),
+                F.col(f"{c}__nd").alias("n_distinct"),
+                (F.col(f"{c}__min") if strable else F.lit(None).cast("string")).alias("min_str"),
+                (F.col(f"{c}__max") if strable else F.lit(None).cast("string")).alias("max_str"),
+            )
+        )
+    return (
+        row.select(F.explode(F.array(*stacked)).alias("p"))
+        .select("p.column", "p.n_nulls", "p.n_distinct", "p.min_str", "p.max_str")
+    )
+
+
+def _sql_profile() -> str:
+    parts = []
+    for c, strable in _PROFILE_COLS:
+        mn = f"CAST(min({c}) AS VARCHAR)" if strable else "CAST(NULL AS VARCHAR)"
+        mx = f"CAST(max({c}) AS VARCHAR)" if strable else "CAST(NULL AS VARCHAR)"
+        parts.append(
+            f"SELECT '{c}' AS \"column\","
+            f" CAST(count(*) FILTER (WHERE {c} IS NULL) AS BIGINT) AS n_nulls,"
+            f" CAST(count(DISTINCT {c}) AS BIGINT) AS n_distinct,"
+            f" {mn} AS min_str, {mx} AS max_str FROM orders"
+        )
+    return " UNION ALL ".join(parts)
+
+
+QUERIES.update({"q163_profile_table": q_profile_table})
+ORACLES.update({"q163_profile_table": _sql_profile()})
+
+
 QUERIES.update(
     {
         "q140_min_cost_supplier": q_min_cost_supplier,

@@ -40,6 +40,7 @@ import time
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 __all__ = [
     "ConcurrentWriteError",
@@ -240,6 +241,59 @@ def merge_upsert(
     return _publish(
         path,
         {"op": "merge", "ts": time.time(), "dirs": [os.path.join("data", dirname)]},
+        base_version=base_v,
+    )
+
+
+def apply_changes(
+    spark: SparkSession,
+    path: str,
+    changes: DataFrame,
+    key_cols: list[str],
+    op_col: str = "op",
+) -> int:
+    """Full CDC apply (the MERGE twin of ``diff_versions``): fold a
+    change set carrying an operation column — 'I'/'U' rows upsert,
+    'D' rows delete — into ONE new snapshot. This is what consuming a
+    Debezium-style feed or replaying ``diff_versions`` output onto
+    another table needs; ``merge_upsert`` alone cannot express
+    deletes. Semantics per key: the change row wins over the base row
+    ('U' or late 'I'), a 'D' removes the key, unmatched base rows
+    carry over. A key may appear ONCE in the change set (the usual
+    compacted-feed contract) — duplicates raise, because picking a
+    winner silently would hide an upstream compaction bug.
+
+    Shape: base shuffles once on the key (anti-join against all
+    changed keys), upserts append; copy-on-write like merge_upsert,
+    conditional publish, history intact."""
+    ops = changes.select(op_col).distinct().collect()
+    bad = [r[op_col] for r in ops if r[op_col] not in ("I", "U", "D")]
+    if bad:
+        raise ValueError(f"unknown CDC op(s) {bad}; expected I/U/D")
+    dup = (
+        changes.groupBy(*key_cols)
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .filter(F.col("_n") > 1)
+        .limit(1)
+        .collect()
+    )
+    if dup:
+        raise ValueError(
+            f"key {tuple(dup[0][c] for c in key_cols)} appears more than once "
+            "in the change set; compact the feed to one change per key"
+        )
+    base_v = _versions(path)[-1]
+    base = read_version(spark, path, base_v)
+    changed_keys = changes.select(*key_cols).distinct()
+    survivors = base.join(changed_keys, key_cols, "left_anti")
+    upserts = changes.filter(F.col(op_col) != "D").drop(op_col)
+    merged = survivors.unionByName(upserts)
+    dirname = f"v{uuid.uuid4().hex[:12]}"
+    data_dir = os.path.join(path, "data", dirname)
+    merged.write.mode("error").parquet(data_dir)
+    return _publish(
+        path,
+        {"op": "cdc_apply", "ts": time.time(), "dirs": [os.path.join("data", dirname)]},
         base_version=base_v,
     )
 

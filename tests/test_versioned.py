@@ -4,6 +4,7 @@ compaction, vacuum — the zero-dependency Iceberg/Delta mechanism."""
 from __future__ import annotations
 
 import pytest
+from pyspark.sql import functions as F
 
 from sstable_migrator_spark.sinks.versioned import (
     compact,
@@ -154,3 +155,64 @@ def test_schema_drift(spark, tmp_path):
         {"column": "fresh", "change": "added", "type": "string"},
         {"column": "gone", "change": "removed", "type": "string"},
     ]
+
+
+def test_apply_changes_cdc(spark, tmp_path):
+    """I/U/D change set folds into one snapshot: insert lands, update
+    wins, delete removes, untouched rows carry over; round-trips with
+    diff_versions (apply(diff(v1,v2)) onto v1 == v2)."""
+    from sstable_migrator_spark.sinks.versioned import apply_changes, diff_versions
+
+    t = str(tmp_path / "tbl")
+    versioned_write(_df(spark, 0, 5), t)  # ids 0-4, val = 2*id
+    changes = spark.createDataFrame(
+        [(2, 999, "U"), (3, None, "D"), (100, 7, "I")],
+        "id long, val long, op string",
+    )
+    v = apply_changes(spark, t, changes, key_cols=["id"])
+    assert v == 2
+    got = {r["id"]: r["val"] for r in read_version(spark, t).collect()}
+    assert got == {0: 0, 1: 2, 2: 999, 4: 8, 100: 7}  # 3 deleted
+    assert history(t)[-1]["op"] == "cdc_apply"
+    # pre-apply snapshot intact
+    assert read_version(spark, t, version=1).count() == 5
+
+    # replay: apply diff(1 -> 2) onto a fresh copy of v1 == v2
+    t2 = str(tmp_path / "replay")
+    versioned_write(read_version(spark, t, version=1), t2)
+    d = diff_versions(spark, t, 1, 2, key_cols=["id"])
+    feed = (
+        read_version(spark, t, 2)
+        .join(d.filter("change != 'removed'").select("id"), "id")
+        .withColumn("op", F.lit("U"))
+        .unionByName(
+            read_version(spark, t, 1)
+            .join(d.filter("change = 'removed'").select("id"), "id")
+            .withColumn("op", F.lit("D"))
+        )
+    )
+    apply_changes(spark, t2, feed, key_cols=["id"])
+    a = sorted(map(tuple, read_version(spark, t2).collect()))
+    b = sorted(map(tuple, read_version(spark, t, 2).collect()))
+    assert a == b
+
+
+def test_apply_changes_guards(spark, tmp_path):
+    from sstable_migrator_spark.sinks.versioned import apply_changes
+
+    t = str(tmp_path / "tbl")
+    versioned_write(_df(spark, 0, 3), t)
+    with pytest.raises(ValueError, match="unknown CDC op"):
+        apply_changes(
+            spark, t,
+            spark.createDataFrame([(1, 5, "X")], "id long, val long, op string"),
+            key_cols=["id"],
+        )
+    with pytest.raises(ValueError, match="more than once"):
+        apply_changes(
+            spark, t,
+            spark.createDataFrame(
+                [(1, 5, "U"), (1, 6, "U")], "id long, val long, op string"
+            ),
+            key_cols=["id"],
+        )
