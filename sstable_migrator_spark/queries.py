@@ -1476,7 +1476,11 @@ def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _sql_minhash_lsh() -> str:
+def _sql_lsh_ctes() -> str:
+    """The shared CTE chain for MinHash-LSH SQL twins: nd_docs ->
+    grams -> sigs -> banded -> pairs (band-bucket collisions) ->
+    lsh_pairs (estimate-filtered) — used verbatim by q43 and by the
+    q164 recall measurement so the two can never drift."""
     hashes = ", ".join(
         "list_min(list_transform(g, s -> CAST(concat('0x', substr(md5('"
         + f"{seed}|' || s), 1, 15)) AS BIGINT))) AS h{seed}"
@@ -1489,20 +1493,26 @@ def _sql_minhash_lsh() -> str:
         for b in range(4)
     )
     matches = " + ".join(f"(CASE WHEN sa.h{i} = sb.h{i} THEN 1 ELSE 0 END)" for i in range(16))
-    return f"""
-WITH {SQL_ND_DOCS_CTE.strip()},
+    return f"""{SQL_ND_DOCS_CTE.strip()},
 {_sql_grams_over('nd_docs').strip()},
 sigs AS (SELECT doc_id, {hashes} FROM grams),
 banded AS ({band_rows}),
 pairs AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
           FROM banded a JOIN banded b
-          ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id)
-SELECT id_a, id_b, est_jaccard FROM (
-  SELECT id_a, id_b, CAST({matches} AS DOUBLE) / 16.0 AS est_jaccard
-  FROM pairs
-  JOIN sigs sa ON sa.doc_id = pairs.id_a
-  JOIN sigs sb ON sb.doc_id = pairs.id_b)
-WHERE est_jaccard >= 0.5
+          ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id),
+lsh_pairs AS (
+  SELECT id_a, id_b, est_jaccard FROM (
+    SELECT id_a, id_b, CAST({matches} AS DOUBLE) / 16.0 AS est_jaccard
+    FROM pairs
+    JOIN sigs sa ON sa.doc_id = pairs.id_a
+    JOIN sigs sb ON sb.doc_id = pairs.id_b)
+  WHERE est_jaccard >= 0.5)"""
+
+
+def _sql_minhash_lsh() -> str:
+    return f"""
+WITH {_sql_lsh_ctes()}
+SELECT id_a, id_b, est_jaccard FROM lsh_pairs
 """
 
 
@@ -7368,6 +7378,109 @@ def _sql_profile() -> str:
 
 QUERIES.update({"q163_profile_table": q_profile_table})
 ORACLES.update({"q163_profile_table": _sql_profile()})
+
+
+# ---------------------------------------------------------------------------
+# Batch — LSH quality measurement (recall/precision vs exact truth)
+# ---------------------------------------------------------------------------
+
+
+def q_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Measure, don't guess: the MinHash-LSH near-dup pipeline's
+    recall/precision against EXACT ground truth on the planted near-dup
+    corpus. Truth = pairs with true shingle-set Jaccard >= 1/2, found
+    via the inverted-index identity (such a pair MUST share a shingle,
+    so candidates come from the shared-shingle join — never an
+    all-pairs pass) and verified with integer cross-multiplied math.
+    Candidates = q43's banded pipeline output. One full-outer join
+    lines the two pair sets up; the single output row carries integer
+    TP/truth/candidate counts plus derived recall/precision — the
+    numbers that justify (or indict) the banding parameters before a
+    100 TB run commits to them."""
+    docs = _synth_near_dup_docs(spark, sf_dir)
+    sh = docs.select(
+        "doc_id", F.explode(F.array_distinct(TX.shingles(F.col("text"), 3))).alias("s")
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    pairs = (
+        sh.alias("a")
+        .join(
+            sh.alias("b"),
+            (F.col("a.s") == F.col("b.s"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b")
+        )
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    exact = (
+        pairs.join(
+            sizes.select(F.col("doc_id").alias("id_a"), F.col("n").alias("na")),
+            "id_a",
+        )
+        .join(
+            sizes.select(F.col("doc_id").alias("id_b"), F.col("n").alias("nb")),
+            "id_b",
+        )
+        .filter(F.col("inter") * 2 >= F.col("na") + F.col("nb") - F.col("inter"))
+        .select("id_a", "id_b")
+    )
+    lsh = dedup.minhash_lsh_pairs(
+        docs, num_hashes=16, bands=4, jaccard_threshold=0.5
+    ).select("id_a", "id_b")
+    both = exact.withColumn("e", F.lit(1)).join(
+        lsh.withColumn("l", F.lit(1)), ["id_a", "id_b"], "full"
+    )
+    return both.agg(
+        F.count("e").alias("n_true"),
+        F.count("l").alias("n_candidates"),
+        F.count(F.when(F.col("e").isNotNull() & F.col("l").isNotNull(), 1)).alias(
+            "n_hit"
+        ),
+    ).select(
+        "n_true",
+        "n_candidates",
+        "n_hit",
+        (F.col("n_hit") / F.col("n_true")).alias("recall"),
+        (F.col("n_hit") / F.col("n_candidates")).alias("precision"),
+    )
+
+
+def _sql_lsh_recall() -> str:
+    return f"""
+WITH {_sql_lsh_ctes()},
+lsh AS (SELECT id_a, id_b FROM lsh_pairs),
+sh AS (SELECT doc_id, unnest(g) AS s FROM grams),
+sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+cand AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2),
+exact AS (
+  SELECT id_a, id_b FROM cand
+  JOIN sizes sa ON sa.doc_id = cand.id_a
+  JOIN sizes sb ON sb.doc_id = cand.id_b
+  WHERE inter * 2 >= sa.n + sb.n - inter),
+joined AS (
+  SELECT coalesce(e.id_a, l.id_a) AS id_a,
+         (e.id_a IS NOT NULL) AS in_exact,
+         (l.id_a IS NOT NULL) AS in_lsh
+  FROM exact e FULL OUTER JOIN lsh l
+    ON e.id_a = l.id_a AND e.id_b = l.id_b)
+SELECT CAST(count(*) FILTER (WHERE in_exact) AS BIGINT) AS n_true,
+       CAST(count(*) FILTER (WHERE in_lsh) AS BIGINT) AS n_candidates,
+       CAST(count(*) FILTER (WHERE in_exact AND in_lsh) AS BIGINT) AS n_hit,
+       count(*) FILTER (WHERE in_exact AND in_lsh)
+         / CAST(count(*) FILTER (WHERE in_exact) AS DOUBLE) AS recall,
+       count(*) FILTER (WHERE in_exact AND in_lsh)
+         / CAST(count(*) FILTER (WHERE in_lsh) AS DOUBLE) AS precision
+FROM joined
+"""
+
+
+QUERIES.update({"q164_lsh_recall": q_lsh_recall})
+ORACLES.update({"q164_lsh_recall": _sql_lsh_recall()})
 
 
 QUERIES.update(
