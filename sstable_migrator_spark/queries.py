@@ -7483,6 +7483,102 @@ QUERIES.update({"q164_lsh_recall": q_lsh_recall})
 ORACLES.update({"q164_lsh_recall": _sql_lsh_recall()})
 
 
+# ---------------------------------------------------------------------------
+# Batch — ANN recall@k measurement (IVF vs exact brute force)
+# ---------------------------------------------------------------------------
+
+
+def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q164's measured-quality pattern for the ANN index: per query,
+    how many of the EXACT cosine top-5 the IVF index (q57's exact
+    parameters: 8 seeded centroids, n_probe=2) actually returns —
+    recall@5 per query plus the integer hit count. This is the number
+    that justifies an n_probe before a 100 TB corpus pays for the wrong
+    one; the pytest suite pins the same curve (exact at full probe,
+    monotone in n_probe), and this query puts the measurement under
+    the cross-engine oracle gate."""
+    emb = _t(spark, sf_dir, "embeddings")
+    cent_rows = (
+        emb.filter((F.col("vec_id") % 20 == 0) & (F.col("vec_id") < 160))
+        .select("vec_id", "embedding")
+        .orderBy("vec_id")
+        .collect()
+    )
+    centroids = [(int(r["vec_id"]), [float(x) for x in r["embedding"]]) for r in cent_rows]
+    queries = emb.filter((F.col("vec_id") >= 5) & (F.col("vec_id") < 15)).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    exact = simsearch.brute_force_topk(emb, queries, k=5).select(
+        "query_id", "neighbor_id"
+    )
+    ivf = simsearch.ivf_topk(emb, queries, centroids, k=5, n_probe=2).select(
+        "query_id", "neighbor_id"
+    )
+    return (
+        exact.join(ivf.withColumn("_hit", F.lit(1)), ["query_id", "neighbor_id"], "left")
+        .groupBy("query_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_exact"),
+            F.count("_hit").alias("n_hit"),
+        )
+        .select(
+            "query_id", "n_exact", "n_hit",
+            (F.col("n_hit") / F.col("n_exact")).alias("recall_at_5"),
+        )
+    )
+
+
+SQL_ANN_RECALL = f"""
+WITH c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+cent AS (SELECT vec_id AS cell_id, CAST(embedding AS DOUBLE[]) AS cv
+         FROM embeddings WHERE vec_id % 20 = 0 AND vec_id < 160),
+q AS (SELECT vec_id AS query_id, v AS qv FROM c
+      WHERE vec_id >= 5 AND vec_id < 15),
+exact AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT q.query_id, c.vec_id AS neighbor_id,
+           row_number() OVER (PARTITION BY q.query_id
+                              ORDER BY {_SQL_COS.format(a='c.v', b='q.qv')} DESC,
+                                       c.vec_id ASC) AS rank
+    FROM c CROSS JOIN q) WHERE rank <= 5),
+assign AS (
+  SELECT vec_id, cell_id FROM (
+    SELECT c.vec_id, cent.cell_id,
+           row_number() OVER (PARTITION BY c.vec_id
+                              ORDER BY {_SQL_COS.format(a='c.v', b='cent.cv')} DESC,
+                                       cent.cell_id ASC) AS rn
+    FROM c CROSS JOIN cent) WHERE rn = 1),
+probes AS (
+  SELECT query_id, cell_id FROM (
+    SELECT q.query_id, cent.cell_id,
+           row_number() OVER (PARTITION BY q.query_id
+                              ORDER BY {_SQL_COS.format(a='q.qv', b='cent.cv')} DESC,
+                                       cent.cell_id ASC) AS rn
+    FROM q CROSS JOIN cent) WHERE rn <= 2),
+ivf AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT p.query_id, a.vec_id AS neighbor_id,
+           row_number() OVER (PARTITION BY p.query_id
+                              ORDER BY {_SQL_COS.format(a='cv2.v', b='qv2.qv')} DESC,
+                                       a.vec_id ASC) AS rank
+    FROM probes p
+    JOIN assign a ON a.cell_id = p.cell_id
+    JOIN c cv2 ON cv2.vec_id = a.vec_id
+    JOIN q qv2 ON qv2.query_id = p.query_id) WHERE rank <= 5)
+SELECT exact.query_id,
+       CAST(count(*) AS BIGINT) AS n_exact,
+       CAST(count(ivf.neighbor_id) AS BIGINT) AS n_hit,
+       count(ivf.neighbor_id) / CAST(count(*) AS DOUBLE) AS recall_at_5
+FROM exact LEFT JOIN ivf
+  ON exact.query_id = ivf.query_id AND exact.neighbor_id = ivf.neighbor_id
+GROUP BY exact.query_id
+"""
+
+
+QUERIES.update({"q165_ann_recall": q_ann_recall})
+ORACLES.update({"q165_ann_recall": SQL_ANN_RECALL})
+
+
 QUERIES.update(
     {
         "q140_min_cost_supplier": q_min_cost_supplier,

@@ -521,3 +521,59 @@ if _HYP:
                     assert col not in cells
                 else:
                     assert cells[col] == r[col], (col, r)
+
+
+# ---------------------------------------------------------------------------
+# corruption detection
+# ---------------------------------------------------------------------------
+
+
+def test_corruption_detected_uncompressed(tmp_path):
+    """Flipping a data byte must flip digest_ok and the chunk CRC —
+    the reader's verification is real, not decorative."""
+    w = SSTableWriter(str(tmp_path), _tiny_table())
+    for i in range(20):
+        w.add_row({"k": f"k{i}", "v": f"value-{i}"})
+    w.close()
+    path = tmp_path / "nb-1-big-Data.db"
+    blob = bytearray(path.read_bytes())
+    # flip one bit inside some row body (past the first partition header)
+    blob[len(blob) // 2] ^= 0x40
+    path.write_bytes(bytes(blob))
+    got = read_sstable(str(tmp_path))
+    assert not got["digest_ok"]
+    assert not got["crc_ok"]
+
+
+def test_corruption_detected_compressed_chunk(tmp_path):
+    """A flipped byte inside a compressed chunk fails that chunk's
+    inline CRC (and usually the digest too)."""
+    w = SSTableWriter(str(tmp_path), _tiny_table(), compression="deflate",
+                      chunk_length=256)
+    for i in range(60):
+        w.add_row({"k": f"k{i}", "v": "v" * 30})
+    w.close()
+    path = tmp_path / "nb-1-big-Data.db"
+    blob = bytearray(path.read_bytes())
+    blob[10] ^= 0x01
+    path.write_bytes(bytes(blob))
+    import zlib as _z
+
+    import pytest as _pt
+
+    try:
+        got = read_sstable(str(tmp_path))
+        # if the deflate stream still decompresses, the CRC must catch it
+        assert not got["crc_ok"] or not got["digest_ok"]
+    except (_z.error, Exception):
+        pass  # corrupt deflate stream refusing to decompress is also a catch
+
+
+def test_truncated_file_clean_error(tmp_path):
+    w = SSTableWriter(str(tmp_path), _tiny_table())
+    w.add_row({"k": "aa", "v": "bb"})
+    w.close()
+    path = tmp_path / "nb-1-big-Data.db"
+    path.write_bytes(path.read_bytes()[:-5])
+    with pytest.raises((IndexError, ValueError, struct.error)):
+        read_sstable(str(tmp_path))
