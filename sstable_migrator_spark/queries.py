@@ -7645,18 +7645,23 @@ _DRIVER_PRIORITY: list[str] = [
     "q64_skew_distinct",
     "q65_asof_join",
     "q66_rollup",
-    # LLM-pipeline dedup / similarity / quality family
-    "q40_exact_dedup",
-    "q41_token_stats",
-    "q42_minhash_sigs",
+    # LLM-pipeline dedup / similarity / quality family.
+    # q40/q41/q42/q49 rotated to local-harness coverage (their families
+    # keep driver evidence via q78/q47+q48/q43/q52) to make room for the
+    # round-3 flagships: the codec-oracle queries (q161 audio, q162
+    # video) and the measured-quality queries (q164 LSH recall, q165
+    # ANN recall).
     "q43_minhash_lsh_pairs",
     "q138_span_dedup",
     "q139_dsir_importance",
     "q145_dup_clusters_star",
     "q47_lang_id",
     "q48_quality_score",
-    "q49_fingerprint_simhash",
     "q52_simhash_pairs",
+    "q161_audio_features",
+    "q162_video_frame_stats",
+    "q164_lsh_recall",
+    "q165_ann_recall",
     "q148_data_contract",
     "q55_ann_lsh",
     "q56_media_features",

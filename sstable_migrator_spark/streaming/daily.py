@@ -363,6 +363,61 @@ def write_ring_placed(
     )
 
 
+def write_sstable_stream(
+    stream: DataFrame,
+    path: str,
+    checkpoint: str,
+    keyspace: str,
+    table: str,
+    partition_key: list[str],
+    clustering: list[str],
+    ring: list[tuple[int, str]],
+    rf: int = 3,
+    racks: dict[str, str] | None = None,
+    cql_type_overrides: dict[str, str] | None = None,
+) -> "object":
+    """The reference's ENTIRE pipeline closed end-to-end as one
+    operator: a live record stream micro-batches straight into actual
+    BIG-format SSTable files, ring-routed per token range — what
+    ``daily cron -> CQLSSTableWriter -> sstableloader`` does with three
+    processes and a staging area (App.java:231-250,
+    daily_all_upload.sh), as a single checkpointed streaming query.
+
+    foreachBatch + ``sinks.ring.write_sstables`` per batch; each batch
+    lands under ``batch_id=<n>/`` (overwrite on replay — the
+    checkpointed-batch-id idempotence recipe, same as
+    write_ring_placed), holding one sstable per token range with the
+    stream manifest beside it. The loader ships the union of batch
+    subtrees per range; Cassandra compaction merges them on arrival,
+    exactly as it does for any bulk load done in waves."""
+    from sstable_migrator_spark.sinks.ring import write_sstables
+
+    def _write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        import shutil
+
+        batch_dir = f"{path}/batch_id={batch_id}"
+        shutil.rmtree(batch_dir, ignore_errors=True)  # replay overwrites
+        write_sstables(
+            batch_df,
+            batch_dir,
+            keyspace=keyspace,
+            table=table,
+            partition_key=partition_key,
+            clustering=clustering,
+            ring=ring,
+            rf=rf,
+            racks=racks,
+            cql_type_overrides=cql_type_overrides,
+        )
+
+    return (
+        stream.writeStream.foreachBatch(_write_batch)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 NEAR_DUP_OUTPUT_SCHEMA = T.StructType(
     [
         T.StructField("doc_id", T.LongType()),

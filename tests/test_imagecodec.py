@@ -240,6 +240,14 @@ def test_real_decode_rejects_non_image_kinds(spark):
     media = synthetic_media(spark, 6)  # kinds image/audio/video, junk bytes
     with pytest.raises(Exception) as ei:
         decode_features(media, real_decode=True).collect()
-    assert "DecoderUnavailable" in str(ei.value) or "codecs not available" in str(
-        ei.value
-    ) or "unrecognized" in str(ei.value)
+    # junk payloads fail loudly in whichever codec sees them first:
+    # image -> "unrecognized image payload", audio -> "not a RIFF/WAVE",
+    # non-GIF video -> DecoderUnavailable
+    msg = str(ei.value)
+    assert any(
+        marker in msg
+        for marker in (
+            "DecoderUnavailable", "stubbed", "unrecognized", "not a RIFF",
+            "not a GIF",
+        )
+    ), msg[:500]

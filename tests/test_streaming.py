@@ -444,3 +444,57 @@ def test_watermark_dedup_within(spark, tmp_path):
     assert sorted(r["domain"] for r in spark.read.parquet(out).collect()) == [
         "a.com", "b.com", "c.com",
     ]
+
+def test_write_sstable_stream(spark, tmp_path):
+    """Stream -> real SSTables: two micro-batch ticks land batch_id
+    subtrees of readable BIG-format sstables; the union of all batches
+    holds every streamed row exactly once, token-ordered per range."""
+    import glob
+
+    from pyspark.sql import types as T
+
+    from sstable_migrator_spark.sinks.ring import build_ring
+    from sstable_migrator_spark.sinks.sstable_format import read_sstable
+    from sstable_migrator_spark.streaming.daily import write_sstable_stream
+
+    ring = build_ring(["n1", "n2"], vnodes_per_node=2)
+    in_dir = tmp_path / "feed"
+    in_dir.mkdir()
+    out = str(tmp_path / "sstables")
+    ck = str(tmp_path / "ck")
+    schema = T.StructType([
+        T.StructField("domain", T.StringType()),
+        T.StructField("source", T.StringType()),
+    ])
+
+    def tick():
+        stream = spark.readStream.schema(schema).csv(str(in_dir) + "/*.csv")
+        q = write_sstable_stream(
+            stream, out, ck, keyspace="ferret", table="cnames",
+            partition_key=["domain"], clustering=[], ring=ring, rf=2,
+        )
+        q.awaitTermination()
+
+    (in_dir / "b1.csv").write_text(
+        "".join(f"dom{i}.example.com,crt\n" for i in range(30))
+    )
+    tick()
+    (in_dir / "b2.csv").write_text(
+        "".join(f"late{i}.example.org,ct\n" for i in range(10))
+    )
+    tick()
+
+    seen = set()
+    for d in glob.glob(f"{out}/batch_id=*/cass_range=*"):
+        got = read_sstable(d)
+        assert got["index_ok"] and got["digest_ok"] and got["crc_ok"]
+        toks = [p["token"] for p in got["partitions"]]
+        assert toks == sorted(toks)
+        for p in got["partitions"]:
+            dom = p["key_components"][0].decode()
+            assert dom not in seen  # batches are disjoint, ranges disjoint
+            seen.add(dom)
+    assert len(seen) == 40
+    assert len(glob.glob(f"{out}/batch_id=*")) == 2
+    # each batch dir carries its own stream manifest
+    assert len(glob.glob(f"{out}/batch_id=*/_stream_plan.json")) == 2
