@@ -6945,7 +6945,10 @@ def q_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     bg = docs.select(
         "doc_id",
         F.explode(F.array_distinct(TX.shingles(F.col("text"), 2))).alias("s"),
-    )
+    ).localCheckpoint()  # feeds the firsts rollup AND the probe join:
+    # without the pin Spark recomputes the full shingle explode once per
+    # branch (the q79 lesson, but here both branches need ALL docs so a
+    # pre-explode filter split can't help)
     firsts = bg.groupBy("s").agg(F.min("doc_id").alias("first_doc"))
     return (
         bg.join(firsts, "s")
@@ -7340,7 +7343,6 @@ def q_profile_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggs = []
     for c, strable in _PROFILE_COLS:
         aggs.append(F.count(F.when(F.col(c).isNull(), 1)).alias(f"{c}__nulls"))
-        aggs.append(F.countDistinct(c).alias(f"{c}__nd"))
         if strable:
             aggs.append(F.min(c).cast("string").alias(f"{c}__min"))
             aggs.append(F.max(c).cast("string").alias(f"{c}__max"))
@@ -7351,14 +7353,41 @@ def q_profile_table(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.struct(
                 F.lit(c).alias("column"),
                 F.col(f"{c}__nulls").alias("n_nulls"),
-                F.col(f"{c}__nd").alias("n_distinct"),
                 (F.col(f"{c}__min") if strable else F.lit(None).cast("string")).alias("min_str"),
                 (F.col(f"{c}__max") if strable else F.lit(None).cast("string")).alias("max_str"),
             )
         )
-    return (
-        row.select(F.explode(F.array(*stacked)).alias("p"))
-        .select("p.column", "p.n_nulls", "p.n_distinct", "p.min_str", "p.max_str")
+    base = row.select(F.explode(F.array(*stacked)).alias("p")).select(
+        "p.column", "p.n_nulls", "p.min_str", "p.max_str"
+    )
+    # exact distinct counts via ONE (column, value) dedup instead of
+    # Spark's multi-distinct expand: expand multiplies every input row
+    # by (n_distinct_aggs + 1) and funnels the wide null-padded rows
+    # through a single two-phase agg (3.4s at sf0.1); the unpivoted
+    # dedup shuffles the same logical pairs but partial-aggregates
+    # map-side and keeps rows narrow (two strings). Values unpivot as
+    # strings — injective for the profiled types, so counts are
+    # identical; NULLs drop (countDistinct semantics).
+    pairs = df.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("column"),
+                        F.col(c).cast("string").alias("v"),
+                    )
+                    for c, _ in _PROFILE_COLS
+                ]
+            )
+        ).alias("p")
+    ).select("p.column", "p.v").filter(F.col("v").isNotNull())
+    nd = (
+        pairs.distinct()
+        .groupBy("column")
+        .agg(F.count(F.lit(1)).alias("n_distinct"))
+    )
+    return base.join(nd, "column").select(
+        "column", "n_nulls", "n_distinct", "min_str", "max_str"
     )
 
 
