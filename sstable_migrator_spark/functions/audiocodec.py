@@ -71,6 +71,8 @@ def decode_wav(data: bytes) -> tuple[np.ndarray, int]:
     if fmt is None or pcm is None:
         raise AudioFormatError("missing fmt or data chunk")
     channels, rate, balign, bits = fmt
+    if channels < 1:
+        raise AudioFormatError("channel count must be >= 1")
     bytes_per_sample = bits // 8
     if balign != channels * bytes_per_sample:
         raise AudioFormatError("block align disagrees with channels*bits")

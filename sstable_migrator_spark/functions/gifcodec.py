@@ -258,6 +258,12 @@ def decode_gif(data: bytes) -> list[dict]:
         if disposal == 2:  # restore to background (transparent)
             region[...] = 0
             region_shown[...] = False
+        # a Graphic Control Extension scopes ONLY the next rendering
+        # block (GIF89a spec): reset so a following frame WITHOUT its
+        # own GCE is opaque, undelayed, leave-in-place
+        delay_ms = 0
+        transparent = None
+        disposal = 0
     if not frames:
         raise GifFormatError("no image data")
     return frames

@@ -7429,7 +7429,9 @@ def q_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _synth_near_dup_docs(spark, sf_dir)
     sh = docs.select(
         "doc_id", F.explode(F.array_distinct(TX.shingles(F.col("text"), 3))).alias("s")
-    )
+    ).localCheckpoint()  # three consumers (sizes + both self-join sides):
+    # pin once or Spark recomputes the shingle explode per branch (the
+    # q79/q158 lesson)
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     pairs = (
         sh.alias("a")
@@ -7606,6 +7608,80 @@ GROUP BY exact.query_id
 
 QUERIES.update({"q165_ann_recall": q_ann_recall})
 ORACLES.update({"q165_ann_recall": SQL_ANN_RECALL})
+
+
+# ---------------------------------------------------------------------------
+# Batch — multi-dimensional aggregation surface: cube + pivot
+# ---------------------------------------------------------------------------
+
+
+def q_cube_grouping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over (status, priority) with grouping_id: every
+    2^n-combination subtotal in ONE hash aggregate (single shuffle,
+    map-side partials — not 4 unioned passes), plus the GROUPING_ID
+    bitmask that tells subtotal levels apart when a dimension's value
+    is genuinely NULL vs rolled up — the disambiguation every BI layer
+    on top of cube output needs (q66's ROLLUP sibling, completing the
+    grouping-sets family)."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.cube("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.grouping_id().alias("gid"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .select(
+            "o_orderstatus", "o_orderpriority",
+            F.col("gid").cast("int").alias("gid"), "n",
+        )
+    )
+
+
+SQL_CUBE_GROUPING = """
+SELECT o_orderstatus, o_orderpriority,
+       CAST(GROUPING(o_orderstatus) * 2 + GROUPING(o_orderpriority) AS INT)
+         AS gid,
+       CAST(count(*) AS BIGINT) AS n
+FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+"""
+
+
+def q_pivot_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reshape: order counts per priority PIVOTed into one column per
+    status. Pivot values are declared literally (the scale rule: an
+    undeclared pivot triggers a driver-side distinct collect before the
+    plan can even build — at 100 TB the value list is schema, not
+    data). Compiles to one groupBy with conditional aggregates — the
+    exact plan the oracle writes by hand."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .agg(F.count(F.lit(1)))
+        .select(
+            "o_orderpriority",
+            F.coalesce("F", F.lit(0)).alias("n_f"),
+            F.coalesce("O", F.lit(0)).alias("n_o"),
+            F.coalesce("P", F.lit(0)).alias("n_p"),
+        )
+    )
+
+
+SQL_PIVOT_STATUS = """
+SELECT o_orderpriority,
+       CAST(count(*) FILTER (WHERE o_orderstatus = 'F') AS BIGINT) AS n_f,
+       CAST(count(*) FILTER (WHERE o_orderstatus = 'O') AS BIGINT) AS n_o,
+       CAST(count(*) FILTER (WHERE o_orderstatus = 'P') AS BIGINT) AS n_p
+FROM orders GROUP BY o_orderpriority
+"""
+
+
+QUERIES.update(
+    {"q166_cube_grouping": q_cube_grouping, "q167_pivot_status": q_pivot_status}
+)
+ORACLES.update(
+    {"q166_cube_grouping": SQL_CUBE_GROUPING, "q167_pivot_status": SQL_PIVOT_STATUS}
+)
 
 
 QUERIES.update(

@@ -582,6 +582,23 @@ class SSTableWriter:
         out.write(b)
         return out.getvalue()
 
+    @staticmethod
+    def _comparable_bytes(t: _CqlType, raw: bytes) -> bytes:
+        """Map a serialized value to bytes whose UNSIGNED lexicographic
+        order equals the type's comparator order. Cassandra clustering
+        comparators are type-aware: signed big-endian integers
+        (Int32/Long/Timestamp) order correctly once the sign bit is
+        flipped; doubles need the IEEE-754 total-order transform
+        (negative values invert entirely); text/blob/inet/date/boolean
+        already compare as raw unsigned bytes."""
+        if t.marshal in ("Int32Type", "LongType", "TimestampType"):
+            return bytes([raw[0] ^ 0x80]) + raw[1:]
+        if t.marshal == "DoubleType":
+            if raw[0] & 0x80:  # negative: invert all bits
+                return bytes(b ^ 0xFF for b in raw)
+            return bytes([raw[0] ^ 0x80]) + raw[1:]
+        return raw
+
     def _sort_key(self, row: dict):
         s = self.schema
         key = s.serialize_partition_key(row)
@@ -589,9 +606,13 @@ class SSTableWriter:
         clus = []
         for c in s.clustering:
             v = row.get(c)
-            # nulls sort first within a prefix level (we key on the
-            # serialized bytes; None -> empty sorts before everything)
-            clus.append(s.types[c].ser(v) if v is not None else b"")
+            # nulls sort first within a prefix level (None -> empty
+            # sorts before every comparable encoding)
+            clus.append(
+                self._comparable_bytes(s.types[c], s.types[c].ser(v))
+                if v is not None
+                else b""
+            )
         return (tok, key, *clus)
 
     # -- components ----------------------------------------------------------

@@ -178,3 +178,27 @@ def test_sample_frames_real_decode(spark):
     rows150 = sample_frames(media, every_ms=150, real_decode=True).collect()
     assert [r["frame_ts_ms"] for r in rows150] == [0, 150]
     assert [r["frame_index"] for r in rows150] == [0, 1]
+
+
+def test_gce_scopes_single_frame():
+    """A GCE governs only the NEXT image block (GIF89a): frame 2
+    without its own GCE must treat frame 1's transparent index as an
+    ordinary opaque color."""
+    out = bytearray()
+    out += b"GIF89a" + struct.pack("<HHBBB", 2, 2, 0x80 | 2, 0, 0)
+    table = np.zeros((8, 3), dtype=np.uint8)
+    table[:7] = PAL7
+    out += table.tobytes()
+    # frame 1: GCE with transparent index 3, canvas of color 1
+    out += b"\x21\xf9\x04\x01" + struct.pack("<H", 10) + bytes([3]) + b"\x00"
+    lzw1 = _lzw_encode(np.full((2, 2), 1, np.uint8).tobytes(), 3)
+    out += b"\x2c" + struct.pack("<HHHHB", 0, 0, 2, 2, 0)
+    out += bytes([3]) + bytes([len(lzw1)]) + lzw1 + b"\x00"
+    # frame 2: NO GCE, all pixels index 3 — must paint opaque color 3
+    lzw2 = _lzw_encode(np.full((2, 2), 3, np.uint8).tobytes(), 3)
+    out += b"\x2c" + struct.pack("<HHHHB", 0, 0, 2, 2, 0)
+    out += bytes([3]) + bytes([len(lzw2)]) + lzw2 + b"\x00"
+    out += b"\x3b"
+    frames = decode_gif(bytes(out))
+    assert (frames[1]["pixels"] == PAL7[3]).all()
+    assert frames[1]["delay_ms"] == 0  # delay not inherited either

@@ -45,6 +45,4 @@ def test_sql_matches_dataframe_catalog(spark, sf_dir):
     )
     assert [tuple(r) for r in sql_df.collect()] == [tuple(r) for r in df.collect()]
     plan = sql_df._jdf.queryExecution().executedPlan().toString()
-    sql_df.collect()
-    plan = sql_df._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrderedAndProject" in plan

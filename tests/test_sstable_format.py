@@ -577,3 +577,24 @@ def test_truncated_file_clean_error(tmp_path):
     path.write_bytes(path.read_bytes()[:-5])
     with pytest.raises((IndexError, ValueError, struct.error)):
         read_sstable(str(tmp_path))
+
+
+def test_signed_clustering_order(tmp_path):
+    """Cassandra clustering comparators are SIGNED for numeric types:
+    negative int/bigint/timestamp and negative doubles must sort before
+    positives on disk (raw big-endian bytes would misorder them)."""
+    t = CqlTable(
+        keyspace="ks", table="t",
+        columns=[("k", "varchar"), ("c", "int"), ("d", "double"),
+                 ("v", "varchar")],
+        partition_key=["k"], clustering=["c", "d"],
+    )
+    w = SSTableWriter(str(tmp_path), t)
+    for c, d in [(1, 0.5), (-1, -2.5), (0, 0.0), (-2147483648, -1e300),
+                 (2147483647, 1e300), (-1, 3.5)]:
+        w.add_row({"k": "p", "c": c, "d": d, "v": "x"})
+    w.close()
+    rows = read_sstable(str(tmp_path))["partitions"][0]["rows"]
+    got = [(r["clustering"][0], r["clustering"][1]) for r in rows]
+    assert got == sorted(got), got
+    assert got[0] == (-2147483648, -1e300)
