@@ -91,10 +91,10 @@ def minhash_signatures(
     def _hasher(seed: int):
         # NOTE: closure factory, not a default arg — PySpark counts
         # defaulted params as lambda arity and would misread (s, seed)
-        # as the (element, index) two-arg form.
-        return lambda s: F.conv(
-            F.substring(F.md5(F.concat(F.lit(f"{seed}|"), s)), 1, 15), 16, 10
-        ).cast("long")
+        # as the (element, index) two-arg form. Delegates to TX.hash64
+        # so the engine-portable hash recipe has exactly ONE definition
+        # (the one the DuckDB oracles mirror).
+        return lambda s: TX.hash64(s, seed)
 
     # Stage the distinct shingle array ONCE as a column: the 16 per-seed
     # expressions then read one attribute instead of re-inlining (and
@@ -127,6 +127,14 @@ def minhash_lsh_pairs(
     shuffles only bucketed signature rows (num_hashes longs/doc), never
     the text. Returns (id_a, id_b, est_jaccard) with id_a < id_b.
     """
+    if bands < 1 or num_hashes % bands != 0:
+        # bands > num_hashes would make every band hash an empty
+        # signature slice — IDENTICAL for all docs, silently degrading
+        # the self-join to an O(N^2) all-pairs pass; a non-divisor
+        # silently drops trailing hashes from banding. Fail loudly.
+        raise ValueError(
+            f"bands={bands} must divide num_hashes={num_hashes} exactly"
+        )
     rows_per_band = num_hashes // bands
     sigs = minhash_signatures(docs, text_col, id_col, num_hashes, shingle_k)
     # Materialize the (tiny: id + num_hashes longs) signature table
@@ -241,7 +249,12 @@ def ngram_jaccard_pairs(
 def simhash(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = 16) -> DataFrame:
     """SimHash fingerprint (bit-majority over token hashes), md5-nibble
     based so the oracle can reproduce it: bit i of a token = (hex nibble
-    i of md5(token)) >= 8; document bit i = majority vote."""
+    i of md5(token)) >= 8; document bit i = majority vote. md5 has 32
+    hex nibbles, so at most 32 informative bits — more would silently
+    vote every high bit to 0 for every document (universal banding
+    buckets downstream = O(N^2) candidate blowup), hence the guard."""
+    if not 1 <= bits <= 32:
+        raise ValueError(f"bits={bits} must be in [1, 32] (md5 nibble count)")
     # md5 each token ONCE (staged column); the per-bit votes then only
     # slice nibbles out of the precomputed hex strings. Without staging,
     # tokenize+md5 would run `bits` times per row.
@@ -466,12 +479,25 @@ def paragraph_dedup(
     doc_id for reassembly. Only (ids, md5) move through the first two;
     paragraph text is shuffled once, for reassembly.
     """
+    # the scalar key is only a total order if pos < pos_cap — enforce it
+    # IN the expression (raise_error evaluates per row, no extra pass)
+    # rather than trusting the docstring; and compute in long so a
+    # 32-bit doc_id * pos_cap cannot overflow
+    guarded_pos = F.when(
+        F.col(pos_col) >= pos_cap,
+        F.raise_error(
+            F.concat(
+                F.lit(f"paragraph position exceeds pos_cap={pos_cap}: "),
+                F.col(pos_col).cast("string"),
+            )
+        ).cast("long"),
+    ).otherwise(F.col(pos_col).cast("long"))
     h = paras.select(
         F.col(doc_col),
         F.col(pos_col),
         F.col(para_col),
         F.md5(F.col(para_col)).alias("_ph"),
-        (F.col(doc_col) * pos_cap + F.col(pos_col)).alias("_k"),
+        (F.col(doc_col).cast("long") * pos_cap + guarded_pos).alias("_k"),
     )
     firsts = h.groupBy("_ph").agg(F.min("_k").alias("_first_k"))
     kept = (
@@ -546,7 +572,13 @@ def semantic_dedup(
         F.col(id_col), F.col("cell"), F.col(vec_col)
     )
 
+    # derive the id column's type from the actual schema (ids are not
+    # always long — the ivf_pq_topk precedent in simsearch.py)
+    id_type = embeddings.schema[id_col].dataType.simpleString()
+
     def flag_cell(pdf: pd.DataFrame) -> pd.DataFrame:
+        if len(pdf) == 0:
+            return pd.DataFrame({id_col: [], "cell": [], "is_dup": []})
         pdf = pdf.sort_values(id_col)
         v = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
         n = np.linalg.norm(v, axis=1, keepdims=True)
@@ -562,7 +594,7 @@ def semantic_dedup(
         )
 
     return assigned.groupBy("cell").applyInPandas(
-        flag_cell, f"{id_col} long, cell int, is_dup boolean"
+        flag_cell, f"{id_col} {id_type}, cell int, is_dup boolean"
     )
 
 

@@ -109,42 +109,6 @@ def lsh_topk(
 # --- IVF-flat (inverted-file) ANN -----------------------------------------
 
 
-def _lit_vec(v: list[float]):
-    return F.array(*[F.lit(float(x)) for x in v])
-
-
-def _ranked_cells(vec_col, centroids: list[tuple[int, list[float]]]):
-    """array<struct<naff,cell>> sorted best-cell-first: max cosine
-    affinity, ties broken by min cell id (naff so the ascending
-    array_sort yields exactly that order). Centroids are literals =>
-    whole thing is one codegen'd expression, map-only.
-
-    Affinity is ``-dot(vec, centroid/|centroid|)``: the centroid norm
-    is divided out IN PYTHON (plain float literals) and the vector's
-    own norm is constant across cells, so the ordering equals the
-    cosine ordering while each centroid's literal array appears ONCE in
-    the plan — cosine() would re-embed it twice more (its own norm +
-    the division), tripling a plan that already carries n_cells x dim
-    literals."""
-    import math
-
-    unit = [
-        (int(cid), [x / (math.sqrt(sum(y * y for y in cv)) or 1.0) for x in cv])
-        for cid, cv in centroids
-    ]
-    return F.array_sort(
-        F.array(
-            *[
-                F.struct(
-                    (-VX.dot(vec_col, _lit_vec(cv))).alias("naff"),
-                    F.lit(cid).alias("cell"),
-                )
-                for cid, cv in unit
-            ]
-        )
-    )
-
-
 def ivf_assign(
     df: DataFrame,
     centroids: list[tuple[int, list[float]]],
@@ -156,15 +120,16 @@ def ivf_assign(
     probes become partition pruning.
 
     Implementation is mapInPandas + one numpy batch matmul per Arrow
-    batch (rows x dim @ dim x n_cells, argmax per row). The expression
-    form (`_ranked_cells`) evaluates n_cells interpreted zip_with/
-    aggregate lambdas PER ROW — ~1µs per boxed element-op, so 2k rows x
-    64 cells x 64 dims is already seconds; the vectorized kernel does
-    the same flops in milliseconds and is the 100 TB path (centroid
-    matrix rides the task closure, one BLAS call per batch). Ordering
-    semantics match `_ranked_cells`: max dot against unit-normalized
-    centroids, ties -> lowest cell id (argmax picks the first of the
-    cell-id-sorted rows)."""
+    batch (rows x dim @ dim x n_cells, argmax per row). A pure-Column
+    expression form was tried and removed: n_cells interpreted
+    zip_with/aggregate lambdas PER ROW cost ~1µs per boxed element-op,
+    so 2k rows x 64 cells x 64 dims is already seconds; the vectorized
+    kernel does the same flops in milliseconds and is the 100 TB path
+    (centroid matrix rides the task closure, one BLAS call per batch).
+    Ordering: max dot against unit-normalized centroids (centroid norms
+    divided out host-side, the vector's own norm is cell-invariant so
+    the order equals cosine order), ties -> lowest cell id (argmax
+    picks the first of the cell-id-sorted rows)."""
     import math
 
     import numpy as np
@@ -206,7 +171,7 @@ def ivf_probe_cells(
     """One row per (query, probed cell): the n_probe nearest cells by
     unit-centroid dot, numpy-vectorized like ivf_assign (stable argsort
     on (-dot, cell-id order) -> ties break to the lower cell id, the
-    same rule as `_ranked_cells`)."""
+    same max-affinity/lowest-cell-id rule as ivf_assign)."""
     import math
 
     import numpy as np
@@ -339,6 +304,8 @@ def pq_assign(
 
     def enc(batches):
         for pdf in batches:
+            if len(pdf) == 0:  # np.stack([]) raises; same guard as ivf_assign
+                continue
             v = np.stack(pdf[vec_col].to_numpy())
             codes = np.empty((len(v), m), dtype=np.int32)
             for s in range(m):
@@ -462,6 +429,8 @@ def ivf_pq_topk(
 
     def score(batches):
         for pdf in batches:
+            if len(pdf) == 0:  # sparse probe joins leave empty batches
+                continue
             codes = np.stack(pdf["pq_code"].to_numpy()).astype(np.int64)
             qids = pdf["query_id"].to_numpy()
             d = np.empty(len(pdf))

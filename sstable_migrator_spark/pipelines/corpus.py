@@ -70,7 +70,10 @@ def build_training_corpus(
     (cluster lists are |dups|-sized, not corpus-sized).
     """
     spark = docs.sparkSession
-    obs = {k: Observation(k) for k in ("input", "quality", "lang", "exact")}
+    obs = {
+        k: Observation(k)
+        for k in ("input", "quality", "lang", "exact", "chunks")
+    }
 
     staged = docs.observe(obs["input"], F.count(F.lit(1)).alias("n"))
     q = staged.filter(quality_score(F.col("text")) >= quality_min).observe(
@@ -93,6 +96,13 @@ def build_training_corpus(
         F.col("doc_id").cast("long").alias("doc_id")
     )
     kept = exact.join(F.broadcast(losers), "doc_id", "left_anti")
+    # near_dup_kept = exact - losers, counted on the TINY cluster-loser
+    # table (|dups|-sized by this stage's own broadcast argument), not
+    # with a corpus-sized kept.count() job. An Observation below the
+    # chunking path would double-count: repartitionByRange's range
+    # sampler runs the observed subtree a second time within the same
+    # action.
+    n_losers = losers.count()
 
     clean = kept.withColumn("text", redact_pii(F.col("text")))
 
@@ -156,11 +166,10 @@ def build_training_corpus(
         )
         .drop("_pid", "_off")
     )
-    packed.write.mode("overwrite").partitionBy("shard_id").parquet(out_dir)
+    packed.observe(obs["chunks"], F.count(F.lit(1)).alias("n")).write.mode(
+        "overwrite"
+    ).partitionBy("shard_id").parquet(out_dir)
 
     counts = {k: int(o.get["n"]) for k, o in obs.items()}
-    counts["near_dup_kept"] = kept.count()
-    counts["chunks"] = int(
-        spark.read.parquet(out_dir).count()
-    )
+    counts["near_dup_kept"] = counts["exact"] - n_losers
     return counts

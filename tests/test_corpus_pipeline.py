@@ -40,3 +40,22 @@ def test_full_funnel(spark, sf_dir, tmp_path):
     per_shard = shards.groupBy("shard_id").agg(F.sum("n_tok").alias("t")).collect()
     max_chunk = shards.agg(F.max("n_tok")).first()[0]
     assert all(r["t"] <= 500 + max_chunk for r in per_shard), per_shard
+
+
+def test_quality_score_matches_tx(spark, sf_dir):
+    """Drift guard: the pipeline's staged quality expression must stay
+    bit-identical to functions.text.quality_score (the form the
+    oracle-checked q48/q84 pin) — the staging is a perf shape, never a
+    semantic fork."""
+    from pyspark.sql import functions as F
+
+    from sstable_migrator_spark.functions import text as TX
+    from sstable_migrator_spark.pipelines.corpus import quality_score
+    from sstable_migrator_spark.queries import _t
+
+    docs = _t(spark, sf_dir, "documents")
+    diff = docs.select(
+        quality_score(F.col("text")).alias("a"),
+        TX.quality_score(F.col("text")).alias("b"),
+    ).filter("a IS DISTINCT FROM b")
+    assert diff.count() == 0
