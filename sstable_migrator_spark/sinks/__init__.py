@@ -104,13 +104,16 @@ def sorted_columnar_write(df: DataFrame, path: str, order_col: str, mode: str = 
     )
 
 
-def observe_counts(df: DataFrame, name: str = "metrics") -> DataFrame:
-    """A3/K7 — row counters via ``observe`` (no extra pass); the caller
-    reads them from the QueryExecutionListener / observation API."""
+def observe_counts(df: DataFrame, name: str = "metrics"):
+    """A3/K7 — row counters via ``observe`` (no extra pass). Returns
+    ``(df, observation)``: the Observation handle must escape or the
+    metrics are unreachable except through a QueryExecutionListener —
+    read ``obs.get["rows"]`` after the first action over the returned
+    DataFrame."""
     from pyspark.sql import Observation  # local import: optional API
 
     obs = Observation(name)
-    return df.observe(obs, F.count(F.lit(1)).alias("rows"))
+    return df.observe(obs, F.count(F.lit(1)).alias("rows")), obs
 
 
 def bucketed_write(
@@ -155,8 +158,14 @@ def compact_small_files(
     Sizing uses the directory's actual on-disk bytes (not row counts),
     so compressed width is preserved. With ``sort_cols`` the rewrite
     also re-sorts within output files (restores clustering for
-    min/max-pruned scans). Rewrite lands in ``<path>.__compact__`` then
-    atomically replaces the original directory.
+    min/max-pruned scans). Rewrite lands in ``<path>.__compact__``,
+    then a two-rename swap (original -> ``.__old__``, rewrite -> path,
+    delete old) replaces it. The swap is crash-SAFE, not atomic: a
+    crash between the renames leaves the data intact under one of the
+    two names (never deleted-before-replaced), and a reader in that
+    instant can see the path briefly absent — single-writer/no-reader
+    maintenance windows, or the manifest mechanism in
+    ``sinks/versioned.py`` when concurrent readers must never notice.
     """
     import math
     import os
@@ -171,10 +180,14 @@ def compact_small_files(
     df = df.repartition(n_files)
     if sort_cols:
         df = df.sortWithinPartitions(*sort_cols)
-    tmp = path.rstrip("/") + ".__compact__"
+    base = path.rstrip("/")
+    tmp = base + ".__compact__"
+    old = base + ".__old__"
     df.write.mode("overwrite").parquet(tmp)
-    shutil.rmtree(path)
+    shutil.rmtree(old, ignore_errors=True)  # leftover from a prior crash
+    os.rename(path, old)   # original survives until the swap completes
     os.rename(tmp, path)
+    shutil.rmtree(old)
     return n_files
 
 
@@ -234,6 +247,11 @@ def zorder_value(cols: list[Column], bits: int = 12) -> Column:
     i*k + j. Pure expression — bit shifts/masks inside whole-stage
     codegen, no UDF."""
     k = len(cols)
+    if bits * k > 63:
+        raise ValueError(
+            f"bits={bits} x {k} columns = {bits * k} interleaved bits "
+            "exceeds a signed long; lower bits to <= 63 // k"
+        )
     z = F.lit(0).cast("long")
     for j, c in enumerate(cols):
         cl = c.cast("long")

@@ -196,21 +196,31 @@ def compact(spark: SparkSession, path: str, target_file_bytes: int = 134217728) 
     )
 
 
-def vacuum(path: str, keep_last: int = 1) -> list[str]:
+def vacuum(path: str, keep_last: int = 1, min_age_s: float = 3600.0) -> list[str]:
     """Delete data directories unreferenced by the last ``keep_last``
     manifests (and drop the older manifests). Returns removed dirs.
-    Time travel reaches only retained manifests afterwards."""
+    Time travel reaches only retained manifests afterwards.
+
+    ``min_age_s``: an in-flight commit writes its data directory BEFORE
+    publishing the manifest, so a directory unreferenced by any
+    manifest may simply not be published YET — deleting it would break
+    the writer's snapshot after its (successful) publish. Directories
+    younger than the grace period are skipped, the same retention
+    tradeoff Delta's VACUUM makes; pass 0 only when no writer can be
+    active."""
     vs = _versions(path)
     if not vs:
         return []
     keep_vs = vs[-keep_last:]
     referenced = {d for v in keep_vs for d in _load(path, v)["dirs"]}
     removed = []
+    now = time.time()
     data_root = os.path.join(path, "data")
     for d in sorted(os.listdir(data_root)) if os.path.isdir(data_root) else []:
         rel = os.path.join("data", d)
-        if rel not in referenced:
-            shutil.rmtree(os.path.join(data_root, d))
+        full = os.path.join(data_root, d)
+        if rel not in referenced and now - os.path.getmtime(full) >= min_age_s:
+            shutil.rmtree(full)
             removed.append(rel)
     for v in vs[:-keep_last]:
         os.remove(os.path.join(_manifest_dir(path), f"v{v:06d}.json"))
@@ -312,12 +322,20 @@ def diff_versions(
     result materializes. The digest separates columns with an \\x1f
     unit separator and maps NULL to a distinct sentinel, so
     column-boundary shifts ('ab','c' vs 'a','bc') and NULL-vs-empty
-    differences cannot collide."""
+    differences cannot collide.
+
+    Under schema drift the digest covers the COMMON columns only
+    (each side can only hash columns it has; hashing the old schema
+    against a version that dropped a column would throw, and a column
+    only the new side has cannot differ 'between' versions) — pair
+    with ``schema_drift`` below, which reports exactly those
+    added/removed/retyped columns."""
     from pyspark.sql import functions as F
 
     old = read_version(spark, path, v_old)
     new = read_version(spark, path, v_new)
-    rest = [c for c in old.columns if c not in key_cols]
+    new_cols = set(new.columns)
+    rest = [c for c in old.columns if c not in key_cols and c in new_cols]
 
     def dig(df, name):
         cells = [

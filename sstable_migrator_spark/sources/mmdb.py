@@ -215,9 +215,11 @@ class MMDBReader:
 
     def iter_ranges(self, merge_adjacent: bool = True) -> Iterator[tuple[int, int, Any]]:
         """Yield ``(net_start, net_end, record)`` over the IPv4 space in
-        ascending address order. Adjacent ranges carrying an identical
-        payload are merged (the tree splits CIDR-aligned; real data has
-        many sibling leaves with equal records)."""
+        ascending address order. With ``merge_adjacent`` (default),
+        adjacent ranges carrying an identical payload are merged (the
+        tree splits CIDR-aligned; real data has many sibling leaves
+        with equal records); pass False to recover the raw CIDR-aligned
+        leaves as stored."""
         decoded: dict[int, Any] = {}  # record -> decoded payload (dedup cache)
         pending: tuple[int, int, Any] | None = None
         # iterative DFS, left first => ascending order
@@ -232,7 +234,12 @@ class MMDBReader:
                 if node not in decoded:
                     decoded[node] = self._data_at(node)
                 rec = decoded[node]
-                if pending and pending[1] + 1 == start and pending[2] == rec:
+                if (
+                    merge_adjacent
+                    and pending
+                    and pending[1] + 1 == start
+                    and pending[2] == rec
+                ):
                     pending = (pending[0], end, rec)
                 else:
                     if pending:

@@ -42,11 +42,15 @@ def read_subdomain_list(spark: SparkSession, path: str) -> DataFrame:
 
 def parse_csv_lines(lines: DataFrame, n_fields: int, names: list[str]) -> DataFrame:
     """Schema-on-read split of a ``value`` line column into positional
-    fields, keeping rows with at least ``n_fields`` fields (P2 arity
-    checks live in operators.clean; this is the permissive split)."""
+    fields, keeping rows with at least ``n_fields`` fields (stricter
+    P2 arity/shape checks live in operators.clean; this is the
+    permissive split + minimum-arity gate)."""
     parts = F.split(F.col("value"), ",")
     cols = [F.get(parts, i).alias(name) for i, name in enumerate(names)]
-    return lines.select(F.col("value"), F.size(parts).alias("_arity"), *cols)
+    return (
+        lines.select(F.col("value"), F.size(parts).alias("_arity"), *cols)
+        .filter(F.col("_arity") >= n_fields)
+    )
 
 
 def read_surt_lines(spark: SparkSession, path: str) -> DataFrame:

@@ -34,10 +34,15 @@ def watermark_dedup(
     window: str = "25 days",
 ) -> DataFrame:
     """T2 — the 25-day dedup window as streaming state: duplicates of a
-    key are suppressed while the key's event time is within the
-    watermark; state for older keys is evicted automatically
-    (daily_certstream_download.sh:75-93's rolling snapshots, minus the
-    25-pass comm loop)."""
+    key are suppressed. CAVEAT (and why ``watermark_dedup_within``
+    below exists): ``dropDuplicates([key])`` keys its state on columns
+    that EXCLUDE the event time, so Spark can never prove a key's state
+    stale and it is NOT evicted — state grows with distinct keys
+    forever. This form is kept as the simplest exact twin of the
+    reference's snapshot loop for bounded daily runs; any long-running
+    deployment must use ``watermark_dedup_within`` (as
+    ``run_available_now`` does), whose state provably evicts at
+    first_seen + window."""
     return stream.withWatermark(ts_col, window).dropDuplicates([key])
 
 
@@ -83,7 +88,9 @@ def run_available_now(
     validate->dedup into the bronze table, then stop."""
     stream = read_domain_stream(spark, in_path)
     stream = stream.withColumn("seen_ts", F.current_timestamp())
-    deduped = watermark_dedup(stream, key="domain", ts_col="seen_ts")
+    # the evictable-state variant: a daily cron accumulates 25 days of
+    # state across ticks, so the bounded form matters even here
+    deduped = watermark_dedup_within(stream, key="domain", ts_col="seen_ts")
     q = write_bronze(deduped, out_path, checkpoint)
     q.awaitTermination()
 
@@ -132,12 +139,13 @@ def _sessionize_fn(gap_seconds: int, event_time_timeout: bool = False):
             if s is None:
                 s, e, n = t, t, 1
             elif t - e <= gap_us:
-                # max(): a late-but-above-watermark event from a later
-                # micro-batch may have t < stored e; the session end must
-                # stay monotone or the event-time timeout (registered at
-                # e+gap) would close and split the session prematurely
-                # relative to the batch twin.
-                e, n = max(e, t), n + 1
+                # min/max: a late-but-above-watermark event from a later
+                # micro-batch may land before the stored bounds; the end
+                # must stay monotone (or the event-time timeout at e+gap
+                # would close and split the session prematurely) and the
+                # start must extend down so the emitted session matches
+                # the batch twin's min-over-events.
+                s, e, n = min(s, t), max(e, t), n + 1
             else:
                 closed.append((user_id, s, e, n))
                 s, e, n = t, t, 1
@@ -230,10 +238,15 @@ def routed_stream_sink(
     feeds all three tables from that single cached parse via
     foreachBatch — the streaming twin of pipelines.daily.daily_upload_job.
     Batch timestamps are pinned per micro-batch (deterministic within a
-    batch, monotone across batches); the checkpoint gives exactly-once
-    appends across restarts. At 100 TB this is the shape that matters:
-    the expensive domain decomposition runs once per row, not once per
-    sink."""
+    batch, monotone across batches). Exactly-once comes from the
+    checkpoint PLUS per-batch idempotent layout: each table's batch
+    lands under ``<table>/batch_id=<n>/`` written with overwrite, so a
+    replayed batch REWRITES its subtree instead of double-appending
+    (blind mode('append') in foreachBatch is at-least-once — a crash
+    between table writes and the checkpoint commit would duplicate
+    rows on restart). Readers see batch_id as an ordinary partition
+    column. At 100 TB this is the shape that matters: the expensive
+    domain decomposition runs once per row, not once per sink."""
     from sstable_migrator_spark.operators import ingest as _ingest
 
     def _write_batch(batch_df: DataFrame, batch_id: int) -> None:
@@ -249,7 +262,9 @@ def routed_stream_sink(
                 ),
             )
             for name, tdf in routed.items():
-                tdf.write.mode("append").parquet(f"{out_dir}/{name}")
+                tdf.write.mode("overwrite").parquet(
+                    f"{out_dir}/{name}/batch_id={batch_id}"
+                )
         finally:
             parsed.unpersist()
 

@@ -55,3 +55,21 @@ def test_sorted_columnar_write_is_globally_ordered(spark, sf_dir, tmp_path):
     ranges.sort()
     for (_, hi), (lo, _) in zip(ranges, ranges[1:]):
         assert hi <= lo, "file key ranges overlap — not range-partitioned"
+
+
+def test_observe_counts_returns_handle(spark, tmp_path):
+    from sstable_migrator_spark.sinks import observe_counts
+
+    df, obs = observe_counts(spark.range(37), name="m37")
+    df.write.format("noop").mode("overwrite").save()
+    assert int(obs.get["rows"]) == 37
+
+
+def test_parse_csv_lines_min_arity(spark):
+    from sstable_migrator_spark.sources.readers import parse_csv_lines
+
+    lines = spark.createDataFrame(
+        [("a,b,c",), ("short",), ("x,y",)], "value string"
+    )
+    got = parse_csv_lines(lines, 2, ["f1", "f2"]).collect()
+    assert sorted(r["f1"] for r in got) == ["a", "x"]  # 1-field row dropped

@@ -58,7 +58,7 @@ def test_compact_and_vacuum(spark, tmp_path):
     # pre-compact snapshot still time-travels
     assert read_version(spark, t, version=2).count() == 10
 
-    removed = vacuum(t, keep_last=1)
+    removed = vacuum(t, keep_last=1, min_age_s=0)  # test: no live writers
     assert len(removed) == 4  # the four pre-compaction commit dirs
     assert read_version(spark, t, version=v).count() == 20
     with pytest.raises(FileNotFoundError):
@@ -216,3 +216,17 @@ def test_apply_changes_guards(spark, tmp_path):
             ),
             key_cols=["id"],
         )
+
+
+def test_vacuum_grace_period_spares_young_dirs(spark, tmp_path):
+    """An unreferenced-but-young data directory (an in-flight commit
+    that has not published its manifest yet) must survive vacuum."""
+    import os
+
+    t = str(tmp_path / "tbl")
+    versioned_write(_df(spark, 0, 5), t)
+    versioned_write(_df(spark, 0, 3), t, mode="overwrite")  # v1 dir now unreferenced by keep_last=1
+    removed = vacuum(t, keep_last=1, min_age_s=3600)
+    assert removed == []  # everything too young to touch
+    removed = vacuum(t, keep_last=1, min_age_s=0)
+    assert len(removed) == 1  # explicit no-writers override reclaims it

@@ -67,3 +67,13 @@ def test_zorder_layout_tightens_both_columns(spark, tmp_path):
     assert z_a < 0.6 and z_b < 0.6, (z_a, z_b)
     # the COMBINED prunability (sum of widths) must beat linear sort
     assert z_a + z_b < lin_a + lin_b, (z_a, z_b, lin_a, lin_b)
+
+
+def test_zorder_bits_overflow_guard():
+    import pytest
+    from pyspark.sql import functions as F
+
+    from sstable_migrator_spark.sinks import zorder_value
+
+    with pytest.raises(ValueError, match="63"):
+        zorder_value([F.col(c) for c in "abcdef"], bits=12)  # 72 bits > long
