@@ -126,13 +126,28 @@ def cassandra_token_bytes(key: bytes) -> int:
     return token
 
 
+class CqlBigint(int):
+    """Marker: serialize this key component as CQL bigint (8-byte BE)
+    regardless of magnitude. Cassandra hashes the DECLARED type's
+    encoding — a bigint column holding 7 hashes 8 bytes, and the
+    magnitude heuristic below would pick 4, yielding a token that
+    disagrees with the cluster's ring placement."""
+
+
+class CqlInt(int):
+    """Marker: serialize as CQL int (4-byte BE) regardless of range."""
+
+
 def serialize_key(*components: str | bytes | int) -> bytes:
     """CQL partition-key serialization.
 
     Single component -> the component's raw CQL bytes. Composite key ->
     ``uint16_be(len) + bytes + 0x00`` per component (CompositeType).
-    text -> UTF-8; int -> 4-byte BE; bigint -> 8-byte BE (callers pick
-    by passing the python int range, matching CQL int/bigint).
+    text -> UTF-8; CqlInt -> 4-byte BE; CqlBigint -> 8-byte BE. A plain
+    python int falls back to the magnitude heuristic (4 bytes when it
+    fits) — ONLY safe when the CQL column really is `int`; wrap with
+    CqlBigint/CqlInt (or use cassandra_token_col, which maps the Spark
+    column type) whenever the declared type is known.
     """
 
     def _raw(c: str | bytes | int) -> bytes:
@@ -140,6 +155,10 @@ def serialize_key(*components: str | bytes | int) -> bytes:
             return c
         if isinstance(c, str):
             return c.encode("utf-8")
+        if isinstance(c, CqlBigint):
+            return struct.pack(">q", int(c))
+        if isinstance(c, CqlInt):
+            return struct.pack(">i", int(c))
         if isinstance(c, int):
             if -(1 << 31) <= c < 1 << 31:
                 return struct.pack(">i", c)
@@ -159,11 +178,22 @@ def cassandra_token(*components: str | bytes | int) -> int:
     return cassandra_token_bytes(serialize_key(*components))
 
 
-def cassandra_token_col(*cols: Column | str) -> Column:
+def cassandra_token_col(
+    *cols: Column | str, spark_types: list[str] | None = None
+) -> Column:
     """Column expression computing the Cassandra token of a partition
-    key. String columns serialize as text; numeric columns should be
-    cast to string upstream if the CQL schema says text. Arrow-batched;
-    write-path only."""
+    key. String columns serialize as text; numeric columns serialize at
+    the width of their DECLARED type when ``spark_types`` carries the
+    simpleString of each key column ('bigint'/'long' -> 8-byte CQL
+    bigint even for small values, 'int' -> 4 bytes) — without it a
+    plain int falls back to the magnitude heuristic, which only matches
+    a cluster whose column is CQL `int`. NULL/NaN key components raise:
+    Cassandra rejects null partition keys, and silently hashing a
+    sentinel would place the row on a real-but-wrong node. Arrow-
+    batched; write-path only."""
+    types = list(spark_types) if spark_types else [None] * len(cols)
+    if len(types) != len(cols):
+        raise ValueError("spark_types must match the key column count")
 
     @pandas_udf("long")
     def _token(*series: pd.Series) -> pd.Series:
@@ -171,14 +201,18 @@ def cassandra_token_col(*cols: Column | str) -> Column:
         out = []
         for i in range(n):
             comps = []
-            for s in series:
+            for s, t in zip(series, types):
                 v = s.iloc[i]
-                if v is None:
-                    comps.append(b"")
-                elif isinstance(v, (bytes, bytearray)):
+                if v is None or (not isinstance(v, (str, bytes, bytearray)) and pd.isna(v)):
+                    raise ValueError("null/NaN partition key component")
+                if isinstance(v, (bytes, bytearray)):
                     comps.append(bytes(v))
                 elif isinstance(v, str):
                     comps.append(v)
+                elif t in ("bigint", "long"):
+                    comps.append(CqlBigint(int(v)))
+                elif t == "int":
+                    comps.append(CqlInt(int(v)))
                 else:
                     comps.append(int(v))
             out.append(cassandra_token(*comps))

@@ -278,6 +278,23 @@ def apex_domain(col: Column, tld_set: Iterable[str] | None = None) -> Column:
     return F.when(n >= 2, F.concat_ws(".", F.slice(parts, label_start, n))).otherwise(d)
 
 
+def apex_domain_exact(col: Column, tld_set: Iterable[str] | None = None) -> Column:
+    """F4, byte-exact form: getApexDomain as the Go cleaner actually
+    runs it (utils.go:178-205) — NO lowercasing, NO dot stripping, and
+    a case-SENSITIVE l2tld map lookup (so 'example.CO.uk' does not get
+    the two-level-TLD treatment 'example.co.uk' gets). ``apex_domain``
+    above is the normalized analytic form whose lowercase output the
+    oracle queries pin; this one exists for cleaner parity
+    (clean_rdns_v1's EA compare is over the as-given string)."""
+    tlds = list(tld_set) if tld_set is not None else default_tld_set()
+    parts = F.split(col, "\\.")
+    n = F.size(parts)
+    prev = F.element_at(parts, n - 1)
+    has_l2 = F.when(n >= 2, _tld_member(prev, tlds)).otherwise(F.lit(False))
+    label_start = F.greatest(n - F.when(has_l2, F.lit(2)).otherwise(F.lit(1)), F.lit(1))
+    return F.when(n >= 2, F.concat_ws(".", F.slice(parts, label_start, n))).otherwise(col)
+
+
 def apex_domain_naive(col: Column) -> Column:
     """ClickHouse 2-label apex (misc/clickhouse_queries.md:24):
     last two dot-separated labels joined."""

@@ -24,11 +24,22 @@ IPV4_RE = (
 
 
 def is_valid_ipv4(col: Column) -> Column:
+    """Strict dotted-quad validation — DELIBERATELY stricter than
+    Java's InetAddress.getByName (App.java:395-400), which also accepts
+    partial forms ('1.2.3' == 1.2.0.3) and leading-zero octets: in a
+    DNS-observation feed those are junk rows, not addresses, so the
+    gate keeps only canonical four-octet decimals. A migration
+    comparing row counts against the reference should count rows the
+    Java parser would have rescued via these quirks separately."""
     return col.rlike(IPV4_RE)
 
 
 def _octet(col: Column, i: int) -> Column:
-    return F.get(F.split(col, "\\."), i - 1).cast("long")
+    # try_cast, not cast: ip_int is routinely computed BEFORE the
+    # validity gate filters rows (parse_and_route), and Spark 4's
+    # default ANSI mode turns cast('long') of a non-numeric octet into
+    # a job-aborting CAST_INVALID_INPUT instead of NULL
+    return F.get(F.split(col, "\\."), i - 1).try_cast("long")
 
 
 def ip_int(col: Column) -> Column:
@@ -45,10 +56,10 @@ def ip_int_from_parts(parts: Column) -> Column:
     """ip_int over a pre-split octet array (hot paths stage the split
     once instead of re-splitting for each of ip8/ip16/ip24/ip_int)."""
     return (
-        F.get(parts, 0).cast("long") * 16777216
-        + F.get(parts, 1).cast("long") * 65536
-        + F.get(parts, 2).cast("long") * 256
-        + F.get(parts, 3).cast("long")
+        F.get(parts, 0).try_cast("long") * 16777216
+        + F.get(parts, 1).try_cast("long") * 65536
+        + F.get(parts, 2).try_cast("long") * 256
+        + F.get(parts, 3).try_cast("long")
     )
 
 

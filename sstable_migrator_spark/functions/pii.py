@@ -17,10 +17,14 @@ from __future__ import annotations
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
-# Ordered dict: redaction applies in this order. The categories are
-# mutually non-overlapping by construction (emails carry '@', IPv4 has
-# three dots between 4 digit groups, phones have 3-3-4 digit groups),
-# so counts on the original text equal counts seen during redaction.
+# Ordered dict: redaction applies in this order, and ORDER IS THE
+# disambiguation rule — the categories can overlap at the edges (an
+# ipv4- or phone-shaped local part inside an email, '127.0.0.1@x.com'),
+# in which case the earlier pattern claims the span: redaction emits
+# one <EMAIL> and no <IPV4>. pii_count() runs each pattern over the
+# ORIGINAL text independently, so on such inputs per-category counts
+# can exceed the redacted-span count — reconcile against redact_pii's
+# output (count the tokens), not against summed pii_counts.
 PII_PATTERNS: dict[str, str] = {
     "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
     "ipv4": r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b",

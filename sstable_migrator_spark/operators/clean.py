@@ -25,7 +25,9 @@ from pyspark.sql import functions as F
 
 from sstable_migrator_spark.functions.domains import (
     apex_domain,
+    apex_domain_exact,
     is_valid_domain,
+    rejoin_subdomain,
     strip_dot,
     validate_or_clean,
 )
@@ -58,14 +60,17 @@ def clean_rdns(lines: DataFrame) -> DataFrame:
 
 def clean_rdns_v1(lines: DataFrame, tld_set: Iterable[str] | None = None) -> DataFrame:
     """Legacy 4-col ``f0,apexdomain,domain,f3`` (clean_rdns.go:9-41):
-    validates domain and recomputes the apex; EA when it disagrees.
-    Output is ``f0,apexdomain,domain,f3`` unchanged. (The reference
-    indexes fields before its arity check — a crash we do not copy;
-    SURVEY §7.3.)"""
+    validates domain and recomputes the apex CASE-SENSITIVELY over the
+    as-given string (getApexDomain never lowercases and the l2tld map
+    lookup is case-sensitive, utils.go:178-205) — EA when it disagrees
+    with the given apex. Valid output is the Go line exactly:
+    ``f0,domain,f3`` — the apex field is DROPPED (clean_rdns.go:39).
+    (The reference indexes fields before its arity check — a crash we
+    do not copy; SURVEY §7.3.)"""
     df = lines.select("value", *_fields(4))
     dom = strip_dot(F.col("_f2"))
     apex_given = strip_dot(F.col("_f1"))
-    apex_calc = apex_domain(dom, tld_set)
+    apex_calc = strip_dot(apex_domain_exact(dom, tld_set))
     valid = is_valid_domain(dom)
     return df.select(
         "value",
@@ -73,7 +78,10 @@ def clean_rdns_v1(lines: DataFrame, tld_set: Iterable[str] | None = None) -> Dat
         .when(~valid, F.lit("ED"))
         .when(apex_calc != apex_given, F.lit("EA"))
         .alias("error_code"),
-        F.when(F.col("_arity") == 4, F.concat_ws(",", F.col("_f0"), apex_given, dom, F.col("_f3"))).alias("output"),
+        F.when(
+            (F.col("_arity") == 4) & valid & (apex_calc == apex_given),
+            F.concat_ws(",", F.col("_f0"), dom, F.col("_f3")),
+        ).alias("output"),
     )
 
 
@@ -82,10 +90,8 @@ def clean_subdomains(lines: DataFrame) -> DataFrame:
     last_seen; re-join skipping ``''``/``*`` (deepest label first in
     output), validate; output ``domain,last_seen``."""
     df = lines.select("value", *_fields(8))
-    parts = [strip_dot(F.col(f"_f{i}")) for i in range(7)]
-    arr = F.array(*parts)
-    kept = F.filter(arr, lambda x: (x != "") & (x != "*") & x.isNotNull())
-    dom = F.concat_ws(".", F.reverse(kept))
+    # one definition of the skip-''/'*' rejoin rule: functions.domains
+    dom = rejoin_subdomain([strip_dot(F.col(f"_f{i}")) for i in range(7)])
     valid = is_valid_domain(dom)
     return df.select(
         "value",
@@ -99,12 +105,12 @@ def clean_subdomains(lines: DataFrame) -> DataFrame:
 
 def clean_cname(lines: DataFrame) -> DataFrame:
     """``-cname`` (clean_cname.go:9-31): ``target,apexdomain,domain``
-    all validated (no cleanup in the Go path beyond stripDot); emits
-    ``target,domain``."""
+    all validated AS-GIVEN and emitted AS-GIVEN — the Go cname path
+    never calls stripDot (unlike the rdns paths), so trailing-dot
+    FQDNs validate (the validator tolerates one terminal dot) and
+    survive to the ``target,domain`` output byte-for-byte."""
     df = lines.select("value", *_fields(3))
-    tgt = strip_dot(F.col("_f0"))
-    apex = strip_dot(F.col("_f1"))
-    dom = strip_dot(F.col("_f2"))
+    tgt, apex, dom = F.col("_f0"), F.col("_f1"), F.col("_f2")
     all_valid = is_valid_domain(tgt) & is_valid_domain(apex) & is_valid_domain(dom)
     return df.select(
         "value",

@@ -1417,6 +1417,8 @@ def q_clean_cname(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _sql_clean_cname() -> str:
+    # Go's cname path never calls stripDot: fields validate and emit
+    # AS-GIVEN (clean_cname.go:9-31), trailing-dot FQDNs included
     ok = f"({_sql_valid('f0')} AND {_sql_valid('f1')} AND {_sql_valid('f2')})"
     return f"""
 WITH {SQL_CNAME_LINES_CTE.strip()}
@@ -1424,7 +1426,7 @@ SELECT value,
        CASE WHEN arity != 3 THEN 'EL'
             WHEN NOT {ok} THEN 'ED' END AS error_code,
        CASE WHEN arity = 3 AND {ok}
-            THEN {_sql_strip('f0')} || ',' || {_sql_strip('f2')} END AS output
+            THEN f0 || ',' || f2 END AS output
 FROM cname_split
 """
 

@@ -49,7 +49,10 @@ def cassandra_shaped_write(
         from sstable_migrator_spark.functions.cassandra import cassandra_token_col
 
         (
-            df.withColumn("cass_token", cassandra_token_col(*partition_key))
+            df.withColumn("cass_token", cassandra_token_col(
+            *partition_key,
+            spark_types=[df.schema[c].dataType.simpleString() for c in partition_key],
+        ))
             .repartitionByRange(n, F.col("cass_token"))
             .sortWithinPartitions("cass_token", *clustering)
             .write.mode(mode)

@@ -171,7 +171,10 @@ def ring_placement_write(
     ring = sorted(ring)
     plan = replica_plan(ring, rf=rf, racks=racks)
     routed = df.withColumn(
-        "cass_token", cassandra_token_col(*partition_key)
+        "cass_token", cassandra_token_col(
+            *partition_key,
+            spark_types=[df.schema[c].dataType.simpleString() for c in partition_key],
+        )
     ).withColumn("cass_range", ring_range_col(ring, "cass_token"))
     (
         routed.repartition(len(ring), "cass_range")
@@ -248,7 +251,10 @@ def write_sstables(
     os.makedirs(path, exist_ok=True)
 
     routed = (
-        df.withColumn("cass_token", cassandra_token_col(*partition_key))
+        df.withColumn("cass_token", cassandra_token_col(
+            *partition_key,
+            spark_types=[df.schema[c].dataType.simpleString() for c in partition_key],
+        ))
         .withColumn("cass_range", ring_range_col(ring, "cass_token"))
         .repartition(len(ring), "cass_range")
     )

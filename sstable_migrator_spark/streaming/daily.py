@@ -256,10 +256,21 @@ def routed_stream_sink(
             kept = parsed.filter(F.col("keep"))
             a_rows = kept.filter(~F.col("is_cname"))
             enriched = _ingest.geoip_enrich(a_rows, city_dim, asn_dim)
+            # ONE timestamp per micro-batch, captured here: the three
+            # table writes are three actions, and route_tables'
+            # current_timestamp() fallback would stamp each action (and
+            # any replay) differently — breaking both the documented
+            # per-batch determinism and cross-table consistency. Replays
+            # still re-stamp (server-time semantics, same as re-running
+            # the reference's java job); the batch_id layout keeps them
+            # idempotent at the row level.
+            from datetime import datetime, timezone
+
             routed = _ingest.route_tables(
                 enriched.unionByName(
                     kept.filter(F.col("is_cname")), allowMissingColumns=True
                 ),
+                batch_ts=datetime.now(timezone.utc),
             )
             for name, tdf in routed.items():
                 tdf.write.mode("overwrite").parquet(

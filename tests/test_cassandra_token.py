@@ -188,3 +188,55 @@ def test_ddl_rejects_unknown_key_or_type(spark):
                              T.StructField("m", T.MapType(T.StringType(), T.StringType()))])
     with pytest.raises(ValueError, match="no CQL mapping"):
         cassandra_ddl(with_map, "k", "t", ["a"], [])
+
+
+def test_declared_type_width_controls_token(spark):
+    """Cassandra hashes the DECLARED type's encoding: a bigint column
+    holding a small value must token as 8 bytes. The magnitude
+    heuristic would pick 4 and place the row on the wrong node."""
+    import struct
+
+    from sstable_migrator_spark.functions.cassandra import (
+        CqlBigint,
+        CqlInt,
+        cassandra_token,
+        cassandra_token_bytes,
+        cassandra_token_col,
+    )
+
+    assert cassandra_token(CqlBigint(7)) == cassandra_token_bytes(
+        struct.pack(">q", 7)
+    )
+    assert cassandra_token(CqlInt(7)) == cassandra_token_bytes(struct.pack(">i", 7))
+    assert cassandra_token(CqlBigint(7)) != cassandra_token(CqlInt(7))
+    # plain int heuristic == CqlInt for small values (back-compat)
+    assert cassandra_token(7) == cassandra_token(CqlInt(7))
+
+    df = spark.createDataFrame([(7,), (1 << 40,)], "id long")
+    toks = {
+        r["id"]: r["t"]
+        for r in df.select(
+            "id",
+            cassandra_token_col("id", spark_types=["bigint"]).alias("t"),
+        ).collect()
+    }
+    assert toks[7] == cassandra_token(CqlBigint(7))
+    assert toks[1 << 40] == cassandra_token(CqlBigint(1 << 40))
+
+    # the SSTable writer's own serialization agrees (same 8-byte form)
+    from sstable_migrator_spark.sinks.sstable_format import CqlTable
+
+    t = CqlTable(keyspace="ks", table="t", columns=[("id", "bigint"), ("v", "varchar")],
+                 partition_key=["id"])
+    key = t.serialize_partition_key({"id": 7, "v": "x"})
+    assert cassandra_token_bytes(key) == toks[7]
+
+
+def test_token_col_null_key_raises(spark):
+    import pytest
+
+    from sstable_migrator_spark.functions.cassandra import cassandra_token_col
+
+    df = spark.createDataFrame([(None,)], "id long")
+    with pytest.raises(Exception, match="null|NaN"):
+        df.select(cassandra_token_col("id", spark_types=["bigint"])).collect()

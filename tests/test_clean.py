@@ -42,12 +42,21 @@ def test_clean_rdns_v1_apex_mismatch(spark):
         "f0,wrong.com,www.example.com,f3",     # EA
         "f0,a,b,c,d",                          # EL
         "f0,x.com,bad..dom,f3",                # ED
+        "f0,Example.COM,WWW.Example.COM,f3",   # Go is case-preserving: VALID
+        "f0,example.com,WWW.Example.COM,f3",   # case mismatch vs apex: EA
     ]
     rows = {r["value"]: r for r in clean_rdns_v1(_lines(spark, lines), TLDS).collect()}
-    assert rows["f0,example.com,www.example.com,f3"]["error_code"] is None
+    ok = rows["f0,example.com,www.example.com,f3"]
+    assert ok["error_code"] is None
+    # Go output drops the apex field: f0,domain,f3 (clean_rdns.go:39)
+    assert ok["output"] == "f0,www.example.com,f3"
     assert rows["f0,wrong.com,www.example.com,f3"]["error_code"] == "EA"
     assert rows["f0,a,b,c,d"]["error_code"] == "EL"
     assert rows["f0,x.com,bad..dom,f3"]["error_code"] == "ED"
+    mixed = rows["f0,Example.COM,WWW.Example.COM,f3"]
+    assert mixed["error_code"] is None
+    assert mixed["output"] == "f0,WWW.Example.COM,f3"
+    assert rows["f0,example.com,WWW.Example.COM,f3"]["error_code"] == "EA"
 
 
 def test_clean_subdomains(spark):
@@ -69,8 +78,12 @@ def test_clean_cname(spark):
         "target.com,apex.com,www.apex.com",  # valid -> target,domain
         "target.com,apex.com",               # EL
         "bad..t,apex.com,www.apex.com",      # ED
+        "target.com.,apex.com,www.apex.com.",  # Go keeps FQDN dots as-given
     ]
     rows = {r["value"]: r for r in clean_cname(_lines(spark, lines)).collect()}
     assert rows["target.com,apex.com,www.apex.com"]["output"] == "target.com,www.apex.com"
     assert rows["target.com,apex.com"]["error_code"] == "EL"
     assert rows["bad..t,apex.com,www.apex.com"]["error_code"] == "ED"
+    dotted = rows["target.com.,apex.com,www.apex.com."]
+    assert dotted["error_code"] is None
+    assert dotted["output"] == "target.com.,www.apex.com."  # no stripDot in Go
