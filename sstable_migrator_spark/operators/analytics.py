@@ -30,6 +30,8 @@ def per_partition_limit(
     """Q1 — CQL ``PER PARTITION LIMIT n`` (KB.md:1-4): first n rows per
     partition key in clustering order. Window row_number; AQE handles
     skewed partitions."""
+    if "_rn" in df.columns:
+        raise ValueError("input already has a _rn column")
     w = Window.partitionBy(*partition_cols).orderBy(*order_cols)
     return (
         df.withColumn("_rn", F.row_number().over(w))

@@ -61,6 +61,11 @@ def asof_join(
         raise ValueError(f"direction must be backward|forward, got {direction!r}")
     if value_cols is None:
         value_cols = [c for c in right.columns if c not in (on, right_ts)]
+    if not value_cols:
+        raise ValueError(
+            "right side carries no value columns beyond the key and "
+            "timestamp; pass value_cols (or tie_col) explicitly"
+        )
     tie = tie_col or value_cols[0]
 
     # the right row rides as ONE struct so all carried columns come from
@@ -103,5 +108,9 @@ def asof_join(
     )
 
     out_left = [F.col(f"_l.{c}").alias(c) for c in left.columns]
-    out_right = [F.col(f"_c.{c}").alias(f"right_{c}") for c in value_cols]
+    # SQL equality never matches NULL keys, but Window.partitionBy
+    # groups NULLs into one partition — mask the carried struct so a
+    # NULL-key left row yields NULLs like the LATERAL-subquery oracle
+    carried = F.when(F.col(on).isNotNull(), F.col("_c"))
+    out_right = [carried.getField(c).alias(f"right_{c}") for c in value_cols]
     return tagged.filter(F.col("_side") == 1).select(*out_left, *out_right)

@@ -58,7 +58,14 @@ def validate(df: DataFrame, rules: list[dict]) -> DataFrame:
             cond = F.col(rule["col"]).isNull()
         elif kind == "accepted_values":
             # NULL passes, matching in_range/matches (and dbt/GE): pair
-            # with not_null to demand presence.
+            # with not_null to demand presence. None in the list would
+            # poison the IN with three-valued logic (every violation
+            # comparison goes NULL and counts as zero) — reject it.
+            if any(v is None for v in rule["values"]):
+                raise ValueError(
+                    "accepted_values may not contain None (SQL IN NULL "
+                    "semantics would silently void the rule); use not_null"
+                )
             c = F.col(rule["col"])
             cond = c.isNotNull() & ~c.isin(*rule["values"])
         elif kind == "in_range":

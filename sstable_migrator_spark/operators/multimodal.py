@@ -255,16 +255,29 @@ def sample_frames(
                 if kind != "video":
                     continue
                 if not real_decode:
-                    dur = max(int(meta["duration_ms"]), 1)
+                    dur = max(int(meta["duration_ms"] or 0) if meta else 0, 1)
+                    width = int(meta["width"] or 0) if meta else 0
+                    height = int(meta["height"] or 0) if meta else 0
                     for fi, ts in enumerate(range(0, dur, every_ms)):
                         out["media_id"].append(mid)
                         out["frame_index"].append(fi)
                         out["frame_ts_ms"].append(ts)
-                        out["width"].append(int(meta["width"]))
-                        out["height"].append(int(meta["height"]))
-                        out["feature"].append(_fake_feature(bytes(payload or b"") + bytes([fi]), dim))
+                        out["width"].append(width)
+                        out["height"].append(height)
+                        # 4-byte index: bytes([fi]) caps at 256 frames
+                        out["feature"].append(
+                            _fake_feature(
+                                bytes(payload or b"") + fi.to_bytes(4, "little"), dim
+                            )
+                        )
                     continue
-                frames = decode_gif(bytes(payload))
+                b = bytes(payload or b"")
+                if b[:6] not in (b"GIF89a", b"GIF87a"):
+                    raise DecoderUnavailable(
+                        "real frame sampling decodes animated GIF only; "
+                        "other video containers are stubbed"
+                    )
+                frames = decode_gif(b)
                 # frame f is on display in [start_f, start_f + delay_f)
                 starts = []
                 t = 0

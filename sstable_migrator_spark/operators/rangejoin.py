@@ -45,6 +45,10 @@ def interval_join(
     if how not in ("inner", "left"):
         raise ValueError("interval_join supports how='inner'|'left'")
     bw = float(bucket_width)
+    if not bw > 0:
+        # 0 would floor x/0.0 = Inf into one universal bucket — the
+        # per-key cross join this operator exists to avoid
+        raise ValueError(f"bucket_width must be > 0, got {bucket_width!r}")
     p = points.withColumn("_ib", F.floor(F.col(point_col) / bw))
     r = ranges.withColumn(
         "_ib",

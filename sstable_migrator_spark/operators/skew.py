@@ -72,6 +72,12 @@ def salted_join(
     tasks instead of one. Output equals ``big.join(small, key, how)``
     for 1:N joins (small unique on key).
     """
+    if how not in ("inner", "left", "left_outer", "leftouter"):
+        # right/full outer is WRONG under replication: every unmatched
+        # small-side replica would emit once PER BUCKET
+        raise ValueError(f"salted_join supports inner/left joins, got {how!r}")
+    if "_salt" in big.columns or "_salt" in small.columns:
+        raise ValueError("input already has a _salt column")
     b = big.withColumn("_salt", salt_expr(salt_cols, buckets))
     s = small.withColumn(
         "_salt", F.explode(F.array(*[F.lit(i) for i in range(buckets)]))

@@ -39,6 +39,12 @@ def interval_stream_join(
     'leftOuter' (outer rows emit once their side's watermark proves no
     partner can arrive).
     """
+    if left_ts == right_ts:
+        raise ValueError(
+            "left_ts and right_ts must be distinct names: a condition "
+            "join keeps both sides' columns and the caller could not "
+            "disambiguate two identical timestamp names"
+        )
     l_wm = left.withWatermark(left_ts, watermark)
     r_wm = right.withWatermark(right_ts, watermark)
     cond = (
@@ -46,7 +52,9 @@ def interval_stream_join(
         & (r_wm[right_ts] >= l_wm[left_ts])
         & (r_wm[right_ts] <= l_wm[left_ts] + F.expr(f"INTERVAL {max_delay}"))
     )
-    return l_wm.join(r_wm, cond, how)
+    # keep ONE key column: a condition join would emit both sides' `on`
+    # under the same name and make every downstream select ambiguous
+    return l_wm.join(r_wm, cond, how).drop(r_wm[on])
 
 
 def stream_static_enrich(

@@ -94,3 +94,28 @@ def test_forward_asof_tie_greatest_wins(spark):
     )
     got = asof_join(left, right, "on", direction="forward").collect()[0]["right_px"]
     assert got == 9.0
+
+
+def test_asof_null_keys_never_match(spark):
+    """SQL equality never matches NULL keys; the window implementation
+    must mask its carried struct to agree with the LATERAL oracle."""
+    from sstable_migrator_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame([(None, 10), ("k", 10)], "k string, ts long")
+    right = spark.createDataFrame(
+        [(None, 5, 1.0), ("k", 5, 2.0)], "k string, ts long, v double"
+    )
+    got = {r["k"]: r["right_v"] for r in asof_join(left, right, "k").collect()}
+    assert got["k"] == 2.0
+    assert got[None] is None  # NULL key carries nothing
+
+
+def test_asof_no_value_cols_raises(spark):
+    import pytest
+
+    from sstable_migrator_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame([("k", 1)], "k string, ts long")
+    right = spark.createDataFrame([("k", 1)], "k string, ts long")
+    with pytest.raises(ValueError, match="value columns"):
+        asof_join(left, right, "k")

@@ -69,3 +69,10 @@ def test_empty_rule_set(spark):
     out = validate(df, [])
     assert out.columns == ["rule", "violations"]
     assert out.count() == 0
+
+
+def test_accepted_values_rejects_none_in_list(spark):
+    df = spark.createDataFrame([(1, "a")], "id long, name string")
+    with pytest.raises(ValueError, match="not contain None"):
+        validate(df, [{"rule": "accepted_values", "col": "name",
+                       "values": ["a", None]}])

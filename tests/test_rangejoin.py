@@ -61,3 +61,14 @@ def test_interval_join_is_not_nested_loop(spark):
         .toString()
     )
     assert "NestedLoop" not in plan, plan
+
+
+def test_interval_join_rejects_zero_bucket_width(spark):
+    import pytest
+
+    from sstable_migrator_spark.operators.rangejoin import interval_join
+
+    p = spark.createDataFrame([(1.0,)], "x double")
+    r = spark.createDataFrame([(0.0, 2.0)], "lo double, hi double")
+    with pytest.raises(ValueError, match="bucket_width"):
+        interval_join(p, r, "x", "lo", "hi", bucket_width=0.0)

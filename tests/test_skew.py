@@ -76,3 +76,14 @@ def test_skew_report_detects_hot_key(spark):
 
     uniform = spark.createDataFrame([(k % 10,) for k in range(100)], "k long")
     assert skew_report(uniform, ["k"])["recommendation"] == "none"
+
+
+def test_salted_join_rejects_small_side_outer(spark):
+    import pytest
+
+    from sstable_migrator_spark.operators.skew import salted_join
+
+    big = spark.createDataFrame([(1, "a")], "k long, x string")
+    small = spark.createDataFrame([(1, "d")], "k long, d string")
+    with pytest.raises(ValueError, match="inner/left"):
+        salted_join(big, small, "k", ["x"], how="full")
