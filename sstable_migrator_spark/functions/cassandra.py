@@ -187,16 +187,43 @@ def cassandra_token_col(
     simpleString of each key column ('bigint'/'long' -> 8-byte CQL
     bigint even for small values, 'int' -> 4 bytes) — without it a
     plain int falls back to the magnitude heuristic, which only matches
-    a cluster whose column is CQL `int`. NULL/NaN key components raise:
+    a cluster whose column is CQL `int`. Temporal/floating/boolean keys
+    serialize through the same CQL marshal helpers the SSTable writer
+    uses (timestamp -> 8-byte millis, date -> unsigned days+2^31,
+    double/float -> IEEE big-endian, boolean -> 1 byte), so the token
+    agrees with a real cluster's ring placement for every type
+    ``write_sstables`` advertises. A declared type outside that set, or
+    an undeclared float/bool/temporal value (whose CQL width can't be
+    guessed), raises a ValueError naming the type rather than silently
+    truncating to int. NULL/NaN key components raise:
     Cassandra rejects null partition keys, and silently hashing a
     sentinel would place the row on a real-but-wrong node. Arrow-
     batched; write-path only."""
     types = list(spark_types) if spark_types else [None] * len(cols)
     if len(types) != len(cols):
         raise ValueError("spark_types must match the key column count")
+    _supported = {
+        None, "string", "binary", "int", "bigint", "long",
+        "timestamp", "date", "double", "float", "boolean",
+    }
+    for t in types:
+        if t not in _supported:
+            raise ValueError(
+                f"unsupported partition-key type {t!r}: cassandra_token_col "
+                f"serializes {sorted(x for x in _supported if x)}"
+            )
 
     @pandas_udf("long")
     def _token(*series: pd.Series) -> pd.Series:
+        import numpy as np
+
+        from sstable_migrator_spark.sinks.sstable_format import (
+            _ser_bool,
+            _ser_date,
+            _ser_double,
+            _ser_timestamp,
+        )
+
         n = len(series[0])
         out = []
         for i in range(n):
@@ -213,6 +240,24 @@ def cassandra_token_col(
                     comps.append(CqlBigint(int(v)))
                 elif t == "int":
                     comps.append(CqlInt(int(v)))
+                elif t == "timestamp":
+                    comps.append(_ser_timestamp(v))
+                elif t == "date":
+                    comps.append(_ser_date(v))
+                elif t == "double":
+                    comps.append(_ser_double(v))
+                elif t == "float":
+                    comps.append(struct.pack(">f", float(v)))
+                elif t == "boolean":
+                    comps.append(_ser_bool(v))
+                elif isinstance(v, (bool, np.bool_)) or not isinstance(
+                    v, (int, np.integer)
+                ):
+                    raise ValueError(
+                        f"partition key component of type {type(v).__name__} "
+                        "needs an explicit spark_types entry; refusing to "
+                        "guess its CQL serialization"
+                    )
                 else:
                     comps.append(int(v))
             out.append(cassandra_token(*comps))

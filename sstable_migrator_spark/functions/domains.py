@@ -285,8 +285,18 @@ def apex_domain_exact(col: Column, tld_set: Iterable[str] | None = None) -> Colu
     the two-level-TLD treatment 'example.co.uk' gets). ``apex_domain``
     above is the normalized analytic form whose lowercase output the
     oracle queries pin; this one exists for cleaner parity
-    (clean_rdns_v1's EA compare is over the as-given string)."""
+    (clean_rdns_v1's EA compare is over the as-given string).
+
+    Quirk replicated: the Go TLDs map is built by splitting TLD.txt on
+    newline, which keeps the trailing blank — so the EMPTY STRING is a
+    member, and an empty second-to-last label ('a..com') takes the
+    l2TLD branch. The default set here drops blanks (right for the
+    analytic form), so this exact twin re-adds '' to the membership
+    test. In clean_rdns_v1 the validity gate rejects empty labels
+    before this runs; the quirk only shows standalone."""
     tlds = list(tld_set) if tld_set is not None else default_tld_set()
+    if "" not in tlds:
+        tlds = [*tlds, ""]
     parts = F.split(col, "\\.")
     n = F.size(parts)
     prev = F.element_at(parts, n - 1)

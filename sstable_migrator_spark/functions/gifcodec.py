@@ -276,13 +276,23 @@ def decode_gif(data: bytes) -> list[dict]:
 
 def encode_gif(frames: list[np.ndarray], delays_ms: list[int] | None = None) -> bytes:
     """Full-canvas RGB frames -> animated GIF89a with one global color
-    table (<=256 distinct colors across all frames)."""
+    table (<=256 distinct colors across all frames).
+
+    Delays are stored in GIF's native centisecond field, so a delay is
+    floored to a multiple of 10 ms (``decode(encode(frames, [105]))``
+    reports 100 ms). ``delays_ms`` must carry exactly one delay per
+    frame — a shorter list used to silently drop the trailing frames."""
     if not frames:
         raise GifFormatError("no frames")
     h, w, _ = frames[0].shape
     if any(f.shape != (h, w, 3) for f in frames):
         raise GifFormatError("all frames must share the canvas shape")
     delays_ms = delays_ms or [100] * len(frames)
+    if len(delays_ms) != len(frames):
+        raise GifFormatError(
+            f"{len(delays_ms)} delays for {len(frames)} frames; "
+            "delays_ms must have one entry per frame"
+        )
     stacked = np.concatenate([f.reshape(-1, 3) for f in frames])
     palette, inverse = np.unique(stacked, axis=0, return_inverse=True)
     if len(palette) > 256:

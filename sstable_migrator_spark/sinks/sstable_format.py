@@ -74,10 +74,16 @@ verifies the digest, and evaluates bloom membership — the same
 verification recipe used for the mmdb and 7z binary readers.
 
 Scale shape: one sstable per Spark partition (see
-``sinks.write_sstables``), rows arrive ring-routed and token-sorted
-from ``ring_placement_write``'s layout, so the writer is a streaming
-single pass with O(partitions-per-sstable) index state and nothing on
-the driver.
+``sinks.write_sstables``), rows arrive ring-routed from
+``ring_placement_write``'s layout, and nothing touches the driver.
+Within one executor task the writer is buffer-then-sort — exactly
+CQLSSTableWriter's unsorted mode: every row of the range is
+materialized as a Python dict and sorted by token at ``close()``.
+Executor memory is therefore O(rows-per-ring-range); at 100 TB the
+ring must be sized (more vnodes -> smaller ranges) so a range's rows
+fit one executor, the same sizing rule CQLSSTableWriter's
+``withBufferSizeInMB`` imposes. A sorted streaming mode with
+per-batch spill is the known follow-up if ranges must exceed memory.
 """
 
 from __future__ import annotations
@@ -488,6 +494,15 @@ class SSTableWriter:
             raise ValueError("compression must be None or 'deflate'")
         if chunk_length & (chunk_length - 1):
             raise ValueError("chunk_length must be a power of two")
+        if write_timestamp_us < TIMESTAMP_EPOCH_US:
+            # EncodingStats stores the delta from this epoch as an
+            # UNSIGNED vint; a negative delta would wrap mod 2^64 and
+            # read back as a garbage min_timestamp instead of failing.
+            raise ValueError(
+                f"write_timestamp_us {write_timestamp_us} predates the "
+                f"EncodingStats epoch {TIMESTAMP_EPOCH_US} (2015-09-22); "
+                "Cassandra's stats delta encoding cannot represent it"
+            )
         self.dir = directory
         self.schema = schema
         self.gen = generation

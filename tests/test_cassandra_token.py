@@ -240,3 +240,53 @@ def test_token_col_null_key_raises(spark):
     df = spark.createDataFrame([(None,)], "id long")
     with pytest.raises(Exception, match="null|NaN"):
         df.select(cassandra_token_col("id", spark_types=["bigint"])).collect()
+
+def test_token_col_temporal_double_boolean_keys(spark):
+    """Timestamp/date/double/boolean partition keys token through the
+    same CQL marshal encodings the SSTable writer uses (8-byte millis,
+    unsigned days+2^31, IEEE double, 1 byte) — matching a real
+    cluster's ring placement instead of crashing or truncating."""
+    import datetime
+    import struct
+
+    from sstable_migrator_spark.functions.cassandra import (
+        cassandra_token_bytes,
+        cassandra_token_col,
+    )
+
+    ts = datetime.datetime(2024, 5, 17, 12, 30, 45, tzinfo=datetime.timezone.utc)
+    d = datetime.date(2024, 5, 17)
+    df = spark.createDataFrame(
+        [(ts, d, 3.5, True)],
+        "ts timestamp, d date, x double, b boolean",
+    )
+    row = df.select(
+        cassandra_token_col("ts", spark_types=["timestamp"]).alias("t_ts"),
+        cassandra_token_col("d", spark_types=["date"]).alias("t_d"),
+        cassandra_token_col("x", spark_types=["double"]).alias("t_x"),
+        cassandra_token_col("b", spark_types=["boolean"]).alias("t_b"),
+    ).collect()[0]
+
+    millis = int(ts.timestamp() * 1000)
+    days = d.toordinal() - 719163
+    assert row["t_ts"] == cassandra_token_bytes(struct.pack(">q", millis))
+    assert row["t_d"] == cassandra_token_bytes(
+        struct.pack(">I", (days + (1 << 31)) & 0xFFFFFFFF)
+    )
+    assert row["t_x"] == cassandra_token_bytes(struct.pack(">d", 3.5))
+    assert row["t_b"] == cassandra_token_bytes(b"\x01")
+
+
+def test_token_col_rejects_unsupported_or_undeclared_types(spark):
+    import pytest
+
+    from sstable_migrator_spark.functions.cassandra import cassandra_token_col
+
+    # unsupported declared type fails fast at call time
+    with pytest.raises(ValueError, match="unsupported partition-key type"):
+        cassandra_token_col("x", spark_types=["decimal(10,2)"])
+
+    # undeclared double refuses to guess instead of truncating to int
+    df = spark.createDataFrame([(3.5,)], "x double")
+    with pytest.raises(Exception, match="spark_types"):
+        df.select(cassandra_token_col("x")).collect()

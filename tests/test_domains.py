@@ -200,3 +200,16 @@ def test_property_parity(spark):
         dp = r["dp"]
         for k in ("success", "apex", "tld", "l2tld", "p1", "p2", "p3", "p4", "p5", "p6", "p7"):
             assert dp[k] == exp[k], f"{r['v']!r} slot {k}: {dp[k]!r} != {exp[k]!r}"
+
+
+def test_apex_exact_empty_label_quirk(spark):
+    """Go's TLDs map contains '' (TLD.txt trailing-newline split), so an
+    empty second-to-last label takes the l2TLD branch: getApexDomain
+    keeps THREE labels for 'a.b..com'. apex_domain_exact replicates
+    that; the analytic apex_domain (blank-free set) does not."""
+    from sstable_migrator_spark.functions.domains import apex_domain_exact
+
+    got = _run_expr(spark, ["a.b..com"], lambda c: apex_domain_exact(c, TLDS))
+    assert got == ["b..com"]  # l2TLD branch: last 3 labels
+    got = _run_expr(spark, ["a.b..com"], lambda c: apex_domain(c, TLDS))
+    assert got == [".com"]  # analytic form: '' not a TLD, last 2 labels

@@ -202,3 +202,15 @@ def test_gce_scopes_single_frame():
     frames = decode_gif(bytes(out))
     assert (frames[1]["pixels"] == PAL7[3]).all()
     assert frames[1]["delay_ms"] == 0  # delay not inherited either
+
+
+def test_delay_count_mismatch_rejected():
+    """Fewer delays than frames used to silently drop trailing frames."""
+    import pytest
+
+    frames = [PAL7[np.zeros((4, 4), dtype=int)] for _ in range(3)]
+    with pytest.raises(GifFormatError, match="delays"):
+        encode_gif(frames, [10, 20])
+    # centisecond quantization is documented: 105 ms floors to 100 ms
+    out = decode_gif(encode_gif(frames, [105, 110, 115]))
+    assert [f["delay_ms"] for f in out] == [100, 110, 110]

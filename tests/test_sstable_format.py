@@ -598,3 +598,16 @@ def test_signed_clustering_order(tmp_path):
     got = [(r["clustering"][0], r["clustering"][1]) for r in rows]
     assert got == sorted(got), got
     assert got[0] == (-2147483648, -1e300)
+
+
+def test_pre_epoch_write_timestamp_rejected(tmp_path):
+    """EncodingStats deltas are unsigned vints; a timestamp before the
+    2015-09-22 epoch would wrap mod 2^64 and read back as garbage."""
+    import pytest
+
+    from sstable_migrator_spark.sinks.sstable_format import TIMESTAMP_EPOCH_US
+
+    with pytest.raises(ValueError, match="EncodingStats epoch"):
+        SSTableWriter(
+            str(tmp_path), _tiny_table(), write_timestamp_us=TIMESTAMP_EPOCH_US - 1
+        )
