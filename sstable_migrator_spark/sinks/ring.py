@@ -213,6 +213,7 @@ def write_sstables(
     racks: dict[str, str] | None = None,
     cql_type_overrides: dict[str, str] | None = None,
     write_timestamp_us: int = 1700000000000000,
+    spill_threshold_rows: int | None = 65536,
 ) -> list[dict]:
     """K1 end-to-end: route every row to its owning token range and
     write ONE actual BIG-format SSTable per range — the exact artifact
@@ -225,10 +226,16 @@ def write_sstables(
     Execution shape: the ONLY shuffle is the repartition on range id
     (the rendezvous any bulk-load layout needs; Murmur3 tokens make it
     skew-free); serialization runs as an Arrow-batched ``mapInPandas``
-    per partition with O(rows-in-range) executor memory and O(vnodes)
-    driver state. ``cql_type_overrides`` maps columns to CQL types
-    Spark lacks (the reference's INET columns ride as strings
-    Spark-side, exactly like cassandra_ddl's overrides).
+    per partition — Arrow batches stream straight into per-range
+    ``SSTableWriter``s, which external-sort past
+    ``spill_threshold_rows`` (sorted pickle runs + k-way merge), so
+    executor memory is O(threshold + partitions-in-range) however big
+    the range is; driver state stays O(vnodes). Pass
+    ``spill_threshold_rows=None`` to buffer ranges wholly in memory
+    (CQLSSTableWriter's default unsorted mode). ``cql_type_overrides``
+    maps columns to CQL types Spark lacks (the reference's INET columns
+    ride as strings Spark-side, exactly like cassandra_ddl's
+    overrides).
 
     Returns the stream plan; per-sstable manifests land in
     ``_sstable_manifests.json`` (written from collected results —
@@ -262,30 +269,34 @@ def write_sstables(
     keep = set(data_cols)
 
     def _write(batches):
-        rows_by_range: dict[int, list[dict]] = {}
+        # Arrow batches stream straight into per-range writers: nothing
+        # accumulates beyond each writer's spill buffer, so a range
+        # bigger than executor memory external-sorts instead of OOMing.
+        writers: dict[int, SSTableWriter] = {}
         for pdf in batches:
             for rec in pdf.to_dict("records"):
                 rid = int(rec.pop("cass_range"))
                 rec.pop("cass_token")
-                rows_by_range.setdefault(rid, []).append(
+                w = writers.get(rid)
+                if w is None:
+                    schema = CqlTable(
+                        keyspace=keyspace, table=table, columns=columns,
+                        partition_key=partition_key, clustering=clustering,
+                    )
+                    w = writers[rid] = SSTableWriter(
+                        os.path.join(path, f"cass_range={rid}"),
+                        schema,
+                        generation=rid + 1,
+                        write_timestamp_us=write_timestamp_us,
+                        spill_threshold_rows=spill_threshold_rows,
+                    )
+                w.add_row(
                     {k: (None if pd.isna(v) else v) for k, v in rec.items()
                      if k in keep}
                 )
         part_id = TaskContext.get().partitionId()
         out = []
-        for rid, rows in rows_by_range.items():
-            schema = CqlTable(
-                keyspace=keyspace, table=table, columns=columns,
-                partition_key=partition_key, clustering=clustering,
-            )
-            w = SSTableWriter(
-                os.path.join(path, f"cass_range={rid}"),
-                schema,
-                generation=rid + 1,
-                write_timestamp_us=write_timestamp_us,
-            )
-            for r in rows:
-                w.add_row(r)
+        for rid, w in writers.items():
             m = w.close()
             out.append(
                 {

@@ -76,14 +76,17 @@ verification recipe used for the mmdb and 7z binary readers.
 Scale shape: one sstable per Spark partition (see
 ``sinks.write_sstables``), rows arrive ring-routed from
 ``ring_placement_write``'s layout, and nothing touches the driver.
-Within one executor task the writer is buffer-then-sort — exactly
-CQLSSTableWriter's unsorted mode: every row of the range is
-materialized as a Python dict and sorted by token at ``close()``.
-Executor memory is therefore O(rows-per-ring-range); at 100 TB the
-ring must be sized (more vnodes -> smaller ranges) so a range's rows
-fit one executor, the same sizing rule CQLSSTableWriter's
-``withBufferSizeInMB`` imposes. A sorted streaming mode with
-per-batch spill is the known follow-up if ranges must exceed memory.
+Within one executor task the writer is CQLSSTableWriter's unsorted
+mode: rows buffer and are sorted by DecoratedKey order at ``close()``.
+By default the buffer is the whole range (O(rows-per-ring-range)
+memory — CQLSSTableWriter's ``withBufferSizeInMB`` sizing rule);
+passing ``spill_threshold_rows`` turns it into an external sort:
+every ``threshold`` rows are sorted and spilled as a run file, and
+``close()`` k-way-merges the runs while STREAMING the data file to
+disk chunk-by-chunk, so executor memory is O(threshold + partitions
++ runs) regardless of range size — the output is byte-identical to
+the in-memory path. That is how a 100 TB range that exceeds executor
+memory still serializes on one task.
 """
 
 from __future__ import annotations
@@ -471,6 +474,67 @@ class _Bloom:
 # ---------------------------------------------------------------------------
 
 
+class _LogicalDataSink:
+    """Streams the LOGICAL Data.db byte stream to disk with bounded
+    memory. ``tell()`` is the logical (uncompressed) offset — what
+    Index.db stores. Plain mode writes raw bytes and keeps a crc32 per
+    CHUNK_SIZE logical chunk (CRC.db); deflate mode zlib-compresses
+    each ``chunk_length`` logical chunk as it fills and records the
+    physical offset of each on-disk chunk (CompressionInfo.db). The
+    running digest covers the file AS WRITTEN (compressed bytes when
+    compression is on), byte-identical to hashing the final file."""
+
+    def __init__(self, path: str, compression: str | None, chunk_length: int):
+        self.compression = compression
+        self.chunk = chunk_length if compression == "deflate" else CHUNK_SIZE
+        self._buf = bytearray()
+        self._logical = 0
+        self._fh = open(path, "wb")
+        self._digest = 0
+        self.crcs: list[int] = []  # plain: crc32 per logical chunk
+        self.offsets: list[int] = []  # deflate: physical chunk offsets
+        self._disk = 0
+        self._any_chunk = False
+
+    def write(self, b: bytes) -> None:
+        self._buf += b
+        self._logical += len(b)
+        while len(self._buf) >= self.chunk:
+            self._flush_chunk(bytes(self._buf[: self.chunk]))
+            del self._buf[: self.chunk]
+
+    def tell(self) -> int:
+        return self._logical
+
+    def _flush_chunk(self, chunk_bytes: bytes) -> None:
+        self._any_chunk = True
+        if self.compression == "deflate":
+            blob = zlib.compress(chunk_bytes)
+            rec = blob + struct.pack(">I", zlib.crc32(blob))
+            self.offsets.append(self._disk)
+            self._fh.write(rec)
+            self._digest = zlib.crc32(rec, self._digest)
+            self._disk += len(rec)
+        else:
+            self.crcs.append(zlib.crc32(chunk_bytes))
+            self._fh.write(chunk_bytes)
+            self._digest = zlib.crc32(chunk_bytes, self._digest)
+            self._disk += len(chunk_bytes)
+
+    def finish(self) -> dict:
+        # an empty logical stream still gets one (empty) chunk, matching
+        # the buffered writer's range(0, max(len, 1), chunk) loop
+        if self._buf or not self._any_chunk:
+            self._flush_chunk(bytes(self._buf))
+            self._buf.clear()
+        self._fh.close()
+        return {
+            "logical_bytes": self._logical,
+            "disk_bytes": self._disk,
+            "digest": self._digest,
+        }
+
+
 class SSTableWriter:
     """Buffering BIG-format writer: ``add_row(dict)`` then ``close()``.
     Rows are sorted by (token, key bytes, clustering) at close — the
@@ -478,7 +542,14 @@ class SSTableWriter:
     callers may feed unsorted batches (CQLSSTableWriter's unsorted mode
     does exactly this buffer-then-sort). All rows share one write
     timestamp (micros), matching the reference's batch-stamped
-    ``toTimestamp(now())`` semantics (App.java INSERTs)."""
+    ``toTimestamp(now())`` semantics (App.java INSERTs).
+
+    ``spill_threshold_rows`` bounds the buffer: every ``threshold``
+    rows are pre-sorted and spilled to a pickle run file under the
+    output directory, and ``close()`` streams a k-way merge of the
+    runs straight to disk — an external sort whose output is
+    byte-identical to the in-memory path (the merge is stable across
+    runs in spill order, as ``sorted`` is over insertion order)."""
 
     def __init__(
         self,
@@ -489,7 +560,10 @@ class SSTableWriter:
         bloom_fp: float = 0.01,
         compression: str | None = None,
         chunk_length: int = 16384,
+        spill_threshold_rows: int | None = None,
     ):
+        if spill_threshold_rows is not None and spill_threshold_rows < 1:
+            raise ValueError("spill_threshold_rows must be >= 1")
         if compression not in (None, "deflate"):
             raise ValueError("compression must be None or 'deflate'")
         if chunk_length & (chunk_length - 1):
@@ -510,10 +584,65 @@ class SSTableWriter:
         self.bloom_fp = bloom_fp
         self.compression = compression
         self.chunk_length = chunk_length
+        self.spill_threshold = spill_threshold_rows
         self._rows: list[dict] = []
+        self._runs: list[str] = []
+        self._tmpdir: str | None = None
 
     def add_row(self, row: dict) -> None:
         self._rows.append(row)
+        if self.spill_threshold and len(self._rows) >= self.spill_threshold:
+            self._spill_run()
+
+    def _spill_run(self) -> None:
+        """Sort the buffered rows and spill them as one run file:
+        sequential pickles of ``(sort_key, row)`` in DecoratedKey
+        order. Run files live in a dot-prefixed tempdir under the
+        output directory (same filesystem as the final components) and
+        are deleted after the merge in ``close()``."""
+        import pickle
+        import tempfile
+
+        if self._tmpdir is None:
+            os.makedirs(self.dir, exist_ok=True)
+            self._tmpdir = tempfile.mkdtemp(prefix=".sstable-spill-", dir=self.dir)
+        path = os.path.join(self._tmpdir, f"run-{len(self._runs):06d}.pkl")
+        batch = sorted(
+            ((self._sort_key(r), r) for r in self._rows), key=lambda kr: kr[0]
+        )
+        with open(path, "wb") as fh:
+            pickler = pickle.Pickler(fh, protocol=pickle.HIGHEST_PROTOCOL)
+            for kr in batch:
+                pickler.dump(kr)
+        self._runs.append(path)
+        self._rows = []
+
+    def _iter_decorated(self):
+        """Yield ``(sort_key, row)`` in global DecoratedKey order:
+        a plain in-memory sort when nothing spilled, else a stable
+        k-way heap merge over the spilled runs plus the unspilled
+        tail — one row per run in memory at a time."""
+        tail = sorted(
+            ((self._sort_key(r), r) for r in self._rows), key=lambda kr: kr[0]
+        )
+        if not self._runs:
+            yield from tail
+            return
+        import heapq
+        import pickle
+
+        def _run_iter(path):
+            with open(path, "rb") as fh:
+                unpickler = pickle.Unpickler(fh)
+                while True:
+                    try:
+                        yield unpickler.load()
+                    except EOFError:
+                        return
+
+        streams = [_run_iter(p) for p in self._runs]
+        streams.append(iter(tail))
+        yield from heapq.merge(*streams, key=lambda kr: kr[0])
 
     # -- serialization pieces ------------------------------------------------
 
@@ -668,101 +797,107 @@ class SSTableWriter:
         return out.getvalue()
 
     def close(self) -> dict:
-        s = self.schema
         os.makedirs(self.dir, exist_ok=True)
         prefix = f"{VERSION}-{self.gen}-big-"
 
-        decorated = sorted(
-            ((self._sort_key(r), r) for r in self._rows), key=lambda kr: kr[0]
+        # The data file streams to disk as the merged rows arrive
+        # (compressed layout: CompressedSequentialWriter +
+        # CompressionMetadata — the LOGICAL stream is chunked at
+        # chunk_length uncompressed bytes; each on-disk chunk is the
+        # zlib-deflated bytes followed by a 4-byte CRC32 of the
+        # COMPRESSED bytes; Index.db positions stay UNCOMPRESSED
+        # offsets, CompressionInfo.db's chunk-offset array is the
+        # logical->physical map; DeflateCompressor's default zlib
+        # framing is exactly python zlib, and checksums are inline so
+        # there is no CRC.db). Held in memory: the index (O(partitions)),
+        # the key list for the bloom filter (O(partitions)), and the
+        # chunk offsets/crcs (8 bytes per chunk).
+        sink = _LogicalDataSink(
+            os.path.join(self.dir, prefix + "Data.db"),
+            self.compression,
+            self.chunk_length,
         )
-
-        data = io.BytesIO()
         index = io.BytesIO()
         keys: list[bytes] = []
         tokens: list[int] = []
         n_rows = 0
-        # group rows by partition key (adjacent after the sort)
-        i = 0
-        while i < len(decorated):
-            key = decorated[i][0][1]
-            tok = decorated[i][0][0]
-            pos = data.tell()
-            index.write(struct.pack(">H", len(key)) + key)
-            index.write(encode_unsigned_vint(pos))
-            index.write(encode_unsigned_vint(0))  # no promoted index
-            keys.append(key)
-            tokens.append(tok)
-            data.write(struct.pack(">H", len(key)) + key)
-            data.write(struct.pack(">iq", NO_DELETION_TIME, LIVE_MARKED_FOR_DELETE))
-            prev = 0
-            while i < len(decorated) and decorated[i][0][1] == key:
-                blob = self._serialize_row(decorated[i][1], prev)
-                data.write(blob)
-                prev = len(blob)
-                n_rows += 1
-                i += 1
-            data.write(bytes([END_OF_PARTITION]))
-        data_bytes = data.getvalue()
+        cur_key: bytes | None = None
+        prev = 0
+        # rows arrive in DecoratedKey order; partitions are key-adjacent
+        for sort_key, row in self._iter_decorated():
+            tok, key = sort_key[0], sort_key[1]
+            if key != cur_key:
+                if cur_key is not None:
+                    sink.write(bytes([END_OF_PARTITION]))
+                cur_key = key
+                pos = sink.tell()
+                index.write(struct.pack(">H", len(key)) + key)
+                index.write(encode_unsigned_vint(pos))
+                index.write(encode_unsigned_vint(0))  # no promoted index
+                keys.append(key)
+                tokens.append(tok)
+                sink.write(struct.pack(">H", len(key)) + key)
+                sink.write(
+                    struct.pack(">iq", NO_DELETION_TIME, LIVE_MARKED_FOR_DELETE)
+                )
+                prev = 0
+            blob = self._serialize_row(row, prev)
+            sink.write(blob)
+            prev = len(blob)
+            n_rows += 1
+        if cur_key is not None:
+            sink.write(bytes([END_OF_PARTITION]))
+        meta = sink.finish()
+        if self._tmpdir is not None:
+            import shutil
+
+            shutil.rmtree(self._tmpdir, ignore_errors=True)
+            self._tmpdir = None
+            self._runs = []
 
         bloom = _Bloom(len(keys), self.bloom_fp)
         for k in keys:
             bloom.add(k)
 
         if self.compression == "deflate":
-            # Compressed layout (CompressedSequentialWriter +
-            # CompressionMetadata): the LOGICAL stream is chunked at
-            # chunk_length uncompressed bytes; each on-disk chunk is the
-            # zlib-deflated bytes followed by a 4-byte CRC32 of the
-            # COMPRESSED bytes. Index.db positions stay UNCOMPRESSED
-            # offsets — CompressionInfo.db's chunk-offset array is the
-            # logical->physical map. DeflateCompressor wraps
-            # java.util.zip.Deflater in its default zlib framing, which
-            # is exactly python zlib. No CRC.db: checksums are inline.
-            comp = io.BytesIO()
-            offsets = []
-            for off in range(0, max(len(data_bytes), 1), self.chunk_length):
-                offsets.append(comp.tell())
-                chunk = zlib.compress(data_bytes[off : off + self.chunk_length])
-                comp.write(chunk)
-                comp.write(struct.pack(">I", zlib.crc32(chunk)))
-            comp_bytes = comp.getvalue()
-
             cinfo = io.BytesIO()
             name = b"DeflateCompressor"
             cinfo.write(struct.pack(">H", len(name)) + name)  # writeUTF
             cinfo.write(struct.pack(">i", 0))  # no compressor options
             cinfo.write(struct.pack(">i", self.chunk_length))
-            cinfo.write(struct.pack(">q", len(data_bytes)))  # uncompressed len
-            cinfo.write(struct.pack(">i", len(offsets)))
-            for o in offsets:
+            cinfo.write(struct.pack(">q", meta["logical_bytes"]))
+            cinfo.write(struct.pack(">i", len(sink.offsets)))
+            for o in sink.offsets:
                 cinfo.write(struct.pack(">q", o))
 
             components = {
-                "Data.db": comp_bytes,
+                "Data.db": None,  # already streamed to disk
                 "Index.db": index.getvalue(),
                 "Filter.db": bloom.serialize(),
                 "CompressionInfo.db": cinfo.getvalue(),
                 "Statistics.db": self._statistics_blob(),
                 # digest covers the file as written (the compressed bytes)
-                "Digest.crc32": str(zlib.crc32(comp_bytes)).encode("ascii"),
+                "Digest.crc32": str(meta["digest"]).encode("ascii"),
             }
         else:
             crc = io.BytesIO()
             crc.write(struct.pack(">i", CHUNK_SIZE))
-            for off in range(0, max(len(data_bytes), 1), CHUNK_SIZE):
-                crc.write(struct.pack(">I", zlib.crc32(data_bytes[off : off + CHUNK_SIZE])))
+            for c in sink.crcs:
+                crc.write(struct.pack(">I", c))
 
             components = {
-                "Data.db": data_bytes,
+                "Data.db": None,  # already streamed to disk
                 "Index.db": index.getvalue(),
                 "Filter.db": bloom.serialize(),
                 "Statistics.db": self._statistics_blob(),
-                "Digest.crc32": str(zlib.crc32(data_bytes)).encode("ascii"),
+                "Digest.crc32": str(meta["digest"]).encode("ascii"),
                 "CRC.db": crc.getvalue(),
             }
         toc = "\n".join([*components.keys(), "TOC.txt"]) + "\n"
         components["TOC.txt"] = toc.encode("ascii")
         for name, blob in components.items():
+            if blob is None:
+                continue
             with open(os.path.join(self.dir, prefix + name), "wb") as fh:
                 fh.write(blob)
         return {
@@ -770,8 +905,8 @@ class SSTableWriter:
             "dir": self.dir,
             "partitions": len(keys),
             "rows": n_rows,
-            "data_bytes": len(data_bytes),  # logical (uncompressed) size
-            "disk_bytes": len(components["Data.db"]),
+            "data_bytes": meta["logical_bytes"],  # logical (uncompressed) size
+            "disk_bytes": meta["disk_bytes"],
             "compression": self.compression,
             "min_token": tokens[0] if tokens else None,
             "max_token": tokens[-1] if tokens else None,

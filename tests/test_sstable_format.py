@@ -611,3 +611,78 @@ def test_pre_epoch_write_timestamp_rejected(tmp_path):
         SSTableWriter(
             str(tmp_path), _tiny_table(), write_timestamp_us=TIMESTAMP_EPOCH_US - 1
         )
+
+
+# ---------------------------------------------------------------------------
+# external-sort spill mode
+# ---------------------------------------------------------------------------
+
+
+def _clustered_table():
+    return CqlTable(
+        keyspace="ks",
+        table="t",
+        columns=[("k", "varchar"), ("c", "int"), ("v", "varchar")],
+        partition_key=["k"],
+        clustering=["c"],
+    )
+
+
+@pytest.mark.parametrize("compression", [None, "deflate"])
+def test_spill_mode_byte_identical(tmp_path, compression):
+    """The external sort (spill runs + k-way merge) must produce the
+    EXACT bytes of the in-memory sort for every component — same rows,
+    same stable tie order, same chunking."""
+    rows = [
+        {"k": f"key{(i * 37) % 50}", "c": (i * 13) % 7, "v": f"val{i}"}
+        for i in range(400)
+    ]
+    dirs = {}
+    for label, thresh in (("mem", None), ("spill", 23)):
+        d = tmp_path / label
+        w = SSTableWriter(
+            str(d),
+            _clustered_table(),
+            generation=3,
+            compression=compression,
+            chunk_length=512 if compression else 16384,
+            spill_threshold_rows=thresh,
+        )
+        for r in rows:
+            w.add_row(r)
+        w.close()
+        dirs[label] = d
+    names = sorted(p.name for p in dirs["mem"].iterdir())
+    assert names == sorted(p.name for p in dirs["spill"].iterdir())
+    for n in names:
+        assert (dirs["mem"] / n).read_bytes() == (dirs["spill"] / n).read_bytes(), n
+
+
+def test_spill_roundtrip_and_cleanup(tmp_path):
+    """Spilled write reads back verified (index/digest/bloom/crc) with
+    every row present in token order, and the run tempdir is gone."""
+    w = SSTableWriter(
+        str(tmp_path), _clustered_table(), spill_threshold_rows=10
+    )
+    for i in range(137):
+        w.add_row({"k": f"p{i % 31}", "c": i, "v": f"v{i}"})
+    m = w.close()
+    assert m["rows"] == 137 and m["partitions"] == 31
+    assert not [p for p in tmp_path.iterdir() if p.name.startswith(".sstable-spill")]
+    got = read_sstable(str(tmp_path))
+    assert got["index_ok"] and got["digest_ok"] and got["bloom_all_present"]
+    assert got["crc_ok"]
+    toks = [p["token"] for p in got["partitions"]]
+    assert toks == sorted(toks)
+    cells = {
+        (p["key_components"][0].decode(), r["clustering"][0]): r["cells"]["v"]
+        for p in got["partitions"]
+        for r in p["rows"]
+    }
+    assert len(cells) == 137
+    assert cells[("p5", 36)] == "v36"
+
+
+def test_spill_threshold_validation(tmp_path):
+    with pytest.raises(ValueError, match="spill_threshold_rows"):
+        SSTableWriter(str(tmp_path), _tiny_table(), spill_threshold_rows=0)
