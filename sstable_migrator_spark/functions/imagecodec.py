@@ -11,8 +11,11 @@ standard library + numpy:
   Paeth); no Adam7 interlace (loud error).
 - PPM (P6) / PGM (P5), maxval 255 — the classic uncompressed formats.
 - BMP: 24/32-bit uncompressed bottom-up Windows DIB.
+- JPEG: baseline JFIF via functions.jpegcodec (Annex K tables,
+  canonical Huffman, 4:4:4 / 4:2:2 / 4:2:0, restart markers);
+  progressive raises loudly.
 
-If PIL happens to be importable it is preferred (covers JPEG etc.);
+If PIL happens to be importable it is preferred (wider coverage);
 everything below is the guaranteed fallback. Decoders return
 ``(H, W, 3) uint8`` numpy arrays; encoders exist for PNG and PPM so
 resize can re-emit a self-describing payload.
@@ -276,7 +279,9 @@ def decode_image(data: bytes) -> np.ndarray:
     if fmt == "bmp":
         return decode_bmp(data)
     if fmt == "jpeg":
-        raise ImageFormatError("JPEG needs PIL, which is not installed")
+        from sstable_migrator_spark.functions.jpegcodec import decode_jpeg
+
+        return decode_jpeg(data)
     raise ImageFormatError("unrecognized image payload")
 
 
@@ -307,6 +312,10 @@ def image_meta(data: bytes) -> tuple[int, int, str]:
     if fmt == "bmp":
         w, h = struct.unpack_from("<ii", data, 18)
         return w, abs(h), "bmp"
+    if fmt == "jpeg":
+        from sstable_migrator_spark.functions.jpegcodec import jpeg_meta
+
+        return jpeg_meta(data)
     raise ImageFormatError("unrecognized image payload")
 
 

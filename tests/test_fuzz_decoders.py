@@ -141,3 +141,11 @@ def test_fuzz_sevenzip():
             extract_7z(mut)
         except Exception:  # noqa: BLE001
             pass
+
+
+def test_fuzz_jpeg():
+    from sstable_migrator_spark.functions.jpegcodec import decode_jpeg, encode_jpeg
+
+    img = np.arange(16 * 24 * 3, dtype=np.uint8).reshape(16, 24, 3)
+    _assert_total(decode_jpeg, encode_jpeg(img, 85))
+    _assert_total(decode_jpeg, encode_jpeg(img, 70, subsample="420", restart_interval=2))
