@@ -636,6 +636,12 @@ def _decode_scan(  # noqa: PLR0912, PLR0915
         c = by_id[cs]
         if c["q"] not in quant:
             raise ImageFormatError(f"missing quant table {c['q']}")
+        # MJPEG convention (OpenDML): frames may omit DHT entirely —
+        # tables 0/1 then default to the Annex K standard tables
+        if td not in huff_dc and td in (0, 1):
+            huff_dc[td] = _HuffTree(*(DC_LUMA if td == 0 else DC_CHROMA))
+        if ta not in huff_ac and ta in (0, 1):
+            huff_ac[ta] = _HuffTree(*(AC_LUMA if ta == 0 else AC_CHROMA))
         if td not in huff_dc or ta not in huff_ac:
             raise ImageFormatError("missing Huffman table")
         order.append((c, huff_dc[td], huff_ac[ta], quant[c["q"]]))

@@ -2,10 +2,12 @@
 
 Image/audio/video payloads are opaque ``binary`` columns with typed
 metadata structs. The decode/feature steps are Arrow-batched
-``mapInPandas`` operators; the actual codec calls are STUBBED (the
-image/audio libraries are not in this container) behind
-``DecoderUnavailable`` / a deterministic fake, while the Spark-side
-contract — schema, batch shape, partitioning — is real and tested.
+``mapInPandas`` operators. ``real_decode=True`` is a REAL path built
+on the dependency-free codecs in functions/ (PNG/PPM/BMP/JPEG images,
+RIFF/PCM WAV audio, animated-GIF and AVI/MJPEG video); proprietary
+codecs (H.264 & friends) raise ``DecoderUnavailable`` loudly. The
+default fake path exercises the same Spark-side contract — schema,
+batch shape, partitioning — without touching any codec.
 
 At 100 TB: binary payloads ride in the same parquet row groups;
 ``spark.sql.files.maxPartitionBytes`` bounds task input; feature
@@ -55,13 +57,13 @@ FEATURE_SCHEMA = T.StructType(
 
 class DecoderUnavailable(NotImplementedError):
     """Raised by the real-decode path for media whose codecs are not
-    available (non-GIF video containers — H.264 & friends are not
-    stdlib-feasible). Images real-decode via functions.imagecodec
-    (PNG/PPM/BMP), audio via functions.audiocodec (RIFF/PCM WAV), and
-    animated GIF video via functions.gifcodec (real LZW + frame
-    compositing) — all dependency-free — so ``real_decode=True`` is
-    the real path for everything but proprietary video codecs, which
-    stay a loud stub."""
+    available (H.264 & friends are not stdlib-feasible). Images
+    real-decode via functions.imagecodec (PNG/PPM/BMP/JPEG), audio via
+    functions.audiocodec (RIFF/PCM WAV), animated GIF video via
+    functions.gifcodec (real LZW + frame compositing), and AVI/MJPEG
+    video via functions.avicodec (RIFF walk + baseline JPEG frames) —
+    all dependency-free — so ``real_decode=True`` is the real path for
+    everything but proprietary video codecs, which stay a loud stub."""
 
 
 def _fake_feature(payload: bytes, dim: int = 8) -> list[float]:
@@ -113,9 +115,14 @@ def decode_features(media: DataFrame, dim: int = 8, real_decode: bool = False) -
                     from sstable_migrator_spark.functions.gifcodec import decode_gif
 
                     return image_features(decode_gif(b)[0]["pixels"], dim)
+                if kind == "video" and b[:4] == b"RIFF" and b[8:12] == b"AVI ":
+                    from sstable_migrator_spark.functions.avicodec import decode_avi
+
+                    return image_features(decode_avi(b)[0]["pixels"], dim)
                 raise DecoderUnavailable(
-                    f"no codec for kind {kind!r}: images decode via imagecodec, "
-                    "audio via audiocodec (WAV/PCM), animated GIF via gifcodec; "
+                    f"no codec for kind {kind!r}: images decode via imagecodec "
+                    "(PNG/PPM/BMP/JPEG), audio via audiocodec (WAV/PCM), video "
+                    "via gifcodec (animated GIF) or avicodec (AVI/MJPEG); "
                     "other video containers are stubbed"
                 )
 
@@ -230,15 +237,15 @@ FRAME_SCHEMA = T.StructType(
 def sample_frames(
     media: DataFrame, every_ms: int = 1000, dim: int = 8, real_decode: bool = False
 ) -> DataFrame:
-    """Real video frame sampling over animated-GIF payloads
-    (functions/gifcodec.py — the one animation container with a fully
-    public stdlib-feasible stack): decode the animation, walk the
-    frame timeline, keep the frame on display at each ``every_ms``
-    tick, and compute real pixel features per kept frame
-    (imagecodec.image_features over the composited canvas). The fake
-    path emits the same schema from metadata alone. Both are map-only
-    Arrow-batched passes — frames never cross a shuffle; downstream
-    rollups shuffle features, not pixels."""
+    """Real video frame sampling over animated-GIF and AVI/MJPEG
+    payloads (functions/gifcodec.py, functions/avicodec.py — the
+    containers with a fully public stdlib-feasible stack): decode the
+    animation, walk the frame timeline, keep the frame on display at
+    each ``every_ms`` tick, and compute real pixel features per kept
+    frame (imagecodec.image_features over the composited canvas). The
+    fake path emits the same schema from metadata alone. Both are
+    map-only Arrow-batched passes — frames never cross a shuffle;
+    downstream rollups shuffle features, not pixels."""
 
     def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from sstable_migrator_spark.functions.gifcodec import decode_gif
@@ -272,12 +279,17 @@ def sample_frames(
                         )
                     continue
                 b = bytes(payload or b"")
-                if b[:6] not in (b"GIF89a", b"GIF87a"):
+                if b[:6] in (b"GIF89a", b"GIF87a"):
+                    frames = decode_gif(b)
+                elif b[:4] == b"RIFF" and b[8:12] == b"AVI ":
+                    from sstable_migrator_spark.functions.avicodec import decode_avi
+
+                    frames = decode_avi(b)
+                else:
                     raise DecoderUnavailable(
-                        "real frame sampling decodes animated GIF only; "
-                        "other video containers are stubbed"
+                        "real frame sampling decodes animated GIF and AVI/MJPEG "
+                        "only; other video containers are stubbed"
                     )
-                frames = decode_gif(b)
                 # frame f is on display in [start_f, start_f + delay_f)
                 starts = []
                 t = 0

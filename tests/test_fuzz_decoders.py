@@ -149,3 +149,11 @@ def test_fuzz_jpeg():
     img = np.arange(16 * 24 * 3, dtype=np.uint8).reshape(16, 24, 3)
     _assert_total(decode_jpeg, encode_jpeg(img, 85))
     _assert_total(decode_jpeg, encode_jpeg(img, 70, subsample="420", restart_interval=2))
+
+
+def test_fuzz_avi():
+    from sstable_migrator_spark.functions.avicodec import decode_avi, encode_avi_mjpeg
+
+    rng = np.random.RandomState(3)
+    frames = [rng.randint(0, 256, (12, 16, 3)).astype(np.uint8) for _ in range(2)]
+    _assert_total(decode_avi, encode_avi_mjpeg(frames, fps=10.0, quality=80))
