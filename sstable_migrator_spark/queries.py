@@ -7705,6 +7705,113 @@ ORACLES.update(
 
 
 # ---------------------------------------------------------------------------
+# Batch — REAL lossy-codec decode (JPEG + AVI/MJPEG) under the oracle gate
+# ---------------------------------------------------------------------------
+
+
+def q_jpeg_avi_codec(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Oracle-checked REAL lossy-codec exercise (q157/q161/q162's
+    recipe extended to the round-4 codecs): per batch, a fixed
+    md5-patterned 8x8 image round-trips the baseline JPEG codec
+    (functions/jpegcodec.py — Annex K tables, canonical Huffman,
+    einsum DCT) and a fixed 3-frame animation round-trips the
+    AVI/MJPEG container (functions/avicodec.py); their decoded pixel
+    sums / frame counts / frame delays are FROZEN LITERALS in the
+    oracle, so any drift in either encoder or decoder (quant scaling,
+    zigzag, bit order, color transform, RIFF layout, frame timing)
+    breaks the hash match. Per sampled doc, a uniform-color 16x16
+    image (md5(doc_id) bytes) additionally round-trips with the
+    DC-only exactness bound (max abs err <= 1) — lossy codecs cannot
+    pin arbitrary content byte-exactly, so per-doc content checks are
+    tolerance-shaped while the golden sums carry the exact gate.
+    Map-only Arrow-batched work; zero shuffles at any scale."""
+    import hashlib
+
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 7 == 0)
+        .select("doc_id")
+    )
+
+    def op(batches):
+        import numpy as np
+        import pandas as pd
+
+        from sstable_migrator_spark.functions.avicodec import (
+            decode_avi,
+            encode_avi_mjpeg,
+        )
+        from sstable_migrator_spark.functions.jpegcodec import (
+            decode_jpeg,
+            encode_jpeg,
+            jpeg_meta,
+        )
+
+        pat = hashlib.md5(b"jpeg-golden").digest()
+        g_img = np.frombuffer(pat * 12, dtype=np.uint8).reshape(8, 8, 3)
+        g_dec = decode_jpeg(encode_jpeg(g_img, 90))
+        g_sums = [int(g_dec[:, :, c].sum()) for c in range(3)]
+        frames = [
+            np.frombuffer(
+                hashlib.md5(f"avi-golden-{i}".encode()).digest() * 12,
+                dtype=np.uint8,
+            ).reshape(8, 8, 3)
+            for i in range(3)
+        ]
+        a_dec = decode_avi(encode_avi_mjpeg(frames, fps=5.0, quality=90))
+
+        for pdf in batches:
+            out = {k: [] for k in (
+                "doc_id", "width", "height", "uerr_le_1",
+                "g_sum_r", "g_sum_g", "g_sum_b",
+                "avi_frames", "avi_delay_ms", "avi_f0_sum",
+            )}
+            for did in pdf["doc_id"]:
+                h = hashlib.md5(str(int(did)).encode()).digest()
+                u = np.full((16, 16, 3), [h[0], h[1], h[2]], np.uint8)
+                enc = encode_jpeg(u, 90)
+                w, ht, _ = jpeg_meta(enc)
+                err = int(
+                    np.abs(decode_jpeg(enc).astype(int) - u.astype(int)).max()
+                )
+                out["doc_id"].append(int(did))
+                out["width"].append(w)
+                out["height"].append(ht)
+                out["uerr_le_1"].append(int(err <= 1))
+                out["g_sum_r"].append(g_sums[0])
+                out["g_sum_g"].append(g_sums[1])
+                out["g_sum_b"].append(g_sums[2])
+                out["avi_frames"].append(len(a_dec))
+                out["avi_delay_ms"].append(int(a_dec[0]["delay_ms"]))
+                out["avi_f0_sum"].append(int(a_dec[0]["pixels"].sum()))
+            yield pd.DataFrame(out)
+
+    return docs.mapInPandas(
+        op,
+        "doc_id long, width int, height int, uerr_le_1 int, "
+        "g_sum_r long, g_sum_g long, g_sum_b long, "
+        "avi_frames int, avi_delay_ms int, avi_f0_sum long",
+    )
+
+
+SQL_JPEG_AVI_CODEC = """
+SELECT doc_id, CAST(16 AS INT) AS width, CAST(16 AS INT) AS height,
+       CAST(1 AS INT) AS uerr_le_1,
+       CAST(8254 AS BIGINT) AS g_sum_r,
+       CAST(8258 AS BIGINT) AS g_sum_g,
+       CAST(8255 AS BIGINT) AS g_sum_b,
+       CAST(3 AS INT) AS avi_frames,
+       CAST(200 AS INT) AS avi_delay_ms,
+       CAST(26425 AS BIGINT) AS avi_f0_sum
+FROM documents WHERE doc_id % 7 = 0
+"""
+
+
+QUERIES.update({"q168_jpeg_avi_codec": q_jpeg_avi_codec})
+ORACLES.update({"q168_jpeg_avi_codec": SQL_JPEG_AVI_CODEC})
+
+
+# ---------------------------------------------------------------------------
 # Driver-sample ordering.
 #
 # The round driver's correctness gate checks only the FIRST ~50 catalog
@@ -7771,7 +7878,11 @@ _DRIVER_PRIORITY: list[str] = [
     "q165_ann_recall",
     "q148_data_contract",
     "q55_ann_lsh",
-    "q56_media_features",
+    # q56_media_features (sha-hash fake-feature path) rotated to
+    # local-harness coverage in round 4: the multimodal family's driver
+    # evidence is now all REAL decode — q157 (PNG pixels), q161 (WAV
+    # samples), q162 (GIF frames), q168 (JPEG + AVI/MJPEG goldens)
+    "q168_jpeg_avi_codec",
     "q157_image_pixel_stats",
     "q57_ann_ivf",
     "q58_dup_clusters",
