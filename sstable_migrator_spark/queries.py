@@ -7812,6 +7812,76 @@ ORACLES.update({"q168_jpeg_avi_codec": SQL_JPEG_AVI_CODEC})
 
 
 # ---------------------------------------------------------------------------
+# Batch — zone-map data skipping (file-level min/max pruning)
+# ---------------------------------------------------------------------------
+
+
+def q_zonemap_skip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-level data skipping proven correct under the oracle: a
+    slice of orders is written range-laid-out with a per-file min/max
+    manifest (sinks/zonemap.py — the Delta/Iceberg stats-pruning
+    mechanism, dependency-free), then read back through the zone map
+    with a one-year date predicate. The manifest prunes files the
+    interval test rules out BEFORE any footer is opened; the oracle is
+    the plain filtered rollup over the full table, so a false skip
+    (pruning a file that held matching rows) breaks the hash match.
+    ``pruned`` pins that the planning step actually skipped >= 1 of
+    the 6 range files (a 1-year window inside a ~7-year span must).
+    At 100 TB this planning step is driver-side O(files) integer
+    comparisons — zero cluster work — which is the entire point:
+    partition pruning without opening storage."""
+    import datetime
+    import tempfile
+
+    from sstable_migrator_spark.sinks.zonemap import (
+        zonemap_prune,
+        zonemap_read,
+        zonemap_write,
+    )
+
+    slice_df = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_custkey") % 50 == 0)
+        .select("o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority")
+    )
+    path = tempfile.mkdtemp(prefix="zonemap-q169-")
+    zonemap_write(slice_df, path, ["o_orderdate", "o_custkey"], n_files=6)
+    preds = [
+        (
+            "o_orderdate",
+            "between",
+            (datetime.date(1995, 1, 1), datetime.date(1995, 12, 31)),
+        )
+    ]
+    _, report = zonemap_prune(path, preds)
+    return (
+        zonemap_read(spark, path, preds)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("o_orderkey").alias("sum_okey"),
+        )
+        .withColumn("pruned", F.lit(int(report["files_skipped"] >= 1)))
+    )
+
+
+SQL_ZONEMAP_SKIP = """
+SELECT o_orderpriority,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(o_orderkey) AS BIGINT) AS sum_okey,
+       CAST(1 AS INT) AS pruned
+FROM orders
+WHERE o_custkey % 50 = 0
+  AND o_orderdate BETWEEN DATE '1995-01-01' AND DATE '1995-12-31'
+GROUP BY o_orderpriority
+"""
+
+
+QUERIES.update({"q169_zonemap_skip": q_zonemap_skip})
+ORACLES.update({"q169_zonemap_skip": SQL_ZONEMAP_SKIP})
+
+
+# ---------------------------------------------------------------------------
 # Driver-sample ordering.
 #
 # The round driver's correctness gate checks only the FIRST ~50 catalog
