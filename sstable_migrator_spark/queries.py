@@ -6939,25 +6939,37 @@ def q_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     word bigrams whose corpus-wide FIRST occurrence (min doc_id) is
     this document — the curriculum/dedup 'contribution' score (a doc
     whose bigrams all appeared earlier adds nothing; near-1 novelty
-    marks fresh content). Shuffles: one bigram rollup (min doc_id,
-    map-side combinable) + one join back on the bigram — signatures
-    only, the text never moves. The keep rule is cross-multiplied
-    integer math (novel*4 >= total => keep), no float threshold."""
+    marks fresh content). Decomposed so the exploded bigram set never
+    joins against itself: per-doc bigram counts are one rollup on
+    doc_id, and per-doc NOVEL counts come from the firsts rollup
+    re-aggregated by its min doc_id — the final join is doc-level
+    (|docs| rows, broadcast-sized), not bigram-level. Shuffles: two
+    signature rollups + one |distinct-bigram|-row regroup; the
+    round-3 shape (bg JOIN firsts ON s) shuffled the full exploded
+    set an extra time and materialized the join. The keep rule is
+    cross-multiplied integer math (novel*4 >= total => keep), no
+    float threshold."""
     docs = _dense(spark, _t(spark, sf_dir, "documents"))
     bg = docs.select(
         "doc_id",
         F.explode(F.array_distinct(TX.shingles(F.col("text"), 2))).alias("s"),
-    ).localCheckpoint()  # feeds the firsts rollup AND the probe join:
-    # without the pin Spark recomputes the full shingle explode once per
-    # branch (the q79 lesson, but here both branches need ALL docs so a
-    # pre-explode filter split can't help)
-    firsts = bg.groupBy("s").agg(F.min("doc_id").alias("first_doc"))
+    ).localCheckpoint()  # feeds BOTH rollups: without the pin Spark
+    # recomputes the full shingle explode once per branch (the q79
+    # lesson, but here both branches need ALL docs so a pre-explode
+    # filter split can't help)
+    nb = bg.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_bigrams"))
+    novel = (
+        bg.groupBy("s")
+        .agg(F.min("doc_id").alias("first_doc"))
+        .groupBy("first_doc")
+        .agg(F.count(F.lit(1)).alias("n_novel"))
+    )
     return (
-        bg.join(firsts, "s")
-        .groupBy("doc_id")
-        .agg(
-            F.count(F.lit(1)).alias("n_bigrams"),
-            F.count(F.when(F.col("first_doc") == F.col("doc_id"), 1)).alias("n_novel"),
+        nb.join(novel, nb["doc_id"] == novel["first_doc"], "left")
+        .select(
+            "doc_id",
+            "n_bigrams",
+            F.coalesce("n_novel", F.lit(0)).alias("n_novel"),
         )
         .select(
             "doc_id",
@@ -7011,7 +7023,10 @@ def q_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     Per doc: chunk count, total/max chunk words, and how many of its
     chunks are corpus-wide duplicates (same chunk text elsewhere).
     Shuffles: per-doc window (partitioned by doc — bounded by doc
-    length), one chunk-hash rollup, one rollup back to docs."""
+    length), one chunk-SIGNATURE window (md5 of the chunk text — the
+    shuffle carries 32-char hashes, never chunk bodies; round 3's
+    freq-rollup-plus-join shuffled full chunk texts twice), one
+    rollup back to docs."""
     docs = _dense(spark, _t(spark, sf_dir, "documents"))
     toks = docs.select(
         "doc_id", F.posexplode(F.split(TX.normalize_text(F.col("text")), " "))
@@ -7042,15 +7057,20 @@ def q_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     # so sort the (position, word) structs before joining
     chunks = chunked.groupBy("doc_id", "chunk_id").agg(
         F.count(F.lit(1)).alias("n_words"),
-        F.array_join(
-            F.transform(F.array_sort(F.collect_list(F.struct("i", "w"))), lambda s: s["w"]),
-            " ",
-        ).alias("chunk_text"),
+        F.md5(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("i", "w"))), lambda s: s["w"]
+                ),
+                " ",
+            )
+        ).alias("h"),
     )
-    freq = chunks.groupBy("chunk_text").agg(F.count(F.lit(1)).alias("df_"))
+    dfw = chunks.withColumn(
+        "df_", F.count(F.lit(1)).over(Window.partitionBy("h"))
+    )
     return (
-        chunks.join(freq, "chunk_text")
-        .groupBy("doc_id")
+        dfw.groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("n_chunks"),
             F.sum("n_words").alias("n_words"),
