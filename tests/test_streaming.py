@@ -498,3 +498,109 @@ def test_write_sstable_stream(spark, tmp_path):
     assert len(glob.glob(f"{out}/batch_id=*")) == 2
     # each batch dir carries its own stream manifest
     assert len(glob.glob(f"{out}/batch_id=*/_stream_plan.json")) == 2
+
+
+def test_interval_join_streams_inner(spark, tmp_path):
+    """Stream-stream interval join: clicks attribute to the impression
+    whose [ts, ts + 10m] window holds them; out-of-window and
+    foreign-key clicks drop."""
+    from sstable_migrator_spark.streaming.daily import interval_join_streams
+
+    imp_dir, clk_dir = tmp_path / "imp", tmp_path / "clk"
+    imp_dir.mkdir(), clk_dir.mkdir()
+    (imp_dir / "i.csv").write_text(
+        "ad1,2024-05-01 10:00:00\n"
+        "ad2,2024-05-01 10:00:00\n"
+        "ad3,2024-05-01 12:00:00\n"
+    )
+    (clk_dir / "c.csv").write_text(
+        "ad1,2024-05-01 10:05:00\n"   # in window -> match
+        "ad2,2024-05-01 10:20:00\n"   # 20m later -> out of window
+        "adX,2024-05-01 10:01:00\n"   # no impression
+        "ad3,2024-05-01 11:59:00\n"   # BEFORE the impression -> no match
+    )
+    imps = (
+        spark.readStream.schema("ad_id string, imp_ts timestamp")
+        .csv(str(imp_dir))
+    )
+    clicks = (
+        spark.readStream.schema("ad_id string, click_ts timestamp")
+        .csv(str(clk_dir))
+    )
+    joined = interval_join_streams(
+        imps, clicks, keys=["ad_id"], left_ts="imp_ts", right_ts="click_ts",
+        within="10 minutes",
+    )
+    out = str(tmp_path / "out")
+    q = (
+        joined.writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.read.parquet(out).collect()
+    assert [(r["ad_id"], str(r["click_ts"])) for r in rows] == [
+        ("ad1", "2024-05-01 10:05:00")
+    ]
+
+
+def test_interval_join_streams_left_outer_timeout(spark, tmp_path):
+    """leftOuter: an impression with no click emits null click columns
+    once the watermark proves no click can still arrive (a far-later
+    row on both streams advances it)."""
+    from sstable_migrator_spark.streaming.daily import interval_join_streams
+
+    imp_dir, clk_dir = tmp_path / "imp", tmp_path / "clk"
+    imp_dir.mkdir(), clk_dir.mkdir()
+    (imp_dir / "i.csv").write_text(
+        "ad1,2024-05-01 10:00:00\n"
+        "ad2,2024-05-01 10:00:00\n"
+        "late,2024-05-02 10:00:00\n"  # watermark driver
+    )
+    (clk_dir / "c.csv").write_text(
+        "ad1,2024-05-01 10:03:00\n"
+        "late,2024-05-02 10:00:30\n"  # watermark driver
+    )
+    imps = (
+        spark.readStream.schema("ad_id string, imp_ts timestamp")
+        .csv(str(imp_dir))
+    )
+    clicks = (
+        spark.readStream.schema("ad_id string, click_ts timestamp")
+        .csv(str(clk_dir))
+    )
+    joined = interval_join_streams(
+        imps, clicks, keys=["ad_id"], left_ts="imp_ts", right_ts="click_ts",
+        within="5 minutes", left_watermark="1 minute", right_watermark="1 minute",
+        how="leftOuter",
+    )
+    out = str(tmp_path / "out")
+    q = (
+        joined.writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        r["ad_id"]: (None if r["click_ts"] is None else str(r["click_ts"]))
+        for r in spark.read.parquet(out).collect()
+    }
+    assert got["ad1"] == "2024-05-01 10:03:00"  # matched
+    assert "ad2" in got and got["ad2"] is None  # timed out -> null click
+
+
+def test_interval_join_streams_misuse(spark):
+    from sstable_migrator_spark.streaming.daily import interval_join_streams
+
+    a = spark.readStream.format("rate").load()  # timestamp, value
+    b = spark.readStream.format("rate").load()
+    with pytest.raises(ValueError, match="inner|leftOuter"):
+        interval_join_streams(a, b, ["value"], "timestamp", "timestamp", how="full")
+    with pytest.raises(ValueError, match="at least one"):
+        interval_join_streams(a, b, [], "timestamp", "timestamp")
+    with pytest.raises(ValueError, match="both sides"):
+        interval_join_streams(a, b, ["value"], "timestamp", "timestamp")
