@@ -987,6 +987,83 @@ def _split_key(key: bytes, key_type: str) -> list[bytes]:
     return comps
 
 
+def _parse_partition(
+    data: bytes, off: int, clus_types: list, reg: list, min_ts: int
+) -> tuple[dict, int]:
+    """Parse ONE partition (u16 key + DeletionTime + unfiltereds until
+    END_OF_PARTITION) starting at ``off``; returns (partition, next
+    offset). Truncated input raises IndexError/struct.error — callers
+    doing windowed reads catch and widen."""
+    (klen,) = struct.unpack_from(">H", data, off)
+    start = off
+    off += 2
+    key = data[off : off + klen]
+    off += klen
+    ldt, marked = struct.unpack_from(">iq", data, off)
+    off += 12
+    rows = []
+    while True:
+        flags = data[off]
+        off += 1
+        if flags & END_OF_PARTITION:
+            break
+        if flags & (IS_MARKER | EXTENSION_FLAG | HAS_DELETION | HAS_TTL):
+            raise NotImplementedError(f"flags 0x{flags:02x}")
+        # clustering
+        clustering = []
+        ci = 0
+        while ci < len(clus_types):
+            batch = clus_types[ci : ci + 32]
+            header, off = decode_unsigned_vint(data, off)
+            for i, t in enumerate(batch):
+                if header & (1 << (i * 2 + 1)):
+                    clustering.append(None)
+                elif header & (1 << (i * 2)):
+                    clustering.append(t.deser(b"") if t.fixed_len is None else None)
+                else:
+                    raw, off = _read_value(t, data, off)
+                    clustering.append(t.deser(raw))
+            ci += 32
+        row_size, off = decode_unsigned_vint(data, off)
+        _prev_size, off = decode_unsigned_vint(data, off)
+        ts_delta = 0
+        if flags & HAS_TIMESTAMP:
+            ts_delta, off = decode_unsigned_vint(data, off)
+        present = list(range(len(reg)))
+        if not flags & HAS_ALL_COLUMNS:
+            bitmap, off = decode_unsigned_vint(data, off)
+            present = [i for i in range(len(reg)) if not bitmap & (1 << i)]
+        cells = {}
+        for i in present:
+            name, t = reg[i]
+            cflags = data[off]
+            off += 1
+            if not cflags & CELL_USE_ROW_TIMESTAMP:
+                _, off = decode_unsigned_vint(data, off)
+            if cflags & CELL_HAS_EMPTY_VALUE:
+                cells[name] = t.deser(b"") if t.fixed_len is None else None
+            elif cflags & CELL_IS_DELETED:
+                cells[name] = None
+            else:
+                raw, off = _read_value(t, data, off)
+                cells[name] = t.deser(raw)
+        rows.append(
+            {
+                "clustering": clustering,
+                "cells": cells,
+                "timestamp_us": min_ts + (ts_delta if flags & HAS_TIMESTAMP else 0),
+            }
+        )
+    partition = {
+        "key": key,
+        "token": cassandra_token_bytes(key),
+        "start": start,
+        "live": ldt == NO_DELETION_TIME and marked == LIVE_MARKED_FOR_DELETE,
+        "rows": rows,
+    }
+    return partition, off
+
+
 def read_sstable(directory: str, prefix: str | None = None, verify: bool = True) -> dict:
     """Parse a BIG-format sstable written by SSTableWriter. Types come
     from the Statistics.db HEADER component; Index.db positions are
@@ -1055,75 +1132,9 @@ def read_sstable(directory: str, prefix: str | None = None, verify: bool = True)
     partitions = []
     off = 0
     while off < len(data):
-        (klen,) = struct.unpack_from(">H", data, off)
-        start = off
-        off += 2
-        key = data[off : off + klen]
-        off += klen
-        ldt, marked = struct.unpack_from(">iq", data, off)
-        off += 12
-        rows = []
-        while True:
-            flags = data[off]
-            off += 1
-            if flags & END_OF_PARTITION:
-                break
-            if flags & (IS_MARKER | EXTENSION_FLAG | HAS_DELETION | HAS_TTL):
-                raise NotImplementedError(f"flags 0x{flags:02x}")
-            # clustering
-            clustering = []
-            ci = 0
-            while ci < len(clus_types):
-                batch = clus_types[ci : ci + 32]
-                header, off = decode_unsigned_vint(data, off)
-                for i, t in enumerate(batch):
-                    if header & (1 << (i * 2 + 1)):
-                        clustering.append(None)
-                    elif header & (1 << (i * 2)):
-                        clustering.append(t.deser(b"") if t.fixed_len is None else None)
-                    else:
-                        raw, off = _read_value(t, data, off)
-                        clustering.append(t.deser(raw))
-                ci += 32
-            row_size, off = decode_unsigned_vint(data, off)
-            _prev_size, off = decode_unsigned_vint(data, off)
-            if flags & HAS_TIMESTAMP:
-                ts_delta, off = decode_unsigned_vint(data, off)
-            present = list(range(len(reg)))
-            if not flags & HAS_ALL_COLUMNS:
-                bitmap, off = decode_unsigned_vint(data, off)
-                present = [i for i in range(len(reg)) if not bitmap & (1 << i)]
-            cells = {}
-            for i in present:
-                name, t = reg[i]
-                cflags = data[off]
-                off += 1
-                if not cflags & CELL_USE_ROW_TIMESTAMP:
-                    _, off = decode_unsigned_vint(data, off)
-                if cflags & CELL_HAS_EMPTY_VALUE:
-                    cells[name] = t.deser(b"") if t.fixed_len is None else None
-                elif cflags & CELL_IS_DELETED:
-                    cells[name] = None
-                else:
-                    raw, off = _read_value(t, data, off)
-                    cells[name] = t.deser(raw)
-            rows.append(
-                {
-                    "clustering": clustering,
-                    "cells": cells,
-                    "timestamp_us": min_ts + (ts_delta if flags & HAS_TIMESTAMP else 0),
-                }
-            )
-        partitions.append(
-            {
-                "key": key,
-                "key_components": _split_key(key, stats["key_type"]),
-                "token": cassandra_token_bytes(key),
-                "start": start,
-                "live": ldt == NO_DELETION_TIME and marked == LIVE_MARKED_FOR_DELETE,
-                "rows": rows,
-            }
-        )
+        part, off = _parse_partition(data, off, clus_types, reg, min_ts)
+        part["key_components"] = _split_key(part["key"], stats["key_type"])
+        partitions.append(part)
 
     result = {
         "stats": stats,
@@ -1167,3 +1178,127 @@ def read_sstable(directory: str, prefix: str | None = None, verify: bool = True)
                 ok = ok and want == zlib.crc32(data[off2 : off2 + chunk])
             result["crc_ok"] = ok
     return result
+
+
+def _key_component_types(key_type: str) -> list[_CqlType]:
+    """Marshal types of the partition-key components from the
+    Statistics.db key-type name (CompositeType(...) or a single type)."""
+    if key_type.endswith(")"):
+        inner = key_type[key_type.index("(") + 1 : -1]
+        return [_marshal_to_type(t.strip()) for t in inner.split(",")]
+    return [_marshal_to_type(key_type)]
+
+
+def _index_entries(idx: bytes) -> list[tuple[bytes, int]]:
+    """All (key, Data.db position) pairs from Index.db, in file (token)
+    order."""
+    entries = []
+    off = 0
+    while off < len(idx):
+        (n,) = struct.unpack_from(">H", idx, off)
+        off += 2
+        k = idx[off : off + n]
+        off += n
+        pos, off = decode_unsigned_vint(idx, off)
+        _promoted, off = decode_unsigned_vint(idx, off)
+        entries.append((k, pos))
+    return entries
+
+
+def point_lookup(
+    directory: str, key_components: list, prefix: str | None = None
+) -> dict | None:
+    """Q4-style single-partition read WITHOUT scanning Data.db — the
+    Cassandra read path in miniature: bloom filter (negative -> None
+    with zero data reads), Index.db binary search on (token, key)
+    DecoratedKey order, then ONE partition parsed at its Data.db
+    offset. Compressed tables inflate only the chunks covering the
+    partition (CompressionInfo's logical->physical map), widening the
+    window chunk by chunk if the partition spans a boundary — never
+    the whole file. Cassandra itself rebuilds the in-memory index
+    summary from Index.db on open (SSTableReader.buildSummary); this
+    reader does the same implicitly by bisecting the parsed index.
+
+    ``key_components`` are python values matching the key column types
+    (e.g. ``["example.com", 4]`` for a (text, int) composite key).
+    Returns the partition dict or None when absent."""
+    import bisect
+
+    if prefix is None:
+        tocs = [f for f in os.listdir(directory) if f.endswith("-TOC.txt")]
+        if len(tocs) != 1:
+            raise ValueError(f"expected one sstable in {directory}, found {tocs}")
+        prefix = tocs[0][: -len("-TOC.txt")]
+
+    def comp(name: str) -> bytes:
+        with open(os.path.join(directory, f"{prefix}-{name}"), "rb") as fh:
+            return fh.read()
+
+    stats = _parse_statistics(comp("Statistics.db"))
+    ktypes = _key_component_types(stats["key_type"])
+    if len(key_components) != len(ktypes):
+        raise ValueError(
+            f"{len(key_components)} key components for {len(ktypes)}-part key"
+        )
+    key = serialize_key(*(t.ser(v) for t, v in zip(ktypes, key_components)))
+    tok = cassandra_token_bytes(key)
+
+    bloom = _Bloom.deserialize(comp("Filter.db"))
+    if not bloom.might_contain(key):
+        return None
+
+    entries = _index_entries(comp("Index.db"))
+    decorated = [(cassandra_token_bytes(k), k) for k, _ in entries]
+    i = bisect.bisect_left(decorated, (tok, key))
+    if i >= len(entries) or entries[i][0] != key:
+        return None  # bloom false positive
+    pos = entries[i][1]
+
+    clus_types = [_marshal_to_type(t) for t in stats["clustering_types"]]
+    reg = [(n, _marshal_to_type(t)) for n, t in stats["regular_columns"]]
+    min_ts = stats["min_timestamp_us"]
+
+    if os.path.exists(os.path.join(directory, f"{prefix}-CompressionInfo.db")):
+        ci = comp("CompressionInfo.db")
+        (nlen,) = struct.unpack_from(">H", ci, 0)
+        o = 2 + nlen
+        (n_opts,) = struct.unpack_from(">i", ci, o)
+        o += 4
+        for _ in range(n_opts):
+            for _ in range(2):
+                (sl,) = struct.unpack_from(">H", ci, o)
+                o += 2 + sl
+        chunk_len, data_len = struct.unpack_from(">iq", ci, o)
+        o += 12
+        (n_chunks,) = struct.unpack_from(">i", ci, o)
+        o += 4
+        offsets = [struct.unpack_from(">q", ci, o + j * 8)[0] for j in range(n_chunks)]
+        raw = comp("Data.db")
+
+        def inflate(ci_from: int, ci_to: int) -> bytes:
+            out = []
+            for j in range(ci_from, ci_to):
+                start = offsets[j]
+                end = offsets[j + 1] if j + 1 < n_chunks else len(raw)
+                out.append(zlib.decompress(raw[start : end - 4]))
+            return b"".join(out)
+
+        first = pos // chunk_len
+        last = first + 1
+        while True:
+            window = inflate(first, last)
+            try:
+                part, _ = _parse_partition(
+                    window, pos - first * chunk_len, clus_types, reg, min_ts
+                )
+                break
+            except (IndexError, struct.error):
+                if last >= n_chunks:
+                    raise
+                last = min(last * 2 - first if last > first else last + 1, n_chunks)
+    else:
+        data = comp("Data.db")
+        part, _ = _parse_partition(data, pos, clus_types, reg, min_ts)
+    part["start"] = pos
+    part["key_components"] = _split_key(part["key"], stats["key_type"])
+    return part

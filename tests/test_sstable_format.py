@@ -686,3 +686,63 @@ def test_spill_roundtrip_and_cleanup(tmp_path):
 def test_spill_threshold_validation(tmp_path):
     with pytest.raises(ValueError, match="spill_threshold_rows"):
         SSTableWriter(str(tmp_path), _tiny_table(), spill_threshold_rows=0)
+
+
+# ---------------------------------------------------------------------------
+# point lookup (bloom -> index bisect -> single-partition parse)
+# ---------------------------------------------------------------------------
+
+
+def test_point_lookup_uncompressed(tmp_path):
+    from sstable_migrator_spark.sinks.sstable_format import point_lookup
+
+    w = SSTableWriter(str(tmp_path), _clustered_table())
+    for i in range(200):
+        w.add_row({"k": f"key{i % 40}", "c": i, "v": f"v{i}"})
+    w.close()
+    part = point_lookup(str(tmp_path), ["key7"])
+    assert part is not None
+    assert part["key_components"][0] == b"key7"
+    got = {r["clustering"][0]: r["cells"]["v"] for r in part["rows"]}
+    assert got == {i: f"v{i}" for i in range(200) if i % 40 == 7}
+    assert point_lookup(str(tmp_path), ["absent"]) is None
+
+
+def test_point_lookup_composite_key(tmp_path):
+    from sstable_migrator_spark.sinks.sstable_format import point_lookup
+
+    schema = CqlTable(
+        keyspace="ks", table="t",
+        columns=[("d", "varchar"), ("n", "int"), ("v", "varchar")],
+        partition_key=["d", "n"], clustering=[],
+    )
+    w = SSTableWriter(str(tmp_path), schema)
+    for i in range(60):
+        w.add_row({"d": f"dom{i % 10}", "n": i % 3, "v": f"val{i}"})
+    w.close()
+    part = point_lookup(str(tmp_path), ["dom4", 1])
+    assert part is not None
+    assert part["key_components"] == [b"dom4", b"\x00\x00\x00\x01"]
+    assert point_lookup(str(tmp_path), ["dom4", 9]) is None
+    with pytest.raises(ValueError, match="key components"):
+        point_lookup(str(tmp_path), ["dom4"])
+
+
+def test_point_lookup_compressed_chunk_windows(tmp_path):
+    """Compressed lookup inflates only the chunks covering the target
+    partition, widening when a partition spans a chunk boundary —
+    chunk_length=512 with ~200-byte partitions forces both paths."""
+    from sstable_migrator_spark.sinks.sstable_format import point_lookup
+
+    w = SSTableWriter(
+        str(tmp_path), _clustered_table(), compression="deflate", chunk_length=512
+    )
+    for i in range(300):
+        w.add_row({"k": f"key{i % 60}", "c": i, "v": "x" * 40 + str(i)})
+    w.close()
+    for probe in ("key0", "key31", "key59"):
+        part = point_lookup(str(tmp_path), [probe])
+        assert part is not None, probe
+        want = {i for i in range(300) if f"key{i % 60}" == probe}
+        assert {r["clustering"][0] for r in part["rows"]} == want
+    assert point_lookup(str(tmp_path), ["nope"]) is None
