@@ -8,7 +8,8 @@ standard library + numpy:
 
 - PNG (stdlib zlib): bit depth 8; color types gray / RGB / palette /
   gray+alpha / RGBA; all five scanline filters (None/Sub/Up/Average/
-  Paeth); no Adam7 interlace (loud error).
+  Paeth); Adam7 interlace (seven independently-filtered sub-images
+  scattered back onto the pass grids).
 - PPM (P6) / PGM (P5), maxval 255 — the classic uncompressed formats.
 - BMP: 24/32-bit uncompressed bottom-up Windows DIB.
 - JPEG: baseline JFIF via functions.jpegcodec (Annex K tables,
@@ -113,6 +114,43 @@ def _unfilter(raw: np.ndarray, height: int, stride: int, bpp: int) -> np.ndarray
     return out
 
 
+# Adam7 pass grids (PNG spec 4.5.2): (x0, y0, dx, dy) per pass
+_ADAM7 = [
+    (0, 0, 8, 8),
+    (4, 0, 8, 8),
+    (0, 4, 4, 8),
+    (2, 0, 4, 4),
+    (0, 2, 2, 4),
+    (1, 0, 2, 2),
+    (0, 1, 1, 2),
+]
+
+
+def _deinterlace_adam7(
+    raw: np.ndarray, width: int, height: int, channels: int
+) -> np.ndarray:
+    """Adam7: seven consecutive sub-images, each filtered independently
+    with its own scanline stride; pixels scatter back onto the
+    (x0 + i*dx, y0 + j*dy) grid."""
+    out = np.zeros((height, width, channels), dtype=np.uint8)
+    pos = 0
+    for x0, y0, dx, dy in _ADAM7:
+        pw = (width - x0 + dx - 1) // dx
+        ph = (height - y0 + dy - 1) // dy
+        if pw == 0 or ph == 0:
+            continue
+        stride = pw * channels
+        need = ph * (1 + stride)
+        if pos + need > len(raw):
+            raise ImageFormatError("IDAT size mismatch (interlaced)")
+        sub = _unfilter(raw[pos : pos + need], ph, stride, channels)
+        pos += need
+        out[y0::dy, x0::dx] = sub.reshape(ph, pw, channels)
+    if pos != len(raw):
+        raise ImageFormatError("IDAT size mismatch (interlaced)")
+    return out
+
+
 def decode_png(data: bytes) -> np.ndarray:
     if data[:8] != _PNG_SIG:
         raise ImageFormatError("not a PNG")
@@ -133,16 +171,19 @@ def decode_png(data: bytes) -> np.ndarray:
         raise ImageFormatError("missing IHDR")
     if bit_depth != 8:
         raise ImageFormatError(f"unsupported bit depth {bit_depth}")
-    if interlace:
-        raise ImageFormatError("Adam7 interlace unsupported")
+    if interlace not in (0, 1):
+        raise ImageFormatError(f"unknown interlace method {interlace}")
     channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(color_type)
     if channels is None:
         raise ImageFormatError(f"unsupported color type {color_type}")
     raw = np.frombuffer(zlib.decompress(idat), dtype=np.uint8)
-    stride = width * channels
-    if len(raw) != height * (1 + stride):
-        raise ImageFormatError("IDAT size mismatch")
-    px = _unfilter(raw, height, stride, channels).reshape(height, width, channels)
+    if interlace:
+        px = _deinterlace_adam7(raw, width, height, channels)
+    else:
+        stride = width * channels
+        if len(raw) != height * (1 + stride):
+            raise ImageFormatError("IDAT size mismatch")
+        px = _unfilter(raw, height, stride, channels).reshape(height, width, channels)
     if color_type == 3:
         if palette is None:
             raise ImageFormatError("palette image without PLTE")

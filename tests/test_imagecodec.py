@@ -251,3 +251,74 @@ def test_real_decode_rejects_non_image_kinds(spark):
             "not a GIF",
         )
     ), msg[:500]
+
+
+def _encode_adam7_rgb(arr):
+    """Hand-rolled interlaced PNG (filter-0 rows per pass) — the
+    decoder must reassemble the seven pass grids exactly."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from sstable_migrator_spark.functions.imagecodec import _ADAM7, _PNG_SIG
+
+    arr = np.ascontiguousarray(arr, dtype=np.uint8)
+    h, w, _ = arr.shape
+    raws = bytearray()
+    for x0, y0, dx, dy in _ADAM7:
+        sub = arr[y0::dy, x0::dx]
+        if sub.shape[0] == 0 or sub.shape[1] == 0:
+            continue
+        for row in sub:
+            raws += b"\x00" + row.tobytes()
+
+    def chunk(ctype, payload):
+        return (
+            struct.pack(">I", len(payload)) + ctype + payload
+            + struct.pack(">I", zlib.crc32(ctype + payload))
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 1)  # interlace=1
+    return (
+        _PNG_SIG + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(bytes(raws)))
+        + chunk(b"IEND", b"")
+    )
+
+
+@pytest.mark.parametrize("shape", [(16, 16), (13, 11), (3, 2), (1, 9), (8, 1)])
+def test_adam7_interlaced_roundtrip(shape):
+    import numpy as np
+
+    from sstable_migrator_spark.functions.imagecodec import decode_png
+
+    h, w = shape
+    rng = np.random.RandomState(h * 100 + w)
+    img = rng.randint(0, 256, (h, w, 3)).astype(np.uint8)
+    dec = decode_png(_encode_adam7_rgb(img))
+    assert np.array_equal(dec, img), shape
+
+
+def test_adam7_truncated_rejected():
+    import numpy as np
+
+    from sstable_migrator_spark.functions.imagecodec import (
+        ImageFormatError,
+        decode_png,
+    )
+
+    img = np.zeros((16, 16, 3), np.uint8)
+    enc = bytearray(_encode_adam7_rgb(img))
+    # shrink the IDAT payload: re-deflate a truncated raw stream
+    import struct
+    import zlib
+
+    raw = zlib.decompress(bytes(enc[41:-16]))  # IDAT body (fixed offsets: 8 sig + 25 IHDR + 8 hdr)
+    bad = zlib.compress(raw[:-5])
+    idat = struct.pack(">I", len(bad)) + b"IDAT" + bad + struct.pack(
+        ">I", zlib.crc32(b"IDAT" + bad)
+    )
+    out = bytes(enc[:33]) + idat + bytes(enc[-12:])
+    with pytest.raises(ImageFormatError, match="interlaced"):
+        decode_png(out)
