@@ -186,6 +186,20 @@ def _parse_header(data: bytes) -> dict:
     return info
 
 
+def _codec_fourcc(info: dict) -> bytes:
+    """The video codec fourcc: strf biCompression when it carries one,
+    else the strh handler. biCompression = 0 (BI_RGB, uncompressed
+    DIB) is four NUL bytes — truthy, so a plain ``or`` fallback never
+    fires; treat NUL/blank as unset."""
+    comp = info["compression"]
+    if comp.strip(b"\x00 "):
+        return comp
+    handler = info["handler"]
+    if handler.strip(b"\x00 "):
+        return handler
+    return b"DIB "  # BI_RGB with no handler: raw DIB frames
+
+
 def avi_meta(data: bytes) -> dict:
     """Header-only metadata — no frame decode."""
     info = _parse_header(data)
@@ -199,8 +213,7 @@ def avi_meta(data: bytes) -> dict:
         "height": int(info["height"]),
         "n_frames": int(info["n_frames"]),
         "fps": float(fps),
-        "codec": info["compression"].decode("ascii", "replace").strip().lower()
-        or info["handler"].decode("ascii", "replace").strip().lower(),
+        "codec": _codec_fourcc(info).decode("ascii", "replace").strip().lower(),
     }
 
 
@@ -209,7 +222,7 @@ def decode_avi(data: bytes) -> list[dict]:
     (the gifcodec contract). MJPG video streams only; anything else
     raises AviFormatError naming the codec."""
     info = _parse_header(data)
-    codec = (info["compression"] or info["handler"]).upper()
+    codec = _codec_fourcc(info).upper()
     if codec not in (b"MJPG", b"JPEG", b"DMB1"):
         raise AviFormatError(
             f"video codec {codec!r} unsupported: only Motion-JPEG decodes "

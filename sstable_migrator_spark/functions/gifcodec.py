@@ -287,7 +287,8 @@ def encode_gif(frames: list[np.ndarray], delays_ms: list[int] | None = None) -> 
     h, w, _ = frames[0].shape
     if any(f.shape != (h, w, 3) for f in frames):
         raise GifFormatError("all frames must share the canvas shape")
-    delays_ms = delays_ms or [100] * len(frames)
+    if delays_ms is None:  # `or` would silently default an EMPTY list
+        delays_ms = [100] * len(frames)
     if len(delays_ms) != len(frames):
         raise GifFormatError(
             f"{len(delays_ms)} delays for {len(frames)} frames; "

@@ -514,16 +514,36 @@ def _find_sof(data: bytes) -> tuple[int, int, int, list[tuple[int, int, int, int
     raise ImageFormatError("missing SOF0")
 
 
+def _wrap_malformed(fn, data: bytes):
+    """Hold the error contract: ANY structural failure surfaces as
+    ImageFormatError, never a raw struct.error/IndexError from a
+    truncated or length-corrupted marker segment."""
+    try:
+        return fn(data)
+    except ImageFormatError:
+        raise
+    except (struct.error, IndexError) as e:
+        raise ImageFormatError(f"malformed JPEG: {e}") from e
+
+
 def jpeg_meta(data: bytes) -> tuple[int, int, str]:
     """Header-only (width, height, 'jpeg') — no entropy decode."""
-    if data[:3] != b"\xff\xd8\xff":
-        raise ImageFormatError("not a JPEG")
-    h, w, _, _ = _find_sof(data)
-    return w, h, "jpeg"
+
+    def _meta(d):
+        if d[:3] != b"\xff\xd8\xff":
+            raise ImageFormatError("not a JPEG")
+        h, w, _, _ = _find_sof(d)
+        return w, h, "jpeg"
+
+    return _wrap_malformed(_meta, data)
 
 
-def decode_jpeg(data: bytes) -> np.ndarray:  # noqa: PLR0912, PLR0915
+def decode_jpeg(data: bytes) -> np.ndarray:
     """Baseline JFIF bytes -> (H, W, 3) uint8 RGB."""
+    return _wrap_malformed(_decode_jpeg, data)
+
+
+def _decode_jpeg(data: bytes) -> np.ndarray:  # noqa: PLR0912, PLR0915
     if data[:3] != b"\xff\xd8\xff":
         raise ImageFormatError("not a JPEG")
     quant: dict[int, np.ndarray] = {}

@@ -199,9 +199,34 @@ def _ser_bool(v) -> bytes:
 
 
 def _ser_timestamp(v) -> bytes:
-    """TimestampType: 8-byte big-endian millis since unix epoch."""
+    """TimestampType: 8-byte big-endian millis since unix epoch.
+
+    Integer epoch math only — ``int(v.timestamp() * 1000)`` loses the
+    last millisecond on ~3 in 100k microsecond-precision values
+    (float64 rounding), which would hash to a DIFFERENT Murmur3 token
+    than a real cluster computes. pd.Timestamp carries exact
+    nanoseconds in ``.value``; datetimes are differenced against the
+    epoch as exact timedeltas (naive values are treated as UTC — the
+    same convention the Spark session enforces with its UTC timezone
+    conf — rather than resolved through the platform-local timezone,
+    which would make tokens machine-dependent)."""
+    if hasattr(v, "value") and hasattr(v, "tz"):  # pd.Timestamp: exact ns
+        return struct.pack(">q", v.value // 1_000_000)
     if hasattr(v, "timestamp"):  # datetime
-        return struct.pack(">q", int(v.timestamp() * 1000))
+        import datetime as _dt
+
+        epoch = (
+            _dt.datetime(1970, 1, 1, tzinfo=_dt.timezone.utc)
+            if v.tzinfo is not None
+            else _dt.datetime(1970, 1, 1)
+        )
+        delta = v - epoch
+        millis = (
+            delta.days * 86_400_000
+            + delta.seconds * 1_000
+            + delta.microseconds // 1_000
+        )
+        return struct.pack(">q", millis)
     return struct.pack(">q", int(v))
 
 
@@ -534,6 +559,16 @@ class _LogicalDataSink:
             "digest": self._digest,
         }
 
+    def abort(self) -> None:
+        """Close and remove the partial data file after a failure."""
+        try:
+            self._fh.close()
+        finally:
+            try:
+                os.remove(self._fh.name)
+            except OSError:
+                pass
+
 
 class SSTableWriter:
     """Buffering BIG-format writer: ``add_row(dict)`` then ``close()``.
@@ -617,19 +652,37 @@ class SSTableWriter:
         self._runs.append(path)
         self._rows = []
 
+    def _cleanup_runs(self) -> None:
+        if self._tmpdir is not None:
+            import shutil
+
+            shutil.rmtree(self._tmpdir, ignore_errors=True)
+            self._tmpdir = None
+            self._runs = []
+
+    _MAX_MERGE_FAN_IN = 64
+
     def _iter_decorated(self):
         """Yield ``(sort_key, row)`` in global DecoratedKey order:
         a plain in-memory sort when nothing spilled, else a stable
         k-way heap merge over the spilled runs plus the unspilled
-        tail — one row per run in memory at a time."""
+        tail — one row per run in memory at a time. Open file
+        descriptors are bounded: beyond ``_MAX_MERGE_FAN_IN`` runs,
+        groups of runs are pre-merged into longer runs (stable:
+        groups are consecutive in spill order) in extra passes, so a
+        range of ANY size merges with at most 64 fds + 1 output —
+        an unbounded ``heapq.merge`` over one-generator-per-run
+        would hit the executor's ulimit at ~10^8 rows on the default
+        threshold."""
+        import heapq
+        import pickle
+
         tail = sorted(
             ((self._sort_key(r), r) for r in self._rows), key=lambda kr: kr[0]
         )
         if not self._runs:
             yield from tail
             return
-        import heapq
-        import pickle
 
         def _run_iter(path):
             with open(path, "rb") as fh:
@@ -639,6 +692,26 @@ class SSTableWriter:
                         yield unpickler.load()
                     except EOFError:
                         return
+
+        gen = 0
+        while len(self._runs) > self._MAX_MERGE_FAN_IN:
+            merged_runs = []
+            for gi in range(0, len(self._runs), self._MAX_MERGE_FAN_IN):
+                group = self._runs[gi : gi + self._MAX_MERGE_FAN_IN]
+                out_path = os.path.join(
+                    self._tmpdir, f"merge-{gen:03d}-{len(merged_runs):06d}.pkl"
+                )
+                with open(out_path, "wb") as fh:
+                    pickler = pickle.Pickler(fh, protocol=pickle.HIGHEST_PROTOCOL)
+                    for kr in heapq.merge(
+                        *(_run_iter(p) for p in group), key=lambda kr: kr[0]
+                    ):
+                        pickler.dump(kr)
+                for p in group:
+                    os.remove(p)
+                merged_runs.append(out_path)
+            self._runs = merged_runs
+            gen += 1
 
         streams = [_run_iter(p) for p in self._runs]
         streams.append(iter(tail))
@@ -823,37 +896,40 @@ class SSTableWriter:
         n_rows = 0
         cur_key: bytes | None = None
         prev = 0
-        # rows arrive in DecoratedKey order; partitions are key-adjacent
-        for sort_key, row in self._iter_decorated():
-            tok, key = sort_key[0], sort_key[1]
-            if key != cur_key:
-                if cur_key is not None:
-                    sink.write(bytes([END_OF_PARTITION]))
-                cur_key = key
-                pos = sink.tell()
-                index.write(struct.pack(">H", len(key)) + key)
-                index.write(encode_unsigned_vint(pos))
-                index.write(encode_unsigned_vint(0))  # no promoted index
-                keys.append(key)
-                tokens.append(tok)
-                sink.write(struct.pack(">H", len(key)) + key)
-                sink.write(
-                    struct.pack(">iq", NO_DELETION_TIME, LIVE_MARKED_FOR_DELETE)
-                )
-                prev = 0
-            blob = self._serialize_row(row, prev)
-            sink.write(blob)
-            prev = len(blob)
-            n_rows += 1
-        if cur_key is not None:
-            sink.write(bytes([END_OF_PARTITION]))
-        meta = sink.finish()
-        if self._tmpdir is not None:
-            import shutil
-
-            shutil.rmtree(self._tmpdir, ignore_errors=True)
-            self._tmpdir = None
-            self._runs = []
+        try:
+            # rows arrive in DecoratedKey order; partitions key-adjacent
+            for sort_key, row in self._iter_decorated():
+                tok, key = sort_key[0], sort_key[1]
+                if key != cur_key:
+                    if cur_key is not None:
+                        sink.write(bytes([END_OF_PARTITION]))
+                    cur_key = key
+                    pos = sink.tell()
+                    index.write(struct.pack(">H", len(key)) + key)
+                    index.write(encode_unsigned_vint(pos))
+                    index.write(encode_unsigned_vint(0))  # no promoted index
+                    keys.append(key)
+                    tokens.append(tok)
+                    sink.write(struct.pack(">H", len(key)) + key)
+                    sink.write(
+                        struct.pack(">iq", NO_DELETION_TIME, LIVE_MARKED_FOR_DELETE)
+                    )
+                    prev = 0
+                blob = self._serialize_row(row, prev)
+                sink.write(blob)
+                prev = len(blob)
+                n_rows += 1
+            if cur_key is not None:
+                sink.write(bytes([END_OF_PARTITION]))
+            meta = sink.finish()
+        except BaseException:
+            # a failed merge must not strand gigabytes of run pickles
+            # and a truncated Data.db in the output directory (Spark's
+            # task retry writes alongside whatever is left behind)
+            sink.abort()
+            self._cleanup_runs()
+            raise
+        self._cleanup_runs()
 
         bloom = _Bloom(len(keys), self.bloom_fp)
         for k in keys:
@@ -1258,6 +1334,21 @@ def point_lookup(
     reg = [(n, _marshal_to_type(t)) for n, t in stats["regular_columns"]]
     min_ts = stats["min_timestamp_us"]
 
+    data_path = os.path.join(directory, f"{prefix}-Data.db")
+    data_size = os.path.getsize(data_path)
+
+    def pread(start: int, length: int) -> bytes:
+        with open(data_path, "rb") as fh:
+            fh.seek(start)
+            return fh.read(length)
+
+    # A truncated parse window surfaces as whatever the deserializer
+    # tripped over — slice indexing, struct unpack, a multibyte UTF-8
+    # codepoint cut at the window edge, an inet of the wrong length —
+    # so widen on ANY of those and only let the full-window attempt
+    # propagate the error.
+    _truncation_errors = (IndexError, struct.error, ValueError, UnicodeDecodeError)
+
     if os.path.exists(os.path.join(directory, f"{prefix}-CompressionInfo.db")):
         ci = comp("CompressionInfo.db")
         (nlen,) = struct.unpack_from(">H", ci, 0)
@@ -1273,14 +1364,18 @@ def point_lookup(
         (n_chunks,) = struct.unpack_from(">i", ci, o)
         o += 4
         offsets = [struct.unpack_from(">q", ci, o + j * 8)[0] for j in range(n_chunks)]
-        raw = comp("Data.db")
 
         def inflate(ci_from: int, ci_to: int) -> bytes:
+            # one seek+read covering exactly the needed chunk span —
+            # never the whole file
+            start = offsets[ci_from]
+            end = offsets[ci_to] if ci_to < n_chunks else data_size
+            blob = pread(start, end - start)
             out = []
             for j in range(ci_from, ci_to):
-                start = offsets[j]
-                end = offsets[j + 1] if j + 1 < n_chunks else len(raw)
-                out.append(zlib.decompress(raw[start : end - 4]))
+                s = offsets[j] - start
+                e = (offsets[j + 1] if j + 1 < n_chunks else data_size) - start
+                out.append(zlib.decompress(blob[s : e - 4]))
             return b"".join(out)
 
         first = pos // chunk_len
@@ -1292,13 +1387,21 @@ def point_lookup(
                     window, pos - first * chunk_len, clus_types, reg, min_ts
                 )
                 break
-            except (IndexError, struct.error):
+            except _truncation_errors:
                 if last >= n_chunks:
                     raise
-                last = min(last * 2 - first if last > first else last + 1, n_chunks)
+                last = min(first + 2 * (last - first), n_chunks)
     else:
-        data = comp("Data.db")
-        part, _ = _parse_partition(data, pos, clus_types, reg, min_ts)
+        win = 1 << 16
+        while True:
+            window = pread(pos, min(win, data_size - pos))
+            try:
+                part, _ = _parse_partition(window, 0, clus_types, reg, min_ts)
+                break
+            except _truncation_errors:
+                if pos + win >= data_size:
+                    raise
+                win *= 2
     part["start"] = pos
     part["key_components"] = _split_key(part["key"], stats["key_type"])
     return part

@@ -130,3 +130,19 @@ def test_sample_frames_real_decode_avi(spark):
     assert np.allclose(
         feats[0]["feature"], image_features(decoded[0]["pixels"], 8), atol=1e-6
     )
+
+
+def test_bi_rgb_codec_fourcc_fallback():
+    """biCompression = 0 (BI_RGB) is four NUL bytes — truthy, so the
+    codec name must fall back to the strh handler (or 'DIB ') instead
+    of reporting NULs."""
+    avi = bytearray(encode_avi_mjpeg(_frames(1), fps=10.0))
+    strf_at = bytes(avi).index(b"MJPG", bytes(avi).index(b"strf"))
+    avi[strf_at : strf_at + 4] = b"\x00\x00\x00\x00"  # BI_RGB
+    m = avi_meta(bytes(avi))
+    assert m["codec"] == "mjpg"  # strh handler fallback
+    with pytest.raises(AviFormatError) as ei:  # decode refuses non-MJPG...
+        strh_at = bytes(avi).index(b"MJPG")
+        avi[strh_at : strh_at + 4] = b"\x00\x00\x00\x00"
+        decode_avi(bytes(avi))
+    assert "DIB" in str(ei.value)  # ...and names the real codec, not NULs

@@ -214,3 +214,13 @@ def test_delay_count_mismatch_rejected():
     # centisecond quantization is documented: 105 ms floors to 100 ms
     out = decode_gif(encode_gif(frames, [105, 110, 115]))
     assert [f["delay_ms"] for f in out] == [100, 110, 110]
+
+
+def test_empty_delays_list_rejected():
+    """An explicitly EMPTY delays list must hit the mismatch guard,
+    not silently default to 100 ms."""
+    import pytest
+
+    frames = [PAL7[np.zeros((4, 4), dtype=int)] for _ in range(3)]
+    with pytest.raises(GifFormatError, match="delays"):
+        encode_gif(frames, [])

@@ -227,3 +227,25 @@ def test_bad_quality_rejected():
         encode_jpeg(np.zeros((8, 8, 3), np.uint8), 0)
     with pytest.raises(ImageFormatError, match="subsample"):
         encode_jpeg(np.zeros((8, 8, 3), np.uint8), 50, subsample="422")
+
+
+def test_malformed_marker_raises_image_format_error():
+    """Truncated/length-corrupted marker segments must surface as
+    ImageFormatError, never raw struct.error/IndexError (the contract
+    decode_avi's frame wrapper relies on)."""
+    import numpy as np
+
+    enc = bytearray(encode_jpeg(np.zeros((8, 8, 3), np.uint8)))
+    pos = 2
+    while struct.unpack_from(">H", enc, pos)[0] != 0xFFC0:
+        pos += 2 + struct.unpack_from(">H", enc, pos + 2)[0]
+    truncated = bytes(enc[: pos + 6])  # SOF header cut mid-fields
+    with pytest.raises(ImageFormatError):
+        decode_jpeg(truncated)
+    with pytest.raises(ImageFormatError):
+        jpeg_meta(truncated)
+    # length field claiming more bytes than remain
+    bad = bytearray(enc)
+    struct.pack_into(">H", bad, pos + 2, 60000)
+    with pytest.raises(ImageFormatError):
+        decode_jpeg(bytes(bad))

@@ -746,3 +746,92 @@ def test_point_lookup_compressed_chunk_windows(tmp_path):
         want = {i for i in range(300) if f"key{i % 60}" == probe}
         assert {r["clustering"][0] for r in part["rows"]} == want
     assert point_lookup(str(tmp_path), ["nope"]) is None
+
+
+# ---------------------------------------------------------------------------
+# review-pass regressions (round 4)
+# ---------------------------------------------------------------------------
+
+
+def test_timestamp_millis_integer_exact():
+    """float64 .timestamp()*1000 truncates ~3/100k microsecond values
+    by 1 ms — token-parity poison. Integer epoch math must hold the
+    exact millisecond."""
+    import datetime
+
+    import pandas as pd
+
+    from sstable_migrator_spark.sinks.sstable_format import _ser_timestamp
+
+    ts = pd.Timestamp("2004-09-18 11:22:28.679000")
+    assert struct.unpack(">q", _ser_timestamp(ts))[0] == 1095506548679
+    # the naive-datetime path, same value
+    dt = datetime.datetime(2004, 9, 18, 11, 22, 28, 679000)
+    assert struct.unpack(">q", _ser_timestamp(dt))[0] == 1095506548679
+    # tz-aware datetime resolves through UTC, not the platform zone
+    aware = datetime.datetime(
+        2004, 9, 18, 11, 22, 28, 679000, tzinfo=datetime.timezone.utc
+    )
+    assert struct.unpack(">q", _ser_timestamp(aware))[0] == 1095506548679
+    # sweep: every millisecond remainder round-trips exactly
+    base = 1095506548000
+    for ms in range(0, 1000, 97):
+        t = pd.Timestamp((base + ms) * 10**6, unit="ns")
+        assert struct.unpack(">q", _ser_timestamp(t))[0] == base + ms
+
+
+def test_point_lookup_multibyte_utf8_chunk_boundary(tmp_path):
+    """A multibyte codepoint cut at the decompression-window edge must
+    widen the window, not crash with UnicodeDecodeError."""
+    from sstable_migrator_spark.sinks.sstable_format import point_lookup
+
+    w = SSTableWriter(
+        str(tmp_path), _clustered_table(), compression="deflate", chunk_length=512
+    )
+    for i in range(60):
+        w.add_row({"k": f"key{i}", "c": i, "v": "é" * 40 + str(i)})
+    w.close()
+    for i in range(60):
+        part = point_lookup(str(tmp_path), [f"key{i}"])
+        assert part is not None, i
+        assert part["rows"][0]["cells"]["v"] == "é" * 40 + str(i)
+
+
+def test_spill_many_runs_bounded_fan_in(tmp_path):
+    """More runs than the merge fan-in triggers the multi-pass compact;
+    output stays byte-identical to the in-memory sort."""
+    rows = [
+        {"k": f"key{(i * 17) % 29}", "c": i % 5, "v": f"val{i}"} for i in range(150)
+    ]
+    dirs = {}
+    for label, thresh, fan in (("mem", None, 64), ("spill", 2, 4)):
+        d = tmp_path / label
+        w = SSTableWriter(str(d), _clustered_table(), spill_threshold_rows=thresh)
+        w._MAX_MERGE_FAN_IN = fan
+        for r in rows:
+            w.add_row(r)
+        w.close()
+        dirs[label] = d
+    names = sorted(p.name for p in dirs["mem"].iterdir())
+    assert names == sorted(p.name for p in dirs["spill"].iterdir())
+    for n in names:
+        assert (dirs["mem"] / n).read_bytes() == (dirs["spill"] / n).read_bytes(), n
+
+
+def test_spill_failure_cleans_up(tmp_path):
+    """A serialization error mid-merge must not strand run pickles or
+    a truncated Data.db in the output directory."""
+    schema = CqlTable(
+        keyspace="ks", table="t",
+        columns=[("k", "varchar"), ("n", "int")],
+        partition_key=["k"], clustering=[],
+    )
+    w = SSTableWriter(str(tmp_path), schema, spill_threshold_rows=5)
+    for i in range(20):
+        w.add_row({"k": f"x{i}", "n": i})
+    w.add_row({"k": "boom", "n": 1 << 40})  # overflows the int32 cell
+    with pytest.raises(Exception):
+        w.close()
+    leftovers = [p.name for p in tmp_path.iterdir()]
+    assert not [n for n in leftovers if n.startswith(".sstable-spill")], leftovers
+    assert not [n for n in leftovers if n.endswith("Data.db")], leftovers
