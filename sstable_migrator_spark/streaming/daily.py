@@ -594,60 +594,3 @@ def stateful_sessionize_event_time(
         )
     )
 
-
-def interval_join_streams(
-    left: DataFrame,
-    right: DataFrame,
-    keys: list[str],
-    left_ts: str,
-    right_ts: str,
-    within: str = "10 minutes",
-    left_watermark: str = "20 minutes",
-    right_watermark: str = "20 minutes",
-    how: str = "inner",
-) -> DataFrame:
-    """Watermarked stream-stream interval join — the impression|x|click
-    shape every event pipeline needs: a right-stream row joins a
-    left-stream row when the keys match AND ``right_ts`` falls in
-    ``[left_ts, left_ts + within]``.
-
-    State discipline (the part that matters at 100 TB/day): Spark
-    derives each side's state-eviction predicate FROM the time-range
-    condition, so the range must live in the join condition itself —
-    an equality-only stream-stream join has no way to prove a buffered
-    row can never match again and its state grows forever. With the
-    range + both watermarks, each side buffers only rows younger than
-    its watermark minus the interval: bounded state at any throughput.
-
-    ``how`` is ``inner`` or ``leftOuter``; outer rows (left rows that
-    never saw a match) emit with right-side nulls only once the
-    watermark proves no match can still arrive — exactly the semantics
-    an attribution job wants (click-or-timeout, never click-or-maybe).
-    """
-    if how not in ("inner", "leftOuter"):
-        raise ValueError("how must be inner|leftOuter")
-    if not keys:
-        raise ValueError("keys must name at least one join column")
-    overlap = (set(left.columns) & set(right.columns)) - set(keys)
-    if overlap:
-        raise ValueError(
-            f"non-key columns {sorted(overlap)} exist on both sides; "
-            "rename them before joining (ambiguous output)"
-        )
-    l = left.withWatermark(left_ts, left_watermark).alias("l")
-    r = right.withWatermark(right_ts, right_watermark).alias("r")
-    cond = None
-    for k in keys:
-        c = F.col(f"l.{k}") == F.col(f"r.{k}")
-        cond = c if cond is None else (cond & c)
-    cond = (
-        cond
-        & (F.col(f"r.{right_ts}") >= F.col(f"l.{left_ts}"))
-        & (
-            F.col(f"r.{right_ts}")
-            <= F.col(f"l.{left_ts}") + F.expr(f"INTERVAL {within}")
-        )
-    )
-    out = l.join(r, cond, how)
-    # drop the right-side key duplicates so the output schema is usable
-    return out.drop(*[F.col(f"r.{k}") for k in keys])

@@ -23,38 +23,63 @@ from pyspark.sql import functions as F
 def interval_stream_join(
     left: DataFrame,
     right: DataFrame,
-    on: str,
+    on: str | list[str],
     left_ts: str,
     right_ts: str,
     max_delay: str = "1 hour",
     watermark: str = "2 hours",
     how: str = "inner",
+    right_watermark: str | None = None,
 ) -> DataFrame:
     """Join streaming ``right`` rows to streaming ``left`` rows with the
-    same key where ``left_ts <= right_ts <= left_ts + max_delay``.
+    same key(s) where ``left_ts <= right_ts <= left_ts + max_delay``.
 
     Both inputs must be streaming DataFrames. State per side is bounded
-    by ``watermark`` + ``max_delay``; the output carries all columns of
-    both sides (the caller projects). ``how`` may be 'inner' or
-    'leftOuter' (outer rows emit once their side's watermark proves no
-    partner can arrive).
+    by its watermark + ``max_delay`` — the time-range condition is what
+    lets Spark derive each side's state-eviction predicate; an
+    equality-only stream-stream join has no such bound and its state
+    grows forever. ``on`` may be one key or a composite key list;
+    ``right_watermark`` overrides the right side's lateness bound when
+    the two streams have different delivery delays. The output carries
+    all columns of both sides minus the right-side key duplicates (the
+    caller projects). ``how`` may be 'inner' or 'leftOuter' (outer
+    rows emit once their side's watermark proves no partner can
+    arrive).
     """
+    keys = [on] if isinstance(on, str) else list(on)
+    if not keys:
+        raise ValueError("on must name at least one join column")
+    if how not in ("inner", "leftOuter"):
+        raise ValueError("how must be inner|leftOuter")
     if left_ts == right_ts:
         raise ValueError(
             "left_ts and right_ts must be distinct names: a condition "
             "join keeps both sides' columns and the caller could not "
             "disambiguate two identical timestamp names"
         )
+    overlap = (set(left.columns) & set(right.columns)) - set(keys)
+    if overlap:
+        raise ValueError(
+            f"non-key columns {sorted(overlap)} exist on both sides; "
+            "rename them before joining (ambiguous output)"
+        )
     l_wm = left.withWatermark(left_ts, watermark)
-    r_wm = right.withWatermark(right_ts, watermark)
+    r_wm = right.withWatermark(right_ts, right_watermark or watermark)
+    cond = None
+    for k in keys:
+        c = l_wm[k] == r_wm[k]
+        cond = c if cond is None else (cond & c)
     cond = (
-        (l_wm[on] == r_wm[on])
+        cond
         & (r_wm[right_ts] >= l_wm[left_ts])
         & (r_wm[right_ts] <= l_wm[left_ts] + F.expr(f"INTERVAL {max_delay}"))
     )
-    # keep ONE key column: a condition join would emit both sides' `on`
-    # under the same name and make every downstream select ambiguous
-    return l_wm.join(r_wm, cond, how).drop(r_wm[on])
+    # keep ONE copy of each key column: a condition join would emit both
+    # sides' keys under the same names and make every select ambiguous
+    out = l_wm.join(r_wm, cond, how)
+    for k in keys:
+        out = out.drop(r_wm[k])
+    return out
 
 
 def stream_static_enrich(

@@ -500,11 +500,11 @@ def test_write_sstable_stream(spark, tmp_path):
     assert len(glob.glob(f"{out}/batch_id=*/_stream_plan.json")) == 2
 
 
-def test_interval_join_streams_inner(spark, tmp_path):
+def test_interval_stream_join_multikey_inner(spark, tmp_path):
     """Stream-stream interval join: clicks attribute to the impression
     whose [ts, ts + 10m] window holds them; out-of-window and
     foreign-key clicks drop."""
-    from sstable_migrator_spark.streaming.daily import interval_join_streams
+    from sstable_migrator_spark.streaming.joins import interval_stream_join
 
     imp_dir, clk_dir = tmp_path / "imp", tmp_path / "clk"
     imp_dir.mkdir(), clk_dir.mkdir()
@@ -527,9 +527,9 @@ def test_interval_join_streams_inner(spark, tmp_path):
         spark.readStream.schema("ad_id string, click_ts timestamp")
         .csv(str(clk_dir))
     )
-    joined = interval_join_streams(
-        imps, clicks, keys=["ad_id"], left_ts="imp_ts", right_ts="click_ts",
-        within="10 minutes",
+    joined = interval_stream_join(
+        imps, clicks, on=["ad_id"], left_ts="imp_ts", right_ts="click_ts",
+        max_delay="10 minutes",
     )
     out = str(tmp_path / "out")
     q = (
@@ -546,11 +546,11 @@ def test_interval_join_streams_inner(spark, tmp_path):
     ]
 
 
-def test_interval_join_streams_left_outer_timeout(spark, tmp_path):
+def test_interval_stream_join_left_outer_timeout(spark, tmp_path):
     """leftOuter: an impression with no click emits null click columns
     once the watermark proves no click can still arrive (a far-later
     row on both streams advances it)."""
-    from sstable_migrator_spark.streaming.daily import interval_join_streams
+    from sstable_migrator_spark.streaming.joins import interval_stream_join
 
     imp_dir, clk_dir = tmp_path / "imp", tmp_path / "clk"
     imp_dir.mkdir(), clk_dir.mkdir()
@@ -571,9 +571,9 @@ def test_interval_join_streams_left_outer_timeout(spark, tmp_path):
         spark.readStream.schema("ad_id string, click_ts timestamp")
         .csv(str(clk_dir))
     )
-    joined = interval_join_streams(
-        imps, clicks, keys=["ad_id"], left_ts="imp_ts", right_ts="click_ts",
-        within="5 minutes", left_watermark="1 minute", right_watermark="1 minute",
+    joined = interval_stream_join(
+        imps, clicks, on=["ad_id"], left_ts="imp_ts", right_ts="click_ts",
+        max_delay="5 minutes", watermark="1 minute", right_watermark="1 minute",
         how="leftOuter",
     )
     out = str(tmp_path / "out")
@@ -593,14 +593,22 @@ def test_interval_join_streams_left_outer_timeout(spark, tmp_path):
     assert "ad2" in got and got["ad2"] is None  # timed out -> null click
 
 
-def test_interval_join_streams_misuse(spark):
-    from sstable_migrator_spark.streaming.daily import interval_join_streams
+def test_interval_stream_join_misuse(spark):
+    from sstable_migrator_spark.streaming.joins import interval_stream_join
 
     a = spark.readStream.format("rate").load()  # timestamp, value
     b = spark.readStream.format("rate").load()
+    a2 = a.withColumnRenamed("timestamp", "ts_a")
+    b2 = b.withColumnRenamed("timestamp", "ts_b")
     with pytest.raises(ValueError, match="inner|leftOuter"):
-        interval_join_streams(a, b, ["value"], "timestamp", "timestamp", how="full")
+        interval_stream_join(a2, b2, ["value"], "ts_a", "ts_b", how="full")
     with pytest.raises(ValueError, match="at least one"):
-        interval_join_streams(a, b, [], "timestamp", "timestamp")
+        interval_stream_join(a2, b2, [], "ts_a", "ts_b")
+    with pytest.raises(ValueError, match="distinct names"):
+        interval_stream_join(a, b, ["value"], "timestamp", "timestamp")
     with pytest.raises(ValueError, match="both sides"):
-        interval_join_streams(a, b, ["value"], "timestamp", "timestamp")
+        interval_stream_join(
+            a2.withColumn("x", a2["value"]),
+            b2.withColumn("x", b2["value"]),
+            ["value"], "ts_a", "ts_b",
+        )
