@@ -55,10 +55,7 @@ def _list(list_type: bytes, payload: bytes) -> bytes:
     return _chunk(b"LIST", list_type + payload)
 
 
-def encode_avi_mjpeg(
-    frames: list[np.ndarray], fps: float = 10.0, quality: int = 85
-) -> bytes:
-    """Full-canvas RGB frames -> AVI 1.0 with one MJPG video stream."""
+def _check_frames(frames: list[np.ndarray], fps: float) -> tuple[int, int]:
     if not frames:
         raise AviFormatError("no frames")
     if fps <= 0:
@@ -66,9 +63,22 @@ def encode_avi_mjpeg(
     h, w, _ = frames[0].shape
     if any(f.shape != (h, w, 3) for f in frames):
         raise AviFormatError("all frames must share the canvas shape")
-    jpegs = [encode_jpeg(f, quality) for f in frames]
+    return h, w
+
+
+def _build_container(
+    blobs: list[bytes],
+    w: int,
+    h: int,
+    fps: float,
+    handler: bytes,
+    compression: bytes,
+    bitcount: int,
+) -> bytes:
+    """AVI 1.0 assembly shared by the MJPG and DIB encoders: hdrl
+    (avih + one vids strl), movi 00dc chunks, idx1 index."""
     usec_per_frame = int(round(1_000_000 / fps))
-    max_bytes = max(len(j) for j in jpegs)
+    max_bytes = max(len(b) for b in blobs)
 
     avih = struct.pack(
         "<14I",
@@ -76,21 +86,21 @@ def encode_avi_mjpeg(
         int(max_bytes * fps),    # dwMaxBytesPerSec
         0,                       # dwPaddingGranularity
         0x10,                    # dwFlags: AVIF_HASINDEX
-        len(frames),             # dwTotalFrames
+        len(blobs),              # dwTotalFrames
         0,                       # dwInitialFrames
         1,                       # dwStreams
         max_bytes,               # dwSuggestedBufferSize
         w, h, 0, 0, 0, 0,        # dwWidth, dwHeight, dwReserved[4]
     )
     strh = (
-        b"vids" + b"MJPG"
+        b"vids" + handler
         + struct.pack(
             "<10I",
             0, 0, 0,                      # dwFlags, wPrio+wLang, dwInitialFrames
             1000,                          # dwScale
             int(round(fps * 1000)),        # dwRate (fps = rate/scale)
             0,                             # dwStart
-            len(frames),                   # dwLength (in frames)
+            len(blobs),                    # dwLength (in frames)
             max_bytes,                     # dwSuggestedBufferSize
             0xFFFFFFFF,                    # dwQuality (default)
             0,                             # dwSampleSize (0: varying)
@@ -99,7 +109,8 @@ def encode_avi_mjpeg(
     )
     strf = struct.pack(
         "<IiiHH4sIiiII",
-        40, w, h, 1, 24, b"MJPG", w * h * 3, 0, 0, 0, 0,
+        40, w, h, 1, bitcount, compression, w * h * (bitcount // 8),
+        0, 0, 0, 0,
     )
     hdrl = _list(
         b"hdrl",
@@ -108,17 +119,42 @@ def encode_avi_mjpeg(
 
     movi_payload = bytearray()
     index = bytearray()
-    for j in jpegs:
+    for b in blobs:
         # idx1 offsets point at the chunk fourcc, relative to the
         # 'movi' list-type fourcc position
         offset = 4 + len(movi_payload)
-        index += b"00dc" + struct.pack("<III", 0x10, offset, len(j))
-        movi_payload += _chunk(b"00dc", j)
+        index += b"00dc" + struct.pack("<III", 0x10, offset, len(b))
+        movi_payload += _chunk(b"00dc", b)
     movi = _list(b"movi", bytes(movi_payload))
     idx1 = _chunk(b"idx1", bytes(index))
 
     riff_payload = b"AVI " + hdrl + movi + idx1
     return b"RIFF" + struct.pack("<I", len(riff_payload)) + riff_payload
+
+
+def encode_avi_mjpeg(
+    frames: list[np.ndarray], fps: float = 10.0, quality: int = 85
+) -> bytes:
+    """Full-canvas RGB frames -> AVI 1.0 with one MJPG video stream."""
+    h, w = _check_frames(frames, fps)
+    jpegs = [encode_jpeg(f, quality) for f in frames]
+    return _build_container(jpegs, w, h, fps, b"MJPG", b"MJPG", 24)
+
+
+def encode_avi_dib(frames: list[np.ndarray], fps: float = 10.0) -> bytes:
+    """Full-canvas RGB frames -> AVI 1.0 with one raw BI_RGB (DIB)
+    stream: bottom-up BGR rows padded to 4-byte stride — LOSSLESS,
+    the uncompressed twin of the MJPG encoder."""
+    h, w = _check_frames(frames, fps)
+    stride = (w * 3 + 3) & ~3
+    pad = b"\x00" * (stride - w * 3)
+    blobs = []
+    for f in frames:
+        rows = [f[y, :, ::-1].tobytes() + pad for y in range(h - 1, -1, -1)]
+        blobs.append(b"".join(rows))
+    return _build_container(
+        blobs, w, h, fps, b"DIB ", b"\x00\x00\x00\x00", 24
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -147,6 +183,7 @@ def _parse_header(data: bytes) -> dict:
         "width": 0, "height": 0, "usec_per_frame": 0,
         "n_frames": 0, "handler": b"", "compression": b"",
         "scale": 0, "rate": 0, "movi": None, "stream_no": None,
+        "bitcount": 24,
     }
     video_stream = -1
     for fourcc, start, size in _iter_chunks(data, 12, end):
@@ -175,6 +212,9 @@ def _parse_header(data: bytes) -> dict:
                                     "<II", data, s3 + 20
                                 )
                         elif f3 == b"strf" and z3 >= 40 and stream_idx == video_stream:
+                            (info["bitcount"],) = struct.unpack_from(
+                                "<H", data, s3 + 14
+                            )
                             info["compression"] = data[s3 + 16 : s3 + 20]
     if info["movi"] is None:
         raise AviFormatError("missing movi list")
@@ -217,16 +257,35 @@ def avi_meta(data: bytes) -> dict:
     }
 
 
+def _decode_dib_frame(buf: bytes, w: int, h: int, bpp: int) -> np.ndarray:
+    """One BI_RGB frame: bottom-up BGR(A) rows, stride padded to 4."""
+    if bpp not in (24, 32):
+        raise AviFormatError(f"DIB bpp={bpp} unsupported")
+    nch = bpp // 8
+    stride = (w * nch + 3) & ~3
+    if len(buf) < stride * h:
+        raise AviFormatError("DIB frame smaller than its geometry")
+    rows = []
+    for y in range(h):
+        r = np.frombuffer(buf, np.uint8, w * nch, y * stride).reshape(w, nch)
+        rows.append(r[:, :3][:, ::-1])  # BGR(A) -> RGB
+    return np.stack(rows)[::-1]  # bottom-up
+
+
 def decode_avi(data: bytes) -> list[dict]:
     """AVI bytes -> ``[{pixels: (H, W, 3) uint8, delay_ms: int}]``
-    (the gifcodec contract). MJPG video streams only; anything else
-    raises AviFormatError naming the codec."""
+    (the gifcodec contract). Motion-JPEG and raw BI_RGB (DIB) video
+    streams; anything else raises AviFormatError naming the codec."""
     info = _parse_header(data)
     codec = _codec_fourcc(info).upper()
-    if codec not in (b"MJPG", b"JPEG", b"DMB1"):
+    is_mjpg = codec in (b"MJPG", b"JPEG", b"DMB1")
+    is_dib = not is_mjpg and (
+        not info["compression"].strip(b"\x00 ") or codec.strip() == b"DIB"
+    )
+    if not (is_mjpg or is_dib):
         raise AviFormatError(
-            f"video codec {codec!r} unsupported: only Motion-JPEG decodes "
-            "dependency-free (H.264 & friends are not stdlib-feasible)"
+            f"video codec {codec!r} unsupported: Motion-JPEG and raw DIB "
+            "decode dependency-free (H.264 & friends are not stdlib-feasible)"
         )
     fps = (
         info["rate"] / info["scale"]
@@ -246,10 +305,16 @@ def decode_avi(data: bytes) -> list[dict]:
             inner = [(fourcc, s, z)]
         for f2, s2, z2 in inner:
             if f2 in want and z2 > 0:
-                try:
-                    px = decode_jpeg(data[s2 : s2 + z2])
-                except ImageFormatError as e:
-                    raise AviFormatError(f"frame {len(frames)}: {e}") from e
+                if is_mjpg:
+                    try:
+                        px = decode_jpeg(data[s2 : s2 + z2])
+                    except ImageFormatError as e:
+                        raise AviFormatError(f"frame {len(frames)}: {e}") from e
+                else:
+                    px = _decode_dib_frame(
+                        data[s2 : s2 + z2],
+                        info["width"], info["height"], info["bitcount"],
+                    )
                 frames.append({"pixels": px, "delay_ms": delay_ms})
                 if len(frames) > _MAX_FRAMES:
                     raise AviFormatError("frame count exceeds cap")

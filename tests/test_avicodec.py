@@ -146,3 +146,20 @@ def test_bi_rgb_codec_fourcc_fallback():
         avi[strh_at : strh_at + 4] = b"\x00\x00\x00\x00"
         decode_avi(bytes(avi))
     assert "DIB" in str(ei.value)  # ...and names the real codec, not NULs
+
+
+def test_dib_roundtrip_lossless():
+    """Raw BI_RGB frames round-trip bit-exactly (bottom-up BGR rows,
+    4-byte stride padding exercised by the odd width)."""
+    from sstable_migrator_spark.functions.avicodec import encode_avi_dib
+
+    rng = np.random.RandomState(5)
+    frames = [rng.randint(0, 256, (13, 17, 3)).astype(np.uint8) for _ in range(3)]
+    avi = encode_avi_dib(frames, fps=8.0)
+    m = avi_meta(avi)
+    assert (m["width"], m["height"], m["n_frames"], m["codec"]) == (17, 13, 3, "dib")
+    dec = decode_avi(avi)
+    assert len(dec) == 3
+    for d, f in zip(dec, frames):
+        assert np.array_equal(d["pixels"], f)
+    assert dec[0]["delay_ms"] == 125
