@@ -113,10 +113,23 @@ def _publish(path: str, manifest: dict, base_version: int | None = None) -> int:
             continue
 
 
-def versioned_write(df: DataFrame, path: str, mode: str = "append") -> int:
+def versioned_write(
+    df: DataFrame,
+    path: str,
+    mode: str = "append",
+    stats_cols: list[str] | None = None,
+) -> int:
     """Commit ``df`` as a new snapshot. ``append`` keeps the previous
     snapshot's directories; ``overwrite`` starts fresh (old data stays
-    on disk for time travel until vacuumed). Returns the new version."""
+    on disk for time travel until vacuumed). Returns the new version.
+
+    ``stats_cols`` hoists per-file min/max/null-count zone maps into
+    the manifest (one extra pass over the JUST-WRITTEN directory —
+    Delta's dataSkippingNumIndexedCols move): ``read_version`` with
+    ``predicates`` then prunes files at plan time without opening any
+    footer. Stats from the base snapshot's directories carry forward
+    on append; directories committed without stats are simply never
+    pruned (correctness does not depend on coverage)."""
     if mode not in ("append", "overwrite"):
         raise ValueError(f"mode must be append|overwrite, got {mode!r}")
     dirname = f"v{uuid.uuid4().hex[:12]}"
@@ -124,29 +137,88 @@ def versioned_write(df: DataFrame, path: str, mode: str = "append") -> int:
     prev = _versions(path)
     base_v = prev[-1] if prev else 0
     df.write.mode("error").parquet(data_dir)
-    base: list[str] = _load(path, base_v)["dirs"] if (mode == "append" and base_v) else []
+    rel = os.path.join("data", dirname)
+    base_manifest = _load(path, base_v) if (mode == "append" and base_v) else {}
+    base: list[str] = base_manifest.get("dirs", [])
+    file_stats: dict = dict(base_manifest.get("file_stats", {}))
+    if stats_cols:
+        from sstable_migrator_spark.sinks.zonemap import collect_file_stats
+
+        written = df.sparkSession.read.parquet(data_dir)
+        file_stats[rel] = {
+            "stats_cols": list(stats_cols),
+            "files": collect_file_stats(written, list(stats_cols)),
+        }
+    manifest = {"op": mode, "ts": time.time(), "dirs": base + [rel]}
+    if file_stats:
+        manifest["file_stats"] = file_stats
     return _publish(
-        path,
-        {"op": mode, "ts": time.time(), "dirs": base + [os.path.join("data", dirname)]},
-        base_version=base_v if mode == "append" else None,
+        path, manifest, base_version=base_v if mode == "append" else None
     )
 
 
 def read_version(
-    spark: SparkSession, path: str, version: int | None = None
+    spark: SparkSession,
+    path: str,
+    version: int | None = None,
+    predicates: list[tuple] | None = None,
 ) -> DataFrame:
     """Read a snapshot (latest by default). The manifest is the file
-    listing — no directory scan, no partial-commit visibility."""
+    listing — no directory scan, no partial-commit visibility.
+
+    With ``predicates`` (the ``(col, op, value)`` conjunction grammar
+    of ``sinks.zonemap``), directories that carry manifest zone maps
+    are pruned to the files whose [min, max] intervals could match —
+    driver-side integer comparisons, no footers opened — and the
+    predicates are then applied exactly to whatever is read.
+    Directories without stats are read in full (never a false skip)."""
     vs = _versions(path)
     if not vs:
         raise FileNotFoundError(f"no manifests under {path}")
     v = version if version is not None else vs[-1]
     if v not in vs:
         raise FileNotFoundError(f"version {v} not in {vs}")
-    dirs = [os.path.join(path, d) for d in _load(path, v)["dirs"]]
+    manifest = _load(path, v)
+    dirs = manifest["dirs"]
     if not dirs:
         raise FileNotFoundError(f"version {v} is empty")
-    return spark.read.parquet(*dirs)
+    if not predicates:
+        return spark.read.parquet(*[os.path.join(path, d) for d in dirs])
+
+    from sstable_migrator_spark.sinks.zonemap import _file_may_match, _OPS
+
+    for _, op, _v in predicates:
+        if op not in _OPS:
+            raise ValueError(f"op {op!r}: supported ops are {_OPS}")
+    file_stats = manifest.get("file_stats", {})
+    sources: list[str] = []
+    for d in dirs:
+        entry = file_stats.get(d)
+        if entry is None or any(
+            c not in entry["stats_cols"] for c, _, _ in predicates
+        ):
+            sources.append(os.path.join(path, d))  # no stats: read whole dir
+            continue
+        for f in entry["files"]:
+            if all(
+                _file_may_match(f["stats"], c, op, val)
+                for c, op, val in predicates
+            ):
+                sources.append(f["path"])
+    base = spark.read.parquet(*sources) if sources else (
+        # everything pruned: an empty frame with the snapshot's schema
+        spark.read.parquet(*[os.path.join(path, d) for d in dirs]).limit(0)
+    )
+    for col, op, value in predicates:
+        if op == "between":
+            base = base.filter(F.col(col).between(value[0], value[1]))
+        else:
+            base = base.filter(
+                {"=": F.col(col) == value, "<": F.col(col) < value,
+                 "<=": F.col(col) <= value, ">": F.col(col) > value,
+                 ">=": F.col(col) >= value}[op]
+            )
+    return base
 
 
 def history(path: str) -> list[dict]:

@@ -40,7 +40,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-__all__ = ["zonemap_write", "zonemap_prune", "zonemap_read"]
+__all__ = ["collect_file_stats", "zonemap_write", "zonemap_prune", "zonemap_read"]
 
 _MANIFEST = "_zonemap.json"
 
@@ -80,6 +80,22 @@ def zonemap_write(
     )
     spark = df.sparkSession
     written = spark.read.parquet(path)
+    files = collect_file_stats(written, stats_cols)
+    manifest = {
+        "stats_cols": stats_cols,
+        "schema": json.loads(written.schema.json()),
+        "files": files,
+    }
+    with open(os.path.join(path, _MANIFEST), "w") as fh:
+        json.dump(manifest, fh)
+    return manifest
+
+
+def collect_file_stats(written: DataFrame, stats_cols: list[str]) -> list[dict]:
+    """Per-FILE min/max/null-count for ``stats_cols`` in one
+    distributed ``input_file_name`` pass — O(files) driver rows, never
+    data rows. Shared by ``zonemap_write`` and the versioned-table
+    manifests (``sinks.versioned.versioned_write(stats_cols=...)``)."""
     aggs = [F.count(F.lit(1)).alias("_rows")]
     for c in stats_cols:
         aggs += [
@@ -100,14 +116,7 @@ def zonemap_write(
                 "nulls": int(r[f"_nulls_{c}"]),
             }
         files.append({"path": r["_f"], "rows": int(r["_rows"]), "stats": stats})
-    manifest = {
-        "stats_cols": stats_cols,
-        "schema": json.loads(written.schema.json()),
-        "files": files,
-    }
-    with open(os.path.join(path, _MANIFEST), "w") as fh:
-        json.dump(manifest, fh)
-    return manifest
+    return files
 
 
 def _file_may_match(stats: dict, col: str, op: str, value) -> bool:

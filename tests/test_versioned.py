@@ -230,3 +230,54 @@ def test_vacuum_grace_period_spares_young_dirs(spark, tmp_path):
     assert removed == []  # everything too young to touch
     removed = vacuum(t, keep_last=1, min_age_s=0)
     assert len(removed) == 1  # explicit no-writers override reclaims it
+
+
+def test_versioned_stats_pruned_read(spark, tmp_path):
+    """Manifest zone maps: stats collected at commit time prune files at
+    read time (visible via inputFiles), results equal the full filter,
+    statless commits are never pruned, and history keeps its stats."""
+    from pyspark.sql import functions as F
+
+    from sstable_migrator_spark.sinks.versioned import read_version, versioned_write
+
+    path = str(tmp_path / "t")
+    df1 = spark.range(0, 1000).select("id", (F.col("id") % 7).alias("m"))
+    v1 = versioned_write(
+        df1.repartitionByRange(4, "id"), path, stats_cols=["id"]
+    )
+    df2 = spark.range(1000, 2000).select("id", (F.col("id") % 7).alias("m"))
+    v2 = versioned_write(
+        df2.repartitionByRange(4, "id"), path, stats_cols=["id"]
+    )
+
+    pruned = read_version(spark, path, predicates=[("id", "between", (1500, 1600))])
+    full = read_version(spark, path).filter(F.col("id").between(1500, 1600))
+    assert sorted(r["id"] for r in pruned.collect()) == sorted(
+        r["id"] for r in full.collect()
+    )
+    # 8 files total (4 per commit); the window fits well under half
+    assert len(pruned.inputFiles()) < 8 - 3
+
+    # time travel keeps v1's stats
+    old = read_version(spark, path, version=v1, predicates=[("id", "<", 100)])
+    assert old.count() == 100
+    assert len(old.inputFiles()) < 4
+
+    # a statless commit joins the snapshot un-prunable but correct
+    df3 = spark.range(2000, 2100).select("id", (F.col("id") % 7).alias("m"))
+    versioned_write(df3.coalesce(1), path)  # no stats_cols
+    got = read_version(spark, path, predicates=[("id", ">=", 1990)])
+    assert sorted(r["id"] for r in got.collect()) == list(range(1990, 2100))
+
+    # all-pruned window returns an empty, schema-correct frame
+    none = read_version(spark, path, version=v2, predicates=[("id", ">", 10_000)])
+    assert none.count() == 0 and none.columns == ["id", "m"]
+
+
+def test_versioned_stats_unknown_op_rejected(spark, tmp_path):
+    from sstable_migrator_spark.sinks.versioned import read_version, versioned_write
+
+    path = str(tmp_path / "t")
+    versioned_write(spark.range(10), path, stats_cols=["id"])
+    with pytest.raises(ValueError, match="supported ops"):
+        read_version(spark, path, predicates=[("id", "!=", 3)])
