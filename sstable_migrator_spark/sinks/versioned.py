@@ -49,6 +49,7 @@ __all__ = [
     "history",
     "rollback",
     "compact",
+    "optimize_zorder",
     "vacuum",
     "merge_upsert",
     "diff_versions",
@@ -235,10 +236,23 @@ def rollback(path: str, version: int) -> int:
     )
 
 
-def compact(spark: SparkSession, path: str, target_file_bytes: int = 134217728) -> int:
+def compact(
+    spark: SparkSession,
+    path: str,
+    target_file_bytes: int = 134217728,
+    stats_cols: list[str] | None = None,
+    order_by: str | None = None,
+) -> int:
     """Fold the accumulated commit directories into one sized rewrite
     and publish it as a new snapshot (op=compact). Old snapshots remain
-    readable — compaction is just another commit."""
+    readable — compaction is just another commit. ``stats_cols``
+    re-collects manifest zone maps for the rewritten files (a rewrite
+    without them would silently turn a stats-pruned table into
+    full-scan reads) and ``order_by`` range-lays-out the rewrite on
+    that column — the default round-robin repartition spreads every
+    value range across every file, which makes min/max stats true but
+    useless (nothing ever prunes); a compaction of a stats-pruned
+    table should order by its pruning column."""
     import math
 
     base_v = _versions(path)[-1]
@@ -255,17 +269,90 @@ def compact(spark: SparkSession, path: str, target_file_bytes: int = 134217728) 
     n_files = max(1, math.ceil(total / target_file_bytes))
     dirname = f"v{uuid.uuid4().hex[:12]}"
     data_dir = os.path.join(path, "data", dirname)
-    df.repartition(n_files).write.mode("error").parquet(data_dir)
+    laid_out = (
+        df.repartitionByRange(n_files, F.col(order_by)).sortWithinPartitions(order_by)
+        if order_by
+        else df.repartition(n_files)
+    )
+    laid_out.write.mode("error").parquet(data_dir)
+    rel = os.path.join("data", dirname)
+    manifest = {"op": "compact", "ts": time.time(), "dirs": [rel]}
+    if stats_cols:
+        from sstable_migrator_spark.sinks.zonemap import collect_file_stats
+
+        written = spark.read.parquet(data_dir)
+        manifest["file_stats"] = {
+            rel: {
+                "stats_cols": list(stats_cols),
+                "files": collect_file_stats(written, list(stats_cols)),
+            }
+        }
     # Conditional publish against the snapshot compact actually read: a
     # commit landing between the read and this publish must surface as
     # ConcurrentWriteError (caller re-reads and retries) — otherwise the
     # compacted manifest, which lists only the compacted directory, would
     # silently drop the concurrent commit's directories (lost update).
-    return _publish(
-        path,
-        {"op": "compact", "ts": time.time(), "dirs": [os.path.join("data", dirname)]},
-        base_version=base_v,
+    return _publish(path, manifest, base_version=base_v)
+
+
+def optimize_zorder(
+    spark: SparkSession,
+    path: str,
+    zorder_cols: list[str],
+    n_files: int = 8,
+    bits: int = 12,
+    stats_cols: list[str] | None = None,
+) -> int:
+    """Delta's OPTIMIZE ZORDER as one versioned commit: read the
+    latest snapshot, rewrite it Morton-interleaved on ``zorder_cols``
+    (every output file covers a narrow range of EVERY layout column —
+    ``sinks.zorder_write``'s layout), hoist fresh zone maps for
+    ``stats_cols`` (default: the layout columns) into the manifest,
+    and publish conditionally against the snapshot that was read.
+    History is untouched; readers see either the old layout or the
+    new one, never a mix. After this, ``read_version(predicates=...)``
+    prunes on ANY of the layout columns, where a linear sort prunes
+    only its leading column."""
+    from pyspark.sql import Window
+
+    from sstable_migrator_spark.sinks import zorder_value
+    from sstable_migrator_spark.sinks.zonemap import collect_file_stats
+
+    base_v = _versions(path)[-1]
+    df = read_version(spark, path, base_v)
+    for c in zorder_cols:
+        if c not in df.columns:
+            raise ValueError(f"zorder column {c!r} not in the table")
+    ranked = df
+    rank_cols = []
+    for c in zorder_cols:
+        rc = f"_zr_{c}"
+        ranked = ranked.withColumn(
+            rc, F.ntile(1 << bits).over(Window.orderBy(F.col(c))) - 1
+        )
+        rank_cols.append(rc)
+    z = ranked.withColumn("_z", zorder_value([F.col(rc) for rc in rank_cols], bits))
+    dirname = f"v{uuid.uuid4().hex[:12]}"
+    data_dir = os.path.join(path, "data", dirname)
+    (
+        z.repartitionByRange(n_files, "_z")
+        .sortWithinPartitions("_z")
+        .drop("_z", *rank_cols)
+        .write.mode("error")
+        .parquet(data_dir)
     )
+    rel = os.path.join("data", dirname)
+    cols = list(stats_cols) if stats_cols else list(zorder_cols)
+    written = spark.read.parquet(data_dir)
+    manifest = {
+        "op": f"optimize_zorder:{','.join(zorder_cols)}",
+        "ts": time.time(),
+        "dirs": [rel],
+        "file_stats": {
+            rel: {"stats_cols": cols, "files": collect_file_stats(written, cols)}
+        },
+    }
+    return _publish(path, manifest, base_version=base_v)
 
 
 def vacuum(path: str, keep_last: int = 1, min_age_s: float = 3600.0) -> list[str]:

@@ -281,3 +281,46 @@ def test_versioned_stats_unknown_op_rejected(spark, tmp_path):
     versioned_write(spark.range(10), path, stats_cols=["id"])
     with pytest.raises(ValueError, match="supported ops"):
         read_version(spark, path, predicates=[("id", "!=", 3)])
+
+
+def test_compact_keeps_stats_and_optimize_zorder(spark, tmp_path):
+    """compact(stats_cols=...) re-collects zone maps for the rewrite;
+    optimize_zorder makes BOTH layout columns prunable where the
+    original linear commits prune only the write order."""
+    from pyspark.sql import functions as F
+
+    from sstable_migrator_spark.sinks.versioned import (
+        compact,
+        optimize_zorder,
+        read_version,
+        versioned_write,
+    )
+
+    path = str(tmp_path / "t")
+    df = spark.range(4000).select(
+        "id",
+        (F.col("id") % 64).alias("a"),
+        ((F.col("id") * 37) % 64).alias("b"),
+    )
+    versioned_write(df.repartitionByRange(4, "id"), path, stats_cols=["id"])
+    v2 = compact(
+        spark, path, target_file_bytes=10_000, stats_cols=["id"], order_by="id"
+    )
+    pruned = read_version(spark, path, predicates=[("id", "<", 500)])
+    total_files = len(read_version(spark, path, version=v2).inputFiles())
+    assert total_files > 1
+    assert len(pruned.inputFiles()) < total_files  # rewrite kept pruning
+    assert pruned.count() == 500
+
+    v3 = optimize_zorder(spark, path, ["a", "b"], n_files=8)
+    full = len(read_version(spark, path, version=v3).inputFiles())
+    assert full == 8
+    for col in ("a", "b"):  # BOTH layout dims prune post-zorder
+        zp = read_version(spark, path, predicates=[(col, "between", (0, 7))])
+        assert len(zp.inputFiles()) < full, col
+        want = sorted(
+            r["id"] for r in df.filter(F.col(col).between(0, 7)).collect()
+        )
+        assert sorted(r["id"] for r in zp.collect()) == want, col
+    # history intact: the pre-optimize snapshot still reads
+    assert read_version(spark, path, version=v2).count() == 4000
