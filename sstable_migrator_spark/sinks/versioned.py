@@ -119,6 +119,7 @@ def versioned_write(
     path: str,
     mode: str = "append",
     stats_cols: list[str] | None = None,
+    txn: tuple[str, int] | None = None,
 ) -> int:
     """Commit ``df`` as a new snapshot. ``append`` keeps the previous
     snapshot's directories; ``overwrite`` starts fresh (old data stays
@@ -130,16 +131,31 @@ def versioned_write(
     ``predicates`` then prunes files at plan time without opening any
     footer. Stats from the base snapshot's directories carry forward
     on append; directories committed without stats are simply never
-    pruned (correctness does not depend on coverage)."""
+    pruned (correctness does not depend on coverage).
+
+    ``txn=(writer_id, epoch)`` makes the append IDEMPOTENT per writer
+    (Delta's txn action): if the latest snapshot already records an
+    epoch >= this one for ``writer_id``, the commit is a no-op
+    returning the current version — which is what lets a Structured
+    Streaming foreachBatch retry replay a micro-batch without
+    double-appending it (``streaming.daily.write_versioned_stream``)."""
     if mode not in ("append", "overwrite"):
         raise ValueError(f"mode must be append|overwrite, got {mode!r}")
-    dirname = f"v{uuid.uuid4().hex[:12]}"
-    data_dir = os.path.join(path, "data", dirname)
+    if txn is not None and mode != "append":
+        raise ValueError("txn idempotence applies to append commits only")
     prev = _versions(path)
     base_v = prev[-1] if prev else 0
+    base_manifest = _load(path, base_v) if (mode == "append" and base_v) else {}
+    txns: dict = dict(base_manifest.get("stream_txn", {}))
+    if txn is not None:
+        writer, epoch = txn
+        if writer in txns and txns[writer] >= epoch:
+            return base_v  # replayed micro-batch: already committed
+        txns[writer] = int(epoch)
+    dirname = f"v{uuid.uuid4().hex[:12]}"
+    data_dir = os.path.join(path, "data", dirname)
     df.write.mode("error").parquet(data_dir)
     rel = os.path.join("data", dirname)
-    base_manifest = _load(path, base_v) if (mode == "append" and base_v) else {}
     base: list[str] = base_manifest.get("dirs", [])
     file_stats: dict = dict(base_manifest.get("file_stats", {}))
     if stats_cols:
@@ -153,6 +169,8 @@ def versioned_write(
     manifest = {"op": mode, "ts": time.time(), "dirs": base + [rel]}
     if file_stats:
         manifest["file_stats"] = file_stats
+    if txns:
+        manifest["stream_txn"] = txns
     return _publish(
         path, manifest, base_version=base_v if mode == "append" else None
     )

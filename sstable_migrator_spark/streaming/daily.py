@@ -594,3 +594,43 @@ def stateful_sessionize_event_time(
         )
     )
 
+
+
+def write_versioned_stream(
+    stream: DataFrame,
+    path: str,
+    checkpoint: str,
+    writer_id: str = "stream",
+    stats_cols: list[str] | None = None,
+):
+    """Stream into a manifest-versioned table: each micro-batch is ONE
+    atomic snapshot commit (``sinks.versioned.versioned_write``), with
+    optional manifest zone maps per batch. Exactly-once across
+    foreachBatch retries comes from the ``txn=(writer_id, batch_id)``
+    idempotence record in the manifest — a replayed batch sees its
+    epoch already committed and no-ops — layered on the streaming
+    checkpoint (which dedups across restarts). Readers time-travel
+    batch history for free and stats-prune with
+    ``read_version(predicates=...)``.
+
+    Returns the started StreamingQuery (availableNow trigger: drains
+    what has arrived then stops — the cron micro-batch shape)."""
+    from sstable_migrator_spark.sinks.versioned import versioned_write
+
+    def _commit(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        versioned_write(
+            batch_df,
+            path,
+            mode="append",
+            stats_cols=stats_cols,
+            txn=(writer_id, int(batch_id)),
+        )
+
+    return (
+        stream.writeStream.foreachBatch(_commit)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -324,3 +324,49 @@ def test_compact_keeps_stats_and_optimize_zorder(spark, tmp_path):
         assert sorted(r["id"] for r in zp.collect()) == want, col
     # history intact: the pre-optimize snapshot still reads
     assert read_version(spark, path, version=v2).count() == 4000
+
+
+def test_versioned_stream_sink_idempotent(spark, tmp_path):
+    """Streaming commits: one snapshot per micro-batch, replayed
+    batches no-op via the manifest txn record, stats prune."""
+    from pyspark.sql import functions as F
+
+    from sstable_migrator_spark.sinks.versioned import (
+        history,
+        read_version,
+        versioned_write,
+    )
+    from sstable_migrator_spark.streaming.daily import write_versioned_stream
+
+    src = tmp_path / "in"
+    src.mkdir()
+    (src / "a.csv").write_text("".join(f"{i},x{i}\n" for i in range(100)))
+    table = str(tmp_path / "table")
+
+    stream = spark.readStream.schema("id long, s string").csv(str(src))
+    q = write_versioned_stream(
+        stream, table, str(tmp_path / "ck"), writer_id="w1", stats_cols=["id"]
+    )
+    q.awaitTermination(120)
+    assert read_version(spark, table).count() == 100
+
+    # second tick with a new file appends exactly its rows
+    (src / "b.csv").write_text("".join(f"{i},y{i}\n" for i in range(100, 150)))
+    q = write_versioned_stream(
+        stream, table, str(tmp_path / "ck"), writer_id="w1", stats_cols=["id"]
+    )
+    q.awaitTermination(120)
+    assert read_version(spark, table).count() == 150
+
+    # a REPLAYED batch epoch no-ops: same writer, stale batch_id
+    n_versions = len(history(table))
+    df = spark.createDataFrame([(999, "dup")], "id long, s string")
+    v = versioned_write(df, table, txn=("w1", 0))
+    assert len(history(table)) == n_versions and v == n_versions
+    assert read_version(spark, table).filter(F.col("id") == 999).count() == 0
+
+    # per-batch stats prune
+    got = read_version(spark, table, predicates=[("id", ">=", 120)])
+    assert got.count() == 30
+    total = len(read_version(spark, table).inputFiles())
+    assert len(got.inputFiles()) < total
