@@ -7969,6 +7969,62 @@ ORACLES.update({"q170_hll_sketch_mv": SQL_HLL_SKETCH_MV})
 
 
 # ---------------------------------------------------------------------------
+# Batch — bloom-prefiltered semi join (runtime row-level filtering)
+# ---------------------------------------------------------------------------
+
+
+def q_bloom_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom semi-join prefilter under the oracle: lineitem is
+    semi-joined to a selective order subset through
+    ``operators.bloomjoin`` — k xxhash64 positions JVM-side, bit
+    probe against a closure-broadcast numpy array, provably-absent
+    keys dropped MAP-SIDE before the semi join's exchange, false
+    positives removed by the exact join. The oracle is the PLAIN semi
+    join rollup, so a single false negative (a matching row the bloom
+    dropped) breaks the hash match — the exactness property that
+    makes the prefilter safe to deploy. At 100 TB the prefilter cuts
+    the big side's shuffle volume by the key-set selectivity (here
+    ~4% of orders) while the filter itself stays megabytes."""
+    from sstable_migrator_spark.operators.bloomjoin import bloom_semi_join
+
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity", "l_returnflag")
+    sel = (
+        _t(spark, sf_dir, "orders")
+        .filter(
+            (F.col("o_custkey") % 25 == 0)
+            & (F.col("o_orderpriority") == "1-URGENT")
+        )
+        .select(F.col("o_orderkey").alias("l_orderkey"))
+    )
+    return (
+        bloom_semi_join(li, sel, "l_orderkey", fpp=0.01)
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("l_orderkey").alias("sum_okey"),
+            F.sum(_dec("l_quantity")).cast("double").alias("sum_qty"),
+        )
+    )
+
+
+SQL_BLOOM_SEMI_JOIN = """
+SELECT l_returnflag,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(l_orderkey) AS BIGINT) AS sum_okey,
+       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+FROM lineitem
+WHERE l_orderkey IN (
+  SELECT o_orderkey FROM orders
+  WHERE o_custkey % 25 = 0 AND o_orderpriority = '1-URGENT')
+GROUP BY l_returnflag
+"""
+
+
+QUERIES.update({"q171_bloom_semi_join": q_bloom_semi_join})
+ORACLES.update({"q171_bloom_semi_join": SQL_BLOOM_SEMI_JOIN})
+
+
+# ---------------------------------------------------------------------------
 # Driver-sample ordering.
 #
 # The round driver's correctness gate checks only the FIRST ~50 catalog
