@@ -8025,6 +8025,58 @@ ORACLES.update({"q171_bloom_semi_join": SQL_BLOOM_SEMI_JOIN})
 
 
 # ---------------------------------------------------------------------------
+# Batch — EXACT mergeable distinct via bitmaps (q170's exact sibling)
+# ---------------------------------------------------------------------------
+
+
+def q_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT mergeable distinct counting — the bitmap answer to the MV
+    problem q170 solves approximately: per (priority, year, bucket),
+    customer ids fold into fixed-width bitmaps
+    (``bitmap_construct_agg`` of ``bitmap_bit_position`` — each bucket
+    covers 2^15 ids, so the state is dense bits, not a hash table);
+    buckets then merge across years with ``bitmap_or_agg`` (bitwise OR
+    is the lossless union — identical ids land on identical bits) and
+    ``bitmap_count`` sums to the EXACT distinct count, hash-matched
+    against COUNT(DISTINCT). This is the Delta/ClickHouse
+    groupBitmap MV pattern: per-day bitmap states are small, merge in
+    O(bits), and unlike HLL give back exact numbers. Shuffles: the
+    two rollups; state per key is bounded by the id-space bucket, not
+    the row count."""
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderpriority", "o_custkey", F.year("o_orderdate").alias("y")
+    )
+    per_bucket = (
+        o.select(
+            "o_orderpriority",
+            "y",
+            F.bitmap_bucket_number("o_custkey").alias("bucket"),
+            F.bitmap_bit_position("o_custkey").alias("pos"),
+        )
+        .groupBy("o_orderpriority", "y", "bucket")
+        .agg(F.bitmap_construct_agg("pos").alias("bm"))
+    )
+    merged = (
+        per_bucket.groupBy("o_orderpriority", "bucket")
+        .agg(F.bitmap_or_agg("bm").alias("bm"))
+        .groupBy("o_orderpriority")
+        .agg(F.sum(F.bitmap_count("bm")).alias("n_distinct"))
+    )
+    return merged
+
+
+SQL_BITMAP_DISTINCT = """
+SELECT o_orderpriority,
+       CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_distinct
+FROM orders GROUP BY o_orderpriority
+"""
+
+
+QUERIES.update({"q172_bitmap_distinct": q_bitmap_distinct})
+ORACLES.update({"q172_bitmap_distinct": SQL_BITMAP_DISTINCT})
+
+
+# ---------------------------------------------------------------------------
 # Driver-sample ordering.
 #
 # The round driver's correctness gate checks only the FIRST ~50 catalog
