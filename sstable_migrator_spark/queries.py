@@ -8077,6 +8077,53 @@ ORACLES.update({"q172_bitmap_distinct": SQL_BITMAP_DISTINCT})
 
 
 # ---------------------------------------------------------------------------
+# Batch — VARIANT semi-structured access (q62's typed successor)
+# ---------------------------------------------------------------------------
+
+
+def q_variant_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured metadata through Spark 4's VARIANT type — the
+    parse-once/extract-many successor to q62's per-path
+    get_json_object: ``parse_json`` builds the binary variant ONCE per
+    row, ``variant_get`` does typed path access (a cast-checked int,
+    not a string), and ``schema_of_variant`` derives the observed
+    shape, whose min==max across every group proves the metadata
+    schema is uniform — the drift check a governed pipeline wants over
+    free-form JSON columns. All JVM-side expressions (no Python); one
+    shuffle for the rollup."""
+    ev = _t(spark, sf_dir, "events")
+    v = ev.select("event_type", F.parse_json("props").alias("v"))
+    return (
+        v.select(
+            "event_type",
+            F.variant_get("v", "$.k", "int").alias("k"),
+            F.schema_of_variant("v").alias("sch"),
+        )
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("k").alias("sum_k"),
+            F.min("sch").alias("schema_min"),
+            F.max("sch").alias("schema_max"),
+        )
+    )
+
+
+SQL_VARIANT_EXTRACT = """
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(CAST(json_extract(props, '$.k') AS INT)) AS BIGINT) AS sum_k,
+       'OBJECT<k: BIGINT>' AS schema_min,
+       'OBJECT<k: BIGINT>' AS schema_max
+FROM events GROUP BY event_type
+"""
+
+
+QUERIES.update({"q173_variant_extract": q_variant_extract})
+ORACLES.update({"q173_variant_extract": SQL_VARIANT_EXTRACT})
+
+
+# ---------------------------------------------------------------------------
 # Driver-sample ordering.
 #
 # The round driver's correctness gate checks only the FIRST ~50 catalog
