@@ -8183,7 +8183,10 @@ _DRIVER_PRIORITY: list[str] = [
     "q145_dup_clusters_star",
     "q47_lang_id",
     "q48_quality_score",
-    "q52_simhash_pairs",
+    # q52_simhash_pairs rotated to local-harness coverage in round 4
+    # (banded near-dup keeps driver evidence via q43_minhash_lsh_pairs);
+    # the slot carries the zone-map data-skipping proof
+    "q169_zonemap_skip",
     "q161_audio_features",
     "q162_video_frame_stats",
     "q164_lsh_recall",
@@ -8204,7 +8207,10 @@ _DRIVER_PRIORITY: list[str] = [
     "q79_decontaminate",
     "q83_semdedup",
     "q132_prefix_jaccard",
-    "q136_containment_pairs",
+    # q136_containment_pairs rotated to local-harness coverage in round 4
+    # (set-similarity pair mining keeps driver evidence via q132); the
+    # slot carries the bloom semi-join exactness proof
+    "q171_bloom_semi_join",
     "q137_salted_join",
 ]
 
