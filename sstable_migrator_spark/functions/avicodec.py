@@ -36,7 +36,13 @@ import numpy as np
 from sstable_migrator_spark.functions.imagecodec import ImageFormatError
 from sstable_migrator_spark.functions.jpegcodec import decode_jpeg, encode_jpeg
 
-__all__ = ["AviFormatError", "avi_meta", "decode_avi", "encode_avi_mjpeg"]
+__all__ = [
+    "AviFormatError",
+    "avi_meta",
+    "decode_avi",
+    "encode_avi_dib",
+    "encode_avi_mjpeg",
+]
 
 
 class AviFormatError(ValueError):
@@ -74,6 +80,7 @@ def _build_container(
     handler: bytes,
     compression: bytes,
     bitcount: int,
+    size_image: int | None = None,
 ) -> bytes:
     """AVI 1.0 assembly shared by the MJPG and DIB encoders: hdrl
     (avih + one vids strl), movi 00dc chunks, idx1 index."""
@@ -109,7 +116,10 @@ def _build_container(
     )
     strf = struct.pack(
         "<IiiHH4sIiiII",
-        40, w, h, 1, bitcount, compression, w * h * (bitcount // 8),
+        40, w, h, 1, bitcount, compression,
+        # BI_RGB decoders treat biSizeImage as authoritative — it must
+        # be the real (stride-padded) frame size, not w*h*bytes
+        size_image if size_image is not None else w * h * (bitcount // 8),
         0, 0, 0, 0,
     )
     hdrl = _list(
@@ -153,7 +163,8 @@ def encode_avi_dib(frames: list[np.ndarray], fps: float = 10.0) -> bytes:
         rows = [f[y, :, ::-1].tobytes() + pad for y in range(h - 1, -1, -1)]
         blobs.append(b"".join(rows))
     return _build_container(
-        blobs, w, h, fps, b"DIB ", b"\x00\x00\x00\x00", 24
+        blobs, w, h, fps, b"DIB ", b"\x00\x00\x00\x00", 24,
+        size_image=stride * h,
     )
 
 
@@ -259,6 +270,10 @@ def avi_meta(data: bytes) -> dict:
 
 def _decode_dib_frame(buf: bytes, w: int, h: int, bpp: int) -> np.ndarray:
     """One BI_RGB frame: bottom-up BGR(A) rows, stride padded to 4."""
+    if w <= 0 or h <= 0:
+        # np.stack over zero rows would raise a bare ValueError for a
+        # crafted zero-dimension header; fail as a format error
+        raise AviFormatError(f"DIB frame geometry {w}x{h} invalid")
     if bpp not in (24, 32):
         raise AviFormatError(f"DIB bpp={bpp} unsupported")
     nch = bpp // 8

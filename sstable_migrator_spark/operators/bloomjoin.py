@@ -64,8 +64,14 @@ def build_bloom(
     shuffle of at most m/64 rows), collect the words. Returns
     ``{"bits": np.uint64[m/64], "m": m, "k": k, "n_keys": n}``.
     NULL keys are ignored (a semi join never matches NULL anyway)."""
-    keys = small.select(F.col(key).alias("_k")).filter(F.col("_k").isNotNull())
-    n = n_keys if n_keys is not None else keys.distinct().count()
+    keys = (
+        small.select(F.col(key).alias("_k"))
+        .filter(F.col("_k").isNotNull())
+        .distinct()  # one pass feeds BOTH the count and the bit build —
+        # hashing duplicate keys would just re-set the same bits while
+        # exploding k positions per duplicate into the shuffle
+    )
+    n = n_keys if n_keys is not None else keys.count()
     m, k = _params(n, fpp)
     words = (
         keys.select(F.explode(_positions(F.col("_k"), m, k)).alias("p"))
@@ -82,7 +88,16 @@ def build_bloom(
     bits = np.zeros((m + 63) // 64, dtype=np.uint64)
     for r in words:
         bits[int(r["w"])] = np.uint64(r["word"] % (1 << 64))
-    return {"bits": bits, "m": m, "k": k, "n_keys": n}
+    return {
+        "bits": bits,
+        "m": m,
+        "k": k,
+        "n_keys": n,
+        # the probe side MUST hash the same type: xxhash64('5') !=
+        # xxhash64(5), and a plain semi join would have coerced the
+        # comparison — a silent type mismatch here means FALSE NEGATIVES
+        "dtype": small.schema[key].dataType.simpleString(),
+    }
 
 
 def bloom_might_contain(bloom: dict, key_col: Column | str) -> Column:
@@ -122,5 +137,13 @@ def bloom_semi_join(
     exact join. Pass a prebuilt ``bloom`` to reuse one filter across
     several joins/jobs."""
     bl = bloom if bloom is not None else build_bloom(small, on, fpp)
+    big_t = big.schema[on].dataType.simpleString()
+    if bl.get("dtype") is not None and big_t != bl["dtype"]:
+        raise ValueError(
+            f"key type mismatch: big[{on!r}] is {big_t}, bloom was built "
+            f"over {bl['dtype']} — xxhash64 hashes the raw type, so the "
+            "prefilter would FALSE-NEGATIVE rows the coerced semi join "
+            "matches; cast one side explicitly first"
+        )
     pre = big.filter(bloom_might_contain(bl, on))
     return pre.join(small.select(on).distinct(), on, "left_semi")

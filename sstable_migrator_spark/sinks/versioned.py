@@ -99,6 +99,17 @@ def _publish(path: str, manifest: dict, base_version: int | None = None) -> int:
             raise ConcurrentWriteError(
                 f"snapshot advanced to v{latest} after reading v{base_version}"
             )
+        # stream_txn records are WRITER PROGRESS, not content: every
+        # commit carries them forward (Delta keeps txn actions through
+        # compact/merge/restore for the same reason) — a maintenance
+        # commit that dropped them would let a replayed micro-batch
+        # double-append after the next stream restart.
+        if latest:
+            prev_txn = _load(path, latest).get("stream_txn")
+            if prev_txn:
+                merged = dict(prev_txn)
+                merged.update(manifest.get("stream_txn", {}))
+                manifest["stream_txn"] = merged
         v = latest + 1
         manifest["version"] = v
         target = os.path.join(_manifest_dir(path), f"v{v:06d}.json")
@@ -164,7 +175,7 @@ def versioned_write(
         written = df.sparkSession.read.parquet(data_dir)
         file_stats[rel] = {
             "stats_cols": list(stats_cols),
-            "files": collect_file_stats(written, list(stats_cols)),
+            "files": collect_file_stats(written, list(stats_cols), root=path),
         }
     manifest = {"op": mode, "ts": time.time(), "dirs": base + [rel]}
     if file_stats:
@@ -190,7 +201,9 @@ def read_version(
     are pruned to the files whose [min, max] intervals could match —
     driver-side integer comparisons, no footers opened — and the
     predicates are then applied exactly to whatever is read.
-    Directories without stats are read in full (never a false skip)."""
+    Directories without stats are read in full, and predicates on
+    columns a directory's stats don't cover simply keep its files
+    (the COVERED predicates still prune) — never a false skip."""
     vs = _versions(path)
     if not vs:
         raise FileNotFoundError(f"no manifests under {path}")
@@ -204,40 +217,36 @@ def read_version(
     if not predicates:
         return spark.read.parquet(*[os.path.join(path, d) for d in dirs])
 
-    from sstable_migrator_spark.sinks.zonemap import _file_may_match, _OPS
+    from sstable_migrator_spark.sinks.zonemap import (
+        _file_may_match,
+        apply_predicates,
+        validate_predicates,
+    )
 
-    for _, op, _v in predicates:
-        if op not in _OPS:
-            raise ValueError(f"op {op!r}: supported ops are {_OPS}")
+    validate_predicates(predicates)
     file_stats = manifest.get("file_stats", {})
     sources: list[str] = []
     for d in dirs:
         entry = file_stats.get(d)
-        if entry is None or any(
-            c not in entry["stats_cols"] for c, _, _ in predicates
-        ):
+        if entry is None:
             sources.append(os.path.join(path, d))  # no stats: read whole dir
             continue
+        # _file_may_match keeps files for any column the stats don't
+        # cover, so mixed covered/uncovered predicates stay correct
         for f in entry["files"]:
             if all(
                 _file_may_match(f["stats"], c, op, val)
                 for c, op, val in predicates
             ):
-                sources.append(f["path"])
+                p = f["path"]
+                sources.append(
+                    p if os.path.isabs(p) or "://" in p else os.path.join(path, p)
+                )
     base = spark.read.parquet(*sources) if sources else (
         # everything pruned: an empty frame with the snapshot's schema
         spark.read.parquet(*[os.path.join(path, d) for d in dirs]).limit(0)
     )
-    for col, op, value in predicates:
-        if op == "between":
-            base = base.filter(F.col(col).between(value[0], value[1]))
-        else:
-            base = base.filter(
-                {"=": F.col(col) == value, "<": F.col(col) < value,
-                 "<=": F.col(col) <= value, ">": F.col(col) > value,
-                 ">=": F.col(col) >= value}[op]
-            )
-    return base
+    return apply_predicates(base, predicates)
 
 
 def history(path: str) -> list[dict]:
@@ -246,12 +255,14 @@ def history(path: str) -> list[dict]:
 
 def rollback(path: str, version: int) -> int:
     """Publish a NEW snapshot whose content is an old version's —
-    history is never rewritten, exactly like Delta's RESTORE."""
+    history is never rewritten, exactly like Delta's RESTORE. The
+    restored version's file_stats ride along (a restore that dropped
+    them would silently turn a stats-pruned table into full scans)."""
     old = _load(path, version)
-    return _publish(
-        path,
-        {"op": f"rollback:{version}", "ts": time.time(), "dirs": old["dirs"]},
-    )
+    manifest = {"op": f"rollback:{version}", "ts": time.time(), "dirs": old["dirs"]}
+    if old.get("file_stats"):
+        manifest["file_stats"] = old["file_stats"]
+    return _publish(path, manifest)
 
 
 def compact(
@@ -302,7 +313,7 @@ def compact(
         manifest["file_stats"] = {
             rel: {
                 "stats_cols": list(stats_cols),
-                "files": collect_file_stats(written, list(stats_cols)),
+                "files": collect_file_stats(written, list(stats_cols), root=path),
             }
         }
     # Conditional publish against the snapshot compact actually read: a
@@ -331,9 +342,7 @@ def optimize_zorder(
     new one, never a mix. After this, ``read_version(predicates=...)``
     prunes on ANY of the layout columns, where a linear sort prunes
     only its leading column."""
-    from pyspark.sql import Window
-
-    from sstable_migrator_spark.sinks import zorder_value
+    from sstable_migrator_spark.sinks import zorder_write
     from sstable_migrator_spark.sinks.zonemap import collect_file_stats
 
     base_v = _versions(path)[-1]
@@ -341,24 +350,11 @@ def optimize_zorder(
     for c in zorder_cols:
         if c not in df.columns:
             raise ValueError(f"zorder column {c!r} not in the table")
-    ranked = df
-    rank_cols = []
-    for c in zorder_cols:
-        rc = f"_zr_{c}"
-        ranked = ranked.withColumn(
-            rc, F.ntile(1 << bits).over(Window.orderBy(F.col(c))) - 1
-        )
-        rank_cols.append(rc)
-    z = ranked.withColumn("_z", zorder_value([F.col(rc) for rc in rank_cols], bits))
     dirname = f"v{uuid.uuid4().hex[:12]}"
     data_dir = os.path.join(path, "data", dirname)
-    (
-        z.repartitionByRange(n_files, "_z")
-        .sortWithinPartitions("_z")
-        .drop("_z", *rank_cols)
-        .write.mode("error")
-        .parquet(data_dir)
-    )
+    # the Morton layout itself is sinks.zorder_write — ONE implementation
+    # of the rank/interleave/range-write pipeline
+    zorder_write(df, data_dir, zorder_cols, n_files=n_files, bits=bits, mode="error")
     rel = os.path.join("data", dirname)
     cols = list(stats_cols) if stats_cols else list(zorder_cols)
     written = spark.read.parquet(data_dir)
@@ -367,7 +363,7 @@ def optimize_zorder(
         "ts": time.time(),
         "dirs": [rel],
         "file_stats": {
-            rel: {"stats_cols": cols, "files": collect_file_stats(written, cols)}
+            rel: {"stats_cols": cols, "files": collect_file_stats(written, cols, root=path)}
         },
     }
     return _publish(path, manifest, base_version=base_v)

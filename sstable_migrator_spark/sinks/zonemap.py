@@ -80,7 +80,7 @@ def zonemap_write(
     )
     spark = df.sparkSession
     written = spark.read.parquet(path)
-    files = collect_file_stats(written, stats_cols)
+    files = collect_file_stats(written, stats_cols, root=path)
     manifest = {
         "stats_cols": stats_cols,
         "schema": json.loads(written.schema.json()),
@@ -91,11 +91,51 @@ def zonemap_write(
     return manifest
 
 
-def collect_file_stats(written: DataFrame, stats_cols: list[str]) -> list[dict]:
+def _relativize(uri: str, root: str) -> str:
+    """Store file paths RELATIVE to the table root so manifests survive
+    a directory move/copy (the reason versioned manifests keep relative
+    dirs); absolute input_file_name URIs would break — or silently read
+    a stale location — after relocation."""
+    from urllib.parse import unquote, urlparse
+
+    p = unquote(urlparse(uri).path) if "://" in uri else uri
+    root_abs = os.path.abspath(root)
+    if p.startswith(root_abs + os.sep):
+        return os.path.relpath(p, root_abs)
+    return p  # outside the root: keep as-is (never silently wrong)
+
+
+def validate_predicates(predicates: list[tuple]) -> None:
+    for _, op, _v in predicates:
+        if op not in _OPS:
+            raise ValueError(f"op {op!r}: supported ops are {_OPS}")
+
+
+def apply_predicates(df: DataFrame, predicates: list[tuple]) -> DataFrame:
+    """Apply the ``(col, op, value)`` conjunction EXACTLY — the manifest
+    prunes, this decides. Shared by zonemap_read and
+    versioned.read_version so the predicate grammar cannot drift."""
+    for col, op, value in predicates:
+        if op == "between":
+            df = df.filter(F.col(col).between(value[0], value[1]))
+        else:
+            df = df.filter(
+                {"=": F.col(col) == value, "<": F.col(col) < value,
+                 "<=": F.col(col) <= value, ">": F.col(col) > value,
+                 ">=": F.col(col) >= value}[op]
+            )
+    return df
+
+
+def collect_file_stats(
+    written: DataFrame, stats_cols: list[str], root: str | None = None
+) -> list[dict]:
     """Per-FILE min/max/null-count for ``stats_cols`` in one
     distributed ``input_file_name`` pass — O(files) driver rows, never
     data rows. Shared by ``zonemap_write`` and the versioned-table
-    manifests (``sinks.versioned.versioned_write(stats_cols=...)``)."""
+    manifests (``sinks.versioned.versioned_write(stats_cols=...)``).
+    With ``root``, stored paths are made relative to it (relocatable
+    manifests)."""
     aggs = [F.count(F.lit(1)).alias("_rows")]
     for c in stats_cols:
         aggs += [
@@ -115,7 +155,8 @@ def collect_file_stats(written: DataFrame, stats_cols: list[str]) -> list[dict]:
                 "max": _to_plain(r[f"_max_{c}"]),
                 "nulls": int(r[f"_nulls_{c}"]),
             }
-        files.append({"path": r["_f"], "rows": int(r["_rows"]), "stats": stats})
+        path = _relativize(r["_f"], root) if root else r["_f"]
+        files.append({"path": path, "rows": int(r["_rows"]), "stats": stats})
     return files
 
 
@@ -156,9 +197,8 @@ def zonemap_prune(
     tuple), plus a pruning report."""
     with open(os.path.join(path, _MANIFEST)) as fh:
         manifest = json.load(fh)
-    for col, op, _ in predicates:
-        if op not in _OPS:
-            raise ValueError(f"op {op!r}: supported ops are {_OPS}")
+    validate_predicates(predicates)
+    for col, _op, _ in predicates:
         if col not in manifest["stats_cols"]:
             raise ValueError(
                 f"column {col!r} has no zone-map stats "
@@ -168,7 +208,9 @@ def zonemap_prune(
     rows_kept = 0
     for f in manifest["files"]:
         if all(_file_may_match(f["stats"], c, op, v) for c, op, v in predicates):
-            keep.append(f["path"])
+            # stored relative (relocatable manifests); returned absolute
+            p = f["path"]
+            keep.append(p if os.path.isabs(p) or "://" in p else os.path.join(path, p))
             rows_kept += f["rows"]
     report = {
         "files_total": len(manifest["files"]),
@@ -192,18 +234,4 @@ def zonemap_read(
         schema = T.StructType.fromJson(json.load(fh)["schema"])
     if not keep:
         return spark.createDataFrame([], schema)
-    df = spark.read.schema(schema).parquet(*keep)
-    for col, op, value in predicates:
-        if op == "between":
-            df = df.filter(F.col(col).between(value[0], value[1]))
-        elif op == "=":
-            df = df.filter(F.col(col) == value)
-        elif op == "<":
-            df = df.filter(F.col(col) < value)
-        elif op == "<=":
-            df = df.filter(F.col(col) <= value)
-        elif op == ">":
-            df = df.filter(F.col(col) > value)
-        elif op == ">=":
-            df = df.filter(F.col(col) >= value)
-    return df
+    return apply_predicates(spark.read.schema(schema).parquet(*keep), predicates)

@@ -163,3 +163,34 @@ def test_dib_roundtrip_lossless():
     for d, f in zip(dec, frames):
         assert np.array_equal(d["pixels"], f)
     assert dec[0]["delay_ms"] == 125
+
+
+def test_dib_zero_geometry_rejected():
+    avi = bytearray(encode_avi_mjpeg(_frames(1), fps=10.0))
+    # turn it into a BI_RGB stream claiming height 0
+    strf_at = bytes(avi).index(b"strf")
+    import struct as _s
+
+    _s.pack_into("<i", avi, strf_at + 8 + 8, 0)  # biHeight = 0
+    comp_at = bytes(avi).index(b"MJPG", strf_at)
+    avi[comp_at : comp_at + 4] = b"\x00\x00\x00\x00"
+    strh_at = bytes(avi).index(b"MJPG")
+    avi[strh_at : strh_at + 4] = b"DIB "
+    avih_at = bytes(avi).index(b"avih")
+    _s.pack_into("<I", avi, avih_at + 8 + 36, 0)  # dwHeight = 0
+    with pytest.raises(AviFormatError, match="geometry|frames"):
+        decode_avi(bytes(avi))
+
+
+def test_dib_size_image_is_stride_padded():
+    """biSizeImage must be the real stride-padded frame size (the
+    authoritative value for BI_RGB), not w*h*3."""
+    import struct as _s
+
+    from sstable_migrator_spark.functions.avicodec import encode_avi_dib
+
+    avi = encode_avi_dib(_frames(1, h=13, w=17), fps=10.0)
+    strf_at = avi.index(b"strf")
+    (size_image,) = _s.unpack_from("<I", avi, strf_at + 8 + 20)
+    stride = (17 * 3 + 3) & ~3
+    assert size_image == stride * 13 == 676  # not 663

@@ -70,3 +70,13 @@ def test_bad_fpp_rejected(spark):
     small = spark.range(5).select(F.col("id").alias("k"))
     with pytest.raises(ValueError, match="fpp"):
         build_bloom(small, "k", fpp=1.5)
+
+
+def test_key_type_mismatch_rejected(spark):
+    """xxhash64 hashes the raw type: string '5' != bigint 5, so a
+    coerced-equality semi join would match rows the bloom drops —
+    the mismatch must fail loudly, not false-negative silently."""
+    big = spark.createDataFrame([("5",), ("6",)], "k string")
+    small = spark.range(5, 7).select(F.col("id").alias("k"))
+    with pytest.raises(ValueError, match="type mismatch"):
+        bloom_semi_join(big, small, "k")

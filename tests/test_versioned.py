@@ -370,3 +370,84 @@ def test_versioned_stream_sink_idempotent(spark, tmp_path):
     assert got.count() == 30
     total = len(read_version(spark, table).inputFiles())
     assert len(got.inputFiles()) < total
+
+
+def test_stream_txn_survives_maintenance_commits(spark, tmp_path):
+    """compact / optimize_zorder / rollback / overwrite must carry the
+    txn records forward — a maintenance commit that dropped them would
+    let a replayed micro-batch double-append."""
+    from sstable_migrator_spark.sinks.versioned import (
+        compact,
+        optimize_zorder,
+        rollback,
+        versioned_write,
+    )
+
+    t = str(tmp_path / "t")
+    df = spark.range(100).selectExpr("id", "id % 7 AS m")
+    versioned_write(df, t, txn=("w1", 7))
+    compact(spark, t, order_by="id")
+    v = versioned_write(spark.range(100, 101).selectExpr("id", "id % 7 AS m"),
+                        t, txn=("w1", 7))  # replay AFTER compact: must no-op
+    assert read_version(spark, t).count() == 100
+    assert history(t)[-1]["version"] == v  # no new commit
+
+    optimize_zorder(spark, t, ["id"], n_files=2)
+    rollback(t, 1)
+    v2 = versioned_write(spark.range(200, 201).selectExpr("id", "id % 7 AS m"),
+                         t, txn=("w1", 6))  # still stale after optimize+rollback
+    assert read_version(spark, t).filter("id >= 200").count() == 0
+    assert history(t)[-1]["version"] == v2
+
+
+def test_rollback_restores_file_stats(spark, tmp_path):
+    from sstable_migrator_spark.sinks.versioned import rollback, versioned_write
+
+    t = str(tmp_path / "t")
+    versioned_write(
+        spark.range(1000).repartitionByRange(4, "id"), t, stats_cols=["id"]
+    )
+    versioned_write(spark.range(1000, 1001), t, mode="overwrite")
+    rollback(t, 1)
+    pruned = read_version(spark, t, predicates=[("id", "<", 100)])
+    assert pruned.count() == 100
+    assert len(pruned.inputFiles()) < 4  # stats survived the restore
+
+
+def test_stats_survive_directory_move(spark, tmp_path):
+    """Manifests store RELATIVE file paths: a moved/copied table keeps
+    pruning (absolute input_file_name URIs would point at the old
+    location)."""
+    import shutil
+
+    from sstable_migrator_spark.sinks.versioned import versioned_write
+
+    t1 = str(tmp_path / "orig")
+    versioned_write(
+        spark.range(1000).repartitionByRange(4, "id"), t1, stats_cols=["id"]
+    )
+    t2 = str(tmp_path / "moved")
+    shutil.move(t1, t2)
+    pruned = read_version(spark, t2, predicates=[("id", "<", 100)])
+    assert pruned.count() == 100
+    assert len(pruned.inputFiles()) < 4
+    assert all(str(tmp_path / "moved") in f for f in pruned.inputFiles())
+
+
+def test_mixed_covered_uncovered_predicates_still_prune(spark, tmp_path):
+    """A predicate on an unindexed column must not disable pruning for
+    the indexed one."""
+    from sstable_migrator_spark.sinks.versioned import versioned_write
+
+    t = str(tmp_path / "t")
+    versioned_write(
+        spark.range(1000).selectExpr("id", "id % 7 AS m").repartitionByRange(4, "id"),
+        t, stats_cols=["id"],
+    )
+    got = read_version(
+        spark, t, predicates=[("id", "<", 100), ("m", "=", 3)]
+    )
+    assert sorted(r["id"] for r in got.collect()) == [
+        i for i in range(100) if i % 7 == 3
+    ]
+    assert len(got.inputFiles()) < 4  # id predicate still pruned
