@@ -103,25 +103,34 @@ def build_bloom(
 def bloom_might_contain(bloom: dict, key_col: Column | str) -> Column:
     """Boolean probe column: TRUE when every one of the key's k bloom
     bits is set (i.e. the key MIGHT be in the set; definitely-absent
-    keys are FALSE). NULL keys probe FALSE."""
+    keys are FALSE). NULL keys probe FALSE.
+
+    The k positions arrive as k SEPARATE long columns (not one array
+    column): Arrow hands the UDF contiguous int64 buffers, where an
+    array column materializes a Python list per row and the np.stack
+    over those object arrays dominated the probe wall time."""
     bits = bloom["bits"]
     m, k = bloom["m"], bloom["k"]
 
     @pandas_udf("boolean")
-    def _probe(pos: pd.Series) -> pd.Series:
-        out = np.zeros(len(pos), dtype=bool)
-        valid = pos.notna()
-        if valid.any():
-            arr = np.stack(pos[valid].to_numpy())  # (rows, k) int64
-            word = bits[(arr // 64)]
+    def _probe(*pos_cols: pd.Series) -> pd.Series:
+        ok: np.ndarray | None = None
+        for s in pos_cols:
+            arr = s.to_numpy(np.int64)
+            word = bits[arr // 64]
             bit = np.uint64(1) << (arr % 64).astype(np.uint64)
-            out[valid.to_numpy()] = ((word & bit) != 0).all(axis=1)
-        return pd.Series(out)
+            hit = (word & bit) != 0
+            ok = hit if ok is None else (ok & hit)
+        return pd.Series(ok)
 
     col = F.col(key_col) if isinstance(key_col, str) else key_col
-    return F.when(col.isNull(), F.lit(False)).otherwise(
-        _probe(_positions(col, m, k))
-    )
+    # NULL keys: the outer when() forces FALSE; coalescing the position
+    # to 0 just keeps the UDF input non-null (int64-packable)
+    pos_cols = [
+        F.coalesce(F.pmod(F.xxhash64(col, F.lit(s)), F.lit(m)), F.lit(0))
+        for s in range(k)
+    ]
+    return F.when(col.isNull(), F.lit(False)).otherwise(_probe(*pos_cols))
 
 
 def bloom_semi_join(
@@ -136,7 +145,15 @@ def bloom_semi_join(
     before the semi join's shuffle; false positives are removed by the
     exact join. Pass a prebuilt ``bloom`` to reuse one filter across
     several joins/jobs."""
-    bl = bloom if bloom is not None else build_bloom(small, on, fpp)
+    if bloom is None:
+        # pin the distinct key set ONCE: it feeds the size count, the
+        # bit build, and the exact semi join — without the checkpoint
+        # the small side's whole subtree re-executes for each of the
+        # three jobs
+        small = small.select(on).distinct().localCheckpoint()
+        bl = build_bloom(small, on, fpp, n_keys=small.count())
+    else:
+        bl = bloom
     big_t = big.schema[on].dataType.simpleString()
     if bl.get("dtype") is not None and big_t != bl["dtype"]:
         raise ValueError(

@@ -7984,7 +7984,12 @@ def q_bloom_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     dropped) breaks the hash match — the exactness property that
     makes the prefilter safe to deploy. At 100 TB the prefilter cuts
     the big side's shuffle volume by the key-set selectivity (here
-    ~4% of orders) while the filter itself stays megabytes."""
+    ~4% of orders) while the filter itself stays megabytes. Honest
+    local caveat: at sf0.1 the plain broadcast semi join is faster —
+    the bloom build's two extra jobs plus the probe's python-worker
+    round trip only pay once the small side is too big to broadcast
+    and the big side's exchange is the bottleneck, which is exactly
+    the regime this operator exists for."""
     from sstable_migrator_spark.operators.bloomjoin import bloom_semi_join
 
     li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity", "l_returnflag")
