@@ -8129,6 +8129,81 @@ ORACLES.update({"q173_variant_extract": SQL_VARIANT_EXTRACT})
 
 
 # ---------------------------------------------------------------------------
+# Batch — K1 end-to-end under the oracle: ring-routed SSTable round-trip
+# ---------------------------------------------------------------------------
+
+
+def q_sstable_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ENTIRE K1 path under the driver's hash gate: a customer
+    slice is written as REAL BIG-format SSTables through the
+    distributed path (``sinks.ring.write_sstables`` — exact Murmur3
+    token col, vnode-ring routing, one Arrow-serialized sstable per
+    token range, external-sort writers), then every range's sstable is
+    parsed BACK by the independent binary reader (types re-derived
+    from Statistics.db, index offsets cross-checked, digest
+    recomputed, bloom evaluated) and the recovered rows must
+    hash-match the plain SQL slice — so a single flipped bit anywhere
+    in the format pipeline (vint codec, clustering encode, chunked
+    deflate, token order) breaks the driver gate. ``verified`` pins
+    that index/digest/bloom checks passed for every sstable. The
+    read-back walks O(ranges) files driver-side over a bounded slice —
+    the write itself is the distributed product."""
+    import os
+    import tempfile
+
+    from sstable_migrator_spark.sinks.ring import build_ring, write_sstables
+    from sstable_migrator_spark.sinks.sstable_format import read_sstable
+
+    cust = (
+        _t(spark, sf_dir, "customer")
+        .filter(F.col("c_custkey") % 40 == 0)
+        .select("c_custkey", "c_name", "c_nationkey")
+    )
+    path = tempfile.mkdtemp(prefix="sstable-q174-")
+    ring = build_ring(["n1", "n2", "n3"], vnodes_per_node=4)
+    write_sstables(
+        cust, path, keyspace="ks", table="cust",
+        partition_key=["c_custkey"], clustering=[], ring=ring, rf=2,
+    )
+    rows = []
+    all_ok = True
+    for d in sorted(os.listdir(path)):
+        if not d.startswith("cass_range="):
+            continue
+        full = os.path.join(path, d)
+        if not any(f.endswith("-TOC.txt") for f in os.listdir(full)):
+            continue  # empty range: no sstable written
+        got = read_sstable(full, verify=True)
+        all_ok = all_ok and got["index_ok"] and got["digest_ok"] and (
+            got["bloom_all_present"] and got["crc_ok"]
+        )
+        for p in got["partitions"]:
+            cells = p["rows"][0]["cells"]
+            rows.append(
+                (
+                    int.from_bytes(p["key"], "big", signed=True),
+                    cells["c_name"],
+                    cells["c_nationkey"],
+                )
+            )
+    out = spark.createDataFrame(
+        rows, "c_custkey long, c_name string, c_nationkey int"
+    )
+    return out.withColumn("verified", F.lit(int(all_ok)))
+
+
+SQL_SSTABLE_ROUNDTRIP = """
+SELECT c_custkey, c_name, CAST(c_nationkey AS INT) AS c_nationkey,
+       CAST(1 AS INT) AS verified
+FROM customer WHERE c_custkey % 40 = 0
+"""
+
+
+QUERIES.update({"q174_sstable_roundtrip": q_sstable_roundtrip})
+ORACLES.update({"q174_sstable_roundtrip": SQL_SSTABLE_ROUNDTRIP})
+
+
+# ---------------------------------------------------------------------------
 # Driver-sample ordering.
 #
 # The round driver's correctness gate checks only the FIRST ~50 catalog
