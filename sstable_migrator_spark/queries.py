@@ -8267,7 +8267,11 @@ _DRIVER_PRIORITY: list[str] = [
     # (banded near-dup keeps driver evidence via q43_minhash_lsh_pairs);
     # the slot carries the zone-map data-skipping proof
     "q169_zonemap_skip",
-    "q161_audio_features",
+    # q161_audio_features rotated to local-harness coverage in round 4
+    # (the codec-oracle family keeps in-head evidence via q157/q162/
+    # q168); the slot carries the K1 binary round-trip — the
+    # reference's core output artifact, driver-gated end to end
+    "q174_sstable_roundtrip",
     "q162_video_frame_stats",
     "q164_lsh_recall",
     "q165_ann_recall",
