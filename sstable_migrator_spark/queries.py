@@ -21,7 +21,7 @@ from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from sstable_migrator_spark.functions import text as TX
@@ -8201,6 +8201,110 @@ FROM customer WHERE c_custkey % 40 = 0
 
 QUERIES.update({"q174_sstable_roundtrip": q_sstable_roundtrip})
 ORACLES.update({"q174_sstable_roundtrip": SQL_SSTABLE_ROUNDTRIP})
+
+
+# ---------------------------------------------------------------------------
+# Batch — Count-Min heavy hitters (third mergeable-sketch family member:
+# HLL q170 approximates distinct, bitmap q172 makes it exact, CMS q175
+# approximates FREQUENCY — the sketch a 100 TB pipeline uses to find hot
+# keys without a full groupBy over the key space)
+# ---------------------------------------------------------------------------
+
+_CMS_D, _CMS_W, _CMS_TOPK = 4, 64, 10
+
+
+def _cms_bucket(i: int, key_str: Column) -> Column:
+    """Row i of the CMS: portable md5-derived hash of ``key:i`` reduced
+    mod w. Same 15-hex-digit conv trick the MinHash family uses, so the
+    DuckDB oracle reproduces the bucket bit-for-bit."""
+    h = F.conv(
+        F.substring(F.md5(F.concat_ws(":", key_str, F.lit(str(i)))), 1, 15), 16, 10
+    ).cast("long")
+    return (h % _CMS_W).cast("int")
+
+
+def q_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min-Sketch heavy hitters over ``events.user_id``. The
+    sketch is a d x w counter table built with ONE hash-partial
+    aggregation: posexplode the d row-buckets per event (pipelined, never
+    materialized), then groupBy (i, bucket) with map-side combine — each
+    executor emits at most d*w=256 partial rows no matter how many events
+    it holds, so the shuffle is O(d*w * n_partitions) bytes, independent
+    of data size, and two sketches merge by adding counters (the
+    mergeability HLL gives distinct-count, applied to frequency). The
+    estimate for a key is min over the d rows — one-sided: never an
+    undercount. The query probes the exact top-k keys and emits exact
+    count, CMS estimate, overestimate (collision mass), and the proven
+    ``cms_est >= exact`` flag; the DuckDB oracle rebuilds the identical
+    sketch, so every counter collision is hash-matched, not just the
+    bound. At 100 TB the exact branch (a full groupBy over the key
+    space) is exactly what you would NOT run — the sketch replaces it;
+    it is computed here as the in-query proof, the q170 pattern.
+    Reference analog: the group-count top-k analytics family
+    (clickhouse_queries.md:35-43) at a scale where exact counting is a
+    luxury."""
+    ev = _t(spark, sf_dir, "events").select("user_id")
+    key = F.col("user_id").cast("string")
+    pairs = ev.select(
+        F.posexplode(F.array(*[_cms_bucket(i, key) for i in range(_CMS_D)])).alias(
+            "i", "bucket"
+        )
+    )
+    cms = pairs.groupBy("i", "bucket").agg(F.count("*").alias("c"))
+    exact = ev.groupBy("user_id").agg(F.count("*").alias("exact_cnt"))
+    top = exact.orderBy(F.desc("exact_cnt"), "user_id").limit(_CMS_TOPK)
+    probes = top.select(
+        "user_id",
+        "exact_cnt",
+        F.posexplode(F.array(*[_cms_bucket(i, key) for i in range(_CMS_D)])).alias(
+            "i", "bucket"
+        ),
+    )
+    return (
+        probes.join(F.broadcast(cms), ["i", "bucket"])
+        .groupBy("user_id", "exact_cnt")
+        .agg(F.min("c").alias("_est"))
+        .select(
+            "user_id",
+            "exact_cnt",
+            F.col("_est").cast("long").alias("cms_est"),
+            (F.col("_est") - F.col("exact_cnt")).cast("long").alias("overestimate"),
+            (F.col("_est") >= F.col("exact_cnt")).cast("int").alias("one_sided_ok"),
+        )
+    )
+
+
+_SQL_CMS_HASHES = "SELECT unnest([0, 1, 2, 3]) AS i"
+
+_SQL_CMS_BUCKET = (
+    "CAST(concat('0x', substr(md5(concat(CAST(user_id AS VARCHAR), ':', "
+    "CAST(i AS VARCHAR))), 1, 15)) AS BIGINT) % 64"
+)
+
+SQL_CMS_HEAVY_HITTERS = f"""
+WITH cms AS (
+  SELECT i, {_SQL_CMS_BUCKET} AS bucket, count(*) AS c
+  FROM events CROSS JOIN ({_SQL_CMS_HASHES}) hs
+  GROUP BY 1, 2
+),
+exact AS (SELECT user_id, count(*) AS exact_cnt FROM events GROUP BY 1),
+top AS (SELECT * FROM exact ORDER BY exact_cnt DESC, user_id LIMIT 10),
+probe AS (
+  SELECT user_id, exact_cnt, i, {_SQL_CMS_BUCKET} AS bucket
+  FROM top CROSS JOIN ({_SQL_CMS_HASHES}) hs
+)
+SELECT p.user_id, p.exact_cnt,
+       CAST(min(c.c) AS BIGINT) AS cms_est,
+       CAST(min(c.c) - p.exact_cnt AS BIGINT) AS overestimate,
+       CAST(CASE WHEN min(c.c) >= p.exact_cnt THEN 1 ELSE 0 END AS INT)
+         AS one_sided_ok
+FROM probe p JOIN cms c ON p.i = c.i AND p.bucket = c.bucket
+GROUP BY p.user_id, p.exact_cnt
+"""
+
+
+QUERIES.update({"q175_cms_heavy_hitters": q_cms_heavy_hitters})
+ORACLES.update({"q175_cms_heavy_hitters": SQL_CMS_HEAVY_HITTERS})
 
 
 # ---------------------------------------------------------------------------
