@@ -8308,6 +8308,99 @@ ORACLES.update({"q175_cms_heavy_hitters": SQL_CMS_HEAVY_HITTERS})
 
 
 # ---------------------------------------------------------------------------
+# Batch — distribution drift (day-over-day divergence of the event-type
+# mix vs the all-time mix; the statistical sibling of the governed
+# pipeline's schema-drift check in sinks/versioned.py)
+# ---------------------------------------------------------------------------
+
+
+def q_distribution_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution drift monitor: for every (day, event_type) cell,
+    compare the day's type share against the all-time share and flag
+    cells deviating by more than 5 percentage points. All four grouping
+    levels — cell counts, day totals, type totals, grand total — hang
+    off ONE base-table pass: a plain (day, type) hash aggregation (the
+    only data-sized shuffle), then three window sums over the RESULT,
+    which is the bounded days x types relation (a year of a 5-type
+    stream is ~1800 rows at any corpus size). A DataFrame DAG fan-out
+    (cell + three re-aggregated branches, or a cube self-join) would
+    rescan the base table per branch — per-branch column pruning makes
+    the subtrees non-identical, so exchange reuse never fires; the
+    linear window form cannot rescan by construction. The grand-total
+    window is unpartitioned over that bounded relation (allowlisted in
+    the plan audit with q96/q149/q152, the other bounded scalar
+    windows). The divergence itself is the total-variation / L1
+    building block kept EXACT: the 5% threshold
+    ``|c_cell/n_day - c_type/n_all| > 1/20`` is cross-multiplied into
+    ``20*|c_cell*n_all - c_type*n_day| > n_day*n_all`` over
+    DECIMAL(18,0) operands (products are DECIMAL(37,0) — exact to
+    ~1e18 events, i.e. past 100 TB; no float division enters the
+    query), so the oracle hash-matches every flag, not a tolerance.
+    Reference analog: the run-log/monitoring family (K7/K8) applied to
+    the corpus itself — "did today's crawl mix shift?"."""
+    ev = _t(spark, sf_dir, "events").select(
+        F.to_date("ts").alias("d"), "event_type"
+    )
+    cell = ev.groupBy("d", "event_type").agg(F.count(F.lit(1)).alias("c_cell"))
+
+    def dec(name: str) -> Column:
+        return F.col(name).cast("decimal(18,0)")
+
+    dev = F.abs(dec("c_cell") * dec("n_all") - dec("c_type") * dec("n_day"))
+    return (
+        cell.select(
+            "d",
+            "event_type",
+            "c_cell",
+            F.sum("c_cell").over(Window.partitionBy("d")).alias("n_day"),
+            F.sum("c_cell").over(Window.partitionBy("event_type")).alias("c_type"),
+            F.sum("c_cell").over(Window.partitionBy()).alias("n_all"),
+        )
+        .select(
+            "d",
+            "event_type",
+            F.col("c_cell").cast("long").alias("c_cell"),
+            F.col("n_day").cast("long").alias("n_day"),
+            F.col("c_type").cast("long").alias("c_type"),
+            F.col("n_all").cast("long").alias("n_all"),
+            dev.cast("decimal(38,0)").alias("l1_dev"),
+            (dev * F.lit(20) > dec("n_day") * dec("n_all"))
+            .cast("int")
+            .alias("drifted"),
+        )
+    )
+
+
+SQL_DISTRIBUTION_DRIFT = """
+WITH cell AS (
+  SELECT CAST(ts AS DATE) AS d, event_type, count(*) AS c_cell
+  FROM events GROUP BY 1, 2
+),
+day_tot AS (SELECT d, sum(c_cell) AS n_day FROM cell GROUP BY 1),
+type_tot AS (SELECT event_type, sum(c_cell) AS c_type FROM cell GROUP BY 1),
+grand AS (SELECT sum(c_cell) AS n_all FROM cell)
+SELECT c.d, c.event_type,
+       CAST(c.c_cell AS BIGINT) AS c_cell,
+       CAST(dt.n_day AS BIGINT) AS n_day,
+       CAST(tt.c_type AS BIGINT) AS c_type,
+       CAST(g.n_all AS BIGINT) AS n_all,
+       CAST(ABS(c.c_cell * g.n_all - tt.c_type * dt.n_day)
+            AS DECIMAL(38, 0)) AS l1_dev,
+       CAST(CASE WHEN 20 * ABS(c.c_cell * g.n_all - tt.c_type * dt.n_day)
+                      > dt.n_day * g.n_all
+                 THEN 1 ELSE 0 END AS INT) AS drifted
+FROM cell c
+JOIN day_tot dt USING (d)
+JOIN type_tot tt USING (event_type)
+CROSS JOIN grand g
+"""
+
+
+QUERIES.update({"q176_distribution_drift": q_distribution_drift})
+ORACLES.update({"q176_distribution_drift": SQL_DISTRIBUTION_DRIFT})
+
+
+# ---------------------------------------------------------------------------
 # Driver-sample ordering.
 #
 # The round driver's correctness gate checks only the FIRST ~50 catalog

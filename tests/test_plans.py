@@ -146,7 +146,7 @@ def test_plan_audit_roundrobin_and_single_partition_allowlist():
     round-robin exchange is allowed ONLY in queries that stage the
     documents scan through the documented `_dense` local-bench fan-out
     (queries.py), and an unpartitioned ordered Window (whole input
-    through one task) ONLY in the three queries whose window input is
+    through one task) ONLY in the queries whose window input is
     a bounded rollup (per-day / per-source aggregates). Any other
     occurrence is a scale regression, not a style issue. Also fails if
     PLANS.md is stale (missing a catalog query)."""
@@ -171,10 +171,16 @@ def test_plan_audit_roundrobin_and_single_partition_allowlist():
     missing = [n for n in Q.QUERIES if n not in rows]
     assert not missing, f"PLANS.md is stale — regenerate (missing {missing[:5]})"
 
-    # the three bounded scalar windows: per-day rolling revenue, the
+    # the four bounded scalar windows: per-day rolling revenue, the
     # Hamilton-quota ranking over per-source totals, median+MAD over the
-    # per-day rollup (2 medians ride the same bounded input)
-    uw_allow = {"q96_rolling_revenue", "q149_budget_allocation", "q152_robust_outliers"}
+    # per-day rollup (2 medians ride the same bounded input), and the
+    # drift monitor's grand total over the days x types cell relation
+    uw_allow = {
+        "q96_rolling_revenue",
+        "q149_budget_allocation",
+        "q152_robust_outliers",
+        "q176_distribution_drift",
+    }
     bad_uw = {n: r["unpart_windows"] for n, r in rows.items()
               if r["unpart_windows"] and n not in uw_allow}
     assert not bad_uw, f"non-allowlisted unpartitioned windows: {bad_uw}"
