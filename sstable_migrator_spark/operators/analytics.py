@@ -103,3 +103,57 @@ def prefix_lookup(df: DataFrame, **equals) -> DataFrame:
     for c, v in equals.items():
         out = out.filter(F.col(c) == F.lit(v))
     return out
+
+
+def global_prefix_sum(
+    df: DataFrame,
+    order_cols: list[str],
+    value_col: str,
+    out_col: str = "running",
+    parts: int | None = None,
+) -> tuple[DataFrame, int]:
+    """Distributed GLOBAL running (inclusive) sum of ``value_col`` in
+    ``order_cols`` order, plus the grand total — without the
+    unpartitioned ``Window.orderBy`` that funnels the whole relation
+    through one task. Two phases:
+
+    1. ``repartitionByRange(order_cols)`` — global order becomes
+       partition-id order (localCheckpoint pins the partitioning, since
+       both the totals job and the final plan scan it);
+    2. per-partition totals to the driver (one row PER PARTITION, not
+       per row), exclusive prefix offsets broadcast back, bounded
+       in-partition window + offset = the exact global running sum.
+
+    Requires ``order_cols`` to be a total order (unique key): rows that
+    tie across a range boundary would get an arbitrary relative order.
+    This is the shard-packing recipe from pipelines/corpus.py, extracted
+    for reuse (weighted systematic sampling, token-budget packing).
+    """
+    spark = df.sparkSession
+    if parts is None:
+        parts = max(spark.sparkContext.defaultParallelism, 1)
+    ranged = (
+        df.repartitionByRange(parts, *order_cols)
+        .withColumn("_pid", F.spark_partition_id())
+        .localCheckpoint()
+    )
+    totals = sorted(
+        (r["_pid"], int(r["tot"] or 0))
+        for r in ranged.groupBy("_pid").agg(F.sum(value_col).alias("tot")).collect()
+    )
+    offsets, acc = {}, 0
+    for pid, tot in totals:
+        offsets[pid] = acc
+        acc += tot
+    off_df = F.broadcast(
+        spark.createDataFrame(
+            [(int(p), int(o)) for p, o in offsets.items()], "_pid int, _off long"
+        )
+    )
+    w = Window.partitionBy("_pid").orderBy(*order_cols)
+    out = (
+        ranged.join(off_df, "_pid")
+        .withColumn(out_col, (F.col("_off") + F.sum(value_col).over(w)).cast("long"))
+        .drop("_pid", "_off")
+    )
+    return out, acc

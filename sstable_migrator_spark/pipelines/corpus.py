@@ -18,12 +18,12 @@ a user would actually run it.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Observation, Window
+from pyspark.sql import DataFrame, Observation
 from pyspark.sql import functions as F
 
 from sstable_migrator_spark.functions import text as TX
 from sstable_migrator_spark.functions.pii import redact_pii
-from sstable_migrator_spark.operators import dedup
+from sstable_migrator_spark.operators import analytics, dedup
 
 __all__ = ["quality_score", "build_training_corpus"]
 
@@ -129,43 +129,15 @@ def build_training_corpus(
     # recipe), computed as a distributed two-phase prefix sum instead of
     # an un-partitioned Window.orderBy (which would funnel the whole
     # chunk set through one task at 100 TB):
-    #   1. repartitionByRange(doc, chunk) — global order becomes
-    #      partition-id order;
-    #   2. per-partition token totals -> driver (one row PER PARTITION,
-    #      not per chunk) -> exclusive prefix offsets broadcast back;
-    #   3. running sum inside each range partition (bounded window) +
-    #      that partition's offset = the exact global running sum.
-    parts = max(chunks.sparkSession.sparkContext.defaultParallelism, 1)
-    ranged = (
-        chunks.repartitionByRange(parts, "doc_id", "chunk_id")
-        .withColumn("_pid", F.spark_partition_id())
-        .localCheckpoint()  # phase 1+2 both scan it; pin the partitioning
+    # (operators/analytics.global_prefix_sum — extracted from this file;
+    # one driver row per PARTITION, bounded in-partition windows).
+    ranged, _total_tok = analytics.global_prefix_sum(
+        chunks, ["doc_id", "chunk_id"], "n_tok", out_col="_run"
     )
-    totals = sorted(
-        (r["_pid"], r["tot"])
-        for r in ranged.groupBy("_pid").agg(F.sum("n_tok").alias("tot")).collect()
-    )
-    offsets, acc = {}, 0
-    for pid, tot in totals:
-        offsets[pid] = acc
-        acc += tot
-    off_df = F.broadcast(
-        chunks.sparkSession.createDataFrame(
-            [(int(p), int(o)) for p, o in offsets.items()], "_pid int, _off long"
-        )
-    )
-    w = Window.partitionBy("_pid").orderBy("doc_id", "chunk_id")
-    packed = (
-        ranged.join(off_df, "_pid")
-        .withColumn(
-            "shard_id",
-            F.floor(
-                (F.col("_off") + F.sum("n_tok").over(w) - F.col("n_tok"))
-                / F.lit(shard_tokens)
-            ).cast("int"),
-        )
-        .drop("_pid", "_off")
-    )
+    packed = ranged.withColumn(
+        "shard_id",
+        F.floor((F.col("_run") - F.col("n_tok")) / F.lit(shard_tokens)).cast("int"),
+    ).drop("_run")
     packed.observe(obs["chunks"], F.count(F.lit(1)).alias("n")).write.mode(
         "overwrite"
     ).partitionBy("shard_id").parquet(out_dir)

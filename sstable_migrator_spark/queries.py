@@ -8401,6 +8401,68 @@ ORACLES.update({"q176_distribution_drift": SQL_DISTRIBUTION_DRIFT})
 
 
 # ---------------------------------------------------------------------------
+# Batch — weighted systematic sampling (probability-proportional-to-size
+# selection of documents by length; the exact-sample-size sibling of
+# q81's md5-Bernoulli mixture sampling)
+# ---------------------------------------------------------------------------
+
+_WSS_K = 25
+
+
+def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted systematic sampling: pick EXACTLY k documents with
+    probability proportional to ``n_chars`` (the mixture a
+    token-budgeted training run wants — long documents weighted up,
+    sample size exact, unlike the binomial count q81's per-row
+    Bernoulli gives). Fully deterministic, no RNG: lay every document
+    on the cumulative-weight number line in doc_id order and select the
+    rows whose interval crosses one of the k equally spaced boundaries
+    — selected iff ``floor(cum*k/W) > floor((cum-w_i)*k/W)``, pure
+    BIGINT cross-multiplication (cum*k here tops out ~1e9; past ~3e17
+    total chars move the two products to DECIMAL(38,0)). The global
+    cumulative weight comes from the distributed two-phase prefix sum
+    (operators/analytics.global_prefix_sum: repartitionByRange ->
+    per-partition totals to the driver, one row per PARTITION ->
+    offsets broadcast back + bounded in-partition windows), never an
+    unpartitioned Window.orderBy. The DuckDB oracle recomputes the same
+    prefix sums with an ordered window — exact integers, so selection
+    hash-matches row for row."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    ps, total = analytics.global_prefix_sum(
+        docs, ["doc_id"], "n_chars", out_col="cum_chars"
+    )
+    bucket = F.expr(f"cum_chars * {_WSS_K} div {total}")
+    prev_bucket = F.expr(f"(cum_chars - n_chars) * {_WSS_K} div {total}")
+    return ps.filter(bucket > prev_bucket).select(
+        "doc_id",
+        F.col("n_chars").cast("long").alias("n_chars"),
+        F.col("cum_chars").cast("long").alias("cum_chars"),
+        bucket.cast("long").alias("bucket"),
+    )
+
+
+SQL_WEIGHTED_SAMPLE = """
+WITH c AS (
+  SELECT doc_id, n_chars,
+         sum(n_chars) OVER (ORDER BY doc_id
+                            ROWS UNBOUNDED PRECEDING) AS cum
+  FROM documents
+),
+t AS (SELECT sum(n_chars) AS w FROM documents)
+SELECT doc_id,
+       CAST(n_chars AS BIGINT) AS n_chars,
+       CAST(cum AS BIGINT) AS cum_chars,
+       CAST((cum * 25) // w AS BIGINT) AS bucket
+FROM c CROSS JOIN t
+WHERE (cum * 25) // w > ((cum - n_chars) * 25) // w
+"""
+
+
+QUERIES.update({"q177_weighted_sample": q_weighted_sample})
+ORACLES.update({"q177_weighted_sample": SQL_WEIGHTED_SAMPLE})
+
+
+# ---------------------------------------------------------------------------
 # Driver-sample ordering.
 #
 # The round driver's correctness gate checks only the FIRST ~50 catalog
