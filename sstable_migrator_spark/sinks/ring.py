@@ -320,7 +320,16 @@ def write_sstables(
     ).collect()
     by_range = {m["range_id"]: m.asDict() for m in manifests}
     with open(os.path.join(path, "_stream_plan.json"), "w") as fh:
-        json.dump({"rf": rf, "rack_aware": racks is not None, "ranges": plan}, fh)
+        json.dump(
+            {
+                "rf": rf,
+                "rack_aware": racks is not None,
+                "keyspace": keyspace,
+                "table": table,
+                "ranges": plan,
+            },
+            fh,
+        )
     with open(os.path.join(path, "_sstable_manifests.json"), "w") as fh:
         json.dump(sorted(by_range.values(), key=lambda m: m["range_id"]), fh)
     return plan

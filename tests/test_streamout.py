@@ -1,0 +1,102 @@
+"""K2 transport: the stream plan's bytes actually move — loopback TCP
+sessions per (range, endpoint), sha256-acked per component, received
+sstables independently re-parsed and compared to the input."""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+
+import pytest
+
+from sstable_migrator_spark.sinks.ring import build_ring, write_sstables
+from sstable_migrator_spark.sinks.sstable_format import read_sstable
+from sstable_migrator_spark.sinks.streamout import (
+    SSTableReceiver,
+    StreamError,
+    stream_sstables,
+)
+
+
+@pytest.fixture(scope="module")
+def written(spark, tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("ssts") / "out")
+    ring = build_ring(["n1", "n2", "n3"], vnodes_per_node=4)
+    rows = [
+        (f"dom{i}.example.com", f"src{i % 3}", i) for i in range(120)
+    ]
+    df = spark.createDataFrame(rows, "domain string, source string, seq bigint")
+    write_sstables(
+        df, out, keyspace="ferret", table="cnames",
+        partition_key=["domain"], clustering=[], ring=ring, rf=2,
+    )
+    return out
+
+
+def test_stream_lands_on_every_replica(written, tmp_path):
+    target = str(tmp_path / "cluster")
+    recv = SSTableReceiver(target)
+    try:
+        sessions = stream_sstables(
+            written, lambda ep: ("127.0.0.1", recv.port)
+        )
+    finally:
+        recv.close()
+
+    with open(os.path.join(written, "_stream_plan.json")) as fh:
+        plan = json.load(fh)
+    with open(os.path.join(written, "_sstable_manifests.json")) as fh:
+        manifests = {m["range_id"]: m for m in json.load(fh)}
+    endpoints = {r["range_id"]: set(r["endpoints"]) for r in plan["ranges"]}
+
+    # every non-empty range went to exactly its RF endpoints
+    got = {}
+    for s in sessions:
+        got.setdefault(s["range_id"], set()).add(s["endpoint"])
+    assert set(got) == set(manifests)
+    for rid, eps in got.items():
+        assert eps == endpoints[rid]
+        assert len(eps) == plan["rf"]
+
+    # receiver-side sessions agree with sender-side summaries
+    assert len(recv.sessions) == len(sessions)
+
+    # received components are byte-identical (the ack already proved
+    # sha256 equality; re-parse a received sstable end-to-end anyway)
+    seen = {}
+    for rid, m in manifests.items():
+        for ep in endpoints[rid]:
+            d = os.path.join(target, ep, "ferret", "cnames", f"cass_range={rid}")
+            src = os.path.join(written, f"cass_range={rid}")
+            for f in sorted(os.listdir(src)):
+                if f.startswith(m["prefix"] + "-"):
+                    with open(os.path.join(src, f), "rb") as a, open(
+                        os.path.join(d, f), "rb"
+                    ) as b:
+                        assert a.read() == b.read(), f
+        first_ep = sorted(endpoints[rid])[0]
+        got_sst = read_sstable(
+            os.path.join(target, first_ep, "ferret", "cnames", f"cass_range={rid}")
+        )
+        assert got_sst["index_ok"] and got_sst["digest_ok"] and got_sst["crc_ok"]
+        for p in got_sst["partitions"]:
+            seen[p["key_components"][0].decode()] = p["rows"][0]["cells"]["seq"]
+    assert len(seen) == 120
+    assert seen["dom42.example.com"] == 42
+
+
+def test_corrupted_ack_raises(written, tmp_path):
+    recv = SSTableReceiver(str(tmp_path / "bad"), corrupt_acks=True)
+    try:
+        with pytest.raises(StreamError, match="ack mismatch"):
+            stream_sstables(
+                written, lambda ep: ("127.0.0.1", recv.port), max_workers=1
+            )
+    finally:
+        recv.close()
+
+
+def test_unknown_plan_dir_raises(tmp_path):
+    with pytest.raises(FileNotFoundError):
+        stream_sstables(str(tmp_path), lambda ep: ("127.0.0.1", 1))
