@@ -224,6 +224,53 @@ def windowed_counts(
     )
 
 
+def drift_stream(
+    events: DataFrame,
+    baseline: DataFrame,
+    ts_col: str = "ts",
+    key: str = "event_type",
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+    threshold_num: int = 1,
+    threshold_den: int = 2,
+) -> DataFrame:
+    """Streaming volume-drift monitor — the continuous sibling of the
+    batch distribution-drift query (queries.q176): watermarked tumbling
+    counts per (window, key), stream-static joined to a per-window
+    baseline rate ``(key, expected_per_window)``, flagging keys whose
+    windowed count deviates from expectation by more than
+    ``threshold_num/threshold_den`` (relative). The flag is exact
+    integer cross-multiplication — drifted iff
+    ``|n - expected| * den > num * expected`` — the same no-float
+    discipline as q176. A key ABSENT from the baseline (left join,
+    expected coalesced to 0) flags on any occurrence: a brand-new key
+    is drift by definition; a baseline key absent from a window emits
+    no row (streaming aggregation cannot emit counts for unseen keys —
+    monitor disappearance downstream off the emitted totals).
+
+    State: one running aggregate per open (window, key), bounded by
+    the watermark horizon; the baseline is a static broadcast, which
+    adds no streaming state. Append mode emits each (window, key)
+    exactly once when the watermark passes the window end."""
+    cnt = (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(F.window(F.col(ts_col), window).alias("win"), F.col(key))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    joined = cnt.join(F.broadcast(baseline), on=key, how="left")
+    expected = F.coalesce(F.col("expected_per_window"), F.lit(0)).cast("long")
+    dev = F.abs(F.col("n") - expected)
+    return joined.select(
+        F.col("win.start").alias("window_start"),
+        F.col(key),
+        F.col("n"),
+        expected.alias("expected_per_window"),
+        (dev * F.lit(threshold_den) > F.lit(threshold_num) * expected)
+        .cast("int")
+        .alias("drifted"),
+    )
+
+
 def routed_stream_sink(
     stream: DataFrame,
     city_dim: DataFrame,
