@@ -8431,6 +8431,8 @@ def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     ps, total = analytics.global_prefix_sum(
         docs, ["doc_id"], "n_chars", out_col="cum_chars"
     )
+    # empty corpus: W=0 would make the ANSI `div` below error out
+    total = max(total, 1)
     bucket = F.expr(f"cum_chars * {_WSS_K} div {total}")
     prev_bucket = F.expr(f"(cum_chars - n_chars) * {_WSS_K} div {total}")
     return ps.filter(bucket > prev_bucket).select(

@@ -169,7 +169,18 @@ class _Handler(socketserver.BaseRequestHandler):
             if _read_exact(rf, len(MAGIC)) != MAGIC:
                 raise StreamError("bad magic")
             (hlen,) = struct.unpack(">I", _read_exact(rf, 4))
+            if hlen > 1 << 20:  # a session header is KBs; cap allocation
+                raise StreamError(f"header too large: {hlen}")
             header = json.loads(_read_exact(rf, hlen).decode("utf-8"))
+            for part in (header["endpoint"], header["keyspace"], header["table"]):
+                if (
+                    not isinstance(part, str)
+                    or not part
+                    or os.sep in part
+                    or "\\" in part
+                    or part.startswith(".")
+                ):
+                    raise StreamError(f"unsafe path component {part!r}")
             dest = os.path.join(
                 self.server.target_dir,  # type: ignore[attr-defined]
                 header["endpoint"],
@@ -179,7 +190,7 @@ class _Handler(socketserver.BaseRequestHandler):
             )
             os.makedirs(dest, exist_ok=True)
             for name, size in header["files"]:
-                if os.sep in name or name.startswith("."):
+                if os.sep in name or "\\" in name or name.startswith("."):
                     raise StreamError(f"unsafe component name {name!r}")
                 h = hashlib.sha256()
                 with open(os.path.join(dest, name), "wb") as out:

@@ -100,3 +100,44 @@ def test_corrupted_ack_raises(written, tmp_path):
 def test_unknown_plan_dir_raises(tmp_path):
     with pytest.raises(FileNotFoundError):
         stream_sstables(str(tmp_path), lambda ep: ("127.0.0.1", 1))
+
+
+def test_malformed_frames_do_not_wedge_receiver(written, tmp_path):
+    """Garbage sessions (bad magic, oversized header, traversal paths)
+    are rejected without crashing the server; a valid stream still
+    lands afterwards."""
+    import socket
+    import struct
+
+    from sstable_migrator_spark.sinks.streamout import MAGIC
+
+    target = str(tmp_path / "cluster")
+    recv = SSTableReceiver(target)
+    try:
+        # bad magic
+        with socket.create_connection(("127.0.0.1", recv.port)) as c:
+            c.sendall(b"NOTSST")
+        # oversized header claim
+        with socket.create_connection(("127.0.0.1", recv.port)) as c:
+            c.sendall(MAGIC + struct.pack(">I", 1 << 30))
+        # path traversal in header
+        with socket.create_connection(("127.0.0.1", recv.port)) as c:
+            evil = json.dumps(
+                {
+                    "keyspace": "../../etc",
+                    "table": "t",
+                    "range_id": 0,
+                    "endpoint": "n1",
+                    "files": [["x", 1]],
+                }
+            ).encode()
+            c.sendall(MAGIC + struct.pack(">I", len(evil)) + evil + b"z")
+        assert not os.path.exists(os.path.join(str(tmp_path), "etc"))
+
+        # a clean session still succeeds on the same server
+        sessions = stream_sstables(
+            written, lambda ep: ("127.0.0.1", recv.port), max_workers=2
+        )
+        assert sessions and all(s["files"] > 0 for s in sessions)
+    finally:
+        recv.close()
