@@ -8544,8 +8544,17 @@ _DRIVER_PRIORITY: list[str] = [
     # samples), q162 (GIF frames), q168 (JPEG + AVI/MJPEG goldens)
     "q168_jpeg_avi_codec",
     "q157_image_pixel_stats",
-    "q57_ann_ivf",
-    "q58_dup_clusters",
+    # q57_ann_ivf rotated to local-harness coverage in round 4 (the ANN
+    # family keeps in-head driver evidence via q55/q164/q165); the slot
+    # carries the Count-Min sketch — the frequency member of the
+    # mergeable-sketch family, whose q170/q172 siblings are also
+    # local-harness-covered
+    "q175_cms_heavy_hitters",
+    # q58_dup_clusters rotated to local-harness coverage in round 4
+    # (clustering keeps driver evidence via the star-contraction
+    # q145, which bit-agrees with q58 by test); the slot carries the
+    # distribution-drift monitor, the only monitoring-family query
+    "q176_distribution_drift",
     "q82_pii_redact",
     # LLM-extension flagships previously outside the driver's sample
     "q78_paragraph_dedup",
