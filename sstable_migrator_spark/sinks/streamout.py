@@ -115,9 +115,18 @@ def send_range(
                 )
             total += size
         return {"files": len(names), "bytes": total}
+    except OSError as e:
+        # a receiver that rejects the session mid-transfer surfaces as
+        # a reset/broken pipe on our side; keep the advertised contract
+        # (StreamError on any divergence) instead of leaking socket
+        # exception types to callers
+        raise StreamError(f"{endpoint} dropped the session: {e}") from e
     finally:
-        wf.close()
-        rf.close()
+        for f in (wf, rf):
+            try:
+                f.close()
+            except OSError:
+                pass  # flushing buffered bytes into a dead connection
 
 
 def stream_sstables(
@@ -181,6 +190,10 @@ class _Handler(socketserver.BaseRequestHandler):
                     or part.startswith(".")
                 ):
                     raise StreamError(f"unsafe path component {part!r}")
+            if not isinstance(header["range_id"], int) or isinstance(
+                header["range_id"], bool
+            ):
+                raise StreamError(f"non-integer range_id {header['range_id']!r}")
             dest = os.path.join(
                 self.server.target_dir,  # type: ignore[attr-defined]
                 header["endpoint"],
@@ -190,8 +203,19 @@ class _Handler(socketserver.BaseRequestHandler):
             )
             os.makedirs(dest, exist_ok=True)
             for name, size in header["files"]:
-                if os.sep in name or "\\" in name or name.startswith("."):
+                if (
+                    not isinstance(name, str)
+                    or os.sep in name
+                    or "\\" in name
+                    or name.startswith(".")
+                ):
                     raise StreamError(f"unsafe component name {name!r}")
+                if (
+                    not isinstance(size, int)
+                    or isinstance(size, bool)
+                    or size < 0
+                ):
+                    raise StreamError(f"bad size for {name!r}: {size!r}")
                 h = hashlib.sha256()
                 with open(os.path.join(dest, name), "wb") as out:
                     left = size
@@ -217,11 +241,19 @@ class _Handler(socketserver.BaseRequestHandler):
                         "files": len(header["files"]),
                     }
                 )
-        except StreamError:
-            pass  # sender sees the missing/zero ack and raises
+        except (StreamError, OSError, ValueError, KeyError, TypeError):
+            # framing/validation failures (json.JSONDecodeError and
+            # UnicodeDecodeError are ValueErrors; missing header keys
+            # KeyError; malformed files entries TypeError) and dropped
+            # connections: the sender sees the missing ack and raises —
+            # no traceback spam per junk session
+            pass
         finally:
-            wf.close()
-            rf.close()
+            for f in (wf, rf):
+                try:
+                    f.close()
+                except OSError:
+                    pass
 
 
 class SSTableReceiver:

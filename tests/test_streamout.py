@@ -133,6 +133,35 @@ def test_malformed_frames_do_not_wedge_receiver(written, tmp_path):
             ).encode()
             c.sendall(MAGIC + struct.pack(">I", len(evil)) + evil + b"z")
         assert not os.path.exists(os.path.join(str(tmp_path), "etc"))
+        # traversal via the one non-string path field
+        with socket.create_connection(("127.0.0.1", recv.port)) as c:
+            evil = json.dumps(
+                {
+                    "keyspace": "k",
+                    "table": "t",
+                    "range_id": "0/../../../../escape",
+                    "endpoint": "n1",
+                    "files": [["x", 1]],
+                }
+            ).encode()
+            c.sendall(MAGIC + struct.pack(">I", len(evil)) + evil + b"z")
+        # negative / non-int sizes must be rejected, not read-until-EOF
+        for bad_size in (-1, "abc"):
+            with socket.create_connection(("127.0.0.1", recv.port)) as c:
+                evil = json.dumps(
+                    {
+                        "keyspace": "k",
+                        "table": "t",
+                        "range_id": 0,
+                        "endpoint": "n1",
+                        "files": [["x", bad_size]],
+                    }
+                ).encode()
+                c.sendall(MAGIC + struct.pack(">I", len(evil)) + evil)
+                c.settimeout(5)
+                assert c.recv(32) == b""  # receiver hung up, no ack
+        assert not os.path.exists(os.path.join(str(tmp_path), "escape"))
+        assert recv.sessions == []
 
         # a clean session still succeeds on the same server
         sessions = stream_sstables(
