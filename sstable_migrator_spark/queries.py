@@ -8464,6 +8464,55 @@ QUERIES.update({"q177_weighted_sample": q_weighted_sample})
 ORACLES.update({"q177_weighted_sample": SQL_WEIGHTED_SAMPLE})
 
 
+def q_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global running revenue over every order in key order — the
+    canonical cumulative-balance query an analyst writes as
+    ``sum(x) OVER (ORDER BY k)``, which at 100 TB funnels the whole
+    table through ONE task. Here it runs through the distributed
+    two-phase prefix sum (operators/analytics.global_prefix_sum), so
+    the only global structure is a range exchange plus one
+    O(n_partitions) driver round; per-partition windows stay bounded.
+    Money discipline: DECIMAL(18,2)-rounded cents as BIGINT — the
+    600k-row sf0.1 running sum hash-matches DuckDB exactly, which a
+    double accumulation could never guarantee. Output is thinned to
+    every 100th key to bound the result set; the sum itself is
+    computed over every row (the thinning happens after)."""
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        (F.col("o_totalprice").cast(_D2) * 100).cast("long").alias("cents"),
+    )
+    ps, _grand = analytics.global_prefix_sum(
+        o, ["o_orderkey"], "cents", out_col="run_cents"
+    )
+    return ps.filter(F.col("o_orderkey") % 100 == 0).select(
+        "o_orderkey",
+        F.col("cents").cast("long").alias("cents"),
+        F.col("run_cents").cast("long").alias("run_cents"),
+    )
+
+
+SQL_RUNNING_TOTAL = """
+WITH c AS (
+  SELECT o_orderkey,
+         CAST(CAST(o_totalprice AS DECIMAL(18, 2)) * 100 AS BIGINT) AS cents
+  FROM orders
+),
+r AS (
+  SELECT o_orderkey, cents,
+         sum(cents) OVER (ORDER BY o_orderkey
+                          ROWS UNBOUNDED PRECEDING) AS run_cents
+  FROM c
+)
+SELECT o_orderkey, CAST(cents AS BIGINT) AS cents,
+       CAST(run_cents AS BIGINT) AS run_cents
+FROM r WHERE o_orderkey % 100 = 0
+"""
+
+
+QUERIES.update({"q178_running_total": q_running_total})
+ORACLES.update({"q178_running_total": SQL_RUNNING_TOTAL})
+
+
 # ---------------------------------------------------------------------------
 # Driver-sample ordering.
 #
