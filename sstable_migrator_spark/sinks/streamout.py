@@ -170,6 +170,73 @@ def stream_sstables(
         return list(pool.map(_run, sessions))
 
 
+def verify_streamed(target_dir: str, path: str) -> dict:
+    """Post-load audit — the ``nodetool verify`` analog for a landed
+    bulk load: for every range in the source manifest and every RF
+    endpoint in the stream plan, check the landed directory exists,
+    holds the complete component set for the manifest's prefix, and
+    that its sstable re-parses green (index positions, digest, CRCs,
+    bloom membership) with the advertised partition and row counts.
+    Work is O(streamed bytes) re-read locally — the same cost profile
+    as the tool it mirrors. Returns ``{sessions_expected, ok,
+    missing, corrupt}`` where missing/corrupt list
+    ``(range_id, endpoint[, reason])`` tuples."""
+    from sstable_migrator_spark.sinks.sstable_format import read_sstable
+
+    with open(os.path.join(path, "_stream_plan.json")) as fh:
+        plan = json.load(fh)
+    with open(os.path.join(path, "_sstable_manifests.json")) as fh:
+        manifests = {m["range_id"]: m for m in json.load(fh)}
+    endpoints_by_range = {r["range_id"]: r["endpoints"] for r in plan["ranges"]}
+
+    expected = ok = 0
+    missing: list[tuple] = []
+    corrupt: list[tuple] = []
+    for rid, m in sorted(manifests.items()):
+        src = os.path.join(path, f"cass_range={rid}")
+        comps = sorted(
+            f for f in os.listdir(src) if f.startswith(m["prefix"] + "-")
+        )
+        for ep in endpoints_by_range[rid]:
+            expected += 1
+            dest = os.path.join(
+                target_dir, ep, plan["keyspace"], plan["table"],
+                f"cass_range={rid}",
+            )
+            if not os.path.isdir(dest):
+                missing.append((rid, ep))
+                continue
+            absent = [c for c in comps
+                      if not os.path.exists(os.path.join(dest, c))]
+            if absent:
+                missing.append((rid, ep, tuple(absent)))
+                continue
+            try:
+                got = read_sstable(dest, prefix=m["prefix"])
+            except Exception as e:  # noqa: BLE001 - any parse fault is corruption
+                corrupt.append((rid, ep, f"unreadable: {e}"))
+                continue
+            n_parts = len(got["partitions"])
+            n_rows = sum(len(p["rows"]) for p in got["partitions"])
+            if not (got["index_ok"] and got["digest_ok"] and got["crc_ok"]
+                    and got["bloom_all_present"]):
+                corrupt.append((rid, ep, "integrity check failed"))
+            elif (n_parts, n_rows) != (m["partitions"], m["rows"]):
+                corrupt.append(
+                    (rid, ep,
+                     f"counts {n_parts}/{n_rows} != manifest "
+                     f"{m['partitions']}/{m['rows']}")
+                )
+            else:
+                ok += 1
+    return {
+        "sessions_expected": expected,
+        "ok": ok,
+        "missing": missing,
+        "corrupt": corrupt,
+    }
+
+
 class _Handler(socketserver.BaseRequestHandler):
     def handle(self):  # noqa: D102 - socketserver contract
         rf = self.request.makefile("rb")

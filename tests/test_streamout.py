@@ -170,3 +170,53 @@ def test_malformed_frames_do_not_wedge_receiver(written, tmp_path):
         assert sessions and all(s["files"] > 0 for s in sessions)
     finally:
         recv.close()
+
+
+def test_verify_streamed_audit(written, tmp_path):
+    """Post-load audit: green on an intact landing, pinpoints a missing
+    component and a flipped byte per (range, endpoint)."""
+    from sstable_migrator_spark.sinks.streamout import verify_streamed
+
+    target = str(tmp_path / "cluster")
+    recv = SSTableReceiver(target)
+    try:
+        stream_sstables(written, lambda ep: ("127.0.0.1", recv.port))
+    finally:
+        recv.close()
+
+    rep = verify_streamed(target, written)
+    assert rep["sessions_expected"] > 0
+    assert rep["ok"] == rep["sessions_expected"]
+    assert not rep["missing"] and not rep["corrupt"]
+
+    with open(os.path.join(written, "_stream_plan.json")) as fh:
+        plan = json.load(fh)
+    with open(os.path.join(written, "_sstable_manifests.json")) as fh:
+        manifests = json.load(fh)
+    eps = {r["range_id"]: r["endpoints"] for r in plan["ranges"]}
+    r0, r1 = manifests[0], manifests[1]
+
+    # delete a component on one endpoint of range r0
+    d0 = os.path.join(
+        target, eps[r0["range_id"]][0], "ferret", "cnames",
+        f"cass_range={r0['range_id']}",
+    )
+    os.remove(os.path.join(d0, f"{r0['prefix']}-Data.db"))
+    # flip one byte of Data.db on one endpoint of range r1
+    d1 = os.path.join(
+        target, eps[r1["range_id"]][0], "ferret", "cnames",
+        f"cass_range={r1['range_id']}",
+    )
+    p1 = os.path.join(d1, f"{r1['prefix']}-Data.db")
+    blob = bytearray(open(p1, "rb").read())
+    blob[len(blob) // 2] ^= 0xFF
+    open(p1, "wb").write(bytes(blob))
+
+    rep = verify_streamed(target, written)
+    assert rep["ok"] == rep["sessions_expected"] - 2
+    assert [(m[0], m[1]) for m in rep["missing"]] == [
+        (r0["range_id"], eps[r0["range_id"]][0])
+    ]
+    assert [(c[0], c[1]) for c in rep["corrupt"]] == [
+        (r1["range_id"], eps[r1["range_id"]][0])
+    ]
