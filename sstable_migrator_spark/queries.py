@@ -8144,15 +8144,16 @@ def q_sstable_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     recomputed, bloom evaluated) and the recovered rows must
     hash-match the plain SQL slice — so a single flipped bit anywhere
     in the format pipeline (vint codec, clustering encode, chunked
-    deflate, token order) breaks the driver gate. ``verified`` pins
-    that index/digest/bloom checks passed for every sstable. The
-    read-back walks O(ranges) files driver-side over a bounded slice —
-    the write itself is the distributed product."""
-    import os
+    deflate, token order) breaks the driver gate. BOTH directions are
+    distributed: the write shuffles once on range id, and the
+    read-back is the distributed SSTable source
+    (sources/sstable_source.read_sstables — one task per range) whose
+    executors RAISE on any index/digest/crc/bloom failure, so a green
+    hash-match implies ``verified`` for every sstable."""
     import tempfile
 
     from sstable_migrator_spark.sinks.ring import build_ring, write_sstables
-    from sstable_migrator_spark.sinks.sstable_format import read_sstable
+    from sstable_migrator_spark.sources.sstable_source import read_sstables
 
     cust = (
         _t(spark, sf_dir, "customer")
@@ -8165,31 +8166,13 @@ def q_sstable_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         cust, path, keyspace="ks", table="cust",
         partition_key=["c_custkey"], clustering=[], ring=ring, rf=2,
     )
-    rows = []
-    all_ok = True
-    for d in sorted(os.listdir(path)):
-        if not d.startswith("cass_range="):
-            continue
-        full = os.path.join(path, d)
-        if not any(f.endswith("-TOC.txt") for f in os.listdir(full)):
-            continue  # empty range: no sstable written
-        got = read_sstable(full, verify=True)
-        all_ok = all_ok and got["index_ok"] and got["digest_ok"] and (
-            got["bloom_all_present"] and got["crc_ok"]
-        )
-        for p in got["partitions"]:
-            cells = p["rows"][0]["cells"]
-            rows.append(
-                (
-                    int.from_bytes(p["key"], "big", signed=True),
-                    cells["c_name"],
-                    cells["c_nationkey"],
-                )
-            )
-    out = spark.createDataFrame(
-        rows, "c_custkey long, c_name string, c_nationkey int"
+    back = read_sstables(spark, path, partition_key=["c_custkey"])
+    return back.select(
+        "c_custkey",
+        "c_name",
+        F.col("c_nationkey").cast("int").alias("c_nationkey"),
+        F.lit(1).alias("verified"),
     )
-    return out.withColumn("verified", F.lit(int(all_ok)))
 
 
 SQL_SSTABLE_ROUNDTRIP = """

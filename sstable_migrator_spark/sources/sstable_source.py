@@ -1,0 +1,185 @@
+"""Distributed SSTable source — the reverse migration.
+
+The reference moves data INTO Cassandra (App.java:231-250 +
+sstableloader); a user holding the produced artifacts eventually wants
+them back out (sstable -> parquet migration, cluster-free audits).
+This source scans a directory of BIG-format sstables (the layout
+``sinks.ring.write_sstables`` produces, or a landed stream target)
+DISTRIBUTED: one Spark task per sstable, each running the independent
+binary reader (sinks/sstable_format.read_sstable — index cross-check,
+digest, CRC, bloom) and emitting Arrow batches.
+
+Schema: column NAMES for the partition key and clustering are supplied
+by the caller — real sstables do not store them either (they live in
+the cluster's schema tables; sstableloader equally needs the schema).
+Column TYPES come from the Statistics.db HEADER of the first sstable,
+so a caller cannot mislabel an int as a text. CQL->Spark mapping:
+text/varchar/ascii/inet -> string, int -> int, bigint -> bigint,
+double -> double, boolean -> boolean, blob -> binary,
+timestamp -> timestamp (CQL stores millis; sub-ms precision was
+truncated at write time, as in Cassandra), date -> date.
+
+Column order: key columns first (caller order), then regular columns
+in sstable serialization order — sorted by name, exactly as Cassandra
+stores them; select() to taste.
+
+Scale: the scan parallelizes over sstables (one per token range from
+write_sstables); each task is a linear single pass over its Data.db.
+``verify=True`` (default) keeps the integrity checks on — the same
+cost class as the write's digesting. An absent cell surfaces as NULL.
+"""
+
+from __future__ import annotations
+
+import datetime
+import glob
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+_CQL_TO_SPARK = {
+    "text": "string",
+    "varchar": "string",
+    "ascii": "string",
+    "inet": "string",
+    "int": "int",
+    "bigint": "bigint",
+    "double": "double",
+    "boolean": "boolean",
+    "blob": "binary",
+    "timestamp": "timestamp",
+    "date": "date",
+}
+
+
+def _key_marshals(key_type: str) -> list[str]:
+    """Composite partition keys serialize their component marshal FQCNs
+    as CompositeType(a,b,...); single keys are the bare FQCN."""
+    inner = key_type
+    if "CompositeType(" in key_type:
+        inner = key_type.split("CompositeType(", 1)[1].rsplit(")", 1)[0]
+        return [p.strip() for p in inner.split(",")]
+    return [inner]
+
+
+def _sstable_dirs(path: str, pattern: str) -> list[str]:
+    out = []
+    for d in sorted(glob.glob(os.path.join(path, pattern))):
+        if os.path.isdir(d) and any(
+            f.endswith("-TOC.txt") for f in os.listdir(d)
+        ):
+            out.append(d)
+    if not out:
+        raise ValueError(f"no sstable directories under {path}/{pattern}")
+    return out
+
+
+def _convert(cql: str, v):
+    """Reader deser -> Spark-facing Python value (timestamp millis ->
+    datetime, date epoch-days -> date); everything else is already the
+    right Python type."""
+    if v is None:
+        return None
+    if cql == "timestamp":
+        return datetime.datetime.fromtimestamp(v / 1000.0, tz=datetime.timezone.utc)
+    if cql == "date":
+        return datetime.date(1970, 1, 1) + datetime.timedelta(days=v)
+    return v
+
+
+def read_sstables(
+    spark: SparkSession,
+    path: str,
+    partition_key: list[str],
+    clustering: list[str] | None = None,
+    pattern: str = "cass_range=*",
+    verify: bool = True,
+) -> DataFrame:
+    """Scan every sstable under ``path`` into a DataFrame — one task
+    per sstable, types from Statistics.db, names from the caller's
+    schema (see module docstring)."""
+    from sstable_migrator_spark.sinks.sstable_format import (
+        _marshal_to_type,
+        _parse_statistics,
+    )
+
+    clustering = list(clustering or [])
+    dirs = _sstable_dirs(path, pattern)
+
+    # driver-side: one Statistics.db (KBs) fixes the types for all
+    first = dirs[0]
+    prefix = next(
+        f[: -len("-TOC.txt")] for f in os.listdir(first) if f.endswith("-TOC.txt")
+    )
+    with open(os.path.join(first, f"{prefix}-Statistics.db"), "rb") as fh:
+        stats = _parse_statistics(fh.read())
+    key_cqls = [_marshal_to_type(m).cql for m in _key_marshals(stats["key_type"])]
+    clus_cqls = [_marshal_to_type(m).cql for m in stats["clustering_types"]]
+    reg = [(n, _marshal_to_type(m).cql) for n, m in stats["regular_columns"]]
+    if len(partition_key) != len(key_cqls):
+        raise ValueError(
+            f"partition_key names {partition_key} vs {len(key_cqls)} "
+            "serialized key components"
+        )
+    if len(clustering) != len(clus_cqls):
+        raise ValueError(
+            f"clustering names {clustering} vs {len(clus_cqls)} "
+            "serialized clustering components"
+        )
+    names = partition_key + clustering + [n for n, _ in reg]
+    cqls = key_cqls + clus_cqls + [c for _, c in reg]
+    schema = ", ".join(
+        f"`{n}` {_CQL_TO_SPARK[c]}" for n, c in zip(names, cqls)
+    )
+
+    dirs_df = spark.createDataFrame([(d,) for d in dirs], "dir string").repartition(
+        len(dirs), "dir"
+    )
+
+    def _scan(batches):
+        import pandas as pd
+
+        from sstable_migrator_spark.sinks.sstable_format import (
+            _marshal_to_type as m2t,
+        )
+        from sstable_migrator_spark.sinks.sstable_format import (
+            _split_key,
+            read_sstable,
+        )
+
+        for pdf in batches:
+            for d in pdf["dir"]:
+                got = read_sstable(d, verify=verify)
+                if verify and not (
+                    got["index_ok"]
+                    and got["digest_ok"]
+                    and got["crc_ok"]
+                    and got["bloom_all_present"]
+                ):
+                    raise ValueError(f"sstable integrity check failed: {d}")
+                key_ts = [
+                    m2t(m) for m in _key_marshals(got["stats"]["key_type"])
+                ]
+                rows = []
+                for p in got["partitions"]:
+                    comps = _split_key(p["key"], got["stats"]["key_type"])
+                    keyvals = [
+                        _convert(t.cql, t.deser(b))
+                        for t, b in zip(key_ts, comps)
+                    ]
+                    for r in p["rows"]:
+                        clusvals = [
+                            _convert(c, v)
+                            for c, v in zip(clus_cqls, r["clustering"])
+                        ]
+                        regvals = [
+                            _convert(c, r["cells"].get(n))
+                            for n, c in zip(
+                                [n for n, _ in reg], [c for _, c in reg]
+                            )
+                        ]
+                        rows.append(keyvals + clusvals + regvals)
+                if rows:
+                    yield pd.DataFrame(rows, columns=names, dtype=object)
+
+    return dirs_df.mapInPandas(_scan, schema)
