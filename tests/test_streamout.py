@@ -220,3 +220,33 @@ def test_verify_streamed_audit(written, tmp_path):
     assert [(c[0], c[1]) for c in rep["corrupt"]] == [
         (r1["range_id"], eps[r1["range_id"]][0])
     ]
+
+
+def test_full_lifecycle_write_stream_verify_scan(spark, written, tmp_path):
+    """Capstone: ring write -> socket stream -> post-load audit -> the
+    DISTRIBUTED sstable source scanning a landed replica directory
+    reproduces the original rows exactly."""
+    from sstable_migrator_spark.sinks.streamout import verify_streamed
+    from sstable_migrator_spark.sources.sstable_source import read_sstables
+
+    target = str(tmp_path / "cluster")
+    recv = SSTableReceiver(target)
+    try:
+        stream_sstables(written, lambda ep: ("127.0.0.1", recv.port))
+    finally:
+        recv.close()
+    rep = verify_streamed(target, written)
+    assert rep["ok"] == rep["sessions_expected"] and not rep["missing"]
+
+    landed = os.path.join(target, "n1", "ferret", "cnames")
+    back = read_sstables(spark, landed, partition_key=["domain"])
+    got = {
+        (r["domain"], r["source"], r["seq"]) for r in back.collect()
+    }
+    # n1 holds only the ranges it replicates — a strict subset that
+    # must still be internally exact
+    assert 0 < len(got) < 120
+    assert all(d.endswith(".example.com") for d, _, _ in got)
+    for d, s, q in got:
+        i = int(d[3:].split(".")[0])
+        assert q == i and s == f"src{i % 3}"
