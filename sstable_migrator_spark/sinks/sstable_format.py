@@ -1405,3 +1405,109 @@ def point_lookup(
     part["start"] = pos
     part["key_components"] = _split_key(part["key"], stats["key_type"])
     return part
+
+
+def compact_sstables(
+    directory: str,
+    out_dir: str,
+    keyspace: str,
+    table: str,
+    partition_key: list[str],
+    clustering: list[str] | None = None,
+) -> dict:
+    """Size-tiered-style compaction: merge EVERY sstable generation in
+    ``directory`` into one new sstable in ``out_dir``. Conflicting rows
+    (same partition key + clustering) resolve row-level
+    last-write-wins by (write timestamp, generation) — the same
+    outcome Cassandra's cell-timestamp reconciliation gives for this
+    writer's rows, which carry one timestamp per row. The output is
+    re-stamped at the max winning timestamp (this writer's
+    single-timestamp model); its generation is max(input)+1, so a
+    subsequent compaction round orders correctly.
+
+    Like the reader it builds on, this is a per-range local operation:
+    distribute by running it once per range directory (one task per
+    range — the layout ``write_sstables`` produces). Column names for
+    the key/clustering come from the caller (sstables do not store
+    them); types come from each sstable's own Statistics.db. Returns
+    the new sstable's close() manifest plus ``inputs`` (count) and
+    ``rows_dropped`` (overwritten by LWW)."""
+    clustering = list(clustering or [])
+    tocs = sorted(f for f in os.listdir(directory) if f.endswith("-TOC.txt"))
+    if not tocs:
+        raise ValueError(f"no sstables in {directory}")
+    prefixes = sorted(
+        (f[: -len("-TOC.txt")] for f in tocs),
+        key=lambda p: int(p.split("-")[1]),
+    )
+    max_gen = max(int(p.split("-")[1]) for p in prefixes)
+
+    merged: dict = {}
+    schema_cols = None
+    total_in = 0
+    for prefix in prefixes:
+        gen = int(prefix.split("-")[1])
+        got = read_sstable(directory, prefix=prefix)
+        stats = got["stats"]
+        key_ts = [
+            _marshal_to_type(m)
+            for m in _key_marshal_names(stats["key_type"])
+        ]
+        clus_cqls = [_marshal_to_type(m).cql for m in stats["clustering_types"]]
+        reg = [(n, _marshal_to_type(m).cql) for n, m in stats["regular_columns"]]
+        if len(partition_key) != len(key_ts) or len(clustering) != len(clus_cqls):
+            raise ValueError(
+                f"{prefix}: key/clustering arity mismatch with caller schema"
+            )
+        if schema_cols is None:
+            schema_cols = (
+                [(n, t.cql) for n, t in zip(partition_key, key_ts)]
+                + list(zip(clustering, clus_cqls))
+                + reg
+            )
+        for p in got["partitions"]:
+            comps = _split_key(p["key"], stats["key_type"])
+            keyvals = tuple(t.deser(b) for t, b in zip(key_ts, comps))
+            for r in p["rows"]:
+                clusvals = tuple(r["clustering"])
+                row = dict(zip(partition_key, keyvals))
+                row.update(zip(clustering, clusvals))
+                for n, _c in reg:
+                    row[n] = r["cells"].get(n)
+                stamp = (r["timestamp_us"], gen)
+                cur = merged.setdefault(keyvals, {})
+                total_in += 1
+                if clusvals not in cur or stamp > cur[clusvals][0]:
+                    cur[clusvals] = (stamp, row)
+
+    rows = [row for by_clus in merged.values() for (_s, row) in by_clus.values()]
+    max_ts = max(
+        (s[0] for by_clus in merged.values() for (s, _r) in by_clus.values()),
+        default=TIMESTAMP_EPOCH_US,
+    )
+    writer = SSTableWriter(
+        out_dir,
+        CqlTable(
+            keyspace=keyspace,
+            table=table,
+            columns=schema_cols,
+            partition_key=partition_key,
+            clustering=clustering,
+        ),
+        generation=max_gen + 1,
+        write_timestamp_us=max_ts,
+    )
+    for row in rows:
+        writer.add_row({k: v for k, v in row.items() if v is not None})
+    manifest = writer.close()
+    manifest["inputs"] = len(prefixes)
+    manifest["rows_dropped"] = total_in - len(rows)
+    return manifest
+
+
+def _key_marshal_names(key_type: str) -> list[str]:
+    """CompositeType(a,b,...) -> [a, b, ...]; bare FQCN -> [it]."""
+    if "CompositeType(" in key_type:
+        inner = key_type.split("CompositeType(", 1)[1].rsplit(")", 1)[0]
+        return [p.strip() for p in inner.split(",")]
+    return [key_type]

@@ -55,11 +55,9 @@ _CQL_TO_SPARK = {
 def _key_marshals(key_type: str) -> list[str]:
     """Composite partition keys serialize their component marshal FQCNs
     as CompositeType(a,b,...); single keys are the bare FQCN."""
-    inner = key_type
-    if "CompositeType(" in key_type:
-        inner = key_type.split("CompositeType(", 1)[1].rsplit(")", 1)[0]
-        return [p.strip() for p in inner.split(",")]
-    return [inner]
+    from sstable_migrator_spark.sinks.sstable_format import _key_marshal_names
+
+    return _key_marshal_names(key_type)
 
 
 def _sstable_dirs(path: str, pattern: str) -> list[str]:

@@ -1,0 +1,84 @@
+"""compact_sstables: multi-generation merge with row-level
+last-write-wins, verified by the independent reader."""
+
+from __future__ import annotations
+
+import pytest
+
+from sstable_migrator_spark.sinks.sstable_format import (
+    TIMESTAMP_EPOCH_US,
+    CqlTable,
+    SSTableWriter,
+    compact_sstables,
+    read_sstable,
+)
+
+T1 = TIMESTAMP_EPOCH_US + 1_000_000
+T2 = TIMESTAMP_EPOCH_US + 2_000_000
+
+
+def _write_gen(directory, gen, ts, rows):
+    schema = CqlTable(
+        keyspace="ks", table="t",
+        columns=[("k", "text"), ("seq", "bigint"), ("v", "text")],
+        partition_key=["k"], clustering=[],
+    )
+    w = SSTableWriter(directory, schema, generation=gen, write_timestamp_us=ts)
+    for r in rows:
+        w.add_row(r)
+    return w.close()
+
+
+def test_compact_last_write_wins(tmp_path):
+    src = str(tmp_path / "range0")
+    _write_gen(src, 1, T1, [
+        {"k": f"key{i}", "seq": i, "v": f"old{i}"} for i in range(20)
+    ])
+    # gen 2 rewrites the even keys and adds 5 new ones
+    _write_gen(src, 2, T2, [
+        {"k": f"key{i}", "seq": 100 + i, "v": f"new{i}"}
+        for i in range(0, 20, 2)
+    ] + [
+        {"k": f"extra{i}", "seq": 1000 + i, "v": f"x{i}"} for i in range(5)
+    ])
+
+    out = str(tmp_path / "compacted")
+    m = compact_sstables(src, out, keyspace="ks", table="t",
+                         partition_key=["k"])
+    assert m["inputs"] == 2
+    assert m["rows_dropped"] == 10  # the overwritten even keys
+    assert m["prefix"] == "nb-3-big"
+
+    got = read_sstable(out)
+    assert got["index_ok"] and got["digest_ok"] and got["crc_ok"]
+    assert got["bloom_all_present"]
+    toks = [p["token"] for p in got["partitions"]]
+    assert toks == sorted(toks)
+    seen = {
+        p["key_components"][0].decode(): p["rows"][0]["cells"]
+        for p in got["partitions"]
+    }
+    assert len(seen) == 25
+    assert seen["key3"] == {"seq": 3, "v": "old3"}
+    assert seen["key4"] == {"seq": 104, "v": "new4"}
+    assert seen["extra2"] == {"seq": 1002, "v": "x2"}
+
+
+def test_compact_older_generation_cannot_resurrect(tmp_path):
+    """A LOWER-timestamp row in a higher generation still loses to the
+    newer timestamp (timestamp dominates; generation only tie-breaks)."""
+    src = str(tmp_path / "range1")
+    _write_gen(src, 1, T2, [{"k": "a", "seq": 1, "v": "newer"}])
+    _write_gen(src, 2, T1, [{"k": "a", "seq": 2, "v": "stale"}])
+    out = str(tmp_path / "c")
+    m = compact_sstables(src, out, keyspace="ks", table="t",
+                         partition_key=["k"])
+    got = read_sstable(out)
+    assert m["rows_dropped"] == 1
+    assert got["partitions"][0]["rows"][0]["cells"]["v"] == "newer"
+
+
+def test_compact_empty_dir_raises(tmp_path):
+    with pytest.raises(ValueError, match="no sstables"):
+        compact_sstables(str(tmp_path), str(tmp_path / "o"),
+                         keyspace="k", table="t", partition_key=["k"])
