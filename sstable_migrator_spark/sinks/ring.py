@@ -36,7 +36,7 @@ import os
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
 
@@ -51,6 +51,7 @@ __all__ = [
     "ring_range_col",
     "ring_placement_write",
     "write_sstables",
+    "compact_stream_batches",
 ]
 
 MIN_TOKEN = -(1 << 63)
@@ -333,3 +334,90 @@ def write_sstables(
     with open(os.path.join(path, "_sstable_manifests.json"), "w") as fh:
         json.dump(sorted(by_range.values(), key=lambda m: m["range_id"]), fh)
     return plan
+
+
+def compact_stream_batches(
+    spark: SparkSession,
+    root: str,
+    out_path: str,
+    keyspace: str,
+    table: str,
+    partition_key: list[str],
+    clustering: list[str] | None = None,
+) -> list[dict]:
+    """Arrival-side compaction for ``write_sstable_stream`` output:
+    every batch wave under ``root/batch_id=*/cass_range=N`` merges into
+    ONE sstable per range at ``out_path/cass_range=N`` — the compaction
+    a receiving Cassandra cluster would run after a bulk load done in
+    waves, executed here as one Spark task per token range. Within a
+    range, later batches win write-timestamp ties (ascending authority
+    order, the rule ``compact_sstable_inputs`` applies). Driver state
+    is O(ranges): directory listings in, one manifest row per range
+    out."""
+    import glob as _glob
+
+    clustering = list(clustering or [])
+    batches = sorted(
+        _glob.glob(os.path.join(root, "batch_id=*")),
+        key=lambda d: int(d.rsplit("=", 1)[1]),
+    )
+    if not batches:
+        raise ValueError(f"no batch_id=* under {root}")
+    per_range: dict[int, list[tuple[str, str]]] = {}
+    for b in batches:
+        for d in sorted(_glob.glob(os.path.join(b, "cass_range=*"))):
+            tocs = [f for f in os.listdir(d) if f.endswith("-TOC.txt")]
+            if not tocs:
+                continue
+            rid = int(d.rsplit("=", 1)[1])
+            per_range.setdefault(rid, []).append(
+                (d, tocs[0][: -len("-TOC.txt")])
+            )
+    if not per_range:
+        raise ValueError(f"no sstables under {root}/batch_id=*")
+    items = [
+        (rid, json.dumps(inputs)) for rid, inputs in sorted(per_range.items())
+    ]
+    df = spark.createDataFrame(items, "rid int, inputs string").repartition(
+        len(items), "rid"
+    )
+
+    def _go(batches_iter):
+        from sstable_migrator_spark.sinks.sstable_format import (
+            compact_sstable_inputs,
+        )
+
+        for pdf in batches_iter:
+            rows = []
+            for rid, inputs_json in zip(pdf["rid"], pdf["inputs"]):
+                inputs = [tuple(x) for x in json.loads(inputs_json)]
+                m = compact_sstable_inputs(
+                    inputs,
+                    os.path.join(out_path, f"cass_range={int(rid)}"),
+                    keyspace=keyspace,
+                    table=table,
+                    partition_key=partition_key,
+                    clustering=clustering,
+                )
+                rows.append(
+                    {
+                        "range_id": int(rid),
+                        "prefix": m["prefix"],
+                        "partitions": m["partitions"],
+                        "rows": m["rows"],
+                        "inputs": m["inputs"],
+                        "rows_dropped": m["rows_dropped"],
+                    }
+                )
+            if rows:
+                yield pd.DataFrame(rows)
+
+    out = df.mapInPandas(
+        _go,
+        "range_id int, prefix string, partitions long, rows long, "
+        "inputs int, rows_dropped long",
+    ).collect()
+    manifests = sorted((r.asDict() for r in out), key=lambda m: m["range_id"])
+    with open(os.path.join(out_path, "_sstable_manifests.json"), "w") as fh:
+        json.dump(manifests, fh)
+    return manifests

@@ -1427,12 +1427,12 @@ def compact_sstables(
 
     Like the reader it builds on, this is a per-range local operation:
     distribute by running it once per range directory (one task per
-    range — the layout ``write_sstables`` produces). Column names for
-    the key/clustering come from the caller (sstables do not store
-    them); types come from each sstable's own Statistics.db. Returns
-    the new sstable's close() manifest plus ``inputs`` (count) and
-    ``rows_dropped`` (overwritten by LWW)."""
-    clustering = list(clustering or [])
+    range — the layout ``write_sstables`` produces; for a streaming
+    sink's batch waves use ``sinks.ring.compact_stream_batches``).
+    Column names for the key/clustering come from the caller (sstables
+    do not store them); types come from each sstable's own
+    Statistics.db. Returns the new sstable's close() manifest plus
+    ``inputs`` (count) and ``rows_dropped`` (overwritten by LWW)."""
     tocs = sorted(f for f in os.listdir(directory) if f.endswith("-TOC.txt"))
     if not tocs:
         raise ValueError(f"no sstables in {directory}")
@@ -1440,13 +1440,39 @@ def compact_sstables(
         (f[: -len("-TOC.txt")] for f in tocs),
         key=lambda p: int(p.split("-")[1]),
     )
-    max_gen = max(int(p.split("-")[1]) for p in prefixes)
+    return compact_sstable_inputs(
+        [(directory, p) for p in prefixes],
+        out_dir,
+        keyspace=keyspace,
+        table=table,
+        partition_key=partition_key,
+        clustering=clustering,
+    )
+
+
+def compact_sstable_inputs(
+    inputs: list[tuple[str, str]],
+    out_dir: str,
+    keyspace: str,
+    table: str,
+    partition_key: list[str],
+    clustering: list[str] | None = None,
+) -> dict:
+    """Merge an explicit list of ``(directory, prefix)`` sstables (in
+    ascending authority order — later inputs win timestamp ties, the
+    way a higher generation or a later batch wave should) into one new
+    sstable. The in-directory ``compact_sstables`` and the per-range
+    streaming-wave ``sinks.ring.compact_stream_batches`` both delegate
+    here."""
+    clustering = list(clustering or [])
+    if not inputs:
+        raise ValueError("no sstables to compact")
+    max_gen = max(int(p.split("-")[1]) for _d, p in inputs)
 
     merged: dict = {}
     schema_cols = None
     total_in = 0
-    for prefix in prefixes:
-        gen = int(prefix.split("-")[1])
+    for idx, (directory, prefix) in enumerate(inputs):
         got = read_sstable(directory, prefix=prefix)
         stats = got["stats"]
         key_ts = [
@@ -1474,7 +1500,7 @@ def compact_sstables(
                 row.update(zip(clustering, clusvals))
                 for n, _c in reg:
                     row[n] = r["cells"].get(n)
-                stamp = (r["timestamp_us"], gen)
+                stamp = (r["timestamp_us"], idx)
                 cur = merged.setdefault(keyvals, {})
                 total_in += 1
                 if clusvals not in cur or stamp > cur[clusvals][0]:
@@ -1500,7 +1526,7 @@ def compact_sstables(
     for row in rows:
         writer.add_row({k: v for k, v in row.items() if v is not None})
     manifest = writer.close()
-    manifest["inputs"] = len(prefixes)
+    manifest["inputs"] = len(inputs)
     manifest["rows_dropped"] = total_in - len(rows)
     return manifest
 

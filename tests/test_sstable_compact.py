@@ -82,3 +82,44 @@ def test_compact_empty_dir_raises(tmp_path):
     with pytest.raises(ValueError, match="no sstables"):
         compact_sstables(str(tmp_path), str(tmp_path / "o"),
                          keyspace="k", table="t", partition_key=["k"])
+
+
+def test_compact_stream_batches(spark, tmp_path):
+    """Two bulk-load waves (batch_id=0/1) with overlapping keys merge
+    to one sstable per range; later wave wins; the distributed source
+    over the compacted layout returns exactly the reconciled rows."""
+    from sstable_migrator_spark.sinks.ring import (
+        build_ring,
+        compact_stream_batches,
+        write_sstables,
+    )
+    from sstable_migrator_spark.sources.sstable_source import read_sstables
+
+    ring = build_ring(["n1", "n2"], vnodes_per_node=3)
+    root = tmp_path / "waves"
+    w0 = [(f"k{i}", i, "wave0") for i in range(60)]
+    w1 = [(f"k{i}", 100 + i, "wave1") for i in range(0, 60, 3)] + [
+        (f"fresh{i}", 1000 + i, "wave1") for i in range(10)
+    ]
+    for bid, rows in ((0, w0), (1, w1)):
+        df = spark.createDataFrame(rows, "k string, seq bigint, v string")
+        write_sstables(
+            df, str(root / f"batch_id={bid}"), keyspace="ks", table="t",
+            partition_key=["k"], clustering=[], ring=ring, rf=1,
+            write_timestamp_us=1700000000000000 + bid,
+        )
+
+    out = str(tmp_path / "compacted")
+    manifests = compact_stream_batches(
+        spark, str(root), out, keyspace="ks", table="t", partition_key=["k"]
+    )
+    assert sum(m["rows_dropped"] for m in manifests) == 20
+    assert sum(m["rows"] for m in manifests) == 70
+    assert all(m["inputs"] >= 1 for m in manifests)
+
+    back = read_sstables(spark, out, partition_key=["k"])
+    got = {r["k"]: (r["seq"], r["v"]) for r in back.collect()}
+    assert len(got) == 70
+    assert got["k3"] == (103, "wave1")   # overwritten by wave 1
+    assert got["k4"] == (4, "wave0")     # untouched
+    assert got["fresh5"] == (1005, "wave1")
