@@ -8496,6 +8496,67 @@ QUERIES.update({"q178_running_total": q_running_total})
 ORACLES.update({"q178_running_total": SQL_RUNNING_TOTAL})
 
 
+def q_compaction_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wave compaction under the hash gate — q174's sequel: two
+    bulk-load waves land as real BIG-format sstables (wave 0 = a
+    customer slice; wave 1 = a later-timestamped rewrite of every
+    third key with the name uppercased), ``compact_stream_batches``
+    merges them one-task-per-range with row-level last-write-wins,
+    and the DISTRIBUTED sstable source scans the compacted layout
+    back. The oracle states the reconciliation declaratively (CASE on
+    the rewrite predicate), so the hash gate proves the whole chain:
+    write serialization x2, per-range wave merge, LWW tie rules,
+    binary read-back. Every stage is distributed; driver state is
+    O(ranges) manifests."""
+    import tempfile
+
+    from sstable_migrator_spark.sinks.ring import (
+        build_ring,
+        compact_stream_batches,
+        write_sstables,
+    )
+    from sstable_migrator_spark.sources.sstable_source import read_sstables
+
+    base = (
+        _t(spark, sf_dir, "customer")
+        .filter(F.col("c_custkey") % 30 == 0)
+        .select("c_custkey", "c_name")
+    )
+    root = tempfile.mkdtemp(prefix="sstable-q179-")
+    ring = build_ring(["n1", "n2", "n3"], vnodes_per_node=4)
+    waves = [
+        (0, base),
+        (1, base.filter(F.col("c_custkey") % 90 == 0)
+             .withColumn("c_name", F.upper("c_name"))),
+    ]
+    for bid, df in waves:
+        write_sstables(
+            df, f"{root}/batch_id={bid}", keyspace="ks", table="cust",
+            partition_key=["c_custkey"], clustering=[], ring=ring, rf=1,
+            write_timestamp_us=1700000000000000 + bid,
+        )
+    out = tempfile.mkdtemp(prefix="sstable-q179-out-")
+    compact_stream_batches(
+        spark, root, out, keyspace="ks", table="cust",
+        partition_key=["c_custkey"],
+    )
+    return read_sstables(spark, out, partition_key=["c_custkey"]).select(
+        "c_custkey", "c_name"
+    )
+
+
+SQL_COMPACTION_ROUNDTRIP = """
+SELECT c_custkey,
+       CASE WHEN c_custkey % 90 = 0 THEN upper(c_name) ELSE c_name END
+         AS c_name
+FROM customer WHERE c_custkey % 30 = 0
+"""
+
+
+QUERIES.update({"q179_compaction_roundtrip": q_compaction_roundtrip})
+ORACLES.update({"q179_compaction_roundtrip": SQL_COMPACTION_ROUNDTRIP})
+
+
 # ---------------------------------------------------------------------------
 # Driver-sample ordering.
 #
