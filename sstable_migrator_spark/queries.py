@@ -8626,7 +8626,12 @@ _DRIVER_PRIORITY: list[str] = [
     # q168); the slot carries the K1 binary round-trip — the
     # reference's core output artifact, driver-gated end to end
     "q174_sstable_roundtrip",
-    "q162_video_frame_stats",
+    # q162_video_frame_stats rotated to local-harness coverage in round
+    # 4 (the real-decode codec family keeps in-head driver evidence via
+    # q157 PNG pixels + q168 JPEG/AVI goldens); the slot carries the
+    # wave-compaction round-trip — K1/K2's full lifecycle (write x2,
+    # per-range LWW merge, distributed binary read-back) under one gate
+    "q179_compaction_roundtrip",
     "q164_lsh_recall",
     "q165_ann_recall",
     "q148_data_contract",
