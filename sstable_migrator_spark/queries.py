@@ -974,9 +974,20 @@ def q_running_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cumulative window aggregation: running revenue per supplier in a
     deterministic clustering order (sequential fold -> bit-exact)."""
     li = _t(spark, sf_dir, "lineitem")
+    # (l_orderkey, l_linenumber) is NOT unique in the synthetic data
+    # (118k duplicate pairs at sf0.1), so the clustering order must end
+    # in l_extendedprice: rows still tied after that are interchangeable
+    # for every prefix sum (equal contribution), making the running
+    # value order-invariant — a total order is not required, only an
+    # order whose ties cannot change any prefix.
     w = (
         Window.partitionBy("l_suppkey")
-        .orderBy(F.col("l_shipdate").asc(), F.col("l_orderkey").asc(), F.col("l_linenumber").asc())
+        .orderBy(
+            F.col("l_shipdate").asc(),
+            F.col("l_orderkey").asc(),
+            F.col("l_linenumber").asc(),
+            F.col("l_extendedprice").asc(),
+        )
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     # rounded on the 2dp data grid: windowed sums are pairwise-
@@ -992,7 +1003,8 @@ SQL_RUNNING_WINDOW = """
 SELECT l_suppkey, l_orderkey, l_linenumber,
        round(sum(l_extendedprice) OVER (
          PARTITION BY l_suppkey
-         ORDER BY l_shipdate ASC, l_orderkey ASC, l_linenumber ASC
+         ORDER BY l_shipdate ASC, l_orderkey ASC, l_linenumber ASC,
+                  l_extendedprice ASC
          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_revenue
 FROM lineitem
 """
