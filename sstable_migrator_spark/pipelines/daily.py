@@ -108,3 +108,72 @@ def daily_upload_job(
         return routed
     finally:
         parsed.unpersist()
+
+
+def bulk_load_job(
+    df: DataFrame,
+    staging_dir: str,
+    keyspace: str,
+    table: str,
+    partition_key: list[str],
+    clustering: list[str],
+    ring: list[tuple[int, str]],
+    endpoint_resolver,
+    rf: int = 3,
+    racks: dict[str, str] | None = None,
+    run_id: str = "bulk-load",
+    run_log_path: str | None = None,
+    notify_outbox: str | None = None,
+    notify_transport=None,
+    verify_target: str | None = None,
+) -> dict:
+    """The upload half of daily_all_upload.sh (:24-44) as ONE function:
+    ``CQLSSTableWriter -> sstableloader -> telegram notify`` becomes
+    write_sstables (distributed binary write, one sstable per token
+    range) -> stream_sstables (framed socket sessions per (range, RF
+    endpoint), sha256-acked) -> optional verify_streamed post-load
+    audit -> notify + run log (K7/K8). ``verify_target`` is the landing
+    directory the receiver writes (the loopback test re-reads it; a
+    production loader would not re-read the cluster — pass None).
+    Returns the metrics dict the notification reports. Raises only on
+    transport divergence (StreamError); an audit failure is reported
+    as status="error" in the run log, mirroring the reference's
+    log-then-alert behavior rather than a mid-pipeline crash."""
+    from sstable_migrator_spark.sinks.ops import append_run_log, notify
+    from sstable_migrator_spark.sinks.ring import write_sstables
+    from sstable_migrator_spark.sinks.streamout import (
+        stream_sstables,
+        verify_streamed,
+    )
+
+    spark = df.sparkSession
+    write_sstables(
+        df, staging_dir, keyspace=keyspace, table=table,
+        partition_key=partition_key, clustering=clustering, ring=ring,
+        rf=rf, racks=racks,
+    )
+    sessions = stream_sstables(staging_dir, endpoint_resolver)
+    metrics = {
+        "ranges": len({s["range_id"] for s in sessions}),
+        "sessions": len(sessions),
+        "files": sum(s["files"] for s in sessions),
+        "bytes": sum(s["bytes"] for s in sessions),
+    }
+    status = "ok"
+    if verify_target is not None:
+        audit = verify_streamed(verify_target, staging_dir)
+        metrics["audit_ok"] = audit["ok"]
+        metrics["audit_missing"] = len(audit["missing"])
+        metrics["audit_corrupt"] = len(audit["corrupt"])
+        if audit["missing"] or audit["corrupt"]:
+            status = "error"
+    if run_log_path is not None:
+        append_run_log(
+            spark, run_log_path, run_id, "bulk_load", metrics, status=status
+        )
+    if notify_outbox is not None or notify_transport is not None:
+        notify(
+            run_id, metrics, outbox_path=notify_outbox,
+            transport=notify_transport,
+        )
+    return {"status": status, **metrics}

@@ -250,3 +250,46 @@ def test_full_lifecycle_write_stream_verify_scan(spark, written, tmp_path):
     for d, s, q in got:
         i = int(d[3:].split(".")[0])
         assert q == i and s == f"src{i % 3}"
+
+
+def test_bulk_load_job_pipeline(spark, tmp_path):
+    """daily_all_upload.sh as one call: write -> stream -> audit ->
+    notify + run log, all green on a loopback cluster."""
+    import json as _json
+
+    from sstable_migrator_spark.pipelines.daily import bulk_load_job
+    from sstable_migrator_spark.sinks.ring import build_ring
+
+    ring = build_ring(["n1", "n2", "n3"], vnodes_per_node=4)
+    df = spark.createDataFrame(
+        [(f"d{i}.example.com", i) for i in range(80)],
+        "domain string, seq bigint",
+    )
+    target = str(tmp_path / "cluster")
+    outbox = str(tmp_path / "outbox.jsonl")
+    run_log = str(tmp_path / "runlog")
+    recv = SSTableReceiver(target)
+    try:
+        report = bulk_load_job(
+            df, str(tmp_path / "staging"), keyspace="ferret", table="cnames",
+            partition_key=["domain"], clustering=[], ring=ring,
+            endpoint_resolver=lambda ep: ("127.0.0.1", recv.port), rf=2,
+            run_id="r1", run_log_path=run_log, notify_outbox=outbox,
+            verify_target=target,
+        )
+    finally:
+        recv.close()
+
+    assert report["status"] == "ok"
+    assert report["audit_missing"] == 0 and report["audit_corrupt"] == 0
+    assert report["sessions"] == report["audit_ok"]
+    assert report["bytes"] > 0
+
+    with open(outbox) as fh:
+        msgs = [_json.loads(ln) for ln in fh]
+    assert len(msgs) == 1 and "sessions:" in msgs[0]["message"]
+
+    log = spark.read.parquet(run_log).collect()
+    assert len(log) == 1
+    assert log[0]["run_id"] == "r1" and log[0]["status"] == "ok"
+    assert log[0]["metrics"]["sessions"] == report["sessions"]
