@@ -8569,6 +8569,89 @@ QUERIES.update({"q179_compaction_roundtrip": q_compaction_roundtrip})
 ORACLES.update({"q179_compaction_roundtrip": SQL_COMPACTION_ROUNDTRIP})
 
 
+def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle counting on the co-supplier graph (suppliers sharing an
+    order), completing the graph family (PageRank q127, connected
+    components q58/q145): per-node triangle membership via the
+    node-iterator edge-orientation algorithm. Edges are oriented
+    a < b, wedges (a,b)x(b,c) close against the (a,c) edge — every
+    triangle is counted exactly once. The per-order pair explosion is
+    bounded by lines-per-order (a self-join within an order key, ~7
+    rows); wedge volume is sum over nodes of C(out-deg, 2), which ID
+    orientation bounds adequately on uniform graphs — on a power-law
+    graph at 100 TB, switch the orientation to degeneracy (low-degree
+    node first), the standard fix that makes wedge volume
+    O(E^1.5); the joins themselves are plain hash joins on node ids.
+    Output is per-node triangle counts — integers, hash-exact."""
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .filter(F.col("l_suppkey") % 10 == 0)
+        .select("l_orderkey", "l_suppkey")
+        .distinct()
+    )
+    e = (
+        li.alias("x")
+        .join(li.alias("y"), "l_orderkey")
+        .filter(F.col("x.l_suppkey") < F.col("y.l_suppkey"))
+        .select(
+            F.col("x.l_suppkey").alias("a"), F.col("y.l_suppkey").alias("b")
+        )
+        .distinct()
+        # the edge relation feeds three join branches (e1, e2, closure);
+        # without pinning it, each branch re-derives it from the base
+        # scan — 3 scans of the raw table at 100 TB. Materialize once:
+        # edges are the small distilled relation (|E| << |lineitem|).
+        .localCheckpoint()
+    )
+    wedges = (
+        e.alias("e1")
+        .join(e.alias("e2"), F.col("e1.b") == F.col("e2.a"))
+        .select(
+            F.col("e1.a").alias("a"),
+            F.col("e1.b").alias("b"),
+            F.col("e2.b").alias("c"),
+        )
+    )
+    tri = wedges.join(e.select("a", F.col("b").alias("c")), ["a", "c"])
+    return (
+        tri.select(
+            F.explode(F.array("a", "b", "c")).alias("l_suppkey")
+        )
+        .groupBy("l_suppkey")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_triangles"))
+    )
+
+
+SQL_TRIANGLE_COUNT = """
+WITH s AS (
+  SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem
+  WHERE l_suppkey % 10 = 0
+),
+e AS (
+  SELECT DISTINCT x.l_suppkey AS a, y.l_suppkey AS b
+  FROM s x JOIN s y ON x.l_orderkey = y.l_orderkey
+  WHERE x.l_suppkey < y.l_suppkey
+),
+tri AS (
+  SELECT e1.a, e1.b, e2.b AS c
+  FROM e e1
+  JOIN e e2 ON e1.b = e2.a
+  JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b
+),
+m AS (
+  SELECT a AS n FROM tri
+  UNION ALL SELECT b FROM tri
+  UNION ALL SELECT c FROM tri
+)
+SELECT n AS l_suppkey, CAST(count(*) AS BIGINT) AS n_triangles
+FROM m GROUP BY n
+"""
+
+
+QUERIES.update({"q180_triangle_count": q_triangle_count})
+ORACLES.update({"q180_triangle_count": SQL_TRIANGLE_COUNT})
+
+
 # ---------------------------------------------------------------------------
 # Driver-sample ordering.
 #
