@@ -1,0 +1,75 @@
+"""Learned quality classifier: exact separation on a margin-separated
+corpus, repartition-stable scoring, shuffle-free scoring plan."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from sstable_migrator_spark.operators.quality_model import (
+    score_quality,
+    train_quality_classifier,
+)
+
+GOOD = [
+    "the quick brown fox jumps over the lazy dog near the river bank",
+    "a well formed english sentence with common words and structure",
+    "data pipelines benefit from clear validation and measured quality",
+    "suppliers ship orders that arrive on time and match the invoice",
+    "the committee reviewed the report and approved the budget today",
+]
+BAD = [
+    "zzzz qqqq xxxx jjjj kkkk wwww vvvv gggg hhhh ffff",
+    "asdf asdf asdf asdf asdf asdf asdf asdf asdf asdf",
+    "lorem42 ip7sum99 dol0r s1t am3t qwerty uiop zxcv bnm",
+    "!!!! #### $$$$ %%%% ^^^^ &&&& **** (((( )))) ____",
+    "aaaaaaa bbbbbbb ccccccc ddddddd eeeeeee fffffff ggggggg",
+]
+
+
+def _labeled(spark, reps=6):
+    rows = []
+    for r in range(reps):
+        rows += [(f"{t} v{r}", 1.0) for t in GOOD]
+        rows += [(f"{t} v{r}", 0.0) for t in BAD]
+    return spark.createDataFrame(rows, "text string, label double")
+
+
+def test_separates_good_from_bad(spark):
+    model = train_quality_classifier(_labeled(spark))
+    holdout = spark.createDataFrame(
+        [(t + " unseen", 1.0) for t in GOOD] + [(t + " unseen", 0.0) for t in BAD],
+        "text string, label double",
+    )
+    got = score_quality(model, holdout).collect()
+    for r in got:
+        assert (r["quality_p"] > 0.5) == (r["label"] == 1.0), r["text"][:40]
+    # columns: intermediates dropped, score appended
+    assert set(got[0].asDict()) == {"text", "label", "quality_p"}
+
+
+def test_scoring_is_partitioning_stable(spark):
+    model = train_quality_classifier(_labeled(spark))
+    docs = spark.createDataFrame(
+        [(i, GOOD[i % 5] + f" d{i}") for i in range(40)], "doc_id long, text string"
+    )
+    a = {r["doc_id"]: r["quality_p"] for r in score_quality(model, docs).collect()}
+    b = {
+        r["doc_id"]: r["quality_p"]
+        for r in score_quality(model, docs.repartition(7)).collect()
+    }
+    assert a == b  # per-row dot product: bit-identical under repartition
+
+
+def test_scoring_plan_has_no_exchange(spark):
+    model = train_quality_classifier(_labeled(spark))
+    docs = spark.range(100).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("plain words here number "), F.col("id")).alias("text"),
+    )
+    plan = (
+        score_quality(model, docs)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan
