@@ -109,6 +109,34 @@ def lsh_topk(
 # --- IVF-flat (inverted-file) ANN -----------------------------------------
 
 
+def train_ivf_centroids(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    k: int = 16,
+    seed: int = 7,
+    max_iter: int = 20,
+) -> list[tuple[int, list[float]]]:
+    """Distributed IVF centroid training: MLlib KMeans (Lloyd over
+    executor-aggregated partial sums — the 100 TB construction path;
+    ``pq_train``'s driver-side sampled Lloyd stays for PQ codebooks,
+    which are a KB-sized model). Returns ``[(cell_id, centroid)]`` in
+    the ``ivf_assign`` contract, ordered by cell id. The centroid list
+    itself is k*dim floats — closure-broadcast downstream exactly like
+    the fixed-centroid path."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    feat = df.select(
+        array_to_vector(F.col(vec_col).cast("array<double>")).alias("_f")
+    )
+    model = KMeans(
+        k=k, seed=seed, maxIter=max_iter, featuresCol="_f"
+    ).fit(feat)
+    return [
+        (i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())
+    ]
+
+
 def ivf_assign(
     df: DataFrame,
     centroids: list[tuple[int, list[float]]],

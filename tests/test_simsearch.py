@@ -229,3 +229,39 @@ def test_ivf_recall_on_real_embeddings(spark, sf_dir):
     assert r8 == 1.0          # probing every cell = exact
     assert r4 >= 0.5          # half the cells recovers most of top-10
     assert r2 <= r4 <= r8     # monotone in the knob
+
+
+def test_trained_centroids_full_probe_exact(spark, sf_dir):
+    """MLlib-trained IVF centroids slot into the fixed-centroid
+    contract: at full probe (n_probe == k cells) IVF must equal
+    brute-force exactly, whatever the centroids are; and the trained
+    cells must be non-degenerate (more than one non-empty cell)."""
+    from sstable_migrator_spark.operators.simsearch import (
+        brute_force_topk,
+        ivf_assign,
+        ivf_topk,
+        train_ivf_centroids,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    cents = train_ivf_centroids(emb, k=8, seed=7)
+    assert len(cents) == 8 and [c for c, _ in cents] == list(range(8))
+
+    n_cells = ivf_assign(emb, cents).select("cell").distinct().count()
+    assert n_cells > 1
+
+    queries = emb.filter(F.col("vec_id") % 17 == 0).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
+    brute = {
+        (r["query_id"], r["rank"]): r["neighbor_id"]
+        for r in brute_force_topk(emb, queries, k=5).collect()
+    }
+    ivf = {
+        (r["query_id"], r["rank"]): r["neighbor_id"]
+        for r in ivf_topk(emb, queries, cents, k=5, n_probe=8).collect()
+    }
+    assert ivf == brute
