@@ -26,6 +26,15 @@ BAD = [
 ]
 
 
+def _ml_session(spark):
+    # MLlib fit/transform closures can capture the session's
+    # ObservationManager; if another test left an observation pending
+    # on the shared session, task serialization fails
+    # (NotSerializableException: ObservationManager). A fresh SQL
+    # session shares the JVM/context but owns a clean manager.
+    return spark.newSession()
+
+
 def _labeled(spark, reps=6):
     rows = []
     for r in range(reps):
@@ -35,6 +44,7 @@ def _labeled(spark, reps=6):
 
 
 def test_separates_good_from_bad(spark):
+    spark = _ml_session(spark)
     model = train_quality_classifier(_labeled(spark))
     holdout = spark.createDataFrame(
         [(t + " unseen", 1.0) for t in GOOD] + [(t + " unseen", 0.0) for t in BAD],
@@ -48,6 +58,7 @@ def test_separates_good_from_bad(spark):
 
 
 def test_scoring_is_partitioning_stable(spark):
+    spark = _ml_session(spark)
     model = train_quality_classifier(_labeled(spark))
     docs = spark.createDataFrame(
         [(i, GOOD[i % 5] + f" d{i}") for i in range(40)], "doc_id long, text string"
@@ -61,6 +72,7 @@ def test_scoring_is_partitioning_stable(spark):
 
 
 def test_scoring_plan_has_no_exchange(spark):
+    spark = _ml_session(spark)
     model = train_quality_classifier(_labeled(spark))
     docs = spark.range(100).select(
         F.col("id").alias("doc_id"),
