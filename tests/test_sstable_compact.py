@@ -123,3 +123,55 @@ def test_compact_stream_batches(spark, tmp_path):
     assert got["k3"] == (103, "wave1")   # overwritten by wave 1
     assert got["k4"] == (4, "wave0")     # untouched
     assert got["fresh5"] == (1005, "wave1")
+
+
+# --- property: merge vs a pure-Python LWW model ---------------------------
+
+from hypothesis import HealthCheck, given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+_key = st.integers(min_value=0, max_value=14)
+_gen_rows = st.lists(
+    st.tuples(_key, st.integers(min_value=0, max_value=999)),
+    min_size=1, max_size=12,
+)
+
+
+@settings(
+    max_examples=25,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(waves=st.lists(_gen_rows, min_size=1, max_size=4))
+def test_compact_matches_python_lww_model(tmp_path_factory, waves):
+    """Arbitrary multi-generation inputs (duplicate keys within and
+    across generations, varying timestamps) must reconcile exactly like
+    the obvious dict model: per key, the (timestamp, input-order)-max
+    row wins; within one generation the writer itself is last-add-wins
+    for duplicate keys of an unclustered table."""
+    tmp = tmp_path_factory.mktemp("cprop")
+    src = str(tmp / "src")
+    model: dict[int, tuple] = {}
+    for gi, rows in enumerate(waves):
+        ts = TIMESTAMP_EPOCH_US + 1_000_000 * ((gi * 7) % 3)  # ts ties happen
+        dedup = {}
+        for k, v in rows:  # writer semantics: one row per PK, last wins
+            dedup[k] = v
+        _write_gen(
+            src, gi + 1, ts,
+            [{"k": f"k{k:02d}", "seq": v, "v": f"g{gi}"} for k, v in dedup.items()],
+        )
+        for k, v in dedup.items():
+            stamp = (ts, gi)
+            if k not in model or stamp >= model[k][0]:
+                model[k] = (stamp, v, f"g{gi}")
+
+    out = str(tmp / "out")
+    m = compact_sstables(src, out, keyspace="ks", table="t", partition_key=["k"])
+    got = {
+        p["key_components"][0].decode(): p["rows"][0]["cells"]
+        for p in read_sstable(out)["partitions"]
+    }
+    assert m["rows"] == len(model)
+    want = {f"k{k:02d}": (v, g) for k, (_s, v, g) in model.items()}
+    assert {n: (c["seq"], c["v"]) for n, c in got.items()} == want
