@@ -293,3 +293,27 @@ def test_bulk_load_job_pipeline(spark, tmp_path):
     assert len(log) == 1
     assert log[0]["run_id"] == "r1" and log[0]["status"] == "ok"
     assert log[0]["metrics"]["sessions"] == report["sessions"]
+
+
+def test_fuzz_random_garbage_sessions(written, tmp_path):
+    """Deterministically-seeded random byte blobs thrown at the
+    receiver: none may crash the server or write outside the target;
+    a clean stream afterwards still lands."""
+    import random
+    import socket
+
+    rng = random.Random(20240814)
+    target = str(tmp_path / "cluster")
+    recv = SSTableReceiver(target)
+    try:
+        for i in range(25):
+            blob = bytes(rng.randrange(256) for _ in range(rng.randrange(1, 400)))
+            with socket.create_connection(("127.0.0.1", recv.port)) as c:
+                c.sendall(blob)
+        assert recv.sessions == []
+        sessions = stream_sstables(
+            written, lambda ep: ("127.0.0.1", recv.port), max_workers=2
+        )
+        assert sessions and len(recv.sessions) == len(sessions)
+    finally:
+        recv.close()
