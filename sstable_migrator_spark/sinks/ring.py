@@ -378,7 +378,9 @@ def compact_stream_batches(
     items = [
         (rid, json.dumps(inputs)) for rid, inputs in sorted(per_range.items())
     ]
-    df = spark.createDataFrame(items, "rid int, inputs string").repartition(
+    # range partition on rid: one range per task (hash partitioning
+    # would leave ~1/e tasks empty and some compacting 2-3 ranges)
+    df = spark.createDataFrame(items, "rid int, inputs string").repartitionByRange(
         len(items), "rid"
     )
 

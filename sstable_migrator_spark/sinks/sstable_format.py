@@ -379,6 +379,10 @@ LIVE_MARKED_FOR_DELETE = -(1 << 63)  # Long.MIN_VALUE
 END_OF_PARTITION = 0x01
 IS_MARKER = 0x02
 HAS_TIMESTAMP = 0x04
+
+# reserved dict key carrying an explicit per-row write timestamp through
+# add_row -> (optional spill pickle) -> _serialize_row; never a column
+_ROW_TS_KEY = "__row_ts_us__"
 HAS_TTL = 0x08
 HAS_DELETION = 0x10
 HAS_ALL_COLUMNS = 0x20
@@ -623,8 +627,25 @@ class SSTableWriter:
         self._rows: list[dict] = []
         self._runs: list[str] = []
         self._tmpdir: str | None = None
+        self._min_ts = write_timestamp_us
 
-    def add_row(self, row: dict) -> None:
+    def add_row(self, row: dict, timestamp_us: int | None = None) -> None:
+        """Buffer one row. ``timestamp_us`` optionally stamps THIS row
+        (per-row write timestamps — what compaction needs to preserve
+        last-write-wins across rounds); rows without one carry the
+        writer's ``write_timestamp_us``. The format encodes each row's
+        delta against the sstable-wide minimum (EncodingStats), which
+        this writer tracks as rows arrive."""
+        if timestamp_us is not None:
+            if timestamp_us < TIMESTAMP_EPOCH_US:
+                raise ValueError(
+                    f"row timestamp {timestamp_us} predates the "
+                    f"EncodingStats epoch {TIMESTAMP_EPOCH_US}"
+                )
+            row = dict(row)
+            row[_ROW_TS_KEY] = timestamp_us
+            if timestamp_us < self._min_ts:
+                self._min_ts = timestamp_us
         self._rows.append(row)
         if self.spill_threshold and len(self._rows) >= self.spill_threshold:
             self._spill_run()
@@ -784,7 +805,8 @@ class SSTableWriter:
         all_cols = len(present) == len(self.schema.regular)
         flags = HAS_TIMESTAMP | (HAS_ALL_COLUMNS if all_cols else 0)
         body = io.BytesIO()
-        body.write(encode_unsigned_vint(self.ts - self.ts))  # delta vs minTimestamp
+        row_ts = row.get(_ROW_TS_KEY, self.ts)
+        body.write(encode_unsigned_vint(row_ts - self._min_ts))  # delta vs minTimestamp
         if not all_cols:
             body.write(encode_unsigned_vint(self._missing_bitmap(present)))
         body.write(cells)
@@ -838,7 +860,7 @@ class SSTableWriter:
         s = self.schema
         header = io.BytesIO()
         # EncodingStats: vint deltas against the public epochs
-        header.write(encode_unsigned_vint(self.ts - TIMESTAMP_EPOCH_US))
+        header.write(encode_unsigned_vint(self._min_ts - TIMESTAMP_EPOCH_US))
         header.write(encode_unsigned_vint(NO_DELETION_TIME - DELETION_TIME_EPOCH_S))
         header.write(encode_unsigned_vint(0))  # minTTL - TTL_EPOCH
         header.write(_vint_len_str(s.key_type_name()))
@@ -1420,10 +1442,10 @@ def compact_sstables(
     (same partition key + clustering) resolve row-level
     last-write-wins by (write timestamp, generation) — the same
     outcome Cassandra's cell-timestamp reconciliation gives for this
-    writer's rows, which carry one timestamp per row. The output is
-    re-stamped at the max winning timestamp (this writer's
-    single-timestamp model); its generation is max(input)+1, so a
-    subsequent compaction round orders correctly.
+    writer's rows, which carry one timestamp per row. Winning rows
+    KEEP their own write timestamps in the output (per-row
+    EncodingStats deltas), so later compaction rounds keep resolving
+    correctly; the generation is max(input)+1.
 
     Like the reader it builds on, this is a per-range local operation:
     distribute by running it once per range directory (one task per
@@ -1457,13 +1479,27 @@ def compact_sstable_inputs(
     table: str,
     partition_key: list[str],
     clustering: list[str] | None = None,
+    spill_threshold_rows: int | None = 65536,
 ) -> dict:
     """Merge an explicit list of ``(directory, prefix)`` sstables (in
     ascending authority order — later inputs win timestamp ties, the
     way a higher generation or a later batch wave should) into one new
     sstable. The in-directory ``compact_sstables`` and the per-range
     streaming-wave ``sinks.ring.compact_stream_batches`` both delegate
-    here."""
+    here.
+
+    Winning rows keep their OWN write timestamps in the output (per-row
+    EncodingStats deltas), so a later compaction round still resolves
+    last-write-wins correctly — a promoted/re-stamped output would let
+    stale values beat genuinely newer intermediate writes. All inputs
+    must share one regular-column set; a schema-evolved input raises
+    instead of silently dropping its extra columns. Memory: the merge
+    holds the reconciled row set of the range in memory (read_sstable
+    materializes each input; the OUTPUT write spills past
+    ``spill_threshold_rows``) — the in-memory bound is O(live rows in
+    range), the same bound CQLSSTableWriter's unsorted mode has at
+    write time; a streaming heap-merge over the token-sorted inputs is
+    the upgrade path if ranges outgrow it."""
     clustering = list(clustering or [])
     if not inputs:
         raise ValueError("no sstables to compact")
@@ -1471,25 +1507,31 @@ def compact_sstable_inputs(
 
     merged: dict = {}
     schema_cols = None
+    first_reg = None
     total_in = 0
     for idx, (directory, prefix) in enumerate(inputs):
         got = read_sstable(directory, prefix=prefix)
         stats = got["stats"]
-        key_ts = [
-            _marshal_to_type(m)
-            for m in _key_marshal_names(stats["key_type"])
-        ]
+        key_ts = _key_component_types(stats["key_type"])
         clus_cqls = [_marshal_to_type(m).cql for m in stats["clustering_types"]]
         reg = [(n, _marshal_to_type(m).cql) for n, m in stats["regular_columns"]]
         if len(partition_key) != len(key_ts) or len(clustering) != len(clus_cqls):
             raise ValueError(
                 f"{prefix}: key/clustering arity mismatch with caller schema"
             )
-        if schema_cols is None:
+        if first_reg is None:
+            first_reg = reg
             schema_cols = (
                 [(n, t.cql) for n, t in zip(partition_key, key_ts)]
                 + list(zip(clustering, clus_cqls))
                 + reg
+            )
+        elif reg != first_reg:
+            raise ValueError(
+                f"{prefix}: regular-column set {reg} differs from the "
+                f"first input's {first_reg}; compaction across schema "
+                "evolution is not supported (columns would be dropped "
+                "silently)"
             )
         for p in got["partitions"]:
             comps = _split_key(p["key"], stats["key_type"])
@@ -1506,11 +1548,12 @@ def compact_sstable_inputs(
                 if clusvals not in cur or stamp > cur[clusvals][0]:
                     cur[clusvals] = (stamp, row)
 
-    rows = [row for by_clus in merged.values() for (_s, row) in by_clus.values()]
-    max_ts = max(
-        (s[0] for by_clus in merged.values() for (s, _r) in by_clus.values()),
-        default=TIMESTAMP_EPOCH_US,
-    )
+    winners = [
+        (stamp[0], row)
+        for by_clus in merged.values()
+        for (stamp, row) in by_clus.values()
+    ]
+    min_ts = min((ts for ts, _r in winners), default=TIMESTAMP_EPOCH_US)
     writer = SSTableWriter(
         out_dir,
         CqlTable(
@@ -1521,19 +1564,15 @@ def compact_sstable_inputs(
             clustering=clustering,
         ),
         generation=max_gen + 1,
-        write_timestamp_us=max_ts,
+        write_timestamp_us=min_ts,
+        spill_threshold_rows=spill_threshold_rows,
     )
-    for row in rows:
-        writer.add_row({k: v for k, v in row.items() if v is not None})
+    for ts, row in winners:
+        writer.add_row(
+            {k: v for k, v in row.items() if v is not None}, timestamp_us=ts
+        )
     manifest = writer.close()
     manifest["inputs"] = len(inputs)
-    manifest["rows_dropped"] = total_in - len(rows)
+    manifest["rows_dropped"] = total_in - len(winners)
     return manifest
 
-
-def _key_marshal_names(key_type: str) -> list[str]:
-    """CompositeType(a,b,...) -> [a, b, ...]; bare FQCN -> [it]."""
-    if "CompositeType(" in key_type:
-        inner = key_type.split("CompositeType(", 1)[1].rsplit(")", 1)[0]
-        return [p.strip() for p in inner.split(",")]
-    return [key_type]

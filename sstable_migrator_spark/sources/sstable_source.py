@@ -52,12 +52,12 @@ _CQL_TO_SPARK = {
 }
 
 
-def _key_marshals(key_type: str) -> list[str]:
-    """Composite partition keys serialize their component marshal FQCNs
-    as CompositeType(a,b,...); single keys are the bare FQCN."""
-    from sstable_migrator_spark.sinks.sstable_format import _key_marshal_names
+def _key_types(key_type: str):
+    """Marshal types of the partition-key components (shared parser in
+    sinks.sstable_format)."""
+    from sstable_migrator_spark.sinks.sstable_format import _key_component_types
 
-    return _key_marshal_names(key_type)
+    return _key_component_types(key_type)
 
 
 def _sstable_dirs(path: str, pattern: str) -> list[str]:
@@ -79,7 +79,11 @@ def _convert(cql: str, v):
     if v is None:
         return None
     if cql == "timestamp":
-        return datetime.datetime.fromtimestamp(v / 1000.0, tz=datetime.timezone.utc)
+        # integer epoch math: float-seconds division drops the last
+        # microsecond for ~half of all far-future millis values
+        return datetime.datetime(
+            1970, 1, 1, tzinfo=datetime.timezone.utc
+        ) + datetime.timedelta(milliseconds=v)
     if cql == "date":
         return datetime.date(1970, 1, 1) + datetime.timedelta(days=v)
     return v
@@ -111,7 +115,7 @@ def read_sstables(
     )
     with open(os.path.join(first, f"{prefix}-Statistics.db"), "rb") as fh:
         stats = _parse_statistics(fh.read())
-    key_cqls = [_marshal_to_type(m).cql for m in _key_marshals(stats["key_type"])]
+    key_cqls = [t.cql for t in _key_types(stats["key_type"])]
     clus_cqls = [_marshal_to_type(m).cql for m in stats["clustering_types"]]
     reg = [(n, _marshal_to_type(m).cql) for n, m in stats["regular_columns"]]
     if len(partition_key) != len(key_cqls):
@@ -130,16 +134,16 @@ def read_sstables(
         f"`{n}` {_CQL_TO_SPARK[c]}" for n, c in zip(names, cqls)
     )
 
-    dirs_df = spark.createDataFrame([(d,) for d in dirs], "dir string").repartition(
-        len(dirs), "dir"
-    )
+    # repartitionByRange on a sequential index pins ONE directory per
+    # task; hash repartition on the path would leave ~1/e tasks empty
+    # and others reading 2-3 sstables
+    dirs_df = spark.createDataFrame(
+        [(i, d) for i, d in enumerate(dirs)], "i int, dir string"
+    ).repartitionByRange(len(dirs), "i")
 
     def _scan(batches):
         import pandas as pd
 
-        from sstable_migrator_spark.sinks.sstable_format import (
-            _marshal_to_type as m2t,
-        )
         from sstable_migrator_spark.sinks.sstable_format import (
             _split_key,
             read_sstable,
@@ -155,9 +159,7 @@ def read_sstables(
                     and got["bloom_all_present"]
                 ):
                     raise ValueError(f"sstable integrity check failed: {d}")
-                key_ts = [
-                    m2t(m) for m in _key_marshals(got["stats"]["key_type"])
-                ]
+                key_ts = _key_types(got["stats"]["key_type"])
                 rows = []
                 for p in got["partitions"]:
                     comps = _split_key(p["key"], got["stats"]["key_type"])
@@ -177,6 +179,14 @@ def read_sstables(
                             )
                         ]
                         rows.append(keyvals + clusvals + regvals)
+                        if len(rows) >= 65536:
+                            # bounded Arrow batches: one giant frame per
+                            # sstable would cost several times the file
+                            # size in task memory
+                            yield pd.DataFrame(
+                                rows, columns=names, dtype=object
+                            )
+                            rows = []
                 if rows:
                     yield pd.DataFrame(rows, columns=names, dtype=object)
 

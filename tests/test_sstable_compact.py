@@ -175,3 +175,55 @@ def test_compact_matches_python_lww_model(tmp_path_factory, waves):
     assert m["rows"] == len(model)
     want = {f"k{k:02d}": (v, g) for k, (_s, v, g) in model.items()}
     assert {n: (c["seq"], c["v"]) for n, c in got.items()} == want
+
+
+def test_recompaction_preserves_row_timestamps(tmp_path):
+    """The output of a compaction carries each winning row's ORIGINAL
+    timestamp, so a later round cannot let a stale value beat a
+    genuinely newer intermediate write: gen1 A@T1, gen2 B@T3 ->
+    compact (A must stay stamped T1) -> new write A@T2 (T1<T2<T3) ->
+    recompact: the T2 write must win."""
+    t1, t2, t3 = T1, T1 + 500_000, T2
+    r1 = str(tmp_path / "round1")
+    _write_gen(r1, 1, t1, [{"k": "a", "seq": 1, "v": "orig"}])
+    _write_gen(r1, 2, t3, [{"k": "b", "seq": 2, "v": "other"}])
+    c1 = str(tmp_path / "c1")
+    compact_sstables(r1, c1, keyspace="ks", table="t", partition_key=["k"])
+    got1 = {
+        p["key_components"][0].decode(): p["rows"][0]["timestamp_us"]
+        for p in read_sstable(c1)["partitions"]
+    }
+    assert got1 == {"a": t1, "b": t3}  # per-row stamps preserved
+
+    r2 = str(tmp_path / "round2")
+    import shutil
+
+    shutil.copytree(c1, r2)
+    _write_gen(r2, 9, t2, [{"k": "a", "seq": 99, "v": "update"}])
+    c2 = str(tmp_path / "c2")
+    compact_sstables(r2, c2, keyspace="ks", table="t", partition_key=["k"])
+    seen = {
+        p["key_components"][0].decode(): p["rows"][0]["cells"]
+        for p in read_sstable(c2)["partitions"]
+    }
+    assert seen["a"] == {"seq": 99, "v": "update"}  # T2 beats T1, not T3
+    assert seen["b"] == {"seq": 2, "v": "other"}
+
+
+def test_compact_rejects_schema_evolution(tmp_path):
+    """An input whose regular-column set differs must raise loudly
+    instead of silently dropping the extra column's cells."""
+    src = str(tmp_path / "mix")
+    _write_gen(src, 1, T1, [{"k": "a", "seq": 1, "v": "x"}])
+    schema2 = CqlTable(
+        keyspace="ks", table="t",
+        columns=[("k", "text"), ("seq", "bigint"), ("v", "text"),
+                 ("email", "text")],
+        partition_key=["k"], clustering=[],
+    )
+    w = SSTableWriter(src, schema2, generation=2, write_timestamp_us=T2)
+    w.add_row({"k": "b", "seq": 2, "v": "y", "email": "e@example.com"})
+    w.close()
+    with pytest.raises(ValueError, match="regular-column set"):
+        compact_sstables(src, str(tmp_path / "out"), keyspace="ks",
+                         table="t", partition_key=["k"])
