@@ -1429,6 +1429,70 @@ def point_lookup(
     return part
 
 
+def iter_sstable_partitions(directory: str, prefix: str | None = None):
+    """STREAMING partition iterator: yields parsed partitions one at a
+    time, in (token, key) file order — the shape compaction's heap
+    merge consumes. The (decompressed) Data.db byte blob is held for
+    the duration of the iteration, but parsed partitions are never
+    accumulated, so peak Python-object memory is ONE partition rather
+    than the whole range (dict expansion of parsed rows costs ~10-20x
+    their serialized bytes, which is what makes read_sstable's
+    all-at-once list the scale hazard). No index/digest/bloom
+    verification — integrity-checked reads go through
+    ``read_sstable``."""
+    if prefix is None:
+        tocs = [f for f in os.listdir(directory) if f.endswith("-TOC.txt")]
+        if len(tocs) != 1:
+            raise ValueError(f"expected one sstable in {directory}, found {tocs}")
+        prefix = tocs[0][: -len("-TOC.txt")]
+
+    def comp(name: str) -> bytes:
+        with open(os.path.join(directory, f"{prefix}-{name}"), "rb") as fh:
+            return fh.read()
+
+    stats = _parse_statistics(comp("Statistics.db"))
+    clus_types = [_marshal_to_type(t) for t in stats["clustering_types"]]
+    reg = [(n, _marshal_to_type(t)) for n, t in stats["regular_columns"]]
+    min_ts = stats["min_timestamp_us"]
+
+    raw_file = comp("Data.db")
+    ci_path = os.path.join(directory, f"{prefix}-CompressionInfo.db")
+    if os.path.exists(ci_path):
+        ci = comp("CompressionInfo.db")
+        (nlen,) = struct.unpack_from(">H", ci, 0)
+        cname = ci[2 : 2 + nlen].decode("utf-8")
+        o = 2 + nlen
+        (n_opts,) = struct.unpack_from(">i", ci, o)
+        o += 4
+        for _ in range(n_opts):
+            for _ in range(2):
+                (sl,) = struct.unpack_from(">H", ci, o)
+                o += 2 + sl
+        _chunk_len, data_len = struct.unpack_from(">iq", ci, o)
+        o += 12
+        (n_chunks,) = struct.unpack_from(">i", ci, o)
+        o += 4
+        offsets = [
+            struct.unpack_from(">q", ci, o + i * 8)[0] for i in range(n_chunks)
+        ]
+        if cname != "DeflateCompressor":
+            raise NotImplementedError(f"compressor {cname}")
+        chunks = []
+        for i, start in enumerate(offsets):
+            end = offsets[i + 1] if i + 1 < n_chunks else len(raw_file)
+            chunks.append(zlib.decompress(raw_file[start : end - 4]))
+        data = b"".join(chunks)
+        if len(data) != data_len:
+            raise ValueError(f"decompressed {len(data)} != declared {data_len}")
+    else:
+        data = raw_file
+
+    off = 0
+    while off < len(data):
+        part, off = _parse_partition(data, off, clus_types, reg, min_ts)
+        yield part
+
+
 def compact_sstables(
     directory: str,
     out_dir: str,
@@ -1492,68 +1556,64 @@ def compact_sstable_inputs(
     EncodingStats deltas), so a later compaction round still resolves
     last-write-wins correctly — a promoted/re-stamped output would let
     stale values beat genuinely newer intermediate writes. All inputs
-    must share one regular-column set; a schema-evolved input raises
-    instead of silently dropping its extra columns. Memory: the merge
-    holds the reconciled row set of the range in memory (read_sstable
-    materializes each input; the OUTPUT write spills past
-    ``spill_threshold_rows``) — the in-memory bound is O(live rows in
-    range), the same bound CQLSSTableWriter's unsorted mode has at
-    write time; a streaming heap-merge over the token-sorted inputs is
-    the upgrade path if ranges outgrow it."""
+    must share one schema (key/clustering types and the regular-column
+    set); a schema-evolved input raises instead of silently dropping
+    its extra columns.
+
+    Memory: a STREAMING heap-merge — each input's partitions arrive in
+    (token, key) order, so same-key partitions from every input
+    co-locate under ``heapq.merge`` and reconciliation is per
+    PARTITION, never per range; winners stream straight into the
+    output writer, which external-sorts past ``spill_threshold_rows``.
+    Peak Python-object memory is one partition x n_inputs + the
+    writer's spill buffer (each input's decompressed byte blob is held
+    for its iteration — bytes, not the ~10-20x dict expansion of
+    parsed rows)."""
+    import heapq
+
     clustering = list(clustering or [])
     if not inputs:
         raise ValueError("no sstables to compact")
     max_gen = max(int(p.split("-")[1]) for _d, p in inputs)
 
-    merged: dict = {}
-    schema_cols = None
-    first_reg = None
-    total_in = 0
-    for idx, (directory, prefix) in enumerate(inputs):
-        got = read_sstable(directory, prefix=prefix)
-        stats = got["stats"]
-        key_ts = _key_component_types(stats["key_type"])
-        clus_cqls = [_marshal_to_type(m).cql for m in stats["clustering_types"]]
-        reg = [(n, _marshal_to_type(m).cql) for n, m in stats["regular_columns"]]
-        if len(partition_key) != len(key_ts) or len(clustering) != len(clus_cqls):
+    # schema pass: Statistics.db only (KBs per input), validated equal
+    metas = []
+    for directory, prefix in inputs:
+        with open(
+            os.path.join(directory, f"{prefix}-Statistics.db"), "rb"
+        ) as fh:
+            metas.append(_parse_statistics(fh.read()))
+    first = metas[0]
+    key_ts = _key_component_types(first["key_type"])
+    clus_cqls = [_marshal_to_type(m).cql for m in first["clustering_types"]]
+    reg = [(n, _marshal_to_type(m).cql) for n, m in first["regular_columns"]]
+    if len(partition_key) != len(key_ts) or len(clustering) != len(clus_cqls):
+        raise ValueError(
+            f"{inputs[0][1]}: key/clustering arity mismatch with caller schema"
+        )
+    for (d_, p_), m in zip(inputs[1:], metas[1:]):
+        if (
+            m["key_type"] != first["key_type"]
+            or m["clustering_types"] != first["clustering_types"]
+        ):
+            raise ValueError(f"{p_}: key/clustering types differ across inputs")
+        if m["regular_columns"] != first["regular_columns"]:
+            got_reg = [
+                (n, _marshal_to_type(t).cql) for n, t in m["regular_columns"]
+            ]
             raise ValueError(
-                f"{prefix}: key/clustering arity mismatch with caller schema"
-            )
-        if first_reg is None:
-            first_reg = reg
-            schema_cols = (
-                [(n, t.cql) for n, t in zip(partition_key, key_ts)]
-                + list(zip(clustering, clus_cqls))
-                + reg
-            )
-        elif reg != first_reg:
-            raise ValueError(
-                f"{prefix}: regular-column set {reg} differs from the "
-                f"first input's {first_reg}; compaction across schema "
+                f"{p_}: regular-column set {got_reg} differs from the "
+                f"first input's {reg}; compaction across schema "
                 "evolution is not supported (columns would be dropped "
                 "silently)"
             )
-        for p in got["partitions"]:
-            comps = _split_key(p["key"], stats["key_type"])
-            keyvals = tuple(t.deser(b) for t, b in zip(key_ts, comps))
-            for r in p["rows"]:
-                clusvals = tuple(r["clustering"])
-                row = dict(zip(partition_key, keyvals))
-                row.update(zip(clustering, clusvals))
-                for n, _c in reg:
-                    row[n] = r["cells"].get(n)
-                stamp = (r["timestamp_us"], idx)
-                cur = merged.setdefault(keyvals, {})
-                total_in += 1
-                if clusvals not in cur or stamp > cur[clusvals][0]:
-                    cur[clusvals] = (stamp, row)
+    schema_cols = (
+        [(n, t.cql) for n, t in zip(partition_key, key_ts)]
+        + list(zip(clustering, clus_cqls))
+        + reg
+    )
+    reg_names = [n for n, _c in reg]
 
-    winners = [
-        (stamp[0], row)
-        for by_clus in merged.values()
-        for (stamp, row) in by_clus.values()
-    ]
-    min_ts = min((ts for ts, _r in winners), default=TIMESTAMP_EPOCH_US)
     writer = SSTableWriter(
         out_dir,
         CqlTable(
@@ -1564,15 +1624,58 @@ def compact_sstable_inputs(
             clustering=clustering,
         ),
         generation=max_gen + 1,
-        write_timestamp_us=min_ts,
         spill_threshold_rows=spill_threshold_rows,
     )
-    for ts, row in winners:
-        writer.add_row(
-            {k: v for k, v in row.items() if v is not None}, timestamp_us=ts
-        )
+
+    def keyed(idx, directory, prefix):
+        for part in iter_sstable_partitions(directory, prefix):
+            yield (part["token"], part["key"], idx, part)
+
+    streams = [keyed(i, d, p) for i, (d, p) in enumerate(inputs)]
+    # heapq.merge is stable for equal keys, so within one (token, key)
+    # group parts arrive in input (authority) order
+    ordered = heapq.merge(*streams, key=lambda t: (t[0], t[1]))
+
+    total_in = 0
+    written = 0
+    group_key = None
+    group: list[tuple[int, dict]] = []
+
+    def flush() -> None:
+        nonlocal written
+        if not group:
+            return
+        best: dict = {}
+        for idx, part in group:
+            comps = _split_key(part["key"], first["key_type"])
+            keyvals = tuple(t.deser(b) for t, b in zip(key_ts, comps))
+            for r in part["rows"]:
+                clusvals = tuple(r["clustering"])
+                row = dict(zip(partition_key, keyvals))
+                row.update(zip(clustering, clusvals))
+                for n in reg_names:
+                    row[n] = r["cells"].get(n)
+                stamp = (r["timestamp_us"], idx)
+                if clusvals not in best or stamp > best[clusvals][0]:
+                    best[clusvals] = (stamp, row)
+        for stamp, row in best.values():
+            writer.add_row(
+                {k: v for k, v in row.items() if v is not None},
+                timestamp_us=stamp[0],
+            )
+            written += 1
+
+    for tok, key, idx, part in ordered:
+        total_in += len(part["rows"])
+        if group_key != (tok, key):
+            flush()
+            group_key = (tok, key)
+            group = []
+        group.append((idx, part))
+    flush()
+
     manifest = writer.close()
     manifest["inputs"] = len(inputs)
-    manifest["rows_dropped"] = total_in - len(winners)
+    manifest["rows_dropped"] = total_in - written
     return manifest
 
