@@ -227,3 +227,23 @@ def test_compact_rejects_schema_evolution(tmp_path):
     with pytest.raises(ValueError, match="regular-column set"):
         compact_sstables(src, str(tmp_path / "out"), keyspace="ks",
                          table="t", partition_key=["k"])
+
+
+def test_streaming_iterator_equals_batch_reader(tmp_path):
+    """iter_sstable_partitions must yield exactly read_sstable's
+    partition sequence (keys, tokens, rows, per-row timestamps) — the
+    heap merge's correctness rests on this equivalence."""
+    from sstable_migrator_spark.sinks.sstable_format import (
+        iter_sstable_partitions,
+    )
+
+    src = str(tmp_path / "one")
+    _write_gen(src, 1, T1, [
+        {"k": f"key{i}", "seq": i, "v": f"x{i}"} for i in range(50)
+    ])
+    batch = read_sstable(src)["partitions"]
+    stream = list(iter_sstable_partitions(src))
+    assert len(stream) == len(batch) == 50
+    for a, b in zip(stream, batch):
+        assert a["key"] == b["key"] and a["token"] == b["token"]
+        assert a["rows"] == b["rows"]
