@@ -17,13 +17,16 @@ T1 = TIMESTAMP_EPOCH_US + 1_000_000
 T2 = TIMESTAMP_EPOCH_US + 2_000_000
 
 
-def _write_gen(directory, gen, ts, rows):
+def _write_gen(directory, gen, ts, rows, compression=None):
     schema = CqlTable(
         keyspace="ks", table="t",
         columns=[("k", "text"), ("seq", "bigint"), ("v", "text")],
         partition_key=["k"], clustering=[],
     )
-    w = SSTableWriter(directory, schema, generation=gen, write_timestamp_us=ts)
+    w = SSTableWriter(
+        directory, schema, generation=gen, write_timestamp_us=ts,
+        compression=compression,
+    )
     for r in rows:
         w.add_row(r)
     return w.close()
@@ -247,3 +250,25 @@ def test_streaming_iterator_equals_batch_reader(tmp_path):
     for a, b in zip(stream, batch):
         assert a["key"] == b["key"] and a["token"] == b["token"]
         assert a["rows"] == b["rows"]
+
+    # deflate branch: a compressed sstable must stream identically, and
+    # compacting a mixed compressed+plain pair must reconcile normally
+    czd = str(tmp_path / "zd")
+    _write_gen(czd, 1, T1, [
+        {"k": f"key{i}", "seq": i, "v": f"x{i}" * 20} for i in range(50)
+    ], compression="deflate")
+    zb = read_sstable(czd)["partitions"]
+    zs = list(iter_sstable_partitions(czd))
+    assert [p["key"] for p in zs] == [p["key"] for p in zb]
+    assert [p["rows"] for p in zs] == [p["rows"] for p in zb]
+
+    _write_gen(czd, 2, T2, [{"k": "key7", "seq": 700, "v": "new"}])
+    out = str(tmp_path / "zout")
+    m = compact_sstables(czd, out, keyspace="ks", table="t",
+                         partition_key=["k"])
+    assert m["rows_dropped"] == 1
+    seen = {
+        p["key_components"][0].decode(): p["rows"][0]["cells"]["seq"]
+        for p in read_sstable(out)["partitions"]
+    }
+    assert seen["key7"] == 700 and len(seen) == 50
