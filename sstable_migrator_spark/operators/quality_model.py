@@ -25,11 +25,15 @@ no-shuffle property of the scoring plan.
 
 from __future__ import annotations
 
-from pyspark.ml import Pipeline, PipelineModel
-from pyspark.ml.classification import LogisticRegression
-from pyspark.ml.feature import HashingTF, RegexTokenizer
+from typing import TYPE_CHECKING
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+if TYPE_CHECKING:  # pyspark.ml is imported lazily: this module rides
+    # the operators package root, and the ml machinery (~0.5 s import)
+    # should not tax every catalog/bench/driver start that never trains
+    from pyspark.ml import PipelineModel
 
 __all__ = ["train_quality_classifier", "score_quality"]
 
@@ -41,11 +45,15 @@ def train_quality_classifier(
     num_features: int = 1 << 12,
     reg_param: float = 1e-4,
     max_iter: int = 50,
-) -> PipelineModel:
+) -> "PipelineModel":
     """Fit tokenizer -> feature hash -> logistic regression on a frame
     of (text, label in {0.0, 1.0}). Feature width is a power of two
     (hash-trick convention); regularization keeps the separable case
     from driving coefficients unbounded."""
+    from pyspark.ml import Pipeline
+    from pyspark.ml.classification import LogisticRegression
+    from pyspark.ml.feature import HashingTF, RegexTokenizer
+
     tok = RegexTokenizer(
         inputCol=text_col, outputCol="_qm_toks", pattern="\\s+"
     )
@@ -62,7 +70,7 @@ def train_quality_classifier(
 
 
 def score_quality(
-    model: PipelineModel,
+    model: "PipelineModel",
     df: DataFrame,
     out_col: str = "quality_p",
 ) -> DataFrame:
