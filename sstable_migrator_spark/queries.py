@@ -8331,6 +8331,13 @@ def q_distribution_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     DECIMAL(18,0) operands (products are DECIMAL(37,0) — exact to
     ~1e18 events, i.e. past 100 TB; no float division enters the
     query), so the oracle hash-matches every flag, not a tolerance.
+    The DECIMAL math stays INTERNAL: the emitted ``l1_dev`` column is
+    cast to BIGINT per the README Float-discipline rule (output
+    columns are long/double/string only — raw DECIMAL outputs diverge
+    in the driver's cross-engine hasher; round-4 lesson). The cast is
+    lossless while ``c_cell*n_all <= n^2 < 2^63`` i.e. up to ~3e9
+    events; past that, re-emit as a string if the raw deviation is
+    needed downstream.
     Reference analog: the run-log/monitoring family (K7/K8) applied to
     the corpus itself — "did today's crawl mix shift?"."""
     ev = _t(spark, sf_dir, "events").select(
@@ -8358,7 +8365,7 @@ def q_distribution_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_day").cast("long").alias("n_day"),
             F.col("c_type").cast("long").alias("c_type"),
             F.col("n_all").cast("long").alias("n_all"),
-            dev.cast("decimal(38,0)").alias("l1_dev"),
+            dev.cast("long").alias("l1_dev"),
             (dev * F.lit(20) > dec("n_day") * dec("n_all"))
             .cast("int")
             .alias("drifted"),
@@ -8380,7 +8387,7 @@ SELECT c.d, c.event_type,
        CAST(tt.c_type AS BIGINT) AS c_type,
        CAST(g.n_all AS BIGINT) AS n_all,
        CAST(ABS(c.c_cell * g.n_all - tt.c_type * dt.n_day)
-            AS DECIMAL(38, 0)) AS l1_dev,
+            AS BIGINT) AS l1_dev,
        CAST(CASE WHEN 20 * ABS(c.c_cell * g.n_all - tt.c_type * dt.n_day)
                       > dt.n_day * g.n_all
                  THEN 1 ELSE 0 END AS INT) AS drifted

@@ -56,8 +56,33 @@ def _canon(rows: list[tuple], cols: list[str]) -> list[tuple]:
     return sorted(out, key=repr)
 
 
+def assert_driver_safe_schema(name: str, sdf) -> None:
+    """Catalog-wide output-typing guard (round-4 lesson: q176 shipped a
+    raw DECIMAL(38,0) column — the only one in the driver head — and it
+    was the round's only hash failure despite matching locally in both
+    tuned and vanilla sessions). The driver's cross-engine hasher
+    normalizes decimal/float32 differently than we do, so the README
+    Float-discipline rule is now ENFORCED, not advisory: no catalog
+    query may emit a raw DecimalType or FloatType output column. Keep
+    decimal math internal and cast to long/double/string at the end."""
+    from pyspark.sql.types import DecimalType, FloatType
+
+    offenders = [
+        f.name
+        for f in sdf.schema.fields
+        if isinstance(f.dataType, (DecimalType, FloatType))
+    ]
+    if offenders:
+        raise AssertionError(
+            f"{name} emits raw decimal/float32 output columns {offenders}; "
+            "the driver hasher mangles these — cast to long/double/string "
+            "at the end of the query (README Float discipline)"
+        )
+
+
 def compare_one(spark, con, name: str, qfn, sql: str | None, sf_dir: str) -> dict:
     sdf = qfn(spark, sf_dir)
+    assert_driver_safe_schema(name, sdf)
     s_cols = sdf.columns
     s_rows = [tuple(r) for r in sdf.collect()]
     res: dict[str, Any] = {"name": name, "spark_rows": len(s_rows)}
