@@ -164,6 +164,13 @@ def connected_components(
     is CONFIRMED by one exact exceptAll before returning — the exact
     check runs once, at convergence, not per round.
     """
+    def _sig(df: DataFrame) -> tuple:
+        row = df.groupBy().agg(
+            F.count(F.lit(1)).alias("n"),
+            F.expr("bit_xor(xxhash64(u, v))").alias("x"),
+        ).collect()[0]
+        return (row["n"], row["x"])
+
     e = (
         edges.select(
             F.col(src).cast("long").alias("u"), F.col(dst).cast("long").alias("v")
@@ -172,14 +179,16 @@ def connected_components(
         .distinct()
         .localCheckpoint()
     )
-    prev: tuple | None = None
+    # Seed the convergence signature with the INPUT edge set: an LSH
+    # pair graph over small near-dup clusters is frequently already a
+    # fixed point of one star round, and seeding lets round 1 detect
+    # that instead of always paying a second full contraction (the
+    # q145 bench regression was exactly this — one redundant round of
+    # fixed per-round overhead on a tiny converged graph).
+    prev: tuple | None = _sig(e)
     for _ in range(max_iters):
         e2 = _small_star(_large_star(e)).localCheckpoint()
-        row = e2.groupBy().agg(
-            F.count(F.lit(1)).alias("n"),
-            F.expr("bit_xor(xxhash64(u, v))").alias("x"),
-        ).collect()[0]
-        sig = (row["n"], row["x"])
+        sig = _sig(e2)
         # equal counts + one-direction exceptAll empty => equal sets;
         # rules out a 64-bit checksum collision silently returning
         # partially-contracted components
