@@ -52,6 +52,37 @@ _TLD_IN = "(" + ", ".join(f"'{t}'" for t in QUERY_TLDS) + ")"
 _TUNED: set[str] = set()
 
 
+def _scratch_dir(slot: str) -> str:
+    """Deterministic scratch directory for the store-building catalog
+    queries (q169 zone-map store, q174/q179 sstable stores). Two
+    contracts the old per-call ``tempfile.mkdtemp`` broke:
+
+    - **Cluster-portable**: the returned DataFrames are LAZY readers of
+      these paths, so executors must see them. Root resolves from
+      ``SPARK_GRAFT_SCRATCH`` (point it at a shared filesystem — NFS,
+      fuse-mounted object store — on a real cluster) and only falls
+      back to the driver-local system temp dir in local mode.
+    - **Leak-free**: the path is keyed by ``slot``, wiped and rebuilt
+      on every call instead of allocating a fresh dir per call, so
+      repeated bench/oracle sweeps keep /tmp at a constant footprint.
+      Cleanup-after-read-back inside the query is impossible by
+      construction (the result DataFrame still reads the files when
+      the driver collects it later); stable-slot-reuse is the form of
+      cleanup that IS compatible with lazy evaluation.
+    """
+    import os
+    import shutil
+    import tempfile
+
+    root = os.environ.get("SPARK_GRAFT_SCRATCH") or os.path.join(
+        tempfile.gettempdir(), "sstable-migrator-scratch"
+    )
+    path = os.path.join(root, slot)
+    shutil.rmtree(path, ignore_errors=True)
+    os.makedirs(path, exist_ok=True)
+    return path
+
+
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # one-time runtime tuning for caller-provided sessions (the driver
     # builds a vanilla one): per-call call-site capture off (~0.6s per
@@ -7863,7 +7894,6 @@ def q_zonemap_skip(spark: SparkSession, sf_dir: str) -> DataFrame:
     comparisons — zero cluster work — which is the entire point:
     partition pruning without opening storage."""
     import datetime
-    import tempfile
 
     from sstable_migrator_spark.sinks.zonemap import (
         zonemap_prune,
@@ -7876,7 +7906,7 @@ def q_zonemap_skip(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("o_custkey") % 50 == 0)
         .select("o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority")
     )
-    path = tempfile.mkdtemp(prefix="zonemap-q169-")
+    path = _scratch_dir("zonemap-q169")
     zonemap_write(slice_df, path, ["o_orderdate", "o_custkey"], n_files=6)
     preds = [
         (
@@ -8162,8 +8192,6 @@ def q_sstable_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     (sources/sstable_source.read_sstables — one task per range) whose
     executors RAISE on any index/digest/crc/bloom failure, so a green
     hash-match implies ``verified`` for every sstable."""
-    import tempfile
-
     from sstable_migrator_spark.sinks.ring import build_ring, write_sstables
     from sstable_migrator_spark.sources.sstable_source import read_sstables
 
@@ -8172,7 +8200,7 @@ def q_sstable_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("c_custkey") % 40 == 0)
         .select("c_custkey", "c_name", "c_nationkey")
     )
-    path = tempfile.mkdtemp(prefix="sstable-q174-")
+    path = _scratch_dir("sstable-q174")
     ring = build_ring(["n1", "n2", "n3"], vnodes_per_node=4)
     write_sstables(
         cust, path, keyspace="ks", table="cust",
@@ -8527,8 +8555,6 @@ def q_compaction_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     write serialization x2, per-range wave merge, LWW tie rules,
     binary read-back. Every stage is distributed; driver state is
     O(ranges) manifests."""
-    import tempfile
-
     from sstable_migrator_spark.sinks.ring import (
         build_ring,
         compact_stream_batches,
@@ -8541,7 +8567,7 @@ def q_compaction_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("c_custkey") % 30 == 0)
         .select("c_custkey", "c_name")
     )
-    root = tempfile.mkdtemp(prefix="sstable-q179-")
+    root = _scratch_dir("sstable-q179")
     ring = build_ring(["n1", "n2", "n3"], vnodes_per_node=4)
     waves = [
         (0, base),
@@ -8554,7 +8580,7 @@ def q_compaction_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             partition_key=["c_custkey"], clustering=[], ring=ring, rf=1,
             write_timestamp_us=1700000000000000 + bid,
         )
-    out = tempfile.mkdtemp(prefix="sstable-q179-out-")
+    out = _scratch_dir("sstable-q179-out")
     compact_stream_batches(
         spark, root, out, keyspace="ks", table="cust",
         partition_key=["c_custkey"],
