@@ -26,7 +26,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["connected_components", "pagerank"]
+__all__ = ["connected_components", "pagerank", "triangle_counts"]
 
 
 def pagerank(
@@ -204,3 +204,103 @@ def connected_components(
         F.col("component").alias("node"), F.col("component")
     )
     return parents.union(roots).distinct()
+
+
+def _orient(canon: DataFrame, orientation: str) -> DataFrame:
+    """Orient canonical undirected edges ``(a < b)`` into ``(src, dst)``.
+
+    ``"degree"`` (default, the degeneracy-style orientation): each edge
+    points from its (degree, id)-smaller endpoint to the larger. Every
+    node's out-degree is then bounded by O(sqrt(|E|)) — a node keeps an
+    out-edge only toward neighbors of equal-or-higher degree, and there
+    can be at most ~sqrt(2|E|) nodes of degree >= sqrt(2|E|) — so wedge
+    volume sum(C(out_deg, 2)) is O(|E|^1.5) on ANY graph, power laws
+    included. ``"id"`` orients by raw node id: one low-id hub of degree
+    d owns C(d, 2) wedges, quadratic hot-spotting on skewed graphs —
+    kept selectable for tests/benchmarks, not for production use.
+
+    Two hash joins against the O(|V|) degree table; the (degree, id)
+    composite is a total order, so the orientation is acyclic and every
+    triangle has exactly one source node."""
+    if orientation == "id":
+        return canon.select(F.col("a").alias("src"), F.col("b").alias("dst"))
+    if orientation != "degree":
+        raise ValueError(f"unknown orientation {orientation!r}")
+    deg = (
+        canon.select(F.col("a").alias("n"))
+        .union(canon.select(F.col("b").alias("n")))
+        .groupBy("n")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    da = deg.select(F.col("n").alias("a"), F.col("d").alias("da"))
+    db = deg.select(F.col("n").alias("b"), F.col("d").alias("db"))
+    fwd = (F.col("da") < F.col("db")) | (
+        (F.col("da") == F.col("db")) & (F.col("a") < F.col("b"))
+    )
+    return (
+        canon.join(da, "a")
+        .join(db, "b")
+        .select(
+            F.when(fwd, F.col("a")).otherwise(F.col("b")).alias("src"),
+            F.when(fwd, F.col("b")).otherwise(F.col("a")).alias("dst"),
+        )
+    )
+
+
+def _wedges(oriented: DataFrame) -> DataFrame:
+    """Out-neighbor pairs per source node: wedge (x; y, z) with y < z by
+    id. Exposed separately so tests can meter wedge volume per
+    orientation — the quantity the degeneracy orientation exists to
+    bound."""
+    e1 = oriented.alias("e1")
+    e2 = oriented.alias("e2")
+    return (
+        e1.join(e2, (F.col("e1.src") == F.col("e2.src")) & (F.col("e1.dst") < F.col("e2.dst")))
+        .select(
+            F.col("e1.src").alias("x"),
+            F.col("e1.dst").alias("y"),
+            F.col("e2.dst").alias("z"),
+        )
+    )
+
+
+def triangle_counts(
+    edges: DataFrame,
+    src: str = "a",
+    dst: str = "b",
+    orientation: str = "degree",
+) -> DataFrame:
+    """Per-node triangle counts via the oriented node-iterator: wedges
+    (pairs of out-neighbors under an acyclic orientation) close against
+    the canonical undirected edge set, so every triangle is found
+    exactly once — at its orientation-minimum node — then exploded to
+    its three members. Input is an undirected edge list in any form
+    (direction, duplicates, and self-loops are normalized away); output
+    is ``(node, n_triangles)`` for nodes in at least one triangle.
+
+    The default degree orientation is what makes this a 100 TB
+    operator: wedge volume is O(|E|^1.5) regardless of degree skew (see
+    ``_orient``), and the closure is a plain hash join on (y, z). The
+    canonical edge relation feeds the orientation, both wedge branches,
+    and the closure — localCheckpoint pins it so the base table is
+    scanned once, not four times."""
+    canon = (
+        edges.select(
+            F.col(src).cast("long").alias("u"), F.col(dst).cast("long").alias("v")
+        )
+        .filter(F.col("u") != F.col("v"))
+        .select(F.least("u", "v").alias("a"), F.greatest("u", "v").alias("b"))
+        .distinct()
+        .localCheckpoint()
+    )
+    w = _wedges(_orient(canon, orientation))
+    # wedge (x; y, z) has y < z by id, so the closing edge is exactly
+    # the canonical row (a=y, b=z)
+    tri = w.join(
+        canon.select(F.col("a").alias("y"), F.col("b").alias("z")), ["y", "z"]
+    )
+    return (
+        tri.select(F.explode(F.array("x", "y", "z")).alias("node"))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_triangles"))
+    )

@@ -8605,17 +8605,18 @@ ORACLES.update({"q179_compaction_roundtrip": SQL_COMPACTION_ROUNDTRIP})
 def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Triangle counting on the co-supplier graph (suppliers sharing an
     order), completing the graph family (PageRank q127, connected
-    components q58/q145): per-node triangle membership via the
-    node-iterator edge-orientation algorithm. Edges are oriented
-    a < b, wedges (a,b)x(b,c) close against the (a,c) edge — every
-    triangle is counted exactly once. The per-order pair explosion is
-    bounded by lines-per-order (a self-join within an order key, ~7
-    rows); wedge volume is sum over nodes of C(out-deg, 2), which ID
-    orientation bounds adequately on uniform graphs — on a power-law
-    graph at 100 TB, switch the orientation to degeneracy (low-degree
-    node first), the standard fix that makes wedge volume
-    O(E^1.5); the joins themselves are plain hash joins on node ids.
-    Output is per-node triangle counts — integers, hash-exact."""
+    components q58/q145): graph.triangle_counts, the oriented
+    node-iterator with DEGREE (degeneracy-style) orientation — each
+    edge points from its (degree, id)-smaller endpoint, bounding wedge
+    volume at O(E^1.5) on any degree distribution (raw-id orientation
+    lets one low-id hub own C(deg, 2) wedges; the skewed-fixture test
+    in tests/test_graph.py meters the difference). The per-order pair
+    explosion feeding the edge list is bounded by lines-per-order (a
+    self-join within an order key, ~7 rows). Per-node triangle counts
+    are orientation-invariant, so the oracle states the id-oriented
+    form — integers, hash-exact."""
+    from sstable_migrator_spark.operators.graph import triangle_counts
+
     li = (
         _t(spark, sf_dir, "lineitem")
         .filter(F.col("l_suppkey") % 10 == 0)
@@ -8629,29 +8630,9 @@ def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             F.col("x.l_suppkey").alias("a"), F.col("y.l_suppkey").alias("b")
         )
-        .distinct()
-        # the edge relation feeds three join branches (e1, e2, closure);
-        # without pinning it, each branch re-derives it from the base
-        # scan — 3 scans of the raw table at 100 TB. Materialize once:
-        # edges are the small distilled relation (|E| << |lineitem|).
-        .localCheckpoint()
     )
-    wedges = (
-        e.alias("e1")
-        .join(e.alias("e2"), F.col("e1.b") == F.col("e2.a"))
-        .select(
-            F.col("e1.a").alias("a"),
-            F.col("e1.b").alias("b"),
-            F.col("e2.b").alias("c"),
-        )
-    )
-    tri = wedges.join(e.select("a", F.col("b").alias("c")), ["a", "c"])
-    return (
-        tri.select(
-            F.explode(F.array("a", "b", "c")).alias("l_suppkey")
-        )
-        .groupBy("l_suppkey")
-        .agg(F.count(F.lit(1)).cast("long").alias("n_triangles"))
+    return triangle_counts(e).select(
+        F.col("node").alias("l_suppkey"), "n_triangles"
     )
 
 

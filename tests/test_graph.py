@@ -104,3 +104,87 @@ def test_connected_components_directionless(spark):
     got = {r["node"]: r["component"]
            for r in connected_components(df).collect()}
     assert got == {3: 3, 4: 3, 5: 3, 8: 8, 9: 8}
+
+
+def _brute_triangles(pairs):
+    """Driver-side truth: per-node triangle membership counts."""
+    adj = {}
+    for a, b in pairs:
+        if a == b:
+            continue
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    from collections import Counter
+
+    counts = Counter()
+    seen = set()
+    for x in adj:
+        for y in adj[x]:
+            for z in adj[x] & adj[y]:
+                t = tuple(sorted((x, y, z)))
+                if t not in seen:
+                    seen.add(t)
+                    counts.update(t)
+    return dict(counts)
+
+
+def test_triangle_counts_vs_brute(spark):
+    """Both orientations must agree with a driver-side enumeration on a
+    messy graph: overlapping triangles, a hub, duplicate/reversed
+    edges, self-loops."""
+    from sstable_migrator_spark.operators.graph import triangle_counts
+
+    pairs = (
+        [(1, 2), (2, 3), (1, 3), (3, 1)]            # triangle + dup edge
+        + [(2, 4), (3, 4)]                           # second triangle on (2,3)
+        + [(5, 5)]                                   # self-loop
+        + [(10, i) for i in range(11, 30)]           # hub, no closures
+        + [(11, 12), (12, 13), (11, 13)]             # triangle among leaves
+        + [(10, 11), (3, 2)]                         # hub closures + reversed dup
+    )
+    truth = _brute_triangles(pairs)
+    df = spark.createDataFrame(pairs, "a long, b long")
+    for orientation in ("degree", "id"):
+        got = {
+            r["node"]: r["n_triangles"]
+            for r in triangle_counts(df, orientation=orientation).collect()
+        }
+        assert got == truth, orientation
+
+
+def test_degree_orientation_bounds_skewed_wedges(spark):
+    """The reason degree orientation exists: a low-id hub of degree d
+    owns C(d, 2) wedges under id orientation; under (degree, id)
+    orientation the hub keeps out-edges only toward equal-or-higher
+    degree nodes, so its wedge contribution collapses. Fixture: node 0
+    is a degree-200 hub over nodes that otherwise form sparse
+    triangles; meter total wedge volume both ways."""
+    from sstable_migrator_spark.operators.graph import (
+        _orient,
+        _wedges,
+        triangle_counts,
+    )
+    from pyspark.sql import functions as F
+
+    hub = [(0, i) for i in range(1, 201)]
+    rings = [(i, i + 1) for i in range(1, 200)]  # chain among leaves
+    pairs = hub + rings
+    df = spark.createDataFrame(pairs, "a long, b long")
+    canon = (
+        df.select(F.least("a", "b").alias("a"), F.greatest("a", "b").alias("b"))
+        .distinct()
+        .localCheckpoint()
+    )
+    wedges_id = _wedges(_orient(canon, "id")).count()
+    wedges_deg = _wedges(_orient(canon, "degree")).count()
+    # id orientation: hub 0 has out-degree 200 -> C(200,2) = 19900 wedges
+    assert wedges_id >= 19900
+    # degree orientation: hub is the (degree)-largest node, so it keeps
+    # NO out-edges; every leaf has out-degree <= 3 -> linear wedge volume
+    assert wedges_deg < 1000, wedges_deg
+    # and the counts still agree with brute truth on the skewed fixture
+    truth = _brute_triangles(pairs)
+    got = {
+        r["node"]: r["n_triangles"] for r in triangle_counts(df).collect()
+    }
+    assert got == truth
