@@ -52,6 +52,7 @@ __all__ = [
     "ring_placement_write",
     "write_sstables",
     "compact_stream_batches",
+    "compact_ranges",
 ]
 
 MIN_TOKEN = -(1 << 63)
@@ -215,6 +216,7 @@ def write_sstables(
     cql_type_overrides: dict[str, str] | None = None,
     write_timestamp_us: int = 1700000000000000,
     spill_threshold_rows: int | None = 65536,
+    max_rows_per_sstable: int | None = None,
 ) -> list[dict]:
     """K1 end-to-end: route every row to its owning token range and
     write ONE actual BIG-format SSTable per range — the exact artifact
@@ -223,6 +225,19 @@ def write_sstables(
     ``cass_range=<id>/`` holds ``nb-<id+1>-big-*`` components; the
     stream manifest maps it to its RF endpoints, so the bulk load is a
     plain file copy per range.
+
+    ``max_rows_per_sstable`` caps how many rows a single sstable may
+    target: a range whose row count exceeds the cap is hash-split on
+    its tokens into ``ceil(rows/cap)`` sub-sstables (distinct
+    generations in the same range directory, written by SEPARATE
+    tasks) — so a hot range (skewed vnode ownership or skewed data)
+    stops being one giant task and one giant transfer artifact. The
+    split is by token hash, so sub-sstable sizes are cap +/- sampling
+    variance, each row lands in exactly one generation (the union
+    reads back exactly — no cross-generation overwrites), and
+    compaction reconciles the generations whenever one-per-range is
+    wanted again. Costs one extra counting pass over the routing
+    columns to size the splits (O(ranges) driver state).
 
     Execution shape: the ONLY shuffle is the repartition on range id
     (the rendezvous any bulk-load layout needs; Murmur3 tokens make it
@@ -258,36 +273,71 @@ def write_sstables(
     plan = replica_plan(ring, rf=rf, racks=racks)
     os.makedirs(path, exist_ok=True)
 
-    routed = (
-        df.withColumn("cass_token", cassandra_token_col(
+    routed_base = df.withColumn(
+        "cass_token",
+        cassandra_token_col(
             *partition_key,
             spark_types=[df.schema[c].dataType.simpleString() for c in partition_key],
-        ))
-        .withColumn("cass_range", ring_range_col(ring, "cass_token"))
-        .repartition(len(ring), "cass_range")
-    )
+        ),
+    ).withColumn("cass_range", ring_range_col(ring, "cass_token"))
+
+    if max_rows_per_sstable is None:
+        routed = routed_base.withColumn("cass_sub", F.lit(0)).repartition(
+            len(ring), "cass_range"
+        )
+    else:
+        import math
+
+        counts = {
+            r["cass_range"]: r["n"]
+            for r in routed_base.groupBy("cass_range")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        }
+        n_subs = {
+            rid: max(1, math.ceil(n / max_rows_per_sstable))
+            for rid, n in counts.items()
+        }
+        spark = df.sparkSession
+        subs_df = spark.createDataFrame(
+            sorted(n_subs.items()), "cass_range int, n_subs int"
+        )
+        routed = (
+            routed_base.join(F.broadcast(subs_df), "cass_range")
+            .withColumn(
+                "cass_sub",
+                F.pmod(F.xxhash64("cass_token"), F.col("n_subs")).cast("int"),
+            )
+            .drop("n_subs")
+            .repartition(sum(n_subs.values()), "cass_range", "cass_sub")
+        )
 
     keep = set(data_cols)
+    n_ranges = len(ring)
 
     def _write(batches):
         # Arrow batches stream straight into per-range writers: nothing
         # accumulates beyond each writer's spill buffer, so a range
         # bigger than executor memory external-sorts instead of OOMing.
-        writers: dict[int, SSTableWriter] = {}
+        writers: dict[tuple[int, int], SSTableWriter] = {}
         for pdf in batches:
             for rec in pdf.to_dict("records"):
                 rid = int(rec.pop("cass_range"))
+                sub = int(rec.pop("cass_sub"))
                 rec.pop("cass_token")
-                w = writers.get(rid)
+                w = writers.get((rid, sub))
                 if w is None:
                     schema = CqlTable(
                         keyspace=keyspace, table=table, columns=columns,
                         partition_key=partition_key, clustering=clustering,
                     )
-                    w = writers[rid] = SSTableWriter(
+                    # generation rid+1 + sub*n_ranges: unique per
+                    # (range, sub-split) so capped sub-sstables coexist
+                    # as distinct generations in one range directory
+                    w = writers[(rid, sub)] = SSTableWriter(
                         os.path.join(path, f"cass_range={rid}"),
                         schema,
-                        generation=rid + 1,
+                        generation=rid + 1 + sub * n_ranges,
                         write_timestamp_us=write_timestamp_us,
                         spill_threshold_rows=spill_threshold_rows,
                     )
@@ -297,7 +347,7 @@ def write_sstables(
                 )
         part_id = TaskContext.get().partitionId()
         out = []
-        for rid, w in writers.items():
+        for (rid, _sub), w in writers.items():
             m = w.close()
             out.append(
                 {
@@ -319,7 +369,9 @@ def write_sstables(
         "range_id int, task_partition int, prefix string, partitions long, "
         "rows long, data_bytes long, min_token long, max_token long",
     ).collect()
-    by_range = {m["range_id"]: m.asDict() for m in manifests}
+    # keyed by (range, prefix): a capped range legitimately produces
+    # several generations, one manifest row each
+    by_range = {(m["range_id"], m["prefix"]): m.asDict() for m in manifests}
     with open(os.path.join(path, "_stream_plan.json"), "w") as fh:
         json.dump(
             {
@@ -332,7 +384,10 @@ def write_sstables(
             fh,
         )
     with open(os.path.join(path, "_sstable_manifests.json"), "w") as fh:
-        json.dump(sorted(by_range.values(), key=lambda m: m["range_id"]), fh)
+        json.dump(
+            sorted(by_range.values(), key=lambda m: (m["range_id"], m["prefix"])),
+            fh,
+        )
     return plan
 
 
@@ -375,6 +430,36 @@ def compact_stream_batches(
             )
     if not per_range:
         raise ValueError(f"no sstables under {root}/batch_id=*")
+    manifests = compact_ranges(
+        spark, per_range, out_path,
+        keyspace=keyspace, table=table,
+        partition_key=partition_key, clustering=clustering,
+    )
+    with open(os.path.join(out_path, "_sstable_manifests.json"), "w") as fh:
+        json.dump(manifests, fh)
+    return manifests
+
+
+def compact_ranges(
+    spark: SparkSession,
+    per_range: dict[int, list[tuple[str, str]]],
+    out_path: str,
+    keyspace: str,
+    table: str,
+    partition_key: list[str],
+    clustering: list[str] | None = None,
+) -> list[dict]:
+    """Distributed core shared by the batch wave compactor above and
+    the incremental streaming one (streaming/sstable_ingest): one Spark
+    task per token range merges that range's ``(directory, prefix)``
+    inputs — ascending authority order — into one new sstable at
+    ``out_path/cass_range=N``. If an input lives in the OUTPUT range
+    directory itself (the streaming path feeds the previous compacted
+    snapshot back in as the lowest-authority input), its component
+    files are deleted after the new generation is written, so a range
+    directory always holds exactly one sstable. Driver state is
+    O(ranges) either way."""
+    clustering = list(clustering or [])
     items = [
         (rid, json.dumps(inputs)) for rid, inputs in sorted(per_range.items())
     ]
@@ -393,14 +478,22 @@ def compact_stream_batches(
             rows = []
             for rid, inputs_json in zip(pdf["rid"], pdf["inputs"]):
                 inputs = [tuple(x) for x in json.loads(inputs_json)]
+                out_dir = os.path.join(out_path, f"cass_range={int(rid)}")
                 m = compact_sstable_inputs(
                     inputs,
-                    os.path.join(out_path, f"cass_range={int(rid)}"),
+                    out_dir,
                     keyspace=keyspace,
                     table=table,
                     partition_key=partition_key,
                     clustering=clustering,
                 )
+                # superseded in-place snapshot: drop its components now
+                # that the new generation is fully on disk
+                for d, p in inputs:
+                    if os.path.abspath(d) == os.path.abspath(out_dir):
+                        for f in os.listdir(d):
+                            if f.startswith(p + "-"):
+                                os.remove(os.path.join(d, f))
                 rows.append(
                     {
                         "range_id": int(rid),
@@ -419,7 +512,4 @@ def compact_stream_batches(
         "range_id int, prefix string, partitions long, rows long, "
         "inputs int, rows_dropped long",
     ).collect()
-    manifests = sorted((r.asDict() for r in out), key=lambda m: m["range_id"])
-    with open(os.path.join(out_path, "_sstable_manifests.json"), "w") as fh:
-        json.dump(manifests, fh)
-    return manifests
+    return sorted((r.asDict() for r in out), key=lambda m: m["range_id"])

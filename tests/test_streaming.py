@@ -612,3 +612,80 @@ def test_interval_stream_join_misuse(spark):
             b2.withColumn("x", b2["value"]),
             ["value"], "ts_a", "ts_b",
         )
+
+
+def test_sstable_ingest_available_now(spark, tmp_path):
+    """Incremental reverse-migration: two sstable waves landing across
+    two availableNow drains must reconcile to the same snapshot as one
+    batch compaction over both waves (the q179 path), and a drain with
+    nothing new must be a no-op."""
+    from sstable_migrator_spark.sinks.ring import (
+        build_ring,
+        compact_stream_batches,
+        write_sstables,
+    )
+    from sstable_migrator_spark.sources.sstable_source import read_sstables
+    from sstable_migrator_spark.streaming.sstable_ingest import (
+        compact_sstables_available_now,
+    )
+
+    root = str(tmp_path / "landing")
+    out = str(tmp_path / "snapshot")
+    ckpt = str(tmp_path / "ckpt")
+    ring = build_ring(["n1", "n2"], vnodes_per_node=3)
+    base = spark.createDataFrame(
+        [(i, f"name-{i}") for i in range(60)], "k long, name string"
+    )
+    kw = dict(
+        keyspace="ks", table="t", partition_key=["k"], clustering=[], ring=ring,
+        rf=1,
+    )
+
+    # wave 0 lands, first drain
+    write_sstables(base, f"{root}/batch_id=0", write_timestamp_us=1700000000000000, **kw)
+    d1 = compact_sstables_available_now(
+        spark, root, out, ckpt, keyspace="ks", table="t", partition_key=["k"]
+    )
+    assert d1, "first drain saw no sstables"
+    got = {r["k"]: r["name"] for r in read_sstables(spark, out, partition_key=["k"]).collect()}
+    assert got == {i: f"name-{i}" for i in range(60)}
+
+    # wave 1 lands (every third key rewritten, later timestamp), second drain
+    wave1 = base.filter(F.col("k") % 3 == 0).withColumn("name", F.upper("name"))
+    write_sstables(wave1, f"{root}/batch_id=1", write_timestamp_us=1700000000000001, **kw)
+    d2 = compact_sstables_available_now(
+        spark, root, out, ckpt, keyspace="ks", table="t", partition_key=["k"]
+    )
+    assert d2
+    # each folded range merged exactly snapshot + the one new wave
+    assert all(m["inputs"] <= 2 for m in d2), d2
+    got = {r["k"]: r["name"] for r in read_sstables(spark, out, partition_key=["k"]).collect()}
+    expect = {
+        i: (f"name-{i}".upper() if i % 3 == 0 else f"name-{i}") for i in range(60)
+    }
+    assert got == expect
+
+    # equivalence with the batch path over both waves at once
+    batch_out = str(tmp_path / "batch_snapshot")
+    compact_stream_batches(
+        spark, root, batch_out, keyspace="ks", table="t", partition_key=["k"]
+    )
+    batch_rows = {
+        r["k"]: r["name"]
+        for r in read_sstables(spark, batch_out, partition_key=["k"]).collect()
+    }
+    assert batch_rows == got
+
+    # a drain with nothing new is a no-op (checkpoint ledger holds)
+    d3 = compact_sstables_available_now(
+        spark, root, out, ckpt, keyspace="ks", table="t", partition_key=["k"]
+    )
+    assert d3 == []
+    # and each snapshot range dir holds exactly one sstable
+    import os
+
+    for rd in os.listdir(out):
+        if not rd.startswith("cass_range="):
+            continue
+        tocs = [f for f in os.listdir(os.path.join(out, rd)) if f.endswith("-TOC.txt")]
+        assert len(tocs) == 1, (rd, tocs)
