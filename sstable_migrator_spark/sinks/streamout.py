@@ -143,10 +143,13 @@ def stream_sstables(
     with open(os.path.join(path, "_stream_plan.json")) as fh:
         plan = json.load(fh)
     with open(os.path.join(path, "_sstable_manifests.json")) as fh:
-        manifests = {m["range_id"]: m for m in json.load(fh)}
+        manifests = json.load(fh)
     endpoints_by_range = {r["range_id"]: r["endpoints"] for r in plan["ranges"]}
+    # iterate the manifest LIST: a row-capped range legitimately holds
+    # several generations, each streamed as its own session
     sessions = []
-    for rid, m in sorted(manifests.items()):
+    for m in sorted(manifests, key=lambda m: (m["range_id"], m["prefix"])):
+        rid = m["range_id"]
         directory = os.path.join(path, f"cass_range={rid}")
         for ep in endpoints_by_range[rid]:
             sessions.append((rid, m["prefix"], directory, ep))
@@ -186,13 +189,14 @@ def verify_streamed(target_dir: str, path: str) -> dict:
     with open(os.path.join(path, "_stream_plan.json")) as fh:
         plan = json.load(fh)
     with open(os.path.join(path, "_sstable_manifests.json")) as fh:
-        manifests = {m["range_id"]: m for m in json.load(fh)}
+        manifests = json.load(fh)
     endpoints_by_range = {r["range_id"]: r["endpoints"] for r in plan["ranges"]}
 
     expected = ok = 0
     missing: list[tuple] = []
     corrupt: list[tuple] = []
-    for rid, m in sorted(manifests.items()):
+    for m in sorted(manifests, key=lambda m: (m["range_id"], m["prefix"])):
+        rid = m["range_id"]
         src = os.path.join(path, f"cass_range={rid}")
         comps = sorted(
             f for f in os.listdir(src) if f.startswith(m["prefix"] + "-")

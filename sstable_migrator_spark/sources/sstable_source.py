@@ -107,12 +107,21 @@ def read_sstables(
 
     clustering = list(clustering or [])
     dirs = _sstable_dirs(path, pattern)
+    # one unit per SSTABLE, not per directory: a row-capped range
+    # (write_sstables max_rows_per_sstable) holds several generations
+    # in one range dir; each is its own scan task. NOTE: all sstables
+    # are unioned verbatim — a directory holding uncompacted OVERWRITE
+    # generations must be compacted first (compact_stream_batches /
+    # streaming.sstable_ingest), exactly as the q179 path does.
+    tables = [
+        (d, f[: -len("-TOC.txt")])
+        for d in dirs
+        for f in sorted(os.listdir(d))
+        if f.endswith("-TOC.txt")
+    ]
 
     # driver-side: one Statistics.db (KBs) fixes the types for all
-    first = dirs[0]
-    prefix = next(
-        f[: -len("-TOC.txt")] for f in os.listdir(first) if f.endswith("-TOC.txt")
-    )
+    first, prefix = tables[0]
     with open(os.path.join(first, f"{prefix}-Statistics.db"), "rb") as fh:
         stats = _parse_statistics(fh.read())
     key_cqls = [t.cql for t in _key_types(stats["key_type"])]
@@ -134,12 +143,13 @@ def read_sstables(
         f"`{n}` {_CQL_TO_SPARK[c]}" for n, c in zip(names, cqls)
     )
 
-    # repartitionByRange on a sequential index pins ONE directory per
+    # repartitionByRange on a sequential index pins ONE sstable per
     # task; hash repartition on the path would leave ~1/e tasks empty
     # and others reading 2-3 sstables
     dirs_df = spark.createDataFrame(
-        [(i, d) for i, d in enumerate(dirs)], "i int, dir string"
-    ).repartitionByRange(len(dirs), "i")
+        [(i, d, p) for i, (d, p) in enumerate(tables)],
+        "i int, dir string, prefix string",
+    ).repartitionByRange(len(tables), "i")
 
     def _scan(batches):
         import pandas as pd
@@ -150,8 +160,8 @@ def read_sstables(
         )
 
         for pdf in batches:
-            for d in pdf["dir"]:
-                got = read_sstable(d, verify=verify)
+            for d, pref in zip(pdf["dir"], pdf["prefix"]):
+                got = read_sstable(d, prefix=pref, verify=verify)
                 if verify and not (
                     got["index_ok"]
                     and got["digest_ok"]

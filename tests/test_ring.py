@@ -5,6 +5,7 @@ sstableloader's stream plan (daily_all_upload.sh:37-39)."""
 from __future__ import annotations
 
 import glob
+import os
 import json
 
 import pytest
@@ -176,3 +177,48 @@ def test_write_sstables_end_to_end(spark, tmp_path):
         manifests = json.load(fh)
     assert sum(m["rows"] for m in manifests) == 200
     assert all(m["prefix"] == f"nb-{m['range_id'] + 1}-big" for m in manifests)
+
+
+def test_write_sstables_row_cap_splits_hot_range(spark, tmp_path):
+    """A deliberately skewed load (every key owned by ONE vnode range
+    via a single-node single-vnode ring) must split into N capped
+    sub-sstables — distinct generations in the one range directory,
+    written by separate tasks — that read back identically to the
+    uncapped write."""
+    from sstable_migrator_spark.sinks.ring import build_ring, write_sstables
+    from sstable_migrator_spark.sources.sstable_source import read_sstables
+
+    ring = build_ring(["solo"], vnodes_per_node=1)  # one range owns all
+    df = spark.createDataFrame(
+        [(f"key-{i}", i) for i in range(900)], "k string, seq long"
+    )
+    kw = dict(
+        keyspace="ks", table="t", partition_key=["k"], clustering=[],
+        ring=ring, rf=1,
+    )
+    write_sstables(df, str(tmp_path / "capped"), max_rows_per_sstable=200, **kw)
+    write_sstables(df, str(tmp_path / "plain"), **kw)
+
+    range_dirs = glob.glob(str(tmp_path / "capped" / "cass_range=*"))
+    assert len(range_dirs) == 1
+    tocs = [f for f in os.listdir(range_dirs[0]) if f.endswith("-TOC.txt")]
+    # 900 rows / cap 200 -> 5 hash-split generations
+    assert len(tocs) == 5, tocs
+    with open(tmp_path / "capped" / "_sstable_manifests.json") as fh:
+        manifests = json.load(fh)
+    assert len(manifests) == 5
+    assert sum(m["rows"] for m in manifests) == 900
+    # hash split: balanced within sampling noise, nobody way over cap
+    assert all(100 <= m["rows"] <= 260 for m in manifests), manifests
+    # distinct generations, all in the same range dir
+    assert len({m["prefix"] for m in manifests}) == 5
+
+    got = {
+        (r["k"], r["seq"])
+        for r in read_sstables(spark, str(tmp_path / "capped"), partition_key=["k"]).collect()
+    }
+    plain = {
+        (r["k"], r["seq"])
+        for r in read_sstables(spark, str(tmp_path / "plain"), partition_key=["k"]).collect()
+    }
+    assert got == plain and len(got) == 900
