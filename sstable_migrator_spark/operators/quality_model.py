@@ -85,3 +85,113 @@ def score_quality(
     return scored.withColumn(out_col, p1).drop(
         "_qm_toks", "_qm_feat", "rawPrediction", "probability", "prediction"
     )
+
+
+# ---------------------------------------------------------------------------
+# Portable-hash variant: train once, freeze integer weights, score anywhere
+# ---------------------------------------------------------------------------
+#
+# The MLlib pipeline above hashes tokens with HashingTF (JVM murmur3) —
+# fine for Spark-only scoring, but the hash is not reproducible in an
+# external engine, so the scoring path cannot be oracle-gated. This
+# variant featurizes with the engine-portable md5 hash
+# (functions.text.hash64, the same trick the MinHash/CMS families use),
+# trains the identical distributed LogisticRegression, then QUANTIZES
+# the fitted coefficients to integers (w * scale, rounded — the same
+# move real inference stacks make to ship models). Scoring with frozen
+# integer weights is then:
+#   score = bias + sum over tokens of w[bucket(token)]
+# a pure BIGINT map-side expression with no float accumulation — the
+# sum is order-free, so it hash-matches a DuckDB twin bit-for-bit and
+# survives any partitioning. The keep decision thresholds the integer
+# score; the probability, when wanted, is one deterministic double op
+# per row (sigmoid(score/scale)), not a float reduction.
+
+_QM_SEED = 7
+
+
+def portable_feature_bucket(col, num_features: int):
+    """Engine-portable feature bucket of a token: md5-based hash64
+    (seed 7) mod num_features. hash64 is non-negative, so Java/SQL
+    signed % agree."""
+    from sstable_migrator_spark.functions import text as TX
+
+    return TX.hash64(col, seed=_QM_SEED) % num_features
+
+
+def train_quality_classifier_portable(
+    labeled: DataFrame,
+    text_col: str = "text",
+    label_col: str = "label",
+    num_features: int = 64,
+    reg_param: float = 1e-3,
+    max_iter: int = 100,
+) -> tuple[list[float], float]:
+    """Fit LogisticRegression on portable-hash bag-of-buckets counts;
+    returns (coefficients, intercept). The featurization is native
+    expressions (tokens -> per-bucket counts -> dense array ->
+    array_to_vector); the fit is MLlib's distributed LBFGS. Meant to
+    run OFFLINE on a labeled corpus — the returned weights are frozen
+    (quantized) into the scoring path, never re-fit per query."""
+    from pyspark.ml.classification import LogisticRegression
+    from pyspark.ml.functions import array_to_vector
+
+    from sstable_migrator_spark.functions import text as TX
+
+    toks = TX.tokens(F.lower(F.col(text_col)))
+    buckets = F.transform(toks, lambda t: portable_feature_bucket(t, num_features))
+    counts = F.transform(
+        F.sequence(F.lit(0), F.lit(num_features - 1)),
+        lambda b: F.size(F.filter(buckets, lambda x: x == b)).cast("double"),
+    )
+    feat = labeled.select(
+        F.col(label_col).cast("double").alias("label"),
+        array_to_vector(counts).alias("features"),
+    )
+    lr = LogisticRegression(regParam=reg_param, maxIter=max_iter)
+    m = lr.fit(feat)
+    return list(m.coefficients.toArray()), float(m.intercept)
+
+
+def quantize_weights(
+    weights: list[float], intercept: float, scale: int = 1000
+) -> tuple[list[int], int]:
+    """Freeze float coefficients as integers: round(w * scale). The
+    induced decision boundary moves by at most n_tokens * 0.5/scale in
+    logit units — negligible at scale=1000 for any classifier worth
+    shipping."""
+    return [round(w * scale) for w in weights], round(intercept * scale)
+
+
+def score_quality_frozen(
+    df: DataFrame,
+    weights: list[int],
+    bias: int,
+    num_features: int | None = None,
+    text_col: str = "text",
+    score_col: str = "q_score",
+    keep_col: str = "keep",
+    threshold: int = 0,
+) -> DataFrame:
+    """Map-side scoring with frozen integer weights: appends the BIGINT
+    logit score (scaled by the quantization factor) and the keep flag
+    (score > threshold). No shuffle, no float accumulation, no state —
+    the 100 TB plan is a projection over the scan."""
+    from sstable_migrator_spark.functions import text as TX
+
+    m = num_features or len(weights)
+    if len(weights) != m:
+        raise ValueError(f"{len(weights)} weights for {m} features")
+    warr = F.array(*[F.lit(int(w)).cast("long") for w in weights])
+    toks = TX.tokens(F.lower(F.col(text_col)))
+    score = F.lit(int(bias)).cast("long") + F.aggregate(
+        toks,
+        F.lit(0).cast("long"),
+        lambda acc, t: acc
+        + F.element_at(
+            warr, (portable_feature_bucket(t, m) + 1).cast("int")
+        ),
+    )
+    return df.withColumn(score_col, score).withColumn(
+        keep_col, (F.col(score_col) > threshold).cast("int")
+    )

@@ -8667,6 +8667,81 @@ ORACLES.update({"q180_triangle_count": SQL_TRIANGLE_COUNT})
 
 
 # ---------------------------------------------------------------------------
+# Batch — learned quality-model scoring with a frozen quantized model
+# (the oracle-gated inference path of operators/quality_model.py)
+# ---------------------------------------------------------------------------
+
+# Coefficients of a LogisticRegression trained ONCE (offline, MLlib
+# distributed LBFGS) on a 40-document natural-vs-spam corpus over
+# 64 portable-hash buckets, quantized to integers at scale=1000
+# (quality_model.quantize_weights). Frozen here exactly like a shipped
+# model artifact: the catalog query is pure inference.
+_QM_WEIGHTS = [
+    929, 1698, 1848, -1560, -2215, 2164, -521, -149, 0, -510, 1804, 515,
+    -541, -948, -1077, 2527, -1824, -616, -458, 1435, -461, 213, 1117, 143,
+    2085, -509, 1771, 298, -318, 308, 0, 1405, 108, 1903, -640, 0, -385,
+    -417, 2124, 2057, -323, 980, 249, 1061, 501, 1918, -177, -1165, -676,
+    1647, 1858, -809, -676, -171, -286, 2613, 2268, 0, -448, 5391, -928,
+    -871, 0, -985,
+]
+_QM_BIAS = -1140
+
+
+def q_quality_model_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-based quality filtering, inference side (the learned
+    sibling of heuristic q48): score every document with a FROZEN
+    integer-quantized logistic model over portable-hash bag-of-words
+    features (quality_model.score_quality_frozen; trained offline via
+    train_quality_classifier_portable — float-iterative LBFGS happens
+    once, never per query). The score is
+    ``bias + sum over tokens of w[md5_bucket(token)]`` — a BIGINT
+    map-side expression with no float accumulation, so it is order-free
+    and hash-exact cross-engine, and the 100 TB plan is a projection
+    over the scan (shuffle-free, pinned in test_quality_model). The
+    keep flag thresholds the scaled logit at 0 = P(good) > 0.5.
+    Reference analog: the validate fan-out family (T5) with a learned
+    judge instead of a rule."""
+    from sstable_migrator_spark.operators.quality_model import (
+        score_quality_frozen,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return (
+        score_quality_frozen(docs, _QM_WEIGHTS, _QM_BIAS)
+        .select("doc_id", "q_score", "keep")
+    )
+
+
+_QM_WL = "[" + ", ".join(str(w) for w in _QM_WEIGHTS) + "]"
+
+SQL_QUALITY_MODEL_SCORE = f"""
+WITH w AS (SELECT {_QM_WL} AS wl),
+toks AS (
+  SELECT doc_id,
+         CASE WHEN length(trim(lower(text))) = 0 THEN []
+              ELSE regexp_split_to_array(trim(lower(text)), '\\s+') END AS tk
+  FROM documents
+),
+scored AS (
+  SELECT doc_id,
+         {_QM_BIAS} + COALESCE(list_sum(list_transform(
+           tk,
+           t -> wl[CAST(CAST(concat('0x', substr(md5('7|' || t), 1, 15))
+                        AS BIGINT) % 64 AS INT) + 1]
+         )), 0) AS s
+  FROM toks CROSS JOIN w
+)
+SELECT doc_id, CAST(s AS BIGINT) AS q_score,
+       CAST(CASE WHEN s > 0 THEN 1 ELSE 0 END AS INT) AS keep
+FROM scored
+"""
+
+
+QUERIES.update({"q181_quality_model_score": q_quality_model_score})
+ORACLES.update({"q181_quality_model_score": SQL_QUALITY_MODEL_SCORE})
+
+
+# ---------------------------------------------------------------------------
 # Driver-sample ordering.
 #
 # The round driver's correctness gate checks only the FIRST ~50 catalog
@@ -8711,7 +8786,12 @@ _DRIVER_PRIORITY: list[str] = [
     "q50_backfill_derived",
     "q51_ip_blocks",
     "q54_window_dedup",
-    "q64_skew_distinct",
+    # q64_skew_distinct rotated to local-harness coverage in round 5:
+    # both of its families keep in-head driver evidence (distinct via
+    # q03_distinct, skew handling via q137_salted_join); the slot
+    # carries the learned quality model's frozen-weight scoring path —
+    # the ml-inference family's first oracle-gated member
+    "q181_quality_model_score",
     "q65_asof_join",
     "q66_rollup",
     # LLM-pipeline dedup / similarity / quality family.

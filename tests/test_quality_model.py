@@ -85,3 +85,58 @@ def test_scoring_plan_has_no_exchange(spark):
         .toString()
     )
     assert "Exchange" not in plan
+
+
+def test_frozen_portable_path_roundtrip(spark):
+    """Portable-hash training -> integer quantization -> frozen scoring
+    must separate the corpus exactly, stay partitioning-stable (BIGINT
+    sum is order-free), and keep a shuffle-free scoring plan."""
+    from sstable_migrator_spark.operators.quality_model import (
+        quantize_weights,
+        score_quality_frozen,
+        train_quality_classifier_portable,
+    )
+
+    spark = _ml_session(spark)
+    labeled = _labeled(spark)
+    w, b = train_quality_classifier_portable(labeled, num_features=64)
+    wi, bi = quantize_weights(w, b)
+    scored = score_quality_frozen(labeled, wi, bi)
+    rows = scored.select("label", "q_score", "keep").collect()
+    assert all((r["q_score"] > 0) == (r["label"] == 1.0) for r in rows)
+    assert all(r["keep"] == int(r["q_score"] > 0) for r in rows)
+    # order-free: identical scores under any partitioning
+    a = sorted(r["q_score"] for r in rows)
+    b2 = sorted(
+        r["q_score"]
+        for r in score_quality_frozen(labeled.repartition(7), wi, bi).collect()
+    )
+    assert a == b2
+    # inference plan: projection over the scan, no exchange
+    plan = (
+        score_quality_frozen(labeled, wi, bi)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan
+
+
+def test_frozen_catalog_weights_separate(spark):
+    """The literals frozen into q181 are a real trained model, not
+    noise: they must separate a held-out-style natural vs spam pair."""
+    from sstable_migrator_spark.operators.quality_model import (
+        score_quality_frozen,
+    )
+    from sstable_migrator_spark.queries import _QM_BIAS, _QM_WEIGHTS
+
+    df = spark.createDataFrame(
+        [
+            ("the committee approved the budget after a long public debate", 1),
+            ("casino casino jackpot jackpot click here click here now now", 0),
+        ],
+        "text string, label int",
+    )
+    got = {r["label"]: r["q_score"] for r in
+           score_quality_frozen(df, _QM_WEIGHTS, _QM_BIAS).collect()}
+    assert got[1] > 0 > got[0], got
