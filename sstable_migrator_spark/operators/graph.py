@@ -96,22 +96,25 @@ def _sym(e: DataFrame) -> DataFrame:
     return e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
 
 
-def _large_star(e: DataFrame) -> DataFrame:
+def _large_star(e: DataFrame, dedup: bool = True) -> DataFrame:
     """Large-star round: every node connects its LARGER neighbors to its
     current minimum (min of neighborhood incl. itself). One groupBy for
     the per-node min + one join — neighbor lists are never collected,
-    so a hub node costs a wide aggregation, not a giant array."""
+    so a hub node costs a wide aggregation, not a giant array.
+    ``dedup=False`` skips the trailing distinct — correct ONLY when the
+    consumer re-distincts anyway (``_small_star``'s orientation step
+    does), saving one exchange per contraction round."""
     s = _sym(e)
     mn = s.groupBy("u").agg(F.min("v").alias("mv"))
-    return (
+    out = (
         s.filter(F.col("v") > F.col("u"))
         .join(mn, "u")
         .select(
             F.col("v").alias("u"),
             F.least(F.col("mv"), F.col("u")).alias("v"),
         )
-        .distinct()
     )
+    return out.distinct() if dedup else out
 
 
 def _small_star(e: DataFrame) -> DataFrame:
@@ -135,11 +138,32 @@ def _small_star(e: DataFrame) -> DataFrame:
     return out1.union(out2).distinct()
 
 
+def _driver_union_find(spark, edge_rows) -> DataFrame:
+    """Small-side finish: path-halving union-find over a collected edge
+    list, components labeled by their minimum node id — bit-identical
+    to what star contraction converges to (pinned by test_graph)."""
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for u, v in edge_rows:
+        ru, rv = find(u), find(v)
+        if ru != rv:
+            parent[max(ru, rv)] = min(ru, rv)
+    rows = [(n, find(n)) for n in parent]
+    return spark.createDataFrame(rows, "node long, component long")
+
+
 def connected_components(
     edges: DataFrame,
     src: str = "src",
     dst: str = "dst",
     max_iters: int = 50,
+    driver_threshold_edges: int = 65536,
 ) -> DataFrame:
     """Connected components via alternating large-star / small-star
     rounds (Kiveris et al. 2014, "Connected Components in MapReduce and
@@ -163,6 +187,19 @@ def connected_components(
     could collide (64-bit xor over the edge set), so a signature match
     is CONFIRMED by one exact exceptAll before returning — the exact
     check runs once, at convergence, not per round.
+
+    ``driver_threshold_edges``: the small-side cutover. A deduped edge
+    set at or under the threshold (known for free from the signature
+    count) is collected and finished with a driver union-find — the
+    same judgment a broadcast join makes about a small side. The
+    distilled pair graphs LSH dedup produces are O(duplicate pairs),
+    usually thousands of edges off a billion-document corpus, and each
+    star round costs ~3 scheduled jobs regardless of size; paying
+    O(log^2 n) rounds of cluster scheduling to contract something that
+    fits in one task is pure overhead. 64k edges collect to ~1 MB.
+    The labeling (component = min node id) is bit-identical on both
+    paths (pinned by test_graph); pass 0 to force the distributed
+    contraction at any size.
     """
     def _sig(df: DataFrame) -> tuple:
         row = df.groupBy().agg(
@@ -179,15 +216,17 @@ def connected_components(
         .distinct()
         .localCheckpoint()
     )
-    # Seed the convergence signature with the INPUT edge set: an LSH
-    # pair graph over small near-dup clusters is frequently already a
-    # fixed point of one star round, and seeding lets round 1 detect
-    # that instead of always paying a second full contraction (the
-    # q145 bench regression was exactly this — one redundant round of
-    # fixed per-round overhead on a tiny converged graph).
+    # Seed the convergence signature with the INPUT edge set: an edge
+    # set that is already a fixed point then converges after ONE star
+    # round instead of two. The signature count doubles as the
+    # small-side cutover test.
     prev: tuple | None = _sig(e)
+    if prev[0] <= driver_threshold_edges:
+        return _driver_union_find(edges.sparkSession, e.collect())
     for _ in range(max_iters):
-        e2 = _small_star(_large_star(e)).localCheckpoint()
+        # dedup=False: _small_star's orientation distinct subsumes
+        # large-star's, one fewer exchange per round
+        e2 = _small_star(_large_star(e, dedup=False)).localCheckpoint()
         sig = _sig(e2)
         # equal counts + one-direction exceptAll empty => equal sets;
         # rules out a 64-bit checksum collision silently returning

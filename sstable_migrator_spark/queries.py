@@ -6139,12 +6139,17 @@ def q_dup_clusters_star(spark: SparkSession, sf_dir: str) -> DataFrame:
     of component diameter, the scale path for big components) instead
     of label propagation. Oracle-checked against the identical
     recursive-CTE truth as q58, which pins that both algorithms agree
-    bit-for-bit on cluster ids and keep decisions."""
+    bit-for-bit on cluster ids and keep decisions.
+    ``driver_threshold_edges=0`` deliberately disables the operator's
+    small-side union-find cutover: this catalog entry is the PROOF
+    query for the distributed star contraction, so it must exercise
+    the full round loop even on the fixture-sized pair graph (the
+    cutover's equivalence has its own pin in test_graph)."""
     from sstable_migrator_spark.operators.graph import connected_components
 
     docs = _synth_near_dup_docs(spark, sf_dir)
     pairs = dedup.minhash_lsh_pairs(docs, num_hashes=16, bands=4, jaccard_threshold=0.5)
-    cc = connected_components(pairs, src="id_a", dst="id_b")
+    cc = connected_components(pairs, src="id_a", dst="id_b", driver_threshold_edges=0)
     return cc.select(
         F.col("node").cast("long").alias("doc_id"),
         F.col("component").cast("long").alias("cluster_id"),

@@ -89,9 +89,15 @@ def test_connected_components_vs_union_find(spark):
     tri = [(1, 2), (2, 3), (1, 3), (3, 1)]
     pairs = chain + star + tri + [(900, 901), (950, 951)]
     df = spark.createDataFrame(pairs, "src long, dst long")
+    # threshold 0: force the distributed star rounds (that is what
+    # this test exists to check against the union-find truth)
     got = {r["node"]: r["component"]
-           for r in connected_components(df).collect()}
+           for r in connected_components(df, driver_threshold_edges=0).collect()}
     assert got == _brute_components(pairs)
+    # and the small-side cutover (default threshold) must bit-agree
+    hybrid = {r["node"]: r["component"]
+              for r in connected_components(df).collect()}
+    assert hybrid == got
 
 
 def test_connected_components_directionless(spark):
@@ -101,9 +107,10 @@ def test_connected_components_directionless(spark):
     df = spark.createDataFrame(
         [(5, 4), (4, 5), (4, 3), (9, 8)], "src long, dst long"
     )
-    got = {r["node"]: r["component"]
-           for r in connected_components(df).collect()}
-    assert got == {3: 3, 4: 3, 5: 3, 8: 8, 9: 8}
+    for thresh in (0, 65536):
+        got = {r["node"]: r["component"]
+               for r in connected_components(df, driver_threshold_edges=thresh).collect()}
+        assert got == {3: 3, 4: 3, 5: 3, 8: 8, 9: 8}, thresh
 
 
 def _brute_triangles(pairs):
