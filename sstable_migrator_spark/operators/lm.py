@@ -1,0 +1,198 @@
+"""N-gram language-model perplexity filtering (CCNet-style corpus
+quality gate).
+
+North-star extension: the classic web-corpus cleaning step (CCNet,
+Wenzek et al. 2020) scores every document's perplexity under a language
+model trained on a trusted reference corpus and drops the
+high-perplexity tail. This module is that operator re-expressed for
+exact cross-engine verification:
+
+- **Training** is one hash aggregation: bucket tokens with the portable
+  md5 hash into a fixed vocabulary (V buckets — the hashing trick, no
+  vocabulary state), count (context, token) bigrams with map-side
+  combine, add-one smooth against the context totals. The model state
+  is bounded by V^2 rows at ANY corpus size — broadcastable forever.
+- **Surprisal is quantized to integers with NO floating point**: for a
+  smoothed probability num/den the quantity 16*log2(den/num) is
+  approximated as ``q16(r) = 16*msb(r) + next4bits(r) - 64`` with
+  ``r = (den*16) div num`` — integer division, binary-string msb
+  (``bin()``/``length``, identical in Spark and DuckDB), and the 4 bits
+  after the MSB as a linear-mantissa fraction (max error 0.086 log2
+  units, ~1.4 q16 units). Per-document surprisal is then a BIGINT sum:
+  order-free, partitioning-proof, hash-exact against a SQL oracle —
+  the float-discipline answer to "perplexity needs log()".
+- **Scoring** explodes bigrams, resolves each against the broadcast
+  model with two backoff levels (unseen token in a seen context ->
+  add-one mass of that context; unseen context -> uniform 1/V), and
+  sums per document: one shuffle keyed by doc id, two broadcast hash
+  joins, nothing else. The keep decision is an integer cross-multiply
+  on the AVERAGE surprisal (sum > threshold * n_bigrams).
+
+A perplexity readout for humans is exp2(avg_q16/16) — one
+deterministic double op per row, never accumulated.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["train_bigram_lm", "perplexity_score", "q16_surprisal_int"]
+
+_LM_SEED = 11
+GLOBAL_CTX = -1  # sentinel context bucket for the uniform backoff row
+
+
+def q16_surprisal_int(num: int, den: int) -> int:
+    """Driver-side twin of the in-engine q16 quantizer (used for the
+    uniform-backoff constant and threshold calibration): exact same
+    integer ops, so it agrees bit-for-bit with the column form."""
+    if not 0 < num <= den:
+        raise ValueError(f"need 0 < num <= den, got {num}/{den}")
+    r = (den * 16) // num
+    msb = r.bit_length() - 1  # >= 4 because r >= 16
+    frac = (r >> (msb - 4)) & 15
+    return 16 * msb + frac - 64
+
+
+def _q16_col(num: Column, den: Column) -> Column:
+    """16*log2(den/num) in pure integer column ops. ``r >= 16`` holds
+    whenever num <= den, so bin(r) has at least 5 chars and the four
+    post-MSB bits always exist."""
+    # exact integer floor-division without SQL `div`: subtract the
+    # modulus first, so the double division is of an exactly divisible
+    # pair and therefore exact (floor(a/b) alone can be off by one at
+    # ulp boundaries and would diverge from true integer division)
+    a = (den * F.lit(16)).cast("long")
+    r = ((a - F.pmod(a, num)) / num).cast("long")
+    b = F.bin(r)
+    msb = (F.length(b) - 1).cast("long")
+
+    def bit(i: int) -> Column:
+        return (F.substring(b, i, 1) == "1").cast("long")
+
+    frac = bit(2) * 8 + bit(3) * 4 + bit(4) * 2 + bit(5)
+    return (msb * 16 + frac - 64).cast("long")
+
+
+def _bucket(tok: Column, vocab: int) -> Column:
+    from sstable_migrator_spark.functions import text as TX
+
+    return TX.hash64(tok, seed=_LM_SEED) % vocab
+
+
+def _bigrams(df: DataFrame, text_col: str, vocab: int) -> DataFrame:
+    """Explode each document into (ctx, tok) bigram bucket pairs.
+    Documents with fewer than two tokens contribute nothing."""
+    from sstable_migrator_spark.functions import text as TX
+
+    toks = TX.tokens(F.lower(F.col(text_col)))
+    buckets = F.transform(toks, lambda t: _bucket(t, vocab))
+    pairs = F.when(
+        F.size(buckets) >= 2,
+        F.zip_with(
+            F.slice(buckets, 1, F.greatest(F.size(buckets) - 1, F.lit(1))),
+            F.slice(buckets, 2, F.greatest(F.size(buckets) - 1, F.lit(1))),
+            lambda a, b: F.struct(a.alias("ctx"), b.alias("tok")),
+        ),
+    ).otherwise(F.array().cast("array<struct<ctx:long,tok:long>>"))
+    return df.withColumn("_bg", F.explode(pairs)).select(
+        *df.columns, F.col("_bg.ctx").alias("ctx"), F.col("_bg.tok").alias("tok")
+    )
+
+
+def train_bigram_lm(
+    docs: DataFrame, text_col: str = "text", vocab: int = 256
+) -> DataFrame:
+    """Fit the smoothed bigram table: returns
+    ``(ctx, tok, sq)`` rows for every OBSERVED bigram plus one
+    ``tok = -1`` backoff row per seen context (the add-one mass of an
+    unseen token in that context). Bounded by V^2 + V rows — broadcast
+    it. The uniform unseen-context backoff is the constant
+    ``q16_surprisal_int(1, vocab)``; scoring applies it without a row.
+    One data-sized aggregation (bigram counts, map-side combined); the
+    context totals re-aggregate the BOUNDED count table."""
+    bg = _bigrams(docs, text_col, vocab).select("ctx", "tok")
+    counts = bg.groupBy("ctx", "tok").agg(F.count(F.lit(1)).alias("c"))
+    ctx_tot = counts.groupBy("ctx").agg(F.sum("c").alias("ctot"))
+    seen = (
+        counts.join(ctx_tot, "ctx")
+        .select(
+            "ctx",
+            "tok",
+            _q16_col(
+                (F.col("c") + 1).cast("long"),
+                (F.col("ctot") + vocab).cast("long"),
+            ).alias("sq"),
+        )
+    )
+    backoff = ctx_tot.select(
+        "ctx",
+        F.lit(-1).cast("long").alias("tok"),
+        _q16_col(
+            F.lit(1).cast("long"), (F.col("ctot") + vocab).cast("long")
+        ).alias("sq"),
+    )
+    return seen.unionByName(backoff)
+
+
+def perplexity_score(
+    docs: DataFrame,
+    lm: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    vocab: int = 256,
+    threshold_q16: int | None = None,
+) -> DataFrame:
+    """Score every document's total and average quantized surprisal
+    under ``lm``. Output: (id, n_bigrams, surprise_q16, keep) — all
+    integers, hash-exact. ``keep`` = average surprisal STRICTLY below
+    ``threshold_q16`` (integer cross-multiply; default: the uniform
+    surprisal, i.e. keep documents that beat a know-nothing model —
+    strict, so a document resolved entirely by the uniform backoff
+    lands exactly on the threshold and drops; documents with no
+    bigrams carry no evidence and are kept).
+    Plan: explode -> two broadcast hash joins (V^2-bounded build
+    sides) -> one hash aggregation on the id — the only data-sized
+    shuffle — then a broadcast join back to the doc spine so empty
+    docs survive."""
+    sq0 = q16_surprisal_int(1, vocab)
+    if threshold_q16 is None:
+        threshold_q16 = sq0
+    spine = docs.select(id_col).distinct()
+    bg = _bigrams(docs.select(id_col, text_col), text_col, vocab)
+    seen = lm.filter(F.col("tok") >= 0)
+    backoff = lm.filter(F.col("tok") < 0).select(
+        "ctx", F.col("sq").alias("sq_u")
+    )
+    scored = (
+        bg.join(F.broadcast(seen), ["ctx", "tok"], "left")
+        .join(F.broadcast(backoff), ["ctx"], "left")
+        .select(
+            id_col,
+            F.coalesce("sq", "sq_u", F.lit(sq0)).cast("long").alias("s"),
+        )
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.sum("s").alias("surprise_q16"),
+        )
+    )
+    return (
+        spine.join(F.broadcast(scored), id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_bigrams", F.lit(0)).cast("long").alias("n_bigrams"),
+            F.coalesce("surprise_q16", F.lit(0)).cast("long").alias("surprise_q16"),
+        )
+        .withColumn(
+            "keep",
+            F.when(F.col("n_bigrams") == 0, F.lit(1))
+            .otherwise(
+                (
+                    F.col("surprise_q16")
+                    < F.lit(int(threshold_q16)) * F.col("n_bigrams")
+                ).cast("int")
+            ),
+        )
+    )
