@@ -772,3 +772,120 @@ def exact_span_pairs(
     return pairs.groupBy("id_a", "id_b").agg(
         F.count(F.lit(1)).alias("shared_windows")
     )
+
+
+def winnow_fingerprints(
+    docs: DataFrame,
+    k: int = 4,
+    w: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken 2003,
+    the MOSS algorithm): hash every k-token gram, slide a w-gram window
+    over the hash sequence, and select each window's MINIMUM (rightmost
+    occurrence on ties — the paper's rule, which minimizes selections
+    on runs). The guarantee: any verbatim match of at least w + k - 1
+    tokens shares a selected fingerprint, at an expected density of
+    2/(w+1) — a tunable middle ground between exact_span_pairs (every
+    window, k-token guarantee, dense) and whole-doc MinHash (sparse, no
+    span guarantee). Returns ``(doc, pos, fp)`` — gram position kept so
+    callers can localize the matching span.
+
+    Entirely expression-level (transform/slice/array_min) — the
+    extraction is map-only over each document; nothing shuffles until
+    the caller aggregates fingerprints."""
+    toks = docs.select(
+        F.col(id_col).alias("doc"),
+        TX.tokens(F.lower(F.col(text_col))).alias("tk"),
+    ).filter(F.size("tk") >= k + w - 1)
+    grams = toks.select(
+        "doc",
+        F.transform(
+            F.sequence(F.lit(1), F.size("tk") - (k - 1)),
+            lambda i: TX.hash64(F.array_join(F.slice("tk", i, k), " "), seed=13),
+        ).alias("gh"),
+    )
+    sel = grams.select(
+        "doc",
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), F.size("gh") - (w - 1)),
+                lambda i: F.struct(
+                    (
+                        i
+                        + F.lit(w)
+                        - F.array_position(
+                            F.reverse(F.slice("gh", i, w)),
+                            F.array_min(F.slice("gh", i, w)),
+                        )
+                    ).cast("long").alias("pos"),
+                    F.array_min(F.slice("gh", i, w)).alias("fp"),
+                ),
+            )
+        ).alias("sel"),
+    )
+    return sel.select("doc", F.explode("sel").alias("s")).select(
+        "doc", F.col("s.pos").alias("pos"), F.col("s.fp").alias("fp")
+    )
+
+
+def winnow_pairs(
+    docs: DataFrame,
+    k: int = 4,
+    w: int = 5,
+    max_df: int = 10,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Pair mining over winnowed fingerprints: docs sharing selected
+    fingerprints, with the same boilerplate df-cap and in-bucket
+    array-comprehension pairing as ``exact_span_pairs`` (no self-join).
+    For pairing, the winnow selection reduces to the DISTINCT set of
+    window minima — the rightmost-position tie rule only affects WHERE
+    a fingerprint sits, never WHICH values are selected — so the pair
+    path skips position bookkeeping entirely. Returns
+    ``(id_a, id_b, shared_fps)``. Scale: fingerprint explode is
+    map-only at 2/(w+1) density; shuffles move (fp, id) pairs only;
+    pair cost bounded by C(max_df, 2) per fingerprint."""
+    toks = docs.select(
+        F.col(id_col).alias("doc"),
+        TX.tokens(F.lower(F.col(text_col))).alias("tk"),
+    ).filter(F.size("tk") >= k + w - 1)
+    # stage the gram-hash array in its own projection so each gram is
+    # hashed once, not once per window it appears in
+    grams = toks.select(
+        "doc",
+        F.transform(
+            F.sequence(F.lit(1), F.size("tk") - (k - 1)),
+            lambda i: TX.hash64(F.array_join(F.slice("tk", i, k), " "), seed=13),
+        ).alias("gh"),
+    )
+    fps = grams.select(
+        "doc",
+        F.explode(
+            F.array_distinct(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("gh") - (w - 1)),
+                    lambda i: F.array_min(F.slice("gh", i, w)),
+                )
+            )
+        ).alias("fp"),
+    )
+    grouped = (
+        fps.groupBy("fp")
+        .agg(F.sort_array(F.collect_list("doc")).alias("ds"))
+        .filter((F.size("ds") >= 2) & (F.size("ds") <= max_df))
+    )
+    pairs = grouped.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(ds, (a, i) -> "
+                "transform(slice(ds, i + 2, size(ds)), b -> "
+                "struct(a AS id_a, b AS id_b))))"
+            )
+        ).alias("p")
+    ).select("p.*")
+    return pairs.groupBy("id_a", "id_b").agg(
+        F.count(F.lit(1)).alias("shared_fps")
+    )

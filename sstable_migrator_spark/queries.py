@@ -8843,6 +8843,79 @@ ORACLES.update({"q182_ngram_lm_perplexity": SQL_NGRAM_LM_PERPLEXITY})
 
 
 # ---------------------------------------------------------------------------
+# Batch — winnowing fingerprint pair mining (MOSS-style robust span
+# matching, operators/dedup.winnow_pairs)
+# ---------------------------------------------------------------------------
+
+
+def q_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing pair mining (Schleimer et al. 2003): per-window minima
+    of k-token gram hashes guarantee any verbatim match of w+k-1 tokens
+    shares a fingerprint at ~2/(w+1) selection density — the sparse,
+    guarantee-carrying middle ground between exact_span_pairs (q138,
+    every window) and MinHash (q43, whole-doc, no span guarantee). For
+    PAIRING, the selection reduces to distinct window minima (the
+    rightmost-position tie rule only places fingerprints, never changes
+    the selected values), which is what makes the oracle a pure
+    list-expression twin. Same df-cap boilerplate guard and in-bucket
+    array pairing as q138 — no self-join, shuffles carry (fp, id) only.
+    Reference analog: the dedup family (A1/J4) upgraded to span
+    evidence."""
+    from sstable_migrator_spark.operators.dedup import winnow_pairs
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 120)
+    return winnow_pairs(docs, k=4, w=5, max_df=10).orderBy("id_a", "id_b")
+
+
+SQL_WINNOW_PAIRS = """
+WITH tk AS (
+  SELECT doc_id,
+         CASE WHEN length(trim(lower(text))) = 0 THEN []
+              ELSE regexp_split_to_array(trim(lower(text)), '\\s+') END AS t
+  FROM documents WHERE doc_id < 120
+),
+gh AS (
+  SELECT doc_id,
+         list_transform(
+           generate_series(1, len(t) - 3),
+           i -> CAST(concat('0x', substr(md5(
+                  '13|' || array_to_string(t[i:i+3], ' ')
+                ), 1, 15)) AS BIGINT)
+         ) AS g
+  FROM tk WHERE len(t) >= 8
+),
+fp AS (
+  SELECT DISTINCT doc_id, u.fp
+  FROM (
+    SELECT doc_id,
+           list_transform(generate_series(1, len(g) - 4),
+                          i -> list_min(g[i:i+4])) AS mins
+    FROM gh
+  ), unnest(mins) AS u(fp)
+),
+buckets AS (
+  SELECT fp, list_sort(list(doc_id)) AS ds
+  FROM fp GROUP BY fp
+  HAVING count(*) BETWEEN 2 AND 10
+),
+pairs AS (
+  SELECT ds[CAST(i AS INT)] AS id_a, ds[CAST(j AS INT)] AS id_b
+  FROM buckets,
+       unnest(generate_series(1, len(ds))) AS a(i),
+       unnest(generate_series(1, len(ds))) AS b(j)
+  WHERE i < j
+)
+SELECT id_a, id_b, CAST(count(*) AS BIGINT) AS shared_fps
+FROM pairs GROUP BY 1, 2
+ORDER BY 1, 2
+"""
+
+
+QUERIES.update({"q183_winnow_pairs": q_winnow_pairs})
+ORACLES.update({"q183_winnow_pairs": SQL_WINNOW_PAIRS})
+
+
+# ---------------------------------------------------------------------------
 # Driver-sample ordering.
 #
 # The round driver's correctness gate checks only the FIRST ~50 catalog

@@ -301,3 +301,70 @@ def test_exact_span_pairs(spark):
            for r in exact_span_pairs(docs, k=8, max_df=10).collect()}
     # 9-token shared run -> 9-8+1 = 2 shared windows
     assert out == {(0, 1): 2}
+
+
+def test_winnow_fingerprints_rightmost_rule_and_density(spark):
+    """Hand-model the winnow selection (window minima, rightmost tie)
+    in Python over the same portable hashes and require exact
+    agreement, plus the paper's density bound."""
+    from sstable_migrator_spark.functions.text import hash64  # noqa: F401
+    from sstable_migrator_spark.operators.dedup import winnow_fingerprints
+    import hashlib
+
+    def h64(s):
+        return int(hashlib.md5(("13|" + s).encode()).hexdigest()[:15], 16)
+
+    text = "a b c d e f g a b c d e x y z w q r s t"
+    k, w = 4, 5
+    toks = text.split()
+    grams = [" ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)]
+    gh = [h64(g) for g in grams]
+    expect = set()
+    for i in range(len(gh) - w + 1):
+        window = gh[i : i + w]
+        m = min(window)
+        # rightmost occurrence of the min within the window
+        pos = i + w - 1 - window[::-1].index(m)
+        expect.add((pos + 1, m))  # 1-based positions in the operator
+
+    df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    got = {
+        (r["pos"], r["fp"])
+        for r in winnow_fingerprints(df, k=k, w=w).collect()
+    }
+    assert got == expect
+    # density: paper's expectation is 2/(w+1); allow generous slack
+    assert len(got) <= max(2 * len(gh) // (w + 1) + 3, 1)
+
+
+def test_winnow_pairs_span_guarantee(spark):
+    """Any verbatim match of >= w + k - 1 tokens MUST surface the pair;
+    unrelated docs must not pair."""
+    from sstable_migrator_spark.operators.dedup import winnow_pairs
+
+    shared = "the five boxing wizards jump quickly over the lazy brown dog"
+    docs = spark.createDataFrame(
+        [
+            (1, "intro words here " + shared + " trailing content one"),
+            (2, shared + " completely different ending text follows now"),
+            (3, "nothing in common with anybody else at all in this document body"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {(r["id_a"], r["id_b"]): r["shared_fps"]
+           for r in winnow_pairs(docs, k=4, w=5).collect()}
+    assert (1, 2) in got and got[(1, 2)] >= 1
+    assert all(3 not in pair for pair in got)
+
+
+def test_winnow_pairs_df_cap_drops_boilerplate(spark):
+    """A fingerprint present in more docs than max_df is boilerplate
+    and must not generate pairs."""
+    from sstable_migrator_spark.operators.dedup import winnow_pairs
+
+    chrome = "copyright two thousand twenty four all rights reserved worldwide inc"
+    docs = spark.createDataFrame(
+        [(i, chrome) for i in range(6)], "doc_id long, text string"
+    )
+    assert winnow_pairs(docs, k=4, w=5, max_df=4).count() == 0
+    assert winnow_pairs(docs, k=4, w=5, max_df=10).count() == 15  # C(6,2)
