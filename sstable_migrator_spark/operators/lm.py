@@ -55,16 +55,21 @@ def q16_surprisal_int(num: int, den: int) -> int:
     return 16 * msb + frac - 64
 
 
+def exact_intdiv(a: Column, b: Column) -> Column:
+    """Exact integer floor-division as a column expression without SQL
+    `div`: subtract the modulus first, so the double division is of an
+    exactly divisible pair and therefore exact (floor(a/b) alone can be
+    off by one at ulp boundaries and would diverge from true integer
+    division). Positive operands only."""
+    a = a.cast("long")
+    return ((a - F.pmod(a, b)) / b).cast("long")
+
+
 def _q16_col(num: Column, den: Column) -> Column:
     """16*log2(den/num) in pure integer column ops. ``r >= 16`` holds
     whenever num <= den, so bin(r) has at least 5 chars and the four
     post-MSB bits always exist."""
-    # exact integer floor-division without SQL `div`: subtract the
-    # modulus first, so the double division is of an exactly divisible
-    # pair and therefore exact (floor(a/b) alone can be off by one at
-    # ulp boundaries and would diverge from true integer division)
-    a = (den * F.lit(16)).cast("long")
-    r = ((a - F.pmod(a, num)) / num).cast("long")
+    r = exact_intdiv(den * F.lit(16), num)
     b = F.bin(r)
     msb = (F.length(b) - 1).cast("long")
 

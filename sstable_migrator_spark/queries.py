@@ -8916,6 +8916,87 @@ ORACLES.update({"q183_winnow_pairs": SQL_WINNOW_PAIRS})
 
 
 # ---------------------------------------------------------------------------
+# Batch — BM25 lexical retrieval with exact integer scoring
+# (operators/retrieval.py; the lexical sibling of the ANN family)
+# ---------------------------------------------------------------------------
+
+_BM25_TERMS = ["hash", "join", "broadcast"]
+_BM25_K = 20
+
+
+def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-k retrieval over the documents corpus for a fixed
+    bag-of-terms query — THE standard lexical ranking function, made
+    hash-exact: IDF is the integer q16 log2 quantizer over
+    (2N+2)/(2df+1), the Robertson tf saturation is cleared of fractions
+    by substituting avgdl = T/n (k1=6/5, b=3/4 exact rationals), and
+    each (term, doc) contribution is one integer multiply + one exact
+    integer division — so the per-doc sum is order-free BIGINT and the
+    ranking is fully deterministic (ties on doc id). Plan: postings =
+    one explode + one agg; query-side df/idf broadcast; ONE doc-keyed
+    aggregation; TakeOrderedAndProject for the top-k. Reference analog:
+    the group-count top-k family (A2/O3) upgraded to relevance
+    ranking."""
+    from sstable_migrator_spark.operators.retrieval import bm25_topk
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return bm25_topk(docs, _BM25_TERMS, topk=_BM25_K)
+
+
+_BM25_IN = "(" + ", ".join(f"'{t}'" for t in sorted(_BM25_TERMS)) + ")"
+
+SQL_BM25_TOPK = f"""
+WITH tk AS (
+  SELECT doc_id,
+         CASE WHEN length(trim(lower(text))) = 0 THEN []
+              ELSE regexp_split_to_array(trim(lower(text)), '\\s+') END AS t
+  FROM documents
+),
+post AS (
+  SELECT doc_id, len(t) AS dl, u.term, count(*) AS tf
+  FROM tk, unnest(t) AS u(term)
+  GROUP BY 1, 2, 3
+),
+stats AS (
+  SELECT count(*) AS n, sum(dl) AS tt
+  FROM (SELECT DISTINCT doc_id, dl FROM post)
+),
+qpost AS (SELECT * FROM post WHERE term IN {_BM25_IN}),
+idf AS (
+  SELECT term, n, tt,
+         16*(length(bin(r)) - 1)
+         + 8*CASE WHEN substr(bin(r),2,1)='1' THEN 1 ELSE 0 END
+         + 4*CASE WHEN substr(bin(r),3,1)='1' THEN 1 ELSE 0 END
+         + 2*CASE WHEN substr(bin(r),4,1)='1' THEN 1 ELSE 0 END
+         +   CASE WHEN substr(bin(r),5,1)='1' THEN 1 ELSE 0 END
+         - 64 AS idf_q
+  FROM (
+    SELECT term, n, tt, ((n*2 + 2) * 16) // (df*2 + 1) AS r
+    FROM (SELECT term, count(DISTINCT doc_id) AS df FROM qpost GROUP BY 1)
+    CROSS JOIN stats
+  )
+),
+scored AS (
+  SELECT p.doc_id,
+         sum((i.idf_q * 44 * i.tt * p.tf)
+             // (20 * i.tt * p.tf + 6 * i.tt + 18 * p.dl * i.n)) AS score_q,
+         count(*) AS n_hit
+  FROM qpost p JOIN idf i USING (term)
+  GROUP BY 1
+)
+SELECT doc_id, CAST(score_q AS BIGINT) AS score_q,
+       CAST(n_hit AS BIGINT) AS n_hit
+FROM scored
+ORDER BY score_q DESC, doc_id
+LIMIT {_BM25_K}
+"""
+
+
+QUERIES.update({"q184_bm25_topk": q_bm25_topk})
+ORACLES.update({"q184_bm25_topk": SQL_BM25_TOPK})
+
+
+# ---------------------------------------------------------------------------
 # Driver-sample ordering.
 #
 # The round driver's correctness gate checks only the FIRST ~50 catalog
