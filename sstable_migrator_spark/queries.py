@@ -8997,6 +8997,87 @@ ORACLES.update({"q184_bm25_topk": SQL_BM25_TOPK})
 
 
 # ---------------------------------------------------------------------------
+# Batch — quantile sketch (operators/quantiles.py): the fourth mergeable
+# sketch (HLL distinct / bitmap exact / CMS frequency / THIS quantiles)
+# ---------------------------------------------------------------------------
+
+_QSK_PCTS = [50, 90, 99]
+
+
+def q_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document-length percentiles from the integer-log-bucket quantile
+    sketch (DDSketch's bounded-relative-error contract with zero
+    floating point — msb + 4-bit mantissa bucketing, ~6.25% bucket
+    width, exact below 16). The sketch state is a <= ~1k-row (bucket,
+    count) table at ANY corpus size, built by one map-side-combined
+    aggregation and mergeable by adding counts; extraction walks the
+    cumulative counts over that bounded relation (the allowlisted
+    bounded-scalar-window shape) and reports each percentile's bucket
+    lower bound — a deterministic under-estimate within one mantissa
+    step, which is why it hash-matches the oracle exactly instead of
+    needing a tolerance. Unlike KLL/t-digest, no randomized compaction:
+    identical inputs give identical sketches on any partitioning.
+    Reference analog: the run-log/counter family (A3/K8) upgraded to
+    distribution profiling."""
+    from sstable_migrator_spark.operators.quantiles import (
+        quantile_sketch,
+        sketch_quantiles,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select(
+        F.coalesce(F.length("text"), F.lit(0)).cast("long").alias("v")
+    )
+    return sketch_quantiles(quantile_sketch(docs, "v"), _QSK_PCTS)
+
+
+_QSK_IN = "[" + ", ".join(str(p) for p in _QSK_PCTS) + "]"
+
+SQL_QUANTILE_SKETCH = f"""
+WITH v AS (
+  SELECT COALESCE(length(text), 0) AS v FROM documents
+),
+bkt AS (
+  SELECT CASE WHEN v <= 0 THEN 0
+              ELSE 16*(length(bin(v)) - 1)
+                   + 8*CASE WHEN substr(bin(v),2,1)='1' THEN 1 ELSE 0 END
+                   + 4*CASE WHEN substr(bin(v),3,1)='1' THEN 1 ELSE 0 END
+                   + 2*CASE WHEN substr(bin(v),4,1)='1' THEN 1 ELSE 0 END
+                   +   CASE WHEN substr(bin(v),5,1)='1' THEN 1 ELSE 0 END
+                   + 1
+         END AS bucket
+  FROM v
+),
+st AS (SELECT bucket, count(*) AS cnt FROM bkt GROUP BY 1),
+cum AS (
+  SELECT bucket,
+         sum(cnt) OVER (ORDER BY bucket) AS cum,
+         sum(cnt) OVER () AS n
+  FROM st
+),
+pcts AS (SELECT unnest({_QSK_IN}) AS pct),
+hit AS (
+  SELECT pct, min(bucket) AS bucket, max(n) AS n
+  FROM cum, pcts
+  WHERE cum * 100 >= pct * n
+  GROUP BY 1
+)
+SELECT pct,
+       CAST(bucket AS BIGINT) AS bucket,
+       CAST(CASE WHEN bucket <= 0 THEN 0
+                 WHEN (bucket - 1) // 16 >= 4
+                   THEN (16 + (bucket - 1) % 16) << ((bucket - 1) // 16 - 4)
+                 ELSE (16 + (bucket - 1) % 16) >> (4 - (bucket - 1) // 16)
+            END AS BIGINT) AS est_lo,
+       CAST(n AS BIGINT) AS n
+FROM hit
+"""
+
+
+QUERIES.update({"q185_quantile_sketch": q_quantile_sketch})
+ORACLES.update({"q185_quantile_sketch": SQL_QUANTILE_SKETCH})
+
+
+# ---------------------------------------------------------------------------
 # Driver-sample ordering.
 #
 # The round driver's correctness gate checks only the FIRST ~50 catalog

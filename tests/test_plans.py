@@ -171,15 +171,17 @@ def test_plan_audit_roundrobin_and_single_partition_allowlist():
     missing = [n for n in Q.QUERIES if n not in rows]
     assert not missing, f"PLANS.md is stale — regenerate (missing {missing[:5]})"
 
-    # the four bounded scalar windows: per-day rolling revenue, the
+    # the five bounded scalar windows: per-day rolling revenue, the
     # Hamilton-quota ranking over per-source totals, median+MAD over the
-    # per-day rollup (2 medians ride the same bounded input), and the
-    # drift monitor's grand total over the days x types cell relation
+    # per-day rollup (2 medians ride the same bounded input), the drift
+    # monitor's grand total over the days x types cell relation, and the
+    # quantile sketch's cumulative walk over its <= ~1k-bucket state
     uw_allow = {
         "q96_rolling_revenue",
         "q149_budget_allocation",
         "q152_robust_outliers",
         "q176_distribution_drift",
+        "q185_quantile_sketch",
     }
     bad_uw = {n: r["unpart_windows"] for n, r in rows.items()
               if r["unpart_windows"] and n not in uw_allow}
