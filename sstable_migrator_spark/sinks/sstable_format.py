@@ -48,6 +48,12 @@ published format documentation and the Apache Cassandra source tree
   STATS (estimated histograms) is NOT written — it is derived
   statistics, not data; Cassandra tolerates its absence, and this
   writer's manifest flags the omission honestly.
+- ``Summary.db`` — IndexSummary + first/last key
+  (``SSTableReader.saveSummary``): big-endian header, then the raw
+  memory dump (little-endian rebased entry offsets, entries of key
+  bytes + little-endian long Index.db position — the serializer
+  byte-swaps only the offsets; entries stay native order), then
+  writeWithLength first/last keys. Sampled every 128th partition.
 - ``Digest.crc32`` — CRC32 of the Data.db bytes as written (the
   compressed bytes when compression is on), ASCII decimal.
 - ``CRC.db``    — int chunk size + per-64KiB-chunk CRC32 ints
@@ -664,6 +670,88 @@ class _HLLP:
 
 
 # ---------------------------------------------------------------------------
+# Summary.db (IndexSummary + first/last key)
+# ---------------------------------------------------------------------------
+
+# SSTableReader.saveSummary layout: IndexSummary.serializer.serialize
+# (big-endian DataOutput header: int minIndexInterval, int offsetCount,
+# long offHeapSize, int samplingLevel, int sizeAtFullSampling — then
+# the raw memory dump: per-entry int offsets followed by the entries,
+# each entry being the key bytes + a long Index.db position), then
+# writeWithLength(first key) + writeWithLength(last key). Two
+# serializer quirks reproduced exactly: on-disk offsets are rebased to
+# include the offsets region itself (entry start + 4*offsetCount) and
+# byte-swapped to LITTLE-endian, while the entry position longs are
+# dumped in native (little-endian) memory order untouched — the
+# summary is explicitly non-portable metadata Cassandra regenerates on
+# open when it fails validation.
+
+SUMMARY_MIN_INDEX_INTERVAL = 128
+BASE_SAMPLING_LEVEL = 128
+
+
+def _summary_blob(keys: list[bytes], idx_offsets: list[int]) -> bytes:
+    sampled = list(range(0, len(keys), SUMMARY_MIN_INDEX_INTERVAL))
+    entries = io.BytesIO()
+    starts: list[int] = []
+    for i in sampled:
+        starts.append(entries.tell())
+        entries.write(keys[i])
+        entries.write(struct.pack("<q", idx_offsets[i]))
+    ent = entries.getvalue()
+    base = 4 * len(sampled)
+    out = io.BytesIO()
+    out.write(
+        struct.pack(
+            ">iiqii",
+            SUMMARY_MIN_INDEX_INTERVAL,
+            len(sampled),
+            base + len(ent),
+            BASE_SAMPLING_LEVEL,
+            len(sampled),
+        )
+    )
+    for s in starts:
+        out.write(struct.pack("<i", s + base))
+    out.write(ent)
+    out.write(struct.pack(">i", len(keys[0])) + keys[0])
+    out.write(struct.pack(">i", len(keys[-1])) + keys[-1])
+    return out.getvalue()
+
+
+def _parse_summary(blob: bytes) -> dict:
+    """Inverse of _summary_blob: header, sampled (key, Index.db
+    position) entries, first/last keys."""
+    min_interval, count, offheap, sampling, full = struct.unpack_from(
+        ">iiqii", blob, 0
+    )
+    hdr = 24
+    base = 4 * count
+    starts = [
+        struct.unpack_from("<i", blob, hdr + 4 * i)[0] - base for i in range(count)
+    ]
+    ent = blob[hdr + base : hdr + offheap]
+    entries = []
+    for j, s in enumerate(starts):
+        e = starts[j + 1] if j + 1 < count else len(ent)
+        entries.append((ent[s : e - 8], struct.unpack_from("<q", ent, e - 8)[0]))
+    off = hdr + offheap
+    (n1,) = struct.unpack_from(">i", blob, off)
+    first = blob[off + 4 : off + 4 + n1]
+    off += 4 + n1
+    (n2,) = struct.unpack_from(">i", blob, off)
+    last = blob[off + 4 : off + 4 + n2]
+    return {
+        "min_index_interval": min_interval,
+        "sampling_level": sampling,
+        "size_at_full_sampling": full,
+        "entries": entries,
+        "first_key": first,
+        "last_key": last,
+    }
+
+
+# ---------------------------------------------------------------------------
 # Writer
 # ---------------------------------------------------------------------------
 
@@ -1095,6 +1183,7 @@ class SSTableWriter:
         index = io.BytesIO()
         keys: list[bytes] = []
         tokens: list[int] = []
+        idx_offsets: list[int] = []  # Index.db offset of each entry (summary)
         n_rows = 0
         cur_key: bytes | None = None
         prev = 0
@@ -1107,6 +1196,7 @@ class SSTableWriter:
                         sink.write(bytes([END_OF_PARTITION]))
                     cur_key = key
                     pos = sink.tell()
+                    idx_offsets.append(index.tell())
                     index.write(struct.pack(">H", len(key)) + key)
                     index.write(encode_unsigned_vint(pos))
                     index.write(encode_unsigned_vint(0))  # no promoted index
@@ -1152,6 +1242,7 @@ class SSTableWriter:
                 "Data.db": None,  # already streamed to disk
                 "Index.db": index.getvalue(),
                 "Filter.db": bloom.serialize(),
+                "Summary.db": _summary_blob(keys, idx_offsets) if keys else None,
                 "CompressionInfo.db": cinfo.getvalue(),
                 "Statistics.db": self._statistics_blob(keys),
                 # digest covers the file as written (the compressed bytes)
@@ -1167,10 +1258,15 @@ class SSTableWriter:
                 "Data.db": None,  # already streamed to disk
                 "Index.db": index.getvalue(),
                 "Filter.db": bloom.serialize(),
+                "Summary.db": _summary_blob(keys, idx_offsets) if keys else None,
                 "Statistics.db": self._statistics_blob(keys),
                 "Digest.crc32": str(meta["digest"]).encode("ascii"),
                 "CRC.db": crc.getvalue(),
             }
+        # an empty sstable has no keys to summarize: drop the component
+        # rather than listing a file in the TOC that is never written
+        if components.get("Summary.db") is None:
+            components.pop("Summary.db", None)
         toc = "\n".join([*components.keys(), "TOC.txt"]) + "\n"
         components["TOC.txt"] = toc.encode("ascii")
         for name, blob in components.items():
@@ -1189,7 +1285,7 @@ class SSTableWriter:
             "min_token": tokens[0] if tokens else None,
             "max_token": tokens[-1] if tokens else None,
             "components": sorted(components),
-            "omitted_metadata": ["STATS", "Summary.db"],
+            "omitted_metadata": ["STATS"],
         }
 
 
@@ -1442,6 +1538,28 @@ def read_sstable(directory: str, prefix: str | None = None, verify: bool = True)
         result["index_ok"] = [(p["key"], p["start"]) for p in partitions] == [
             (k, pos) for k, pos, _ in entries
         ]
+        # Summary.db, when present: every sampled entry must name the
+        # key at its sampling stride and point at its Index.db offset
+        if has("Summary.db") and partitions:
+            summ = _parse_summary(comp("Summary.db"))
+            ioffs = []
+            pos2 = 0
+            while pos2 < len(idx):
+                ioffs.append(pos2)
+                (n2,) = struct.unpack_from(">H", idx, pos2)
+                pos2 += 2 + n2
+                _p, pos2 = decode_unsigned_vint(idx, pos2)
+                _pr, pos2 = decode_unsigned_vint(idx, pos2)
+            stride = summ["min_index_interval"]
+            expect = [
+                (partitions[i]["key"], ioffs[i])
+                for i in range(0, len(partitions), stride)
+            ]
+            result["summary_ok"] = (
+                summ["entries"] == expect
+                and summ["first_key"] == partitions[0]["key"]
+                and summ["last_key"] == partitions[-1]["key"]
+            )
         # digest covers the file as written (compressed bytes when
         # compression is on)
         result["digest_ok"] = comp("Digest.crc32").decode("ascii") == str(

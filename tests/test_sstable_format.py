@@ -121,7 +121,7 @@ def test_toc_and_component_set(tmp_path):
     w.close()
     toc = (tmp_path / "nb-1-big-TOC.txt").read_text().splitlines()
     assert toc == [
-        "Data.db", "Index.db", "Filter.db", "Statistics.db",
+        "Data.db", "Index.db", "Filter.db", "Summary.db", "Statistics.db",
         "Digest.crc32", "CRC.db", "TOC.txt",
     ]
     for name in toc:
@@ -926,3 +926,70 @@ def test_statistics_compaction_estimate_in_reader(tmp_path):
     stats = _parse_statistics(blob)
     est = stats["partition_count_estimate"]
     assert abs(est - 800) <= 40, est
+
+
+# ---------------------------------------------------------------------------
+# Summary.db (IndexSummary)
+# ---------------------------------------------------------------------------
+
+
+def test_summary_golden_layout(tmp_path):
+    """One-partition sstable: header fields, rebased little-endian
+    offset, native-order position long, first/last keys."""
+    w = SSTableWriter(str(tmp_path), _tiny_table())
+    w.add_row({"k": "key1", "v": "x"})
+    w.close()
+    blob = (tmp_path / "nb-1-big-Summary.db").read_bytes()
+    mii, count, offheap, lvl, full = struct.unpack_from(">iiqii", blob, 0)
+    assert (mii, count, lvl, full) == (128, 1, 128, 1)
+    key = b"key1"
+    assert offheap == 4 + len(key) + 8
+    # on-disk offset = entry start (0) + offsets-region size (4), LE
+    assert struct.unpack_from("<i", blob, 24)[0] == 4
+    assert blob[28 : 28 + len(key)] == key
+    # Index.db position of the first (only) entry is 0, native LE long
+    assert struct.unpack_from("<q", blob, 28 + len(key))[0] == 0
+    off = 24 + offheap
+    (n1,) = struct.unpack_from(">i", blob, off)
+    assert blob[off + 4 : off + 4 + n1] == key          # first key
+    off += 4 + n1
+    (n2,) = struct.unpack_from(">i", blob, off)
+    assert blob[off + 4 : off + 4 + n2] == key          # last key
+
+
+def test_summary_sampling_and_reader_check(tmp_path):
+    """300 partitions at interval 128 -> 3 sampled entries (0, 128,
+    256); the independent reader validates keys and Index.db offsets."""
+    from sstable_migrator_spark.sinks.sstable_format import _parse_summary
+
+    w = SSTableWriter(str(tmp_path), _tiny_table())
+    for i in range(300):
+        w.add_row({"k": f"key-{i:04d}", "v": "x"})
+    m = w.close()
+    assert "Summary.db" not in m["omitted_metadata"]
+    assert m["omitted_metadata"] == ["STATS"]
+    blob = (tmp_path / f"{m['prefix']}-Summary.db").read_bytes()
+    summ = _parse_summary(blob)
+    assert len(summ["entries"]) == 3
+    assert summ["size_at_full_sampling"] == 3
+    got = read_sstable(str(tmp_path))
+    assert got["summary_ok"] is True
+    # the sampled keys are the 0th/128th/256th partitions in token order
+    keys = [p["key"] for p in got["partitions"]]
+    assert [k for k, _ in summ["entries"]] == [keys[0], keys[128], keys[256]]
+    assert summ["first_key"] == keys[0] and summ["last_key"] == keys[-1]
+
+
+def test_summary_roundtrip_parse():
+    from sstable_migrator_spark.sinks.sstable_format import (
+        _parse_summary,
+        _summary_blob,
+    )
+
+    keys = [f"k{i:05d}".encode() for i in range(500)]
+    offs = [17 * i for i in range(500)]
+    summ = _parse_summary(_summary_blob(keys, offs))
+    assert summ["entries"] == [
+        (keys[i], offs[i]) for i in range(0, 500, 128)
+    ]
+    assert summ["first_key"] == keys[0] and summ["last_key"] == keys[-1]
