@@ -9078,6 +9078,65 @@ ORACLES.update({"q185_quantile_sketch": SQL_QUANTILE_SKETCH})
 
 
 # ---------------------------------------------------------------------------
+# Batch — RAG document chunking (operators/chunking.py)
+# ---------------------------------------------------------------------------
+
+_CHUNK_T, _CHUNK_O = 32, 8
+
+
+def q_rag_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAG-style chunking: every document exploded into overlapping
+    token windows (32-token chunks, 8-token overlap) with stable
+    content-derived chunk ids (md5 of doc:idx:text — what an
+    incremental embedding pipeline upserts on). Coverage and overlap
+    guarantees live in operators/chunking.chunk_documents; the whole
+    operator is map-only expression work — zero shuffles, a projection
+    over the corpus scan. The chunk_id column doubles as the
+    cross-engine proof that every chunk BOUNDARY is identical, not
+    just the counts. Reference analog: the fixed-arity explode family
+    (F4/F5) applied to retrieval preprocessing."""
+    from sstable_migrator_spark.operators.chunking import chunk_documents
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    ch = chunk_documents(docs, chunk_tokens=_CHUNK_T, overlap_tokens=_CHUNK_O)
+    return ch.select("doc_id", "chunk_idx", "n_tokens", "chunk_id")
+
+
+SQL_RAG_CHUNKS = f"""
+WITH tk AS (
+  SELECT doc_id,
+         CASE WHEN length(trim(text)) = 0 THEN []
+              ELSE regexp_split_to_array(trim(text), '\\s+') END AS t
+  FROM documents
+),
+nck AS (
+  SELECT doc_id, t,
+         1 + CAST(floor((greatest(len(t) - {_CHUNK_T}, 0)
+                         + {_CHUNK_T - _CHUNK_O} - 1)
+                        / {_CHUNK_T - _CHUNK_O}) AS INT) AS n_chunks
+  FROM tk WHERE len(t) > 0
+),
+ch AS (
+  SELECT doc_id,
+         CAST(i AS INT) AS chunk_idx,
+         array_to_string(
+           t[CAST(i AS INT) * {_CHUNK_T - _CHUNK_O} + 1
+             : CAST(i AS INT) * {_CHUNK_T - _CHUNK_O} + {_CHUNK_T}],
+           ' ') AS chunk_text
+  FROM nck, unnest(generate_series(0, n_chunks - 1)) AS u(i)
+)
+SELECT doc_id, chunk_idx,
+       CAST(len(string_split(chunk_text, ' ')) AS INT) AS n_tokens,
+       md5(doc_id || ':' || chunk_idx || ':' || chunk_text) AS chunk_id
+FROM ch
+"""
+
+
+QUERIES.update({"q186_rag_chunks": q_rag_chunks})
+ORACLES.update({"q186_rag_chunks": SQL_RAG_CHUNKS})
+
+
+# ---------------------------------------------------------------------------
 # Driver-sample ordering.
 #
 # The round driver's correctness gate checks only the FIRST ~50 catalog
