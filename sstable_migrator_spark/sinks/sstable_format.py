@@ -41,13 +41,16 @@ published format documentation and the Apache Cassandra source tree
   against the public epochs TIMESTAMP_EPOCH=1442880000000000us /
   DELETION_TIME_EPOCH=1442880000s / TTL_EPOCH=0, key type name,
   clustering type names, static + regular column name/type maps with
-  vint-length strings) and the COMPACTION component
+  vint-length strings), the COMPACTION component
   (``CompactionMetadata``: int length + stream-lib HyperLogLogPlus(13,25)
   v2 bytes, registers fed with murmur2-64 hashes of every partition
-  key — the partition-count estimate compaction strategies read).
-  STATS (estimated histograms) is NOT written — it is derived
-  statistics, not data; Cassandra tolerates its absence, and this
-  writer's manifest flags the omission honestly.
+  key — the partition-count estimate compaction strategies read), and
+  the STATS component (``StatsMetadata``: partition-size and
+  cells-per-partition EstimatedHistograms, min/max timestamps and
+  deletion times, clustering min/max values, totals — the full field
+  order documented at ``_stats_component``; best-effort, flagged in
+  the manifest because only this module's own reader can byte-validate
+  it in the sandbox). All four metadata blocks are written.
 - ``Summary.db`` — IndexSummary + first/last key
   (``SSTableReader.saveSummary``): big-endian header, then the raw
   memory dump (little-endian rebased entry offsets, entries of key
@@ -752,6 +755,146 @@ def _parse_summary(blob: bytes) -> dict:
 
 
 # ---------------------------------------------------------------------------
+# STATS metadata component (StatsMetadata, version "nb")
+# ---------------------------------------------------------------------------
+
+# Field order of StatsMetadata.serializer for the 4.0 "nb" version:
+# partition-size EstimatedHistogram, cells-per-partition
+# EstimatedHistogram, commit-log upper bound (NONE), min/max timestamp
+# longs, min/max localDeletionTime ints, min/max TTL ints,
+# compressionRatio double, TombstoneHistogram, sstableLevel int,
+# repairedAt long, min/max clustering values (int count +
+# writeWithShortLength each), hasLegacyCounterShards boolean,
+# totalColumnsSet long, totalRows long, then the version-gated tail:
+# commit-log lower bound (NONE), commit-log interval set (empty),
+# pendingRepair presence byte (0), isTransient boolean (false),
+# originatingHostId presence byte (0 — the field "nb" itself added).
+# EstimatedHistogram serializer quirk reproduced exactly: buckets has
+# one more slot than offsets and every pair re-writes
+# offsets[max(i-1, 0)]. CAVEAT: this component is byte-validated only
+# by this module's own reader — the sandbox cannot host a live
+# Cassandra — so the writer manifest flags it best-effort rather than
+# omitted.
+
+_EH_N_OFFSETS = 90
+
+
+def _eh_offsets(n: int = _EH_N_OFFSETS) -> list[int]:
+    """EstimatedHistogram.newOffsets growth series: start at 1, each
+    next max(prev + 1, ceil(prev * 1.2))."""
+    out = [1]
+    while len(out) < n:
+        p = out[-1]
+        out.append(max(p + 1, -(-p * 6 // 5)))
+    return out
+
+
+def _eh_serialize(values: list[int]) -> bytes:
+    offsets = _eh_offsets()
+    buckets = [0] * (len(offsets) + 1)
+    import bisect
+
+    for v in values:
+        buckets[bisect.bisect_left(offsets, v)] += 1
+    out = io.BytesIO()
+    out.write(struct.pack(">i", len(buckets)))
+    for i, b in enumerate(buckets):
+        out.write(struct.pack(">qq", offsets[max(i - 1, 0)], b))
+    return out.getvalue()
+
+
+def _eh_parse(blob: bytes, off: int) -> tuple[dict, int]:
+    (n,) = struct.unpack_from(">i", blob, off)
+    off += 4
+    pairs = []
+    for _ in range(n):
+        o, b = struct.unpack_from(">qq", blob, off)
+        off += 16
+        pairs.append((o, b))
+    count = sum(b for _o, b in pairs)
+    return {"buckets": n, "count": count, "pairs": pairs}, off
+
+
+def _stats_component(st: dict) -> bytes:
+    """Serialize the STATS block from the close()-gathered dict:
+    part_sizes, part_cells, min_ts, max_ts, compression_ratio,
+    min_clustering, max_clustering (lists of raw serialized bytes),
+    total_cells, total_rows."""
+    out = io.BytesIO()
+    out.write(_eh_serialize(st["part_sizes"]))
+    out.write(_eh_serialize(st["part_cells"]))
+    out.write(struct.pack(">qi", -1, 0))  # commit log upper bound NONE
+    out.write(struct.pack(">qq", st["min_ts"], st["max_ts"]))
+    out.write(struct.pack(">ii", NO_DELETION_TIME, NO_DELETION_TIME))
+    out.write(struct.pack(">ii", 0, 0))  # min/max TTL: none expire
+    out.write(struct.pack(">d", st["compression_ratio"]))
+    out.write(struct.pack(">ii", 100, 0))  # empty TombstoneHistogram
+    out.write(struct.pack(">i", 0))  # sstableLevel
+    out.write(struct.pack(">q", 0))  # repairedAt: UNREPAIRED
+    for side in ("min_clustering", "max_clustering"):
+        vals = st[side]
+        out.write(struct.pack(">i", len(vals)))
+        for v in vals:
+            out.write(struct.pack(">H", len(v)) + v)
+    out.write(struct.pack(">?", False))  # hasLegacyCounterShards
+    out.write(struct.pack(">qq", st["total_cells"], st["total_rows"]))
+    out.write(struct.pack(">qi", -1, 0))  # commit log lower bound NONE
+    out.write(struct.pack(">i", 0))  # empty commit-log interval set
+    out.write(struct.pack(">b", 0))  # no pendingRepair
+    out.write(struct.pack(">?", False))  # isTransient
+    out.write(struct.pack(">b", 0))  # no originatingHostId
+    return out.getvalue()
+
+
+def _parse_stats_component(blob: bytes, off: int) -> dict:
+    sizes, off = _eh_parse(blob, off)
+    cells, off = _eh_parse(blob, off)
+    off += 12  # commit log upper bound
+    min_ts, max_ts = struct.unpack_from(">qq", blob, off)
+    off += 16
+    min_ldt, max_ldt, min_ttl, max_ttl = struct.unpack_from(">iiii", blob, off)
+    off += 16
+    (ratio,) = struct.unpack_from(">d", blob, off)
+    off += 8
+    _maxbin, nbins = struct.unpack_from(">ii", blob, off)
+    off += 8 + nbins * 12
+    (level,) = struct.unpack_from(">i", blob, off)
+    off += 4
+    (repaired,) = struct.unpack_from(">q", blob, off)
+    off += 8
+    clus = {}
+    for side in ("min_clustering", "max_clustering"):
+        (n,) = struct.unpack_from(">i", blob, off)
+        off += 4
+        vals = []
+        for _ in range(n):
+            (ln,) = struct.unpack_from(">H", blob, off)
+            off += 2
+            vals.append(blob[off : off + ln])
+            off += ln
+        clus[side] = vals
+    (legacy,) = struct.unpack_from(">?", blob, off)
+    off += 1
+    total_cells, total_rows = struct.unpack_from(">qq", blob, off)
+    return {
+        "partition_size_histogram": sizes,
+        "cells_histogram": cells,
+        "min_timestamp_us": min_ts,
+        "max_timestamp_us": max_ts,
+        "min_local_deletion_time": min_ldt,
+        "max_local_deletion_time": max_ldt,
+        "min_ttl": min_ttl,
+        "max_ttl": max_ttl,
+        "compression_ratio": ratio,
+        "sstable_level": level,
+        "repaired_at": repaired,
+        "total_cells": total_cells,
+        "total_rows": total_rows,
+        **clus,
+    }
+
+
+# ---------------------------------------------------------------------------
 # Writer
 # ---------------------------------------------------------------------------
 
@@ -881,6 +1024,7 @@ class SSTableWriter:
         self._runs: list[str] = []
         self._tmpdir: str | None = None
         self._min_ts = write_timestamp_us
+        self._max_ts = write_timestamp_us
 
     def add_row(self, row: dict, timestamp_us: int | None = None) -> None:
         """Buffer one row. ``timestamp_us`` optionally stamps THIS row
@@ -899,6 +1043,8 @@ class SSTableWriter:
             row[_ROW_TS_KEY] = timestamp_us
             if timestamp_us < self._min_ts:
                 self._min_ts = timestamp_us
+            if timestamp_us > self._max_ts:
+                self._max_ts = timestamp_us
         self._rows.append(row)
         if self.spill_threshold and len(self._rows) >= self.spill_threshold:
             self._spill_run()
@@ -1109,7 +1255,7 @@ class SSTableWriter:
 
     # -- components ----------------------------------------------------------
 
-    def _statistics_blob(self, keys: list[bytes]) -> bytes:
+    def _statistics_blob(self, keys: list[bytes], stats: dict) -> bytes:
         s = self.schema
         header = io.BytesIO()
         # EncodingStats: vint deltas against the public epochs
@@ -1143,19 +1289,30 @@ class SSTableWriter:
         hb = hll.serialize()
         comp = struct.pack(">i", len(hb)) + hb
 
+        # STATS (StatsMetadata): best-effort — see the section comment
+        # above _stats_component for the caveat
+        stats_blob = _stats_component(stats)
+
         # TOC: count + (ordinal, offset) pairs, offsets from file
         # start, components in ordinal order (VALIDATION, COMPACTION,
-        # HEADER — STATS, the histogram block, is the one metadata
-        # component still omitted, flagged in the close() manifest)
+        # STATS, HEADER — the full metadata set)
         out = io.BytesIO()
-        count = 3
+        count = 4
         toc_size = 4 + count * 8
         out.write(struct.pack(">i", count))
         out.write(struct.pack(">ii", META_VALIDATION, toc_size))
         out.write(struct.pack(">ii", META_COMPACTION, toc_size + len(vl)))
-        out.write(struct.pack(">ii", META_HEADER, toc_size + len(vl) + len(comp)))
+        out.write(struct.pack(">ii", META_STATS, toc_size + len(vl) + len(comp)))
+        out.write(
+            struct.pack(
+                ">ii",
+                META_HEADER,
+                toc_size + len(vl) + len(comp) + len(stats_blob),
+            )
+        )
         out.write(vl)
         out.write(comp)
+        out.write(stats_blob)
         out.write(hdr)
         return out.getvalue()
 
@@ -1184,6 +1341,16 @@ class SSTableWriter:
         keys: list[bytes] = []
         tokens: list[int] = []
         idx_offsets: list[int] = []  # Index.db offset of each entry (summary)
+        part_starts: list[int] = []  # Data.db logical start per partition
+        part_cells: list[int] = []  # set (non-null regular) cells per part
+        total_cells = 0
+        cur_cells = 0
+        s = self.schema
+        # clustering min/max in COMPARATOR order (comparable-encoded
+        # compare, raw serialized value stored — what StatsMetadata
+        # wants); None clustering values are skipped
+        clus_min: list[tuple[bytes, bytes] | None] = [None] * len(s.clustering)
+        clus_max: list[tuple[bytes, bytes] | None] = [None] * len(s.clustering)
         n_rows = 0
         cur_key: bytes | None = None
         prev = 0
@@ -1194,8 +1361,11 @@ class SSTableWriter:
                 if key != cur_key:
                     if cur_key is not None:
                         sink.write(bytes([END_OF_PARTITION]))
+                        part_cells.append(cur_cells)
+                        cur_cells = 0
                     cur_key = key
                     pos = sink.tell()
+                    part_starts.append(pos)
                     idx_offsets.append(index.tell())
                     index.write(struct.pack(">H", len(key)) + key)
                     index.write(encode_unsigned_vint(pos))
@@ -1207,12 +1377,26 @@ class SSTableWriter:
                         struct.pack(">iq", NO_DELETION_TIME, LIVE_MARKED_FOR_DELETE)
                     )
                     prev = 0
+                cells = sum(1 for c in s.regular if row.get(c) is not None)
+                cur_cells += cells
+                total_cells += cells
+                for ci, c in enumerate(s.clustering):
+                    v = row.get(c)
+                    if v is None:
+                        continue
+                    raw = s.types[c].ser(v)
+                    cb = self._comparable_bytes(s.types[c], raw)
+                    if clus_min[ci] is None or cb < clus_min[ci][0]:
+                        clus_min[ci] = (cb, raw)
+                    if clus_max[ci] is None or cb > clus_max[ci][0]:
+                        clus_max[ci] = (cb, raw)
                 blob = self._serialize_row(row, prev)
                 sink.write(blob)
                 prev = len(blob)
                 n_rows += 1
             if cur_key is not None:
                 sink.write(bytes([END_OF_PARTITION]))
+                part_cells.append(cur_cells)
             meta = sink.finish()
         except BaseException:
             # a failed merge must not strand gigabytes of run pickles
@@ -1226,6 +1410,26 @@ class SSTableWriter:
         bloom = _Bloom(len(keys), self.bloom_fp)
         for k in keys:
             bloom.add(k)
+
+        part_sizes = [
+            b - a
+            for a, b in zip(part_starts, part_starts[1:] + [meta["logical_bytes"]])
+        ]
+        stats = {
+            "part_sizes": part_sizes,
+            "part_cells": part_cells,
+            "min_ts": self._min_ts,
+            "max_ts": self._max_ts,
+            "compression_ratio": (
+                meta["disk_bytes"] / meta["logical_bytes"]
+                if self.compression == "deflate" and meta["logical_bytes"]
+                else -1.0
+            ),
+            "min_clustering": [m[1] for m in clus_min if m is not None],
+            "max_clustering": [m[1] for m in clus_max if m is not None],
+            "total_cells": total_cells,
+            "total_rows": n_rows,
+        }
 
         if self.compression == "deflate":
             cinfo = io.BytesIO()
@@ -1244,7 +1448,7 @@ class SSTableWriter:
                 "Filter.db": bloom.serialize(),
                 "Summary.db": _summary_blob(keys, idx_offsets) if keys else None,
                 "CompressionInfo.db": cinfo.getvalue(),
-                "Statistics.db": self._statistics_blob(keys),
+                "Statistics.db": self._statistics_blob(keys, stats),
                 # digest covers the file as written (the compressed bytes)
                 "Digest.crc32": str(meta["digest"]).encode("ascii"),
             }
@@ -1259,7 +1463,7 @@ class SSTableWriter:
                 "Index.db": index.getvalue(),
                 "Filter.db": bloom.serialize(),
                 "Summary.db": _summary_blob(keys, idx_offsets) if keys else None,
-                "Statistics.db": self._statistics_blob(keys),
+                "Statistics.db": self._statistics_blob(keys, stats),
                 "Digest.crc32": str(meta["digest"]).encode("ascii"),
                 "CRC.db": crc.getvalue(),
             }
@@ -1285,7 +1489,10 @@ class SSTableWriter:
             "min_token": tokens[0] if tokens else None,
             "max_token": tokens[-1] if tokens else None,
             "components": sorted(components),
-            "omitted_metadata": ["STATS"],
+            "omitted_metadata": [],
+            # STATS is emitted but can only be byte-validated by this
+            # module's own reader (no live Cassandra in the sandbox)
+            "best_effort_metadata": ["STATS"],
         }
 
 
@@ -1317,6 +1524,8 @@ def _parse_statistics(blob: bytes) -> dict:
         out["partition_count_estimate"] = _HLLP.parse(
             blob[off + 4 : off + 4 + n]
         ).estimate()
+    if META_STATS in toc:
+        out["stats_metadata"] = _parse_stats_component(blob, toc[META_STATS])
     if META_HEADER in toc:
         off = toc[META_HEADER]
         min_ts, off = decode_unsigned_vint(blob, off)

@@ -136,9 +136,10 @@ def test_statistics_header_golden(tmp_path):
     w.close()
     blob = (tmp_path / "nb-1-big-Statistics.db").read_bytes()
     count = struct.unpack_from(">i", blob, 0)[0]
-    assert count == 3
+    assert count == 4
     ordinals = [struct.unpack_from(">ii", blob, 4 + i * 8) for i in range(count)]
-    assert [o for o, _ in ordinals] == [0, 1, 3]  # VALIDATION, COMPACTION, HEADER
+    # VALIDATION, COMPACTION, STATS, HEADER — the full metadata set
+    assert [o for o, _ in ordinals] == [0, 1, 2, 3]
     val_off = ordinals[0][1]
     part = "org.apache.cassandra.dht.Murmur3Partitioner"
     assert blob[val_off : val_off + 2] == struct.pack(">H", len(part))
@@ -154,7 +155,19 @@ def test_statistics_header_golden(tmp_path):
     # varint byte count: 1366 words * 4 = 5464 -> LEB128 0xD8 0x2A
     assert hll[7] == 0xD8 and hll[8] == 0x2A
     assert comp_len == 9 + 1366 * 4
-    hdr_off = ordinals[2][1]
+    # STATS: parses back with the truthful aggregates
+    from sstable_migrator_spark.sinks.sstable_format import _parse_statistics
+
+    stats = _parse_statistics(blob)["stats_metadata"]
+    assert stats["total_rows"] == 1
+    assert stats["total_cells"] == 1  # one non-null regular cell
+    assert stats["min_timestamp_us"] == 1442880000000000
+    assert stats["max_timestamp_us"] == 1442880000000000
+    assert stats["compression_ratio"] == -1.0  # uncompressed table
+    assert stats["partition_size_histogram"]["count"] == 1
+    assert stats["cells_histogram"]["count"] == 1
+    assert stats["min_clustering"] == [] and stats["max_clustering"] == []
+    hdr_off = ordinals[3][1]
     # write ts == TIMESTAMP_EPOCH -> delta 0; minLDT = MAX_INT - epoch
     ts_delta, off = decode_unsigned_vint(blob, hdr_off)
     assert ts_delta == 0
@@ -966,8 +979,7 @@ def test_summary_sampling_and_reader_check(tmp_path):
     for i in range(300):
         w.add_row({"k": f"key-{i:04d}", "v": "x"})
     m = w.close()
-    assert "Summary.db" not in m["omitted_metadata"]
-    assert m["omitted_metadata"] == ["STATS"]
+    assert m["omitted_metadata"] == []
     blob = (tmp_path / f"{m['prefix']}-Summary.db").read_bytes()
     summ = _parse_summary(blob)
     assert len(summ["entries"]) == 3
@@ -993,3 +1005,52 @@ def test_summary_roundtrip_parse():
         (keys[i], offs[i]) for i in range(0, 500, 128)
     ]
     assert summ["first_key"] == keys[0] and summ["last_key"] == keys[-1]
+
+
+def test_stats_metadata_clustered_aggregates(tmp_path):
+    """STATS over a clustered table: clustering min/max in comparator
+    order, per-partition cell counts, null cells excluded."""
+    from sstable_migrator_spark.sinks.sstable_format import _parse_statistics
+
+    schema = CqlTable(
+        keyspace="ks", table="t",
+        columns=[("k", "varchar"), ("c", "int"), ("v", "varchar"),
+                 ("w", "varchar")],
+        partition_key=["k"], clustering=["c"],
+    )
+    w = SSTableWriter(str(tmp_path), schema)
+    w.add_row({"k": "a", "c": -5, "v": "x", "w": None})
+    w.add_row({"k": "a", "c": 12, "v": "y", "w": "z"})
+    w.add_row({"k": "b", "c": 3, "v": None, "w": None})
+    m = w.close()
+    assert m["omitted_metadata"] == []
+    assert m["best_effort_metadata"] == ["STATS"]
+    blob = (tmp_path / f"{m['prefix']}-Statistics.db").read_bytes()
+    st = _parse_statistics(blob)["stats_metadata"]
+    assert st["total_rows"] == 3
+    assert st["total_cells"] == 3  # x, y+z minus the two nulls
+    # Int32 serialization of -5 and 12 (big-endian signed)
+    assert st["min_clustering"] == [struct.pack(">i", -5)]
+    assert st["max_clustering"] == [struct.pack(">i", 12)]
+    assert st["partition_size_histogram"]["count"] == 2
+    assert st["cells_histogram"]["count"] == 2
+    assert st["min_ttl"] == 0 and st["max_ttl"] == 0
+    assert st["sstable_level"] == 0 and st["repaired_at"] == 0
+
+
+def test_estimated_histogram_codec_roundtrip():
+    from sstable_migrator_spark.sinks.sstable_format import (
+        _eh_offsets,
+        _eh_parse,
+        _eh_serialize,
+    )
+
+    offs = _eh_offsets()
+    assert offs[0] == 1 and len(offs) == 90
+    assert all(b > a for a, b in zip(offs, offs[1:]))  # strictly growing
+    vals = [1, 2, 3, 100, 100000, offs[-1] + 10**6]  # incl. overflow
+    blob = _eh_serialize(vals)
+    parsed, end = _eh_parse(blob, 0)
+    assert end == len(blob)
+    assert parsed["buckets"] == 91
+    assert parsed["count"] == len(vals)
