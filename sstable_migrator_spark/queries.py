@@ -9137,6 +9137,157 @@ ORACLES.update({"q186_rag_chunks": SQL_RAG_CHUNKS})
 
 
 # ---------------------------------------------------------------------------
+# Batch — per-source corpus health report (the dashboard rollup a
+# curation pipeline watches: volume, learned-quality keep rate, token
+# mass, and length percentiles per ingest source)
+# ---------------------------------------------------------------------------
+
+
+def q_corpus_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus health per ingest source, ONE base-table pass: per-doc
+    map work (token count + frozen-weight quality score — both pure
+    projections), then one (source)-keyed rollup for the counters and
+    one (source, length-bucket)-keyed rollup feeding the quantile
+    sketch, whose cumulative walk runs per source (PARTITIONED window
+    over each source's <= ~1k-bucket relation — bounded, unlike the
+    global-scalar windows this engine allowlists separately). Length
+    percentiles are the integer-log-bucket lower bounds (q185's
+    operator applied per group); keep counts come from the q181 frozen
+    model. Everything emitted is BIGINT — hash-exact. Reference
+    analog: the run-log rollup family (K8/A3) as a per-source quality
+    dashboard."""
+    from sstable_migrator_spark.functions import text as TX
+    from sstable_migrator_spark.operators.quality_model import (
+        score_quality_frozen,
+    )
+    from sstable_migrator_spark.operators.quantiles import (
+        bucket_lower_bound,
+        log_bucket,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("source", "doc_id", "text")
+    scored = score_quality_frozen(docs, _QM_WEIGHTS, _QM_BIAS).select(
+        "source",
+        "keep",
+        TX.token_count(F.col("text")).cast("long").alias("n_toks"),
+    )
+    base = scored.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("keep").cast("long").alias("n_keep"),
+        F.sum("n_toks").alias("total_tokens"),
+    )
+    sk = (
+        scored.select("source", log_bucket(F.col("n_toks")).alias("bucket"))
+        .groupBy("source", "bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = sk.select(
+        "source",
+        "bucket",
+        F.sum("cnt").over(w).alias("cum"),
+        F.sum("cnt").over(Window.partitionBy("source")).alias("n"),
+    )
+    pcts = spark.createDataFrame([(50,), (90,)], "pct int")
+    hit = (
+        cum.join(F.broadcast(pcts))
+        .filter(F.col("cum") * 100 >= F.col("pct") * F.col("n"))
+        .groupBy("source", "pct")
+        .agg(F.min("bucket").alias("bucket"))
+        .select(
+            "source", "pct", bucket_lower_bound(F.col("bucket")).alias("lo")
+        )
+        .groupBy("source")
+        .pivot("pct", [50, 90])
+        .agg(F.first("lo"))
+        .select(
+            "source",
+            F.col("50").cast("long").alias("p50_tokens"),
+            F.col("90").cast("long").alias("p90_tokens"),
+        )
+    )
+    return base.join(hit, "source").orderBy("source")
+
+
+SQL_CORPUS_REPORT = f"""
+WITH tk AS (
+  SELECT source,
+         CASE WHEN length(trim(lower(text))) = 0 THEN []
+              ELSE regexp_split_to_array(trim(lower(text)), '\\s+') END AS t,
+         CASE WHEN length(trim(text)) = 0 THEN 0
+              ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS n_toks
+  FROM documents
+),
+scored AS (
+  SELECT source, n_toks,
+         CASE WHEN {_QM_BIAS} + COALESCE(list_sum(list_transform(
+                t,
+                x -> ({_QM_WL})[CAST(CAST(concat('0x', substr(md5('7|' || x), 1, 15))
+                             AS BIGINT) % 64 AS INT) + 1]
+              )), 0) > 0 THEN 1 ELSE 0 END AS keep
+  FROM tk
+),
+base AS (
+  SELECT source, count(*) AS n_docs, sum(keep) AS n_keep,
+         sum(n_toks) AS total_tokens
+  FROM scored GROUP BY 1
+),
+bkt AS (
+  SELECT source,
+         CASE WHEN n_toks <= 0 THEN 0
+              ELSE 16*(length(bin(n_toks)) - 1)
+                   + 8*CASE WHEN substr(bin(n_toks),2,1)='1' THEN 1 ELSE 0 END
+                   + 4*CASE WHEN substr(bin(n_toks),3,1)='1' THEN 1 ELSE 0 END
+                   + 2*CASE WHEN substr(bin(n_toks),4,1)='1' THEN 1 ELSE 0 END
+                   +   CASE WHEN substr(bin(n_toks),5,1)='1' THEN 1 ELSE 0 END
+                   + 1
+         END AS bucket
+  FROM scored
+),
+st AS (SELECT source, bucket, count(*) AS cnt FROM bkt GROUP BY 1, 2),
+cum AS (
+  SELECT source, bucket,
+         sum(cnt) OVER (PARTITION BY source ORDER BY bucket) AS cum,
+         sum(cnt) OVER (PARTITION BY source) AS n
+  FROM st
+),
+hit AS (
+  SELECT source, pct, min(bucket) AS bucket
+  FROM cum, (SELECT unnest([50, 90]) AS pct)
+  WHERE cum * 100 >= pct * n
+  GROUP BY 1, 2
+),
+lo AS (
+  SELECT source, pct,
+         CASE WHEN bucket <= 0 THEN 0
+              WHEN (bucket - 1) // 16 >= 4
+                THEN (16 + (bucket - 1) % 16) << ((bucket - 1) // 16 - 4)
+              ELSE (16 + (bucket - 1) % 16) >> (4 - (bucket - 1) // 16)
+         END AS lo
+  FROM hit
+)
+SELECT b.source,
+       CAST(b.n_docs AS BIGINT) AS n_docs,
+       CAST(b.n_keep AS BIGINT) AS n_keep,
+       CAST(b.total_tokens AS BIGINT) AS total_tokens,
+       CAST(p50.lo AS BIGINT) AS p50_tokens,
+       CAST(p90.lo AS BIGINT) AS p90_tokens
+FROM base b
+JOIN lo p50 ON p50.source = b.source AND p50.pct = 50
+JOIN lo p90 ON p90.source = b.source AND p90.pct = 90
+ORDER BY b.source
+"""
+
+
+QUERIES.update({"q187_corpus_report": q_corpus_report})
+ORACLES.update({"q187_corpus_report": SQL_CORPUS_REPORT})
+
+
+# ---------------------------------------------------------------------------
 # Driver-sample ordering.
 #
 # The round driver's correctness gate checks only the FIRST ~50 catalog

@@ -689,3 +689,54 @@ def test_sstable_ingest_available_now(spark, tmp_path):
             continue
         tocs = [f for f in os.listdir(os.path.join(out, rd)) if f.endswith("-TOC.txt")]
         assert len(tocs) == 1, (rd, tocs)
+
+
+def test_streaming_quality_gate(spark, tmp_path):
+    """The frozen-weight quality scorer is a stateless projection, so
+    it runs unchanged inside a stream: gate a document stream on
+    keep=1 and land only the keepers; results equal the batch path."""
+    import json as _json
+
+    from sstable_migrator_spark.operators.quality_model import (
+        score_quality_frozen,
+    )
+    from sstable_migrator_spark.queries import _QM_BIAS, _QM_WEIGHTS
+
+    in_dir = tmp_path / "docs"
+    in_dir.mkdir()
+    rows = [
+        {"doc_id": 1, "text": "the committee approved the budget after a long debate"},
+        {"doc_id": 2, "text": "casino casino jackpot jackpot click here click here now"},
+        {"doc_id": 3, "text": "researchers published their findings in a reviewed journal"},
+    ]
+    with open(in_dir / "a.jsonl", "w") as fh:
+        for r in rows:
+            fh.write(_json.dumps(r) + "\n")
+
+    stream = spark.readStream.schema("doc_id long, text string").json(
+        str(in_dir)
+    )
+    gated = score_quality_frozen(stream, _QM_WEIGHTS, _QM_BIAS).filter(
+        "keep = 1"
+    )
+    out = str(tmp_path / "kept")
+    q = (
+        gated.writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {r["doc_id"] for r in spark.read.parquet(out).collect()}
+
+    batch = spark.createDataFrame(
+        [(r["doc_id"], r["text"]) for r in rows], "doc_id long, text string"
+    )
+    expect = {
+        r["doc_id"]
+        for r in score_quality_frozen(batch, _QM_WEIGHTS, _QM_BIAS)
+        .filter("keep = 1")
+        .collect()
+    }
+    assert got == expect and 2 not in got and {1, 3} == got
