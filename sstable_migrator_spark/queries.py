@@ -9339,7 +9339,12 @@ _DRIVER_PRIORITY: list[str] = [
     # the ml-inference family's first oracle-gated member
     "q181_quality_model_score",
     "q65_asof_join",
-    "q66_rollup",
+    # q66_rollup rotated to local-harness coverage in round 5 (the
+    # multi-level aggregation family keeps in-head evidence via
+    # q01_pricing_summary and the q187-adjacent rollups); the slot
+    # carries the n-gram LM perplexity filter — a NEW family (corpus
+    # quality via language modeling) with no other in-head sibling
+    "q182_ngram_lm_perplexity",
     # LLM-pipeline dedup / similarity / quality family.
     # q40/q41/q42/q49 rotated to local-harness coverage (their families
     # keep driver evidence via q78/q47+q48/q43/q52) to make room for the
@@ -9350,7 +9355,12 @@ _DRIVER_PRIORITY: list[str] = [
     "q138_span_dedup",
     "q139_dsir_importance",
     "q145_dup_clusters_star",
-    "q47_lang_id",
+    # q47_lang_id rotated to local-harness coverage in round 5 (the
+    # text-heuristic family keeps in-head evidence via
+    # q48_quality_score and the learned q181); the slot carries BM25
+    # retrieval — a NEW family (lexical relevance ranking) with no
+    # other in-head sibling
+    "q184_bm25_topk",
     "q48_quality_score",
     # q52_simhash_pairs rotated to local-harness coverage in round 4
     # (banded near-dup keeps driver evidence via q43_minhash_lsh_pairs);
