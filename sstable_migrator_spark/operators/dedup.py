@@ -780,6 +780,7 @@ def winnow_fingerprints(
     w: int = 5,
     text_col: str = "text",
     id_col: str = "doc_id",
+    portable: bool = True,
 ) -> DataFrame:
     """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken 2003,
     the MOSS algorithm): hash every k-token gram, slide a w-gram window
@@ -795,6 +796,7 @@ def winnow_fingerprints(
     Entirely expression-level (transform/slice/array_min) — the
     extraction is map-only over each document; nothing shuffles until
     the caller aggregates fingerprints."""
+    h = TX.hash64 if portable else TX.hash64_fast
     toks = docs.select(
         F.col(id_col).alias("doc"),
         TX.tokens(F.lower(F.col(text_col))).alias("tk"),
@@ -803,7 +805,7 @@ def winnow_fingerprints(
         "doc",
         F.transform(
             F.sequence(F.lit(1), F.size("tk") - (k - 1)),
-            lambda i: TX.hash64(F.array_join(F.slice("tk", i, k), " "), seed=13),
+            lambda i: h(F.array_join(F.slice("tk", i, k), " "), seed=13),
         ).alias("gh"),
     )
     sel = grams.select(
@@ -837,6 +839,7 @@ def winnow_pairs(
     max_df: int = 10,
     text_col: str = "text",
     id_col: str = "doc_id",
+    portable: bool = True,
 ) -> DataFrame:
     """Pair mining over winnowed fingerprints: docs sharing selected
     fingerprints, with the same boilerplate df-cap and in-bucket
@@ -848,6 +851,7 @@ def winnow_pairs(
     ``(id_a, id_b, shared_fps)``. Scale: fingerprint explode is
     map-only at 2/(w+1) density; shuffles move (fp, id) pairs only;
     pair cost bounded by C(max_df, 2) per fingerprint."""
+    h = TX.hash64 if portable else TX.hash64_fast
     toks = docs.select(
         F.col(id_col).alias("doc"),
         TX.tokens(F.lower(F.col(text_col))).alias("tk"),
@@ -858,7 +862,7 @@ def winnow_pairs(
         "doc",
         F.transform(
             F.sequence(F.lit(1), F.size("tk") - (k - 1)),
-            lambda i: TX.hash64(F.array_join(F.slice("tk", i, k), " "), seed=13),
+            lambda i: h(F.array_join(F.slice("tk", i, k), " "), seed=13),
         ).alias("gh"),
     )
     fps = grams.select(

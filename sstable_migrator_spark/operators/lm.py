@@ -80,19 +80,22 @@ def _q16_col(num: Column, den: Column) -> Column:
     return (msb * 16 + frac - 64).cast("long")
 
 
-def _bucket(tok: Column, vocab: int) -> Column:
+def _bucket(tok: Column, vocab: int, portable: bool = True) -> Column:
     from sstable_migrator_spark.functions import text as TX
 
-    return TX.hash64(tok, seed=_LM_SEED) % vocab
+    h = TX.hash64 if portable else TX.hash64_fast
+    return h(tok, seed=_LM_SEED) % vocab
 
 
-def _bigrams(df: DataFrame, text_col: str, vocab: int) -> DataFrame:
+def _bigrams(
+    df: DataFrame, text_col: str, vocab: int, portable: bool = True
+) -> DataFrame:
     """Explode each document into (ctx, tok) bigram bucket pairs.
     Documents with fewer than two tokens contribute nothing."""
     from sstable_migrator_spark.functions import text as TX
 
     toks = TX.tokens(F.lower(F.col(text_col)))
-    buckets = F.transform(toks, lambda t: _bucket(t, vocab))
+    buckets = F.transform(toks, lambda t: _bucket(t, vocab, portable))
     pairs = F.when(
         F.size(buckets) >= 2,
         F.zip_with(
@@ -107,7 +110,10 @@ def _bigrams(df: DataFrame, text_col: str, vocab: int) -> DataFrame:
 
 
 def train_bigram_lm(
-    docs: DataFrame, text_col: str = "text", vocab: int = 256
+    docs: DataFrame,
+    text_col: str = "text",
+    vocab: int = 256,
+    portable: bool = True,
 ) -> DataFrame:
     """Fit the smoothed bigram table: returns
     ``(ctx, tok, sq)`` rows for every OBSERVED bigram plus one
@@ -116,8 +122,10 @@ def train_bigram_lm(
     it. The uniform unseen-context backoff is the constant
     ``q16_surprisal_int(1, vocab)``; scoring applies it without a row.
     One data-sized aggregation (bigram counts, map-side combined); the
-    context totals re-aggregate the BOUNDED count table."""
-    bg = _bigrams(docs, text_col, vocab).select("ctx", "tok")
+    context totals re-aggregate the BOUNDED count table.
+    ``portable=False`` swaps the md5 token hash for xxhash64 — the
+    production choice at corpus scale; train and score MUST agree."""
+    bg = _bigrams(docs, text_col, vocab, portable).select("ctx", "tok")
     counts = bg.groupBy("ctx", "tok").agg(F.count(F.lit(1)).alias("c"))
     ctx_tot = counts.groupBy("ctx").agg(F.sum("c").alias("ctot"))
     seen = (
@@ -148,6 +156,7 @@ def perplexity_score(
     id_col: str = "doc_id",
     vocab: int = 256,
     threshold_q16: int | None = None,
+    portable: bool = True,
 ) -> DataFrame:
     """Score every document's total and average quantized surprisal
     under ``lm``. Output: (id, n_bigrams, surprise_q16, keep) — all
@@ -165,7 +174,7 @@ def perplexity_score(
     if threshold_q16 is None:
         threshold_q16 = sq0
     spine = docs.select(id_col).distinct()
-    bg = _bigrams(docs.select(id_col, text_col), text_col, vocab)
+    bg = _bigrams(docs.select(id_col, text_col), text_col, vocab, portable)
     seen = lm.filter(F.col("tok") >= 0)
     backoff = lm.filter(F.col("tok") < 0).select(
         "ctx", F.col("sq").alias("sq_u")

@@ -110,13 +110,15 @@ def score_quality(
 _QM_SEED = 7
 
 
-def portable_feature_bucket(col, num_features: int):
-    """Engine-portable feature bucket of a token: md5-based hash64
-    (seed 7) mod num_features. hash64 is non-negative, so Java/SQL
-    signed % agree."""
+def portable_feature_bucket(col, num_features: int, portable: bool = True):
+    """Feature bucket of a token mod num_features: md5-based hash64
+    (seed 7, engine-portable, non-negative so Java/SQL signed % agree)
+    or xxhash64 with ``portable=False`` (the cheaper production hash;
+    training and scoring must agree on the choice)."""
     from sstable_migrator_spark.functions import text as TX
 
-    return TX.hash64(col, seed=_QM_SEED) % num_features
+    h = TX.hash64 if portable else TX.hash64_fast
+    return h(col, seed=_QM_SEED) % num_features
 
 
 def train_quality_classifier_portable(
@@ -126,6 +128,7 @@ def train_quality_classifier_portable(
     num_features: int = 64,
     reg_param: float = 1e-3,
     max_iter: int = 100,
+    portable: bool = True,
 ) -> tuple[list[float], float]:
     """Fit LogisticRegression on portable-hash bag-of-buckets counts;
     returns (coefficients, intercept). The featurization is native
@@ -139,7 +142,9 @@ def train_quality_classifier_portable(
     from sstable_migrator_spark.functions import text as TX
 
     toks = TX.tokens(F.lower(F.col(text_col)))
-    buckets = F.transform(toks, lambda t: portable_feature_bucket(t, num_features))
+    buckets = F.transform(
+        toks, lambda t: portable_feature_bucket(t, num_features, portable)
+    )
     counts = F.transform(
         F.sequence(F.lit(0), F.lit(num_features - 1)),
         lambda b: F.size(F.filter(buckets, lambda x: x == b)).cast("double"),
@@ -172,6 +177,7 @@ def score_quality_frozen(
     score_col: str = "q_score",
     keep_col: str = "keep",
     threshold: int = 0,
+    portable: bool = True,
 ) -> DataFrame:
     """Map-side scoring with frozen integer weights: appends the BIGINT
     logit score (scaled by the quantization factor) and the keep flag
@@ -189,7 +195,7 @@ def score_quality_frozen(
         F.lit(0).cast("long"),
         lambda acc, t: acc
         + F.element_at(
-            warr, (portable_feature_bucket(t, m) + 1).cast("int")
+            warr, (portable_feature_bucket(t, m, portable) + 1).cast("int")
         ),
     )
     return df.withColumn(score_col, score).withColumn(

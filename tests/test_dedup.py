@@ -368,3 +368,24 @@ def test_winnow_pairs_df_cap_drops_boilerplate(spark):
     )
     assert winnow_pairs(docs, k=4, w=5, max_df=4).count() == 0
     assert winnow_pairs(docs, k=4, w=5, max_df=10).count() == 15  # C(6,2)
+
+
+def test_winnow_fast_hash_same_pairs(spark):
+    """The xxhash64 production path selects different fingerprint
+    VALUES but the span guarantee is hash-independent: the overlapping
+    pair must still surface and the unrelated doc must not."""
+    from sstable_migrator_spark.operators.dedup import winnow_pairs
+
+    shared = "the five boxing wizards jump quickly over the lazy brown dog"
+    docs = spark.createDataFrame(
+        [
+            (1, "intro words here " + shared + " trailing content one"),
+            (2, shared + " completely different ending text follows now"),
+            (3, "nothing in common with anybody else at all in this document body"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {(r["id_a"], r["id_b"])
+           for r in winnow_pairs(docs, k=4, w=5, portable=False).collect()}
+    assert (1, 2) in got
+    assert all(3 not in p for p in got)

@@ -140,3 +140,24 @@ def test_frozen_catalog_weights_separate(spark):
     got = {r["label"]: r["q_score"] for r in
            score_quality_frozen(df, _QM_WEIGHTS, _QM_BIAS).collect()}
     assert got[1] > 0 > got[0], got
+
+
+def test_fast_hash_training_scoring_pair(spark):
+    """portable=False trains and scores on xxhash64 buckets — the
+    production pair; separation must hold end to end."""
+    from sstable_migrator_spark.operators.quality_model import (
+        quantize_weights,
+        score_quality_frozen,
+        train_quality_classifier_portable,
+    )
+
+    spark = _ml_session(spark)
+    labeled = _labeled(spark)
+    w, b = train_quality_classifier_portable(
+        labeled, num_features=64, portable=False
+    )
+    wi, bi = quantize_weights(w, b)
+    rows = score_quality_frozen(labeled, wi, bi, portable=False).select(
+        "label", "q_score"
+    ).collect()
+    assert all((r["q_score"] > 0) == (r["label"] == 1.0) for r in rows)
