@@ -893,3 +893,149 @@ def winnow_pairs(
     return pairs.groupBy("id_a", "id_b").agg(
         F.count(F.lit(1)).alias("shared_fps")
     )
+
+
+def minhash_lsh_pairs_between(
+    new_docs: DataFrame,
+    old_docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_k: int = 3,
+    jaccard_threshold: float = 0.5,
+) -> DataFrame:
+    """Cross-corpus MinHash-LSH candidate pairs: NEW documents against
+    an EXISTING corpus — the production incremental-dedup shape (a
+    daily snapshot is checked against everything already ingested; the
+    old corpus's signatures are computed once and reused, never its
+    text). Same seeds/banding as the self-join ``minhash_lsh_pairs``,
+    but the band-bucket join is new x old only — no new-new or old-old
+    pairs, so a day's work scales with |new| x collision rate, not
+    with the corpus. Returns ``(new_id, old_id, est_jaccard)``.
+
+    Scale shape: both sides shuffle banded signature rows (num_hashes
+    longs/doc) on (band, bucket); at 100 TB the old side's signatures
+    are a persisted table keyed by band-bucket, making the join a
+    co-located lookup."""
+    if bands < 1 or num_hashes % bands != 0:
+        raise ValueError(
+            f"bands={bands} must divide num_hashes={num_hashes} exactly"
+        )
+    rows_per_band = num_hashes // bands
+
+    def _banded(docs: DataFrame) -> DataFrame:
+        sigs = minhash_signatures(
+            docs, text_col, id_col, num_hashes, shingle_k
+        ).select(id_col, "signature").localCheckpoint()
+        return sigs.select(
+            F.col(id_col),
+            F.col("signature"),
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(b).alias("band"),
+                            F.md5(
+                                F.concat_ws(
+                                    ",",
+                                    *[
+                                        F.element_at(
+                                            "signature", b * rows_per_band + i + 1
+                                        ).cast("string")
+                                        for i in range(rows_per_band)
+                                    ],
+                                )
+                            ).alias("bucket"),
+                        )
+                        for b in range(bands)
+                    ]
+                )
+            ).alias("bb"),
+        ).select(id_col, "signature", "bb.band", "bb.bucket")
+
+    a = _banded(new_docs).alias("a")
+    b = _banded(old_docs).alias("b")
+    joined = a.join(
+        b,
+        (F.col("a.band") == F.col("b.band"))
+        & (F.col("a.bucket") == F.col("b.bucket")),
+    )
+
+    # keep each colliding pair only at its FIRST matching band (same
+    # dedupe-without-a-shuffle trick as the self-join variant)
+    def _slice_match(bi: int):
+        sa = F.slice(F.col("a.signature"), bi * rows_per_band + 1, rows_per_band)
+        sb = F.slice(F.col("b.signature"), bi * rows_per_band + 1, rows_per_band)
+        return sa == sb
+
+    first_band = F.lit(bands - 1)
+    for bi in range(bands - 2, -1, -1):
+        first_band = F.when(_slice_match(bi), F.lit(bi)).otherwise(first_band)
+    est = (
+        sum(
+            (F.element_at(F.col("a.signature"), i + 1)
+             == F.element_at(F.col("b.signature"), i + 1)).cast("int")
+            for i in range(num_hashes)
+        )
+        / F.lit(float(num_hashes))
+    )
+    return (
+        joined.filter(F.col("a.band") == first_band)
+        .select(
+            F.col(f"a.{id_col}").alias("new_id"),
+            F.col(f"b.{id_col}").alias("old_id"),
+            est.alias("est_jaccard"),
+        )
+        .filter(F.col("est_jaccard") >= jaccard_threshold)
+    )
+
+
+def incremental_dedup(
+    new_docs: DataFrame,
+    old_docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_k: int = 3,
+    jaccard_threshold: float = 0.5,
+) -> DataFrame:
+    """Admission decision for every NEW document against the existing
+    corpus: ``(doc_id, exact_dup, n_near_dups, admitted)`` — exact_dup
+    when its normalized-text fingerprint already exists (broadcast-able
+    distinct fingerprint set, or an anti-joinable persisted column at
+    scale), n_near_dups from the cross-corpus LSH pairs, admitted when
+    neither fires. All-integer output, hash-exact. This is the daily
+    gate the reference's 25-day domain window (J4/T2) becomes for a
+    document corpus."""
+    new_fp = new_docs.select(
+        F.col(id_col), TX.fingerprint(F.col(text_col)).alias("fp")
+    )
+    old_fp = old_docs.select(
+        TX.fingerprint(F.col(text_col)).alias("fp")
+    ).distinct()
+    exact = (
+        new_fp.join(old_fp.withColumn("_hit", F.lit(1)), "fp", "left")
+        .select(id_col, F.coalesce("_hit", F.lit(0)).alias("exact_dup"))
+    )
+    near = (
+        minhash_lsh_pairs_between(
+            new_docs, old_docs, text_col, id_col,
+            num_hashes, bands, shingle_k, jaccard_threshold,
+        )
+        .groupBy(F.col("new_id").alias(id_col))
+        .agg(F.count(F.lit(1)).alias("n_near_dups"))
+    )
+    return (
+        exact.join(near, id_col, "left")
+        .select(
+            id_col,
+            F.col("exact_dup").cast("int").alias("exact_dup"),
+            F.coalesce("n_near_dups", F.lit(0)).cast("long").alias("n_near_dups"),
+            (
+                (F.col("exact_dup") == 0)
+                & (F.coalesce("n_near_dups", F.lit(0)) == 0)
+            ).cast("int").alias("admitted"),
+        )
+    )

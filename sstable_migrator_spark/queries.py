@@ -1496,11 +1496,11 @@ nd_docs AS (
 """
 
 
-def _sql_grams_over(relation: str) -> str:
+def _sql_grams_over(relation: str, name: str = "grams") -> str:
     """Word-3-shingle CTE body over an arbitrary (doc_id, text) relation
     — mirrors functions.text.shingles exactly (see SQL_GRAMS_CTE)."""
     return f"""
-grams AS (
+{name} AS (
   SELECT doc_id,
          list_distinct(list_transform(
            generate_series(1, greatest(nt - 2, 1)),
@@ -1521,23 +1521,41 @@ def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _sql_lsh_ctes() -> str:
-    """The shared CTE chain for MinHash-LSH SQL twins: nd_docs ->
-    grams -> sigs -> banded -> pairs (band-bucket collisions) ->
-    lsh_pairs (estimate-filtered) — used verbatim by q43 and by the
-    q164 recall measurement so the two can never drift."""
-    hashes = ", ".join(
+def _sql_sig_hashes() -> str:
+    """The 16 per-seed MinHash expressions (mirrors
+    dedup.minhash_signatures / TX.hash64 seeds exactly)."""
+    return ", ".join(
         "list_min(list_transform(g, s -> CAST(concat('0x', substr(md5('"
         + f"{seed}|' || s), 1, 15)) AS BIGINT))) AS h{seed}"
         for seed in range(16)
     )
-    band_rows = " UNION ALL ".join(
+
+
+def _sql_band_rows(rel: str = "sigs") -> str:
+    """Band/bucket explosion over a signature relation (4 bands x 4
+    rows, md5 bucket of the comma-joined slice)."""
+    return " UNION ALL ".join(
         f"SELECT doc_id, {b} AS band, md5("
         + " || ',' || ".join(f"CAST(h{b * 4 + i} AS VARCHAR)" for i in range(4))
-        + ") AS bucket FROM sigs"
+        + f") AS bucket FROM {rel}"
         for b in range(4)
     )
-    matches = " + ".join(f"(CASE WHEN sa.h{i} = sb.h{i} THEN 1 ELSE 0 END)" for i in range(16))
+
+
+_SQL_SIG_MATCHES = " + ".join(
+    f"(CASE WHEN sa.h{i} = sb.h{i} THEN 1 ELSE 0 END)" for i in range(16)
+)
+
+
+def _sql_lsh_ctes() -> str:
+    """The shared CTE chain for MinHash-LSH SQL twins: nd_docs ->
+    grams -> sigs -> banded -> pairs (band-bucket collisions) ->
+    lsh_pairs (estimate-filtered) — used verbatim by q43, the q164
+    recall measurement, and (via the shared hash/band builders) the
+    q188 incremental dedup, so they can never drift."""
+    hashes = _sql_sig_hashes()
+    band_rows = _sql_band_rows()
+    matches = _SQL_SIG_MATCHES
     return f"""{SQL_ND_DOCS_CTE.strip()},
 {_sql_grams_over('nd_docs').strip()},
 sigs AS (SELECT doc_id, {hashes} FROM grams),
@@ -9285,6 +9303,109 @@ ORDER BY b.source
 
 QUERIES.update({"q187_corpus_report": q_corpus_report})
 ORACLES.update({"q187_corpus_report": SQL_CORPUS_REPORT})
+
+
+# ---------------------------------------------------------------------------
+# Batch — incremental corpus dedup (new snapshot vs existing corpus:
+# dedup.minhash_lsh_pairs_between + dedup.incremental_dedup)
+# ---------------------------------------------------------------------------
+
+
+def _incr_corpora(spark: SparkSession, sf_dir: str):
+    """The planted incremental fixture: the EXISTING corpus is docs
+    < 80 as-is; the NEW snapshot is near-dup variants of docs < 40
+    (+1000, trailing token appended — the q43 planting), exact copies
+    of docs 40-59 (+2000), and genuinely novel docs 80-119."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    old = docs.filter(F.col("doc_id") < 80)
+    new = (
+        docs.filter(F.col("doc_id") < 40)
+        .select(
+            (F.col("doc_id") + 1000).alias("doc_id"),
+            F.concat(F.col("text"), F.lit(" extra trailing token")).alias("text"),
+        )
+        .unionByName(
+            docs.filter((F.col("doc_id") >= 40) & (F.col("doc_id") < 60)).select(
+                (F.col("doc_id") + 2000).alias("doc_id"), "text"
+            )
+        )
+        .unionByName(
+            docs.filter((F.col("doc_id") >= 80) & (F.col("doc_id") < 120))
+        )
+    )
+    return new, old
+
+
+def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental corpus dedup — the PRODUCTION dedup shape: a new
+    snapshot is admitted against everything already ingested (exact
+    normalized-text fingerprints + cross-corpus MinHash-LSH), never
+    re-deduped against itself wholesale. The cross-corpus band join is
+    new x old ONLY, so a day's cost scales with the day, not the
+    corpus; at 100 TB the old side is a persisted signature table keyed
+    by band-bucket. Planted fixture: near-dup variants must be caught
+    by LSH, exact copies by the fingerprint set, novel docs admitted —
+    all three outcomes hash-gated. Reference analog: the 25-day
+    anti-join window (J4/T2) upgraded from exact keys to near-dup
+    documents."""
+    from sstable_migrator_spark.operators.dedup import incremental_dedup
+
+    new, old = _incr_corpora(spark, sf_dir)
+    return incremental_dedup(new, old)
+
+
+def _sql_incremental_dedup() -> str:
+    return f"""
+WITH old_docs AS (
+  SELECT doc_id, text FROM documents WHERE doc_id < 80
+),
+new_docs AS (
+  SELECT doc_id + 1000 AS doc_id, text || ' extra trailing token' AS text
+  FROM documents WHERE doc_id < 40
+  UNION ALL
+  SELECT doc_id + 2000 AS doc_id, text
+  FROM documents WHERE doc_id >= 40 AND doc_id < 60
+  UNION ALL
+  SELECT doc_id, text FROM documents WHERE doc_id >= 80 AND doc_id < 120
+),
+{_sql_grams_over('old_docs', 'grams_old').strip()},
+{_sql_grams_over('new_docs', 'grams_new').strip()},
+sigs_old AS (SELECT doc_id, {_sql_sig_hashes()} FROM grams_old),
+sigs_new AS (SELECT doc_id, {_sql_sig_hashes()} FROM grams_new),
+banded_old AS ({_sql_band_rows('sigs_old')}),
+banded_new AS ({_sql_band_rows('sigs_new')}),
+cand AS (
+  SELECT DISTINCT a.doc_id AS new_id, b.doc_id AS old_id
+  FROM banded_new a JOIN banded_old b
+  ON a.band = b.band AND a.bucket = b.bucket
+),
+near AS (
+  SELECT new_id AS doc_id, count(*) AS n_near_dups FROM (
+    SELECT new_id, old_id,
+           CAST({_SQL_SIG_MATCHES} AS DOUBLE) / 16.0 AS est
+    FROM cand
+    JOIN sigs_new sa ON sa.doc_id = cand.new_id
+    JOIN sigs_old sb ON sb.doc_id = cand.old_id)
+  WHERE est >= 0.5 GROUP BY 1
+),
+old_fp AS (SELECT DISTINCT md5({SQL_NORM}) AS fp FROM old_docs),
+exact AS (
+  SELECT n.doc_id,
+         CASE WHEN o.fp IS NULL THEN 0 ELSE 1 END AS exact_dup
+  FROM (SELECT doc_id, md5({SQL_NORM}) AS fp FROM new_docs) n
+  LEFT JOIN old_fp o USING (fp)
+)
+SELECT e.doc_id,
+       CAST(e.exact_dup AS INT) AS exact_dup,
+       CAST(COALESCE(nr.n_near_dups, 0) AS BIGINT) AS n_near_dups,
+       CAST(CASE WHEN e.exact_dup = 0 AND COALESCE(nr.n_near_dups, 0) = 0
+                 THEN 1 ELSE 0 END AS INT) AS admitted
+FROM exact e LEFT JOIN near nr USING (doc_id)
+"""
+
+
+QUERIES.update({"q188_incremental_dedup": q_incremental_dedup})
+ORACLES.update({"q188_incremental_dedup": _sql_incremental_dedup()})
 
 
 # ---------------------------------------------------------------------------

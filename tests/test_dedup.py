@@ -389,3 +389,42 @@ def test_winnow_fast_hash_same_pairs(spark):
            for r in winnow_pairs(docs, k=4, w=5, portable=False).collect()}
     assert (1, 2) in got
     assert all(3 not in p for p in got)
+
+
+def test_incremental_dedup_outcomes(spark):
+    """All three admission outcomes: exact copy blocked by the
+    fingerprint set, near-dup blocked by cross-corpus LSH, novel doc
+    admitted; and the pairs are new x old ONLY."""
+    from sstable_migrator_spark.operators.dedup import (
+        incremental_dedup,
+        minhash_lsh_pairs_between,
+    )
+
+    base = " ".join(
+        f"w{i} token{i % 7} filler{i % 11}" for i in range(25)
+    )  # ~75 tokens: one appended token shifts only a few shingles
+    other = (
+        "completely unrelated content about cooking pasta with garlic "
+        "butter and fresh basil leaves from the garden in summer"
+    )
+    old = spark.createDataFrame(
+        [(1, base), (2, other)], "doc_id long, text string"
+    )
+    new = spark.createDataFrame(
+        [
+            (101, base),                                  # exact copy
+            (102, base + " trailing"),                    # near dup
+            (103, "novel text with nothing shared here about astronomy "
+                  "telescopes and the rings of saturn at midnight"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in incremental_dedup(new, old).collect()}
+    assert got[101]["exact_dup"] == 1 and got[101]["admitted"] == 0
+    assert got[102]["exact_dup"] == 0 and got[102]["n_near_dups"] >= 1
+    assert got[102]["admitted"] == 0
+    assert got[103] ["exact_dup"] == 0 and got[103]["n_near_dups"] == 0
+    assert got[103]["admitted"] == 1
+    # pair direction: only new x old, no new-new / old-old pairs
+    pairs = minhash_lsh_pairs_between(new, old).collect()
+    assert all(r["new_id"] >= 100 and r["old_id"] < 100 for r in pairs)
