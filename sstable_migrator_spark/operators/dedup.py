@@ -1039,3 +1039,45 @@ def incremental_dedup(
             ).cast("int").alias("admitted"),
         )
     )
+
+
+def leakage_safe_split(
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    train_pct: int = 80,
+    valid_pct: int = 10,
+) -> DataFrame:
+    """Train/valid/test assignment that can NEVER leak a near-duplicate
+    across splits: documents are assigned by their duplicate CLUSTER
+    (min-id label over the near-dup pair graph; singletons are their
+    own cluster), and the split is a deterministic portable hash of the
+    cluster id — so every member of a cluster lands in the same split
+    by construction. Splitting documents independently (the naive
+    hash-of-doc-id) puts ~2*p*(1-p) of every near-dup pair across the
+    train/eval boundary — the classic eval-contamination bug this
+    operator exists to make impossible.
+
+    Returns ``(id, cluster_id, split)`` with split in
+    train/valid/test at train_pct/valid_pct/rest. Scale: clustering is
+    the star-contraction/label-propagation path (pairs are the LSH
+    output, O(duplicates)); the split itself is one broadcast-able
+    cluster map join + a map-side hash."""
+    if not (0 < train_pct and 0 <= valid_pct and train_pct + valid_pct < 100):
+        raise ValueError(f"bad split percentages {train_pct}/{valid_pct}")
+    cc = duplicate_clusters(pairs).select(id_col, "cluster_id")
+    labeled = (
+        docs.select(id_col)
+        .join(cc, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("cluster_id", F.col(id_col)).alias("cluster_id"),
+        )
+    )
+    bucket = TX.hash64(F.col("cluster_id").cast("string"), seed=17) % 100
+    return labeled.withColumn(
+        "split",
+        F.when(bucket < train_pct, F.lit("train"))
+        .when(bucket < train_pct + valid_pct, F.lit("valid"))
+        .otherwise(F.lit("test")),
+    )

@@ -9409,6 +9409,60 @@ ORACLES.update({"q188_incremental_dedup": _sql_incremental_dedup()})
 
 
 # ---------------------------------------------------------------------------
+# Batch — leakage-safe train/valid/test split (dedup.leakage_safe_split)
+# ---------------------------------------------------------------------------
+
+
+def q_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-level corpus splitting: near-duplicates must NEVER
+    straddle the train/eval boundary (per-document hashing puts
+    ~2p(1-p) of every near-dup pair across it — the canonical eval
+    contamination bug), so the split hashes the duplicate CLUSTER id
+    (min-id over the LSH pair graph; singletons are their own cluster)
+    at 80/10/10. The oracle re-derives the clusters via the identical
+    recursive-CTE truth q58 uses and applies the same portable hash —
+    every assignment hash-gated. Reference analog: the routing family
+    (P8) applied to dataset governance."""
+    from sstable_migrator_spark.operators.dedup import leakage_safe_split
+
+    docs = _synth_near_dup_docs(spark, sf_dir)
+    pairs = dedup.minhash_lsh_pairs(
+        docs, num_hashes=16, bands=4, jaccard_threshold=0.5
+    )
+    return leakage_safe_split(docs, pairs)
+
+
+def _sql_leakage_safe_split() -> str:
+    return f"""
+WITH RECURSIVE {_sql_lsh_ctes()},
+edges AS (SELECT id_a AS src, id_b AS dst FROM lsh_pairs
+          UNION SELECT id_b, id_a FROM lsh_pairs),
+reach(node, r) AS (
+    SELECT src, src FROM edges
+    UNION
+    SELECT e.src, r2.r FROM edges e JOIN reach r2 ON e.dst = r2.node),
+cc AS (SELECT node AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY node),
+labeled AS (
+  SELECT d.doc_id, COALESCE(cc.cluster_id, d.doc_id) AS cluster_id
+  FROM (SELECT doc_id FROM nd_docs) d LEFT JOIN cc USING (doc_id)
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(cluster_id AS BIGINT) AS cluster_id,
+       CASE WHEN b < 80 THEN 'train'
+            WHEN b < 90 THEN 'valid'
+            ELSE 'test' END AS split
+FROM (SELECT doc_id, cluster_id,
+             CAST(concat('0x', substr(md5('17|' || CAST(cluster_id AS VARCHAR)),
+                                      1, 15)) AS BIGINT) % 100 AS b
+      FROM labeled)
+"""
+
+
+QUERIES.update({"q189_leakage_safe_split": q_leakage_safe_split})
+ORACLES.update({"q189_leakage_safe_split": _sql_leakage_safe_split()})
+
+
+# ---------------------------------------------------------------------------
 # Driver-sample ordering.
 #
 # The round driver's correctness gate checks only the FIRST ~50 catalog

@@ -428,3 +428,33 @@ def test_incremental_dedup_outcomes(spark):
     # pair direction: only new x old, no new-new / old-old pairs
     pairs = minhash_lsh_pairs_between(new, old).collect()
     assert all(r["new_id"] >= 100 and r["old_id"] < 100 for r in pairs)
+
+
+def test_leakage_safe_split_invariant(spark):
+    """The invariant the operator exists for: every near-dup cluster
+    lands wholly in ONE split; singleton docs get their own cluster;
+    bad percentages raise."""
+    import pytest as _pytest
+
+    from sstable_migrator_spark.operators.dedup import leakage_safe_split
+
+    docs = spark.createDataFrame(
+        [(i, f"doc {i}") for i in range(200)], "doc_id long, text string"
+    )
+    # planted pair graph: chains {0,1,2}, {10,11}, rest singletons
+    pairs = spark.createDataFrame(
+        [(0, 1), (1, 2), (10, 11)], "id_a long, id_b long"
+    )
+    rows = leakage_safe_split(docs, pairs).collect()
+    assert len(rows) == 200
+    by_cluster = {}
+    for r in rows:
+        by_cluster.setdefault(r["cluster_id"], set()).add(r["split"])
+    assert all(len(s) == 1 for s in by_cluster.values())
+    assert by_cluster[0] is not None and {r["cluster_id"] for r in rows if r["doc_id"] in (0, 1, 2)} == {0}
+    # rough ratio sanity on ~200 clusters at 80/10/10
+    n = {s: sum(1 for r in rows if r["split"] == s) for s in ("train", "valid", "test")}
+    assert n["train"] > n["valid"] and n["train"] > n["test"]
+    assert n["train"] + n["valid"] + n["test"] == 200
+    with _pytest.raises(ValueError):
+        leakage_safe_split(docs, pairs, train_pct=90, valid_pct=10)
