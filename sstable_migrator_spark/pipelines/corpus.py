@@ -59,9 +59,14 @@ def build_training_corpus(
     chunk_size: int = 32,
     stride: int = 24,
     shard_tokens: int = 2000,
+    shard_format: str = "parquet",
 ) -> dict[str, int]:
     """Run the curation funnel and write chunk shards to ``out_dir``
-    (parquet, partitioned by shard_id). Returns per-stage row counts.
+    (``shard_format="parquet"``: partitioned by shard_id — the default
+    for text pipelines; ``"tar"``: WebDataset tar shards via
+    sinks.tarshard, one sample per chunk keyed doc-chunk with a .txt
+    member — the layout multimodal dataloaders stream). Returns
+    per-stage row counts.
 
     Scale shape: quality/lang/PII/chunking are map-only; exact dedup is
     one fingerprint shuffle; the near-dup stage shuffles only signature
@@ -138,9 +143,35 @@ def build_training_corpus(
         "shard_id",
         F.floor((F.col("_run") - F.col("n_tok")) / F.lit(shard_tokens)).cast("int"),
     ).drop("_run")
-    packed.observe(obs["chunks"], F.count(F.lit(1)).alias("n")).write.mode(
-        "overwrite"
-    ).partitionBy("shard_id").parquet(out_dir)
+    if shard_format == "parquet":
+        packed.observe(obs["chunks"], F.count(F.lit(1)).alias("n")).write.mode(
+            "overwrite"
+        ).partitionBy("shard_id").parquet(out_dir)
+    elif shard_format == "tar":
+        from sstable_migrator_spark.sinks.tarshard import write_tar_shards
+
+        tagged = packed.observe(
+            obs["chunks"], F.count(F.lit(1)).alias("n")
+        ).select(
+            F.concat_ws(
+                "-",
+                F.lit("d"),
+                F.col("doc_id").cast("string"),
+                F.col("chunk_id").cast("string"),
+            ).alias("_key"),
+            F.col("chunk_text").alias("txt"),
+            F.col("shard_id").cast("string").alias("shard"),
+        )
+        # token-budgeted shards become row groups per tar: repartition
+        # on shard_id so each budget shard lands in one writer task
+        write_tar_shards(
+            tagged.repartition("shard").drop("shard"),
+            out_dir,
+            "_key",
+            ["txt"],
+        )
+    else:
+        raise ValueError(f"unknown shard_format {shard_format!r}")
 
     counts = {k: int(o.get["n"]) for k, o in obs.items()}
     counts["near_dup_kept"] = counts["exact"] - n_losers

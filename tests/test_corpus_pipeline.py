@@ -59,3 +59,22 @@ def test_quality_score_matches_tx(spark, sf_dir):
         TX.quality_score(F.col("text")).alias("b"),
     ).filter("a IS DISTINCT FROM b")
     assert diff.count() == 0
+
+
+def test_tar_shard_format(spark, tmp_path, sf_dir):
+    """The funnel's tar output round-trips every chunk it wrote in the
+    parquet form — same curation, WebDataset layout."""
+    from sstable_migrator_spark.pipelines.corpus import build_training_corpus
+    from sstable_migrator_spark.sinks.tarshard import read_tar_shards
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(60)
+    pq_dir, tar_dir = str(tmp_path / "pq"), str(tmp_path / "tar")
+    c1 = build_training_corpus(docs, pq_dir)
+    c2 = build_training_corpus(docs, tar_dir, shard_format="tar")
+    assert c1 == c2
+    pq = spark.read.parquet(pq_dir)
+    back = read_tar_shards(spark, tar_dir, "_key", ["txt"])
+    assert back.count() == pq.count()
+    a = sorted(r["txt"] for r in back.collect())
+    b = sorted(r["chunk_text"] for r in pq.collect())
+    assert a == b
