@@ -298,31 +298,56 @@ def simhash_near_dup_pairs(
 
     Returns (id_a, id_b, hamming) with id_a < id_b.
     """
+    # materialize fingerprints (one long per doc) so the banded
+    # self-join doesn't execute the md5-vote tree twice — see the
+    # matching note in minhash_lsh_pairs
+    sh = simhash(docs, text_col, id_col, bits).localCheckpoint()
+    return hamming_near_dup_pairs(
+        sh, hash_col="simhash", id_col=id_col,
+        bits=bits, bands=bands, max_hamming=max_hamming,
+    )
+
+
+def hamming_near_dup_pairs(
+    hashes: DataFrame,
+    hash_col: str,
+    id_col: str = "doc_id",
+    bits: int = 64,
+    bands: int = 8,
+    max_hamming: int = 7,
+) -> DataFrame:
+    """Generic banded-hamming near-dup join over ANY precomputed b-bit
+    fingerprint column (SimHash text prints, perceptual image hashes,
+    audio chromaprints...): split into ``bands`` equal slices; by
+    pigeonhole any pair within hamming ``bands - 1`` shares at least
+    one identical slice, so a shuffle on (band, slice) + within-bucket
+    self-join finds EVERY qualifying pair — exact, not probabilistic.
+    Requires ``max_hamming < bands``. Returns (id_a, id_b, hamming)
+    with id_a < id_b. Only (id, long-hash) rows ever shuffle."""
     if bits % bands != 0:
         raise ValueError("bits must divide evenly into bands")
     if max_hamming >= bands:
         raise ValueError("band join is only complete for max_hamming < bands")
     width = bits // bands
     mask = (1 << width) - 1
-    # materialize fingerprints (one long per doc) so the banded
-    # self-join doesn't execute the md5-vote tree twice — see the
-    # matching note in minhash_lsh_pairs
-    sh = simhash(docs, text_col, id_col, bits).localCheckpoint()
-    banded = sh.select(
+    # rename in its own projection: aliasing and slicing "_h" in one
+    # select would be a lateral alias reference, which explode rejects
+    hashes = hashes.select(F.col(id_col), F.col(hash_col).alias("_h"))
+    banded = hashes.select(
         F.col(id_col),
-        F.col("simhash"),
+        F.col("_h"),
         F.explode(
             F.array(
                 *[
                     F.struct(
                         F.lit(b).alias("band"),
-                        F.shiftright("simhash", b * width).bitwiseAND(F.lit(mask)).alias("val"),
+                        F.shiftright("_h", b * width).bitwiseAND(F.lit(mask)).alias("val"),
                     )
                     for b in range(bands)
                 ]
             )
         ).alias("bb"),
-    ).select(id_col, "simhash", "bb.band", "bb.val")
+    ).select(id_col, "_h", "bb.band", "bb.val")
     a, b = banded.alias("a"), banded.alias("b")
     joined = a.join(
         b,
@@ -334,7 +359,7 @@ def simhash_near_dup_pairs(
     # dropDuplicates shuffle over the (large) candidate set, keep each
     # pair only at its FIRST matching band — pure bit arithmetic on the
     # xor of the two fingerprints, no extra exchange.
-    xor = F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+    xor = F.col("a._h").bitwiseXOR(F.col("b._h"))
     first_band = F.lit(bands - 1)
     for bi in range(bands - 2, -1, -1):
         slice_match = F.shiftright(xor, bi * width).bitwiseAND(F.lit(mask)) == 0

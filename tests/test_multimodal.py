@@ -85,3 +85,92 @@ def test_resize_real_decode_is_stubbed(spark):
     media = synthetic_media(spark, 6)
     with _pytest.raises((DecoderUnavailable, Py4JJavaError, Exception)):
         resize_images(media, 8, 4, real_decode=True).collect()
+
+
+def test_image_phash_near_dup_pairs(spark):
+    """Perceptual near-dup mining: a re-encoded copy and a
+    few-pixels-noised copy must pair with the original at small
+    hamming; unrelated gradients must not pair. Also pins determinism
+    under repartitioning and banded-join completeness vs brute force."""
+    import numpy as np
+
+    from sstable_migrator_spark.functions.imagecodec import encode_png, encode_ppm
+    from sstable_migrator_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        image_near_dup_pairs,
+        image_phash,
+    )
+
+    h, w = 48, 64
+
+    def blocky(seed):
+        # dense low-frequency spectrum (seeded 8x8 blocks upsampled):
+        # every coefficient in the hash's 8x8 DCT block carries real
+        # magnitude, so the median threshold is stable — sparse-spectrum
+        # images (gradients, few sinusoids) are pHash's degenerate case
+        # and would flip near-zero bits on any perturbation
+        rng = np.random.RandomState(seed)
+        coarse = rng.randint(30, 226, size=(8, 8))
+        c = np.kron(coarse, np.ones((8, 8), dtype=int))[:h, :w].astype(np.uint8)
+        return np.stack([c, c, c], axis=2)
+
+    base = blocky(42)
+    noised = base.copy()
+    noised[2:14, 2:14, :] = np.clip(
+        noised[2:14, 2:14, :].astype(int) + 40, 0, 255
+    ).astype(np.uint8)  # visible local edit, same image
+    other = blocky(7)
+    rows = [
+        (0, "image", bytearray(encode_png(base)), (w, h, 0, "png")),
+        (1, "image", bytearray(encode_ppm(base)), (w, h, 0, "ppm")),   # re-encode
+        (2, "image", bytearray(encode_png(noised)), (w, h, 0, "png")), # small edit
+        (3, "image", bytearray(encode_png(other)), (w, h, 0, "png")),  # unrelated
+        (4, "audio", bytearray(b"RIFFxxxx"), (0, 0, 0, "wav")),        # ignored
+    ]
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+    hashes = {r["media_id"]: r["phash"] for r in image_phash(media).collect()}
+    assert set(hashes) == {0, 1, 2, 3}  # non-images skipped
+    assert hashes[0] == hashes[1]  # lossless re-encode: identical hash
+    assert bin(hashes[0] ^ hashes[2]).count("1") <= 7
+    assert bin(hashes[0] ^ hashes[3]).count("1") > 7
+
+    pairs = {(r["id_a"], r["id_b"]): r["hamming"]
+             for r in image_near_dup_pairs(media).collect()}
+    assert (0, 1) in pairs and pairs[(0, 1)] == 0
+    assert (0, 2) in pairs and (1, 2) in pairs
+    assert all(3 not in p for p in pairs)
+
+    # completeness: banded join == brute force at the same threshold
+    from itertools import combinations
+
+    brute = {
+        (a, b)
+        for a, b in combinations(sorted(hashes), 2)
+        if bin(hashes[a] ^ hashes[b]).count("1") <= 7
+    }
+    assert set(pairs) == brute
+
+    # determinism under repartitioning
+    again = {r["media_id"]: r["phash"]
+             for r in image_phash(media.repartition(5)).collect()}
+    assert again == hashes
+
+
+def test_image_phash_fake_path(spark):
+    """Codec-free plumbing: the fake-decode path hashes payload-derived
+    gray squares — deterministic, distinct payloads distinct hashes."""
+    from sstable_migrator_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        image_phash,
+    )
+
+    rows = [
+        (0, "image", bytearray(b"payload-a"), (1, 1, 0, "png")),
+        (1, "image", bytearray(b"payload-b"), (1, 1, 0, "png")),
+        (2, "image", bytearray(b"payload-a"), (1, 1, 0, "png")),
+    ]
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    got = {r["media_id"]: r["phash"]
+           for r in image_phash(media, real_decode=False).collect()}
+    assert got[0] == got[2] != got[1]
