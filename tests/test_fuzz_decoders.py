@@ -157,3 +157,68 @@ def test_fuzz_avi():
     rng = np.random.RandomState(3)
     frames = [rng.randint(0, 256, (12, 16, 3)).astype(np.uint8) for _ in range(2)]
     _assert_total(decode_avi, encode_avi_mjpeg(frames, fps=10.0, quality=80))
+
+
+def test_fuzz_summary_and_stats_parsers():
+    """Random garbage and truncations of Summary.db / Statistics.db
+    must raise cleanly (struct/Value/Index errors), never hang or
+    return silently-wrong structures; valid blobs survive any
+    truncation point with an exception, not a crash."""
+    import random
+
+    from sstable_migrator_spark.sinks.sstable_format import (
+        _parse_statistics,
+        _parse_summary,
+        _summary_blob,
+        CqlTable,
+        SSTableWriter,
+    )
+
+    rng = random.Random(4242)
+    for parser in (_parse_summary, _parse_statistics):
+        for _ in range(200):
+            blob = bytes(rng.randrange(256) for _ in range(rng.randrange(0, 120)))
+            try:
+                parser(blob)
+            except Exception as e:  # noqa: BLE001 - loud failure is the contract
+                assert not isinstance(e, (SystemExit, KeyboardInterrupt))
+
+    # a valid summary truncated at every byte boundary: raises or
+    # parses a prefix, never loops
+    keys = [f"k{i:03d}".encode() for i in range(300)]
+    blob = _summary_blob(keys, list(range(0, 3000, 10)))
+    for cut in range(0, len(blob), 7):
+        try:
+            _parse_summary(blob[:cut])
+        except Exception:  # noqa: BLE001
+            pass
+
+    # a valid full Statistics.db truncated likewise (covers the STATS
+    # and COMPACTION sub-parsers)
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as d:
+        w = SSTableWriter(
+            d,
+            CqlTable(
+                keyspace="ks", table="t",
+                columns=[("k", "varchar"), ("v", "int")],
+                partition_key=["k"], clustering=[],
+            ),
+        )
+        for i in range(50):
+            w.add_row({"k": f"x{i}", "v": i})
+        m = w.close()
+        import os
+
+        with open(os.path.join(d, f"{m['prefix']}-Statistics.db"), "rb") as fh:
+            stats_blob = fh.read()
+    for cut in range(0, len(stats_blob), 97):
+        try:
+            _parse_statistics(stats_blob[:cut])
+        except Exception:  # noqa: BLE001
+            pass
+    # and the intact blob still parses with all four blocks
+    full = _parse_statistics(stats_blob)
+    assert {"partitioner", "partition_count_estimate", "stats_metadata",
+            "key_type"} <= set(full)
