@@ -87,6 +87,12 @@ def test_resize_real_decode_is_stubbed(spark):
         resize_images(media, 8, 4, real_decode=True).collect()
 
 
+def _ham(a: int, b: int) -> int:
+    """Hamming distance of two SIGNED 64-bit hashes (mask before
+    popcount — Python xor of negatives is sign-extended)."""
+    return bin((a ^ b) & ((1 << 64) - 1)).count("1")
+
+
 def test_image_phash_near_dup_pairs(spark):
     """Perceptual near-dup mining: a re-encoded copy and a
     few-pixels-noised copy must pair with the original at small
@@ -132,8 +138,8 @@ def test_image_phash_near_dup_pairs(spark):
     hashes = {r["media_id"]: r["phash"] for r in image_phash(media).collect()}
     assert set(hashes) == {0, 1, 2, 3}  # non-images skipped
     assert hashes[0] == hashes[1]  # lossless re-encode: identical hash
-    assert bin(hashes[0] ^ hashes[2]).count("1") <= 7
-    assert bin(hashes[0] ^ hashes[3]).count("1") > 7
+    assert _ham(hashes[0], hashes[2]) <= 7
+    assert _ham(hashes[0], hashes[3]) > 7
 
     pairs = {(r["id_a"], r["id_b"]): r["hamming"]
              for r in image_near_dup_pairs(media).collect()}
@@ -147,7 +153,7 @@ def test_image_phash_near_dup_pairs(spark):
     brute = {
         (a, b)
         for a, b in combinations(sorted(hashes), 2)
-        if bin(hashes[a] ^ hashes[b]).count("1") <= 7
+        if _ham(hashes[a], hashes[b]) <= 7
     }
     assert set(pairs) == brute
 
@@ -174,3 +180,66 @@ def test_image_phash_fake_path(spark):
     got = {r["media_id"]: r["phash"]
            for r in image_phash(media, real_decode=False).collect()}
     assert got[0] == got[2] != got[1]
+
+
+def test_audio_phash_near_dup_pairs(spark):
+    """Audio perceptual dedup: volume-scaled and mildly-noised copies
+    of a clip pair with the original; a different clip does not.
+    Median thresholding makes the print volume-invariant by
+    construction — pinned explicitly."""
+    import numpy as np
+
+    from sstable_migrator_spark.functions.audiocodec import encode_wav
+    from sstable_migrator_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        audio_near_dup_pairs,
+        audio_phash,
+    )
+
+    rate = 8000
+    t = np.arange(rate)  # 1 second
+    rng = np.random.RandomState(11)
+    # NON-stationary clip (chirp + AM envelope): stationary tones give
+    # a time-constant spectrogram whose 2-D DCT collapses onto one row
+    # and leaves near-median ties — the audio analog of the image
+    # test's sparse-spectrum caveat
+    base = (
+        4000 * np.sin(2 * np.pi * (200 + 1200 * t / rate) * t / rate)
+        + 2500 * np.sin(2 * np.pi * 900 * t / rate) * np.sin(2 * np.pi * 2 * t / rate)
+        + 600 * rng.randn(rate)
+    )
+    quiet = base * 0.25                      # uniform volume change
+    noised = base + 60 * np.random.RandomState(7).randn(rate)
+    other = (
+        4000 * np.sin(2 * np.pi * (1500 - 900 * t / rate) * t / rate)
+        + 2500 * np.sin(2 * np.pi * 300 * t / rate)
+        + 600 * np.random.RandomState(3).randn(rate)
+    )
+
+    def wav(x):
+        return bytearray(
+            encode_wav(np.clip(x, -32768, 32767).astype(np.int32)[:, None], rate)
+        )
+
+    rows = [
+        (0, "audio", wav(base), (0, 0, rate, "wav")),
+        (1, "audio", wav(quiet), (0, 0, rate, "wav")),
+        (2, "audio", wav(noised), (0, 0, rate, "wav")),
+        (3, "audio", wav(other), (0, 0, rate, "wav")),
+        (4, "image", bytearray(b"PNGish"), (1, 1, 0, "png")),  # ignored
+    ]
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    hashes = {r["media_id"]: r["aphash"] for r in audio_phash(media).collect()}
+    assert set(hashes) == {0, 1, 2, 3}
+    assert _ham(hashes[0], hashes[1]) <= 7  # volume-invariant
+    assert _ham(hashes[0], hashes[2]) <= 7
+    assert _ham(hashes[0], hashes[3]) > 7
+
+    pairs = {(r["id_a"], r["id_b"]) for r in audio_near_dup_pairs(media).collect()}
+    assert (0, 1) in pairs and (0, 2) in pairs
+    assert all(3 not in p for p in pairs)
+
+    # determinism under repartitioning
+    again = {r["media_id"]: r["aphash"]
+             for r in audio_phash(media.repartition(3)).collect()}
+    assert again == hashes
