@@ -740,3 +740,46 @@ def test_streaming_quality_gate(spark, tmp_path):
         .collect()
     }
     assert got == expect and 2 not in got and {1, 3} == got
+
+
+def test_streaming_corpus_admission(spark, tmp_path):
+    """Two arrival drains: wave 1 seeds the corpus; wave 2's exact copy
+    and near-dup are rejected against the NOW-EXISTING corpus, the
+    novel doc admitted; a third drain with nothing new is a no-op."""
+    import json as _json
+
+    from sstable_migrator_spark.streaming.corpus_ingest import (
+        admit_documents_available_now,
+    )
+
+    inbox = tmp_path / "inbox"
+    inbox.mkdir()
+    corpus = str(tmp_path / "corpus")
+    ckpt = str(tmp_path / "ckpt")
+    base = " ".join(f"w{i} tok{i % 7} fil{i % 11}" for i in range(25))
+
+    with open(inbox / "wave1.jsonl", "w") as fh:
+        fh.write(_json.dumps({"doc_id": 1, "text": base}) + "\n")
+        fh.write(_json.dumps({"doc_id": 2, "text": "totally different words about gardens and rivers flowing south under old bridges"}) + "\n")
+    s1 = admit_documents_available_now(spark, str(inbox), corpus, ckpt)
+    assert s1 == {"judged": 2, "admitted": 2}
+
+    with open(inbox / "wave2.jsonl", "w") as fh:
+        fh.write(_json.dumps({"doc_id": 10, "text": base}) + "\n")            # exact
+        fh.write(_json.dumps({"doc_id": 11, "text": base + " trailing"}) + "\n")  # near
+        fh.write(_json.dumps({"doc_id": 12, "text": "novel astronomy content about telescopes saturn rings and midnight observation sessions"}) + "\n")
+    s2 = admit_documents_available_now(spark, str(inbox), corpus, ckpt)
+    assert s2 == {"judged": 3, "admitted": 1}
+
+    got = {r["doc_id"] for r in spark.read.parquet(corpus).collect()}
+    assert got == {1, 2, 12}
+
+    s3 = admit_documents_available_now(spark, str(inbox), corpus, ckpt)
+    assert s3 == {"judged": 0, "admitted": 0}
+
+    # the admission ledger recorded every decision with its batch
+    with open(tmp_path / "corpus" / "_admissions.jsonl") as fh:
+        ledger = [_json.loads(ln) for ln in fh]
+    assert {(r["doc_id"], r["admitted"]) for r in ledger} == {
+        (1, 1), (2, 1), (10, 0), (11, 0), (12, 1),
+    }
