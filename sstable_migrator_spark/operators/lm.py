@@ -56,13 +56,14 @@ def q16_surprisal_int(num: int, den: int) -> int:
 
 
 def exact_intdiv(a: Column, b: Column) -> Column:
-    """Exact integer floor-division as a column expression without SQL
-    `div`: subtract the modulus first, so the double division is of an
-    exactly divisible pair and therefore exact (floor(a/b) alone can be
-    off by one at ulp boundaries and would diverge from true integer
-    division). Positive operands only."""
-    a = a.cast("long")
-    return ((a - F.pmod(a, b)) / b).cast("long")
+    """Exact integer division as a column expression: Spark's `div`
+    operator (IntegralDivide) — true 64-bit integer division with no
+    float round-trip, so it agrees with Python/DuckDB ``//`` across the
+    FULL int64 range. (The previous ``(a - pmod(a,b)) / b`` form was
+    exact only below 2^53: the subtraction made the pair exactly
+    divisible, but the double division itself rounds once operands
+    exceed the double mantissa.) Positive operands only."""
+    return F.call_function("div", a.cast("long"), b.cast("long"))
 
 
 def _q16_col(num: Column, den: Column) -> Column:
@@ -88,10 +89,17 @@ def _bucket(tok: Column, vocab: int, portable: bool = True) -> Column:
 
 
 def _bigrams(
-    df: DataFrame, text_col: str, vocab: int, portable: bool = True
+    df: DataFrame,
+    text_col: str,
+    vocab: int,
+    portable: bool = True,
+    outer: bool = False,
 ) -> DataFrame:
     """Explode each document into (ctx, tok) bigram bucket pairs.
-    Documents with fewer than two tokens contribute nothing."""
+    Documents with fewer than two tokens contribute nothing — unless
+    ``outer`` is set, in which case they survive as a single row with
+    NULL ctx/tok (explode_outer), so scoring can keep empty documents
+    on the row instead of re-joining a spine."""
     from sstable_migrator_spark.functions import text as TX
 
     toks = TX.tokens(F.lower(F.col(text_col)))
@@ -104,7 +112,8 @@ def _bigrams(
             lambda a, b: F.struct(a.alias("ctx"), b.alias("tok")),
         ),
     ).otherwise(F.array().cast("array<struct<ctx:long,tok:long>>"))
-    return df.withColumn("_bg", F.explode(pairs)).select(
+    ex = F.explode_outer(pairs) if outer else F.explode(pairs)
+    return df.withColumn("_bg", ex).select(
         *df.columns, F.col("_bg.ctx").alias("ctx"), F.col("_bg.tok").alias("tok")
     )
 
@@ -166,38 +175,36 @@ def perplexity_score(
     strict, so a document resolved entirely by the uniform backoff
     lands exactly on the threshold and drops; documents with no
     bigrams carry no evidence and are kept).
-    Plan: explode -> two broadcast hash joins (V^2-bounded build
-    sides) -> one hash aggregation on the id — the only data-sized
-    shuffle — then a broadcast join back to the doc spine so empty
-    docs survive."""
+    Plan: explode_outer (empty docs survive as one NULL-bigram row,
+    so no spine re-join exists at all) -> two broadcast hash joins
+    (V^2-bounded build sides — the ONLY broadcasts; the per-document
+    relation is data-sized and never broadcast) -> one hash
+    aggregation on the id — the only data-sized shuffle."""
     sq0 = q16_surprisal_int(1, vocab)
     if threshold_q16 is None:
         threshold_q16 = sq0
-    spine = docs.select(id_col).distinct()
-    bg = _bigrams(docs.select(id_col, text_col), text_col, vocab, portable)
+    bg = _bigrams(
+        docs.select(id_col, text_col), text_col, vocab, portable, outer=True
+    )
     seen = lm.filter(F.col("tok") >= 0)
     backoff = lm.filter(F.col("tok") < 0).select(
         "ctx", F.col("sq").alias("sq_u")
     )
-    scored = (
+    return (
         bg.join(F.broadcast(seen), ["ctx", "tok"], "left")
         .join(F.broadcast(backoff), ["ctx"], "left")
         .select(
             id_col,
-            F.coalesce("sq", "sq_u", F.lit(sq0)).cast("long").alias("s"),
+            F.col("ctx").isNotNull().cast("long").alias("is_bg"),
+            F.when(F.col("ctx").isNull(), F.lit(0))
+            .otherwise(F.coalesce("sq", "sq_u", F.lit(sq0)))
+            .cast("long")
+            .alias("s"),
         )
         .groupBy(id_col)
         .agg(
-            F.count(F.lit(1)).alias("n_bigrams"),
-            F.sum("s").alias("surprise_q16"),
-        )
-    )
-    return (
-        spine.join(F.broadcast(scored), id_col, "left")
-        .select(
-            id_col,
-            F.coalesce("n_bigrams", F.lit(0)).cast("long").alias("n_bigrams"),
-            F.coalesce("surprise_q16", F.lit(0)).cast("long").alias("surprise_q16"),
+            F.sum("is_bg").cast("long").alias("n_bigrams"),
+            F.sum("s").cast("long").alias("surprise_q16"),
         )
         .withColumn(
             "keep",

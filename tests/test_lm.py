@@ -108,6 +108,32 @@ def test_scoring_plan_is_broadcast_and_single_agg(spark):
     )
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+    # EXACTLY the two model-side broadcasts (seen + backoff, both
+    # V^2-bounded). A third broadcast join means someone re-introduced
+    # the round-5 bug: broadcasting the per-document score relation
+    # (data-sized build side — driver OOM at corpus scale).
+    assert plan.count("BroadcastHashJoin") == 2, plan
+
+
+def test_exact_intdiv_is_exact_past_double_mantissa(spark):
+    """exact_intdiv must agree with Python // across the FULL int64
+    range — the round-5 form ((a - pmod) / b) rounded once operands
+    exceeded 2^53 (advisor-reproduced ~5% off-by-one)."""
+    import random
+
+    from sstable_migrator_spark.operators.lm import exact_intdiv
+
+    rng = random.Random(1234)
+    cases = [(2**62 + 12345, 7), (2**63 - 1, 3), (2**53 + 1, 2),
+             ((2**53 + 1) * 3, 3)]
+    cases += [(rng.randrange(2**53, 2**63), rng.randrange(1, 2**40))
+              for _ in range(40)]
+    df = spark.createDataFrame(cases, "a long, b long").withColumn(
+        "q", exact_intdiv(F.col("a"), F.col("b"))
+    )
+    got = {(r["a"], r["b"]): r["q"] for r in df.collect()}
+    for a, b in cases:
+        assert got[(a, b)] == a // b, (a, b, got[(a, b)], a // b)
 
 
 def test_fast_hash_variant_same_semantics(spark):
