@@ -69,18 +69,13 @@ def _scratch_dir(slot: str) -> str:
       construction (the result DataFrame still reads the files when
       the driver collects it later); stable-slot-reuse is the form of
       cleanup that IS compatible with lazy evaluation.
-    """
-    import os
-    import shutil
-    import tempfile
 
-    root = os.environ.get("SPARK_GRAFT_SCRATCH") or os.path.join(
-        tempfile.gettempdir(), "sstable-migrator-scratch"
-    )
-    path = os.path.join(root, slot)
-    shutil.rmtree(path, ignore_errors=True)
-    os.makedirs(path, exist_ok=True)
-    return path
+    Delegates to :func:`sstable_migrator_spark.sinks.scratch_path` —
+    the one helper every executor-writing sink shares.
+    """
+    from sstable_migrator_spark.sinks import scratch_path
+
+    return scratch_path(slot)
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:

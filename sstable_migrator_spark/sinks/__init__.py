@@ -20,6 +20,35 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
+def scratch_path(slot: str, wipe: bool = True) -> str:
+    """Shared-filesystem scratch resolution for every sink that opens
+    plain ``open()`` paths ON THE EXECUTORS (the sstable writers,
+    tar shards, zone-map stores) and reads them back from other tasks
+    or the driver.
+
+    THE CONTRACT: on a real cluster the returned path must live on a
+    filesystem all executors and the driver see — NFS/Lustre/a
+    FUSE-mounted object store. Set ``SPARK_GRAFT_SCRATCH`` to that
+    mount; the driver-local system temp dir fallback is correct ONLY
+    in local mode (single JVM, one machine). Paths are keyed by
+    ``slot`` and (by default) wiped and rebuilt per call, so repeated
+    sweeps keep the scratch root at a constant footprint — the form of
+    cleanup compatible with lazy read-back (see queries._scratch_dir
+    for the full rationale; that helper delegates here)."""
+    import os
+    import shutil
+    import tempfile
+
+    root = os.environ.get("SPARK_GRAFT_SCRATCH") or os.path.join(
+        tempfile.gettempdir(), "sstable-migrator-scratch"
+    )
+    path = os.path.join(root, slot)
+    if wipe:
+        shutil.rmtree(path, ignore_errors=True)
+    os.makedirs(path, exist_ok=True)
+    return path
+
+
 def cassandra_shaped_write(
     df: DataFrame,
     path: str,

@@ -253,6 +253,15 @@ def write_sstables(
     ride as strings Spark-side, exactly like cassandra_ddl's
     overrides).
 
+    SHARED-FILESYSTEM CONTRACT: ``path`` is opened with plain
+    ``open()`` ON THE EXECUTORS (one SSTableWriter per range task) and
+    the manifest/read-back side expects all range directories visible
+    together. On a real cluster point it at a filesystem every
+    executor and the driver share (NFS/Lustre/FUSE-mounted object
+    store) — resolve via
+    :func:`sstable_migrator_spark.sinks.scratch_path`
+    (env ``SPARK_GRAFT_SCRATCH``), as the catalog queries do.
+
     Returns the stream plan; per-sstable manifests land in
     ``_sstable_manifests.json`` (written from collected results —
     one small row per RANGE, not per data row)."""

@@ -780,12 +780,22 @@ _EH_N_OFFSETS = 90
 
 
 def _eh_offsets(n: int = _EH_N_OFFSETS) -> list[int]:
-    """EstimatedHistogram.newOffsets growth series: start at 1, each
-    next max(prev + 1, ceil(prev * 1.2))."""
+    """EstimatedHistogram.newOffsets growth series, replicated with
+    Java's exact semantics: ``next = Math.round(last * 1.2)`` (half-up
+    via floor(x + 0.5) on IEEE doubles — Python floats ARE Java
+    doubles) with ``if next == last: next++``. The previous
+    ceil(prev*1.2) form diverged from Cassandra at the 7th offset
+    (Java: ...,6,7,8,10,12,14,17 vs ceil: ...,6,8,10,12,15,18), so
+    bucket boundaries never matched cassandra-all's writer."""
+    import math
+
     out = [1]
     while len(out) < n:
         p = out[-1]
-        out.append(max(p + 1, -(-p * 6 // 5)))
+        nxt = math.floor(p * 1.2 + 0.5)
+        if nxt == p:
+            nxt += 1
+        out.append(nxt)
     return out
 
 

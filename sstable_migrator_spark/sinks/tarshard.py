@@ -20,8 +20,19 @@ round-trips. This module writes and reads that layout Spark-side:
   buffering the whole shard, so memory is O(sample), not O(shard).
 
 Keys must be unique strings without '.' or '/'; field names become
-member extensions. Binary and string payload columns both ride as raw
-bytes (strings are UTF-8).
+member extensions and obey the SAME no-'.'/no-'/' rule (members split
+on the LAST dot at read time — enforced at write time, and the reader
+raises on members whose field is not in ``payload_cols`` instead of
+silently dropping them). Binary and string payload columns both ride
+as raw bytes (strings are UTF-8).
+
+SHARED-FILESYSTEM CONTRACT: ``path`` is opened with plain ``open()``
+ON THE EXECUTORS (one rolling tar writer per task) and globbed on the
+driver. On a real cluster it must be a filesystem every executor and
+the driver all see (NFS/Lustre/FUSE-mounted object store) — an
+executor-local path writes shards nobody can read back. Resolve it
+with :func:`sstable_migrator_spark.sinks.scratch_path` (env
+``SPARK_GRAFT_SCRATCH``) the way the catalog queries do.
 """
 
 from __future__ import annotations
@@ -57,6 +68,15 @@ def write_tar_shards(
 
     if not payload_cols:
         raise ValueError("need at least one payload column")
+    for field in payload_cols:
+        # Fields share the member-name grammar with keys (WebDataset
+        # splits on the LAST dot): a '.' inside a field name would
+        # re-split with the wrong key/field on read, silently mangling
+        # samples — reject at write time, same rule as _clean_key.
+        if "." in field or "/" in field or not field:
+            raise ValueError(
+                f"tar shard field names must be non-empty without '.'/'/': {field!r}"
+            )
     os.makedirs(path, exist_ok=True)
     cols = [key_col, *payload_cols]
 
@@ -184,8 +204,16 @@ def read_tar_shards(
                                 )
                             seen.add(key)
                             cur_key, cur = key, {}
-                        if field in payload_cols:
-                            cur[field] = tf.extractfile(m).read()
+                        if field not in payload_cols:
+                            # Unknown members mean the caller's schema
+                            # does not match the shard — raising beats
+                            # silently dropping a sample's field.
+                            raise ValueError(
+                                f"{shard}: member {m.name!r} has field "
+                                f"{field!r} not in payload_cols "
+                                f"{sorted(payload_cols)} — schema mismatch"
+                            )
+                        cur[field] = tf.extractfile(m).read()
                     flush()
                 if rows:
                     yield pd.DataFrame(rows, columns=[key_col, *payload_cols])

@@ -1048,6 +1048,12 @@ def test_estimated_histogram_codec_roundtrip():
     offs = _eh_offsets()
     assert offs[0] == 1 and len(offs) == 90
     assert all(b > a for a, b in zip(offs, offs[1:]))  # strictly growing
+    # Pin the series against Cassandra's EstimatedHistogram.newOffsets
+    # (Math.round half-up, NOT ceil — ceil diverges at the 7th offset):
+    assert offs[:30] == [
+        1, 2, 3, 4, 5, 6, 7, 8, 10, 12, 14, 17, 20, 24, 29, 35, 42, 50,
+        60, 72, 86, 103, 124, 149, 179, 215, 258, 310, 372, 446,
+    ]
     vals = [1, 2, 3, 100, 100000, offs[-1] + 10**6]  # incl. overflow
     blob = _eh_serialize(vals)
     parsed, end = _eh_parse(blob, 0)

@@ -90,3 +90,22 @@ def test_non_contiguous_key_rejected(spark, tmp_path):
         read_tar_shards(
             spark, str(tmp_path / "evil"), "key", ["txt", "img"]
         ).collect()
+
+
+def test_dotted_field_name_rejected_at_write(spark, tmp_path):
+    """Field names share the member grammar with keys (split on the
+    LAST dot): a '.' inside a field would re-split wrong on read, so
+    write_tar_shards rejects it up front."""
+    df = spark.createDataFrame([("k", b"x")], "key string, img binary")
+    for bad in ["im.g", "a/b", ""]:
+        with pytest.raises(ValueError, match="field names"):
+            write_tar_shards(df, str(tmp_path / "f"), "key", [bad])
+
+
+def test_unknown_field_raises_on_read(spark, tmp_path):
+    """Reading with a payload list that doesn't cover the shard's
+    members is a schema mismatch — loud error, never a silent drop."""
+    df = spark.createDataFrame([("k", b"x", "t")], "key string, img binary, txt string")
+    write_tar_shards(df, str(tmp_path), "key", ["img", "txt"])
+    with pytest.raises(Exception, match="schema mismatch"):
+        read_tar_shards(spark, str(tmp_path), "key", ["img"], binary_cols=["img"]).collect()
