@@ -141,6 +141,29 @@ def main() -> None:
         skew_bench["salted_not_slower"] = (
             skew_bench["salted"] <= skew_bench["unsalted"] * 1.1
         )
+        # Explicit recommendation, not a bare boolean: salting is a
+        # TOOL for measured hot-key skew, not a default. The pre-flight
+        # skew_report measures the fixture's hot ratio; salt only when
+        # it crosses the hot threshold AND the measured run didn't say
+        # otherwise (on small fixtures AQE alone often wins — salting
+        # overhead is real; at 100 TB the same measurement, same rule).
+        from sstable_migrator_spark.operators.skew import (
+            combine_recommendation,
+            skew_report,
+        )
+
+        rep = skew_report(li, ["key"], top=1)
+        measured_faster = (
+            "salted"
+            if skew_bench["salted"] <= skew_bench["unsalted"]
+            else "unsalted"
+        )
+        skew_bench["hot_ratio"] = round(rep["hot_ratio"], 2)
+        skew_bench["preflight_recommendation"] = rep["recommendation"]
+        skew_bench["measured_faster"] = measured_faster
+        skew_bench["recommendation"] = combine_recommendation(
+            rep["recommendation"], measured_faster
+        )
     except Exception as e:  # noqa: BLE001 — diagnostics must not fail the bench
         skew_bench = {"error": repr(e)[:200]}
 

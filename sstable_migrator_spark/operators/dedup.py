@@ -109,6 +109,101 @@ def minhash_signatures(
     return staged.select(F.col(id_col), F.col(text_col), sig.alias("signature"))
 
 
+def _check_bands(num_hashes: int, bands: int) -> int:
+    if bands < 1 or num_hashes % bands != 0:
+        # bands > num_hashes would make every band hash an empty
+        # signature slice — IDENTICAL for all docs, silently degrading
+        # the band join to an O(N^2) all-pairs pass; a non-divisor
+        # silently drops trailing hashes from banding. Fail loudly.
+        raise ValueError(
+            f"bands={bands} must divide num_hashes={num_hashes} exactly"
+        )
+    return num_hashes // bands
+
+
+def _band_explode(
+    sigs: DataFrame,
+    id_col: str,
+    num_hashes: int,
+    bands: int,
+    extra: list[str] | None = None,
+) -> DataFrame:
+    """Explode a (id, signature[, extra...]) table into ``bands`` rows
+    per document: (id[, extra...], signature, band, bucket). The ONE
+    banding definition every LSH entry point (self-join, cross-corpus,
+    persisted state) shares — so persisted band buckets always join
+    against freshly computed ones."""
+    rows_per_band = num_hashes // bands
+    extra = extra or []
+    return sigs.select(
+        F.col(id_col),
+        *[F.col(c) for c in extra],
+        F.col("signature"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.md5(
+                            F.concat_ws(
+                                ",",
+                                *[
+                                    F.element_at(
+                                        "signature", b * rows_per_band + i + 1
+                                    ).cast("string")
+                                    for i in range(rows_per_band)
+                                ],
+                            )
+                        ).alias("bucket"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select(id_col, *extra, "signature", "bb.band", "bb.bucket")
+
+
+def banded_minhash(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_k: int = 3,
+) -> DataFrame:
+    """Banded MinHash rows (id, signature, band, bucket) for ``docs`` —
+    the persistable LSH side of a cross-corpus join. Write this to
+    parquet once per corpus; every later incremental run joins against
+    it instead of re-hashing the corpus text."""
+    _check_bands(num_hashes, bands)
+    sigs = minhash_signatures(docs, text_col, id_col, num_hashes, shingle_k)
+    return _band_explode(sigs.select(id_col, "signature"), id_col, num_hashes, bands)
+
+
+def build_dedup_state(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_k: int = 3,
+) -> DataFrame:
+    """The persisted incremental-dedup state for a corpus: ONE pass
+    over the text computes both the exact-dup fingerprint and the
+    MinHash signature, exploded to ``bands`` rows per document —
+    ``(id, fp, signature, band, bucket)``. Persist to parquet (the
+    streaming admission gate maintains ``<corpus>/_dedup_state`` this
+    way) and feed it back as ``old_state=``: a daily drain then costs
+    O(day), never a corpus re-scan — the contract
+    ``incremental_dedup`` advertises."""
+    _check_bands(num_hashes, bands)
+    sigs = minhash_signatures(docs, text_col, id_col, num_hashes, shingle_k)
+    staged = sigs.select(
+        id_col, TX.fingerprint(F.col(text_col)).alias("fp"), "signature"
+    )
+    return _band_explode(staged, id_col, num_hashes, bands, extra=["fp"])
+
+
 def minhash_lsh_pairs(
     docs: DataFrame,
     text_col: str = "text",
@@ -127,15 +222,7 @@ def minhash_lsh_pairs(
     shuffles only bucketed signature rows (num_hashes longs/doc), never
     the text. Returns (id_a, id_b, est_jaccard) with id_a < id_b.
     """
-    if bands < 1 or num_hashes % bands != 0:
-        # bands > num_hashes would make every band hash an empty
-        # signature slice — IDENTICAL for all docs, silently degrading
-        # the self-join to an O(N^2) all-pairs pass; a non-divisor
-        # silently drops trailing hashes from banding. Fail loudly.
-        raise ValueError(
-            f"bands={bands} must divide num_hashes={num_hashes} exactly"
-        )
-    rows_per_band = num_hashes // bands
+    rows_per_band = _check_bands(num_hashes, bands)
     sigs = minhash_signatures(docs, text_col, id_col, num_hashes, shingle_k)
     # Materialize the (tiny: id + num_hashes longs) signature table
     # before the self-join: both join sides would otherwise re-execute
@@ -143,29 +230,7 @@ def minhash_lsh_pairs(
     # the signature table is persisted storage reused across runs;
     # localCheckpoint is the in-session stand-in.
     sigs = sigs.select(id_col, "signature").localCheckpoint()
-    banded = sigs.select(
-        F.col(id_col),
-        F.col("signature"),
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        F.md5(
-                            F.concat_ws(
-                                ",",
-                                *[
-                                    F.element_at("signature", b * rows_per_band + i + 1).cast("string")
-                                    for i in range(rows_per_band)
-                                ],
-                            )
-                        ).alias("bucket"),
-                    )
-                    for b in range(bands)
-                ]
-            )
-        ).alias("bb"),
-    ).select(id_col, "signature", "bb.band", "bb.bucket")
+    banded = _band_explode(sigs, id_col, num_hashes, bands)
 
     a = banded.alias("a")
     b = banded.alias("b")
@@ -920,67 +985,23 @@ def winnow_pairs(
     )
 
 
-def minhash_lsh_pairs_between(
-    new_docs: DataFrame,
-    old_docs: DataFrame,
-    text_col: str = "text",
+def lsh_pairs_between_banded(
+    new_banded: DataFrame,
+    old_banded: DataFrame,
     id_col: str = "doc_id",
     num_hashes: int = 16,
     bands: int = 4,
-    shingle_k: int = 3,
     jaccard_threshold: float = 0.5,
 ) -> DataFrame:
-    """Cross-corpus MinHash-LSH candidate pairs: NEW documents against
-    an EXISTING corpus — the production incremental-dedup shape (a
-    daily snapshot is checked against everything already ingested; the
-    old corpus's signatures are computed once and reused, never its
-    text). Same seeds/banding as the self-join ``minhash_lsh_pairs``,
-    but the band-bucket join is new x old only — no new-new or old-old
-    pairs, so a day's work scales with |new| x collision rate, not
-    with the corpus. Returns ``(new_id, old_id, est_jaccard)``.
-
-    Scale shape: both sides shuffle banded signature rows (num_hashes
-    longs/doc) on (band, bucket); at 100 TB the old side's signatures
-    are a persisted table keyed by band-bucket, making the join a
-    co-located lookup."""
-    if bands < 1 or num_hashes % bands != 0:
-        raise ValueError(
-            f"bands={bands} must divide num_hashes={num_hashes} exactly"
-        )
-    rows_per_band = num_hashes // bands
-
-    def _banded(docs: DataFrame) -> DataFrame:
-        sigs = minhash_signatures(
-            docs, text_col, id_col, num_hashes, shingle_k
-        ).select(id_col, "signature").localCheckpoint()
-        return sigs.select(
-            F.col(id_col),
-            F.col("signature"),
-            F.explode(
-                F.array(
-                    *[
-                        F.struct(
-                            F.lit(b).alias("band"),
-                            F.md5(
-                                F.concat_ws(
-                                    ",",
-                                    *[
-                                        F.element_at(
-                                            "signature", b * rows_per_band + i + 1
-                                        ).cast("string")
-                                        for i in range(rows_per_band)
-                                    ],
-                                )
-                            ).alias("bucket"),
-                        )
-                        for b in range(bands)
-                    ]
-                )
-            ).alias("bb"),
-        ).select(id_col, "signature", "bb.band", "bb.bucket")
-
-    a = _banded(new_docs).alias("a")
-    b = _banded(old_docs).alias("b")
+    """Cross-corpus candidate pairs from two PRE-BANDED signature
+    tables (``banded_minhash`` / ``build_dedup_state`` output — the old
+    side typically a persisted parquet). New x old band-bucket join
+    only; no text is touched. Returns ``(new_id, old_id,
+    est_jaccard)``."""
+    rows_per_band = _check_bands(num_hashes, bands)
+    cols = [id_col, "signature", "band", "bucket"]
+    a = new_banded.select(cols).alias("a")
+    b = old_banded.select(cols).alias("b")
     joined = a.join(
         b,
         (F.col("a.band") == F.col("b.band"))
@@ -1016,38 +1037,102 @@ def minhash_lsh_pairs_between(
     )
 
 
-def incremental_dedup(
-    new_docs: DataFrame,
-    old_docs: DataFrame,
+def minhash_lsh_pairs_between(
+    new_docs: DataFrame | None,
+    old_docs: DataFrame | None = None,
     text_col: str = "text",
     id_col: str = "doc_id",
     num_hashes: int = 16,
     bands: int = 4,
     shingle_k: int = 3,
     jaccard_threshold: float = 0.5,
+    *,
+    new_banded: DataFrame | None = None,
+    old_banded: DataFrame | None = None,
+) -> DataFrame:
+    """Cross-corpus MinHash-LSH candidate pairs: NEW documents against
+    an EXISTING corpus — the production incremental-dedup shape (a
+    daily snapshot is checked against everything already ingested).
+    Same seeds/banding as the self-join ``minhash_lsh_pairs``, but the
+    band-bucket join is new x old only — no new-new or old-old pairs,
+    so a day's work scales with |new| x collision rate, not with the
+    corpus. Returns ``(new_id, old_id, est_jaccard)``.
+
+    Pass ``old_banded=`` (a persisted ``banded_minhash`` /
+    ``build_dedup_state`` table) to make that scaling REAL: the old
+    corpus's text is then never read, let alone re-hashed — the join
+    consumes its stored signatures directly. Passing ``old_docs``
+    (text) instead recomputes them, which is correct but costs a
+    corpus pass per call — fine for one-shots, wrong at daily cadence
+    (the streaming gate maintains the persisted form)."""
+    _check_bands(num_hashes, bands)
+    if (old_docs is None) == (old_banded is None):
+        raise ValueError("pass exactly one of old_docs / old_banded")
+    if new_banded is None:
+        if new_docs is None:
+            raise ValueError("pass one of new_docs / new_banded")
+        sigs = minhash_signatures(
+            new_docs, text_col, id_col, num_hashes, shingle_k
+        ).select(id_col, "signature").localCheckpoint()
+        new_banded = _band_explode(sigs, id_col, num_hashes, bands)
+    if old_banded is None:
+        sigs = minhash_signatures(
+            old_docs, text_col, id_col, num_hashes, shingle_k
+        ).select(id_col, "signature").localCheckpoint()
+        old_banded = _band_explode(sigs, id_col, num_hashes, bands)
+    return lsh_pairs_between_banded(
+        new_banded, old_banded, id_col, num_hashes, bands, jaccard_threshold
+    )
+
+
+def incremental_dedup(
+    new_docs: DataFrame,
+    old_docs: DataFrame | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_k: int = 3,
+    jaccard_threshold: float = 0.5,
+    *,
+    old_state: DataFrame | None = None,
+    new_state: DataFrame | None = None,
 ) -> DataFrame:
     """Admission decision for every NEW document against the existing
     corpus: ``(doc_id, exact_dup, n_near_dups, admitted)`` — exact_dup
-    when its normalized-text fingerprint already exists (broadcast-able
-    distinct fingerprint set, or an anti-joinable persisted column at
-    scale), n_near_dups from the cross-corpus LSH pairs, admitted when
-    neither fires. All-integer output, hash-exact. This is the daily
-    gate the reference's 25-day domain window (J4/T2) becomes for a
-    document corpus."""
-    new_fp = new_docs.select(
-        F.col(id_col), TX.fingerprint(F.col(text_col)).alias("fp")
-    )
-    old_fp = old_docs.select(
-        TX.fingerprint(F.col(text_col)).alias("fp")
-    ).distinct()
+    when its normalized-text fingerprint already exists, n_near_dups
+    from the cross-corpus LSH pairs, admitted when neither fires.
+    All-integer output, hash-exact. This is the daily gate the
+    reference's 25-day domain window (J4/T2) becomes for a document
+    corpus.
+
+    The old side is EITHER ``old_docs`` (text — re-fingerprints and
+    re-hashes the whole corpus, one-shot use) OR ``old_state`` (a
+    persisted ``build_dedup_state`` table — the production form: a
+    drain's cost then scales with the day, never the corpus; the
+    streaming admission gate maintains exactly that table under
+    ``<corpus>/_dedup_state``). ``new_state`` optionally supplies the
+    new side pre-built (the gate builds it once and reuses it for the
+    decision AND the state append)."""
+    if (old_docs is None) == (old_state is None):
+        raise ValueError("pass exactly one of old_docs / old_state")
+    if new_state is None:
+        new_state = build_dedup_state(
+            new_docs, text_col, id_col, num_hashes, bands, shingle_k
+        ).localCheckpoint()
+    if old_state is None:
+        old_state = build_dedup_state(
+            old_docs, text_col, id_col, num_hashes, bands, shingle_k
+        ).localCheckpoint()
+    new_fp = new_state.filter(F.col("band") == 0).select(id_col, "fp")
+    old_fp = old_state.filter(F.col("band") == 0).select("fp").distinct()
     exact = (
         new_fp.join(old_fp.withColumn("_hit", F.lit(1)), "fp", "left")
         .select(id_col, F.coalesce("_hit", F.lit(0)).alias("exact_dup"))
     )
     near = (
-        minhash_lsh_pairs_between(
-            new_docs, old_docs, text_col, id_col,
-            num_hashes, bands, shingle_k, jaccard_threshold,
+        lsh_pairs_between_banded(
+            new_state, old_state, id_col, num_hashes, bands, jaccard_threshold
         )
         .groupBy(F.col("new_id").alias(id_col))
         .agg(F.count(F.lit(1)).alias("n_near_dups"))

@@ -34,12 +34,33 @@ deterministic.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+import os
+
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from sstable_migrator_spark.operators.lm import _q16_col, exact_intdiv
 
-__all__ = ["bm25_topk", "build_postings"]
+__all__ = [
+    "bm25_topk",
+    "bm25_topk_batch",
+    "bm25_topk_from_postings",
+    "build_postings",
+    "write_postings_index",
+]
+
+_PB_SEED = 29  # term-hash seed for the postings bucket partitioning
+
+
+def term_bucket_py(term: str, n_buckets: int, seed: int = _PB_SEED) -> int:
+    """Driver-side twin of ``TX.hash64(term, seed) % n_buckets`` (same
+    md5/first-15-hex recipe, test-pinned) — lets a query resolve its
+    terms' partition directories WITHOUT touching the cluster."""
+    import hashlib
+
+    return int(
+        hashlib.md5((f"{seed}|" + term).encode()).hexdigest()[:15], 16
+    ) % n_buckets
 
 
 def build_postings(
@@ -93,15 +114,24 @@ def bm25_topk(
             (F.col("n") * 2 + 2).cast("long"),
         ).alias("idf_q"),
     )
+    return _score_topk(qpost.join(F.broadcast(idf), "term"), id_col, topk)
+
+
+def _contrib():
+    """The exact-integer Robertson contribution (see module docstring):
+    expects columns idf_q, t, n, tf, dl."""
     num = F.col("idf_q") * F.lit(44) * F.col("t") * F.col("tf")
     den = (
         F.lit(20) * F.col("t") * F.col("tf")
         + F.lit(6) * F.col("t")
         + F.lit(18) * F.col("dl") * F.col("n")
     ).cast("long")
+    return exact_intdiv(num, den)
+
+
+def _score_topk(qpost_idf: DataFrame, id_col: str, topk: int) -> DataFrame:
     scored = (
-        qpost.join(F.broadcast(idf), "term")
-        .select("doc", exact_intdiv(num, den).alias("contrib"))
+        qpost_idf.select("doc", _contrib().alias("contrib"))
         .groupBy("doc")
         .agg(
             F.sum("contrib").alias("score_q"),
@@ -111,3 +141,154 @@ def bm25_topk(
     return scored.select(
         F.col("doc").alias(id_col), "score_q", "n_hit"
     ).orderBy(F.desc("score_q"), id_col).limit(topk)
+
+
+def write_postings_index(
+    docs: DataFrame,
+    path: str,
+    n_buckets: int = 64,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> dict:
+    """Persist the postings as a QUERYABLE INDEX: real retrieval serves
+    MANY queries against ONE corpus, so the corpus pass (tokenize +
+    postings aggregation) must happen once, not per query. Layout:
+    parquet partitioned by ``pb = hash64(term) % n_buckets`` — a
+    query's terms resolve (driver-side, no cluster touch) to a handful
+    of ``pb=`` directories, and Spark's partition pruning reads ONLY
+    those: the second query costs an index lookup, never a corpus
+    scan. Corpus constants (doc count, total tokens) land in the
+    underscore-hidden ``_corpus_stats`` so scoring needs no extra
+    corpus pass either. Returns ``{n, t, n_buckets}``.
+
+    Same shared-filesystem contract as every persisted store here:
+    ``path`` must be visible to all executors
+    (sinks.scratch_path / SPARK_GRAFT_SCRATCH)."""
+    from sstable_migrator_spark.functions import text as TX
+
+    post = build_postings(docs, text_col=text_col, id_col=id_col)
+    n, t = (
+        post.select("doc", "dl")
+        .distinct()
+        .agg(F.count(F.lit(1)), F.sum("dl"))
+        .first()
+    )
+    (
+        post.withColumn("pb", TX.hash64(F.col("term"), seed=_PB_SEED) % n_buckets)
+        .repartition("pb")
+        .write.mode("overwrite")
+        .partitionBy("pb")
+        .parquet(path)
+    )
+    stats = docs.sparkSession.createDataFrame(
+        [(int(n), int(t or 0), int(n_buckets))], "n long, t long, n_buckets int"
+    )
+    stats.coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(path, "_corpus_stats")
+    )
+    return {"n": int(n), "t": int(t or 0), "n_buckets": int(n_buckets)}
+
+
+def bm25_topk_from_postings(
+    spark: SparkSession,
+    path: str,
+    query_terms: list[str],
+    topk: int = 20,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Top-k against a persisted ``write_postings_index`` — the
+    serve-path twin of ``bm25_topk``: identical integer scoring
+    (test- and oracle-pinned), but the scan is partition-pruned to the
+    query terms' hash buckets (``PartitionFilters`` on ``pb``), so
+    cost scales with the matched postings, not the corpus."""
+    terms = sorted(set(t.lower() for t in query_terms))
+    if not terms:
+        raise ValueError("empty query")
+    st = spark.read.parquet(os.path.join(path, "_corpus_stats")).first()
+    n, t, n_buckets = int(st["n"]), int(st["t"]), int(st["n_buckets"])
+    pbs = sorted({term_bucket_py(tm, n_buckets) for tm in terms})
+    qpost = spark.read.parquet(path).filter(
+        F.col("pb").isin(pbs) & F.col("term").isin(terms)
+    )
+    df_tab = qpost.groupBy("term").agg(F.countDistinct("doc").alias("df"))
+    idf = df_tab.select(
+        "term",
+        F.lit(n).alias("n"),
+        F.lit(t).alias("t"),
+        _q16_col(
+            (F.col("df") * 2 + 1).cast("long"),
+            F.lit(n * 2 + 2).cast("long"),
+        ).alias("idf_q"),
+    )
+    return _score_topk(qpost.join(F.broadcast(idf), "term"), id_col, topk)
+
+
+def bm25_topk_batch(
+    docs: DataFrame | None,
+    queries: dict[str, list[str]],
+    topk: int = 20,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    postings: DataFrame | None = None,
+) -> DataFrame:
+    """N queries scored in ONE pass over the postings (the other half
+    of serve-path economics: batch the query side). All queries' terms
+    broadcast as one tiny (query_id, term) relation; postings filter
+    once to the union of terms; per-(query, doc) scores aggregate in
+    one shuffle; per-query top-k via a rank window PARTITIONED by
+    query_id (never unpartitioned). Returns
+    ``(query_id, doc_id, score_q, n_hit, rank)`` — identical scores to
+    running ``bm25_topk`` per query (test-pinned).
+
+    Pass ``postings=`` (``build_postings`` output or the persisted
+    index read back) to skip the corpus pass entirely."""
+    from pyspark.sql import Window
+
+    if not queries or any(not ts for ts in queries.values()):
+        raise ValueError("need at least one query, none empty")
+    post = (
+        postings
+        if postings is not None
+        else build_postings(docs, text_col=text_col, id_col=id_col)
+    )
+    spark = post.sparkSession
+    all_terms = sorted({t.lower() for ts in queries.values() for t in ts})
+    qdf = spark.createDataFrame(
+        sorted({(q, t.lower()) for q, ts in queries.items() for t in ts}),
+        "query_id string, term string",
+    )
+    qpost = post.filter(F.col("term").isin(all_terms))
+    doclens = post.select("doc", "dl").distinct()
+    stats = doclens.agg(F.count(F.lit(1)).alias("n"), F.sum("dl").alias("t"))
+    df_tab = qpost.groupBy("term").agg(F.countDistinct("doc").alias("df"))
+    idf = df_tab.crossJoin(F.broadcast(stats)).select(
+        "term",
+        "n",
+        "t",
+        _q16_col(
+            (F.col("df") * 2 + 1).cast("long"),
+            (F.col("n") * 2 + 2).cast("long"),
+        ).alias("idf_q"),
+    )
+    scored = (
+        qpost.join(F.broadcast(qdf), "term")
+        .join(F.broadcast(idf), "term")
+        .select("query_id", "doc", _contrib().alias("contrib"))
+        .groupBy("query_id", "doc")
+        .agg(
+            F.sum("contrib").alias("score_q"),
+            F.count(F.lit(1)).alias("n_hit"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score_q"), F.col("doc"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= topk)
+        .select(
+            "query_id",
+            F.col("doc").alias(id_col),
+            "score_q",
+            "n_hit",
+            F.col("rank").cast("int").alias("rank"),
+        )
+    )

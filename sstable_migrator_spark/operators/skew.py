@@ -86,6 +86,21 @@ def salted_join(
     return out.drop("_salt")
 
 
+def combine_recommendation(preflight: str, measured_faster: str) -> str:
+    """Fold a ``skew_report`` threshold recommendation together with a
+    measured salted-vs-unsalted A/B: salt ONLY when the hot-ratio
+    threshold says salt AND the measurement confirms salting didn't
+    lose (on many skews AQE's runtime skew-join split already absorbs
+    the hot key, making the salting round-trip pure overhead — the
+    round-5 bench measured exactly that). Otherwise fall back to 'aqe'
+    when any skew was flagged, 'none' when the keys are flat."""
+    if preflight == "salt" and measured_faster == "salted":
+        return "salt"
+    if preflight in ("salt", "aqe"):
+        return "aqe"
+    return "none"
+
+
 def skew_report(df: DataFrame, cols: list[str], top: int = 5) -> dict:
     """Key-skew diagnostic for a planned groupBy/join key: one per-key
     rollup (map-side partial aggregation, a single shuffle of key +

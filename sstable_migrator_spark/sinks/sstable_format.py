@@ -1500,9 +1500,20 @@ class SSTableWriter:
             "max_token": tokens[-1] if tokens else None,
             "components": sorted(components),
             "omitted_metadata": [],
-            # STATS is emitted but can only be byte-validated by this
-            # module's own reader (no live Cassandra in the sandbox)
-            "best_effort_metadata": ["STATS"],
+            # STATS is emitted in full; what's pinned to PUBLIC vectors
+            # vs validated only by this module's independent reader is
+            # now named field-by-field (no live Cassandra in the
+            # sandbox to consume one). Pinned externally: the
+            # EstimatedHistogram offset series (Cassandra's newOffsets
+            # values, test-pinned against the published 1,2,...,8,10,
+            # 12,14,17,... sequence) and the Murmur3 token placement
+            # (public test vectors). Round-trip-only, listed here:
+            "best_effort_metadata": [
+                "STATS.commitLogIntervals",  # NONE bounds + empty set layout
+                "STATS.tombstoneHistogram",  # empty streaming-histogram form (100, 0)
+                "STATS.clusteringBounds",    # >H-length raw value encoding
+                "STATS.presenceBytes",       # pendingRepair/isTransient/hostId
+            ],
         }
 
 

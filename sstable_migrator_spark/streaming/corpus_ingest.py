@@ -5,12 +5,41 @@ The batch decision (operators/dedup.incremental_dedup: exact
 fingerprint set + cross-corpus LSH against everything already
 ingested) applied per availableNow drain: a file stream of newly
 landed documents is gated inside ``foreachBatch`` — each micro-batch
-is a plain DataFrame, so the batch operator runs UNCHANGED against the
-static existing corpus, admitted rows append to the corpus store, and
-the source checkpoint guarantees a document is judged exactly once.
-This is the same ledger discipline streaming/sstable_ingest uses for
-sstable waves, applied to corpus curation: a quiet day costs one empty
-drain.
+is a plain DataFrame, so the batch operator runs UNCHANGED, admitted
+rows append to the corpus store, and the source checkpoint guarantees
+a document is judged exactly once. This is the same ledger discipline
+streaming/sstable_ingest uses for sstable waves, applied to corpus
+curation: a quiet day costs one empty drain.
+
+THE STATE STORE (what makes a drain O(day), not O(corpus)): the gate
+maintains ``<corpus>/_dedup_state`` — a parquet table of
+``build_dedup_state`` rows (fingerprint + banded MinHash signature,
+``bands`` rows per admitted document). Each drain builds the BATCH's
+state once, judges it against the persisted table (band-bucket join +
+fingerprint join — the corpus TEXT is never read), and appends the
+admitted documents' state rows. A pre-existing corpus without a state
+table is migrated once (one corpus pass) on the first drain that needs
+it. Underscore-prefixed, so corpus readers (``spark.read.parquet`` on
+the corpus dir) never see it.
+
+THE LEDGER is distributed: per-document decisions append as JSON under
+``<corpus>/_admissions/`` straight from the executors; only the
+two-scalar drain summary (judged/admitted counts) ever reaches the
+driver — no O(batch) collect anywhere on the arrival path.
+
+QUALITY GATES compose: pass frozen quality-model weights and/or a
+trained+frozen n-gram LM and the drain admits only documents that
+clear dedup AND the quality logit AND the perplexity threshold — all
+three are projections/broadcast joins, stream-compatible by
+construction. Gate columns ride in the ledger (``quality_keep``,
+``ppl_keep``) so rejections are attributable.
+
+Crash note (same as every ledger here): corpus append, state append,
+and ledger append are separate writes; a crash between them can leave
+a drain partially recorded, and the checkpoint will NOT replay it.
+The audit query is ``_admissions`` vs corpus ids; re-seeding the state
+table from the corpus text (``build_dedup_state``) is always a valid
+repair because the state is a pure function of the corpus.
 
 Note the admission reference is the corpus AS OF the drain start
 (micro-batches within one drain don't see each other's admissions —
@@ -22,12 +51,18 @@ batch.
 
 from __future__ import annotations
 
-import json
 import os
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 __all__ = ["admit_documents_available_now"]
+
+
+def _has_parquet(path: str) -> bool:
+    return os.path.isdir(path) and any(
+        f.endswith(".parquet") for f in os.listdir(path)
+    )
 
 
 def admit_documents_available_now(
@@ -37,13 +72,30 @@ def admit_documents_available_now(
     checkpoint: str,
     schema: str = "doc_id long, text string",
     jaccard_threshold: float = 0.5,
+    quality_weights: list[int] | None = None,
+    quality_bias: int = 0,
+    lm: DataFrame | None = None,
+    lm_threshold_q16: int | None = None,
+    lm_vocab: int = 256,
 ) -> dict:
     """One drain: judge every newly landed JSONL document against the
-    parquet corpus at ``corpus_path`` (exact + near-dup), append the
-    admitted ones, and record the drain's decisions at
-    ``corpus_path/_admissions.jsonl``. Returns the drain summary
+    persisted dedup state of the corpus at ``corpus_path`` (exact +
+    near-dup; plus the frozen quality model when ``quality_weights``
+    is given, plus the perplexity filter when ``lm`` — a frozen
+    ``train_bigram_lm`` table — is given), append the admitted ones,
+    extend the state store, and record every decision under
+    ``corpus_path/_admissions/``. Returns the drain summary
     ``{judged, admitted}``."""
-    from sstable_migrator_spark.operators.dedup import incremental_dedup
+    from sstable_migrator_spark.operators.dedup import (
+        build_dedup_state,
+        incremental_dedup,
+    )
+
+    state_path = os.path.join(corpus_path, "_dedup_state")
+    ledger_path = os.path.join(corpus_path, "_admissions")
+    # Freeze the LM table driver-side once per drain: foreachBatch may
+    # run it in several micro-batches and the model must not drift.
+    lm_frozen = lm.localCheckpoint() if lm is not None else None
 
     stream = spark.readStream.schema(schema).json(in_path)
     stats = {"judged": 0, "admitted": 0}
@@ -52,30 +104,89 @@ def admit_documents_available_now(
         batch_df = batch_df.localCheckpoint()
         if batch_df.isEmpty():
             return
-        if os.path.isdir(corpus_path) and any(
-            f.endswith(".parquet") for f in os.listdir(corpus_path)
-        ):
-            old = spark.read.parquet(corpus_path)
+        new_state = build_dedup_state(batch_df).localCheckpoint()
+        if _has_parquet(state_path):
+            old_state = spark.read.parquet(state_path)
+        elif _has_parquet(corpus_path):
+            # one-time migration: corpus predates the state store —
+            # build and persist it now so every LATER drain is O(day)
+            spark.read.parquet(corpus_path).transform(
+                build_dedup_state
+            ).write.mode("overwrite").parquet(state_path)
+            old_state = spark.read.parquet(state_path)
+        else:
+            old_state = None
+        if old_state is not None:
             decisions = incremental_dedup(
-                batch_df, old, jaccard_threshold=jaccard_threshold
-            ).localCheckpoint()
+                batch_df,
+                jaccard_threshold=jaccard_threshold,
+                old_state=old_state,
+                new_state=new_state,
+            )
         else:
             decisions = batch_df.selectExpr(
                 "doc_id",
                 "CAST(0 AS INT) AS exact_dup",
                 "CAST(0 AS BIGINT) AS n_near_dups",
                 "CAST(1 AS INT) AS admitted",
-            ).localCheckpoint()
-        admitted = batch_df.join(
-            decisions.filter("admitted = 1").select("doc_id"), "doc_id"
+            )
+        # compose the quality gates: stateless projections / broadcast
+        # joins, so they run unchanged inside the stream
+        if quality_weights is not None:
+            from sstable_migrator_spark.operators.quality_model import (
+                score_quality_frozen,
+            )
+
+            qk = score_quality_frozen(
+                batch_df, quality_weights, quality_bias
+            ).select("doc_id", F.col("keep").alias("quality_keep"))
+            decisions = decisions.join(qk, "doc_id", "left")
+        else:
+            decisions = decisions.withColumn("quality_keep", F.lit(1))
+        if lm_frozen is not None:
+            from sstable_migrator_spark.operators.lm import perplexity_score
+
+            pk = perplexity_score(
+                batch_df,
+                lm_frozen,
+                vocab=lm_vocab,
+                threshold_q16=lm_threshold_q16,
+            ).select("doc_id", F.col("keep").alias("ppl_keep"))
+            decisions = decisions.join(pk, "doc_id", "left")
+        else:
+            decisions = decisions.withColumn("ppl_keep", F.lit(1))
+        decisions = decisions.select(
+            "doc_id",
+            "exact_dup",
+            "n_near_dups",
+            F.coalesce("quality_keep", F.lit(0)).cast("int").alias("quality_keep"),
+            F.coalesce("ppl_keep", F.lit(0)).cast("int").alias("ppl_keep"),
+            (
+                (F.col("admitted") == 1)
+                & (F.coalesce("quality_keep", F.lit(0)) == 1)
+                & (F.coalesce("ppl_keep", F.lit(0)) == 1)
+            ).cast("int").alias("admitted"),
+        ).localCheckpoint()
+
+        admitted_ids = decisions.filter("admitted = 1").select("doc_id")
+        batch_df.join(admitted_ids, "doc_id").write.mode("append").parquet(
+            corpus_path
         )
-        admitted.write.mode("append").parquet(corpus_path)
-        rows = decisions.collect()
-        stats["judged"] += len(rows)
-        stats["admitted"] += sum(r["admitted"] for r in rows)
-        with open(os.path.join(corpus_path, "_admissions.jsonl"), "a") as fh:
-            for r in rows:
-                fh.write(json.dumps({"batch": bid, **r.asDict()}) + "\n")
+        # extend the state store with the admitted documents' rows —
+        # next drain judges against corpus + this wave, still text-free
+        new_state.join(admitted_ids, "doc_id").write.mode("append").parquet(
+            state_path
+        )
+        # distributed ledger append; ONLY the 2-scalar summary is
+        # collected (one row), never the per-document decisions
+        decisions.withColumn("batch", F.lit(bid)).write.mode("append").json(
+            ledger_path
+        )
+        j, a = decisions.agg(
+            F.count(F.lit(1)), F.sum("admitted")
+        ).first()
+        stats["judged"] += int(j)
+        stats["admitted"] += int(a or 0)
 
     q = (
         stream.writeStream.foreachBatch(_gate)

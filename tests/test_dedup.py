@@ -429,6 +429,44 @@ def test_incremental_dedup_outcomes(spark):
     pairs = minhash_lsh_pairs_between(new, old).collect()
     assert all(r["new_id"] >= 100 and r["old_id"] < 100 for r in pairs)
 
+    # THE PERSISTED-STATE CONTRACT: judging against a build_dedup_state
+    # table (what the streaming gate persists — the corpus text never
+    # read) gives BIT-IDENTICAL decisions to the recompute-from-text
+    # path, for both the decision operator and the pair miner.
+    from sstable_migrator_spark.operators.dedup import (
+        banded_minhash,
+        build_dedup_state,
+    )
+
+    state = build_dedup_state(old).localCheckpoint()
+    via_state = {
+        r["doc_id"]: r
+        for r in incremental_dedup(new, old_state=state).collect()
+    }
+    assert {k: tuple(v) for k, v in got.items()} == {
+        k: tuple(v) for k, v in via_state.items()
+    }
+    pairs_state = minhash_lsh_pairs_between(
+        new, old_banded=banded_minhash(old)
+    ).collect()
+    assert sorted(map(tuple, pairs)) == sorted(map(tuple, pairs_state))
+
+
+def test_incremental_dedup_arg_validation(spark):
+    import pytest as _pytest
+
+    from sstable_migrator_spark.operators.dedup import (
+        build_dedup_state,
+        incremental_dedup,
+    )
+
+    docs = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    state = build_dedup_state(docs)
+    with _pytest.raises(ValueError, match="exactly one"):
+        incremental_dedup(docs, docs, old_state=state)
+    with _pytest.raises(ValueError, match="exactly one"):
+        incremental_dedup(docs)
+
 
 def test_leakage_safe_split_invariant(spark):
     """The invariant the operator exists for: every near-dup cluster

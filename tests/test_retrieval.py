@@ -75,3 +75,107 @@ def test_plan_broadcast_and_take_ordered(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrderedAndProject" in plan
     assert "BroadcastHashJoin" in plan
+
+
+def test_postings_index_roundtrip_and_pruning(spark, tmp_path):
+    """The persisted index serves the SAME results as the corpus-scan
+    path, and the serve-path scan is partition-pruned to the query
+    terms' hash buckets — index lookup, not corpus scan."""
+    from pyspark.sql import functions as F
+
+    from sstable_migrator_spark.functions import text as TX
+    from sstable_migrator_spark.operators.retrieval import (
+        _PB_SEED,
+        bm25_topk_from_postings,
+        term_bucket_py,
+        write_postings_index,
+    )
+
+    docs = _docs(spark)
+    path = str(tmp_path / "idx")
+    meta = write_postings_index(docs, path, n_buckets=16)
+    assert meta["n"] == 5 and meta["n_buckets"] == 16
+
+    terms = ["spark", "cluster", "data"]
+    base = bm25_topk(docs, terms, topk=10).collect()
+    served = bm25_topk_from_postings(spark, path, terms, topk=10)
+    assert [tuple(r) for r in served.collect()] == [tuple(r) for r in base]
+
+    # driver-side bucket twin agrees with the column hash
+    col_pb = {
+        r["term"]: r["pb"]
+        for r in spark.createDataFrame([(t,) for t in terms], "term string")
+        .select("term", (TX.hash64(F.col("term"), seed=_PB_SEED) % 16).alias("pb"))
+        .collect()
+    }
+    for t in terms:
+        assert term_bucket_py(t, 16) == col_pb[t]
+
+    # the scan is pruned: PartitionFilters on pb, strictly fewer
+    # buckets than the index holds
+    plan = served._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "pb" in plan
+    want_pbs = {term_bucket_py(t, 16) for t in terms}
+    assert len(want_pbs) < 16
+    import glob as _glob
+    import os as _os
+
+    all_dirs = {d for d in _os.listdir(path) if d.startswith("pb=")}
+    assert {f"pb={b}" for b in want_pbs} <= all_dirs
+    # files ACTUALLY read (input_file_name over the pruned scan — a
+    # runtime account, unlike inputFiles() which is pre-pruning) sit
+    # only in the query buckets' directories
+    read_dirs = {
+        r[0].split("/")[-2]
+        for r in spark.read.parquet(path)
+        .filter(F.col("pb").isin(sorted(want_pbs)))
+        .select(F.input_file_name())
+        .distinct()
+        .collect()
+    }
+    assert read_dirs and read_dirs <= {f"pb={b}" for b in want_pbs}, read_dirs
+
+
+def test_batch_scorer_matches_per_query(spark):
+    from sstable_migrator_spark.operators.retrieval import bm25_topk_batch
+
+    docs = _docs(spark)
+    queries = {
+        "qa": ["spark", "cluster", "data"],
+        "qb": ["cat", "mat"],
+        "qc": ["cooking", "spark"],
+    }
+    got = bm25_topk_batch(docs, queries, topk=3).collect()
+    by_q: dict = {}
+    for r in got:
+        by_q.setdefault(r["query_id"], []).append(
+            (r["doc_id"], r["score_q"], r["n_hit"])
+        )
+    for qid, terms in queries.items():
+        want = [
+            (r["doc_id"], r["score_q"], r["n_hit"])
+            for r in bm25_topk(docs, terms, topk=3).collect()
+        ]
+        assert by_q.get(qid, []) == want, qid
+    with pytest.raises(ValueError):
+        bm25_topk_batch(docs, {})
+    with pytest.raises(ValueError):
+        bm25_topk_batch(docs, {"q": []})
+
+
+def test_batch_scorer_window_is_partitioned(spark):
+    """The per-query top-k window must be PARTITIONED by query_id —
+    an unpartitioned window would serialize the whole scored relation
+    through one task at scale."""
+    from sstable_migrator_spark.operators.retrieval import bm25_topk_batch
+
+    plan = (
+        bm25_topk_batch(_docs(spark), {"qa": ["spark"], "qb": ["cat"]}, topk=2)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    import re
+
+    # Window specs print as: Window [...], [query_id#..], [score_q#.. DESC ...]
+    assert re.search(r"Window \[[^\]]*\], \[query_id#\d+", plan), plan

@@ -87,3 +87,17 @@ def test_salted_join_rejects_small_side_outer(spark):
     small = spark.createDataFrame([(1, "d")], "k long, d string")
     with pytest.raises(ValueError, match="inner/left"):
         salted_join(big, small, "k", ["x"], how="full")
+
+
+def test_combine_recommendation_logic():
+    """Salt only when threshold AND measurement agree; any flagged skew
+    without measured salting benefit falls back to AQE; flat keys get
+    nothing (the bench sidecar's explicit-recommendation contract)."""
+    from sstable_migrator_spark.operators.skew import combine_recommendation
+
+    assert combine_recommendation("salt", "salted") == "salt"
+    assert combine_recommendation("salt", "unsalted") == "aqe"
+    assert combine_recommendation("aqe", "salted") == "aqe"
+    assert combine_recommendation("aqe", "unsalted") == "aqe"
+    assert combine_recommendation("none", "salted") == "none"
+    assert combine_recommendation("none", "unsalted") == "none"

@@ -1024,7 +1024,15 @@ def test_stats_metadata_clustered_aggregates(tmp_path):
     w.add_row({"k": "b", "c": 3, "v": None, "w": None})
     m = w.close()
     assert m["omitted_metadata"] == []
-    assert m["best_effort_metadata"] == ["STATS"]
+    # the asterisk is field-scoped now: externally pinned parts (the
+    # EstimatedHistogram offset series, Murmur3 tokens) are NOT listed;
+    # only the round-trip-only layouts remain flagged
+    assert m["best_effort_metadata"] == [
+        "STATS.commitLogIntervals",
+        "STATS.tombstoneHistogram",
+        "STATS.clusteringBounds",
+        "STATS.presenceBytes",
+    ]
     blob = (tmp_path / f"{m['prefix']}-Statistics.db").read_bytes()
     st = _parse_statistics(blob)["stats_metadata"]
     assert st["total_rows"] == 3

@@ -3,6 +3,8 @@ cron tick as availableNow triggers with watermarked dedup."""
 
 from __future__ import annotations
 
+import os
+
 import pytest
 from pyspark.sql import functions as F
 
@@ -777,9 +779,129 @@ def test_streaming_corpus_admission(spark, tmp_path):
     s3 = admit_documents_available_now(spark, str(inbox), corpus, ckpt)
     assert s3 == {"judged": 0, "admitted": 0}
 
-    # the admission ledger recorded every decision with its batch
-    with open(tmp_path / "corpus" / "_admissions.jsonl") as fh:
-        ledger = [_json.loads(ln) for ln in fh]
+    # the admission ledger recorded every decision with its batch —
+    # written DISTRIBUTED (executor-side JSON append), never collected
+    ledger = spark.read.json(str(tmp_path / "corpus" / "_admissions")).collect()
     assert {(r["doc_id"], r["admitted"]) for r in ledger} == {
         (1, 1), (2, 1), (10, 0), (11, 0), (12, 1),
     }
+
+    # the state store holds bands rows per ADMITTED doc only
+    st = spark.read.parquet(str(tmp_path / "corpus" / "_dedup_state"))
+    assert {r["doc_id"] for r in st.select("doc_id").distinct().collect()} == {1, 2, 12}
+
+
+def test_corpus_admission_judges_from_state_not_text(spark, tmp_path):
+    """Drain N+1 must not rescan the corpus text: after wave 1 seeds
+    the state store, the corpus parquet is DELETED outright — and an
+    exact copy of a wave-1 document is still rejected, because the
+    decision reads only the persisted fingerprint+signature state."""
+    import glob as _glob
+    import json as _json
+
+    from sstable_migrator_spark.streaming.corpus_ingest import (
+        admit_documents_available_now,
+    )
+
+    inbox = tmp_path / "inbox"
+    inbox.mkdir()
+    corpus = str(tmp_path / "corpus")
+    ckpt = str(tmp_path / "ckpt")
+    base = " ".join(f"alpha{i} beta{i % 5} gamma{i % 9}" for i in range(30))
+
+    with open(inbox / "wave1.jsonl", "w") as fh:
+        fh.write(_json.dumps({"doc_id": 1, "text": base}) + "\n")
+    assert admit_documents_available_now(spark, str(inbox), corpus, ckpt) == {
+        "judged": 1, "admitted": 1,
+    }
+
+    # remove every corpus data file; only _dedup_state survives
+    removed = 0
+    for f in _glob.glob(os.path.join(corpus, "*.parquet")):
+        os.remove(f)
+        removed += 1
+    assert removed >= 1
+
+    with open(inbox / "wave2.jsonl", "w") as fh:
+        fh.write(_json.dumps({"doc_id": 2, "text": base}) + "\n")  # exact dup
+        fh.write(_json.dumps({"doc_id": 3, "text": "completely fresh sentences about glaciers and longitude lines"}) + "\n")
+    s2 = admit_documents_available_now(spark, str(inbox), corpus, ckpt)
+    assert s2 == {"judged": 2, "admitted": 1}
+    ledger = spark.read.json(os.path.join(corpus, "_admissions")).collect()
+    by_id = {r["doc_id"]: r for r in ledger if r["batch"] > 0 or r["doc_id"] != 1}
+    assert by_id[2]["exact_dup"] == 1 and by_id[2]["admitted"] == 0
+    assert by_id[3]["admitted"] == 1
+
+
+def test_corpus_admission_migrates_preexisting_corpus(spark, tmp_path):
+    """A corpus that predates the state store is migrated once (one
+    corpus pass builds _dedup_state); the drain then judges against
+    it — decisions identical to the recompute-from-text path."""
+    import json as _json
+
+    from sstable_migrator_spark.streaming.corpus_ingest import (
+        admit_documents_available_now,
+    )
+
+    corpus = str(tmp_path / "corpus")
+    base = " ".join(f"w{i} tok{i % 7}" for i in range(25))
+    spark.createDataFrame(
+        [(1, base), (2, "old corpus doc about rivers and bridges built long ago")],
+        "doc_id long, text string",
+    ).write.parquet(corpus)
+
+    inbox = tmp_path / "inbox"
+    inbox.mkdir()
+    with open(inbox / "w.jsonl", "w") as fh:
+        fh.write(_json.dumps({"doc_id": 10, "text": base}) + "\n")          # exact
+        fh.write(_json.dumps({"doc_id": 11, "text": "novel content on telescopes and saturn observation sessions"}) + "\n")
+    s = admit_documents_available_now(
+        spark, str(inbox), corpus, str(tmp_path / "ckpt")
+    )
+    assert s == {"judged": 2, "admitted": 1}
+    st = spark.read.parquet(os.path.join(corpus, "_dedup_state"))
+    # migration rows (docs 1, 2) + the admitted wave doc (11)
+    assert {r["doc_id"] for r in st.select("doc_id").distinct().collect()} == {1, 2, 11}
+
+
+def test_corpus_admission_quality_and_perplexity_gates(spark, tmp_path):
+    """Dedup, the frozen quality model, and the frozen n-gram LM gate
+    a drain JOINTLY; the ledger attributes every rejection."""
+    import json as _json
+
+    from sstable_migrator_spark.operators.lm import train_bigram_lm
+    from sstable_migrator_spark.queries import _QM_BIAS, _QM_WEIGHTS
+    from sstable_migrator_spark.streaming.corpus_ingest import (
+        admit_documents_available_now,
+    )
+
+    ref = spark.createDataFrame(
+        [(i, "the committee approved the annual budget after a long public debate")
+         for i in range(8)],
+        "doc_id long, text string",
+    )
+    lm = train_bigram_lm(ref)
+
+    inbox = tmp_path / "inbox"
+    inbox.mkdir()
+    rows = [
+        {"doc_id": 1, "text": "the committee approved the annual budget after a public debate"},
+        {"doc_id": 2, "text": "casino casino jackpot jackpot click here click here now"},  # quality reject
+        {"doc_id": 3, "text": "zq xv kj qq ww zz pp mm nn vv"},  # perplexity reject
+    ]
+    with open(inbox / "a.jsonl", "w") as fh:
+        for r in rows:
+            fh.write(_json.dumps(r) + "\n")
+    corpus = str(tmp_path / "corpus")
+    s = admit_documents_available_now(
+        spark, str(inbox), corpus, str(tmp_path / "ckpt"),
+        quality_weights=_QM_WEIGHTS, quality_bias=_QM_BIAS, lm=lm,
+    )
+    assert s["judged"] == 3 and s["admitted"] == 1
+    got = {r["doc_id"] for r in spark.read.parquet(corpus).collect()}
+    assert got == {1}
+    ledger = {r["doc_id"]: r for r in
+              spark.read.json(os.path.join(corpus, "_admissions")).collect()}
+    assert ledger[2]["quality_keep"] == 0 and ledger[2]["admitted"] == 0
+    assert ledger[3]["ppl_keep"] == 0 and ledger[3]["admitted"] == 0
+    assert ledger[1]["quality_keep"] == 1 and ledger[1]["ppl_keep"] == 1
