@@ -1,0 +1,129 @@
+"""Training-order operators: deterministic corpus shuffle and
+token-budget sequence packing.
+
+North-star extension (the last mile of a training-data pipeline): once
+a corpus is deduped, filtered, and split, it still has to reach the
+trainer as a REPRODUCIBLE stream — a global shuffle that any worker
+can recompute (data order is part of the training recipe; a re-run
+must see the same order), and documents packed head-to-tail into
+fixed-token-budget sequences (the standard "concat and chunk" packing
+GPT-style pretraining uses, where a document may span sequence
+boundaries).
+
+Both are re-expressed as exact integer plans:
+
+- ``deterministic_shuffle``: position = rank of the portable 60-bit
+  hash of ``(seed | doc id)``. Epochs reshuffle by changing the seed.
+  No unpartitioned window anywhere: ranking is the distributed
+  two-phase prefix sum (``analytics.global_prefix_sum``) over the
+  hash-ordered relation — one repartitionByRange, one O(partitions)
+  driver exchange, bounded in-partition windows.
+- ``pack_sequences``: lay the shuffled documents along a token stream;
+  with an exclusive running token count ``excl`` and per-doc length
+  ``n``, a document occupies sequences ``excl // S`` through
+  ``(excl + n - 1) // S`` starting at offset ``excl % S`` — pure
+  integer division on BIGINTs, so the layout is order-free,
+  partitioning-proof, and hash-exact against a SQL oracle. Every
+  sequence except the last is filled to exactly ``S`` tokens by
+  construction (coverage is test-pinned).
+
+Scale shape: ONE data-sized exchange (the range partition by shuffle
+key); token counting is map-side; the prefix offsets are one row per
+PARTITION on the driver. At 100 TB this is the same plan — the driver
+state stays O(partitions).
+
+Reference analog: the PK-ordered write family (SURVEY §2 O2/O4) —
+ordering as a first-class output property — applied to the training
+stream instead of the storage layout.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from sstable_migrator_spark.functions import text as TX
+from sstable_migrator_spark.operators.analytics import global_prefix_sum
+
+__all__ = ["deterministic_shuffle", "pack_sequences"]
+
+_SHUFFLE_SEED_NS = "shuffle"
+
+
+def _shuffle_key(id_col: str, seed: int, portable: bool) -> F.Column:
+    h = TX.hash64 if portable else TX.hash64_fast
+    return h(F.col(id_col).cast("string"), seed=seed)
+
+
+def deterministic_shuffle(
+    docs: DataFrame,
+    seed: int = 0,
+    id_col: str = "doc_id",
+    out_col: str = "position",
+    parts: int | None = None,
+    portable: bool = True,
+) -> DataFrame:
+    """Append a 0-based global training ``position`` — the rank of the
+    portable hash of ``(seed | id)``, ties broken by id, so the
+    permutation is a pure function of (corpus, seed): any worker, any
+    partitioning, any engine recomputes the identical order. Change
+    ``seed`` per epoch for fresh orders. ``portable=False`` swaps md5
+    for xxhash64 (the production choice; oracle entries pin md5)."""
+    df = docs.withColumn("_sk", _shuffle_key(id_col, seed, portable)).withColumn(
+        "_one", F.lit(1).cast("long")
+    )
+    ranked, _total = global_prefix_sum(
+        df, ["_sk", id_col], "_one", out_col="_rk", parts=parts
+    )
+    return ranked.withColumn(out_col, (F.col("_rk") - 1).cast("long")).drop(
+        "_sk", "_one", "_rk"
+    )
+
+
+def pack_sequences(
+    docs: DataFrame,
+    seq_tokens: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    seed: int = 0,
+    parts: int | None = None,
+    portable: bool = True,
+) -> DataFrame:
+    """Concat-and-chunk sequence packing: shuffle deterministically
+    (same recipe as ``deterministic_shuffle``), lay the documents
+    head-to-tail along the token stream, and chunk the stream into
+    fixed ``seq_tokens`` windows. Returns one row per NON-EMPTY
+    document: ``(id, n_tokens, start_seq, end_seq, seq_offset)``
+    where the document's tokens occupy stream interval
+    ``[excl, excl + n)``, ``start_seq = excl // seq_tokens``,
+    ``end_seq = (excl + n - 1) // seq_tokens`` (a long document spans
+    sequences), and ``seq_offset = excl % seq_tokens`` is where it
+    starts inside its first sequence. Zero-token documents contribute
+    nothing to the stream and are dropped (loudly documented here, not
+    silently mid-plan). All-BIGINT output, hash-exact."""
+    if seq_tokens < 1:
+        raise ValueError(f"seq_tokens must be >= 1, got {seq_tokens}")
+    df = (
+        docs.withColumn("_sk", _shuffle_key(id_col, seed, portable))
+        .withColumn("n_tokens", TX.token_count(F.col(text_col)).cast("long"))
+        .filter(F.col("n_tokens") > 0)
+    )
+    ranked, _total = global_prefix_sum(
+        df, ["_sk", id_col], "n_tokens", out_col="_incl", parts=parts
+    )
+    excl = (F.col("_incl") - F.col("n_tokens")).cast("long")
+    s = F.lit(int(seq_tokens)).cast("long")
+    out = ranked.select(
+        id_col,
+        "n_tokens",
+        excl.alias("_excl"),
+    ).select(
+        id_col,
+        "n_tokens",
+        F.call_function("div", F.col("_excl"), s).alias("start_seq"),
+        F.call_function(
+            "div", (F.col("_excl") + F.col("n_tokens") - 1).cast("long"), s
+        ).alias("end_seq"),
+        F.pmod(F.col("_excl"), s).cast("long").alias("seq_offset"),
+    )
+    return out

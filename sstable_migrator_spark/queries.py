@@ -9656,6 +9656,81 @@ ORACLES.update({"q193_bm25_postings": SQL_BM25_TOPK})
 
 
 # ---------------------------------------------------------------------------
+# Batch — training order: deterministic shuffle + sequence packing
+# (operators/packing.py over analytics.global_prefix_sum)
+# ---------------------------------------------------------------------------
+
+
+def q_training_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic corpus shuffle — the reproducible training-order
+    permutation: position = rank of the portable hash of (seed | id),
+    so any worker/partitioning/engine recomputes the identical order
+    and epochs reshuffle by seed. No unpartitioned window: the rank is
+    the distributed two-phase prefix sum (range partition + per-
+    partition offsets, O(partitions) driver state). Reference analog:
+    the PK-ordered write family (O2/O4) applied to the training stream.
+    """
+    from sstable_migrator_spark.operators.packing import deterministic_shuffle
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    return deterministic_shuffle(docs, seed=3).select("doc_id", "position")
+
+
+SQL_TRAINING_ORDER = """
+SELECT doc_id,
+       CAST(ROW_NUMBER() OVER (
+         ORDER BY CAST(concat('0x', substr(md5('3|' || CAST(doc_id AS VARCHAR)),
+                                           1, 15)) AS BIGINT), doc_id
+       ) - 1 AS BIGINT) AS position
+FROM documents
+"""
+
+
+def q_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-and-chunk sequence packing — the GPT-pretraining layout:
+    shuffled documents laid head-to-tail along a token stream chunked
+    into fixed 128-token sequences; each document's (start_seq,
+    end_seq, seq_offset) is pure integer division on the running token
+    count, so the whole layout is BIGINT-exact and every sequence but
+    the last is provably full. One data-sized exchange (the range
+    partition); token counting map-side."""
+    from sstable_migrator_spark.operators.packing import pack_sequences
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return pack_sequences(docs, 128, seed=3)
+
+
+SQL_SEQUENCE_PACKING = """
+WITH toks AS (
+  SELECT doc_id,
+         CASE WHEN length(trim(text)) = 0 THEN 0
+              ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS n_tokens,
+         CAST(concat('0x', substr(md5('3|' || CAST(doc_id AS VARCHAR)),
+                                  1, 15)) AS BIGINT) AS sk
+  FROM documents
+),
+ranked AS (
+  SELECT doc_id, n_tokens,
+         SUM(n_tokens) OVER (ORDER BY sk, doc_id
+                             ROWS UNBOUNDED PRECEDING) AS incl
+  FROM toks WHERE n_tokens > 0
+)
+SELECT doc_id,
+       CAST(n_tokens AS BIGINT) AS n_tokens,
+       CAST((incl - n_tokens) // 128 AS BIGINT) AS start_seq,
+       CAST((incl - 1) // 128 AS BIGINT) AS end_seq,
+       CAST((incl - n_tokens) % 128 AS BIGINT) AS seq_offset
+FROM ranked
+"""
+
+
+QUERIES.update({"q194_training_order": q_training_order})
+ORACLES.update({"q194_training_order": SQL_TRAINING_ORDER})
+QUERIES.update({"q195_sequence_packing": q_sequence_packing})
+ORACLES.update({"q195_sequence_packing": SQL_SEQUENCE_PACKING})
+
+
+# ---------------------------------------------------------------------------
 # Driver-sample ordering.
 #
 # The round driver's correctness gate checks only the FIRST ~50 catalog

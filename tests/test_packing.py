@@ -1,0 +1,108 @@
+"""Training-order operators (operators/packing.py): permutation
+properties, packing invariants, determinism under partitioning, and
+the no-unpartitioned-window plan shape."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from sstable_migrator_spark.operators.packing import (
+    deterministic_shuffle,
+    pack_sequences,
+)
+
+
+def _docs(spark, n=40):
+    return spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        F.concat(
+            F.lit("tok "), F.expr("repeat('w ', CAST(id % 17 AS INT))")
+        ).alias("text"),
+    )
+
+
+def test_shuffle_is_a_permutation_and_deterministic(spark):
+    docs = _docs(spark)
+    a = {r["doc_id"]: r["position"] for r in deterministic_shuffle(docs).collect()}
+    assert sorted(a.values()) == list(range(40))  # 0-based, gap-free
+    # pure function of (corpus, seed): any partitioning, same order
+    b = {
+        r["doc_id"]: r["position"]
+        for r in deterministic_shuffle(docs.repartition(7), parts=3).collect()
+    }
+    assert a == b
+    # epochs reshuffle
+    c = {r["doc_id"]: r["position"] for r in deterministic_shuffle(docs, seed=1).collect()}
+    assert a != c and sorted(c.values()) == list(range(40))
+
+
+def test_shuffle_fast_hash_variant(spark):
+    docs = _docs(spark)
+    got = {
+        r["doc_id"]: r["position"]
+        for r in deterministic_shuffle(docs, portable=False).collect()
+    }
+    assert sorted(got.values()) == list(range(40))
+
+
+def test_packing_invariants(spark):
+    docs = _docs(spark)
+    S = 16
+    rows = pack_sequences(docs, S).collect()
+    # zero-token docs (id % 17 == 0 -> text 'tok ' + '' = 1 token...
+    # actually every doc has the 'tok' token, so all 40 survive)
+    assert len(rows) == 40
+    total = sum(r["n_tokens"] for r in rows)
+    by_start = sorted(rows, key=lambda r: (r["start_seq"], r["seq_offset"]))
+    # stream is contiguous: each doc starts exactly where the previous ended
+    pos = 0
+    for r in by_start:
+        assert r["start_seq"] * S + r["seq_offset"] == pos, r
+        assert r["end_seq"] == (pos + r["n_tokens"] - 1) // S
+        pos += r["n_tokens"]
+    assert pos == total
+    # every sequence except the last is exactly full
+    n_seqs = max(r["end_seq"] for r in rows) + 1
+    assert n_seqs == -(-total // S)
+    fill = [0] * n_seqs
+    for r in by_start:
+        p = r["start_seq"] * S + r["seq_offset"]
+        for t in range(r["n_tokens"]):
+            fill[(p + t) // S] += 1
+    assert all(f == S for f in fill[:-1]) and 0 < fill[-1] <= S
+
+
+def test_packing_drops_empty_docs_and_validates(spark):
+    docs = spark.createDataFrame(
+        [(1, "a b c"), (2, "   "), (3, "")], "doc_id long, text string"
+    )
+    rows = pack_sequences(docs, 4).collect()
+    assert {r["doc_id"] for r in rows} == {1}
+    with pytest.raises(ValueError):
+        pack_sequences(docs, 0)
+
+
+def test_packing_stable_under_partitioning(spark):
+    docs = _docs(spark, 60)
+    a = sorted(tuple(r) for r in pack_sequences(docs, 32).collect())
+    b = sorted(
+        tuple(r) for r in pack_sequences(docs.repartition(11), 32, parts=5).collect()
+    )
+    assert a == b
+
+
+def test_no_unpartitioned_window(spark):
+    """The global rank must come from the two-phase prefix sum — a
+    Window with an empty partitionBy would funnel the corpus through
+    one task."""
+    import re
+
+    for df in (
+        deterministic_shuffle(_docs(spark)),
+        pack_sequences(_docs(spark), 16),
+    ):
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        for m in re.finditer(r"Window \[([^\]]*)\], \[([^\]]*)\]", plan):
+            partition_spec = m.group(2)
+            assert partition_spec.strip(), plan
