@@ -985,6 +985,41 @@ def winnow_pairs(
     )
 
 
+def contamination_flags(
+    docs: DataFrame,
+    eval_docs: DataFrame,
+    shingle_k: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Benchmark decontamination (q79's shape as a reusable operator —
+    the streaming admission gate composes it): flag every document
+    sharing any word-``shingle_k``-shingle with the held-out eval set.
+    The eval shingle set is small and fixed at any corpus scale — it
+    broadcasts, so the corpus side never shuffles for the probe; the
+    only shuffle is the per-doc rollup. Returns
+    ``(id, n_shingles, n_hits, contaminated)``."""
+    ev = (
+        eval_docs.select(
+            F.explode(TX.shingles(F.col(text_col), shingle_k)).alias("s")
+        )
+        .distinct()
+        .withColumn("_hit", F.lit(1))
+    )
+    corpus = docs.select(
+        id_col, F.explode(TX.shingles(F.col(text_col), shingle_k)).alias("s")
+    )
+    return (
+        corpus.join(F.broadcast(ev), "s", "left")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.count("_hit").alias("n_hits"),
+            (F.count("_hit") > 0).alias("contaminated"),
+        )
+    )
+
+
 def lsh_pairs_between_banded(
     new_banded: DataFrame,
     old_banded: DataFrame,

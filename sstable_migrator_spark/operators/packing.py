@@ -45,7 +45,7 @@ from pyspark.sql import functions as F
 from sstable_migrator_spark.functions import text as TX
 from sstable_migrator_spark.operators.analytics import global_prefix_sum
 
-__all__ = ["deterministic_shuffle", "pack_sequences"]
+__all__ = ["deterministic_shuffle", "pack_sequences", "pack_sequence_texts"]
 
 _SHUFFLE_SEED_NS = "shuffle"
 
@@ -127,3 +127,99 @@ def pack_sequences(
         F.pmod(F.col("_excl"), s).cast("long").alias("seq_offset"),
     )
     return out
+
+
+def pack_sequence_texts(
+    docs: DataFrame,
+    seq_tokens: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    seed: int = 0,
+    parts: int | None = None,
+    portable: bool = True,
+) -> DataFrame:
+    """The MATERIALIZED form of ``pack_sequences``: actual training
+    sequences, each exactly ``seq_tokens`` whitespace tokens (the last
+    one shorter), assembled from the document spans that land in it.
+    Returns ``(seq_id, seq_text, n_docs, n_tokens)``.
+
+    Plan: the same shuffled prefix sum, then each document EXPLODES
+    into one row per sequence it touches (``sequence(start_seq,
+    end_seq)`` — a document adds ``1 + n // S`` rows, so the explode is
+    O(docs + total_tokens / S), never quadratic), carrying the token
+    slice ``[max(0, s*S - excl), min(n, (s+1)*S - excl))`` of its own
+    token array; one aggregation keyed by sequence id sorts the spans
+    by their stream offset and concatenates. ONE data-sized shuffle
+    (the span rows), map-side slicing, no window at all on the
+    assembly side — and the output strings are hash-exact cross-engine
+    (pure integer span math + deterministic join order)."""
+    if seq_tokens < 1:
+        raise ValueError(f"seq_tokens must be >= 1, got {seq_tokens}")
+    df = (
+        docs.withColumn("_sk", _shuffle_key(id_col, seed, portable))
+        .withColumn("_tk", TX.tokens(F.col(text_col)))
+        .withColumn("n_tokens", F.size("_tk").cast("long"))
+        .filter(F.col("n_tokens") > 0)
+    )
+    ranked, _total = global_prefix_sum(
+        df, ["_sk", id_col], "n_tokens", out_col="_incl", parts=parts
+    )
+    s = F.lit(int(seq_tokens)).cast("long")
+    excl = (F.col("_incl") - F.col("n_tokens")).cast("long")
+    spans = (
+        ranked.select(
+            F.col("_tk"),
+            F.col("n_tokens"),
+            excl.alias("_excl"),
+            F.explode(
+                F.sequence(
+                    F.call_function("div", excl, s),
+                    F.call_function(
+                        "div", (excl + F.col("n_tokens") - 1).cast("long"), s
+                    ),
+                )
+            ).alias("seq_id"),
+        )
+        .select(
+            "seq_id",
+            "_excl",
+            F.greatest(
+                F.col("seq_id") * s - F.col("_excl"), F.lit(0).cast("long")
+            ).alias("_lo"),
+            F.least(
+                F.col("n_tokens"),
+                (F.col("seq_id") + 1) * s - F.col("_excl"),
+            ).alias("_hi"),
+            F.col("_tk"),
+        )
+        .select(
+            "seq_id",
+            # stream offset of this span orders spans within a sequence
+            (F.col("_excl") + F.col("_lo")).alias("_pos"),
+            F.slice(
+                "_tk", (F.col("_lo") + 1).cast("int"), (F.col("_hi") - F.col("_lo")).cast("int")
+            ).alias("_span"),
+        )
+    )
+    return (
+        spans.groupBy("seq_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.aggregate(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct(F.col("_pos"), F.col("_span")))
+                    ),
+                    lambda x: x["_span"],
+                ),
+                F.array().cast("array<string>"),
+                lambda acc, sp: F.concat(acc, sp),
+            ).alias("_toks"),
+        )
+        .select(
+            F.col("seq_id").cast("long").alias("seq_id"),
+            F.array_join("_toks", " ").alias("seq_text"),
+            "n_docs",
+            F.size("_toks").cast("long").alias("n_tokens"),
+        )
+    )

@@ -2695,30 +2695,20 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-doc rollup. At 100 TB the same shape holds (or swap the
     broadcast for a bloom filter to trade exactness for memory).
     Returns per-doc shingle/hit counts and the contamination flag."""
+    from sstable_migrator_spark.operators.dedup import contamination_flags
+
     docs = _dense(spark, _t(spark, sf_dir, "documents"))
     # Filter docs BEFORE the shingle explode: each branch shingles only its
     # own documents, so the (tiny) eval side never pays the full-corpus
     # explode and the corpus side never shingles eval docs. Previously both
     # branches derived from one full-corpus explode that Spark recomputed
     # per-branch (2x the shingling work; the round-2 bench regression).
-    ev = (
-        docs.filter(F.col("doc_id") % 97 == 0)
-        .select(F.explode(TX.shingles(F.col("text"), 5)).alias("s"))
-        .distinct()
-        .withColumn("_hit", F.lit(1))
-    )
-    corpus = (
-        docs.filter(F.col("doc_id") % 97 != 0)
-        .select("doc_id", F.explode(TX.shingles(F.col("text"), 5)).alias("s"))
-    )
-    return (
-        corpus.join(F.broadcast(ev), "s", "left")
-        .groupBy("doc_id")
-        .agg(
-            F.count(F.lit(1)).alias("n_shingles"),
-            F.count("_hit").alias("n_hits"),
-            (F.count("_hit") > 0).alias("contaminated"),
-        )
+    # (Shape extracted to dedup.contamination_flags in round 6 so the
+    # streaming admission gate can compose it; identical expressions.)
+    return contamination_flags(
+        docs.filter(F.col("doc_id") % 97 != 0),
+        docs.filter(F.col("doc_id") % 97 == 0),
+        shingle_k=5,
     )
 
 
@@ -9728,6 +9718,60 @@ QUERIES.update({"q194_training_order": q_training_order})
 ORACLES.update({"q194_training_order": SQL_TRAINING_ORDER})
 QUERIES.update({"q195_sequence_packing": q_sequence_packing})
 ORACLES.update({"q195_sequence_packing": SQL_SEQUENCE_PACKING})
+
+
+def q_packed_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q195 MATERIALIZED: the actual training sequences — every one
+    exactly 128 whitespace tokens (the last shorter), assembled from
+    the document spans that land in it. Each document explodes into
+    one row per sequence it touches (O(docs + tokens/S) rows) carrying
+    a token-array slice computed by pure integer span math; one
+    sequence-keyed aggregation sorts spans by stream offset and
+    concatenates. The OUTPUT STRINGS are hash-gated cross-engine —
+    any off-by-one in the slice bounds, the shuffle order, or the
+    boundary split breaks the match."""
+    from sstable_migrator_spark.operators.packing import pack_sequence_texts
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return pack_sequence_texts(docs, 128, seed=3)
+
+
+SQL_PACKED_SEQUENCES = """
+WITH toks AS (
+  SELECT doc_id,
+         CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
+              ELSE regexp_split_to_array(trim(text), '\\s+') END AS t,
+         CAST(concat('0x', substr(md5('3|' || CAST(doc_id AS VARCHAR)),
+                                  1, 15)) AS BIGINT) AS sk
+  FROM documents
+),
+sized AS (SELECT doc_id, t, sk, len(t) AS n FROM toks WHERE len(t) > 0),
+ranked AS (
+  SELECT doc_id, t, n,
+         SUM(n) OVER (ORDER BY sk, doc_id ROWS UNBOUNDED PRECEDING) AS incl
+  FROM sized
+),
+spans AS (
+  SELECT s.s AS seq_id,
+         (incl - n) + greatest(s.s * 128 - (incl - n), 0) AS pos,
+         greatest(s.s * 128 - (incl - n), 0) AS lo,
+         least(n, (s.s + 1) * 128 - (incl - n)) AS hi,
+         t
+  FROM ranked,
+       LATERAL (SELECT unnest(range(CAST((incl - n) // 128 AS BIGINT),
+                                    CAST((incl - 1) // 128 + 1 AS BIGINT))) AS s) s(s)
+)
+SELECT CAST(seq_id AS BIGINT) AS seq_id,
+       string_agg(array_to_string(t[lo + 1 : hi], ' '), ' ' ORDER BY pos)
+         AS seq_text,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(hi - lo) AS BIGINT) AS n_tokens
+FROM spans GROUP BY seq_id
+"""
+
+
+QUERIES.update({"q196_packed_sequences": q_packed_sequences})
+ORACLES.update({"q196_packed_sequences": SQL_PACKED_SEQUENCES})
 
 
 # ---------------------------------------------------------------------------

@@ -77,15 +77,20 @@ def admit_documents_available_now(
     lm: DataFrame | None = None,
     lm_threshold_q16: int | None = None,
     lm_vocab: int = 256,
+    eval_docs: DataFrame | None = None,
+    eval_shingle_k: int = 5,
 ) -> dict:
     """One drain: judge every newly landed JSONL document against the
     persisted dedup state of the corpus at ``corpus_path`` (exact +
     near-dup; plus the frozen quality model when ``quality_weights``
     is given, plus the perplexity filter when ``lm`` — a frozen
-    ``train_bigram_lm`` table — is given), append the admitted ones,
-    extend the state store, and record every decision under
-    ``corpus_path/_admissions/``. Returns the drain summary
-    ``{judged, admitted}``."""
+    ``train_bigram_lm`` table — is given, plus benchmark
+    decontamination when ``eval_docs`` — the held-out eval set — is
+    given: any arriving document sharing a word shingle with it is
+    rejected at the door, so eval text can never enter the corpus),
+    append the admitted ones, extend the state store, and record every
+    decision under ``corpus_path/_admissions/``. Returns the drain
+    summary ``{judged, admitted}``."""
     from sstable_migrator_spark.operators.dedup import (
         build_dedup_state,
         incremental_dedup,
@@ -96,6 +101,9 @@ def admit_documents_available_now(
     # Freeze the LM table driver-side once per drain: foreachBatch may
     # run it in several micro-batches and the model must not drift.
     lm_frozen = lm.localCheckpoint() if lm is not None else None
+    eval_frozen = (
+        eval_docs.localCheckpoint() if eval_docs is not None else None
+    )
 
     stream = spark.readStream.schema(schema).json(in_path)
     stats = {"judged": 0, "admitted": 0}
@@ -155,16 +163,34 @@ def admit_documents_available_now(
             decisions = decisions.join(pk, "doc_id", "left")
         else:
             decisions = decisions.withColumn("ppl_keep", F.lit(1))
+        if eval_frozen is not None:
+            from sstable_migrator_spark.operators.dedup import (
+                contamination_flags,
+            )
+
+            ck = contamination_flags(
+                batch_df, eval_frozen, shingle_k=eval_shingle_k
+            ).select(
+                "doc_id",
+                (~F.col("contaminated")).cast("int").alias("decon_keep"),
+            )
+            decisions = decisions.join(ck, "doc_id", "left")
+        else:
+            decisions = decisions.withColumn("decon_keep", F.lit(1))
         decisions = decisions.select(
             "doc_id",
             "exact_dup",
             "n_near_dups",
             F.coalesce("quality_keep", F.lit(0)).cast("int").alias("quality_keep"),
             F.coalesce("ppl_keep", F.lit(0)).cast("int").alias("ppl_keep"),
+            # absent from the contamination rollup = produced no
+            # shingles at all = cannot be contaminated -> keep
+            F.coalesce("decon_keep", F.lit(1)).cast("int").alias("decon_keep"),
             (
                 (F.col("admitted") == 1)
                 & (F.coalesce("quality_keep", F.lit(0)) == 1)
                 & (F.coalesce("ppl_keep", F.lit(0)) == 1)
+                & (F.coalesce("decon_keep", F.lit(1)) == 1)
             ).cast("int").alias("admitted"),
         ).localCheckpoint()
 

@@ -106,3 +106,44 @@ def test_no_unpartitioned_window(spark):
         for m in re.finditer(r"Window \[([^\]]*)\], \[([^\]]*)\]", plan):
             partition_spec = m.group(2)
             assert partition_spec.strip(), plan
+
+
+def test_packed_sequence_texts(spark):
+    """Materialized sequences: every sequence but the last has exactly
+    S tokens; concatenating all sequences in seq_id order reproduces
+    the shuffled token stream; doc counts per sequence are right."""
+    from sstable_migrator_spark.operators.packing import pack_sequence_texts
+
+    docs = _docs(spark, 30)
+    S = 16
+    rows = sorted(pack_sequence_texts(docs, S).collect(), key=lambda r: r["seq_id"])
+    assert [r["seq_id"] for r in rows] == list(range(len(rows)))
+    for r in rows[:-1]:
+        assert r["n_tokens"] == S and len(r["seq_text"].split(" ")) == S
+    assert 0 < rows[-1]["n_tokens"] <= S
+
+    # the stream equals the deterministic shuffle order's concatenation
+    order = sorted(
+        deterministic_shuffle(docs).collect(), key=lambda r: r["position"]
+    )
+    stream = []
+    for r in order:
+        stream.extend(r["text"].split())
+    rebuilt = []
+    for r in rows:
+        rebuilt.extend(r["seq_text"].split(" "))
+    assert rebuilt == stream
+    # per-sequence doc counts: number of docs whose span intersects
+    assert sum(r["n_docs"] for r in rows) >= len(order)
+
+
+def test_packed_texts_stable_under_partitioning(spark):
+    from sstable_migrator_spark.operators.packing import pack_sequence_texts
+
+    docs = _docs(spark, 45)
+    a = sorted(tuple(r) for r in pack_sequence_texts(docs, 32).collect())
+    b = sorted(
+        tuple(r)
+        for r in pack_sequence_texts(docs.repartition(9), 32, parts=4).collect()
+    )
+    assert a == b

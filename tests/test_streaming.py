@@ -884,10 +884,15 @@ def test_corpus_admission_quality_and_perplexity_gates(spark, tmp_path):
 
     inbox = tmp_path / "inbox"
     inbox.mkdir()
+    eval_docs = spark.createDataFrame(
+        [(900, "which planet has the largest ring system in the solar system")],
+        "doc_id long, text string",
+    )
     rows = [
         {"doc_id": 1, "text": "the committee approved the annual budget after a public debate"},
         {"doc_id": 2, "text": "casino casino jackpot jackpot click here click here now"},  # quality reject
         {"doc_id": 3, "text": "zq xv kj qq ww zz pp mm nn vv"},  # perplexity reject
+        {"doc_id": 4, "text": "trivia answer the planet has the largest ring system by far"},  # eval-contaminated
     ]
     with open(inbox / "a.jsonl", "w") as fh:
         for r in rows:
@@ -896,12 +901,15 @@ def test_corpus_admission_quality_and_perplexity_gates(spark, tmp_path):
     s = admit_documents_available_now(
         spark, str(inbox), corpus, str(tmp_path / "ckpt"),
         quality_weights=_QM_WEIGHTS, quality_bias=_QM_BIAS, lm=lm,
+        eval_docs=eval_docs,
     )
-    assert s["judged"] == 3 and s["admitted"] == 1
+    assert s["judged"] == 4 and s["admitted"] == 1
     got = {r["doc_id"] for r in spark.read.parquet(corpus).collect()}
     assert got == {1}
     ledger = {r["doc_id"]: r for r in
               spark.read.json(os.path.join(corpus, "_admissions")).collect()}
     assert ledger[2]["quality_keep"] == 0 and ledger[2]["admitted"] == 0
     assert ledger[3]["ppl_keep"] == 0 and ledger[3]["admitted"] == 0
-    assert ledger[1]["quality_keep"] == 1 and ledger[1]["ppl_keep"] == 1
+    assert ledger[4]["decon_keep"] == 0 and ledger[4]["admitted"] == 0
+    assert (ledger[1]["quality_keep"], ledger[1]["ppl_keep"],
+            ledger[1]["decon_keep"]) == (1, 1, 1)
