@@ -406,6 +406,31 @@ def resize_images(
     return media.filter(F.col("kind") == "image").mapInPandas(op, RESIZED_SCHEMA)
 
 
+def _phash_from_gray(g) -> int:
+    """The shared pHash core (image prints, per-frame video prints):
+    32x32 nearest-neighbor resize -> 2-D DCT-II -> 8x8 low-frequency
+    block thresholded at its DC-excluded median -> 64-bit signed int."""
+    import numpy as np
+
+    n = 32
+    h, w = g.shape
+    # nearest-neighbor resize: deterministic integer index math
+    yi = (np.arange(n) * h) // n
+    xi = (np.arange(n) * w) // n
+    small = g[np.ix_(yi, xi)].astype(np.float64)
+    k = np.arange(n)
+    basis = np.cos((2 * k[None, :] + 1) * k[:, None] * np.pi / (2 * n))
+    dct = basis @ small @ basis.T
+    block = dct[:8, :8].flatten()
+    med = np.median(block[1:])  # exclude DC
+    bits = 0
+    for i, v in enumerate(block):
+        if v > med:
+            bits |= 1 << i
+    # two's-complement into a signed 64-bit long for the Spark column
+    return bits - (1 << 64) if bits >= (1 << 63) else bits
+
+
 def image_phash(media: DataFrame, real_decode: bool = True) -> DataFrame:
     """64-bit perceptual hash per image — the pHash recipe: decode ->
     ITU-R 601 grayscale -> 32x32 nearest-neighbor resize -> 2-D DCT-II
@@ -424,24 +449,7 @@ def image_phash(media: DataFrame, real_decode: bool = True) -> DataFrame:
     import numpy as np
     import pandas as pd
 
-    def _phash_gray(g: "np.ndarray") -> int:
-        n = 32
-        h, w = g.shape
-        # nearest-neighbor resize: deterministic integer index math
-        yi = (np.arange(n) * h) // n
-        xi = (np.arange(n) * w) // n
-        small = g[np.ix_(yi, xi)].astype(np.float64)
-        k = np.arange(n)
-        basis = np.cos((2 * k[None, :] + 1) * k[:, None] * np.pi / (2 * n))
-        dct = basis @ small @ basis.T
-        block = dct[:8, :8].flatten()
-        med = np.median(block[1:])  # exclude DC
-        bits = 0
-        for i, v in enumerate(block):
-            if v > med:
-                bits |= 1 << i
-        # two's-complement into a signed 64-bit long for the Spark column
-        return bits - (1 << 64) if bits >= (1 << 63) else bits
+    _phash_gray = _phash_from_gray
 
     def op(batches):
         from sstable_migrator_spark.functions.imagecodec import decode_image
@@ -582,3 +590,128 @@ def audio_near_dup_pairs(
         ah, hash_col="aphash", id_col="media_id",
         bits=64, bands=bands, max_hamming=max_hamming,
     )
+
+
+def video_phash(
+    media: DataFrame, n_frames: int = 3, real_decode: bool = True
+) -> DataFrame:
+    """Per-slot perceptual prints for video — the triad's third leg:
+    decode (GIF89a / AVI via the from-scratch codecs), sample
+    ``n_frames`` frames at deterministic relative positions
+    (``idx = slot * (F - 1) // (n_frames - 1)`` — first/.../last; every
+    slot of a single-frame video is frame 0), grayscale each sampled
+    frame, and pHash it with the SAME core the image prints use.
+    Returns ``(media_id, slot, vphash)`` — one 64-bit print per slot,
+    so two videos compare slot-by-slot (robust to re-encoding; cuts and
+    re-edits diverge in the slots they change). Arrow-batched
+    mapInPandas over ``kind == "video"`` rows; with
+    ``real_decode=False`` a deterministic fake gray frame per slot
+    keeps the plumbing testable without codecs."""
+    import numpy as np
+    import pandas as pd
+
+    if n_frames < 1:
+        raise ValueError(f"n_frames must be >= 1, got {n_frames}")
+
+    def op(batches):
+        from sstable_migrator_spark.functions.gifcodec import decode_gif
+
+        for pdf in batches:
+            out = []
+            for mid, kind, payload in zip(
+                pdf["media_id"], pdf["kind"], pdf["payload"]
+            ):
+                if kind != "video":
+                    continue
+                b = bytes(payload or b"")
+                if real_decode:
+                    if b[:6] in (b"GIF89a", b"GIF87a"):
+                        frames = decode_gif(b)
+                    elif b[:4] == b"RIFF" and b[8:12] == b"AVI ":
+                        from sstable_migrator_spark.functions.avicodec import (
+                            decode_avi,
+                        )
+
+                        frames = decode_avi(b)
+                    else:
+                        raise DecoderUnavailable(
+                            "video prints decode animated GIF and AVI only; "
+                            "other containers are stubbed"
+                        )
+                    nf = len(frames)
+                    for slot in range(n_frames):
+                        idx = (
+                            slot * (nf - 1) // (n_frames - 1)
+                            if n_frames > 1
+                            else 0
+                        )
+                        px = frames[idx]["pixels"]
+                        gray = (
+                            0.299 * px[:, :, 0]
+                            + 0.587 * px[:, :, 1]
+                            + 0.114 * px[:, :, 2]
+                        )
+                        out.append(
+                            {
+                                "media_id": int(mid),
+                                "slot": slot,
+                                "vphash": _phash_from_gray(gray),
+                            }
+                        )
+                else:
+                    import hashlib as _hl
+
+                    for slot in range(n_frames):
+                        seed = np.frombuffer(
+                            _hl.sha256(b + bytes([slot])).digest() * 128,
+                            dtype=np.uint8,
+                        )[: 64 * 64]
+                        gray = seed.reshape(64, 64).astype(np.float64)
+                        out.append(
+                            {
+                                "media_id": int(mid),
+                                "slot": slot,
+                                "vphash": _phash_from_gray(gray),
+                            }
+                        )
+            if out:
+                yield pd.DataFrame(out)
+
+    return media.mapInPandas(op, "media_id long, slot int, vphash long")
+
+
+def video_near_dup_pairs(
+    media: DataFrame,
+    n_frames: int = 3,
+    max_hamming: int = 7,
+    bands: int = 8,
+    real_decode: bool = True,
+) -> DataFrame:
+    """Near-duplicate video pairs: EVERY sampled slot must land within
+    ``max_hamming`` (the strict-AND composition — one re-edited slot
+    disqualifies the pair, which is what training-data video dedup
+    wants; loosen by lowering ``n_frames``). One exact banded-hamming
+    join per slot (a small fixed constant), inner-joined on the pair —
+    only (id, long) rows shuffle. Returns ``(id_a, id_b, hamming)``
+    with hamming = the WORST slot's distance."""
+    from sstable_migrator_spark.operators.dedup import hamming_near_dup_pairs
+
+    vp = video_phash(media, n_frames=n_frames, real_decode=real_decode)
+    vp = vp.localCheckpoint()
+    pairs = None
+    for slot in range(n_frames):
+        p = hamming_near_dup_pairs(
+            vp.filter(F.col("slot") == slot).select("media_id", "vphash"),
+            hash_col="vphash",
+            id_col="media_id",
+            bits=64,
+            bands=bands,
+            max_hamming=max_hamming,
+        ).withColumnRenamed("hamming", f"_h{slot}")
+        pairs = p if pairs is None else pairs.join(p, ["id_a", "id_b"])
+    worst = (
+        F.col("_h0")
+        if n_frames == 1
+        else F.greatest(*[F.col(f"_h{s}") for s in range(n_frames)])
+    )
+    return pairs.select("id_a", "id_b", worst.cast("int").alias("hamming"))

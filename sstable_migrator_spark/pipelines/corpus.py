@@ -25,7 +25,7 @@ from sstable_migrator_spark.functions import text as TX
 from sstable_migrator_spark.functions.pii import redact_pii
 from sstable_migrator_spark.operators import analytics, dedup
 
-__all__ = ["quality_score", "build_training_corpus"]
+__all__ = ["quality_score", "build_training_corpus", "export_packed_sequences"]
 
 
 def quality_score(text_col) -> "F.Column":
@@ -176,3 +176,62 @@ def build_training_corpus(
     counts = {k: int(o.get["n"]) for k, o in obs.items()}
     counts["near_dup_kept"] = counts["exact"] - n_losers
     return counts
+
+
+def export_packed_sequences(
+    docs: DataFrame,
+    out_dir: str,
+    seq_tokens: int = 2048,
+    seed: int = 0,
+    rows_per_shard: int = 10000,
+    shard_format: str = "parquet",
+    portable: bool = True,
+) -> dict:
+    """The TRAINER-FACING export: curated documents -> materialized
+    fixed-token training sequences (operators/packing.pack_sequence_
+    texts: reproducible shuffle by ``seed``, concat-and-chunk, every
+    sequence but the last exactly ``seq_tokens`` tokens) -> shards in
+    stream order. ``shard_format="parquet"``: range-partitioned and
+    sorted by seq_id, so shard k holds a contiguous slice of the
+    training stream and a dataloader reads shards sequentially with no
+    global sort. ``"tar"``: WebDataset shards with zero-padded
+    ``seq-<id>`` keys (lexical order == stream order) and a .txt
+    member per sequence. Returns ``{sequences, tokens}``.
+
+    Epochs: re-export with a new seed, or (cheaper) keep one export
+    and reshuffle SHARD order + intra-shard order trainer-side — the
+    standard trade; this function gives the exact-stream form."""
+    from sstable_migrator_spark.operators.packing import pack_sequence_texts
+
+    seqs = pack_sequence_texts(
+        docs, seq_tokens, seed=seed, portable=portable
+    ).localCheckpoint()
+    agg = seqs.agg(
+        F.count(F.lit(1)).alias("n"), F.sum("n_tokens").alias("t")
+    ).first()
+    if shard_format == "parquet":
+        (
+            seqs.repartitionByRange(F.col("seq_id"))
+            .sortWithinPartitions("seq_id")
+            .write.mode("overwrite")
+            .parquet(out_dir)
+        )
+    elif shard_format == "tar":
+        from sstable_migrator_spark.sinks.tarshard import write_tar_shards
+
+        tagged = (
+            seqs.repartitionByRange(F.col("seq_id"))
+            .sortWithinPartitions("seq_id")
+            .select(
+                F.concat(
+                    F.lit("seq-"), F.lpad(F.col("seq_id").cast("string"), 12, "0")
+                ).alias("_key"),
+                F.col("seq_text").alias("txt"),
+            )
+        )
+        write_tar_shards(
+            tagged, out_dir, "_key", ["txt"], max_rows_per_shard=rows_per_shard
+        )
+    else:
+        raise ValueError(f"unknown shard_format {shard_format!r}")
+    return {"sequences": int(agg["n"]), "tokens": int(agg["t"] or 0)}

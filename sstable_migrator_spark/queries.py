@@ -9774,6 +9774,79 @@ QUERIES.update({"q196_packed_sequences": q_packed_sequences})
 ORACLES.update({"q196_packed_sequences": SQL_PACKED_SEQUENCES})
 
 
+def q_video_phash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual VIDEO near-dup mining, ORACLE-GATED — the triad's
+    third leg (image q191, audio q192): per sampled doc, a 3-frame
+    16x16 video (distinct md5(doc_id|frame|i) blocks per frame) and its
+    2x PIXEL-REPLICATED twin are both encoded LOSSLESSLY (AVI/DIB,
+    the from-scratch container codec), decoded, per-slot pHashed
+    (first/middle/last frame through the shared DCT print core), and
+    pair-mined with one banded-hamming join per slot under strict-AND
+    composition. Pixel replication resizes every frame to the identical
+    32x32 grid, so each (d, d+100000) pair is hamming 0 on EVERY slot —
+    the oracle enumerates that pair set arithmetically. Gates the AVI
+    container walk, the DIB row order/stride, frame sampling index
+    math, and the print in one hash."""
+    import hashlib
+
+    from sstable_migrator_spark.operators.multimodal import video_near_dup_pairs
+
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 11 == 0)
+        .select("doc_id")
+    )
+
+    def mk(batches):
+        import numpy as np
+        import pandas as pd
+
+        from sstable_migrator_spark.functions import avicodec as AV
+
+        for pdf in batches:
+            out = []
+            for did in pdf["doc_id"]:
+                d = int(did)
+                frames, big = [], []
+                for fi in range(3):
+                    pat = b"".join(
+                        hashlib.md5(f"{d}|{fi}|{i}".encode()).digest()
+                        for i in range(48)
+                    )
+                    px = np.frombuffer(pat, dtype=np.uint8).reshape(16, 16, 3)
+                    frames.append(px)
+                    big.append(np.repeat(np.repeat(px, 2, axis=0), 2, axis=1))
+                out.append(
+                    {"media_id": d, "kind": "video",
+                     "payload": AV.encode_avi_dib(frames)}
+                )
+                out.append(
+                    {"media_id": d + 100000, "kind": "video",
+                     "payload": AV.encode_avi_dib(big)}
+                )
+            if out:
+                yield pd.DataFrame(out)
+
+    media = docs.mapInPandas(mk, "media_id long, kind string, payload binary")
+    return video_near_dup_pairs(media, n_frames=3, max_hamming=7, bands=8).select(
+        F.col("id_a").cast("long").alias("id_a"),
+        F.col("id_b").cast("long").alias("id_b"),
+        F.col("hamming").cast("int").alias("hamming"),
+    )
+
+
+SQL_VIDEO_PHASH_PAIRS = """
+SELECT doc_id AS id_a,
+       doc_id + 100000 AS id_b,
+       CAST(0 AS INT) AS hamming
+FROM documents WHERE doc_id % 11 = 0
+"""
+
+
+QUERIES.update({"q197_video_phash_pairs": q_video_phash_pairs})
+ORACLES.update({"q197_video_phash_pairs": SQL_VIDEO_PHASH_PAIRS})
+
+
 # ---------------------------------------------------------------------------
 # Driver-sample ordering.
 #

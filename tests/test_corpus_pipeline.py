@@ -78,3 +78,55 @@ def test_tar_shard_format(spark, tmp_path, sf_dir):
     a = sorted(r["txt"] for r in back.collect())
     b = sorted(r["chunk_text"] for r in pq.collect())
     assert a == b
+
+
+def test_export_packed_sequences_parquet_and_tar(spark, tmp_path):
+    """Trainer-facing export: sequences land in stream order; the tar
+    form round-trips with lexical keys == stream order; rebuilt stream
+    equals the deterministic shuffle's concatenation."""
+    from pyspark.sql import functions as F
+
+    from sstable_migrator_spark.operators.packing import deterministic_shuffle
+    from sstable_migrator_spark.pipelines.corpus import export_packed_sequences
+    from sstable_migrator_spark.sinks.tarshard import read_tar_shards
+
+    docs = spark.range(25).select(
+        F.col("id").alias("doc_id"),
+        F.concat(
+            F.lit("doc"), F.col("id").cast("string"),
+            F.expr("repeat(' tok', CAST(id % 9 AS INT) + 1)")
+        ).alias("text"),
+    )
+    S = 16
+    out = str(tmp_path / "pq")
+    meta = export_packed_sequences(docs, out, seq_tokens=S, seed=2)
+    back = spark.read.parquet(out).orderBy("seq_id").collect()
+    assert len(back) == meta["sequences"]
+    assert sum(r["n_tokens"] for r in back) == meta["tokens"]
+    for r in back[:-1]:
+        assert r["n_tokens"] == S
+
+    order = sorted(
+        deterministic_shuffle(docs, seed=2).collect(), key=lambda r: r["position"]
+    )
+    want = []
+    for r in order:
+        want.extend(r["text"].split())
+    got = []
+    for r in back:
+        got.extend(r["seq_text"].split(" "))
+    assert got == want
+
+    tard = str(tmp_path / "tar")
+    export_packed_sequences(docs, tard, seq_tokens=S, seed=2, shard_format="tar")
+    rows = read_tar_shards(spark, tard, "_key", ["txt"]).collect()
+    by_key = {r["_key"]: r["txt"] for r in rows}
+    assert len(by_key) == meta["sequences"]
+    rebuilt = []
+    for k in sorted(by_key):  # lexical == stream order (zero-padded)
+        rebuilt.extend(by_key[k].split(" "))
+    assert rebuilt == want
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="shard_format"):
+        export_packed_sequences(docs, str(tmp_path / "x"), shard_format="zip")

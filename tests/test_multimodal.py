@@ -243,3 +243,86 @@ def test_audio_phash_near_dup_pairs(spark):
     again = {r["media_id"]: r["aphash"]
              for r in audio_phash(media.repartition(3)).collect()}
     assert again == hashes
+
+
+def test_video_phash_near_dup_pairs(spark):
+    """Triad leg 3: a LOSSLESS AVI/DIB re-encode of the same frames and
+    a 2x pixel-replicated enlargement pair at hamming 0 on every slot;
+    a re-edited video (one replaced frame) fails the strict-AND; an
+    unrelated video never pairs. GIF and AVI containers both decode."""
+    import numpy as np
+
+    from sstable_migrator_spark.functions.avicodec import encode_avi_dib
+    from sstable_migrator_spark.functions.gifcodec import encode_gif
+    from sstable_migrator_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        video_near_dup_pairs,
+        video_phash,
+    )
+
+    h, w = 32, 40
+
+    def blocky(seed):
+        rng = np.random.RandomState(seed)
+        coarse = rng.randint(30, 226, size=(8, 8))
+        c = np.kron(coarse, np.ones((8, 8), dtype=int))[:h, :w].astype(np.uint8)
+        return np.stack([c, c, c], axis=2)
+
+    frames = [blocky(1), blocky(2), blocky(3)]
+    big = [np.repeat(np.repeat(f, 2, axis=0), 2, axis=1) for f in frames]
+    reedit = [frames[0], blocky(99), frames[2]]  # middle frame replaced
+    other = [blocky(7), blocky(8), blocky(9)]
+
+    rows = [
+        (0, "video", bytearray(encode_avi_dib(frames)), (w, h, 300, "dib")),
+        (1, "video", bytearray(encode_avi_dib(frames)), (w, h, 300, "dib")),   # re-encode
+        (2, "video", bytearray(encode_avi_dib(big)), (2 * w, 2 * h, 300, "dib")),  # 2x
+        (3, "video", bytearray(encode_avi_dib(reedit)), (w, h, 300, "dib")),
+        (4, "video", bytearray(encode_avi_dib(other)), (w, h, 300, "dib")),
+        (5, "image", bytearray(b"\x89PNG"), (0, 0, 0, "png")),  # ignored
+    ]
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+    ph = video_phash(media, n_frames=3).collect()
+    by = {(r["media_id"], r["slot"]): r["vphash"] for r in ph}
+    assert {m for m, _s in by} == {0, 1, 2, 3, 4}
+    for s in range(3):
+        assert by[(0, s)] == by[(1, s)] == by[(2, s)]  # re-encode + 2x: identical
+    assert by[(0, 1)] != by[(3, 1)]                    # the edited slot differs
+
+    pairs = {(r["id_a"], r["id_b"]): r["hamming"]
+             for r in video_near_dup_pairs(media, n_frames=3).collect()}
+    assert pairs[(0, 1)] == 0 and pairs[(0, 2)] == 0 and pairs[(1, 2)] == 0
+    assert (0, 3) not in pairs and (0, 4) not in pairs  # strict-AND holds
+
+    # GIF container path decodes through the same print
+    gif_frames = [f.copy() for f in frames]
+    gmedia = spark.createDataFrame(
+        [(10, "video", bytearray(encode_gif(gif_frames)), (w, h, 300, "gif")),
+         (11, "video", bytearray(encode_avi_dib(frames)), (w, h, 300, "dib"))],
+        MEDIA_SCHEMA,
+    )
+    gph = {(r["media_id"], r["slot"]): r["vphash"]
+           for r in video_phash(gmedia, n_frames=3).collect()}
+    for s in range(3):
+        assert gph[(10, s)] == gph[(11, s)]  # lossless either way
+
+
+def test_video_phash_fake_path_and_validation(spark):
+    import pytest as _pytest
+
+    from sstable_migrator_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        video_phash,
+    )
+
+    media = spark.createDataFrame(
+        [(0, "video", bytearray(b"abc"), (0, 0, 0, "fake")),
+         (1, "video", bytearray(b"abd"), (0, 0, 0, "fake"))],
+        MEDIA_SCHEMA,
+    )
+    got = {(r["media_id"], r["slot"]): r["vphash"]
+           for r in video_phash(media, n_frames=2, real_decode=False).collect()}
+    assert len(got) == 4
+    with _pytest.raises(ValueError):
+        video_phash(media, n_frames=0)
