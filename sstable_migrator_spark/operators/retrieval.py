@@ -167,12 +167,11 @@ def write_postings_index(
     from sstable_migrator_spark.functions import text as TX
 
     post = build_postings(docs, text_col=text_col, id_col=id_col)
-    n, t = (
-        post.select("doc", "dl")
-        .distinct()
-        .agg(F.count(F.lit(1)), F.sum("dl"))
-        .first()
-    )
+    # Write FIRST, derive the corpus constants from the written index:
+    # computing stats off the logical postings plan would re-run the
+    # whole tokenize+aggregate pass a second time (the index write IS
+    # that pass); reading (doc, dl) back from the compact parquet is a
+    # column-pruned scan of the index instead of a corpus pass.
     (
         post.withColumn("pb", TX.hash64(F.col("term"), seed=_PB_SEED) % n_buckets)
         .repartition("pb")
@@ -180,7 +179,15 @@ def write_postings_index(
         .partitionBy("pb")
         .parquet(path)
     )
-    stats = docs.sparkSession.createDataFrame(
+    spark = docs.sparkSession
+    n, t = (
+        spark.read.parquet(path)
+        .select("doc", "dl")
+        .distinct()
+        .agg(F.count(F.lit(1)), F.sum("dl"))
+        .first()
+    )
+    stats = spark.createDataFrame(
         [(int(n), int(t or 0), int(n_buckets))], "n long, t long, n_buckets int"
     )
     stats.coalesce(1).write.mode("overwrite").parquet(

@@ -9973,7 +9973,15 @@ _DRIVER_PRIORITY: list[str] = [
     # pairs by construction; q192 audio sibling is local-harness)
     "q191_image_phash_pairs",
     "q79_decontaminate",
-    "q83_semdedup",
+    # q83_semdedup rotated to local-harness coverage in round 6 (the
+    # embedding-similarity family keeps in-head driver evidence via
+    # q55_ann_lsh and q165_ann_recall, which exercise the same
+    # embedding distance/bucketing machinery); the slot carries the
+    # materialized packed-sequence export — the training-order
+    # family's flagship (its q194/q195 siblings are local-harness):
+    # the output STRINGS gate the shuffle, prefix sum, and span math
+    # in one hash
+    "q196_packed_sequences",
     "q132_prefix_jaccard",
     # q136_containment_pairs rotated to local-harness coverage in round 4
     # (set-similarity pair mining keeps driver evidence via q132); the
