@@ -985,6 +985,89 @@ def winnow_pairs(
     )
 
 
+def strip_duplicated_spans(
+    docs: DataFrame,
+    k: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """ExactSubstr REMOVAL (Lee et al. 2022's dedup-by-deletion — the
+    treatment q138's pair miner only detects): every token position
+    covered by a verbatim ``k``-token window that occurs >= 2 times in
+    the corpus (across documents OR repeated within one) is DELETED;
+    the survivors re-join into the cleaned text. Returns
+    ``(id, clean_text, n_tokens, n_removed)`` over the
+    lowercase/whitespace-normalized token stream (the same stream the
+    window keys hash — the oracle mirrors it; callers wanting original
+    casing apply the positions to their own tokenization).
+
+    Plan: one window explode keyed by md5 of the window TEXT
+    (content-keyed — no hash-function parity needed), one count
+    aggregation to find duplicated keys, one join back to mark
+    duplicated starts, one per-doc rollup of those starts (bounded by
+    the doc's own window count), then pure array expressions rebuild
+    the text map-side: coverage = union of [start, start+k) intervals,
+    kept = tokens whose position escapes it. Shuffles carry 16-byte
+    keys + ids only; per-doc state is O(doc length). The in-doc filter
+    is O(n x covered) linear scans — fine for real documents; a
+    pathological single doc with ~10^6 duplicated windows would want
+    the merged-interval mapInPandas form instead."""
+    if k < 2:
+        raise ValueError(f"k must be >= 2, got {k}")
+    toks = TX.tokens(F.lower(F.col(text_col)))
+    staged = docs.select(
+        F.col(id_col), toks.alias("_tk")
+    ).withColumn("_n", F.size("_tk").cast("long"))
+    win_starts = F.when(
+        F.col("_n") >= k, F.sequence(F.lit(1), (F.col("_n") - (k - 1)).cast("int"))
+    ).otherwise(F.array().cast("array<int>"))
+    wins = staged.select(
+        F.col(id_col),
+        F.explode(win_starts).alias("start"),
+        F.col("_tk"),
+    ).select(
+        id_col,
+        "start",
+        F.md5(
+            F.array_join(F.slice("_tk", F.col("start"), k), " ")
+        ).alias("wkey"),
+    )
+    dup_keys = (
+        wins.groupBy("wkey")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .filter(F.col("c") >= 2)
+        .select("wkey")
+    )
+    dup_starts = (
+        wins.join(dup_keys, "wkey")
+        .groupBy(id_col)
+        .agg(F.collect_list("start").alias("_starts"))
+    )
+    covered = F.array_distinct(
+        F.flatten(
+            F.transform(
+                F.coalesce("_starts", F.array().cast("array<int>")),
+                lambda s: F.sequence(s, s + (k - 1)),
+            )
+        )
+    )
+    kept = F.filter(
+        F.col("_tk"),
+        lambda x, i: ~F.array_contains(F.col("_cov"), i + 1),
+    )
+    return (
+        staged.join(dup_starts, id_col, "left")
+        .withColumn("_cov", covered)
+        .withColumn("_kept", kept)
+        .select(
+            id_col,
+            F.array_join("_kept", " ").alias("clean_text"),
+            F.col("_n").alias("n_tokens"),
+            (F.col("_n") - F.size("_kept")).cast("long").alias("n_removed"),
+        )
+    )
+
+
 def contamination_flags(
     docs: DataFrame,
     eval_docs: DataFrame,

@@ -9847,6 +9847,82 @@ QUERIES.update({"q197_video_phash_pairs": q_video_phash_pairs})
 ORACLES.update({"q197_video_phash_pairs": SQL_VIDEO_PHASH_PAIRS})
 
 
+def q_strip_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ExactSubstr REMOVAL (Lee et al. 2022) — the deletion treatment
+    q138's pair miner only detects: every token position covered by a
+    verbatim 8-token window occurring >= 2 times in the corpus is cut,
+    and the cleaned text is hash-gated STRING-FOR-STRING. Fixture
+    plants a 9-token boilerplate prefix on 60 synthetic rows (ids
+    +5000): the shared prefix must vanish from every planted row while
+    each row's unique tail survives; the base documents keep whatever
+    natural repeats they have (the oracle computes the same set).
+    Plan: window explode keyed by content md5, one duplicate-key agg,
+    one join back, per-doc rollup, map-side array rebuild."""
+    from sstable_migrator_spark.operators.dedup import strip_duplicated_spans
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    planted = docs.filter(F.col("doc_id") < 60).select(
+        (F.col("doc_id") + 5000).alias("doc_id"),
+        F.concat(
+            F.lit(
+                "all rights reserved copyright acme corporation "
+                "international document number "
+            ),
+            F.col("doc_id").cast("string"),
+        ).alias("text"),
+    )
+    return strip_duplicated_spans(docs.unionByName(planted), k=8)
+
+
+SQL_STRIP_SPANS = """
+WITH src AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 5000,
+         'all rights reserved copyright acme corporation international document number '
+           || CAST(doc_id AS VARCHAR)
+  FROM documents WHERE doc_id < 60
+),
+w AS (
+  SELECT doc_id,
+         CASE WHEN length(trim(lower(text))) = 0 THEN []
+              ELSE regexp_split_to_array(trim(lower(text)), '\\s+') END AS tk
+  FROM src),
+s AS (SELECT doc_id, tk, len(tk) AS n FROM w),
+wins AS (
+  SELECT doc_id, CAST(k.i AS INT) AS start,
+         md5(array_to_string(tk[CAST(k.i AS INT):CAST(k.i + 7 AS INT)], ' ')) AS wkey
+  FROM s, LATERAL unnest(range(1, CAST(n - 6 AS BIGINT))) AS k(i)
+  WHERE n >= 8),
+dup AS (SELECT wkey FROM wins GROUP BY wkey HAVING count(*) >= 2),
+cov AS (
+  SELECT DISTINCT wins.doc_id, CAST(p.p AS INT) AS pos
+  FROM wins JOIN dup USING (wkey),
+       LATERAL unnest(range(CAST(start AS BIGINT),
+                            CAST(start + 8 AS BIGINT))) AS p(p)),
+toks AS (
+  SELECT doc_id, tk[CAST(p.i AS INT)] AS tok, CAST(p.i AS INT) AS pos
+  FROM s, LATERAL unnest(range(1, CAST(n + 1 AS BIGINT))) AS p(i)),
+keptagg AS (
+  SELECT t.doc_id,
+         string_agg(t.tok, ' ' ORDER BY t.pos) AS clean_text,
+         count(*) AS n_kept
+  FROM toks t
+  LEFT JOIN cov c ON t.doc_id = c.doc_id AND t.pos = c.pos
+  WHERE c.pos IS NULL
+  GROUP BY t.doc_id)
+SELECT s.doc_id,
+       COALESCE(k.clean_text, '') AS clean_text,
+       CAST(s.n AS BIGINT) AS n_tokens,
+       CAST(s.n - COALESCE(k.n_kept, 0) AS BIGINT) AS n_removed
+FROM s LEFT JOIN keptagg k USING (doc_id)
+"""
+
+
+QUERIES.update({"q198_strip_spans": q_strip_spans})
+ORACLES.update({"q198_strip_spans": SQL_STRIP_SPANS})
+
+
 # ---------------------------------------------------------------------------
 # Driver-sample ordering.
 #

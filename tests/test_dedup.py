@@ -496,3 +496,39 @@ def test_leakage_safe_split_invariant(spark):
     assert n["train"] + n["valid"] + n["test"] == 200
     with _pytest.raises(ValueError):
         leakage_safe_split(docs, pairs, train_pct=90, valid_pct=10)
+
+
+def test_strip_duplicated_spans(spark):
+    """ExactSubstr deletion: corpus-repeated k-windows vanish from
+    every occurrence (cross-doc AND within-doc), unique text survives
+    verbatim, short/empty docs pass through, k validates."""
+    import pytest as _pytest
+
+    from sstable_migrator_spark.operators.dedup import strip_duplicated_spans
+
+    boiler = "all rights reserved copyright twenty twenty four acme corp"  # 9 toks
+    docs = spark.createDataFrame(
+        [
+            (1, "unique article about glaciers " + boiler),
+            (2, "another piece on volcanoes " + boiler + " trailing words here"),
+            (3, "totally original content with no repeats whatsoever in it"),
+            (4, "short"),
+            (5, ""),
+            (6, " ".join(["loop"] * 16)),  # within-doc repetition
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in strip_duplicated_spans(docs, k=8).collect()}
+    assert got[1]["clean_text"] == "unique article about glaciers"
+    assert got[1]["n_removed"] == 9
+    assert got[2]["clean_text"] == "another piece on volcanoes trailing words here"
+    assert got[2]["n_removed"] == 9
+    assert got[3]["n_removed"] == 0 and got[3]["clean_text"].startswith("totally")
+    assert got[4] ["n_removed"] == 0 and got[5]["n_removed"] == 0
+    assert got[6]["clean_text"] == "" and got[6]["n_removed"] == 16
+    # partitioning-proof
+    again = {r["doc_id"]: tuple(r)
+             for r in strip_duplicated_spans(docs.repartition(7), k=8).collect()}
+    assert again == {k: tuple(v) for k, v in got.items()}
+    with _pytest.raises(ValueError):
+        strip_duplicated_spans(docs, k=1)
