@@ -45,7 +45,12 @@ from pyspark.sql import functions as F
 from sstable_migrator_spark.functions import text as TX
 from sstable_migrator_spark.operators.analytics import global_prefix_sum
 
-__all__ = ["deterministic_shuffle", "pack_sequences", "pack_sequence_texts"]
+__all__ = [
+    "deterministic_shuffle",
+    "pack_sequences",
+    "pack_sequence_texts",
+    "systematic_sample",
+]
 
 _SHUFFLE_SEED_NS = "shuffle"
 
@@ -222,4 +227,62 @@ def pack_sequence_texts(
             "n_docs",
             F.size("_toks").cast("long").alias("n_tokens"),
         )
+    )
+
+
+def systematic_sample(
+    docs: DataFrame,
+    weight_col: str,
+    n: int,
+    seed: int = 0,
+    id_col: str = "doc_id",
+    parts: int | None = None,
+    portable: bool = True,
+) -> DataFrame:
+    """Weighted SYSTEMATIC sampling — "give me exactly n draws from the
+    corpus, probability proportional to weight, reproducibly": lay the
+    positive-integer-weighted documents along a stream in
+    hash-shuffled order (same recipe as ``deterministic_shuffle``, so
+    the draw is a pure function of (corpus, seed)) and take the n
+    midpoint grid points ``p_j = ((2j+1) * T) div (2n)`` over the
+    total weight T. A document is drawn once per grid point inside its
+    weight interval ``[excl, incl)`` — computed CLOSED-FORM per row as
+    ``picks(incl) - picks(excl)`` with
+    ``picks(x) = clamp(ceil((2nx - T) / 2T), 0, n)``, pure BIGINT
+    arithmetic (no per-point explode, no float). Exactly n draws total
+    (test-pinned); a document heavier than T/n can absorb several
+    (reported via ``n_picks``, never duplicated into rows). Returns
+    the drawn documents' ``(id, <weight_col>, n_picks)``.
+
+    This is the corpus-subsampling form ("a 10B-token sample weighted
+    by quality") of the same two-phase prefix sum the shuffle and the
+    packers ride: one range exchange, O(partitions) driver state —
+    variance-free systematic draws, unlike independent Bernoulli
+    sampling whose realized size wobbles by O(sqrt(n))."""
+    if n < 1:
+        raise ValueError(f"n must be >= 1, got {n}")
+    df = (
+        docs.filter(F.col(weight_col) > 0)
+        .withColumn("_sk", _shuffle_key(id_col, seed, portable))
+    )
+    ranked, total = global_prefix_sum(
+        df, ["_sk", id_col], weight_col, out_col="_incl", parts=parts
+    )
+    if total <= 0:
+        raise ValueError("no positive weights to sample from")
+
+    def picks(x):
+        a = (F.lit(2 * n) * x - F.lit(total)).cast("long")
+        ceil_div = F.call_function(
+            "div", a + F.lit(2 * total - 1), F.lit(2 * total)
+        )
+        return F.when(a <= 0, F.lit(0)).otherwise(
+            F.least(F.lit(n).cast("long"), ceil_div)
+        )
+
+    excl = (F.col("_incl") - F.col(weight_col)).cast("long")
+    return (
+        ranked.withColumn("n_picks", (picks(F.col("_incl")) - picks(excl)).cast("long"))
+        .filter(F.col("n_picks") >= 1)
+        .select(id_col, weight_col, "n_picks")
     )

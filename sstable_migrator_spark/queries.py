@@ -9923,6 +9923,56 @@ QUERIES.update({"q198_strip_spans": q_strip_spans})
 ORACLES.update({"q198_strip_spans": SQL_STRIP_SPANS})
 
 
+def q_systematic_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted systematic sampling — exactly 100 reproducible draws
+    from the documents corpus, probability proportional to token
+    count: midpoint grid points over the hash-shuffled weighted stream,
+    draws per document computed CLOSED-FORM from its prefix-sum
+    interval (picks(incl) - picks(excl), pure BIGINT — no per-point
+    explode, no float, no Bernoulli size wobble). The draw is a pure
+    function of (corpus, seed); the oracle replays it with a window
+    prefix sum and the same integer formula."""
+    from sstable_migrator_spark.operators.packing import systematic_sample
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", TX.token_count(F.col("text")).cast("long").alias("w")
+    )
+    return systematic_sample(docs, "w", n=100, seed=3)
+
+
+SQL_SYSTEMATIC_SAMPLE = """
+WITH wdocs AS (
+  SELECT doc_id,
+         CASE WHEN length(trim(text)) = 0 THEN 0
+              ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS w,
+         CAST(concat('0x', substr(md5('3|' || CAST(doc_id AS VARCHAR)),
+                                  1, 15)) AS BIGINT) AS sk
+  FROM documents
+),
+pos AS (SELECT doc_id, CAST(w AS BIGINT) AS w, sk FROM wdocs WHERE w > 0),
+ranked AS (
+  SELECT doc_id, w,
+         SUM(w) OVER (ORDER BY sk, doc_id ROWS UNBOUNDED PRECEDING) AS incl,
+         SUM(w) OVER () AS t
+  FROM pos
+),
+picked AS (
+  SELECT doc_id, w,
+         CAST((CASE WHEN 200 * incl - t <= 0 THEN 0
+                    ELSE least(100, (200 * incl - t + 2 * t - 1) // (2 * t)) END)
+            - (CASE WHEN 200 * (incl - w) - t <= 0 THEN 0
+                    ELSE least(100, (200 * (incl - w) - t + 2 * t - 1) // (2 * t)) END)
+           AS BIGINT) AS n_picks
+  FROM ranked
+)
+SELECT doc_id, w, n_picks FROM picked WHERE n_picks >= 1
+"""
+
+
+QUERIES.update({"q199_systematic_sample": q_systematic_sample})
+ORACLES.update({"q199_systematic_sample": SQL_SYSTEMATIC_SAMPLE})
+
+
 # ---------------------------------------------------------------------------
 # Driver-sample ordering.
 #

@@ -147,3 +147,43 @@ def test_packed_texts_stable_under_partitioning(spark):
         for r in pack_sequence_texts(docs.repartition(9), 32, parts=4).collect()
     )
     assert a == b
+
+
+def test_systematic_sample_exact_n_and_weighting(spark):
+    """Exactly n draws, every draw lands where the weight is: a doc
+    heavier than T/n absorbs multiple picks; zero-weight docs never
+    appear; same (corpus, seed) -> same draw under any partitioning;
+    different seeds draw differently."""
+    from sstable_migrator_spark.operators.packing import systematic_sample
+
+    docs = spark.range(200).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") == 7, 5000)
+        .when(F.col("id") % 3 == 0, 0)
+        .otherwise((F.col("id") % 13) + 1)
+        .cast("long")
+        .alias("w"),
+    )
+    n = 40
+    got = systematic_sample(docs, "w", n, seed=1).collect()
+    assert sum(r["n_picks"] for r in got) == n
+    by = {r["doc_id"]: r["n_picks"] for r in got}
+    assert all(docs.filter(F.col("doc_id").isin(list(by))).filter("w = 0").count() == 0
+               for _ in [0])
+    # doc 7 carries ~61% of total weight -> many picks
+    assert by.get(7, 0) >= n // 2
+    # reproducible under partitioning
+    again = {r["doc_id"]: r["n_picks"]
+             for r in systematic_sample(docs.repartition(11), "w", n, seed=1, parts=5).collect()}
+    assert again == by
+    # seed changes the draw (grid rotates with the shuffled order)
+    other = {r["doc_id"]: r["n_picks"]
+             for r in systematic_sample(docs, "w", n, seed=9).collect()}
+    assert other != by
+    assert sum(other.values()) == n
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        systematic_sample(docs, "w", 0)
+    with _pytest.raises(ValueError):
+        systematic_sample(docs.filter("w = 0"), "w", 3)
