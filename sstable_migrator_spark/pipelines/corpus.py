@@ -11,9 +11,10 @@ Per-stage row counts come from ONE pass via the Observation API (each
 stage carries an ``observe``), not per-stage count() jobs — at 100 TB
 the funnel runs exactly once. Every stage is an operator that already
 has its own oracle-checked query or unit suite (q48/q84 quality,
-q47 lang-id, q40 exact dedup, q43/q58 LSH+clusters, q82 PII, q135
-chunking, q77 packing); this module is the composition, wired the way
-a user would actually run it.
+q47 lang-id, q40 exact dedup, q43/q58 LSH+clusters, q82 PII, q198
+ExactSubstr span removal (opt-in ``strip_spans_k``), q135 chunking,
+q77 packing); this module is the composition, wired the way a user
+would actually run it.
 """
 
 from __future__ import annotations
@@ -60,6 +61,7 @@ def build_training_corpus(
     stride: int = 24,
     shard_tokens: int = 2000,
     shard_format: str = "parquet",
+    strip_spans_k: int | None = None,
 ) -> dict[str, int]:
     """Run the curation funnel and write chunk shards to ``out_dir``
     (``shard_format="parquet"``: partitioned by shard_id — the default
@@ -110,6 +112,17 @@ def build_training_corpus(
     n_losers = losers.count()
 
     clean = kept.withColumn("text", redact_pii(F.col("text")))
+    if strip_spans_k is not None:
+        # ExactSubstr deletion between redaction and chunking: corpus-
+        # repeated >= k-token spans (boilerplate, templates, licenses)
+        # vanish from every occurrence before chunks are cut, so no
+        # chunk carries text the near-dup stages already judged
+        # duplicated. The doc-level dedup above removed whole
+        # duplicates; this removes the PARTIAL ones. Cut lineage once:
+        # the span pass re-reads `clean` (window agg + join-back).
+        clean = dedup.strip_duplicated_spans(
+            clean.localCheckpoint(), k=strip_spans_k
+        ).select("doc_id", F.col("clean_text").alias("text"))
 
     tk = TX.tokens(F.lower(F.col("text")))
     chunked_src = clean.select("doc_id", tk.alias("tk")).filter(F.size("tk") > 0)

@@ -130,3 +130,36 @@ def test_export_packed_sequences_parquet_and_tar(spark, tmp_path):
     import pytest as _pytest
     with _pytest.raises(ValueError, match="shard_format"):
         export_packed_sequences(docs, str(tmp_path / "x"), shard_format="zip")
+
+
+def test_funnel_strip_spans_stage(spark, tmp_path):
+    """Opt-in ExactSubstr stage: corpus-repeated boilerplate vanishes
+    from the chunks; without the flag it survives."""
+    from pyspark.sql import functions as F
+
+    from sstable_migrator_spark.pipelines.corpus import build_training_corpus
+
+    boiler = "subscribe to our newsletter for daily updates and exclusive offers today"
+    # each doc is MOSTLY unique (so doc-level near-dup keeps them all);
+    # only the short boilerplate tail repeats corpus-wide
+    rows = [
+        (i, "en",
+         f"the harvest report for area {i} says "
+         + " ".join(f"crop{i}w{j} and the field{i}x{j}" for j in range(12))
+         + " " + boiler)
+        for i in range(8)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+
+    out1 = str(tmp_path / "with")
+    build_training_corpus(docs, out1, quality_min=0.0, strip_spans_k=8,
+                          chunk_size=64, stride=64, shard_tokens=10000)
+    kept = " ".join(r["chunk_text"] for r in spark.read.parquet(out1).collect())
+    assert "subscribe" not in kept and "newsletter" not in kept
+    assert "harvest" in kept  # unique content survives
+
+    out2 = str(tmp_path / "without")
+    build_training_corpus(docs, out2, quality_min=0.0,
+                          chunk_size=64, stride=64, shard_tokens=10000)
+    kept2 = " ".join(r["chunk_text"] for r in spark.read.parquet(out2).collect())
+    assert "subscribe" in kept2
