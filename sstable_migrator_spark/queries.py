@@ -9973,6 +9973,55 @@ QUERIES.update({"q199_systematic_sample": q_systematic_sample})
 ORACLES.update({"q199_systematic_sample": SQL_SYSTEMATIC_SAMPLE})
 
 
+def q_wet_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WARC/WET content scan — CommonCrawl's corpus container read
+    end-to-end: sampled documents are encoded into two WET files
+    (member-per-record gzip, the CC layout; driver-side fixture build
+    over a BOUNDED sample) and read back DISTRIBUTED, one task per
+    file, through the dependency-free record parser. The oracle
+    recomputes url/byte-length/text straight from the documents table,
+    so any framing slip (header grammar, Content-Length accounting,
+    gzip member boundaries, utf-8 round-trip) breaks the hash."""
+    import os
+
+    from sstable_migrator_spark.sources.warc import encode_wet, read_wet
+
+    rows = (
+        _t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 13 == 0)
+        .select("doc_id", "text")
+        .collect()
+    )
+    path = _scratch_dir("wet-q200")
+    for parity in (0, 1):
+        recs = [
+            {"url": f"http://example.com/doc/{r['doc_id']}", "text": r["text"]}
+            for r in sorted(rows, key=lambda r: r["doc_id"])
+            if r["doc_id"] % 2 == parity
+        ]
+        with open(os.path.join(path, f"shard-{parity}.warc.wet.gz"), "wb") as fh:
+            fh.write(encode_wet(recs))
+    return read_wet(spark, os.path.join(path, "*.warc.wet.gz")).select(
+        "url",
+        "record_type",
+        F.col("length").cast("long").alias("length"),
+        "text",
+    )
+
+
+SQL_WET_SCAN = """
+SELECT 'http://example.com/doc/' || CAST(doc_id AS VARCHAR) AS url,
+       'conversion' AS record_type,
+       CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS length,
+       text
+FROM documents WHERE doc_id % 13 = 0
+"""
+
+
+QUERIES.update({"q200_wet_scan": q_wet_scan})
+ORACLES.update({"q200_wet_scan": SQL_WET_SCAN})
+
+
 # ---------------------------------------------------------------------------
 # Driver-sample ordering.
 #
