@@ -166,3 +166,54 @@ def hash64_fast(col: Column, seed: int = 0) -> Column:
     100 TB callers should pin this. The sign bit is cleared so ``% m``
     bucketing agrees with the non-negative contract of hash64."""
     return F.xxhash64(F.lit(str(seed) + "|"), col).bitwiseAND(F.lit((1 << 63) - 1))
+
+
+# (pattern, replacement) pipeline shared verbatim by html_to_text and
+# its DuckDB oracle twin (sql_html_to_text). Constraints that make the
+# cross-engine parity REAL: RE2 (DuckDB) has no backreferences — script
+# and style get separate patterns; no lazy-quantifier ambiguity issues
+# ((?is) inline flags and non-greedy .*? work in both Java regex and
+# RE2); Spark's regexp_replace is global by default while DuckDB needs
+# the 'g' flag — the SQL twin appends it. Entity decoding covers the
+# common NAMED set only (&amp; decoded LAST so "&amp;lt;" comes out as
+# the literal "&lt;", the standard double-decode trap); numeric
+# character references pass through untouched — documented, not silent.
+HTML_TO_TEXT_STEPS: list[tuple[str, str]] = [
+    (r"(?is)<script\b[^>]*>.*?</script\s*>", " "),
+    (r"(?is)<style\b[^>]*>.*?</style\s*>", " "),
+    (r"(?s)<!--.*?-->", " "),
+    (r"(?s)<[^>]*>", " "),
+    (r"&nbsp;", " "),
+    (r"&lt;", "<"),
+    (r"&gt;", ">"),
+    (r"&quot;", "\""),
+    (r"&#39;", "'"),
+    (r"&apos;", "'"),
+    (r"&amp;", "&"),
+    (r"\s+", " "),
+]
+
+
+def html_to_text(col: Column) -> Column:
+    """HTML -> plain text as a PURE column expression (the step that
+    turns a WARC response into WET-style text): drop script/style
+    blocks and comments, strip tags, decode the common named entities,
+    collapse whitespace. Whole-stage-codegen JVM regexes — no UDF; the
+    DuckDB twin (``sql_html_to_text``) applies the identical pattern
+    pipeline, so extractions are hash-exact cross-engine."""
+    out = col
+    for pat, rep in HTML_TO_TEXT_STEPS:
+        out = F.regexp_replace(out, pat, rep)
+    return F.trim(out)
+
+
+def sql_html_to_text(expr: str) -> str:
+    """DuckDB SQL twin of ``html_to_text`` over an SQL expression
+    string — same pattern pipeline, 'g' flag supplied explicitly
+    (DuckDB's regexp_replace is first-match-only by default)."""
+    out = expr
+    for pat, rep in HTML_TO_TEXT_STEPS:
+        p = pat.replace("'", "''")
+        r = rep.replace("'", "''")
+        out = f"regexp_replace({out}, '{p}', '{r}', 'g')"
+    return f"trim({out})"

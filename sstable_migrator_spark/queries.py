@@ -10022,6 +10022,55 @@ QUERIES.update({"q200_wet_scan": q_wet_scan})
 ORACLES.update({"q200_wet_scan": SQL_WET_SCAN})
 
 
+def q_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HTML -> text extraction (the WARC-response-to-WET step) as a
+    pure whole-stage-codegen regex pipeline — no UDF: drop
+    script/style/comments, strip tags, decode the common named
+    entities (&amp; last, so double-encoded text decodes exactly
+    once), collapse whitespace. Fixture wraps each document's text in
+    a realistic page shell (head with style+script, headings,
+    entity-bearing boilerplate); the extracted STRING is hash-gated
+    against the identical pattern pipeline in DuckDB
+    (functions.text.sql_html_to_text — one list of (pattern,
+    replacement) steps shared by both engines, RE2-safe by
+    construction: no backreferences, explicit 'g' flag SQL-side)."""
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") % 9 == 0)
+    page = F.concat(
+        F.lit(
+            "<html><head><title>Doc</title><style>p{margin:0}</style>"
+            "<script>var tracker=\"</div>\";load();</script></head>"
+            "<body><!-- synthetic page --><h1>Document &amp; record "
+        ),
+        F.col("doc_id").cast("string"),
+        F.lit("</h1><p>"),
+        F.col("text"),
+        F.lit("</p><div class=\"footer\">&lt;footer&gt;&nbsp;links</div></body></html>"),
+    )
+    return docs.select(
+        "doc_id", TX.html_to_text(page).alias("clean_text")
+    )
+
+
+def _sql_html_extract() -> str:
+    from sstable_migrator_spark.functions.text import sql_html_to_text
+
+    page = (
+        "'<html><head><title>Doc</title><style>p{margin:0}</style>"
+        "<script>var tracker=\"</div>\";load();</script></head>"
+        "<body><!-- synthetic page --><h1>Document &amp; record '"
+        " || CAST(doc_id AS VARCHAR) || '</h1><p>' || text || "
+        "'</p><div class=\"footer\">&lt;footer&gt;&nbsp;links</div></body></html>'"
+    )
+    return f"""
+SELECT doc_id, {sql_html_to_text(f"({page})")} AS clean_text
+FROM documents WHERE doc_id % 9 = 0
+"""
+
+
+QUERIES.update({"q201_html_extract": q_html_extract})
+ORACLES.update({"q201_html_extract": _sql_html_extract()})
+
+
 # ---------------------------------------------------------------------------
 # Driver-sample ordering.
 #
