@@ -1,0 +1,70 @@
+"""Web-crawl ingestion: CommonCrawl WET shards -> curated training
+corpus — the composition that turns the round's source/extraction
+pieces into the pipeline a user actually runs:
+
+    read_wet (one task/shard)  ->  wet_to_documents (stable ids,
+    HTML residue strip, lang-id)  ->  build_training_corpus (quality,
+    dedup, PII, optional ExactSubstr removal, chunk, pack, shard)
+
+Everything here is a projection over operators that carry their own
+oracle/unit evidence (q200 WET framing, q201 HTML extraction, q47
+lang-id, the funnel's own stages); this module wires them and pins the
+composition with a test.
+
+Scale shape: WET shards parallelize per file (~150 MB each — a crawl
+segment is tens of thousands); document ids are content-free hashes of
+the (url, date) identity so re-ingesting a shard is idempotent at the
+exact-dedup stage; the funnel's own shapes are documented in
+pipelines/corpus.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from sstable_migrator_spark.functions import text as TX
+
+__all__ = ["wet_to_documents", "ingest_wet_corpus"]
+
+
+def wet_to_documents(wet: DataFrame, strip_html: bool = False) -> DataFrame:
+    """WET records -> the (doc_id, lang, text, url) document shape the
+    curation funnel consumes. ``doc_id`` is the portable hash of
+    (url | date) — a pure identity function, so the same record always
+    maps to the same id and re-ingestion collapses at exact dedup.
+    WET text is already extracted; ``strip_html=True`` additionally
+    runs the html_to_text pipeline for crawls whose conversion step
+    left markup residue (or for raw WARC response payloads)."""
+    text = F.col("text")
+    if strip_html:
+        text = TX.html_to_text(text)
+    return wet.select(
+        TX.hash64(F.concat_ws("|", F.col("url"), F.col("date")), seed=41).alias(
+            "doc_id"
+        ),
+        F.col("url"),
+        text.alias("text"),
+    ).withColumn("lang", TX.lang_id(F.col("text")))
+
+
+def ingest_wet_corpus(
+    spark: SparkSession,
+    wet_glob: str,
+    out_dir: str,
+    strip_html: bool = False,
+    **funnel_kwargs,
+) -> dict:
+    """End to end: scan the WET shards, shape them into documents, run
+    the curation funnel, write shards. Returns the funnel's per-stage
+    row counts plus the raw record count."""
+    from sstable_migrator_spark.pipelines.corpus import build_training_corpus
+    from sstable_migrator_spark.sources.warc import read_wet
+
+    wet = read_wet(spark, wet_glob)
+    docs = wet_to_documents(wet, strip_html=strip_html).localCheckpoint()
+    counts = build_training_corpus(
+        docs.select("doc_id", "lang", "text"), out_dir, **funnel_kwargs
+    )
+    counts["wet_records"] = counts["input"]
+    return counts

@@ -163,3 +163,61 @@ def test_funnel_strip_spans_stage(spark, tmp_path):
                           chunk_size=64, stride=64, shard_tokens=10000)
     kept2 = " ".join(r["chunk_text"] for r in spark.read.parquet(out2).collect())
     assert "subscribe" in kept2
+
+
+def test_wet_ingest_end_to_end(spark, tmp_path):
+    """CommonCrawl-shaped ingestion: WET shards -> documents (stable
+    hash ids, lang-id) -> curation funnel -> shards. A duplicated
+    record across shards collapses at exact dedup; markup residue is
+    stripped when asked."""
+    from sstable_migrator_spark.pipelines.web_ingest import (
+        ingest_wet_corpus,
+        wet_to_documents,
+    )
+    from sstable_migrator_spark.sources.warc import encode_wet, read_wet
+
+    base = ("the quiet village market opens early and the farmers bring "
+            "fresh bread with butter and a warm greeting for the visitors "
+            "who arrive from the city")
+    recs_a = [
+        {"url": "http://a.example/1", "date": "2024-06-01T00:00:00Z",
+         "text": base},
+        {"url": "http://a.example/2", "date": "2024-06-01T00:00:00Z",
+         "text": "<p>the library &amp; the reading room</p> stay open for "
+                 "the whole evening and the students keep their seats"},
+    ]
+    recs_b = [
+        # exact same identity AND text as a/1 -> same doc_id -> dedup
+        {"url": "http://a.example/1", "date": "2024-06-01T00:00:00Z",
+         "text": base},
+        {"url": "http://b.example/9", "date": "2024-06-02T00:00:00Z",
+         "text": "completely different content about the harbor and the "
+                 "ships that wait for the morning tide with their cargo"},
+    ]
+    wetdir = tmp_path / "wet"
+    wetdir.mkdir()
+    (wetdir / "a.warc.wet.gz").write_bytes(encode_wet(recs_a))
+    (wetdir / "b.warc.wet.gz").write_bytes(encode_wet(recs_b))
+
+    docs = wet_to_documents(
+        read_wet(spark, str(wetdir / "*.gz")), strip_html=True
+    ).collect()
+    by_url = {}
+    for r in docs:
+        by_url.setdefault(r["url"], []).append(r)
+    assert len(by_url["http://a.example/1"]) == 2
+    ids = {r["doc_id"] for r in by_url["http://a.example/1"]}
+    assert len(ids) == 1  # identity hash is stable across shards
+    assert "&amp;" not in by_url["http://a.example/2"][0]["text"]
+    assert all(r["lang"] == "en" for r in docs)
+
+    out = str(tmp_path / "out")
+    counts = ingest_wet_corpus(
+        spark, str(wetdir / "*.gz"), out,
+        strip_html=True, quality_min=0.0, chunk_size=64, stride=64,
+        shard_tokens=10000,
+    )
+    assert counts["wet_records"] == 4
+    assert counts["exact"] == 3  # the cross-shard duplicate collapsed
+    kept = " ".join(r["chunk_text"] for r in spark.read.parquet(out).collect())
+    assert "village" in kept and "harbor" in kept and "library" in kept
