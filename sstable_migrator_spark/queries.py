@@ -10071,6 +10071,70 @@ QUERIES.update({"q201_html_extract": q_html_extract})
 ORACLES.update({"q201_html_extract": _sql_html_extract()})
 
 
+def q_canonical_urls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical URL dedup keys — the normalizer that collapses
+    cosmetically different URLs of one logical page BEFORE content
+    downloads: fragment strip, scheme+host lowercase, default-port
+    drop, tracking-param (utm_*/gclid/fbclid/msclkid) removal,
+    byte-sorted surviving params. Fixture synthesizes a messy URL per
+    sampled doc (mixed case, :80, unsorted params, utm noise,
+    fragment) plus a clean twin; both must canonicalize to the SAME
+    key — the output counts distinct raw forms per canonical key, so
+    any normalization drift breaks the group sizes, and the canonical
+    STRING itself is hash-gated. Whole-stage-codegen expressions; one
+    count aggregation."""
+    from sstable_migrator_spark.functions.urls import canonical_url
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") % 6 == 0)
+    messy = F.concat(
+        F.lit("HTTP://WWW.Example"),
+        (F.col("doc_id") % 7).cast("string"),
+        F.lit(".COM:80/articles/"),
+        F.col("doc_id").cast("string"),
+        F.lit("?utm_source=feed&b=2&a=1#section-3"),
+    )
+    clean = F.concat(
+        F.lit("http://www.example"),
+        (F.col("doc_id") % 7).cast("string"),
+        F.lit(".com/articles/"),
+        F.col("doc_id").cast("string"),
+        F.lit("?a=1&b=2"),
+    )
+    urls = docs.select(messy.alias("url")).unionByName(
+        docs.select(clean.alias("url"))
+    )
+    return (
+        urls.select(canonical_url(F.col("url")).alias("canonical"))
+        .groupBy("canonical")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_raw_forms"))
+    )
+
+
+def _sql_canonical_urls() -> str:
+    from sstable_migrator_spark.functions.urls import sql_canonical_url
+
+    return f"""
+WITH raw AS (
+  SELECT 'HTTP://WWW.Example' || CAST(doc_id % 7 AS VARCHAR)
+         || '.COM:80/articles/' || CAST(doc_id AS VARCHAR)
+         || '?utm_source=feed&b=2&a=1#section-3' AS url
+  FROM documents WHERE doc_id % 6 = 0
+  UNION ALL
+  SELECT 'http://www.example' || CAST(doc_id % 7 AS VARCHAR)
+         || '.com/articles/' || CAST(doc_id AS VARCHAR)
+         || '?a=1&b=2' AS url
+  FROM documents WHERE doc_id % 6 = 0
+)
+SELECT {sql_canonical_url('url')} AS canonical,
+       CAST(count(*) AS BIGINT) AS n_raw_forms
+FROM raw GROUP BY 1
+"""
+
+
+QUERIES.update({"q202_canonical_urls": q_canonical_urls})
+ORACLES.update({"q202_canonical_urls": _sql_canonical_urls()})
+
+
 # ---------------------------------------------------------------------------
 # Driver-sample ordering.
 #
