@@ -1,0 +1,183 @@
+"""Crawl planning: robots.txt evaluation and per-host politeness
+scheduling — the acquisition end of the web-corpus story (frontier ->
+robots gate -> polite fetch plan -> WET ingestion -> curation).
+
+- ``parse_robots_body`` / ``parse_robots``: the robots.txt grammar
+  (user-agent groups, allow/disallow directives, comments,
+  case-insensitive keys; PREFIX rules only — the ``*``/``$`` pattern
+  extension is intentionally out of scope and documented, not silently
+  half-supported). Bodies are tiny and per-host, so parsing runs as an
+  Arrow-batched mapInPandas; everything downstream of the parse is
+  pure joins/expressions, which is where the billions-of-URLs scale
+  actually lives.
+- ``robots_allowed``: the longest-match verdict per DISTINCT url
+  (Google's precedence: most specific rule wins, allow wins
+  length ties, no match means allowed). One join on host + one
+  aggregation taking ``max(struct(prefix_len, is_allow))`` — the
+  struct ordering IS the precedence rule, so no window is needed.
+- ``crawl_schedule``: per-host politeness slots — fetch_seq is the
+  rank within the host (optionally capped), so slot * crawl_delay is
+  the earliest fetch offset. Host-partitioned window: scale-safe by
+  construction (a pathological single host is exactly the thing the
+  cap bounds).
+
+Reference analog: SURVEY §2 P6/P7's blocklist/allowlist gating, moved
+from DNS names to crawl targets.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = [
+    "crawl_schedule",
+    "parse_robots",
+    "parse_robots_body",
+    "robots_allowed",
+    "url_host_path",
+]
+
+_SPLIT_RE = r"^(?:([a-zA-Z][a-zA-Z0-9+.-]*)://)?([^/?#]*)(.*)$"
+
+
+def parse_robots_body(body: str, host: str = "") -> list[dict]:
+    """robots.txt text -> rule rows ``{host, agent, rule, prefix}``.
+    Grammar: ``key: value`` lines; ``#`` comments; consecutive
+    ``User-agent`` lines open ONE group that the following
+    allow/disallow directives all belong to; keys case-insensitive;
+    empty-prefix Disallow means "allow everything" and emits no row.
+    PREFIX matching only (no ``*``/``$`` patterns — rows whose prefix
+    contains them are emitted verbatim and simply won't prefix-match,
+    which errs on the permissive side; run a stricter gate if your
+    corpus needs the pattern extension)."""
+    rules: list[dict] = []
+    agents: list[str] = []
+    group_open = False
+    for raw in body.splitlines():
+        line = raw.split("#", 1)[0].strip()
+        if not line or ":" not in line:
+            continue
+        key, _, val = line.partition(":")
+        key = key.strip().lower()
+        val = val.strip()
+        if key == "user-agent":
+            if group_open:
+                agents = []
+                group_open = False
+            agents.append(val.lower())
+        elif key in ("allow", "disallow"):
+            group_open = True
+            if key == "disallow" and not val:
+                continue  # empty disallow = no restriction
+            if val:
+                for a in agents or ["*"]:
+                    rules.append(
+                        {"host": host, "agent": a, "rule": key, "prefix": val}
+                    )
+    return rules
+
+
+def parse_robots(
+    robots: DataFrame, host_col: str = "host", body_col: str = "body"
+) -> DataFrame:
+    """(host, body) -> exploded rule rows (host, agent, rule, prefix);
+    Arrow-batched, map-only."""
+    import pandas as pd
+
+    def op(batches):
+        for pdf in batches:
+            out = []
+            for h, b in zip(pdf[host_col], pdf[body_col]):
+                out.extend(parse_robots_body(b or "", str(h)))
+            if out:
+                yield pd.DataFrame(out)
+
+    return robots.mapInPandas(
+        op, "host string, agent string, rule string, prefix string"
+    )
+
+
+def url_host_path(url: F.Column) -> tuple[F.Column, F.Column]:
+    """(host, path) of a URL column — host lowercased and port-stripped
+    (robots scope ignores the port), path defaulting to '/'."""
+    host = F.regexp_replace(
+        F.lower(F.regexp_extract(url, _SPLIT_RE, 2)), r":\d+$", ""
+    )
+    rest = F.regexp_replace(F.regexp_extract(url, _SPLIT_RE, 3), r"\?.*$", "")
+    path = F.when(rest == "", F.lit("/")).otherwise(rest)
+    return host, path
+
+
+def robots_allowed(
+    urls: DataFrame,
+    rules: DataFrame,
+    agent: str = "*",
+    url_col: str = "url",
+) -> DataFrame:
+    """Longest-match robots verdict per DISTINCT url: returns
+    ``(url, host, path, allowed)`` with allowed in {0, 1}. Precedence
+    is encoded in one ``max(struct(prefix_len, is_allow))`` — longest
+    prefix wins, allow wins a length tie, no matching rule (or no
+    rules for the host at all) means allowed. GROUP SELECTION follows
+    the spec: when a host has a group for the specific agent, that
+    group applies ALONE (the ``*`` group is shadowed entirely, not
+    merged); ``*`` applies only on hosts with no specific group."""
+    host, path = url_host_path(F.col(url_col))
+    u = urls.select(F.col(url_col).alias("url")).distinct().select(
+        "url", host.alias("host"), path.alias("path")
+    )
+    a = agent.lower()
+    specific = rules.filter(F.col("agent") == a)
+    star_only = rules.filter(F.col("agent") == "*").join(
+        specific.select("host").distinct(), "host", "left_anti"
+    )
+    r = specific.unionByName(star_only).select(
+        "host",
+        "prefix",
+        (F.col("rule") == "allow").cast("int").alias("is_allow"),
+    )
+    j = u.join(r, "host", "left").withColumn(
+        "_hit",
+        F.when(
+            F.col("prefix").isNotNull()
+            & F.col("path").startswith(F.col("prefix")),
+            F.struct(
+                F.length("prefix").alias("l"), F.col("is_allow").alias("a")
+            ),
+        ),
+    )
+    best = j.groupBy("url", "host", "path").agg(F.max("_hit").alias("_best"))
+    return best.select(
+        "url",
+        "host",
+        "path",
+        F.coalesce(F.col("_best.a"), F.lit(1)).cast("int").alias("allowed"),
+    )
+
+
+def crawl_schedule(
+    urls: DataFrame,
+    crawl_delay_ms: int = 1000,
+    max_per_host: int | None = None,
+    url_col: str = "url",
+) -> DataFrame:
+    """Per-host politeness plan: rank each host's urls (deterministic:
+    url order), optionally cap the frontier per host, and assign the
+    earliest polite fetch offset ``fetch_seq * crawl_delay_ms``.
+    Host-partitioned window only — never global. Returns
+    ``(url, host, fetch_seq, fetch_offset_ms)``."""
+    from pyspark.sql import Window
+
+    host, _path = url_host_path(F.col(url_col))
+    u = urls.select(F.col(url_col).alias("url")).distinct().select(
+        "url", host.alias("host")
+    )
+    w = Window.partitionBy("host").orderBy("url")
+    ranked = u.withColumn("fetch_seq", (F.row_number().over(w) - 1).cast("long"))
+    if max_per_host is not None:
+        ranked = ranked.filter(F.col("fetch_seq") < max_per_host)
+    return ranked.withColumn(
+        "fetch_offset_ms",
+        (F.col("fetch_seq") * F.lit(int(crawl_delay_ms))).cast("long"),
+    )

@@ -10135,6 +10135,118 @@ QUERIES.update({"q202_canonical_urls": q_canonical_urls})
 ORACLES.update({"q202_canonical_urls": _sql_canonical_urls()})
 
 
+def _crawl_urls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = F.col("doc_id")
+    path = (
+        F.when(d % 4 == 0, F.concat(F.lit("/public/p"), d.cast("string")))
+        .when(d % 4 == 1, F.concat(F.lit("/private/doc"), d.cast("string")))
+        .when(d % 4 == 2, F.concat(F.lit("/private/press/r"), d.cast("string")))
+        .otherwise(F.concat(F.lit("/tmp"), d.cast("string")))
+    )
+    return _t(spark, sf_dir, "documents").select(
+        F.concat(
+            F.lit("http://site"), (d % 5).cast("string"), F.lit(".com"), path
+        ).alias("url")
+    )
+
+
+_SQL_CRAWL_URLS = """
+  SELECT 'http://site' || CAST(doc_id % 5 AS VARCHAR) || '.com' ||
+         (CASE WHEN doc_id % 4 = 0 THEN '/public/p' || CAST(doc_id AS VARCHAR)
+               WHEN doc_id % 4 = 1 THEN '/private/doc' || CAST(doc_id AS VARCHAR)
+               WHEN doc_id % 4 = 2 THEN '/private/press/r' || CAST(doc_id AS VARCHAR)
+               ELSE '/tmp' || CAST(doc_id AS VARCHAR) END) AS url,
+         'site' || CAST(doc_id % 5 AS VARCHAR) || '.com' AS host,
+         (CASE WHEN doc_id % 4 = 0 THEN '/public/p' || CAST(doc_id AS VARCHAR)
+               WHEN doc_id % 4 = 1 THEN '/private/doc' || CAST(doc_id AS VARCHAR)
+               WHEN doc_id % 4 = 2 THEN '/private/press/r' || CAST(doc_id AS VARCHAR)
+               ELSE '/tmp' || CAST(doc_id AS VARCHAR) END) AS path
+  FROM documents
+"""
+
+
+def q_robots_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """robots.txt gate over a synthetic frontier: longest-match
+    verdicts (most specific rule wins, allow beats disallow on a
+    length tie, unruled hosts allowed) computed as ONE join on host +
+    one ``max(struct(prefix_len, is_allow))`` aggregation — the struct
+    ordering IS the precedence rule, no window. site0 carries the
+    allow-overrides-disallow nesting (/private/ vs /private/press/),
+    site1 disallows everything, site2 blocks the /tmp prefix, site3/4
+    have no rules; the oracle replays precedence with a rank window.
+    The parser grammar itself is pinned by T:test_crawl."""
+    from sstable_migrator_spark.operators.crawl import robots_allowed
+
+    rules = spark.createDataFrame(
+        [
+            ("site0.com", "*", "disallow", "/private/"),
+            ("site0.com", "*", "allow", "/private/press/"),
+            ("site1.com", "*", "disallow", "/"),
+            ("site2.com", "*", "disallow", "/tmp"),
+        ],
+        "host string, agent string, rule string, prefix string",
+    )
+    return robots_allowed(_crawl_urls(spark, sf_dir), rules).select(
+        "url", "host", "path", "allowed"
+    )
+
+
+SQL_ROBOTS_GATE = f"""
+WITH urls AS ({_SQL_CRAWL_URLS}),
+rules(host, rule, prefix) AS (VALUES
+  ('site0.com', 'disallow', '/private/'),
+  ('site0.com', 'allow', '/private/press/'),
+  ('site1.com', 'disallow', '/'),
+  ('site2.com', 'disallow', '/tmp')),
+m AS (
+  SELECT u.url, u.host, u.path, r.prefix,
+         CASE WHEN r.rule = 'allow' THEN 1 ELSE 0 END AS ia,
+         row_number() OVER (
+           PARTITION BY u.url
+           ORDER BY length(r.prefix) DESC NULLS LAST,
+                    (CASE WHEN r.rule = 'allow' THEN 1 ELSE 0 END) DESC
+         ) AS rk
+  FROM urls u
+  LEFT JOIN rules r ON u.host = r.host AND starts_with(u.path, r.prefix))
+SELECT url, host, path,
+       CAST(COALESCE(CASE WHEN prefix IS NULL THEN NULL ELSE ia END, 1) AS INT)
+         AS allowed
+FROM m WHERE rk = 1
+"""
+
+
+def q_crawl_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-host politeness plan over the same frontier: rank within
+    host (deterministic url order), cap the per-host frontier at 40,
+    earliest polite offset = rank * 700 ms. Host-partitioned window
+    only — the shape that stays bounded when one host dominates the
+    frontier (the cap is the bound)."""
+    from sstable_migrator_spark.operators.crawl import crawl_schedule
+
+    return crawl_schedule(
+        _crawl_urls(spark, sf_dir), crawl_delay_ms=700, max_per_host=40
+    )
+
+
+SQL_CRAWL_SCHEDULE = f"""
+WITH urls AS ({_SQL_CRAWL_URLS}),
+ranked AS (
+  SELECT url, host,
+         CAST(row_number() OVER (PARTITION BY host ORDER BY url) - 1 AS BIGINT)
+           AS fetch_seq
+  FROM (SELECT DISTINCT url, host FROM urls))
+SELECT url, host, fetch_seq,
+       CAST(fetch_seq * 700 AS BIGINT) AS fetch_offset_ms
+FROM ranked WHERE fetch_seq < 40
+"""
+
+
+QUERIES.update({"q203_robots_gate": q_robots_gate})
+ORACLES.update({"q203_robots_gate": SQL_ROBOTS_GATE})
+QUERIES.update({"q204_crawl_schedule": q_crawl_schedule})
+ORACLES.update({"q204_crawl_schedule": SQL_CRAWL_SCHEDULE})
+
+
 # ---------------------------------------------------------------------------
 # Driver-sample ordering.
 #

@@ -1,0 +1,111 @@
+"""Crawl planning (operators/crawl.py): robots grammar, group
+selection, longest-match precedence, politeness scheduling."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from sstable_migrator_spark.operators.crawl import (
+    crawl_schedule,
+    parse_robots,
+    parse_robots_body,
+    robots_allowed,
+)
+
+ROBOTS = """\
+# global rules
+User-agent: *
+Disallow: /private/
+Allow: /private/press/
+Disallow: /tmp
+
+User-agent: trainbot
+User-agent: otherbot
+Disallow: /no-train/
+Disallow:
+
+User-agent: greedybot
+Disallow: /
+"""
+
+
+def test_parse_robots_body_grammar():
+    rules = parse_robots_body(ROBOTS, "example.com")
+    tup = {(r["agent"], r["rule"], r["prefix"]) for r in rules}
+    assert ("*", "disallow", "/private/") in tup
+    assert ("*", "allow", "/private/press/") in tup
+    assert ("*", "disallow", "/tmp") in tup
+    # stacked user-agent lines share one group; empty Disallow emits nothing
+    assert ("trainbot", "disallow", "/no-train/") in tup
+    assert ("otherbot", "disallow", "/no-train/") in tup
+    assert not any(r["prefix"] == "" for r in rules)
+    assert ("greedybot", "disallow", "/") in tup
+    # directives before any user-agent default to *
+    assert parse_robots_body("Disallow: /x")[0]["agent"] == "*"
+    assert parse_robots_body("") == []
+
+
+def test_robots_allowed_precedence(spark):
+    rules = parse_robots(
+        spark.createDataFrame([("example.com", ROBOTS)], "host string, body string")
+    )
+    urls = spark.createDataFrame(
+        [(u,) for u in [
+            "http://example.com/public/page",        # no rule -> allowed
+            "http://EXAMPLE.com:80/private/doc",     # disallow /private/
+            "http://example.com/private/press/x",    # longest match: allow
+            "http://example.com/tmpfile",            # prefix /tmp matches
+            "http://other.com/private/doc",          # host without rules
+        ]],
+        "url string",
+    )
+    got = {r["url"]: r["allowed"]
+           for r in robots_allowed(urls, rules, agent="*").collect()}
+    assert got["http://example.com/public/page"] == 1
+    assert got["http://EXAMPLE.com:80/private/doc"] == 0
+    assert got["http://example.com/private/press/x"] == 1
+    assert got["http://example.com/tmpfile"] == 0
+    assert got["http://other.com/private/doc"] == 1
+
+    # group selection: trainbot's group SHADOWS * entirely — /private/
+    # is allowed for trainbot (its group has no such rule)
+    got_tb = {r["url"]: r["allowed"]
+              for r in robots_allowed(urls, rules, agent="trainbot").collect()}
+    assert got_tb["http://EXAMPLE.com:80/private/doc"] == 1
+    tb_urls = spark.createDataFrame(
+        [("http://example.com/no-train/set",)], "url string"
+    )
+    assert robots_allowed(tb_urls, rules, agent="trainbot").first()["allowed"] == 0
+    # greedybot: everything disallowed
+    assert all(
+        r["allowed"] == 0
+        for r in robots_allowed(
+            urls.filter(F.col("url").contains("example.com")), rules,
+            agent="greedybot",
+        ).collect()
+    )
+
+
+def test_crawl_schedule_politeness(spark):
+    urls = spark.createDataFrame(
+        [(f"http://h{i % 3}.com/p{i}",) for i in range(12)], "url string"
+    )
+    plan = crawl_schedule(urls, crawl_delay_ms=500, max_per_host=3).collect()
+    by_host: dict = {}
+    for r in plan:
+        by_host.setdefault(r["host"], []).append(r)
+    assert set(by_host) == {"h0.com", "h1.com", "h2.com"}
+    for host, rows in by_host.items():
+        seqs = sorted(r["fetch_seq"] for r in rows)
+        assert seqs == [0, 1, 2]  # capped at 3
+        for r in rows:
+            assert r["fetch_offset_ms"] == r["fetch_seq"] * 500
+    # deterministic under partitioning
+    again = sorted(
+        tuple(r)
+        for r in crawl_schedule(
+            urls.repartition(7), crawl_delay_ms=500, max_per_host=3
+        ).collect()
+    )
+    assert again == sorted(tuple(r) for r in plan)
