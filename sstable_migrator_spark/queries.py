@@ -10247,6 +10247,91 @@ QUERIES.update({"q204_crawl_schedule": q_crawl_schedule})
 ORACLES.update({"q204_crawl_schedule": SQL_CRAWL_SCHEDULE})
 
 
+def q_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The published Gopher quality rule set (Rae et al. 2021 App. A),
+    flag-for-flag and integer-exact: word-count bounds, mean word
+    length in [3,10] (3n <= chars <= 10n — cross-multiplied, no
+    float), symbol ratio, bullet-line and ellipsis-line caps,
+    alphabetic-word floor, 2-of-8 stop-word requirement. Fixture =
+    the documents corpus UNION planted violations (+7000: one per
+    rule family by doc_id % 4), so the gate's discrimination — not
+    just its counters — is hash-gated. Map-side projection, zero
+    shuffles."""
+    from sstable_migrator_spark.operators.gopher import gopher_quality_flags
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    d = F.col("doc_id")
+    planted_text = (
+        F.when(d % 4 == 0, F.concat(F.lit("#### tagged "), F.col("text"), F.lit(" ## ## ## ## ## ## ## ## ## ## ## ## ## ## ## ## ## ## ## ##")))
+        .when(d % 4 == 1, F.concat(F.col("text"), F.lit("\n- a 1\n- b 2\n- c 3\n- d 4\n- e 5\n- f 6\n- g 7\n- h 8")))
+        .when(d % 4 == 2, F.concat(F.col("text"), F.lit("\nto be continued...\nmore soon...\nstay tuned...")))
+        .otherwise(F.lit("tiny"))
+    )
+    planted = docs.filter(d < 40).select(
+        (d + 7000).alias("doc_id"), planted_text.alias("text")
+    )
+    return gopher_quality_flags(docs.unionByName(planted))
+
+
+SQL_GOPHER_RULES = """
+WITH src AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 7000,
+         CASE WHEN doc_id % 4 = 0 THEN '#### tagged ' || text || ' ## ## ## ## ## ## ## ## ## ## ## ## ## ## ## ## ## ## ## ##'
+              WHEN doc_id % 4 = 1 THEN text || chr(10) || '- a 1' || chr(10) || '- b 2' || chr(10) || '- c 3' || chr(10) || '- d 4' || chr(10) || '- e 5' || chr(10) || '- f 6' || chr(10) || '- g 7' || chr(10) || '- h 8'
+              WHEN doc_id % 4 = 2 THEN text || chr(10) || 'to be continued...' || chr(10) || 'more soon...' || chr(10) || 'stay tuned...'
+              ELSE 'tiny' END
+  FROM documents WHERE doc_id < 40
+),
+base AS (
+  SELECT doc_id, text,
+         CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
+              ELSE regexp_split_to_array(trim(text), '\\s+') END AS tk,
+         string_split(text, chr(10)) AS lines
+  FROM src
+),
+m AS (
+  SELECT doc_id,
+         CAST(len(tk) AS BIGINT) AS n_words,
+         CAST(len(lines) AS BIGINT) AS n_lines,
+         CAST(COALESCE(list_aggregate(list_transform(tk, w -> length(w)), 'sum'), 0) AS BIGINT) AS total_chars,
+         CAST((length(text) - length(replace(text, '#', '')))
+            + (length(text) - length(replace(text, '…', '')))
+            + (length(text) - length(replace(text, '...', ''))) / 3 AS BIGINT) AS n_symbols,
+         CAST(len(list_filter(lines, ln -> starts_with(trim(ln), '•')
+                                        OR starts_with(trim(ln), '- ')
+                                        OR starts_with(trim(ln), '* '))) AS BIGINT) AS bullet_lines,
+         CAST(len(list_filter(lines, ln -> ends_with(trim(ln), '…')
+                                        OR ends_with(trim(ln), '...'))) AS BIGINT) AS ellipsis_lines,
+         CAST(len(list_filter(tk, w -> regexp_matches(w, '[A-Za-z]'))) AS BIGINT) AS alpha_words,
+         CAST(len(list_intersect(list_transform(tk, w -> lower(w)),
+              ['the','be','to','of','and','that','have','with'])) AS BIGINT) AS stop_hits
+  FROM base
+)
+SELECT doc_id, n_words, n_lines,
+       CAST(CASE WHEN n_words >= 50 AND n_words <= 100000 THEN 1 ELSE 0 END AS INT) AS ok_word_count,
+       CAST(CASE WHEN total_chars >= 3 * n_words AND total_chars <= 10 * n_words THEN 1 ELSE 0 END AS INT) AS ok_mean_word_len,
+       CAST(CASE WHEN n_symbols * 10 <= n_words THEN 1 ELSE 0 END AS INT) AS ok_symbol_ratio,
+       CAST(CASE WHEN bullet_lines * 10 <= n_lines THEN 1 ELSE 0 END AS INT) AS ok_bullet_lines,
+       CAST(CASE WHEN ellipsis_lines * 10 <= n_lines * 3 THEN 1 ELSE 0 END AS INT) AS ok_ellipsis_lines,
+       CAST(CASE WHEN alpha_words * 5 >= n_words * 4 THEN 1 ELSE 0 END AS INT) AS ok_alpha_words,
+       CAST(CASE WHEN stop_hits >= 2 THEN 1 ELSE 0 END AS INT) AS ok_stop_words,
+       CAST(CASE WHEN n_words >= 50 AND n_words <= 100000
+                  AND total_chars >= 3 * n_words AND total_chars <= 10 * n_words
+                  AND n_symbols * 10 <= n_words
+                  AND bullet_lines * 10 <= n_lines
+                  AND ellipsis_lines * 10 <= n_lines * 3
+                  AND alpha_words * 5 >= n_words * 4
+                  AND stop_hits >= 2 THEN 1 ELSE 0 END AS INT) AS keep
+FROM m
+"""
+
+
+QUERIES.update({"q205_gopher_rules": q_gopher_rules})
+ORACLES.update({"q205_gopher_rules": SQL_GOPHER_RULES})
+
+
 # ---------------------------------------------------------------------------
 # Driver-sample ordering.
 #
