@@ -10355,7 +10355,12 @@ _DRIVER_PRIORITY: list[str] = [
     "q30_clean_rdns",
     "q31_clean_subs",
     "q32_route_counts",
-    "q34_clean_cname",
+    # q34_clean_cname rotated to local-harness coverage in round 6 (the
+    # cleaner family keeps THREE in-head members: q30 rdns, q31 subs,
+    # q32 route); the slot carries HTML-to-text extraction — the
+    # web-acquisition family's first oracle-gated member (WET q200,
+    # canonical-URL q202, robots q203/q204 siblings are local-harness)
+    "q201_html_extract",
     "q20_domain_validity",
     "q21_domain_clean",
     "q22_apex_domain",
