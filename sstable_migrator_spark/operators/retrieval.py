@@ -42,6 +42,7 @@ from pyspark.sql import functions as F
 from sstable_migrator_spark.operators.lm import _q16_col, exact_intdiv
 
 __all__ = [
+    "append_postings_index",
     "bm25_topk",
     "bm25_topk_batch",
     "bm25_topk_from_postings",
@@ -194,6 +195,56 @@ def write_postings_index(
         os.path.join(path, "_corpus_stats")
     )
     return {"n": int(n), "t": int(t or 0), "n_buckets": int(n_buckets)}
+
+
+def append_postings_index(
+    docs: DataFrame,
+    path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> dict:
+    """INCREMENTAL index maintenance — the serve-path twin of the
+    dedup state store: append the NEW documents' postings to an
+    existing ``write_postings_index`` layout and bump the corpus
+    constants, so a daily drain costs O(day) for retrieval too (the
+    full rebuild re-tokenizes the corpus). The new docs' rows land in
+    the same ``pb=`` directories (append mode writes additional files
+    per partition dir); scoring reads postings per (term, doc) row, so
+    a term's postings living in several files is invisible to the
+    query — ``bm25_topk_from_postings`` on the appended index equals a
+    full rebuild EXACTLY when the doc sets are disjoint (test-pinned).
+    Appending an already-indexed doc_id is the caller's bug (postings
+    would double-count its tf); gate admission upstream, as
+    streaming/corpus_ingest does. Single-writer discipline, same as
+    every store here. Returns the updated ``{n, t, n_buckets}``."""
+    from sstable_migrator_spark.functions import text as TX
+
+    spark = docs.sparkSession
+    st = spark.read.parquet(os.path.join(path, "_corpus_stats")).first()
+    n0, t0, n_buckets = int(st["n"]), int(st["t"]), int(st["n_buckets"])
+    # day-sized: pin it so the write and the stats delta share one
+    # tokenize pass (same lesson as write_postings_index's read-back)
+    post = build_postings(docs, text_col=text_col, id_col=id_col).localCheckpoint()
+    (
+        post.withColumn("pb", TX.hash64(F.col("term"), seed=_PB_SEED) % n_buckets)
+        .repartition("pb")
+        .write.mode("append")
+        .partitionBy("pb")
+        .parquet(path)
+    )
+    dn, dt = (
+        post.select("doc", "dl")
+        .distinct()
+        .agg(F.count(F.lit(1)), F.sum("dl"))
+        .first()
+    )
+    n, t = n0 + int(dn), t0 + int(dt or 0)
+    spark.createDataFrame(
+        [(n, t, n_buckets)], "n long, t long, n_buckets int"
+    ).coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(path, "_corpus_stats")
+    )
+    return {"n": n, "t": t, "n_buckets": n_buckets}
 
 
 def bm25_topk_from_postings(

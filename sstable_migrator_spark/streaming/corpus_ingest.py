@@ -79,6 +79,7 @@ def admit_documents_available_now(
     lm_vocab: int = 256,
     eval_docs: DataFrame | None = None,
     eval_shingle_k: int = 5,
+    postings_path: str | None = None,
 ) -> dict:
     """One drain: judge every newly landed JSONL document against the
     persisted dedup state of the corpus at ``corpus_path`` (exact +
@@ -89,8 +90,12 @@ def admit_documents_available_now(
     given: any arriving document sharing a word shingle with it is
     rejected at the door, so eval text can never enter the corpus),
     append the admitted ones, extend the state store, and record every
-    decision under ``corpus_path/_admissions/``. Returns the drain
-    summary ``{judged, admitted}``."""
+    decision under ``corpus_path/_admissions/``. With
+    ``postings_path`` the gate ALSO maintains the BM25 serving index
+    (``retrieval.write_postings_index`` layout): admitted documents'
+    postings append per drain, so retrieval freshness costs O(day)
+    exactly like the dedup state. Returns the drain summary
+    ``{judged, admitted}``."""
     from sstable_migrator_spark.operators.dedup import (
         build_dedup_state,
         incremental_dedup,
@@ -195,14 +200,23 @@ def admit_documents_available_now(
         ).localCheckpoint()
 
         admitted_ids = decisions.filter("admitted = 1").select("doc_id")
-        batch_df.join(admitted_ids, "doc_id").write.mode("append").parquet(
-            corpus_path
-        )
+        admitted_docs = batch_df.join(admitted_ids, "doc_id").localCheckpoint()
+        admitted_docs.write.mode("append").parquet(corpus_path)
         # extend the state store with the admitted documents' rows —
         # next drain judges against corpus + this wave, still text-free
         new_state.join(admitted_ids, "doc_id").write.mode("append").parquet(
             state_path
         )
+        if postings_path is not None and not admitted_docs.isEmpty():
+            from sstable_migrator_spark.operators.retrieval import (
+                append_postings_index,
+                write_postings_index,
+            )
+
+            if _has_parquet(os.path.join(postings_path, "_corpus_stats")):
+                append_postings_index(admitted_docs, postings_path)
+            else:
+                write_postings_index(admitted_docs, postings_path)
         # distributed ledger append; ONLY the 2-scalar summary is
         # collected (one row), never the per-document decisions
         decisions.withColumn("batch", F.lit(bid)).write.mode("append").json(

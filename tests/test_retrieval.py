@@ -179,3 +179,36 @@ def test_batch_scorer_window_is_partitioned(spark):
 
     # Window specs print as: Window [...], [query_id#..], [score_q#.. DESC ...]
     assert re.search(r"Window \[[^\]]*\], \[query_id#\d+", plan), plan
+
+
+def test_append_postings_index_equals_rebuild(spark, tmp_path):
+    """Incremental index maintenance: indexing corpus A then appending
+    corpus B serves EXACTLY the ranking a full A+B rebuild serves, and
+    the corpus constants track the union."""
+    from sstable_migrator_spark.operators.retrieval import (
+        append_postings_index,
+        bm25_topk_from_postings,
+        write_postings_index,
+    )
+
+    docs_a = _docs(spark)
+    docs_b = spark.createDataFrame(
+        [
+            (10, "spark shuffle service handles large scale cluster data movement"),
+            (11, "the lazy cat naps while distributed computing hums along"),
+        ],
+        "doc_id long, text string",
+    )
+    inc = str(tmp_path / "inc")
+    write_postings_index(docs_a, inc, n_buckets=16)
+    meta = append_postings_index(docs_b, inc)
+    full = str(tmp_path / "full")
+    meta_full = write_postings_index(docs_a.unionByName(docs_b), full, n_buckets=16)
+    assert meta == meta_full
+
+    for terms in (["spark", "cluster", "data"], ["cat"], ["computing", "scale"]):
+        a = [tuple(r) for r in
+             bm25_topk_from_postings(spark, inc, terms, topk=10).collect()]
+        b = [tuple(r) for r in
+             bm25_topk_from_postings(spark, full, terms, topk=10).collect()]
+        assert a == b, terms

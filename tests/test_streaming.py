@@ -760,24 +760,48 @@ def test_streaming_corpus_admission(spark, tmp_path):
     ckpt = str(tmp_path / "ckpt")
     base = " ".join(f"w{i} tok{i % 7} fil{i % 11}" for i in range(25))
 
+    postings = str(tmp_path / "postings")
     with open(inbox / "wave1.jsonl", "w") as fh:
         fh.write(_json.dumps({"doc_id": 1, "text": base}) + "\n")
         fh.write(_json.dumps({"doc_id": 2, "text": "totally different words about gardens and rivers flowing south under old bridges"}) + "\n")
-    s1 = admit_documents_available_now(spark, str(inbox), corpus, ckpt)
+    s1 = admit_documents_available_now(
+        spark, str(inbox), corpus, ckpt, postings_path=postings
+    )
     assert s1 == {"judged": 2, "admitted": 2}
 
     with open(inbox / "wave2.jsonl", "w") as fh:
         fh.write(_json.dumps({"doc_id": 10, "text": base}) + "\n")            # exact
         fh.write(_json.dumps({"doc_id": 11, "text": base + " trailing"}) + "\n")  # near
         fh.write(_json.dumps({"doc_id": 12, "text": "novel astronomy content about telescopes saturn rings and midnight observation sessions"}) + "\n")
-    s2 = admit_documents_available_now(spark, str(inbox), corpus, ckpt)
+    s2 = admit_documents_available_now(
+        spark, str(inbox), corpus, ckpt, postings_path=postings
+    )
     assert s2 == {"judged": 3, "admitted": 1}
 
     got = {r["doc_id"] for r in spark.read.parquet(corpus).collect()}
     assert got == {1, 2, 12}
 
-    s3 = admit_documents_available_now(spark, str(inbox), corpus, ckpt)
+    s3 = admit_documents_available_now(
+        spark, str(inbox), corpus, ckpt, postings_path=postings
+    )
     assert s3 == {"judged": 0, "admitted": 0}
+
+    # the gate ALSO kept the BM25 serving index fresh: the drain-
+    # appended index ranks exactly like an index rebuilt from the
+    # final corpus
+    from sstable_migrator_spark.operators.retrieval import (
+        bm25_topk_from_postings,
+        write_postings_index,
+    )
+
+    rebuilt = str(tmp_path / "rebuilt")
+    write_postings_index(spark.read.parquet(corpus), rebuilt, n_buckets=64)
+    for terms in (["rivers", "gardens"], ["telescopes"], ["w3", "tok1"]):
+        a = [tuple(r) for r in
+             bm25_topk_from_postings(spark, postings, terms, topk=5).collect()]
+        b = [tuple(r) for r in
+             bm25_topk_from_postings(spark, rebuilt, terms, topk=5).collect()]
+        assert a == b, terms
 
     # the admission ledger recorded every decision with its batch —
     # written DISTRIBUTED (executor-side JSON append), never collected
