@@ -221,3 +221,86 @@ def test_wet_ingest_end_to_end(spark, tmp_path):
     assert counts["exact"] == 3  # the cross-shard duplicate collapsed
     kept = " ".join(r["chunk_text"] for r in spark.read.parquet(out).collect())
     assert "village" in kept and "harbor" in kept and "library" in kept
+
+
+def test_web_corpus_capstone_end_to_end(spark, tmp_path):
+    """The full acquisition-to-training arc in one test: frontier ->
+    robots gate -> politeness schedule -> (deterministic synthetic
+    fetch) -> WET shards -> ingestion funnel -> packed training
+    sequences. Each stage's operator has its own oracle/unit evidence;
+    this pins that they COMPOSE."""
+    import json as _json
+
+    from pyspark.sql import functions as F
+
+    from sstable_migrator_spark.operators.crawl import (
+        crawl_schedule,
+        parse_robots,
+        robots_allowed,
+    )
+    from sstable_migrator_spark.pipelines.corpus import export_packed_sequences
+    from sstable_migrator_spark.pipelines.web_ingest import ingest_wet_corpus
+    from sstable_migrator_spark.sources.warc import encode_wet
+
+    # 1. frontier + robots
+    frontier = spark.createDataFrame(
+        [(f"http://site{i % 2}.com/{'private' if i % 5 == 0 else 'page'}/{i}",)
+         for i in range(20)],
+        "url string",
+    )
+    rules = parse_robots(
+        spark.createDataFrame(
+            [("site0.com", "User-agent: *\nDisallow: /private/"),
+             ("site1.com", "User-agent: *\nDisallow: /private/")],
+            "host string, body string",
+        )
+    )
+    allowed = robots_allowed(frontier, rules).filter("allowed = 1")
+    n_allowed = allowed.count()
+    assert n_allowed == 16  # 4 of 20 hit /private/
+
+    # 2. politeness plan over the allowed frontier
+    plan = crawl_schedule(allowed.select("url"), crawl_delay_ms=100)
+    assert plan.count() == n_allowed
+
+    # 3. "fetch": deterministic synthetic page text per allowed url,
+    #    written as one WET shard per host (the crawler's natural unit)
+    fetched = sorted(
+        (r["host"], r["url"]) for r in plan.select("host", "url").collect()
+    )
+    wetdir = tmp_path / "wet"
+    wetdir.mkdir()
+    hosts: dict = {}
+    for host, url in fetched:
+        hosts.setdefault(host, []).append({
+            "url": url,
+            "date": "2024-06-01T00:00:00Z",
+            "text": ("the page at " + url.rsplit("/", 1)[-1] + " talks about "
+                     + " ".join(f"topic{ord(c) % 7}" for c in url[-6:])
+                     + " and the usual closing remarks for the readers"),
+        })
+    for host, recs in hosts.items():
+        (wetdir / f"{host}.warc.wet.gz").write_bytes(encode_wet(recs))
+
+    # 4. ingest through the curation funnel
+    corpus_out = str(tmp_path / "chunks")
+    counts = ingest_wet_corpus(
+        spark, str(wetdir / "*.gz"), corpus_out,
+        quality_min=0.0, chunk_size=64, stride=64, shard_tokens=10000,
+    )
+    assert counts["wet_records"] == n_allowed
+    assert counts["chunks"] > 0
+
+    # 5. pack the curated docs into training sequences
+    curated = spark.read.parquet(corpus_out).select(
+        "doc_id", F.col("chunk_text").alias("text")
+    )
+    seq_out = str(tmp_path / "seqs")
+    meta = export_packed_sequences(curated, seq_out, seq_tokens=32, seed=1)
+    seqs = spark.read.parquet(seq_out).collect()
+    assert meta["sequences"] == len(seqs) > 0
+    total = sum(r["n_tokens"] for r in seqs)
+    assert total == meta["tokens"]
+    # no /private/ page leaked through the whole arc
+    all_text = " ".join(r["seq_text"] for r in seqs)
+    assert "private" not in all_text
