@@ -32,6 +32,14 @@ key); token counting is map-side; the prefix offsets are one row per
 PARTITION on the driver. At 100 TB this is the same plan — the driver
 state stays O(partitions).
 
+PRECONDITION shared by every operator here: ``id_col`` must be UNIQUE
+(the stream order is (hash(seed|id), id) — the id is the tie-breaker
+that makes it a total order, which ``global_prefix_sum`` requires; a
+duplicated id could land its two rows on either side of a range
+boundary in arbitrary relative order). Corpus ids are unique by
+construction everywhere else in this engine (the admission gate, the
+funnel); enforce upstream if composing from raw inputs.
+
 Reference analog: the PK-ordered write family (SURVEY §2 O2/O4) —
 ordering as a first-class output property — applied to the training
 stream instead of the storage layout.
@@ -51,9 +59,6 @@ __all__ = [
     "pack_sequence_texts",
     "systematic_sample",
 ]
-
-_SHUFFLE_SEED_NS = "shuffle"
-
 
 def _shuffle_key(id_col: str, seed: int, portable: bool) -> F.Column:
     h = TX.hash64 if portable else TX.hash64_fast
