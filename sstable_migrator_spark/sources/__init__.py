@@ -1,1 +1,1 @@
-from sstable_migrator_spark.sources import dims, readers  # noqa: F401
+from sstable_migrator_spark.sources import dims, readers, warc  # noqa: F401
