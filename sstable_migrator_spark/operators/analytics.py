@@ -157,3 +157,66 @@ def global_prefix_sum(
         .drop("_pid", "_off")
     )
     return out, acc
+
+
+def grouped_prefix_sum(
+    df: DataFrame,
+    group_cols: list[str],
+    order_cols: list[str],
+    value_col: str,
+    out_col: str = "running",
+    parts: int | None = None,
+) -> tuple[DataFrame, dict[tuple, int]]:
+    """``global_prefix_sum`` generalized to a running sum WITHIN each
+    group — without ``Window.partitionBy(group)``, which would funnel
+    every group through ONE task (a corpus with five sources would run
+    on five cores). Same two phases, group-aware:
+
+    1. range-partition on (group, order) — each group becomes a
+       contiguous RUN of partitions, still split across many tasks;
+    2. per-(partition, group) totals to the driver — O(partitions x
+       groups-touching-a-partition) rows, which is O(partitions +
+       groups) because a range partition touches at most two groups'
+       boundary — exclusive offsets per (partition, group) broadcast
+       back; bounded in-partition windows keyed by (partition, group).
+
+    Returns ``(df_with_running, {group_tuple: group_total})``.
+    Requires (group, order) to be a total order (unique key), same as
+    the global form."""
+    spark = df.sparkSession
+    if parts is None:
+        parts = max(spark.sparkContext.defaultParallelism, 1)
+    keys = [*group_cols, *order_cols]
+    ranged = (
+        df.repartitionByRange(parts, *[F.col(c) for c in keys])
+        .withColumn("_pid", F.spark_partition_id())
+        .localCheckpoint()
+    )
+    totals = sorted(
+        (tuple(r[g] for g in group_cols), r["_pid"], int(r["tot"] or 0))
+        for r in ranged.groupBy("_pid", *group_cols)
+        .agg(F.sum(value_col).alias("tot"))
+        .collect()
+    )
+    offsets: dict[tuple, int] = {}
+    group_totals: dict[tuple, int] = {}
+    rows = []
+    for gkey, pid, tot in totals:  # sorted: per-group ascending pid
+        off = group_totals.get(gkey, 0)
+        rows.append((*gkey, int(pid), off))
+        group_totals[gkey] = off + tot
+    from pyspark.sql import types as T
+
+    off_schema = (
+        ranged.select(*group_cols)
+        .schema.add("_pid", T.IntegerType())
+        .add("_off", T.LongType())
+    )
+    off_df = F.broadcast(spark.createDataFrame(rows, off_schema))
+    w = Window.partitionBy("_pid", *group_cols).orderBy(*order_cols)
+    out = (
+        ranged.join(off_df, ["_pid", *group_cols])
+        .withColumn(out_col, (F.col("_off") + F.sum(value_col).over(w)).cast("long"))
+        .drop("_pid", "_off")
+    )
+    return out, group_totals

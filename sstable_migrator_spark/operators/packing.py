@@ -58,6 +58,7 @@ __all__ = [
     "pack_sequences",
     "pack_sequence_texts",
     "systematic_sample",
+    "systematic_sample_per_group",
 ]
 
 def _shuffle_key(id_col: str, seed: int, portable: bool) -> F.Column:
@@ -290,4 +291,81 @@ def systematic_sample(
         ranked.withColumn("n_picks", (picks(F.col("_incl")) - picks(excl)).cast("long"))
         .filter(F.col("n_picks") >= 1)
         .select(id_col, weight_col, "n_picks")
+    )
+
+
+def systematic_sample_per_group(
+    docs: DataFrame,
+    weight_col: str,
+    group_col: str,
+    n_per_group: dict,
+    seed: int = 0,
+    id_col: str = "doc_id",
+    parts: int | None = None,
+    portable: bool = True,
+) -> DataFrame:
+    """MIXTURE construction with exact per-group draw counts: the
+    weighted systematic draw run independently inside every group —
+    "exactly n_s draws from source s, probability proportional to
+    weight, reproducibly" — which is how a training mixture with fixed
+    per-source proportions is actually materialized. Groups missing
+    from ``n_per_group`` are excluded (an explicit budget IS the
+    contract).
+
+    No ``Window.partitionBy(group)``: the within-group running weight
+    comes from ``analytics.grouped_prefix_sum`` (range partition on
+    (group, hash, id) — a huge group still spreads over many tasks;
+    driver state O(partitions + groups)). Group totals come back from
+    that same pass, so the per-row draw count is the identical
+    closed-form picks() with the GROUP's (n, T) — pure BIGINT. Returns
+    drawn rows: ``(id, <group_col>, <weight_col>, n_picks)``; per-group
+    draw totals are exact (test-pinned)."""
+    from sstable_migrator_spark.operators.analytics import grouped_prefix_sum
+
+    if not n_per_group:
+        raise ValueError("n_per_group must name at least one group")
+    for g, n in n_per_group.items():
+        if n < 1:
+            raise ValueError(f"n for group {g!r} must be >= 1, got {n}")
+    df = (
+        docs.filter(F.col(weight_col) > 0)
+        .filter(F.col(group_col).isin(list(n_per_group)))
+        .withColumn("_sk", _shuffle_key(id_col, seed, portable))
+    )
+    ranked, group_totals = grouped_prefix_sum(
+        df, [group_col], ["_sk", id_col], weight_col, out_col="_incl", parts=parts
+    )
+    spark = docs.sparkSession
+    meta = [
+        (g, int(n_per_group[gt[0]]), int(t))
+        for gt, t in group_totals.items()
+        for g in [gt[0]]
+        if t > 0
+    ]
+    if not meta:
+        raise ValueError("no positive weights in any budgeted group")
+    from pyspark.sql import types as T
+
+    mschema = T.StructType(
+        [
+            T.StructField(group_col, docs.schema[group_col].dataType),
+            T.StructField("_n", T.LongType()),
+            T.StructField("_t", T.LongType()),
+        ]
+    )
+    mdf = F.broadcast(spark.createDataFrame(meta, mschema))
+
+    def picks(x):
+        a = (F.lit(2) * F.col("_n") * x - F.col("_t")).cast("long")
+        ceil_div = F.call_function(
+            "div", a + F.lit(2) * F.col("_t") - 1, F.lit(2) * F.col("_t")
+        )
+        return F.when(a <= 0, F.lit(0)).otherwise(F.least(F.col("_n"), ceil_div))
+
+    excl = (F.col("_incl") - F.col(weight_col)).cast("long")
+    return (
+        ranked.join(mdf, group_col)
+        .withColumn("n_picks", (picks(F.col("_incl")) - picks(excl)).cast("long"))
+        .filter(F.col("n_picks") >= 1)
+        .select(id_col, group_col, weight_col, "n_picks")
     )

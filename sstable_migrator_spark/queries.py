@@ -10332,6 +10332,73 @@ QUERIES.update({"q205_gopher_rules": q_gopher_rules})
 ORACLES.update({"q205_gopher_rules": SQL_GOPHER_RULES})
 
 
+_MIX_BUDGETS = {"src1": 9, "src3": 25, "src7": 4}
+
+
+def q_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-mixture construction: EXACTLY the budgeted number of
+    weighted systematic draws per source (9/25/4 from src1/src3/src7;
+    every other source excluded — an explicit budget IS the contract),
+    each source's grid independent, weights = token counts. The
+    within-group running weight comes from the grouped two-phase
+    prefix sum (range partition on (source, hash, id) — a huge source
+    still spreads over many tasks; no Window.partitionBy(source)
+    funnel); draw counts are the same closed-form BIGINT picks() with
+    the group's (n, T). The oracle replays it with per-source
+    windows."""
+    from sstable_migrator_spark.operators.packing import (
+        systematic_sample_per_group,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", "source", TX.token_count(F.col("text")).cast("long").alias("w")
+    )
+    return systematic_sample_per_group(
+        docs, "w", "source", _MIX_BUDGETS, seed=5
+    )
+
+
+def _sql_mixture_sample() -> str:
+    n_case = " ".join(
+        f"WHEN source = '{g}' THEN {n}" for g, n in sorted(_MIX_BUDGETS.items())
+    )
+    in_list = ", ".join(f"'{g}'" for g in sorted(_MIX_BUDGETS))
+    return f"""
+WITH wdocs AS (
+  SELECT doc_id, source,
+         CASE WHEN length(trim(text)) = 0 THEN 0
+              ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS w,
+         CAST(concat('0x', substr(md5('5|' || CAST(doc_id AS VARCHAR)),
+                                  1, 15)) AS BIGINT) AS sk
+  FROM documents WHERE source IN ({in_list})
+),
+pos AS (SELECT doc_id, source, CAST(w AS BIGINT) AS w, sk,
+               CAST(CASE {n_case} END AS BIGINT) AS n
+        FROM wdocs WHERE w > 0),
+ranked AS (
+  SELECT doc_id, source, w, n,
+         SUM(w) OVER (PARTITION BY source ORDER BY sk, doc_id
+                      ROWS UNBOUNDED PRECEDING) AS incl,
+         SUM(w) OVER (PARTITION BY source) AS t
+  FROM pos
+),
+picked AS (
+  SELECT doc_id, source, w,
+         CAST((CASE WHEN 2 * n * incl - t <= 0 THEN 0
+                    ELSE least(n, (2 * n * incl - t + 2 * t - 1) // (2 * t)) END)
+            - (CASE WHEN 2 * n * (incl - w) - t <= 0 THEN 0
+                    ELSE least(n, (2 * n * (incl - w) - t + 2 * t - 1) // (2 * t)) END)
+           AS BIGINT) AS n_picks
+  FROM ranked
+)
+SELECT doc_id, source, w, n_picks FROM picked WHERE n_picks >= 1
+"""
+
+
+QUERIES.update({"q206_mixture_sample": q_mixture_sample})
+ORACLES.update({"q206_mixture_sample": _sql_mixture_sample()})
+
+
 # ---------------------------------------------------------------------------
 # Driver-sample ordering.
 #

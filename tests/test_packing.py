@@ -187,3 +187,53 @@ def test_systematic_sample_exact_n_and_weighting(spark):
         systematic_sample(docs, "w", 0)
     with _pytest.raises(ValueError):
         systematic_sample(docs.filter("w = 0"), "w", 3)
+
+
+def test_systematic_sample_per_group_exact_budgets(spark):
+    """Mixture construction: exactly the budgeted number of draws per
+    group, unbudgeted groups excluded, reproducible under partitioning,
+    and each group's draw equals the single-group sampler run on that
+    group alone (the independence property)."""
+    import pytest as _pytest
+
+    from sstable_migrator_spark.operators.packing import (
+        systematic_sample,
+        systematic_sample_per_group,
+    )
+
+    docs = spark.range(300).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("s"), (F.col("id") % 4).cast("string")).alias("source"),
+        ((F.col("id") % 11) + 1).cast("long").alias("w"),
+    )
+    budgets = {"s0": 12, "s1": 5, "s2": 30}
+    got = systematic_sample_per_group(docs, "w", "source", budgets, seed=2).collect()
+    per = {}
+    for r in got:
+        per[r["source"]] = per.get(r["source"], 0) + r["n_picks"]
+    assert per == budgets  # exact, and s3 excluded entirely
+
+    # independence: group s1's draw == running the global sampler on s1 alone
+    solo = {
+        r["doc_id"]: r["n_picks"]
+        for r in systematic_sample(
+            docs.filter("source = 's1'"), "w", 5, seed=2
+        ).collect()
+    }
+    mixed = {r["doc_id"]: r["n_picks"] for r in got if r["source"] == "s1"}
+    assert mixed == solo
+
+    again = {(r["doc_id"], r["n_picks"])
+             for r in systematic_sample_per_group(
+                 docs.repartition(13), "w", "source", budgets, seed=2, parts=7
+             ).collect()}
+    assert again == {(r["doc_id"], r["n_picks"]) for r in got}
+
+    with _pytest.raises(ValueError):
+        systematic_sample_per_group(docs, "w", "source", {})
+    with _pytest.raises(ValueError):
+        systematic_sample_per_group(docs, "w", "source", {"s0": 0})
+    with _pytest.raises(ValueError):
+        systematic_sample_per_group(
+            docs.filter("w < 0"), "w", "source", {"s0": 1}
+        )

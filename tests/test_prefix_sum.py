@@ -45,3 +45,27 @@ def test_empty_input(spark):
     out, total = global_prefix_sum(df, ["k"], "v", out_col="run", parts=3)
     assert out.count() == 0
     assert total == 0
+
+
+def test_grouped_prefix_sum_matches_window(spark):
+    """grouped_prefix_sum == Window.partitionBy(group).orderBy(order)
+    running sum, for any partitioning, plus exact group totals."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from sstable_migrator_spark.operators.analytics import grouped_prefix_sum
+
+    df = spark.range(200).select(
+        (F.col("id") % 3).cast("string").alias("g"),
+        F.col("id").alias("k"),
+        ((F.col("id") % 7) + 1).cast("long").alias("v"),
+    )
+    out, tots = grouped_prefix_sum(df.repartition(11), ["g"], ["k"], "v", "run", parts=5)
+    got = {(r["g"], r["k"]): r["run"] for r in out.collect()}
+    ref = {(r["g"], r["k"]): r["run"] for r in df.withColumn(
+        "run", F.sum("v").over(Window.partitionBy("g").orderBy("k"))
+    ).collect()}
+    assert got == ref
+    assert tots == {("0",): sum(((i % 7) + 1) for i in range(0, 200, 3)),
+                    ("1",): sum(((i % 7) + 1) for i in range(1, 200, 3)),
+                    ("2",): sum(((i % 7) + 1) for i in range(2, 200, 3))}
