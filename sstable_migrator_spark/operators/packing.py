@@ -1,5 +1,6 @@
-"""Training-order operators: deterministic corpus shuffle and
-token-budget sequence packing.
+"""Training-order operators: deterministic corpus shuffle, token-budget
+sequence packing (layout + materialized), and exactly-n weighted
+systematic sampling (global and per-group mixture forms).
 
 North-star extension (the last mile of a training-data pipeline): once
 a corpus is deduped, filtered, and split, it still has to reach the
