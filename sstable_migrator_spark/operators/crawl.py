@@ -17,9 +17,9 @@ robots gate -> polite fetch plan -> WET ingestion -> curation).
   struct ordering IS the precedence rule, so no window is needed.
 - ``crawl_schedule``: per-host politeness slots — fetch_seq is the
   rank within the host (optionally capped), so slot * crawl_delay is
-  the earliest fetch offset. Host-partitioned window: scale-safe by
-  construction (a pathological single host is exactly the thing the
-  cap bounds).
+  the earliest fetch offset. The rank is the grouped two-phase prefix
+  sum, NOT a per-host window: a zipfian mega-host spreads over many
+  range-partition tasks instead of funneling into one.
 
 Reference analog: SURVEY §2 P6/P7's blocklist/allowlist gating, moved
 from DNS names to crawl targets.
@@ -46,7 +46,12 @@ def parse_robots_body(body: str, host: str = "") -> list[dict]:
     Grammar: ``key: value`` lines; ``#`` comments; consecutive
     ``User-agent`` lines open ONE group that the following
     allow/disallow directives all belong to; keys case-insensitive;
-    empty-prefix Disallow means "allow everything" and emits no row.
+    an EMPTY-prefix directive ("Disallow:" = allow everything) emits a
+    sentinel ``allow ''`` row — matching every path at length 0, so it
+    changes no verdict on its own, but it REGISTERS the group: a host
+    whose specific-agent group is only "Disallow:" must still shadow
+    the ``*`` group in ``robots_allowed`` (REP group selection — a
+    group with no restrictive rules is a group, not an absence).
     PREFIX matching only (no ``*``/``$`` patterns — rows whose prefix
     contains them are emitted verbatim and simply won't prefix-match,
     which errs on the permissive side; run a stricter gate if your
@@ -68,13 +73,17 @@ def parse_robots_body(body: str, host: str = "") -> list[dict]:
             agents.append(val.lower())
         elif key in ("allow", "disallow"):
             group_open = True
-            if key == "disallow" and not val:
-                continue  # empty disallow = no restriction
-            if val:
-                for a in agents or ["*"]:
-                    rules.append(
-                        {"host": host, "agent": a, "rule": key, "prefix": val}
-                    )
+            for a in agents or ["*"]:
+                rules.append(
+                    {
+                        "host": host,
+                        "agent": a,
+                        # empty value = "no restriction": a zero-length
+                        # allow sentinel (ties lose to every real rule)
+                        "rule": "allow" if not val else key,
+                        "prefix": val,
+                    }
+                )
     return rules
 
 
@@ -165,16 +174,32 @@ def crawl_schedule(
     """Per-host politeness plan: rank each host's urls (deterministic:
     url order), optionally cap the frontier per host, and assign the
     earliest polite fetch offset ``fetch_seq * crawl_delay_ms``.
-    Host-partitioned window only — never global. Returns
+
+    NO ``Window.partitionBy(host)``: host frequency in a real frontier
+    is zipfian, and a per-host window funnels a mega-host's entire URL
+    set through one task's sort. The rank is
+    ``analytics.grouped_prefix_sum`` over (host, url) — a range
+    partition, so one huge host still spreads across many tasks and
+    driver state stays O(partitions + hosts); the cap then filters on
+    the closed-form rank. ``max_per_host=None`` (the default) is an
+    explicitly UNCAPPED plan: every frontier URL of every host gets a
+    slot — fine now that ranking itself is spread, but pass a cap if
+    downstream fetch capacity is the constraint. Returns
     ``(url, host, fetch_seq, fetch_offset_ms)``."""
-    from pyspark.sql import Window
+    from sstable_migrator_spark.operators.analytics import grouped_prefix_sum
 
     host, _path = url_host_path(F.col(url_col))
-    u = urls.select(F.col(url_col).alias("url")).distinct().select(
-        "url", host.alias("host")
+    u = (
+        urls.select(F.col(url_col).alias("url"))
+        .distinct()
+        .select("url", host.alias("host"), F.lit(1).cast("long").alias("_one"))
     )
-    w = Window.partitionBy("host").orderBy("url")
-    ranked = u.withColumn("fetch_seq", (F.row_number().over(w) - 1).cast("long"))
+    ranked, _totals = grouped_prefix_sum(
+        u, ["host"], ["url"], "_one", out_col="_rk"
+    )
+    ranked = ranked.withColumn("fetch_seq", (F.col("_rk") - 1).cast("long")).drop(
+        "_one", "_rk"
+    )
     if max_per_host is not None:
         ranked = ranked.filter(F.col("fetch_seq") < max_per_host)
     return ranked.withColumn(

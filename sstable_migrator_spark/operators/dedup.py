@@ -204,6 +204,51 @@ def build_dedup_state(
     return _band_explode(staged, id_col, num_hashes, bands, extra=["fp"])
 
 
+def write_dedup_state_params(
+    path: str, num_hashes: int = 16, bands: int = 4, shingle_k: int = 3
+) -> None:
+    """Record the LSH parameters a persisted ``build_dedup_state``
+    table was built with, as ``<path>/_params.json`` (underscore files
+    are invisible to parquet readers). A state consumed with DIFFERENT
+    banding silently yields wrong est_jaccard and missed/spurious
+    candidate pairs — the sidecar lets ``check_dedup_state_params``
+    refuse up front instead."""
+    import json
+    import os
+
+    os.makedirs(path, exist_ok=True)
+    with open(os.path.join(path, "_params.json"), "w") as fh:
+        json.dump(
+            {"num_hashes": num_hashes, "bands": bands, "shingle_k": shingle_k},
+            fh,
+        )
+
+
+def check_dedup_state_params(
+    path: str, num_hashes: int = 16, bands: int = 4, shingle_k: int = 3
+) -> dict | None:
+    """Assert a persisted dedup state's recorded parameters match the
+    caller's. Returns the recorded params, or None when the sidecar is
+    absent (a pre-sidecar state — the in-plan signature-length assert
+    in ``lsh_pairs_between_banded`` still backstops num_hashes there).
+    Raises ValueError on any mismatch."""
+    import json
+    import os
+
+    p = os.path.join(path, "_params.json")
+    if not os.path.exists(p):
+        return None
+    with open(p) as fh:
+        got = json.load(fh)
+    want = {"num_hashes": num_hashes, "bands": bands, "shingle_k": shingle_k}
+    if got != want:
+        raise ValueError(
+            f"dedup state at {path} was built with {got}, "
+            f"queried with {want} — rebuild the state or match the params"
+        )
+    return got
+
+
 def minhash_lsh_pairs(
     docs: DataFrame,
     text_col: str = "text",
@@ -1115,7 +1160,14 @@ def lsh_pairs_between_banded(
     tables (``banded_minhash`` / ``build_dedup_state`` output — the old
     side typically a persisted parquet). New x old band-bucket join
     only; no text is touched. Returns ``(new_id, old_id,
-    est_jaccard)``."""
+    est_jaccard)``.
+
+    A persisted state built with DIFFERENT num_hashes would make the
+    per-band slices and the Jaccard estimate silently wrong, so the
+    estimate is guarded by an in-plan ``assert_true`` on both sides'
+    signature lengths — a mismatched state fails the query loudly.
+    (Full param identity — bands/shingle_k too — is the job of the
+    ``_params.json`` sidecar, ``check_dedup_state_params``.)"""
     rows_per_band = _check_bands(num_hashes, bands)
     cols = [id_col, "signature", "band", "bucket"]
     a = new_banded.select(cols).alias("a")
@@ -1144,6 +1196,18 @@ def lsh_pairs_between_banded(
         )
         / F.lit(float(num_hashes))
     )
+    # load-bearing guard (feeds the output column, so it can't be
+    # pruned): any colliding row whose stored signature length differs
+    # from num_hashes raises instead of mis-estimating
+    shape_ok = F.assert_true(
+        (F.size(F.col("a.signature")) == num_hashes)
+        & (F.size(F.col("b.signature")) == num_hashes),
+        F.lit(
+            f"dedup state signature length != num_hashes={num_hashes} — "
+            "state built with different parameters?"
+        ),
+    )
+    est = F.when(shape_ok.isNull(), est)
     return (
         joined.filter(F.col("a.band") == first_band)
         .select(

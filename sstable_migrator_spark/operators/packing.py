@@ -67,6 +67,18 @@ def _shuffle_key(id_col: str, seed: int, portable: bool) -> F.Column:
     return h(F.col(id_col).cast("string"), seed=seed)
 
 
+def _check_picks_range(n: int, total: int) -> None:
+    """picks() computes ``2*n*x + 2*total`` with x up to ``total``;
+    DECIMAL(38,0) holds it exactly up to 38 digits. Refuse loudly past
+    that (n and T would both have to be near int64-max — no real
+    corpus, but silent nulls are never the right failure)."""
+    if 2 * n * total + 2 * total >= 10**38:
+        raise ValueError(
+            f"2*n*total = {2 * n * total} exceeds DECIMAL(38,0); "
+            "split the draw into smaller n"
+        )
+
+
 def deterministic_shuffle(
     docs: DataFrame,
     seed: int = 0,
@@ -265,7 +277,13 @@ def systematic_sample(
     by quality") of the same two-phase prefix sum the shuffle and the
     packers ride: one range exchange, O(partitions) driver state —
     variance-free systematic draws, unlike independent Bernoulli
-    sampling whose realized size wobbles by O(sqrt(n))."""
+    sampling whose realized size wobbles by O(sqrt(n)).
+
+    The closed form's intermediate ``2*n*x`` reaches ``2*n*T`` — far
+    past int64 for the advertised use case (a 10B-token draw from a
+    100 TB corpus: n~2e7, T~2.5e13 gives ~1e21) — so picks() runs in
+    DECIMAL(38,0) with an exact IntegralDivide; the product is guarded
+    against the 38-digit ceiling up front."""
     if n < 1:
         raise ValueError(f"n must be >= 1, got {n}")
     df = (
@@ -277,12 +295,15 @@ def systematic_sample(
     )
     if total <= 0:
         raise ValueError("no positive weights to sample from")
+    _check_picks_range(n, total)
 
     def picks(x):
-        a = (F.lit(2 * n) * x - F.lit(total)).cast("long")
-        ceil_div = F.call_function(
-            "div", a + F.lit(2 * total - 1), F.lit(2 * total)
-        )
+        dec = "decimal(38,0)"
+        td = F.lit(total).cast(dec)
+        two_t = td + td  # doubled in decimal: 2*T itself can pass int64
+        a = F.lit(2).cast(dec) * F.lit(n).cast(dec) * x.cast(dec) - td
+        # exact: IntegralDivide on decimals, never a rounded decimal /
+        ceil_div = F.call_function("div", a + two_t - F.lit(1).cast(dec), two_t)
         return F.when(a <= 0, F.lit(0)).otherwise(
             F.least(F.lit(n).cast("long"), ceil_div)
         )
@@ -345,6 +366,8 @@ def systematic_sample_per_group(
     ]
     if not meta:
         raise ValueError("no positive weights in any budgeted group")
+    for _g, gn, gt in meta:
+        _check_picks_range(gn, gt)
     from pyspark.sql import types as T
 
     mschema = T.StructType(
@@ -357,10 +380,14 @@ def systematic_sample_per_group(
     mdf = F.broadcast(spark.createDataFrame(meta, mschema))
 
     def picks(x):
-        a = (F.lit(2) * F.col("_n") * x - F.col("_t")).cast("long")
-        ceil_div = F.call_function(
-            "div", a + F.lit(2) * F.col("_t") - 1, F.lit(2) * F.col("_t")
-        )
+        # same DECIMAL(38,0) discipline as the global sampler: 2*n_g*x
+        # reaches 2*n_g*T_g, past int64 at the advertised corpus scale
+        dec = "decimal(38,0)"
+        nd = F.col("_n").cast(dec)
+        td = F.col("_t").cast(dec)
+        two_t = td + td  # cast BEFORE doubling: 2*T itself can pass int64
+        a = F.lit(2).cast(dec) * nd * x.cast(dec) - td
+        ceil_div = F.call_function("div", a + two_t - F.lit(1).cast(dec), two_t)
         return F.when(a <= 0, F.lit(0)).otherwise(F.least(F.col("_n"), ceil_div))
 
     excl = (F.col("_incl") - F.col(weight_col)).cast("long")

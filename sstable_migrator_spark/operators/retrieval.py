@@ -216,7 +216,14 @@ def append_postings_index(
     Appending an already-indexed doc_id is the caller's bug (postings
     would double-count its tf); gate admission upstream, as
     streaming/corpus_ingest does. Single-writer discipline, same as
-    every store here. Returns the updated ``{n, t, n_buckets}``."""
+    every store here. Returns the updated ``{n, t, n_buckets}``.
+
+    CRASH REPAIR: the postings append and the stats overwrite are two
+    writes; a crash between them leaves ``_corpus_stats`` undercounting
+    n/t (skewing IDF down slightly) while the postings themselves are
+    complete. The index is self-describing, so the repair is
+    ``rebuild_postings_stats(spark, path)`` — one column-pruned scan of
+    the index, never a corpus pass."""
     from sstable_migrator_spark.functions import text as TX
 
     spark = docs.sparkSession
@@ -245,6 +252,34 @@ def append_postings_index(
         os.path.join(path, "_corpus_stats")
     )
     return {"n": n, "t": t, "n_buckets": n_buckets}
+
+
+def rebuild_postings_stats(
+    spark: SparkSession, path: str, n_buckets: int | None = None
+) -> dict:
+    """Repair ``_corpus_stats`` from the postings parquet itself — the
+    documented recovery for a crash between ``append_postings_index``'s
+    postings append and its stats overwrite. The postings are
+    self-describing: n = distinct docs, t = sum of per-doc lengths over
+    the distinct (doc, dl) pairs — one column-pruned scan of the index.
+    ``n_buckets`` defaults to ``max(pb) + 1``, exact whenever every
+    bucket holds at least one term (any real corpus); pass it
+    explicitly for a tiny index that might have empty top buckets."""
+    post = spark.read.parquet(path)
+    if n_buckets is None:
+        n_buckets = int(post.agg(F.max("pb")).first()[0]) + 1
+    n, t = (
+        post.select("doc", "dl")
+        .distinct()
+        .agg(F.count(F.lit(1)), F.sum("dl"))
+        .first()
+    )
+    spark.createDataFrame(
+        [(int(n), int(t or 0), int(n_buckets))], "n long, t long, n_buckets int"
+    ).coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(path, "_corpus_stats")
+    )
+    return {"n": int(n), "t": int(t or 0), "n_buckets": int(n_buckets)}
 
 
 def bm25_topk_from_postings(

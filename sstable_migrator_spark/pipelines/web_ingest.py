@@ -25,7 +25,12 @@ from pyspark.sql import functions as F
 
 from sstable_migrator_spark.functions import text as TX
 
-__all__ = ["wet_to_documents", "ingest_wet_corpus"]
+__all__ = [
+    "warc_responses_to_documents",
+    "wet_to_documents",
+    "ingest_warc_corpus",
+    "ingest_wet_corpus",
+]
 
 
 def wet_to_documents(wet: DataFrame, strip_html: bool = False) -> DataFrame:
@@ -46,6 +51,54 @@ def wet_to_documents(wet: DataFrame, strip_html: bool = False) -> DataFrame:
         F.col("url"),
         text.alias("text"),
     ).withColumn("lang", TX.lang_id(F.col("text")))
+
+
+def warc_responses_to_documents(responses: DataFrame) -> DataFrame:
+    """Raw-WARC ``response`` records (``sources.warc.
+    read_warc_responses`` output) -> the same (doc_id, url, text, lang)
+    document shape ``wet_to_documents`` yields — the full
+    WARC->text path WET precomputes: keep successful (2xx) HTML
+    responses, run the header-stripped body through html_to_text
+    (q201's extraction pipeline), and stamp the identical
+    hash-of-(url|date) id, so a crawl ingested from raw WARC and from
+    its WET sibling collapses at exact dedup."""
+    kept = responses.filter(
+        (F.col("status") >= 200)
+        & (F.col("status") < 300)
+        & (
+            (F.col("content_type") == "")
+            | F.col("content_type").startswith("text/")
+        )
+    )
+    return kept.select(
+        TX.hash64(F.concat_ws("|", F.col("url"), F.col("date")), seed=41).alias(
+            "doc_id"
+        ),
+        F.col("url"),
+        TX.html_to_text(F.col("html")).alias("text"),
+    ).withColumn("lang", TX.lang_id(F.col("text")))
+
+
+def ingest_warc_corpus(
+    spark: SparkSession,
+    warc_glob: str,
+    out_dir: str,
+    **funnel_kwargs,
+) -> dict:
+    """``ingest_wet_corpus`` for RAW WARC input: response records ->
+    header strip -> html_to_text -> the same curation funnel. Use when
+    the crawl has no WET sibling (or you don't trust its conversion).
+    Returns the funnel counts plus the raw response-record count."""
+    from sstable_migrator_spark.pipelines.corpus import build_training_corpus
+    from sstable_migrator_spark.sources.warc import read_warc_responses
+
+    responses = read_warc_responses(spark, warc_glob)
+    docs = warc_responses_to_documents(responses).localCheckpoint()
+    counts = build_training_corpus(
+        docs.select("doc_id", "lang", "text"), out_dir, **funnel_kwargs
+    )
+    counts["warc_records"] = counts["input"]
+    return counts
 
 
 def ingest_wet_corpus(

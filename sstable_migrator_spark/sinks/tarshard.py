@@ -150,10 +150,16 @@ def read_tar_shards(
     key_col: str,
     payload_cols: list[str],
     binary_cols: list[str] | None = None,
+    strict: bool = True,
 ) -> DataFrame:
     """Scan every ``shard-*.tar`` under ``path`` back into one row per
     sample — one task per shard. ``binary_cols`` stay bytes; other
-    payload columns decode as UTF-8 strings."""
+    payload columns decode as UTF-8 strings.
+
+    ``strict=True`` (default) raises on any member field not in
+    ``payload_cols`` — a schema mismatch should fail loudly, not drop a
+    sample's data. Pass ``strict=False`` to PROJECT a column subset out
+    of a wider shard (unknown members are then skipped by design)."""
     import glob as _glob
 
     import pandas as pd
@@ -205,14 +211,19 @@ def read_tar_shards(
                             seen.add(key)
                             cur_key, cur = key, {}
                         if field not in payload_cols:
-                            # Unknown members mean the caller's schema
-                            # does not match the shard — raising beats
-                            # silently dropping a sample's field.
-                            raise ValueError(
-                                f"{shard}: member {m.name!r} has field "
-                                f"{field!r} not in payload_cols "
-                                f"{sorted(payload_cols)} — schema mismatch"
-                            )
+                            if strict:
+                                # Unknown members mean the caller's
+                                # schema does not match the shard —
+                                # raising beats silently dropping a
+                                # sample's field.
+                                raise ValueError(
+                                    f"{shard}: member {m.name!r} has field "
+                                    f"{field!r} not in payload_cols "
+                                    f"{sorted(payload_cols)} — schema "
+                                    "mismatch (strict=False projects a "
+                                    "column subset)"
+                                )
+                            continue
                         cur[field] = tf.extractfile(m).read()
                     flush()
                 if rows:

@@ -15,11 +15,18 @@ dependency-free:
   natural parallel unit; a 100 TB crawl is ~700k files, far more than
   any cluster's cores), same repartitionByRange pinning as the tar and
   sstable sources. Filters to the requested record types (default
-  ``conversion`` — the WET text records; pass ``("response",)`` for raw
-  WARC) and yields (file, url, date, record_type, length, text).
-- ``encode_wet``: the byte-exact writer twin (fixtures, round-trip
-  tests, and the catalog oracle entry), per-record gzip members like
-  CommonCrawl's own layout.
+  ``conversion`` — the WET text records) and yields (file, url, date,
+  record_type, length, text) in bounded O(chunk) pandas batches.
+- ``read_warc_responses``: the RAW-WARC half — ``response`` records
+  carry a full HTTP message (status line + headers + body), the form
+  CommonCrawl stores before the WET conversion precomputes text.
+  ``split_http_response`` strips the header block (first blank line,
+  CRLF or bare LF), reads status + Content-Type + charset, and the
+  body decodes per that charset (utf-8 fallback); html_to_text
+  downstream completes the WARC->text path WET precomputes.
+- ``encode_wet`` / ``encode_warc_responses``: the byte-exact writer
+  twins (fixtures, round-trip tests, and the catalog oracle entries),
+  per-record gzip members like CommonCrawl's own layout.
 
 Reference analog: utils/cc_download_convert (SURVEY §2.1 S6) walked the
 index; this is the content half a corpus builder actually trains on.
@@ -34,7 +41,14 @@ from collections.abc import Iterator
 
 from pyspark.sql import DataFrame, SparkSession
 
-__all__ = ["encode_wet", "iter_warc_records", "read_wet"]
+__all__ = [
+    "encode_warc_responses",
+    "encode_wet",
+    "iter_warc_records",
+    "read_warc_responses",
+    "read_wet",
+    "split_http_response",
+]
 
 _CRLF = b"\r\n"
 
@@ -105,18 +119,172 @@ def encode_wet(records: list[dict]) -> bytes:
     return out.getvalue()
 
 
-def read_wet(
+def split_http_response(payload: bytes) -> tuple[dict, bytes]:
+    """Split a raw-WARC ``response`` record's HTTP payload into
+    ``({status, content_type, charset}, body_bytes)``. The header block
+    ends at the first blank line (CRLF per RFC 9112; bare LF tolerated
+    — real servers emit it); a payload with no blank line at all is
+    treated as headerless body (errs toward keeping content). Charset
+    comes from the Content-Type parameter, defaulting to utf-8 — the
+    fallback WET conversion itself uses."""
+    sep = payload.find(b"\r\n\r\n")
+    if sep >= 0:
+        head, body = payload[:sep], payload[sep + 4 :]
+    else:
+        sep = payload.find(b"\n\n")
+        if sep >= 0:
+            head, body = payload[:sep], payload[sep + 2 :]
+        else:
+            head, body = b"", payload
+    status = 0
+    content_type, charset = "", "utf-8"
+    lines = head.split(b"\n")
+    if lines and lines[0][:5] in (b"HTTP/", b"http/"):
+        parts = lines[0].strip().split()
+        if len(parts) >= 2 and parts[1].isdigit():
+            status = int(parts[1])
+    for hl in lines[1:]:
+        if b":" not in hl:
+            continue
+        k, v = hl.split(b":", 1)
+        if k.strip().lower() == b"content-type":
+            full = v.strip().decode("ascii", "replace")
+            content_type = full.split(";", 1)[0].strip().lower()
+            for param in full.split(";")[1:]:
+                pk, _, pv = param.partition("=")
+                if pk.strip().lower() == "charset" and pv.strip():
+                    charset = pv.strip().strip('"').strip("'").lower()
+    return {
+        "status": status,
+        "content_type": content_type,
+        "charset": charset,
+    }, body
+
+
+def _decode_body(body: bytes, charset: str) -> str:
+    try:
+        return body.decode(charset, "replace")
+    except LookupError:  # unknown label from a misbehaving server
+        return body.decode("utf-8", "replace")
+
+
+def encode_warc_responses(records: list[dict]) -> bytes:
+    """Records ``{url, date?, status?, content_type?, html}`` -> raw
+    WARC bytes: one gzip member per ``response`` record whose payload
+    is a full HTTP response (status line + headers + blank line +
+    body). The writer twin for ``read_warc_responses`` fixtures —
+    byte-deterministic like every writer here."""
+    out = io.BytesIO()
+    for r in records:
+        body = r["html"].encode("utf-8")
+        status = int(r.get("status", 200))
+        ctype = r.get("content_type", "text/html; charset=utf-8")
+        http = (
+            f"HTTP/1.1 {status} OK\r\n"
+            f"Content-Type: {ctype}\r\n"
+            f"Content-Length: {len(body)}\r\n\r\n"
+        ).encode("ascii") + body
+        head = (
+            b"WARC/1.0\r\n"
+            + b"WARC-Type: response\r\n"
+            + b"WARC-Target-URI: " + r["url"].encode("utf-8") + b"\r\n"
+            + b"WARC-Date: " + r.get("date", "2024-01-01T00:00:00Z").encode("ascii") + b"\r\n"
+            + b"Content-Type: application/http; msgtype=response\r\n"
+            + b"Content-Length: " + str(len(http)).encode("ascii") + b"\r\n"
+            + b"\r\n"
+        )
+        member = head + http + b"\r\n\r\n"
+        gz = io.BytesIO()
+        with gzip.GzipFile(fileobj=gz, mode="wb", mtime=0) as fh:
+            fh.write(member)
+        out.write(gz.getvalue())
+    return out.getvalue()
+
+
+def read_warc_responses(
     spark: SparkSession,
     path: str,
-    record_types: tuple[str, ...] = ("conversion",),
+    chunk_records: int = 2000,
 ) -> DataFrame:
-    """Scan ``path`` (a glob of ``*.warc.wet(.gz)`` files) into one row
-    per matching record: (file, url, date, record_type, length, text).
-    One task per file; gzip is detected by magic per file."""
+    """The raw-WARC half of the content story: scan ``response``
+    records (HTTP headers + HTML body — what CommonCrawl's WARC files
+    carry before the WET conversion precomputes text) into one row per
+    record: (file, url, date, status, content_type, length, html).
+    ``length`` is the HTTP BODY byte length (headers stripped), html
+    decoded per the Content-Type charset (utf-8 fallback). One task
+    per file, O(chunk) memory, loud framing errors — feed ``html``
+    through ``functions.text.html_to_text`` (pipelines/web_ingest
+    wires it) to get the text WET would have given you."""
     import glob as _glob
 
     import pandas as pd
 
+    if chunk_records < 1:
+        raise ValueError(f"chunk_records must be >= 1, got {chunk_records}")
+    files = sorted(_glob.glob(path))
+    if not files:
+        raise ValueError(f"no WARC files match {path}")
+    dirs_df = spark.createDataFrame(
+        [(i, f) for i, f in enumerate(files)], "i int, file string"
+    ).repartitionByRange(len(files), "i")
+
+    def _scan(batches):
+        for pdf in batches:
+            for fname in pdf["file"]:
+                rows = []
+                with open(fname, "rb") as raw:
+                    magic = raw.read(2)
+                    raw.seek(0)
+                    stream = (
+                        gzip.GzipFile(fileobj=raw) if magic == b"\x1f\x8b" else raw
+                    )
+                    for headers, payload in iter_warc_records(stream):
+                        if headers.get("WARC-Type", "") != "response":
+                            continue
+                        meta, body = split_http_response(payload)
+                        rows.append(
+                            {
+                                "file": os.path.basename(fname),
+                                "url": headers.get("WARC-Target-URI", ""),
+                                "date": headers.get("WARC-Date", ""),
+                                "status": meta["status"],
+                                "content_type": meta["content_type"],
+                                "length": len(body),
+                                "html": _decode_body(body, meta["charset"]),
+                            }
+                        )
+                        if len(rows) >= chunk_records:
+                            yield pd.DataFrame(rows)
+                            rows = []
+                if rows:
+                    yield pd.DataFrame(rows)
+
+    return dirs_df.mapInPandas(
+        _scan,
+        "file string, url string, date string, status int, "
+        "content_type string, length long, html string",
+    )
+
+
+def read_wet(
+    spark: SparkSession,
+    path: str,
+    record_types: tuple[str, ...] = ("conversion",),
+    chunk_records: int = 2000,
+) -> DataFrame:
+    """Scan ``path`` (a glob of ``*.warc.wet(.gz)`` files) into one row
+    per matching record: (file, url, date, record_type, length, text).
+    One task per file; gzip is detected by magic per file. Rows yield
+    in ``chunk_records`` batches, so task memory is O(chunk), never
+    O(shard) — a real WET shard is ~400 MB uncompressed, and 32
+    concurrent whole-shard buffers is needless pressure the
+    mapInPandas iterator contract already avoids."""
+    import glob as _glob
+
+    import pandas as pd
+
+    if chunk_records < 1:
+        raise ValueError(f"chunk_records must be >= 1, got {chunk_records}")
     files = sorted(_glob.glob(path))
     if not files:
         raise ValueError(f"no WET files match {path}")
@@ -149,6 +317,9 @@ def read_wet(
                                 "text": payload.decode("utf-8", "replace"),
                             }
                         )
+                        if len(rows) >= chunk_records:
+                            yield pd.DataFrame(rows)
+                            rows = []
                 if rows:
                     yield pd.DataFrame(rows)
 

@@ -35,11 +35,19 @@ construction. Gate columns ride in the ledger (``quality_keep``,
 ``ppl_keep``) so rejections are attributable.
 
 Crash note (same as every ledger here): corpus append, state append,
-and ledger append are separate writes; a crash between them can leave
-a drain partially recorded, and the checkpoint will NOT replay it.
-The audit query is ``_admissions`` vs corpus ids; re-seeding the state
-table from the corpus text (``build_dedup_state``) is always a valid
-repair because the state is a pure function of the corpus.
+postings append, and ledger append are separate writes; a crash
+between them can leave a drain partially recorded, and the checkpoint
+will NOT replay it. The LEDGER COMMITS LAST by construction, so a
+decision row in ``_admissions`` means every store write for that drain
+completed — audit is ``_admissions`` vs corpus ids. Repairs, all
+corpus-pass-free or pure functions: re-seed the dedup state from the
+corpus text (``build_dedup_state`` — the state is a pure function of
+the corpus); rebuild the BM25 corpus constants from the postings
+parquet (``retrieval.rebuild_postings_stats`` — the index is
+self-describing, one column-pruned scan). The state store records its
+LSH parameters in ``_dedup_state/_params.json``; every drain asserts
+they match before judging (a state consumed with different banding
+would silently mis-estimate Jaccard).
 
 Note the admission reference is the corpus AS OF the drain start
 (micro-batches within one drain don't see each other's admissions —
@@ -98,7 +106,9 @@ def admit_documents_available_now(
     ``{judged, admitted}``."""
     from sstable_migrator_spark.operators.dedup import (
         build_dedup_state,
+        check_dedup_state_params,
         incremental_dedup,
+        write_dedup_state_params,
     )
 
     state_path = os.path.join(corpus_path, "_dedup_state")
@@ -119,6 +129,12 @@ def admit_documents_available_now(
             return
         new_state = build_dedup_state(batch_df).localCheckpoint()
         if _has_parquet(state_path):
+            # refuse a state built with different LSH parameters —
+            # it would silently mis-estimate Jaccard (sidecar absent
+            # = pre-sidecar state; stamp it with the defaults it was
+            # necessarily built with, this gate's only form)
+            if check_dedup_state_params(state_path) is None:
+                write_dedup_state_params(state_path)
             old_state = spark.read.parquet(state_path)
         elif _has_parquet(corpus_path):
             # one-time migration: corpus predates the state store —
@@ -126,6 +142,7 @@ def admit_documents_available_now(
             spark.read.parquet(corpus_path).transform(
                 build_dedup_state
             ).write.mode("overwrite").parquet(state_path)
+            write_dedup_state_params(state_path)
             old_state = spark.read.parquet(state_path)
         else:
             old_state = None
@@ -207,6 +224,8 @@ def admit_documents_available_now(
         new_state.join(admitted_ids, "doc_id").write.mode("append").parquet(
             state_path
         )
+        if check_dedup_state_params(state_path) is None:
+            write_dedup_state_params(state_path)  # first drain created it
         if postings_path is not None and not admitted_docs.isEmpty():
             from sstable_migrator_spark.operators.retrieval import (
                 append_postings_index,

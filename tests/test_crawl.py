@@ -36,10 +36,13 @@ def test_parse_robots_body_grammar():
     assert ("*", "disallow", "/private/") in tup
     assert ("*", "allow", "/private/press/") in tup
     assert ("*", "disallow", "/tmp") in tup
-    # stacked user-agent lines share one group; empty Disallow emits nothing
+    # stacked user-agent lines share one group; empty Disallow emits a
+    # zero-length ALLOW sentinel (registers the group, changes no verdict)
     assert ("trainbot", "disallow", "/no-train/") in tup
     assert ("otherbot", "disallow", "/no-train/") in tup
-    assert not any(r["prefix"] == "" for r in rules)
+    assert ("trainbot", "allow", "") in tup
+    assert ("otherbot", "allow", "") in tup
+    assert not any(r["prefix"] == "" and r["rule"] == "disallow" for r in rules)
     assert ("greedybot", "disallow", "/") in tup
     # directives before any user-agent default to *
     assert parse_robots_body("Disallow: /x")[0]["agent"] == "*"
@@ -85,6 +88,44 @@ def test_robots_allowed_precedence(spark):
             agent="greedybot",
         ).collect()
     )
+
+
+def test_empty_disallow_group_still_shadows_star(spark):
+    """A specific-agent group containing ONLY "Disallow:" (allow
+    everything for that agent) must still SHADOW the * group — the
+    REP group-selection bug the zero-length sentinel row exists to
+    prevent: without it the host looks like it has no specific group
+    and the * rules wrongly apply."""
+    body = "User-agent: *\nDisallow: /\n\nUser-agent: mybot\nDisallow:\n"
+    rules = parse_robots(
+        spark.createDataFrame([("example.com", body)], "host string, body string")
+    )
+    urls = spark.createDataFrame(
+        [("http://example.com/anything/at/all",)], "url string"
+    )
+    # mybot's group is empty-Disallow -> everything allowed for mybot
+    assert robots_allowed(urls, rules, agent="mybot").first()["allowed"] == 1
+    # the * group still blocks everyone else
+    assert robots_allowed(urls, rules, agent="elsebot").first()["allowed"] == 0
+
+
+def test_crawl_schedule_no_per_host_window(spark):
+    """The politeness rank must come from the grouped prefix sum, not
+    Window.partitionBy(host) — a zipfian mega-host would funnel its
+    whole frontier through one task's sort. Any window in the plan must
+    be keyed by the range-partition id (the bounded in-partition sum),
+    never by host alone."""
+    import re
+
+    urls = spark.createDataFrame(
+        [(f"http://h{i % 3}.com/p{i}",) for i in range(12)], "url string"
+    )
+    plan = (
+        crawl_schedule(urls)._jdf.queryExecution().executedPlan().toString()
+    )
+    for m in re.finditer(r"Window \[[^\]]*\], \[([^\]]*)\]", plan):
+        spec = m.group(1)
+        assert "_pid" in spec, plan
 
 
 def test_crawl_schedule_politeness(spark):

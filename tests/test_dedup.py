@@ -468,6 +468,59 @@ def test_incremental_dedup_arg_validation(spark):
         incremental_dedup(docs)
 
 
+def test_dedup_state_params_sidecar(tmp_path):
+    """The persisted state records its LSH parameters; consuming it
+    with different ones refuses loudly instead of silently
+    mis-estimating Jaccard."""
+    import pytest as _pytest
+
+    from sstable_migrator_spark.operators.dedup import (
+        check_dedup_state_params,
+        write_dedup_state_params,
+    )
+
+    p = str(tmp_path / "state")
+    assert check_dedup_state_params(p) is None  # pre-sidecar: unknown
+    write_dedup_state_params(p, num_hashes=16, bands=4, shingle_k=3)
+    assert check_dedup_state_params(p) == {
+        "num_hashes": 16, "bands": 4, "shingle_k": 3
+    }
+    with _pytest.raises(ValueError, match="built with"):
+        check_dedup_state_params(p, num_hashes=32)
+    with _pytest.raises(ValueError, match="built with"):
+        check_dedup_state_params(p, bands=8)
+
+
+def test_mismatched_state_signature_length_fails_loudly(spark):
+    """Belt for the sidecar's suspenders: a state whose signatures were
+    built with a different num_hashes must FAIL the pair query (in-plan
+    assert), never return a silently wrong estimate."""
+    import pytest as _pytest
+
+    from sstable_migrator_spark.operators.dedup import (
+        banded_minhash,
+        lsh_pairs_between_banded,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta eta theta")],
+        "doc_id long, text string",
+    )
+    new_ok = banded_minhash(docs, num_hashes=16, bands=4)
+    # the realistic corruption: band/bucket collide (same doc) but the
+    # stored signature has the WRONG length (built with num_hashes=8)
+    old_bad = new_ok.select(
+        (F.col("doc_id") + 100).alias("doc_id"),
+        F.slice("signature", 1, 8).alias("signature"),
+        "band",
+        "bucket",
+    )
+    with _pytest.raises(Exception, match="num_hashes"):
+        lsh_pairs_between_banded(
+            new_ok, old_bad, num_hashes=16, bands=4, jaccard_threshold=0.0
+        ).collect()
+
+
 def test_leakage_safe_split_invariant(spark):
     """The invariant the operator exists for: every near-dup cluster
     lands wholly in ONE split; singleton docs get their own cluster;

@@ -189,6 +189,52 @@ def test_systematic_sample_exact_n_and_weighting(spark):
         systematic_sample(docs.filter("w = 0"), "w", 3)
 
 
+def test_systematic_sample_huge_weights_no_int64_wrap(spark):
+    """The advertised use case — a ~1e7-draw sample over tens of
+    trillions of weight units — drives the closed form's 2*n*x past
+    int64 (~5e20 here). The decimal(38,0) path must produce the exact
+    draw: equal weights and 8 | n means exactly n/8 picks per doc
+    (grid boundaries land on ni/8 - 1/2, so ceil is exact)."""
+    from sstable_migrator_spark.operators.packing import systematic_sample
+
+    w = 3_000_000_000_000  # 3e12 per doc, T = 2.4e13
+    n = 10_000_000
+    docs = spark.createDataFrame(
+        [(i, w) for i in range(8)], "doc_id long, w long"
+    )
+    got = systematic_sample(docs, "w", n, seed=1).collect()
+    assert sum(r["n_picks"] for r in got) == n
+    assert sorted(r["n_picks"] for r in got) == [n // 8] * 8
+
+    # past the decimal(38,0) ceiling the operator refuses loudly
+    import pytest as _pytest
+
+    huge = spark.createDataFrame(
+        [(0, 9_000_000_000_000_000_000)], "doc_id long, w long"
+    )
+    with _pytest.raises(ValueError, match="DECIMAL"):
+        systematic_sample(huge, "w", 6_000_000_000_000_000_000)
+
+
+def test_systematic_sample_per_group_huge_weights(spark):
+    from sstable_migrator_spark.operators.packing import (
+        systematic_sample_per_group,
+    )
+
+    w = 2_500_000_000_000
+    docs = spark.createDataFrame(
+        [(i, "s" + str(i % 2), w) for i in range(8)],
+        "doc_id long, source string, w long",
+    )
+    got = systematic_sample_per_group(
+        docs, "w", "source", {"s0": 4_000_000, "s1": 2_000_000}, seed=2
+    ).collect()
+    per: dict = {}
+    for r in got:
+        per[r["source"]] = per.get(r["source"], 0) + r["n_picks"]
+    assert per == {"s0": 4_000_000, "s1": 2_000_000}
+
+
 def test_systematic_sample_per_group_exact_budgets(spark):
     """Mixture construction: exactly the budgeted number of draws per
     group, unbudgeted groups excluded, reproducible under partitioning,

@@ -212,3 +212,45 @@ def test_append_postings_index_equals_rebuild(spark, tmp_path):
         b = [tuple(r) for r in
              bm25_topk_from_postings(spark, full, terms, topk=10).collect()]
         assert a == b, terms
+
+
+def test_rebuild_postings_stats_repairs_crash(spark, tmp_path):
+    """The documented crash repair: postings appended but stats not yet
+    overwritten (stale n/t). rebuild_postings_stats recovers the exact
+    constants from the index itself and rankings match the clean path."""
+    import shutil
+
+    from sstable_migrator_spark.operators.retrieval import (
+        append_postings_index,
+        bm25_topk_from_postings,
+        rebuild_postings_stats,
+        write_postings_index,
+    )
+
+    docs_a = _docs(spark)
+    docs_b = spark.createDataFrame(
+        [(10, "spark shuffle service handles large scale cluster data movement")],
+        "doc_id long, text string",
+    )
+    idx = str(tmp_path / "idx")
+    write_postings_index(docs_a, idx, n_buckets=16)
+    stale = str(tmp_path / "stale_stats")
+    shutil.copytree(f"{idx}/_corpus_stats", stale)
+    meta = append_postings_index(docs_b, idx)
+    # simulate the crash window: postings appended, stats still pre-append
+    shutil.rmtree(f"{idx}/_corpus_stats")
+    shutil.copytree(stale, f"{idx}/_corpus_stats")
+    repaired = rebuild_postings_stats(spark, idx, n_buckets=16)
+    assert repaired == meta
+    # auto mode recovers exact n/t too (n_buckets = max(pb)+1 can
+    # undershoot on a fixture this small; restore the real value after)
+    auto = rebuild_postings_stats(spark, idx)
+    assert auto["n"] == meta["n"] and auto["t"] == meta["t"]
+    rebuild_postings_stats(spark, idx, n_buckets=16)
+    got = [tuple(r) for r in
+           bm25_topk_from_postings(spark, idx, ["spark", "data"], topk=5).collect()]
+    full = str(tmp_path / "full")
+    write_postings_index(docs_a.unionByName(docs_b), full, n_buckets=16)
+    want = [tuple(r) for r in
+            bm25_topk_from_postings(spark, full, ["spark", "data"], topk=5).collect()]
+    assert got == want

@@ -856,6 +856,29 @@ def test_corpus_admission_judges_from_state_not_text(spark, tmp_path):
     assert by_id[2]["exact_dup"] == 1 and by_id[2]["admitted"] == 0
     assert by_id[3]["admitted"] == 1
 
+    # the gate stamped the state's LSH params; a sidecar recording
+    # DIFFERENT banding makes the next drain refuse up front
+    import json as _json2
+
+    params = os.path.join(corpus, "_dedup_state", "_params.json")
+    with open(params) as fh:
+        assert _json2.load(fh) == {"num_hashes": 16, "bands": 4, "shingle_k": 3}
+    with open(params, "w") as fh:
+        _json2.dump({"num_hashes": 32, "bands": 8, "shingle_k": 3}, fh)
+    with open(inbox / "wave3.jsonl", "w") as fh:
+        fh.write(_json.dumps({"doc_id": 4, "text": "more words"}) + "\n")
+    import pytest as _pytest
+    from pyspark.errors.exceptions.base import PySparkException
+
+    with _pytest.raises((ValueError, PySparkException, Exception)):
+        admit_documents_available_now(spark, str(inbox), corpus, ckpt)
+    with open(params, "w") as fh:  # restore -> drain succeeds again
+        _json2.dump({"num_hashes": 16, "bands": 4, "shingle_k": 3}, fh)
+    s3 = admit_documents_available_now(
+        spark, str(inbox), corpus, str(tmp_path / "ckpt2")
+    )
+    assert s3["judged"] >= 1
+
 
 def test_corpus_admission_migrates_preexisting_corpus(spark, tmp_path):
     """A corpus that predates the state store is migrated once (one

@@ -109,3 +109,17 @@ def test_unknown_field_raises_on_read(spark, tmp_path):
     write_tar_shards(df, str(tmp_path), "key", ["img", "txt"])
     with pytest.raises(Exception, match="schema mismatch"):
         read_tar_shards(spark, str(tmp_path), "key", ["img"], binary_cols=["img"]).collect()
+
+
+def test_column_subset_projection_with_strict_false(spark, tmp_path):
+    """strict=False reads a column SUBSET of a wider shard — the
+    previously valid projection read — skipping unknown members."""
+    df = spark.createDataFrame(
+        [("k1", b"x", "t1"), ("k2", b"y", "t2")],
+        "key string, img binary, txt string",
+    )
+    write_tar_shards(df, str(tmp_path), "key", ["img", "txt"])
+    back = read_tar_shards(
+        spark, str(tmp_path), "key", ["txt"], strict=False
+    ).collect()
+    assert {r["key"]: r["txt"] for r in back} == {"k1": "t1", "k2": "t2"}

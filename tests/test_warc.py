@@ -68,6 +68,113 @@ def test_record_type_filter_and_missing(spark, tmp_path):
         read_wet(spark, str(tmp_path / "nope-*.gz"))
 
 
+def test_read_wet_chunked_yields_identical(spark, tmp_path):
+    """Task memory is O(chunk): a chunk size of 1 must produce exactly
+    the same rows as the default whole-file batching."""
+    (tmp_path / "a.warc.wet.gz").write_bytes(encode_wet(_recs(0, 5)))
+    base = sorted(tuple(r) for r in read_wet(spark, str(tmp_path / "*.gz")).collect())
+    tiny = sorted(
+        tuple(r)
+        for r in read_wet(spark, str(tmp_path / "*.gz"), chunk_records=1).collect()
+    )
+    assert tiny == base and len(base) == 5
+    with pytest.raises(ValueError, match="chunk_records"):
+        read_wet(spark, str(tmp_path / "*.gz"), chunk_records=0)
+
+
+def test_split_http_response_variants():
+    from sstable_migrator_spark.sources.warc import split_http_response
+
+    meta, body = split_http_response(
+        b"HTTP/1.1 200 OK\r\nContent-Type: text/html; charset=ISO-8859-1\r\n"
+        b"\r\n<p>caf\xe9</p>"
+    )
+    assert meta == {
+        "status": 200, "content_type": "text/html", "charset": "iso-8859-1"
+    }
+    assert body.decode(meta["charset"]) == "<p>café</p>"
+    # bare-LF server, no charset param -> utf-8 default
+    meta, body = split_http_response(
+        b"HTTP/1.0 404 Not Found\nContent-Type: text/plain\n\nmissing"
+    )
+    assert meta["status"] == 404 and meta["charset"] == "utf-8"
+    assert body == b"missing"
+    # headerless payload: treated as body, never dropped
+    meta, body = split_http_response(b"just bytes, no header block")
+    assert meta["status"] == 0 and body == b"just bytes, no header block"
+
+
+def test_read_warc_responses_end_to_end(spark, tmp_path):
+    """Raw-WARC responses: header strip, charset decode, status and
+    content-type surfaced, non-response records ignored."""
+    from sstable_migrator_spark.sources.warc import (
+        encode_warc_responses,
+        read_warc_responses,
+    )
+
+    recs = [
+        {"url": "http://a.com/1", "html": "<h1>Title &amp; one</h1>"},
+        {
+            "url": "http://a.com/latin",
+            "html": "café page",
+            "content_type": "text/html; charset=utf-8",
+        },
+        {"url": "http://a.com/gone", "html": "nope", "status": 404},
+    ]
+    blob = encode_warc_responses(recs)
+    assert blob == encode_warc_responses(recs)  # byte-deterministic
+    (tmp_path / "a.warc.gz").write_bytes(blob)
+    # a WET conversion record in the same directory must be ignored
+    (tmp_path / "b.warc.gz").write_bytes(encode_wet(_recs(50, 1)))
+
+    rows = {
+        r["url"]: r
+        for r in read_warc_responses(spark, str(tmp_path / "*.warc.gz")).collect()
+    }
+    assert set(rows) == {"http://a.com/1", "http://a.com/latin", "http://a.com/gone"}
+    assert rows["http://a.com/1"]["status"] == 200
+    assert rows["http://a.com/1"]["content_type"] == "text/html"
+    assert rows["http://a.com/1"]["html"] == "<h1>Title &amp; one</h1>"
+    assert rows["http://a.com/1"]["length"] == len("<h1>Title &amp; one</h1>")
+    assert rows["http://a.com/latin"]["html"] == "café page"
+    assert rows["http://a.com/gone"]["status"] == 404
+
+
+def test_warc_responses_to_documents(spark, tmp_path):
+    """The pipeline shape: 2xx text responses survive, html is
+    extracted to text, ids equal the WET path's hash-of-(url|date)."""
+    from sstable_migrator_spark.pipelines.web_ingest import (
+        warc_responses_to_documents,
+        wet_to_documents,
+    )
+    from sstable_migrator_spark.sources.warc import (
+        encode_warc_responses,
+        read_warc_responses,
+    )
+
+    date = "2024-06-01T00:00:00Z"
+    recs = [
+        {"url": "http://a.com/keep", "date": date,
+         "html": "<html><body><p>the words &amp; more words here</p></body></html>"},
+        {"url": "http://a.com/404", "date": date, "html": "gone", "status": 404},
+        {"url": "http://a.com/bin", "date": date, "html": "PK..",
+         "content_type": "application/zip"},
+    ]
+    (tmp_path / "a.warc.gz").write_bytes(encode_warc_responses(recs))
+    docs = warc_responses_to_documents(
+        read_warc_responses(spark, str(tmp_path / "*.warc.gz"))
+    ).collect()
+    assert [d["url"] for d in docs] == ["http://a.com/keep"]
+    assert docs[0]["text"] == "the words & more words here"
+    # identical identity to the WET path: same (url, date) -> same id
+    wet = wet_to_documents(
+        spark.createDataFrame(
+            [("http://a.com/keep", date, "whatever")], "url string, date string, text string"
+        )
+    ).first()
+    assert docs[0]["doc_id"] == wet["doc_id"]
+
+
 def test_malformed_framing_raises():
     bad = b"NOTWARC/1.0\r\nContent-Length: 3\r\n\r\nabc\r\n\r\n"
     with pytest.raises(WarcFormatError, match="version line"):
