@@ -112,6 +112,7 @@ def pack_sequences(
     seed: int = 0,
     parts: int | None = None,
     portable: bool = True,
+    tokens_col: str | None = None,
 ) -> DataFrame:
     """Concat-and-chunk sequence packing: shuffle deterministically
     (same recipe as ``deterministic_shuffle``), lay the documents
@@ -124,12 +125,25 @@ def pack_sequences(
     sequences), and ``seq_offset = excl % seq_tokens`` is where it
     starts inside its first sequence. Zero-token documents contribute
     nothing to the stream and are dropped (loudly documented here, not
-    silently mid-plan). All-BIGINT output, hash-exact."""
+    silently mid-plan). All-BIGINT output, hash-exact.
+
+    TOKENIZER-AWARE packing: pass ``tokens_col`` — a pre-tokenized
+    ``array<string>`` column (``functions.bpe.bpe_encode_docs``'s
+    ``pieces``, or any tokenizer's output) — and the layout counts
+    REAL tokenizer tokens instead of whitespace words. A trainer packs
+    by the tokens it will actually train on; the integer layout math
+    is tokenizer-agnostic, so the two paths are identical whenever the
+    token counts agree (test-pinned on a whitespace corpus)."""
     if seq_tokens < 1:
         raise ValueError(f"seq_tokens must be >= 1, got {seq_tokens}")
+    n_tok = (
+        F.size(F.col(tokens_col))
+        if tokens_col is not None
+        else TX.token_count(F.col(text_col))
+    )
     df = (
         docs.withColumn("_sk", _shuffle_key(id_col, seed, portable))
-        .withColumn("n_tokens", TX.token_count(F.col(text_col)).cast("long"))
+        .withColumn("n_tokens", n_tok.cast("long"))
         .filter(F.col("n_tokens") > 0)
     )
     ranked, _total = global_prefix_sum(
@@ -161,11 +175,16 @@ def pack_sequence_texts(
     seed: int = 0,
     parts: int | None = None,
     portable: bool = True,
+    tokens_col: str | None = None,
 ) -> DataFrame:
     """The MATERIALIZED form of ``pack_sequences``: actual training
-    sequences, each exactly ``seq_tokens`` whitespace tokens (the last
-    one shorter), assembled from the document spans that land in it.
-    Returns ``(seq_id, seq_text, n_docs, n_tokens)``.
+    sequences, each exactly ``seq_tokens`` tokens (the last one
+    shorter), assembled from the document spans that land in it.
+    Tokens are whitespace words by default or a pre-tokenized
+    ``array<string>`` column via ``tokens_col`` (the tokenizer-aware
+    path — BPE pieces pack as readily as words; ``seq_text`` is then
+    the space-joined piece stream). Returns
+    ``(seq_id, seq_text, n_docs, n_tokens)``.
 
     Plan: the same shuffled prefix sum, then each document EXPLODES
     into one row per sequence it touches (``sequence(start_seq,
@@ -179,9 +198,12 @@ def pack_sequence_texts(
     (pure integer span math + deterministic join order)."""
     if seq_tokens < 1:
         raise ValueError(f"seq_tokens must be >= 1, got {seq_tokens}")
+    tk = (
+        F.col(tokens_col) if tokens_col is not None else TX.tokens(F.col(text_col))
+    )
     df = (
         docs.withColumn("_sk", _shuffle_key(id_col, seed, portable))
-        .withColumn("_tk", TX.tokens(F.col(text_col)))
+        .withColumn("_tk", tk)
         .withColumn("n_tokens", F.size("_tk").cast("long"))
         .filter(F.col("n_tokens") > 0)
     )

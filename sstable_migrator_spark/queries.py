@@ -10399,6 +10399,77 @@ QUERIES.update({"q206_mixture_sample": q_mixture_sample})
 ORACLES.update({"q206_mixture_sample": _sql_mixture_sample()})
 
 
+def q_tokenized_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TOKENIZER-AWARE sequence packing (q196's flagship made
+    real-trainer-grade): the documents pre-tokenize into SUBWORD
+    pieces and the materialized sequences pack by those pieces, not
+    whitespace words — exercising ``pack_sequence_texts``'s
+    ``tokens_col`` path end to end, offsets and boundary splits
+    landing mid-word. The fixture tokenizer is 2-char chunks of each
+    word: deterministic and SQL-expressible, so DuckDB replays the
+    EXACT piece stream (a learned BPE's merges cannot be replayed in
+    SQL — that path packs through the same tokens_col argument and is
+    test-pinned for layout identity instead, tests/test_packing.py).
+    64-piece sequences, every one but the last provably full,
+    hash-gated strings."""
+    from sstable_migrator_spark.operators.packing import pack_sequence_texts
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def word_pieces(w):
+        return F.transform(
+            F.sequence(F.lit(1), ((F.length(w) + 1) / 2).cast("int")),
+            lambda i: w.substr((i - 1) * 2 + 1, F.lit(2)),
+        )
+
+    pre = docs.withColumn(
+        "pieces", F.flatten(F.transform(TX.tokens(F.col("text")), word_pieces))
+    )
+    return pack_sequence_texts(pre, 64, seed=7, tokens_col="pieces")
+
+
+SQL_TOKENIZED_PACKING = """
+WITH toks AS (
+  SELECT doc_id,
+         flatten(list_transform(
+           CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
+                ELSE regexp_split_to_array(trim(text), '\\s+') END,
+           w -> list_transform(range(1, CAST((length(w) + 1) // 2 + 1 AS BIGINT)),
+                               i -> substr(w, CAST((i - 1) * 2 + 1 AS INT), 2))
+         )) AS t,
+         CAST(concat('0x', substr(md5('7|' || CAST(doc_id AS VARCHAR)),
+                                  1, 15)) AS BIGINT) AS sk
+  FROM documents
+),
+sized AS (SELECT doc_id, t, sk, len(t) AS n FROM toks WHERE len(t) > 0),
+ranked AS (
+  SELECT doc_id, t, n,
+         SUM(n) OVER (ORDER BY sk, doc_id ROWS UNBOUNDED PRECEDING) AS incl
+  FROM sized
+),
+spans AS (
+  SELECT s.s AS seq_id,
+         (incl - n) + greatest(s.s * 64 - (incl - n), 0) AS pos,
+         greatest(s.s * 64 - (incl - n), 0) AS lo,
+         least(n, (s.s + 1) * 64 - (incl - n)) AS hi,
+         t
+  FROM ranked,
+       LATERAL (SELECT unnest(range(CAST((incl - n) // 64 AS BIGINT),
+                                    CAST((incl - 1) // 64 + 1 AS BIGINT))) AS s) s(s)
+)
+SELECT CAST(seq_id AS BIGINT) AS seq_id,
+       string_agg(array_to_string(t[lo + 1 : hi], ' '), ' ' ORDER BY pos)
+         AS seq_text,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(hi - lo) AS BIGINT) AS n_tokens
+FROM spans GROUP BY seq_id
+"""
+
+
+QUERIES.update({"q207_tokenized_packing": q_tokenized_packing})
+ORACLES.update({"q207_tokenized_packing": SQL_TOKENIZED_PACKING})
+
+
 # ---------------------------------------------------------------------------
 # Driver-sample ordering.
 #
@@ -10503,7 +10574,14 @@ _DRIVER_PRIORITY: list[str] = [
     "q164_lsh_recall",
     "q165_ann_recall",
     "q148_data_contract",
-    "q55_ann_lsh",
+    # q55_ann_lsh rotated to local-harness coverage in round 7 (the ANN
+    # family keeps TWO in-head members: q165_ann_recall — the same
+    # LSH-bucketed embedding machinery, recall-measured — and
+    # q164_lsh_recall); the slot carries TOKENIZER-AWARE sequence
+    # packing — round 7's flagship: training sequences packed by
+    # subword pieces through pack_sequence_texts's tokens_col path,
+    # boundary splits landing mid-word, output strings hash-gated
+    "q207_tokenized_packing",
     # q56_media_features (sha-hash fake-feature path) rotated to
     # local-harness coverage in round 4: the multimodal family's driver
     # evidence is now all REAL decode — q157 (PNG pixels), q161 (WAV

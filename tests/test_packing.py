@@ -149,6 +149,77 @@ def test_packed_texts_stable_under_partitioning(spark):
     assert a == b
 
 
+def test_tokens_col_identity_on_whitespace_corpus(spark):
+    """Layout identity between the text path and the pre-tokenized
+    path: feeding the SAME whitespace tokens through tokens_col must
+    reproduce the exact layout AND the exact materialized sequences —
+    the integer layout math is tokenizer-agnostic."""
+    from sstable_migrator_spark.operators.packing import (
+        pack_sequence_texts,
+        pack_sequences,
+    )
+
+    docs = _docs(spark, 30)
+    pre = docs.withColumn("pieces", F.split(F.trim("text"), "\\s+"))
+    a = sorted(tuple(r) for r in pack_sequences(docs, 16).collect())
+    b = sorted(
+        tuple(r) for r in pack_sequences(pre, 16, tokens_col="pieces").collect()
+    )
+    assert a == b
+    at = sorted(tuple(r) for r in pack_sequence_texts(docs, 16).collect())
+    bt = sorted(
+        tuple(r)
+        for r in pack_sequence_texts(pre, 16, tokens_col="pieces").collect()
+    )
+    assert at == bt
+
+
+def test_bpe_tokens_pack_real_tokenizer_tokens(spark):
+    """The trainer-grade path: BPE pieces from the repo's own
+    tokenizer (functions/bpe.py) flow through tokens_col — totals are
+    conserved piece-for-piece, every sequence but the last is exactly
+    full, and concatenating the sequences reproduces the shuffled
+    PIECE stream (not the word stream: whitespace packing would give a
+    different layout entirely)."""
+    from sstable_migrator_spark.functions.bpe import bpe_encode_docs, train_bpe
+    from sstable_migrator_spark.operators.packing import (
+        deterministic_shuffle,
+        pack_sequence_texts,
+        pack_sequences,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, "the theatre the other anthem " * (1 + i % 4)) for i in range(20)],
+        "doc_id long, text string",
+    )
+    merges = train_bpe(docs, n_merges=6)
+    assert ("t", "he") in merges  # 'the' assembles on this corpus
+    enc = docs.join(bpe_encode_docs(docs, merges), "doc_id").localCheckpoint()
+    total = enc.agg(F.sum("n_pieces")).first()[0]
+
+    S = 32
+    layout = pack_sequences(enc, S, tokens_col="pieces").collect()
+    assert sum(r["n_tokens"] for r in layout) == total
+    # piece counts differ from word counts -> genuinely subword packing
+    words = pack_sequences(docs, S).collect()
+    assert sum(r["n_tokens"] for r in words) != total
+
+    seqs = sorted(
+        pack_sequence_texts(enc, S, tokens_col="pieces").collect(),
+        key=lambda r: r["seq_id"],
+    )
+    for r in seqs[:-1]:
+        assert r["n_tokens"] == S
+    assert sum(r["n_tokens"] for r in seqs) == total
+    # stream identity: sequences concatenate to the shuffled piece stream
+    order = sorted(
+        deterministic_shuffle(enc).collect(), key=lambda r: r["position"]
+    )
+    stream = [p for r in order for p in r["pieces"]]
+    rebuilt = [p for r in seqs for p in r["seq_text"].split(" ")]
+    assert rebuilt == stream
+
+
 def test_systematic_sample_exact_n_and_weighting(spark):
     """Exactly n draws, every draw lands where the weight is: a doc
     heavier than T/n absorbs multiple picks; zero-weight docs never
