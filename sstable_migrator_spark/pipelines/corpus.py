@@ -26,7 +26,13 @@ from sstable_migrator_spark.functions import text as TX
 from sstable_migrator_spark.functions.pii import redact_pii
 from sstable_migrator_spark.operators import analytics, dedup
 
-__all__ = ["quality_score", "build_training_corpus", "export_packed_sequences"]
+__all__ = [
+    "quality_score",
+    "build_training_corpus",
+    "export_packed_sequences",
+    "export_training_epochs",
+    "read_epoch_sequences",
+]
 
 
 def quality_score(text_col) -> "F.Column":
@@ -199,6 +205,7 @@ def export_packed_sequences(
     rows_per_shard: int = 10000,
     shard_format: str = "parquet",
     portable: bool = True,
+    tokens_col: str | None = None,
 ) -> dict:
     """The TRAINER-FACING export: curated documents -> materialized
     fixed-token training sequences (operators/packing.pack_sequence_
@@ -211,13 +218,17 @@ def export_packed_sequences(
     ``seq-<id>`` keys (lexical order == stream order) and a .txt
     member per sequence. Returns ``{sequences, tokens}``.
 
-    Epochs: re-export with a new seed, or (cheaper) keep one export
-    and reshuffle SHARD order + intra-shard order trainer-side — the
-    standard trade; this function gives the exact-stream form."""
+    Epochs: ``export_training_epochs`` wraps this per-epoch with a
+    versioned manifest and a resume cursor; or (cheaper) keep one
+    export and reshuffle SHARD order + intra-shard order trainer-side
+    — the standard trade; this function gives the exact-stream form.
+    ``tokens_col`` forwards to the packer: sequences then pack by a
+    pre-tokenized array column (real tokenizer tokens), not
+    whitespace."""
     from sstable_migrator_spark.operators.packing import pack_sequence_texts
 
     seqs = pack_sequence_texts(
-        docs, seq_tokens, seed=seed, portable=portable
+        docs, seq_tokens, seed=seed, portable=portable, tokens_col=tokens_col
     ).localCheckpoint()
     agg = seqs.agg(
         F.count(F.lit(1)).alias("n"), F.sum("n_tokens").alias("t")
@@ -248,3 +259,102 @@ def export_packed_sequences(
     else:
         raise ValueError(f"unknown shard_format {shard_format!r}")
     return {"sequences": int(agg["n"]), "tokens": int(agg["t"] or 0)}
+
+
+def export_training_epochs(
+    docs: DataFrame,
+    out_dir: str,
+    n_epochs: int = 1,
+    seq_tokens: int = 2048,
+    base_seed: int = 0,
+    rows_per_shard: int = 10000,
+    shard_format: str = "parquet",
+    portable: bool = True,
+    tokens_col: str | None = None,
+) -> dict:
+    """The OPERATIONAL contract a trainer actually consumes: N epochs
+    of packed sequences, each a fresh deterministic permutation
+    (``seed = base_seed + epoch`` — the shuffle is a pure function of
+    (corpus, seed), so every epoch's order is reproducible by any
+    worker), laid out as a partitioned dataset::
+
+        out_dir/epoch=<e>/...       one export_packed_sequences per epoch
+        out_dir/_manifest.json      version, seeds, per-epoch stats
+
+    ``spark.read.parquet(out_dir)`` sees all epochs with an ``epoch``
+    partition column; the manifest records (epoch, seed, sequences,
+    tokens, path) so a trainer can sanity-check totals without a scan.
+    Token totals are epoch-invariant (the same documents pack every
+    time — only the order moves); sequence CONTENTS differ per epoch
+    because the chunk boundaries move with the permutation.
+
+    RESUME: the cursor is ``(epoch, last_completed_seq_id)`` —
+    ``read_epoch_sequences(spark, out_dir, epoch, after_seq=cursor)``
+    returns exactly the remaining sequences of that epoch (a pushed-
+    down range filter over the seq_id-range-partitioned shards, so a
+    mid-epoch restart reads O(remaining), not the epoch). Returns the
+    manifest dict."""
+    import json
+    import os
+
+    if n_epochs < 1:
+        raise ValueError(f"n_epochs must be >= 1, got {n_epochs}")
+    epochs = []
+    for e in range(n_epochs):
+        rel = f"epoch={e}"
+        stats = export_packed_sequences(
+            docs,
+            os.path.join(out_dir, rel),
+            seq_tokens=seq_tokens,
+            seed=base_seed + e,
+            rows_per_shard=rows_per_shard,
+            shard_format=shard_format,
+            portable=portable,
+            tokens_col=tokens_col,
+        )
+        epochs.append({"epoch": e, "seed": base_seed + e, "path": rel, **stats})
+    manifest = {
+        "version": 1,
+        "base_seed": base_seed,
+        "seq_tokens": seq_tokens,
+        "shard_format": shard_format,
+        "portable": portable,
+        "n_epochs": n_epochs,
+        "epochs": epochs,
+    }
+    with open(os.path.join(out_dir, "_manifest.json"), "w") as fh:
+        json.dump(manifest, fh, indent=2, sort_keys=True)
+    return manifest
+
+
+def read_epoch_sequences(
+    spark,
+    out_dir: str,
+    epoch: int,
+    after_seq: int | None = None,
+) -> DataFrame:
+    """Resume-aware epoch reader: the sequences of ``epoch`` from an
+    ``export_training_epochs`` dataset, optionally strictly after a
+    resume cursor's ``after_seq``. Validates the request against the
+    manifest (unknown epoch or a tar-format export fail loudly — the
+    tar form is for WebDataset dataloaders, which resume by shard).
+    The filter pushes down to the range-partitioned parquet, so a
+    late-epoch resume scans only the remaining shards."""
+    import json
+    import os
+
+    with open(os.path.join(out_dir, "_manifest.json")) as fh:
+        manifest = json.load(fh)
+    entry = next((x for x in manifest["epochs"] if x["epoch"] == epoch), None)
+    if entry is None:
+        known = [x["epoch"] for x in manifest["epochs"]]
+        raise ValueError(f"epoch {epoch} not in manifest (has {known})")
+    if manifest["shard_format"] != "parquet":
+        raise ValueError(
+            "read_epoch_sequences resumes the parquet form; this export "
+            f"is {manifest['shard_format']!r}"
+        )
+    df = spark.read.parquet(os.path.join(out_dir, entry["path"]))
+    if after_seq is not None:
+        df = df.filter(F.col("seq_id") > after_seq)
+    return df

@@ -132,6 +132,81 @@ def test_export_packed_sequences_parquet_and_tar(spark, tmp_path):
         export_packed_sequences(docs, str(tmp_path / "x"), shard_format="zip")
 
 
+def test_training_epochs_manifest_and_resume(spark, tmp_path):
+    """The multi-epoch trainer contract: every epoch is a DIFFERENT
+    deterministic permutation of the SAME tokens (totals invariant,
+    token multiset identical, orders distinct); the manifest records
+    seeds and stats; a mid-epoch resume cursor returns exactly the
+    remaining sequences; the whole export reads back as one
+    epoch-partitioned dataset."""
+    import collections
+    import json
+
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from sstable_migrator_spark.pipelines.corpus import (
+        export_training_epochs,
+        read_epoch_sequences,
+    )
+
+    docs = spark.range(25).select(
+        F.col("id").alias("doc_id"),
+        F.concat(
+            F.lit("doc"), F.col("id").cast("string"),
+            F.expr("repeat(' tok', CAST(id % 9 AS INT) + 1)")
+        ).alias("text"),
+    )
+    out = str(tmp_path / "epochs")
+    man = export_training_epochs(
+        docs, out, n_epochs=2, seq_tokens=16, base_seed=5
+    )
+    assert [e["epoch"] for e in man["epochs"]] == [0, 1]
+    assert [e["seed"] for e in man["epochs"]] == [5, 6]
+    with open(f"{out}/_manifest.json") as fh:
+        assert json.load(fh) == man
+
+    e0 = sorted(read_epoch_sequences(spark, out, 0).collect(),
+                key=lambda r: r["seq_id"])
+    e1 = sorted(read_epoch_sequences(spark, out, 1).collect(),
+                key=lambda r: r["seq_id"])
+    # totals are epoch-invariant and manifest-recorded
+    assert sum(r["n_tokens"] for r in e0) == man["epochs"][0]["tokens"]
+    assert sum(r["n_tokens"] for r in e1) == man["epochs"][0]["tokens"]
+    assert len(e0) == len(e1) == man["epochs"][0]["sequences"]
+    s0 = [r["seq_text"] for r in e0]
+    s1 = [r["seq_text"] for r in e1]
+    assert s0 != s1  # epoch 1 is a different permutation
+    # ... of the SAME tokens
+    m0 = collections.Counter(t for s in s0 for t in s.split(" "))
+    m1 = collections.Counter(t for s in s1 for t in s.split(" "))
+    assert m0 == m1
+
+    # resume mid-epoch: cursor (epoch=0, after_seq=k) -> exactly the rest
+    k = e0[len(e0) // 2]["seq_id"]
+    rem = read_epoch_sequences(spark, out, 0, after_seq=k).collect()
+    assert sorted(r["seq_id"] for r in rem) == [
+        r["seq_id"] for r in e0 if r["seq_id"] > k
+    ]
+    assert {(r["seq_id"], r["seq_text"]) for r in rem} <= {
+        (r["seq_id"], r["seq_text"]) for r in e0
+    }
+
+    # the whole export is one epoch-partitioned dataset
+    whole = spark.read.parquet(out)
+    assert {r["epoch"] for r in whole.select("epoch").distinct().collect()} == {0, 1}
+
+    with _pytest.raises(ValueError, match="not in manifest"):
+        read_epoch_sequences(spark, out, 9)
+    with _pytest.raises(ValueError, match="n_epochs"):
+        export_training_epochs(docs, str(tmp_path / "y"), n_epochs=0)
+    tar_out = str(tmp_path / "tar_epochs")
+    export_training_epochs(docs, tar_out, n_epochs=1, seq_tokens=16,
+                           shard_format="tar")
+    with _pytest.raises(ValueError, match="parquet form"):
+        read_epoch_sequences(spark, tar_out, 0)
+
+
 def test_funnel_strip_spans_stage(spark, tmp_path):
     """Opt-in ExactSubstr stage: corpus-repeated boilerplate vanishes
     from the chunks; without the flag it survives."""
