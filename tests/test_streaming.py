@@ -960,3 +960,80 @@ def test_corpus_admission_quality_and_perplexity_gates(spark, tmp_path):
     assert ledger[4]["decon_keep"] == 0 and ledger[4]["admitted"] == 0
     assert (ledger[1]["quality_keep"], ledger[1]["ppl_keep"],
             ledger[1]["decon_keep"]) == (1, 1, 1)
+
+
+def test_url_frontier_state_across_drains(spark, tmp_path):
+    """The frontier is maintained state, like the dedup state and the
+    postings index: drain N+1 re-offering drain N's URLs schedules
+    NOTHING, proven with drain N's input text deleted (only the
+    canonical-key seen-set survives); robots verdicts come from the
+    persisted cache; past the TTL the gate falls back to the REP
+    default, attributably (robots_fresh=0)."""
+    import json as _json
+
+    from sstable_migrator_spark.streaming.frontier import (
+        schedule_frontier_available_now,
+    )
+
+    inbox = tmp_path / "urls"
+    inbox.mkdir()
+    frontier = str(tmp_path / "frontier")
+    ckpt = str(tmp_path / "fckpt")
+    rules = spark.createDataFrame(
+        [("siteb.com", "*", "disallow", "/private/")],
+        "host string, agent string, rule string, prefix string",
+    )
+    with open(inbox / "d1.jsonl", "w") as fh:
+        for u in [
+            "http://sitea.com/page1?b=2&a=1",
+            "HTTP://SITEA.com:80/page1?a=1&b=2#frag",  # same canonical
+            "http://siteb.com/private/x",              # robots-blocked
+            "http://siteb.com/ok",
+        ]:
+            fh.write(_json.dumps({"url": u}) + "\n")
+    s1 = schedule_frontier_available_now(
+        spark, str(inbox), frontier, ckpt, robots_rules=rules,
+        now_ms=1_000_000,
+    )
+    assert s1 == {"offered": 3, "new": 3, "scheduled": 2}
+    plans = spark.read.parquet(os.path.join(frontier, "plans")).collect()
+    assert {r["host"] for r in plans} == {"sitea.com", "siteb.com"}
+    assert all(r["fetch_offset_ms"] == r["fetch_seq"] * 1000 for r in plans)
+
+    # drain 2: history input DELETED; re-offer everything + one new URL
+    os.remove(inbox / "d1.jsonl")
+    with open(inbox / "d2.jsonl", "w") as fh:
+        for u in [
+            "http://sitea.com/page1?a=1&b=2",   # canonical twin of d1's
+            "http://siteb.com/private/x",
+            "http://siteb.com/ok",
+            "http://sitea.com/page2",           # genuinely new
+        ]:
+            fh.write(_json.dumps({"url": u}) + "\n")
+    s2 = schedule_frontier_available_now(
+        spark, str(inbox), frontier, ckpt, now_ms=2_000_000
+    )
+    assert s2 == {"offered": 4, "new": 1, "scheduled": 1}
+    ledger = spark.read.json(os.path.join(frontier, "_ledger")).collect()
+    by = {(r["url"], r["batch"]): r for r in ledger}
+    blocked = by[("http://siteb.com/private/x", 0)]
+    assert (blocked["new_url"], blocked["allowed"], blocked["scheduled"],
+            blocked["robots_fresh"]) == (1, 0, 0, 1)
+    d2new = next(r for r in ledger if r["url"] == "http://sitea.com/page2")
+    assert (d2new["new_url"], d2new["scheduled"]) == (1, 1)
+
+    # drain 3: a new disallowed-path URL past the robots TTL -> REP
+    # default (allowed) with robots_fresh=0 in the ledger
+    with open(inbox / "d3.jsonl", "w") as fh:
+        fh.write(_json.dumps({"url": "http://siteb.com/private/y"}) + "\n")
+    s3 = schedule_frontier_available_now(
+        spark, str(inbox), frontier, ckpt,
+        now_ms=1_000_000 + 86_400_000 + 1,
+    )
+    assert s3 == {"offered": 1, "new": 1, "scheduled": 1}
+    stale = next(
+        r
+        for r in spark.read.json(os.path.join(frontier, "_ledger")).collect()
+        if r["url"] == "http://siteb.com/private/y"
+    )
+    assert (stale["allowed"], stale["robots_fresh"]) == (1, 0)
