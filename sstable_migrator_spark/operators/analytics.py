@@ -105,6 +105,43 @@ def prefix_lookup(df: DataFrame, **equals) -> DataFrame:
     return out
 
 
+def gate_attribution_report(
+    df: DataFrame, group_cols: list[str], gate_cols: list[str]
+) -> DataFrame:
+    """The RefinedWeb-style curation question — "which domains are we
+    admitting/rejecting, and WHY" — as one rollup over per-document
+    gate flags (0/1 int columns: Gopher keep, quality-model keep,
+    lang-id, dedup admit, ...). Per group, emits ``n_docs``, per-gate
+    ``n_pass_<gate>``, per-gate ``n_sole_block_<gate>`` (documents
+    REJECTED BY EXACTLY THAT GATE — the actionable column: a domain
+    losing thousands of documents to one gate is either a bad domain
+    or a miscalibrated gate), and ``n_admitted`` (every gate passes).
+
+    Scale shape: the flags are upstream map-side projections; this is
+    ONE hash aggregation on the group key (partial map-side combine),
+    output O(domains). Integer sums only — hash-exact."""
+    if not gate_cols:
+        raise ValueError("need at least one gate column")
+
+    def prod(cols):
+        e = F.lit(1).cast("long")
+        for c in cols:
+            e = e * F.col(c).cast("long")
+        return e
+
+    aggs = [F.count(F.lit(1)).cast("long").alias("n_docs")]
+    for i, g in enumerate(gate_cols):
+        others = [h for j, h in enumerate(gate_cols) if j != i]
+        aggs.append(F.sum(F.col(g).cast("long")).cast("long").alias(f"n_pass_{g}"))
+        aggs.append(
+            F.sum((F.lit(1) - F.col(g).cast("long")) * prod(others))
+            .cast("long")
+            .alias(f"n_sole_block_{g}")
+        )
+    aggs.append(F.sum(prod(gate_cols)).cast("long").alias("n_admitted"))
+    return df.groupBy(*group_cols).agg(*aggs)
+
+
 def global_prefix_sum(
     df: DataFrame,
     order_cols: list[str],

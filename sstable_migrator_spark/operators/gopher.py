@@ -50,11 +50,15 @@ def gopher_quality_flags(
     id_col: str = "doc_id",
     min_words: int = 50,
     max_words: int = 100000,
+    keep_cols: list[str] | None = None,
 ) -> DataFrame:
     """Per-document Gopher rule flags (1 = passes the rule) plus the
     integer counters behind them and the overall ``keep`` conjunction.
     Pure projection — composes into the streaming admission gate and
-    the batch funnel alike."""
+    the batch funnel alike. ``keep_cols`` carries extra input columns
+    through (e.g. the apex for a per-domain gate rollup, or the text
+    for further gates downstream) so the whole flag ensemble stays one
+    map-side select."""
     text = F.col(text_col)
     toks = TX.tokens(text)
     n_words = F.size(toks).cast("long")
@@ -106,6 +110,7 @@ def gopher_quality_flags(
     }
     out = docs.select(
         id_col,
+        *(keep_cols or []),
         n_words.alias("n_words"),
         n_lines.alias("n_lines"),
         *[c.cast("int").alias(name) for name, c in flags.items()],

@@ -10470,6 +10470,132 @@ QUERIES.update({"q207_tokenized_packing": q_tokenized_packing})
 ORACLES.update({"q207_tokenized_packing": SQL_TOKENIZED_PACKING})
 
 
+def q_domain_gate_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-DOMAIN gate attribution — the RefinedWeb-style curation
+    report tying the quality ensemble together: every document carries
+    its apex (synthetic site{id%5}.com host, the crawl fixture's
+    shape) and THREE independent gate flags (Gopher rules q205, frozen
+    quality model q181, lang-id == 'en' q47), and the rollup answers
+    "which domains are we admitting/rejecting and WHY": per-gate pass
+    counts, per-gate SOLE-blocker counts (rejected by exactly that
+    gate — the actionable number), and the all-gates admit count.
+    Flags are ONE map-side projection chain (gopher keeps the apex and
+    text via keep_cols, quality/lang append as expressions — zero
+    joins); the report is one hash agg on apex. All-integer,
+    hash-gated."""
+    from sstable_migrator_spark.operators.analytics import (
+        gate_attribution_report,
+    )
+    from sstable_migrator_spark.operators.gopher import gopher_quality_flags
+    from sstable_migrator_spark.operators.quality_model import (
+        score_quality_frozen,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        "text",
+        F.concat(
+            F.lit("site"), (F.col("doc_id") % 5).cast("string"), F.lit(".com")
+        ).alias("apex"),
+    )
+    flagged = (
+        gopher_quality_flags(docs, keep_cols=["apex", "text"])
+        .withColumnRenamed("keep", "gopher_keep")
+        .transform(
+            lambda d: score_quality_frozen(
+                d, _QM_WEIGHTS, _QM_BIAS, keep_col="quality_keep"
+            )
+        )
+        .withColumn(
+            "lang_keep", (TX.lang_id(F.col("text")) == "en").cast("int")
+        )
+    )
+    return gate_attribution_report(
+        flagged, ["apex"], ["gopher_keep", "quality_keep", "lang_keep"]
+    ).orderBy("apex")
+
+
+def _sql_domain_gate_report() -> str:
+    score_cols = []
+    for lang, sw in sorted(TX.STOPWORDS.items()):
+        inlist = ", ".join(f"'{w}'" for w in sw)
+        score_cols.append(
+            f"len(list_filter(tkl, x -> x IN ({inlist}))) AS s_{lang}"
+        )
+    langs = sorted(TX.STOPWORDS)
+    expr_sql = f"'{langs[0]}'"
+    best_sql = f"s_{langs[0]}"
+    for lang in langs[1:]:
+        expr_sql = (
+            f"(CASE WHEN s_{lang} > {best_sql} THEN '{lang}' ELSE {expr_sql} END)"
+        )
+        best_sql = f"greatest(s_{lang}, {best_sql})"
+    return f"""
+WITH base AS (
+  SELECT doc_id,
+         'site' || CAST(doc_id % 5 AS VARCHAR) || '.com' AS apex,
+         text,
+         CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
+              ELSE regexp_split_to_array(trim(text), '\\s+') END AS tk,
+         CASE WHEN length(trim(lower(text))) = 0 THEN CAST([] AS VARCHAR[])
+              ELSE regexp_split_to_array(trim(lower(text)), '\\s+') END AS tkl,
+         string_split(text, chr(10)) AS lines
+  FROM documents
+),
+m AS (
+  SELECT apex, tkl,
+         CAST(len(tk) AS BIGINT) AS n_words,
+         CAST(len(lines) AS BIGINT) AS n_lines,
+         CAST(COALESCE(list_aggregate(list_transform(tk, w -> length(w)), 'sum'), 0) AS BIGINT) AS total_chars,
+         CAST((length(text) - length(replace(text, '#', '')))
+            + (length(text) - length(replace(text, '…', '')))
+            + (length(text) - length(replace(text, '...', ''))) / 3 AS BIGINT) AS n_symbols,
+         CAST(len(list_filter(lines, ln -> starts_with(trim(ln), '•')
+                                        OR starts_with(trim(ln), '- ')
+                                        OR starts_with(trim(ln), '* '))) AS BIGINT) AS bullet_lines,
+         CAST(len(list_filter(lines, ln -> ends_with(trim(ln), '…')
+                                        OR ends_with(trim(ln), '...'))) AS BIGINT) AS ellipsis_lines,
+         CAST(len(list_filter(tk, w -> regexp_matches(w, '[A-Za-z]'))) AS BIGINT) AS alpha_words,
+         CAST(len(list_intersect(list_transform(tk, w -> lower(w)),
+              ['the','be','to','of','and','that','have','with'])) AS BIGINT) AS stop_hits,
+         {", ".join(score_cols)}
+  FROM base
+),
+flags AS (
+  SELECT apex,
+         CAST(CASE WHEN n_words >= 50 AND n_words <= 100000
+                    AND total_chars >= 3 * n_words AND total_chars <= 10 * n_words
+                    AND n_symbols * 10 <= n_words
+                    AND bullet_lines * 10 <= n_lines
+                    AND ellipsis_lines * 10 <= n_lines * 3
+                    AND alpha_words * 5 >= 4 * n_words
+                    AND stop_hits >= 2 THEN 1 ELSE 0 END AS BIGINT) AS g,
+         CAST(CASE WHEN {_QM_BIAS} + COALESCE(list_sum(list_transform(
+                tkl,
+                x -> ({_QM_WL})[CAST(CAST(concat('0x', substr(md5('7|' || x), 1, 15))
+                             AS BIGINT) % 64 AS INT) + 1]
+              )), 0) > 0 THEN 1 ELSE 0 END AS BIGINT) AS q,
+         CAST(CASE WHEN {best_sql} > 0 AND {expr_sql} = 'en'
+                   THEN 1 ELSE 0 END AS BIGINT) AS l
+  FROM m
+)
+SELECT apex,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(g) AS BIGINT) AS n_pass_gopher_keep,
+       CAST(sum((1 - g) * q * l) AS BIGINT) AS n_sole_block_gopher_keep,
+       CAST(sum(q) AS BIGINT) AS n_pass_quality_keep,
+       CAST(sum((1 - q) * g * l) AS BIGINT) AS n_sole_block_quality_keep,
+       CAST(sum(l) AS BIGINT) AS n_pass_lang_keep,
+       CAST(sum((1 - l) * g * q) AS BIGINT) AS n_sole_block_lang_keep,
+       CAST(sum(g * q * l) AS BIGINT) AS n_admitted
+FROM flags GROUP BY apex ORDER BY apex
+"""
+
+
+QUERIES.update({"q208_domain_gate_report": q_domain_gate_report})
+ORACLES.update({"q208_domain_gate_report": _sql_domain_gate_report()})
+
+
 # ---------------------------------------------------------------------------
 # Driver-sample ordering.
 #
