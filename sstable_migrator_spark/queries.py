@@ -10596,6 +10596,89 @@ QUERIES.update({"q208_domain_gate_report": q_domain_gate_report})
 ORACLES.update({"q208_domain_gate_report": _sql_domain_gate_report()})
 
 
+_WARC_PAGE_HEAD = (
+    "<html><head><title>Doc</title><style>p{margin:0}</style>"
+    "<script>var tracker=\"</div>\";load();</script></head>"
+    "<body><!-- synthetic page --><h1>Document &amp; record "
+)
+_WARC_PAGE_TAIL = (
+    "</p><div class=\"footer\">&lt;footer&gt;&nbsp;links</div></body></html>"
+)
+
+
+def q_warc_response_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The FULL raw-WARC -> text path WET precomputes, hash-gated end
+    to end: sampled documents wrap in q201's page shell, encode as
+    WARC ``response`` records (real HTTP messages: status line +
+    Content-Type + body, member-per-record gzip), read back
+    DISTRIBUTED through the header-stripping response reader, and the
+    recovered body runs through html_to_text. The oracle rebuilds
+    url/status/content-type/extracted-text straight from the documents
+    table — any slip in HTTP framing, charset handling, WARC record
+    grammar, or the extraction pipeline breaks the hash. One task per
+    shard; the fixture build is a bounded driver-side sample (q200's
+    pattern)."""
+    import os
+
+    from sstable_migrator_spark.sources.warc import (
+        encode_warc_responses,
+        read_warc_responses,
+    )
+
+    rows = (
+        _t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 11 == 0)
+        .select("doc_id", "text")
+        .collect()
+    )
+    path = _scratch_dir("warc-q209")
+    for parity in (0, 1):
+        recs = [
+            {
+                "url": f"http://example.com/doc/{r['doc_id']}",
+                "html": (
+                    _WARC_PAGE_HEAD
+                    + str(r["doc_id"])
+                    + "</h1><p>"
+                    + r["text"]
+                    + _WARC_PAGE_TAIL
+                ),
+            }
+            for r in sorted(rows, key=lambda r: r["doc_id"])
+            if r["doc_id"] % 2 == parity
+        ]
+        with open(os.path.join(path, f"shard-{parity}.warc.gz"), "wb") as fh:
+            fh.write(encode_warc_responses(recs))
+    resp = read_warc_responses(spark, os.path.join(path, "*.warc.gz"))
+    return resp.select(
+        "url",
+        F.col("status").cast("int").alias("status"),
+        "content_type",
+        TX.html_to_text(F.col("html")).alias("clean_text"),
+    )
+
+
+def _sql_warc_response_extract() -> str:
+    from sstable_migrator_spark.functions.text import sql_html_to_text
+
+    head = _WARC_PAGE_HEAD.replace("'", "''")
+    tail = _WARC_PAGE_TAIL.replace("'", "''")
+    page = (
+        f"'{head}' || CAST(doc_id AS VARCHAR) || '</h1><p>' || text || '{tail}'"
+    )
+    return f"""
+SELECT 'http://example.com/doc/' || CAST(doc_id AS VARCHAR) AS url,
+       CAST(200 AS INT) AS status,
+       'text/html' AS content_type,
+       {sql_html_to_text(f"({page})")} AS clean_text
+FROM documents WHERE doc_id % 11 = 0
+"""
+
+
+QUERIES.update({"q209_warc_response_extract": q_warc_response_extract})
+ORACLES.update({"q209_warc_response_extract": _sql_warc_response_extract()})
+
+
 # ---------------------------------------------------------------------------
 # Driver-sample ordering.
 #
