@@ -1508,6 +1508,10 @@ class SSTableWriter:
             # values, test-pinned against the published 1,2,...,8,10,
             # 12,14,17,... sequence) and the Murmur3 token placement
             # (public test vectors). Round-trip-only, listed here:
+            # byte layouts FROZEN by golden vectors (tests/
+            # test_sstable_format.test_stats_best_effort_fields_frozen_
+            # bytes): drift fails loudly instead of silently changing
+            # what an eventual external validation would consume
             "best_effort_metadata": [
                 "STATS.commitLogIntervals",  # NONE bounds + empty set layout
                 "STATS.tombstoneHistogram",  # empty streaming-histogram form (100, 0)

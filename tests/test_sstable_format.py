@@ -1068,3 +1068,56 @@ def test_estimated_histogram_codec_roundtrip():
     assert end == len(blob)
     assert parsed["buckets"] == 91
     assert parsed["count"] == len(vals)
+
+
+def test_stats_best_effort_fields_frozen_bytes():
+    """The manifest's four best-effort STATS fields (commitLogIntervals,
+    tombstoneHistogram, clusteringBounds, presenceBytes) are validated
+    only by this module's own reader — no live Cassandra exists in the
+    sandbox — so their byte layouts are FROZEN here as golden vectors:
+    any drift fails loudly instead of silently changing what a future
+    external validation (sstableloader / nodetool verify) would
+    consume. Layout sources are named in the module's STATS section
+    comment (StatsMetadata.serializer field order, version "nb")."""
+    import hashlib
+
+    from sstable_migrator_spark.sinks.sstable_format import (
+        _eh_serialize,
+        _stats_component,
+    )
+
+    st = {
+        "part_sizes": [120, 4000],
+        "part_cells": [3, 17],
+        "min_ts": 1442880000000000,
+        "max_ts": 1442880000000001,
+        "compression_ratio": -1.0,
+        "min_clustering": [b"abcd"],
+        "max_clustering": [b"wxyz"],
+        "total_cells": 20,
+        "total_rows": 2,
+    }
+    blob = _stats_component(st)
+    eh = len(_eh_serialize([1]))  # EstimatedHistogram block: 4 + 91*16
+    assert eh == 1460
+
+    # STATS.tombstoneHistogram — empty streaming-histogram form
+    # (maxBinSize=100, size=0), right after the compressionRatio double
+    pos_ratio = 2 * eh + 12 + 16 + 8 + 8
+    assert blob[pos_ratio + 8 : pos_ratio + 16].hex() == "0000006400000000"
+
+    # STATS.clusteringBounds — int count + >H-length raw value each
+    pos_cl = pos_ratio + 16 + 4 + 8
+    assert (
+        blob[pos_cl : pos_cl + 20].hex()
+        == "000000010004616263640000000100047778797a"
+    )
+
+    # STATS.commitLogIntervals + STATS.presenceBytes — the version-gated
+    # tail: lower bound NONE (>qi -1,0), empty interval set, pendingRepair
+    # absent, isTransient false, originatingHostId absent
+    assert blob[-19:].hex() == "ffffffffffffffff0000000000000000000000"
+
+    # and the whole component is byte-frozen
+    assert hashlib.md5(blob).hexdigest() == "f93f4c948722aa33bd0a483aee926b53"
+    assert len(blob) == 3048
