@@ -113,6 +113,7 @@ def pack_sequences(
     parts: int | None = None,
     portable: bool = True,
     tokens_col: str | None = None,
+    eod_token: str | None = None,
 ) -> DataFrame:
     """Concat-and-chunk sequence packing: shuffle deterministically
     (same recipe as ``deterministic_shuffle``), lay the documents
@@ -133,7 +134,12 @@ def pack_sequences(
     REAL tokenizer tokens instead of whitespace words. A trainer packs
     by the tokens it will actually train on; the integer layout math
     is tokenizer-agnostic, so the two paths are identical whenever the
-    token counts agree (test-pinned on a whitespace corpus)."""
+    token counts agree (test-pinned on a whitespace corpus).
+
+    ``eod_token`` reserves one end-of-document marker slot after every
+    document (the GPT-style packing convention — the trainer's loss
+    reset / attention boundary): each doc's stream footprint becomes
+    ``n + 1`` tokens and the same integer layout applies."""
     if seq_tokens < 1:
         raise ValueError(f"seq_tokens must be >= 1, got {seq_tokens}")
     n_tok = (
@@ -146,6 +152,10 @@ def pack_sequences(
         .withColumn("n_tokens", n_tok.cast("long"))
         .filter(F.col("n_tokens") > 0)
     )
+    if eod_token is not None:
+        # the document's stream footprint grows by its end marker;
+        # empty docs are already gone, so EOD count == doc count
+        df = df.withColumn("n_tokens", F.col("n_tokens") + 1)
     ranked, _total = global_prefix_sum(
         df, ["_sk", id_col], "n_tokens", out_col="_incl", parts=parts
     )
@@ -176,6 +186,8 @@ def pack_sequence_texts(
     parts: int | None = None,
     portable: bool = True,
     tokens_col: str | None = None,
+    eod_token: str | None = None,
+    with_boundaries: bool = False,
 ) -> DataFrame:
     """The MATERIALIZED form of ``pack_sequences``: actual training
     sequences, each exactly ``seq_tokens`` tokens (the last one
@@ -185,6 +197,18 @@ def pack_sequence_texts(
     path — BPE pieces pack as readily as words; ``seq_text`` is then
     the space-joined piece stream). Returns
     ``(seq_id, seq_text, n_docs, n_tokens)``.
+
+    Trainer conveniences: ``eod_token`` appends an end-of-document
+    marker to every document's token array before packing (the
+    GPT-style convention — loss reset / attention boundary between
+    documents; markers count toward the budget, so sequences stay
+    exactly full). ``with_boundaries`` adds ``doc_starts
+    array<long>`` — the in-sequence offsets where a NEW document
+    begins (a continuation span from the previous sequence is not a
+    start) — which is exactly the block-diagonal attention-mask input
+    a trainer derives; computed from the span math already in flight
+    (a span starting at slice 0 IS a document head), zero extra
+    shuffles.
 
     Plan: the same shuffled prefix sum, then each document EXPLODES
     into one row per sequence it touches (``sequence(start_seq,
@@ -207,6 +231,10 @@ def pack_sequence_texts(
         .withColumn("n_tokens", F.size("_tk").cast("long"))
         .filter(F.col("n_tokens") > 0)
     )
+    if eod_token is not None:
+        df = df.withColumn(
+            "_tk", F.concat(F.col("_tk"), F.array(F.lit(eod_token)))
+        ).withColumn("n_tokens", F.col("n_tokens") + 1)
     ranked, _total = global_prefix_sum(
         df, ["_sk", id_col], "n_tokens", out_col="_incl", parts=parts
     )
@@ -242,33 +270,47 @@ def pack_sequence_texts(
             "seq_id",
             # stream offset of this span orders spans within a sequence
             (F.col("_excl") + F.col("_lo")).alias("_pos"),
+            # a span that starts at slice 0 IS a document head; its
+            # in-sequence offset is the attention-boundary position
+            (F.col("_lo") == 0).alias("_is_start"),
             F.slice(
                 "_tk", (F.col("_lo") + 1).cast("int"), (F.col("_hi") - F.col("_lo")).cast("int")
             ).alias("_span"),
         )
     )
-    return (
-        spans.groupBy("seq_id")
-        .agg(
-            F.count(F.lit(1)).cast("long").alias("n_docs"),
-            F.aggregate(
-                F.transform(
-                    F.array_sort(
-                        F.collect_list(F.struct(F.col("_pos"), F.col("_span")))
-                    ),
-                    lambda x: x["_span"],
+    aggs = [
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.aggregate(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct(F.col("_pos"), F.col("_span")))
                 ),
-                F.array().cast("array<string>"),
-                lambda acc, sp: F.concat(acc, sp),
-            ).alias("_toks"),
+                lambda x: x["_span"],
+            ),
+            F.array().cast("array<string>"),
+            lambda acc, sp: F.concat(acc, sp),
+        ).alias("_toks"),
+    ]
+    if with_boundaries:
+        aggs.append(
+            F.sort_array(
+                F.collect_list(  # collect_list drops the non-start NULLs
+                    F.when(
+                        F.col("_is_start"),
+                        (F.col("_pos") - F.col("seq_id") * s).cast("long"),
+                    )
+                )
+            ).alias("doc_starts")
         )
-        .select(
-            F.col("seq_id").cast("long").alias("seq_id"),
-            F.array_join("_toks", " ").alias("seq_text"),
-            "n_docs",
-            F.size("_toks").cast("long").alias("n_tokens"),
-        )
-    )
+    out_cols = [
+        F.col("seq_id").cast("long").alias("seq_id"),
+        F.array_join("_toks", " ").alias("seq_text"),
+        "n_docs",
+        F.size("_toks").cast("long").alias("n_tokens"),
+    ]
+    if with_boundaries:
+        out_cols.append("doc_starts")
+    return spans.groupBy("seq_id").agg(*aggs).select(*out_cols)
 
 
 def systematic_sample(

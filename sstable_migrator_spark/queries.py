@@ -10679,6 +10679,79 @@ QUERIES.update({"q209_warc_response_extract": q_warc_response_extract})
 ORACLES.update({"q209_warc_response_extract": _sql_warc_response_extract()})
 
 
+def q_packed_boundaries(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GPT-style packing with END-OF-DOCUMENT markers and
+    attention-boundary offsets, hash-gated: every document's token
+    array grows an ``<eod>`` marker before packing (markers count
+    toward the 64-token budget, so sequences stay exactly full) and
+    ``doc_starts`` lists the in-sequence offsets where a NEW document
+    begins — the block-diagonal attention-mask input a trainer
+    derives. Both the materialized strings AND the boundary lists
+    (comma-joined) are hash-gated; boundaries come free from the span
+    math (a span starting at slice 0 is a document head), zero extra
+    shuffles."""
+    from sstable_migrator_spark.operators.packing import pack_sequence_texts
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    seqs = pack_sequence_texts(
+        docs, 64, seed=9, eod_token="<eod>", with_boundaries=True
+    )
+    return seqs.select(
+        "seq_id",
+        "seq_text",
+        "n_docs",
+        "n_tokens",
+        F.array_join(
+            F.transform("doc_starts", lambda x: x.cast("string")), ","
+        ).alias("doc_starts"),
+    )
+
+
+SQL_PACKED_BOUNDARIES = """
+WITH toks AS (
+  SELECT doc_id,
+         CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
+              ELSE regexp_split_to_array(trim(text), '\\s+') END AS t0,
+         CAST(concat('0x', substr(md5('9|' || CAST(doc_id AS VARCHAR)),
+                                  1, 15)) AS BIGINT) AS sk
+  FROM documents
+),
+sized AS (
+  SELECT doc_id, list_append(t0, '<eod>') AS t,
+         CAST(len(t0) + 1 AS BIGINT) AS n, sk
+  FROM toks WHERE len(t0) > 0
+),
+ranked AS (
+  SELECT doc_id, t, n,
+         SUM(n) OVER (ORDER BY sk, doc_id ROWS UNBOUNDED PRECEDING) AS incl
+  FROM sized
+),
+spans AS (
+  SELECT s.s AS seq_id,
+         (incl - n) + greatest(s.s * 64 - (incl - n), 0) AS pos,
+         greatest(s.s * 64 - (incl - n), 0) AS lo,
+         least(n, (s.s + 1) * 64 - (incl - n)) AS hi,
+         t
+  FROM ranked,
+       LATERAL (SELECT unnest(range(CAST((incl - n) // 64 AS BIGINT),
+                                    CAST((incl - 1) // 64 + 1 AS BIGINT))) AS s) s(s)
+)
+SELECT CAST(seq_id AS BIGINT) AS seq_id,
+       string_agg(array_to_string(t[lo + 1 : hi], ' '), ' ' ORDER BY pos)
+         AS seq_text,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(hi - lo) AS BIGINT) AS n_tokens,
+       COALESCE(array_to_string(
+         list(pos - seq_id * 64 ORDER BY pos) FILTER (WHERE lo = 0), ','), '')
+         AS doc_starts
+FROM spans GROUP BY seq_id
+"""
+
+
+QUERIES.update({"q210_packed_boundaries": q_packed_boundaries})
+ORACLES.update({"q210_packed_boundaries": SQL_PACKED_BOUNDARIES})
+
+
 # ---------------------------------------------------------------------------
 # Driver-sample ordering.
 #

@@ -220,6 +220,55 @@ def test_bpe_tokens_pack_real_tokenizer_tokens(spark):
     assert rebuilt == stream
 
 
+def test_eod_token_and_doc_start_boundaries(spark):
+    """GPT-style packing conveniences: every document's footprint grows
+    by its end-of-document marker (sequences still exactly full), the
+    rebuilt stream interleaves doc tokens with markers in shuffle
+    order, and doc_starts reports exactly the in-sequence offsets where
+    new documents begin — verified against a pure-Python replay of the
+    layout."""
+    from sstable_migrator_spark.operators.packing import (
+        deterministic_shuffle,
+        pack_sequence_texts,
+        pack_sequences,
+    )
+
+    docs = _docs(spark, 25)
+    S = 16
+    seqs = sorted(
+        pack_sequence_texts(
+            docs, S, eod_token="<eod>", with_boundaries=True
+        ).collect(),
+        key=lambda r: r["seq_id"],
+    )
+    for r in seqs[:-1]:
+        assert r["n_tokens"] == S
+    # one marker per (non-empty) document
+    assert sum(r["seq_text"].split(" ").count("<eod>") for r in seqs) == 25
+
+    order = sorted(
+        deterministic_shuffle(docs).collect(), key=lambda r: r["position"]
+    )
+    stream, starts_by_seq, excl = [], {}, 0
+    for r in order:
+        toks = r["text"].split() + ["<eod>"]
+        starts_by_seq.setdefault(excl // S, []).append(excl % S)
+        stream.extend(toks)
+        excl += len(toks)
+    rebuilt = [t for r in seqs for t in r["seq_text"].split(" ")]
+    assert rebuilt == stream
+    for r in seqs:
+        assert list(r["doc_starts"]) == sorted(
+            starts_by_seq.get(r["seq_id"], [])
+        ), r["seq_id"]
+
+    # the layout twin agrees: every doc's footprint is n_words + 1
+    lay = {r["doc_id"]: r["n_tokens"]
+           for r in pack_sequences(docs, S, eod_token="<eod>").collect()}
+    words = {r["doc_id"]: len(r["text"].split()) for r in docs.collect()}
+    assert lay == {k: v + 1 for k, v in words.items()}
+
+
 def test_systematic_sample_exact_n_and_weighting(spark):
     """Exactly n draws, every draw lands where the weight is: a doc
     heavier than T/n absorbs multiple picks; zero-weight docs never
