@@ -379,3 +379,117 @@ def test_web_corpus_capstone_end_to_end(spark, tmp_path):
     # no /private/ page leaked through the whole arc
     all_text = " ".join(r["seq_text"] for r in seqs)
     assert "private" not in all_text
+
+
+def test_stateful_web_corpus_capstone_v2(spark, tmp_path):
+    """Round-7 capstone: the STATEFUL acquisition arc composes end to
+    end — frontier drains with a persisted seen-set and robots cache ->
+    batch-stamped fetch plans -> raw-WARC responses (HTTP messages, not
+    pre-extracted WET) -> header strip + html_to_text ingestion ->
+    multi-epoch packed training export with a resume cursor. A
+    re-offered frontier schedules nothing (second drain), disallowed
+    pages never reach the training stream, and both epochs carry the
+    same token multiset in different orders."""
+    import json as _json
+    import os
+
+    from pyspark.sql import functions as F
+
+    from sstable_migrator_spark.pipelines.corpus import (
+        export_training_epochs,
+        read_epoch_sequences,
+    )
+    from sstable_migrator_spark.pipelines.web_ingest import ingest_warc_corpus
+    from sstable_migrator_spark.sources.warc import encode_warc_responses
+    from sstable_migrator_spark.streaming.frontier import (
+        schedule_frontier_available_now,
+    )
+
+    # 1. frontier drain: discovered URLs -> seen-set + robots gate + plan
+    inbox = tmp_path / "urls"
+    inbox.mkdir()
+    frontier = str(tmp_path / "frontier")
+    ckpt = str(tmp_path / "fckpt")
+    urls = [
+        f"http://site{i % 2}.com/{'private' if i % 5 == 0 else 'page'}/{i}"
+        for i in range(20)
+    ]
+    with open(inbox / "d1.jsonl", "w") as fh:
+        for u in urls:
+            fh.write(_json.dumps({"url": u}) + "\n")
+    rules = spark.createDataFrame(
+        [("site0.com", "*", "disallow", "/private/"),
+         ("site1.com", "*", "disallow", "/private/")],
+        "host string, agent string, rule string, prefix string",
+    )
+    s1 = schedule_frontier_available_now(
+        spark, str(inbox), frontier, ckpt, robots_rules=rules, now_ms=10_000
+    )
+    assert s1 == {"offered": 20, "new": 20, "scheduled": 16}
+
+    # 2. "fetch" the PLAN (not the raw frontier): one raw-WARC response
+    #    shard per host, real HTTP messages
+    plan = spark.read.parquet(os.path.join(frontier, "plans")).collect()
+    warcdir = tmp_path / "warc"
+    warcdir.mkdir()
+    hosts: dict = {}
+    for r in sorted((p["host"], p["url"]) for p in plan):
+        host, url = r
+        page = (
+            "<html><body><h1>Page</h1><p>the page at "
+            + url.rsplit("/", 1)[-1]
+            + " talks about "
+            + " ".join(f"topic{ord(c) % 7}" for c in url[-6:])
+            + " and the usual closing remarks for the readers</p></body></html>"
+        )
+        hosts.setdefault(host, []).append(
+            {"url": url, "date": "2024-06-01T00:00:00Z", "html": page}
+        )
+    for host, recs in hosts.items():
+        (warcdir / f"{host}.warc.gz").write_bytes(encode_warc_responses(recs))
+
+    # 3. raw-WARC ingestion: header strip -> html_to_text -> funnel
+    corpus_out = str(tmp_path / "chunks")
+    counts = ingest_warc_corpus(
+        spark, str(warcdir / "*.warc.gz"), corpus_out,
+        quality_min=0.0, chunk_size=64, stride=64, shard_tokens=10000,
+    )
+    assert counts["warc_records"] == 16
+    assert counts["chunks"] > 0
+    curated = spark.read.parquet(corpus_out).select(
+        "doc_id", F.col("chunk_text").alias("text")
+    )
+    assert "private" not in " ".join(
+        r["text"] for r in curated.collect()
+    )
+
+    # 4. multi-epoch packed export + mid-epoch resume
+    epochs_out = str(tmp_path / "epochs")
+    man = export_training_epochs(
+        curated, epochs_out, n_epochs=2, seq_tokens=32, base_seed=3
+    )
+    e0 = sorted(read_epoch_sequences(spark, epochs_out, 0).collect(),
+                key=lambda r: r["seq_id"])
+    e1 = sorted(read_epoch_sequences(spark, epochs_out, 1).collect(),
+                key=lambda r: r["seq_id"])
+    assert len(e0) == len(e1) == man["epochs"][0]["sequences"] > 0
+    assert [r["seq_text"] for r in e0] != [r["seq_text"] for r in e1]
+    import collections as _c
+    assert _c.Counter(
+        t for r in e0 for t in r["seq_text"].split(" ")
+    ) == _c.Counter(t for r in e1 for t in r["seq_text"].split(" "))
+    cursor = e0[len(e0) // 2]["seq_id"]
+    rem = read_epoch_sequences(spark, epochs_out, 0, after_seq=cursor)
+    assert rem.count() == sum(1 for r in e0 if r["seq_id"] > cursor)
+    # no disallowed page anywhere in the training stream
+    assert "private" not in " ".join(r["seq_text"] for r in e0)
+
+    # 5. drain 2 re-offers the whole frontier: nothing schedules, the
+    #    corpus needs no refetch — the arc is incremental end to end
+    with open(inbox / "d2.jsonl", "w") as fh:
+        for u in urls:
+            fh.write(_json.dumps({"url": u}) + "\n")
+    s2 = schedule_frontier_available_now(
+        spark, str(inbox), frontier, ckpt, now_ms=20_000
+    )
+    assert s2 == {"offered": 20, "new": 0, "scheduled": 0}
