@@ -56,6 +56,7 @@ from sstable_migrator_spark.operators.analytics import global_prefix_sum
 
 __all__ = [
     "deterministic_shuffle",
+    "mixture_budgets",
     "pack_sequences",
     "pack_sequence_texts",
     "systematic_sample",
@@ -378,6 +379,54 @@ def systematic_sample(
         .filter(F.col("n_picks") >= 1)
         .select(id_col, weight_col, "n_picks")
     )
+
+
+def mixture_budgets(
+    group_totals: dict, n_total: int, temperature: float = 1.0
+) -> dict:
+    """Per-source draw budgets for a training mixture — the standard
+    temperature-weighted allocation (multilingual/multi-source
+    pretraining's ``p_s ∝ t_s^τ``): τ=1 is proportional to size, τ=0
+    is uniform, τ in (0,1) upsamples small sources (the usual 0.3–0.7
+    range). Budgets are made EXACT integers summing to ``n_total`` by
+    largest-remainder apportionment (floor every share, hand the
+    leftover draws to the largest fractional parts; ties break on
+    group name, so the allocation is deterministic). Groups allocated
+    zero are DROPPED from the result — ``systematic_sample_per_group``
+    treats the budget dict as the contract, and "not in the mixture"
+    is the honest encoding of a zero budget.
+
+    Driver-side pure function over the O(groups) totals dict (the
+    grouped prefix sum already returns it) — no cluster work. Note τ≠1
+    exponentiates in IEEE floats; the apportionment on top is still
+    exact and deterministic for a given platform's pow()."""
+    if n_total < 1:
+        raise ValueError(f"n_total must be >= 1, got {n_total}")
+    if temperature < 0:
+        raise ValueError(f"temperature must be >= 0, got {temperature}")
+    pos = {g: int(t) for g, t in group_totals.items() if int(t) > 0}
+    if not pos:
+        raise ValueError("no group has positive total weight")
+    if temperature == 1.0:
+        # exact rational path: no float touches the proportional case
+        from fractions import Fraction
+
+        denom = sum(pos.values())
+        shares = {g: Fraction(t * n_total, denom) for g, t in pos.items()}
+    else:
+        w = {g: float(t) ** temperature for g, t in pos.items()}
+        denom_f = sum(w.values())
+        from fractions import Fraction
+
+        shares = {
+            g: Fraction(v) * n_total / Fraction(denom_f) for g, v in w.items()
+        }
+    floors = {g: int(s) for g, s in shares.items()}
+    leftover = n_total - sum(floors.values())
+    order = sorted(pos, key=lambda g: (-(shares[g] - floors[g]), str(g)))
+    for g in order[:leftover]:
+        floors[g] += 1
+    return {g: n for g, n in floors.items() if n > 0}
 
 
 def systematic_sample_per_group(

@@ -403,3 +403,69 @@ def test_systematic_sample_per_group_exact_budgets(spark):
         systematic_sample_per_group(
             docs.filter("w < 0"), "w", "source", {"s0": 1}
         )
+
+
+def test_mixture_budgets_apportionment():
+    """Temperature-weighted mixture budgets: exact integer sums, the
+    proportional/uniform extremes, largest-remainder hand-check,
+    deterministic ties, zero-budget drop."""
+    import pytest as _pytest
+
+    from sstable_migrator_spark.operators.packing import mixture_budgets
+
+    totals = {"web": 700, "code": 200, "books": 100}
+    # tau=1: exactly proportional (1000 -> 70/20/10 at N=100)
+    assert mixture_budgets(totals, 100, 1.0) == {
+        "web": 70, "code": 20, "books": 10
+    }
+    # tau=0: uniform, remainder to deterministic tie order (group name)
+    b0 = mixture_budgets(totals, 10, 0.0)
+    assert sum(b0.values()) == 10 and set(b0) == set(totals)
+    assert b0 == {"books": 4, "code": 3, "web": 3}  # 10/3 -> ties by name
+    # tau=0.5 upsamples the small sources vs proportional
+    bh = mixture_budgets(totals, 100, 0.5)
+    assert sum(bh.values()) == 100
+    assert bh["books"] > 10 and bh["web"] < 70
+    assert bh["web"] > bh["code"] > bh["books"]  # order still by size
+    # largest-remainder hand-check: shares 3.75 / 1.25 at N=5
+    assert mixture_budgets({"a": 75, "b": 25}, 5) == {"a": 4, "b": 1}
+    # zero-total groups excluded; zero budgets dropped
+    assert "empty" not in mixture_budgets({"a": 99, "empty": 0}, 7)
+    tiny = mixture_budgets({"a": 10**9, "b": 1}, 3, 1.0)
+    assert tiny == {"a": 3}  # b's share rounds to zero -> dropped
+    with _pytest.raises(ValueError, match="n_total"):
+        mixture_budgets(totals, 0)
+    with _pytest.raises(ValueError, match="temperature"):
+        mixture_budgets(totals, 5, -1)
+    with _pytest.raises(ValueError, match="positive"):
+        mixture_budgets({"a": 0}, 5)
+
+
+def test_mixture_budgets_feed_the_sampler(spark):
+    """The composed mixture path: corpus totals -> temperature budgets
+    -> exactly-budgeted systematic draws per source."""
+    from sstable_migrator_spark.operators.analytics import grouped_prefix_sum
+    from sstable_migrator_spark.operators.packing import (
+        mixture_budgets,
+        systematic_sample_per_group,
+    )
+
+    docs = spark.range(300).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("s"), (F.col("id") % 3).cast("string")).alias("source"),
+        ((F.col("id") % 7) + 1).cast("long").alias("w"),
+    )
+    _ranked, totals = grouped_prefix_sum(
+        docs.withColumn("_sk", F.col("doc_id")), ["source"], ["_sk"], "w"
+    )
+    budgets = mixture_budgets(
+        {g[0]: t for g, t in totals.items()}, 60, temperature=0.5
+    )
+    assert sum(budgets.values()) == 60
+    got = systematic_sample_per_group(
+        docs, "w", "source", budgets, seed=4
+    ).collect()
+    per: dict = {}
+    for r in got:
+        per[r["source"]] = per.get(r["source"], 0) + r["n_picks"]
+    assert per == budgets
