@@ -31,7 +31,13 @@ from pyspark.sql import functions as F
 
 from sstable_migrator_spark.functions import text as TX
 
-__all__ = ["bpe_encode_docs", "encode_word", "train_bpe"]
+__all__ = [
+    "bpe_encode_docs",
+    "encode_word",
+    "load_bpe",
+    "save_bpe",
+    "train_bpe",
+]
 
 
 def _char_symbols(w):
@@ -101,6 +107,47 @@ def train_bpe(
         vocab = vocab.select(
             F.when(touched, fold).otherwise(F.col("sym")).alias("sym"), "wc"
         ).localCheckpoint()
+    return merges
+
+
+def save_bpe(merges: list[tuple[str, str]], path: str) -> None:
+    """Persist a learned merge list as a versioned JSON tokenizer
+    artifact — the thing a trainer ships alongside its data (encoding
+    is only reproducible with the EXACT merges, in order). Includes an
+    md5 of the ordered merges so a consumer can verify identity
+    without comparing lists."""
+    import hashlib
+    import json
+
+    ordered = [[a, b] for a, b in merges]
+    digest = hashlib.md5(
+        "\n".join(f"{a}\t{b}" for a, b in merges).encode("utf-8")
+    ).hexdigest()
+    with open(path, "w") as fh:
+        json.dump(
+            {"version": 1, "n_merges": len(merges), "md5": digest,
+             "merges": ordered},
+            fh,
+        )
+
+
+def load_bpe(path: str) -> list[tuple[str, str]]:
+    """Load a ``save_bpe`` artifact, verifying version and digest —
+    a corrupted or hand-edited merge list fails loudly rather than
+    silently re-tokenizing the corpus differently."""
+    import hashlib
+    import json
+
+    with open(path) as fh:
+        art = json.load(fh)
+    if art.get("version") != 1:
+        raise ValueError(f"unknown BPE artifact version {art.get('version')!r}")
+    merges = [(a, b) for a, b in art["merges"]]
+    digest = hashlib.md5(
+        "\n".join(f"{a}\t{b}" for a, b in merges).encode("utf-8")
+    ).hexdigest()
+    if digest != art.get("md5"):
+        raise ValueError("BPE artifact digest mismatch — corrupted merges")
     return merges
 
 

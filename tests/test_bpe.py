@@ -80,3 +80,30 @@ def test_bpe_encode_docs(spark):
     assert out[0] == (["low", "est", "low"], 3)
     assert out[1] == (["t", "est"], 2)
     assert out[2] == ([], 0)
+
+
+def test_bpe_artifact_roundtrip(tmp_path):
+    """The tokenizer artifact contract: merges round-trip in order,
+    digests verify, corruption fails loudly."""
+    import json
+
+    import pytest as _pytest
+
+    from sstable_migrator_spark.functions.bpe import load_bpe, save_bpe
+
+    merges = [("t", "h"), ("th", "e"), ("a", "n")]
+    p = str(tmp_path / "tok.json")
+    save_bpe(merges, p)
+    assert load_bpe(p) == merges
+    with open(p) as fh:
+        art = json.load(fh)
+    art["merges"][0] = ["x", "y"]  # tamper
+    with open(p, "w") as fh:
+        json.dump(art, fh)
+    with _pytest.raises(ValueError, match="digest"):
+        load_bpe(p)
+    art["version"] = 99
+    with open(p, "w") as fh:
+        json.dump(art, fh)
+    with _pytest.raises(ValueError, match="version"):
+        load_bpe(p)
