@@ -113,7 +113,11 @@ def schedule_frontier_available_now(
             batch_df.select(
                 F.col("url"), canonical_url(F.col("url")).alias("canonical")
             )
-            .dropDuplicates(["canonical"])
+            .groupBy("canonical")
+            # deterministic representative: dropDuplicates keeps an
+            # arbitrary partition's row; min(url) is a pure function of
+            # the batch, so plans and ledgers replay identically
+            .agg(F.min("url").alias("url"))
             .localCheckpoint()
         )
         if _has_parquet(seen_path):
