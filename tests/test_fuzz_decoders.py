@@ -222,3 +222,48 @@ def test_fuzz_summary_and_stats_parsers():
     full = _parse_statistics(stats_blob)
     assert {"partitioner", "partition_count_estimate", "stats_metadata",
             "key_type"} <= set(full)
+
+
+def test_fuzz_http_response_split():
+    """split_http_response is TOTAL by design (it errs toward keeping
+    content): any byte mutation must still return (meta, body) with
+    the body a suffix of the payload and sane meta types — never an
+    exception."""
+    from sstable_migrator_spark.sources.warc import split_http_response
+
+    blob = (
+        b"HTTP/1.1 200 OK\r\nContent-Type: text/html; charset=utf-8\r\n"
+        b"Content-Length: 11\r\n\r\n<p>hello</p>"
+    )
+    for mut in _mutations(blob, 200, seed=11):
+        meta, body = split_http_response(mut)
+        assert isinstance(meta["status"], int)
+        assert isinstance(meta["content_type"], str)
+        assert isinstance(meta["charset"], str)
+        assert mut.endswith(body)
+
+
+def test_fuzz_warc_responses_reader():
+    """The response-record framing parser fails only with
+    WarcFormatError (loud, typed) under mutation — same contract as
+    the WET path."""
+    import gzip as _gzip
+    import io as _io
+
+    from sstable_migrator_spark.sources.warc import (
+        WarcFormatError,
+        encode_warc_responses,
+        iter_warc_records,
+    )
+
+    blob = encode_warc_responses(
+        [{"url": "http://x.com/1", "html": "<p>one</p>"}]
+    )
+    raw = _gzip.GzipFile(fileobj=_io.BytesIO(blob)).read()
+    for mut in _mutations(raw, 150, seed=13):
+        try:
+            list(iter_warc_records(_io.BytesIO(mut)))
+        except WarcFormatError:
+            pass
+        except (UnicodeDecodeError, ValueError):
+            pass  # header int parse on spliced garbage
