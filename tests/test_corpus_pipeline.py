@@ -493,3 +493,35 @@ def test_stateful_web_corpus_capstone_v2(spark, tmp_path):
         spark, str(inbox), frontier, ckpt, now_ms=20_000
     )
     assert s2 == {"offered": 20, "new": 0, "scheduled": 0}
+
+
+def test_bpe_tokenized_epoch_export(spark, tmp_path):
+    """The trainer-grade composition: BPE pieces (tokens_col) flow
+    through the multi-epoch export — sequence token totals equal the
+    corpus piece total in every epoch, and sequences are piece-exact."""
+    from pyspark.sql import functions as F
+
+    from sstable_migrator_spark.functions.bpe import bpe_encode_docs, train_bpe
+    from sstable_migrator_spark.pipelines.corpus import (
+        export_training_epochs,
+        read_epoch_sequences,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, "the theatre the other anthem " * (1 + i % 3)) for i in range(15)],
+        "doc_id long, text string",
+    )
+    merges = train_bpe(docs, n_merges=5)
+    enc = docs.join(bpe_encode_docs(docs, merges), "doc_id").localCheckpoint()
+    total = enc.agg(F.sum("n_pieces")).first()[0]
+
+    out = str(tmp_path / "bpe_epochs")
+    man = export_training_epochs(
+        enc, out, n_epochs=2, seq_tokens=16, base_seed=1, tokens_col="pieces"
+    )
+    for e in (0, 1):
+        rows = read_epoch_sequences(spark, out, e).collect()
+        assert sum(r["n_tokens"] for r in rows) == total == man["epochs"][e]["tokens"]
+        full = sorted(rows, key=lambda r: r["seq_id"])
+        for r in full[:-1]:
+            assert r["n_tokens"] == 16

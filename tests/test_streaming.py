@@ -1037,3 +1037,49 @@ def test_url_frontier_state_across_drains(spark, tmp_path):
         if r["url"] == "http://siteb.com/private/y"
     )
     assert (stale["allowed"], stale["robots_fresh"]) == (1, 0)
+
+
+def test_admissions_ledger_joins_the_gate_report(spark, tmp_path):
+    """The per-domain gate-attribution rollup composes directly over
+    the admission gate's OWN ledger: decisions written per drain carry
+    the gate flags, so "which domains are we rejecting and why" is one
+    read + one rollup — no corpus rescan."""
+    import json as _json
+
+    from sstable_migrator_spark.operators.analytics import (
+        gate_attribution_report,
+    )
+    from sstable_migrator_spark.streaming.corpus_ingest import (
+        admit_documents_available_now,
+    )
+
+    inbox = tmp_path / "inbox"
+    inbox.mkdir()
+    corpus = str(tmp_path / "corpus")
+    good = ("the quiet village market opens early and the farmers bring "
+            "fresh bread with butter and a warm greeting for the visitors")
+    with open(inbox / "w.jsonl", "w") as fh:
+        for i, text in enumerate([good, good + " exactly once more", "zz"]):
+            fh.write(_json.dumps({"doc_id": i, "text": text}) + "\n")
+    admit_documents_available_now(
+        spark, str(inbox), corpus, str(tmp_path / "ckpt"),
+        quality_weights=[1] * 64, quality_bias=-3,
+    )
+    ledger = spark.read.json(os.path.join(corpus, "_admissions"))
+    # synthetic apex per doc (a real pipeline carries the url's apex)
+    flagged = ledger.select(
+        F.concat(F.lit("site"), (F.col("doc_id") % 2).cast("string")).alias(
+            "apex"
+        ),
+        (1 - F.col("exact_dup")).cast("int").alias("dedup_keep"),
+        F.col("quality_keep").cast("int").alias("quality_keep"),
+    )
+    report = {
+        r["apex"]: r
+        for r in gate_attribution_report(
+            flagged, ["apex"], ["dedup_keep", "quality_keep"]
+        ).collect()
+    }
+    assert sum(r["n_docs"] for r in report.values()) == 3
+    # doc 2 ("zz", 2 tokens, score 2-3 < 0) is quality-sole-blocked
+    assert report["site0"]["n_sole_block_quality_keep"] == 1
