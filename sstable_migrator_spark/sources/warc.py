@@ -95,11 +95,22 @@ def iter_warc_records(stream) -> Iterator[tuple[dict, bytes]]:
         yield headers, payload
 
 
+def _check_header_value(name: str, value: str) -> str:
+    """WARC named headers are single-line; a CR/LF inside a url or
+    date would silently corrupt the record framing for every record
+    after it — refuse at write time."""
+    if "\r" in value or "\n" in value:
+        raise ValueError(f"{name} contains a line break: {value!r}")
+    return value
+
+
 def encode_wet(records: list[dict]) -> bytes:
     """Records ``{url, date, text}`` -> WET bytes, one gzip member per
     record (CommonCrawl's seekable layout). Deterministic output."""
     out = io.BytesIO()
     for r in records:
+        _check_header_value("url", r["url"])
+        _check_header_value("date", r.get("date", ""))
         payload = r["text"].encode("utf-8")
         head = (
             b"WARC/1.0\r\n"
@@ -176,6 +187,9 @@ def encode_warc_responses(records: list[dict]) -> bytes:
     byte-deterministic like every writer here."""
     out = io.BytesIO()
     for r in records:
+        _check_header_value("url", r["url"])
+        _check_header_value("date", r.get("date", ""))
+        _check_header_value("content_type", str(r.get("content_type", "")))
         body = r["html"].encode("utf-8")
         status = int(r.get("status", 200))
         ctype = r.get("content_type", "text/html; charset=utf-8")

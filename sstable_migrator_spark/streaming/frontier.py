@@ -27,10 +27,11 @@ it).
 
 SEEN SEMANTICS: every judged-new canonical key enters the seen-set,
 including robots-DISALLOWED ones — the frontier's job is "never judge
-the same URL twice", mirroring the domain window. A robots change
-re-admits URLs only after their seen entries are expired (delete or
-date-partition ``_seen`` — the same operational lever as the 25-day
-window's retention).
+the same URL twice", mirroring the domain window. The seen-set is
+DAY-PARTITIONED (``day=<epoch-day>/``), so retention is a directory
+delete: expire a day and its URLs become judgeable again — the same
+operational lever as the 25-day window's retention (a robots change
+re-admits URLs once their seen entries age out).
 
 THE LEDGER (``<frontier>/_ledger``): per-URL decisions append
 executor-side as JSON, batch-stamped; the fetch plans land under
@@ -53,9 +54,14 @@ __all__ = ["schedule_frontier_available_now"]
 
 
 def _has_parquet(path: str) -> bool:
-    return os.path.isdir(path) and any(
-        f.endswith(".parquet") for f in os.listdir(path)
-    )
+    # walk: the seen-set is day-partitioned, so its files live under
+    # day=<n>/ subdirectories
+    if not os.path.isdir(path):
+        return False
+    for _root, _dirs, files in os.walk(path):
+        if any(f.endswith(".parquet") for f in files):
+            return True
+    return False
 
 
 def schedule_frontier_available_now(
@@ -172,7 +178,12 @@ def schedule_frontier_available_now(
         plan.withColumn("batch", F.lit(bid)).write.mode("append").parquet(
             plans_path
         )
-        new.select("canonical").write.mode("append").parquet(seen_path)
+        # day-partitioned so retention is a directory delete — the
+        # operational lever the reference's 25-day window uses (expire
+        # old days and their URLs become judgeable again)
+        new.select(
+            "canonical", F.lit(now // 86_400_000).cast("long").alias("day")
+        ).write.mode("append").partitionBy("day").parquet(seen_path)
         decisions = (
             cand.join(
                 gated.select("canonical", "allowed", "robots_fresh").withColumn(

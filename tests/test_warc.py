@@ -187,3 +187,17 @@ def test_malformed_framing_raises():
     noheader = b"WARC/1.0\r\nWARC-Type: conversion\r\n\r\nx"
     with pytest.raises(WarcFormatError, match="Content-Length"):
         list(iter_warc_records(io.BytesIO(noheader)))
+
+
+def test_writer_rejects_header_linebreaks():
+    """A CR/LF inside a url/date would silently corrupt the framing of
+    every record after it — both writers refuse at write time."""
+    from sstable_migrator_spark.sources.warc import (
+        encode_warc_responses,
+        encode_wet,
+    )
+
+    with pytest.raises(ValueError, match="line break"):
+        encode_wet([{"url": "http://x.com/a\r\nWARC-Type: evil", "text": "t"}])
+    with pytest.raises(ValueError, match="line break"):
+        encode_warc_responses([{"url": "http://x.com/a\nX: y", "html": "h"}])
