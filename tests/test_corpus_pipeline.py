@@ -525,3 +525,26 @@ def test_bpe_tokenized_epoch_export(spark, tmp_path):
         full = sorted(rows, key=lambda r: r["seq_id"])
         for r in full[:-1]:
             assert r["n_tokens"] == 16
+
+
+def test_epoch_resume_filter_pushes_down(spark, tmp_path):
+    """The resume cursor must reach the parquet scan as a pushed
+    filter (seq_id is the sort key of the range-partitioned shards, so
+    footer min/max stats skip completed row groups): PushedFilters in
+    the scan node names seq_id."""
+    from pyspark.sql import functions as F
+
+    from sstable_migrator_spark.pipelines.corpus import (
+        export_training_epochs,
+        read_epoch_sequences,
+    )
+
+    docs = spark.range(30).select(
+        F.col("id").alias("doc_id"),
+        F.expr("repeat('tok ', CAST(id % 7 AS INT) + 1)").alias("text"),
+    )
+    out = str(tmp_path / "ep")
+    export_training_epochs(docs, out, n_epochs=1, seq_tokens=8)
+    df = read_epoch_sequences(spark, out, 0, after_seq=3)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters" in plan and "seq_id" in plan.split("PushedFilters", 1)[1][:200]
