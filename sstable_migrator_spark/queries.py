@@ -10752,6 +10752,71 @@ QUERIES.update({"q210_packed_boundaries": q_packed_boundaries})
 ORACLES.update({"q210_packed_boundaries": SQL_PACKED_BOUNDARIES})
 
 
+def q_quality_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The systematic sampler's own advertised use case, hash-gated: a
+    fixed-size corpus sample weighted by MODEL QUALITY (q199 weights by
+    token count) — exactly 60 reproducible draws with probability
+    proportional to the frozen quality model's positive logit, so
+    higher-quality documents are upsampled and non-positive-quality
+    documents carry zero weight (excluded by construction, not by a
+    filter someone must remember). Same closed-form BIGINT picks over
+    the grouped prefix sum; the weight is the q181 scoring expression,
+    so the oracle replays scoring AND sampling in one query."""
+    from sstable_migrator_spark.operators.packing import systematic_sample
+    from sstable_migrator_spark.operators.quality_model import (
+        score_quality_frozen,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    scored = score_quality_frozen(docs, _QM_WEIGHTS, _QM_BIAS)
+    pool = scored.select(
+        "doc_id", F.greatest(F.col("q_score"), F.lit(0)).cast("long").alias("w")
+    )
+    return systematic_sample(pool, "w", n=60, seed=11)
+
+
+SQL_QUALITY_WEIGHTED_SAMPLE = f"""
+WITH tk AS (
+  SELECT doc_id,
+         CASE WHEN length(trim(lower(text))) = 0 THEN CAST([] AS VARCHAR[])
+              ELSE regexp_split_to_array(trim(lower(text)), '\\s+') END AS tkl
+  FROM documents
+),
+wdocs AS (
+  SELECT doc_id,
+         greatest({_QM_BIAS} + COALESCE(list_sum(list_transform(
+           tkl,
+           x -> ({_QM_WL})[CAST(CAST(concat('0x', substr(md5('7|' || x), 1, 15))
+                        AS BIGINT) % 64 AS INT) + 1]
+         )), 0), 0) AS w,
+         CAST(concat('0x', substr(md5('11|' || CAST(doc_id AS VARCHAR)),
+                                  1, 15)) AS BIGINT) AS sk
+  FROM tk
+),
+pos AS (SELECT doc_id, CAST(w AS BIGINT) AS w, sk FROM wdocs WHERE w > 0),
+ranked AS (
+  SELECT doc_id, w,
+         SUM(w) OVER (ORDER BY sk, doc_id ROWS UNBOUNDED PRECEDING) AS incl,
+         SUM(w) OVER () AS t
+  FROM pos
+),
+picked AS (
+  SELECT doc_id, w,
+         CAST((CASE WHEN 120 * incl - t <= 0 THEN 0
+                    ELSE least(60, (120 * incl - t + 2 * t - 1) // (2 * t)) END)
+            - (CASE WHEN 120 * (incl - w) - t <= 0 THEN 0
+                    ELSE least(60, (120 * (incl - w) - t + 2 * t - 1) // (2 * t)) END)
+           AS BIGINT) AS n_picks
+  FROM ranked
+)
+SELECT doc_id, w, n_picks FROM picked WHERE n_picks >= 1
+"""
+
+
+QUERIES.update({"q211_quality_weighted_sample": q_quality_weighted_sample})
+ORACLES.update({"q211_quality_weighted_sample": SQL_QUALITY_WEIGHTED_SAMPLE})
+
+
 # ---------------------------------------------------------------------------
 # Driver-sample ordering.
 #
