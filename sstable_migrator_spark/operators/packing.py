@@ -55,6 +55,7 @@ from sstable_migrator_spark.functions import text as TX
 from sstable_migrator_spark.operators.analytics import global_prefix_sum
 
 __all__ = [
+    "curriculum_shuffle",
     "deterministic_shuffle",
     "mixture_budgets",
     "pack_sequences",
@@ -102,6 +103,42 @@ def deterministic_shuffle(
     )
     return ranked.withColumn(out_col, (F.col("_rk") - 1).cast("long")).drop(
         "_sk", "_one", "_rk"
+    )
+
+
+def curriculum_shuffle(
+    docs: DataFrame,
+    key_col: str,
+    seed: int = 0,
+    id_col: str = "doc_id",
+    out_col: str = "position",
+    descending: bool = True,
+    parts: int | None = None,
+    portable: bool = True,
+) -> DataFrame:
+    """Curriculum ordering: the training position sorts FIRST by a
+    difficulty/quality key (descending by default — highest-quality or
+    easiest first, the usual curriculum-learning schedule), then by the
+    deterministic hash within each key level, so equal-keyed documents
+    are shuffled rather than id-ordered and the whole permutation stays
+    a pure function of (corpus, key, seed). Same distributed two-phase
+    prefix sum as ``deterministic_shuffle`` — range partition on
+    (key, hash, id), O(partitions) driver state, no unpartitioned
+    window. Use an INTEGER key (a quality logit, a perplexity bucket)
+    for cross-engine exactness."""
+    df = (
+        docs.withColumn("_sk", _shuffle_key(id_col, seed, portable))
+        .withColumn(
+            "_ck",
+            (-F.col(key_col)).cast("long") if descending else F.col(key_col).cast("long"),
+        )
+        .withColumn("_one", F.lit(1).cast("long"))
+    )
+    ranked, _total = global_prefix_sum(
+        df, ["_ck", "_sk", id_col], "_one", out_col="_rk", parts=parts
+    )
+    return ranked.withColumn(out_col, (F.col("_rk") - 1).cast("long")).drop(
+        "_ck", "_sk", "_one", "_rk"
     )
 
 

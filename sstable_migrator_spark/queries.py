@@ -10817,6 +10817,56 @@ QUERIES.update({"q211_quality_weighted_sample": q_quality_weighted_sample})
 ORACLES.update({"q211_quality_weighted_sample": SQL_QUALITY_WEIGHTED_SAMPLE})
 
 
+def q_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum training order, hash-gated: position sorts by the
+    frozen quality logit DESCENDING (highest-quality first — the
+    curriculum-learning schedule), then by the deterministic hash
+    within each logit level, so equal-quality documents are shuffled,
+    not id-ordered, and the permutation is a pure function of
+    (corpus, model, seed). Distributed rank via the two-phase prefix
+    sum on (key, hash, id) — no unpartitioned window; the oracle
+    replays scoring + ordering in one ROW_NUMBER."""
+    from sstable_migrator_spark.operators.packing import curriculum_shuffle
+    from sstable_migrator_spark.operators.quality_model import (
+        score_quality_frozen,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    scored = score_quality_frozen(docs, _QM_WEIGHTS, _QM_BIAS)
+    return curriculum_shuffle(scored, "q_score", seed=13).select(
+        "doc_id", F.col("q_score").cast("long").alias("q_score"), "position"
+    )
+
+
+SQL_CURRICULUM_ORDER = f"""
+WITH tk AS (
+  SELECT doc_id,
+         CASE WHEN length(trim(lower(text))) = 0 THEN CAST([] AS VARCHAR[])
+              ELSE regexp_split_to_array(trim(lower(text)), '\\s+') END AS tkl
+  FROM documents
+),
+scored AS (
+  SELECT doc_id,
+         CAST({_QM_BIAS} + COALESCE(list_sum(list_transform(
+           tkl,
+           x -> ({_QM_WL})[CAST(CAST(concat('0x', substr(md5('7|' || x), 1, 15))
+                        AS BIGINT) % 64 AS INT) + 1]
+         )), 0) AS BIGINT) AS q_score,
+         CAST(concat('0x', substr(md5('13|' || CAST(doc_id AS VARCHAR)),
+                                  1, 15)) AS BIGINT) AS sk
+  FROM tk
+)
+SELECT doc_id, q_score,
+       CAST(ROW_NUMBER() OVER (ORDER BY q_score DESC, sk, doc_id) - 1
+            AS BIGINT) AS position
+FROM scored
+"""
+
+
+QUERIES.update({"q212_curriculum_order": q_curriculum_order})
+ORACLES.update({"q212_curriculum_order": SQL_CURRICULUM_ORDER})
+
+
 # ---------------------------------------------------------------------------
 # Driver-sample ordering.
 #

@@ -469,3 +469,36 @@ def test_mixture_budgets_feed_the_sampler(spark):
     for r in got:
         per[r["source"]] = per.get(r["source"], 0) + r["n_picks"]
     assert per == budgets
+
+
+def test_curriculum_shuffle_orders_by_key_then_hash(spark):
+    """Curriculum ordering: positions are a gap-free permutation,
+    monotone in the key (descending), equal-keyed docs land in hash
+    order (shuffled, not id-ordered), and partitioning never changes
+    the result."""
+    from sstable_migrator_spark.operators.packing import curriculum_shuffle
+
+    docs = spark.range(40).select(
+        F.col("id").alias("doc_id"), (F.col("id") % 5).cast("long").alias("q")
+    )
+    got = sorted(
+        curriculum_shuffle(docs, "q", seed=2).collect(),
+        key=lambda r: r["position"],
+    )
+    assert [r["position"] for r in got] == list(range(40))
+    keys = [r["q"] for r in got]
+    assert keys == sorted(keys, reverse=True)  # monotone in the key
+    # within one key level the order is NOT plain id order (hash-mixed)
+    top = [r["doc_id"] for r in got if r["q"] == 4]
+    assert top != sorted(top)
+    again = sorted(
+        curriculum_shuffle(docs.repartition(7), "q", seed=2, parts=3).collect(),
+        key=lambda r: r["position"],
+    )
+    assert [r["doc_id"] for r in again] == [r["doc_id"] for r in got]
+    # ascending form reverses the key direction
+    asc = sorted(
+        curriculum_shuffle(docs, "q", seed=2, descending=False).collect(),
+        key=lambda r: r["position"],
+    )
+    assert [r["q"] for r in asc] == sorted(keys)
