@@ -40,6 +40,16 @@ polite per-host slots via the grouped-prefix-sum rank (never a
 per-host window). The ledger commits LAST, so a ledger row implies
 every store write for that drain completed. Only 3 scalar counts ever
 reach the driver.
+
+HOST CURSORS (``<frontier>/_host_cursors``): politeness is CROSS-
+DRAIN — fetch_seq continues after every slot a host was ever
+scheduled, via per-host (host, n_scheduled) delta appends summed at
+read (O(drains x hosts) rows; joined plainly, never broadcast — a
+real frontier has millions of hosts). Without it, two quick drains
+would both start a host at slot 0.
+
+RETENTION: ``expire_frontier_days`` deletes ``_seen`` day partitions
+older than the window — the expired URLs become judgeable again.
 """
 
 from __future__ import annotations
@@ -50,7 +60,7 @@ import time
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-__all__ = ["schedule_frontier_available_now"]
+__all__ = ["expire_frontier_days", "schedule_frontier_available_now"]
 
 
 def _has_parquet(path: str) -> bool:
@@ -62,6 +72,38 @@ def _has_parquet(path: str) -> bool:
         if any(f.endswith(".parquet") for f in files):
             return True
     return False
+
+
+def expire_frontier_days(
+    frontier_path: str, keep_days: int, now_ms: int | None = None
+) -> list[int]:
+    """The retention lever the seen-set's day partitioning exists for:
+    delete every ``_seen/day=<d>/`` older than ``keep_days`` — the
+    expired days' URLs become judgeable (and thus refreshable) again,
+    exactly the reference's 25-day-window expiry applied to URLs. A
+    directory delete, no Spark job. Returns the expired day numbers."""
+    import shutil
+    import time as _time
+
+    if keep_days < 1:
+        raise ValueError(f"keep_days must be >= 1, got {keep_days}")
+    now = int(_time.time() * 1000) if now_ms is None else int(now_ms)
+    cutoff = now // 86_400_000 - keep_days
+    seen = os.path.join(frontier_path, "_seen")
+    expired: list[int] = []
+    if not os.path.isdir(seen):
+        return expired
+    for entry in sorted(os.listdir(seen)):
+        if not entry.startswith("day="):
+            continue
+        try:
+            day = int(entry.split("=", 1)[1])
+        except ValueError:
+            continue
+        if day < cutoff:
+            shutil.rmtree(os.path.join(seen, entry))
+            expired.append(day)
+    return expired
 
 
 def schedule_frontier_available_now(
@@ -89,6 +131,7 @@ def schedule_frontier_available_now(
     robots_path = os.path.join(frontier_path, "_robots")
     ledger_path = os.path.join(frontier_path, "_ledger")
     plans_path = os.path.join(frontier_path, "plans")
+    cursors_path = os.path.join(frontier_path, "_host_cursors")
     now = int(time.time() * 1000) if now_ms is None else int(now_ms)
 
     from sstable_migrator_spark.functions.urls import canonical_url
@@ -174,10 +217,43 @@ def schedule_frontier_available_now(
             gated.filter(F.col("allowed") == 1).select("url"),
             crawl_delay_ms=crawl_delay_ms,
             max_per_host=max_per_host,
-        ).localCheckpoint()
+        )
+        # CROSS-DRAIN politeness: fetch_seq continues after every slot
+        # this host was EVER scheduled (per-host cursors persisted as
+        # (host, delta) appends — O(drains x hosts) rows, summed per
+        # read; without this, two quick drains would both start at
+        # slot 0 and hammer the host)
+        if _has_parquet(cursors_path):
+            prior = (
+                spark.read.parquet(cursors_path)
+                .groupBy("host")
+                .agg(F.sum("n_scheduled").alias("_prior"))
+            )
+            # plain join, NOT broadcast: a real frontier has millions
+            # of hosts — let AQE pick the strategy per actual size
+            plan = (
+                plan.join(prior, "host", "left")
+                .withColumn(
+                    "fetch_seq",
+                    (F.col("fetch_seq") + F.coalesce("_prior", F.lit(0))).cast(
+                        "long"
+                    ),
+                )
+                .withColumn(
+                    "fetch_offset_ms",
+                    (F.col("fetch_seq") * F.lit(int(crawl_delay_ms))).cast(
+                        "long"
+                    ),
+                )
+                .drop("_prior")
+            )
+        plan = plan.localCheckpoint()
         plan.withColumn("batch", F.lit(bid)).write.mode("append").parquet(
             plans_path
         )
+        plan.groupBy("host").agg(
+            F.count(F.lit(1)).cast("long").alias("n_scheduled")
+        ).write.mode("append").parquet(cursors_path)
         # day-partitioned so retention is a directory delete — the
         # operational lever the reference's 25-day window uses (expire
         # old days and their URLs become judgeable again)

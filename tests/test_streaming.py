@@ -1083,3 +1083,65 @@ def test_admissions_ledger_joins_the_gate_report(spark, tmp_path):
     assert sum(r["n_docs"] for r in report.values()) == 3
     # doc 2 ("zz", 2 tokens, score 2-3 < 0) is quality-sole-blocked
     assert report["site0"]["n_sole_block_quality_keep"] == 1
+
+
+def test_frontier_politeness_is_cross_drain_and_retention_reopens(
+    spark, tmp_path
+):
+    """Politeness continues across drains (drain 2's slots for a host
+    start where drain 1 stopped — no slot-0 hammering), and expiring a
+    seen-set day re-opens its URLs for judging."""
+    import json as _json
+
+    from sstable_migrator_spark.streaming.frontier import (
+        expire_frontier_days,
+        schedule_frontier_available_now,
+    )
+
+    inbox = tmp_path / "urls"
+    inbox.mkdir()
+    frontier = str(tmp_path / "frontier")
+    ckpt = str(tmp_path / "fckpt")
+    day_ms = 86_400_000
+
+    with open(inbox / "d1.jsonl", "w") as fh:
+        for i in range(3):
+            fh.write(_json.dumps({"url": f"http://h.com/a{i}"}) + "\n")
+    s1 = schedule_frontier_available_now(
+        spark, str(inbox), frontier, ckpt, crawl_delay_ms=100, now_ms=day_ms
+    )
+    assert s1["scheduled"] == 3
+
+    with open(inbox / "d2.jsonl", "w") as fh:
+        for i in range(2):
+            fh.write(_json.dumps({"url": f"http://h.com/b{i}"}) + "\n")
+    s2 = schedule_frontier_available_now(
+        spark, str(inbox), frontier, ckpt, crawl_delay_ms=100, now_ms=day_ms + 1
+    )
+    assert s2["scheduled"] == 2
+    plans = spark.read.parquet(os.path.join(frontier, "plans")).collect()
+    seqs = sorted((r["batch"], r["fetch_seq"]) for r in plans)
+    # drain 1: slots 0..2; drain 2 CONTINUES at 3..4 for the same host
+    assert seqs == [(0, 0), (0, 1), (0, 2), (1, 3), (1, 4)]
+    assert all(
+        r["fetch_offset_ms"] == r["fetch_seq"] * 100 for r in plans
+    )
+
+    # retention: day-1 entries expire -> the a-urls become judgeable;
+    # keep_days=1 at now = day 30 drops everything older than day 29
+    expired = expire_frontier_days(
+        frontier, keep_days=1, now_ms=30 * day_ms
+    )
+    assert expired == [1]
+    with open(inbox / "d3.jsonl", "w") as fh:
+        fh.write(_json.dumps({"url": "http://h.com/a0"}) + "\n")
+    s3 = schedule_frontier_available_now(
+        spark, str(inbox), frontier, ckpt, crawl_delay_ms=100,
+        now_ms=30 * day_ms,
+    )
+    assert s3 == {"offered": 1, "new": 1, "scheduled": 1}
+    # and its slot continues the host cursor (5), not slot 0
+    re_planned = [r for r in spark.read.parquet(
+        os.path.join(frontier, "plans")).collect()
+        if r["url"] == "http://h.com/a0"]
+    assert max(r["fetch_seq"] for r in re_planned) == 5
