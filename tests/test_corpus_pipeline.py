@@ -548,3 +548,64 @@ def test_epoch_resume_filter_pushes_down(spark, tmp_path):
     df = read_epoch_sequences(spark, out, 0, after_seq=3)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "PushedFilters" in plan and "seq_id" in plan.split("PushedFilters", 1)[1][:200]
+
+
+def test_daily_crawl_job_ticks_idempotently(spark, tmp_path):
+    """The daily crawl tick (pipelines/crawl_daily.py): discovered
+    URLs -> frontier -> injected fetch -> raw-WARC shard -> extraction
+    -> admission gate, in one call. Re-running the SAME tick is a
+    no-op at every stage (frontier seen-set, batch-stamped fetch,
+    gate checkpoint); a second day's new URLs flow through while
+    re-offered ones do not."""
+    import json as _json
+    import os
+
+    from sstable_migrator_spark.pipelines.crawl_daily import daily_crawl_job
+
+    inbox = tmp_path / "urls"
+    inbox.mkdir()
+    work = str(tmp_path / "work")
+    rules = spark.createDataFrame(
+        [("site0.com", "*", "disallow", "/private/")],
+        "host string, agent string, rule string, prefix string",
+    )
+    urls_d1 = [
+        "http://site0.com/page/1",
+        "http://site0.com/page/2",
+        "http://site0.com/private/x",   # robots-blocked
+        "http://site1.com/page/3",
+    ]
+    with open(inbox / "d1.jsonl", "w") as fh:
+        for u in urls_d1:
+            fh.write(_json.dumps({"url": u}) + "\n")
+    t1 = daily_crawl_job(
+        spark, str(inbox), work, robots_rules=rules, now_ms=86_400_000
+    )
+    assert t1["scheduled"] == 3 and t1["fetched"] == 3
+    assert t1["judged"] == 3 and t1["admitted"] == 3
+    corpus = spark.read.parquet(os.path.join(work, "corpus"))
+    assert corpus.count() == 3
+    # the durable artifact exists and is replayable raw WARC
+    assert any(f.startswith("tick-") for f in os.listdir(
+        os.path.join(work, "warc")))
+
+    # re-run the same tick: no schedule, no fetch, no admission
+    t1b = daily_crawl_job(
+        spark, str(inbox), work, now_ms=86_400_001
+    )
+    assert (t1b["scheduled"], t1b["fetched"], t1b["judged"]) == (0, 0, 0)
+    assert spark.read.parquet(os.path.join(work, "corpus")).count() == 3
+
+    # day 2: one re-offered URL + one new -> only the new one flows
+    with open(inbox / "d2.jsonl", "w") as fh:
+        fh.write(_json.dumps({"url": "http://site0.com/page/1"}) + "\n")
+        fh.write(_json.dumps({"url": "http://site1.com/page/9"}) + "\n")
+    t2 = daily_crawl_job(
+        spark, str(inbox), work, now_ms=2 * 86_400_000
+    )
+    assert t2["scheduled"] == 1 and t2["fetched"] == 1
+    assert t2["judged"] == 1 and t2["admitted"] == 1
+    assert spark.read.parquet(os.path.join(work, "corpus")).count() == 4
+    # attributable end to end: the gate's ledger covers all 4 docs
+    ledger = spark.read.json(os.path.join(work, "corpus", "_admissions"))
+    assert ledger.count() == 4
