@@ -32,7 +32,7 @@ from pyspark.sql import functions as F
 
 from sstable_migrator_spark.functions import text as TX
 
-__all__ = ["gopher_quality_flags", "GOPHER_STOP_SET"]
+__all__ = ["gopher_quality_flags", "repetition_flags", "GOPHER_STOP_SET"]
 
 GOPHER_STOP_SET = ["the", "be", "to", "of", "and", "that", "have", "with"]
 
@@ -117,6 +117,250 @@ def gopher_quality_flags(
     )
     keep = None
     for name in flags:
+        term = F.col(name) == 1
+        keep = term if keep is None else keep & term
+    return out.withColumn("keep", keep.cast("int"))
+
+
+# --- the REPETITION half of the MassiveText table ---------------------------
+
+_SEP = "\x01"  # gram-join marker: never appears in whitespace tokens
+
+# (flag name, numerator, denominator): metric * den <= total * num
+# encodes "fraction <= num/den" with integers only. Thresholds are the
+# published MassiveText values (Rae et al. 2021, Table A1).
+_LINE_PARA_RULES = {
+    "ok_dup_line_frac": (3, 10),     # <= 0.30
+    "ok_dup_para_frac": (3, 10),     # <= 0.30
+    "ok_dup_line_chars": (1, 5),     # <= 0.20
+    "ok_dup_para_chars": (1, 5),     # <= 0.20
+}
+_TOP_NGRAM_RULES = {2: (1, 5), 3: (9, 50), 4: (4, 25)}       # .20 .18 .16
+_DUP_NGRAM_RULES = {
+    5: (3, 20), 6: (7, 50), 7: (13, 100), 8: (3, 25), 9: (11, 100),
+    10: (1, 10),
+}  # .15 .14 .13 .12 .11 .10
+
+
+def _frac_ok(value, total, rule: tuple[int, int]):
+    num, den = rule
+    return (value * den <= total * num).cast("int")
+
+
+def repetition_flags(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """The REPETITION rules of Rae et al. 2021 Table A1 — the other
+    half of the published Gopher filter (``gopher_quality_flags`` is
+    the quality half, q80 the word-level fractions): duplicate
+    line/paragraph fractions and their character fractions, the
+    top-{2,3,4}-gram character fraction, and the duplicated-
+    {5..10}-gram character fraction, each against the paper's
+    threshold and each an INTEGER cross-multiplied comparison — no
+    float ratio anywhere, so every flag is hash-exact cross-engine.
+
+    Definitions (stated because the paper leaves room):
+    - duplicate line/para fraction = (n - n_distinct) / n — the extra
+      copies beyond each value's first occurrence;
+    - their char fraction = chars in those extra copies / total
+      line (para) chars;
+    - top n-gram char fraction = count * gram_chars of the most
+      frequent word n-gram / total WORD chars (ties break
+      deterministically on (count, gram_chars, gram));
+    - dup n-gram char fraction = chars of words covered by the UNION
+      of all occurrences of n-grams appearing >= 2 times (no double
+      counting — the interval-union fold) / total word chars.
+    Chars are TOKEN characters (whitespace excluded), the exact form
+    the oracle replays.
+
+    Scale shape: line/para metrics are map-only array expressions; the
+    n-gram side explodes (k, pos, gram) rows for all nine k in ONE
+    pass (~9 rows per word), aggregates on (id, k, gram) — one
+    data-sized shuffle — then one bounded per-(id, k) rollup: the
+    top-gram argmax is a max(struct), the coverage union is a fold
+    over that gram-size's duplicated positions (O(dup occurrences)
+    per doc). Two shuffles total + the final assembly joins on id."""
+    top_ks = sorted(_TOP_NGRAM_RULES)
+    dup_ks = sorted(_DUP_NGRAM_RULES)
+    all_ks = [*top_ks, *dup_ks]
+
+    text = F.col(text_col)
+    toks = TX.tokens(text)
+    base = docs.select(
+        id_col,
+        toks.alias("_ws"),
+        F.split(text, "\n").alias("_lines"),
+        F.split(text, "\n\n").alias("_paras"),
+    ).withColumn(
+        "_c",
+        F.aggregate(
+            F.col("_ws"), F.lit(0).cast("long"), lambda a, w: a + F.length(w)
+        ),
+    ).localCheckpoint()  # scanned by three branches below
+
+    def _arr_chars(col):
+        return F.aggregate(
+            col, F.lit(0).cast("long"), lambda a, x: a + F.length(x)
+        )
+
+    def _lp_metrics(col):
+        n = F.size(col).cast("long")
+        nd = F.size(F.array_distinct(col)).cast("long")
+        c = _arr_chars(col)
+        cd = _arr_chars(F.array_distinct(col))
+        return n, nd, c, cd
+
+    ln, lnd, lc, lcd = _lp_metrics(F.col("_lines"))
+    pn, pnd, pc, pcd = _lp_metrics(F.col("_paras"))
+    lp = base.select(
+        id_col,
+        F.col("_c").alias("n_word_chars"),
+        _frac_ok(ln - lnd, ln, _LINE_PARA_RULES["ok_dup_line_frac"]).alias(
+            "ok_dup_line_frac"
+        ),
+        _frac_ok(pn - pnd, pn, _LINE_PARA_RULES["ok_dup_para_frac"]).alias(
+            "ok_dup_para_frac"
+        ),
+        _frac_ok(lc - lcd, lc, _LINE_PARA_RULES["ok_dup_line_chars"]).alias(
+            "ok_dup_line_chars"
+        ),
+        _frac_ok(pc - pcd, pc, _LINE_PARA_RULES["ok_dup_para_chars"]).alias(
+            "ok_dup_para_chars"
+        ),
+    )
+
+    # ONE (k, pos, gram) explode for all nine gram sizes
+    w_count = F.size("_ws")
+
+    def _gram_maker(k: int):
+        # closure factory, NOT a defaulted lambda param: a two-param
+        # lambda would be read as pyspark's (element, index) form and
+        # bind k to the array index (same trap crawl.py documents)
+        return lambda i: F.struct(
+            F.lit(k).cast("int").alias("k"),
+            i.cast("long").alias("pos"),
+            F.concat_ws(_SEP, F.slice("_ws", i + 1, k)).alias("gram"),
+        )
+
+    gram_structs = F.flatten(
+        F.array(
+            *[
+                F.when(
+                    w_count >= k,
+                    F.transform(
+                        F.sequence(F.lit(0), w_count - k), _gram_maker(k)
+                    ),
+                ).otherwise(
+                    F.array().cast(
+                        "array<struct<k:int,pos:bigint,gram:string>>"
+                    )
+                )
+                for k in all_ks
+            ]
+        )
+    )
+    rows = base.select(id_col, F.explode(gram_structs).alias("g")).select(
+        id_col, "g.k", "g.pos", "g.gram"
+    )
+    counts = rows.groupBy(id_col, "k", "gram").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt"),
+        F.sort_array(F.collect_list("pos")).alias("positions"),
+    ).withColumn(
+        "gram_chars",
+        (F.length("gram") - (F.col("k") - 1)).cast("long"),
+    )
+
+    top = (
+        counts.filter(F.col("k").isin(top_ks))
+        .groupBy(id_col, "k")
+        .agg(
+            F.max(F.struct("cnt", "gram_chars", "gram")).alias("_m")
+        )
+        .select(
+            id_col,
+            "k",
+            (F.col("_m.cnt") * F.col("_m.gram_chars")).alias("cov"),
+        )
+        .groupBy(id_col)
+        .pivot("k", top_ks)
+        .agg(F.first("cov"))
+    )
+    top = top.select(
+        id_col, *[F.col(str(k)).alias(f"_top{k}") for k in top_ks]
+    )
+
+    # duplicated-gram coverage: union of [pos, pos+k) word intervals,
+    # folded over this k's sorted duplicated positions per doc
+    dup_pos = (
+        counts.filter((F.col("k").isin(dup_ks)) & (F.col("cnt") >= 2))
+        .select(id_col, "k", F.explode("positions").alias("pos"))
+        .groupBy(id_col, "k")
+        .agg(F.sort_array(F.collect_list("pos")).alias("ps"))
+        .join(base.select(id_col, "_ws"), id_col)
+    )
+    kcol = F.col("k").cast("long")
+    fold = F.aggregate(
+        F.col("ps"),
+        F.struct(
+            F.lit(0).cast("long").alias("last"),
+            F.lit(0).cast("long").alias("cov"),
+        ),
+        lambda acc, p: F.struct(
+            (p + kcol).alias("last"),
+            (
+                acc["cov"]
+                + F.aggregate(
+                    F.slice(
+                        "_ws",
+                        (F.greatest(p, acc["last"]) + 1).cast("int"),
+                        (p + kcol - F.greatest(p, acc["last"])).cast("int"),
+                    ),
+                    F.lit(0).cast("long"),
+                    lambda a, w: a + F.length(w),
+                )
+            ).alias("cov"),
+        ),
+    )["cov"]
+    dup = (
+        dup_pos.select(id_col, "k", fold.alias("cov"))
+        .groupBy(id_col)
+        .pivot("k", dup_ks)
+        .agg(F.first("cov"))
+    )
+    dup = dup.select(
+        id_col, *[F.col(str(k)).alias(f"_dup{k}") for k in dup_ks]
+    )
+
+    out = lp.join(top, id_col, "left").join(dup, id_col, "left")
+    c = F.col("n_word_chars")
+    counter_cols, flag_cols = [], []
+    for k in top_ks:
+        cov = F.coalesce(F.col(f"_top{k}"), F.lit(0)).cast("long")
+        counter_cols.append(cov.alias(f"top_{k}gram_chars"))
+        flag_cols.append(
+            _frac_ok(cov, c, _TOP_NGRAM_RULES[k]).alias(f"ok_top_{k}gram")
+        )
+    for k in dup_ks:
+        cov = F.coalesce(F.col(f"_dup{k}"), F.lit(0)).cast("long")
+        counter_cols.append(cov.alias(f"dup_{k}gram_chars"))
+        flag_cols.append(
+            _frac_ok(cov, c, _DUP_NGRAM_RULES[k]).alias(f"ok_dup_{k}gram")
+        )
+    out = out.select(
+        id_col,
+        "n_word_chars",
+        *counter_cols,
+        *[F.col(n) for n in _LINE_PARA_RULES],
+        *flag_cols,
+    )
+    keep = None
+    for name in [
+        *list(_LINE_PARA_RULES),
+        *[f"ok_top_{k}gram" for k in top_ks],
+        *[f"ok_dup_{k}gram" for k in dup_ks],
+    ]:
         term = F.col(name) == 1
         keep = term if keep is None else keep & term
     return out.withColumn("keep", keep.cast("int"))

@@ -10867,6 +10867,186 @@ QUERIES.update({"q212_curriculum_order": q_curriculum_order})
 ORACLES.update({"q212_curriculum_order": SQL_CURRICULUM_ORDER})
 
 
+def q_repetition_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The REPETITION half of the published Gopher/MassiveText filter
+    (Rae et al. 2021 Table A1 — q205 is the quality half): duplicate
+    line/paragraph fractions and char fractions, the most-frequent
+    {2,3,4}-gram char coverage, and the UNION char coverage of
+    duplicated {5..10}-grams — every counter integer-exact and every
+    threshold a cross-multiplied comparison. Fixture = documents UNION
+    planted violations (+8000: duplicated lines / whole-doc self-
+    concat / a hammered 2-gram, by id%3) so the discrimination is
+    hash-gated, not just the counters. The interval-union coverage is
+    the hard part cross-engine: Spark folds sorted duplicate positions
+    per (doc, k); the oracle recomputes it as an EXISTS-style
+    word-coverage join — two independent constructions, one hash."""
+    from sstable_migrator_spark.operators.gopher import repetition_flags
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    d = F.col("doc_id")
+    planted_text = (
+        F.when(
+            d % 3 == 0,
+            F.concat(
+                F.col("text"),
+                F.expr("repeat(concat(char(10), 'dup line marker'), 6)"),
+            ),
+        )
+        .when(d % 3 == 1, F.concat(F.col("text"), F.lit(" "), F.col("text")))
+        .otherwise(F.concat(F.col("text"), F.expr("repeat(' zz yy', 40)")))
+    )
+    planted = docs.filter(d < 40).select(
+        (d + 8000).alias("doc_id"), planted_text.alias("text")
+    )
+    out = repetition_flags(docs.unionByName(planted))
+    return out.select(
+        "doc_id",
+        "n_word_chars",
+        *[f"top_{k}gram_chars" for k in (2, 3, 4)],
+        *[f"dup_{k}gram_chars" for k in (5, 6, 7, 8, 9, 10)],
+        "ok_dup_line_frac",
+        "ok_dup_para_frac",
+        "ok_dup_line_chars",
+        "ok_dup_para_chars",
+        "keep",
+    )
+
+
+def _sql_repetition_rules() -> str:
+    top_rules = {2: (1, 5), 3: (9, 50), 4: (4, 25)}
+    dup_rules = {5: (3, 20), 6: (7, 50), 7: (13, 100), 8: (3, 25),
+                 9: (11, 100), 10: (1, 10)}
+    topv = ",\n         ".join(
+        f"COALESCE(SUM(CASE WHEN k = {k} THEN cov END), 0) AS top{k}"
+        for k in top_rules
+    )
+    dupv = ",\n         ".join(
+        f"COALESCE(SUM(CASE WHEN k = {k} THEN cov END), 0) AS dup{k}"
+        for k in dup_rules
+    )
+    ngram_keep = " AND ".join(
+        [
+            *[
+                f"COALESCE(top{k}, 0) * {den} <= c * {num}"
+                for k, (num, den) in top_rules.items()
+            ],
+            *[
+                f"COALESCE(dup{k}, 0) * {den} <= c * {num}"
+                for k, (num, den) in dup_rules.items()
+            ],
+        ]
+    )
+    return f"""
+WITH src AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 8000,
+         CASE WHEN doc_id % 3 = 0 THEN text || repeat(chr(10) || 'dup line marker', 6)
+              WHEN doc_id % 3 = 1 THEN text || ' ' || text
+              ELSE text || repeat(' zz yy', 40) END
+  FROM documents WHERE doc_id < 40
+),
+base AS (
+  SELECT doc_id, text,
+         CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
+              ELSE regexp_split_to_array(trim(text), '\\s+') END AS tk,
+         string_split(text, chr(10)) AS lines,
+         string_split(text, chr(10) || chr(10)) AS paras
+  FROM src
+),
+words AS (
+  SELECT doc_id, CAST(p.i - 1 AS BIGINT) AS j, tk[CAST(p.i AS INT)] AS w
+  FROM base, LATERAL unnest(range(1, CAST(len(tk) + 1 AS BIGINT))) p(i)
+),
+lp AS (
+  SELECT doc_id,
+         CAST(len(lines) AS BIGINT) AS ln,
+         CAST(len(list_distinct(lines)) AS BIGINT) AS lnd,
+         CAST(COALESCE(list_sum(list_transform(lines, x -> length(x))), 0) AS BIGINT) AS lc,
+         CAST(COALESCE(list_sum(list_transform(list_distinct(lines), x -> length(x))), 0) AS BIGINT) AS lcd,
+         CAST(len(paras) AS BIGINT) AS pn,
+         CAST(COALESCE(len(list_distinct(paras)), 0) AS BIGINT) AS pnd,
+         CAST(COALESCE(list_sum(list_transform(paras, x -> length(x))), 0) AS BIGINT) AS pc,
+         CAST(COALESCE(list_sum(list_transform(list_distinct(paras), x -> length(x))), 0) AS BIGINT) AS pcd,
+         CAST(COALESCE(list_sum(list_transform(tk, x -> length(x))), 0) AS BIGINT) AS c
+  FROM base
+),
+ks(k) AS (VALUES (2),(3),(4),(5),(6),(7),(8),(9),(10)),
+grams AS (
+  SELECT b.doc_id, ks.k, CAST(p.i - 1 AS BIGINT) AS pos,
+         array_to_string(b.tk[CAST(p.i AS INT) : CAST(p.i + ks.k - 1 AS INT)],
+                         chr(1)) AS gram
+  FROM base b, ks,
+       LATERAL unnest(range(1, CAST(len(b.tk) - ks.k + 2 AS BIGINT))) p(i)
+  WHERE len(b.tk) >= ks.k
+),
+gcnt AS (
+  SELECT doc_id, k, gram, count(*) AS cnt,
+         length(gram) - (k - 1) AS gram_chars
+  FROM grams GROUP BY 1, 2, 3
+),
+topg AS (
+  SELECT doc_id, k, cnt * gram_chars AS cov,
+         row_number() OVER (PARTITION BY doc_id, k
+                            ORDER BY cnt DESC, gram_chars DESC, gram DESC) AS rk
+  FROM gcnt WHERE k <= 4
+),
+topv AS (
+  SELECT doc_id,
+         {topv}
+  FROM topg WHERE rk = 1 GROUP BY 1
+),
+dpos AS (
+  SELECT g.doc_id, g.k, g.pos
+  FROM grams g
+  JOIN (SELECT doc_id, k, gram FROM gcnt WHERE k >= 5 AND cnt >= 2) d
+    USING (doc_id, k, gram)
+),
+covered AS (
+  SELECT DISTINCT w.doc_id, d.k, w.j
+  FROM words w
+  JOIN dpos d ON d.doc_id = w.doc_id AND d.pos <= w.j AND w.j < d.pos + d.k
+),
+covsum AS (
+  SELECT c2.doc_id, c2.k, SUM(length(w.w)) AS cov
+  FROM covered c2 JOIN words w ON w.doc_id = c2.doc_id AND w.j = c2.j
+  GROUP BY 1, 2
+),
+dupv AS (
+  SELECT doc_id,
+         {dupv}
+  FROM covsum GROUP BY 1
+)
+SELECT lp.doc_id,
+       c AS n_word_chars,
+       CAST(COALESCE(top2, 0) AS BIGINT) AS top_2gram_chars,
+       CAST(COALESCE(top3, 0) AS BIGINT) AS top_3gram_chars,
+       CAST(COALESCE(top4, 0) AS BIGINT) AS top_4gram_chars,
+       CAST(COALESCE(dup5, 0) AS BIGINT) AS dup_5gram_chars,
+       CAST(COALESCE(dup6, 0) AS BIGINT) AS dup_6gram_chars,
+       CAST(COALESCE(dup7, 0) AS BIGINT) AS dup_7gram_chars,
+       CAST(COALESCE(dup8, 0) AS BIGINT) AS dup_8gram_chars,
+       CAST(COALESCE(dup9, 0) AS BIGINT) AS dup_9gram_chars,
+       CAST(COALESCE(dup10, 0) AS BIGINT) AS dup_10gram_chars,
+       CAST(CASE WHEN (ln - lnd) * 10 <= ln * 3 THEN 1 ELSE 0 END AS INT) AS ok_dup_line_frac,
+       CAST(CASE WHEN (pn - pnd) * 10 <= pn * 3 THEN 1 ELSE 0 END AS INT) AS ok_dup_para_frac,
+       CAST(CASE WHEN (lc - lcd) * 5 <= lc * 1 THEN 1 ELSE 0 END AS INT) AS ok_dup_line_chars,
+       CAST(CASE WHEN (pc - pcd) * 5 <= pc * 1 THEN 1 ELSE 0 END AS INT) AS ok_dup_para_chars,
+       CAST(CASE WHEN (ln - lnd) * 10 <= ln * 3
+                  AND (pn - pnd) * 10 <= pn * 3
+                  AND (lc - lcd) * 5 <= lc * 1
+                  AND (pc - pcd) * 5 <= pc * 1
+                  AND {ngram_keep} THEN 1 ELSE 0 END AS INT) AS keep
+FROM lp
+LEFT JOIN topv USING (doc_id)
+LEFT JOIN dupv USING (doc_id)
+"""
+
+
+QUERIES.update({"q213_repetition_rules": q_repetition_rules})
+ORACLES.update({"q213_repetition_rules": _sql_repetition_rules()})
+
+
 # ---------------------------------------------------------------------------
 # Driver-sample ordering.
 #

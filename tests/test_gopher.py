@@ -101,3 +101,104 @@ def test_gopher_keep_cols_passthrough(spark):
     out = gopher_quality_flags(docs, keep_cols=["apex", "text"])
     assert {"apex", "text", "keep", "doc_id"} <= set(out.columns)
     assert out.first()["apex"] == "x.com"
+
+
+def _rep_reference(text: str) -> dict:
+    """Pure-Python reference for the MassiveText repetition metrics —
+    the independent implementation the Spark operator must agree with
+    exactly."""
+    ws = text.split()
+    c = sum(len(w) for w in ws)
+    out = {"n_word_chars": c}
+    for k in (2, 3, 4):
+        grams: dict = {}
+        for i in range(len(ws) - k + 1):
+            g = "\x01".join(ws[i : i + k])
+            grams[g] = grams.get(g, 0) + 1
+        best = max(
+            (
+                (cnt, len(g) - (k - 1), g)
+                for g, cnt in grams.items()
+            ),
+            default=(0, 0, ""),
+        )
+        out[f"top_{k}gram_chars"] = best[0] * best[1]
+    for k in (5, 6, 7, 8, 9, 10):
+        pos: dict = {}
+        for i in range(len(ws) - k + 1):
+            pos.setdefault(tuple(ws[i : i + k]), []).append(i)
+        covered: set = set()
+        for g, ps in pos.items():
+            if len(ps) >= 2:
+                for p in ps:
+                    covered.update(range(p, p + k))
+        out[f"dup_{k}gram_chars"] = sum(len(ws[j]) for j in covered)
+    return out
+
+
+def test_repetition_flags_match_python_reference(spark):
+    """Every n-gram counter — the top-gram argmax and the
+    interval-union coverage — agrees exactly with an independent
+    Python implementation across crafted repetition shapes."""
+    from sstable_migrator_spark.operators.gopher import repetition_flags
+
+    texts = {
+        1: "alpha beta gamma delta epsilon zeta eta theta iota kappa "
+           "lam mu nu xi omicron pi rho sigma tau upsilon",
+        2: "same line here\nsame line here\nsame line here\nunique tail words",
+        3: "a1 b2 c3 d4 e5 a1 b2 c3 d4 e5 a1 b2 c3 d4 e5 f6 g7 h8 i9 j10",
+        4: "x1 y2 x1 y2 x1 y2 x1 y2 x1 y2 z3 totally unique closing words",
+        5: "one two three four five six seven eight nine ten one two three "
+           "four five six seven eight nine ten middle one two three four "
+           "five six seven eight nine ten",
+    }
+    docs = spark.createDataFrame(
+        list(texts.items()), "doc_id long, text string"
+    )
+    got = {r["doc_id"]: r.asDict() for r in repetition_flags(docs).collect()}
+    for i, text in texts.items():
+        want = _rep_reference(text)
+        for key, val in want.items():
+            assert got[i][key] == val, (i, key, got[i][key], val)
+
+
+def test_repetition_flags_line_para_rules(spark):
+    from sstable_migrator_spark.operators.gopher import repetition_flags
+
+    docs = spark.createDataFrame(
+        [
+            # 3 identical lines of 4 -> dup frac 2/4 = 0.5 > 0.3
+            (1, "dup line\ndup line\ndup line\nunique content here"),
+            # all-unique lines and paragraphs
+            (2, "first line\nsecond line\n\nsecond paragraph text"),
+            # duplicate PARAGRAPHS (\n\n-separated)
+            (3, "para one body\n\npara one body\n\npara one body\n\nother"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in repetition_flags(docs).collect()}
+    assert got[1]["ok_dup_line_frac"] == 0
+    assert got[1]["ok_dup_line_chars"] == 0
+    assert got[2]["ok_dup_line_frac"] == 1
+    assert got[2]["ok_dup_para_frac"] == 1
+    assert got[3]["ok_dup_para_frac"] == 0
+    assert got[3]["ok_dup_para_chars"] == 0
+    # its \n-split LINES repeat too ("para one body" x3 + "" x3)
+    assert got[3]["ok_dup_line_frac"] == 0
+
+
+def test_repetition_flags_stable_under_partitioning(spark):
+    from pyspark.sql import functions as F
+
+    from sstable_migrator_spark.operators.gopher import repetition_flags
+
+    docs = spark.range(30).select(
+        F.col("id").alias("doc_id"),
+        F.concat(
+            F.lit("w"), F.col("id").cast("string"),
+            F.expr("repeat(' tok rep tok rep', CAST(id % 5 AS INT))"),
+        ).alias("text"),
+    )
+    a = sorted(tuple(r) for r in repetition_flags(docs).collect())
+    b = sorted(tuple(r) for r in repetition_flags(docs.repartition(7)).collect())
+    assert a == b
