@@ -88,6 +88,7 @@ def admit_documents_available_now(
     eval_docs: DataFrame | None = None,
     eval_shingle_k: int = 5,
     postings_path: str | None = None,
+    repetition: bool = False,
 ) -> dict:
     """One drain: judge every newly landed JSONL document against the
     persisted dedup state of the corpus at ``corpus_path`` (exact +
@@ -96,9 +97,11 @@ def admit_documents_available_now(
     ``train_bigram_lm`` table — is given, plus benchmark
     decontamination when ``eval_docs`` — the held-out eval set — is
     given: any arriving document sharing a word shingle with it is
-    rejected at the door, so eval text can never enter the corpus),
-    append the admitted ones, extend the state store, and record every
-    decision under ``corpus_path/_admissions/``. With
+    rejected at the door, so eval text can never enter the corpus;
+    plus the MassiveText repetition rules when ``repetition=True`` —
+    ``operators.gopher.repetition_flags``, ledger column
+    ``rep_keep``), append the admitted ones, extend the state store,
+    and record every decision under ``corpus_path/_admissions/``. With
     ``postings_path`` the gate ALSO maintains the BM25 serving index
     (``retrieval.write_postings_index`` layout): admitted documents'
     postings append per drain, so retrieval freshness costs O(day)
@@ -199,6 +202,17 @@ def admit_documents_available_now(
             decisions = decisions.join(ck, "doc_id", "left")
         else:
             decisions = decisions.withColumn("decon_keep", F.lit(1))
+        if repetition:
+            from sstable_migrator_spark.operators.gopher import (
+                repetition_flags,
+            )
+
+            rk = repetition_flags(batch_df).select(
+                "doc_id", F.col("keep").alias("rep_keep")
+            )
+            decisions = decisions.join(rk, "doc_id", "left")
+        else:
+            decisions = decisions.withColumn("rep_keep", F.lit(1))
         decisions = decisions.select(
             "doc_id",
             "exact_dup",
@@ -208,11 +222,13 @@ def admit_documents_available_now(
             # absent from the contamination rollup = produced no
             # shingles at all = cannot be contaminated -> keep
             F.coalesce("decon_keep", F.lit(1)).cast("int").alias("decon_keep"),
+            F.coalesce("rep_keep", F.lit(0)).cast("int").alias("rep_keep"),
             (
                 (F.col("admitted") == 1)
                 & (F.coalesce("quality_keep", F.lit(0)) == 1)
                 & (F.coalesce("ppl_keep", F.lit(0)) == 1)
                 & (F.coalesce("decon_keep", F.lit(1)) == 1)
+                & (F.coalesce("rep_keep", F.lit(0)) == 1)
             ).cast("int").alias("admitted"),
         ).localCheckpoint()
 

@@ -1145,3 +1145,39 @@ def test_frontier_politeness_is_cross_drain_and_retention_reopens(
         os.path.join(frontier, "plans")).collect()
         if r["url"] == "http://h.com/a0"]
     assert max(r["fetch_seq"] for r in re_planned) == 5
+
+
+def test_admission_gate_repetition_stage(spark, tmp_path):
+    """repetition=True composes the MassiveText repetition rules into
+    the drain: a heavily repetitive arrival is rejected with
+    rep_keep=0 in the ledger; a normal one passes."""
+    import json as _json
+
+    from sstable_migrator_spark.streaming.corpus_ingest import (
+        admit_documents_available_now,
+    )
+
+    inbox = tmp_path / "inbox"
+    inbox.mkdir()
+    corpus = str(tmp_path / "corpus")
+    # long enough that single-occurrence top n-grams are a small char
+    # fraction (the paper applies these rules to >=50-word documents)
+    good = ("the quiet village market opens early and the farmers bring "
+            "fresh bread with butter and a warm greeting for visitors "
+            "arriving from the city before the church bells ring while "
+            "children chase pigeons across wet cobblestones and vendors "
+            "arrange baskets of apples pears plums cherries alongside "
+            "jars of honey preserves pickles and bundles of dried herbs "
+            "gathered last autumn from hills beyond the river crossing")
+    spam = "buy cheap now " * 40
+    with open(inbox / "w.jsonl", "w") as fh:
+        fh.write(_json.dumps({"doc_id": 1, "text": good}) + "\n")
+        fh.write(_json.dumps({"doc_id": 2, "text": spam}) + "\n")
+    s = admit_documents_available_now(
+        spark, str(inbox), corpus, str(tmp_path / "ckpt"), repetition=True
+    )
+    assert s == {"judged": 2, "admitted": 1}
+    ledger = {r["doc_id"]: r for r in
+              spark.read.json(os.path.join(corpus, "_admissions")).collect()}
+    assert ledger[1]["rep_keep"] == 1 and ledger[1]["admitted"] == 1
+    assert ledger[2]["rep_keep"] == 0 and ledger[2]["admitted"] == 0
