@@ -198,7 +198,10 @@ def repetition_flags(
         F.aggregate(
             F.col("_ws"), F.lit(0).cast("long"), lambda a, w: a + F.length(w)
         ),
-    ).localCheckpoint()  # scanned by three branches below
+    )
+    # NOT checkpointed: the three consumers below re-run only map-side
+    # tokenize work per scan — materializing the token/line arrays to
+    # disk costs more than recomputing them (measured)
 
     def _arr_chars(col):
         return F.aggregate(
@@ -266,7 +269,14 @@ def repetition_flags(
     )
     counts = rows.groupBy(id_col, "k", "gram").agg(
         F.count(F.lit(1)).cast("long").alias("cnt"),
-        F.sort_array(F.collect_list("pos")).alias("positions"),
+        # positions matter only for the coverage-union gram sizes; the
+        # top-k grams ship empty lists through the exchange (collect_
+        # list drops the NULLs map-side, shrinking the partial states)
+        F.sort_array(
+            F.collect_list(
+                F.when(F.col("k") >= min(dup_ks), F.col("pos"))
+            )
+        ).alias("positions"),
     ).withColumn(
         "gram_chars",
         (F.length("gram") - (F.col("k") - 1)).cast("long"),
