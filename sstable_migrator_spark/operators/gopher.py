@@ -32,7 +32,12 @@ from pyspark.sql import functions as F
 
 from sstable_migrator_spark.functions import text as TX
 
-__all__ = ["gopher_quality_flags", "repetition_flags", "GOPHER_STOP_SET"]
+__all__ = [
+    "c4_clean",
+    "gopher_quality_flags",
+    "repetition_flags",
+    "GOPHER_STOP_SET",
+]
 
 GOPHER_STOP_SET = ["the", "be", "to", "of", "and", "that", "have", "with"]
 
@@ -374,3 +379,69 @@ def repetition_flags(
         term = F.col(name) == 1
         keep = term if keep is None else keep & term
     return out.withColumn("keep", keep.cast("int"))
+
+
+# --- the C4 cleaning rules (Raffel et al. 2020, §2.2) ------------------------
+
+_C4_TERMINAL = (".", "!", "?", '"', "'")
+
+
+def c4_clean(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_words_per_line: int = 5,
+    min_sentences: int = 3,
+) -> DataFrame:
+    """The C4 line-level cleaning recipe (Raffel et al. 2020, "Exploring
+    the Limits of Transfer Learning", §2.2) — the OTHER most-cited
+    published filter, complementing the Gopher pair (quality flags +
+    repetition flags): KEEP only lines that end in a terminal
+    punctuation mark and carry >= ``min_words_per_line`` words and do
+    not contain the word "javascript" (case-insensitive); then DROP the
+    whole page when the cleaned text has fewer than ``min_sentences``
+    sentences (terminal-punctuation count), or mentions "lorem ipsum",
+    or contains a curly brace (code). The paper's corpus-level
+    three-sentence-span dedup is the span-dedup family's job
+    (q138/q198), not re-implemented here.
+
+    Returns ``(id, clean_text, n_lines_kept, n_sentences, keep)`` —
+    clean_text is the kept lines re-joined with newlines (empty string
+    when nothing survives). Pure map-side array expressions, zero
+    shuffles at any scale, and the cleaned STRING is hash-exact against
+    the SQL twin."""
+    text = F.col(text_col)
+    lines = F.split(text, "\n")
+
+    def _line_ok(ln):
+        t = F.trim(ln)
+        ends = None
+        for p in _C4_TERMINAL:
+            e = t.endswith(p)
+            ends = e if ends is None else (ends | e)
+        enough_words = F.size(TX.tokens(t)) >= min_words_per_line
+        no_js = ~F.lower(t).contains("javascript")
+        return ends & enough_words & no_js
+
+    kept = F.filter(lines, _line_ok)
+    clean = F.array_join(F.transform(kept, F.trim), "\n")
+    # sentences = terminal-punctuation marks in the CLEANED text
+    n_sent = sum(
+        (
+            F.length(clean)
+            - F.length(F.replace(clean, F.lit(p), F.lit("")))
+        ).cast("long")
+        for p in (".", "!", "?")
+    )
+    page_ok = (
+        (n_sent >= min_sentences)
+        & ~F.lower(clean).contains("lorem ipsum")
+        & ~clean.contains("{")
+    )
+    return docs.select(
+        id_col,
+        clean.alias("clean_text"),
+        F.size(kept).cast("long").alias("n_lines_kept"),
+        n_sent.alias("n_sentences"),
+        page_ok.cast("int").alias("keep"),
+    )

@@ -11047,6 +11047,90 @@ QUERIES.update({"q213_repetition_rules": q_repetition_rules})
 ORACLES.update({"q213_repetition_rules": _sql_repetition_rules()})
 
 
+def q_c4_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The C4 cleaning recipe (Raffel et al. 2020 §2.2) hash-gated
+    STRING-for-string: keep only lines ending in terminal punctuation
+    with >= 5 words and no "javascript"; drop pages under 3 sentences
+    or mentioning "lorem ipsum" or containing a curly brace. Fixture =
+    documents UNION planted violations (+9000 by id%4: a
+    punctuation-less line, a javascript line, a lorem-ipsum tail, a
+    curly-brace line) so every rule's discrimination — and the exact
+    CLEANED TEXT — is under the hash. Map-side array expressions, zero
+    shuffles."""
+    from sstable_migrator_spark.operators.gopher import c4_clean
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    d = F.col("doc_id")
+    planted_text = (
+        F.when(d % 4 == 0, F.concat(F.col("text"), F.lit(
+            "\nthis line has many words but no terminal punctuation at all"
+        )))
+        .when(d % 4 == 1, F.concat(F.col("text"), F.lit(
+            "\nthis page uses JavaScript heavily for every menu today."
+        )))
+        .when(d % 4 == 2, F.concat(F.col("text"), F.lit(
+            "\nLorem ipsum dolor sit amet consectetur adipiscing elit sed."
+        )))
+        .otherwise(F.concat(F.col("text"), F.lit(
+            "\nthe code sample { return x } appears in this line today."
+        )))
+    )
+    planted = docs.filter(d < 40).select(
+        (d + 9000).alias("doc_id"), planted_text.alias("text")
+    )
+    return c4_clean(docs.unionByName(planted))
+
+
+SQL_C4_CLEAN = """
+WITH src AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 9000,
+         CASE WHEN doc_id % 4 = 0 THEN text || chr(10) || 'this line has many words but no terminal punctuation at all'
+              WHEN doc_id % 4 = 1 THEN text || chr(10) || 'this page uses JavaScript heavily for every menu today.'
+              WHEN doc_id % 4 = 2 THEN text || chr(10) || 'Lorem ipsum dolor sit amet consectetur adipiscing elit sed.'
+              ELSE text || chr(10) || 'the code sample { return x } appears in this line today.' END
+  FROM documents WHERE doc_id < 40
+),
+kept AS (
+  SELECT doc_id,
+         list_transform(
+           list_filter(string_split(text, chr(10)), ln ->
+             (ends_with(trim(ln), '.') OR ends_with(trim(ln), '!')
+              OR ends_with(trim(ln), '?') OR ends_with(trim(ln), '"')
+              OR ends_with(trim(ln), ''''))
+             AND (CASE WHEN length(trim(ln)) = 0 THEN 0
+                       ELSE len(regexp_split_to_array(trim(ln), '\\s+')) END) >= 5
+             AND NOT contains(lower(ln), 'javascript')),
+           x -> trim(x)) AS k
+  FROM src
+),
+cl AS (
+  -- DuckDB array_to_string([]) is NULL, not '' — coalesce to match
+  -- Spark's array_join
+  SELECT doc_id, COALESCE(array_to_string(k, chr(10)), '') AS clean_text,
+         CAST(len(k) AS BIGINT) AS n_lines_kept
+  FROM kept
+)
+SELECT doc_id, clean_text, n_lines_kept,
+       CAST((length(clean_text) - length(replace(clean_text, '.', '')))
+          + (length(clean_text) - length(replace(clean_text, '!', '')))
+          + (length(clean_text) - length(replace(clean_text, '?', '')))
+         AS BIGINT) AS n_sentences,
+       CAST(CASE WHEN (length(clean_text) - length(replace(clean_text, '.', '')))
+                     + (length(clean_text) - length(replace(clean_text, '!', '')))
+                     + (length(clean_text) - length(replace(clean_text, '?', ''))) >= 3
+                  AND NOT contains(lower(clean_text), 'lorem ipsum')
+                  AND NOT contains(clean_text, '{')
+                 THEN 1 ELSE 0 END AS INT) AS keep
+FROM cl
+"""
+
+
+QUERIES.update({"q214_c4_clean": q_c4_clean})
+ORACLES.update({"q214_c4_clean": SQL_C4_CLEAN})
+
+
 # ---------------------------------------------------------------------------
 # Driver-sample ordering.
 #

@@ -202,3 +202,38 @@ def test_repetition_flags_stable_under_partitioning(spark):
     a = sorted(tuple(r) for r in repetition_flags(docs).collect())
     b = sorted(tuple(r) for r in repetition_flags(docs.repartition(7)).collect())
     assert a == b
+
+
+def test_c4_clean_rules(spark):
+    """C4 line rules: terminal punctuation, 5-word floor, javascript
+    drop; page rules: 3-sentence floor, lorem ipsum, curly brace."""
+    from sstable_migrator_spark.operators.gopher import c4_clean
+
+    good3 = ("the first proper sentence has plenty of words today.\n"
+             "the second proper sentence also carries enough words!\n"
+             "does the third proper sentence carry enough words too?")
+    docs = spark.createDataFrame(
+        [
+            (1, good3),                                          # keeps all
+            (2, good3 + "\nno terminal punctuation on this line"),
+            (3, good3 + "\nthis menu needs JavaScript to render properly."),
+            (4, good3 + "\nLorem ipsum dolor sit amet consectetur elit."),
+            (5, good3 + "\nthe code block { return x } appears right here."),
+            (6, "one good sentence is simply not enough here."),  # < 3 sent
+            (7, "tiny line.\nalso small.\nshort too."),           # < 5 words
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in c4_clean(docs).collect()}
+    assert got[1]["keep"] == 1 and got[1]["n_lines_kept"] == 3
+    assert got[1]["clean_text"] == good3
+    # unpunctuated / javascript lines are dropped but the PAGE survives
+    assert got[2]["keep"] == 1 and got[2]["n_lines_kept"] == 3
+    assert "punctuation" not in got[2]["clean_text"]
+    assert got[3]["keep"] == 1 and "JavaScript" not in got[3]["clean_text"]
+    # lorem ipsum / curly brace kill the PAGE (the line itself is valid)
+    assert got[4]["keep"] == 0 and got[4]["n_lines_kept"] == 4
+    assert got[5]["keep"] == 0
+    assert got[6]["keep"] == 0 and got[6]["n_sentences"] == 1
+    assert got[7]["keep"] == 0 and got[7]["n_lines_kept"] == 0
+    assert got[7]["clean_text"] == ""
