@@ -11216,7 +11216,12 @@ _DRIVER_PRIORITY: list[str] = [
     # retrieval — a NEW family (lexical relevance ranking) with no
     # other in-head sibling
     "q184_bm25_topk",
-    "q48_quality_score",
+    # q48_quality_score rotated to local-harness coverage in round 7
+    # (the quality family keeps in-head evidence via
+    # q181_quality_model_score — the learned form — and q182's LM
+    # filter); the slot carries the C4 cleaning recipe, the other
+    # most-cited published filter, cleaned STRING hash-gated
+    "q214_c4_clean",
     # q52_simhash_pairs rotated to local-harness coverage in round 4
     # (banded near-dup keeps driver evidence via q43_minhash_lsh_pairs);
     # the slot carries the zone-map data-skipping proof
@@ -11278,10 +11283,17 @@ _DRIVER_PRIORITY: list[str] = [
     # the output STRINGS gate the shuffle, prefix sum, and span math
     # in one hash
     "q196_packed_sequences",
-    "q132_prefix_jaccard",
+    # q132_prefix_jaccard rotated to local-harness coverage in round 7
+    # (the set-similarity family keeps in-head driver evidence via
+    # q164_lsh_recall, which measures banded signatures against exact
+    # shingle Jaccard); the slot carries the MassiveText REPETITION
+    # rules — round 7's named-paper flagship: duplicate line/para
+    # fractions + the interval-union duplicated-n-gram char coverage,
+    # hash-gated against an independent SQL construction
+    "q213_repetition_rules",
     # q136_containment_pairs rotated to local-harness coverage in round 4
-    # (set-similarity pair mining keeps driver evidence via q132); the
-    # slot carries the bloom semi-join exactness proof
+    # (set-similarity pair mining keeps driver evidence via q132, now
+    # via q164); the slot carries the bloom semi-join exactness proof
     "q171_bloom_semi_join",
     "q137_salted_join",
 ]
