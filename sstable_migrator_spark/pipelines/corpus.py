@@ -68,6 +68,7 @@ def build_training_corpus(
     shard_tokens: int = 2000,
     shard_format: str = "parquet",
     strip_spans_k: int | None = None,
+    c4: bool = False,
 ) -> dict[str, int]:
     """Run the curation funnel and write chunk shards to ``out_dir``
     (``shard_format="parquet"``: partitioned by shard_id — the default
@@ -81,6 +82,10 @@ def build_training_corpus(
     rows and the (tiny) pair graph; packing windows over per-doc token
     counts, not text. The near-dup survivors anti-join as a broadcast
     (cluster lists are |dups|-sized, not corpus-sized).
+
+    ``c4=True`` runs the published C4 line-cleaning recipe
+    (operators.gopher.c4_clean) FIRST — line drops + page drops — so
+    every later stage judges the cleaned text.
     """
     spark = docs.sparkSession
     obs = {
@@ -89,6 +94,22 @@ def build_training_corpus(
     }
 
     staged = docs.observe(obs["input"], F.count(F.lit(1)).alias("n"))
+    if c4:
+        # C4 line cleaning FIRST (it rewrites text): lines without
+        # terminal punctuation / under 5 words / javascript vanish,
+        # pages failing the sentence/lorem/brace rules drop — the rest
+        # of the funnel then judges the CLEANED text
+        from sstable_migrator_spark.operators.gopher import c4_clean
+
+        passthrough = [c for c in docs.columns if c not in ("doc_id", "text")]
+        cleaned = c4_clean(staged).filter(F.col("keep") == 1).select(
+            "doc_id", F.col("clean_text").alias("text")
+        )
+        if passthrough:
+            cleaned = cleaned.join(
+                staged.select("doc_id", *passthrough), "doc_id"
+            )
+        staged = cleaned
     q = staged.filter(quality_score(F.col("text")) >= quality_min).observe(
         obs["quality"], F.count(F.lit(1)).alias("n")
     )

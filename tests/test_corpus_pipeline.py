@@ -609,3 +609,49 @@ def test_daily_crawl_job_ticks_idempotently(spark, tmp_path):
     # attributable end to end: the gate's ledger covers all 4 docs
     ledger = spark.read.json(os.path.join(work, "corpus", "_admissions"))
     assert ledger.count() == 4
+
+
+def test_funnel_c4_stage(spark, tmp_path):
+    """c4=True cleans BEFORE the rest of the funnel: junk lines vanish
+    from surviving docs, lorem-ipsum pages never reach the chunks, and
+    without the flag the junk sails through."""
+    from pyspark.sql import functions as F
+
+    from sstable_migrator_spark.pipelines.corpus import build_training_corpus
+
+    good = ("the quiet village market opens early and the farmers bring "
+            "fresh bread with butter for everyone.\n"
+            "the second sentence also carries plenty of ordinary words!\n"
+            "a third proper sentence closes the little paragraph nicely.")
+    other = ("harbor ships wait for the morning tide with their heavy cargo.\n"
+             "sailors check the ropes and sails before the long crossing!\n"
+             "the lighthouse keeper logs every vessel passing the point.")
+    docs = spark.createDataFrame(
+        [
+            (1, good + "\nclickbait menu fragment without punctuation", "en"),
+            (2, other + "\nLorem ipsum dolor sit amet consectetur elite page.", "en"),
+        ],
+        "doc_id long, text string, lang string",
+    )
+    out = str(tmp_path / "c4")
+    counts = build_training_corpus(
+        docs, out, quality_min=0.0, c4=True, chunk_size=64, stride=64,
+        shard_tokens=10000,
+    )
+    assert counts["input"] == 2
+    kept = " ".join(
+        r["chunk_text"] for r in spark.read.parquet(out).collect()
+    )
+    assert "village" in kept
+    assert "clickbait" not in kept          # line dropped
+    assert "lorem" not in kept.lower()      # page dropped
+    # control: without c4 the junk survives the funnel
+    out2 = str(tmp_path / "raw")
+    build_training_corpus(
+        docs, out2, quality_min=0.0, chunk_size=64, stride=64,
+        shard_tokens=10000,
+    )
+    raw = " ".join(
+        r["chunk_text"] for r in spark.read.parquet(out2).collect()
+    )
+    assert "clickbait" in raw and "lorem" in raw.lower()
