@@ -91,8 +91,21 @@ def daily_crawl_job(
     raw-WARC response shard per tick (a durable, replayable artifact),
     read back distributed, extracted, and offered to the admission
     gate. ``gate_kwargs`` forward to ``admit_documents_available_now``
-    (quality weights, LM, eval decontamination, postings_path...).
-    Returns ``{scheduled, fetched, judged, admitted, tick}``."""
+    (quality weights, LM, eval decontamination, repetition,
+    postings_path...). Returns
+    ``{scheduled, fetched, judged, admitted, tick}``.
+
+    CRASH ORDERING (same ledger discipline as every pipeline here):
+    the WARC shard and the doc inbox write BEFORE the fetch cursor
+    advances, and the gate drains last. A crash before the cursor
+    update re-runs the fetch for the pending batches next tick — the
+    shard and inbox files are rewritten by name with identical
+    deterministic content, and the gate's checkpoint plus the
+    exact-dedup state make a half-consumed inbox harmless (re-offered
+    docs are judged duplicates). A crash after the cursor but before
+    the drain is recovered by the NEXT tick's drain (the inbox file is
+    still unconsumed in the checkpoint's eyes). No window loses
+    documents; the worst case re-fetches one tick."""
     import json as _json
 
     from pyspark.sql import functions as F

@@ -237,3 +237,30 @@ def test_c4_clean_rules(spark):
     assert got[6]["keep"] == 0 and got[6]["n_sentences"] == 1
     assert got[7]["keep"] == 0 and got[7]["n_lines_kept"] == 0
     assert got[7]["clean_text"] == ""
+
+
+def test_repetition_flags_randomized_against_reference(spark):
+    """Seeded randomized sweep: 30 random small documents (mixed
+    vocab sizes so duplicate n-grams actually occur) must agree with
+    the pure-Python reference on every counter."""
+    import random
+
+    from sstable_migrator_spark.operators.gopher import repetition_flags
+
+    rng = random.Random(41)
+    texts = {}
+    for i in range(30):
+        vocab = [f"w{j}" for j in range(rng.randint(2, 12))]
+        n = rng.randint(0, 60)
+        texts[i] = " ".join(rng.choice(vocab) for _ in range(n))
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in texts.items()], "doc_id long, text string"
+    )
+    got = {r["doc_id"]: r.asDict() for r in repetition_flags(docs).collect()}
+    for i, text in texts.items():
+        if not text.split():
+            assert i not in got or got[i]["n_word_chars"] == 0
+            continue
+        want = _rep_reference(text)
+        for key, val in want.items():
+            assert got[i][key] == val, (i, key, got[i][key], val, text)
