@@ -181,22 +181,20 @@ def schedule_frontier_available_now(
                 .filter(F.col("fetched_at") > now - robots_ttl_ms)
             )
             # latest fetch per host wins: keep rows of the max
-            # fetched_at per host (one tiny agg + semi-join on hosts)
+            # fetched_at per host. Plain joins, NOT broadcast — the
+            # per-host relations are O(hosts), millions on a real
+            # frontier; AQE picks the strategy per actual size
             latest = fresh.groupBy("host").agg(
                 F.max("fetched_at").alias("fetched_at")
             )
-            rules_now = fresh.join(
-                F.broadcast(latest), ["host", "fetched_at"]
-            )
+            rules_now = fresh.join(latest, ["host", "fetched_at"])
             # robots_fresh is PER URL: 1 when its host has in-TTL rules,
             # 0 when the verdict fell through to the REP default
             # (unknown host or expired cache -> allowed, attributably)
             verdicts = (
                 robots_allowed(new.select("url"), rules_now, agent=agent)
                 .join(
-                    F.broadcast(
-                        latest.select("host").withColumn("_rf", F.lit(1))
-                    ),
+                    latest.select("host").withColumn("_rf", F.lit(1)),
                     "host",
                     "left",
                 )
