@@ -98,11 +98,13 @@ def daily_crawl_job(
     CRASH ORDERING (same ledger discipline as every pipeline here):
     the WARC shard and the doc inbox write BEFORE the fetch cursor
     advances, and the gate drains last. A crash before the cursor
-    update re-runs the fetch for the pending batches next tick — the
-    shard and inbox files are rewritten by name with identical
-    deterministic content, and the gate's checkpoint plus the
-    exact-dedup state make a half-consumed inbox harmless (re-offered
-    docs are judged duplicates). A crash after the cursor but before
+    update re-runs the fetch for the pending batches next tick — even
+    from an EMPTY frontier drain (the pending-batch check is
+    unconditional, test-pinned). The shard and inbox files are
+    rewritten BY NAME with identical deterministic content, so the
+    gate's file checkpoint simply skips an already-consumed inbox file
+    (nothing is re-judged), and a genuinely unconsumed one drains
+    normally. A crash after the cursor but before
     the drain is recovered by the NEXT tick's drain (the inbox file is
     still unconsumed in the checkpoint's eyes). No window loses
     documents; the worst case re-fetches one tick."""
@@ -152,7 +154,11 @@ def daily_crawl_job(
             last = int(fh.read().strip() or -1)
     fetched = 0
     max_batch = last
-    if os.path.isdir(plans_path) and fstats["scheduled"] > 0:
+    # check for pending batches UNCONDITIONALLY (not only when this
+    # drain scheduled something): a crash between a previous tick's
+    # plan write and its cursor update leaves batches > last that this
+    # tick must fetch even from an empty frontier drain
+    if os.path.isdir(plans_path):
         plan = (
             spark.read.parquet(plans_path)
             .filter(F.col("batch") > last)

@@ -655,3 +655,34 @@ def test_funnel_c4_stage(spark, tmp_path):
         r["chunk_text"] for r in spark.read.parquet(out2).collect()
     )
     assert "clickbait" in raw and "lorem" in raw.lower()
+
+
+def test_daily_crawl_job_recovers_unfetched_batches(spark, tmp_path):
+    """The crash window the crash note promises to cover: a plan
+    written but the fetch cursor not yet advanced (simulated by
+    resetting the cursor file). The NEXT tick — even with an empty
+    frontier drain — fetches the pending batch instead of skipping it
+    forever."""
+    import json as _json
+    import os
+
+    from sstable_migrator_spark.pipelines.crawl_daily import daily_crawl_job
+
+    inbox = tmp_path / "urls"
+    inbox.mkdir()
+    work = str(tmp_path / "work")
+    with open(inbox / "d1.jsonl", "w") as fh:
+        fh.write(_json.dumps({"url": "http://h.com/page/1"}) + "\n")
+    t1 = daily_crawl_job(spark, str(inbox), work, now_ms=86_400_000)
+    assert t1["fetched"] == 1 and t1["admitted"] == 1
+
+    # simulate the crash: cursor lost AFTER plan write + fetch; the
+    # docs of batch 0 are already admitted (dedup absorbs the refetch)
+    os.remove(os.path.join(work, "_last_fetched_batch"))
+    t2 = daily_crawl_job(spark, str(inbox), work, now_ms=86_400_001)
+    # empty drain, but batch 0 re-fetches; the rewritten inbox file
+    # keeps its tick name, so the gate's checkpoint (which already
+    # consumed it) judges nothing — no re-admission, no double work
+    assert t2["scheduled"] == 0 and t2["fetched"] == 1
+    assert t2["judged"] == 0 and t2["admitted"] == 0
+    assert spark.read.parquet(os.path.join(work, "corpus")).count() == 1
