@@ -34,6 +34,7 @@ from sstable_migrator_spark.functions import text as TX
 
 __all__ = [
     "c4_clean",
+    "dedup_lines",
     "gopher_quality_flags",
     "repetition_flags",
     "GOPHER_STOP_SET",
@@ -444,4 +445,30 @@ def c4_clean(
         F.size(kept).cast("long").alias("n_lines_kept"),
         n_sent.alias("n_sentences"),
         page_ok.cast("int").alias("keep"),
+    )
+
+
+def dedup_lines(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """WITHIN-document line deduplication (the RefinedWeb-style line
+    cleaner; corpus-level line/paragraph dedup is q78's job): keep the
+    FIRST occurrence of every line, preserving order — navigation
+    blocks, repeated headers, and footer boilerplate collapse to one
+    copy. Returns ``(id, clean_text, n_lines, n_lines_kept)``.
+    Map-side array expressions only (the first-occurrence filter is
+    the indexed-lambda form ``position(line) == index``), zero
+    shuffles, and the cleaned STRING is hash-exact cross-engine."""
+    lines = F.split(F.col(text_col), "\n")
+    kept = F.filter(
+        lines,
+        lambda x, i: (F.array_position(lines, x) - 1) == i,
+    )
+    return docs.select(
+        id_col,
+        F.array_join(kept, "\n").alias("clean_text"),
+        F.size(lines).cast("long").alias("n_lines"),
+        F.size(kept).cast("long").alias("n_lines_kept"),
     )

@@ -11131,6 +11131,50 @@ QUERIES.update({"q214_c4_clean": q_c4_clean})
 ORACLES.update({"q214_c4_clean": SQL_C4_CLEAN})
 
 
+def q_dedup_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WITHIN-document line dedup (the RefinedWeb-style boilerplate
+    cleaner; corpus-level line dedup is q78): keep every line's FIRST
+    occurrence in order — the cleaned STRING is hash-gated. Fixture
+    interleaves a repeated navigation block into sampled documents
+    (nav line, text, nav line, footer, footer) so the order-preserving
+    first-occurrence semantics — not just the counts — are under the
+    hash. Indexed-lambda filter (position(line) == index), map-side,
+    zero shuffles."""
+    from sstable_migrator_spark.operators.gopher import dedup_lines
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") % 7 == 0)
+    page = F.concat(
+        F.lit("home | products | about\n"),
+        F.col("text"),
+        F.lit("\nhome | products | about\ncopyright footer\ncopyright footer"),
+    )
+    return dedup_lines(docs.select("doc_id", page.alias("text")))
+
+
+SQL_DEDUP_LINES = """
+WITH src AS (
+  SELECT doc_id,
+         'home | products | about' || chr(10) || text || chr(10) ||
+         'home | products | about' || chr(10) || 'copyright footer'
+         || chr(10) || 'copyright footer' AS text
+  FROM documents WHERE doc_id % 7 = 0
+),
+base AS (SELECT doc_id, string_split(text, chr(10)) AS l FROM src)
+SELECT doc_id,
+       COALESCE(array_to_string(
+         list_filter(l, (x, i) -> list_position(l, x) = i), chr(10)), '')
+         AS clean_text,
+       CAST(len(l) AS BIGINT) AS n_lines,
+       CAST(len(list_filter(l, (x, i) -> list_position(l, x) = i)) AS BIGINT)
+         AS n_lines_kept
+FROM base
+"""
+
+
+QUERIES.update({"q215_dedup_lines": q_dedup_lines})
+ORACLES.update({"q215_dedup_lines": SQL_DEDUP_LINES})
+
+
 # ---------------------------------------------------------------------------
 # Driver-sample ordering.
 #

@@ -264,3 +264,21 @@ def test_repetition_flags_randomized_against_reference(spark):
         want = _rep_reference(text)
         for key, val in want.items():
             assert got[i][key] == val, (i, key, got[i][key], val, text)
+
+
+def test_dedup_lines_first_occurrence_order(spark):
+    from sstable_migrator_spark.operators.gopher import dedup_lines
+
+    docs = spark.createDataFrame(
+        [
+            (1, "nav\nalpha body\nnav\nbeta body\nfooter\nfooter"),
+            (2, "only one line"),
+            (3, ""),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in dedup_lines(docs).collect()}
+    assert got[1]["clean_text"] == "nav\nalpha body\nbeta body\nfooter"
+    assert (got[1]["n_lines"], got[1]["n_lines_kept"]) == (6, 4)
+    assert got[2]["clean_text"] == "only one line"
+    assert got[3]["clean_text"] == "" and got[3]["n_lines_kept"] == 1
