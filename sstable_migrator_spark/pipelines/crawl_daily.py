@@ -20,10 +20,24 @@ schedules nothing, fetches nothing, admits nothing — idempotence from
 the frontier's seen-set, the fetch plan's batch stamp, and the
 admission gate's checkpoint, not from luck.
 
-Scale shape: the fetch plan is the only driver-side collect, bounded
-by the tick's scheduled URLs x politeness budget (a fetcher consumes
-the plan as rows anyway); everything else is the underlying modules'
-documented shapes.
+Scale shape — document text NEVER flows through driver memory:
+- the fetch runs EXECUTOR-SIDE in ``mapInPandas`` over the plan hash-
+  partitioned by host, so one task owns a host's full polite schedule
+  (``fetch_seq`` order within the task; ``fetch_offset_ms`` is the
+  task's own sleep schedule) and tasks fetch different hosts in
+  parallel — politeness per host, throughput across hosts;
+- each fetch task writes its own raw-WARC shard
+  (``tick-<batch>-p<partition>.warc.gz``) via the byte-deterministic
+  ``encode_warc_responses``; only (shard name, record count) rows
+  return to the driver — O(partitions), no text;
+- extraction replays the shards through the distributed
+  ``read_warc_responses`` -> ``warc_responses_to_documents`` path (one
+  task per shard) and the documents land in the gate's inbox via a
+  DISTRIBUTED ``write.json``, renamed to deterministic per-tick names
+  (an O(partitions) driver rename of file NAMES, not content).
+``work_dir`` must be a filesystem every executor can reach (shared FS
+or object store on a real cluster — the same contract every state
+store in this repo already has).
 """
 
 from __future__ import annotations
@@ -65,6 +79,63 @@ def fake_fetcher(rows: list[dict]) -> list[dict]:
     return out
 
 
+def _fetch_pending_plan(
+    spark: SparkSession,
+    plan: DataFrame,
+    fetcher: Callable[[list[dict]], list[dict]],
+    warc_dir: str,
+    tick: int,
+    fetch_partitions: int,
+) -> int:
+    """Run ``fetcher`` executor-side over the pending plan, one
+    invocation per host-hash partition (a host never splits across
+    tasks, so its ``fetch_seq`` order — and therefore its politeness
+    schedule — is a single task's sequential loop). Each task writes
+    one deterministic raw-WARC shard; only (shard, count) rows reach
+    the driver. Returns the fetched-record count."""
+    import pandas as pd
+    from pyspark import TaskContext
+    from pyspark.sql import functions as F
+
+    from sstable_migrator_spark.sources.warc import encode_warc_responses
+
+    # stale shards from a crashed attempt (possibly written under a
+    # different partition count) would double-feed extraction: clear
+    # this tick's names before rewriting them — O(files) name ops
+    prefix = f"tick-{tick:06d}-p"
+    for f in os.listdir(warc_dir):
+        if f.startswith(prefix) and f.endswith(".warc.gz"):
+            os.remove(os.path.join(warc_dir, f))
+
+    def _fetch(batches):
+        pid = TaskContext.get().partitionId()
+        rows: list[dict] = []
+        for pdf in batches:
+            rows.extend(pdf.to_dict("records"))
+        if not rows:
+            return
+        # plan order within the task: per-host slot order
+        rows.sort(key=lambda r: (r["host"], r["fetch_seq"]))
+        records = fetcher(rows)
+        if not records:
+            return
+        shard = os.path.join(warc_dir, f"{prefix}{pid:05d}.warc.gz")
+        tmp = shard + f".inprogress-{os.getpid()}"
+        with open(tmp, "wb") as fh:
+            fh.write(encode_warc_responses(records))
+        os.replace(tmp, shard)  # atomic: readers never see partials
+        yield pd.DataFrame(
+            [{"file": os.path.basename(shard), "n_records": len(records)}]
+        )
+
+    written = (
+        plan.repartition(fetch_partitions, "host")
+        .mapInPandas(_fetch, "file string, n_records long")
+        .collect()  # O(partitions): shard names + counts, never text
+    )
+    return int(sum(r["n_records"] for r in written))
+
+
 def daily_crawl_job(
     spark: SparkSession,
     url_inbox: str,
@@ -74,6 +145,7 @@ def daily_crawl_job(
     crawl_delay_ms: int = 1000,
     max_per_host: int | None = None,
     now_ms: int | None = None,
+    fetch_partitions: int = 8,
     **gate_kwargs,
 ) -> dict:
     """One cron tick. ``url_inbox`` holds discovered-URL JSONL files
@@ -85,40 +157,40 @@ def daily_crawl_job(
         work_dir/corpus/     the admitted corpus + dedup state + ledger
         work_dir/ckpt_*/     the two streaming checkpoints
 
-    ``fetcher(rows) -> records`` receives the tick's fetch plan
-    (url/host/fetch_seq/fetch_offset_ms dicts, plan order) and returns
-    ``{url, date, html, status?}`` records; they are written as ONE
-    raw-WARC response shard per tick (a durable, replayable artifact),
-    read back distributed, extracted, and offered to the admission
-    gate. ``gate_kwargs`` forward to ``admit_documents_available_now``
-    (quality weights, LM, eval decontamination, repetition,
-    postings_path...). Returns
+    ``fetcher(rows) -> records`` runs ON THE EXECUTORS, once per
+    host-partition of the tick's fetch plan: it receives that
+    partition's (url/host/fetch_seq/fetch_offset_ms) dicts in per-host
+    slot order and returns ``{url, date, html, status?}`` records. A
+    production fetcher sleeps each host's ``fetch_offset_ms`` schedule
+    inside its task — hosts are never split across tasks, so
+    politeness is task-local. ``fetch_partitions`` bounds the fetch
+    fan-out (and the tick's shard count). ``gate_kwargs`` forward to
+    ``admit_documents_available_now`` (quality weights, LM, eval
+    decontamination, repetition, postings_path...). Returns
     ``{scheduled, fetched, judged, admitted, tick}``.
 
     CRASH ORDERING (same ledger discipline as every pipeline here):
-    the WARC shard and the doc inbox write BEFORE the fetch cursor
+    the WARC shards and the doc inbox write BEFORE the fetch cursor
     advances, and the gate drains last. A crash before the cursor
     update re-runs the fetch for the pending batches next tick — even
     from an EMPTY frontier drain (the pending-batch check is
-    unconditional, test-pinned). The shard and inbox files are
-    rewritten BY NAME with identical deterministic content, so the
-    gate's file checkpoint simply skips an already-consumed inbox file
-    (nothing is re-judged), and a genuinely unconsumed one drains
-    normally. A crash after the cursor but before
-    the drain is recovered by the NEXT tick's drain (the inbox file is
-    still unconsumed in the checkpoint's eyes). No window loses
-    documents; the worst case re-fetches one tick."""
-    import json as _json
+    unconditional, test-pinned). Shards and inbox files are rewritten
+    BY NAME with identical deterministic content (stale same-tick
+    shards are cleared first, so even a changed partition count can't
+    double-feed extraction); the gate's file checkpoint simply skips
+    an already-consumed inbox file (nothing is re-judged), and a
+    genuinely unconsumed one drains normally. A crash after the cursor
+    but before the drain is recovered by the NEXT tick's drain (the
+    inbox file is still unconsumed in the checkpoint's eyes). No
+    window loses documents; the worst case re-fetches one tick."""
+    import shutil
 
     from pyspark.sql import functions as F
 
     from sstable_migrator_spark.pipelines.web_ingest import (
         warc_responses_to_documents,
     )
-    from sstable_migrator_spark.sources.warc import (
-        encode_warc_responses,
-        read_warc_responses,
-    )
+    from sstable_migrator_spark.sources.warc import read_warc_responses
     from sstable_migrator_spark.streaming.corpus_ingest import (
         admit_documents_available_now,
     )
@@ -126,6 +198,10 @@ def daily_crawl_job(
         schedule_frontier_available_now,
     )
 
+    if fetch_partitions < 1:
+        raise ValueError(
+            f"fetch_partitions must be >= 1, got {fetch_partitions}"
+        )
     frontier = os.path.join(work_dir, "frontier")
     warc_dir = os.path.join(work_dir, "warc")
     doc_inbox = os.path.join(work_dir, "doc_inbox")
@@ -159,32 +235,43 @@ def daily_crawl_job(
     # plan write and its cursor update leaves batches > last that this
     # tick must fetch even from an empty frontier drain
     if os.path.isdir(plans_path):
-        plan = (
-            spark.read.parquet(plans_path)
-            .filter(F.col("batch") > last)
-            .orderBy("batch", "host", "fetch_seq")
-        )
-        rows = [r.asDict() for r in plan.collect()]
-        if rows:
-            max_batch = max(r["batch"] for r in rows)
-            records = fetcher(rows)
-            fetched = len(records)
-            shard = os.path.join(warc_dir, f"tick-{max_batch:06d}.warc.gz")
-            with open(shard, "wb") as fh:
-                fh.write(encode_warc_responses(records))
-            docs = warc_responses_to_documents(
-                read_warc_responses(spark, shard)
-            ).select(
-                "doc_id", F.col("text"), "url", "lang"
+        plan = spark.read.parquet(plans_path).filter(F.col("batch") > last)
+        mb = plan.agg(F.max("batch")).first()[0]
+        if mb is not None:
+            max_batch = int(mb)
+            fetched = _fetch_pending_plan(
+                spark, plan, fetcher, warc_dir, max_batch, fetch_partitions
             )
-            # offer to the gate through its JSONL inbox contract
-            out = os.path.join(doc_inbox, f"tick-{max_batch:06d}.jsonl")
-            with open(out, "w") as fh:
-                for d in docs.collect():
-                    fh.write(
-                        _json.dumps({"doc_id": d["doc_id"], "text": d["text"]})
-                        + "\n"
-                    )
+        if fetched:
+            docs = warc_responses_to_documents(
+                read_warc_responses(
+                    spark,
+                    os.path.join(
+                        warc_dir, f"tick-{max_batch:06d}-p*.warc.gz"
+                    ),
+                )
+            ).select("doc_id", "text")
+            # offer to the gate through its JSONL inbox contract — a
+            # DISTRIBUTED write (one part per shard task, content
+            # deterministic per part), then an O(partitions) rename of
+            # file NAMES to the tick's deterministic inbox names so a
+            # crash-re-run rewrites the same files and the gate's
+            # checkpoint skips them
+            staging = os.path.join(work_dir, f"_doc_staging-{max_batch:06d}")
+            docs.write.mode("overwrite").json(staging)
+            parts = sorted(
+                f
+                for f in os.listdir(staging)
+                if f.startswith("part-") and not f.endswith(".crc")
+            )
+            for i, p in enumerate(parts):
+                os.replace(
+                    os.path.join(staging, p),
+                    os.path.join(
+                        doc_inbox, f"tick-{max_batch:06d}-{i:05d}.jsonl"
+                    ),
+                )
+            shutil.rmtree(staging)
     if max_batch != last:
         with open(tick_file, "w") as fh:
             fh.write(str(max_batch))

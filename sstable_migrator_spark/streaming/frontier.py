@@ -33,20 +33,38 @@ delete: expire a day and its URLs become judgeable again — the same
 operational lever as the 25-day window's retention (a robots change
 re-admits URLs once their seen entries age out).
 
-THE LEDGER (``<frontier>/_ledger``): per-URL decisions append
-executor-side as JSON, batch-stamped; the fetch plans land under
-``<frontier>/plans`` (url, host, fetch_seq, fetch_offset_ms, batch) —
-polite per-host slots via the grouped-prefix-sum rank (never a
-per-host window). The ledger commits LAST, so a ledger row implies
-every store write for that drain completed. Only 3 scalar counts ever
-reach the driver.
+THE LEDGER (``<frontier>/_ledger``): per-URL decisions land
+executor-side as batch-partitioned JSON; the fetch plans land under
+``<frontier>/plans`` (url, host, fetch_seq, fetch_offset_ms,
+batch=...) — polite per-host slots via the grouped-prefix-sum rank
+(never a per-host window). The ledger commits LAST, so a ledger row
+implies every store write for that drain completed. Only 3 scalar
+counts ever reach the driver.
 
 HOST CURSORS (``<frontier>/_host_cursors``): politeness is CROSS-
 DRAIN — fetch_seq continues after every slot a host was ever
-scheduled, via per-host (host, n_scheduled) delta appends summed at
+scheduled, via per-host (host, n_scheduled) delta rows summed at
 read (O(drains x hosts) rows; joined plainly, never broadcast — a
 real frontier has millions of hosts). Without it, two quick drains
 would both start a host at slot 0.
+
+AT-LEAST-ONCE SAFETY: foreachBatch may RETRY a batch id (a drain that
+fails mid-batch re-runs with the same ``bid`` and the same rows), so
+every store write is keyed by batch and idempotent: plans, cursors,
+the seen-set, and the ledger are all partitioned by ``batch`` and
+written with DYNAMIC partition overwrite — a retry overwrites its own
+partition instead of double-appending, and the reads that feed the
+retry's recomputation SELF-EXCLUDE the current batch id, so a retry
+recomputes from exactly the pre-batch state and lands byte-identical
+rows. (Plain ``mode("append")`` here would duplicate plan rows and
+double-count host cursors on every retried batch.)
+
+Consequence: a frontier directory is BOUND to its streaming
+checkpoint — batch ids are the idempotence keys, and they are only
+unique per checkpoint. The drain verifies this (the checkpoint's
+stream id is recorded at ``<frontier>/_stream_id`` and must match);
+to rebuild from scratch, delete the frontier directory and the
+checkpoint together.
 
 RETENTION: ``expire_frontier_days`` deletes ``_seen`` day partitions
 older than the window — the expired URLs become judgeable again.
@@ -54,6 +72,7 @@ older than the window — the expired URLs become judgeable again.
 
 from __future__ import annotations
 
+import json
 import os
 import time
 
@@ -106,6 +125,230 @@ def expire_frontier_days(
     return expired
 
 
+def _check_stream_binding(frontier_path: str, checkpoint: str) -> None:
+    """Batch ids are the idempotence keys and they are unique only per
+    checkpoint: refuse to mix a frontier directory with a DIFFERENT
+    checkpoint's batch numbering (e.g. a deleted-and-recreated
+    checkpoint restarting at batch 0 would silently collide with the
+    stored batch-0 partitions). Loud error, not silent duplication."""
+    meta = os.path.join(checkpoint, "metadata")
+    if not os.path.exists(meta):  # defensive: layout change upstream
+        return
+    with open(meta) as fh:
+        sid = json.load(fh).get("id", "")
+    if not sid:
+        return
+    marker = os.path.join(frontier_path, "_stream_id")
+    if os.path.exists(marker):
+        with open(marker) as fh:
+            bound = fh.read().strip()
+        if bound != sid:
+            raise ValueError(
+                f"frontier state at {frontier_path} is bound to streaming "
+                f"checkpoint id {bound}, but this drain runs under {sid}. "
+                "Batch ids key the frontier's idempotent writes, so a new "
+                "checkpoint's numbering would collide with stored batches. "
+                "Delete the frontier directory and checkpoint together to "
+                "rebuild, or restore the original checkpoint."
+            )
+    else:
+        os.makedirs(frontier_path, exist_ok=True)
+        with open(marker, "w") as fh:
+            fh.write(sid)
+
+
+def _drain_batch(
+    spark: SparkSession,
+    batch_df: DataFrame,
+    bid: int,
+    frontier_path: str,
+    *,
+    agent: str = "*",
+    crawl_delay_ms: int = 1000,
+    max_per_host: int | None = None,
+    robots_ttl_ms: int = 86_400_000,
+    now: int = 0,
+) -> tuple[int, int, int]:
+    """One batch's drain, IDEMPOTENT under foreachBatch's at-least-once
+    retries: every store write is keyed by ``bid`` and lands via
+    dynamic partition overwrite, and every state read excludes
+    ``batch == bid`` (a failed attempt's partial writes), so a retry
+    recomputes from the pre-batch state and overwrites its own
+    partitions with identical rows. Module-level (not a closure) so
+    the retry property is directly testable. Returns
+    ``(offered, new, scheduled)``."""
+    from sstable_migrator_spark.functions.urls import canonical_url
+    from sstable_migrator_spark.operators.crawl import (
+        crawl_schedule,
+        robots_allowed,
+    )
+
+    seen_path = os.path.join(frontier_path, "_seen")
+    robots_path = os.path.join(frontier_path, "_robots")
+    ledger_path = os.path.join(frontier_path, "_ledger")
+    plans_path = os.path.join(frontier_path, "plans")
+    cursors_path = os.path.join(frontier_path, "_host_cursors")
+
+    def _overwrite_batch(df, path, partition_cols, fmt="parquet"):
+        # the idempotence primitive: a retried batch replaces exactly
+        # its own partition(s); an empty frame touches nothing
+        w = (
+            df.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy(*partition_cols)
+        )
+        getattr(w, fmt)(path)
+
+    cand = (
+        batch_df.select(
+            F.col("url"), canonical_url(F.col("url")).alias("canonical")
+        )
+        .groupBy("canonical")
+        # deterministic representative: dropDuplicates keeps an
+        # arbitrary partition's row; min(url) is a pure function of
+        # the batch, so plans and ledgers replay identically
+        .agg(F.min("url").alias("url"))
+        .localCheckpoint()
+    )
+    if _has_parquet(seen_path):
+        # self-exclude this batch id: a failed attempt may have already
+        # written seen rows for bid; the retry must judge against the
+        # PRE-batch state to recompute (and re-land) identical rows
+        new = cand.join(
+            spark.read.parquet(seen_path).filter(F.col("batch") != bid),
+            "canonical",
+            "left_anti",
+        ).localCheckpoint()
+    else:
+        new = cand
+    if _has_parquet(robots_path):
+        fresh = (
+            spark.read.parquet(robots_path)
+            .filter(F.col("fetched_at") > now - robots_ttl_ms)
+        )
+        # latest fetch per host wins: keep rows of the max
+        # fetched_at per host. Plain joins, NOT broadcast — the
+        # per-host relations are O(hosts), millions on a real
+        # frontier; AQE picks the strategy per actual size
+        latest = fresh.groupBy("host").agg(
+            F.max("fetched_at").alias("fetched_at")
+        )
+        rules_now = fresh.join(latest, ["host", "fetched_at"])
+        # robots_fresh is PER URL: 1 when its host has in-TTL rules,
+        # 0 when the verdict fell through to the REP default
+        # (unknown host or expired cache -> allowed, attributably)
+        verdicts = (
+            robots_allowed(new.select("url"), rules_now, agent=agent)
+            .join(
+                latest.select("host").withColumn("_rf", F.lit(1)),
+                "host",
+                "left",
+            )
+            .select(
+                "url",
+                "allowed",
+                F.coalesce("_rf", F.lit(0)).cast("int").alias("robots_fresh"),
+            )
+        )
+    else:
+        verdicts = new.select(
+            "url",
+            F.lit(1).alias("allowed"),
+            F.lit(0).cast("int").alias("robots_fresh"),
+        )
+    gated = new.join(verdicts, "url").localCheckpoint()
+    plan = crawl_schedule(
+        gated.filter(F.col("allowed") == 1).select("url"),
+        crawl_delay_ms=crawl_delay_ms,
+        max_per_host=max_per_host,
+    )
+    # CROSS-DRAIN politeness: fetch_seq continues after every slot
+    # this host was EVER scheduled (per-host cursors persisted as
+    # (host, delta) rows — O(drains x hosts), summed per read;
+    # without this, two quick drains would both start at slot 0 and
+    # hammer the host). Self-exclude bid: retry must not count the
+    # failed attempt's own delta
+    if _has_parquet(cursors_path):
+        prior = (
+            spark.read.parquet(cursors_path)
+            .filter(F.col("batch") != bid)
+            .groupBy("host")
+            .agg(F.sum("n_scheduled").alias("_prior"))
+        )
+        # plain join, NOT broadcast: a real frontier has millions
+        # of hosts — let AQE pick the strategy per actual size
+        plan = (
+            plan.join(prior, "host", "left")
+            .withColumn(
+                "fetch_seq",
+                (F.col("fetch_seq") + F.coalesce("_prior", F.lit(0))).cast(
+                    "long"
+                ),
+            )
+            .withColumn(
+                "fetch_offset_ms",
+                (F.col("fetch_seq") * F.lit(int(crawl_delay_ms))).cast(
+                    "long"
+                ),
+            )
+            .drop("_prior")
+        )
+    plan = plan.localCheckpoint()
+    _overwrite_batch(
+        plan.withColumn("batch", F.lit(bid)), plans_path, ["batch"]
+    )
+    _overwrite_batch(
+        plan.groupBy("host")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_scheduled"))
+        .withColumn("batch", F.lit(bid)),
+        cursors_path,
+        ["batch"],
+    )
+    # day-partitioned so retention is a directory delete — the
+    # operational lever the reference's 25-day window uses (expire
+    # old days and their URLs become judgeable again); batch-keyed
+    # inside the day so a retry overwrites instead of duplicating
+    _overwrite_batch(
+        new.select(
+            "canonical",
+            F.lit(now // 86_400_000).cast("long").alias("day"),
+            F.lit(bid).alias("batch"),
+        ),
+        seen_path,
+        ["day", "batch"],
+    )
+    decisions = (
+        cand.join(
+            gated.select("canonical", "allowed", "robots_fresh").withColumn(
+                "_new", F.lit(1)
+            ),
+            "canonical",
+            "left",
+        )
+        .join(
+            plan.select("url").withColumn("_sched", F.lit(1)), "url", "left"
+        )
+        .select(
+            "url",
+            "canonical",
+            F.coalesce("_new", F.lit(0)).cast("int").alias("new_url"),
+            F.coalesce("allowed", F.lit(0)).cast("int").alias("allowed"),
+            F.coalesce("_sched", F.lit(0)).cast("int").alias("scheduled"),
+            F.coalesce("robots_fresh", F.lit(0)).cast("int").alias(
+                "robots_fresh"
+            ),
+            F.lit(bid).alias("batch"),
+        )
+        .localCheckpoint()
+    )
+    # ledger commits LAST (the drain's completion record)
+    _overwrite_batch(decisions, ledger_path, ["batch"], fmt="json")
+    o, n, s = decisions.agg(
+        F.count(F.lit(1)), F.sum("new_url"), F.sum("scheduled")
+    ).first()
+    return int(o), int(n or 0), int(s or 0)
+
+
 def schedule_frontier_available_now(
     spark: SparkSession,
     in_path: str,
@@ -127,18 +370,8 @@ def schedule_frontier_available_now(
     with or without a ``fetched_at`` column (stamped with ``now_ms``
     when absent) — to refresh the cache this drain. Returns
     ``{offered, new, scheduled}``."""
-    seen_path = os.path.join(frontier_path, "_seen")
     robots_path = os.path.join(frontier_path, "_robots")
-    ledger_path = os.path.join(frontier_path, "_ledger")
-    plans_path = os.path.join(frontier_path, "plans")
-    cursors_path = os.path.join(frontier_path, "_host_cursors")
     now = int(time.time() * 1000) if now_ms is None else int(now_ms)
-
-    from sstable_migrator_spark.functions.urls import canonical_url
-    from sstable_migrator_spark.operators.crawl import (
-        crawl_schedule,
-        robots_allowed,
-    )
 
     # refresh the robots cache ONCE per drain, driver-side, before the
     # stream starts (rules are per-host and tiny; the cache append must
@@ -158,138 +391,21 @@ def schedule_frontier_available_now(
         batch_df = batch_df.localCheckpoint()
         if batch_df.isEmpty():
             return
-        cand = (
-            batch_df.select(
-                F.col("url"), canonical_url(F.col("url")).alias("canonical")
-            )
-            .groupBy("canonical")
-            # deterministic representative: dropDuplicates keeps an
-            # arbitrary partition's row; min(url) is a pure function of
-            # the batch, so plans and ledgers replay identically
-            .agg(F.min("url").alias("url"))
-            .localCheckpoint()
-        )
-        if _has_parquet(seen_path):
-            new = cand.join(
-                spark.read.parquet(seen_path), "canonical", "left_anti"
-            ).localCheckpoint()
-        else:
-            new = cand
-        if _has_parquet(robots_path):
-            fresh = (
-                spark.read.parquet(robots_path)
-                .filter(F.col("fetched_at") > now - robots_ttl_ms)
-            )
-            # latest fetch per host wins: keep rows of the max
-            # fetched_at per host. Plain joins, NOT broadcast — the
-            # per-host relations are O(hosts), millions on a real
-            # frontier; AQE picks the strategy per actual size
-            latest = fresh.groupBy("host").agg(
-                F.max("fetched_at").alias("fetched_at")
-            )
-            rules_now = fresh.join(latest, ["host", "fetched_at"])
-            # robots_fresh is PER URL: 1 when its host has in-TTL rules,
-            # 0 when the verdict fell through to the REP default
-            # (unknown host or expired cache -> allowed, attributably)
-            verdicts = (
-                robots_allowed(new.select("url"), rules_now, agent=agent)
-                .join(
-                    latest.select("host").withColumn("_rf", F.lit(1)),
-                    "host",
-                    "left",
-                )
-                .select(
-                    "url",
-                    "allowed",
-                    F.coalesce("_rf", F.lit(0)).cast("int").alias("robots_fresh"),
-                )
-            )
-        else:
-            verdicts = new.select(
-                "url",
-                F.lit(1).alias("allowed"),
-                F.lit(0).cast("int").alias("robots_fresh"),
-            )
-        gated = new.join(verdicts, "url").localCheckpoint()
-        plan = crawl_schedule(
-            gated.filter(F.col("allowed") == 1).select("url"),
+        _check_stream_binding(frontier_path, checkpoint)
+        o, n, s = _drain_batch(
+            spark,
+            batch_df,
+            bid,
+            frontier_path,
+            agent=agent,
             crawl_delay_ms=crawl_delay_ms,
             max_per_host=max_per_host,
+            robots_ttl_ms=robots_ttl_ms,
+            now=now,
         )
-        # CROSS-DRAIN politeness: fetch_seq continues after every slot
-        # this host was EVER scheduled (per-host cursors persisted as
-        # (host, delta) appends — O(drains x hosts) rows, summed per
-        # read; without this, two quick drains would both start at
-        # slot 0 and hammer the host)
-        if _has_parquet(cursors_path):
-            prior = (
-                spark.read.parquet(cursors_path)
-                .groupBy("host")
-                .agg(F.sum("n_scheduled").alias("_prior"))
-            )
-            # plain join, NOT broadcast: a real frontier has millions
-            # of hosts — let AQE pick the strategy per actual size
-            plan = (
-                plan.join(prior, "host", "left")
-                .withColumn(
-                    "fetch_seq",
-                    (F.col("fetch_seq") + F.coalesce("_prior", F.lit(0))).cast(
-                        "long"
-                    ),
-                )
-                .withColumn(
-                    "fetch_offset_ms",
-                    (F.col("fetch_seq") * F.lit(int(crawl_delay_ms))).cast(
-                        "long"
-                    ),
-                )
-                .drop("_prior")
-            )
-        plan = plan.localCheckpoint()
-        plan.withColumn("batch", F.lit(bid)).write.mode("append").parquet(
-            plans_path
-        )
-        plan.groupBy("host").agg(
-            F.count(F.lit(1)).cast("long").alias("n_scheduled")
-        ).write.mode("append").parquet(cursors_path)
-        # day-partitioned so retention is a directory delete — the
-        # operational lever the reference's 25-day window uses (expire
-        # old days and their URLs become judgeable again)
-        new.select(
-            "canonical", F.lit(now // 86_400_000).cast("long").alias("day")
-        ).write.mode("append").partitionBy("day").parquet(seen_path)
-        decisions = (
-            cand.join(
-                gated.select("canonical", "allowed", "robots_fresh").withColumn(
-                    "_new", F.lit(1)
-                ),
-                "canonical",
-                "left",
-            )
-            .join(
-                plan.select("url").withColumn("_sched", F.lit(1)), "url", "left"
-            )
-            .select(
-                "url",
-                "canonical",
-                F.coalesce("_new", F.lit(0)).cast("int").alias("new_url"),
-                F.coalesce("allowed", F.lit(0)).cast("int").alias("allowed"),
-                F.coalesce("_sched", F.lit(0)).cast("int").alias("scheduled"),
-                F.coalesce("robots_fresh", F.lit(0)).cast("int").alias(
-                    "robots_fresh"
-                ),
-                F.lit(bid).alias("batch"),
-            )
-            .localCheckpoint()
-        )
-        # ledger commits LAST (the drain's completion record)
-        decisions.write.mode("append").json(ledger_path)
-        o, n, s = decisions.agg(
-            F.count(F.lit(1)), F.sum("new_url"), F.sum("scheduled")
-        ).first()
-        stats["offered"] += int(o)
-        stats["new"] += int(n or 0)
-        stats["scheduled"] += int(s or 0)
+        stats["offered"] += o
+        stats["new"] += n
+        stats["scheduled"] += s
 
     q = (
         stream.writeStream.foreachBatch(_gate)

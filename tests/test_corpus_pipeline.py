@@ -686,3 +686,74 @@ def test_daily_crawl_job_recovers_unfetched_batches(spark, tmp_path):
     assert t2["scheduled"] == 0 and t2["fetched"] == 1
     assert t2["judged"] == 0 and t2["admitted"] == 0
     assert spark.read.parquet(os.path.join(work, "corpus")).count() == 1
+
+
+def test_daily_crawl_fetch_runs_executor_side_per_host(spark, tmp_path):
+    """The tick's fetch is distributed: the fetcher runs inside
+    executor tasks (TaskContext present — a driver-side fetch has
+    none), each invocation sees its rows in per-host slot order, and a
+    host is never split across tasks (each host's URLs land in exactly
+    one WARC shard), so per-host politeness is one task's sequential
+    schedule while hosts fetch in parallel."""
+    import json as _json
+    import os
+
+    from sstable_migrator_spark.pipelines.crawl_daily import daily_crawl_job
+    from sstable_migrator_spark.sources.warc import read_warc_responses
+
+    def probe_fetcher(rows):
+        import hashlib
+
+        from pyspark import TaskContext
+
+        assert TaskContext.get() is not None, "fetcher ran on the driver"
+        by_host: dict[str, list[int]] = {}
+        for r in rows:
+            by_host.setdefault(r["host"], []).append(int(r["fetch_seq"]))
+        for seqs in by_host.values():
+            assert seqs == sorted(seqs), "per-host slot order violated"
+        out = []
+        for r in rows:
+            h = hashlib.md5(r["url"].encode()).hexdigest()
+            words = " ".join(h[i : i + 4] for i in range(0, 32, 4))
+            out.append(
+                {
+                    "url": r["url"],
+                    "date": "2024-06-01T00:00:00Z",
+                    "html": "<html><body><p>page "
+                    + r["url"].rsplit("/", 1)[-1]
+                    + " says "
+                    + words
+                    + "</p></body></html>",
+                    "status": 200,
+                }
+            )
+        return out
+
+    inbox = tmp_path / "urls"
+    inbox.mkdir()
+    work = str(tmp_path / "work")
+    urls = [
+        f"http://site{h}.com/page/{i}" for h in range(3) for i in range(3)
+    ]
+    with open(inbox / "d1.jsonl", "w") as fh:
+        for u in urls:
+            fh.write(_json.dumps({"url": u}) + "\n")
+    t1 = daily_crawl_job(
+        spark, str(inbox), work, fetcher=probe_fetcher,
+        fetch_partitions=4, now_ms=86_400_000,
+    )
+    assert t1["scheduled"] == 9 and t1["fetched"] == 9
+    assert t1["judged"] == 9 and t1["admitted"] == 9
+
+    resp = read_warc_responses(
+        spark, os.path.join(work, "warc", "tick-*-p*.warc.gz")
+    )
+    host_shards: dict[str, set[str]] = {}
+    for r in resp.select("file", "url").collect():
+        host = r["url"].split("/")[2]
+        host_shards.setdefault(host, set()).add(r["file"])
+    assert set(host_shards) == {"site0.com", "site1.com", "site2.com"}
+    assert all(len(s) == 1 for s in host_shards.values()), (
+        "a host's URLs were split across fetch tasks"
+    )

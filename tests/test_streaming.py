@@ -1181,3 +1181,93 @@ def test_admission_gate_repetition_stage(spark, tmp_path):
               spark.read.json(os.path.join(corpus, "_admissions")).collect()}
     assert ledger[1]["rep_keep"] == 1 and ledger[1]["admitted"] == 1
     assert ledger[2]["rep_keep"] == 0 and ledger[2]["admitted"] == 0
+
+
+def test_frontier_drain_retry_is_idempotent(spark, tmp_path):
+    """foreachBatch is at-least-once: a drain that fails mid-batch
+    re-runs with the SAME batch id and rows, possibly after some store
+    writes already landed. Every frontier write is batch-keyed with
+    dynamic partition overwrite and every state read self-excludes the
+    current batch, so the retry lands identical rows: no duplicated
+    plans, no double-counted host cursors, no doubled seen/ledger."""
+    from sstable_migrator_spark.streaming.frontier import _drain_batch
+
+    frontier = str(tmp_path / "frontier")
+    batch = spark.createDataFrame(
+        [("http://h.com/a",), ("http://h.com/b",), ("http://g.com/c",)],
+        "url string",
+    )
+    r1 = _drain_batch(spark, batch, 0, frontier, now=86_400_000)
+    assert r1 == (3, 3, 3)
+
+    def snapshot():
+        plans = sorted(
+            (r["url"], r["fetch_seq"], r["batch"])
+            for r in spark.read.parquet(
+                os.path.join(frontier, "plans")).collect()
+        )
+        cursors = {
+            r["host"]: r["s"]
+            for r in spark.read.parquet(os.path.join(frontier, "_host_cursors"))
+            .groupBy("host").agg(F.sum("n_scheduled").alias("s")).collect()
+        }
+        seen = sorted(
+            r["canonical"]
+            for r in spark.read.parquet(
+                os.path.join(frontier, "_seen")).collect()
+        )
+        ledger = sorted(
+            (r["url"], r["batch"], r["scheduled"])
+            for r in spark.read.json(
+                os.path.join(frontier, "_ledger")).collect()
+        )
+        return plans, cursors, seen, ledger
+
+    before = snapshot()
+    assert before[1] == {"h.com": 2, "g.com": 1}
+    # the retry: same bid, same rows, stores already populated
+    r2 = _drain_batch(spark, batch, 0, frontier, now=86_400_000)
+    assert r2 == r1
+    assert snapshot() == before
+
+    # and a genuinely NEW batch still continues the politeness cursor
+    batch2 = spark.createDataFrame([("http://h.com/z",)], "url string")
+    _drain_batch(spark, batch2, 1, frontier, now=86_400_001)
+    zrow = [
+        r for r in spark.read.parquet(
+            os.path.join(frontier, "plans")).collect()
+        if r["url"] == "http://h.com/z"
+    ]
+    assert len(zrow) == 1 and zrow[0]["fetch_seq"] == 2
+
+
+def test_frontier_refuses_foreign_checkpoint(spark, tmp_path):
+    """Batch ids key the frontier's idempotent writes and are unique
+    only per checkpoint: pairing existing frontier state with a fresh
+    checkpoint (whose numbering restarts at 0) must fail loudly, not
+    silently collide with stored batch partitions."""
+    import json as _json
+    import shutil
+
+    from sstable_migrator_spark.streaming.frontier import (
+        schedule_frontier_available_now,
+    )
+
+    inbox = tmp_path / "urls"
+    inbox.mkdir()
+    frontier = str(tmp_path / "frontier")
+    ckpt = str(tmp_path / "fckpt")
+    with open(inbox / "d1.jsonl", "w") as fh:
+        fh.write(_json.dumps({"url": "http://h.com/a"}) + "\n")
+    s1 = schedule_frontier_available_now(
+        spark, str(inbox), frontier, ckpt, now_ms=86_400_000
+    )
+    assert s1["scheduled"] == 1
+
+    shutil.rmtree(ckpt)  # the misuse: new checkpoint, old frontier
+    with open(inbox / "d2.jsonl", "w") as fh:
+        fh.write(_json.dumps({"url": "http://h.com/b"}) + "\n")
+    with pytest.raises(Exception, match="bound to streaming checkpoint"):
+        schedule_frontier_available_now(
+            spark, str(inbox), frontier, ckpt, now_ms=86_400_001
+        )
