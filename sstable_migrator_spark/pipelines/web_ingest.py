@@ -58,10 +58,14 @@ def warc_responses_to_documents(responses: DataFrame) -> DataFrame:
     read_warc_responses`` output) -> the same (doc_id, url, text, lang)
     document shape ``wet_to_documents`` yields — the full
     WARC->text path WET precomputes: keep successful (2xx) HTML
-    responses, run the header-stripped body through html_to_text
-    (q201's extraction pipeline), and stamp the identical
-    hash-of-(url|date) id, so a crawl ingested from raw WARC and from
-    its WET sibling collapses at exact dedup."""
+    responses whose body was FULLY DECODED (``content_encoding == ""``
+    — a residual coding like br/zstd or a corrupt gzip layer means the
+    "html" column holds undecodable bytes, which would feed garbage
+    through html_to_text while still passing the 2xx/text filter), run
+    the header-stripped body through html_to_text (q201's extraction
+    pipeline), and stamp the identical hash-of-(url|date) id, so a
+    crawl ingested from raw WARC and from its WET sibling collapses at
+    exact dedup."""
     kept = responses.filter(
         (F.col("status") >= 200)
         & (F.col("status") < 300)
@@ -69,6 +73,7 @@ def warc_responses_to_documents(responses: DataFrame) -> DataFrame:
             (F.col("content_type") == "")
             | F.col("content_type").startswith("text/")
         )
+        & (F.col("content_encoding") == "")
     )
     return kept.select(
         TX.hash64(F.concat_ws("|", F.col("url"), F.col("date")), seed=41).alias(

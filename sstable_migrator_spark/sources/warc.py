@@ -130,14 +130,75 @@ def encode_wet(records: list[dict]) -> bytes:
     return out.getvalue()
 
 
+def _dechunk(body: bytes) -> bytes | None:
+    """Decode RFC 9112 chunked transfer framing (hex size line, chunk
+    data, CRLF; size 0 ends it — trailers ignored). Bare-LF line ends
+    tolerated. Returns None on malformed framing (caller keeps the raw
+    bytes and flags the record instead of corrupting it)."""
+    out = bytearray()
+    i, n = 0, len(body)
+    while True:
+        j = body.find(b"\n", i)
+        if j < 0:
+            return None
+        size_field = body[i:j].strip().split(b";", 1)[0].strip()
+        i = j + 1
+        try:
+            size = int(size_field, 16)
+        except ValueError:
+            return None
+        if size == 0:
+            return bytes(out)  # trailers (if any) carry no body bytes
+        if i + size > n:
+            return None
+        out += body[i : i + size]
+        i += size
+        if body[i : i + 2] == _CRLF:
+            i += 2
+        elif body[i : i + 1] == b"\n":
+            i += 1
+        else:
+            return None
+
+
+def _decompress(body: bytes, coding: str) -> bytes | None:
+    """Undo one HTTP content-coding layer (gzip/x-gzip/deflate — both
+    the zlib-wrapped and the raw-deflate form misbehaving servers
+    send). None = corrupt stream or unsupported coding."""
+    import zlib
+
+    try:
+        if coding in ("gzip", "x-gzip"):
+            return zlib.decompress(body, 16 + zlib.MAX_WBITS)
+        if coding == "deflate":
+            try:
+                return zlib.decompress(body)
+            except zlib.error:
+                return zlib.decompress(body, -zlib.MAX_WBITS)
+    except zlib.error:
+        return None
+    return None
+
+
 def split_http_response(payload: bytes) -> tuple[dict, bytes]:
     """Split a raw-WARC ``response`` record's HTTP payload into
-    ``({status, content_type, charset}, body_bytes)``. The header block
-    ends at the first blank line (CRLF per RFC 9112; bare LF tolerated
-    — real servers emit it); a payload with no blank line at all is
-    treated as headerless body (errs toward keeping content). Charset
-    comes from the Content-Type parameter, defaulting to utf-8 — the
-    fallback WET conversion itself uses."""
+    ``({status, content_type, charset, content_encoding}, body_bytes)``.
+    The header block ends at the first blank line (CRLF per RFC 9112;
+    bare LF tolerated — real servers emit it); a payload with no blank
+    line at all is treated as headerless body (errs toward keeping
+    content). Charset comes from the Content-Type parameter, defaulting
+    to utf-8 — the fallback WET conversion itself uses.
+
+    Real CommonCrawl response payloads commonly carry
+    ``Transfer-Encoding: chunked`` and/or ``Content-Encoding:
+    gzip|deflate``: both are DECODED here (chunk framing removed, then
+    content-codings undone outermost-first), because feeding chunk-size
+    lines or compressed bytes to html_to_text silently yields garbage
+    that still passes the 2xx/text filter. ``content_encoding`` in the
+    returned meta is the RESIDUAL coding: ``""`` when the body is fully
+    decoded, else the first coding that could not be undone (``br``,
+    ``zstd``, or a corrupt/malformed layer suffixed ``?``) — callers
+    filter or flag on it rather than ingesting bytes as text."""
     sep = payload.find(b"\r\n\r\n")
     if sep >= 0:
         head, body = payload[:sep], payload[sep + 4 :]
@@ -149,6 +210,8 @@ def split_http_response(payload: bytes) -> tuple[dict, bytes]:
             head, body = b"", payload
     status = 0
     content_type, charset = "", "utf-8"
+    transfer_codings: list[str] = []
+    content_codings: list[str] = []
     lines = head.split(b"\n")
     if lines and lines[0][:5] in (b"HTTP/", b"http/"):
         parts = lines[0].strip().split()
@@ -158,17 +221,57 @@ def split_http_response(payload: bytes) -> tuple[dict, bytes]:
         if b":" not in hl:
             continue
         k, v = hl.split(b":", 1)
-        if k.strip().lower() == b"content-type":
+        key = k.strip().lower()
+        if key == b"content-type":
             full = v.strip().decode("ascii", "replace")
             content_type = full.split(";", 1)[0].strip().lower()
             for param in full.split(";")[1:]:
                 pk, _, pv = param.partition("=")
                 if pk.strip().lower() == "charset" and pv.strip():
                     charset = pv.strip().strip('"').strip("'").lower()
+        elif key == b"transfer-encoding":
+            transfer_codings = [
+                t.strip().lower()
+                for t in v.decode("ascii", "replace").split(",")
+                if t.strip()
+            ]
+        elif key == b"content-encoding":
+            content_codings = [
+                t.strip().lower()
+                for t in v.decode("ascii", "replace").split(",")
+                if t.strip()
+            ]
+    residual = ""
+    # transfer codings first (they frame the wire bytes): chunked is
+    # the only one that survives into an archived payload in practice
+    for tc in transfer_codings:
+        if tc == "identity":
+            continue
+        if tc == "chunked":
+            decoded = _dechunk(body)
+            if decoded is None:
+                residual = "chunked?"
+                break
+            body = decoded
+        else:
+            residual = tc
+            break
+    if not residual:
+        # content codings apply outermost-LAST in the header list:
+        # undo in reverse
+        for cc in reversed(content_codings):
+            if cc in ("identity", ""):
+                continue
+            decoded = _decompress(body, cc)
+            if decoded is None:
+                residual = cc if cc not in ("gzip", "x-gzip", "deflate") else cc + "?"
+                break
+            body = decoded
     return {
         "status": status,
         "content_type": content_type,
         "charset": charset,
+        "content_encoding": residual,
     }, body
 
 
@@ -180,11 +283,18 @@ def _decode_body(body: bytes, charset: str) -> str:
 
 
 def encode_warc_responses(records: list[dict]) -> bytes:
-    """Records ``{url, date?, status?, content_type?, html}`` -> raw
-    WARC bytes: one gzip member per ``response`` record whose payload
-    is a full HTTP response (status line + headers + blank line +
-    body). The writer twin for ``read_warc_responses`` fixtures —
-    byte-deterministic like every writer here."""
+    """Records ``{url, date?, status?, content_type?, html,
+    content_encoding?, transfer_encoding?}`` -> raw WARC bytes: one
+    gzip member per ``response`` record whose payload is a full HTTP
+    response (status line + headers + blank line + body). The writer
+    twin for ``read_warc_responses`` fixtures — byte-deterministic
+    like every writer here. ``content_encoding`` ("gzip"/"deflate")
+    compresses the body and emits the header; ``transfer_encoding``
+    ("chunked") applies chunk framing (after any content-coding, as on
+    the wire) — so round-trip tests exercise the encoded payloads real
+    CommonCrawl shards carry, not only identity bodies."""
+    import zlib
+
     out = io.BytesIO()
     for r in records:
         _check_header_value("url", r["url"])
@@ -193,10 +303,35 @@ def encode_warc_responses(records: list[dict]) -> bytes:
         body = r["html"].encode("utf-8")
         status = int(r.get("status", 200))
         ctype = r.get("content_type", "text/html; charset=utf-8")
+        extra = ""
+        cenc = r.get("content_encoding", "")
+        if cenc:
+            if cenc == "gzip":
+                co = zlib.compressobj(9, zlib.DEFLATED, 16 + zlib.MAX_WBITS)
+                body = co.compress(body) + co.flush()
+            elif cenc == "deflate":
+                body = zlib.compress(body, 9)
+            else:
+                raise ValueError(f"unsupported content_encoding {cenc!r}")
+            extra += f"Content-Encoding: {cenc}\r\n"
+        tenc = r.get("transfer_encoding", "")
+        if tenc:
+            if tenc != "chunked":
+                raise ValueError(f"unsupported transfer_encoding {tenc!r}")
+            chunks, i = [], 0
+            while i < len(body):  # fixed 1024-byte chunks: deterministic
+                piece = body[i : i + 1024]
+                chunks.append(f"{len(piece):x}".encode() + _CRLF + piece + _CRLF)
+                i += 1024
+            body = b"".join(chunks) + b"0" + _CRLF + _CRLF
+            extra += "Transfer-Encoding: chunked\r\n"
+            length_line = ""
+        else:
+            length_line = f"Content-Length: {len(body)}\r\n"
         http = (
             f"HTTP/1.1 {status} OK\r\n"
             f"Content-Type: {ctype}\r\n"
-            f"Content-Length: {len(body)}\r\n\r\n"
+            f"{extra}{length_line}\r\n"
         ).encode("ascii") + body
         head = (
             b"WARC/1.0\r\n"
@@ -223,12 +358,16 @@ def read_warc_responses(
     """The raw-WARC half of the content story: scan ``response``
     records (HTTP headers + HTML body — what CommonCrawl's WARC files
     carry before the WET conversion precomputes text) into one row per
-    record: (file, url, date, status, content_type, length, html).
-    ``length`` is the HTTP BODY byte length (headers stripped), html
-    decoded per the Content-Type charset (utf-8 fallback). One task
-    per file, O(chunk) memory, loud framing errors — feed ``html``
-    through ``functions.text.html_to_text`` (pipelines/web_ingest
-    wires it) to get the text WET would have given you."""
+    record: (file, url, date, status, content_type, content_encoding,
+    length, html). Chunked transfer framing and gzip/deflate content
+    codings are DECODED; ``content_encoding`` is the residual coding
+    ("" when fully decoded — filter on it before treating ``html`` as
+    text, as ``warc_responses_to_documents`` does). ``length`` is the
+    decoded HTTP body byte length (headers stripped), html decoded per
+    the Content-Type charset (utf-8 fallback). One task per file,
+    O(chunk) memory, loud framing errors — feed ``html`` through
+    ``functions.text.html_to_text`` (pipelines/web_ingest wires it) to
+    get the text WET would have given you."""
     import glob as _glob
 
     import pandas as pd
@@ -263,6 +402,7 @@ def read_warc_responses(
                                 "date": headers.get("WARC-Date", ""),
                                 "status": meta["status"],
                                 "content_type": meta["content_type"],
+                                "content_encoding": meta["content_encoding"],
                                 "length": len(body),
                                 "html": _decode_body(body, meta["charset"]),
                             }
@@ -276,7 +416,8 @@ def read_warc_responses(
     return dirs_df.mapInPandas(
         _scan,
         "file string, url string, date string, status int, "
-        "content_type string, length long, html string",
+        "content_type string, content_encoding string, length long, "
+        "html string",
     )
 
 

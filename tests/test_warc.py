@@ -90,7 +90,8 @@ def test_split_http_response_variants():
         b"\r\n<p>caf\xe9</p>"
     )
     assert meta == {
-        "status": 200, "content_type": "text/html", "charset": "iso-8859-1"
+        "status": 200, "content_type": "text/html", "charset": "iso-8859-1",
+        "content_encoding": "",
     }
     assert body.decode(meta["charset"]) == "<p>café</p>"
     # bare-LF server, no charset param -> utf-8 default
@@ -201,3 +202,126 @@ def test_writer_rejects_header_linebreaks():
         encode_wet([{"url": "http://x.com/a\r\nWARC-Type: evil", "text": "t"}])
     with pytest.raises(ValueError, match="line break"):
         encode_warc_responses([{"url": "http://x.com/a\nX: y", "html": "h"}])
+
+
+def test_split_http_response_chunked_and_compressed():
+    """Real CommonCrawl response payloads carry Transfer-Encoding:
+    chunked and Content-Encoding: gzip/deflate — the body must be
+    de-framed and decompressed, never fed to html_to_text as chunk
+    lines or compressed bytes; undecodable codings are flagged in
+    content_encoding instead of silently ingested."""
+    import zlib
+
+    from sstable_migrator_spark.sources.warc import split_http_response
+
+    page = b"<html><p>" + b"hello chunked world " * 200 + b"</p></html>"
+
+    # chunked framing, two chunks + trailer section
+    chunked = (
+        b"%x\r\n" % 100 + page[:100] + b"\r\n"
+        + b"%x\r\n" % (len(page) - 100) + page[100:] + b"\r\n"
+        + b"0\r\nX-Trailer: t\r\n\r\n"
+    )
+    meta, body = split_http_response(
+        b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n"
+        b"Transfer-Encoding: chunked\r\n\r\n" + chunked
+    )
+    assert meta["content_encoding"] == "" and body == page
+
+    # gzip content coding
+    co = zlib.compressobj(9, zlib.DEFLATED, 16 + zlib.MAX_WBITS)
+    gz = co.compress(page) + co.flush()
+    meta, body = split_http_response(
+        b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n"
+        b"Content-Encoding: gzip\r\n\r\n" + gz
+    )
+    assert meta["content_encoding"] == "" and body == page
+
+    # deflate, both zlib-wrapped and raw forms
+    for blob in (zlib.compress(page), zlib.compress(page)[2:-4]):
+        meta, body = split_http_response(
+            b"HTTP/1.1 200 OK\r\nContent-Encoding: deflate\r\n\r\n" + blob
+        )
+        assert meta["content_encoding"] == "" and body == page
+
+    # chunked THEN gzip (wire order): de-chunk first, then decompress
+    chunked_gz = b"%x\r\n" % len(gz) + gz + b"\r\n0\r\n\r\n"
+    meta, body = split_http_response(
+        b"HTTP/1.1 200 OK\r\nTransfer-Encoding: chunked\r\n"
+        b"Content-Encoding: gzip\r\n\r\n" + chunked_gz
+    )
+    assert meta["content_encoding"] == "" and body == page
+
+    # unsupported coding: flagged, body kept as-is
+    meta, body = split_http_response(
+        b"HTTP/1.1 200 OK\r\nContent-Encoding: br\r\n\r\nBRBYTES"
+    )
+    assert meta["content_encoding"] == "br" and body == b"BRBYTES"
+
+    # corrupt gzip: flagged with '?', not a crash
+    meta, body = split_http_response(
+        b"HTTP/1.1 200 OK\r\nContent-Encoding: gzip\r\n\r\nnot gzip at all"
+    )
+    assert meta["content_encoding"] == "gzip?"
+
+    # malformed chunk framing: flagged, raw bytes kept
+    meta, body = split_http_response(
+        b"HTTP/1.1 200 OK\r\nTransfer-Encoding: chunked\r\n\r\nzzzz\r\nnope"
+    )
+    assert meta["content_encoding"] == "chunked?"
+
+
+def test_warc_encoded_payload_round_trip(spark, tmp_path):
+    """The writer twin now emits the encodings real shards carry:
+    chunked/gzip/deflate payloads round-trip byte-exactly through
+    read_warc_responses, and warc_responses_to_documents drops an
+    undecodable record instead of ingesting garbage."""
+    from pyspark.sql import functions as F
+
+    from sstable_migrator_spark.pipelines.web_ingest import (
+        warc_responses_to_documents,
+    )
+    from sstable_migrator_spark.sources.warc import (
+        encode_warc_responses,
+        read_warc_responses,
+    )
+
+    page = "<html><body><p>" + "words flow here " * 120 + "</p></body></html>"
+    recs = [
+        {"url": "http://e.com/plain", "html": page},
+        {"url": "http://e.com/gz", "html": page, "content_encoding": "gzip"},
+        {"url": "http://e.com/df", "html": page,
+         "content_encoding": "deflate"},
+        {"url": "http://e.com/ch", "html": page,
+         "transfer_encoding": "chunked"},
+        {"url": "http://e.com/chgz", "html": page,
+         "content_encoding": "gzip", "transfer_encoding": "chunked"},
+    ]
+    blob = encode_warc_responses(recs)
+    assert blob == encode_warc_responses(recs)  # still byte-deterministic
+    (tmp_path / "enc.warc.gz").write_bytes(blob)
+    rows = {
+        r["url"]: r
+        for r in read_warc_responses(
+            spark, str(tmp_path / "*.warc.gz")
+        ).collect()
+    }
+    assert len(rows) == 5
+    for r in rows.values():
+        assert r["content_encoding"] == "" and r["html"] == page
+
+    # an undecodable record (flagged residual) is filtered by the
+    # document shaper, not ingested as text
+    docs = warc_responses_to_documents(
+        read_warc_responses(spark, str(tmp_path / "*.warc.gz")).withColumn(
+            "content_encoding",
+            F.when(F.col("url") == "http://e.com/gz", "br").otherwise(
+                F.col("content_encoding")
+            ),
+        )
+    )
+    kept = {r["url"] for r in docs.select("url").collect()}
+    assert kept == {
+        "http://e.com/plain", "http://e.com/df", "http://e.com/ch",
+        "http://e.com/chgz",
+    }
