@@ -130,7 +130,15 @@ def gopher_quality_flags(
 
 # --- the REPETITION half of the MassiveText table ---------------------------
 
-_SEP = "\x01"  # gram-join marker: never appears in whitespace tokens
+# gram-join marker. Whitespace tokenization does NOT guarantee its
+# absence inside tokens (\x01 is not whitespace), so repetition_flags
+# strips C0 control characters from the text first — otherwise two
+# distinct same-k n-grams could concat_ws to one string and merge
+# their counts (and corrupt gram_chars) on adversarial input.
+_SEP = "\x01"
+# C0 controls minus \t \n \x0b \x0c \r (those are whitespace: they
+# shape token/line boundaries and must survive to the splits)
+_CTRL_RE = "[\\x00-\\x08\\x0e-\\x1f\\x7f]"
 
 # (flag name, numerator, denominator): metric * den <= total * num
 # encodes "fraction <= num/den" with integers only. Thresholds are the
@@ -192,7 +200,15 @@ def repetition_flags(
     dup_ks = sorted(_DUP_NGRAM_RULES)
     all_ks = [*top_ks, *dup_ks]
 
-    text = F.col(text_col)
+    # strip non-whitespace control characters up front: they are never
+    # legitimate word characters, and \x01 inside a token would collide
+    # with the gram separator (see _SEP). Tokens, char counts, and
+    # line/para metrics all measure the same cleaned text, and the SQL
+    # oracle applies the identical replace
+    # (stripping happens BEFORE tokenization, so a control-only token
+    # dissolves into the surrounding whitespace — \s+ splitting never
+    # yields an empty token)
+    text = F.regexp_replace(F.col(text_col), _CTRL_RE, "")
     toks = TX.tokens(text)
     base = docs.select(
         id_col,
@@ -401,10 +417,13 @@ def c4_clean(
     punctuation mark and carry >= ``min_words_per_line`` words and do
     not contain the word "javascript" (case-insensitive); then DROP the
     whole page when the cleaned text has fewer than ``min_sentences``
-    sentences (terminal-punctuation count), or mentions "lorem ipsum",
-    or contains a curly brace (code). The paper's corpus-level
-    three-sentence-span dedup is the span-dedup family's job
-    (q138/q198), not re-implemented here.
+    sentences (terminal-punctuation count), or when the RAW page
+    mentions "lorem ipsum" or contains a curly brace (code). The
+    lorem-ipsum/brace drops follow the paper exactly: C4 removes any
+    page containing them ANYWHERE on the raw page, so a page whose
+    only offending lines the line filter would have removed is still
+    dropped. The paper's corpus-level three-sentence-span dedup is the
+    span-dedup family's job (q138/q198), not re-implemented here.
 
     Returns ``(id, clean_text, n_lines_kept, n_sentences, keep)`` —
     clean_text is the kept lines re-joined with newlines (empty string
@@ -436,8 +455,8 @@ def c4_clean(
     )
     page_ok = (
         (n_sent >= min_sentences)
-        & ~F.lower(clean).contains("lorem ipsum")
-        & ~clean.contains("{")
+        & ~F.lower(text).contains("lorem ipsum")
+        & ~text.contains("{")
     )
     return docs.select(
         id_col,

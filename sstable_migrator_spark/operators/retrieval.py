@@ -267,7 +267,19 @@ def rebuild_postings_stats(
     explicitly for a tiny index that might have empty top buckets."""
     post = spark.read.parquet(path)
     if n_buckets is None:
-        n_buckets = int(post.agg(F.max("pb")).first()[0]) + 1
+        max_pb = post.agg(F.max("pb")).first()[0]
+        if max_pb is None:
+            # empty postings = nothing to infer the layout from, and
+            # plausible exactly in the crash-repair scenario (crash
+            # before the first postings append): fail descriptively
+            # instead of TypeError-ing on int(None)
+            raise ValueError(
+                f"postings index at {path} has no rows; cannot infer "
+                "n_buckets from an empty index — pass n_buckets "
+                "explicitly (the value used at write_postings_index "
+                "time) to write zero stats, or rebuild the index"
+            )
+        n_buckets = int(max_pb) + 1
     n, t = (
         post.select("doc", "dl")
         .distinct()

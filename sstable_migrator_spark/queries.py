@@ -10946,13 +10946,21 @@ WITH src AS (
               ELSE text || repeat(' zz yy', 40) END
   FROM documents WHERE doc_id < 40
 ),
+stripped AS (
+  -- mirror the engine: C0 controls (minus whitespace) are stripped
+  -- before any metric — \\x01 inside a token would collide with the
+  -- gram separator
+  SELECT doc_id,
+         regexp_replace(text, '[\\x00-\\x08\\x0e-\\x1f\\x7f]', '', 'g') AS text
+  FROM src
+),
 base AS (
   SELECT doc_id, text,
          CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
               ELSE regexp_split_to_array(trim(text), '\\s+') END AS tk,
          string_split(text, chr(10)) AS lines,
          string_split(text, chr(10) || chr(10)) AS paras
-  FROM src
+  FROM stripped
 ),
 words AS (
   SELECT doc_id, CAST(p.i - 1 AS BIGINT) AS j, tk[CAST(p.i AS INT)] AS w
@@ -11093,7 +11101,7 @@ WITH src AS (
   FROM documents WHERE doc_id < 40
 ),
 kept AS (
-  SELECT doc_id,
+  SELECT doc_id, text,
          list_transform(
            list_filter(string_split(text, chr(10)), ln ->
              (ends_with(trim(ln), '.') OR ends_with(trim(ln), '!')
@@ -11108,7 +11116,7 @@ kept AS (
 cl AS (
   -- DuckDB array_to_string([]) is NULL, not '' — coalesce to match
   -- Spark's array_join
-  SELECT doc_id, COALESCE(array_to_string(k, chr(10)), '') AS clean_text,
+  SELECT doc_id, text, COALESCE(array_to_string(k, chr(10)), '') AS clean_text,
          CAST(len(k) AS BIGINT) AS n_lines_kept
   FROM kept
 )
@@ -11120,8 +11128,8 @@ SELECT doc_id, clean_text, n_lines_kept,
        CAST(CASE WHEN (length(clean_text) - length(replace(clean_text, '.', '')))
                      + (length(clean_text) - length(replace(clean_text, '!', '')))
                      + (length(clean_text) - length(replace(clean_text, '?', ''))) >= 3
-                  AND NOT contains(lower(clean_text), 'lorem ipsum')
-                  AND NOT contains(clean_text, '{')
+                  AND NOT contains(lower(text), 'lorem ipsum')
+                  AND NOT contains(text, '{')
                  THEN 1 ELSE 0 END AS INT) AS keep
 FROM cl
 """

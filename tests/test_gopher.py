@@ -221,6 +221,11 @@ def test_c4_clean_rules(spark):
             (5, good3 + "\nthe code block { return x } appears right here."),
             (6, "one good sentence is simply not enough here."),  # < 3 sent
             (7, "tiny line.\nalso small.\nshort too."),           # < 5 words
+            # page-level drops apply to the RAW page (C4 §2.2): the
+            # offending line is itself removed by the line filter (no
+            # terminal punctuation), but the page must still die
+            (8, good3 + "\nlorem ipsum placeholder text with no period"),
+            (9, good3 + "\ncode fragment { x } without punctuation"),
         ],
         "doc_id long, text string",
     )
@@ -237,6 +242,10 @@ def test_c4_clean_rules(spark):
     assert got[6]["keep"] == 0 and got[6]["n_sentences"] == 1
     assert got[7]["keep"] == 0 and got[7]["n_lines_kept"] == 0
     assert got[7]["clean_text"] == ""
+    # raw-page drops: line filtered away, page dropped anyway
+    assert got[8]["keep"] == 0 and got[8]["n_lines_kept"] == 3
+    assert "lorem" not in got[8]["clean_text"]
+    assert got[9]["keep"] == 0 and "{" not in got[9]["clean_text"]
 
 
 def test_repetition_flags_randomized_against_reference(spark):
@@ -282,3 +291,29 @@ def test_dedup_lines_first_occurrence_order(spark):
     assert (got[1]["n_lines"], got[1]["n_lines_kept"]) == (6, 4)
     assert got[2]["clean_text"] == "only one line"
     assert got[3]["clean_text"] == "" and got[3]["n_lines_kept"] == 1
+
+
+def test_repetition_flags_strip_control_chars(spark):
+    """\\x01 is not whitespace, so it can ride INSIDE a token of
+    adversarial web text — and it is also the gram-join separator, so
+    without stripping, distinct n-grams could merge counts. The fix:
+    C0 controls are stripped before any metric, so a document with
+    embedded control characters scores exactly like its cleaned twin
+    (and the separator can never appear in a token)."""
+    from sstable_migrator_spark.operators.gopher import repetition_flags
+
+    base = ("the quick brown fox jumps over the lazy dog near the "
+            "river bank while birds watch quietly from tall trees ") * 3
+    # controls inside tokens (incl. the separator \x01 and a collision
+    # shape: 'a\x01b c' vs 'a b\x01c' must NOT merge as 2-grams)
+    adv = base.replace("quick", "qu\x01ick").replace(
+        "lazy", "la\x00zy"
+    ) + " a\x01b c a b\x01c"
+    clean = adv.replace("\x01", "").replace("\x00", "")
+    docs = spark.createDataFrame(
+        [(1, adv), (2, clean)], "doc_id long, text string"
+    )
+    got = {r["doc_id"]: r.asDict() for r in repetition_flags(docs).collect()}
+    a, b = got[1], got[2]
+    a.pop("doc_id"), b.pop("doc_id")
+    assert a == b

@@ -254,3 +254,32 @@ def test_rebuild_postings_stats_repairs_crash(spark, tmp_path):
     want = [tuple(r) for r in
             bm25_topk_from_postings(spark, full, ["spark", "data"], topk=5).collect()]
     assert got == want
+
+
+def test_rebuild_postings_stats_empty_index(spark, tmp_path):
+    """The crash-repair path must not TypeError on an EMPTY postings
+    parquet (plausible exactly in the scenario it exists for: crash
+    before the first postings append): without n_buckets it fails with
+    a descriptive error; with an explicit n_buckets it writes zero
+    stats."""
+    import os
+
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from sstable_migrator_spark.operators.retrieval import (
+        rebuild_postings_stats,
+    )
+
+    path = str(tmp_path / "postings")
+    # an unpartitioned empty write leaves a schema-bearing zero-row
+    # part file — the readable-but-empty state a crash can leave
+    spark.createDataFrame(
+        [], "term string, doc long, tf long, dl long, pb int"
+    ).coalesce(1).write.parquet(path)
+    with _pytest.raises(ValueError, match="no rows"):
+        rebuild_postings_stats(spark, path)
+    stats = rebuild_postings_stats(spark, path, n_buckets=16)
+    assert stats == {"n": 0, "t": 0, "n_buckets": 16}
+    st = spark.read.parquet(os.path.join(path, "_corpus_stats")).first()
+    assert (st["n"], st["t"], st["n_buckets"]) == (0, 0, 16)
