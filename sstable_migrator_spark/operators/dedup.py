@@ -1035,6 +1035,7 @@ def strip_duplicated_spans(
     k: int = 8,
     text_col: str = "text",
     id_col: str = "doc_id",
+    merged_intervals: bool = False,
 ) -> DataFrame:
     """ExactSubstr REMOVAL (Lee et al. 2022's dedup-by-deletion — the
     treatment q138's pair miner only detects): every token position
@@ -1053,10 +1054,15 @@ def strip_duplicated_spans(
     the doc's own window count), then pure array expressions rebuild
     the text map-side: coverage = union of [start, start+k) intervals,
     kept = tokens whose position escapes it. Shuffles carry 16-byte
-    keys + ids only; per-doc state is O(doc length). The in-doc filter
-    is O(n x covered) linear scans — fine for real documents; a
-    pathological single doc with ~10^6 duplicated windows would want
-    the merged-interval mapInPandas form instead."""
+    keys + ids only; per-doc state is O(doc length). The default
+    in-doc filter is O(n x covered) linear scans (array_contains per
+    token) — fine for real documents, quadratic for a pathological doc
+    whose positions are mostly covered. ``merged_intervals=True``
+    swaps ONLY the final map-side rebuild for an Arrow-batched
+    mapInPandas kernel that sorts the duplicated starts and folds them
+    into disjoint intervals — O(n + s log s) per doc — with
+    hash-identical output; the corpus-side plan (the two 16-byte-key
+    shuffles) is the same either way."""
     if k < 2:
         raise ValueError(f"k must be >= 2, got {k}")
     toks = TX.tokens(F.lower(F.col(text_col)))
@@ -1088,6 +1094,55 @@ def strip_duplicated_spans(
         .groupBy(id_col)
         .agg(F.collect_list("start").alias("_starts"))
     )
+    if merged_intervals:
+        import pandas as pd
+
+        id_type = docs.schema[id_col].dataType.simpleString()
+
+        def _rebuild(batches):
+            for pdf in batches:
+                ids, texts, n_toks, n_rem = [], [], [], []
+                for idv, tk, n, starts in zip(
+                    pdf[id_col], pdf["_tk"], pdf["_n"], pdf["_starts"]
+                ):
+                    tk = list(tk)
+                    if starts is None or len(starts) == 0:
+                        kept_toks = tk
+                    else:
+                        # fold sorted [s, s+k-1] (1-based, inclusive)
+                        # into disjoint intervals, then keep the gaps
+                        ivals: list[list[int]] = []
+                        for s in sorted(int(s) for s in starts):
+                            hi = s + k - 1
+                            if ivals and s <= ivals[-1][1] + 1:
+                                if hi > ivals[-1][1]:
+                                    ivals[-1][1] = hi
+                            else:
+                                ivals.append([s, hi])
+                        kept_toks = []
+                        pos = 1
+                        for lo, hi in ivals:
+                            kept_toks.extend(tk[pos - 1 : lo - 1])
+                            pos = hi + 1
+                        kept_toks.extend(tk[pos - 1 :])
+                    ids.append(idv)
+                    texts.append(" ".join(kept_toks))
+                    n_toks.append(int(n))
+                    n_rem.append(int(n) - len(kept_toks))
+                yield pd.DataFrame(
+                    {
+                        id_col: ids,
+                        "clean_text": texts,
+                        "n_tokens": n_toks,
+                        "n_removed": n_rem,
+                    }
+                )
+
+        return staged.join(dup_starts, id_col, "left").mapInPandas(
+            _rebuild,
+            f"{id_col} {id_type}, clean_text string, "
+            "n_tokens long, n_removed long",
+        )
     covered = F.array_distinct(
         F.flatten(
             F.transform(

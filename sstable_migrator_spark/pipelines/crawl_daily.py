@@ -2,7 +2,10 @@
 (the reference's two-job DNS DAG, SURVEY §3.3): one cron tick that
 advances every piece of crawl state exactly once.
 
-    frontier drain (seen-set + robots cache + politeness cursors)
+    robots refetch (expired hosts' robots.txt through the injected
+           transport — the cache never silently decays to the REP
+           default)
+        -> frontier drain (seen-set + robots cache + politeness cursors)
         -> fetch (INJECTED transport; the T4 resolver pattern —
            operators/resolve.py:50 — applied to HTTP: production plugs
            a real fetcher, tests a deterministic fake; this module
@@ -136,6 +139,82 @@ def _fetch_pending_plan(
     return int(sum(r["n_records"] for r in written))
 
 
+def _refetch_expired_robots(
+    spark: SparkSession,
+    frontier: str,
+    fetcher: Callable[[list[dict]], list[dict]],
+    now: int,
+    robots_ttl_ms: int,
+    fetch_partitions: int,
+) -> DataFrame | None:
+    """Hosts whose cached robots rules have EXPIRED (latest fetch
+    older than the TTL) get their robots.txt re-fetched through the
+    SAME injected transport, executor-side per host partition — the
+    branch that keeps the frontier's robots cache ALIVE instead of
+    letting expired hosts run on the REP default forever. Verdicts:
+    2xx bodies parse through ``parse_robots_body``; 4xx means "no
+    robots" and registers an explicit allow-all sentinel (freshness
+    with no restriction — the REP default, but attributably fresh);
+    5xx/transport failures yield nothing, so the host stays stale and
+    retries next tick. Returns parsed rule rows (host, agent, rule,
+    prefix) or None when nothing is expired."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from sstable_migrator_spark.operators.crawl import parse_robots_body
+    from sstable_migrator_spark.streaming.frontier import _has_parquet
+
+    robots_path = os.path.join(frontier, "_robots")
+    if not _has_parquet(robots_path):
+        return None
+    expired = (
+        spark.read.parquet(robots_path)
+        .groupBy("host")
+        .agg(F.max("fetched_at").alias("_fa"))
+        .filter(F.col("_fa") <= now - robots_ttl_ms)
+        .select("host")
+    )
+    if expired.isEmpty():
+        return None
+
+    def _fetch(batches):
+        hosts: list[str] = []
+        for pdf in batches:
+            hosts.extend(pdf["host"])
+        if not hosts:
+            return
+        plan = [
+            {
+                "url": f"http://{h}/robots.txt",
+                "host": h,
+                "fetch_seq": 0,  # one URL per host: slot 0 everywhere
+                "fetch_offset_ms": 0,
+            }
+            for h in sorted(hosts)
+        ]
+        out: list[dict] = []
+        for rec in fetcher(plan):
+            host = rec["url"].split("/")[2]
+            status = int(rec.get("status", 200))
+            if 200 <= status < 300:
+                out.extend(parse_robots_body(rec.get("html", ""), host))
+            elif 400 <= status < 500:
+                out.append(
+                    {"host": host, "agent": "*", "rule": "allow",
+                     "prefix": ""}
+                )
+        if out:
+            yield pd.DataFrame(out)[["host", "agent", "rule", "prefix"]]
+
+    return (
+        expired.repartition(fetch_partitions, "host")
+        .mapInPandas(
+            _fetch, "host string, agent string, rule string, prefix string"
+        )
+        .localCheckpoint()  # fetch exactly once; reused by the drain
+    )
+
+
 def daily_crawl_job(
     spark: SparkSession,
     url_inbox: str,
@@ -144,6 +223,7 @@ def daily_crawl_job(
     robots_rules: DataFrame | None = None,
     crawl_delay_ms: int = 1000,
     max_per_host: int | None = None,
+    robots_ttl_ms: int = 86_400_000,
     now_ms: int | None = None,
     fetch_partitions: int = 8,
     **gate_kwargs,
@@ -209,6 +289,25 @@ def daily_crawl_job(
     os.makedirs(warc_dir, exist_ok=True)
     os.makedirs(doc_inbox, exist_ok=True)
 
+    # robots refetch FIRST: expired hosts' robots.txt re-fetch through
+    # the same injected transport, so the drain below judges against
+    # fresh rules instead of the REP default forever
+    import time as _time
+
+    now = int(_time.time() * 1000) if now_ms is None else int(now_ms)
+    refreshed = _refetch_expired_robots(
+        spark, frontier, fetcher, now, robots_ttl_ms, fetch_partitions
+    )
+    if refreshed is not None:
+        if robots_rules is None:
+            robots_rules = refreshed
+        else:
+            cols = ["host", "agent", "rule", "prefix"]
+            extra = robots_rules
+            if "fetched_at" in extra.columns:
+                extra = extra.drop("fetched_at")  # both stamp `now`
+            robots_rules = extra.select(*cols).unionByName(refreshed)
+
     fstats = schedule_frontier_available_now(
         spark,
         url_inbox,
@@ -217,7 +316,8 @@ def daily_crawl_job(
         robots_rules=robots_rules,
         crawl_delay_ms=crawl_delay_ms,
         max_per_host=max_per_host,
-        now_ms=now_ms,
+        robots_ttl_ms=robots_ttl_ms,
+        now_ms=now,
     )
 
     # which tick is this? plans are batch-stamped; fetch ONLY the new

@@ -2337,17 +2337,57 @@ GROUP BY 1, 2
 def q_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sketch aggregates for the 100 TB path: HyperLogLog++ distinct
     users and a quantile sketch of value per event_type, next to the
-    exact count. Sketches are mergeable across partitions (one shuffle
-    of fixed-size state, never the value set). No SQL oracle: sketch
-    estimates are engine-specific by construction — the driver records
-    the rows-only check; tests/test_sketches.py bounds the error vs the
-    exact answers instead."""
+    exact counts. Sketches are mergeable across partitions (one
+    shuffle of fixed-size state, never the value set). Sketch
+    ESTIMATES are engine-specific by construction, so the oracle gates
+    the q170 way: the exact values hash-match, and the estimates are
+    proven within bound IN-PLAN by integer cross-multiplication —
+    HLL (rsd=0.02) within 6% (3 sigma) of the exact distinct, and the
+    approx-p50 cutpoint within rank tolerance (the values <= cutpoint
+    count stays within n/1000 + 1 of n/2; percentile_approx at
+    accuracy 10000 guarantees n/10000). Both engines then agree the
+    flags are 1."""
     ev = _t(spark, sf_dir, "events")
-    return ev.groupBy("event_type").agg(
+    agg = ev.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n"),
-        F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
-        F.percentile_approx("value", 0.5, 10000).alias("approx_p50"),
+        F.countDistinct("user_id").alias("exact_users"),
+        F.approx_count_distinct("user_id", rsd=0.02).alias("_au"),
+        F.percentile_approx("value", 0.5, 10000).alias("_p50"),
     )
+    # rank check needs one more pass over the group's values: how many
+    # fall at or below the sketch's cutpoint (join is on the tiny
+    # per-type aggregate — broadcast)
+    le = (
+        ev.join(F.broadcast(agg.select("event_type", "_p50")), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.sum((F.col("value") <= F.col("_p50")).cast("long")).alias(
+                "_n_le"
+            )
+        )
+    )
+    return agg.join(le, "event_type").select(
+        "event_type",
+        "n",
+        "exact_users",
+        (
+            F.abs(F.col("_au") - F.col("exact_users")) * 100
+            <= F.col("exact_users") * 6
+        ).cast("int").alias("hll_within_6pct"),
+        (
+            F.abs(F.col("_n_le") * 2 - F.col("n")) * 1000
+            <= F.col("n") * 2 + 2000
+        ).cast("int").alias("p50_rank_ok"),
+    )
+
+
+SQL_APPROX_SKETCHES = """
+SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users,
+       CAST(1 AS INT) AS hll_within_6pct,
+       CAST(1 AS INT) AS p50_rank_ok
+FROM events GROUP BY 1
+"""
 
 
 QUERIES.update(
@@ -2360,8 +2400,9 @@ QUERIES.update(
 ORACLES.update(
     {
         "q72_interval_join": SQL_INTERVAL_JOIN,
-        # q73 intentionally absent: sketch estimates have no cross-engine
-        # oracle; accuracy is bounded in tests/test_sketches.py.
+        # estimates are engine-specific; the oracle gates the exact
+        # values + in-plan bounded-error flags (q170's pattern)
+        "q73_approx_sketches": SQL_APPROX_SKETCHES,
     }
 )
 
@@ -9620,27 +9661,93 @@ ORACLES.update({"q192_audio_phash_pairs": SQL_IMAGE_PHASH_PAIRS})
 # ---------------------------------------------------------------------------
 
 
+# one index build per (process, sf_dir): the BUILD is q216's timed
+# work; q193 then measures SERVING alone (the production story — one
+# corpus pass amortized over many queries — previously q193 conflated
+# both and the catalog's slowest number was ~all build cost)
+_BM25_INDEX_BUILT: dict[str, str] = {}
+
+
+def _ensure_bm25_index(spark: SparkSession, sf_dir: str, rebuild: bool = False) -> str:
+    from sstable_migrator_spark.operators.retrieval import (
+        write_postings_index,
+    )
+    from sstable_migrator_spark.sinks import scratch_path
+
+    # wipe=False: resolving the path must NOT destroy an index a prior
+    # q216 call built (the default _scratch_dir wipes its slot)
+    path = scratch_path("bm25-q193", wipe=False)
+    if rebuild or _BM25_INDEX_BUILT.get(path) != sf_dir:
+        docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+        # 16 buckets at fixture scale (the commit cost of a partitioned
+        # write is per-directory; production sizes n_buckets to the
+        # corpus)
+        write_postings_index(docs, path, n_buckets=16)
+        _BM25_INDEX_BUILT[path] = sf_dir
+    return path
+
+
+def q_bm25_index_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The postings-index BUILD, timed as its own catalog entry (one
+    corpus pass: tokenize -> (doc, term, tf, dl) aggregation ->
+    term-hash-bucketed partitioned write): per-bucket term/posting/tf
+    rollups of the written index are hash-gated against an independent
+    SQL construction, so the bucket assignment (portable
+    hash64 % n_buckets) and the aggregation are both under the hash.
+    Registered BEFORE q193 so a sweep pays the build here and q193
+    measures serving alone."""
+    path = _ensure_bm25_index(spark, sf_dir, rebuild=True)
+    idx = spark.read.parquet(path)
+    return idx.groupBy(F.col("pb").cast("int").alias("pb")).agg(
+        F.countDistinct("term").alias("n_terms"),
+        F.count(F.lit(1)).alias("n_postings"),
+        F.sum("tf").cast("long").alias("sum_tf"),
+    )
+
+
+SQL_BM25_INDEX_BUILD = """
+WITH tk AS (
+  SELECT doc_id,
+         CASE WHEN length(trim(lower(text))) = 0 THEN []
+              ELSE regexp_split_to_array(trim(lower(text)), '\\s+') END AS t
+  FROM documents
+),
+post AS (
+  SELECT doc_id, u.term, count(*) AS tf
+  FROM tk, unnest(t) AS u(term)
+  GROUP BY 1, 2
+),
+b AS (
+  SELECT CAST(CAST(concat('0x', substr(md5('29|' || term), 1, 15))
+              AS BIGINT) % 16 AS INT) AS pb,
+         term, tf
+  FROM post
+)
+SELECT pb, CAST(count(DISTINCT term) AS BIGINT) AS n_terms,
+       CAST(count(*) AS BIGINT) AS n_postings,
+       CAST(sum(tf) AS BIGINT) AS sum_tf
+FROM b GROUP BY pb
+"""
+
+
 def q_bm25_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """q184's ranking served the PRODUCTION way: the corpus is indexed
-    ONCE (postings parquet partitioned by term-hash bucket + a
-    one-row corpus-stats table), then the query reads only its terms'
-    ``pb=`` directories — partition pruning makes the second query an
+    ONCE (q216's build — reused here, rebuilt only if this process
+    hasn't built it for this sf_dir), then the query reads only its
+    terms' ``pb=`` directories — partition pruning makes serving an
     index lookup, never a corpus scan. Shares q184's oracle verbatim:
     the serve path must rank identically to the scan path, hash-gated.
     """
     from sstable_migrator_spark.operators.retrieval import (
         bm25_topk_from_postings,
-        write_postings_index,
     )
 
-    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
-    path = _scratch_dir("bm25-q193")
-    # 16 buckets at fixture scale (the commit cost of a partitioned
-    # write is per-directory; production sizes n_buckets to the corpus)
-    write_postings_index(docs, path, n_buckets=16)
+    path = _ensure_bm25_index(spark, sf_dir)
     return bm25_topk_from_postings(spark, path, _BM25_TERMS, topk=_BM25_K)
 
 
+QUERIES.update({"q216_bm25_index_build": q_bm25_index_build})
+ORACLES.update({"q216_bm25_index_build": SQL_BM25_INDEX_BUILD})
 QUERIES.update({"q193_bm25_postings": q_bm25_postings})
 ORACLES.update({"q193_bm25_postings": SQL_BM25_TOPK})
 

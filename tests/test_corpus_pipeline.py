@@ -757,3 +757,78 @@ def test_daily_crawl_fetch_runs_executor_side_per_host(spark, tmp_path):
     assert all(len(s) == 1 for s in host_shards.values()), (
         "a host's URLs were split across fetch tasks"
     )
+
+
+def test_daily_crawl_robots_refetch_on_expiry(spark, tmp_path):
+    """Expired robots don't silently run on the REP default forever:
+    the tick re-fetches robots.txt for expired hosts through the same
+    injected transport BEFORE the frontier drain, so a newly
+    disallowed URL stops being scheduled (attributably fresh,
+    robots_fresh=1) and a previously disallowed path whose rule was
+    dropped becomes crawlable again."""
+    import hashlib
+    import json as _json
+    import os
+
+    from sstable_migrator_spark.pipelines.crawl_daily import daily_crawl_job
+
+    def fetcher(rows):
+        out = []
+        for r in rows:
+            url = r["url"]
+            if url.endswith("/robots.txt"):
+                out.append(
+                    {"url": url, "date": "2024-06-02T00:00:00Z",
+                     "status": 200,
+                     "html": "User-agent: *\nDisallow: /blocked/\n"}
+                )
+                continue
+            h = hashlib.md5(url.encode()).hexdigest()
+            words = " ".join(h[i : i + 4] for i in range(0, 32, 4))
+            out.append(
+                {"url": url, "date": "2024-06-02T00:00:00Z", "status": 200,
+                 "html": f"<html><body><p>page says {words}</p></body></html>"}
+            )
+        return out
+
+    day = 86_400_000
+    inbox = tmp_path / "urls"
+    inbox.mkdir()
+    work = str(tmp_path / "work")
+    rules = spark.createDataFrame(
+        [("site0.com", "*", "disallow", "/private/")],
+        "host string, agent string, rule string, prefix string",
+    )
+    with open(inbox / "d1.jsonl", "w") as fh:
+        fh.write(_json.dumps({"url": "http://site0.com/a"}) + "\n")
+        fh.write(_json.dumps({"url": "http://site0.com/private/x"}) + "\n")
+    t1 = daily_crawl_job(
+        spark, str(inbox), work, fetcher=fetcher, robots_rules=rules,
+        now_ms=day,
+    )
+    assert t1["scheduled"] == 1 and t1["fetched"] == 1
+
+    # next day, past the TTL: cache expired -> robots re-fetched; the
+    # NEW rules block /blocked/ and no longer block /private/
+    with open(inbox / "d2.jsonl", "w") as fh:
+        fh.write(_json.dumps({"url": "http://site0.com/blocked/y"}) + "\n")
+        fh.write(_json.dumps({"url": "http://site0.com/private/z"}) + "\n")
+        fh.write(_json.dumps({"url": "http://site0.com/c"}) + "\n")
+    t2 = daily_crawl_job(
+        spark, str(inbox), work, fetcher=fetcher, now_ms=2 * day + 1
+    )
+    assert t2["scheduled"] == 2 and t2["fetched"] == 2
+
+    ledger = {
+        r["url"]: r
+        for r in spark.read.json(
+            os.path.join(work, "frontier", "_ledger")
+        ).collect()
+        if r["batch"] == 1
+    }
+    blocked = ledger["http://site0.com/blocked/y"]
+    # fresh verdict from the RE-FETCHED rules, not a stale cache or
+    # the REP default
+    assert (blocked["allowed"], blocked["robots_fresh"]) == (0, 1)
+    assert ledger["http://site0.com/private/z"]["allowed"] == 1
+    assert ledger["http://site0.com/c"]["scheduled"] == 1

@@ -585,3 +585,56 @@ def test_strip_duplicated_spans(spark):
     assert again == {k: tuple(v) for k, v in got.items()}
     with _pytest.raises(ValueError):
         strip_duplicated_spans(docs, k=1)
+
+
+def test_strip_spans_merged_intervals_identical_and_bounded(spark):
+    """merged_intervals=True swaps the O(n x covered) array_contains
+    rebuild for the sorted-interval-fold mapInPandas kernel: output
+    must be row-identical on ordinary corpora, and a pathological
+    document (10^4 tokens, ~all positions covered) must complete in
+    bounded time on BOTH paths (the default path is quadratic-ish but
+    still bounded at 10^4; the merged path is O(n log n))."""
+    import time
+
+    from sstable_migrator_spark.operators.dedup import (
+        strip_duplicated_spans,
+    )
+
+    # ordinary corpus: shared spans across docs + within-doc repeats
+    shared = "alpha beta gamma delta epsilon zeta eta theta"
+    docs = spark.createDataFrame(
+        [
+            (1, f"intro words here {shared} middle part {shared} tail end"),
+            (2, f"other document start {shared} closing remarks now"),
+            (3, "fully unique text with no repeated windows at all today"),
+            (4, ""),
+        ],
+        "doc_id long, text string",
+    )
+    base = sorted(
+        tuple(r) for r in strip_duplicated_spans(docs, k=8).collect()
+    )
+    merged = sorted(
+        tuple(r)
+        for r in strip_duplicated_spans(
+            docs, k=8, merged_intervals=True
+        ).collect()
+    )
+    assert merged == base
+
+    # pathological: one doc = a 2-token phrase repeated 5000x -> every
+    # window duplicated, ~every position covered
+    patho = spark.createDataFrame(
+        [(1, "ping pong " * 5000)], "doc_id long, text string"
+    )
+    t0 = time.monotonic()
+    a = strip_duplicated_spans(patho, k=8).first()
+    t_default = time.monotonic() - t0
+    t0 = time.monotonic()
+    b = strip_duplicated_spans(patho, k=8, merged_intervals=True).first()
+    t_merged = time.monotonic() - t0
+    assert a["n_tokens"] == 10000 and a["n_removed"] == 10000
+    assert tuple(a) == tuple(b)
+    # bounded: generous ceilings, not a race — the point is neither
+    # path hangs (pre-fix risk was the default path at ~10^6 windows)
+    assert t_default < 120 and t_merged < 120
