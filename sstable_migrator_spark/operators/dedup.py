@@ -257,6 +257,7 @@ def minhash_lsh_pairs(
     bands: int = 4,
     shingle_k: int = 3,
     jaccard_threshold: float = 0.5,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """MinHash+LSH near-dup candidate pairs above an estimated Jaccard
     threshold.
@@ -266,8 +267,26 @@ def minhash_lsh_pairs(
     distinct pairs -> signature-estimated Jaccard filter. The self-join
     shuffles only bucketed signature rows (num_hashes longs/doc), never
     the text. Returns (id_a, id_b, est_jaccard) with id_a < id_b.
-    """
+
+    HOT BANDS: boilerplate (one template duplicated B times) puts B
+    rows in ONE (band, bucket) and the self-join emits C(B,2) pairs —
+    quadratic OUTPUT, which no AQE skew split can cap (measured in
+    SCALE.md: the wall cliff is the pair count, not partition
+    imbalance). ``max_bucket`` is the same df-cap discipline as
+    ``winnow_pairs``/``exact_span_pairs``, adapted to keep
+    connectivity instead of dropping it: buckets over the cap emit
+    STAR pairs (the bucket's min-id member vs every other member,
+    O(B) per bucket) instead of all C(B,2) pairs. Downstream
+    clustering (``dup_clusters``) recovers the same components —
+    star edges connect exactly the docs the clique edges did; what's
+    traded away is exhaustive pair ENUMERATION inside hot buckets
+    (and with it, pairs whose only witness was a hot bucket where
+    neither endpoint resembles the representative beyond threshold —
+    in boilerplate cliques members are near-identical, so in practice
+    recall survives; q164 measures it). Off (None) by default."""
     rows_per_band = _check_bands(num_hashes, bands)
+    if max_bucket is not None and max_bucket < 2:
+        raise ValueError(f"max_bucket must be >= 2, got {max_bucket}")
     sigs = minhash_signatures(docs, text_col, id_col, num_hashes, shingle_k)
     # Materialize the (tiny: id + num_hashes longs) signature table
     # before the self-join: both join sides would otherwise re-execute
@@ -276,6 +295,15 @@ def minhash_lsh_pairs(
     # localCheckpoint is the in-session stand-in.
     sigs = sigs.select(id_col, "signature").localCheckpoint()
     banded = _band_explode(sigs, id_col, num_hashes, bands)
+
+    hot = None
+    if max_bucket is not None:
+        sizes = banded.groupBy("band", "bucket").agg(
+            F.count(F.lit(1)).alias("_n")
+        )
+        tagged = banded.join(sizes, ["band", "bucket"]).localCheckpoint()
+        hot = tagged.filter(F.col("_n") > max_bucket).drop("_n")
+        banded = tagged.filter(F.col("_n") <= max_bucket).drop("_n")
 
     a = banded.alias("a")
     b = banded.alias("b")
@@ -302,6 +330,42 @@ def minhash_lsh_pairs(
         F.col("a.signature").alias("sig_a"),
         F.col("b.signature").alias("sig_b"),
     )
+    if hot is not None:
+        # star pairs for over-cap buckets: min-id representative vs
+        # every other member — O(bucket) rows, connectivity preserved.
+        # The SAME first-matching-band discipline as the small path
+        # keeps the union duplicate-free without a pair-set shuffle: a
+        # star row survives only at the pair's first matching band, so
+        # either that band's bucket is hot (star emits, small path has
+        # no rows there) or it is small (small path emits, star rows
+        # at later bands are filtered) — never both
+        reps = hot.groupBy("band", "bucket").agg(
+            F.min(F.struct(F.col(id_col), F.col("signature"))).alias("_r")
+        )
+        star = (
+            hot.join(reps, ["band", "bucket"])
+            .filter(F.col(id_col) != F.col(f"_r.{id_col}"))
+            .select(
+                F.col("band"),
+                F.col(f"_r.{id_col}").alias("id_a"),
+                F.col(id_col).alias("id_b"),
+                F.col("_r.signature").alias("sig_a"),
+                F.col("signature").alias("sig_b"),
+            )
+        )
+
+        def _star_slice_match(bi: int):
+            return F.slice(
+                F.col("sig_a"), bi * rows_per_band + 1, rows_per_band
+            ) == F.slice(F.col("sig_b"), bi * rows_per_band + 1, rows_per_band)
+
+        star_first = F.lit(bands - 1)
+        for bi in range(bands - 2, -1, -1):
+            star_first = F.when(
+                _star_slice_match(bi), F.lit(bi)
+            ).otherwise(star_first)
+        star = star.filter(F.col("band") == star_first).drop("band")
+        pairs = pairs.unionByName(star)
     est = (
         F.size(
             F.filter(

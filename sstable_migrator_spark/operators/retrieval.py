@@ -47,6 +47,7 @@ __all__ = [
     "bm25_topk_batch",
     "bm25_topk_from_postings",
     "build_postings",
+    "read_corpus_stats",
     "write_postings_index",
 ]
 
@@ -150,6 +151,7 @@ def write_postings_index(
     n_buckets: int = 64,
     text_col: str = "text",
     id_col: str = "doc_id",
+    batch: int | None = None,
 ) -> dict:
     """Persist the postings as a QUERYABLE INDEX: real retrieval serves
     MANY queries against ONE corpus, so the corpus pass (tokenize +
@@ -164,7 +166,13 @@ def write_postings_index(
 
     Same shared-filesystem contract as every persisted store here:
     ``path`` must be visible to all executors
-    (sinks.scratch_path / SPARK_GRAFT_SCRATCH)."""
+    (sinks.scratch_path / SPARK_GRAFT_SCRATCH).
+
+    ``batch`` (streaming/corpus_ingest's first drain passes its
+    foreachBatch id) nests the rows under ``pb=<b>/batch=<bid>/`` so
+    the index's CREATING batch shares the uniform partition layout its
+    later idempotent appends use; serving prunes on the outer ``pb=``
+    either way."""
     from sstable_migrator_spark.functions import text as TX
 
     post = build_postings(docs, text_col=text_col, id_col=id_col)
@@ -173,13 +181,16 @@ def write_postings_index(
     # whole tokenize+aggregate pass a second time (the index write IS
     # that pass); reading (doc, dl) back from the compact parquet is a
     # column-pruned scan of the index instead of a corpus pass.
-    (
-        post.withColumn("pb", TX.hash64(F.col("term"), seed=_PB_SEED) % n_buckets)
-        .repartition("pb")
-        .write.mode("overwrite")
-        .partitionBy("pb")
-        .parquet(path)
+    keyed = post.withColumn(
+        "pb", TX.hash64(F.col("term"), seed=_PB_SEED) % n_buckets
     )
+    parts = ["pb"]
+    if batch is not None:
+        keyed = keyed.withColumn("batch", F.lit(int(batch)))
+        parts.append("batch")
+    keyed.repartition("pb").write.mode("overwrite").partitionBy(
+        *parts
+    ).parquet(path)
     spark = docs.sparkSession
     n, t = (
         spark.read.parquet(path)
@@ -188,13 +199,41 @@ def write_postings_index(
         .agg(F.count(F.lit(1)), F.sum("dl"))
         .first()
     )
-    stats = spark.createDataFrame(
-        [(int(n), int(t or 0), int(n_buckets))], "n long, t long, n_buckets int"
-    )
-    stats.coalesce(1).write.mode("overwrite").parquet(
-        os.path.join(path, "_corpus_stats")
+    _write_stats_base(
+        spark, path, int(n), int(t or 0), int(n_buckets),
+        batch=-1 if batch is None else int(batch),
     )
     return {"n": int(n), "t": int(t or 0), "n_buckets": int(n_buckets)}
+
+
+def _write_stats_base(
+    spark, path: str, n: int, t: int, n_buckets: int, batch: int = -1
+) -> None:
+    """(Re)set ``_corpus_stats`` to a single BASE row. The stats table
+    is DELTA rows summed at read (base at ``batch=-1``, unkeyed append
+    deltas at ``batch=-2``, retry-keyed deltas at ``batch=<bid>``), so
+    incremental appends stay O(day) AND a retried streaming batch can
+    overwrite exactly its own delta instead of double-bumping. A
+    CREATING streaming batch keys its base row by its own bid (not -1)
+    so its retry-through-append self-excludes it correctly."""
+    spark.createDataFrame(
+        [(n, t, n_buckets, batch)], "n long, t long, n_buckets int, batch int"
+    ).coalesce(1).write.mode("overwrite").partitionBy("batch").parquet(
+        os.path.join(path, "_corpus_stats")
+    )
+
+
+def read_corpus_stats(spark, path: str) -> dict:
+    """The corpus constants scoring needs: SUM over the delta rows
+    (one base row + one per append). O(appends) rows — KBs."""
+    n, t, nb = (
+        spark.read.parquet(os.path.join(path, "_corpus_stats"))
+        .agg(F.sum("n"), F.sum("t"), F.max("n_buckets"))
+        .first()
+    )
+    if nb is None:
+        raise ValueError(f"postings index at {path} has empty _corpus_stats")
+    return {"n": int(n or 0), "t": int(t or 0), "n_buckets": int(nb)}
 
 
 def append_postings_index(
@@ -202,6 +241,7 @@ def append_postings_index(
     path: str,
     text_col: str = "text",
     id_col: str = "doc_id",
+    batch: int | None = None,
 ) -> dict:
     """INCREMENTAL index maintenance — the serve-path twin of the
     dedup state store: append the NEW documents' postings to an
@@ -218,40 +258,90 @@ def append_postings_index(
     streaming/corpus_ingest does. Single-writer discipline, same as
     every store here. Returns the updated ``{n, t, n_buckets}``.
 
-    CRASH REPAIR: the postings append and the stats overwrite are two
-    writes; a crash between them leaves ``_corpus_stats`` undercounting
-    n/t (skewing IDF down slightly) while the postings themselves are
-    complete. The index is self-describing, so the repair is
-    ``rebuild_postings_stats(spark, path)`` — one column-pruned scan of
-    the index, never a corpus pass."""
+    ``batch`` makes the append IDEMPOTENT under at-least-once retries
+    (streaming/corpus_ingest passes its foreachBatch id): the new
+    postings land under ``pb=<b>/batch=<bid>/`` and the stats delta
+    under its own ``batch=<bid>`` partition, both via dynamic
+    partition overwrite, so a retried batch REPLACES its rows instead
+    of double-appending them. Serving is unchanged — partition pruning
+    still keys on the outer ``pb=``.
+
+    CRASH REPAIR: the postings append and the stats-delta write are
+    two writes; a crash between them leaves ``_corpus_stats``
+    undercounting n/t (skewing IDF down slightly) while the postings
+    themselves are complete. The index is self-describing, so the
+    repair is ``rebuild_postings_stats(spark, path)`` — one
+    column-pruned scan of the index, never a corpus pass."""
     from sstable_migrator_spark.functions import text as TX
 
     spark = docs.sparkSession
-    st = spark.read.parquet(os.path.join(path, "_corpus_stats")).first()
-    n0, t0, n_buckets = int(st["n"]), int(st["t"]), int(st["n_buckets"])
+    # a mixed layout (files both at pb=X/ and under pb=X/batch=N/)
+    # breaks partition discovery for every later reader — refuse it
+    # up front instead of corrupting the index
+    batched_layout = "batch" in spark.read.parquet(path).columns
+    if batch is not None and not batched_layout:
+        raise ValueError(
+            f"postings index at {path} is not batch-keyed; a batched "
+            "append would mix partition layouts. Rebuild it with "
+            "write_postings_index(..., batch=...) or append without "
+            "batch"
+        )
+    if batch is None and batched_layout:
+        raise ValueError(
+            f"postings index at {path} is batch-keyed (a streaming "
+            "gate maintains it); pass batch=<bid> so the append stays "
+            "idempotent and the layout uniform"
+        )
+    base = read_corpus_stats(spark, path)
+    n0, t0, n_buckets = base["n"], base["t"], base["n_buckets"]
+    # when this batch RETRIES, its own prior delta must not count as
+    # pre-existing corpus (self-exclusion, the frontier pattern)
+    if batch is not None:
+        prior = (
+            spark.read.parquet(os.path.join(path, "_corpus_stats"))
+            .filter(F.col("batch") != batch)
+            .agg(F.sum("n"), F.sum("t"))
+            .first()
+        )
+        n0, t0 = int(prior[0] or 0), int(prior[1] or 0)
     # day-sized: pin it so the write and the stats delta share one
     # tokenize pass (same lesson as write_postings_index's read-back)
     post = build_postings(docs, text_col=text_col, id_col=id_col).localCheckpoint()
-    (
-        post.withColumn("pb", TX.hash64(F.col("term"), seed=_PB_SEED) % n_buckets)
-        .repartition("pb")
-        .write.mode("append")
-        .partitionBy("pb")
-        .parquet(path)
+    keyed = post.withColumn(
+        "pb", TX.hash64(F.col("term"), seed=_PB_SEED) % n_buckets
     )
+    if batch is None:
+        keyed.repartition("pb").write.mode("append").partitionBy(
+            "pb"
+        ).parquet(path)
+    else:
+        (
+            keyed.withColumn("batch", F.lit(int(batch)))
+            .repartition("pb")
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("pb", "batch")
+            .parquet(path)
+        )
     dn, dt = (
         post.select("doc", "dl")
         .distinct()
         .agg(F.count(F.lit(1)), F.sum("dl"))
         .first()
     )
-    n, t = n0 + int(dn), t0 + int(dt or 0)
-    spark.createDataFrame(
-        [(n, t, n_buckets)], "n long, t long, n_buckets int"
-    ).coalesce(1).write.mode("overwrite").parquet(
-        os.path.join(path, "_corpus_stats")
-    )
-    return {"n": n, "t": t, "n_buckets": n_buckets}
+    dn, dt = int(dn), int(dt or 0)
+    delta = spark.createDataFrame(
+        [(dn, dt, n_buckets, -2 if batch is None else int(batch))],
+        "n long, t long, n_buckets int, batch int",
+    ).coalesce(1)
+    w = delta.write.partitionBy("batch")
+    if batch is None:
+        w.mode("append").parquet(os.path.join(path, "_corpus_stats"))
+    else:
+        w.mode("overwrite").option(
+            "partitionOverwriteMode", "dynamic"
+        ).parquet(os.path.join(path, "_corpus_stats"))
+    return {"n": n0 + dn, "t": t0 + dt, "n_buckets": n_buckets}
 
 
 def rebuild_postings_stats(
@@ -286,11 +376,7 @@ def rebuild_postings_stats(
         .agg(F.count(F.lit(1)), F.sum("dl"))
         .first()
     )
-    spark.createDataFrame(
-        [(int(n), int(t or 0), int(n_buckets))], "n long, t long, n_buckets int"
-    ).coalesce(1).write.mode("overwrite").parquet(
-        os.path.join(path, "_corpus_stats")
-    )
+    _write_stats_base(spark, path, int(n), int(t or 0), int(n_buckets))
     return {"n": int(n), "t": int(t or 0), "n_buckets": int(n_buckets)}
 
 
@@ -309,8 +395,8 @@ def bm25_topk_from_postings(
     terms = sorted(set(t.lower() for t in query_terms))
     if not terms:
         raise ValueError("empty query")
-    st = spark.read.parquet(os.path.join(path, "_corpus_stats")).first()
-    n, t, n_buckets = int(st["n"]), int(st["t"]), int(st["n_buckets"])
+    st = read_corpus_stats(spark, path)
+    n, t, n_buckets = st["n"], st["t"], st["n_buckets"]
     pbs = sorted({term_bucket_py(tm, n_buckets) for tm in terms})
     qpost = spark.read.parquet(path).filter(
         F.col("pb").isin(pbs) & F.col("term").isin(terms)

@@ -32,6 +32,7 @@ __all__ = [
     "export_packed_sequences",
     "export_training_epochs",
     "read_epoch_sequences",
+    "verify_epoch",
 ]
 
 
@@ -314,7 +315,13 @@ def export_training_epochs(
     returns exactly the remaining sequences of that epoch (a pushed-
     down range filter over the seq_id-range-partitioned shards, so a
     mid-epoch restart reads O(remaining), not the epoch). Returns the
-    manifest dict."""
+    manifest dict.
+
+    INTEGRITY: every epoch entry carries per-shard content digests
+    (file name, byte length, md5 — computed executor-side, O(shards)
+    rows to the driver), so a trainer can verify a shard's bytes
+    BEFORE consuming it and ``verify_epoch`` detects truncated,
+    corrupted, missing, or extra shard files without parsing them."""
     import json
     import os
 
@@ -323,9 +330,10 @@ def export_training_epochs(
     epochs = []
     for e in range(n_epochs):
         rel = f"epoch={e}"
+        epoch_dir = os.path.join(out_dir, rel)
         stats = export_packed_sequences(
             docs,
-            os.path.join(out_dir, rel),
+            epoch_dir,
             seq_tokens=seq_tokens,
             seed=base_seed + e,
             rows_per_shard=rows_per_shard,
@@ -333,9 +341,13 @@ def export_training_epochs(
             portable=portable,
             tokens_col=tokens_col,
         )
-        epochs.append({"epoch": e, "seed": base_seed + e, "path": rel, **stats})
+        shards = _digest_shard_files(docs.sparkSession, epoch_dir)
+        epochs.append(
+            {"epoch": e, "seed": base_seed + e, "path": rel,
+             "shards": shards, **stats}
+        )
     manifest = {
-        "version": 1,
+        "version": 2,
         "base_seed": base_seed,
         "seq_tokens": seq_tokens,
         "shard_format": shard_format,
@@ -348,11 +360,114 @@ def export_training_epochs(
     return manifest
 
 
+def _shard_files(epoch_dir: str) -> list[str]:
+    """The data files a trainer consumes: everything in the epoch
+    directory except markers (_SUCCESS and friends) and checksum
+    sidecars."""
+    import os
+
+    return sorted(
+        f
+        for f in os.listdir(epoch_dir)
+        if not f.startswith((".", "_"))
+        and not f.endswith(".crc")
+        and os.path.isfile(os.path.join(epoch_dir, f))
+    )
+
+
+def _digest_shard_files(spark, epoch_dir: str) -> list[dict]:
+    """Per-shard (file, bytes, md5) — digested EXECUTOR-side, one task
+    per file batch, so manifest construction never streams dataset
+    bytes through the driver; only O(shards) digest rows return."""
+    import os
+
+    import pandas as pd
+
+    files = _shard_files(epoch_dir)
+    if not files:
+        return []
+    paths = spark.createDataFrame(
+        [(i, f) for i, f in enumerate(files)], "i int, file string"
+    ).repartitionByRange(min(len(files), 64), "i")
+
+    def _dig(batches):
+        import hashlib
+
+        for pdf in batches:
+            rows = []
+            for fname in pdf["file"]:
+                h = hashlib.md5()
+                n = 0
+                with open(os.path.join(epoch_dir, fname), "rb") as fh:
+                    for chunk in iter(lambda: fh.read(1 << 20), b""):
+                        h.update(chunk)
+                        n += len(chunk)
+                rows.append(
+                    {"file": fname, "bytes": n, "md5": h.hexdigest()}
+                )
+            yield pd.DataFrame(rows)
+
+    return sorted(
+        (r.asDict() for r in paths.mapInPandas(
+            _dig, "file string, bytes long, md5 string"
+        ).collect()),
+        key=lambda r: r["file"],
+    )
+
+
+def verify_epoch(spark, out_dir: str, epoch: int) -> dict:
+    """Recompute the epoch's shard digests and compare with the
+    manifest — the trainer-side integrity gate: a truncated copy, a
+    corrupted shard, a missing file, or an unexpected extra file all
+    fail LOUDLY with the offending names, before any shard is parsed.
+    Returns ``{shards, bytes}`` on success."""
+    import json
+    import os
+
+    with open(os.path.join(out_dir, "_manifest.json")) as fh:
+        manifest = json.load(fh)
+    entry = next((x for x in manifest["epochs"] if x["epoch"] == epoch), None)
+    if entry is None:
+        known = [x["epoch"] for x in manifest["epochs"]]
+        raise ValueError(f"epoch {epoch} not in manifest (has {known})")
+    if "shards" not in entry:
+        raise ValueError(
+            "manifest predates shard digests (version "
+            f"{manifest.get('version')}); re-export to verify integrity"
+        )
+    want = {s["file"]: s for s in entry["shards"]}
+    epoch_dir = os.path.join(out_dir, entry["path"])
+    got = {s["file"]: s for s in _digest_shard_files(spark, epoch_dir)}
+    problems = []
+    for f in sorted(set(want) - set(got)):
+        problems.append(f"missing shard {f}")
+    for f in sorted(set(got) - set(want)):
+        problems.append(f"unexpected shard {f}")
+    for f in sorted(set(want) & set(got)):
+        if want[f]["bytes"] != got[f]["bytes"]:
+            problems.append(
+                f"shard {f}: {got[f]['bytes']} bytes, manifest says "
+                f"{want[f]['bytes']} (truncated or padded copy)"
+            )
+        elif want[f]["md5"] != got[f]["md5"]:
+            problems.append(f"shard {f}: content digest mismatch")
+    if problems:
+        raise ValueError(
+            f"epoch {epoch} failed integrity verification: "
+            + "; ".join(problems)
+        )
+    return {
+        "shards": len(want),
+        "bytes": int(sum(s["bytes"] for s in want.values())),
+    }
+
+
 def read_epoch_sequences(
     spark,
     out_dir: str,
     epoch: int,
     after_seq: int | None = None,
+    verify: bool = False,
 ) -> DataFrame:
     """Resume-aware epoch reader: the sequences of ``epoch`` from an
     ``export_training_epochs`` dataset, optionally strictly after a
@@ -360,10 +475,14 @@ def read_epoch_sequences(
     manifest (unknown epoch or a tar-format export fail loudly — the
     tar form is for WebDataset dataloaders, which resume by shard).
     The filter pushes down to the range-partitioned parquet, so a
-    late-epoch resume scans only the remaining shards."""
+    late-epoch resume scans only the remaining shards.
+    ``verify=True`` first checks every shard's bytes against the
+    manifest digests (``verify_epoch``) and refuses corrupt copies."""
     import json
     import os
 
+    if verify:
+        verify_epoch(spark, out_dir, epoch)
     with open(os.path.join(out_dir, "_manifest.json")) as fh:
         manifest = json.load(fh)
     entry = next((x for x in manifest["epochs"] if x["epoch"] == epoch), None)

@@ -34,24 +34,34 @@ three are projections/broadcast joins, stream-compatible by
 construction. Gate columns ride in the ledger (``quality_keep``,
 ``ppl_keep``) so rejections are attributable.
 
-Crash note (same as every ledger here): corpus append, state append,
-postings append, and ledger append are separate writes; a crash
-between them can leave a drain partially recorded, and the checkpoint
-will NOT replay it. The LEDGER COMMITS LAST by construction, so a
-decision row in ``_admissions`` means every store write for that drain
-completed — audit is ``_admissions`` vs corpus ids. Repairs, all
-corpus-pass-free or pure functions: re-seed the dedup state from the
-corpus text (``build_dedup_state`` — the state is a pure function of
-the corpus); rebuild the BM25 corpus constants from the postings
-parquet (``retrieval.rebuild_postings_stats`` — the index is
-self-describing, one column-pruned scan). The state store records its
-LSH parameters in ``_dedup_state/_params.json``; every drain asserts
-they match before judging (a state consumed with different banding
-would silently mis-estimate Jaccard).
+AT-LEAST-ONCE SAFETY (the frontier's discipline, applied here):
+foreachBatch may RETRY a batch id, so every store write — corpus
+rows, dedup-state rows, postings + stats delta, ledger — is keyed by
+batch and lands via dynamic partition overwrite, and every state read
+self-excludes the current batch id. A retried drain therefore
+recomputes the same decisions from the pre-batch state and REPLACES
+its own partitions: no duplicate corpus rows after a crash between
+the corpus and state writes, no re-judging its own documents as
+duplicates of themselves, no double-bumped postings stats. The
+corpus/stores are consequently BOUND to the stream's checkpoint
+(batch ids are the idempotence keys); the drain records the stream id
+and refuses a foreign checkpoint. The LEDGER still COMMITS LAST, so a
+decision row in ``_admissions`` means every store write for that
+drain completed — audit is ``_admissions`` vs corpus ids. Repairs for
+the remaining crash windows stay corpus-pass-free or pure: re-seed
+the dedup state from the corpus text (``build_dedup_state`` — the
+state is a pure function of the corpus); rebuild the BM25 corpus
+constants from the postings parquet
+(``retrieval.rebuild_postings_stats`` — the index is self-describing,
+one column-pruned scan). The state store records its LSH parameters
+in ``_dedup_state/_params.json``; every drain asserts they match
+before judging (a state consumed with different banding would
+silently mis-estimate Jaccard).
 
-Note the admission reference is the corpus AS OF the drain start
-(micro-batches within one drain don't see each other's admissions —
-same-day duplicates are caught by the NEXT drain or an in-batch
+Note the admission reference is the corpus AS OF the batch's own
+drain (a batch's state reads exclude only its own id, so within one
+multi-micro-batch drain, later batches DO see earlier admissions;
+same-batch duplicates are caught by the NEXT drain or an in-batch
 self-dedup upstream). That matches the daily-cadence semantics of the
 reference pipeline (J4/T2's 25-day window), where "today" is one
 batch.
@@ -68,9 +78,213 @@ __all__ = ["admit_documents_available_now"]
 
 
 def _has_parquet(path: str) -> bool:
-    return os.path.isdir(path) and any(
-        f.endswith(".parquet") for f in os.listdir(path)
+    # walk: the stores are batch-partitioned, so files live under
+    # batch=<n>/ subdirectories
+    if not os.path.isdir(path):
+        return False
+    for _root, _dirs, files in os.walk(path):
+        if any(f.endswith(".parquet") for f in files):
+            return True
+    return False
+
+
+def _excl_batch(df: DataFrame, bid: int) -> DataFrame:
+    """Self-exclude the current batch id from a state read: a failed
+    attempt's partial writes must not count as pre-existing state, or
+    the retry would judge its own documents as duplicates of
+    themselves. Legacy stores without a batch column pass through."""
+    return df.filter(F.col("batch") != bid) if "batch" in df.columns else df
+
+
+def _overwrite_batch(df: DataFrame, path: str, fmt: str = "parquet") -> None:
+    """The idempotence primitive (same as streaming/frontier): a
+    retried batch replaces exactly its own ``batch=`` partition; an
+    empty frame touches nothing."""
+    w = (
+        df.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("batch")
     )
+    getattr(w, fmt)(path)
+
+
+def _drain_admission_batch(
+    spark: SparkSession,
+    batch_df: DataFrame,
+    bid: int,
+    corpus_path: str,
+    *,
+    jaccard_threshold: float = 0.5,
+    quality_weights: list[int] | None = None,
+    quality_bias: int = 0,
+    lm_frozen: DataFrame | None = None,
+    lm_threshold_q16: int | None = None,
+    lm_vocab: int = 256,
+    eval_frozen: DataFrame | None = None,
+    eval_shingle_k: int = 5,
+    postings_path: str | None = None,
+    repetition: bool = False,
+) -> tuple[int, int]:
+    """One batch's admission drain, IDEMPOTENT under foreachBatch's
+    at-least-once retries: every store write (corpus rows, dedup-state
+    rows, postings + stats delta, ledger) is keyed by ``bid`` and
+    lands via dynamic partition overwrite, and every state read
+    self-excludes ``batch == bid`` — so a retry recomputes the same
+    decisions from the pre-batch state and REPLACES its own partitions
+    instead of double-appending (the failure mode of plain append:
+    duplicate corpus rows after a crash between the corpus and state
+    writes, or re-judging own documents as duplicates of themselves
+    after a crash later in the drain). Module-level so the retry
+    property is directly testable. Returns ``(judged, admitted)``."""
+    from sstable_migrator_spark.operators.dedup import (
+        build_dedup_state,
+        check_dedup_state_params,
+        incremental_dedup,
+        write_dedup_state_params,
+    )
+
+    state_path = os.path.join(corpus_path, "_dedup_state")
+    ledger_path = os.path.join(corpus_path, "_admissions")
+
+    new_state = build_dedup_state(batch_df).localCheckpoint()
+    if _has_parquet(state_path):
+        # refuse a state built with different LSH parameters —
+        # it would silently mis-estimate Jaccard (sidecar absent
+        # = pre-sidecar state; stamp it with the defaults it was
+        # necessarily built with, this gate's only form)
+        if check_dedup_state_params(state_path) is None:
+            write_dedup_state_params(state_path)
+        old_state = _excl_batch(spark.read.parquet(state_path), bid)
+    elif _has_parquet(corpus_path):
+        # one-time migration: corpus predates the state store —
+        # build and persist it now so every LATER drain is O(day).
+        # batch=-1 keys the migrated rows (uniform partition layout
+        # with the per-batch appends that follow)
+        _excl_batch(spark.read.parquet(corpus_path), bid).transform(
+            build_dedup_state
+        ).withColumn("batch", F.lit(-1)).write.mode(
+            "overwrite"
+        ).partitionBy("batch").parquet(state_path)
+        write_dedup_state_params(state_path)
+        old_state = spark.read.parquet(state_path)
+    else:
+        old_state = None
+    if old_state is not None:
+        decisions = incremental_dedup(
+            batch_df,
+            jaccard_threshold=jaccard_threshold,
+            old_state=old_state,
+            new_state=new_state,
+        )
+    else:
+        decisions = batch_df.selectExpr(
+            "doc_id",
+            "CAST(0 AS INT) AS exact_dup",
+            "CAST(0 AS BIGINT) AS n_near_dups",
+            "CAST(1 AS INT) AS admitted",
+        )
+    # compose the quality gates: stateless projections / broadcast
+    # joins, so they run unchanged inside the stream
+    if quality_weights is not None:
+        from sstable_migrator_spark.operators.quality_model import (
+            score_quality_frozen,
+        )
+
+        qk = score_quality_frozen(
+            batch_df, quality_weights, quality_bias
+        ).select("doc_id", F.col("keep").alias("quality_keep"))
+        decisions = decisions.join(qk, "doc_id", "left")
+    else:
+        decisions = decisions.withColumn("quality_keep", F.lit(1))
+    if lm_frozen is not None:
+        from sstable_migrator_spark.operators.lm import perplexity_score
+
+        pk = perplexity_score(
+            batch_df,
+            lm_frozen,
+            vocab=lm_vocab,
+            threshold_q16=lm_threshold_q16,
+        ).select("doc_id", F.col("keep").alias("ppl_keep"))
+        decisions = decisions.join(pk, "doc_id", "left")
+    else:
+        decisions = decisions.withColumn("ppl_keep", F.lit(1))
+    if eval_frozen is not None:
+        from sstable_migrator_spark.operators.dedup import (
+            contamination_flags,
+        )
+
+        ck = contamination_flags(
+            batch_df, eval_frozen, shingle_k=eval_shingle_k
+        ).select(
+            "doc_id",
+            (~F.col("contaminated")).cast("int").alias("decon_keep"),
+        )
+        decisions = decisions.join(ck, "doc_id", "left")
+    else:
+        decisions = decisions.withColumn("decon_keep", F.lit(1))
+    if repetition:
+        from sstable_migrator_spark.operators.gopher import (
+            repetition_flags,
+        )
+
+        rk = repetition_flags(batch_df).select(
+            "doc_id", F.col("keep").alias("rep_keep")
+        )
+        decisions = decisions.join(rk, "doc_id", "left")
+    else:
+        decisions = decisions.withColumn("rep_keep", F.lit(1))
+    decisions = decisions.select(
+        "doc_id",
+        "exact_dup",
+        "n_near_dups",
+        F.coalesce("quality_keep", F.lit(0)).cast("int").alias("quality_keep"),
+        F.coalesce("ppl_keep", F.lit(0)).cast("int").alias("ppl_keep"),
+        # absent from the contamination rollup = produced no
+        # shingles at all = cannot be contaminated -> keep
+        F.coalesce("decon_keep", F.lit(1)).cast("int").alias("decon_keep"),
+        F.coalesce("rep_keep", F.lit(0)).cast("int").alias("rep_keep"),
+        (
+            (F.col("admitted") == 1)
+            & (F.coalesce("quality_keep", F.lit(0)) == 1)
+            & (F.coalesce("ppl_keep", F.lit(0)) == 1)
+            & (F.coalesce("decon_keep", F.lit(1)) == 1)
+            & (F.coalesce("rep_keep", F.lit(0)) == 1)
+        ).cast("int").alias("admitted"),
+    ).localCheckpoint()
+
+    admitted_ids = decisions.filter("admitted = 1").select("doc_id")
+    admitted_docs = batch_df.join(admitted_ids, "doc_id").localCheckpoint()
+    _overwrite_batch(
+        admitted_docs.withColumn("batch", F.lit(bid)), corpus_path
+    )
+    # extend the state store with the admitted documents' rows —
+    # next drain judges against corpus + this wave, still text-free
+    _overwrite_batch(
+        new_state.join(admitted_ids, "doc_id").withColumn(
+            "batch", F.lit(bid)
+        ),
+        state_path,
+    )
+    if check_dedup_state_params(state_path) is None:
+        write_dedup_state_params(state_path)  # first drain created it
+    if postings_path is not None and not admitted_docs.isEmpty():
+        from sstable_migrator_spark.operators.retrieval import (
+            append_postings_index,
+            write_postings_index,
+        )
+
+        if _has_parquet(os.path.join(postings_path, "_corpus_stats")):
+            append_postings_index(admitted_docs, postings_path, batch=bid)
+        else:
+            write_postings_index(admitted_docs, postings_path, batch=bid)
+    # distributed ledger write; ONLY the 2-scalar summary is
+    # collected (one row), never the per-document decisions.
+    # Ledger commits LAST (the drain's completion record)
+    _overwrite_batch(
+        decisions.withColumn("batch", F.lit(bid)), ledger_path, fmt="json"
+    )
+    j, a = decisions.agg(F.count(F.lit(1)), F.sum("admitted")).first()
+    return int(j), int(a or 0)
 
 
 def admit_documents_available_now(
@@ -106,16 +320,16 @@ def admit_documents_available_now(
     (``retrieval.write_postings_index`` layout): admitted documents'
     postings append per drain, so retrieval freshness costs O(day)
     exactly like the dedup state. Returns the drain summary
-    ``{judged, admitted}``."""
-    from sstable_migrator_spark.operators.dedup import (
-        build_dedup_state,
-        check_dedup_state_params,
-        incremental_dedup,
-        write_dedup_state_params,
+    ``{judged, admitted}``.
+
+    Every store write is batch-keyed and idempotent (see
+    ``_drain_admission_batch``), which binds the corpus directory to
+    this stream's checkpoint (batch ids are the idempotence keys) —
+    the drain verifies the binding and refuses a foreign checkpoint."""
+    from sstable_migrator_spark.streaming.frontier import (
+        _check_stream_binding,
     )
 
-    state_path = os.path.join(corpus_path, "_dedup_state")
-    ledger_path = os.path.join(corpus_path, "_admissions")
     # Freeze the LM table driver-side once per drain: foreachBatch may
     # run it in several micro-batches and the model must not drift.
     lm_frozen = lm.localCheckpoint() if lm is not None else None
@@ -130,138 +344,25 @@ def admit_documents_available_now(
         batch_df = batch_df.localCheckpoint()
         if batch_df.isEmpty():
             return
-        new_state = build_dedup_state(batch_df).localCheckpoint()
-        if _has_parquet(state_path):
-            # refuse a state built with different LSH parameters —
-            # it would silently mis-estimate Jaccard (sidecar absent
-            # = pre-sidecar state; stamp it with the defaults it was
-            # necessarily built with, this gate's only form)
-            if check_dedup_state_params(state_path) is None:
-                write_dedup_state_params(state_path)
-            old_state = spark.read.parquet(state_path)
-        elif _has_parquet(corpus_path):
-            # one-time migration: corpus predates the state store —
-            # build and persist it now so every LATER drain is O(day)
-            spark.read.parquet(corpus_path).transform(
-                build_dedup_state
-            ).write.mode("overwrite").parquet(state_path)
-            write_dedup_state_params(state_path)
-            old_state = spark.read.parquet(state_path)
-        else:
-            old_state = None
-        if old_state is not None:
-            decisions = incremental_dedup(
-                batch_df,
-                jaccard_threshold=jaccard_threshold,
-                old_state=old_state,
-                new_state=new_state,
-            )
-        else:
-            decisions = batch_df.selectExpr(
-                "doc_id",
-                "CAST(0 AS INT) AS exact_dup",
-                "CAST(0 AS BIGINT) AS n_near_dups",
-                "CAST(1 AS INT) AS admitted",
-            )
-        # compose the quality gates: stateless projections / broadcast
-        # joins, so they run unchanged inside the stream
-        if quality_weights is not None:
-            from sstable_migrator_spark.operators.quality_model import (
-                score_quality_frozen,
-            )
-
-            qk = score_quality_frozen(
-                batch_df, quality_weights, quality_bias
-            ).select("doc_id", F.col("keep").alias("quality_keep"))
-            decisions = decisions.join(qk, "doc_id", "left")
-        else:
-            decisions = decisions.withColumn("quality_keep", F.lit(1))
-        if lm_frozen is not None:
-            from sstable_migrator_spark.operators.lm import perplexity_score
-
-            pk = perplexity_score(
-                batch_df,
-                lm_frozen,
-                vocab=lm_vocab,
-                threshold_q16=lm_threshold_q16,
-            ).select("doc_id", F.col("keep").alias("ppl_keep"))
-            decisions = decisions.join(pk, "doc_id", "left")
-        else:
-            decisions = decisions.withColumn("ppl_keep", F.lit(1))
-        if eval_frozen is not None:
-            from sstable_migrator_spark.operators.dedup import (
-                contamination_flags,
-            )
-
-            ck = contamination_flags(
-                batch_df, eval_frozen, shingle_k=eval_shingle_k
-            ).select(
-                "doc_id",
-                (~F.col("contaminated")).cast("int").alias("decon_keep"),
-            )
-            decisions = decisions.join(ck, "doc_id", "left")
-        else:
-            decisions = decisions.withColumn("decon_keep", F.lit(1))
-        if repetition:
-            from sstable_migrator_spark.operators.gopher import (
-                repetition_flags,
-            )
-
-            rk = repetition_flags(batch_df).select(
-                "doc_id", F.col("keep").alias("rep_keep")
-            )
-            decisions = decisions.join(rk, "doc_id", "left")
-        else:
-            decisions = decisions.withColumn("rep_keep", F.lit(1))
-        decisions = decisions.select(
-            "doc_id",
-            "exact_dup",
-            "n_near_dups",
-            F.coalesce("quality_keep", F.lit(0)).cast("int").alias("quality_keep"),
-            F.coalesce("ppl_keep", F.lit(0)).cast("int").alias("ppl_keep"),
-            # absent from the contamination rollup = produced no
-            # shingles at all = cannot be contaminated -> keep
-            F.coalesce("decon_keep", F.lit(1)).cast("int").alias("decon_keep"),
-            F.coalesce("rep_keep", F.lit(0)).cast("int").alias("rep_keep"),
-            (
-                (F.col("admitted") == 1)
-                & (F.coalesce("quality_keep", F.lit(0)) == 1)
-                & (F.coalesce("ppl_keep", F.lit(0)) == 1)
-                & (F.coalesce("decon_keep", F.lit(1)) == 1)
-                & (F.coalesce("rep_keep", F.lit(0)) == 1)
-            ).cast("int").alias("admitted"),
-        ).localCheckpoint()
-
-        admitted_ids = decisions.filter("admitted = 1").select("doc_id")
-        admitted_docs = batch_df.join(admitted_ids, "doc_id").localCheckpoint()
-        admitted_docs.write.mode("append").parquet(corpus_path)
-        # extend the state store with the admitted documents' rows —
-        # next drain judges against corpus + this wave, still text-free
-        new_state.join(admitted_ids, "doc_id").write.mode("append").parquet(
-            state_path
+        _check_stream_binding(corpus_path, checkpoint)
+        j, a = _drain_admission_batch(
+            spark,
+            batch_df,
+            bid,
+            corpus_path,
+            jaccard_threshold=jaccard_threshold,
+            quality_weights=quality_weights,
+            quality_bias=quality_bias,
+            lm_frozen=lm_frozen,
+            lm_threshold_q16=lm_threshold_q16,
+            lm_vocab=lm_vocab,
+            eval_frozen=eval_frozen,
+            eval_shingle_k=eval_shingle_k,
+            postings_path=postings_path,
+            repetition=repetition,
         )
-        if check_dedup_state_params(state_path) is None:
-            write_dedup_state_params(state_path)  # first drain created it
-        if postings_path is not None and not admitted_docs.isEmpty():
-            from sstable_migrator_spark.operators.retrieval import (
-                append_postings_index,
-                write_postings_index,
-            )
-
-            if _has_parquet(os.path.join(postings_path, "_corpus_stats")):
-                append_postings_index(admitted_docs, postings_path)
-            else:
-                write_postings_index(admitted_docs, postings_path)
-        # distributed ledger append; ONLY the 2-scalar summary is
-        # collected (one row), never the per-document decisions
-        decisions.withColumn("batch", F.lit(bid)).write.mode("append").json(
-            ledger_path
-        )
-        j, a = decisions.agg(
-            F.count(F.lit(1)), F.sum("admitted")
-        ).first()
-        stats["judged"] += int(j)
-        stats["admitted"] += int(a or 0)
+        stats["judged"] += j
+        stats["admitted"] += a
 
     q = (
         stream.writeStream.foreachBatch(_gate)

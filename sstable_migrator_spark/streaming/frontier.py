@@ -125,12 +125,14 @@ def expire_frontier_days(
     return expired
 
 
-def _check_stream_binding(frontier_path: str, checkpoint: str) -> None:
+def _check_stream_binding(state_path: str, checkpoint: str) -> None:
     """Batch ids are the idempotence keys and they are unique only per
-    checkpoint: refuse to mix a frontier directory with a DIFFERENT
+    checkpoint: refuse to mix a state directory (frontier or corpus —
+    streaming/corpus_ingest shares this guard) with a DIFFERENT
     checkpoint's batch numbering (e.g. a deleted-and-recreated
-    checkpoint restarting at batch 0 would silently collide with the
-    stored batch-0 partitions). Loud error, not silent duplication."""
+    checkpoint restarting at batch 0 would silently collide with — and
+    under dynamic overwrite, REPLACE — the stored batch-0 partitions).
+    Loud error, not silent corruption."""
     meta = os.path.join(checkpoint, "metadata")
     if not os.path.exists(meta):  # defensive: layout change upstream
         return
@@ -138,21 +140,21 @@ def _check_stream_binding(frontier_path: str, checkpoint: str) -> None:
         sid = json.load(fh).get("id", "")
     if not sid:
         return
-    marker = os.path.join(frontier_path, "_stream_id")
+    marker = os.path.join(state_path, "_stream_id")
     if os.path.exists(marker):
         with open(marker) as fh:
             bound = fh.read().strip()
         if bound != sid:
             raise ValueError(
-                f"frontier state at {frontier_path} is bound to streaming "
+                f"state at {state_path} is bound to streaming "
                 f"checkpoint id {bound}, but this drain runs under {sid}. "
-                "Batch ids key the frontier's idempotent writes, so a new "
+                "Batch ids key this store's idempotent writes, so a new "
                 "checkpoint's numbering would collide with stored batches. "
-                "Delete the frontier directory and checkpoint together to "
+                "Delete the state directory and checkpoint together to "
                 "rebuild, or restore the original checkpoint."
             )
     else:
-        os.makedirs(frontier_path, exist_ok=True)
+        os.makedirs(state_path, exist_ok=True)
         with open(marker, "w") as fh:
             fh.write(sid)
 

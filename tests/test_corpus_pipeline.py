@@ -832,3 +832,89 @@ def test_daily_crawl_robots_refetch_on_expiry(spark, tmp_path):
     assert (blocked["allowed"], blocked["robots_fresh"]) == (0, 1)
     assert ledger["http://site0.com/private/z"]["allowed"] == 1
     assert ledger["http://site0.com/c"]["scheduled"] == 1
+
+
+def test_epoch_shard_digests_detect_corruption(spark, tmp_path):
+    """The epoch manifest carries per-shard content digests (bytes +
+    md5, computed executor-side): verify_epoch passes on a clean
+    export, then fails loudly — naming the shard — on a corrupted
+    byte, a truncated copy, a deleted shard, and an extra file; and
+    read_epoch_sequences(verify=True) refuses the corrupt epoch while
+    the untouched epoch still verifies."""
+    import json
+    import os
+
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from sstable_migrator_spark.pipelines.corpus import (
+        export_training_epochs,
+        read_epoch_sequences,
+        verify_epoch,
+    )
+
+    docs = spark.range(40).select(
+        F.col("id").alias("doc_id"),
+        F.expr("repeat(concat('tok', CAST(id AS STRING), ' '), "
+               "CAST(id % 5 AS INT) + 2)").alias("text"),
+    )
+    out = str(tmp_path / "ep")
+    manifest = export_training_epochs(
+        docs, out, n_epochs=2, seq_tokens=16, rows_per_shard=8
+    )
+    assert manifest["version"] == 2
+    for e in manifest["epochs"]:
+        assert e["shards"] and all(
+            s["bytes"] > 0 and len(s["md5"]) == 32 for s in e["shards"]
+        )
+    ok = verify_epoch(spark, out, 0)
+    assert ok["shards"] == len(manifest["epochs"][0]["shards"])
+
+    epoch_dir = os.path.join(out, "epoch=0")
+    victim = os.path.join(
+        epoch_dir, manifest["epochs"][0]["shards"][0]["file"]
+    )
+    blob = open(victim, "rb").read()
+
+    # corrupted byte (same length): digest mismatch
+    with open(victim, "wb") as fh:
+        fh.write(blob[:10] + bytes([blob[10] ^ 0xFF]) + blob[11:])
+    with _pytest.raises(ValueError, match="digest mismatch"):
+        verify_epoch(spark, out, 0)
+    with _pytest.raises(ValueError, match="integrity"):
+        read_epoch_sequences(spark, out, 0, verify=True)
+
+    # truncated copy: byte-length mismatch reported as such
+    with open(victim, "wb") as fh:
+        fh.write(blob[: len(blob) // 2])
+    with _pytest.raises(ValueError, match="truncated"):
+        verify_epoch(spark, out, 0)
+
+    # missing shard
+    os.remove(victim)
+    with _pytest.raises(ValueError, match="missing shard"):
+        verify_epoch(spark, out, 0)
+
+    # restored + an extra file: unexpected shard
+    with open(victim, "wb") as fh:
+        fh.write(blob)
+    extra = os.path.join(epoch_dir, "rogue-file.parquet")
+    with open(extra, "wb") as fh:
+        fh.write(b"not a shard")
+    with _pytest.raises(ValueError, match="unexpected shard"):
+        verify_epoch(spark, out, 0)
+    os.remove(extra)
+    assert verify_epoch(spark, out, 0)["shards"] >= 1
+
+    # the OTHER epoch was never touched: still verifies, still reads
+    assert verify_epoch(spark, out, 1)["shards"] >= 1
+    assert read_epoch_sequences(spark, out, 1, verify=True).count() > 0
+
+    # old manifests (no digests) fail with guidance, not silently pass
+    m = json.load(open(os.path.join(out, "_manifest.json")))
+    for e in m["epochs"]:
+        e.pop("shards")
+    m["version"] = 1
+    json.dump(m, open(os.path.join(out, "_manifest.json"), "w"))
+    with _pytest.raises(ValueError, match="predates shard digests"):
+        verify_epoch(spark, out, 0)

@@ -281,5 +281,8 @@ def test_rebuild_postings_stats_empty_index(spark, tmp_path):
         rebuild_postings_stats(spark, path)
     stats = rebuild_postings_stats(spark, path, n_buckets=16)
     assert stats == {"n": 0, "t": 0, "n_buckets": 16}
-    st = spark.read.parquet(os.path.join(path, "_corpus_stats")).first()
-    assert (st["n"], st["t"], st["n_buckets"]) == (0, 0, 16)
+    from sstable_migrator_spark.operators.retrieval import read_corpus_stats
+
+    assert read_corpus_stats(spark, path) == {
+        "n": 0, "t": 0, "n_buckets": 16,
+    }

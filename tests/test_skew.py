@@ -101,3 +101,59 @@ def test_combine_recommendation_logic():
     assert combine_recommendation("aqe", "unsalted") == "aqe"
     assert combine_recommendation("none", "salted") == "none"
     assert combine_recommendation("none", "unsalted") == "none"
+
+
+def test_lsh_hot_band_cap_bounds_pairs_and_keeps_connectivity(spark):
+    """Boilerplate skew: one template duplicated T times puts T rows
+    in ONE (band, bucket) and the uncapped self-join emits C(T,2)
+    pairs — quadratic OUTPUT. max_bucket caps hot buckets with star
+    pairs: O(T) rows, same connected components downstream, genuine
+    small-bucket near-dups still mined, and no duplicate pair rows in
+    the union of the two paths."""
+    from pyspark.sql import functions as F
+
+    from sstable_migrator_spark.operators.dedup import minhash_lsh_pairs
+
+    T = 800
+    template = ("breaking news template header share subscribe follow "
+                "the site for more updates daily weather traffic sports")
+    near_a = ("completely different long article about rivers and "
+              "mountain valleys with detailed maps and local history notes")
+    near_b = near_a + " extra"
+    rows = [(i, template) for i in range(T)]
+    rows += [(100000, near_a), (100001, near_b)]
+    import hashlib
+
+    def _distinct(i: int) -> str:
+        # md5-derived word soup: shares no shingles with anything
+        # (the perceptual-fixture entropy lesson applies to text too)
+        h = hashlib.md5(f"uniq-{i}".encode()).hexdigest() * 3
+        return " ".join(h[j : j + 6] for j in range(0, len(h) - 5, 6))
+
+    rows += [(200000 + i, _distinct(i)) for i in range(50)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    capped = minhash_lsh_pairs(docs, max_bucket=64).collect()
+    # O(T), not C(T,2): the clique contributes exactly T-1 star pairs
+    clique = [r for r in capped if r["id_a"] < 100000 and r["id_b"] < 100000]
+    assert len(clique) == T - 1
+    assert all(r["id_a"] == 0 and r["est_jaccard"] == 1.0 for r in clique)
+    # no duplicate pair rows across the small/star paths
+    keys = [(r["id_a"], r["id_b"]) for r in capped]
+    assert len(keys) == len(set(keys))
+    # connectivity: every template doc reaches doc 0
+    reached = {0} | {r["id_b"] for r in clique}
+    assert reached == set(range(T))
+    # the genuine near-dup outside the clique still mined (small path)
+    assert any(
+        (r["id_a"], r["id_b"]) == (100000, 100001) for r in capped
+    )
+    # and the unique docs pair with nothing
+    assert not any(r["id_a"] >= 200000 for r in capped)
+
+    # uncapped control at a smaller T: the count really is C(T,2)
+    small = spark.createDataFrame(
+        [(i, template) for i in range(60)], "doc_id long, text string"
+    )
+    n_uncapped = minhash_lsh_pairs(small).count()
+    assert n_uncapped == 60 * 59 // 2
