@@ -70,6 +70,7 @@ def build_training_corpus(
     shard_format: str = "parquet",
     strip_spans_k: int | None = None,
     c4: bool = False,
+    lsh_max_bucket: int | None = None,
 ) -> dict[str, int]:
     """Run the curation funnel and write chunk shards to ``out_dir``
     (``shard_format="parquet"``: partitioned by shard_id — the default
@@ -125,7 +126,12 @@ def build_training_corpus(
     # lineage once; at scale this is the persisted post-exact-dedup
     # bronze table.
     exact = exact.localCheckpoint()
-    pairs = dedup.minhash_lsh_pairs(exact, jaccard_threshold=0.5)
+    # lsh_max_bucket: the hot-band df-cap for boilerplate-heavy crawls
+    # (one template duplicated B times emits C(B,2) pairs uncapped —
+    # SCALE.md has the measured cliff); star pairs keep the clusters
+    pairs = dedup.minhash_lsh_pairs(
+        exact, jaccard_threshold=0.5, max_bucket=lsh_max_bucket
+    )
     clusters = dedup.duplicate_clusters(pairs)
     losers = clusters.filter(~F.col("is_canonical")).select(
         F.col("doc_id").cast("long").alias("doc_id")

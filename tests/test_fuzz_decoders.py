@@ -267,3 +267,39 @@ def test_fuzz_warc_responses_reader():
             pass
         except (UnicodeDecodeError, ValueError):
             pass  # header int parse on spliced garbage
+
+
+def test_fuzz_http_response_split_encoded():
+    """The decode paths (chunked de-framing, gzip/deflate
+    decompression) must stay TOTAL under byte mutation: corrupt
+    framing or compressed streams flag the residual coding instead of
+    raising, and a cleanly decoded body equals the original page."""
+    import zlib
+
+    from sstable_migrator_spark.sources.warc import split_http_response
+
+    page = b"<html><p>" + b"fuzz the decoders thoroughly " * 30 + b"</p></html>"
+    co = zlib.compressobj(9, zlib.DEFLATED, 16 + zlib.MAX_WBITS)
+    gz = co.compress(page) + co.flush()
+    chunked_gz = b"%x\r\n" % len(gz) + gz + b"\r\n0\r\n\r\n"
+    blobs = [
+        b"HTTP/1.1 200 OK\r\nTransfer-Encoding: chunked\r\n"
+        b"Content-Encoding: gzip\r\n\r\n" + chunked_gz,
+        b"HTTP/1.1 200 OK\r\nContent-Encoding: deflate\r\n\r\n"
+        + zlib.compress(page),
+        b"HTTP/1.1 200 OK\r\nTransfer-Encoding: chunked\r\n\r\n"
+        + b"%x\r\n" % len(page) + page + b"\r\n0\r\n\r\n",
+    ]
+    for seed, blob in enumerate(blobs, start=31):
+        meta, body = split_http_response(blob)
+        assert meta["content_encoding"] == "" and body == page
+        for mut in _mutations(blob, 150, seed=seed):
+            meta, body = split_http_response(mut)
+            assert isinstance(meta["content_encoding"], str)
+            assert isinstance(body, bytes)
+            # a FULLY decoded body is trustworthy or the record is
+            # flagged; either way no exception and no half-state
+            if meta["content_encoding"]:
+                assert meta["content_encoding"].rstrip("?") in (
+                    "chunked", "gzip", "x-gzip", "deflate",
+                ) or meta["content_encoding"] == meta["content_encoding"].lower()

@@ -26,12 +26,10 @@ def test_oracle_match(spark, duck, name):
     assert res["ok"], res
 
 
-# rows-only catalog entries, each with a reason and a dedicated test
-ROWS_ONLY = {
-    # sketch estimates have no cross-engine oracle; error bounded in
-    # tests/test_sketches.py
-    "q73_approx_sketches",
-}
+# rows-only catalog entries, each with a reason and a dedicated test.
+# EMPTY since round 8: q73 (the last holdout) now gates the q170 way —
+# exact values hash-match, estimates proven within bound in-plan
+ROWS_ONLY: set[str] = set()
 
 
 def test_every_query_has_oracle_or_is_declared():

@@ -1,5 +1,6 @@
-"""Sketch aggregates: accuracy bounds vs exact answers (q73 has no SQL
-oracle by design — estimates are engine-specific)."""
+"""Sketch aggregates: accuracy bounds vs exact answers (q73 carries
+its bounds IN-PLAN since round 8 — estimates are engine-specific, so
+the oracle gates exact values + integer-cross-multiplied flags)."""
 
 from __future__ import annotations
 
@@ -27,10 +28,12 @@ def test_sketches_bound_error(spark):
     assert set(got) == set(exact) and got
     for et, e in exact.items():
         g = got[et]
-        # HLL++ at rsd=2%: allow 3x the nominal std error
-        assert abs(g["approx_users"] - e["users"]) <= max(3, 0.06 * e["users"])
-        # quantile sketch with 10k accuracy on ~2k rows is near-exact
-        assert abs(g["approx_p50"] - e["p50"]) <= 0.05 * max(1.0, e["p50"])
+        # the exact columns match an independent aggregation...
+        assert g["exact_users"] == e["users"]
+        # ...and the in-plan bounds (HLL within 6% = 3x nominal std
+        # error at rsd=2%; approx-p50 within rank tolerance) hold
+        assert g["hll_within_6pct"] == 1
+        assert g["p50_rank_ok"] == 1
 
 
 # ---------------------------------------------------------------------------
