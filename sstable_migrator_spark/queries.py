@@ -11290,6 +11290,94 @@ QUERIES.update({"q215_dedup_lines": q_dedup_lines})
 ORACLES.update({"q215_dedup_lines": SQL_DEDUP_LINES})
 
 
+_Q217_TEMPLATE = (
+    "breaking news update template header share and subscribe for "
+    "more of the daily weather with local sports coverage tonight"
+)
+_Q217_CAP = 16
+_Q217_COPIES = 120
+
+
+def q_lsh_hot_band_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The hot-band df-cap under the oracle: the near-dup corpus plus
+    a planted boilerplate CLIQUE (one template duplicated 120x — every
+    band bucket it touches exceeds the cap of 16), mined with
+    ``max_bucket``. The organic near-dup pairs must come out EXACTLY
+    as uncapped (their buckets are small), and the clique collapses to
+    its 119 star pairs (min-id representative vs each member) instead
+    of C(120,2)=7140 — the SQL twin replays the whole decision:
+    first-matching-band per pair, hot/small bucket lookup at that
+    band, representative election. SCALE.md carries the measured wall
+    cliff this cap removes (179 s -> 1.9 s at a 10^4-copy clique)."""
+    docs = _synth_near_dup_docs(spark, sf_dir)
+    clique = spark.range(_Q217_COPIES).select(
+        (F.col("id") + 7000).alias("doc_id"),
+        F.lit(_Q217_TEMPLATE).alias("text"),
+    )
+    return dedup.minhash_lsh_pairs(
+        docs.unionByName(clique),
+        num_hashes=16,
+        bands=4,
+        jaccard_threshold=0.5,
+        max_bucket=_Q217_CAP,
+    )
+
+
+def _sql_lsh_hot_band_cap() -> str:
+    hashes = _sql_sig_hashes()
+    band_rows = _sql_band_rows()
+    matches = _SQL_SIG_MATCHES
+
+    def _band_eq(b: int) -> str:
+        return " AND ".join(
+            f"sa.h{b * 4 + i} = sb.h{b * 4 + i}" for i in range(4)
+        )
+
+    fb_case = (
+        "CASE WHEN " + _band_eq(0) + " THEN 0 WHEN " + _band_eq(1)
+        + " THEN 1 WHEN " + _band_eq(2) + " THEN 2 ELSE 3 END"
+    )
+    return f"""
+WITH {SQL_ND_DOCS_CTE.strip().replace('nd_docs AS (', 'nd_docs0 AS (')},
+clique AS (
+  SELECT CAST(7000 + i AS BIGINT) AS doc_id,
+         '{_Q217_TEMPLATE}' AS text
+  FROM range({_Q217_COPIES}) t(i)),
+nd_docs AS (SELECT * FROM nd_docs0 UNION ALL SELECT * FROM clique),
+{_sql_grams_over('nd_docs').strip()},
+sigs AS (SELECT doc_id, {hashes} FROM grams),
+banded AS ({band_rows}),
+sizes AS (SELECT band, bucket, count(*) AS n FROM banded GROUP BY 1, 2),
+cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         FROM banded a JOIN banded b
+         ON a.band = b.band AND a.bucket = b.bucket
+            AND a.doc_id < b.doc_id),
+fb AS (SELECT id_a, id_b, {fb_case} AS fb, {matches} AS m
+       FROM cand
+       JOIN sigs sa ON sa.doc_id = cand.id_a
+       JOIN sigs sb ON sb.doc_id = cand.id_b),
+loc AS (SELECT fb.id_a, fb.id_b, fb.fb, fb.m, ba.bucket
+        FROM fb JOIN banded ba ON ba.doc_id = fb.id_a AND ba.band = fb.fb),
+sized AS (SELECT loc.*, s.n FROM loc
+          JOIN sizes s ON s.band = loc.fb AND s.bucket = loc.bucket),
+reps AS (SELECT banded.band, banded.bucket, min(doc_id) AS rep
+         FROM banded JOIN sizes USING (band, bucket)
+         WHERE sizes.n > {_Q217_CAP} GROUP BY 1, 2),
+capped AS (
+  SELECT id_a, id_b, m FROM sized WHERE n <= {_Q217_CAP}
+  UNION ALL
+  SELECT id_a, id_b, m FROM sized
+  JOIN reps ON reps.band = sized.fb AND reps.bucket = sized.bucket
+  WHERE sized.n > {_Q217_CAP} AND sized.id_a = reps.rep)
+SELECT id_a, id_b, CAST(m AS DOUBLE) / 16.0 AS est_jaccard
+FROM capped WHERE m * 2 >= 16
+"""
+
+
+QUERIES.update({"q217_lsh_hot_band_cap": q_lsh_hot_band_cap})
+ORACLES.update({"q217_lsh_hot_band_cap": _sql_lsh_hot_band_cap()})
+
+
 # ---------------------------------------------------------------------------
 # Driver-sample ordering.
 #
