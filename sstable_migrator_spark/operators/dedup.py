@@ -653,6 +653,100 @@ def duplicate_clusters(
     )
 
 
+def dedup_keep_best(
+    docs: DataFrame,
+    pairs: DataFrame,
+    quality_col: str,
+    id_col: str = "doc_id",
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+) -> DataFrame:
+    """Near-dup dedup with a KEEP-BEST policy: resolve the pair graph
+    into clusters (``duplicate_clusters``) and keep, per cluster, the
+    document with the HIGHEST ``quality_col`` (ties -> smallest id)
+    instead of ``duplicate_clusters``' min-id canonical. This is how a
+    production corpus actually survives dedup — when a boilerplate
+    template has one well-filled instance and many stubs, the survivor
+    should be the best copy, not whichever got the smallest id.
+    Documents outside the pair graph are their own cluster and always
+    kept. Returns ``(id, cluster_id, <quality_col>, is_kept)`` for
+    every input document.
+
+    Plan: the component loop runs over the PAIR GRAPH ONLY (sparse —
+    |edges| ~ |dups|); docs join the O(dup-docs) label table once on
+    id (broadcastable whenever the dup set is small relative to the
+    corpus), then one shuffle on cluster_id computes the per-cluster
+    argmax as ``max(struct(quality, -id))`` — no window, map-side
+    partial max. At 100 TB both exchanges carry (id, cluster, quality)
+    triples only, never text."""
+    clusters = duplicate_clusters(pairs, id_a=id_a, id_b=id_b).select(
+        F.col("doc_id").alias(id_col), "cluster_id"
+    )
+    labeled = (
+        docs.select(F.col(id_col).cast("long").alias(id_col), quality_col)
+        .join(clusters, id_col, "left")
+        .withColumn("cluster_id", F.coalesce("cluster_id", F.col(id_col)))
+    )
+    best = labeled.groupBy("cluster_id").agg(
+        F.max(
+            F.struct(F.col(quality_col).alias("q"), (-F.col(id_col)).alias("nid"))
+        ).alias("_b")
+    ).select("cluster_id", (-F.col("_b.nid")).alias("_win"))
+    return labeled.join(best, "cluster_id").select(
+        id_col,
+        "cluster_id",
+        quality_col,
+        (F.col(id_col) == F.col("_win")).alias("is_kept"),
+    )
+
+
+def strip_contaminated_spans(
+    docs: DataFrame,
+    eval_docs: DataFrame,
+    k: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    merged_intervals: bool = False,
+) -> DataFrame:
+    """Benchmark decontamination by DELETION — the span treatment where
+    ``contamination_flags`` (q79's operator form) only flags: every
+    token position covered by a verbatim ``k``-token window that occurs
+    ANYWHERE in the held-out eval set is cut from the training
+    document, and the survivors re-join into the cleaned text. Doc-level
+    dropping (the flags path) throws away a whole document for one
+    leaked sentence; span deletion keeps the rest — the same trade
+    ``strip_duplicated_spans`` makes for ExactSubstr dedup, pointed at
+    an eval set instead of the corpus itself. Returns
+    ``(id, clean_text, n_tokens, n_removed)`` over the
+    lowercase/whitespace-normalized token stream.
+
+    Plan: the eval side's window keys (md5 of window text — content-
+    keyed, engine-portable) are DISTINCT'd and broadcast, so the corpus
+    side never shuffles for the probe; the only data-sized exchange is
+    the per-doc rollup of matching window starts. The map-side rebuild
+    (interval union -> kept tokens) is shared with
+    ``strip_duplicated_spans``, including its ``merged_intervals``
+    Arrow kernel for pathological mostly-covered documents. At 100 TB
+    the eval set is fixed-size (benchmarks are MBs), so this is one
+    broadcast + one (id, start) exchange — strictly cheaper than the
+    self-dedup form."""
+    if k < 2:
+        raise ValueError(f"k must be >= 2, got {k}")
+    staged = _stage_tokens(docs, text_col, id_col)
+    wins = _window_keys(staged, id_col, k)
+    eval_keys = (
+        _window_keys(_stage_tokens(eval_docs, text_col, id_col), id_col, k)
+        .select("wkey")
+        .distinct()
+    )
+    hit_starts = (
+        wins.join(F.broadcast(eval_keys), "wkey")
+        .groupBy(id_col)
+        .agg(F.collect_list("start").alias("_starts"))
+    )
+    return _rebuild_stripped(staged, hit_starts, k, id_col, docs, merged_intervals)
+
+
 def paragraph_dedup(
     paras: DataFrame,
     doc_col: str = "doc_id",
@@ -1129,24 +1223,8 @@ def strip_duplicated_spans(
     shuffles) is the same either way."""
     if k < 2:
         raise ValueError(f"k must be >= 2, got {k}")
-    toks = TX.tokens(F.lower(F.col(text_col)))
-    staged = docs.select(
-        F.col(id_col), toks.alias("_tk")
-    ).withColumn("_n", F.size("_tk").cast("long"))
-    win_starts = F.when(
-        F.col("_n") >= k, F.sequence(F.lit(1), (F.col("_n") - (k - 1)).cast("int"))
-    ).otherwise(F.array().cast("array<int>"))
-    wins = staged.select(
-        F.col(id_col),
-        F.explode(win_starts).alias("start"),
-        F.col("_tk"),
-    ).select(
-        id_col,
-        "start",
-        F.md5(
-            F.array_join(F.slice("_tk", F.col("start"), k), " ")
-        ).alias("wkey"),
-    )
+    staged = _stage_tokens(docs, text_col, id_col)
+    wins = _window_keys(staged, id_col, k)
     dup_keys = (
         wins.groupBy("wkey")
         .agg(F.count(F.lit(1)).alias("c"))
@@ -1158,6 +1236,47 @@ def strip_duplicated_spans(
         .groupBy(id_col)
         .agg(F.collect_list("start").alias("_starts"))
     )
+    return _rebuild_stripped(staged, dup_starts, k, id_col, docs, merged_intervals)
+
+
+def _stage_tokens(docs: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """(id, _tk tokens, _n count) over the lowercase/whitespace-
+    normalized stream — the shared staging for span strip operators."""
+    toks = TX.tokens(F.lower(F.col(text_col)))
+    return docs.select(
+        F.col(id_col), toks.alias("_tk")
+    ).withColumn("_n", F.size("_tk").cast("long"))
+
+
+def _window_keys(staged: DataFrame, id_col: str, k: int) -> DataFrame:
+    """Explode every k-token window start with its content-md5 key."""
+    win_starts = F.when(
+        F.col("_n") >= k, F.sequence(F.lit(1), (F.col("_n") - (k - 1)).cast("int"))
+    ).otherwise(F.array().cast("array<int>"))
+    return staged.select(
+        F.col(id_col),
+        F.explode(win_starts).alias("start"),
+        F.col("_tk"),
+    ).select(
+        id_col,
+        "start",
+        F.md5(
+            F.array_join(F.slice("_tk", F.col("start"), k), " ")
+        ).alias("wkey"),
+    )
+
+
+def _rebuild_stripped(
+    staged: DataFrame,
+    dup_starts: DataFrame,
+    k: int,
+    id_col: str,
+    docs: DataFrame,
+    merged_intervals: bool,
+) -> DataFrame:
+    """Shared map-side rebuild: delete every token position covered by
+    a [start, start+k) interval from ``dup_starts``, re-join survivors.
+    Two forms with hash-identical output (see strip_duplicated_spans)."""
     if merged_intervals:
         import pandas as pd
 

@@ -11378,6 +11378,203 @@ QUERIES.update({"q217_lsh_hot_band_cap": q_lsh_hot_band_cap})
 ORACLES.update({"q217_lsh_hot_band_cap": _sql_lsh_hot_band_cap()})
 
 
+def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup dedup with a KEEP-BEST survivor policy
+    (dedup.dedup_keep_best): q58's LSH pair graph resolved to clusters,
+    but the survivor is the cluster's HIGHEST-quality document (token
+    count here; ties -> smallest id), not the min id. The planted dups
+    (d+1000 = d's text + 3 extra tokens) are the discrimination: in
+    every planted cluster the PERTURBED copy out-scores the original,
+    so keep-best must flip q58's canonical choice — and the oracle's
+    recursive-CTE clusters + window argmax must agree row for row.
+    Docs outside the pair graph are their own cluster, always kept."""
+    docs = _synth_near_dup_docs(spark, sf_dir)
+    pairs = dedup.minhash_lsh_pairs(docs, num_hashes=16, bands=4, jaccard_threshold=0.5)
+    scored = docs.select(
+        "doc_id", TX.token_count(F.col("text")).cast("long").alias("quality")
+    )
+    return dedup.dedup_keep_best(scored, pairs, "quality")
+
+
+def _sql_dedup_keep_best() -> str:
+    return f"""
+WITH RECURSIVE fpairs AS ({_sql_minhash_lsh()}),
+{SQL_ND_DOCS_CTE.strip()},
+edges AS (SELECT id_a AS src, id_b AS dst FROM fpairs
+          UNION SELECT id_b, id_a FROM fpairs),
+reach(node, r) AS (
+    SELECT src, src FROM edges
+    UNION
+    SELECT e.src, r2.r FROM edges e JOIN reach r2 ON e.dst = r2.node),
+clusters AS (SELECT node, MIN(r) AS cl FROM reach GROUP BY node),
+labeled AS (
+  SELECT d.doc_id,
+         CAST(COALESCE(c.cl, d.doc_id) AS BIGINT) AS cluster_id,
+         CAST(CASE WHEN length(trim(d.text)) = 0 THEN 0
+              ELSE len(regexp_split_to_array(trim(d.text), '\\s+')) END
+              AS BIGINT) AS quality
+  FROM nd_docs d LEFT JOIN clusters c ON d.doc_id = c.node),
+best AS (
+  SELECT cluster_id, doc_id AS win FROM (
+    SELECT cluster_id, doc_id,
+           row_number() OVER (PARTITION BY cluster_id
+                              ORDER BY quality DESC, doc_id ASC) AS rn
+    FROM labeled) WHERE rn = 1)
+SELECT l.doc_id, l.cluster_id, l.quality, (l.doc_id = b.win) AS is_kept
+FROM labeled l JOIN best b USING (cluster_id)
+"""
+
+
+def q_decontaminate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decontamination by SPAN DELETION (dedup.strip_contaminated_spans
+    — the treatment where q79's flags only detect): every token
+    position covered by a verbatim 8-token window that appears anywhere
+    in the eval set is cut; the rest of the document SURVIVES, unlike
+    doc-level dropping. Eval set = every 17th document verbatim, so
+    contaminated train docs strip to (near-)empty while the other docs
+    lose only natural 8-gram overlaps the oracle computes identically.
+    Plan: eval window keys broadcast (benchmarks are fixed-size at any
+    corpus scale); one (id, start) rollup exchange; map-side interval
+    rebuild shared with q198."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    ev = docs.filter(F.col("doc_id") % 17 == 3)
+    return dedup.strip_contaminated_spans(docs, ev, k=8)
+
+
+SQL_DECONTAMINATE_SPANS = """
+WITH w AS (
+  SELECT doc_id,
+         CASE WHEN length(trim(lower(text))) = 0 THEN []
+              ELSE regexp_split_to_array(trim(lower(text)), '\\s+') END AS tk
+  FROM documents),
+s AS (SELECT doc_id, tk, len(tk) AS n FROM w),
+wins AS (
+  SELECT doc_id, CAST(k.i AS INT) AS start,
+         md5(array_to_string(tk[CAST(k.i AS INT):CAST(k.i + 7 AS INT)], ' ')) AS wkey
+  FROM s, LATERAL unnest(range(1, CAST(n - 6 AS BIGINT))) AS k(i)
+  WHERE n >= 8),
+ekeys AS (
+  SELECT DISTINCT wkey FROM wins WHERE doc_id % 17 = 3),
+cov AS (
+  SELECT DISTINCT wins.doc_id, CAST(p.p AS INT) AS pos
+  FROM wins JOIN ekeys USING (wkey),
+       LATERAL unnest(range(CAST(start AS BIGINT),
+                            CAST(start + 8 AS BIGINT))) AS p(p)),
+toks AS (
+  SELECT doc_id, tk[CAST(p.i AS INT)] AS tok, CAST(p.i AS INT) AS pos
+  FROM s, LATERAL unnest(range(1, CAST(n + 1 AS BIGINT))) AS p(i)),
+keptagg AS (
+  SELECT t.doc_id,
+         string_agg(t.tok, ' ' ORDER BY t.pos) AS clean_text,
+         count(*) AS n_kept
+  FROM toks t
+  LEFT JOIN cov c ON t.doc_id = c.doc_id AND t.pos = c.pos
+  WHERE c.pos IS NULL
+  GROUP BY t.doc_id)
+SELECT s.doc_id,
+       COALESCE(k.clean_text, '') AS clean_text,
+       CAST(s.n AS BIGINT) AS n_tokens,
+       CAST(s.n - COALESCE(k.n_kept, 0) AS BIGINT) AS n_removed
+FROM s LEFT JOIN keptagg k USING (doc_id)
+"""
+
+
+QUERIES.update(
+    {
+        "q218_dedup_keep_best": q_dedup_keep_best,
+        "q219_decontaminate_spans": q_decontaminate_spans,
+    }
+)
+ORACLES.update(
+    {
+        "q218_dedup_keep_best": _sql_dedup_keep_best(),
+        "q219_decontaminate_spans": SQL_DECONTAMINATE_SPANS,
+    }
+)
+
+
+_Q220_PER_TOPIC = 10  # exact draws per topic cell
+
+
+def q_topic_balanced_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TOPIC-BALANCED corpus sampling — the composition a real mixture
+    designer runs when one topic dominates the crawl: cluster documents
+    by embedding (q57's IVF cell assignment, 4 seeded centroids),
+    then draw EXACTLY the same budget from every topic cell with the
+    weighted systematic sampler (weights = a deterministic per-doc
+    token-mass stand-in), so the sample is uniform over TOPICS no
+    matter how skewed the corpus is over them. Plan: cell assignment is
+    the map-only vectorized kernel (one BLAS matmul per Arrow batch, no
+    shuffle); the per-cell exactly-n draw is the grouped two-phase
+    prefix sum (range exchange, no Window.partitionBy funnel). The
+    collect() is index construction (4 centroid rows). At 100 TB:
+    centroids come from train_ivf_centroids, everything else is
+    unchanged — one map pass + one range exchange."""
+    from sstable_migrator_spark.operators.packing import (
+        systematic_sample_per_group,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    cent_rows = (
+        emb.filter((F.col("vec_id") % 20 == 0) & (F.col("vec_id") < 80))
+        .select("vec_id", "embedding")
+        .orderBy("vec_id")
+        .collect()
+    )
+    centroids = [
+        (int(r["vec_id"]), [float(x) for x in r["embedding"]]) for r in cent_rows
+    ]
+    assigned = simsearch.ivf_assign(emb, centroids, vec_col="embedding", cell_col="cell")
+    docs = assigned.select(
+        F.col("vec_id").alias("doc_id"),
+        F.col("cell").cast("int").alias("cell"),
+        ((F.col("vec_id") % 7) + 1).cast("long").alias("w"),
+    )
+    budgets = {int(cid): _Q220_PER_TOPIC for cid, _ in centroids}
+    return systematic_sample_per_group(docs, "w", "cell", budgets, seed=11)
+
+
+def _sql_topic_balanced_sample() -> str:
+    n = _Q220_PER_TOPIC
+    return f"""
+WITH c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+cent AS (SELECT vec_id AS cell_id, CAST(embedding AS DOUBLE[]) AS cv
+         FROM embeddings WHERE vec_id % 20 = 0 AND vec_id < 80),
+assign AS (
+  SELECT vec_id, cell_id FROM (
+    SELECT c.vec_id, cent.cell_id,
+           row_number() OVER (PARTITION BY c.vec_id
+                              ORDER BY {_SQL_COS.format(a='c.v', b='cent.cv')} DESC,
+                                       cent.cell_id ASC) AS rn
+    FROM c CROSS JOIN cent) WHERE rn = 1),
+docs AS (
+  SELECT vec_id AS doc_id, CAST(cell_id AS INT) AS cell,
+         CAST(vec_id % 7 + 1 AS BIGINT) AS w,
+         CAST(concat('0x', substr(md5('11|' || CAST(vec_id AS VARCHAR)),
+                                  1, 15)) AS BIGINT) AS sk
+  FROM assign),
+ranked AS (
+  SELECT doc_id, cell, w, CAST({n} AS BIGINT) AS n,
+         SUM(w) OVER (PARTITION BY cell ORDER BY sk, doc_id
+                      ROWS UNBOUNDED PRECEDING) AS incl,
+         SUM(w) OVER (PARTITION BY cell) AS t
+  FROM docs),
+picked AS (
+  SELECT doc_id, cell, w,
+         CAST((CASE WHEN 2 * n * incl - t <= 0 THEN 0
+                    ELSE least(n, (2 * n * incl - t + 2 * t - 1) // (2 * t)) END)
+            - (CASE WHEN 2 * n * (incl - w) - t <= 0 THEN 0
+                    ELSE least(n, (2 * n * (incl - w) - t + 2 * t - 1) // (2 * t)) END)
+           AS BIGINT) AS n_picks
+  FROM ranked)
+SELECT doc_id, cell, w, n_picks FROM picked WHERE n_picks >= 1
+"""
+
+
+QUERIES.update({"q220_topic_balanced_sample": q_topic_balanced_sample})
+ORACLES.update({"q220_topic_balanced_sample": _sql_topic_balanced_sample()})
+
+
 # ---------------------------------------------------------------------------
 # Driver-sample ordering.
 #

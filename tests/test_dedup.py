@@ -638,3 +638,77 @@ def test_strip_spans_merged_intervals_identical_and_bounded(spark):
     # bounded: generous ceilings, not a race — the point is neither
     # path hangs (pre-fix risk was the default path at ~10^6 windows)
     assert t_default < 120 and t_merged < 120
+
+
+def test_strip_contaminated_spans(spark):
+    """Decontamination by deletion: eval-set k-windows vanish from
+    training docs, everything else survives verbatim; the eval set
+    itself never self-triggers corpus-internal repeats (unlike
+    strip_duplicated_spans, a window must appear in EVAL, not just
+    twice in train); merged_intervals path is row-identical."""
+    import pytest as _pytest
+
+    from sstable_migrator_spark.operators.dedup import strip_contaminated_spans
+
+    leak = "the quick brown fox jumps over the lazy dog"  # 9 toks
+    train = spark.createDataFrame(
+        [
+            (1, f"article one begins {leak} and then continues freely"),
+            (2, "completely clean document with no eval overlap at all"),
+            # corpus-internal duplicate that is NOT in eval: must survive
+            (3, "shared boilerplate sentence appears twice here yes indeed"),
+            (4, "shared boilerplate sentence appears twice here yes indeed"),
+            (5, ""),
+        ],
+        "doc_id long, text string",
+    )
+    ev = spark.createDataFrame([(100, leak)], "doc_id long, text string")
+    got = {r["doc_id"]: r for r in strip_contaminated_spans(train, ev, k=8).collect()}
+    assert got[1]["clean_text"] == "article one begins and then continues freely"
+    assert got[1]["n_removed"] == 9
+    assert got[2]["n_removed"] == 0
+    assert got[3]["n_removed"] == 0 and got[4]["n_removed"] == 0
+    assert got[5]["n_removed"] == 0 and got[5]["clean_text"] == ""
+    merged = {
+        r["doc_id"]: tuple(r)
+        for r in strip_contaminated_spans(
+            train.repartition(3), ev, k=8, merged_intervals=True
+        ).collect()
+    }
+    assert merged == {k: tuple(v) for k, v in got.items()}
+    with _pytest.raises(ValueError):
+        strip_contaminated_spans(train, ev, k=1)
+
+
+def test_dedup_keep_best(spark):
+    """Keep-best survivor policy: per near-dup cluster the HIGHEST
+    quality wins (ties -> smallest id); singletons always kept; exactly
+    one survivor per cluster; repartitioning can't change the answer."""
+    from pyspark.sql import functions as F
+
+    from sstable_migrator_spark.operators.dedup import dedup_keep_best
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], "id_a long, id_b long"
+    )
+    docs = spark.createDataFrame(
+        [(1, 5), (2, 9), (3, 9), (10, 4), (11, 4), (42, 1)],
+        "doc_id long, quality long",
+    )
+    rows = {r["doc_id"]: r for r in dedup_keep_best(docs, pairs, "quality").collect()}
+    assert len(rows) == 6
+    # cluster {1,2,3}: quality 9 tie between 2 and 3 -> 2 wins
+    assert rows[2]["is_kept"] and not rows[1]["is_kept"] and not rows[3]["is_kept"]
+    assert rows[1]["cluster_id"] == rows[2]["cluster_id"] == rows[3]["cluster_id"] == 1
+    # cluster {10,11}: tie -> 10
+    assert rows[10]["is_kept"] and not rows[11]["is_kept"]
+    # singleton: own cluster, kept
+    assert rows[42]["is_kept"] and rows[42]["cluster_id"] == 42
+    # exactly one survivor per cluster
+    kept = (
+        dedup_keep_best(docs.repartition(5), pairs, "quality")
+        .groupBy("cluster_id")
+        .agg(F.sum(F.col("is_kept").cast("int")).alias("k"))
+        .collect()
+    )
+    assert all(r["k"] == 1 for r in kept) and len(kept) == 3
