@@ -76,8 +76,10 @@ def build_training_corpus(
     (``shard_format="parquet"``: partitioned by shard_id — the default
     for text pipelines; ``"tar"``: WebDataset tar shards via
     sinks.tarshard, one sample per chunk keyed doc-chunk with a .txt
-    member — the layout multimodal dataloaders stream). Returns
-    per-stage row counts.
+    member — the layout multimodal dataloaders stream; ``"arrow"``:
+    digest-manifested Arrow IPC stream shards via sinks.arrowshard,
+    one writer task per budget shard — the zero-copy columnar layout
+    Arrow-native dataloaders consume). Returns per-stage row counts.
 
     Scale shape: quality/lang/PII/chunking are map-only; exact dedup is
     one fingerprint shuffle; the near-dup stage shuffles only signature
@@ -217,6 +219,17 @@ def build_training_corpus(
             "_key",
             ["txt"],
         )
+    elif shard_format == "arrow":
+        from sstable_migrator_spark.sinks.arrowshard import write_arrow_shards
+
+        # token-budgeted shards become writer tasks per budget shard,
+        # same partitioning contract as the tar branch; columns stay
+        # columnar (no key munging) — Arrow IS the trainer's row format
+        write_arrow_shards(
+            packed.observe(obs["chunks"], F.count(F.lit(1)).alias("n"))
+            .repartition("shard_id"),
+            out_dir,
+        )
     else:
         raise ValueError(f"unknown shard_format {shard_format!r}")
 
@@ -244,7 +257,9 @@ def export_packed_sequences(
     training stream and a dataloader reads shards sequentially with no
     global sort. ``"tar"``: WebDataset shards with zero-padded
     ``seq-<id>`` keys (lexical order == stream order) and a .txt
-    member per sequence. Returns ``{sequences, tokens}``.
+    member per sequence. ``"arrow"``: Arrow IPC stream shards in the
+    same seq_id range order, ``rows_per_shard`` rows per file, sha256
+    manifests. Returns ``{sequences, tokens}``.
 
     Epochs: ``export_training_epochs`` wraps this per-epoch with a
     versioned manifest and a resume cursor; or (cheaper) keep one
@@ -283,6 +298,14 @@ def export_packed_sequences(
         )
         write_tar_shards(
             tagged, out_dir, "_key", ["txt"], max_rows_per_shard=rows_per_shard
+        )
+    elif shard_format == "arrow":
+        from sstable_migrator_spark.sinks.arrowshard import write_arrow_shards
+
+        write_arrow_shards(
+            seqs.repartitionByRange(F.col("seq_id")).sortWithinPartitions("seq_id"),
+            out_dir,
+            max_rows_per_shard=rows_per_shard,
         )
     else:
         raise ValueError(f"unknown shard_format {shard_format!r}")

@@ -1,0 +1,184 @@
+"""Arrow IPC stream shards — the trainer-interchange sink.
+
+North-star extension sibling of ``tarshard``: many training stacks
+(dataloaders, tokenizer services, feature stores) consume Arrow IPC
+streams directly — zero-copy columnar batches, no parquet decode on
+the hot path. This module writes and reads that layout Spark-side:
+
+- ``write_arrow_shards``: one Arrow-batched pass; each task streams
+  its partition into rolling ``shard-<part>-<roll>.arrow`` files (IPC
+  STREAM format, one record batch per shard, capped rows per shard),
+  so shard count scales with parallelism and no driver state grows
+  with data. Shard bytes are DETERMINISTIC for identical input
+  partitioning: the Arrow schema is derived from the Spark schema
+  (never inferred from pandas), batches are rebuilt to exactly the
+  cap, and the IPC writer adds no timestamps — so shards can be
+  digested and re-synced like the sstable components. Every shard's
+  sha256 lands in ``_arrow_manifests.json``.
+- ``read_arrow_shards``: one task per shard (same repartitionByRange
+  pinning as the tar/sstable sources); the Spark schema comes from the
+  first shard's embedded Arrow schema, so no caller-side DDL to drift.
+  ``verify=True`` (default) re-hashes each shard against its manifest
+  digest before decoding — a truncated or corrupted copy fails loudly
+  with the shard name, not downstream with a decode artifact.
+
+SHARED-FILESYSTEM CONTRACT: same as tarshard — ``path`` is opened with
+plain ``open()`` on the executors and globbed on the driver; on a real
+cluster it must be a filesystem all nodes see (resolve with
+:func:`sstable_migrator_spark.sinks.scratch_path`).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+__all__ = ["write_arrow_shards", "read_arrow_shards"]
+
+_MANIFEST = "_arrow_manifests.json"
+
+
+def write_arrow_shards(
+    df: DataFrame,
+    path: str,
+    max_rows_per_shard: int = 10000,
+) -> list[dict]:
+    """Write ``df`` as Arrow IPC stream shards under ``path``. Returns
+    the shard manifests (also persisted as ``_arrow_manifests.json``):
+    one row per shard with name, rows, bytes, sha256."""
+    import pandas as pd
+    import pyarrow as pa
+
+    from pyspark.sql.pandas.types import to_arrow_schema
+
+    if max_rows_per_shard < 1:
+        raise ValueError(f"max_rows_per_shard must be >= 1, got {max_rows_per_shard}")
+    os.makedirs(path, exist_ok=True)
+    arrow_schema = to_arrow_schema(df.schema)
+    cols = df.columns
+
+    def _write(batches):
+        from pyspark import TaskContext
+
+        part = TaskContext.get().partitionId()
+        roll = 0
+        pending: list[pa.Table] = []
+        n_pending = 0
+        out = []
+
+        def _flush():
+            # one shard = one record batch: byte-deterministic for a
+            # given row content, independent of how Spark sliced the
+            # incoming Arrow batches
+            nonlocal roll, pending, n_pending
+            if not n_pending:
+                return
+            tbl = pa.concat_tables(pending).combine_chunks()
+            name = f"shard-{part:05d}-{roll:03d}.arrow"
+            full = os.path.join(path, name)
+            with open(full, "wb") as fh, pa.ipc.new_stream(fh, arrow_schema) as w:
+                w.write_table(tbl, max_chunksize=max_rows_per_shard)
+            with open(full, "rb") as fh:
+                data = fh.read()
+            out.append(
+                {
+                    "shard": name,
+                    "rows": n_pending,
+                    "bytes": len(data),
+                    "sha256": hashlib.sha256(data).hexdigest(),
+                }
+            )
+            roll += 1
+            pending, n_pending = [], 0
+
+        for pdf in batches:
+            tbl = pa.Table.from_pandas(
+                pdf[cols], schema=arrow_schema, preserve_index=False
+            )
+            while tbl.num_rows:
+                take = min(max_rows_per_shard - n_pending, tbl.num_rows)
+                pending.append(tbl.slice(0, take))
+                n_pending += take
+                tbl = tbl.slice(take)
+                if n_pending >= max_rows_per_shard:
+                    _flush()
+        _flush()
+        if out:
+            yield pd.DataFrame(out)
+
+    manifests = df.mapInPandas(
+        _write, "shard string, rows long, bytes long, sha256 string"
+    ).collect()
+    rows = sorted((r.asDict() for r in manifests), key=lambda m: m["shard"])
+    with open(os.path.join(path, _MANIFEST), "w") as fh:
+        json.dump(rows, fh)
+    return rows
+
+
+def read_arrow_shards(
+    spark: SparkSession,
+    path: str,
+    verify: bool = True,
+) -> DataFrame:
+    """Scan every ``shard-*.arrow`` under ``path`` back into a
+    DataFrame — one task per shard, schema recovered from the first
+    shard's embedded Arrow schema. ``verify=True`` re-hashes each shard
+    against ``_arrow_manifests.json`` before decoding and raises on any
+    mismatch or on a shard the manifest doesn't know."""
+    import glob as _glob
+
+    import pyarrow as pa
+
+    from pyspark.sql.pandas.types import from_arrow_schema
+
+    shards = sorted(_glob.glob(os.path.join(path, "shard-*.arrow")))
+    if not shards:
+        raise ValueError(f"no arrow shards under {path}")
+    digests: dict[str, str] = {}
+    if verify:
+        mf = os.path.join(path, _MANIFEST)
+        if not os.path.exists(mf):
+            raise ValueError(
+                f"verify=True but {mf} is missing — pass verify=False to "
+                "read unmanifested shards"
+            )
+        with open(mf) as fh:
+            digests = {m["shard"]: m["sha256"] for m in json.load(fh)}
+    with open(shards[0], "rb") as fh:
+        arrow_schema = pa.ipc.open_stream(fh).schema
+    spark_schema = from_arrow_schema(arrow_schema)
+
+    dirs_df = spark.createDataFrame(
+        [(i, s) for i, s in enumerate(shards)], "i int, shard string"
+    ).repartitionByRange(len(shards), "i")
+
+    def _scan(batches):
+        for pdf in batches:
+            for shard in pdf["shard"]:
+                with open(shard, "rb") as fh:
+                    data = fh.read()
+                name = os.path.basename(shard)
+                if digests:
+                    want = digests.get(name)
+                    got = hashlib.sha256(data).hexdigest()
+                    if want is None:
+                        raise ValueError(
+                            f"{shard}: not in {_MANIFEST} — partial copy?"
+                        )
+                    if got != want:
+                        raise ValueError(
+                            f"{shard}: sha256 {got} != manifest {want} — "
+                            "corrupted or truncated shard"
+                        )
+                tbl = pa.ipc.open_stream(pa.BufferReader(data)).read_all()
+                if tbl.schema != arrow_schema:
+                    raise ValueError(
+                        f"{shard}: schema differs from {os.path.basename(shards[0])}"
+                    )
+                if tbl.num_rows:
+                    yield tbl.to_pandas()
+
+    return dirs_df.mapInPandas(_scan, spark_schema)

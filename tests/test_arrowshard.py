@@ -1,0 +1,96 @@
+"""Arrow IPC shards (sinks/arrowshard.py): round-trip incl. binary and
+array columns, rolling caps, deterministic bytes, manifest digests,
+corruption detection, schema recovery."""
+
+from __future__ import annotations
+
+import glob
+import json
+
+import pytest
+from pyspark.sql import functions as F
+
+from sstable_migrator_spark.sinks.arrowshard import (
+    read_arrow_shards,
+    write_arrow_shards,
+)
+
+
+def _df(spark, n=25):
+    return spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("text for "), F.col("id")).alias("text"),
+        F.encode(F.concat(F.lit("payload-"), F.col("id")), "utf-8").alias("blob"),
+        F.array(
+            (F.col("id") * 2).cast("float"), (F.col("id") * 3 + 1).cast("float")
+        ).alias("embedding"),
+    )
+
+
+def test_roundtrip_and_manifest(spark, tmp_path):
+    df = _df(spark).coalesce(2)
+    man = write_arrow_shards(df, str(tmp_path), max_rows_per_shard=10)
+    assert sum(m["rows"] for m in man) == 25
+    assert all(len(m["sha256"]) == 64 for m in man)
+    with open(tmp_path / "_arrow_manifests.json") as fh:
+        assert json.load(fh) == man
+    back = read_arrow_shards(spark, str(tmp_path))
+    assert back.schema == df.schema  # recovered from the embedded schema
+    got = {
+        r["doc_id"]: (r["text"], bytes(r["blob"]), list(r["embedding"]))
+        for r in back.collect()
+    }
+    want = {
+        r["doc_id"]: (r["text"], bytes(r["blob"]), list(r["embedding"]))
+        for r in df.collect()
+    }
+    assert got == want
+
+
+def test_rolling_cap(spark, tmp_path):
+    write_arrow_shards(_df(spark, 12).coalesce(1), str(tmp_path), max_rows_per_shard=5)
+    shards = sorted(glob.glob(str(tmp_path / "shard-*.arrow")))
+    assert len(shards) == 3  # 5 + 5 + 2
+    with pytest.raises(ValueError):
+        write_arrow_shards(_df(spark, 2), str(tmp_path / "x"), max_rows_per_shard=0)
+
+
+def test_deterministic_bytes(spark, tmp_path):
+    df = _df(spark, 8).coalesce(1).sortWithinPartitions("doc_id")
+    write_arrow_shards(df, str(tmp_path / "a"))
+    write_arrow_shards(df, str(tmp_path / "b"))
+    a = (tmp_path / "a" / "shard-00000-000.arrow").read_bytes()
+    b = (tmp_path / "b" / "shard-00000-000.arrow").read_bytes()
+    assert a == b
+
+
+def test_corruption_detected(spark, tmp_path):
+    write_arrow_shards(_df(spark, 6).coalesce(1), str(tmp_path), max_rows_per_shard=3)
+    shard = sorted(glob.glob(str(tmp_path / "shard-*.arrow")))[1]
+    data = bytearray(open(shard, "rb").read())
+    data[len(data) // 2] ^= 0xFF
+    with open(shard, "wb") as fh:
+        fh.write(data)
+    with pytest.raises(Exception, match="sha256|corrupted"):
+        read_arrow_shards(spark, str(tmp_path)).collect()
+    # verify=False must also refuse silently-wrong data only via Arrow
+    # framing; a mid-buffer flip may still decode, so the digest path is
+    # the contract — but missing manifest with verify=True fails loudly
+    (tmp_path / "_arrow_manifests.json").unlink()
+    with pytest.raises(ValueError, match="manifest|missing"):
+        read_arrow_shards(spark, str(tmp_path)).collect()
+
+
+def test_empty_and_unknown_shard(spark, tmp_path):
+    with pytest.raises(ValueError, match="no arrow shards"):
+        read_arrow_shards(spark, str(tmp_path))
+    # a shard on disk that the manifest doesn't know -> partial-copy guard
+    write_arrow_shards(_df(spark, 4).coalesce(1), str(tmp_path), max_rows_per_shard=2)
+    shards = sorted(glob.glob(str(tmp_path / "shard-*.arrow")))
+    with open(tmp_path / "_arrow_manifests.json") as fh:
+        man = json.load(fh)
+    with open(tmp_path / "_arrow_manifests.json", "w") as fh:
+        json.dump([m for m in man if m["shard"] != "shard-00000-001.arrow"], fh)
+    with pytest.raises(Exception, match="not in _arrow_manifests"):
+        read_arrow_shards(spark, str(tmp_path)).collect()
+    assert len(shards) == 2

@@ -80,6 +80,58 @@ def test_tar_shard_format(spark, tmp_path, sf_dir):
     assert a == b
 
 
+def test_arrow_shard_format(spark, tmp_path, sf_dir):
+    """The funnel's Arrow IPC output round-trips every chunk the
+    parquet form wrote — same curation, columnar trainer shards with
+    manifest digests; sequence export honors rows_per_shard."""
+    from pyspark.sql import functions as F
+
+    from sstable_migrator_spark.pipelines.corpus import (
+        build_training_corpus,
+        export_packed_sequences,
+    )
+    from sstable_migrator_spark.sinks.arrowshard import read_arrow_shards
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(60)
+    pq_dir, ar_dir = str(tmp_path / "pq"), str(tmp_path / "ar")
+    c1 = build_training_corpus(docs, pq_dir)
+    c2 = build_training_corpus(docs, ar_dir, shard_format="arrow")
+    assert c1 == c2
+    pq = spark.read.parquet(pq_dir)
+    back = read_arrow_shards(spark, ar_dir)
+    assert back.count() == pq.count()
+    a = sorted(r["chunk_text"] for r in back.collect())
+    b = sorted(r["chunk_text"] for r in pq.collect())
+    assert a == b
+
+    seq_docs = spark.range(20).select(
+        F.col("id").alias("doc_id"),
+        F.concat(
+            F.lit("doc"), F.col("id").cast("string"),
+            F.expr("repeat(' tok', CAST(id % 7 AS INT) + 1)"),
+        ).alias("text"),
+    )
+    sd = str(tmp_path / "seq")
+    stats = export_packed_sequences(
+        seq_docs, sd, seq_tokens=8, seed=3, shard_format="arrow",
+        rows_per_shard=4,
+    )
+    seqs = read_arrow_shards(spark, sd)
+    assert seqs.count() == stats["sequences"]
+    import glob as _glob
+    import json as _json
+
+    import pyarrow as pa
+
+    with open(f"{sd}/_arrow_manifests.json") as fh:
+        man = _json.load(fh)
+    assert all(m["rows"] <= 4 for m in man)
+    shard0 = sorted(_glob.glob(f"{sd}/shard-*.arrow"))[0]
+    with open(shard0, "rb") as fh:
+        names = pa.ipc.open_stream(fh).schema.names
+    assert "seq_id" in names and "seq_text" in names
+
+
 def test_export_packed_sequences_parquet_and_tar(spark, tmp_path):
     """Trainer-facing export: sequences land in stream order; the tar
     form round-trips with lexical keys == stream order; rebuilt stream
