@@ -71,6 +71,7 @@ def build_training_corpus(
     strip_spans_k: int | None = None,
     c4: bool = False,
     lsh_max_bucket: int | None = None,
+    near_dup_policy: str = "canonical",
 ) -> dict[str, int]:
     """Run the curation funnel and write chunk shards to ``out_dir``
     (``shard_format="parquet"``: partitioned by shard_id — the default
@@ -90,7 +91,18 @@ def build_training_corpus(
     ``c4=True`` runs the published C4 line-cleaning recipe
     (operators.gopher.c4_clean) FIRST — line drops + page drops — so
     every later stage judges the cleaned text.
+
+    ``near_dup_policy``: which copy survives a near-dup cluster —
+    ``"canonical"`` (min id, the duplicate_clusters default) or
+    ``"keep_best"`` (highest quality_score, ties -> smallest id — the
+    dedup_keep_best policy, computed here on |dups|-sized tables only:
+    cluster labels broadcast into the corpus, argmax over members).
     """
+    if near_dup_policy not in ("canonical", "keep_best"):
+        raise ValueError(
+            f"near_dup_policy must be 'canonical' or 'keep_best', "
+            f"got {near_dup_policy!r}"
+        )
     spark = docs.sparkSession
     obs = {
         k: Observation(k)
@@ -135,9 +147,25 @@ def build_training_corpus(
         exact, jaccard_threshold=0.5, max_bucket=lsh_max_bucket
     )
     clusters = dedup.duplicate_clusters(pairs)
-    losers = clusters.filter(~F.col("is_canonical")).select(
-        F.col("doc_id").cast("long").alias("doc_id")
-    )
+    if near_dup_policy == "keep_best":
+        # keep-best survivor: quality argmax over cluster MEMBERS only
+        # — the cluster label table is |dups|-sized, so it broadcasts
+        # into the corpus and every aggregate below stays |dups|-sized
+        members = exact.join(
+            F.broadcast(clusters.select("doc_id", "cluster_id")), "doc_id"
+        ).select("doc_id", "cluster_id", quality_score(F.col("text")).alias("_q"))
+        winners = members.groupBy("cluster_id").agg(
+            F.max(
+                F.struct(F.col("_q"), (-F.col("doc_id")).alias("nid"))
+            ).alias("_b")
+        ).select("cluster_id", (-F.col("_b.nid")).alias("doc_id"))
+        losers = members.select("doc_id", "cluster_id").join(
+            winners, ["cluster_id", "doc_id"], "left_anti"
+        ).select("doc_id")
+    else:
+        losers = clusters.filter(~F.col("is_canonical")).select(
+            F.col("doc_id").cast("long").alias("doc_id")
+        )
     kept = exact.join(F.broadcast(losers), "doc_id", "left_anti")
     # near_dup_kept = exact - losers, counted on the TINY cluster-loser
     # table (|dups|-sized by this stage's own broadcast argument), not

@@ -42,6 +42,47 @@ def test_full_funnel(spark, sf_dir, tmp_path):
     assert all(r["t"] <= 500 + max_chunk for r in per_shard), per_shard
 
 
+def test_funnel_keep_best_policy(spark, sf_dir, tmp_path):
+    """near_dup_policy='keep_best': the SURVIVOR of a planted near-dup
+    cluster is the higher-quality copy even when it has the larger id
+    (the canonical policy would keep the smaller id); stage counts are
+    identical between policies (same clusters, one survivor each)."""
+    import pytest as _pytest
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    base = docs.limit(40)
+    # perturbed copy with HIGHER quality: append well-formed prose so
+    # quality_score rises; id is larger so canonical would drop it
+    near_dup = base.limit(4).select(
+        (F.col("doc_id") + 200000).alias("doc_id"),
+        # 8 stopword tokens: strictly raises quality_score (length +
+        # stopword terms) while keeping shingle-Jaccard with the
+        # original far above the 0.5 pairing threshold
+        F.concat("text", F.lit(" and the of to is in it you")).alias("text"),
+        "lang", "source", "n_chars",
+    )
+    corpus = base.unionByName(near_dup)
+    out_c = str(tmp_path / "canon")
+    out_b = str(tmp_path / "best")
+    c1 = build_training_corpus(corpus, out_c, quality_min=0.0, shard_tokens=500)
+    c2 = build_training_corpus(
+        corpus, out_b, quality_min=0.0, shard_tokens=500,
+        near_dup_policy="keep_best",
+    )
+    assert c1["near_dup_kept"] == c2["near_dup_kept"]
+    canon_ids = {r["doc_id"] for r in spark.read.parquet(out_c).select("doc_id").distinct().collect()}
+    best_ids = {r["doc_id"] for r in spark.read.parquet(out_b).select("doc_id").distinct().collect()}
+    planted = {r["doc_id"] for r in near_dup.select("doc_id").collect()}
+    # canonical keeps the originals; keep-best keeps the enriched copies
+    assert not (canon_ids & planted)
+    flipped = best_ids & planted
+    assert flipped, "keep_best kept no planted higher-quality copy"
+    # each flip evicts its original
+    assert all((d - 200000) not in best_ids for d in flipped)
+    with _pytest.raises(ValueError):
+        build_training_corpus(corpus, str(tmp_path / "x"), near_dup_policy="bogus")
+
+
 def test_quality_score_matches_tx(spark, sf_dir):
     """Drift guard: the pipeline's staged quality expression must stay
     bit-identical to functions.text.quality_score (the form the
