@@ -653,6 +653,64 @@ def duplicate_clusters(
     )
 
 
+def lsh_plan(
+    jaccard_threshold: float,
+    num_hashes: int = 16,
+    max_bands: int | None = None,
+) -> dict:
+    """Pick LSH banding for a target Jaccard threshold — the parameter
+    question every MinHash deployment answers before running
+    ``minhash_lsh_pairs``: with b bands of r rows the collision
+    probability is ``p(s) = 1 - (1 - s^r)^b``, an S-curve whose
+    midpoint sits near ``(1/b)^(1/r)``. This chooses, among the exact
+    divisors of ``num_hashes`` (optionally capped by ``max_bands``),
+    the banding whose midpoint lands closest to the target — then
+    reports what that banding actually does: collision probability AT
+    the threshold, at 0.1 below (false-positive pressure on the band
+    join) and 0.1 above (recall headroom). Driver-side pure function,
+    O(divisors); no cluster work. Returns ``{bands, rows_per_band,
+    midpoint, p_at_threshold, p_below, p_above}``.
+
+    Use the probabilities to size the verify stage: p_below is the
+    fraction of just-under-threshold pairs the band join will emit as
+    candidates (they cost signature comparisons, not text), p_above is
+    the worst-case recall floor for pairs just over it. q164 measures
+    the realized recall/precision of the default (16, 4) plan."""
+    if not 0.0 < jaccard_threshold < 1.0:
+        raise ValueError(
+            f"jaccard_threshold must be in (0, 1), got {jaccard_threshold}"
+        )
+    if num_hashes < 2:
+        raise ValueError(f"num_hashes must be >= 2, got {num_hashes}")
+
+    def p_collide(s: float, b: int, r: int) -> float:
+        return 1.0 - (1.0 - s**r) ** b
+
+    best = None
+    for b in range(1, num_hashes + 1):
+        if num_hashes % b:
+            continue
+        if max_bands is not None and b > max_bands:
+            continue
+        r = num_hashes // b
+        if r < 1:
+            continue
+        mid = (1.0 / b) ** (1.0 / r)
+        key = (abs(mid - jaccard_threshold), b)  # ties -> fewer bands
+        if best is None or key < best[0]:
+            best = (key, b, r, mid)
+    _, b, r, mid = best
+    t = jaccard_threshold
+    return {
+        "bands": b,
+        "rows_per_band": r,
+        "midpoint": mid,
+        "p_at_threshold": p_collide(t, b, r),
+        "p_below": p_collide(max(t - 0.1, 0.0), b, r),
+        "p_above": p_collide(min(t + 0.1, 1.0), b, r),
+    }
+
+
 def dedup_keep_best(
     docs: DataFrame,
     pairs: DataFrame,

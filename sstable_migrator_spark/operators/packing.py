@@ -58,6 +58,7 @@ __all__ = [
     "curriculum_shuffle",
     "deterministic_shuffle",
     "mixture_budgets",
+    "pack_documents_greedy",
     "pack_sequences",
     "pack_sequence_texts",
     "systematic_sample",
@@ -546,4 +547,144 @@ def systematic_sample_per_group(
         .withColumn("n_picks", (picks(F.col("_incl")) - picks(excl)).cast("long"))
         .filter(F.col("n_picks") >= 1)
         .select(id_col, group_col, weight_col, "n_picks")
+    )
+
+
+def pack_documents_greedy(
+    docs: DataFrame,
+    seq_tokens: int,
+    seed: int = 0,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    tokens_col: str | None = None,
+    overflow: str = "flag",
+    parts: int | None = None,
+    portable: bool = True,
+) -> DataFrame:
+    """WHOLE-DOCUMENT greedy packing — the SFT/instruction-tuning
+    layout, where a document must NEVER straddle a sequence boundary
+    (``pack_sequences`` is the pretraining concat-and-chunk form that
+    deliberately splits): documents march in the deterministic
+    hash-shuffled stream order and a new sequence starts whenever the
+    next document doesn't fit the ``seq_tokens`` budget. Sequences are
+    therefore under-full by design; the trainer pads the remainder.
+    Returns ``(id, n_tokens, seq_id, seq_offset)``.
+
+    Documents LONGER than the budget, per ``overflow``: ``"flag"``
+    (default) assigns ``seq_id = -1`` so the caller can count, route,
+    or truncate them explicitly — never a silent drop; ``"truncate"``
+    charges exactly ``seq_tokens`` to the budget (the caller truncates
+    the text to match); ``"error"`` raises in the kernel with the
+    offending id.
+
+    Scale shape: greedy first-fit is inherently sequential, so it runs
+    as ONE range exchange on the shuffle key followed by an
+    Arrow-batched per-partition scan (state = one running counter).
+    Each PARTITION starts its own fresh sequence — the cross-partition
+    stitch would serialize the whole corpus for at most one underfull
+    sequence per partition (waste bounded by partitions * seq_tokens
+    tokens, negligible against a 100 TB stream and stated here rather
+    than hidden). Global sequence ids come from an O(partitions)
+    driver exchange of per-partition sequence counts — the same
+    two-phase discipline as ``global_prefix_sum``. Determinism: the
+    stream order is the pure (corpus, seed) permutation, and the
+    partition boundaries are pinned by ``parts`` (pass it explicitly
+    when re-runs must agree across different cluster sizes)."""
+    import pandas as pd
+
+    if seq_tokens < 1:
+        raise ValueError(f"seq_tokens must be >= 1, got {seq_tokens}")
+    if overflow not in ("flag", "truncate", "error"):
+        raise ValueError(
+            f"overflow must be 'flag', 'truncate', or 'error', got {overflow!r}"
+        )
+    n_tok = (
+        F.size(F.col(tokens_col)) if tokens_col else TX.token_count(F.col(text_col))
+    ).cast("long")
+    df = (
+        docs.select(F.col(id_col), n_tok.alias("n_tokens"))
+        .filter(F.col("n_tokens") >= 1)
+        .withColumn("_sk", _shuffle_key(id_col, seed, portable))
+    )
+    parts = parts or df.sparkSession.sparkContext.defaultParallelism
+    staged = df.repartitionByRange(parts, "_sk", id_col).sortWithinPartitions(
+        "_sk", id_col
+    )
+    id_type = docs.schema[id_col].dataType.simpleString()
+
+    def _greedy(batches):
+        from pyspark import TaskContext
+
+        part = TaskContext.get().partitionId()
+        local_seq = 0
+        used = 0
+        opened = False
+        for pdf in batches:
+            ids, ns, parts_c, seqs, offs = [], [], [], [], []
+            for idv, n in zip(pdf[id_col], pdf["n_tokens"]):
+                n = int(n)
+                if n > seq_tokens:
+                    if overflow == "error":
+                        raise ValueError(
+                            f"document {idv!r} has {n} tokens > "
+                            f"seq_tokens={seq_tokens}"
+                        )
+                    if overflow == "flag":
+                        ids.append(idv); ns.append(n)
+                        parts_c.append(part); seqs.append(-1); offs.append(0)
+                        continue
+                    n = seq_tokens  # truncate
+                if opened and used + n > seq_tokens:
+                    local_seq += 1
+                    used = 0
+                opened = True
+                ids.append(idv); ns.append(n)
+                parts_c.append(part); seqs.append(local_seq); offs.append(used)
+                used += n
+            yield pd.DataFrame(
+                {
+                    id_col: ids,
+                    "n_tokens": ns,
+                    "_part": parts_c,
+                    "_lseq": seqs,
+                    "seq_offset": offs,
+                }
+            )
+
+    packed = staged.mapInPandas(
+        _greedy,
+        f"{id_col} {id_type}, n_tokens long, _part int, _lseq long, "
+        "seq_offset long",
+    ).localCheckpoint()
+    # O(partitions) driver exchange: per-partition sequence counts ->
+    # exclusive offsets (flagged rows don't open sequences)
+    counts = {
+        r["_part"]: int(r["c"])
+        for r in packed.filter(F.col("_lseq") >= 0)
+        .groupBy("_part")
+        .agg((F.max("_lseq") + 1).alias("c"))
+        .collect()
+    }
+    offsets, run = {}, 0
+    for p in sorted(counts):
+        offsets[p] = run
+        run += counts[p]
+    spark = docs.sparkSession
+    odf = F.broadcast(
+        spark.createDataFrame(
+            [(p, o) for p, o in offsets.items()] or [(0, 0)],
+            "_part int, _off long",
+        )
+    )
+    return (
+        packed.join(odf, "_part", "left")
+        .select(
+            id_col,
+            "n_tokens",
+            F.when(F.col("_lseq") < 0, F.lit(-1))
+            .otherwise(F.col("_lseq") + F.coalesce("_off", F.lit(0)))
+            .cast("long")
+            .alias("seq_id"),
+            "seq_offset",
+        )
     )

@@ -11653,7 +11653,13 @@ _DRIVER_PRIORITY: list[str] = [
     "q190_incremental_dedup_state",
     "q138_span_dedup",
     "q139_dsir_importance",
-    "q145_dup_clusters_star",
+    # q145_dup_clusters_star rotated to local-harness coverage in round
+    # 8 (it bit-agrees with q58 by test, and the component machinery
+    # keeps in-head driver evidence via the slot's replacement, which
+    # RUNS duplicate_clusters end-to-end); the slot carries the
+    # KEEP-BEST survivor policy — clusters + per-cluster quality argmax,
+    # the decision a production dedup actually ships
+    "q218_dedup_keep_best",
     # q47_lang_id rotated to local-harness coverage in round 5 (the
     # text-heuristic family keeps in-head evidence via
     # q48_quality_score and the learned q181); the slot carries BM25
@@ -11717,7 +11723,11 @@ _DRIVER_PRIORITY: list[str] = [
     # the multimodal dedup triad's first oracle-gated member (hamming-0
     # pairs by construction; q192 audio sibling is local-harness)
     "q191_image_phash_pairs",
-    "q79_decontaminate",
+    # q79_decontaminate rotated to local-harness coverage in round 8:
+    # the slot carries decontamination by SPAN DELETION — the same
+    # broadcast eval-shingle probe PLUS the span cut and string rebuild
+    # hash-gated, strictly more machinery under the same gate
+    "q219_decontaminate_spans",
     # q83_semdedup rotated to local-harness coverage in round 6 (the
     # embedding-similarity family keeps in-head driver evidence via
     # q55_ann_lsh and q165_ann_recall, which exercise the same

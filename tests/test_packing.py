@@ -502,3 +502,79 @@ def test_curriculum_shuffle_orders_by_key_then_hash(spark):
         key=lambda r: r["position"],
     )
     assert [r["q"] for r in asc] == sorted(keys)
+
+
+def test_pack_documents_greedy(spark):
+    """Whole-document greedy packing (SFT layout): no doc straddles a
+    boundary, sequences never exceed budget, parts=1 matches a
+    pure-Python first-fit reference over the same hash order, oversize
+    docs are flagged -1 (never dropped) or truncated or raised."""
+    import hashlib
+
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from sstable_migrator_spark.operators.packing import pack_documents_greedy
+
+    S, seed = 16, 7
+    rows = [(i, "tok " * ((i * 13) % 11 + 1)) for i in range(40)]
+    rows.append((100, "big " * 30))  # oversize: 30 > 16
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    got = {
+        r["doc_id"]: r
+        for r in pack_documents_greedy(
+            docs, S, seed=seed, parts=1
+        ).collect()
+    }
+    # pure-Python reference: same (md5(seed|id) hex15, id) order
+    def hkey(i):
+        return (int(hashlib.md5(f"{seed}|{i}".encode()).hexdigest()[:15], 16), i)
+
+    order = sorted((i for i, _ in rows), key=hkey)
+    lens = {i: len(t.split()) for i, t in rows}
+    want, used, seq = {}, 0, 0
+    opened = False
+    for i in order:
+        n = lens[i]
+        if n > S:
+            want[i] = (-1, 0)
+            continue
+        if opened and used + n > S:
+            seq += 1
+            used = 0
+        opened = True
+        want[i] = (seq, used)
+        used += n
+    assert {i: (r["seq_id"], r["seq_offset"]) for i, r in got.items()} == want
+    assert got[100]["seq_id"] == -1 and got[100]["n_tokens"] == 30
+
+    # multi-partition: budget respected per sequence, all docs present,
+    # offsets consistent within each sequence, deterministic re-run
+    out = pack_documents_greedy(docs, S, seed=seed, parts=3)
+    rows2 = out.collect()
+    assert {r["doc_id"] for r in rows2} == {i for i, _ in rows}
+    per_seq = {}
+    for r in rows2:
+        if r["seq_id"] >= 0:
+            per_seq.setdefault(r["seq_id"], []).append(r)
+    for seq_rows in per_seq.values():
+        seq_rows.sort(key=lambda r: r["seq_offset"])
+        total = sum(r["n_tokens"] for r in seq_rows)
+        assert total <= S
+        off = 0
+        for r in seq_rows:
+            assert r["seq_offset"] == off
+            off += r["n_tokens"]
+    again = sorted(tuple(r) for r in pack_documents_greedy(docs, S, seed=seed, parts=3).collect())
+    assert again == sorted(tuple(r) for r in rows2)
+
+    # truncate: oversize charged exactly S; error: loud
+    tr = {r["doc_id"]: r for r in pack_documents_greedy(docs, S, seed=seed, parts=1, overflow="truncate").collect()}
+    assert tr[100]["seq_id"] >= 0 and tr[100]["seq_offset"] == 0
+    with _pytest.raises(Exception, match="seq_tokens"):
+        pack_documents_greedy(docs, S, overflow="error").collect()
+    with _pytest.raises(ValueError):
+        pack_documents_greedy(docs, 0)
+    with _pytest.raises(ValueError):
+        pack_documents_greedy(docs, S, overflow="maybe")
