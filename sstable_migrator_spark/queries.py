@@ -11575,6 +11575,64 @@ QUERIES.update({"q220_topic_balanced_sample": q_topic_balanced_sample})
 ORACLES.update({"q220_topic_balanced_sample": _sql_topic_balanced_sample()})
 
 
+def q_contamination_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PER-SOURCE contamination report — q79's per-doc flags rolled up
+    to the acquisition decision they inform ("which SOURCE leaks the
+    benchmark, and how badly"): for every corpus source, how many
+    documents, how many contaminated, and the total shingle hits. One
+    extra shuffle beyond q79 (the source rollup moves 3 longs per doc);
+    the eval probe stays the same broadcast. At 100 TB this is the
+    report a data lead reads before dropping or re-filtering a source."""
+    from sstable_migrator_spark.operators.dedup import contamination_flags
+
+    docs = _dense(spark, _t(spark, sf_dir, "documents"))
+    flags = contamination_flags(
+        docs.filter(F.col("doc_id") % 97 != 0),
+        docs.filter(F.col("doc_id") % 97 == 0),
+        shingle_k=5,
+    )
+    src = _t(spark, sf_dir, "documents").select("doc_id", "source")
+    return (
+        flags.join(src, "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.col("contaminated").cast("long")).alias("n_contaminated"),
+            F.sum("n_hits").alias("n_hits"),
+        )
+    )
+
+
+SQL_CONTAMINATION_REPORT = f"""
+WITH sh AS (
+  SELECT doc_id, unnest(list_transform(
+      generate_series(1, greatest(nt - 4, 1)),
+      i -> array_to_string(toks[i:least(i + 4, nt)], ' '))) AS s
+  FROM (SELECT doc_id, toks, len(toks) AS nt
+        FROM (SELECT doc_id, string_split({{SQL_NORM}}, ' ') AS toks
+              FROM documents))),
+ev AS (SELECT DISTINCT s FROM sh WHERE doc_id % 97 = 0),
+corpus AS (SELECT doc_id, s FROM sh WHERE doc_id % 97 <> 0),
+flags AS (
+  SELECT corpus.doc_id,
+         CAST(count(ev.s) AS BIGINT) AS n_hits,
+         (count(ev.s) > 0) AS contaminated
+  FROM corpus LEFT JOIN ev ON corpus.s = ev.s
+  GROUP BY corpus.doc_id)
+SELECT d.source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(CASE WHEN f.contaminated THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_contaminated,
+       CAST(sum(f.n_hits) AS BIGINT) AS n_hits
+FROM flags f JOIN documents d USING (doc_id)
+GROUP BY d.source
+""".replace("{SQL_NORM}", SQL_NORM)
+
+
+QUERIES.update({"q221_contamination_report": q_contamination_report})
+ORACLES.update({"q221_contamination_report": SQL_CONTAMINATION_REPORT})
+
+
 # ---------------------------------------------------------------------------
 # Driver-sample ordering.
 #
