@@ -30,6 +30,7 @@ __all__ = [
     "quality_score",
     "build_training_corpus",
     "export_packed_sequences",
+    "export_sft_sequences",
     "export_training_epochs",
     "read_epoch_sequences",
     "verify_epoch",
@@ -338,6 +339,130 @@ def export_packed_sequences(
     else:
         raise ValueError(f"unknown shard_format {shard_format!r}")
     return {"sequences": int(agg["n"]), "tokens": int(agg["t"] or 0)}
+
+
+def export_sft_sequences(
+    docs: DataFrame,
+    out_dir: str,
+    seq_tokens: int = 2048,
+    seed: int = 0,
+    rows_per_shard: int = 10000,
+    shard_format: str = "parquet",
+    separator: str = " ",
+    overflow: str = "flag",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    parts: int | None = None,
+    portable: bool = True,
+) -> dict:
+    """The SFT/instruction-tuning sibling of ``export_packed_sequences``:
+    sequences assembled by WHOLE-DOCUMENT greedy packing
+    (``packing.pack_documents_greedy`` — a document never straddles a
+    boundary; the trainer pads the remainder instead of masking
+    mid-document splits). Each output row is one sequence:
+    ``(seq_id, seq_text, n_docs, n_tokens)`` with members joined by
+    ``separator`` in offset order. ``overflow="flag"`` (default)
+    EXCLUDES oversize documents from assembly and reports them in the
+    returned counts — never a silent drop; ``"truncate"`` cuts their
+    text to the first ``seq_tokens`` whitespace tokens; ``"error"``
+    raises. Returns ``{sequences, tokens, docs, oversize, pad_tokens}``
+    (``pad_tokens = sequences * seq_tokens - tokens`` — the padding the
+    layout costs, the number an SFT data lead actually watches).
+
+    Plan: the greedy layout (one range exchange + per-partition scan),
+    one id-keyed join to bring the text back, one seq-keyed agg to
+    assemble — text moves twice, which is the floor for materializing
+    reordered sequences. Shards land like the packed export: parquet
+    range-partitioned by seq_id, or tar/arrow via the shared sinks."""
+    from sstable_migrator_spark.operators.packing import pack_documents_greedy
+
+    layout = pack_documents_greedy(
+        docs,
+        seq_tokens,
+        seed=seed,
+        id_col=id_col,
+        text_col=text_col,
+        overflow=overflow,
+        parts=parts,
+        portable=portable,
+    ).localCheckpoint()
+    oversize = layout.filter(F.col("seq_id") < 0).count()
+    body = F.col("_t")
+    if overflow == "truncate":
+        # rewrite ONLY genuinely-oversize docs (the slice+rejoin
+        # normalizes whitespace; in-budget docs keep their bytes)
+        body = F.when(
+            TX.token_count(F.col("_t")) > seq_tokens,
+            F.array_join(F.slice(TX.tokens(F.col("_t")), 1, seq_tokens), " "),
+        ).otherwise(F.col("_t"))
+    assembled = (
+        layout.filter(F.col("seq_id") >= 0)
+        .join(docs.select(F.col(id_col), F.col(text_col).alias("_t")), id_col)
+        .select(
+            "seq_id",
+            "n_tokens",
+            F.struct(F.col("seq_offset"), body.alias("_t")).alias("_m"),
+        )
+        .groupBy("seq_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list("_m")), lambda m: m["_t"]
+                ),
+                separator,
+            ).alias("seq_text"),
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("n_tokens"),
+        )
+    ).localCheckpoint()
+    agg = assembled.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("n_tokens").alias("t"),
+        F.sum("n_docs").alias("d"),
+    ).first()
+    if shard_format == "parquet":
+        (
+            assembled.repartitionByRange(F.col("seq_id"))
+            .sortWithinPartitions("seq_id")
+            .write.mode("overwrite")
+            .parquet(out_dir)
+        )
+    elif shard_format == "tar":
+        from sstable_migrator_spark.sinks.tarshard import write_tar_shards
+
+        tagged = (
+            assembled.repartitionByRange(F.col("seq_id"))
+            .sortWithinPartitions("seq_id")
+            .select(
+                F.concat(
+                    F.lit("seq-"), F.lpad(F.col("seq_id").cast("string"), 12, "0")
+                ).alias("_key"),
+                F.col("seq_text").alias("txt"),
+            )
+        )
+        write_tar_shards(
+            tagged, out_dir, "_key", ["txt"], max_rows_per_shard=rows_per_shard
+        )
+    elif shard_format == "arrow":
+        from sstable_migrator_spark.sinks.arrowshard import write_arrow_shards
+
+        write_arrow_shards(
+            assembled.repartitionByRange(F.col("seq_id")).sortWithinPartitions(
+                "seq_id"
+            ),
+            out_dir,
+            max_rows_per_shard=rows_per_shard,
+        )
+    else:
+        raise ValueError(f"unknown shard_format {shard_format!r}")
+    n_seq, total = int(agg["n"]), int(agg["t"] or 0)
+    return {
+        "sequences": n_seq,
+        "tokens": total,
+        "docs": int(agg["d"] or 0),
+        "oversize": int(oversize),
+        "pad_tokens": n_seq * seq_tokens - total,
+    }
 
 
 def export_training_epochs(

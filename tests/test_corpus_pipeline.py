@@ -1011,3 +1011,61 @@ def test_epoch_shard_digests_detect_corruption(spark, tmp_path):
     json.dump(m, open(os.path.join(out, "_manifest.json"), "w"))
     with _pytest.raises(ValueError, match="predates shard digests"):
         verify_epoch(spark, out, 0)
+
+
+def test_export_sft_sequences(spark, tmp_path):
+    """SFT export: whole docs only per sequence (no straddle), token
+    budget respected, pad accounting exact, oversize flagged vs
+    truncated, arrow shards round-trip."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from sstable_migrator_spark.functions import text as TX
+    from sstable_migrator_spark.pipelines.corpus import export_sft_sequences
+    from sstable_migrator_spark.sinks.arrowshard import read_arrow_shards
+
+    S = 12
+    rows = [(i, " ".join(f"d{i}t{j}" for j in range((i * 5) % 7 + 2))) for i in range(30)]
+    rows.append((99, " ".join(f"big{j}" for j in range(20))))  # oversize
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    out = str(tmp_path / "sft")
+    stats = export_sft_sequences(docs, out, seq_tokens=S, seed=4, parts=2)
+    assert stats["oversize"] == 1
+    assert stats["docs"] == 30
+    seqs = spark.read.parquet(out)
+    assert seqs.count() == stats["sequences"]
+    got = seqs.select(
+        "seq_id", "n_docs", "n_tokens",
+        TX.token_count(F.col("seq_text")).alias("real"),
+    ).collect()
+    assert all(r["n_tokens"] == r["real"] for r in got)
+    assert all(r["n_tokens"] <= S for r in got)
+    assert sum(r["n_tokens"] for r in got) == stats["tokens"]
+    assert stats["pad_tokens"] == stats["sequences"] * S - stats["tokens"]
+    # every doc token appears exactly once across all sequences
+    all_toks = " ".join(r["seq_text"] for r in seqs.collect()).split()
+    want_toks = [t for i, txt in rows if i != 99 for t in txt.split()]
+    assert sorted(all_toks) == sorted(want_toks)
+
+    # truncate: the oversize doc joins, charged exactly S
+    out2 = str(tmp_path / "sft_trunc")
+    st2 = export_sft_sequences(
+        docs, out2, seq_tokens=S, seed=4, parts=2, overflow="truncate"
+    )
+    assert st2["oversize"] == 0 and st2["docs"] == 31
+    tr = spark.read.parquet(out2)
+    big = tr.filter(F.col("seq_text").contains("big0")).first()
+    assert big["n_tokens"] <= S
+    assert "big11" in big["seq_text"] and "big12" not in big["seq_text"]
+
+    # arrow shards round-trip with the same rows
+    out3 = str(tmp_path / "sft_arrow")
+    st3 = export_sft_sequences(
+        docs, out3, seq_tokens=S, seed=4, parts=2, shard_format="arrow",
+        rows_per_shard=5,
+    )
+    back = read_arrow_shards(spark, out3)
+    assert back.count() == st3["sequences"]
+    with _pytest.raises(ValueError):
+        export_sft_sequences(docs, str(tmp_path / "x"), shard_format="nope")
