@@ -11633,6 +11633,45 @@ QUERIES.update({"q221_contamination_report": q_contamination_report})
 ORACLES.update({"q221_contamination_report": SQL_CONTAMINATION_REPORT})
 
 
+def q_unicode_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unicode NFC normalization (operators.normalize.normalize_unicode
+    — the dedup-key prerequisite: precomposed and combining-mark forms
+    of the same visible text must hash identically before any
+    fingerprint stage). Fixture plants DENORMAL twins of 25 documents
+    (ids +8000, prefixed with 'cafe' + U+0301 — e plus COMBINING ACUTE):
+    normalization must rewrite exactly the planted rows (combining pair
+    -> U+00E9) and flag them changed, byte-for-byte what DuckDB's
+    nfc_normalize computes; every base row passes through unchanged.
+    Map-only Arrow kernel, no shuffle."""
+    from sstable_migrator_spark.operators.normalize import normalize_unicode
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    planted = docs.filter(F.col("doc_id") < 25).select(
+        (F.col("doc_id") + 8000).alias("doc_id"),
+        # DECOMPOSED on purpose: "e" + U+0301 combining acute, the form
+        # NFC must fuse to U+00E9 (an explicit escape so no editor
+        # or VCS normalization can silently break the fixture)
+        F.concat(F.lit("cafe\u0301 "), F.col("text")).alias("text"),
+    )
+    return normalize_unicode(docs.unionByName(planted), form="NFC")
+
+
+SQL_UNICODE_NORMALIZE = """
+WITH src AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 8000, 'cafe' || chr(769) || ' ' || text
+  FROM documents WHERE doc_id < 25)
+SELECT doc_id, nfc_normalize(text) AS text,
+       (text <> nfc_normalize(text)) AS changed
+FROM src
+"""
+
+
+QUERIES.update({"q222_unicode_normalize": q_unicode_normalize})
+ORACLES.update({"q222_unicode_normalize": SQL_UNICODE_NORMALIZE})
+
+
 # ---------------------------------------------------------------------------
 # Driver-sample ordering.
 #

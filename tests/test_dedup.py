@@ -743,3 +743,36 @@ def test_lsh_plan():
         lsh_plan(0.0)
     with _pytest.raises(ValueError):
         lsh_plan(0.5, num_hashes=1)
+
+
+def test_normalize_unicode(spark):
+    """NFC/NFKC normalization: combining pairs fuse, compatibility
+    forms fold only under NFKC, NULLs pass, non-text columns survive,
+    invalid form/column raise — and the dedup motivation holds: the
+    two forms of the same text fingerprint identically after."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from sstable_migrator_spark.operators.normalize import normalize_unicode
+
+    rows = [
+        (1, "cafe\u0301 menu", "a"),   # decomposed -> changes
+        (2, "caf\u00e9 menu", "b"),    # precomposed -> unchanged
+        (3, "\uff11\uff12 fullwidth", "c"),  # NFKC-only fold
+        (4, None, "d"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, tag string")
+    nfc = {r["doc_id"]: r for r in normalize_unicode(docs, "NFC").collect()}
+    assert nfc[1]["changed"] and nfc[1]["text"] == "caf\u00e9 menu"
+    assert not nfc[2]["changed"]
+    assert not nfc[3]["changed"]  # NFC keeps fullwidth digits
+    assert nfc[4]["text"] is None and not nfc[4]["changed"]
+    assert all(nfc[i]["tag"] == t for i, t in ((1, "a"), (4, "d")))
+    # post-normalization the two spellings hash identically
+    assert nfc[1]["text"] == nfc[2]["text"]
+    nfkc = {r["doc_id"]: r for r in normalize_unicode(docs, "NFKC").collect()}
+    assert nfkc[3]["changed"] and nfkc[3]["text"] == "12 fullwidth"
+    with _pytest.raises(ValueError):
+        normalize_unicode(docs, "NFX")
+    with _pytest.raises(ValueError):
+        normalize_unicode(docs, text_col="nope")
