@@ -73,6 +73,7 @@ def build_training_corpus(
     c4: bool = False,
     lsh_max_bucket: int | None = None,
     near_dup_policy: str = "canonical",
+    unicode_form: str | None = None,
 ) -> dict[str, int]:
     """Run the curation funnel and write chunk shards to ``out_dir``
     (``shard_format="parquet"``: partitioned by shard_id — the default
@@ -93,6 +94,11 @@ def build_training_corpus(
     (operators.gopher.c4_clean) FIRST — line drops + page drops — so
     every later stage judges the cleaned text.
 
+    ``unicode_form`` (e.g. ``"NFC"``): Unicode-normalize the text
+    BEFORE any hash-keyed stage, so denormal spellings of the same
+    visible text collide at exact dedup instead of surviving as
+    byte-distinct duplicates.
+
     ``near_dup_policy``: which copy survives a near-dup cluster —
     ``"canonical"`` (min id, the duplicate_clusters default) or
     ``"keep_best"`` (highest quality_score, ties -> smallest id — the
@@ -111,6 +117,13 @@ def build_training_corpus(
     }
 
     staged = docs.observe(obs["input"], F.count(F.lit(1)).alias("n"))
+    if unicode_form is not None:
+        # normalization runs FIRST — every hash-keyed stage downstream
+        # (exact fingerprints, shingles, LSH signatures) must see one
+        # byte form per visible text or denormal duplicates survive
+        from sstable_migrator_spark.operators.normalize import normalize_unicode
+
+        staged = normalize_unicode(staged, form=unicode_form).drop("changed")
     if c4:
         # C4 line cleaning FIRST (it rewrites text): lines without
         # terminal punctuation / under 5 words / javascript vanish,

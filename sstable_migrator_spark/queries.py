@@ -11672,6 +11672,85 @@ QUERIES.update({"q222_unicode_normalize": q_unicode_normalize})
 ORACLES.update({"q222_unicode_normalize": SQL_UNICODE_NORMALIZE})
 
 
+def q_script_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document SCRIPT profile — the gate that runs BEFORE lang-id
+    in a multilingual pipeline (stopword lang-id is meaningless on the
+    wrong script; a CJK page in an 'en' bucket is a routing bug):
+    counts of Latin letters, CJK unified ideographs, Cyrillic letters,
+    ASCII digits, and the dominant script by count (ties: the fixed
+    latin > cjk > cyrillic > other order). Counts come from
+    regexp_replace-strip + length differences — pure whole-stage-codegen
+    expressions, map-only, zero shuffles; the DuckDB twin runs the same
+    REGEXES. Fixture plants CJK and Cyrillic rows (ids +8500/+8600)
+    since the corpus is Latin-only."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    planted_cjk = docs.filter(F.col("doc_id") < 20).select(
+        (F.col("doc_id") + 8500).alias("doc_id"),
+        F.concat(F.lit("\u6587\u672c\u89e3\u6790 "), F.col("text")).alias("text"),
+    )
+    planted_cyr = docs.filter(F.col("doc_id") < 20).select(
+        (F.col("doc_id") + 8600).alias("doc_id"),
+        F.concat(F.lit("\u0442\u0435\u043a\u0441\u0442 \u0434\u0430 "), F.col("text")).alias("text"),
+    )
+    src = docs.unionByName(planted_cjk).unionByName(planted_cyr)
+
+    def n_of(pattern):
+        return (
+            F.length("text")
+            - F.length(F.regexp_replace("text", pattern, ""))
+        ).cast("long")
+
+    latin = n_of("[A-Za-z]")
+    cjk = n_of("[\u4e00-\u9fff]")
+    cyr = n_of("[\u0400-\u04ff]")
+    digit = n_of("[0-9]")
+    dominant = (
+        F.when((latin >= cjk) & (latin >= cyr), F.lit("latin"))
+        .when(cjk >= cyr, F.lit("cjk"))
+        .otherwise(F.lit("cyrillic"))
+    )
+    return src.select(
+        "doc_id",
+        latin.alias("n_latin"),
+        cjk.alias("n_cjk"),
+        cyr.alias("n_cyrillic"),
+        digit.alias("n_digit"),
+        F.when(latin + cjk + cyr == 0, F.lit("none"))
+        .otherwise(dominant)
+        .alias("dominant_script"),
+    )
+
+
+SQL_SCRIPT_PROFILE = """
+WITH src AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 8500, chr(25991) || chr(26412) || chr(35299) || chr(26512) || ' ' || text
+  FROM documents WHERE doc_id < 20
+  UNION ALL
+  SELECT doc_id + 8600, chr(1090) || chr(1077) || chr(1082) || chr(1089) || chr(1090)
+         || ' ' || chr(1076) || chr(1072) || ' ' || text
+  FROM documents WHERE doc_id < 20),
+m AS (
+  SELECT doc_id,
+         CAST(length(text) - length(regexp_replace(text, '[A-Za-z]', '', 'g')) AS BIGINT) AS n_latin,
+         CAST(length(text) - length(regexp_replace(text, '[\\x{4e00}-\\x{9fff}]', '', 'g')) AS BIGINT) AS n_cjk,
+         CAST(length(text) - length(regexp_replace(text, '[\\x{0400}-\\x{04ff}]', '', 'g')) AS BIGINT) AS n_cyrillic,
+         CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS BIGINT) AS n_digit
+  FROM src)
+SELECT doc_id, n_latin, n_cjk, n_cyrillic, n_digit,
+       CASE WHEN n_latin + n_cjk + n_cyrillic = 0 THEN 'none'
+            WHEN n_latin >= n_cjk AND n_latin >= n_cyrillic THEN 'latin'
+            WHEN n_cjk >= n_cyrillic THEN 'cjk'
+            ELSE 'cyrillic' END AS dominant_script
+FROM m
+"""
+
+
+QUERIES.update({"q223_script_profile": q_script_profile})
+ORACLES.update({"q223_script_profile": SQL_SCRIPT_PROFILE})
+
+
 # ---------------------------------------------------------------------------
 # Driver-sample ordering.
 #

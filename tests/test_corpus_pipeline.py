@@ -1069,3 +1069,33 @@ def test_export_sft_sequences(spark, tmp_path):
     assert back.count() == st3["sequences"]
     with _pytest.raises(ValueError):
         export_sft_sequences(docs, str(tmp_path / "x"), shard_format="nope")
+
+
+def test_funnel_unicode_normalization(spark, tmp_path):
+    """unicode_form='NFC': a decomposed spelling of an existing doc
+    collapses at exact dedup; without it, the byte-distinct twin
+    survives the whole funnel as a duplicate."""
+    from pyspark.sql import functions as F
+
+    base_text = (
+        "caf\u00e9 terrace in spring is the painting people remember most "
+        "from that museum visit and the gallery keeps it near the entrance"
+    )
+    denormal = base_text.replace("caf\u00e9", "cafe\u0301")  # -> decomposed
+    docs = spark.createDataFrame(
+        [(1, base_text, "en"), (2, denormal, "en"),
+         (3, "an unrelated document about parquet files and arrow batches "
+             "written plainly for the funnel to keep intact today", "en")],
+        "doc_id long, text string, lang string",
+    )
+    raw = build_training_corpus(
+        docs, str(tmp_path / "raw"), quality_min=0.0
+    )
+    norm = build_training_corpus(
+        docs, str(tmp_path / "norm"), quality_min=0.0, unicode_form="NFC"
+    )
+    assert raw["exact"] == 3          # byte-distinct twins both survive
+    assert norm["exact"] == 2         # normalized twins collapse
+    kept = {r["doc_id"] for r in
+            spark.read.parquet(str(tmp_path / "norm")).select("doc_id").distinct().collect()}
+    assert kept == {1, 3}             # fingerprint-min survivor
