@@ -11751,6 +11751,122 @@ QUERIES.update({"q223_script_profile": q_script_profile})
 ORACLES.update({"q223_script_profile": SQL_SCRIPT_PROFILE})
 
 
+_Q224_K = 48
+
+
+def q_bottomk_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bottom-k (KMV) sample sketch — the FIFTH mergeable sketch beside
+    HLL/bitmap/CMS/DDSketch, and the only one that returns ROWS: the k
+    smallest values of a uniform hash are simultaneously (a) a true
+    uniform sample of the keys and (b) a distinct-count estimator
+    (KMV: est = (k-1) * H / h_k for hash range H). Mergeable by
+    construction — union two sketches, keep the k smallest — which is
+    exactly what the physical plan does (TakeOrderedAndProject:
+    per-partition bottom-k, merge at the driver; O(k) memory per
+    partition, no shuffle of the data). Every row carries the SAME
+    exact-integer estimate (DECIMAL(38,0) division — (k-1)*2^60
+    passes int64) so the estimator is hash-gated, not just the
+    membership."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    hk = TX.hash64(F.col("doc_id").cast("string"), seed=13)
+    sk = (
+        docs.select("doc_id", hk.alias("hkey"))
+        .orderBy("hkey", "doc_id")
+        .limit(_Q224_K)
+    ).localCheckpoint()  # k rows; reused by the scalar and the output
+    dec = "decimal(38,0)"
+    kth = sk.agg(F.max("hkey").alias("_m"))  # single row
+    est = F.call_function(
+        "div",
+        (F.lit(_Q224_K - 1).cast(dec) * F.lit(1 << 60).cast(dec)),
+        F.col("_m").cast(dec),
+    ).cast("long")
+    return sk.crossJoin(F.broadcast(kth)).select(
+        "doc_id", "hkey", est.alias("est_distinct")
+    )
+
+
+def _sql_bottomk_sample() -> str:
+    k = _Q224_K
+    return f"""
+WITH h AS (
+  SELECT doc_id,
+         CAST(concat('0x', substr(md5('13|' || CAST(doc_id AS VARCHAR)),
+                                  1, 15)) AS BIGINT) AS hkey
+  FROM documents),
+sk AS (SELECT doc_id, hkey FROM h ORDER BY hkey, doc_id LIMIT {k}),
+kth AS (SELECT max(hkey) AS m FROM sk)
+SELECT sk.doc_id, sk.hkey,
+       CAST((CAST({k - 1} AS HUGEINT) * CAST(1152921504606846976 AS HUGEINT))
+            // CAST(kth.m AS HUGEINT) AS BIGINT) AS est_distinct
+FROM sk, kth
+"""
+
+
+_Q225_BATCH = 16
+
+
+def q_length_bucketed_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-bucketed batch layout — the padding-minimization trick
+    every batched trainer/inference server uses: order documents by
+    token count (ties by id), cut consecutive runs of B into batches,
+    and report per batch the docs, the max length (= the padded
+    width), and the exact pad-token cost. Against random batching the
+    pad cost drops by ~the length spread; the report is the number a
+    serving engineer reads to size B. Rank comes from the distributed
+    two-phase prefix sum (range partition on (len, id) — no
+    unpartitioned window); the rollup is one batch-keyed agg of three
+    longs."""
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", TX.token_count(F.col("text")).cast("long").alias("n_tok")
+    ).withColumn("_one", F.lit(1).cast("long"))
+    ranked, _t_ = analytics.global_prefix_sum(
+        docs, ["n_tok", "doc_id"], "_one", out_col="_rk"
+    )
+    batched = ranked.withColumn(
+        "batch_id", F.call_function("div", F.col("_rk") - 1, F.lit(_Q225_BATCH))
+    )
+    return batched.groupBy("batch_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.max("n_tok").alias("max_tok"),
+        (F.max("n_tok") * F.count(F.lit(1)) - F.sum("n_tok")).alias("pad_tokens"),
+    )
+
+
+def _sql_length_bucketed_batches() -> str:
+    b = _Q225_BATCH
+    return f"""
+WITH d AS (
+  SELECT doc_id,
+         CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+              ELSE len(regexp_split_to_array(trim(text), '\\s+')) END
+              AS BIGINT) AS n_tok
+  FROM documents),
+r AS (SELECT doc_id, n_tok,
+             row_number() OVER (ORDER BY n_tok, doc_id) AS rk
+      FROM d)
+SELECT CAST((rk - 1) // {b} AS BIGINT) AS batch_id,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(max(n_tok) AS BIGINT) AS max_tok,
+       CAST(max(n_tok) * count(*) - sum(n_tok) AS BIGINT) AS pad_tokens
+FROM r GROUP BY 1
+"""
+
+
+QUERIES.update(
+    {
+        "q224_bottomk_sample": q_bottomk_sample,
+        "q225_length_bucketed_batches": q_length_bucketed_batches,
+    }
+)
+ORACLES.update(
+    {
+        "q224_bottomk_sample": _sql_bottomk_sample(),
+        "q225_length_bucketed_batches": _sql_length_bucketed_batches(),
+    }
+)
+
+
 # ---------------------------------------------------------------------------
 # Driver-sample ordering.
 #

@@ -776,3 +776,38 @@ def test_normalize_unicode(spark):
         normalize_unicode(docs, "NFX")
     with _pytest.raises(ValueError):
         normalize_unicode(docs, text_col="nope")
+
+
+def test_repair_mojibake(spark):
+    """Double-encoded UTF-8 repairs via the inverse latin-1/cp1252
+    round-trip; correct text, ASCII, and NULLs pass untouched; a
+    doubly-doubled string needs (and gets) two rounds; cp1252-only
+    bytes (curly quote) repair through the fallback."""
+    import pytest as _pytest
+
+    from sstable_migrator_spark.operators.normalize import repair_mojibake
+
+    good = "café au lait"
+    once = good.encode("utf-8").decode("latin-1")       # 'cafÃ© au lait'
+    twice = once.encode("utf-8").decode("latin-1")
+    curly = "it’s fine"
+    curly_bad = curly.encode("utf-8").decode("cp1252")  # 'itâ€™s fine'
+    rows = [
+        (1, once), (2, twice), (3, good), (4, "plain ascii text"),
+        (5, None), (6, curly_bad),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in repair_mojibake(docs).collect()}
+    assert got[1]["text"] == good and got[1]["changed"]
+    assert got[2]["text"] == good and got[2]["changed"]   # two rounds
+    assert got[3]["text"] == good and not got[3]["changed"]
+    assert not got[4]["changed"] and got[4]["text"] == "plain ascii text"
+    assert got[5]["text"] is None and not got[5]["changed"]
+    assert got[6]["text"] == curly and got[6]["changed"]
+    # max_rounds=1 repairs the single but not the double
+    one = {r["doc_id"]: r for r in repair_mojibake(docs, max_rounds=1).collect()}
+    assert one[1]["text"] == good and one[2]["text"] == once
+    with _pytest.raises(ValueError):
+        repair_mojibake(docs, max_rounds=0)
+    with _pytest.raises(ValueError):
+        repair_mojibake(docs, text_col="nope")

@@ -578,3 +578,58 @@ def test_pack_documents_greedy(spark):
         pack_documents_greedy(docs, 0)
     with _pytest.raises(ValueError):
         pack_documents_greedy(docs, S, overflow="maybe")
+
+
+def test_pack_documents_greedy_hypothesis(spark):
+    """Property fuzz: for random corpora and seeds, the parts=1 layout
+    equals the pure-Python first-fit reference exactly (same hash
+    order, same resets, same flags)."""
+    import hashlib
+
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from sstable_migrator_spark.operators.packing import pack_documents_greedy
+
+    @settings(
+        max_examples=8,
+        deadline=None,
+        suppress_health_check=[
+            HealthCheck.function_scoped_fixture, HealthCheck.too_slow
+        ],
+    )
+    @given(
+        lens=st.lists(st.integers(min_value=1, max_value=24), min_size=1, max_size=30),
+        seed=st.integers(min_value=0, max_value=9),
+        s_budget=st.integers(min_value=4, max_value=20),
+    )
+    def _case(lens, seed, s_budget):
+        rows = [(i, "t " * n) for i, n in enumerate(lens)]
+        docs = spark.createDataFrame(rows, "doc_id long, text string")
+        got = {
+            r["doc_id"]: (r["seq_id"], r["seq_offset"])
+            for r in pack_documents_greedy(
+                docs, s_budget, seed=seed, parts=1
+            ).collect()
+        }
+        order = sorted(
+            range(len(lens)),
+            key=lambda i: (
+                int(hashlib.md5(f"{seed}|{i}".encode()).hexdigest()[:15], 16), i
+            ),
+        )
+        want, used, seq, opened = {}, 0, 0, False
+        for i in order:
+            n = lens[i]
+            if n > s_budget:
+                want[i] = (-1, 0)
+                continue
+            if opened and used + n > s_budget:
+                seq += 1
+                used = 0
+            opened = True
+            want[i] = (seq, used)
+            used += n
+        assert got == want
+
+    _case()
