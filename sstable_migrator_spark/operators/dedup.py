@@ -205,33 +205,52 @@ def build_dedup_state(
 
 
 def write_dedup_state_params(
-    path: str, num_hashes: int = 16, bands: int = 4, shingle_k: int = 3
+    path: str,
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_k: int = 3,
+    unicode_form: str | None = None,
 ) -> None:
     """Record the LSH parameters a persisted ``build_dedup_state``
     table was built with, as ``<path>/_params.json`` (underscore files
     are invisible to parquet readers). A state consumed with DIFFERENT
     banding silently yields wrong est_jaccard and missed/spurious
     candidate pairs — the sidecar lets ``check_dedup_state_params``
-    refuse up front instead."""
+    refuse up front instead. ``unicode_form`` records whether the
+    fingerprinted text was Unicode-normalized first: a state built on
+    raw bytes probed with normalized text (or vice versa) silently
+    misses denormal duplicates — the same class of drift, guarded the
+    same way."""
     import json
     import os
 
     os.makedirs(path, exist_ok=True)
     with open(os.path.join(path, "_params.json"), "w") as fh:
         json.dump(
-            {"num_hashes": num_hashes, "bands": bands, "shingle_k": shingle_k},
+            {
+                "num_hashes": num_hashes,
+                "bands": bands,
+                "shingle_k": shingle_k,
+                "unicode_form": unicode_form,
+            },
             fh,
         )
 
 
 def check_dedup_state_params(
-    path: str, num_hashes: int = 16, bands: int = 4, shingle_k: int = 3
+    path: str,
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_k: int = 3,
+    unicode_form: str | None = None,
 ) -> dict | None:
     """Assert a persisted dedup state's recorded parameters match the
     caller's. Returns the recorded params, or None when the sidecar is
     absent (a pre-sidecar state — the in-plan signature-length assert
     in ``lsh_pairs_between_banded`` still backstops num_hashes there).
-    Raises ValueError on any mismatch."""
+    A sidecar written before the ``unicode_form`` field existed is
+    read as ``unicode_form = None`` (those states were necessarily
+    built unnormalized). Raises ValueError on any mismatch."""
     import json
     import os
 
@@ -240,7 +259,13 @@ def check_dedup_state_params(
         return None
     with open(p) as fh:
         got = json.load(fh)
-    want = {"num_hashes": num_hashes, "bands": bands, "shingle_k": shingle_k}
+    got.setdefault("unicode_form", None)
+    want = {
+        "num_hashes": num_hashes,
+        "bands": bands,
+        "shingle_k": shingle_k,
+        "unicode_form": unicode_form,
+    }
     if got != want:
         raise ValueError(
             f"dedup state at {path} was built with {got}, "

@@ -124,6 +124,7 @@ def _drain_admission_batch(
     eval_shingle_k: int = 5,
     postings_path: str | None = None,
     repetition: bool = False,
+    unicode_form: str | None = None,
 ) -> tuple[int, int]:
     """One batch's admission drain, IDEMPOTENT under foreachBatch's
     at-least-once retries: every store write (corpus rows, dedup-state
@@ -146,26 +147,46 @@ def _drain_admission_batch(
     state_path = os.path.join(corpus_path, "_dedup_state")
     ledger_path = os.path.join(corpus_path, "_admissions")
 
+    if unicode_form is not None:
+        # batch/stream parity with build_training_corpus(unicode_form=):
+        # fingerprints must see the same byte form the corpus state was
+        # built on; the params sidecar refuses a mismatch below
+        from sstable_migrator_spark.operators.normalize import normalize_unicode
+
+        batch_df = normalize_unicode(
+            batch_df, form=unicode_form
+        ).drop("changed").localCheckpoint()
     new_state = build_dedup_state(batch_df).localCheckpoint()
     if _has_parquet(state_path):
         # refuse a state built with different LSH parameters —
         # it would silently mis-estimate Jaccard (sidecar absent
         # = pre-sidecar state; stamp it with the defaults it was
         # necessarily built with, this gate's only form)
-        if check_dedup_state_params(state_path) is None:
-            write_dedup_state_params(state_path)
+        if check_dedup_state_params(state_path, unicode_form=unicode_form) is None:
+            write_dedup_state_params(state_path, unicode_form=unicode_form)
         old_state = _excl_batch(spark.read.parquet(state_path), bid)
     elif _has_parquet(corpus_path):
         # one-time migration: corpus predates the state store —
         # build and persist it now so every LATER drain is O(day).
         # batch=-1 keys the migrated rows (uniform partition layout
         # with the per-batch appends that follow)
-        _excl_batch(spark.read.parquet(corpus_path), bid).transform(
+        migrated = _excl_batch(spark.read.parquet(corpus_path), bid)
+        if unicode_form is not None:
+            # the caller asserts this corpus is normalized; build the
+            # migrated state on the same byte form the probes will use
+            from sstable_migrator_spark.operators.normalize import (
+                normalize_unicode,
+            )
+
+            migrated = normalize_unicode(
+                migrated, form=unicode_form
+            ).drop("changed")
+        migrated.transform(
             build_dedup_state
         ).withColumn("batch", F.lit(-1)).write.mode(
             "overwrite"
         ).partitionBy("batch").parquet(state_path)
-        write_dedup_state_params(state_path)
+        write_dedup_state_params(state_path, unicode_form=unicode_form)
         old_state = spark.read.parquet(state_path)
     else:
         old_state = None
@@ -265,8 +286,8 @@ def _drain_admission_batch(
         ),
         state_path,
     )
-    if check_dedup_state_params(state_path) is None:
-        write_dedup_state_params(state_path)  # first drain created it
+    if check_dedup_state_params(state_path, unicode_form=unicode_form) is None:
+        write_dedup_state_params(state_path, unicode_form=unicode_form)  # first drain created it
     if postings_path is not None and not admitted_docs.isEmpty():
         from sstable_migrator_spark.operators.retrieval import (
             append_postings_index,
@@ -303,6 +324,7 @@ def admit_documents_available_now(
     eval_shingle_k: int = 5,
     postings_path: str | None = None,
     repetition: bool = False,
+    unicode_form: str | None = None,
 ) -> dict:
     """One drain: judge every newly landed JSONL document against the
     persisted dedup state of the corpus at ``corpus_path`` (exact +
@@ -360,6 +382,7 @@ def admit_documents_available_now(
             eval_shingle_k=eval_shingle_k,
             postings_path=postings_path,
             repetition=repetition,
+            unicode_form=unicode_form,
         )
         stats["judged"] += j
         stats["admitted"] += a

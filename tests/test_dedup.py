@@ -483,12 +483,29 @@ def test_dedup_state_params_sidecar(tmp_path):
     assert check_dedup_state_params(p) is None  # pre-sidecar: unknown
     write_dedup_state_params(p, num_hashes=16, bands=4, shingle_k=3)
     assert check_dedup_state_params(p) == {
-        "num_hashes": 16, "bands": 4, "shingle_k": 3
+        "num_hashes": 16, "bands": 4, "shingle_k": 3, "unicode_form": None
     }
     with _pytest.raises(ValueError, match="built with"):
         check_dedup_state_params(p, num_hashes=32)
     with _pytest.raises(ValueError, match="built with"):
         check_dedup_state_params(p, bands=8)
+    # unicode_form is a guarded param like the banding: a state built
+    # unnormalized refuses a normalized probe, and vice versa
+    with _pytest.raises(ValueError, match="built with"):
+        check_dedup_state_params(p, unicode_form="NFC")
+    # pre-unicode_form sidecars (no key) read as unnormalized
+    import json as _json
+
+    with open(f"{p}/_params.json") as fh:
+        legacy = _json.load(fh)
+    legacy.pop("unicode_form")
+    with open(f"{p}/_params.json", "w") as fh:
+        _json.dump(legacy, fh)
+    assert check_dedup_state_params(p)["unicode_form"] is None
+    write_dedup_state_params(p, unicode_form="NFC")
+    assert check_dedup_state_params(p, unicode_form="NFC")["unicode_form"] == "NFC"
+    with _pytest.raises(ValueError, match="built with"):
+        check_dedup_state_params(p)
 
 
 def test_mismatched_state_signature_length_fails_loudly(spark):

@@ -864,7 +864,9 @@ def test_corpus_admission_judges_from_state_not_text(spark, tmp_path):
 
     params = os.path.join(corpus, "_dedup_state", "_params.json")
     with open(params) as fh:
-        assert _json2.load(fh) == {"num_hashes": 16, "bands": 4, "shingle_k": 3}
+        assert _json2.load(fh) == {
+            "num_hashes": 16, "bands": 4, "shingle_k": 3, "unicode_form": None
+        }
     with open(params, "w") as fh:
         _json2.dump({"num_hashes": 32, "bands": 8, "shingle_k": 3}, fh)
     with open(inbox / "wave3.jsonl", "w") as fh:
@@ -1379,4 +1381,54 @@ def test_admission_gate_refuses_foreign_checkpoint(spark, tmp_path):
     with open(inbox / "b.jsonl", "w") as fh:
         fh.write(_json.dumps({"doc_id": 2, "text": "more words here"}) + "\n")
     with pytest.raises(Exception, match="bound to streaming checkpoint"):
+        admit_documents_available_now(spark, str(inbox), corpus, ckpt)
+
+
+def test_admission_gate_unicode_parity(spark, tmp_path):
+    """unicode_form at the gate: a DENORMAL re-arrival of an admitted
+    doc is rejected as an exact duplicate (byte forms collide after
+    NFC); a drain with a DIFFERENT unicode_form against the same state
+    refuses loudly via the params sidecar."""
+    import json as _json
+
+    import pytest as _pytest
+
+    from sstable_migrator_spark.streaming.corpus_ingest import (
+        admit_documents_available_now,
+    )
+
+    inbox = tmp_path / "inbox"
+    inbox.mkdir()
+    corpus = str(tmp_path / "corpus")
+    ckpt = str(tmp_path / "ckpt")
+    base = "caf\u00e9 stories " + " ".join(
+        f"w{i} tok{i % 7} fil{i % 11}" for i in range(25)
+    )
+    denormal = base.replace("caf\u00e9", "cafe\u0301")  # -> decomposed
+    assert denormal != base
+
+    with open(inbox / "wave1.jsonl", "w") as fh:
+        fh.write(_json.dumps({"doc_id": 1, "text": base}) + "\n")
+    s1 = admit_documents_available_now(
+        spark, str(inbox), corpus, ckpt, unicode_form="NFC"
+    )
+    assert s1 == {"judged": 1, "admitted": 1}
+
+    with open(inbox / "wave2.jsonl", "w") as fh:
+        fh.write(_json.dumps({"doc_id": 2, "text": denormal}) + "\n")
+        fh.write(_json.dumps({"doc_id": 3, "text": "entirely new prose about canals and windmills turning in morning fog"}) + "\n")
+    s2 = admit_documents_available_now(
+        spark, str(inbox), corpus, ckpt, unicode_form="NFC"
+    )
+    assert s2 == {"judged": 2, "admitted": 1}  # denormal twin rejected
+    got = {r["doc_id"] for r in spark.read.parquet(corpus).collect()}
+    assert got == {1, 3}
+    # and the admitted text was STORED normalized (one byte form corpus-wide)
+    t1 = spark.read.parquet(corpus).filter("doc_id = 1").first()["text"]
+    assert "caf\u00e9" in t1
+
+    # a drain that FORGETS the form refuses against this state
+    with open(inbox / "wave3.jsonl", "w") as fh:
+        fh.write(_json.dumps({"doc_id": 9, "text": "more fresh text entirely unlike anything before it"}) + "\n")
+    with _pytest.raises(Exception, match="built with"):
         admit_documents_available_now(spark, str(inbox), corpus, ckpt)
