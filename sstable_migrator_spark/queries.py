@@ -11867,6 +11867,75 @@ ORACLES.update(
 )
 
 
+_Q226_S, _Q226_SEED = 64, 21
+
+
+def q_greedy_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whole-document greedy packing under the oracle — the
+    deliberately-BOUNDED verification form (the q136 pattern): 300
+    documents, parts=1, so the sequential first-fit recursion is
+    SQL-replayable as a DuckDB recursive CTE walking the hash order
+    one row at a time (state = (seq, used, opened), exactly the
+    kernel's loop). The scale path is ``pack_documents_greedy``'s
+    multi-partition form — one range exchange + per-partition Arrow
+    scans — property-tested and hypothesis-fuzzed against the same
+    pure-Python reference in tests/test_packing.py; THIS entry pins
+    the per-partition recurrence itself cross-engine, including the
+    oversize seq_id = -1 flagging."""
+    from sstable_migrator_spark.operators.packing import pack_documents_greedy
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text").filter(
+        F.col("doc_id") < 300
+    )
+    return pack_documents_greedy(docs, _Q226_S, seed=_Q226_SEED, parts=1)
+
+
+def _sql_greedy_pack() -> str:
+    s, seed = _Q226_S, _Q226_SEED
+    return f"""
+WITH RECURSIVE d AS (
+  SELECT doc_id,
+         CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+              ELSE len(regexp_split_to_array(trim(text), '\\s+')) END
+              AS BIGINT) AS n,
+         CAST(concat('0x', substr(md5('{seed}|' || CAST(doc_id AS VARCHAR)),
+                                  1, 15)) AS BIGINT) AS sk
+  FROM documents WHERE doc_id < 300),
+r AS (SELECT doc_id, n, row_number() OVER (ORDER BY sk, doc_id) AS rn
+      FROM d WHERE n >= 1),
+g(rn, doc_id, n, seq_state, used, opened, out_seq, out_off) AS (
+    SELECT CAST(0 AS BIGINT), CAST(NULL AS BIGINT), CAST(0 AS BIGINT),
+           CAST(0 AS BIGINT), CAST(0 AS BIGINT), false,
+           CAST(NULL AS BIGINT), CAST(NULL AS BIGINT)
+    UNION ALL
+    SELECT r.rn, r.doc_id, r.n,
+           CASE WHEN r.n > {s} THEN g.seq_state
+                WHEN NOT g.opened THEN g.seq_state
+                WHEN g.used + r.n > {s} THEN g.seq_state + 1
+                ELSE g.seq_state END,
+           CASE WHEN r.n > {s} THEN g.used
+                WHEN NOT g.opened THEN r.n
+                WHEN g.used + r.n > {s} THEN r.n
+                ELSE g.used + r.n END,
+           CASE WHEN r.n > {s} THEN g.opened ELSE true END,
+           CASE WHEN r.n > {s} THEN CAST(-1 AS BIGINT)
+                WHEN NOT g.opened THEN g.seq_state
+                WHEN g.used + r.n > {s} THEN g.seq_state + 1
+                ELSE g.seq_state END,
+           CASE WHEN r.n > {s} THEN CAST(0 AS BIGINT)
+                WHEN NOT g.opened THEN CAST(0 AS BIGINT)
+                WHEN g.used + r.n > {s} THEN CAST(0 AS BIGINT)
+                ELSE g.used END
+    FROM g JOIN r ON r.rn = g.rn + 1)
+SELECT doc_id, n AS n_tokens, out_seq AS seq_id, out_off AS seq_offset
+FROM g WHERE rn >= 1
+"""
+
+
+QUERIES.update({"q226_greedy_pack": q_greedy_pack})
+ORACLES.update({"q226_greedy_pack": _sql_greedy_pack()})
+
+
 # ---------------------------------------------------------------------------
 # Driver-sample ordering.
 #
