@@ -1099,3 +1099,72 @@ def test_funnel_unicode_normalization(spark, tmp_path):
     kept = {r["doc_id"] for r in
             spark.read.parquet(str(tmp_path / "norm")).select("doc_id").distinct().collect()}
     assert kept == {1, 3}             # fingerprint-min survivor
+
+
+def test_funnel_all_options_compose(spark, sf_dir, tmp_path):
+    """Kitchen-sink funnel: unicode + C4 + keep-best + LSH cap +
+    ExactSubstr strip + arrow shards in ONE run — the option
+    interactions (unicode rewrites text before C4; C4 rewrites before
+    quality; keep-best consumes capped pairs; span strip rewrites
+    before chunking; arrow sink consumes the packed layout) must
+    compose without dropping any stage's guarantees."""
+    from sstable_migrator_spark.sinks.arrowshard import read_arrow_shards
+
+    raw = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    # C4 keeps only >= 3 sentences of >= 5 words each ending in terminal
+    # punctuation — restructure each synthetic doc into three sentences
+    # so the c4 stage has survivors to hand the rest of the funnel
+    tk = F.split(F.col("text"), " ")
+    third = (F.size(tk) / 3).cast("int")
+    sentences = F.concat(
+        F.concat_ws(
+            ". ",
+            F.array_join(F.slice(tk, F.lit(1), third), " "),
+            F.array_join(F.slice(tk, third + 1, third), " "),
+            F.array_join(
+                F.slice(tk, third * 2 + 1, F.size(tk) - third * 2), " "
+            ),
+        ),
+        F.lit("."),
+    )
+    docs = (
+        raw.filter(F.size(tk) >= 21)
+        .limit(50)
+        .select("doc_id", sentences.alias("text"), "lang", "source", "n_chars")
+    )
+    near = docs.limit(4).select(
+        (F.col("doc_id") + 300000).alias("doc_id"),
+        F.concat("text", F.lit(" And the of to is in it you.")).alias("text"),
+        "lang", "source", "n_chars",
+    )
+    corpus = docs.unionByName(near)
+    out = str(tmp_path / "sink")
+    counts = build_training_corpus(
+        corpus,
+        out,
+        quality_min=0.0,
+        shard_tokens=400,
+        shard_format="arrow",
+        strip_spans_k=8,
+        c4=True,
+        lsh_max_bucket=64,
+        near_dup_policy="keep_best",
+        unicode_form="NFC",
+    )
+    # monotone funnel, every stage accounted, dedup did work
+    assert counts["input"] == docs.count() + 4
+    assert counts["input"] >= counts["quality"] >= counts["lang"] >= counts["exact"]
+    assert counts["exact"] >= counts["near_dup_kept"]
+    assert counts["chunks"] > 0
+    back = read_arrow_shards(spark, out)
+    assert back.count() == counts["chunks"]
+    # keep-best flipped at least one planted pair (the enriched copies
+    # out-score their originals) — unless C4 dropped the pair entirely,
+    # in which case the survivor set must simply be consistent
+    kept = {r["doc_id"] for r in back.select("doc_id").distinct().collect()}
+    planted = {r["doc_id"] for r in near.select("doc_id").collect()}
+    surviving_pairs = {d for d in planted if (d - 300000) in kept or d in kept}
+    for d in surviving_pairs:
+        assert not (d in kept and (d - 300000) in kept), (
+            f"near-dup pair {d} both kept — dedup failed under composition"
+        )
