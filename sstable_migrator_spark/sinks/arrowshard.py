@@ -36,7 +36,7 @@ import os
 
 from pyspark.sql import DataFrame, SparkSession
 
-__all__ = ["write_arrow_shards", "read_arrow_shards"]
+__all__ = ["read_arrow_shards", "verify_arrow_shards", "write_arrow_shards"]
 
 _MANIFEST = "_arrow_manifests.json"
 
@@ -147,6 +147,15 @@ def read_arrow_shards(
             )
         with open(mf) as fh:
             digests = {m["shard"]: m["sha256"] for m in json.load(fh)}
+        # completeness BEFORE any decode: a missing shard would
+        # otherwise read fewer rows silently — the one failure digest
+        # checks per read shard cannot catch
+        missing = sorted(set(digests) - {os.path.basename(s) for s in shards})
+        if missing:
+            raise ValueError(
+                f"{path}: manifest lists {len(missing)} shard(s) not on "
+                f"disk (partial copy?): {missing[:5]}"
+            )
     with open(shards[0], "rb") as fh:
         arrow_schema = pa.ipc.open_stream(fh).schema
     spark_schema = from_arrow_schema(arrow_schema)
@@ -182,3 +191,47 @@ def read_arrow_shards(
                     yield tbl.to_pandas()
 
     return dirs_df.mapInPandas(_scan, spark_schema)
+
+
+def verify_arrow_shards(path: str) -> dict:
+    """Verify a shard directory against its manifest WITHOUT decoding:
+    every manifested shard must exist with the exact byte size and
+    sha256, and no unmanifested ``shard-*.arrow`` may be present.
+    Raises with the offending shard names on any missing / corrupt /
+    truncated / extra file; returns ``{shards, rows, bytes}`` totals on
+    success. Driver-side, O(total bytes) hashing — the pre-flight a
+    consumer runs after copying shards between filesystems (the epoch
+    manifests' verify_epoch, for the interchange format)."""
+    import glob as _glob
+
+    mf = os.path.join(path, _MANIFEST)
+    if not os.path.exists(mf):
+        raise ValueError(f"no {_MANIFEST} under {path}")
+    with open(mf) as fh:
+        manifest = json.load(fh)
+    on_disk = {
+        os.path.basename(s) for s in _glob.glob(os.path.join(path, "shard-*.arrow"))
+    }
+    names = {m["shard"] for m in manifest}
+    missing = sorted(names - on_disk)
+    extra = sorted(on_disk - names)
+    if missing or extra:
+        raise ValueError(
+            f"{path}: missing={missing[:5]} extra={extra[:5]} vs {_MANIFEST}"
+        )
+    bad = []
+    for m in manifest:
+        full = os.path.join(path, m["shard"])
+        if os.path.getsize(full) != m["bytes"]:
+            bad.append(f"{m['shard']} (size)")
+            continue
+        with open(full, "rb") as fh:
+            if hashlib.sha256(fh.read()).hexdigest() != m["sha256"]:
+                bad.append(f"{m['shard']} (sha256)")
+    if bad:
+        raise ValueError(f"{path}: corrupt shards: {bad[:5]}")
+    return {
+        "shards": len(manifest),
+        "rows": sum(m["rows"] for m in manifest),
+        "bytes": sum(m["bytes"] for m in manifest),
+    }

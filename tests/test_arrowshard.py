@@ -94,3 +94,32 @@ def test_empty_and_unknown_shard(spark, tmp_path):
     with pytest.raises(Exception, match="not in _arrow_manifests"):
         read_arrow_shards(spark, str(tmp_path)).collect()
     assert len(shards) == 2
+
+
+def test_verify_and_missing_shard_detection(spark, tmp_path):
+    """verify_arrow_shards passes a pristine dir with exact totals;
+    a DELETED shard fails both the standalone verify and the reader's
+    pre-flight (silently reading fewer rows is the failure per-shard
+    digests cannot catch); an EXTRA unmanifested shard fails verify."""
+    import glob
+    import shutil
+
+    man = write_arrow_shards(
+        _df(spark, 9).coalesce(1), str(tmp_path), max_rows_per_shard=3
+    )
+    from sstable_migrator_spark.sinks.arrowshard import verify_arrow_shards
+
+    tot = verify_arrow_shards(str(tmp_path))
+    assert tot == {
+        "shards": 3, "rows": 9, "bytes": sum(m["bytes"] for m in man)
+    }
+    shards = sorted(glob.glob(str(tmp_path / "shard-*.arrow")))
+    shutil.copy(shards[0], str(tmp_path / "shard-00099-000.arrow"))
+    with pytest.raises(ValueError, match="extra"):
+        verify_arrow_shards(str(tmp_path))
+    (tmp_path / "shard-00099-000.arrow").unlink()
+    (tmp_path / "shard-00000-001.arrow").unlink()
+    with pytest.raises(ValueError, match="missing"):
+        verify_arrow_shards(str(tmp_path))
+    with pytest.raises(ValueError, match="not on"):
+        read_arrow_shards(spark, str(tmp_path)).collect()
