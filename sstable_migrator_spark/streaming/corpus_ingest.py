@@ -395,3 +395,54 @@ def admit_documents_available_now(
     )
     q.awaitTermination()
     return stats
+
+
+def admission_report(spark: SparkSession, corpus_path: str) -> DataFrame:
+    """Gate HEALTH report over the ``_admissions`` ledger — the ops
+    view a corpus owner reads each morning: per drain batch, how much
+    arrived, how much was admitted, which gate rejected the rest
+    (exact dup / near dup / quality / perplexity / decontamination /
+    repetition counts), and an exact-integer drift flag marking
+    batches whose admit rate deviates more than 25% RELATIVE from the
+    all-time rate (the q176 cross-multiply discipline — a flagged
+    batch usually means a new source, an encoder change upstream, or a
+    broken feed). Plan: one ledger scan, one batch-keyed agg, the
+    all-time totals as a single-row broadcast cross. The ledger is
+    O(decisions) rows of integers — at 100 TB this reads the ledger,
+    never the corpus."""
+    led = spark.read.json(os.path.join(corpus_path, "_admissions"))
+    per = led.groupBy("batch").agg(
+        F.count(F.lit(1)).alias("judged"),
+        F.sum("admitted").alias("admitted"),
+        F.sum("exact_dup").alias("exact_dups"),
+        F.sum(
+            ((F.col("exact_dup") == 0) & (F.col("n_near_dups") > 0)).cast("int")
+        ).alias("near_dup_hits"),
+        F.sum((F.col("quality_keep") == 0).cast("int")).alias("quality_rejects"),
+        F.sum((F.col("ppl_keep") == 0).cast("int")).alias("ppl_rejects"),
+        F.sum((F.col("decon_keep") == 0).cast("int")).alias("decon_rejects"),
+        F.sum((F.col("rep_keep") == 0).cast("int")).alias("rep_rejects"),
+    )
+    totals = led.agg(
+        F.count(F.lit(1)).alias("_j_all"), F.sum("admitted").alias("_a_all")
+    )
+    # exact integers: batch rate r = admitted/judged vs all-time
+    # R = _a_all/_j_all; flag when r < 0.75R or r > 1.25R, cross-
+    # multiplied so no float division happens
+    low = F.col("admitted") * F.col("_j_all") * 4 < F.col("judged") * F.col("_a_all") * 3
+    high = F.col("admitted") * F.col("_j_all") * 4 > F.col("judged") * F.col("_a_all") * 5
+    return (
+        per.join(F.broadcast(totals))
+        .select(
+            "batch",
+            "judged",
+            "admitted",
+            "exact_dups",
+            "near_dup_hits",
+            "quality_rejects",
+            "ppl_rejects",
+            "decon_rejects",
+            "rep_rejects",
+            (low | high).alias("rate_drift"),
+        )
+    )

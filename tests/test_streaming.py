@@ -1432,3 +1432,48 @@ def test_admission_gate_unicode_parity(spark, tmp_path):
         fh.write(_json.dumps({"doc_id": 9, "text": "more fresh text entirely unlike anything before it"}) + "\n")
     with _pytest.raises(Exception, match="built with"):
         admit_documents_available_now(spark, str(inbox), corpus, ckpt)
+
+
+def test_admission_report(spark, tmp_path):
+    """Gate-health rollup over the ledger: per-batch judged/admitted,
+    per-gate rejection attribution, and the exact-integer drift flag
+    (a batch admitting far less than the all-time rate is marked)."""
+    import json as _json
+
+    from sstable_migrator_spark.streaming.corpus_ingest import (
+        admission_report,
+        admit_documents_available_now,
+    )
+
+    inbox = tmp_path / "inbox"
+    inbox.mkdir()
+    corpus = str(tmp_path / "corpus")
+    ckpt = str(tmp_path / "ckpt")
+    base = " ".join(f"w{i} tok{i % 7} fil{i % 11}" for i in range(25))
+
+    # wave 1: two novel docs -> 100% admitted
+    with open(inbox / "w1.jsonl", "w") as fh:
+        fh.write(_json.dumps({"doc_id": 1, "text": base}) + "\n")
+        fh.write(_json.dumps({"doc_id": 2, "text": "entirely different prose about canals and windmills in morning fog today"}) + "\n")
+    admit_documents_available_now(spark, str(inbox), corpus, ckpt)
+    # wave 2: three exact dups + one novel -> 25% admitted (drift low)
+    with open(inbox / "w2.jsonl", "w") as fh:
+        for d in (10, 11, 12):
+            fh.write(_json.dumps({"doc_id": d, "text": base}) + "\n")
+        fh.write(_json.dumps({"doc_id": 13, "text": "novel astronomy notes about telescopes saturn rings and the midnight session"}) + "\n")
+    admit_documents_available_now(spark, str(inbox), corpus, ckpt)
+
+    rep = {r["batch"]: r for r in admission_report(spark, corpus).collect()}
+    assert len(rep) == 2
+    first, second = (rep[b] for b in sorted(rep))
+    assert first["judged"] == 2 and first["admitted"] == 2
+    assert first["exact_dups"] == 0
+    assert second["judged"] == 4 and second["admitted"] == 1
+    assert second["exact_dups"] == 3
+    # all-time rate 3/6 = 0.5; batch 1 admits 1.0 > 1.25*0.5 (high
+    # drift), batch 2 admits 0.25 < 0.75*0.5 (low drift) — both
+    # directions of the cross-multiplied flag exercised
+    assert first["rate_drift"] and second["rate_drift"]
+    # a hypothetical batch at exactly the pooled rate would NOT flag:
+    # 1*6*4 vs 2*3*{3,5} -> 24 in [18, 30]
+    assert not (1 * 6 * 4 < 2 * 3 * 3) and not (1 * 6 * 4 > 2 * 3 * 5)
