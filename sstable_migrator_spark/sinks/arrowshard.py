@@ -57,6 +57,17 @@ def write_arrow_shards(
     if max_rows_per_shard < 1:
         raise ValueError(f"max_rows_per_shard must be >= 1, got {max_rows_per_shard}")
     os.makedirs(path, exist_ok=True)
+    # overwrite semantics (parquet-sink parity): a re-run that produces
+    # FEWER shards must not leave stale ones behind — they would fail
+    # the read-time manifest check loudly, but the re-run itself should
+    # be idempotent, not a cleanup exercise
+    import glob as _glob
+
+    for stale in _glob.glob(os.path.join(path, "shard-*.arrow")):
+        os.remove(stale)
+    mf = os.path.join(path, _MANIFEST)
+    if os.path.exists(mf):
+        os.remove(mf)
     arrow_schema = to_arrow_schema(df.schema)
     cols = df.columns
 

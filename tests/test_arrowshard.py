@@ -123,3 +123,19 @@ def test_verify_and_missing_shard_detection(spark, tmp_path):
         verify_arrow_shards(str(tmp_path))
     with pytest.raises(ValueError, match="not on"):
         read_arrow_shards(spark, str(tmp_path)).collect()
+
+
+def test_overwrite_clears_stale_shards(spark, tmp_path):
+    """A re-run producing fewer shards must not leave the first run's
+    extra shards (or manifest) behind — write is overwrite-idempotent
+    like the parquet sink."""
+    write_arrow_shards(_df(spark, 12).coalesce(1), str(tmp_path), max_rows_per_shard=3)
+    import glob
+
+    assert len(glob.glob(str(tmp_path / "shard-*.arrow"))) == 4
+    write_arrow_shards(_df(spark, 4).coalesce(1), str(tmp_path), max_rows_per_shard=3)
+    assert len(glob.glob(str(tmp_path / "shard-*.arrow"))) == 2
+    from sstable_migrator_spark.sinks.arrowshard import verify_arrow_shards
+
+    assert verify_arrow_shards(str(tmp_path))["rows"] == 4
+    assert read_arrow_shards(spark, str(tmp_path)).count() == 4
