@@ -755,6 +755,14 @@ def dedup_keep_best(
     kept. Returns ``(id, cluster_id, <quality_col>, is_kept)`` for
     every input document.
 
+    ``quality_col`` must be non-null and integer-comparable (a NULL
+    inside the argmax struct would make the winner engine-dependent —
+    coalesce upstream). For SOURCE-PRIORITY dedup ("keep the curated
+    copy over the CommonCrawl one, then by quality") encode the policy
+    into the column: ``priority * K + quality`` with K above the
+    quality range — the argmax is ordering-generic, so no new operator
+    is needed.
+
     Plan: the component loop runs over the PAIR GRAPH ONLY (sparse —
     |edges| ~ |dups|); docs join the O(dup-docs) label table once on
     id (broadcastable whenever the dup set is small relative to the
