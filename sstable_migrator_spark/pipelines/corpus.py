@@ -373,8 +373,11 @@ def export_sft_sequences(
     (``packing.pack_documents_greedy`` — a document never straddles a
     boundary; the trainer pads the remainder instead of masking
     mid-document splits). Each output row is one sequence:
-    ``(seq_id, seq_text, n_docs, n_tokens)`` with members joined by
-    ``separator`` in offset order. ``overflow="flag"`` (default)
+    ``(seq_id, seq_text, n_docs, n_tokens, doc_starts)`` with members
+    joined by ``separator`` in offset order; ``doc_starts`` lists the
+    token offset where each member begins — the block-diagonal
+    attention-mask input, the SFT twin of
+    ``pack_sequence_texts(with_boundaries=)``. ``overflow="flag"`` (default)
     EXCLUDES oversize documents from assembly and reports them in the
     returned counts — never a silent drop; ``"truncate"`` cuts their
     text to the first ``seq_tokens`` whitespace tokens; ``"error"``
@@ -426,6 +429,10 @@ def export_sft_sequences(
             ).alias("seq_text"),
             F.count(F.lit(1)).alias("n_docs"),
             F.sum("n_tokens").alias("n_tokens"),
+            # block-diagonal attention-mask input (the SFT twin of
+            # pack_sequence_texts(with_boundaries=)): token offsets
+            # where each member document begins, in stream order
+            F.sort_array(F.collect_list("_m.seq_offset")).alias("doc_starts"),
         )
     ).localCheckpoint()
     agg = assembled.agg(

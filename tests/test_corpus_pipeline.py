@@ -1036,10 +1036,16 @@ def test_export_sft_sequences(spark, tmp_path):
     seqs = spark.read.parquet(out)
     assert seqs.count() == stats["sequences"]
     got = seqs.select(
-        "seq_id", "n_docs", "n_tokens",
+        "seq_id", "n_docs", "n_tokens", "doc_starts",
         TX.token_count(F.col("seq_text")).alias("real"),
     ).collect()
     assert all(r["n_tokens"] == r["real"] for r in got)
+    # boundaries: one start per member doc, first at 0, strictly
+    # increasing, all inside the budget
+    for r in got:
+        ds = list(r["doc_starts"])
+        assert len(ds) == r["n_docs"] and ds[0] == 0
+        assert ds == sorted(set(ds)) and all(0 <= x < S for x in ds)
     assert all(r["n_tokens"] <= S for r in got)
     assert sum(r["n_tokens"] for r in got) == stats["tokens"]
     assert stats["pad_tokens"] == stats["sequences"] * S - stats["tokens"]
