@@ -707,6 +707,11 @@ def lsh_plan(
         )
     if num_hashes < 2:
         raise ValueError(f"num_hashes must be >= 2, got {num_hashes}")
+    if max_bands is not None and max_bands < 1:
+        # b=1 always divides num_hashes, so max_bands >= 1 guarantees
+        # at least one candidate banding; below that every divisor is
+        # filtered out and the unpack would fail opaquely
+        raise ValueError(f"max_bands must be >= 1, got {max_bands}")
 
     def p_collide(s: float, b: int, r: int) -> float:
         return 1.0 - (1.0 - s**r) ** b

@@ -392,6 +392,16 @@ def export_sft_sequences(
     range-partitioned by seq_id, or tar/arrow via the shared sinks."""
     from sstable_migrator_spark.operators.packing import pack_documents_greedy
 
+    if not separator or separator.strip() != "":
+        # doc_starts / n_tokens are computed from per-doc WHITESPACE
+        # token counts; a non-whitespace separator (e.g. "|") would
+        # merge the last token of one doc with the first of the next
+        # in the assembled seq_text, silently desyncing the boundary
+        # offsets the column exists to provide
+        raise ValueError(
+            "separator must be non-empty whitespace (doc_starts offsets "
+            f"are whitespace-token positions), got {separator!r}"
+        )
     layout = pack_documents_greedy(
         docs,
         seq_tokens,

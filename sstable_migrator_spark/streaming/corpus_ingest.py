@@ -159,11 +159,17 @@ def _drain_admission_batch(
     new_state = build_dedup_state(batch_df).localCheckpoint()
     if _has_parquet(state_path):
         # refuse a state built with different LSH parameters —
-        # it would silently mis-estimate Jaccard (sidecar absent
-        # = pre-sidecar state; stamp it with the defaults it was
-        # necessarily built with, this gate's only form)
+        # it would silently mis-estimate Jaccard. Sidecar absent =
+        # pre-sidecar state, necessarily built on RAW bytes: stamp it
+        # with unicode_form=None (what it was actually built with,
+        # never the caller's flag — stamping the caller's form would
+        # record false provenance and let normalized probes be judged
+        # against raw-built fingerprints forever), then re-check so a
+        # caller enabling normalization against a legacy state is
+        # refused loudly and rebuilds instead
         if check_dedup_state_params(state_path, unicode_form=unicode_form) is None:
-            write_dedup_state_params(state_path, unicode_form=unicode_form)
+            write_dedup_state_params(state_path, unicode_form=None)
+            check_dedup_state_params(state_path, unicode_form=unicode_form)
         old_state = _excl_batch(spark.read.parquet(state_path), bid)
     elif _has_parquet(corpus_path):
         # one-time migration: corpus predates the state store —

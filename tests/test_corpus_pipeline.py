@@ -1075,6 +1075,12 @@ def test_export_sft_sequences(spark, tmp_path):
     assert back.count() == st3["sequences"]
     with _pytest.raises(ValueError):
         export_sft_sequences(docs, str(tmp_path / "x"), shard_format="nope")
+    # a non-whitespace separator would desync doc_starts (whitespace
+    # token offsets) from the assembled text — refused up front
+    with _pytest.raises(ValueError, match="separator"):
+        export_sft_sequences(docs, str(tmp_path / "y"), separator="|")
+    with _pytest.raises(ValueError, match="separator"):
+        export_sft_sequences(docs, str(tmp_path / "z"), separator="")
 
 
 def test_funnel_unicode_normalization(spark, tmp_path):

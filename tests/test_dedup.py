@@ -760,6 +760,10 @@ def test_lsh_plan():
         lsh_plan(0.0)
     with _pytest.raises(ValueError):
         lsh_plan(0.5, num_hashes=1)
+    # max_bands < 1 filters every divisor out: loud ValueError,
+    # not an opaque unpack TypeError
+    with _pytest.raises(ValueError, match="max_bands"):
+        lsh_plan(0.5, num_hashes=16, max_bands=0)
 
 
 def test_normalize_unicode(spark):

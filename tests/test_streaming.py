@@ -1434,6 +1434,62 @@ def test_admission_gate_unicode_parity(spark, tmp_path):
         admit_documents_available_now(spark, str(inbox), corpus, ckpt)
 
 
+def test_admission_gate_legacy_state_refuses_normalization(spark, tmp_path):
+    """The primary adoption path for unicode_form: a PRE-SIDECAR dedup
+    state (state parquet exists, _params.json absent — necessarily
+    built on raw, unnormalized bytes) drained with unicode_form='NFC'
+    must be REFUSED loudly, and the state must be stamped with what it
+    was actually built with (unicode_form=None), never the caller's
+    flag. Stamping the caller's form would record false provenance:
+    normalized probes judged against raw-built fingerprints silently
+    re-admit exact duplicates forever after."""
+    import json as _json
+    import os as _os
+
+    import pytest as _pytest
+
+    from sstable_migrator_spark.streaming.corpus_ingest import (
+        admit_documents_available_now,
+    )
+
+    inbox = tmp_path / "inbox"
+    inbox.mkdir()
+    corpus = str(tmp_path / "corpus")
+    ckpt = str(tmp_path / "ckpt")
+    base = "caf\u00e9 stories " + " ".join(
+        f"w{i} tok{i % 7} fil{i % 11}" for i in range(25)
+    )
+    with open(inbox / "wave1.jsonl", "w") as fh:
+        fh.write(_json.dumps({"doc_id": 1, "text": base}) + "\n")
+    s1 = admit_documents_available_now(spark, str(inbox), corpus, ckpt)
+    assert s1 == {"judged": 1, "admitted": 1}
+
+    # simulate a pre-sidecar deployment: state exists, params absent
+    sidecar = _os.path.join(corpus, "_dedup_state", "_params.json")
+    _os.remove(sidecar)
+
+    # re-arrival of the EXACT same bytes, now with normalization on:
+    # must refuse (rebuild the state), not silently re-admit
+    with open(inbox / "wave2.jsonl", "w") as fh:
+        fh.write(_json.dumps({"doc_id": 2, "text": base}) + "\n")
+    with _pytest.raises(Exception, match="built with"):
+        admit_documents_available_now(
+            spark, str(inbox), corpus, ckpt, unicode_form="NFC"
+        )
+    # and the stamp records the TRUE provenance of the legacy state
+    with open(sidecar) as fh:
+        assert _json.load(fh)["unicode_form"] is None
+    # the corpus was not polluted by the refused drain
+    got = {r["doc_id"] for r in spark.read.parquet(corpus).collect()}
+    assert got == {1}
+
+    # the refused batch was never committed: a form-less retry on the
+    # SAME checkpoint reprocesses wave2 against the legacy state, and
+    # the same bytes ARE the same fingerprint — rejected as duplicate
+    s2 = admit_documents_available_now(spark, str(inbox), corpus, ckpt)
+    assert s2 == {"judged": 1, "admitted": 0}
+
+
 def test_admission_report(spark, tmp_path):
     """Gate-health rollup over the ledger: per-batch judged/admitted,
     per-gate rejection attribution, and the exact-integer drift flag
