@@ -485,3 +485,374 @@ def ivf_pq_topk(
     return scored.withColumn("rank", F.row_number().over(w)).filter(
         F.col("rank") <= k
     )
+
+# --- persisted ANN index (build/serve split) --------------------------------
+#
+# The amortization discipline retrieval.py established for BM25
+# (write_postings_index / bm25_topk_from_postings) applied to the
+# vector family: at 100 TB the IVF centroids, PQ codebooks, and the
+# cell-assigned / PQ-encoded corpus are DAYS of compute — serving must
+# read a persisted artifact, never rebuild per query. Layout:
+#
+#   <path>/cell=<c>/...      corpus rows (id, embedding[, pq_code]),
+#                            parquet partitioned by IVF cell — a probe
+#                            prunes to n_probe directories before any
+#                            scan (PartitionFilters, test-pinned)
+#   <path>/_centroids/       (cell_id, centroid) — the model, KBs
+#   <path>/_codebooks/       (subspace, code, centroid) — PQ model,
+#                            present only when built with codebooks
+#   <path>/_params.json      {dim, n_cells, pq_m, pq_k, metric} — the
+#                            drift guard (dedup state's sidecar
+#                            pattern): an append or serve against an
+#                            index built with different geometry fails
+#                            loudly instead of silently mis-ranking.
+
+
+def write_ann_index_params(
+    path: str,
+    dim: int,
+    n_cells: int,
+    pq_m: int | None = None,
+    pq_k: int | None = None,
+) -> None:
+    """Record the geometry a persisted ANN index was built with, as
+    ``<path>/_params.json`` (underscore files are invisible to parquet
+    readers). Drift in any field silently breaks serving — wrong-dim
+    appends crash deep inside a numpy kernel, a different cell count
+    mis-prunes, different PQ geometry decodes garbage — so
+    ``check_ann_index_params`` refuses up front instead."""
+    import json
+    import os
+
+    os.makedirs(path, exist_ok=True)
+    with open(os.path.join(path, "_params.json"), "w") as fh:
+        json.dump(
+            {
+                "dim": int(dim),
+                "n_cells": int(n_cells),
+                "pq_m": None if pq_m is None else int(pq_m),
+                "pq_k": None if pq_k is None else int(pq_k),
+                "metric": "cosine",
+            },
+            fh,
+        )
+
+
+def check_ann_index_params(
+    path: str,
+    dim: int | None = None,
+    n_cells: int | None = None,
+    pq_m: int | None = ...,
+    pq_k: int | None = ...,
+) -> dict | None:
+    """Assert a persisted ANN index's recorded geometry matches the
+    caller's expectations (pass None/... to skip a field; ``pq_m``/
+    ``pq_k`` default to unchecked because serving reads them FROM the
+    sidecar). Returns the recorded params, or None when the sidecar is
+    absent. Raises ValueError on any mismatch — the loud-refusal
+    contract shared with check_dedup_state_params."""
+    import json
+    import os
+
+    p = os.path.join(path, "_params.json")
+    if not os.path.exists(p):
+        return None
+    with open(p) as fh:
+        rec = json.load(fh)
+    want = {"dim": dim, "n_cells": n_cells}
+    if pq_m is not ...:
+        want["pq_m"] = pq_m
+    if pq_k is not ...:
+        want["pq_k"] = pq_k
+    for key, val in want.items():
+        if val is not None and rec.get(key) != val:
+            raise ValueError(
+                f"ANN index at {path} was built with {key}="
+                f"{rec.get(key)!r}, but this call expects {val!r} — "
+                "geometry drift silently mis-ranks; rebuild the index "
+                "or fix the caller"
+            )
+    return rec
+
+
+def write_ann_index(
+    corpus: DataFrame,
+    path: str,
+    centroids: list[tuple[int, list[float]]],
+    codebooks=None,
+    corpus_id: str = "vec_id",
+    corpus_vec: str = "embedding",
+) -> dict:
+    """Persist the corpus as a SERVABLE ANN INDEX: cell-assign every
+    vector (``ivf_assign``, map-only), optionally PQ-encode it
+    (``pq_assign``, map-only), and write parquet ``partitionBy(cell)``
+    so a query's probe prunes to its n_probe cells' directories before
+    any scan. The models ride along: centroids in ``_centroids``,
+    codebooks in ``_codebooks``, geometry in ``_params.json``. One
+    corpus pass total; the second query costs an index lookup, never a
+    re-assignment. Same shared-filesystem contract as every persisted
+    store here (sinks.scratch_path / SPARK_GRAFT_SCRATCH). Returns
+    ``{n_cells, dim, pq_m, pq_k}``."""
+    import os
+
+    import numpy as np
+
+    spark = corpus.sparkSession
+    cents = sorted(((int(c), list(map(float, v))) for c, v in centroids))
+    dim = len(cents[0][1])
+    assigned = ivf_assign(corpus, cents, corpus_vec, "cell")
+    pq_m = pq_k = None
+    if codebooks is not None:
+        books = np.asarray(codebooks)
+        pq_m, pq_k, dsub = books.shape
+        if pq_m * dsub != dim:
+            raise ValueError(
+                f"codebooks cover dim {pq_m * dsub}, centroids have dim {dim}"
+            )
+        assigned = pq_assign(assigned, books, vec_col=corpus_vec)
+    assigned.repartition("cell").write.mode("overwrite").partitionBy(
+        "cell"
+    ).parquet(path)
+    spark.createDataFrame(
+        [(c, v) for c, v in cents], "cell_id int, centroid array<double>"
+    ).coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(path, "_centroids")
+    )
+    if codebooks is not None:
+        rows = [
+            (s, c, [float(x) for x in books[s][c]])
+            for s in range(pq_m)
+            for c in range(pq_k)
+        ]
+        spark.createDataFrame(
+            rows, "subspace int, code int, centroid array<double>"
+        ).coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(path, "_codebooks")
+        )
+    write_ann_index_params(path, dim, len(cents), pq_m, pq_k)
+    return {"n_cells": len(cents), "dim": dim, "pq_m": pq_m, "pq_k": pq_k}
+
+
+def read_ann_centroids(spark, path: str) -> list[tuple[int, list[float]]]:
+    """The index's own centroid model — n_cells rows (bounded: the
+    model is KBs at any corpus scale), in the list form every IVF
+    function here takes."""
+    import os
+
+    rows = (
+        spark.read.parquet(os.path.join(path, "_centroids"))
+        .orderBy("cell_id")
+        .collect()
+    )
+    return [(int(r["cell_id"]), [float(x) for x in r["centroid"]]) for r in rows]
+
+
+def read_ann_codebooks(spark, path: str):
+    """The index's PQ codebooks as the (m, k, dsub) ndarray ``pq_*``
+    functions take, or None for an IVF-flat index (no ``_codebooks``
+    directory — flat indexes store raw vectors instead)."""
+    import os
+
+    import numpy as np
+
+    p = os.path.join(path, "_codebooks")
+    if not os.path.isdir(p):
+        return None
+    rows = spark.read.parquet(p).orderBy("subspace", "code").collect()
+    m = max(r["subspace"] for r in rows) + 1
+    k = max(r["code"] for r in rows) + 1
+    dsub = len(rows[0]["centroid"])
+    books = np.empty((m, k, dsub))
+    for r in rows:
+        books[r["subspace"]][r["code"]] = r["centroid"]
+    return books
+
+
+def append_ann_index(
+    new_vecs: DataFrame,
+    path: str,
+    corpus_id: str = "vec_id",
+    corpus_vec: str = "embedding",
+) -> None:
+    """INCREMENTAL vector append — the update_postings_index analog:
+    assign the NEW vectors to cells with the index's OWN centroids
+    (and encode with its own codebooks when present), then append into
+    the same ``cell=`` directories. A cell's vectors living in several
+    files is invisible to serving (per-row scan). Appending an
+    already-indexed id is the caller's bug, exactly as for postings —
+    gate admission upstream. Geometry is guarded: wrong-dim vectors
+    are refused loudly via the ``_params.json`` sidecar before any
+    cluster work. Single-writer discipline, same as every store
+    here."""
+    spark = new_vecs.sparkSession
+    rec = check_ann_index_params(path)
+    if rec is None:
+        raise ValueError(
+            f"no ANN index at {path} (missing _params.json); build it "
+            "with write_ann_index first"
+        )
+    got_dim = new_vecs.select(F.size(corpus_vec)).first()
+    if got_dim is None:
+        return  # empty append: nothing to place
+    if int(got_dim[0]) != rec["dim"]:
+        raise ValueError(
+            f"ANN index at {path} was built with dim={rec['dim']}, "
+            f"but the appended vectors have dim={int(got_dim[0])}"
+        )
+    cents = read_ann_centroids(spark, path)
+    assigned = ivf_assign(new_vecs, cents, corpus_vec, "cell")
+    books = read_ann_codebooks(spark, path)
+    if books is not None:
+        assigned = pq_assign(assigned, books, vec_col=corpus_vec)
+    assigned.repartition("cell").write.mode("append").partitionBy(
+        "cell"
+    ).parquet(path)
+
+
+def ann_topk_from_index(
+    spark,
+    path: str,
+    queries: "list[tuple[int, list[float]]]",
+    k: int = 10,
+    n_probe: int = 2,
+    scoring: str = "exact",
+    corpus_id: str = "vec_id",
+    corpus_vec: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k served from a persisted ``write_ann_index`` —
+    the serve-path twin of ``ivf_topk``/``ivf_pq_topk``: identical
+    ranking (test- and oracle-pinned), but centroids/codebooks come
+    from the index itself and the scan is PARTITION-PRUNED to the
+    queries' probed cells (``PartitionFilters`` on ``cell``), so cost
+    scales with the probed cells, not the corpus.
+
+    ``queries`` is an explicit (id, vector) list — the ivf_pq_topk
+    convention: the probe set must be known driver-side for pruning to
+    reach the parquet scan, and query sets are small by definition
+    (they are the probe side). Probing uses the SAME rule ivf_assign
+    places vectors with (max dot against unit centroids, ties ->
+    lowest cell id).
+
+    ``scoring="exact"`` reads (id, embedding) from the probed cells
+    and ranks by true cosine — IVF-flat, rank-identical to
+    ``ivf_topk``. ``scoring="adc"`` reads (id, pq_code) ONLY (column
+    pruning: the scan never touches raw vectors) and ranks by the PQ
+    asymmetric distance — rank-identical to ``ivf_pq_topk``; requires
+    an index built with codebooks."""
+    import numpy as np
+    import pandas as pd
+
+    from pyspark.sql import Window
+
+    import math
+
+    if scoring not in ("exact", "adc"):
+        raise ValueError(f"scoring must be 'exact' or 'adc', got {scoring!r}")
+    if not queries:
+        raise ValueError("empty query list")
+    check_ann_index_params(path, dim=len(queries[0][1]))
+    cents = read_ann_centroids(spark, path)
+    # bit-identical probe recipe to ivf_probe_cells (same host-side
+    # per-element normalization, same batch GEMM, same stable argsort)
+    # so serving ranks EXACTLY like the in-memory path the oracle pins
+    cmat = np.array(
+        [
+            [x / (math.sqrt(sum(y * y for y in cv)) or 1.0) for x in cv]
+            for _, cv in cents
+        ],
+        dtype=np.float64,
+    ).T  # dim x n_cells
+    cell_ids = np.array([c for c, _ in cents], dtype=np.int64)
+    p = min(n_probe, len(cents))
+    qmat = np.array(
+        [[float(x) for x in qv] for _, qv in queries], dtype=np.float64
+    )
+    top = np.argsort(-(qmat @ cmat), axis=1, kind="stable")[:, :p]
+    probe_rows = [
+        (int(qid), int(cell_ids[c]))
+        for (qid, _), row in zip(queries, top)
+        for c in row
+    ]
+    want_cells = sorted({c for _, c in probe_rows})
+    probes = F.broadcast(
+        spark.createDataFrame(probe_rows, "query_id long, _probe int")
+    )
+
+    if scoring == "exact":
+        qvecs = F.broadcast(
+            spark.createDataFrame(
+                [(int(qid), [float(x) for x in qv]) for qid, qv in queries],
+                "query_id long, _qv array<double>",
+            )
+        )
+        cand = (
+            spark.read.parquet(path)
+            .filter(F.col("cell").isin(want_cells))
+            .select(corpus_id, corpus_vec, "cell")
+            .join(probes, F.col("cell") == F.col("_probe"))
+            .join(qvecs, "query_id")
+            .select(
+                "query_id",
+                F.col(corpus_id).alias("neighbor_id"),
+                VX.cosine(F.col(corpus_vec), F.col("_qv")).alias("cosine"),
+            )
+        )
+        w = Window.partitionBy("query_id").orderBy(
+            F.col("cosine").desc(), F.col("neighbor_id").asc()
+        )
+        return cand.withColumn("rank", F.row_number().over(w)).filter(
+            F.col("rank") <= k
+        )
+
+    books = read_ann_codebooks(spark, path)
+    if books is None:
+        raise ValueError(
+            f"ANN index at {path} has no codebooks; scoring='adc' needs "
+            "an index built with write_ann_index(..., codebooks=)"
+        )
+    m, kk, dsub = books.shape
+    luts = {}
+    for qid, qv in queries:
+        q = np.asarray(qv, dtype=np.float64)
+        lut = np.empty((m, kk))
+        for s in range(m):
+            lut[s] = ((books[s] - q[s * dsub : (s + 1) * dsub]) ** 2).sum(axis=1)
+        luts[int(qid)] = lut
+    cand = (
+        spark.read.parquet(path)
+        .filter(F.col("cell").isin(want_cells))
+        .select(corpus_id, "pq_code", "cell")
+        .join(probes, F.col("cell") == F.col("_probe"))
+        .select("query_id", F.col(corpus_id).alias("neighbor_id"), "pq_code")
+    )
+
+    def score(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            codes = np.stack(pdf["pq_code"].to_numpy()).astype(np.int64)
+            qids = pdf["query_id"].to_numpy()
+            d = np.empty(len(pdf))
+            for qid in np.unique(qids):
+                mask = qids == qid
+                d[mask] = luts[int(qid)][
+                    np.arange(m)[None, :], codes[mask]
+                ].sum(axis=1)
+            yield pd.DataFrame(
+                {
+                    "query_id": pdf["query_id"],
+                    "neighbor_id": pdf["neighbor_id"],
+                    "approx_d2": d,
+                }
+            )
+
+    id_type = cand.schema["neighbor_id"].dataType.simpleString()
+    scored = cand.mapInPandas(
+        score, f"query_id long, neighbor_id {id_type}, approx_d2 double"
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("approx_d2").asc(), F.col("neighbor_id").asc()
+    )
+    return scored.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= k
+    )

@@ -11937,6 +11937,135 @@ ORACLES.update({"q226_greedy_pack": _sql_greedy_pack()})
 
 
 # ---------------------------------------------------------------------------
+# Batch — ANN served from the PERSISTED vector index
+# (simsearch.write_ann_index + ann_topk_from_index: the BM25 q216/q193
+# build/serve discipline applied to the vector family)
+# ---------------------------------------------------------------------------
+
+
+# one index build per (process, sf_dir): the BUILD is q228's timed
+# work; q229 then measures SERVING alone from the persisted artifact —
+# at 100 TB the cell assignment is days of compute, amortized over
+# every query, exactly like the postings index
+_ANN_INDEX_BUILT: dict[str, str] = {}
+
+
+def _ann_fixture_centroids(spark: SparkSession, sf_dir: str):
+    """q165's centroid set (8 seeded rows, cell_id = vec_id), reused so
+    the persisted index's geometry is pinned by the SAME oracle algebra
+    q165 already hash-matches at three scale factors."""
+    emb = _t(spark, sf_dir, "embeddings")
+    rows = (
+        emb.filter((F.col("vec_id") % 20 == 0) & (F.col("vec_id") < 160))
+        .select("vec_id", "embedding")
+        .orderBy("vec_id")
+        .collect()
+    )
+    return [(int(r["vec_id"]), [float(x) for x in r["embedding"]]) for r in rows]
+
+
+def _ensure_ann_index(spark: SparkSession, sf_dir: str, rebuild: bool = False) -> str:
+    from sstable_migrator_spark.operators.simsearch import write_ann_index
+    from sstable_migrator_spark.sinks import scratch_path
+
+    # wipe=False: resolving the path must NOT destroy an index a prior
+    # q228 call built (the _ensure_bm25_index contract)
+    path = scratch_path("ann-q229", wipe=False)
+    if rebuild or _ANN_INDEX_BUILT.get(path) != sf_dir:
+        emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+        write_ann_index(emb, path, _ann_fixture_centroids(spark, sf_dir))
+        _ANN_INDEX_BUILT[path] = sf_dir
+    return path
+
+
+def q_ann_index_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ANN index BUILD, timed as its own catalog entry (one corpus
+    pass: map-only IVF cell assignment -> cell-partitioned write, plus
+    the KB-sized centroid sidecar): per-cell vector counts and id
+    checksums of the WRITTEN index are hash-gated against an
+    independent SQL replay of the assignment rule (max cosine, ties ->
+    lowest cell id), so the placement AND the partition layout are both
+    under the hash. Registered BEFORE q229 so a sweep pays the build
+    here and q229 measures serving alone."""
+    path = _ensure_ann_index(spark, sf_dir, rebuild=True)
+    idx = spark.read.parquet(path)
+    return idx.groupBy(F.col("cell").cast("int").alias("cell")).agg(
+        F.count(F.lit(1)).alias("n_vecs"),
+        F.sum("vec_id").cast("long").alias("sum_ids"),
+    )
+
+
+SQL_ANN_INDEX_BUILD = f"""
+WITH c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+cent AS (SELECT vec_id AS cell_id, CAST(embedding AS DOUBLE[]) AS cv
+         FROM embeddings WHERE vec_id % 20 = 0 AND vec_id < 160),
+assign AS (
+  SELECT vec_id, cell_id FROM (
+    SELECT c.vec_id, cent.cell_id,
+           row_number() OVER (PARTITION BY c.vec_id
+                              ORDER BY {_SQL_COS.format(a='c.v', b='cent.cv')} DESC,
+                                       cent.cell_id ASC) AS rn
+    FROM c CROSS JOIN cent) WHERE rn = 1)
+SELECT CAST(cell_id AS INT) AS cell,
+       CAST(count(*) AS BIGINT) AS n_vecs,
+       CAST(sum(vec_id) AS BIGINT) AS sum_ids
+FROM assign GROUP BY 1
+"""
+
+
+def q_ann_index_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q165's recall@5 measurement with the IVF side served from the
+    PERSISTED index (q228's build — reused, rebuilt only if this
+    process hasn't built it for this sf_dir): the probe prunes the
+    scan to its cells' partitions, centroids come from the index's own
+    sidecar, and the recall gate stays — serving from the artifact
+    must rank exactly like the in-memory path, so this entry shares
+    q165's oracle verbatim. The query set (10 rows) is collected into
+    the explicit (id, vector) list serving takes — the probe side is
+    bounded by definition."""
+    from sstable_migrator_spark.operators.simsearch import ann_topk_from_index
+
+    path = _ensure_ann_index(spark, sf_dir)
+    emb = _t(spark, sf_dir, "embeddings")
+    qrows = (
+        emb.filter((F.col("vec_id") >= 5) & (F.col("vec_id") < 15))
+        .select("vec_id", "embedding")
+        .orderBy("vec_id")
+        .collect()
+    )
+    qlist = [(int(r["vec_id"]), [float(x) for x in r["embedding"]]) for r in qrows]
+    queries = emb.filter((F.col("vec_id") >= 5) & (F.col("vec_id") < 15)).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    exact = simsearch.brute_force_topk(emb, queries, k=5).select(
+        "query_id", "neighbor_id"
+    )
+    served = ann_topk_from_index(spark, path, qlist, k=5, n_probe=2).select(
+        "query_id", "neighbor_id"
+    )
+    return (
+        exact.join(
+            served.withColumn("_hit", F.lit(1)), ["query_id", "neighbor_id"], "left"
+        )
+        .groupBy("query_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_exact"),
+            F.count("_hit").alias("n_hit"),
+        )
+        .select(
+            "query_id", "n_exact", "n_hit",
+            (F.col("n_hit") / F.col("n_exact")).alias("recall_at_5"),
+        )
+    )
+
+
+QUERIES.update({"q228_ann_index_build": q_ann_index_build})
+ORACLES.update({"q228_ann_index_build": SQL_ANN_INDEX_BUILD})
+QUERIES.update({"q229_ann_index_serve": q_ann_index_serve})
+ORACLES.update({"q229_ann_index_serve": SQL_ANN_RECALL})
+
+
+# ---------------------------------------------------------------------------
 # Driver-sample ordering.
 #
 # The round driver's correctness gate checks only the FIRST ~50 catalog

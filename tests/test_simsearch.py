@@ -265,3 +265,181 @@ def test_trained_centroids_full_probe_exact(spark, sf_dir):
         for r in ivf_topk(emb, queries, cents, k=5, n_probe=8).collect()
     }
     assert ivf == brute
+
+
+# --- persisted ANN index (build/serve split) --------------------------------
+
+
+def _centroids_from(vecs, ids):
+    return [(i, vecs[j].tolist()) for i, j in enumerate(ids)]
+
+
+def test_ann_index_roundtrip_and_pruning(spark, tmp_path):
+    """The persisted index serves rank-identical results to the
+    in-memory ivf_topk, and the serve-path scan is partition-pruned to
+    the probed cells — index lookup, not corpus scan."""
+    from sstable_migrator_spark.operators.simsearch import (
+        ann_topk_from_index,
+        ivf_topk,
+        write_ann_index,
+    )
+
+    corpus, vecs = _corpus(spark, n=60, dim=8)
+    cents = _centroids_from(vecs, [0, 10, 20, 30, 40, 50])
+    path = str(tmp_path / "annidx")
+    meta = write_ann_index(corpus, path, cents)
+    assert meta == {"n_cells": 6, "dim": 8, "pq_m": None, "pq_k": None}
+
+    qlist = [(0, vecs[3].tolist()), (1, vecs[33].tolist())]
+    qdf = spark.createDataFrame(qlist, "query_id long, query_vec array<double>")
+    base = ivf_topk(corpus, qdf, cents, k=5, n_probe=2).select(
+        "query_id", "neighbor_id", "rank"
+    )
+    served = ann_topk_from_index(spark, path, qlist, k=5, n_probe=2)
+    got = sorted(
+        (r["query_id"], r["rank"], r["neighbor_id"]) for r in served.collect()
+    )
+    want = sorted(
+        (r["query_id"], r["rank"], r["neighbor_id"]) for r in base.collect()
+    )
+    assert got == want and len(got) == 10
+
+    # pruned scan: PartitionFilters on cell, and the files ACTUALLY
+    # read (input_file_name — a runtime account) sit only in probed
+    # cells' directories
+    plan = served._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "cell" in plan
+    import os as _os
+
+    import numpy as np
+
+    cmat = np.stack([np.asarray(v) for _, v in cents])
+    unit = cmat / np.linalg.norm(cmat, axis=1, keepdims=True)
+    want_cells = set()
+    for _, qv in qlist:
+        order = np.argsort(-(unit @ np.asarray(qv)), kind="stable")[:2]
+        want_cells.update(int(c) for c in order)
+    all_cells = {d for d in _os.listdir(path) if d.startswith("cell=")}
+    assert len(want_cells) < len(all_cells)
+    read_dirs = {
+        r[0].split("/")[-2]
+        for r in spark.read.parquet(path)
+        .filter(F.col("cell").isin(sorted(want_cells)))
+        .select(F.input_file_name())
+        .distinct()
+        .collect()
+    }
+    assert read_dirs and read_dirs <= {f"cell={c}" for c in want_cells}
+
+
+def test_ann_index_params_drift(spark, tmp_path):
+    """Geometry drift fails loudly via the _params.json sidecar: a
+    serve with wrong-dim queries, an append with wrong-dim vectors,
+    and an explicit check with a different cell count all refuse."""
+    import pytest
+
+    from sstable_migrator_spark.operators.simsearch import (
+        ann_topk_from_index,
+        append_ann_index,
+        check_ann_index_params,
+        write_ann_index,
+    )
+
+    corpus, vecs = _corpus(spark, n=20, dim=8)
+    cents = _centroids_from(vecs, [0, 10])
+    path = str(tmp_path / "annidx")
+    write_ann_index(corpus, path, cents)
+
+    rec = check_ann_index_params(path, dim=8, n_cells=2)
+    assert rec["metric"] == "cosine" and rec["pq_m"] is None
+    with pytest.raises(ValueError, match="built with"):
+        check_ann_index_params(path, n_cells=4)
+    with pytest.raises(ValueError, match="built with"):
+        ann_topk_from_index(spark, path, [(0, [1.0] * 16)], k=3)
+    bad = spark.createDataFrame(
+        [(99, [1.0] * 16)], "vec_id long, embedding array<double>"
+    )
+    with pytest.raises(ValueError, match="dim"):
+        append_ann_index(bad, path)
+    with pytest.raises(ValueError, match="_params"):
+        append_ann_index(bad, str(tmp_path / "nosuch"))
+
+
+def test_ann_index_append_equals_rebuild(spark, tmp_path):
+    """Incremental vector append: index half the corpus, append the
+    other half — serving equals a full rebuild exactly (disjoint ids,
+    the update_postings_index contract)."""
+    from sstable_migrator_spark.operators.simsearch import (
+        ann_topk_from_index,
+        append_ann_index,
+        write_ann_index,
+    )
+
+    corpus, vecs = _corpus(spark, n=60, dim=8)
+    cents = _centroids_from(vecs, [0, 10, 20, 30])
+    first = corpus.filter(F.col("vec_id") < 30)
+    rest = corpus.filter(F.col("vec_id") >= 30)
+
+    inc_path = str(tmp_path / "inc")
+    write_ann_index(first, inc_path, cents)
+    append_ann_index(rest, inc_path)
+    full_path = str(tmp_path / "full")
+    write_ann_index(corpus, full_path, cents)
+
+    qlist = [(0, vecs[5].tolist()), (1, vecs[45].tolist())]
+    inc = ann_topk_from_index(spark, inc_path, qlist, k=5, n_probe=2)
+    full = ann_topk_from_index(spark, full_path, qlist, k=5, n_probe=2)
+    key = lambda r: (r["query_id"], r["rank"], r["neighbor_id"])
+    assert sorted(map(key, inc.collect())) == sorted(map(key, full.collect()))
+    # appended rows landed inside the same cell= layout
+    import os as _os
+
+    assert all(
+        d.startswith("cell=") or d.startswith("_")
+        for d in _os.listdir(inc_path)
+        if not d.startswith(".")
+    )
+
+
+def test_ann_index_adc_serving(spark, tmp_path):
+    """An index built WITH codebooks serves PQ-ADC rankings identical
+    to the in-memory ivf_pq_topk, and the ADC scan reads the code
+    column, never raw embeddings (column pruning in the plan)."""
+    from sstable_migrator_spark.operators.simsearch import (
+        ann_topk_from_index,
+        ivf_pq_topk,
+        pq_train,
+        write_ann_index,
+    )
+
+    corpus, vecs = _corpus(spark, n=60, dim=8)
+    cents = _centroids_from(vecs, [0, 10, 20, 30])
+    books = pq_train(vecs.tolist(), m=4, k=8, iters=5)
+    path = str(tmp_path / "annpq")
+    meta = write_ann_index(corpus, path, cents, codebooks=books)
+    assert meta["pq_m"] == 4 and meta["pq_k"] == 8
+
+    qlist = [(0, vecs[3].tolist()), (1, vecs[33].tolist())]
+    base = ivf_pq_topk(corpus, qlist, cents, books, k=5, n_probe=2)
+    served = ann_topk_from_index(
+        spark, path, qlist, k=5, n_probe=2, scoring="adc"
+    )
+    key = lambda r: (r["query_id"], r["rank"], r["neighbor_id"])
+    assert sorted(map(key, served.collect())) == sorted(
+        map(key, base.collect())
+    )
+    plan = served._jdf.queryExecution().executedPlan().toString()
+    assert "pq_code" in plan
+    # the pruned ADC scan's ReadSchema carries codes, not embeddings
+    import re as _re
+
+    reads = _re.findall(r"ReadSchema: [^\n]*", plan)
+    assert reads and all("embedding" not in r for r in reads), reads
+
+    # flat index refuses ADC
+    import pytest
+
+    flat = str(tmp_path / "flat")
+    write_ann_index(corpus, flat, cents)
+    with pytest.raises(ValueError, match="codebooks"):
+        ann_topk_from_index(spark, flat, qlist, scoring="adc")
