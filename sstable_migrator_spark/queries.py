@@ -12066,6 +12066,98 @@ ORACLES.update({"q229_ann_index_serve": SQL_ANN_RECALL})
 
 
 # ---------------------------------------------------------------------------
+# Streaming ops — the admission-gate health report under the oracle
+# (streaming/corpus_ingest.admission_report over a hand-built ledger)
+# ---------------------------------------------------------------------------
+
+
+def q_admission_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The gate-health rollup (per-batch judged/admitted, per-gate
+    rejection attribution, exact-integer admit-rate drift flag) under
+    the cross-engine oracle: a DETERMINISTIC ledger fixture is derived
+    arithmetically from the documents table (every gate column a pure
+    doc_id modulus, one batch with a deliberately depressed admit rate
+    so the drift flag fires), written through the SAME partitioned-JSON
+    layout the drain writes (_overwrite_batch), and the report is run
+    against it — so the pinned ledger schema, the rollup, AND the
+    cross-multiplied drift rule are all under the hash. The report
+    reads the O(decisions) ledger, never a corpus."""
+    from sstable_migrator_spark.streaming.corpus_ingest import (
+        _overwrite_batch,
+        admission_report,
+    )
+
+    root = _scratch_dir("admissions-q227")
+    led = _t(spark, sf_dir, "documents").selectExpr(
+        "doc_id",
+        "CAST(doc_id % 4 AS INT) AS batch",
+        "CAST(CASE WHEN doc_id % 10 = 0 THEN 1 ELSE 0 END AS INT) AS exact_dup",
+        "CAST(CASE WHEN doc_id % 7 = 0 THEN 2 ELSE 0 END AS BIGINT) AS n_near_dups",
+        "CAST(CASE WHEN doc_id % 9 = 1 OR (doc_id % 4 = 3 AND doc_id % 3 < 2)"
+        " THEN 0 ELSE 1 END AS INT) AS quality_keep",
+        "CAST(CASE WHEN doc_id % 11 = 2 THEN 0 ELSE 1 END AS INT) AS ppl_keep",
+        "CAST(CASE WHEN doc_id % 19 = 3 THEN 0 ELSE 1 END AS INT) AS decon_keep",
+        "CAST(CASE WHEN doc_id % 23 = 4 THEN 0 ELSE 1 END AS INT) AS rep_keep",
+    ).selectExpr(
+        "*",
+        "CAST(CASE WHEN exact_dup = 0 AND n_near_dups = 0 AND quality_keep = 1"
+        " AND ppl_keep = 1 AND decon_keep = 1 AND rep_keep = 1"
+        " THEN 1 ELSE 0 END AS INT) AS admitted",
+    )
+    import os as _os
+
+    _overwrite_batch(led, _os.path.join(root, "_admissions"), fmt="json")
+    return admission_report(spark, root)
+
+
+SQL_ADMISSION_REPORT = """
+WITH led AS (
+  SELECT doc_id, CAST(doc_id % 4 AS INT) AS batch,
+         CASE WHEN doc_id % 10 = 0 THEN 1 ELSE 0 END AS exact_dup,
+         CASE WHEN doc_id % 7 = 0 THEN 2 ELSE 0 END AS n_near_dups,
+         CASE WHEN doc_id % 9 = 1 OR (doc_id % 4 = 3 AND doc_id % 3 < 2)
+              THEN 0 ELSE 1 END AS quality_keep,
+         CASE WHEN doc_id % 11 = 2 THEN 0 ELSE 1 END AS ppl_keep,
+         CASE WHEN doc_id % 19 = 3 THEN 0 ELSE 1 END AS decon_keep,
+         CASE WHEN doc_id % 23 = 4 THEN 0 ELSE 1 END AS rep_keep
+  FROM documents),
+led2 AS (
+  SELECT *, CASE WHEN exact_dup = 0 AND n_near_dups = 0 AND quality_keep = 1
+                  AND ppl_keep = 1 AND decon_keep = 1 AND rep_keep = 1
+             THEN 1 ELSE 0 END AS admitted
+  FROM led),
+per AS (
+  SELECT batch,
+         CAST(count(*) AS BIGINT) AS judged,
+         CAST(sum(admitted) AS BIGINT) AS admitted,
+         CAST(sum(exact_dup) AS BIGINT) AS exact_dups,
+         CAST(sum(CASE WHEN exact_dup = 0 AND n_near_dups > 0 THEN 1 ELSE 0 END)
+              AS BIGINT) AS near_dup_hits,
+         CAST(sum(CASE WHEN quality_keep = 0 THEN 1 ELSE 0 END) AS BIGINT)
+              AS quality_rejects,
+         CAST(sum(CASE WHEN ppl_keep = 0 THEN 1 ELSE 0 END) AS BIGINT)
+              AS ppl_rejects,
+         CAST(sum(CASE WHEN decon_keep = 0 THEN 1 ELSE 0 END) AS BIGINT)
+              AS decon_rejects,
+         CAST(sum(CASE WHEN rep_keep = 0 THEN 1 ELSE 0 END) AS BIGINT)
+              AS rep_rejects
+  FROM led2 GROUP BY 1),
+tot AS (SELECT CAST(count(*) AS BIGINT) AS j_all,
+               CAST(sum(admitted) AS BIGINT) AS a_all
+        FROM led2)
+SELECT batch, judged, admitted, exact_dups, near_dup_hits, quality_rejects,
+       ppl_rejects, decon_rejects, rep_rejects,
+       (admitted * j_all * 4 < judged * a_all * 3
+        OR admitted * j_all * 4 > judged * a_all * 5) AS rate_drift
+FROM per, tot
+"""
+
+
+QUERIES.update({"q227_admission_report": q_admission_report})
+ORACLES.update({"q227_admission_report": SQL_ADMISSION_REPORT})
+
+
+# ---------------------------------------------------------------------------
 # Driver-sample ordering.
 #
 # The round driver's correctness gate checks only the FIRST ~50 catalog

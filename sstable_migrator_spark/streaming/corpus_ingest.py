@@ -403,6 +403,17 @@ def admit_documents_available_now(
     return stats
 
 
+# the decision-row schema _drain_admission_batch writes (its final
+# decisions.select), PINNED for the report: schema inference would pay
+# an extra pass over the ledger and could type a short or degenerate
+# ledger loosely (e.g. an early all-reject wave). ``batch`` is the
+# partition column.
+_LEDGER_SCHEMA = (
+    "doc_id long, exact_dup int, n_near_dups bigint, quality_keep int, "
+    "ppl_keep int, decon_keep int, rep_keep int, admitted int, batch int"
+)
+
+
 def admission_report(spark: SparkSession, corpus_path: str) -> DataFrame:
     """Gate HEALTH report over the ``_admissions`` ledger — the ops
     view a corpus owner reads each morning: per drain batch, how much
@@ -416,7 +427,9 @@ def admission_report(spark: SparkSession, corpus_path: str) -> DataFrame:
     all-time totals as a single-row broadcast cross. The ledger is
     O(decisions) rows of integers — at 100 TB this reads the ledger,
     never the corpus."""
-    led = spark.read.json(os.path.join(corpus_path, "_admissions"))
+    led = spark.read.schema(_LEDGER_SCHEMA).json(
+        os.path.join(corpus_path, "_admissions")
+    )
     per = led.groupBy("batch").agg(
         F.count(F.lit(1)).alias("judged"),
         F.sum("admitted").alias("admitted"),
