@@ -204,15 +204,24 @@ def read_arrow_shards(
     return dirs_df.mapInPandas(_scan, spark_schema)
 
 
-def verify_arrow_shards(path: str) -> dict:
+def verify_arrow_shards(path: str, spark: SparkSession | None = None) -> dict:
     """Verify a shard directory against its manifest WITHOUT decoding:
     every manifested shard must exist with the exact byte size and
     sha256, and no unmanifested ``shard-*.arrow`` may be present.
     Raises with the offending shard names on any missing / corrupt /
     truncated / extra file; returns ``{shards, rows, bytes}`` totals on
-    success. Driver-side, O(total bytes) hashing — the pre-flight a
-    consumer runs after copying shards between filesystems (the epoch
-    manifests' verify_epoch, for the interchange format)."""
+    success — the pre-flight a consumer runs after copying shards
+    between filesystems (the epoch manifests' verify_epoch, for the
+    interchange format).
+
+    Pass ``spark`` to hash EXECUTOR-side (the ``_digest_shard_files``
+    pattern: one task per shard batch, streamed 1 MiB reads, only
+    O(shards) digest rows return to the driver) — for a multi-TB
+    interchange directory the driver-side loop IS the bottleneck.
+    Without ``spark`` the hashing runs as a sequential driver loop
+    (fine for test-sized directories). Both paths fail with identical
+    messages. Shared-filesystem contract when distributed: ``path``
+    must be visible to the executors, same as the writer."""
     import glob as _glob
 
     mf = os.path.join(path, _MANIFEST)
@@ -230,15 +239,49 @@ def verify_arrow_shards(path: str) -> dict:
         raise ValueError(
             f"{path}: missing={missing[:5]} extra={extra[:5]} vs {_MANIFEST}"
         )
-    bad = []
-    for m in manifest:
-        full = os.path.join(path, m["shard"])
-        if os.path.getsize(full) != m["bytes"]:
-            bad.append(f"{m['shard']} (size)")
-            continue
+
+    def _check(name: str, want_bytes: int, want_sha: str) -> str | None:
+        full = os.path.join(path, name)
+        h = hashlib.sha256()
+        n = 0
         with open(full, "rb") as fh:
-            if hashlib.sha256(fh.read()).hexdigest() != m["sha256"]:
-                bad.append(f"{m['shard']} (sha256)")
+            for chunk in iter(lambda: fh.read(1 << 20), b""):
+                h.update(chunk)
+                n += len(chunk)
+        if n != want_bytes:
+            return f"{name} (size)"
+        if h.hexdigest() != want_sha:
+            return f"{name} (sha256)"
+        return None
+
+    if spark is None:
+        bad = []
+        for m in manifest:
+            b = _check(m["shard"], m["bytes"], m["sha256"])
+            if b is not None:
+                bad.append(b)
+    else:
+        import pandas as pd
+
+        rows = [(i, m["shard"], m["bytes"], m["sha256"])
+                for i, m in enumerate(sorted(manifest, key=lambda m: m["shard"]))]
+        jobs = spark.createDataFrame(
+            rows, "i int, shard string, bytes long, sha256 string"
+        ).repartitionByRange(min(len(rows), 64), "i")
+
+        def _dig(batches):
+            for pdf in batches:
+                out = []
+                for name, wb, ws in zip(
+                    pdf["shard"], pdf["bytes"], pdf["sha256"]
+                ):
+                    b = _check(str(name), int(wb), str(ws))
+                    if b is not None:
+                        out.append({"bad": b})
+                if out:
+                    yield pd.DataFrame(out)
+
+        bad = sorted(r["bad"] for r in jobs.mapInPandas(_dig, "bad string").collect())
     if bad:
         raise ValueError(f"{path}: corrupt shards: {bad[:5]}")
     return {

@@ -139,3 +139,56 @@ def test_overwrite_clears_stale_shards(spark, tmp_path):
 
     assert verify_arrow_shards(str(tmp_path))["rows"] == 4
     assert read_arrow_shards(spark, str(tmp_path)).count() == 4
+
+
+def test_verify_distributed_matches_driver(spark, tmp_path):
+    """verify_arrow_shards(spark=) hashes executor-side (one task per
+    shard batch, O(shards) rows to the driver) with the SAME totals on
+    a pristine directory and the SAME by-name failures on corruption,
+    truncation, and missing/extra files as the driver-side loop."""
+    import glob
+    import json
+    import shutil
+
+    import pytest
+
+    from sstable_migrator_spark.sinks.arrowshard import verify_arrow_shards
+
+    man = write_arrow_shards(
+        _df(spark, 12).coalesce(2), str(tmp_path), max_rows_per_shard=3
+    )
+    assert len(man) >= 3
+    tot_driver = verify_arrow_shards(str(tmp_path))
+    tot_dist = verify_arrow_shards(str(tmp_path), spark=spark)
+    assert tot_dist == tot_driver and tot_dist["rows"] == 12
+
+    # corrupt one shard in place (same size, flipped byte) -> sha256
+    # failure BY NAME from the distributed path
+    shards = sorted(glob.glob(str(tmp_path / "shard-*.arrow")))
+    victim = shards[1]
+    data = bytearray(open(victim, "rb").read())
+    data[len(data) // 2] ^= 0xFF
+    open(victim, "wb").write(bytes(data))
+    import os as _os
+
+    vname = _os.path.basename(victim)
+    with pytest.raises(ValueError, match=f"{vname} \\(sha256\\)"):
+        verify_arrow_shards(str(tmp_path), spark=spark)
+
+    # truncate another -> size failure by name
+    other = shards[2]
+    blob = open(other, "rb").read()
+    open(other, "wb").write(blob[:-7])
+    oname = _os.path.basename(other)
+    with pytest.raises(ValueError, match="\\(size\\)"):
+        verify_arrow_shards(str(tmp_path), spark=spark)
+
+    # restore, then missing/extra still fail before any hashing
+    open(other, "wb").write(blob)
+    shutil.copy(shards[0], str(tmp_path / "shard-00099-000.arrow"))
+    with pytest.raises(ValueError, match="extra"):
+        verify_arrow_shards(str(tmp_path), spark=spark)
+    (tmp_path / "shard-00099-000.arrow").unlink()
+    _os.unlink(shards[0])
+    with pytest.raises(ValueError, match="missing"):
+        verify_arrow_shards(str(tmp_path), spark=spark)
