@@ -304,11 +304,20 @@ def minhash_lsh_pairs(
     O(B) per bucket) instead of all C(B,2) pairs. Downstream
     clustering (``dup_clusters``) recovers the same components —
     star edges connect exactly the docs the clique edges did; what's
-    traded away is exhaustive pair ENUMERATION inside hot buckets
-    (and with it, pairs whose only witness was a hot bucket where
-    neither endpoint resembles the representative beyond threshold —
-    in boilerplate cliques members are near-identical, so in practice
-    recall survives; q164 measures it). Off (None) by default."""
+    traded away is exhaustive pair ENUMERATION inside hot buckets.
+    The drop rule, exactly: every pair is emitted only at its FIRST
+    matching band (the dedup discipline both paths share), so a
+    member-member pair whose first matching band lands in a hot
+    bucket is NOT emitted — not even when a LATER band's small
+    bucket also witnesses it (the small path filters it there as a
+    non-first band; the star path emits only rep-vs-member rows).
+    Such a pair still lands in one component via its two star edges
+    through the representative, PROVIDED both members pass the
+    est_jaccard filter against the rep — a member similar to a
+    non-rep member but not to the rep is the true recall loss. In
+    boilerplate cliques members are near-identical, so in practice
+    recall survives; q164 measures it, q217's SQL twin replays these
+    exact semantics. Off (None) by default."""
     rows_per_band = _check_bands(num_hashes, bands)
     if max_bucket is not None and max_bucket < 2:
         raise ValueError(f"max_bucket must be >= 2, got {max_bucket}")
