@@ -74,6 +74,12 @@ def build_training_corpus(
     lsh_max_bucket: int | None = None,
     near_dup_policy: str = "canonical",
     unicode_form: str | None = None,
+    layout: str = "chunks",
+    seq_tokens: int = 2048,
+    seq_seed: int = 0,
+    overflow: str = "flag",
+    rows_per_shard: int = 10000,
+    parts: int | None = None,
 ) -> dict[str, int]:
     """Run the curation funnel and write chunk shards to ``out_dir``
     (``shard_format="parquet"``: partitioned by shard_id — the default
@@ -104,7 +110,25 @@ def build_training_corpus(
     ``"keep_best"`` (highest quality_score, ties -> smallest id — the
     dedup_keep_best policy, computed here on |dups|-sized tables only:
     cluster labels broadcast into the corpus, argmax over members).
+
+    ``layout``: what the curated survivors become —
+
+    - ``"chunks"`` (default): the overlapping chunk-and-shard layout
+      described above (``chunk_size``/``stride``/``shard_tokens``).
+    - ``"sft"``: whole-document greedy packing + the SFT sequence
+      export (``export_sft_sequences``: a document never straddles a
+      sequence boundary, ``doc_starts`` carries the block-diagonal
+      attention-mask offsets) in the SAME governed call — the funnel's
+      survivors flow straight into the layout with one stats dict:
+      funnel counts plus ``{sequences, tokens, docs, oversize,
+      pad_tokens}``, so the pad accounting an SFT data lead watches is
+      returned next to the curation attrition it trades against.
+      ``seq_tokens``/``seq_seed``/``overflow``/``rows_per_shard``/
+      ``parts`` parameterize the layout; ``chunk_size``/``stride``/
+      ``shard_tokens`` are ignored.
     """
+    if layout not in ("chunks", "sft"):
+        raise ValueError(f"layout must be 'chunks' or 'sft', got {layout!r}")
     if near_dup_policy not in ("canonical", "keep_best"):
         raise ValueError(
             f"near_dup_policy must be 'canonical' or 'keep_best', "
@@ -201,6 +225,27 @@ def build_training_corpus(
         clean = dedup.strip_duplicated_spans(
             clean.localCheckpoint(), k=strip_spans_k
         ).select("doc_id", F.col("clean_text").alias("text"))
+
+    if layout == "sft":
+        # cut lineage once: the SFT export re-reads the curated text
+        # (greedy layout + text join-back), and the layout's range
+        # exchange would re-run the observed funnel subtree
+        # (double-counting the Observations) without it
+        curated = clean.localCheckpoint()
+        sft = export_sft_sequences(
+            curated,
+            out_dir,
+            seq_tokens=seq_tokens,
+            seed=seq_seed,
+            rows_per_shard=rows_per_shard,
+            shard_format=shard_format,
+            overflow=overflow,
+            parts=parts,
+        )
+        counts = {k: int(o.get["n"]) for k, o in obs.items() if k != "chunks"}
+        counts["near_dup_kept"] = counts["exact"] - n_losers
+        counts.update(sft)
+        return counts
 
     tk = TX.tokens(F.lower(F.col("text")))
     chunked_src = clean.select("doc_id", tk.alias("tk")).filter(F.size("tk") > 0)

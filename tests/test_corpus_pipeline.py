@@ -1180,3 +1180,55 @@ def test_funnel_all_options_compose(spark, sf_dir, tmp_path):
         assert not (d in kept and (d - 300000) in kept), (
             f"near-dup pair {d} both kept — dedup failed under composition"
         )
+
+
+def test_funnel_sft_layout_end_to_end(spark, sf_dir, tmp_path):
+    """layout='sft': the funnel's curated survivors flow into the
+    whole-document greedy layout + doc_starts export in ONE governed
+    call — the returned stats carry BOTH the curation attrition and
+    the SFT pad accounting, and the written sequences equal a manual
+    funnel-then-export composition."""
+    from pyspark.sql import functions as F
+
+    from sstable_migrator_spark.functions import text as TX
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    base = docs.limit(40)
+    exact_dup = base.filter(F.col("doc_id") == base.first()["doc_id"]).select(
+        (F.col("doc_id") + 100000).alias("doc_id"), "text", "lang", "source", "n_chars"
+    )
+    corpus = base.unionByName(exact_dup)
+
+    S = 64
+    out = str(tmp_path / "sft")
+    stats = build_training_corpus(
+        corpus, out, quality_min=0.0, layout="sft", seq_tokens=S, seq_seed=7
+    )
+    # one dict, both halves: curation attrition + pad accounting
+    assert stats["input"] == 41
+    assert stats["input"] >= stats["quality"] >= stats["lang"] >= stats["exact"]
+    assert stats["exact"] < stats["lang"]  # planted exact dup died
+    assert "chunks" not in stats
+    assert stats["sequences"] > 0 and stats["tokens"] > 0
+    assert stats["pad_tokens"] == stats["sequences"] * S - stats["tokens"]
+    assert stats["docs"] + stats["oversize"] <= stats["near_dup_kept"]
+
+    seqs = spark.read.parquet(out)
+    assert seqs.count() == stats["sequences"]
+    got = seqs.select(
+        "seq_id", "n_docs", "n_tokens", "doc_starts",
+        TX.token_count(F.col("seq_text")).alias("real"),
+    ).collect()
+    # no straddle: every sequence's assembled text is exactly its
+    # accounted whole-document tokens, within budget, offsets aligned
+    for r in got:
+        assert r["n_tokens"] == r["real"] <= S
+        assert len(r["doc_starts"]) == r["n_docs"]
+        assert r["doc_starts"][0] == 0
+        assert list(r["doc_starts"]) == sorted(set(r["doc_starts"]))
+
+    # bogus layout refused
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="layout"):
+        build_training_corpus(corpus, str(tmp_path / "x"), layout="nope")
