@@ -87,30 +87,54 @@ def _fetch_pending_plan(
     plan: DataFrame,
     fetcher: Callable[[list[dict]], list[dict]],
     warc_dir: str,
-    tick: int,
+    tag: str,
     fetch_partitions: int,
-) -> int:
+    max_fetch_per_task: int | None = None,
+) -> tuple[int, int]:
     """Run ``fetcher`` executor-side over the pending plan, one
     invocation per host-hash partition (a host never splits across
     tasks, so its ``fetch_seq`` order — and therefore its politeness
     schedule — is a single task's sequential loop). Each task writes
-    one deterministic raw-WARC shard; only (shard, count) rows reach
-    the driver. Returns the fetched-record count."""
+    one deterministic raw-WARC shard (``<tag>-p<pid>.warc.gz``); only
+    (shard, counts) rows reach the driver.
+
+    PER-TASK BOUNDS — a hung or enormous host must not hold its
+    partition's task forever:
+
+    - ``max_fetch_per_task`` caps the URLs a task hands the fetcher
+      this run; the remainder (the over-budget tail in per-host slot
+      order) is DEFERRED, not dropped.
+    - the fetcher contract allows PARTIAL returns: a production
+      fetcher that hits its own wall-clock budget (or skips a hung
+      host) simply returns fewer records, and every planned URL with
+      no returned record is deferred too.
+
+    Deferred rows land executor-side as ``defer-<tag>-p<pid>.parquet``
+    (url/host/fetch_seq/fetch_offset_ms — plan rows, never text); the
+    next ``daily_crawl_job`` tick re-queues them through its retry
+    pass. Returns ``(fetched_records, deferred_rows)``."""
     import pandas as pd
     from pyspark import TaskContext
     from pyspark.sql import functions as F
 
     from sstable_migrator_spark.sources.warc import encode_warc_responses
 
-    # stale shards from a crashed attempt (possibly written under a
-    # different partition count) would double-feed extraction: clear
-    # this tick's names before rewriting them — O(files) name ops
-    prefix = f"tick-{tick:06d}-p"
+    # stale shards/deferrals from a crashed attempt (possibly written
+    # under a different partition count) would double-feed extraction
+    # or the retry pass: clear this tag's names before rewriting them
+    # — O(files) name ops
+    prefix = f"{tag}-p"
+    dprefix = f"defer-{tag}-p"
     for f in os.listdir(warc_dir):
-        if f.startswith(prefix) and f.endswith(".warc.gz"):
+        if (f.startswith(prefix) and f.endswith(".warc.gz")) or (
+            f.startswith(dprefix) and f.endswith(".parquet")
+        ):
             os.remove(os.path.join(warc_dir, f))
 
     def _fetch(batches):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
         pid = TaskContext.get().partitionId()
         rows: list[dict] = []
         for pdf in batches:
@@ -119,24 +143,67 @@ def _fetch_pending_plan(
             return
         # plan order within the task: per-host slot order
         rows.sort(key=lambda r: (r["host"], r["fetch_seq"]))
-        records = fetcher(rows)
-        if not records:
-            return
-        shard = os.path.join(warc_dir, f"{prefix}{pid:05d}.warc.gz")
-        tmp = shard + f".inprogress-{os.getpid()}"
-        with open(tmp, "wb") as fh:
-            fh.write(encode_warc_responses(records))
-        os.replace(tmp, shard)  # atomic: readers never see partials
-        yield pd.DataFrame(
-            [{"file": os.path.basename(shard), "n_records": len(records)}]
-        )
+        capped = rows
+        deferred: list[dict] = []
+        if max_fetch_per_task is not None and len(rows) > max_fetch_per_task:
+            capped = rows[:max_fetch_per_task]
+            deferred = rows[max_fetch_per_task:]
+        records = fetcher(capped) if capped else []
+        # partial-return contract: planned-but-unreturned URLs re-queue
+        got = {r["url"] for r in records}
+        deferred = [r for r in capped if r["url"] not in got] + deferred
+        shard = None
+        if records:
+            shard = os.path.join(warc_dir, f"{prefix}{pid:05d}.warc.gz")
+            tmp = shard + f".inprogress-{os.getpid()}"
+            with open(tmp, "wb") as fh:
+                fh.write(encode_warc_responses(records))
+            os.replace(tmp, shard)  # atomic: readers never see partials
+        if deferred:
+            dpath = os.path.join(warc_dir, f"{dprefix}{pid:05d}.parquet")
+            schema = pa.schema(
+                [
+                    ("url", pa.string()),
+                    ("host", pa.string()),
+                    ("fetch_seq", pa.int64()),
+                    ("fetch_offset_ms", pa.int64()),
+                ]
+            )
+            tbl = pa.Table.from_pylist(
+                [
+                    {
+                        "url": str(r["url"]),
+                        "host": str(r["host"]),
+                        "fetch_seq": int(r["fetch_seq"]),
+                        "fetch_offset_ms": int(r["fetch_offset_ms"]),
+                    }
+                    for r in deferred
+                ],
+                schema=schema,
+            )
+            tmp = dpath + f".inprogress-{os.getpid()}"
+            pq.write_table(tbl, tmp)
+            os.replace(tmp, dpath)
+        if records or deferred:
+            yield pd.DataFrame(
+                [
+                    {
+                        "file": os.path.basename(shard) if shard else None,
+                        "n_records": len(records),
+                        "n_deferred": len(deferred),
+                    }
+                ]
+            )
 
     written = (
         plan.repartition(fetch_partitions, "host")
-        .mapInPandas(_fetch, "file string, n_records long")
+        .mapInPandas(_fetch, "file string, n_records long, n_deferred long")
         .collect()  # O(partitions): shard names + counts, never text
     )
-    return int(sum(r["n_records"] for r in written))
+    return (
+        int(sum(r["n_records"] for r in written)),
+        int(sum(r["n_deferred"] for r in written)),
+    )
 
 
 def _refetch_expired_robots(
@@ -151,13 +218,20 @@ def _refetch_expired_robots(
     older than the TTL) get their robots.txt re-fetched through the
     SAME injected transport, executor-side per host partition — the
     branch that keeps the frontier's robots cache ALIVE instead of
-    letting expired hosts run on the REP default forever. Verdicts:
-    2xx bodies parse through ``parse_robots_body``; 4xx means "no
-    robots" and registers an explicit allow-all sentinel (freshness
-    with no restriction — the REP default, but attributably fresh);
-    5xx/transport failures yield nothing, so the host stays stale and
-    retries next tick. Returns parsed rule rows (host, agent, rule,
-    prefix) or None when nothing is expired."""
+    letting expired hosts run on the REP default forever.
+
+    Scheme: HTTPS-FIRST with HTTP fallback — the real-frontier
+    contract. A host whose ``https://<host>/robots.txt`` probe yields
+    NO record at all (transport-level failure: no TLS, refused
+    connection — the fetcher answers by not answering) is re-probed
+    once over plain ``http://``; a host that RESPONDED over https
+    (any status) is never downgraded. Verdicts on whichever scheme
+    answered: 2xx bodies parse through ``parse_robots_body``; 4xx
+    means "no robots" and registers an explicit allow-all sentinel
+    (freshness with no restriction — the REP default, but attributably
+    fresh); 5xx yields nothing, so the host stays stale and retries
+    next tick. Returns parsed rule rows (host, agent, rule, prefix)
+    or None when nothing is expired."""
     import pandas as pd
     from pyspark.sql import functions as F
 
@@ -183,18 +257,24 @@ def _refetch_expired_robots(
             hosts.extend(pdf["host"])
         if not hosts:
             return
-        plan = [
-            {
-                "url": f"http://{h}/robots.txt",
-                "host": h,
-                "fetch_seq": 0,  # one URL per host: slot 0 everywhere
-                "fetch_offset_ms": 0,
-            }
-            for h in sorted(hosts)
-        ]
+
+        def _plan(scheme: str, hs: list[str]) -> list[dict]:
+            return [
+                {
+                    "url": f"{scheme}://{h}/robots.txt",
+                    "host": h,
+                    "fetch_seq": 0,  # one URL per host: slot 0
+                    "fetch_offset_ms": 0,
+                }
+                for h in sorted(hs)
+            ]
+
         out: list[dict] = []
-        for rec in fetcher(plan):
+        answered: set[str] = set()
+
+        def _judge(rec: dict) -> None:
             host = rec["url"].split("/")[2]
+            answered.add(host)
             status = int(rec.get("status", 200))
             if 200 <= status < 300:
                 out.extend(parse_robots_body(rec.get("html", ""), host))
@@ -203,6 +283,16 @@ def _refetch_expired_robots(
                     {"host": host, "agent": "*", "rule": "allow",
                      "prefix": ""}
                 )
+            # 5xx: answered but unusable — stays stale, retries next
+            # tick over https again (no downgrade for a live server)
+
+        for rec in fetcher(_plan("https", hosts)):
+            _judge(rec)
+        silent = [h for h in hosts if h not in answered]
+        if silent:
+            # transport-level https failure only: fall back to http
+            for rec in fetcher(_plan("http", silent)):
+                _judge(rec)
         if out:
             yield pd.DataFrame(out)[["host", "agent", "rule", "prefix"]]
 
@@ -213,6 +303,45 @@ def _refetch_expired_robots(
         )
         .localCheckpoint()  # fetch exactly once; reused by the drain
     )
+
+
+def _extract_to_inbox(
+    spark: SparkSession,
+    warc_dir: str,
+    tag: str,
+    doc_inbox: str,
+    work_dir: str,
+) -> None:
+    """Replay ``<tag>-p*.warc.gz`` through the distributed WARC ->
+    document path and land the documents in the gate's JSONL inbox
+    under deterministic per-tag names (an O(partitions) driver rename
+    of file NAMES, not content) — crash-re-runs rewrite the same files
+    and the gate's checkpoint skips already-consumed ones."""
+    import shutil
+
+    from sstable_migrator_spark.pipelines.web_ingest import (
+        warc_responses_to_documents,
+    )
+    from sstable_migrator_spark.sources.warc import read_warc_responses
+
+    docs = warc_responses_to_documents(
+        read_warc_responses(
+            spark, os.path.join(warc_dir, f"{tag}-p*.warc.gz")
+        )
+    ).select("doc_id", "text")
+    staging = os.path.join(work_dir, f"_doc_staging-{tag}")
+    docs.write.mode("overwrite").json(staging)
+    parts = sorted(
+        f
+        for f in os.listdir(staging)
+        if f.startswith("part-") and not f.endswith(".crc")
+    )
+    for i, p in enumerate(parts):
+        os.replace(
+            os.path.join(staging, p),
+            os.path.join(doc_inbox, f"{tag}-{i:05d}.jsonl"),
+        )
+    shutil.rmtree(staging)
 
 
 def daily_crawl_job(
@@ -226,6 +355,7 @@ def daily_crawl_job(
     robots_ttl_ms: int = 86_400_000,
     now_ms: int | None = None,
     fetch_partitions: int = 8,
+    max_fetch_per_task: int | None = None,
     **gate_kwargs,
 ) -> dict:
     """One cron tick. ``url_inbox`` holds discovered-URL JSONL files
@@ -262,15 +392,22 @@ def daily_crawl_job(
     genuinely unconsumed one drains normally. A crash after the cursor
     but before the drain is recovered by the NEXT tick's drain (the
     inbox file is still unconsumed in the checkpoint's eyes). No
-    window loses documents; the worst case re-fetches one tick."""
-    import shutil
+    window loses documents; the worst case re-fetches one tick.
 
+    PER-TASK FETCH BOUNDS: ``max_fetch_per_task`` caps the URLs one
+    fetch task hands the fetcher, and the fetcher may itself return
+    PARTIAL results (its own wall-clock budget, a hung host). Either
+    way the remainder is DEFERRED — written executor-side as
+    ``defer-*`` plan shards — and RE-QUEUED by the next tick's retry
+    pass (``retry-<n>`` namespace with its own cursor), so an
+    over-budget host delays its own tail by one tick instead of
+    holding a task forever or silently losing URLs. Crash between the
+    retry cursor and the deferred-file cleanup re-fetches those URLs
+    once more under a fresh retry id; the admission gate rejects the
+    re-arrivals as exact duplicates — the documented worst case stays
+    "re-fetches one tick", never a lost or double-admitted document."""
     from pyspark.sql import functions as F
 
-    from sstable_migrator_spark.pipelines.web_ingest import (
-        warc_responses_to_documents,
-    )
-    from sstable_migrator_spark.sources.warc import read_warc_responses
     from sstable_migrator_spark.streaming.corpus_ingest import (
         admit_documents_available_now,
     )
@@ -320,6 +457,46 @@ def daily_crawl_job(
         now_ms=now,
     )
 
+    # RETRY PASS FIRST: deferred plan rows from earlier ticks (per-task
+    # caps, partial fetcher returns) re-queue under their own retry
+    # namespace and cursor — independent of the plan-batch cursor, so a
+    # deferred remainder drains even on a tick with no new batches.
+    # The consumed snapshot is taken BEFORE this tick's fetches, so a
+    # deferral written below waits exactly one tick.
+    import glob as _glob
+
+    retry_file = os.path.join(work_dir, "_last_retry")
+    rlast = 0
+    if os.path.exists(retry_file):
+        with open(retry_file) as fh:
+            rlast = int(fh.read().strip() or 0)
+    rtag = f"retry-{rlast + 1:06d}"
+    consumed = sorted(
+        f
+        for f in _glob.glob(os.path.join(warc_dir, "defer-*.parquet"))
+        # a crashed prior attempt of THIS retry id left its own output
+        # behind; _fetch_pending_plan stale-clears and rewrites it —
+        # it must not be re-planned as input
+        if not os.path.basename(f).startswith(f"defer-{rtag}-")
+    )
+    refetched = redeferred = 0
+    if consumed:
+        refetched, redeferred = _fetch_pending_plan(
+            spark,
+            spark.read.parquet(*consumed),
+            fetcher,
+            warc_dir,
+            rtag,
+            fetch_partitions,
+            max_fetch_per_task,
+        )
+        if refetched:
+            _extract_to_inbox(spark, warc_dir, rtag, doc_inbox, work_dir)
+        with open(retry_file, "w") as fh:
+            fh.write(str(rlast + 1))
+        for f in consumed:
+            os.remove(f)
+
     # which tick is this? plans are batch-stamped; fetch ONLY the new
     # batches (a re-run drains zero batches and fetches nothing)
     plans_path = os.path.join(frontier, "plans")
@@ -329,6 +506,7 @@ def daily_crawl_job(
         with open(tick_file) as fh:
             last = int(fh.read().strip() or -1)
     fetched = 0
+    deferred = 0
     max_batch = last
     # check for pending batches UNCONDITIONALLY (not only when this
     # drain scheduled something): a crash between a previous tick's
@@ -339,39 +517,24 @@ def daily_crawl_job(
         mb = plan.agg(F.max("batch")).first()[0]
         if mb is not None:
             max_batch = int(mb)
-            fetched = _fetch_pending_plan(
-                spark, plan, fetcher, warc_dir, max_batch, fetch_partitions
+            fetched, deferred = _fetch_pending_plan(
+                spark,
+                plan,
+                fetcher,
+                warc_dir,
+                f"tick-{max_batch:06d}",
+                fetch_partitions,
+                max_fetch_per_task,
             )
         if fetched:
-            docs = warc_responses_to_documents(
-                read_warc_responses(
-                    spark,
-                    os.path.join(
-                        warc_dir, f"tick-{max_batch:06d}-p*.warc.gz"
-                    ),
-                )
-            ).select("doc_id", "text")
             # offer to the gate through its JSONL inbox contract — a
             # DISTRIBUTED write (one part per shard task, content
-            # deterministic per part), then an O(partitions) rename of
-            # file NAMES to the tick's deterministic inbox names so a
-            # crash-re-run rewrites the same files and the gate's
-            # checkpoint skips them
-            staging = os.path.join(work_dir, f"_doc_staging-{max_batch:06d}")
-            docs.write.mode("overwrite").json(staging)
-            parts = sorted(
-                f
-                for f in os.listdir(staging)
-                if f.startswith("part-") and not f.endswith(".crc")
+            # deterministic per part), renamed to the tick's
+            # deterministic inbox names so a crash-re-run rewrites the
+            # same files and the gate's checkpoint skips them
+            _extract_to_inbox(
+                spark, warc_dir, f"tick-{max_batch:06d}", doc_inbox, work_dir
             )
-            for i, p in enumerate(parts):
-                os.replace(
-                    os.path.join(staging, p),
-                    os.path.join(
-                        doc_inbox, f"tick-{max_batch:06d}-{i:05d}.jsonl"
-                    ),
-                )
-            shutil.rmtree(staging)
     if max_batch != last:
         with open(tick_file, "w") as fh:
             fh.write(str(max_batch))
@@ -385,7 +548,9 @@ def daily_crawl_job(
     )
     return {
         "scheduled": fstats["scheduled"],
-        "fetched": fetched,
+        "fetched": fetched + refetched,
+        "deferred": deferred + redeferred,
+        "refetched": refetched,
         "judged": gstats["judged"],
         "admitted": gstats["admitted"],
         "tick": max_batch,

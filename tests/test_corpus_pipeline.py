@@ -1232,3 +1232,167 @@ def test_funnel_sft_layout_end_to_end(spark, sf_dir, tmp_path):
 
     with _pytest.raises(ValueError, match="layout"):
         build_training_corpus(corpus, str(tmp_path / "x"), layout="nope")
+
+
+def test_daily_crawl_robots_https_first_with_http_fallback(spark, tmp_path):
+    """The robots refetch is https-first: a host that answers https
+    gets judged there; a host whose https probe yields NO record
+    (transport failure) falls back to plain http; a host that answers
+    https with 5xx is NOT downgraded (stays stale, retries next
+    tick)."""
+    import hashlib
+    import json as _json
+
+    from sstable_migrator_spark.pipelines.crawl_daily import daily_crawl_job
+
+    def fetcher(rows):
+        out = []
+        for r in rows:
+            url = r["url"]
+            if url.endswith("/robots.txt"):
+                if url.startswith("https://tls.com"):
+                    out.append({"url": url, "date": "2024-06-02T00:00:00Z",
+                                "status": 200,
+                                "html": "User-agent: *\nDisallow: /blocked/\n"})
+                elif url.startswith("https://old.com"):
+                    pass  # no TLS: transport failure, no record
+                elif url.startswith("http://old.com"):
+                    out.append({"url": url, "date": "2024-06-02T00:00:00Z",
+                                "status": 200,
+                                "html": "User-agent: *\nDisallow: /blocked/\n"})
+                elif url.startswith("https://flaky.com"):
+                    out.append({"url": url, "date": "2024-06-02T00:00:00Z",
+                                "status": 503, "html": ""})
+                elif url.startswith("http://flaky.com"):
+                    # a DOWNGRADE would read this block-everything body;
+                    # correct behavior (flaky answered https with 5xx)
+                    # never probes it
+                    out.append({"url": url, "date": "2024-06-02T00:00:00Z",
+                                "status": 200,
+                                "html": "User-agent: *\nDisallow: /\n"})
+                continue
+            h = hashlib.md5(url.encode()).hexdigest()
+            words = " ".join(h[i : i + 4] for i in range(0, 32, 4))
+            out.append({"url": url, "date": "2024-06-02T00:00:00Z",
+                        "status": 200,
+                        "html": f"<html><body><p>page {words}</p></body></html>"})
+        return out
+
+    day = 86_400_000
+    inbox = tmp_path / "urls"
+    inbox.mkdir()
+    work = str(tmp_path / "work")
+    rules = spark.createDataFrame(
+        [(h, "*", "disallow", "/old/") for h in ("tls.com", "old.com", "flaky.com")],
+        "host string, agent string, rule string, prefix string",
+    )
+    with open(inbox / "d1.jsonl", "w") as fh:
+        for h in ("tls.com", "old.com", "flaky.com"):
+            fh.write(_json.dumps({"url": f"http://{h}/a"}) + "\n")
+    t1 = daily_crawl_job(
+        spark, str(inbox), work, fetcher=fetcher, robots_rules=rules, now_ms=day
+    )
+    assert t1["scheduled"] == 3
+
+    # past the TTL: refetch; new rules block /blocked/ for the hosts
+    # that answered (tls via https, old via http fallback)
+    with open(inbox / "d2.jsonl", "w") as fh:
+        for h in ("tls.com", "old.com", "flaky.com"):
+            fh.write(_json.dumps({"url": f"http://{h}/blocked/x"}) + "\n")
+    t2 = daily_crawl_job(
+        spark, str(inbox), work, fetcher=fetcher, now_ms=2 * day + 1
+    )
+    # tls + old blocked by FRESH rules (tls via https, old via the http
+    # fallback); flaky answered https with 5xx, so it was NOT
+    # downgraded to http (whose body blocks everything) — its stale
+    # cache (disallow /old/ only) still allows the URL
+    assert t2["scheduled"] == 1 and t2["fetched"] == 1
+
+    # the robots cache agrees: fresh /blocked/ prefixes for tls + old,
+    # flaky still carries ONLY its original /old/ rule
+    import os as _os
+
+    rub = spark.read.parquet(_os.path.join(work, "frontier", "_robots"))
+    by_host = {
+        h: {r["prefix"] for r in rows}
+        for h, rows in [
+            (h, [r for r in rub.collect() if r["host"] == h])
+            for h in ("tls.com", "old.com", "flaky.com")
+        ]
+    }
+    assert "/blocked/" in by_host["tls.com"]
+    assert "/blocked/" in by_host["old.com"]
+    assert by_host["flaky.com"] == {"/old/"}
+
+
+def test_daily_crawl_per_task_cap_requeues_remainder(spark, tmp_path):
+    """max_fetch_per_task bounds one fetch task's URL budget: the
+    over-budget remainder is deferred (never silently lost, never
+    blocking the tick) and the NEXT tick's retry pass fetches it —
+    even with no new frontier batches. A fetcher that never answers a
+    hung URL keeps deferring just that URL while everything else
+    flows."""
+    import json as _json
+    import os as _os
+
+    from sstable_migrator_spark.pipelines.crawl_daily import daily_crawl_job
+
+    def fetcher(rows):
+        import hashlib
+
+        out = []
+        for r in rows:
+            url = r["url"]
+            if "hung" in url:
+                continue  # a hung host: the fetcher answers by not answering
+            h = hashlib.md5(url.encode()).hexdigest()
+            words = " ".join(h[i : i + 4] for i in range(0, 32, 4))
+            out.append({"url": url, "date": "2024-06-01T00:00:00Z",
+                        "status": 200,
+                        "html": f"<html><body><p>page {words}</p></body></html>"})
+        return out
+
+    inbox = tmp_path / "urls"
+    inbox.mkdir()
+    work = str(tmp_path / "work")
+    with open(inbox / "d1.jsonl", "w") as fh:
+        for i in range(5):
+            fh.write(_json.dumps({"url": f"http://big.com/page/{i}"}) + "\n")
+        fh.write(_json.dumps({"url": "http://big.com/hung/x"}) + "\n")
+
+    t1 = daily_crawl_job(
+        spark, str(inbox), work, fetcher=fetcher, max_fetch_per_task=4,
+        now_ms=1,
+    )
+    # one host = one task: 4 within budget; the hung URL sorts into the
+    # capped window (seq order) or the tail — either way 6 planned,
+    # <=4 fetched, the rest deferred
+    assert t1["scheduled"] == 6
+    assert t1["fetched"] + t1["deferred"] == 6 and t1["deferred"] >= 2
+    warc = _os.path.join(work, "warc")
+    assert any(f.startswith("defer-tick-") for f in _os.listdir(warc))
+
+    # next tick, NO new URLs: the retry pass drains the deferral;
+    # the hung URL re-defers, everything else lands
+    t2 = daily_crawl_job(
+        spark, str(inbox), work, fetcher=fetcher, max_fetch_per_task=4,
+        now_ms=2,
+    )
+    assert t2["scheduled"] == 0
+    assert t2["refetched"] == t1["deferred"] - 1  # all but the hung URL
+    assert t2["deferred"] == 1  # the hung URL re-queued again
+    # consumed deferral files are gone; only the fresh retry deferral remains
+    defers = [f for f in _os.listdir(warc) if f.startswith("defer-")]
+    assert defers and all(f.startswith("defer-retry-") for f in defers)
+
+    # every fetched document was admitted exactly once across ticks
+    assert t1["admitted"] + t2["admitted"] == 5
+    corpus = spark.read.parquet(_os.path.join(work, "corpus"))
+    assert corpus.count() == 5
+
+    # a third tick: only the hung URL cycles; nothing else re-fetches
+    t3 = daily_crawl_job(
+        spark, str(inbox), work, fetcher=fetcher, max_fetch_per_task=4,
+        now_ms=3,
+    )
+    assert (t3["fetched"], t3["deferred"], t3["admitted"]) == (0, 1, 0)
