@@ -195,7 +195,15 @@ def repetition_flags(
     data-sized shuffle — then one bounded per-(id, k) rollup: the
     top-gram argmax is a max(struct), the coverage union is a fold
     over that gram-size's duplicated positions (O(dup occurrences)
-    per doc). Two shuffles total + the final assembly joins on id."""
+    per doc). Two shuffles total + the final assembly joins on id.
+
+    CONSTRUCTION NOTE: the expression-dense sections build through
+    ``selectExpr``/``F.expr`` SQL strings — one py4j round trip each —
+    instead of thousands of Column calls. The q213 plan previously
+    spent seconds of pure driver time in py4j socket round trips
+    (measured: ~1.9k calls, the dominant share of the bench entry's
+    fixed term); the SQL strings parse JVM-side into the SAME analyzed
+    plan (oracle- and plan-test-pinned)."""
     top_ks = sorted(_TOP_NGRAM_RULES)
     dup_ks = sorted(_DUP_NGRAM_RULES)
     all_ks = [*top_ks, *dup_ks]
@@ -207,88 +215,74 @@ def repetition_flags(
     # oracle applies the identical replace
     # (stripping happens BEFORE tokenization, so a control-only token
     # dissolves into the surrounding whitespace — \s+ splitting never
-    # yields an empty token)
-    text = F.regexp_replace(F.col(text_col), _CTRL_RE, "")
-    toks = TX.tokens(text)
-    base = docs.select(
+    # yields an empty token).
+    # SQL literal parsing turns the \uXXXX escapes into the literal
+    # control characters, so the regex engine sees the same class
+    # _CTRL_RE spells with \xNN
+    ctrl = "[\\u0000-\\u0008\\u000e-\\u001f\\u007f]"
+    clean = f"regexp_replace({text_col}, '{ctrl}', '')"
+    tok = (
+        f"CASE WHEN length(trim({clean})) = 0 "
+        "THEN CAST(array() AS array<string>) "
+        f"ELSE split(trim({clean}), '\\\\s+') END"
+    )
+    base = docs.selectExpr(
         id_col,
-        toks.alias("_ws"),
-        F.split(text, "\n").alias("_lines"),
-        F.split(text, "\n\n").alias("_paras"),
-    ).withColumn(
-        "_c",
-        F.aggregate(
-            F.col("_ws"), F.lit(0).cast("long"), lambda a, w: a + F.length(w)
-        ),
+        f"{tok} AS _ws",
+        f"split({clean}, '\\n') AS _lines",
+        f"split({clean}, '\\n\\n') AS _paras",
+    ).selectExpr(
+        "*",
+        "aggregate(_ws, CAST(0 AS BIGINT), (a, w) -> a + length(w)) AS _c",
     )
     # NOT checkpointed: the three consumers below re-run only map-side
     # tokenize work per scan — materializing the token/line arrays to
     # disk costs more than recomputing them (measured)
 
-    def _arr_chars(col):
-        return F.aggregate(
-            col, F.lit(0).cast("long"), lambda a, x: a + F.length(x)
+    def _sql_frac_ok(value: str, total: str, rule: tuple[int, int]) -> str:
+        num, den = rule
+        return f"CAST(({value}) * {den} <= ({total}) * {num} AS INT)"
+
+    def _sql_arr_chars(col: str) -> str:
+        return f"aggregate({col}, CAST(0 AS BIGINT), (a, x) -> a + length(x))"
+
+    lp_exprs = []
+    for side, pre in (("_lines", "line"), ("_paras", "para")):
+        n = f"CAST(size({side}) AS BIGINT)"
+        nd = f"CAST(size(array_distinct({side})) AS BIGINT)"
+        c = _sql_arr_chars(side)
+        cd = _sql_arr_chars(f"array_distinct({side})")
+        lp_exprs.append(
+            _sql_frac_ok(f"{n} - {nd}", n, _LINE_PARA_RULES[f"ok_dup_{pre}_frac"])
+            + f" AS ok_dup_{pre}_frac"
         )
-
-    def _lp_metrics(col):
-        n = F.size(col).cast("long")
-        nd = F.size(F.array_distinct(col)).cast("long")
-        c = _arr_chars(col)
-        cd = _arr_chars(F.array_distinct(col))
-        return n, nd, c, cd
-
-    ln, lnd, lc, lcd = _lp_metrics(F.col("_lines"))
-    pn, pnd, pc, pcd = _lp_metrics(F.col("_paras"))
-    lp = base.select(
+        lp_exprs.append(
+            _sql_frac_ok(f"{c} - {cd}", c, _LINE_PARA_RULES[f"ok_dup_{pre}_chars"])
+            + f" AS ok_dup_{pre}_chars"
+        )
+    lp = base.selectExpr(
         id_col,
-        F.col("_c").alias("n_word_chars"),
-        _frac_ok(ln - lnd, ln, _LINE_PARA_RULES["ok_dup_line_frac"]).alias(
-            "ok_dup_line_frac"
-        ),
-        _frac_ok(pn - pnd, pn, _LINE_PARA_RULES["ok_dup_para_frac"]).alias(
-            "ok_dup_para_frac"
-        ),
-        _frac_ok(lc - lcd, lc, _LINE_PARA_RULES["ok_dup_line_chars"]).alias(
-            "ok_dup_line_chars"
-        ),
-        _frac_ok(pc - pcd, pc, _LINE_PARA_RULES["ok_dup_para_chars"]).alias(
-            "ok_dup_para_chars"
-        ),
+        "_c AS n_word_chars",
+        lp_exprs[0],  # line frac
+        lp_exprs[2],  # para frac
+        lp_exprs[1],  # line chars
+        lp_exprs[3],  # para chars
     )
 
-    # ONE (k, pos, gram) explode for all nine gram sizes
-    w_count = F.size("_ws")
-
-    def _gram_maker(k: int):
-        # closure factory, NOT a defaulted lambda param: a two-param
-        # lambda would be read as pyspark's (element, index) form and
-        # bind k to the array index (same trap crawl.py documents)
-        return lambda i: F.struct(
-            F.lit(k).cast("int").alias("k"),
-            i.cast("long").alias("pos"),
-            F.concat_ws(_SEP, F.slice("_ws", i + 1, k)).alias("gram"),
-        )
-
-    gram_structs = F.flatten(
-        F.array(
-            *[
-                F.when(
-                    w_count >= k,
-                    F.transform(
-                        F.sequence(F.lit(0), w_count - k), _gram_maker(k)
-                    ),
-                ).otherwise(
-                    F.array().cast(
-                        "array<struct<k:int,pos:bigint,gram:string>>"
-                    )
-                )
-                for k in all_ks
-            ]
-        )
+    # ONE (k, pos, gram) explode for all nine gram sizes; the SQL
+    # literal '\\u0001' parses to _SEP (the \\x01 gram separator)
+    empty = "CAST(array() AS array<struct<k:int,pos:bigint,gram:string>>)"
+    gram_parts = ", ".join(
+        f"CASE WHEN size(_ws) >= {k} THEN "
+        f"transform(sequence(0, size(_ws) - {k}), "
+        f"i -> struct(CAST({k} AS INT) AS k, CAST(i AS BIGINT) AS pos, "
+        f"concat_ws('\\u0001', slice(_ws, i + 1, {k})) AS gram)) "
+        f"ELSE {empty} END"
+        for k in all_ks
     )
-    rows = base.select(id_col, F.explode(gram_structs).alias("g")).select(
-        id_col, "g.k", "g.pos", "g.gram"
-    )
+    rows = base.selectExpr(
+        id_col, f"explode(flatten(array({gram_parts}))) AS g"
+    ).selectExpr(id_col, "g.k", "g.pos", "g.gram")
     counts = rows.groupBy(id_col, "k", "gram").agg(
         F.count(F.lit(1)).cast("long").alias("cnt"),
         # positions matter only for the coverage-union gram sizes; the
@@ -332,29 +326,17 @@ def repetition_flags(
         .agg(F.sort_array(F.collect_list("pos")).alias("ps"))
         .join(base.select(id_col, "_ws"), id_col)
     )
-    kcol = F.col("k").cast("long")
-    fold = F.aggregate(
-        F.col("ps"),
-        F.struct(
-            F.lit(0).cast("long").alias("last"),
-            F.lit(0).cast("long").alias("cov"),
-        ),
-        lambda acc, p: F.struct(
-            (p + kcol).alias("last"),
-            (
-                acc["cov"]
-                + F.aggregate(
-                    F.slice(
-                        "_ws",
-                        (F.greatest(p, acc["last"]) + 1).cast("int"),
-                        (p + kcol - F.greatest(p, acc["last"])).cast("int"),
-                    ),
-                    F.lit(0).cast("long"),
-                    lambda a, w: a + F.length(w),
-                )
-            ).alias("cov"),
-        ),
-    )["cov"]
+    fold = F.expr(
+        "aggregate(ps, "
+        "named_struct('last', CAST(0 AS BIGINT), 'cov', CAST(0 AS BIGINT)), "
+        "(acc, p) -> named_struct("
+        "'last', p + CAST(k AS BIGINT), "
+        "'cov', acc.cov + aggregate("
+        "slice(_ws, CAST(greatest(p, acc.last) + 1 AS INT), "
+        "CAST(p + CAST(k AS BIGINT) - greatest(p, acc.last) AS INT)), "
+        "CAST(0 AS BIGINT), (a, w) -> a + length(w))), "
+        "acc -> acc.cov)"
+    )
     dup = (
         dup_pos.select(id_col, "k", fold.alias("cov"))
         .groupBy(id_col)
