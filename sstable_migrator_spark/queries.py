@@ -12157,6 +12157,59 @@ QUERIES.update({"q227_admission_report": q_admission_report})
 ORACLES.update({"q227_admission_report": SQL_ADMISSION_REPORT})
 
 
+def q_ann_index_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental ANN APPEND under the oracle: build the persisted
+    index on the first half of a bounded embedding slice, append the
+    second half placed by the index's OWN persisted centroids
+    (``append_ann_index`` — the update_postings_index analog), and
+    roll up the resulting per-cell placement of the WHOLE index —
+    hash-gated against the same independent SQL replay of the
+    assignment rule as q228 over the full slice. Pins
+    "append + build == one-shot build" cross-engine (pytest pins the
+    serve-path equality; this pins the stored placement itself).
+    Bounded slice (vec_id < 300) keeps the two passes test-cheap."""
+    from sstable_migrator_spark.operators.simsearch import (
+        append_ann_index,
+        write_ann_index,
+    )
+
+    path = _scratch_dir("ann-append-q230")
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding").filter(
+        F.col("vec_id") < 300
+    )
+    cents = _ann_fixture_centroids(spark, sf_dir)
+    write_ann_index(emb.filter(F.col("vec_id") < 150), path, cents)
+    append_ann_index(emb.filter(F.col("vec_id") >= 150), path)
+    idx = spark.read.parquet(path)
+    return idx.groupBy(F.col("cell").cast("int").alias("cell")).agg(
+        F.count(F.lit(1)).alias("n_vecs"),
+        F.sum("vec_id").cast("long").alias("sum_ids"),
+    )
+
+
+SQL_ANN_INDEX_APPEND = f"""
+WITH c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+           WHERE vec_id < 300),
+cent AS (SELECT vec_id AS cell_id, CAST(embedding AS DOUBLE[]) AS cv
+         FROM embeddings WHERE vec_id % 20 = 0 AND vec_id < 160),
+assign AS (
+  SELECT vec_id, cell_id FROM (
+    SELECT c.vec_id, cent.cell_id,
+           row_number() OVER (PARTITION BY c.vec_id
+                              ORDER BY {_SQL_COS.format(a='c.v', b='cent.cv')} DESC,
+                                       cent.cell_id ASC) AS rn
+    FROM c CROSS JOIN cent) WHERE rn = 1)
+SELECT CAST(cell_id AS INT) AS cell,
+       CAST(count(*) AS BIGINT) AS n_vecs,
+       CAST(sum(vec_id) AS BIGINT) AS sum_ids
+FROM assign GROUP BY 1
+"""
+
+
+QUERIES.update({"q230_ann_index_append": q_ann_index_append})
+ORACLES.update({"q230_ann_index_append": SQL_ANN_INDEX_APPEND})
+
+
 # ---------------------------------------------------------------------------
 # Driver-sample ordering.
 #
