@@ -8886,6 +8886,61 @@ QUERIES.update({"q182_ngram_lm_perplexity": q_ngram_lm_perplexity})
 ORACLES.update({"q182_ngram_lm_perplexity": SQL_NGRAM_LM_PERPLEXITY})
 
 
+def q_ppl_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The CALIBRATION view for the perplexity gate — the table a data
+    lead reads to SET ``lm_threshold_q16`` before filtering a corpus:
+    per 8-q16-unit bucket of average surprisal, how many documents land
+    there and how many would be KEPT by a threshold at the bucket's
+    upper edge (the cumulative count). Reuses q182's exact integer
+    scoring (same trusted slice, same quantization), so the sweep IS
+    the gate's own arithmetic, not an approximation of it. Plan: the
+    q182 pipeline plus one bounded rollup; the cumulative runs as an
+    ordered window over the ~dozens-row bucket table (allowlisted
+    bounded scalar window, the q96/q149 pattern)."""
+    from pyspark.sql import Window
+
+    from sstable_migrator_spark.operators.lm import (
+        perplexity_score,
+        train_bigram_lm,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    lm = train_bigram_lm(docs.filter(F.col("doc_id") % 5 == 0))
+    sc = perplexity_score(docs, lm).filter(F.col("n_bigrams") > 0)
+    per = (
+        sc.withColumn(
+            "bucket",
+            F.expr("CAST((surprise_q16 div n_bigrams) div 8 AS INT)"),
+        )
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+    w = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)
+    return per.select(
+        "bucket",
+        "n_docs",
+        F.sum("n_docs").over(w).cast("long").alias("kept_below"),
+    )
+
+
+SQL_PPL_THRESHOLD_SWEEP = f"""
+WITH scored AS ({SQL_NGRAM_LM_PERPLEXITY}),
+per AS (
+  SELECT CAST((surprise_q16 // n_bigrams) // 8 AS INT) AS bucket,
+         CAST(count(*) AS BIGINT) AS n_docs
+  FROM scored WHERE n_bigrams > 0 GROUP BY 1)
+SELECT bucket, n_docs,
+       CAST(sum(n_docs) OVER (ORDER BY bucket
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         AS kept_below
+FROM per
+"""
+
+
+QUERIES.update({"q231_ppl_threshold_sweep": q_ppl_threshold_sweep})
+ORACLES.update({"q231_ppl_threshold_sweep": SQL_PPL_THRESHOLD_SWEEP})
+
+
 # ---------------------------------------------------------------------------
 # Batch — winnowing fingerprint pair mining (MOSS-style robust span
 # matching, operators/dedup.winnow_pairs)

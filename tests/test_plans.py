@@ -171,7 +171,7 @@ def test_plan_audit_roundrobin_and_single_partition_allowlist():
     missing = [n for n in Q.QUERIES if n not in rows]
     assert not missing, f"PLANS.md is stale — regenerate (missing {missing[:5]})"
 
-    # the five bounded scalar windows: per-day rolling revenue, the
+    # the bounded scalar windows: per-day rolling revenue, the
     # Hamilton-quota ranking over per-source totals, median+MAD over the
     # per-day rollup (2 medians ride the same bounded input), the drift
     # monitor's grand total over the days x types cell relation, and the
@@ -182,6 +182,9 @@ def test_plan_audit_roundrobin_and_single_partition_allowlist():
         "q152_robust_outliers",
         "q176_distribution_drift",
         "q185_quantile_sketch",
+        # the perplexity-gate calibration sweep: cumulative over the
+        # ~dozens-row surprisal-bucket rollup
+        "q231_ppl_threshold_sweep",
     }
     bad_uw = {n: r["unpart_windows"] for n, r in rows.items()
               if r["unpart_windows"] and n not in uw_allow}
