@@ -80,6 +80,7 @@ def build_training_corpus(
     overflow: str = "flag",
     rows_per_shard: int = 10000,
     parts: int | None = None,
+    ledger_dir: str | None = None,
 ) -> dict[str, int]:
     """Run the curation funnel and write chunk shards to ``out_dir``
     (``shard_format="parquet"``: partitioned by shard_id — the default
@@ -126,6 +127,16 @@ def build_training_corpus(
       ``seq_tokens``/``seq_seed``/``overflow``/``rows_per_shard``/
       ``parts`` parameterize the layout; ``chunk_size``/``stride``/
       ``shard_tokens`` are ignored.
+
+    ``ledger_dir``: opt-in PER-DOCUMENT attrition ledger — the batch
+    twin of the streaming gate's ``_admissions``: one parquet row per
+    INPUT document with the first stage that dropped it (``c4`` /
+    ``quality`` / ``lang`` / ``exact_dup`` / ``near_dup``) or
+    ``kept`` — the "why did my document disappear" audit a corpus
+    owner actually asks. Ids-only lineage: five doc_id-keyed joins of
+    8-byte id rows (plus re-running the map-only stage predicates), no
+    text movement; the per-stage counts in the returned dict are the
+    same table rolled up (test-pinned equal).
     """
     if layout not in ("chunks", "sft"):
         raise ValueError(f"layout must be 'chunks' or 'sft', got {layout!r}")
@@ -212,6 +223,34 @@ def build_training_corpus(
     # sampler runs the observed subtree a second time within the same
     # action.
     n_losers = losers.count()
+
+    if ledger_dir is not None:
+        # per-document attrition: first failing stage, or kept. Flags
+        # come from the stage frames themselves (ids only; the lazy
+        # re-scan repeats map-side predicates, `exact` is already
+        # checkpointed, `losers` is |dups|-sized and broadcastable)
+        def _flag(df: DataFrame, name: str) -> DataFrame:
+            return df.select("doc_id").withColumn(name, F.lit(1))
+
+        led = (
+            docs.select("doc_id")
+            .join(_flag(staged, "_c4"), "doc_id", "left")
+            .join(_flag(q, "_q"), "doc_id", "left")
+            .join(_flag(lg, "_lg"), "doc_id", "left")
+            .join(_flag(exact, "_e"), "doc_id", "left")
+            .join(F.broadcast(_flag(losers, "_n")), "doc_id", "left")
+            .select(
+                "doc_id",
+                F.when(F.col("_c4").isNull(), F.lit("c4"))
+                .when(F.col("_q").isNull(), F.lit("quality"))
+                .when(F.col("_lg").isNull(), F.lit("lang"))
+                .when(F.col("_e").isNull(), F.lit("exact_dup"))
+                .when(F.col("_n").isNotNull(), F.lit("near_dup"))
+                .otherwise(F.lit("kept"))
+                .alias("stage"),
+            )
+        )
+        led.write.mode("overwrite").parquet(ledger_dir)
 
     clean = kept.withColumn("text", redact_pii(F.col("text")))
     if strip_spans_k is not None:

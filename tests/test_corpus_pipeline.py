@@ -1396,3 +1396,49 @@ def test_daily_crawl_per_task_cap_requeues_remainder(spark, tmp_path):
         now_ms=3,
     )
     assert (t3["fetched"], t3["deferred"], t3["admitted"]) == (0, 1, 0)
+
+
+def test_funnel_per_doc_attrition_ledger(spark, sf_dir, tmp_path):
+    """ledger_dir=: one row per INPUT document naming the first stage
+    that dropped it (quality/lang/exact_dup/near_dup) or 'kept' — and
+    the ledger's rollup equals the returned stage counts exactly."""
+    from pyspark.sql import functions as F
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    base = docs.limit(40)
+    exact_dup = base.filter(F.col("doc_id") == base.first()["doc_id"]).select(
+        (F.col("doc_id") + 100000).alias("doc_id"), "text", "lang", "source", "n_chars"
+    )
+    near_dup = base.limit(3).select(
+        (F.col("doc_id") + 200000).alias("doc_id"),
+        F.concat("text", F.lit(" tail token")).alias("text"),
+        "lang", "source", "n_chars",
+    )
+    # a doc that dies at the LANG stage
+    alien = base.limit(1).select(
+        (F.col("doc_id") + 300000).alias("doc_id"), "text",
+        F.lit("xx").alias("lang"), "source", "n_chars",
+    )
+    corpus = base.unionByName(exact_dup).unionByName(near_dup).unionByName(alien)
+
+    out = str(tmp_path / "shards")
+    led_dir = str(tmp_path / "ledger")
+    counts = build_training_corpus(
+        corpus, out, quality_min=0.0, shard_tokens=500, ledger_dir=led_dir
+    )
+
+    led = spark.read.parquet(led_dir)
+    assert led.count() == counts["input"] == 45
+    by_stage = {r["stage"]: r["n"] for r in led.groupBy("stage").agg(
+        F.count(F.lit(1)).alias("n")).collect()}
+    # the rollup IS the returned counts, stage by stage
+    assert by_stage.get("quality", 0) == counts["input"] - counts["quality"]
+    assert by_stage.get("lang", 0) == counts["quality"] - counts["lang"] == 1
+    assert by_stage.get("exact_dup", 0) == counts["lang"] - counts["exact"] >= 1
+    assert by_stage.get("near_dup", 0) == counts["exact"] - counts["near_dup_kept"]
+    assert by_stage.get("kept", 0) == counts["near_dup_kept"]
+    assert "c4" not in by_stage  # c4 disabled: nothing attributed to it
+    # the planted rows carry the right verdicts by id
+    verdicts = {r["doc_id"]: r["stage"] for r in led.collect()}
+    assert verdicts[300000 + base.first()["doc_id"]] == "lang"
+    assert verdicts[100000 + base.first()["doc_id"]] == "exact_dup"
