@@ -750,7 +750,14 @@ def ann_topk_from_index(
         raise ValueError(f"scoring must be 'exact' or 'adc', got {scoring!r}")
     if not queries:
         raise ValueError("empty query list")
-    check_ann_index_params(path, dim=len(queries[0][1]))
+    if check_ann_index_params(path, dim=len(queries[0][1])) is None:
+        # a sidecar-less directory is a crashed/partial build (the
+        # params stamp is the LAST write): serving it would skip the
+        # geometry guard silently — refuse and rebuild instead
+        raise ValueError(
+            f"no ANN index at {path} (missing _params.json — partial "
+            "build?); build it with write_ann_index"
+        )
     cents = read_ann_centroids(spark, path)
     # bit-identical probe recipe to ivf_probe_cells (same host-side
     # per-element normalization, same batch GEMM, same stable argsort)

@@ -363,6 +363,13 @@ def test_ann_index_params_drift(spark, tmp_path):
         append_ann_index(bad, path)
     with pytest.raises(ValueError, match="_params"):
         append_ann_index(bad, str(tmp_path / "nosuch"))
+    # a crashed/partial build (params stamp is the LAST write) refuses
+    # to serve instead of silently skipping the geometry guard
+    import os as _os
+
+    _os.remove(_os.path.join(path, "_params.json"))
+    with pytest.raises(ValueError, match="partial"):
+        ann_topk_from_index(spark, path, [(0, [1.0] * 8)], k=3)
 
 
 def test_ann_index_append_equals_rebuild(spark, tmp_path):
