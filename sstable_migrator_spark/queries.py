@@ -12266,6 +12266,163 @@ ORACLES.update({"q230_ann_index_append": SQL_ANN_INDEX_APPEND})
 
 
 # ---------------------------------------------------------------------------
+# Batch — PQ encode + ADC scoring under the oracle (integer-quantized)
+# ---------------------------------------------------------------------------
+
+_Q232_M, _Q232_K, _Q232_DSUB, _Q232_QID = 4, 8, 16, 7
+
+
+def _q232_codebooks() -> list:
+    """Deterministic integer PQ codebooks for q232 — a fixed arithmetic
+    formula, NOT trained: the oracle gates the encode/ADC ALGEBRA
+    (per-subspace argmin with first-of-min tie-break, BIGINT asymmetric
+    distance sums); codebook QUALITY is the float path's concern and is
+    covered by pq_train's pytest suite and the measured-recall tests.
+    A data-trained codebook cannot be a static oracle literal here:
+    the driver's oracle_sql() contract is one fixed string, and the
+    synthetic embeddings differ per scale factor. Values span roughly
+    the 2^10-quantized embedding range so codes discriminate."""
+    return [
+        [
+            [((s * 73 + c * 37 + j * 11) % 41 - 20) * 64 for j in range(_Q232_DSUB)]
+            for c in range(_Q232_K)
+        ]
+        for s in range(_Q232_M)
+    ]
+
+
+def q_pq_adc_int(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ encoding + ADC scoring with EXACT integer arithmetic — the
+    cross-engine proof of the ANN family's compression half (the float
+    IVF-PQ path is rank-parity-pinned in pytest; THIS entry puts the
+    same algebra under the value hash): embeddings floor-quantize to
+    2^10-scaled BIGINTs (floor(x * 1024) — scaling by a power of two
+    is IEEE-exact and floor has one definition, where round's halfway
+    rule differs between engines), each subspace assigns its argmin-d2
+    code against the fixed integer codebooks (ties -> lowest code via
+    first-position-of-min), and every document's asymmetric distance
+    to a fixed query is the BIGINT sum of per-subspace (query-sub -
+    centroid)^2 terms. Output per doc: the m codes + the ADC distance
+    — all integers, zero floats. Plan: ONE map-only pass, the
+    codebooks ride the expression as literals, nothing shuffles —
+    exactly the shape of the production encode pass pq_assign runs at
+    write time."""
+    import math
+
+    books = _q232_codebooks()
+    m, k, dsub = _Q232_M, _Q232_K, _Q232_DSUB
+    blit = (
+        "array("
+        + ", ".join(
+            "array("
+            + ", ".join(
+                "array(" + ", ".join(str(x) for x in books[s][c]) + ")"
+                for c in range(k)
+            )
+            + ")"
+            for s in range(m)
+        )
+        + ")"
+    )
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    qrow = emb.filter(F.col("vec_id") == _Q232_QID).first()
+    qv = [int(math.floor(float(x) * 1024)) for x in qrow["embedding"]]
+    staged = emb.selectExpr(
+        "vec_id",
+        "transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1024) AS BIGINT)) AS qv",
+    )
+    code_exprs = []
+    for s in range(m):
+        sub = f"slice(qv, {s * dsub + 1}, {dsub})"
+        cents = f"element_at({blit}, {s + 1})"
+        d2 = (
+            f"transform(sequence(1, {k}), c -> aggregate("
+            f"zip_with({sub}, element_at({cents}, c), (a, b) -> (a - b) * (a - b)), "
+            "CAST(0 AS BIGINT), (acc, x) -> acc + x))"
+        )
+        code_exprs.append(
+            f"CAST(array_position({d2}, array_min({d2})) - 1 AS INT) AS code_{s}"
+        )
+    coded = staged.selectExpr("vec_id", *code_exprs)
+    # the per-query LUT is driver-side integer math (m x k BIGINTs):
+    # lut[s][c] = sum_j (q_sub[j] - cent[j])^2 — folded into the plan
+    # as a CASE-free array literal indexed by the assigned code
+    lut = [
+        [
+            sum(
+                (qv[s * dsub + j] - books[s][c][j]) ** 2
+                for j in range(dsub)
+            )
+            for c in range(k)
+        ]
+        for s in range(m)
+    ]
+    adc = " + ".join(
+        "element_at(array("
+        + ", ".join(f"CAST({lut[s][c]} AS BIGINT)" for c in range(k))
+        + f"), code_{s} + 1)"
+        for s in range(m)
+    )
+    return coded.selectExpr(
+        "vec_id", *[f"code_{s}" for s in range(m)], f"{adc} AS adc_d2"
+    )
+
+
+def _sql_pq_adc_int() -> str:
+    books = _q232_codebooks()
+    m, k, dsub = _Q232_M, _Q232_K, _Q232_DSUB
+    blit = (
+        "["
+        + ", ".join(
+            "["
+            + ", ".join(
+                "[" + ", ".join(str(x) for x in books[s][c]) + "]"
+                for c in range(k)
+            )
+            + "]"
+            for s in range(m)
+        )
+        + "]"
+    )
+    code_sel = []
+    for s in range(m):
+        sub = f"qv[{s * dsub + 1}:{s * dsub + dsub}]"
+        d2 = (
+            f"list_transform(generate_series(1, {k}), c -> "
+            f"list_sum(list_transform(generate_series(1, {dsub}), j -> "
+            f"(({sub})[j] - {blit}[{s + 1}][c][j]) * (({sub})[j] - {blit}[{s + 1}][c][j]))))"
+        )
+        code_sel.append(
+            f"CAST(list_position({d2}, list_min({d2})) - 1 AS INT) AS code_{s}"
+        )
+    # the query row's quantized vector and the LUT are recomputed BY
+    # THE SQL ITSELF (no driver math shared with the Spark side): the
+    # two engines derive the LUT independently from the same table
+    adc = " + ".join(
+        f"list_sum(list_transform(generate_series(1, {dsub}), j -> "
+        f"(q.qq[{s * dsub} + j] - {blit}[{s + 1}][coded.code_{s} + 1][j])"
+        f" * (q.qq[{s * dsub} + j] - {blit}[{s + 1}][coded.code_{s} + 1][j])))"
+        for s in range(m)
+    )
+    cols = ", ".join(f"code_{s}" for s in range(m))
+    return f"""
+WITH e AS (
+  SELECT vec_id, list_transform(CAST(embedding AS DOUBLE[]),
+         x -> CAST(floor(x * 1024) AS BIGINT)) AS qv
+  FROM embeddings),
+q AS (SELECT qv AS qq FROM e WHERE vec_id = {_Q232_QID}),
+coded AS (SELECT vec_id, {", ".join(code_sel)} FROM e)
+SELECT vec_id, {cols},
+       CAST({adc} AS BIGINT) AS adc_d2
+FROM coded, q
+"""
+
+
+QUERIES.update({"q232_pq_adc_int": q_pq_adc_int})
+ORACLES.update({"q232_pq_adc_int": _sql_pq_adc_int()})
+
+
+# ---------------------------------------------------------------------------
 # Driver-sample ordering.
 #
 # The round driver's correctness gate checks only the FIRST ~50 catalog
