@@ -863,3 +863,51 @@ def ann_topk_from_index(
     return scored.withColumn("rank", F.row_number().over(w)).filter(
         F.col("rank") <= k
     )
+
+
+def build_ann_index(
+    corpus: DataFrame,
+    path: str,
+    n_cells: int = 16,
+    pq_m: int | None = None,
+    pq_k: int = 16,
+    pq_sample: int = 4096,
+    seed: int = 7,
+    max_iter: int = 20,
+    corpus_id: str = "vec_id",
+    corpus_vec: str = "embedding",
+) -> dict:
+    """The one-call TRAINED index build: distributed IVF centroid
+    training (MLlib KMeans — the 100 TB construction path) + optional
+    PQ codebook training on a bounded driver-side sample, then
+    ``write_ann_index``. This is the production entry point; the
+    lower-level ``write_ann_index(centroids=)`` form stays for callers
+    that bring their own model (the oracle fixtures do). ``pq_m=None``
+    builds IVF-flat; otherwise ``pq_sample`` rows (seeded hash order —
+    deterministic, not a scan order accident) train the codebooks.
+    Returns write_ann_index's summary dict."""
+    cents = train_ivf_centroids(
+        corpus, corpus_vec, k=n_cells, seed=seed, max_iter=max_iter
+    )
+    books = None
+    if pq_m is not None:
+        from sstable_migrator_spark.functions import text as TX
+
+        sample_rows = (
+            corpus.select(
+                corpus_vec,
+                TX.hash64(F.col(corpus_id).cast("string"), seed=seed).alias("_o"),
+            )
+            .orderBy("_o")
+            .limit(int(pq_sample))
+            .collect()
+        )
+        books = pq_train(
+            [[float(x) for x in r[corpus_vec]] for r in sample_rows],
+            m=pq_m,
+            k=pq_k,
+        )
+    return write_ann_index(
+        corpus, path, cents, codebooks=books,
+        corpus_id=corpus_id, corpus_vec=corpus_vec,
+    )

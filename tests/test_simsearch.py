@@ -450,3 +450,31 @@ def test_ann_index_adc_serving(spark, tmp_path):
     write_ann_index(corpus, flat, cents)
     with pytest.raises(ValueError, match="codebooks"):
         ann_topk_from_index(spark, flat, qlist, scoring="adc")
+
+
+def test_build_ann_index_trained_end_to_end(spark, tmp_path):
+    """The one-call trained build: distributed KMeans centroids +
+    sampled PQ codebooks -> persisted index; serving works on both
+    paths and the geometry sidecar records the trained shape."""
+    from sstable_migrator_spark.operators.simsearch import (
+        ann_topk_from_index,
+        build_ann_index,
+        check_ann_index_params,
+    )
+
+    corpus, vecs = _corpus(spark, n=80, dim=8)
+    path = str(tmp_path / "trained")
+    meta = build_ann_index(
+        corpus, path, n_cells=4, pq_m=4, pq_k=4, pq_sample=64, seed=11
+    )
+    assert meta["n_cells"] == 4 and meta["dim"] == 8
+    assert meta["pq_m"] == 4 and meta["pq_k"] == 4
+    rec = check_ann_index_params(path, dim=8, n_cells=4)
+    assert rec["pq_m"] == 4
+
+    qlist = [(0, vecs[5].tolist())]
+    exact = ann_topk_from_index(spark, path, qlist, k=3, n_probe=4)
+    got = {r["neighbor_id"] for r in exact.collect()}
+    assert 5 in got  # full probe: the vector finds itself
+    adc = ann_topk_from_index(spark, path, qlist, k=3, n_probe=4, scoring="adc")
+    assert adc.count() == 3
