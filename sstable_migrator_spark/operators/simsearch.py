@@ -691,13 +691,22 @@ def append_ann_index(
             f"no ANN index at {path} (missing _params.json); build it "
             "with write_ann_index first"
         )
-    got_dim = new_vecs.select(F.size(corpus_vec)).first()
-    if got_dim is None:
+    # validate EVERY row's width, not just the first: a mixed-dim batch
+    # (row 1 right, row N wrong) would otherwise pass and die inside
+    # ivf_assign's np.stack/matmul with an opaque kernel error. One
+    # map-side min/max agg over data that is about to be scanned anyway.
+    dims = new_vecs.agg(
+        F.min(F.size(corpus_vec)).alias("lo"), F.max(F.size(corpus_vec)).alias("hi")
+    ).first()
+    if dims["lo"] is None:
         return  # empty append: nothing to place
-    if int(got_dim[0]) != rec["dim"]:
+    if int(dims["lo"]) != rec["dim"] or int(dims["hi"]) != rec["dim"]:
         raise ValueError(
-            f"ANN index at {path} was built with dim={rec['dim']}, "
-            f"but the appended vectors have dim={int(got_dim[0])}"
+            f"ANN index at {path} was built with dim={rec['dim']}, but "
+            f"the appended vectors have dims in "
+            f"[{int(dims['lo'])}, {int(dims['hi'])}] — refusing the whole "
+            "append (a mixed-width batch would crash inside the "
+            "assignment kernel after partial placement)"
         )
     cents = read_ann_centroids(spark, path)
     assigned = ivf_assign(new_vecs, cents, corpus_vec, "cell")

@@ -204,7 +204,37 @@ def read_arrow_shards(
     return dirs_df.mapInPandas(_scan, spark_schema)
 
 
-def verify_arrow_shards(path: str, spark: SparkSession | None = None) -> dict:
+def _verify_bins(
+    manifest: list[dict], par: int, target_task_bytes: int
+) -> tuple[int, list[tuple]]:
+    """Partition plan for the distributed digest: task count
+    proportional to cluster parallelism AND data volume (one task per
+    ~target_task_bytes of shard bytes), capped only by the shard count
+    — a fixed cap (formerly min(n, 64)) throttled a multi-TB directory
+    on a big cluster to 64-way hashing regardless of executors.
+    Shards are binned by their CUMULATIVE BYTE MIDPOINT, not by count:
+    shards needn't be uniform, so byte-binning keeps task work even.
+    Returns ``(n_tasks, [(pid, shard, bytes, sha256), ...])``."""
+    total_b = sum(int(m["bytes"]) for m in manifest)
+    n_tasks = min(
+        len(manifest),
+        max(par, -(-total_b // max(1, int(target_task_bytes)))),
+    )
+    rows = []
+    cum = 0
+    for m in sorted(manifest, key=lambda m: m["shard"]):
+        mid = cum + int(m["bytes"]) / 2.0
+        pid = min(n_tasks - 1, int(mid * n_tasks / total_b)) if total_b else 0
+        rows.append((pid, m["shard"], int(m["bytes"]), m["sha256"]))
+        cum += int(m["bytes"])
+    return n_tasks, rows
+
+
+def verify_arrow_shards(
+    path: str,
+    spark: SparkSession | None = None,
+    target_task_bytes: int = 1 << 30,
+) -> dict:
     """Verify a shard directory against its manifest WITHOUT decoding:
     every manifested shard must exist with the exact byte size and
     sha256, and no unmanifested ``shard-*.arrow`` may be present.
@@ -263,11 +293,14 @@ def verify_arrow_shards(path: str, spark: SparkSession | None = None) -> dict:
     else:
         import pandas as pd
 
-        rows = [(i, m["shard"], m["bytes"], m["sha256"])
-                for i, m in enumerate(sorted(manifest, key=lambda m: m["shard"]))]
+        n_tasks, rows = _verify_bins(
+            manifest,
+            max(1, spark.sparkContext.defaultParallelism),
+            target_task_bytes,
+        )
         jobs = spark.createDataFrame(
-            rows, "i int, shard string, bytes long, sha256 string"
-        ).repartitionByRange(min(len(rows), 64), "i")
+            rows, "pid int, shard string, bytes long, sha256 string"
+        ).repartitionByRange(n_tasks, "pid")
 
         def _dig(batches):
             for pdf in batches:

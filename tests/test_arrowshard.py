@@ -192,3 +192,56 @@ def test_verify_distributed_matches_driver(spark, tmp_path):
     _os.unlink(shards[0])
     with pytest.raises(ValueError, match="missing"):
         verify_arrow_shards(str(tmp_path), spark=spark)
+
+
+def test_verify_parallelism_scales_past_64(spark, tmp_path):
+    """The distributed verify's task count is bytes- and parallelism-
+    proportional, NOT capped at a fixed 64: with >64 shards and a tiny
+    target_task_bytes, every shard gets its own task (the 100 TB
+    directory on a 1000-executor cluster hashes with cluster-wide
+    parallelism), and the totals still match the driver-side loop."""
+    from sstable_migrator_spark.sinks.arrowshard import verify_arrow_shards
+
+    n_rows = 70  # one row per shard -> 70 shards
+    man = write_arrow_shards(
+        _df(spark, n_rows).repartition(10), str(tmp_path), max_rows_per_shard=1
+    )
+    assert len(man) == n_rows
+
+    tot = verify_arrow_shards(str(tmp_path), spark=spark, target_task_bytes=1)
+    assert tot["shards"] == n_rows and tot["rows"] == n_rows
+
+    # the REAL partition plan (the function the distributed path calls):
+    # with target=1 byte the plan wants one task per shard, i.e. > 64
+    import json as _json
+    import os as _os
+
+    from sstable_migrator_spark.sinks.arrowshard import _verify_bins
+
+    with open(_os.path.join(str(tmp_path), "_arrow_manifests.json")) as fh:
+        manifest = _json.load(fh)
+    par = max(1, spark.sparkContext.defaultParallelism)
+    n_tasks, rows = _verify_bins(manifest, par, target_task_bytes=1)
+    assert n_tasks == n_rows > 64
+    # byte-balanced binning occupies every bin (uniform shards here)
+    assert len({pid for pid, *_ in rows}) == n_tasks
+
+    # skewed widths still bin by BYTES: one giant shard + many tiny
+    # ones must not put everything in one bin with the giant
+    fake = [
+        {"shard": f"shard-{i:05d}-000.arrow", "bytes": 10, "sha256": "x"}
+        for i in range(9)
+    ] + [{"shard": "shard-99999-000.arrow", "bytes": 10_000, "sha256": "x"}]
+    n_tasks2, rows2 = _verify_bins(fake, par=2, target_task_bytes=5_000)
+    assert n_tasks2 == 3  # ceil(10090/5000) = 3 > par
+    by_pid: dict[int, int] = {}
+    for pid, _s, b, _h in rows2:
+        by_pid[pid] = by_pid.get(pid, 0) + b
+    # the giant shard's midpoint lands in the last bin; the tiny ones
+    # all share the first — bins track bytes, not shard counts
+    assert by_pid[max(by_pid)] == 10_000 and sum(by_pid.values()) == 10_090
+
+    # default target (1 GiB) on a tiny directory: parallelism floor,
+    # capped by shard count
+    n_tasks3, _ = _verify_bins(manifest, par=8, target_task_bytes=1 << 30)
+    assert n_tasks3 == 8

@@ -478,3 +478,45 @@ def test_build_ann_index_trained_end_to_end(spark, tmp_path):
     assert 5 in got  # full probe: the vector finds itself
     adc = ann_topk_from_index(spark, path, qlist, k=3, n_probe=4, scoring="adc")
     assert adc.count() == 3
+
+
+def test_ann_index_append_mixed_dim_refused(spark, tmp_path):
+    """The append dim guard validates EVERY row, not just the first: a
+    mixed-width batch (row 1 right, later rows wrong) is refused loudly
+    with the index path and both observed widths, BEFORE any placement
+    — previously it passed the first-row check and died inside the
+    assignment kernel's np.stack with an opaque error."""
+    import pytest
+
+    from sstable_migrator_spark.operators.simsearch import (
+        append_ann_index,
+        write_ann_index,
+    )
+
+    corpus, vecs = _corpus(spark, n=20, dim=8)
+    cents = _centroids_from(vecs, [0, 10])
+    path = str(tmp_path / "idx")
+    write_ann_index(corpus, path, cents)
+
+    mixed = spark.createDataFrame(
+        [(100, vecs[0].tolist()), (101, vecs[1].tolist()[:5])],
+        "vec_id long, embedding array<double>",
+    )
+    with pytest.raises(ValueError, match=r"dim=8.*\[5, 8\]"):
+        append_ann_index(mixed, path)
+
+    # uniformly wrong width: also refused with both bounds equal
+    wrong = spark.createDataFrame(
+        [(102, [1.0, 2.0, 3.0])], "vec_id long, embedding array<double>"
+    )
+    with pytest.raises(ValueError, match=r"dim=8.*\[3, 3\]"):
+        append_ann_index(wrong, path)
+
+    # nothing was appended by the refused calls
+    assert spark.read.parquet(path).count() == 20
+
+    # empty append is still the documented no-op
+    append_ann_index(
+        spark.createDataFrame([], "vec_id long, embedding array<double>"), path
+    )
+    assert spark.read.parquet(path).count() == 20
