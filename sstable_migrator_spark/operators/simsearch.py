@@ -727,6 +727,7 @@ def ann_topk_from_index(
     scoring: str = "exact",
     corpus_id: str = "vec_id",
     corpus_vec: str = "embedding",
+    max_list_queries: int = 4096,
 ) -> DataFrame:
     """Approximate top-k served from a persisted ``write_ann_index`` —
     the serve-path twin of ``ivf_topk``/``ivf_pq_topk``: identical
@@ -759,6 +760,19 @@ def ann_topk_from_index(
         raise ValueError(f"scoring must be 'exact' or 'adc', got {scoring!r}")
     if not queries:
         raise ValueError("empty query list")
+    if len(queries) > max_list_queries:
+        # the LIST path rides every query's vector (and, for ADC, its
+        # m x k float64 LUT) in the task closure — a 100k-query list
+        # silently balloons every task. DataFrame-sized query sets
+        # belong on ann_join, which keeps vectors distributed and
+        # computes LUTs executor-side.
+        raise ValueError(
+            f"{len(queries)} queries exceeds the list-serving bound "
+            f"({max_list_queries}): per-query vectors/LUTs ride the task "
+            "closure here. Use ann_join(queries_df, path, ...) for "
+            "large or DataFrame-shaped query sets (it keeps the query "
+            "side distributed), or raise max_list_queries explicitly."
+        )
     if check_ann_index_params(path, dim=len(queries[0][1])) is None:
         # a sidecar-less directory is a crashed/partial build (the
         # params stamp is the LAST write): serving it would skip the
@@ -919,4 +933,170 @@ def build_ann_index(
     return write_ann_index(
         corpus, path, cents, codebooks=books,
         corpus_id=corpus_id, corpus_vec=corpus_vec,
+    )
+
+
+def ann_join(
+    queries: DataFrame,
+    path: str,
+    k: int = 10,
+    n_probe: int = 2,
+    scoring: str = "exact",
+    query_id: str = "query_id",
+    query_vec: str = "query_vec",
+    corpus_id: str = "vec_id",
+    corpus_vec: str = "embedding",
+) -> DataFrame:
+    """SET-TO-SET serving from a persisted ``write_ann_index``: the
+    queries are a DataFrame, so corpus-vs-corpus kNN (SemDeDup at
+    scale, dedup of a new crawl against an indexed corpus, batch
+    retrieval) never funnels vectors through the driver — the list
+    path (``ann_topk_from_index``) rides every query vector and ADC
+    LUT in the task closure and is bounded for that reason.
+
+    Plan shape: one map-only probe pass over the queries (the index's
+    OWN centroids ride the closure — same kernel, same tie rule as
+    ``ivf_assign``), ONE bounded collect of the distinct probed cell
+    ids (<= n_cells rows, never query- or corpus-sized) so partition
+    pruning still reaches the parquet scan, then a plain join of the
+    probed cells' rows against the probe table on ``cell`` — AQE
+    broadcasts the probe side when it is small, shuffles both sides
+    when the query set is corpus-sized. Ranking is a per-query-key
+    window over probed candidates only (data-sized, keyed shuffle).
+
+    ``scoring="exact"`` ranks by true cosine from the stored vectors;
+    ``scoring="adc"`` reads (id, pq_code) from the scan — never raw
+    corpus vectors — and computes each query's (m x k) LUT
+    EXECUTOR-side inside the scoring kernel (codebooks are KBs and
+    ride the closure; per-query LUTs never exist on the driver). Both
+    are rank-identical to the list path on the same index
+    (test- and oracle-pinned). Returns (query_id, neighbor_id,
+    cosine|approx_d2, rank)."""
+    import math
+
+    import numpy as np
+    import pandas as pd
+
+    from pyspark.sql import Window
+
+    if scoring not in ("exact", "adc"):
+        raise ValueError(f"scoring must be 'exact' or 'adc', got {scoring!r}")
+    spark = queries.sparkSession
+    rec = check_ann_index_params(path)
+    if rec is None:
+        raise ValueError(
+            f"no ANN index at {path} (missing _params.json — partial "
+            "build?); build it with write_ann_index"
+        )
+    # width guard over the WHOLE query set (the append_ann_index
+    # discipline): one map-side agg, loud refusal instead of an opaque
+    # np.stack error inside the probe kernel
+    dims = queries.agg(
+        F.min(F.size(query_vec)).alias("lo"), F.max(F.size(query_vec)).alias("hi")
+    ).first()
+    if dims["lo"] is None:
+        raise ValueError("empty query DataFrame")
+    if int(dims["lo"]) != rec["dim"] or int(dims["hi"]) != rec["dim"]:
+        raise ValueError(
+            f"ANN index at {path} was built with dim={rec['dim']}, but "
+            f"the query vectors have dims in [{int(dims['lo'])}, "
+            f"{int(dims['hi'])}]"
+        )
+    cents = read_ann_centroids(spark, path)
+    # same probe recipe as ivf_probe_cells / the list path (max dot
+    # against unit centroids, ties -> lowest cell id), so ranking is
+    # bit-identical across serving paths
+    probes = ivf_probe_cells(
+        queries.select(
+            F.col(query_id).alias("query_id"),
+            F.col(query_vec).alias("_qv"),
+        ),
+        cents,
+        n_probe,
+        "_qv",
+        "_probe",
+    ).localCheckpoint()
+    # bounded: distinct probed cells <= n_cells regardless of |Q| —
+    # this is what keeps PartitionFilters on the scan for any query set
+    want_cells = sorted(
+        r["_probe"] for r in probes.select("_probe").distinct().collect()
+    )
+
+    if scoring == "exact":
+        cand = (
+            spark.read.parquet(path)
+            .filter(F.col("cell").isin(want_cells))
+            .select(corpus_id, corpus_vec, "cell")
+            .join(probes, F.col("cell") == F.col("_probe"))
+            .select(
+                "query_id",
+                F.col(corpus_id).alias("neighbor_id"),
+                VX.cosine(F.col(corpus_vec), F.col("_qv")).alias("cosine"),
+            )
+        )
+        w = Window.partitionBy("query_id").orderBy(
+            F.col("cosine").desc(), F.col("neighbor_id").asc()
+        )
+        return cand.withColumn("rank", F.row_number().over(w)).filter(
+            F.col("rank") <= k
+        )
+
+    books = read_ann_codebooks(spark, path)
+    if books is None:
+        raise ValueError(
+            f"ANN index at {path} has no codebooks; scoring='adc' needs "
+            "an index built with write_ann_index(..., codebooks=)"
+        )
+    m, kk, dsub = books.shape
+    cand = (
+        spark.read.parquet(path)
+        .filter(F.col("cell").isin(want_cells))
+        .select(corpus_id, "pq_code", "cell")
+        .join(probes, F.col("cell") == F.col("_probe"))
+        .select(
+            "query_id", F.col(corpus_id).alias("neighbor_id"),
+            "pq_code", "_qv",
+        )
+    )
+
+    def score(batches):
+        # per-query LUTs are computed HERE, from the codebooks in the
+        # closure and the query vector riding the row — one LUT per
+        # distinct query per batch, identical numpy expressions to the
+        # list path so distances (and therefore ranks) are bit-equal
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            codes = np.stack(pdf["pq_code"].to_numpy()).astype(np.int64)
+            qids = pdf["query_id"].to_numpy()
+            d = np.empty(len(pdf))
+            for qid in np.unique(qids):
+                mask = qids == qid
+                q = np.asarray(
+                    pdf["_qv"].to_numpy()[mask.argmax()], dtype=np.float64
+                )
+                lut = np.empty((m, kk))
+                for s in range(m):
+                    lut[s] = (
+                        (books[s] - q[s * dsub : (s + 1) * dsub]) ** 2
+                    ).sum(axis=1)
+                d[mask] = lut[np.arange(m)[None, :], codes[mask]].sum(axis=1)
+            yield pd.DataFrame(
+                {
+                    "query_id": pdf["query_id"],
+                    "neighbor_id": pdf["neighbor_id"],
+                    "approx_d2": d,
+                }
+            )
+
+    id_type = cand.schema["neighbor_id"].dataType.simpleString()
+    qid_type = cand.schema["query_id"].dataType.simpleString()
+    scored = cand.mapInPandas(
+        score, f"query_id {qid_type}, neighbor_id {id_type}, approx_d2 double"
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("approx_d2").asc(), F.col("neighbor_id").asc()
+    )
+    return scored.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= k
     )

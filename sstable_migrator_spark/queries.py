@@ -12423,6 +12423,57 @@ ORACLES.update({"q232_pq_adc_int": _sql_pq_adc_int()})
 
 
 # ---------------------------------------------------------------------------
+# Batch — set-to-set ANN serving (ann_join: DataFrame-native queries
+# over the persisted index — corpus-vs-corpus kNN without funneling
+# query vectors through the driver)
+# ---------------------------------------------------------------------------
+
+
+def q_ann_join_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q165/q229's recall@5 measurement with the IVF side served by
+    ``ann_join`` — the SET-TO-SET path: queries stay a DataFrame end
+    to end (no driver-side (id, vector) list, the list path's closure
+    bound doesn't apply), probing is the same map-only kernel, the
+    scan is still partition-pruned (the distinct probed cells are a
+    bounded <= n_cells collect), and candidates join on cell. Sharing
+    q165's oracle verbatim pins rank-identity cross-engine: the
+    DataFrame path must rank exactly like the in-memory ivf_topk and
+    the list-serving path, or the recall integers diverge and the
+    hash fails."""
+    from sstable_migrator_spark.operators.simsearch import ann_join
+
+    path = _ensure_ann_index(spark, sf_dir)
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter((F.col("vec_id") >= 5) & (F.col("vec_id") < 15)).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    exact = simsearch.brute_force_topk(emb, queries, k=5).select(
+        "query_id", "neighbor_id"
+    )
+    served = ann_join(queries, path, k=5, n_probe=2).select(
+        "query_id", "neighbor_id"
+    )
+    return (
+        exact.join(
+            served.withColumn("_hit", F.lit(1)), ["query_id", "neighbor_id"], "left"
+        )
+        .groupBy("query_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_exact"),
+            F.count("_hit").alias("n_hit"),
+        )
+        .select(
+            "query_id", "n_exact", "n_hit",
+            (F.col("n_hit") / F.col("n_exact")).alias("recall_at_5"),
+        )
+    )
+
+
+QUERIES.update({"q233_ann_join_serve": q_ann_join_serve})
+ORACLES.update({"q233_ann_join_serve": SQL_ANN_RECALL})
+
+
+# ---------------------------------------------------------------------------
 # Driver-sample ordering.
 #
 # The round driver's correctness gate checks only the FIRST ~50 catalog
@@ -12535,7 +12586,14 @@ _DRIVER_PRIORITY: list[str] = [
     # per-range LWW merge, distributed binary read-back) under one gate
     "q179_compaction_roundtrip",
     "q164_lsh_recall",
-    "q165_ann_recall",
+    # q165_ann_recall rotated to local-harness coverage in round 10:
+    # the slot carries the SAME recall oracle with strictly more
+    # machinery under the gate — q233 serves the IVF side from the
+    # PERSISTED index via the set-to-set ann_join path (DataFrame
+    # queries, partition-pruned scan, executor-side scoring), so the
+    # driver now gates build+serve+DataFrame-serving end to end where
+    # q165 gated only the in-memory assignment algebra
+    "q233_ann_join_serve",
     "q148_data_contract",
     # q55_ann_lsh rotated to local-harness coverage in round 7 (the ANN
     # family keeps TWO in-head members: q165_ann_recall — the same

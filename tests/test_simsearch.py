@@ -520,3 +520,137 @@ def test_ann_index_append_mixed_dim_refused(spark, tmp_path):
         spark.createDataFrame([], "vec_id long, embedding array<double>"), path
     )
     assert spark.read.parquet(path).count() == 20
+
+
+def test_ann_join_rank_identical_to_list_path(spark, tmp_path):
+    """ann_join (DataFrame queries) ranks EXACTLY like the bounded
+    list path on the same persisted index, for both exact-cosine and
+    PQ-ADC scoring — the set-to-set path is the same math with the
+    query side kept distributed."""
+    from sstable_migrator_spark.operators.simsearch import (
+        ann_join,
+        ann_topk_from_index,
+        pq_train,
+        write_ann_index,
+    )
+
+    corpus, vecs = _corpus(spark, n=60, dim=8)
+    cents = _centroids_from(vecs, [0, 10, 20, 30])
+    books = pq_train(vecs.tolist(), m=4, k=8, iters=5)
+    path = str(tmp_path / "annpq")
+    write_ann_index(corpus, path, cents, codebooks=books)
+
+    qlist = [(0, vecs[3].tolist()), (1, vecs[33].tolist()), (2, vecs[7].tolist())]
+    qdf = spark.createDataFrame(
+        [(i, v) for i, v in qlist], "query_id long, query_vec array<double>"
+    )
+    key = lambda r: (r["query_id"], r["rank"], r["neighbor_id"])
+    for scoring in ("exact", "adc"):
+        lst = ann_topk_from_index(
+            spark, path, qlist, k=5, n_probe=2, scoring=scoring
+        )
+        st = ann_join(qdf, path, k=5, n_probe=2, scoring=scoring)
+        assert sorted(map(key, st.collect())) == sorted(
+            map(key, lst.collect())
+        ), scoring
+
+    # ADC via ann_join still never reads raw corpus vectors
+    plan = (
+        ann_join(qdf, path, k=5, n_probe=2, scoring="adc")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    import re as _re
+
+    reads = [
+        r for r in _re.findall(r"ReadSchema: [^\n]*", plan)
+        if "pq_code" in r or "embedding" in r
+    ]
+    assert reads and all("embedding" not in r for r in reads), reads
+    # and the probed-cell pruning reaches the scan
+    assert "PartitionFilters" in plan and "cell" in plan
+
+
+def test_ann_join_guards(spark, tmp_path):
+    """ann_join's loud refusals: no sidecar (crashed build), wrong or
+    mixed query width, empty query set, ADC on a flat index; and the
+    list path's NEW query-count bound points callers at ann_join."""
+    import pytest
+
+    from sstable_migrator_spark.operators.simsearch import (
+        ann_join,
+        ann_topk_from_index,
+        write_ann_index,
+    )
+
+    corpus, vecs = _corpus(spark, n=20, dim=8)
+    cents = _centroids_from(vecs, [0, 10])
+    path = str(tmp_path / "flat")
+    write_ann_index(corpus, path, cents)
+    qdf = spark.createDataFrame(
+        [(0, vecs[1].tolist())], "query_id long, query_vec array<double>"
+    )
+
+    with pytest.raises(ValueError, match="_params.json"):
+        ann_join(qdf, str(tmp_path / "nowhere"))
+    with pytest.raises(ValueError, match=r"dim=8.*\[5, 8\]"):
+        ann_join(
+            spark.createDataFrame(
+                [(0, vecs[1].tolist()), (1, vecs[2].tolist()[:5])],
+                "query_id long, query_vec array<double>",
+            ),
+            path,
+        )
+    with pytest.raises(ValueError, match="empty query"):
+        ann_join(
+            spark.createDataFrame([], "query_id long, query_vec array<double>"),
+            path,
+        )
+    with pytest.raises(ValueError, match="codebooks"):
+        ann_join(qdf, path, scoring="adc")
+    with pytest.raises(ValueError, match="scoring"):
+        ann_join(qdf, path, scoring="cosine")
+
+    # the list path refuses query sets past its closure bound, naming
+    # the set-to-set alternative
+    big = [(i, vecs[0].tolist()) for i in range(11)]
+    with pytest.raises(ValueError, match="ann_join"):
+        ann_topk_from_index(spark, path, big, max_list_queries=10)
+
+
+def test_ann_join_large_query_set(spark, tmp_path):
+    """A 10k-query DataFrame completes through ann_join without any
+    driver-side query list or per-query closure state — the closure
+    balloon the list path's bound exists to prevent. Sanity: every
+    query returns k rows and self-queries rank themselves first."""
+    import numpy as np
+
+    from sstable_migrator_spark.operators.simsearch import (
+        ann_join,
+        write_ann_index,
+    )
+
+    corpus, vecs = _corpus(spark, n=100, dim=8)
+    cents = _centroids_from(vecs, [0, 25, 50, 75])
+    path = str(tmp_path / "big")
+    write_ann_index(corpus, path, cents)
+
+    n_q = 10_000
+    rng = np.random.default_rng(17)
+    picks = rng.integers(0, 100, size=n_q)
+    qdf = spark.createDataFrame(
+        [(int(i), vecs[p].tolist()) for i, p in enumerate(picks)],
+        "query_id long, query_vec array<double>",
+    )
+    out = ann_join(qdf, path, k=3, n_probe=4)  # full probe: exact
+    got = out.groupBy("query_id").count().agg(
+        F.min("count"), F.max("count"), F.count(F.lit(1))
+    ).first()
+    assert got == (3, 3, n_q)
+    # a query that IS a corpus vector finds itself at rank 1
+    firsts = {
+        r["query_id"]: r["neighbor_id"]
+        for r in out.filter(F.col("rank") == 1).collect()
+    }
+    assert all(firsts[i] == picks[i] for i in range(n_q))
