@@ -316,25 +316,52 @@ def pq_train(
 
 
 def pq_assign(
-    df: DataFrame, codebooks, vec_col: str = "embedding", out_col: str = "pq_code"
+    df: DataFrame,
+    codebooks,
+    vec_col: str = "embedding",
+    out_col: str = "pq_code",
+    centroids: "list[tuple[int, list[float]]] | None" = None,
+    cell_col: str = "cell",
 ) -> DataFrame:
     """Map-only PQ encoding: each vector becomes ``m`` small codes
     (array<int>, one codebook index per subspace) via a vectorized
     numpy argmin per Arrow batch — the codebooks ride the task closure.
     At 100 TB this is the compression pass that turns a 64-float
-    embedding into m bytes; no shuffle anywhere."""
+    embedding into m bytes; no shuffle anywhere.
+
+    Pass ``centroids`` for RESIDUAL encoding (the standard IVF-PQ form,
+    Jegou et al. 2011 §III: quantize ``vector - assigned_centroid``
+    rather than the raw vector — residuals concentrate around zero, so
+    the same code budget spends its resolution on the part of the
+    vector the cell id hasn't already explained, which is materially
+    better recall at the same bytes). Requires ``cell_col`` on ``df``
+    (ivf_assign's output); the centroid matrix rides the closure next
+    to the codebooks. Still map-only."""
     import numpy as np
 
     books = np.asarray(codebooks)
     m, _k, dsub = books.shape
     out_fields = ", ".join(f"{f.name} {f.dataType.simpleString()}"
                            for f in df.schema.fields)
+    cent_by_id = None
+    if centroids is not None:
+        if cell_col not in df.columns:
+            raise ValueError(
+                f"residual encoding needs the cell column {cell_col!r} "
+                "(run ivf_assign first)"
+            )
+        cent_by_id = {
+            int(c): np.asarray(v, dtype=np.float64) for c, v in centroids
+        }
 
     def enc(batches):
         for pdf in batches:
             if len(pdf) == 0:  # np.stack([]) raises; same guard as ivf_assign
                 continue
-            v = np.stack(pdf[vec_col].to_numpy())
+            v = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            if cent_by_id is not None:
+                cells = pdf[cell_col].to_numpy()
+                v = v - np.stack([cent_by_id[int(c)] for c in cells])
             codes = np.empty((len(v), m), dtype=np.int32)
             for s in range(m):
                 sub = v[:, s * dsub : (s + 1) * dsub]
@@ -514,6 +541,7 @@ def write_ann_index_params(
     n_cells: int,
     pq_m: int | None = None,
     pq_k: int | None = None,
+    pq_residual: bool = False,
 ) -> None:
     """Record the geometry a persisted ANN index was built with, as
     ``<path>/_params.json`` (underscore files are invisible to parquet
@@ -532,6 +560,10 @@ def write_ann_index_params(
                 "n_cells": int(n_cells),
                 "pq_m": None if pq_m is None else int(pq_m),
                 "pq_k": None if pq_k is None else int(pq_k),
+                # residual=True means pq_code encodes (vector - assigned
+                # centroid): decoding/ADC against the wrong convention
+                # ranks garbage, so it is geometry, not a tuning knob
+                "pq_residual": bool(pq_residual),
                 "metric": "cosine",
             },
             fh,
@@ -582,6 +614,7 @@ def write_ann_index(
     codebooks=None,
     corpus_id: str = "vec_id",
     corpus_vec: str = "embedding",
+    pq_residual: bool = False,
 ) -> dict:
     """Persist the corpus as a SERVABLE ANN INDEX: cell-assign every
     vector (``ivf_assign``, map-only), optionally PQ-encode it
@@ -592,7 +625,7 @@ def write_ann_index(
     corpus pass total; the second query costs an index lookup, never a
     re-assignment. Same shared-filesystem contract as every persisted
     store here (sinks.scratch_path / SPARK_GRAFT_SCRATCH). Returns
-    ``{n_cells, dim, pq_m, pq_k}``."""
+    ``{n_cells, dim, pq_m, pq_k, pq_residual}``."""
     import os
 
     import numpy as np
@@ -600,6 +633,8 @@ def write_ann_index(
     spark = corpus.sparkSession
     cents = sorted(((int(c), list(map(float, v))) for c, v in centroids))
     dim = len(cents[0][1])
+    if pq_residual and codebooks is None:
+        raise ValueError("pq_residual=True needs codebooks")
     assigned = ivf_assign(corpus, cents, corpus_vec, "cell")
     pq_m = pq_k = None
     if codebooks is not None:
@@ -609,7 +644,12 @@ def write_ann_index(
             raise ValueError(
                 f"codebooks cover dim {pq_m * dsub}, centroids have dim {dim}"
             )
-        assigned = pq_assign(assigned, books, vec_col=corpus_vec)
+        assigned = pq_assign(
+            assigned,
+            books,
+            vec_col=corpus_vec,
+            centroids=cents if pq_residual else None,
+        )
     assigned.repartition("cell").write.mode("overwrite").partitionBy(
         "cell"
     ).parquet(path)
@@ -629,8 +669,11 @@ def write_ann_index(
         ).coalesce(1).write.mode("overwrite").parquet(
             os.path.join(path, "_codebooks")
         )
-    write_ann_index_params(path, dim, len(cents), pq_m, pq_k)
-    return {"n_cells": len(cents), "dim": dim, "pq_m": pq_m, "pq_k": pq_k}
+    write_ann_index_params(path, dim, len(cents), pq_m, pq_k, pq_residual)
+    return {
+        "n_cells": len(cents), "dim": dim, "pq_m": pq_m, "pq_k": pq_k,
+        "pq_residual": bool(pq_residual),
+    }
 
 
 def read_ann_centroids(spark, path: str) -> list[tuple[int, list[float]]]:
@@ -712,7 +755,14 @@ def append_ann_index(
     assigned = ivf_assign(new_vecs, cents, corpus_vec, "cell")
     books = read_ann_codebooks(spark, path)
     if books is not None:
-        assigned = pq_assign(assigned, books, vec_col=corpus_vec)
+        # encode with the index's OWN convention: a residual index
+        # appended with raw-vector codes would silently mis-rank
+        assigned = pq_assign(
+            assigned,
+            books,
+            vec_col=corpus_vec,
+            centroids=cents if rec.get("pq_residual") else None,
+        )
     assigned.repartition("cell").write.mode("append").partitionBy(
         "cell"
     ).parquet(path)
@@ -773,7 +823,8 @@ def ann_topk_from_index(
             "large or DataFrame-shaped query sets (it keeps the query "
             "side distributed), or raise max_list_queries explicitly."
         )
-    if check_ann_index_params(path, dim=len(queries[0][1])) is None:
+    rec = check_ann_index_params(path, dim=len(queries[0][1]))
+    if rec is None:
         # a sidecar-less directory is a crashed/partial build (the
         # params stamp is the LAST write): serving it would skip the
         # geometry guard silently — refuse and rebuild instead
@@ -841,19 +892,41 @@ def ann_topk_from_index(
             "an index built with write_ann_index(..., codebooks=)"
         )
     m, kk, dsub = books.shape
+    residual = bool(rec.get("pq_residual"))
+    # LUTs: one (m x kk) table per query — or per (query, probed cell)
+    # for a RESIDUAL index, where codes encode (vector - cell centroid)
+    # so the query must be expressed in the same cell-relative frame:
+    # lut[(q, cell)][s][c] = ||(q - centroid_cell)_s - book[s][c]||^2.
+    # Still bounded: |Q| x n_probe tables, and |Q| <= max_list_queries.
+    cent_by_id = {int(c): np.asarray(v, dtype=np.float64) for c, v in cents}
+    qv_by_id = {int(qid): np.asarray(qv, dtype=np.float64) for qid, qv in queries}
     luts = {}
-    for qid, qv in queries:
-        q = np.asarray(qv, dtype=np.float64)
-        lut = np.empty((m, kk))
-        for s in range(m):
-            lut[s] = ((books[s] - q[s * dsub : (s + 1) * dsub]) ** 2).sum(axis=1)
-        luts[int(qid)] = lut
+    if residual:
+        for qid, cell in probe_rows:
+            q = qv_by_id[qid] - cent_by_id[cell]
+            lut = np.empty((m, kk))
+            for s in range(m):
+                lut[s] = (
+                    (books[s] - q[s * dsub : (s + 1) * dsub]) ** 2
+                ).sum(axis=1)
+            luts[(qid, cell)] = lut
+    else:
+        for qid, q in qv_by_id.items():
+            lut = np.empty((m, kk))
+            for s in range(m):
+                lut[s] = (
+                    (books[s] - q[s * dsub : (s + 1) * dsub]) ** 2
+                ).sum(axis=1)
+            luts[qid] = lut
     cand = (
         spark.read.parquet(path)
         .filter(F.col("cell").isin(want_cells))
         .select(corpus_id, "pq_code", "cell")
         .join(probes, F.col("cell") == F.col("_probe"))
-        .select("query_id", F.col(corpus_id).alias("neighbor_id"), "pq_code")
+        .select(
+            "query_id", F.col(corpus_id).alias("neighbor_id"),
+            "pq_code", F.col("cell").cast("int").alias("cell"),
+        )
     )
 
     def score(batches):
@@ -862,12 +935,20 @@ def ann_topk_from_index(
                 continue
             codes = np.stack(pdf["pq_code"].to_numpy()).astype(np.int64)
             qids = pdf["query_id"].to_numpy()
+            cells = pdf["cell"].to_numpy()
             d = np.empty(len(pdf))
             for qid in np.unique(qids):
                 mask = qids == qid
-                d[mask] = luts[int(qid)][
-                    np.arange(m)[None, :], codes[mask]
-                ].sum(axis=1)
+                if residual:
+                    for cell in np.unique(cells[mask]):
+                        mm = mask & (cells == cell)
+                        d[mm] = luts[(int(qid), int(cell))][
+                            np.arange(m)[None, :], codes[mm]
+                        ].sum(axis=1)
+                else:
+                    d[mask] = luts[int(qid)][
+                        np.arange(m)[None, :], codes[mask]
+                    ].sum(axis=1)
             yield pd.DataFrame(
                 {
                     "query_id": pdf["query_id"],
@@ -899,6 +980,7 @@ def build_ann_index(
     max_iter: int = 20,
     corpus_id: str = "vec_id",
     corpus_vec: str = "embedding",
+    pq_residual: bool = False,
 ) -> dict:
     """The one-call TRAINED index build: distributed IVF centroid
     training (MLlib KMeans — the 100 TB construction path) + optional
@@ -908,7 +990,16 @@ def build_ann_index(
     that bring their own model (the oracle fixtures do). ``pq_m=None``
     builds IVF-flat; otherwise ``pq_sample`` rows (seeded hash order —
     deterministic, not a scan order accident) train the codebooks.
+    ``pq_residual=True`` trains and encodes in the standard IVF-PQ
+    form (codebooks over ``vector - assigned_centroid``; the sample's
+    cells are assigned host-side with the exact ivf_assign rule) —
+    residuals concentrate near zero, so the same m x k code budget
+    buys measurably better recall (the delta is recorded in SCALE.md).
     Returns write_ann_index's summary dict."""
+    import math
+
+    import numpy as np
+
     cents = train_ivf_centroids(
         corpus, corpus_vec, k=n_cells, seed=seed, max_iter=max_iter
     )
@@ -925,14 +1016,30 @@ def build_ann_index(
             .limit(int(pq_sample))
             .collect()
         )
-        books = pq_train(
+        sample = np.asarray(
             [[float(x) for x in r[corpus_vec]] for r in sample_rows],
-            m=pq_m,
-            k=pq_k,
+            dtype=np.float64,
         )
+        if pq_residual:
+            # the sample's residuals, assigned by the SAME rule
+            # ivf_assign places corpus vectors with (max dot against
+            # unit centroids, ties -> lowest cell id)
+            ordered = sorted(cents)
+            cmat = np.array(
+                [
+                    [x / (math.sqrt(sum(y * y for y in cv)) or 1.0) for x in cv]
+                    for _, cv in ordered
+                ],
+                dtype=np.float64,
+            ).T
+            cent_mat = np.array([cv for _, cv in ordered], dtype=np.float64)
+            idx = np.argmax(sample @ cmat, axis=1)
+            sample = sample - cent_mat[idx]
+        books = pq_train(sample.tolist(), m=pq_m, k=pq_k)
     return write_ann_index(
         corpus, path, cents, codebooks=books,
         corpus_id=corpus_id, corpus_vec=corpus_vec,
+        pq_residual=pq_residual and pq_m is not None,
     )
 
 
@@ -1048,6 +1155,12 @@ def ann_join(
             "an index built with write_ann_index(..., codebooks=)"
         )
     m, kk, dsub = books.shape
+    residual = bool(rec.get("pq_residual"))
+    cent_by_id = (
+        {int(c): np.asarray(v, dtype=np.float64) for c, v in cents}
+        if residual
+        else None
+    )
     cand = (
         spark.read.parquet(path)
         .filter(F.col("cell").isin(want_cells))
@@ -1055,32 +1168,50 @@ def ann_join(
         .join(probes, F.col("cell") == F.col("_probe"))
         .select(
             "query_id", F.col(corpus_id).alias("neighbor_id"),
-            "pq_code", "_qv",
+            "pq_code", "_qv", F.col("cell").cast("int").alias("cell"),
         )
     )
 
     def score(batches):
         # per-query LUTs are computed HERE, from the codebooks in the
         # closure and the query vector riding the row — one LUT per
-        # distinct query per batch, identical numpy expressions to the
-        # list path so distances (and therefore ranks) are bit-equal
+        # distinct query per batch (per (query, cell) for a residual
+        # index, whose codes live in the cell-relative frame),
+        # identical numpy expressions to the list path so distances
+        # (and therefore ranks) are bit-equal
         for pdf in batches:
             if len(pdf) == 0:
                 continue
             codes = np.stack(pdf["pq_code"].to_numpy()).astype(np.int64)
             qids = pdf["query_id"].to_numpy()
+            cells = pdf["cell"].to_numpy()
             d = np.empty(len(pdf))
             for qid in np.unique(qids):
                 mask = qids == qid
-                q = np.asarray(
+                qraw = np.asarray(
                     pdf["_qv"].to_numpy()[mask.argmax()], dtype=np.float64
                 )
-                lut = np.empty((m, kk))
-                for s in range(m):
-                    lut[s] = (
-                        (books[s] - q[s * dsub : (s + 1) * dsub]) ** 2
-                    ).sum(axis=1)
-                d[mask] = lut[np.arange(m)[None, :], codes[mask]].sum(axis=1)
+                if residual:
+                    for cell in np.unique(cells[mask]):
+                        mm = mask & (cells == cell)
+                        q = qraw - cent_by_id[int(cell)]
+                        lut = np.empty((m, kk))
+                        for s in range(m):
+                            lut[s] = (
+                                (books[s] - q[s * dsub : (s + 1) * dsub]) ** 2
+                            ).sum(axis=1)
+                        d[mm] = lut[
+                            np.arange(m)[None, :], codes[mm]
+                        ].sum(axis=1)
+                else:
+                    lut = np.empty((m, kk))
+                    for s in range(m):
+                        lut[s] = (
+                            (books[s] - qraw[s * dsub : (s + 1) * dsub]) ** 2
+                        ).sum(axis=1)
+                    d[mask] = lut[
+                        np.arange(m)[None, :], codes[mask]
+                    ].sum(axis=1)
             yield pd.DataFrame(
                 {
                     "query_id": pdf["query_id"],

@@ -12474,6 +12474,214 @@ ORACLES.update({"q233_ann_join_serve": SQL_ANN_RECALL})
 
 
 # ---------------------------------------------------------------------------
+# Batch — RESIDUAL PQ (standard IVF-PQ form) under the oracle,
+# integer-quantized: q232's exact-arithmetic discipline extended with
+# the cell-assignment + residual frame (codes encode vector - assigned
+# centroid; ADC LUTs are per (query, cell))
+# ---------------------------------------------------------------------------
+
+_Q234_CELLS = 4
+
+
+def _q234_centroids() -> list:
+    """Deterministic integer IVF centroids for q234 — a fixed
+    arithmetic formula like _q232_codebooks, for the same reason: the
+    oracle gates the residual ALGEBRA (integer argmin-d2 cell
+    assignment, residual subtraction, per-cell ADC frames); centroid
+    QUALITY is the float path's concern, covered by the pytest
+    numpy-reference and recall suites."""
+    return [
+        [((c * 53 + j * 29) % 37 - 18) * 64 for j in range(_Q232_M * _Q232_DSUB)]
+        for c in range(_Q234_CELLS)
+    ]
+
+
+def q_residual_pq_int(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Residual PQ encode + per-cell ADC with EXACT integer arithmetic
+    — the cross-engine proof of round 10's pq_residual path (the float
+    path is pinned by a numpy reference + parity pytests; THIS entry
+    puts the residual algebra itself under the value hash). Pipeline,
+    all BIGINT: embeddings floor-quantize to 2^10-scaled ints; each
+    vector assigns to its argmin-d2 integer centroid (ties -> lowest
+    cell via first-position-of-min — d2, not cosine, because unit
+    normalization is float-inexact and this entry exists to be exact);
+    codes quantize the RESIDUAL (qv - centroid[cell]) per subspace;
+    the fixed query's ADC distance uses the (query, cell) LUT — the
+    query expressed in each candidate's own cell frame, the defining
+    property of residual ADC. Plan: map-only selectExpr stages, the
+    models ride the expressions as literals, zero shuffles — the shape
+    of the production encode pass."""
+    import math
+
+    books = _q232_codebooks()
+    cents = _q234_centroids()
+    m, k, dsub = _Q232_M, _Q232_K, _Q232_DSUB
+    blit = (
+        "array("
+        + ", ".join(
+            "array("
+            + ", ".join(
+                "array(" + ", ".join(str(x) for x in books[s][c]) + ")"
+                for c in range(k)
+            )
+            + ")"
+            for s in range(m)
+        )
+        + ")"
+    )
+    clit = (
+        "array("
+        + ", ".join(
+            "array(" + ", ".join(str(x) for x in cents[c]) + ")"
+            for c in range(_Q234_CELLS)
+        )
+        + ")"
+    )
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    qrow = emb.filter(F.col("vec_id") == _Q232_QID).first()
+    qv = [int(math.floor(float(x) * 1024)) for x in qrow["embedding"]]
+    staged = emb.selectExpr(
+        "vec_id",
+        "transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1024) AS BIGINT)) AS qv",
+    )
+    d2c = (
+        f"transform(sequence(1, {_Q234_CELLS}), c -> aggregate("
+        f"zip_with(qv, element_at({clit}, c), (a, b) -> (a - b) * (a - b)), "
+        "CAST(0 AS BIGINT), (acc, x) -> acc + x))"
+    )
+    celled = staged.selectExpr(
+        "vec_id", "qv",
+        f"CAST(array_position({d2c}, array_min({d2c})) - 1 AS INT) AS cell",
+    ).selectExpr(
+        "vec_id", "cell",
+        f"zip_with(qv, element_at({clit}, cell + 1), (a, b) -> a - b) AS rv",
+    )
+    code_exprs = []
+    for s in range(m):
+        sub = f"slice(rv, {s * dsub + 1}, {dsub})"
+        cbooks = f"element_at({blit}, {s + 1})"
+        d2 = (
+            f"transform(sequence(1, {k}), c -> aggregate("
+            f"zip_with({sub}, element_at({cbooks}, c), (a, b) -> (a - b) * (a - b)), "
+            "CAST(0 AS BIGINT), (acc, x) -> acc + x))"
+        )
+        code_exprs.append(
+            f"CAST(array_position({d2}, array_min({d2})) - 1 AS INT) AS code_{s}"
+        )
+    coded = celled.selectExpr("vec_id", "cell", *code_exprs)
+    # per-(query, cell) LUTs, driver-side integer math (n_cells x m x k
+    # BIGINTs): lut[cell][s][c] = sum_j ((q - cent_cell)_sub[j] - book)^2
+    lut = [
+        [
+            [
+                sum(
+                    (qv[s * dsub + j] - cents[cell][s * dsub + j] - books[s][c][j])
+                    ** 2
+                    for j in range(dsub)
+                )
+                for c in range(k)
+            ]
+            for s in range(m)
+        ]
+        for cell in range(_Q234_CELLS)
+    ]
+    adc = " + ".join(
+        "element_at(element_at(array("
+        + ", ".join(
+            "array("
+            + ", ".join(f"CAST({lut[cell][s][c]} AS BIGINT)" for c in range(k))
+            + ")"
+            for cell in range(_Q234_CELLS)
+        )
+        + f"), cell + 1), code_{s} + 1)"
+        for s in range(m)
+    )
+    return coded.selectExpr(
+        "vec_id", "cell", *[f"code_{s}" for s in range(m)], f"{adc} AS adc_d2"
+    )
+
+
+def _sql_residual_pq_int() -> str:
+    books = _q232_codebooks()
+    cents = _q234_centroids()
+    m, k, dsub = _Q232_M, _Q232_K, _Q232_DSUB
+    blit = (
+        "["
+        + ", ".join(
+            "["
+            + ", ".join(
+                "[" + ", ".join(str(x) for x in books[s][c]) + "]"
+                for c in range(k)
+            )
+            + "]"
+            for s in range(m)
+        )
+        + "]"
+    )
+    clit = (
+        "["
+        + ", ".join(
+            "[" + ", ".join(str(x) for x in cents[c]) + "]"
+            for c in range(_Q234_CELLS)
+        )
+        + "]"
+    )
+    dim = m * dsub
+    d2c = (
+        f"list_transform(generate_series(1, {_Q234_CELLS}), c -> "
+        f"list_sum(list_transform(generate_series(1, {dim}), j -> "
+        f"(qv[j] - {clit}[c][j]) * (qv[j] - {clit}[c][j]))))"
+    )
+    code_sel = []
+    for s in range(m):
+        d2 = (
+            f"list_transform(generate_series(1, {k}), c -> "
+            f"list_sum(list_transform(generate_series(1, {dsub}), j -> "
+            f"(rv[{s * dsub} + j] - {blit}[{s + 1}][c][j])"
+            f" * (rv[{s * dsub} + j] - {blit}[{s + 1}][c][j]))))"
+        )
+        code_sel.append(
+            f"CAST(list_position({d2}, list_min({d2})) - 1 AS INT) AS code_{s}"
+        )
+    # the LUT is recomputed BY THE SQL ITSELF from the query row, the
+    # centroid literal, and the codebook literal — the engines derive
+    # the residual frame independently
+    adc = " + ".join(
+        f"list_sum(list_transform(generate_series(1, {dsub}), j -> "
+        f"(q.qq[{s * dsub} + j] - {clit}[coded.cell + 1][{s * dsub} + j]"
+        f" - {blit}[{s + 1}][coded.code_{s} + 1][j])"
+        f" * (q.qq[{s * dsub} + j] - {clit}[coded.cell + 1][{s * dsub} + j]"
+        f" - {blit}[{s + 1}][coded.code_{s} + 1][j])))"
+        for s in range(m)
+    )
+    cols = ", ".join(f"code_{s}" for s in range(m))
+    return f"""
+WITH e AS (
+  SELECT vec_id, list_transform(CAST(embedding AS DOUBLE[]),
+         x -> CAST(floor(x * 1024) AS BIGINT)) AS qv
+  FROM embeddings),
+q AS (SELECT qv AS qq FROM e WHERE vec_id = {_Q232_QID}),
+celled AS (
+  SELECT vec_id, qv,
+         CAST(list_position({d2c}, list_min({d2c})) - 1 AS INT) AS cell
+  FROM e),
+resid AS (
+  SELECT vec_id, cell,
+         list_transform(generate_series(1, {dim}),
+                        j -> qv[j] - {clit}[cell + 1][j]) AS rv
+  FROM celled),
+coded AS (SELECT vec_id, cell, {", ".join(code_sel)} FROM resid)
+SELECT vec_id, cell, {cols},
+       CAST({adc} AS BIGINT) AS adc_d2
+FROM coded, q
+"""
+
+
+QUERIES.update({"q234_residual_pq_int": q_residual_pq_int})
+ORACLES.update({"q234_residual_pq_int": _sql_residual_pq_int()})
+
+
+# ---------------------------------------------------------------------------
 # Driver-sample ordering.
 #
 # The round driver's correctness gate checks only the FIRST ~50 catalog

@@ -654,3 +654,153 @@ def test_ann_join_large_query_set(spark, tmp_path):
         for r in out.filter(F.col("rank") == 1).collect()
     }
     assert all(firsts[i] == picks[i] for i in range(n_q))
+
+
+def _residual_adc_reference(vecs, cents_list, books, qv, n_probe):
+    """Pure-numpy IVF-PQ-residual reference: assign cells by the
+    ivf_assign rule, encode residuals, score ADC with per-cell LUTs.
+    Returns {vec_id: approx_d2} over the probed cells only."""
+    import math
+
+    import numpy as np
+
+    ordered = sorted(cents_list)
+    cmat = np.array(
+        [
+            [x / (math.sqrt(sum(y * y for y in cv)) or 1.0) for x in cv]
+            for _, cv in ordered
+        ]
+    ).T
+    cent_ids = np.array([c for c, _ in ordered])
+    cent_mat = np.array([cv for _, cv in ordered])
+    books = np.asarray(books)
+    m, kk, dsub = books.shape
+    assign = np.argmax(vecs @ cmat, axis=1)
+    res = vecs - cent_mat[assign]
+    codes = np.empty((len(vecs), m), dtype=int)
+    for s in range(m):
+        sub = res[:, s * dsub : (s + 1) * dsub]
+        d2 = ((sub[:, None, :] - books[s][None, :, :]) ** 2).sum(axis=2)
+        codes[:, s] = d2.argmin(axis=1)
+    q = np.asarray(qv, dtype=np.float64)
+    probed_pos = np.argsort(-(q @ cmat), kind="stable")[:n_probe]
+    out = {}
+    for pos in probed_pos:
+        qres = q - cent_mat[pos]
+        lut = np.empty((m, kk))
+        for s in range(m):
+            lut[s] = ((books[s] - qres[s * dsub : (s + 1) * dsub]) ** 2).sum(
+                axis=1
+            )
+        for i in np.where(assign == pos)[0]:
+            out[i] = lut[np.arange(m), codes[i]].sum()
+    return out, cent_ids[assign]
+
+
+def test_residual_pq_matches_numpy_reference(spark, tmp_path):
+    """An index built with pq_residual=True serves ADC distances equal
+    to an independent numpy replay of the standard IVF-PQ recipe
+    (encode vector - assigned_centroid; score with per-(query, cell)
+    LUTs over the SAME residual frame)."""
+    from sstable_migrator_spark.operators.simsearch import (
+        ann_topk_from_index,
+        pq_train,
+        write_ann_index,
+    )
+
+    corpus, vecs = _corpus(spark, n=60, dim=8)
+    cents = _centroids_from(vecs, [0, 10, 20, 30])
+    # train codebooks on residuals, exactly as build_ann_index would
+    import math
+
+    import numpy as np
+
+    cmat = np.array(
+        [
+            [x / (math.sqrt(sum(y * y for y in cv)) or 1.0) for x in cv]
+            for _, cv in sorted(cents)
+        ]
+    ).T
+    cent_mat = np.array([cv for _, cv in sorted(cents)])
+    res_sample = vecs - cent_mat[np.argmax(vecs @ cmat, axis=1)]
+    books = pq_train(res_sample.tolist(), m=4, k=8, iters=5)
+
+    path = str(tmp_path / "respq")
+    meta = write_ann_index(corpus, path, cents, codebooks=books, pq_residual=True)
+    assert meta["pq_residual"] is True
+
+    served = ann_topk_from_index(
+        spark, path, [(0, vecs[3].tolist())], k=60, n_probe=2, scoring="adc"
+    ).collect()
+    ref, _cells = _residual_adc_reference(vecs, cents, books, vecs[3], n_probe=2)
+    assert len(served) == len(ref) > 0
+    for r in served:
+        assert r["approx_d2"] == ref[r["neighbor_id"]], r
+
+
+def test_residual_append_and_ann_join_parity(spark, tmp_path):
+    """A residual index appends with the index's OWN convention
+    (append + build == one-shot build on the serve path), and
+    ann_join's ADC ranks bit-equal to the list path on the same
+    residual index."""
+    from sstable_migrator_spark.operators.simsearch import (
+        ann_join,
+        ann_topk_from_index,
+        append_ann_index,
+        build_ann_index,
+        check_ann_index_params,
+        write_ann_index,
+    )
+
+    corpus, vecs = _corpus(spark, n=60, dim=8)
+    cents = _centroids_from(vecs, [0, 10, 20, 30])
+    import math
+
+    import numpy as np
+
+    from sstable_migrator_spark.operators.simsearch import pq_train
+
+    cmat = np.array(
+        [
+            [x / (math.sqrt(sum(y * y for y in cv)) or 1.0) for x in cv]
+            for _, cv in sorted(cents)
+        ]
+    ).T
+    cent_mat = np.array([cv for _, cv in sorted(cents)])
+    books = pq_train(
+        (vecs - cent_mat[np.argmax(vecs @ cmat, axis=1)]).tolist(), m=4, k=8, iters=5
+    )
+
+    inc_path = str(tmp_path / "inc")
+    write_ann_index(
+        corpus.filter(F.col("vec_id") < 30), inc_path, cents,
+        codebooks=books, pq_residual=True,
+    )
+    append_ann_index(corpus.filter(F.col("vec_id") >= 30), inc_path)
+    full_path = str(tmp_path / "full")
+    write_ann_index(corpus, full_path, cents, codebooks=books, pq_residual=True)
+
+    qlist = [(0, vecs[5].tolist()), (1, vecs[45].tolist())]
+    key = lambda r: (r["query_id"], r["rank"], r["neighbor_id"])
+    inc = ann_topk_from_index(spark, inc_path, qlist, k=5, n_probe=2, scoring="adc")
+    full = ann_topk_from_index(spark, full_path, qlist, k=5, n_probe=2, scoring="adc")
+    assert sorted(map(key, inc.collect())) == sorted(map(key, full.collect()))
+
+    qdf = spark.createDataFrame(
+        [(i, v) for i, v in qlist], "query_id long, query_vec array<double>"
+    )
+    st = ann_join(qdf, full_path, k=5, n_probe=2, scoring="adc")
+    assert sorted(map(key, st.collect())) == sorted(map(key, full.collect()))
+
+    # the trained one-call build records the convention in the sidecar
+    tr_path = str(tmp_path / "trained")
+    meta = build_ann_index(
+        corpus, tr_path, n_cells=4, pq_m=4, pq_k=4, pq_sample=64,
+        seed=11, pq_residual=True,
+    )
+    assert meta["pq_residual"] is True
+    assert check_ann_index_params(tr_path)["pq_residual"] is True
+    got = ann_topk_from_index(
+        spark, tr_path, qlist, k=3, n_probe=4, scoring="adc"
+    ).collect()
+    assert len(got) == 6
