@@ -31,6 +31,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 __all__ = [
+    "crawl_delays",
     "crawl_schedule",
     "parse_robots",
     "parse_robots_body",
@@ -83,6 +84,19 @@ def parse_robots_body(body: str, host: str = "") -> list[dict]:
                         "rule": "allow" if not val else key,
                         "prefix": val,
                     }
+                )
+        elif key == "crawl-delay":
+            # the de-facto extension (Bing/Yandex; Google ignores it):
+            # seconds between fetches for this agent group. Emitted as
+            # its own rule kind with the RAW value in the prefix slot
+            # (one row schema for the cache); ``crawl_delays`` parses
+            # and scopes it, ``robots_allowed`` ignores it. Registers
+            # the group like allow/disallow — a group that only sets a
+            # delay still shadows ``*`` for delay purposes.
+            group_open = True
+            for a in agents or ["*"]:
+                rules.append(
+                    {"host": host, "agent": a, "rule": "crawl-delay", "prefix": val}
                 )
     return rules
 
@@ -141,10 +155,16 @@ def robots_allowed(
     star_only = rules.filter(F.col("agent") == "*").join(
         specific.select("host").distinct(), "host", "left_anti"
     )
-    r = specific.unionByName(star_only).select(
-        "host",
-        "prefix",
-        (F.col("rule") == "allow").cast("int").alias("is_allow"),
+    # group selection above uses EVERY rule kind (a group that only
+    # sets Crawl-delay still shadows *); only allow/disallow rows score
+    r = (
+        specific.unionByName(star_only)
+        .filter(F.col("rule").isin("allow", "disallow"))
+        .select(
+            "host",
+            "prefix",
+            (F.col("rule") == "allow").cast("int").alias("is_allow"),
+        )
     )
     j = u.join(r, "host", "left").withColumn(
         "_hit",
@@ -165,11 +185,45 @@ def robots_allowed(
     )
 
 
+def crawl_delays(
+    rules: DataFrame, agent: str = "*"
+) -> DataFrame:
+    """Per-host ``Crawl-delay`` directives from parsed rule rows:
+    returns ``(host, crawl_delay_ms)`` for every host that DECLARES a
+    delay for the selected agent group (hosts without one are simply
+    absent — the caller's global delay applies). Group selection
+    matches ``robots_allowed``: a host with any rule rows for the
+    specific agent shadows its ``*`` group entirely. Values are
+    seconds (integers or decimals, per the de-facto grammar); when a
+    group states several, the MOST CONSERVATIVE (largest) wins.
+    Malformed values are dropped — an unparsable directive must not
+    zero out the host's politeness."""
+    a = agent.lower()
+    specific = rules.filter(F.col("agent") == a)
+    star_only = rules.filter(F.col("agent") == "*").join(
+        specific.select("host").distinct(), "host", "left_anti"
+    )
+    return (
+        specific.unionByName(star_only)
+        .filter(
+            (F.col("rule") == "crawl-delay")
+            & F.col("prefix").rlike(r"^\d+(\.\d+)?$")
+        )
+        .groupBy("host")
+        .agg(
+            F.ceil(F.max(F.col("prefix").cast("double")) * 1000)
+            .cast("long")
+            .alias("crawl_delay_ms")
+        )
+    )
+
+
 def crawl_schedule(
     urls: DataFrame,
     crawl_delay_ms: int = 1000,
     max_per_host: int | None = None,
     url_col: str = "url",
+    host_delays: DataFrame | None = None,
 ) -> DataFrame:
     """Per-host politeness plan: rank each host's urls (deterministic:
     url order), optionally cap the frontier per host, and assign the
@@ -184,7 +238,14 @@ def crawl_schedule(
     the closed-form rank. ``max_per_host=None`` (the default) is an
     explicitly UNCAPPED plan: every frontier URL of every host gets a
     slot — fine now that ranking itself is spread, but pass a cap if
-    downstream fetch capacity is the constraint. Returns
+    downstream fetch capacity is the constraint.
+
+    ``host_delays`` — an optional ``(host, crawl_delay_ms)`` frame
+    (``crawl_delays`` over parsed robots rules) — overrides the global
+    ``crawl_delay_ms`` per host: a host that DECLARES its politeness
+    budget gets exactly that spacing, everyone else the global
+    default. Plain left join, never broadcast (hosts are millions on a
+    real frontier; AQE picks the strategy per actual size). Returns
     ``(url, host, fetch_seq, fetch_offset_ms)``."""
     from sstable_migrator_spark.operators.analytics import grouped_prefix_sum
 
@@ -202,7 +263,16 @@ def crawl_schedule(
     )
     if max_per_host is not None:
         ranked = ranked.filter(F.col("fetch_seq") < max_per_host)
+    delay = F.lit(int(crawl_delay_ms)).cast("long")
+    if host_delays is not None:
+        ranked = ranked.join(
+            host_delays.select(
+                "host", F.col("crawl_delay_ms").alias("_host_delay")
+            ),
+            "host",
+            "left",
+        )
+        delay = F.coalesce(F.col("_host_delay"), delay)
     return ranked.withColumn(
-        "fetch_offset_ms",
-        (F.col("fetch_seq") * F.lit(int(crawl_delay_ms))).cast("long"),
-    )
+        "fetch_offset_ms", (F.col("fetch_seq") * delay).cast("long")
+    ).select("url", "host", "fetch_seq", "fetch_offset_ms")

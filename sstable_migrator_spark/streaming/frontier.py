@@ -181,6 +181,7 @@ def _drain_batch(
     ``(offered, new, scheduled)``."""
     from sstable_migrator_spark.functions.urls import canonical_url
     from sstable_migrator_spark.operators.crawl import (
+        crawl_delays,
         crawl_schedule,
         robots_allowed,
     )
@@ -223,6 +224,7 @@ def _drain_batch(
         ).localCheckpoint()
     else:
         new = cand
+    host_delays = None
     if _has_parquet(robots_path):
         fresh = (
             spark.read.parquet(robots_path)
@@ -236,6 +238,10 @@ def _drain_batch(
             F.max("fetched_at").alias("fetched_at")
         )
         rules_now = fresh.join(latest, ["host", "fetched_at"])
+        # a host's DECLARED Crawl-delay (from the same in-TTL latest
+        # rules the verdicts use) overrides the drain's global spacing;
+        # hosts without one keep the default. O(hosts) rows
+        host_delays = crawl_delays(rules_now, agent=agent).localCheckpoint()
         # robots_fresh is PER URL: 1 when its host has in-TTL rules,
         # 0 when the verdict fell through to the REP default
         # (unknown host or expired cache -> allowed, attributably)
@@ -263,6 +269,7 @@ def _drain_batch(
         gated.filter(F.col("allowed") == 1).select("url"),
         crawl_delay_ms=crawl_delay_ms,
         max_per_host=max_per_host,
+        host_delays=host_delays,
     )
     # CROSS-DRAIN politeness: fetch_seq continues after every slot
     # this host was EVER scheduled (per-host cursors persisted as
@@ -279,6 +286,18 @@ def _drain_batch(
         )
         # plain join, NOT broadcast: a real frontier has millions
         # of hosts — let AQE pick the strategy per actual size
+        delay = F.lit(int(crawl_delay_ms)).cast("long")
+        if host_delays is not None:
+            # the shifted slots must respect the same per-host declared
+            # delay the original plan used
+            prior = prior.join(
+                host_delays.select(
+                    "host", F.col("crawl_delay_ms").alias("_hd")
+                ),
+                "host",
+                "full",
+            )
+            delay = F.coalesce(F.col("_hd"), delay)
         plan = (
             plan.join(prior, "host", "left")
             .withColumn(
@@ -287,13 +306,8 @@ def _drain_batch(
                     "long"
                 ),
             )
-            .withColumn(
-                "fetch_offset_ms",
-                (F.col("fetch_seq") * F.lit(int(crawl_delay_ms))).cast(
-                    "long"
-                ),
-            )
-            .drop("_prior")
+            .withColumn("fetch_offset_ms", (F.col("fetch_seq") * delay).cast("long"))
+            .drop("_prior", "_hd")
         )
     plan = plan.localCheckpoint()
     _overwrite_batch(

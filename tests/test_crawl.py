@@ -150,3 +150,92 @@ def test_crawl_schedule_politeness(spark):
         ).collect()
     )
     assert again == sorted(tuple(r) for r in plan)
+
+
+CRAWL_DELAY_ROBOTS = """\
+User-agent: *
+Crawl-delay: 2
+Disallow: /private/
+
+User-agent: trainbot
+Crawl-delay: 0.5
+
+User-agent: rudebot
+Crawl-delay: banana
+"""
+
+
+def test_parse_crawl_delay_directive():
+    """Crawl-delay rows parse into the one rule-row schema (raw value
+    in the prefix slot), register their group, and never leak into
+    allow/disallow verdicts."""
+    rules = parse_robots_body(CRAWL_DELAY_ROBOTS, "example.com")
+    tup = {(r["agent"], r["rule"], r["prefix"]) for r in rules}
+    assert ("*", "crawl-delay", "2") in tup
+    assert ("trainbot", "crawl-delay", "0.5") in tup
+    # malformed values are still parsed rows; crawl_delays drops them
+    assert ("rudebot", "crawl-delay", "banana") in tup
+    assert ("*", "disallow", "/private/") in tup
+    # a group that only sets a delay is still a GROUP (shadows *)
+    assert [r for r in rules if r["agent"] == "trainbot"] != []
+
+
+def test_crawl_delays_selection_and_units(spark):
+    """crawl_delays: seconds (int or decimal) -> ms; the specific
+    agent's group shadows * entirely; several declared values take the
+    most conservative; malformed values drop; undeclared hosts are
+    absent (global default applies downstream)."""
+    from sstable_migrator_spark.operators.crawl import crawl_delays
+
+    rows = parse_robots_body(CRAWL_DELAY_ROBOTS, "example.com")
+    rows += parse_robots_body(
+        "User-agent: *\nCrawl-delay: 1\nCrawl-delay: 3\n", "slow.com"
+    )
+    rows += parse_robots_body("User-agent: *\nDisallow: /x\n", "plain.com")
+    rules = spark.createDataFrame(
+        [(r["host"], r["agent"], r["rule"], r["prefix"]) for r in rows],
+        "host string, agent string, rule string, prefix string",
+    )
+    star = {r["host"]: r["crawl_delay_ms"] for r in crawl_delays(rules).collect()}
+    assert star == {"example.com": 2000, "slow.com": 3000}
+    spec = {
+        r["host"]: r["crawl_delay_ms"]
+        for r in crawl_delays(rules, agent="trainbot").collect()
+    }
+    assert spec["example.com"] == 500  # 0.5 s, specific group shadows *
+    assert spec.get("slow.com") == 3000  # no trainbot group -> * applies
+    # rudebot's only directive is malformed -> no row, NOT zero
+    assert crawl_delays(rules, agent="rudebot").filter(
+        F.col("host") == "example.com"
+    ).count() == 0
+
+    # and the verdict gate is unchanged by delay rows
+    urls = spark.createDataFrame(
+        [("http://example.com/private/x",), ("http://example.com/ok",)],
+        "url string",
+    )
+    got = {r["url"]: r["allowed"] for r in robots_allowed(urls, rules).collect()}
+    assert got == {
+        "http://example.com/private/x": 0,
+        "http://example.com/ok": 1,
+    }
+
+
+def test_crawl_schedule_host_delay_override(spark):
+    """crawl_schedule(host_delays=): declared hosts space by their own
+    delay, everyone else by the global default; schema unchanged."""
+    from sstable_migrator_spark.operators.crawl import crawl_delays
+
+    urls = spark.createDataFrame(
+        [(f"http://slow.com/p{i}",) for i in range(3)]
+        + [(f"http://fast.com/p{i}",) for i in range(3)],
+        "url string",
+    )
+    delays = spark.createDataFrame(
+        [("slow.com", 5000)], "host string, crawl_delay_ms long"
+    )
+    plan = crawl_schedule(urls, crawl_delay_ms=1000, host_delays=delays)
+    assert plan.columns == ["url", "host", "fetch_seq", "fetch_offset_ms"]
+    rows = {(r["host"], r["fetch_seq"]): r["fetch_offset_ms"] for r in plan.collect()}
+    assert rows[("slow.com", 2)] == 10_000
+    assert rows[("fast.com", 2)] == 2_000

@@ -1533,3 +1533,60 @@ def test_admission_report(spark, tmp_path):
     # a hypothetical batch at exactly the pooled rate would NOT flag:
     # 1*6*4 vs 2*3*{3,5} -> 24 in [18, 30]
     assert not (1 * 6 * 4 < 2 * 3 * 3) and not (1 * 6 * 4 > 2 * 3 * 5)
+
+
+def test_frontier_respects_robots_crawl_delay(spark, tmp_path):
+    """A host's declared Crawl-delay drives its plan spacing — across
+    drains too (the cursor-shifted slots keep the per-host delay); an
+    undeclared host keeps the drain's global delay."""
+    import json as _json
+
+    from sstable_migrator_spark.streaming.frontier import (
+        schedule_frontier_available_now,
+    )
+
+    inbox = tmp_path / "urls"
+    inbox.mkdir()
+    frontier = str(tmp_path / "frontier")
+    ckpt = str(tmp_path / "fckpt")
+    rules = spark.createDataFrame(
+        [
+            ("slow.com", "*", "crawl-delay", "5"),
+            ("slow.com", "*", "disallow", "/private/"),
+        ],
+        "host string, agent string, rule string, prefix string",
+    )
+    with open(inbox / "d1.jsonl", "w") as fh:
+        for u in [
+            "http://slow.com/a", "http://slow.com/b",
+            "http://fast.com/a", "http://fast.com/b",
+        ]:
+            fh.write(_json.dumps({"url": u}) + "\n")
+    s1 = schedule_frontier_available_now(
+        spark, str(inbox), frontier, ckpt, robots_rules=rules,
+        crawl_delay_ms=1000, now_ms=1_000_000,
+    )
+    assert s1 == {"offered": 4, "new": 4, "scheduled": 4}
+    plans = spark.read.parquet(os.path.join(frontier, "plans")).collect()
+    off = {(r["host"], r["fetch_seq"]): r["fetch_offset_ms"] for r in plans}
+    assert off[("slow.com", 1)] == 5000  # declared 5 s
+    assert off[("fast.com", 1)] == 1000  # global default
+
+    # drain 2: cursor-shifted slots keep the declared delay
+    os.remove(inbox / "d1.jsonl")
+    with open(inbox / "d2.jsonl", "w") as fh:
+        for u in ["http://slow.com/c", "http://fast.com/c"]:
+            fh.write(_json.dumps({"url": u}) + "\n")
+    s2 = schedule_frontier_available_now(
+        spark, str(inbox), frontier, ckpt,
+        crawl_delay_ms=1000, now_ms=1_100_000,
+    )
+    assert s2 == {"offered": 2, "new": 2, "scheduled": 2}
+    plans2 = [
+        r
+        for r in spark.read.parquet(os.path.join(frontier, "plans")).collect()
+        if r["batch"] == 1
+    ]
+    off2 = {r["host"]: (r["fetch_seq"], r["fetch_offset_ms"]) for r in plans2}
+    assert off2["slow.com"] == (2, 10_000)  # slot 2 x 5 s, cross-drain
+    assert off2["fast.com"] == (2, 2_000)
