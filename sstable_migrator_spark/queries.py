@@ -12201,6 +12201,7 @@ tot AS (SELECT CAST(count(*) AS BIGINT) AS j_all,
                CAST(sum(admitted) AS BIGINT) AS a_all
         FROM led2)
 SELECT batch, judged, admitted, exact_dups, near_dup_hits, quality_rejects,
+       CAST(0 AS BIGINT) AS c4_rejects, CAST(0 AS BIGINT) AS lang_rejects,
        ppl_rejects, decon_rejects, rep_rejects,
        (admitted * j_all * 4 < judged * a_all * 3
         OR admitted * j_all * 4 > judged * a_all * 5) AS rate_drift
@@ -12679,6 +12680,75 @@ FROM coded, q
 
 QUERIES.update({"q234_residual_pq_int": q_residual_pq_int})
 ORACLES.update({"q234_residual_pq_int": _sql_residual_pq_int()})
+
+
+# ---------------------------------------------------------------------------
+# Batch — the batch funnel's attrition ledger under the SAME report as
+# the streaming gate (admission_report reads both ledger forms)
+# ---------------------------------------------------------------------------
+
+
+def q_funnel_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q227's gate-health report over the BATCH funnel's ledger form:
+    a deterministic first-drop stage ledger (each doc's stage a pure
+    doc_id modulus, mutually exclusive by CASE order — exactly the
+    shape ``build_training_corpus(ledger_dir=)`` writes) lands as the
+    same bare (doc_id, stage) parquet, and ``admission_report`` pivots
+    it through ``_batch_ledger_as_admissions`` into the unified
+    rollup — so the stage->gate mapping, the batch-only gate columns
+    (c4/lang), AND the shared drift rule are all under the hash. One
+    report now covers streaming drains and batch funnels (the round-8
+    'two ledgers, same ops question' unification)."""
+    from sstable_migrator_spark.streaming.corpus_ingest import admission_report
+
+    root = _scratch_dir("funnel-ledger-q235")
+    led = _t(spark, sf_dir, "documents").selectExpr(
+        "doc_id",
+        "CASE WHEN doc_id % 11 = 0 THEN 'c4' "
+        "WHEN doc_id % 7 = 1 THEN 'quality' "
+        "WHEN doc_id % 13 = 2 THEN 'lang' "
+        "WHEN doc_id % 10 = 3 THEN 'exact_dup' "
+        "WHEN doc_id % 17 = 4 THEN 'near_dup' "
+        "ELSE 'kept' END AS stage",
+    )
+    led.write.mode("overwrite").parquet(root)
+    return admission_report(spark, root)
+
+
+SQL_FUNNEL_REPORT = """
+WITH led AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 11 = 0 THEN 'c4'
+              WHEN doc_id % 7 = 1 THEN 'quality'
+              WHEN doc_id % 13 = 2 THEN 'lang'
+              WHEN doc_id % 10 = 3 THEN 'exact_dup'
+              WHEN doc_id % 17 = 4 THEN 'near_dup'
+              ELSE 'kept' END AS stage
+  FROM documents)
+SELECT CAST(0 AS INT) AS batch,
+       CAST(count(*) AS BIGINT) AS judged,
+       CAST(sum(CASE WHEN stage = 'kept' THEN 1 ELSE 0 END) AS BIGINT)
+         AS admitted,
+       CAST(sum(CASE WHEN stage = 'exact_dup' THEN 1 ELSE 0 END) AS BIGINT)
+         AS exact_dups,
+       CAST(sum(CASE WHEN stage = 'near_dup' THEN 1 ELSE 0 END) AS BIGINT)
+         AS near_dup_hits,
+       CAST(sum(CASE WHEN stage = 'quality' THEN 1 ELSE 0 END) AS BIGINT)
+         AS quality_rejects,
+       CAST(sum(CASE WHEN stage = 'c4' THEN 1 ELSE 0 END) AS BIGINT)
+         AS c4_rejects,
+       CAST(sum(CASE WHEN stage = 'lang' THEN 1 ELSE 0 END) AS BIGINT)
+         AS lang_rejects,
+       CAST(0 AS BIGINT) AS ppl_rejects,
+       CAST(0 AS BIGINT) AS decon_rejects,
+       CAST(0 AS BIGINT) AS rep_rejects,
+       FALSE AS rate_drift
+FROM led
+"""
+
+
+QUERIES.update({"q235_funnel_report": q_funnel_report})
+ORACLES.update({"q235_funnel_report": SQL_FUNNEL_REPORT})
 
 
 # ---------------------------------------------------------------------------

@@ -407,29 +407,74 @@ def admit_documents_available_now(
 # decisions.select), PINNED for the report: schema inference would pay
 # an extra pass over the ledger and could type a short or degenerate
 # ledger loosely (e.g. an early all-reject wave). ``batch`` is the
-# partition column.
+# partition column. ``c4_keep``/``lang_keep`` exist only in the BATCH
+# funnel's gate set — the JSON reader yields null for them on streaming
+# ledgers (old and new), and the report coalesces null to "gate not
+# run = pass", so one schema covers both funnels.
 _LEDGER_SCHEMA = (
     "doc_id long, exact_dup int, n_near_dups bigint, quality_keep int, "
-    "ppl_keep int, decon_keep int, rep_keep int, admitted int, batch int"
+    "ppl_keep int, decon_keep int, rep_keep int, c4_keep int, "
+    "lang_keep int, admitted int, batch int"
 )
 
 
+def _batch_ledger_as_admissions(spark: SparkSession, ledger_path: str) -> DataFrame:
+    """The BATCH funnel's per-doc stage ledger
+    (``build_training_corpus(ledger_dir=)``: one parquet row
+    ``(doc_id, stage)`` naming the FIRST dropping stage, or 'kept')
+    pivoted into the streaming ledger's gate-int frame, so ONE report
+    covers both funnels. First-drop semantics map exactly onto the
+    report's per-gate attribution: the dropping stage's gate reads 0,
+    every other gate 1 (passed or not reached — the funnel stopped
+    judging), ``admitted`` iff kept. Gates the batch funnel doesn't
+    run (ppl/decon/rep) read 1 everywhere, so their reject columns are
+    honestly zero. One synthetic batch 0 — a funnel run is one wave."""
+    return spark.read.parquet(ledger_path).selectExpr(
+        "doc_id",
+        "CAST(stage = 'exact_dup' AS INT) AS exact_dup",
+        "CAST(CAST(stage = 'near_dup' AS INT) AS BIGINT) AS n_near_dups",
+        "CAST(stage != 'quality' AS INT) AS quality_keep",
+        "CAST(1 AS INT) AS ppl_keep",
+        "CAST(1 AS INT) AS decon_keep",
+        "CAST(1 AS INT) AS rep_keep",
+        "CAST(stage != 'c4' AS INT) AS c4_keep",
+        "CAST(stage != 'lang' AS INT) AS lang_keep",
+        "CAST(stage = 'kept' AS INT) AS admitted",
+        "CAST(0 AS INT) AS batch",
+    )
+
+
 def admission_report(spark: SparkSession, corpus_path: str) -> DataFrame:
-    """Gate HEALTH report over the ``_admissions`` ledger — the ops
-    view a corpus owner reads each morning: per drain batch, how much
-    arrived, how much was admitted, which gate rejected the rest
-    (exact dup / near dup / quality / perplexity / decontamination /
-    repetition counts), and an exact-integer drift flag marking
-    batches whose admit rate deviates more than 25% RELATIVE from the
-    all-time rate (the q176 cross-multiply discipline — a flagged
-    batch usually means a new source, an encoder change upstream, or a
-    broken feed). Plan: one ledger scan, one batch-keyed agg, the
-    all-time totals as a single-row broadcast cross. The ledger is
+    """Gate HEALTH report over an attrition ledger — the ops view a
+    corpus owner reads each morning: per batch, how much arrived, how
+    much was admitted, which gate rejected the rest (exact dup / near
+    dup / quality / c4-cleanup / language / perplexity /
+    decontamination / repetition counts), and an exact-integer drift
+    flag marking batches whose admit rate deviates more than 25%
+    RELATIVE from the all-time rate (the q176 cross-multiply
+    discipline — a flagged batch usually means a new source, an
+    encoder change upstream, or a broken feed).
+
+    READS BOTH LEDGER FORMS: a corpus directory with an
+    ``_admissions`` subdir is the STREAMING gate's per-drain JSON
+    ledger; a bare parquet directory of ``(doc_id, stage)`` rows is
+    the BATCH funnel's ledger (``build_training_corpus(ledger_dir=)``)
+    pivoted through ``_batch_ledger_as_admissions`` — same ops
+    question, one report. Plan: one ledger scan, one batch-keyed agg,
+    the all-time totals as a single-row broadcast cross. The ledger is
     O(decisions) rows of integers — at 100 TB this reads the ledger,
     never the corpus."""
-    led = spark.read.schema(_LEDGER_SCHEMA).json(
-        os.path.join(corpus_path, "_admissions")
-    )
+    adm = os.path.join(corpus_path, "_admissions")
+    if os.path.isdir(adm):
+        led = spark.read.schema(_LEDGER_SCHEMA).json(adm)
+    elif os.path.isdir(corpus_path):
+        led = _batch_ledger_as_admissions(spark, corpus_path)
+    else:
+        raise ValueError(
+            f"no attrition ledger at {corpus_path}: expected either a "
+            "corpus directory with an _admissions/ streaming ledger or "
+            "a batch-funnel (doc_id, stage) parquet directory"
+        )
     per = led.groupBy("batch").agg(
         F.count(F.lit(1)).alias("judged"),
         F.sum("admitted").alias("admitted"),
@@ -441,6 +486,14 @@ def admission_report(spark: SparkSession, corpus_path: str) -> DataFrame:
         F.sum((F.col("ppl_keep") == 0).cast("int")).alias("ppl_rejects"),
         F.sum((F.col("decon_keep") == 0).cast("int")).alias("decon_rejects"),
         F.sum((F.col("rep_keep") == 0).cast("int")).alias("rep_rejects"),
+        # null = the funnel doesn't run this gate (streaming ledgers
+        # have no c4/lang columns) -> pass, so the reject count is 0
+        F.sum((F.coalesce("c4_keep", F.lit(1)) == 0).cast("int")).alias(
+            "c4_rejects"
+        ),
+        F.sum((F.coalesce("lang_keep", F.lit(1)) == 0).cast("int")).alias(
+            "lang_rejects"
+        ),
     )
     totals = led.agg(
         F.count(F.lit(1)).alias("_j_all"), F.sum("admitted").alias("_a_all")
@@ -459,6 +512,8 @@ def admission_report(spark: SparkSession, corpus_path: str) -> DataFrame:
             "exact_dups",
             "near_dup_hits",
             "quality_rejects",
+            "c4_rejects",
+            "lang_rejects",
             "ppl_rejects",
             "decon_rejects",
             "rep_rejects",

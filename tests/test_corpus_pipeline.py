@@ -1442,3 +1442,45 @@ def test_funnel_per_doc_attrition_ledger(spark, sf_dir, tmp_path):
     verdicts = {r["doc_id"]: r["stage"] for r in led.collect()}
     assert verdicts[300000 + base.first()["doc_id"]] == "lang"
     assert verdicts[100000 + base.first()["doc_id"]] == "exact_dup"
+
+
+def test_admission_report_reads_batch_funnel_ledger(spark, sf_dir, tmp_path):
+    """ONE report over both ledger forms: admission_report over a real
+    build_training_corpus(ledger_dir=) parquet rolls up exactly the
+    funnel's returned stage counts, with the batch-only gates (c4/lang)
+    attributed in their own columns and the streaming-only gates
+    (ppl/decon/rep) honestly zero."""
+    from pyspark.sql import functions as F
+
+    from sstable_migrator_spark.streaming.corpus_ingest import admission_report
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(40)
+    alien = docs.limit(1).select(
+        (F.col("doc_id") + 300000).alias("doc_id"), "text",
+        F.lit("xx").alias("lang"), "source", "n_chars",
+    )
+    corpus = docs.unionByName(alien)
+    out = str(tmp_path / "shards")
+    led_dir = str(tmp_path / "ledger")
+    counts = build_training_corpus(
+        corpus, out, quality_min=0.0, shard_tokens=500, ledger_dir=led_dir
+    )
+
+    rep = admission_report(spark, led_dir).collect()
+    assert len(rep) == 1  # one synthetic batch: a funnel run is one wave
+    r = rep[0]
+    assert r["batch"] == 0 and r["judged"] == counts["input"]
+    assert r["admitted"] == counts["near_dup_kept"]
+    assert r["quality_rejects"] == counts["input"] - counts["quality"]
+    assert r["lang_rejects"] == counts["quality"] - counts["lang"] == 1
+    assert r["exact_dups"] == counts["lang"] - counts["exact"]
+    assert r["near_dup_hits"] == counts["exact"] - counts["near_dup_kept"]
+    assert r["c4_rejects"] == 0  # c4 stage disabled in this run
+    assert (r["ppl_rejects"], r["decon_rejects"], r["rep_rejects"]) == (0, 0, 0)
+    assert r["rate_drift"] is False  # one batch == the all-time rate
+
+    # a missing/bogus path refuses loudly, naming both accepted forms
+    import pytest
+
+    with pytest.raises(ValueError, match="_admissions"):
+        admission_report(spark, str(tmp_path / "nowhere"))
