@@ -96,6 +96,36 @@ def main() -> None:
         gc.collect()
     spark.catalog.clearCache()
 
+    # HOST-SPEED CANARY: a fixed CPU+shuffle micro-query (pinned row
+    # count, pinned key count — data-independent), run 3x after warmup
+    # with the median recorded alongside the totals. Two consecutive
+    # rounds attributed shared-set bench drift to ambient host noise
+    # with plans unchanged; the canary makes that claim FALSIFIABLE:
+    # round-over-round comparisons divide by the canary ratio (SCALE.md
+    # carries the analysis; this file only measures).
+    def _canary_once() -> float:
+        t0 = time.perf_counter()
+        (
+            spark.range(0, 8_000_000, 1, 32)
+            # mod keeps the sum far from LONG overflow (ANSI mode is on:
+            # summing raw xxhash64 values overflows and kills the job)
+            .selectExpr("xxhash64(id) % 1000003 AS h", "id % 200 AS k")
+            .groupBy("k")
+            .agg({"h": "sum", "k": "count"})
+            .write.format("noop")
+            .mode("overwrite")
+            .save()
+        )
+        return round(time.perf_counter() - t0, 4)
+
+    canary_secs: list[float] = []
+    try:
+        _canary_once()  # codegen/JIT warm — untimed
+        canary_secs = [_canary_once() for _ in range(3)]
+    except Exception as e:  # noqa: BLE001 — diagnostics never fail the bench
+        print(f"# bench canary failed: {e!r}"[:200], file=sys.stderr)
+    canary_sec = sorted(canary_secs)[1] if len(canary_secs) == 3 else -1.0
+
     timings: dict[str, float] = {}
 
     for name, fn in {"q00_flagship_ingest": flagship_ingest, **QUERIES}.items():
@@ -182,6 +212,8 @@ def main() -> None:
                     "cpus": os.environ.get("SPARK_GRAFT_CPUS", ""),
                     "n_queries": len(timings),
                     "n_errors": n_err,
+                    "canary_sec": canary_sec,
+                    "canary_secs": canary_secs,
                     "queries": timings,
                     "skew_bench": skew_bench,
                 },
@@ -206,6 +238,7 @@ def main() -> None:
                 "sf": sf,
                 "n_queries": len(timings),
                 "n_errors": n_err,
+                "canary_sec": canary_sec,
                 "queries": slowest,
                 "detail_file": "BENCH_DETAIL.json",
             },
