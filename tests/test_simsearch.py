@@ -288,7 +288,10 @@ def test_ann_index_roundtrip_and_pruning(spark, tmp_path):
     cents = _centroids_from(vecs, [0, 10, 20, 30, 40, 50])
     path = str(tmp_path / "annidx")
     meta = write_ann_index(corpus, path, cents)
-    assert meta == {"n_cells": 6, "dim": 8, "pq_m": None, "pq_k": None}
+    assert meta == {
+        "n_cells": 6, "dim": 8, "pq_m": None, "pq_k": None,
+        "pq_residual": False,
+    }
 
     qlist = [(0, vecs[3].tolist()), (1, vecs[33].tolist())]
     qdf = spark.createDataFrame(qlist, "query_id long, query_vec array<double>")
