@@ -1231,3 +1231,49 @@ def ann_join(
     return scored.withColumn("rank", F.row_number().over(w)).filter(
         F.col("rank") <= k
     )
+
+
+def dedup_against_index(
+    new_vecs: DataFrame,
+    path: str,
+    threshold: float = 0.99,
+    n_probe: int = 2,
+    query_id: str = "vec_id",
+    query_vec: str = "embedding",
+    corpus_id: str = "vec_id",
+) -> DataFrame:
+    """Admission-gate near-dup check of a NEW batch against an already
+    PERSISTED index — the "dedup today's crawl against the 100 TB
+    corpus" path: every new vector finds its nearest indexed neighbor
+    through ``ann_join`` (set-to-set: the batch stays a DataFrame, the
+    scan stays partition-pruned to probed cells, nothing rebuilds) and
+    is flagged when the cosine crosses ``threshold``. Returns one row
+    per new vector: ``(query_id, dup_of, cosine, is_dup)`` — vectors
+    whose probed cells hold no candidates keep a NULL neighbor and
+    is_dup=0 (nothing indexed looks like them, by construction of the
+    probe). Approximate exactly like serving is: a true near-dup whose
+    neighbor lives outside the probed cells is missed at the same rate
+    the index misses it for search — raise n_probe to trade scan for
+    recall, the same dial. Composes with the SemDeDup/q83 in-batch
+    stage: gate new-vs-index here, dedup new-vs-new there."""
+    q = new_vecs.select(
+        F.col(query_id).alias("query_id"), F.col(query_vec).alias("query_vec")
+    )
+    nn = (
+        ann_join(q, path, k=1, n_probe=n_probe, scoring="exact",
+                 corpus_id=corpus_id)
+        .select("query_id", F.col("neighbor_id").alias("dup_of"), "cosine")
+    )
+    return (
+        q.select("query_id")
+        .join(nn, "query_id", "left")
+        .select(
+            "query_id",
+            "dup_of",
+            "cosine",
+            F.when(F.col("cosine") >= float(threshold), F.lit(1))
+            .otherwise(F.lit(0))
+            .cast("int")
+            .alias("is_dup"),
+        )
+    )

@@ -807,3 +807,54 @@ def test_residual_append_and_ann_join_parity(spark, tmp_path):
         spark, tr_path, qlist, k=3, n_probe=4, scoring="adc"
     ).collect()
     assert len(got) == 6
+
+
+def test_dedup_against_index(spark, tmp_path):
+    """Crawl-vs-index admission gate: a re-offered indexed vector flags
+    is_dup with its indexed id as dup_of; a genuinely novel vector
+    passes; a vector whose probed cells hold NO candidates keeps a
+    NULL neighbor and passes (nothing indexed looks like it)."""
+    from sstable_migrator_spark.operators.simsearch import (
+        dedup_against_index,
+        write_ann_index,
+    )
+
+    # corpus lives in two tight clusters near e0 and e1; a third
+    # centroid (e2) exists in the index geometry but owns no vectors
+    rows = []
+    for i in range(10):
+        rows.append((i, [1.0, 0.01 * i, 0.0, 0.0]))
+    for i in range(10, 20):
+        rows.append((i, [0.01 * (i - 10), 1.0, 0.0, 0.0]))
+    corpus = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cents = [
+        (0, [1.0, 0.0, 0.0, 0.0]),
+        (1, [0.0, 1.0, 0.0, 0.0]),
+        (2, [0.0, 0.0, 1.0, 0.0]),
+    ]
+    path = str(tmp_path / "gate")
+    write_ann_index(corpus, path, cents)
+
+    new = spark.createDataFrame(
+        [
+            (100, [1.0, 0.05, 0.0, 0.0]),   # re-offer of vec 5 -> dup
+            (101, [0.7, 0.7, 0.0, 0.0]),    # between clusters -> novel
+            (102, [0.0, 0.0, 1.0, 0.0]),    # probes only empty cell 2
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    got = {
+        r["query_id"]: r
+        for r in dedup_against_index(new, path, threshold=0.999, n_probe=1).collect()
+    }
+    assert got[100]["is_dup"] == 1 and got[100]["dup_of"] == 5
+    assert got[101]["is_dup"] == 0 and got[101]["dup_of"] is not None
+    assert got[102]["is_dup"] == 0 and got[102]["dup_of"] is None
+
+    # wider probe closes the empty-cell miss: 102's nearest REAL
+    # vector appears once a second cell is probed
+    wide = {
+        r["query_id"]: r
+        for r in dedup_against_index(new, path, threshold=0.999, n_probe=2).collect()
+    }
+    assert wide[102]["dup_of"] is not None and wide[102]["is_dup"] == 0
