@@ -1277,3 +1277,59 @@ def dedup_against_index(
             .alias("is_dup"),
         )
     )
+
+
+def ann_index_health(
+    spark,
+    path: str,
+    overload_x: int = 2,
+    underload_x: int = 2,
+) -> DataFrame:
+    """Occupancy report over a persisted ANN index — the ops check
+    that decides WHEN to rebuild (appends place vectors with the
+    BUILD's centroids, so a drifting corpus piles into few cells and
+    probe-time scan width grows even though pruning stays correct;
+    this report is the dial that watches it). One pass that moves no
+    vector bytes: the scan projects only the partition column, the
+    per-cell counts join the centroid sidecar so EMPTY cells (a
+    crashed build's hole, a cell no append ever hits) surface as rows
+    instead of silently vanishing, and the corpus total rides a
+    single-row broadcast cross (the bounded scalar-cross discipline).
+    Flags are INTEGER cross-multiplied — overloaded:
+    ``n_cells * n_vecs > overload_x * total``; underloaded:
+    ``underload_x * n_cells * n_vecs < total`` (empty cells are always
+    underloaded) — so the report hash-matches a SQL oracle exactly.
+    Output is bounded at n_cells rows regardless of corpus size."""
+    import os
+
+    if not os.path.exists(os.path.join(path, "_params.json")):
+        raise FileNotFoundError(
+            f"no ANN index at {path} (missing _params.json — partial or "
+            "crashed build?); build it with write_ann_index/build_ann_index"
+        )
+    cents = spark.read.parquet(os.path.join(path, "_centroids")).select(
+        F.col("cell_id").cast("int").alias("cell")
+    )
+    n_cells = cents.count()  # bounded: the model is KBs by contract
+    counts = (
+        spark.read.parquet(path)
+        .groupBy(F.col("cell").cast("int").alias("cell"))
+        .agg(F.count(F.lit(1)).alias("n_vecs"))
+    )
+    per_cell = cents.join(counts, "cell", "left").select(
+        "cell", F.coalesce("n_vecs", F.lit(0)).cast("long").alias("n_vecs")
+    )
+    total = per_cell.agg(F.sum("n_vecs").cast("long").alias("total"))
+    return per_cell.crossJoin(F.broadcast(total)).select(
+        "cell",
+        "n_vecs",
+        "total",
+        (F.lit(int(n_cells)) * F.col("n_vecs")
+         > F.lit(int(overload_x)) * F.col("total"))
+        .cast("int")
+        .alias("overloaded"),
+        (F.lit(int(underload_x) * int(n_cells)) * F.col("n_vecs")
+         < F.col("total"))
+        .cast("int")
+        .alias("underloaded"),
+    )

@@ -37,6 +37,7 @@ from sstable_migrator_spark.functions.domains import (
 )
 from sstable_migrator_spark.functions.net import ip_block, ip_int
 from sstable_migrator_spark.operators import analytics, dedup, ingest, simsearch
+from sstable_migrator_spark.operators import code as codeops
 from sstable_migrator_spark.sources import dims
 
 # TLD set used by all oracle-checked domain queries (small so the SQL
@@ -12831,6 +12832,228 @@ ORACLES.update({"q236_dedup_against_index": SQL_DEDUP_AGAINST_INDEX})
 
 
 # ---------------------------------------------------------------------------
+# Code-corpus curation (operators/code.py): content language ID,
+# license gate, quality screens, FIM transform — the published
+# Stack/StarCoder data-prep family, map-only native exprs throughout.
+# SQL twins share the SIGNAL/THRESHOLD constants (the module header's
+# "defined ONCE per side from shared fragments" discipline) but derive
+# the verdict logic independently: Spark picks the argmax via a
+# struct-ordered array_min, the twin via greatest() + an alphabetical
+# CASE chain.
+# ---------------------------------------------------------------------------
+
+
+def q_code_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-based programming-language ID over every document:
+    per-language weighted signal scores AND the argmax verdict
+    (ties -> alphabetically-first, sub-threshold -> 'unknown') all
+    under the hash, so the signal table, the regex dialect, and the
+    tie algebra are each pinned cross-engine. Map-only projection —
+    zero shuffles at any corpus size."""
+    return codeops.code_lang_id(_t(spark, sf_dir, "documents"))
+
+
+def _sql_code_lang_id() -> str:
+    langs = sorted(codeops.CODE_LANG_SIGNALS)
+    scores = ",\n         ".join(
+        "CAST("
+        + " + ".join(
+            f"(CASE WHEN regexp_matches(text, '{pat}') THEN {w} ELSE 0 END)"
+            for pat, w in codeops.CODE_LANG_SIGNALS[lang]
+        )
+        + f" AS INT) AS score_{lang}"
+        for lang in langs
+    )
+    best = "greatest(" + ", ".join(f"score_{lang}" for lang in langs) + ")"
+    pick = "\n            ".join(
+        f"WHEN score_{lang} = best THEN '{lang}'" for lang in langs
+    )
+    cols = ", ".join(f"score_{lang}" for lang in langs)
+    return f"""
+WITH s AS (
+  SELECT doc_id,
+         {scores}
+  FROM documents),
+m AS (SELECT *, {best} AS best FROM s)
+SELECT doc_id, {cols},
+       CAST(best AS INT) AS lang_score,
+       CASE WHEN best < 2 THEN 'unknown'
+            {pick}
+       END AS lang_guess
+FROM m
+"""
+
+
+def q_license_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The license admission gate per document: SPDX tag extraction
+    (empty string = no tag, both engines' no-match convention),
+    phrase-level permissive/copyleft detection, and the Stack-style
+    keep verdict (exclude copyleft, admit the rest). Map-only."""
+    return codeops.license_flags(_t(spark, sf_dir, "documents"))
+
+
+def _sql_license_gate() -> str:
+    spdx_in = ", ".join(f"'{s}'" for s in codeops.PERMISSIVE_SPDX)
+    return f"""
+WITH x AS (
+  SELECT doc_id,
+         regexp_extract(text, '{codeops.SPDX_TAG_RE}', 1) AS spdx_id,
+         regexp_matches(text, '{codeops.COPYLEFT_PHRASE_RE}') AS ph_cl,
+         regexp_matches(text, '{codeops.PERMISSIVE_PHRASE_RE}') AS ph_pm,
+         regexp_matches(text, '{codeops.COPYRIGHT_RE}') AS copyr
+  FROM documents),
+y AS (
+  SELECT doc_id, spdx_id, ph_pm, copyr,
+         (ph_cl OR regexp_matches(spdx_id, '{codeops.COPYLEFT_SPDX_RE}'))
+           AS cl
+  FROM x)
+SELECT doc_id, spdx_id,
+       CAST(CASE WHEN (ph_pm OR spdx_id IN ({spdx_in})) AND NOT cl
+                 THEN 1 ELSE 0 END AS INT) AS is_permissive,
+       CAST(cl AS INT) AS is_copyleft,
+       CAST(copyr AS INT) AS has_copyright,
+       CAST(NOT cl AS INT) AS keep
+FROM y
+"""
+
+
+def q_code_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The published code-quality screens (longest line, mean line
+    length, alphanumeric fraction, autogen marker, base64/hex blob
+    run), integer cross-multiplied so every flag is hash-exact; the
+    raw counters ride along so each verdict is auditable. Map-only."""
+    return codeops.code_quality_flags(_t(spark, sf_dir, "documents"))
+
+
+# NOT an f-string: the blob regex carries a {128,} quantifier.
+SQL_CODE_QUALITY = (
+    """
+WITH x AS (
+  SELECT doc_id,
+         CAST(length(string_split(text, chr(10))) AS BIGINT) AS n_lines,
+         CAST(list_max(list_transform(string_split(text, chr(10)),
+                                      s -> length(s))) AS BIGINT)
+           AS max_line_chars,
+         CAST(length(text) AS BIGINT) AS n_chars,
+         CAST(length(regexp_replace(text, '[^A-Za-z0-9]', '', 'g'))
+              AS BIGINT) AS n_alnum,
+         regexp_matches(text, '"""
+    + codeops.AUTOGEN_RE
+    + """') AS autogen,
+         regexp_matches(text, '"""
+    + codeops.BLOB_RUN_RE
+    + """') AS blob
+  FROM documents)
+SELECT doc_id, n_lines, max_line_chars, n_chars, n_alnum,
+       CAST(max_line_chars <= 1000 AS INT) AS f_max_line,
+       CAST(n_chars - (n_lines - 1) <= 100 * n_lines AS INT) AS f_mean_line,
+       CAST(4 * n_alnum >= n_chars AS INT) AS f_alnum,
+       CAST(autogen AS INT) AS f_autogen,
+       CAST(blob AS INT) AS f_blob,
+       CAST(max_line_chars <= 1000
+            AND n_chars - (n_lines - 1) <= 100 * n_lines
+            AND 4 * n_alnum >= n_chars
+            AND NOT autogen AND NOT blob AS INT) AS keep
+FROM x
+"""
+)
+
+
+def q_fim_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic fill-in-the-middle (PSM form): md5-derived cut
+    points (pure row property — the hash-sample discipline, so any
+    retry/speculative re-run reproduces the identical split) and the
+    rendered <PRE>prefix<SUF>suffix<MID>middle STRING under the hash,
+    which pins the cut algebra, the char-based substring semantics,
+    and the reassembly order cross-engine. Map-only."""
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") % 3 == 0)
+    return codeops.fim_split(docs)
+
+
+SQL_FIM_SPLIT = """
+WITH d AS (SELECT doc_id, text, CAST(length(text) AS BIGINT) AS n
+           FROM documents WHERE doc_id % 3 = 0),
+c AS (
+  SELECT doc_id, text, n,
+         CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR) || ':7:a'),
+                                  1, 15)) AS BIGINT) % (n + 1) AS ha,
+         CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR) || ':7:b'),
+                                  1, 15)) AS BIGINT) % (n + 1) AS hb
+  FROM d)
+SELECT doc_id, n AS n_chars,
+       least(ha, hb) AS cut_lo,
+       greatest(ha, hb) AS cut_hi,
+       concat('<PRE>', substr(text, 1, least(ha, hb)),
+              '<SUF>', substr(text, greatest(ha, hb) + 1, n - greatest(ha, hb)),
+              '<MID>', substr(text, least(ha, hb) + 1,
+                              greatest(ha, hb) - least(ha, hb))) AS fim_text
+FROM c
+"""
+
+
+def q_ann_index_health(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The index-lifecycle ops report over q228's persisted index:
+    per-cell occupancy (counted from the partition column alone — no
+    vector bytes move), EMPTY cells surfaced via the centroid sidecar,
+    hot/cold flags integer cross-multiplied against the corpus total.
+    The SQL twin replays the assignment rule from raw embeddings
+    (q228's algebra) and derives the same flags, so the persisted
+    layout, the sidecar join, and the threshold algebra are all under
+    one hash. Completes the family: build (q228) -> append (q230) ->
+    serve (q229/q233) -> gate (q236) -> WATCH (this)."""
+    from sstable_migrator_spark.operators.simsearch import ann_index_health
+
+    path = _ensure_ann_index(spark, sf_dir)
+    return ann_index_health(spark, path)
+
+
+SQL_ANN_INDEX_HEALTH = f"""
+WITH c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+cent AS (SELECT vec_id AS cell_id, CAST(embedding AS DOUBLE[]) AS cv
+         FROM embeddings WHERE vec_id % 20 = 0 AND vec_id < 160),
+assign AS (
+  SELECT vec_id, cell_id FROM (
+    SELECT c.vec_id, cent.cell_id,
+           row_number() OVER (PARTITION BY c.vec_id
+                              ORDER BY {_SQL_COS.format(a='c.v', b='cent.cv')} DESC,
+                                       cent.cell_id ASC) AS rn
+    FROM c CROSS JOIN cent) WHERE rn = 1),
+counts AS (SELECT cell_id, CAST(count(*) AS BIGINT) AS n_vecs
+           FROM assign GROUP BY 1),
+per AS (
+  SELECT CAST(cent.cell_id AS INT) AS cell,
+         CAST(COALESCE(counts.n_vecs, 0) AS BIGINT) AS n_vecs
+  FROM cent LEFT JOIN counts ON counts.cell_id = cent.cell_id),
+tot AS (SELECT CAST(sum(n_vecs) AS BIGINT) AS total FROM per)
+SELECT per.cell, per.n_vecs, tot.total,
+       CAST(8 * per.n_vecs > 2 * tot.total AS INT) AS overloaded,
+       CAST(2 * 8 * per.n_vecs < tot.total AS INT) AS underloaded
+FROM per, tot
+"""
+
+
+QUERIES.update(
+    {
+        "q237_code_lang_id": q_code_lang_id,
+        "q238_license_gate": q_license_gate,
+        "q239_code_quality": q_code_quality,
+        "q240_fim_split": q_fim_split,
+        "q241_ann_index_health": q_ann_index_health,
+    }
+)
+
+ORACLES.update(
+    {
+        "q237_code_lang_id": _sql_code_lang_id(),
+        "q238_license_gate": _sql_license_gate(),
+        "q239_code_quality": SQL_CODE_QUALITY,
+        "q240_fim_split": SQL_FIM_SPLIT,
+        "q241_ann_index_health": SQL_ANN_INDEX_HEALTH,
+    }
+)
+
+
+# ---------------------------------------------------------------------------
 # Driver-sample ordering.
 #
 # The round driver's correctness gate checks only the FIRST ~50 catalog
@@ -12973,7 +13196,15 @@ _DRIVER_PRIORITY: list[str] = [
     # evidence is now all REAL decode — q157 (PNG pixels), q161 (WAV
     # samples), q162 (GIF frames), q168 (JPEG + AVI/MJPEG goldens)
     "q168_jpeg_avi_codec",
-    "q157_image_pixel_stats",
+    # q157_image_pixel_stats rotated to local-harness coverage in
+    # round 10 (the real-decode codec family keeps in-head driver
+    # evidence via q168's JPEG + AVI/MJPEG goldens, which subsume the
+    # image-decode path); the slot carries content-based programming-
+    # language ID — the CODE-corpus curation family's first
+    # oracle-gated member (its license/quality/FIM siblings q238-q240
+    # are local-harness): the weighted signal table, the regex
+    # dialect, and the argmax tie algebra all under one hash
+    "q237_code_lang_id",
     # q57_ann_ivf rotated to local-harness coverage in round 4 (the ANN
     # family keeps in-head driver evidence via q55/q164/q165); the slot
     # carries the Count-Min sketch — the frequency member of the

@@ -858,3 +858,74 @@ def test_dedup_against_index(spark, tmp_path):
         for r in dedup_against_index(new, path, threshold=0.999, n_probe=2).collect()
     }
     assert wide[102]["dup_of"] is not None and wide[102]["is_dup"] == 0
+
+
+def test_ann_index_health(spark, tmp_path):
+    """The occupancy report: counts match a numpy replay of the
+    assignment, a skew-planted append flags the hot cell, a cell no
+    vector lands in surfaces as an (n_vecs=0, underloaded) row, and a
+    sidecar-less directory is refused loudly."""
+    import pytest
+
+    from sstable_migrator_spark.operators.simsearch import (
+        ann_index_health,
+        append_ann_index,
+        write_ann_index,
+    )
+
+    # four tight clusters on orthogonal axes e0..e3 (noise confined to
+    # dims 0-3) plus a 5th centroid on e4: every vector's dot with e4
+    # is exactly 0 while its own axis dot is ~1, so cell 4 is empty BY
+    # GEOMETRY, not by a float tie (BLAS matmul breaks bitwise ties
+    # unpredictably across batch shapes)
+    rng = np.random.default_rng(5)
+    eye = np.eye(8)
+    vecs = np.array(
+        [
+            eye[i % 4] + np.pad(rng.normal(scale=0.05, size=4), (0, 4))
+            for i in range(40)
+        ]
+    )
+    corpus = spark.createDataFrame(
+        [(i, vecs[i].tolist()) for i in range(40)],
+        "vec_id long, embedding array<double>",
+    )
+    cents = [(i, eye[i].tolist()) for i in range(5)]
+    path = str(tmp_path / "annidx")
+    write_ann_index(corpus, path, cents)
+
+    # skew: 120 copies of vector 0 land in vector-0's cell
+    hot = spark.createDataFrame(
+        [(1000 + i, vecs[0].tolist()) for i in range(120)],
+        "vec_id long, embedding array<double>",
+    )
+    append_ann_index(hot, path)
+
+    rep = {r["cell"]: r for r in ann_index_health(spark, path).collect()}
+    assert len(rep) == 5 and all(r["total"] == 160 for r in rep.values())
+    assert sum(r["n_vecs"] for r in rep.values()) == 160
+
+    # replay of the assignment rule with the kernel's EXACT arithmetic
+    # (host-side per-element centroid normalization, query norm left
+    # alone, ties -> first/lowest cell id) over corpus + append
+    import math
+
+    cmat = np.array(
+        [
+            [x / (math.sqrt(sum(y * y for y in cv)) or 1.0) for x in cv]
+            for _, cv in sorted(cents)
+        ],
+        dtype="float64",
+    ).T
+    allv = np.vstack([vecs, np.tile(vecs[0], (120, 1))])
+    want = np.bincount(np.argmax(allv @ cmat, axis=1), minlength=5)
+    for c in range(5):
+        assert rep[c]["n_vecs"] == int(want[c]), (c, dict(rep[c].asDict()))
+
+    hot_cell = int(np.argmax(allv[0] @ cmat))
+    assert rep[hot_cell]["overloaded"] == 1  # 5*n > 2*160 needs n > 64
+    assert rep[4]["n_vecs"] == 0 and rep[4]["underloaded"] == 1
+    assert rep[hot_cell]["underloaded"] == 0
+
+    with pytest.raises(FileNotFoundError, match="_params.json"):
+        ann_index_health(spark, str(tmp_path / "nothing"))
