@@ -27,11 +27,15 @@ from DNS names to crawl targets.
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 __all__ = [
     "crawl_delays",
+    "parse_sitemap_body",
+    "parse_sitemaps",
     "crawl_schedule",
     "parse_robots",
     "parse_robots_body",
@@ -276,3 +280,94 @@ def crawl_schedule(
     return ranked.withColumn(
         "fetch_offset_ms", (F.col("fetch_seq") * delay).cast("long")
     ).select("url", "host", "fetch_seq", "fetch_offset_ms")
+
+
+# sitemaps.org protocol (public spec): a flat, fixed element set —
+# <urlset><url><loc/lastmod/changefreq/priority></url></urlset> for
+# page lists, <sitemapindex><sitemap><loc/lastmod></sitemap></...> for
+# index files pointing at child sitemaps. Regex tag extraction is the
+# right dependency-free tool for that grammar (no nesting, no
+# attributes that matter); gzip transport (.xml.gz) is the FETCH
+# layer's job (sources/readers handles gzip bodies), the parser sees
+# text.
+_SM_URL_BLOCK = re.compile(r"<url\s*>(.*?)</url\s*>", re.S)
+_SM_IDX_BLOCK = re.compile(r"<sitemap\s*>(.*?)</sitemap\s*>", re.S)
+_SM_FIELDS = {
+    k: re.compile(rf"<{k}\s*>\s*(.*?)\s*</{k}\s*>", re.S)
+    for k in ("loc", "lastmod", "changefreq", "priority")
+}
+_XML_ENTITIES = [
+    ("&lt;", "<"), ("&gt;", ">"), ("&quot;", '"'),
+    ("&apos;", "'"), ("&amp;", "&"),  # &amp; LAST: double-escapes stay
+]
+
+
+def _xml_unescape(s: str) -> str:
+    for ent, ch in _XML_ENTITIES:
+        s = s.replace(ent, ch)
+    return s
+
+
+def parse_sitemap_body(body: str, sitemap_url: str = "") -> list[dict]:
+    """Sitemap XML text -> entry rows ``{sitemap_url, loc, lastmod,
+    changefreq, priority, is_index}``. ``<urlset>`` page entries carry
+    ``is_index=0`` and the four per-URL fields (priority parsed to
+    float, None when absent/malformed — never a silent default);
+    ``<sitemapindex>`` child-sitemap entries carry ``is_index=1``.
+    ``loc`` is XML-entity-decoded (query URLs are `&amp;`-escaped per
+    the spec); entries without a ``loc`` are protocol violations and
+    drop. Both block kinds are extracted so a mixed/malformed file
+    degrades to whatever well-formed entries it contains."""
+    out: list[dict] = []
+    for is_index, block_re in ((0, _SM_URL_BLOCK), (1, _SM_IDX_BLOCK)):
+        for block in block_re.findall(body or ""):
+            m = _SM_FIELDS["loc"].search(block)
+            if not m or not m.group(1):
+                continue
+            row = {
+                "sitemap_url": sitemap_url,
+                "loc": _xml_unescape(m.group(1)),
+                "lastmod": None,
+                "changefreq": None,
+                "priority": None,
+                "is_index": is_index,
+            }
+            for k in ("lastmod", "changefreq"):
+                fm = _SM_FIELDS[k].search(block)
+                if fm and fm.group(1):
+                    row[k] = fm.group(1)
+            pm = _SM_FIELDS["priority"].search(block)
+            if pm:
+                try:
+                    row["priority"] = float(pm.group(1))
+                except ValueError:
+                    pass
+            out.append(row)
+    return out
+
+
+def parse_sitemaps(
+    sitemaps: DataFrame, url_col: str = "sitemap_url", body_col: str = "body"
+) -> DataFrame:
+    """(sitemap_url, body) -> exploded sitemap entry rows; Arrow-
+    batched, map-only (the parse_robots shape — bodies are per-host
+    and bounded by the spec at 50k entries / 50 MB, so one body is
+    one kernel call and the billions-of-URLs scale lives in the
+    DataFrame downstream: dedup against the seen-set, robots gate,
+    politeness schedule)."""
+    import pandas as pd
+
+    schema = (
+        "sitemap_url string, loc string, lastmod string, "
+        "changefreq string, priority double, is_index int"
+    )
+
+    def op(batches):
+        for pdf in batches:
+            out = []
+            for u, b in zip(pdf[url_col], pdf[body_col]):
+                out.extend(parse_sitemap_body(b or "", str(u)))
+            if out:
+                yield pd.DataFrame(out)
+
+    return sitemaps.mapInPandas(op, schema)

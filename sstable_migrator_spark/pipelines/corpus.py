@@ -81,6 +81,8 @@ def build_training_corpus(
     rows_per_shard: int = 10000,
     parts: int | None = None,
     ledger_dir: str | None = None,
+    license_policy: str | None = None,
+    code_quality: bool = False,
 ) -> dict[str, int]:
     """Run the curation funnel and write chunk shards to ``out_dir``
     (``shard_format="parquet"``: partitioned by shard_id — the default
@@ -137,6 +139,18 @@ def build_training_corpus(
     8-byte id rows (plus re-running the map-only stage predicates), no
     text movement; the per-stage counts in the returned dict are the
     same table rolled up (test-pinned equal).
+
+    ``license_policy`` / ``code_quality``: the CODE-corpus gates
+    (operators/code.py — The Stack/StarCoder screens), run right after
+    C4 cleaning so every verdict reads the cleaned text:
+    ``license_policy="exclude_copyleft"`` (or ``"permissive_only"``)
+    drops by license; ``code_quality=True`` drops by the line-length/
+    alnum/autogen/blob screens. Both are map-only boolean predicates
+    (``license_keep`` / ``code_quality_keep``) fused into the same
+    projection stage as quality/lang — zero extra shuffles — and both
+    get first-drop ledger attribution (``license`` /
+    ``code_quality``) plus their own stage counts in the returned
+    dict, which admission_report pivots like every other gate.
     """
     if layout not in ("chunks", "sft"):
         raise ValueError(f"layout must be 'chunks' or 'sft', got {layout!r}")
@@ -146,10 +160,12 @@ def build_training_corpus(
             f"got {near_dup_policy!r}"
         )
     spark = docs.sparkSession
-    obs = {
-        k: Observation(k)
-        for k in ("input", "quality", "lang", "exact", "chunks")
-    }
+    obs_keys = ["input", "quality", "lang", "exact", "chunks"]
+    if license_policy is not None:
+        obs_keys.append("license")
+    if code_quality:
+        obs_keys.append("code_quality")
+    obs = {k: Observation(k) for k in obs_keys}
 
     staged = docs.observe(obs["input"], F.count(F.lit(1)).alias("n"))
     if unicode_form is not None:
@@ -175,6 +191,23 @@ def build_training_corpus(
                 staged.select("doc_id", *passthrough), "doc_id"
             )
         staged = cleaned
+    c4_stage = staged
+    if license_policy is not None:
+        # license gate first among the code screens: a copyleft file
+        # is out regardless of how clean it looks
+        from sstable_migrator_spark.operators.code import license_keep
+
+        staged = staged.filter(
+            license_keep(F.col("text"), policy=license_policy)
+        ).observe(obs["license"], F.count(F.lit(1)).alias("n"))
+    lic_stage = staged
+    if code_quality:
+        from sstable_migrator_spark.operators.code import code_quality_keep
+
+        staged = staged.filter(code_quality_keep(F.col("text"))).observe(
+            obs["code_quality"], F.count(F.lit(1)).alias("n")
+        )
+    cq_stage = staged
     q = staged.filter(quality_score(F.col("text")) >= quality_min).observe(
         obs["quality"], F.count(F.lit(1)).alias("n")
     )
@@ -234,15 +267,25 @@ def build_training_corpus(
 
         led = (
             docs.select("doc_id")
-            .join(_flag(staged, "_c4"), "doc_id", "left")
-            .join(_flag(q, "_q"), "doc_id", "left")
+            .join(_flag(c4_stage, "_c4"), "doc_id", "left")
+        )
+        stage = F.when(F.col("_c4").isNull(), F.lit("c4"))
+        if license_policy is not None:
+            led = led.join(_flag(lic_stage, "_lic"), "doc_id", "left")
+            stage = stage.when(F.col("_lic").isNull(), F.lit("license"))
+        if code_quality:
+            led = led.join(_flag(cq_stage, "_cq"), "doc_id", "left")
+            stage = stage.when(
+                F.col("_cq").isNull(), F.lit("code_quality")
+            )
+        led = (
+            led.join(_flag(q, "_q"), "doc_id", "left")
             .join(_flag(lg, "_lg"), "doc_id", "left")
             .join(_flag(exact, "_e"), "doc_id", "left")
             .join(F.broadcast(_flag(losers, "_n")), "doc_id", "left")
             .select(
                 "doc_id",
-                F.when(F.col("_c4").isNull(), F.lit("c4"))
-                .when(F.col("_q").isNull(), F.lit("quality"))
+                stage.when(F.col("_q").isNull(), F.lit("quality"))
                 .when(F.col("_lg").isNull(), F.lit("lang"))
                 .when(F.col("_e").isNull(), F.lit("exact_dup"))
                 .when(F.col("_n").isNotNull(), F.lit("near_dup"))

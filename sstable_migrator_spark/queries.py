@@ -12203,6 +12203,8 @@ tot AS (SELECT CAST(count(*) AS BIGINT) AS j_all,
         FROM led2)
 SELECT batch, judged, admitted, exact_dups, near_dup_hits, quality_rejects,
        CAST(0 AS BIGINT) AS c4_rejects, CAST(0 AS BIGINT) AS lang_rejects,
+       CAST(0 AS BIGINT) AS license_rejects,
+       CAST(0 AS BIGINT) AS code_quality_rejects,
        ppl_rejects, decon_rejects, rep_rejects,
        (admitted * j_all * 4 < judged * a_all * 3
         OR admitted * j_all * 4 > judged * a_all * 5) AS rate_drift
@@ -12697,7 +12699,9 @@ def q_funnel_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     same bare (doc_id, stage) parquet, and ``admission_report`` pivots
     it through ``_batch_ledger_as_admissions`` into the unified
     rollup — so the stage->gate mapping, the batch-only gate columns
-    (c4/lang), AND the shared drift rule are all under the hash. One
+    (c4/lang/license/code_quality — the code gates included since the
+    funnel grew license_policy/code_quality stages), AND the shared
+    drift rule are all under the hash. One
     report now covers streaming drains and batch funnels (the round-8
     'two ledgers, same ops question' unification)."""
     from sstable_migrator_spark.streaming.corpus_ingest import admission_report
@@ -12706,6 +12710,8 @@ def q_funnel_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     led = _t(spark, sf_dir, "documents").selectExpr(
         "doc_id",
         "CASE WHEN doc_id % 11 = 0 THEN 'c4' "
+        "WHEN doc_id % 19 = 5 THEN 'license' "
+        "WHEN doc_id % 23 = 6 THEN 'code_quality' "
         "WHEN doc_id % 7 = 1 THEN 'quality' "
         "WHEN doc_id % 13 = 2 THEN 'lang' "
         "WHEN doc_id % 10 = 3 THEN 'exact_dup' "
@@ -12720,6 +12726,8 @@ SQL_FUNNEL_REPORT = """
 WITH led AS (
   SELECT doc_id,
          CASE WHEN doc_id % 11 = 0 THEN 'c4'
+              WHEN doc_id % 19 = 5 THEN 'license'
+              WHEN doc_id % 23 = 6 THEN 'code_quality'
               WHEN doc_id % 7 = 1 THEN 'quality'
               WHEN doc_id % 13 = 2 THEN 'lang'
               WHEN doc_id % 10 = 3 THEN 'exact_dup'
@@ -12740,6 +12748,10 @@ SELECT CAST(0 AS INT) AS batch,
          AS c4_rejects,
        CAST(sum(CASE WHEN stage = 'lang' THEN 1 ELSE 0 END) AS BIGINT)
          AS lang_rejects,
+       CAST(sum(CASE WHEN stage = 'license' THEN 1 ELSE 0 END) AS BIGINT)
+         AS license_rejects,
+       CAST(sum(CASE WHEN stage = 'code_quality' THEN 1 ELSE 0 END)
+            AS BIGINT) AS code_quality_rejects,
        CAST(0 AS BIGINT) AS ppl_rejects,
        CAST(0 AS BIGINT) AS decon_rejects,
        CAST(0 AS BIGINT) AS rep_rejects,
@@ -13032,6 +13044,71 @@ FROM per, tot
 """
 
 
+def q_sitemap_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The sitemaps.org parser under the oracle: deterministic sitemap
+    XML is synthesized per document (two <url> entries each — one with
+    lastmod + an &amp;-escaped query loc + priority, one with only a
+    changefreq — so entity decoding, optional-field NULLs, and float
+    priority parse are all exercised), run through the REAL
+    parse_sitemaps kernel (Arrow-batched mapInPandas), and the parsed
+    rows are hash-gated against a SQL twin that derives the expected
+    entries directly from the base table. Map-only; at 100 TB one
+    sitemap body is one kernel call and the URL-scale work lives
+    downstream (seen-set dedup, robots gate, politeness schedule)."""
+    from sstable_migrator_spark.operators.crawl import parse_sitemaps
+
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") % 4 == 0)
+    sid = F.col("doc_id").cast("string")
+    day = F.lpad(((F.col("doc_id") % 28) + 1).cast("string"), 2, "0")
+    body = F.concat(
+        F.lit('<?xml version="1.0"?><urlset><url><loc>https://'),
+        F.col("source"), F.lit(".example.com/d"), sid,
+        F.lit("?a=1&amp;b=2</loc><lastmod>2024-01-"), day,
+        F.lit("</lastmod><priority>0."),
+        (F.col("doc_id") % 10).cast("string"),
+        F.lit("</priority></url><url><loc>https://"),
+        F.col("source"), F.lit(".example.com/p"), sid,
+        F.lit("</loc><changefreq>daily</changefreq></url></urlset>"),
+    )
+    sm = d.select(
+        F.concat(
+            F.lit("https://"), F.col("source"), F.lit(".example.com/sm"),
+            sid, F.lit(".xml"),
+        ).alias("sitemap_url"),
+        body.alias("body"),
+    )
+    return parse_sitemaps(sm)
+
+
+SQL_SITEMAP_EXTRACT = """
+WITH d AS (SELECT doc_id, source FROM documents WHERE doc_id % 4 = 0),
+base AS (
+  SELECT concat('https://', source, '.example.com/sm',
+                CAST(doc_id AS VARCHAR), '.xml') AS sitemap_url,
+         doc_id, source
+  FROM d)
+SELECT sitemap_url,
+       concat('https://', source, '.example.com/d',
+              CAST(doc_id AS VARCHAR), '?a=1&b=2') AS loc,
+       concat('2024-01-', lpad(CAST(doc_id % 28 + 1 AS VARCHAR), 2, '0'))
+         AS lastmod,
+       CAST(NULL AS VARCHAR) AS changefreq,
+       CAST(concat('0.', CAST(doc_id % 10 AS VARCHAR)) AS DOUBLE)
+         AS priority,
+       CAST(0 AS INT) AS is_index
+FROM base
+UNION ALL
+SELECT sitemap_url,
+       concat('https://', source, '.example.com/p',
+              CAST(doc_id AS VARCHAR)) AS loc,
+       CAST(NULL AS VARCHAR) AS lastmod,
+       'daily' AS changefreq,
+       CAST(NULL AS DOUBLE) AS priority,
+       CAST(0 AS INT) AS is_index
+FROM base
+"""
+
+
 QUERIES.update(
     {
         "q237_code_lang_id": q_code_lang_id,
@@ -13039,6 +13116,7 @@ QUERIES.update(
         "q239_code_quality": q_code_quality,
         "q240_fim_split": q_fim_split,
         "q241_ann_index_health": q_ann_index_health,
+        "q242_sitemap_extract": q_sitemap_extract,
     }
 )
 
@@ -13049,6 +13127,7 @@ ORACLES.update(
         "q239_code_quality": SQL_CODE_QUALITY,
         "q240_fim_split": SQL_FIM_SPLIT,
         "q241_ann_index_health": SQL_ANN_INDEX_HEALTH,
+        "q242_sitemap_extract": SQL_SITEMAP_EXTRACT,
     }
 )
 

@@ -407,14 +407,16 @@ def admit_documents_available_now(
 # decisions.select), PINNED for the report: schema inference would pay
 # an extra pass over the ledger and could type a short or degenerate
 # ledger loosely (e.g. an early all-reject wave). ``batch`` is the
-# partition column. ``c4_keep``/``lang_keep`` exist only in the BATCH
-# funnel's gate set — the JSON reader yields null for them on streaming
-# ledgers (old and new), and the report coalesces null to "gate not
-# run = pass", so one schema covers both funnels.
+# partition column. ``c4_keep``/``lang_keep``/``license_keep``/
+# ``code_quality_keep`` exist only in the BATCH funnel's gate set —
+# the JSON reader yields null for them on streaming ledgers (old and
+# new), and the report coalesces null to "gate not run = pass", so
+# one schema covers both funnels.
 _LEDGER_SCHEMA = (
     "doc_id long, exact_dup int, n_near_dups bigint, quality_keep int, "
     "ppl_keep int, decon_keep int, rep_keep int, c4_keep int, "
-    "lang_keep int, admitted int, batch int"
+    "lang_keep int, license_keep int, code_quality_keep int, "
+    "admitted int, batch int"
 )
 
 
@@ -439,6 +441,8 @@ def _batch_ledger_as_admissions(spark: SparkSession, ledger_path: str) -> DataFr
         "CAST(1 AS INT) AS rep_keep",
         "CAST(stage != 'c4' AS INT) AS c4_keep",
         "CAST(stage != 'lang' AS INT) AS lang_keep",
+        "CAST(stage != 'license' AS INT) AS license_keep",
+        "CAST(stage != 'code_quality' AS INT) AS code_quality_keep",
         "CAST(stage = 'kept' AS INT) AS admitted",
         "CAST(0 AS INT) AS batch",
     )
@@ -494,6 +498,12 @@ def admission_report(spark: SparkSession, corpus_path: str) -> DataFrame:
         F.sum((F.coalesce("lang_keep", F.lit(1)) == 0).cast("int")).alias(
             "lang_rejects"
         ),
+        F.sum(
+            (F.coalesce("license_keep", F.lit(1)) == 0).cast("int")
+        ).alias("license_rejects"),
+        F.sum(
+            (F.coalesce("code_quality_keep", F.lit(1)) == 0).cast("int")
+        ).alias("code_quality_rejects"),
     )
     totals = led.agg(
         F.count(F.lit(1)).alias("_j_all"), F.sum("admitted").alias("_a_all")
@@ -514,6 +524,8 @@ def admission_report(spark: SparkSession, corpus_path: str) -> DataFrame:
             "quality_rejects",
             "c4_rejects",
             "lang_rejects",
+            "license_rejects",
+            "code_quality_rejects",
             "ppl_rejects",
             "decon_rejects",
             "rep_rejects",

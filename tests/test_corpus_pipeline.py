@@ -1484,3 +1484,108 @@ def test_admission_report_reads_batch_funnel_ledger(spark, sf_dir, tmp_path):
 
     with pytest.raises(ValueError, match="_admissions"):
         admission_report(spark, str(tmp_path / "nowhere"))
+
+
+def test_funnel_code_gates(spark, sf_dir, tmp_path):
+    """license_policy= / code_quality=: the code gates drop their
+    planted violations with first-drop ledger attribution, the stage
+    counts land in the returned dict, and admission_report pivots the
+    new gates into its reject columns."""
+    from pyspark.sql import functions as F
+
+    from sstable_migrator_spark.streaming.corpus_ingest import admission_report
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    # newline-ify the prose: the CODE mean-line screen (<=100 chars)
+    # correctly rejects one-line prose documents, so the base corpus
+    # must look line-structured for the gates-pass path to be the norm
+    base = docs.limit(30).withColumn(
+        "text", F.regexp_replace("text", " ", "\n")
+    )
+    gpl = base.limit(1).select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.concat(
+            F.lit("Licensed under the GNU General Public License. "), "text"
+        ).alias("text"),
+        "lang", "source", "n_chars",
+    )
+    autogen = base.limit(1).select(
+        (F.col("doc_id") + 200000).alias("doc_id"),
+        F.concat(F.lit("// AUTO-GENERATED, DO NOT EDIT\n"), "text").alias(
+            "text"
+        ),
+        "lang", "source", "n_chars",
+    )
+    # violates BOTH gates -> must attribute to license (first drop)
+    both = base.limit(1).select(
+        (F.col("doc_id") + 300000).alias("doc_id"),
+        F.concat(
+            F.lit("GNU General Public License\n// auto-generated\n"), "text"
+        ).alias("text"),
+        "lang", "source", "n_chars",
+    )
+    corpus = base.unionByName(gpl).unionByName(autogen).unionByName(both)
+
+    out = str(tmp_path / "shards")
+    led_dir = str(tmp_path / "ledger")
+    counts = build_training_corpus(
+        corpus,
+        out,
+        quality_min=0.0,
+        shard_tokens=500,
+        license_policy="exclude_copyleft",
+        code_quality=True,
+        ledger_dir=led_dir,
+    )
+    assert counts["input"] == 33
+    assert counts["input"] - counts["license"] == 2  # gpl + both
+    assert counts["license"] - counts["code_quality"] == 1  # autogen
+
+    led = spark.read.parquet(led_dir)
+    verdicts = {r["doc_id"]: r["stage"] for r in led.collect()}
+    first = base.first()["doc_id"]
+    assert verdicts[100000 + first] == "license"
+    assert verdicts[300000 + first] == "license"  # first drop wins
+    assert verdicts[200000 + first] == "code_quality"
+
+    rep = admission_report(spark, led_dir).collect()[0]
+    assert rep["license_rejects"] == 2
+    assert rep["code_quality_rejects"] == 1
+    assert rep["judged"] == 33
+
+    # gates off -> no stage rows, no counts keys (unchanged behavior)
+    counts2 = build_training_corpus(
+        base, str(tmp_path / "shards2"), quality_min=0.0, shard_tokens=500,
+        ledger_dir=str(tmp_path / "ledger2"),
+    )
+    assert "license" not in counts2 and "code_quality" not in counts2
+    led2 = spark.read.parquet(str(tmp_path / "ledger2"))
+    stages2 = {r["stage"] for r in led2.select("stage").distinct().collect()}
+    assert "license" not in stages2 and "code_quality" not in stages2
+
+
+def test_funnel_permissive_only_policy(spark, tmp_path):
+    """license_policy='permissive_only' admits ONLY positively-
+    identified permissive docs."""
+    from pyspark.sql import functions as F  # noqa: F401
+
+    rows = [
+        (1, "SPDX-License-Identifier: MIT\nthe quick brown fox " * 3, "en", "s", 10),
+        (2, "plain unlicensed text the quick brown fox " * 3, "en", "s", 10),
+        (3, "GNU General Public License " + "the quick brown fox " * 3, "en", "s", 10),
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    counts = build_training_corpus(
+        docs, str(tmp_path / "out"), quality_min=0.0, shard_tokens=500,
+        license_policy="permissive_only",
+    )
+    assert counts["input"] == 3 and counts["license"] == 1
+
+    import pytest
+
+    with pytest.raises(ValueError, match="policy"):
+        build_training_corpus(
+            docs, str(tmp_path / "out2"), license_policy="nope"
+        )

@@ -239,3 +239,88 @@ def test_crawl_schedule_host_delay_override(spark):
     rows = {(r["host"], r["fetch_seq"]): r["fetch_offset_ms"] for r in plan.collect()}
     assert rows[("slow.com", 2)] == 10_000
     assert rows[("fast.com", 2)] == 2_000
+
+
+SITEMAP = """<?xml version="1.0" encoding="UTF-8"?>
+<urlset xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">
+  <url>
+    <loc>https://example.com/public/a?p=1&amp;q=2</loc>
+    <lastmod>2024-03-04</lastmod>
+    <changefreq>daily</changefreq>
+    <priority>0.8</priority>
+  </url>
+  <url><loc>https://example.com/private/doc</loc></url>
+  <url><lastmod>2024-01-01</lastmod></url>
+  <url><loc>https://example.com/b</loc><priority>broken</priority></url>
+</urlset>"""
+
+SITEMAP_INDEX = """<sitemapindex>
+  <sitemap><loc>https://example.com/s1.xml.gz</loc>
+           <lastmod>2024-02-03</lastmod></sitemap>
+  <sitemap><loc>https://example.com/s2.xml</loc></sitemap>
+</sitemapindex>"""
+
+
+def test_parse_sitemap_body_grammar():
+    from sstable_migrator_spark.operators.crawl import parse_sitemap_body
+
+    rows = parse_sitemap_body(SITEMAP, "https://example.com/sitemap.xml")
+    assert len(rows) == 3  # the loc-less entry drops (protocol violation)
+    assert rows[0]["loc"] == "https://example.com/public/a?p=1&q=2"  # decoded
+    assert rows[0]["lastmod"] == "2024-03-04"
+    assert rows[0]["changefreq"] == "daily"
+    assert rows[0]["priority"] == 0.8
+    assert rows[1] == {
+        "sitemap_url": "https://example.com/sitemap.xml",
+        "loc": "https://example.com/private/doc",
+        "lastmod": None, "changefreq": None, "priority": None, "is_index": 0,
+    }
+    assert rows[2]["priority"] is None  # malformed float -> None, not 0
+
+    idx = parse_sitemap_body(SITEMAP_INDEX, "root")
+    assert [r["loc"] for r in idx] == [
+        "https://example.com/s1.xml.gz", "https://example.com/s2.xml",
+    ]
+    assert all(r["is_index"] == 1 for r in idx)
+    assert idx[0]["lastmod"] == "2024-02-03" and idx[1]["lastmod"] is None
+
+    assert parse_sitemap_body("", "x") == []
+    assert parse_sitemap_body("<html>not a sitemap</html>", "x") == []
+
+
+def test_sitemap_to_fetch_plan_composition(spark):
+    """The acquisition chain: sitemap XML -> parse_sitemaps ->
+    robots_allowed gate -> crawl_schedule politeness slots. The
+    disallowed URL never reaches the plan; the rest slot per host."""
+    from sstable_migrator_spark.operators.crawl import (
+        crawl_schedule,
+        parse_sitemaps,
+    )
+
+    sm = spark.createDataFrame(
+        [("https://example.com/sitemap.xml", SITEMAP)],
+        "sitemap_url string, body string",
+    )
+    entries = parse_sitemaps(sm)
+    assert entries.count() == 3
+
+    rules = parse_robots(
+        spark.createDataFrame(
+            [("example.com", ROBOTS)], "host string, body string"
+        )
+    )
+    candidates = entries.filter("is_index = 0").select(
+        F.col("loc").alias("url")
+    )
+    allowed = robots_allowed(candidates, rules, agent="*").filter(
+        "allowed = 1"
+    )
+    got = sorted(r["url"] for r in allowed.collect())
+    assert got == [
+        "https://example.com/b",
+        "https://example.com/public/a?p=1&q=2",
+    ]  # /private/doc gated out by robots
+
+    plan = crawl_schedule(allowed.select("url"), crawl_delay_ms=500).collect()
+    assert len(plan) == 2
+    assert sorted(r["fetch_offset_ms"] for r in plan) == [0, 500]
