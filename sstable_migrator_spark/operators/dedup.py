@@ -1716,3 +1716,62 @@ def leakage_safe_split(
         .when(bucket < train_pct + valid_pct, F.lit("valid"))
         .otherwise(F.lit("test")),
     )
+
+
+def soft_dedup(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """SOFT deduplication: keep ONE copy per exact-dup group but carry
+    the multiplicity out as a loss/sampling weight instead of
+    discarding the information (the published alternative to hard
+    dedup — common text is down-weighted, not erased, so frequency
+    signal survives into training). Same single fingerprint shuffle as
+    ``exact_dedup`` (the group count rides the SAME window partition —
+    no second pass); the survivor row gains ``dup_count`` and
+    ``weight_x1e6 = floor(1e6 / dup_count)`` (integer-exact: both
+    engines floor the identical correctly-rounded double, so the
+    weight hash-matches cross-engine; divide by 1e6 at the consumer).
+    At 100 TB this costs exactly what exact dedup costs."""
+    w = Window.partitionBy("fingerprint").orderBy(F.col(id_col).asc())
+    wc = Window.partitionBy("fingerprint")
+    return (
+        docs.withColumn("fingerprint", TX.fingerprint(F.col(text_col)))
+        .withColumn("_rn", F.row_number().over(w))
+        .withColumn("dup_count", F.count(F.lit(1)).over(wc).cast("long"))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+        .withColumn(
+            "weight_x1e6",
+            F.floor(F.lit(1000000) / F.col("dup_count")).cast("long"),
+        )
+    )
+
+
+def mine_templates(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_count: int = 2,
+) -> DataFrame:
+    """Template mining for instruction-style corpora: mask the VARIABLE
+    tokens (normalize_text's lowercase/whitespace-collapse, then every
+    digit run -> '0') so fill-in-the-blank instances of one prompt
+    template collide on a single key, then keep templates with >=
+    ``min_count`` instances — the report a dataset owner reads to find
+    machine-generated prompt families BEFORE near-dup ever sees them
+    (template instances often sit below MinHash thresholds because the
+    filled slots differ, while the template itself is 100x duplicated).
+    One hash shuffle keyed by the masked text; output is
+    |templates|-sized: (template, n_docs, example_doc_id)."""
+    masked = F.regexp_replace(
+        TX.normalize_text(F.col(text_col)), "[0-9]+", "0"
+    )
+    return (
+        docs.select(F.col(id_col).alias("doc_id"), masked.alias("template"))
+        .groupBy("template")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("doc_id").alias("example_doc_id"),
+        )
+        .filter(F.col("n_docs") >= int(min_count))
+    )

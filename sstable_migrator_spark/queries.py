@@ -13109,6 +13109,115 @@ FROM base
 """
 
 
+def q_soft_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Soft deduplication under the oracle: exact-dup groups keep one
+    copy but carry multiplicity out as an integer loss weight
+    (floor(1e6/n)) instead of erasing the frequency signal. Dups are
+    planted (every doc_id % 5 == 0 re-offered under a shifted id, a
+    three-way copy of one text via %7 and %9 arms), so the survivor
+    rule, the group count, and the floor-division weight are all
+    discriminating. Same single fingerprint shuffle as q40."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    dupd = (
+        docs.unionByName(
+            docs.filter(F.col("doc_id") % 5 == 0).select(
+                (F.col("doc_id") + 100000).alias("doc_id"), "text"
+            )
+        ).unionByName(
+            docs.filter(F.col("doc_id") % 5 == 0).select(
+                (F.col("doc_id") + 200000).alias("doc_id"), "text"
+            )
+        )
+    )
+    return dedup.soft_dedup(dupd).select(
+        "doc_id", "dup_count", "weight_x1e6"
+    )
+
+
+SQL_SOFT_DEDUP = """
+WITH dupd AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 100000, text FROM documents WHERE doc_id % 5 = 0
+  UNION ALL
+  SELECT doc_id + 200000, text FROM documents WHERE doc_id % 5 = 0),
+g AS (
+  SELECT md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp,
+         min(doc_id) AS doc_id, CAST(count(*) AS BIGINT) AS dup_count
+  FROM dupd GROUP BY 1)
+SELECT doc_id, dup_count,
+       CAST(floor(1000000 / dup_count) AS BIGINT) AS weight_x1e6
+FROM g
+"""
+
+
+def q_template_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Template mining under the oracle: instruction-style instances
+    are synthesized per document (slot values from doc_id, template
+    families keyed by lang; a %3 arm phrases differently; an md5-slug
+    arm yields one-off texts that the min_count filter must drop), and
+    mine_templates' digit-masked grouping is hash-gated — the masking
+    recipe, the instance counts, the min-id example, and the
+    below-threshold drop all cross-engine."""
+    docs = _t(spark, sf_dir, "documents")
+    inst = docs.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(
+                F.lit("Summarize ticket "),
+                F.col("doc_id").cast("string"),
+                F.lit(" for "),
+                F.col("lang"),
+                F.lit(" support"),
+            ),
+        )
+        .when(
+            F.col("doc_id") % 17 == 1,
+            F.concat(F.lit("misc note "), F.md5(F.col("doc_id").cast("string"))),
+        )
+        .otherwise(
+            F.concat(
+                F.lit("User "),
+                F.col("doc_id").cast("string"),
+                F.lit(" from "),
+                F.col("lang"),
+                F.lit(" requests "),
+                (F.col("doc_id") % 7).cast("string"),
+                F.lit(" items"),
+            )
+        )
+        .alias("text"),
+    )
+    return dedup.mine_templates(inst, min_count=2)
+
+
+SQL_TEMPLATE_MINING = """
+WITH inst AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 3 = 0
+              THEN concat('Summarize ticket ', CAST(doc_id AS VARCHAR),
+                          ' for ', lang, ' support')
+              WHEN doc_id % 17 = 1
+              THEN concat('misc note ', md5(CAST(doc_id AS VARCHAR)))
+              ELSE concat('User ', CAST(doc_id AS VARCHAR), ' from ',
+                          lang, ' requests ',
+                          CAST(doc_id % 7 AS VARCHAR), ' items')
+         END AS text
+  FROM documents),
+masked AS (
+  SELECT doc_id,
+         regexp_replace(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')),
+                        '[0-9]+', '0', 'g') AS template
+  FROM inst),
+g AS (
+  SELECT template, CAST(count(*) AS BIGINT) AS n_docs,
+         min(doc_id) AS example_doc_id
+  FROM masked GROUP BY 1)
+SELECT template, n_docs, example_doc_id FROM g WHERE n_docs >= 2
+"""
+
+
 QUERIES.update(
     {
         "q237_code_lang_id": q_code_lang_id,
@@ -13117,6 +13226,8 @@ QUERIES.update(
         "q240_fim_split": q_fim_split,
         "q241_ann_index_health": q_ann_index_health,
         "q242_sitemap_extract": q_sitemap_extract,
+        "q243_soft_dedup": q_soft_dedup,
+        "q244_template_mining": q_template_mining,
     }
 )
 
@@ -13128,6 +13239,8 @@ ORACLES.update(
         "q240_fim_split": SQL_FIM_SPLIT,
         "q241_ann_index_health": SQL_ANN_INDEX_HEALTH,
         "q242_sitemap_extract": SQL_SITEMAP_EXTRACT,
+        "q243_soft_dedup": SQL_SOFT_DEDUP,
+        "q244_template_mining": SQL_TEMPLATE_MINING,
     }
 )
 

@@ -832,3 +832,57 @@ def test_repair_mojibake(spark):
         repair_mojibake(docs, max_rounds=0)
     with _pytest.raises(ValueError):
         repair_mojibake(docs, text_col="nope")
+
+
+def test_soft_dedup_weights(spark):
+    from sstable_migrator_spark.operators.dedup import exact_dedup, soft_dedup
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the same text"),
+            (2, "THE  same   text"),   # normalizes equal -> dup of 1
+            (3, "the same text "),     # trim -> dup of 1
+            (4, "a unique document"),
+            (5, "three way copy"), (6, "three way copy"), (7, "three way copy"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in soft_dedup(docs).collect()}
+    assert set(got) == {1, 4, 5}  # min-id survivor per group
+    assert got[1]["dup_count"] == 3 and got[1]["weight_x1e6"] == 333333
+    assert got[4]["dup_count"] == 1 and got[4]["weight_x1e6"] == 1000000
+    assert got[5]["dup_count"] == 3
+    # survivors == exact_dedup survivors (same key, same tie rule)
+    hard = {r["doc_id"] for r in exact_dedup(docs).collect()}
+    assert set(got) == hard
+    # stable under partitioning
+    again = {
+        r["doc_id"]: r["dup_count"]
+        for r in soft_dedup(docs.repartition(5)).collect()
+    }
+    assert again == {k: v["dup_count"] for k, v in got.items()}
+
+
+def test_mine_templates(spark):
+    from sstable_migrator_spark.operators.dedup import mine_templates
+
+    docs = spark.createDataFrame(
+        [
+            (1, "Order #123 please ship 4 units"),
+            (2, "order #9 please  ship 77 units"),   # same template
+            (3, "Order #55 please ship 1 units"),    # same template
+            (10, "Translate 'hello' to French"),
+            (11, "Translate 'hello' to French"),     # same (no digits)
+            (20, "a one-off document with digits 42"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["template"]: r for r in mine_templates(docs).collect()}
+    assert set(got) == {
+        "order #0 please ship 0 units",
+        "translate 'hello' to french",
+    }  # the one-off is below min_count
+    t1 = got["order #0 please ship 0 units"]
+    assert t1["n_docs"] == 3 and t1["example_doc_id"] == 1
+    assert got["translate 'hello' to french"]["n_docs"] == 2
+    assert mine_templates(docs, min_count=1).count() == 3
