@@ -13218,6 +13218,44 @@ SELECT template, n_docs, example_doc_id FROM g WHERE n_docs >= 2
 """
 
 
+def q_span_corruption(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T5-style span corruption under the oracle (n_spans=2): the
+    sorted md5 cut points, the sentinel interleaving, and both
+    rendered STRINGS (input with <extra_id_k> holes, target with the
+    masked spans) are hash-gated against a SQL twin that re-derives
+    the cuts with list_sort and rebuilds both strings from substr
+    algebra — so the objective transform that feeds a trainer is
+    pinned cross-engine end to end. Map-only (q240's FIM sibling)."""
+    from sstable_migrator_spark.operators.objectives import span_corruption
+
+    return span_corruption(_t(spark, sf_dir, "documents"), n_spans=2)
+
+
+def _sql_span_corruption() -> str:
+    cut = (
+        "CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR) || ':7:c{i}'),"
+        " 1, 15)) AS BIGINT) % (n + 1)"
+    )
+    cuts = ", ".join(cut.format(i=i) for i in range(4))
+    return f"""
+WITH d AS (SELECT doc_id, text, CAST(length(text) AS BIGINT) AS n
+           FROM documents),
+c AS (SELECT doc_id, text, n, list_sort([{cuts}]) AS cuts FROM d)
+SELECT doc_id, n AS n_chars,
+       concat(substr(text, 1, cuts[1]),
+              '<extra_id_0>',
+              substr(text, cuts[2] + 1, cuts[3] - cuts[2]),
+              '<extra_id_1>',
+              substr(text, cuts[4] + 1, n - cuts[4])) AS input_text,
+       concat('<extra_id_0>',
+              substr(text, cuts[1] + 1, cuts[2] - cuts[1]),
+              '<extra_id_1>',
+              substr(text, cuts[3] + 1, cuts[4] - cuts[3]),
+              '<extra_id_2>') AS target_text
+FROM c
+"""
+
+
 QUERIES.update(
     {
         "q237_code_lang_id": q_code_lang_id,
@@ -13228,6 +13266,7 @@ QUERIES.update(
         "q242_sitemap_extract": q_sitemap_extract,
         "q243_soft_dedup": q_soft_dedup,
         "q244_template_mining": q_template_mining,
+        "q245_span_corruption": q_span_corruption,
     }
 )
 
@@ -13241,6 +13280,7 @@ ORACLES.update(
         "q242_sitemap_extract": SQL_SITEMAP_EXTRACT,
         "q243_soft_dedup": SQL_SOFT_DEDUP,
         "q244_template_mining": SQL_TEMPLATE_MINING,
+        "q245_span_corruption": _sql_span_corruption(),
     }
 )
 
