@@ -48,6 +48,7 @@ __all__ = [
     "bm25_topk_from_postings",
     "build_postings",
     "read_corpus_stats",
+    "rrf_fuse",
     "write_postings_index",
 ]
 
@@ -482,4 +483,61 @@ def bm25_topk_batch(
             "n_hit",
             F.col("rank").cast("int").alias("rank"),
         )
+    )
+
+
+def rrf_fuse(
+    rankings: list[DataFrame],
+    k: int = 60,
+    scale: int = 1_000_000_000,
+    query_col: str = "query_id",
+    doc_col: str = "doc_id",
+    rank_col: str = "rank",
+) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack et al. 2009) — the standard way
+    to combine heterogeneous retrievers (BM25 lexical + ANN dense is
+    the modern hybrid-search pair; both live in this module family):
+    each system contributes ``1/(k + rank)`` per (query, doc), summed
+    across systems, re-ranked. INTEGER form (the engine's discipline):
+    contributions are ``floor(scale / (k + rank))`` — exact,
+    order-free under aggregation for ANY number of systems (float
+    1/(k+r) sums are order-nondeterministic past two systems), and a
+    faithful RRF up to 1/scale quantization, which at scale=1e9 is far
+    below any rank-relevant gap (ranks 1..1000 -> contributions ~1e6
+    apart). Input rankings carry 1-BASED ranks with a deterministic
+    tie rule (the module's score-desc-id-asc convention); a doc absent
+    from a system simply contributes nothing — RRF's defined behavior.
+
+    Plan: union (map-only) -> one groupBy (query, doc) with map-side
+    partial aggregation -> one per-query window for the fused rank.
+    Both exchanges are keyed by query, so a 10^9-query batch spreads;
+    per-query candidate sets are topk-bounded by construction.
+    Returns (query_id, doc_id, rrf_x, n_systems, fused_rank)."""
+    from pyspark.sql import Window
+
+    if not rankings:
+        raise ValueError("need at least one ranking")
+    if k < 0 or scale <= 0:
+        raise ValueError(f"bad k={k} / scale={scale}")
+    tagged = None
+    for r in rankings:
+        cur = r.select(
+            F.col(query_col).alias("query_id"),
+            F.col(doc_col).alias("doc_id"),
+            F.floor(
+                F.lit(int(scale)) / (F.lit(int(k)) + F.col(rank_col))
+            )
+            .cast("long")
+            .alias("_s"),
+        )
+        tagged = cur if tagged is None else tagged.unionByName(cur)
+    fused = tagged.groupBy("query_id", "doc_id").agg(
+        F.sum("_s").alias("rrf_x"),
+        F.count(F.lit(1)).cast("int").alias("n_systems"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("rrf_x"), F.asc("doc_id")
+    )
+    return fused.withColumn(
+        "fused_rank", F.row_number().over(w).cast("int")
     )

@@ -13256,6 +13256,86 @@ FROM c
 """
 
 
+def q_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reciprocal-rank fusion under the oracle: two deterministic
+    retriever rankings are synthesized per query group (system A ranks
+    each query's documents by n_chars desc, system B by an md5 order —
+    disjoint orders with partial candidate overlap via different top-k
+    cuts, so single-system docs, two-system docs, and rank
+    disagreements all occur), and ``rrf_fuse``'s integer-floor
+    contribution sum + fused re-rank is hash-gated against an explicit
+    SQL re-derivation. The fusion algebra is the unit under test; the
+    real lexical/dense rankers it fuses are separately gated (q184
+    BM25, q229/q233 ANN) and composed in T:test_retrieval."""
+    from pyspark.sql import Window as W
+
+    from sstable_migrator_spark.operators.retrieval import rrf_fuse
+
+    d = _t(spark, sf_dir, "documents").select(
+        (F.col("doc_id") % 5).alias("query_id"), "doc_id", "n_chars",
+        F.md5(F.col("doc_id").cast("string")).alias("_h"),
+    )
+    ra = (
+        d.withColumn(
+            "rank",
+            F.row_number()
+            .over(
+                W.partitionBy("query_id").orderBy(
+                    F.desc("n_chars"), F.asc("doc_id")
+                )
+            )
+            .cast("long"),
+        )
+        .filter(F.col("rank") <= 15)
+        .select("query_id", "doc_id", "rank")
+    )
+    rb = (
+        d.withColumn(
+            "rank",
+            F.row_number()
+            .over(W.partitionBy("query_id").orderBy(F.asc("_h")))
+            .cast("long"),
+        )
+        .filter(F.col("rank") <= 10)
+        .select("query_id", "doc_id", "rank")
+    )
+    return rrf_fuse([ra, rb])
+
+
+SQL_RRF_FUSION = """
+WITH d AS (
+  SELECT doc_id % 5 AS query_id, doc_id, n_chars,
+         md5(CAST(doc_id AS VARCHAR)) AS h
+  FROM documents),
+ra AS (
+  SELECT query_id, doc_id, rank FROM (
+    SELECT query_id, doc_id,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY n_chars DESC, doc_id ASC) AS rank
+    FROM d) WHERE rank <= 15),
+rb AS (
+  SELECT query_id, doc_id, rank FROM (
+    SELECT query_id, doc_id,
+           row_number() OVER (PARTITION BY query_id ORDER BY h ASC) AS rank
+    FROM d) WHERE rank <= 10),
+u AS (
+  SELECT query_id, doc_id,
+         CAST(floor(1000000000 / (60 + rank)) AS BIGINT) AS s FROM ra
+  UNION ALL
+  SELECT query_id, doc_id,
+         CAST(floor(1000000000 / (60 + rank)) AS BIGINT) AS s FROM rb),
+f AS (
+  SELECT query_id, doc_id, CAST(sum(s) AS BIGINT) AS rrf_x,
+         CAST(count(*) AS INT) AS n_systems
+  FROM u GROUP BY 1, 2)
+SELECT query_id, doc_id, rrf_x, n_systems,
+       CAST(row_number() OVER (PARTITION BY query_id
+                               ORDER BY rrf_x DESC, doc_id ASC) AS INT)
+         AS fused_rank
+FROM f
+"""
+
+
 QUERIES.update(
     {
         "q237_code_lang_id": q_code_lang_id,
@@ -13267,6 +13347,7 @@ QUERIES.update(
         "q243_soft_dedup": q_soft_dedup,
         "q244_template_mining": q_template_mining,
         "q245_span_corruption": q_span_corruption,
+        "q246_rrf_fusion": q_rrf_fusion,
     }
 )
 
@@ -13281,6 +13362,7 @@ ORACLES.update(
         "q243_soft_dedup": SQL_SOFT_DEDUP,
         "q244_template_mining": SQL_TEMPLATE_MINING,
         "q245_span_corruption": _sql_span_corruption(),
+        "q246_rrf_fusion": SQL_RRF_FUSION,
     }
 )
 

@@ -286,3 +286,87 @@ def test_rebuild_postings_stats_empty_index(spark, tmp_path):
     assert read_corpus_stats(spark, path) == {
         "n": 0, "t": 0, "n_buckets": 16,
     }
+
+
+def test_rrf_fuse_algebra(spark):
+    from sstable_migrator_spark.operators.retrieval import rrf_fuse
+
+    # two systems, one query: doc 10 ranked 1st by A and 3rd by B,
+    # doc 20 ranked 2nd by both, doc 30 only in A, doc 40 only in B
+    a = spark.createDataFrame(
+        [(1, 10, 1), (1, 20, 2), (1, 30, 3)],
+        "query_id long, doc_id long, rank long",
+    )
+    b = spark.createDataFrame(
+        [(1, 20, 2), (1, 40, 1), (1, 10, 3)],
+        "query_id long, doc_id long, rank long",
+    )
+    got = {r["doc_id"]: r for r in rrf_fuse([a, b]).collect()}
+    S = 1_000_000_000
+    assert got[10]["rrf_x"] == S // 61 + S // 63
+    assert got[20]["rrf_x"] == 2 * (S // 62)
+    assert got[30]["rrf_x"] == S // 63 and got[30]["n_systems"] == 1
+    assert got[40]["rrf_x"] == S // 61
+    # fused order: 10 (both, high) > 20 > 40 > 30
+    order = sorted(got.values(), key=lambda r: r["fused_rank"])
+    assert [r["doc_id"] for r in order] == [10, 20, 40, 30]
+    assert got[10]["n_systems"] == 2
+
+    # exact ties break by doc id: two singleton docs at the same rank
+    c = spark.createDataFrame(
+        [(2, 7, 1), (2, 5, 1)], "query_id long, doc_id long, rank long"
+    )
+    tied = {r["doc_id"]: r["fused_rank"] for r in rrf_fuse([c]).collect()}
+    assert tied == {5: 1, 7: 2}
+
+    import pytest
+
+    with pytest.raises(ValueError, match="ranking"):
+        rrf_fuse([])
+
+
+def test_rrf_hybrid_bm25_plus_dense(spark, sf_dir):
+    """The hybrid-search composition: BM25 lexical ranks + brute-force
+    dense ranks fused by RRF. A doc that both systems like outranks a
+    doc only one system likes at comparable ranks."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from sstable_migrator_spark.operators.retrieval import bm25_topk, rrf_fuse
+    from sstable_migrator_spark.operators.simsearch import brute_force_topk
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+    lex = (
+        bm25_topk(docs, ["the", "and"], topk=10)
+        .withColumn("query_id", F.lit(0).cast("long"))
+        .withColumn(
+            "rank",
+            F.row_number().over(
+                Window.partitionBy("query_id")
+                .orderBy(F.desc("score_q"), F.asc("doc_id"))
+            ).cast("long"),
+        )
+        .select("query_id", "doc_id", "rank")
+    )
+    qv = emb.filter(F.col("vec_id") == 5).select(
+        F.lit(0).cast("long").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
+    dense = brute_force_topk(emb, qv, k=10).select(
+        "query_id", F.col("neighbor_id").alias("doc_id"),
+        F.col("rank").cast("long").alias("rank"),
+    )
+    fused = rrf_fuse([lex, dense]).collect()
+    assert len(fused) >= 10
+    by_id = {r["doc_id"]: r for r in fused}
+    two_sys = [r for r in fused if r["n_systems"] == 2]
+    # every two-system doc outscores any single-system doc whose best
+    # rank is no better
+    for t in two_sys:
+        assert t["rrf_x"] > 1_000_000_000 // 61 // 2
+    # fused_rank is a permutation 1..N per query
+    ranks = sorted(r["fused_rank"] for r in fused)
+    assert ranks == list(range(1, len(fused) + 1))
+    assert by_id  # non-empty sanity
