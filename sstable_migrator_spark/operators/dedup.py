@@ -1775,3 +1775,98 @@ def mine_templates(
         )
         .filter(F.col("n_docs") >= int(min_count))
     )
+
+
+def dedup_threshold_sweep(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    band_pct: int = 10,
+    floor_pct: int = 10,
+    group_col: str | None = None,
+) -> DataFrame:
+    """The table that SETS ``jaccard_threshold`` — the near-dup twin of
+    the perplexity-gate calibration sweep (q231): per Jaccard band,
+    how many candidate pairs sit there and how many DOCUMENTS a dedup
+    run at that threshold would implicate, so the threshold is chosen
+    from a table instead of folklore.
+
+    Banding is all-integer: a pair's band is ``(100 * |A∩B|) div
+    |A∪B|`` floored to ``band_pct``-wide bands (no float Jaccard ever
+    exists, so the sweep hash-matches a SQL twin exactly). Pairs below
+    ``floor_pct`` are out of scope (uninteresting thresholds — and the
+    floor is what bounds the pair explosion, exactly like
+    ngram_jaccard_pairs' threshold). Per band the output reports:
+
+    - ``n_pairs``    — candidate pairs whose Jaccard lands in the band;
+    - ``n_docs_best``— docs whose BEST pair lands there (a doc counts
+      once, at its highest band);
+    - ``docs_touched`` — running sum of n_docs_best from the top band
+      down: the docs a dedup at threshold = band_lo would implicate.
+
+    Same candidate-generation contract as ``ngram_jaccard_pairs``:
+    without ``group_col`` the self-join is O(N^2) — the bounded
+    verification form; at scale pass the LSH bucket (or any blocking
+    key) as ``group_col`` so pairs stay within buckets. The cumulative
+    walk is an unpartitioned window over the ~(100/band_pct)-row band
+    rollup — bounded by construction, the q231 pattern. Output
+    <= 100/band_pct + 1 rows."""
+    if not (0 < band_pct <= 100) or 100 % band_pct:
+        raise ValueError(f"band_pct must divide 100, got {band_pct}")
+    grams = docs.select(
+        F.col(id_col),
+        *([F.col(group_col)] if group_col else []),
+        F.array_distinct(TX.shingles(F.col(text_col), n)).alias("grams"),
+    )
+    a, b = grams.alias("a"), grams.alias("b")
+    cond = F.col(f"a.{id_col}") < F.col(f"b.{id_col}")
+    if group_col:
+        cond = cond & (F.col(f"a.{group_col}") == F.col(f"b.{group_col}"))
+    inter = F.size(F.array_intersect(F.col("a.grams"), F.col("b.grams")))
+    union = F.size(F.array_union(F.col("a.grams"), F.col("b.grams")))
+    pairs = (
+        a.join(b, cond)
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            # shingles() never yields an empty set, so union >= 1
+            (100 * inter).cast("long").alias("_i100"),
+            union.cast("long").alias("_u"),
+        )
+        # integral DIV end to end (the float-`/`-never-touches-a-hashed-
+        # column discipline): band_lo = ((100*inter) div union
+        # div band_pct) * band_pct
+        .selectExpr(
+            "id_a",
+            "id_b",
+            f"CAST((_i100 div _u) div {band_pct} AS BIGINT) * {band_pct} "
+            "AS band_lo",
+        )
+    )
+    per_band_pairs = pairs.filter(F.col("band_lo") >= floor_pct).groupBy(
+        "band_lo"
+    ).agg(F.count(F.lit(1)).cast("long").alias("n_pairs"))
+    best = (
+        pairs.filter(F.col("band_lo") >= floor_pct)
+        .select(F.col("id_a").alias("doc"), "band_lo")
+        .unionByName(
+            pairs.filter(F.col("band_lo") >= floor_pct)
+            .select(F.col("id_b").alias("doc"), "band_lo")
+        )
+        .groupBy("doc")
+        .agg(F.max("band_lo").alias("band_lo"))
+        .groupBy("band_lo")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_docs_best"))
+    )
+    joined = per_band_pairs.join(best, "band_lo", "full_outer").select(
+        "band_lo",
+        F.coalesce("n_pairs", F.lit(0)).cast("long").alias("n_pairs"),
+        F.coalesce("n_docs_best", F.lit(0)).cast("long").alias("n_docs_best"),
+    )
+    w = Window.orderBy(F.col("band_lo").desc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return joined.withColumn(
+        "docs_touched", F.sum("n_docs_best").over(w).cast("long")
+    )

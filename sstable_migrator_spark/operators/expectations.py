@@ -135,3 +135,81 @@ def validate(df: DataFrame, rules: list[dict]) -> DataFrame:
     for p in parts[1:]:
         out = out.unionByName(p)
     return out
+
+
+def mixture_drift_report(
+    old: DataFrame,
+    new: DataFrame,
+    group_col: str,
+    weight_col: str | None = None,
+    tol_ppt: int = 50,
+) -> DataFrame:
+    """Training-MIXTURE drift between two corpus snapshots — the ops
+    dial for "did today's ingest shift what the model trains on":
+    per group (language, source, domain bucket) the old/new doc and
+    weight totals, both sides' shares in exact ppm, and an integer
+    cross-multiplied drift verdict. ``weight_col`` is the share unit
+    (token counts for a training mixture); None weighs by doc count.
+
+    Share algebra never divides: with old group weight ``a`` of total
+    ``A`` and new ``b`` of ``B``, the share delta |b/B - a/A| exceeds
+    ``tol_ppt`` thousandths iff ``|b*A - a*B| * 1000 > tol_ppt * A *
+    B`` — cross products ride DECIMAL(38,0) so a 100 TB token total
+    (~1e14) squared stays exact where BIGINT would overflow. Groups
+    only one side has are reported (``is_new`` / ``is_gone``) and
+    judged by the same rule (a vanished 6% slice IS drift).
+
+    Plan: one rollup per snapshot (map-side partial, |groups| rows
+    out), a full outer join of two bounded sides, totals via a
+    single-row broadcast cross (the scalar-cross discipline). Nothing
+    doc-sized moves; output is |groups| rows."""
+    wexp = (
+        F.lit(1).cast("long") if weight_col is None
+        else F.col(weight_col).cast("long")
+    )
+
+    def roll(df: DataFrame, side: str) -> DataFrame:
+        return df.groupBy(F.col(group_col).alias("grp")).agg(
+            F.count(F.lit(1)).cast("long").alias(f"{side}_docs"),
+            F.sum(wexp).cast("long").alias(f"{side}_w"),
+        )
+
+    j = (
+        roll(old, "old")
+        .join(roll(new, "new"), "grp", "full_outer")
+        .select(
+            "grp",
+            F.coalesce("old_docs", F.lit(0)).cast("long").alias("old_docs"),
+            F.coalesce("old_w", F.lit(0)).cast("long").alias("old_w"),
+            F.coalesce("new_docs", F.lit(0)).cast("long").alias("new_docs"),
+            F.coalesce("new_w", F.lit(0)).cast("long").alias("new_w"),
+            (F.col("old_docs").isNull()).cast("int").alias("is_new"),
+            (F.col("new_docs").isNull()).cast("int").alias("is_gone"),
+        )
+    )
+    totals = j.agg(
+        F.sum("old_w").cast("long").alias("tot_old"),
+        F.sum("new_w").cast("long").alias("tot_new"),
+    )
+    t = int(tol_ppt)
+    # exact ppm shares via integral DIV; drift via DECIMAL(38,0) cross
+    # products — |b*A - a*B|*1000 vs tol*A*B, never a float division
+    return j.crossJoin(F.broadcast(totals)).selectExpr(
+        "grp",
+        "old_docs",
+        "new_docs",
+        "old_w",
+        "new_w",
+        "CAST(CASE WHEN tot_old > 0 THEN "
+        "(1000000 * CAST(old_w AS DECIMAL(38,0))) div tot_old "
+        "ELSE 0 END AS BIGINT) AS old_share_x1e6",
+        "CAST(CASE WHEN tot_new > 0 THEN "
+        "(1000000 * CAST(new_w AS DECIMAL(38,0))) div tot_new "
+        "ELSE 0 END AS BIGINT) AS new_share_x1e6",
+        "is_new",
+        "is_gone",
+        "CAST(abs(CAST(new_w AS DECIMAL(38,0)) * tot_old"
+        "        - CAST(old_w AS DECIMAL(38,0)) * tot_new) * 1000"
+        f"     > CAST({t} AS DECIMAL(38,0)) * tot_old * tot_new "
+        "AS INT) AS drifted",
+    )

@@ -35,7 +35,12 @@ if TYPE_CHECKING:  # pyspark.ml is imported lazily: this module rides
     # should not tax every catalog/bench/driver start that never trains
     from pyspark.ml import PipelineModel
 
-__all__ = ["train_quality_classifier", "score_quality"]
+__all__ = [
+    "train_quality_classifier",
+    "score_quality",
+    "ranked_auc",
+    "calibration_report",
+]
 
 
 def train_quality_classifier(
@@ -200,4 +205,107 @@ def score_quality_frozen(
     )
     return df.withColumn(score_col, score).withColumn(
         keep_col, (F.col(score_col) > threshold).cast("int")
+    )
+
+
+def ranked_auc(
+    scored: DataFrame,
+    score_col: str = "q_score",
+    label_col: str = "label",
+) -> DataFrame:
+    """EXACT ROC-AUC of an integer score against a binary label — the
+    Mann-Whitney rank-sum form, all-integer so the result hash-matches
+    a SQL twin bit-for-bit (no trapezoid floats, no sampling): with
+    R+ = sum of the positives' mid-ranks under ascending score
+    (ties get the tie group's average rank), U = R+ - n_pos(n_pos+1)/2
+    and AUC = U / (n_pos * n_neg). Mid-ranks are half-integers, so the
+    algebra carries 2x everything: a tie group with c_before rows
+    below it and n rows contributes n_pos_in_group * (2*c_before +
+    n + 1) to 2*R+.
+
+    Plan: one keyed groupBy collapses the corpus to |distinct scores|
+    rows, then ``analytics.global_prefix_sum`` ranks those WITHOUT an
+    unpartitioned window (range partition + O(partitions) offsets),
+    then one single-row rollup. Nothing doc-sized crosses the driver.
+    Returns ONE row: (n_pos, n_neg, u2, auc_x1e6) where u2 = 2*U and
+    auc_x1e6 = floor(1e6 * u2 / (2 * n_pos * n_neg)). BIGINT algebra
+    overflows past ~3e9 rows (u2 ~ N^2); evaluate on a sampled slice
+    beyond that — an eval set, not the corpus, is the input here by
+    design."""
+    from sstable_migrator_spark.operators.analytics import global_prefix_sum
+
+    g = scored.groupBy(F.col(score_col).alias("_s")).agg(
+        F.count(F.lit(1)).cast("long").alias("_n"),
+        F.sum(F.col(label_col).cast("long")).alias("_np"),
+    )
+    ranked, _total = global_prefix_sum(g, ["_s"], "_n", out_col="_cum")
+    # _cum is INCLUSIVE; rows strictly below the tie group = _cum - _n
+    contrib = ranked.select(
+        (F.col("_np") * (2 * (F.col("_cum") - F.col("_n")) + F.col("_n") + 1))
+        .cast("long")
+        .alias("_r2"),
+        "_np",
+        "_n",
+    )
+    agg = contrib.agg(
+        F.sum("_np").cast("long").alias("n_pos"),
+        (F.sum("_n") - F.sum("_np")).cast("long").alias("n_neg"),
+        F.sum("_r2").cast("long").alias("_r2s"),
+    )
+    # integral DIV, never float `/`: a double quotient landing a hair
+    # above the true ratio would flip the floor boundary cross-engine
+    return agg.selectExpr(
+        "n_pos",
+        "n_neg",
+        "CAST(_r2s - n_pos * (n_pos + 1) AS BIGINT) AS u2",
+        "CAST(CASE WHEN n_pos > 0 AND n_neg > 0 THEN "
+        "(1000000 * (_r2s - n_pos * (n_pos + 1))) div "
+        "(2 * n_pos * n_neg) END AS BIGINT) AS auc_x1e6",
+    )
+
+
+def calibration_report(
+    scored: DataFrame,
+    score_col: str = "q_score",
+    label_col: str = "label",
+    bucket_width: int = 2000,
+) -> DataFrame:
+    """Reliability diagram over an integer-logit quality score — the
+    dial that answers "when the model says keep, how often is it
+    right": bucket the scaled logit into fixed-width bands, report per
+    band the doc count, observed positives, and the exact observed
+    rate (ppm, integer floor division), plus two MISCALIBRATION flags
+    by integer cross-multiplication: ``miscal_hi`` = a band whose
+    every score is positive (model: P > 0.5) where observed positives
+    fall under half; ``miscal_lo`` = the symmetric confident-negative
+    band over half. The band holding logit 0 is mixed by construction
+    and never flags.
+
+    Bucketing is floor division written as ``(s - pmod(s, w)) / w`` —
+    one cross-engine definition for negative logits (SQL integer ``/``
+    truncates toward zero, which would fold buckets -1 and 0
+    together). One keyed groupBy; output is |bands| rows (bounded by
+    the logit range / width, dozens in practice)."""
+    w = int(bucket_width)
+    if w <= 0:
+        raise ValueError(f"bucket_width must be positive, got {bucket_width}")
+    s = F.col(score_col).cast("long")
+    fd = ((s - ((s % w + w) % w)) / w).cast("long")
+    g = (
+        scored.select(fd.alias("bucket"), F.col(label_col).cast("long").alias("_l"))
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"),
+             F.sum("_l").cast("long").alias("n_pos"))
+    )
+    # integral DIV (not float `/`) for the observed rate: n_pos, n >= 0
+    # so truncation IS floor, and both engines' integer division agree
+    return g.selectExpr(
+        "bucket",
+        f"CAST(bucket * {w} AS BIGINT) AS score_lo",
+        "n",
+        "n_pos",
+        "CAST((1000000 * CAST(n_pos AS DECIMAL(38,0))) div n AS BIGINT) "
+        "AS pos_rate_x1e6",
+        "CAST(bucket >= 1 AND 2 * n_pos < n AS INT) AS miscal_hi",
+        "CAST(bucket <= -1 AND 2 * n_pos > n AS INT) AS miscal_lo",
     )

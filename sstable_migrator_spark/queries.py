@@ -13368,6 +13368,343 @@ ORACLES.update(
 
 
 # ---------------------------------------------------------------------------
+# Batch — filter-model EVALUATION family: exact ROC-AUC (Mann-Whitney,
+# all-integer), reliability/calibration report, and mixture drift between
+# corpus snapshots (operators/quality_model.py, operators/expectations.py)
+# ---------------------------------------------------------------------------
+
+# The "ground truth" the frozen q181 model is judged against: an
+# INDEPENDENT integer-exact English-naturalness predicate (>= 10 tokens
+# and stopwords >= 1/8 of them — integer cross-multiplied, no floats).
+# Judging a learned gate against a cheap rule is the standard corpus-ops
+# move when human labels don't exist at refresh cadence; the algebra is
+# what the oracle pins, not the rule's linguistics.
+_EVAL_SW = "('the','a','of','and','to','in','is','that','it','for')"
+
+
+def _eval_label() -> "F.Column":
+    from sstable_migrator_spark.functions import text as TX
+
+    tk = TX.tokens(F.col("text"))
+    hits = F.size(
+        F.filter(
+            F.transform(tk, F.lower),
+            lambda x: x.isin(*TX.DEFAULT_STOPWORDS),
+        )
+    )
+    n = F.size(tk)
+    return ((n >= 10) & (8 * hits >= n)).cast("int")
+
+
+def _eval_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sstable_migrator_spark.operators.quality_model import (
+        score_quality_frozen,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return score_quality_frozen(docs, _QM_WEIGHTS, _QM_BIAS).select(
+        "doc_id", "q_score", _eval_label().alias("label")
+    )
+
+
+# the scored-side CTE both twins share: q181's frozen-model SQL + the
+# integer label predicate
+_SQL_EVAL_SCORED = f"""
+WITH w AS (SELECT {_QM_WL} AS wl),
+toks AS (
+  SELECT doc_id,
+         CASE WHEN length(trim(lower(text))) = 0 THEN []
+              ELSE regexp_split_to_array(trim(lower(text)), '\\s+') END AS tk
+  FROM documents),
+scored AS (
+  SELECT doc_id,
+         CAST({_QM_BIAS} + COALESCE(list_sum(list_transform(
+           tk,
+           t -> wl[CAST(CAST(concat('0x', substr(md5('7|' || t), 1, 15))
+                        AS BIGINT) % 64 AS INT) + 1]
+         )), 0) AS BIGINT) AS q_score,
+         CAST(len(tk) >= 10
+              AND 8 * len(list_filter(tk, t -> t IN {_EVAL_SW}))
+                  >= len(tk) AS INT) AS label
+  FROM toks CROSS JOIN w)
+"""
+
+
+def q_quality_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT ROC-AUC of the frozen q181 quality model against the
+    independent integer naturalness judge — the number a data lead
+    watches before trusting a filter refresh. Mann-Whitney rank-sum
+    form, all-BIGINT (mid-ranks carried as 2x, ties exact), ranked by
+    ``analytics.global_prefix_sum`` so there is NO unpartitioned
+    window: one keyed groupBy to |distinct scores| rows, range
+    partition + O(partitions) offsets, one single-row rollup. The SQL
+    twin re-derives the score, the label, AND the tie-aware rank
+    algebra in-engine. One row out: (n_pos, n_neg, u2, auc_x1e6)."""
+    from sstable_migrator_spark.operators.quality_model import ranked_auc
+
+    return ranked_auc(_eval_scored(spark, sf_dir), "q_score", "label")
+
+
+SQL_QUALITY_AUC = (
+    _SQL_EVAL_SCORED
+    + """,
+g AS (
+  SELECT q_score AS s, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(label) AS BIGINT) AS np
+  FROM scored GROUP BY 1),
+r AS (
+  SELECT np, n,
+         CAST(COALESCE(sum(n) OVER (ORDER BY s
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              AS BIGINT) AS c
+  FROM g),
+t AS (
+  SELECT CAST(sum(np) AS BIGINT) AS n_pos,
+         CAST(sum(n) - sum(np) AS BIGINT) AS n_neg,
+         CAST(sum(np * (2 * c + n + 1)) AS BIGINT) AS r2s
+  FROM r)
+SELECT n_pos, n_neg,
+       CAST(r2s - n_pos * (n_pos + 1) AS BIGINT) AS u2,
+       CAST(CASE WHEN n_pos > 0 AND n_neg > 0 THEN
+              (1000000 * (r2s - n_pos * (n_pos + 1)))
+                // (2 * n_pos * n_neg) END AS BIGINT) AS auc_x1e6
+FROM t
+"""
+)
+
+
+def q_calibration_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reliability diagram over the frozen model's integer logits:
+    fixed-width score bands, per band the observed positive count and
+    exact ppm rate, and integer cross-multiplied miscalibration flags
+    (a confident-positive band observing under 50%, and the symmetric
+    confident-negative case). Floor-division bucketing is written as
+    ``(s - pmod(s, w)) / w`` so negative logits band identically in
+    both engines (SQL integer ``/`` truncates toward zero). One keyed
+    groupBy; |bands| rows out."""
+    from sstable_migrator_spark.operators.quality_model import (
+        calibration_report,
+    )
+
+    return calibration_report(
+        _eval_scored(spark, sf_dir), "q_score", "label", bucket_width=2000
+    )
+
+
+SQL_CALIBRATION_REPORT = (
+    _SQL_EVAL_SCORED
+    + """,
+b AS (
+  SELECT (q_score - ((q_score % 2000 + 2000) % 2000)) / 2000 AS bucket,
+         label
+  FROM scored),
+g AS (
+  SELECT CAST(bucket AS BIGINT) AS bucket,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(label) AS BIGINT) AS n_pos
+  FROM b GROUP BY 1)
+SELECT bucket,
+       CAST(bucket * 2000 AS BIGINT) AS score_lo,
+       n, n_pos,
+       CAST((1000000 * CAST(n_pos AS HUGEINT)) // n AS BIGINT)
+         AS pos_rate_x1e6,
+       CAST(bucket >= 1 AND 2 * n_pos < n AS INT) AS miscal_hi,
+       CAST(bucket <= -1 AND 2 * n_pos > n AS INT) AS miscal_lo
+FROM g
+"""
+)
+
+
+def q_mixture_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-mixture drift between two corpus snapshots
+    (expectations.mixture_drift_report): OLD = documents minus every
+    seventh, NEW = documents minus lang 'de' (a deterministic pair
+    that exercises grown, shrunk, and VANISHED groups), grouped by
+    lang and weighed by whitespace token count. Shares in exact ppm
+    (integral DIV over DECIMAL(38,0) — BIGINT would overflow at 100 TB
+    token totals), the drift verdict by decimal cross-multiplication:
+    |new_w*tot_old - old_w*tot_new|*1000 > tol * tot_old * tot_new.
+    Two bounded rollups + a full outer join + a single-row scalar
+    cross; |langs| rows out."""
+    from sstable_migrator_spark.operators.expectations import (
+        mixture_drift_report,
+    )
+    from sstable_migrator_spark.functions import text as TX
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", "lang", F.size(TX.tokens(F.col("text"))).alias("toks")
+    )
+    old = docs.filter(F.col("doc_id") % 7 != 0)
+    new = docs.filter(F.col("lang") != "de")
+    return mixture_drift_report(old, new, "lang", "toks", tol_ppt=50)
+
+
+SQL_MIXTURE_DRIFT = """
+WITH d AS (
+  SELECT doc_id, lang,
+         CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+              ELSE len(regexp_split_to_array(trim(text), '\\s+'))
+              END AS BIGINT) AS toks
+  FROM documents),
+o AS (
+  SELECT lang AS grp, CAST(count(*) AS BIGINT) AS old_docs,
+         CAST(sum(toks) AS BIGINT) AS old_w
+  FROM d WHERE doc_id % 7 <> 0 GROUP BY 1),
+n AS (
+  SELECT lang AS grp, CAST(count(*) AS BIGINT) AS new_docs,
+         CAST(sum(toks) AS BIGINT) AS new_w
+  FROM d WHERE lang <> 'de' GROUP BY 1),
+j AS (
+  SELECT COALESCE(o.grp, n.grp) AS grp,
+         COALESCE(o.old_docs, 0) AS old_docs,
+         COALESCE(o.old_w, 0) AS old_w,
+         COALESCE(n.new_docs, 0) AS new_docs,
+         COALESCE(n.new_w, 0) AS new_w,
+         CAST(o.grp IS NULL AS INT) AS is_new,
+         CAST(n.grp IS NULL AS INT) AS is_gone
+  FROM o FULL OUTER JOIN n ON o.grp = n.grp),
+t AS (SELECT CAST(sum(old_w) AS BIGINT) AS tot_old,
+             CAST(sum(new_w) AS BIGINT) AS tot_new FROM j)
+SELECT grp, old_docs, new_docs, old_w, new_w,
+       CAST(CASE WHEN tot_old > 0 THEN
+              (1000000 * CAST(old_w AS HUGEINT)) // tot_old
+            ELSE 0 END AS BIGINT) AS old_share_x1e6,
+       CAST(CASE WHEN tot_new > 0 THEN
+              (1000000 * CAST(new_w AS HUGEINT)) // tot_new
+            ELSE 0 END AS BIGINT) AS new_share_x1e6,
+       is_new, is_gone,
+       CAST(abs(CAST(new_w AS HUGEINT) * tot_old
+                - CAST(old_w AS HUGEINT) * tot_new) * 1000
+            > CAST(50 AS HUGEINT) * tot_old * tot_new AS INT) AS drifted
+FROM j, t
+"""
+
+
+def q_corpus_datasheet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The one-call corpus datasheet (operators/datasheet.py): totals,
+    lang/source mixture, token-length histogram (64-wide bands),
+    exact-dup multiplicity histogram, and the naturalness rate — one
+    bounded long-format table, all-BIGINT so the whole sheet is under
+    one hash. Five keyed rollups (the dup histogram pays the same
+    fingerprint exchange exact dedup does), union of bounded sides."""
+    from sstable_migrator_spark.operators.datasheet import corpus_datasheet
+
+    return corpus_datasheet(_t(spark, sf_dir, "documents"))
+
+
+SQL_CORPUS_DATASHEET = f"""
+WITH tk0 AS (
+  SELECT lang, source, text,
+         CASE WHEN length(trim(text)) = 0 THEN []
+              ELSE regexp_split_to_array(trim(text), '\\s+') END AS tk
+  FROM documents),
+b AS (
+  SELECT lang, source,
+         CAST(len(tk) AS BIGINT) AS toks,
+         CAST(length(text) AS BIGINT) AS chars,
+         md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp,
+         CAST(len(tk) >= 10
+              AND 8 * len(list_filter(list_transform(tk, t -> lower(t)),
+                                      t -> t IN {_EVAL_SW}))
+                  >= len(tk) AS BIGINT) AS nat
+  FROM tk0)
+SELECT 'total' AS section, '' AS key, 'docs' AS metric,
+       CAST(count(*) AS BIGINT) AS value FROM b
+UNION ALL
+SELECT 'total', '', 'tokens', CAST(sum(toks) AS BIGINT) FROM b
+UNION ALL
+SELECT 'total', '', 'chars', CAST(sum(chars) AS BIGINT) FROM b
+UNION ALL
+SELECT 'quality', '', 'natural_docs', CAST(sum(nat) AS BIGINT) FROM b
+UNION ALL
+SELECT 'dup', '', 'exact_dup_docs',
+       CAST(count(*) - count(DISTINCT fp) AS BIGINT) FROM b
+UNION ALL
+SELECT 'lang', lang, 'docs', CAST(count(*) AS BIGINT) FROM b GROUP BY lang
+UNION ALL
+SELECT 'lang', lang, 'tokens', CAST(sum(toks) AS BIGINT) FROM b GROUP BY lang
+UNION ALL
+SELECT 'source', source, 'docs', CAST(count(*) AS BIGINT) FROM b
+GROUP BY source
+UNION ALL
+SELECT 'source', source, 'tokens', CAST(sum(toks) AS BIGINT) FROM b
+GROUP BY source
+UNION ALL
+SELECT 'len_hist', CAST((toks - toks % 64) AS VARCHAR), 'docs',
+       CAST(count(*) AS BIGINT) FROM b GROUP BY toks - toks % 64
+UNION ALL
+SELECT 'dup_hist', CAST(k AS VARCHAR), 'groups', CAST(count(*) AS BIGINT)
+FROM (SELECT fp, CAST(count(*) AS BIGINT) AS k FROM b GROUP BY fp)
+GROUP BY k
+"""
+
+
+def q_dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The table that SETS the near-dup ``jaccard_threshold`` — q231's
+    discipline for the dedup dial: per 10-wide integer Jaccard band
+    (``(100*|A∩B|) div |A∪B|``, no float Jaccard ever exists), the
+    candidate-pair count, the docs whose BEST pair lands there, and
+    the top-down running ``docs_touched`` a dedup at that threshold
+    would implicate. Bounded all-pairs form (doc_id < 120 — the
+    verification-stage contract ngram_jaccard_pairs documents; the
+    scale path passes an LSH bucket as group_col); the cumulative walk
+    is an unpartitioned window over the <= 11-row band rollup."""
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 120)
+    return dedup.dedup_threshold_sweep(docs, n=3, band_pct=10, floor_pct=10)
+
+
+SQL_DEDUP_THRESHOLD_SWEEP = f"""
+WITH {SQL_GRAMS_CTE.replace("doc_id < 60", "doc_id < 120").strip()},
+p AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         CAST(((100 * len(list_intersect(a.g, b.g)))
+               // len(list_distinct(list_concat(a.g, b.g)))) // 10 AS BIGINT)
+           * 10 AS band_lo
+  FROM grams a JOIN grams b ON a.doc_id < b.doc_id),
+k AS (SELECT * FROM p WHERE band_lo >= 10),
+pb AS (SELECT band_lo, CAST(count(*) AS BIGINT) AS n_pairs
+       FROM k GROUP BY 1),
+d AS (SELECT id_a AS doc, band_lo FROM k
+      UNION ALL SELECT id_b, band_lo FROM k),
+best AS (
+  SELECT band_lo, CAST(count(*) AS BIGINT) AS n_docs_best FROM (
+    SELECT doc, max(band_lo) AS band_lo FROM d GROUP BY doc)
+  GROUP BY 1),
+j AS (
+  SELECT COALESCE(pb.band_lo, best.band_lo) AS band_lo,
+         COALESCE(pb.n_pairs, 0) AS n_pairs,
+         COALESCE(best.n_docs_best, 0) AS n_docs_best
+  FROM pb FULL OUTER JOIN best ON pb.band_lo = best.band_lo)
+SELECT band_lo, n_pairs, n_docs_best,
+       CAST(sum(n_docs_best) OVER (ORDER BY band_lo DESC
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         AS docs_touched
+FROM j
+"""
+
+
+QUERIES.update(
+    {
+        "q247_quality_auc": q_quality_auc,
+        "q248_calibration_report": q_calibration_report,
+        "q249_mixture_drift": q_mixture_drift,
+        "q250_corpus_datasheet": q_corpus_datasheet,
+        "q251_dedup_threshold_sweep": q_dedup_threshold_sweep,
+    }
+)
+
+ORACLES.update(
+    {
+        "q247_quality_auc": SQL_QUALITY_AUC,
+        "q248_calibration_report": SQL_CALIBRATION_REPORT,
+        "q249_mixture_drift": SQL_MIXTURE_DRIFT,
+        "q250_corpus_datasheet": SQL_CORPUS_DATASHEET,
+        "q251_dedup_threshold_sweep": SQL_DEDUP_THRESHOLD_SWEEP,
+    }
+)
+
+
+# ---------------------------------------------------------------------------
 # Driver-sample ordering.
 #
 # The round driver's correctness gate checks only the FIRST ~50 catalog

@@ -886,3 +886,61 @@ def test_mine_templates(spark):
     assert t1["n_docs"] == 3 and t1["example_doc_id"] == 1
     assert got["translate 'hello' to french"]["n_docs"] == 2
     assert mine_templates(docs, min_count=1).count() == 3
+
+
+# --- near-dup threshold sweep -----------------------------------------------
+
+
+def test_dedup_threshold_sweep_planted(spark):
+    """Three planted relationships: an exact pair (band 100), a
+    partial-overlap pair, and an isolated doc. docs_touched must
+    accumulate top-down, and a doc in pairs at two bands counts once,
+    at its best band."""
+    from sstable_migrator_spark.operators.dedup import dedup_threshold_sweep
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon zeta"),
+            (2, "alpha beta gamma delta epsilon zeta"),  # exact dup of 1
+            (3, "alpha beta gamma delta nine ten eleven twelve"),  # partial
+            (4, "completely different words entirely here now"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r["band_lo"]: r for r in dedup_threshold_sweep(
+        docs, floor_pct=10).collect()}
+    assert rows[100]["n_pairs"] == 1  # (1,2)
+    assert rows[100]["n_docs_best"] == 2
+    assert rows[100]["docs_touched"] == 2
+    # doc 3 pairs with 1 and 2 at a partial band; docs 1/2 already
+    # counted at 100, so only doc 3 is new at its band
+    partial = [b for b in rows if b < 100]
+    assert len(partial) == 1
+    b = partial[0]
+    assert rows[b]["n_pairs"] == 2  # (1,3) and (2,3)
+    assert rows[b]["n_docs_best"] == 1  # doc 3 only
+    assert rows[b]["docs_touched"] == 3
+    # doc 4 appears nowhere
+    assert sum(r["n_docs_best"] for r in rows.values()) == 3
+
+
+def test_dedup_threshold_sweep_band_width_guard(spark):
+    import pytest
+
+    from sstable_migrator_spark.operators.dedup import dedup_threshold_sweep
+
+    docs = spark.createDataFrame([(1, "x y z")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="band_pct"):
+        dedup_threshold_sweep(docs, band_pct=7)
+
+
+def test_dedup_threshold_sweep_grouped(spark):
+    """group_col blocks pairs: identical docs in different groups never
+    pair (the LSH-bucket contract)."""
+    from sstable_migrator_spark.operators.dedup import dedup_threshold_sweep
+
+    docs = spark.createDataFrame(
+        [(1, "same text here always", "a"), (2, "same text here always", "b")],
+        "doc_id long, text string, bucket string",
+    )
+    assert dedup_threshold_sweep(docs, group_col="bucket").count() == 0

@@ -76,3 +76,52 @@ def test_accepted_values_rejects_none_in_list(spark):
     with pytest.raises(ValueError, match="not contain None"):
         validate(df, [{"rule": "accepted_values", "col": "name",
                        "values": ["a", None]}])
+
+
+# --- mixture drift between corpus snapshots ---------------------------------
+
+
+def test_mixture_drift_shares_and_flags(spark):
+    from sstable_migrator_spark.operators.expectations import (
+        mixture_drift_report,
+    )
+
+    old = spark.createDataFrame(
+        [("en", 100)] * 3 + [("de", 50)] * 3, "lang string, toks long"
+    )
+    new = spark.createDataFrame(
+        [("en", 100)] * 5 + [("fr", 30)], "lang string, toks long"
+    )
+    rows = {r["grp"]: r for r in mixture_drift_report(
+        old, new, "lang", "toks", tol_ppt=50).collect()}
+    # de vanished: is_gone, and losing a 1/3 share IS drift
+    assert rows["de"]["is_gone"] == 1 and rows["de"]["drifted"] == 1
+    assert rows["de"]["new_docs"] == 0 and rows["de"]["new_w"] == 0
+    # fr appeared with ~5.7% share: is_new, above the 5% tolerance
+    assert rows["fr"]["is_new"] == 1 and rows["fr"]["drifted"] == 1
+    # en moved 66.7% -> 94.3%
+    assert rows["en"]["old_share_x1e6"] == 666666
+    assert rows["en"]["new_share_x1e6"] == 943396
+    assert rows["en"]["drifted"] == 1
+
+
+def test_mixture_drift_within_tolerance(spark):
+    from sstable_migrator_spark.operators.expectations import (
+        mixture_drift_report,
+    )
+
+    old = spark.createDataFrame(
+        [("en", 100)] * 10 + [("de", 100)] * 10, "lang string, toks long"
+    )
+    # one extra en doc: share moves 50% -> ~52.4%, inside 50 ppt
+    new = spark.createDataFrame(
+        [("en", 100)] * 11 + [("de", 100)] * 10, "lang string, toks long"
+    )
+    rows = {r["grp"]: r for r in mixture_drift_report(
+        old, new, "lang", "toks", tol_ppt=50).collect()}
+    assert rows["en"]["drifted"] == 0 and rows["de"]["drifted"] == 0
+    # doc-count weighting (weight_col=None) agrees here by construction
+    rows2 = {r["grp"]: r for r in mixture_drift_report(
+        old, new, "lang", tol_ppt=50).collect()}
+    assert rows2["en"]["drifted"] == 0
+    assert rows2["en"]["new_docs"] == 11 and rows2["en"]["new_w"] == 11

@@ -185,6 +185,9 @@ def test_plan_audit_roundrobin_and_single_partition_allowlist():
         # the perplexity-gate calibration sweep: cumulative over the
         # ~dozens-row surprisal-bucket rollup
         "q231_ppl_threshold_sweep",
+        # the near-dup threshold sweep: cumulative docs_touched over
+        # the <= 11-row Jaccard-band rollup (100/band_pct + 1 bands)
+        "q251_dedup_threshold_sweep",
     }
     bad_uw = {n: r["unpart_windows"] for n, r in rows.items()
               if r["unpart_windows"] and n not in uw_allow}

@@ -161,3 +161,90 @@ def test_fast_hash_training_scoring_pair(spark):
         "label", "q_score"
     ).collect()
     assert all((r["q_score"] > 0) == (r["label"] == 1.0) for r in rows)
+
+
+# --- evaluation family: exact AUC + calibration report ----------------------
+
+
+def test_ranked_auc_hand_computed(spark):
+    """Ascending scores 2,5,5,9,9,10 with labels 0,(0,1),(1,1),1:
+    mid-ranks 1,(2.5,2.5),(4.5,4.5),6 -> R+ = 2.5+4.5+6 = 13, U = 7,
+    AUC = 7/9. Ties on both mixed and pure groups exercised."""
+    from sstable_migrator_spark.operators.quality_model import ranked_auc
+
+    df = spark.createDataFrame(
+        [(10, 1), (9, 1), (9, 0), (5, 0), (5, 1), (2, 0)],
+        "q_score long, label int",
+    )
+    row = ranked_auc(df).first()
+    assert (row["n_pos"], row["n_neg"]) == (3, 3)
+    assert row["u2"] == 14  # 2*R+ - n_pos*(n_pos+1) = 26 - 12
+    assert row["auc_x1e6"] == 777777  # floor(1e6 * 7/9)
+
+
+def test_ranked_auc_extremes(spark):
+    from sstable_migrator_spark.operators.quality_model import ranked_auc
+
+    # perfect separation -> AUC 1.0; inverted -> 0
+    perfect = spark.createDataFrame(
+        [(5, 1), (4, 1), (1, 0), (0, 0)], "q_score long, label int"
+    )
+    assert ranked_auc(perfect).first()["auc_x1e6"] == 1000000
+    inverted = spark.createDataFrame(
+        [(5, 0), (4, 0), (1, 1), (0, 1)], "q_score long, label int"
+    )
+    assert ranked_auc(inverted).first()["auc_x1e6"] == 0
+    # all one class: AUC undefined -> NULL, not a crash or a made-up 0.5
+    onecls = spark.createDataFrame([(5, 1), (4, 1)], "q_score long, label int")
+    assert ranked_auc(onecls).first()["auc_x1e6"] is None
+
+
+def test_ranked_auc_partitioning_stable(spark):
+    """The rank-sum must be a pure function of the data: any
+    repartitioning (the 1000-executor shape) yields the identical
+    row — global_prefix_sum's offsets do the global ordering."""
+    from sstable_migrator_spark.operators.quality_model import ranked_auc
+
+    rows = [(i * 7 % 23, 1 if i % 3 == 0 else 0) for i in range(200)]
+    df = spark.createDataFrame(rows, "q_score long, label int")
+    a = ranked_auc(df).first()
+    b = ranked_auc(df.repartition(17)).first()
+    assert a == b
+
+
+def test_calibration_buckets_and_flags(spark):
+    from sstable_migrator_spark.operators.quality_model import (
+        calibration_report,
+    )
+
+    # width 10: bucket -1 = [-10,-1], 0 = [0,9], 1 = [10,19]
+    df = spark.createDataFrame(
+        # confident-positive band observing 1/3 -> miscal_hi
+        [(12, 0), (15, 0), (19, 1)]
+        # mixed band around zero: never flags
+        + [(0, 0), (5, 1)]
+        # confident-negative band observing 2/3 -> miscal_lo
+        + [(-10, 1), (-3, 1), (-1, 0)],
+        "q_score long, label int",
+    )
+    rows = {r["bucket"]: r for r in calibration_report(
+        df, bucket_width=10).collect()}
+    assert rows[1]["miscal_hi"] == 1 and rows[1]["miscal_lo"] == 0
+    assert rows[1]["pos_rate_x1e6"] == 333333
+    assert rows[0]["miscal_hi"] == 0 and rows[0]["miscal_lo"] == 0
+    assert rows[-1]["miscal_lo"] == 1 and rows[-1]["miscal_hi"] == 0
+    assert rows[-1]["score_lo"] == -10
+    # floor-division banding: -10 and -1 land in bucket -1, never 0
+    assert rows[-1]["n"] == 3
+
+
+def test_calibration_rejects_bad_width(spark):
+    import pytest
+
+    from sstable_migrator_spark.operators.quality_model import (
+        calibration_report,
+    )
+
+    df = spark.createDataFrame([(1, 1)], "q_score long, label int")
+    with pytest.raises(ValueError, match="bucket_width"):
+        calibration_report(df, bucket_width=0)
