@@ -40,6 +40,7 @@ __all__ = [
     "score_quality",
     "ranked_auc",
     "calibration_report",
+    "confusion_report",
 ]
 
 
@@ -308,4 +309,60 @@ def calibration_report(
         "AS pos_rate_x1e6",
         "CAST(bucket >= 1 AND 2 * n_pos < n AS INT) AS miscal_hi",
         "CAST(bucket <= -1 AND 2 * n_pos > n AS INT) AS miscal_lo",
+    )
+
+
+def confusion_report(
+    df: DataFrame,
+    truth_col: str,
+    pred_col: str,
+) -> DataFrame:
+    """Multiclass CONFUSION MATRIX in long format — the routing-QA
+    table (``ranked_auc`` covers binary scorers; gates that emit a
+    CLASS — language router, script router, source classifier — are
+    judged here): one row per observed (truth, pred) cell with the
+    exact count, the truth-row and pred-column totals, and both
+    integer-ppm rates: ``recall_ppm = 1e6*n div row_total`` (of the
+    docs that ARE truth t, how many the gate sent to p) and
+    ``precision_ppm = 1e6*n div col_total`` (of the docs the gate sent
+    to p, how many were t). On diagonal cells (``is_diag``) those are
+    the class recall/precision; off-diagonal they are the confusion
+    rates a router owner reads to find WHICH pair of classes bleeds.
+
+    Plan: ONE data-sized keyed groupBy to the |truth| x |pred| cell
+    relation; row/col totals re-aggregate the bounded cells (not the
+    corpus) and join back broadcast-small. Rates use integral DIV over
+    DECIMAL(38,0) — the float-`/`-never-touches-a-hashed-column
+    discipline. Output is |observed cells| rows; absent cells are
+    honest zeros by omission (a class pair never confused does not
+    exist in the report)."""
+    cells = (
+        df.select(
+            F.col(truth_col).cast("string").alias("truth"),
+            F.col(pred_col).cast("string").alias("pred"),
+        )
+        .groupBy("truth", "pred")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    rows = cells.groupBy("truth").agg(
+        F.sum("n").cast("long").alias("row_total")
+    )
+    cols = cells.groupBy("pred").agg(
+        F.sum("n").cast("long").alias("col_total")
+    )
+    return (
+        cells.join(F.broadcast(rows), "truth")
+        .join(F.broadcast(cols), "pred")
+        .selectExpr(
+            "truth",
+            "pred",
+            "n",
+            "row_total",
+            "col_total",
+            "CAST(truth = pred AS INT) AS is_diag",
+            "CAST((1000000 * CAST(n AS DECIMAL(38,0))) div row_total "
+            "AS BIGINT) AS recall_ppm",
+            "CAST((1000000 * CAST(n AS DECIMAL(38,0))) div col_total "
+            "AS BIGINT) AS precision_ppm",
+        )
     )

@@ -1333,3 +1333,84 @@ def ann_index_health(
         .cast("int")
         .alias("underloaded"),
     )
+
+
+def ann_range_join(
+    queries: DataFrame,
+    path: str,
+    min_cosine: float,
+    n_probe: int = 2,
+    query_id: str = "query_id",
+    query_vec: str = "query_vec",
+    corpus_id: str = "vec_id",
+    corpus_vec: str = "embedding",
+) -> DataFrame:
+    """RANGE (radius) search over a persisted ``write_ann_index`` —
+    ``ann_join``'s threshold twin: every indexed neighbor whose cosine
+    clears ``min_cosine``, not the k best. This is the retrieval shape
+    dedup and dataset-poisoning sweeps actually want ("ALL near
+    matches", where k-NN silently truncates a hot cluster at k and a
+    cold query drags in k strangers).
+
+    Plan: identical to ``ann_join``'s exact path up to scoring — map-
+    only probe with the index's own centroids, bounded distinct-cell
+    collect so PartitionFilters reach the scan, candidates join on
+    ``cell`` — but the per-query top-k WINDOW (one keyed shuffle)
+    disappears entirely: the threshold is a map-side filter over the
+    scored candidates, so the whole serve after the candidate join is
+    shuffle-FREE. Same approximation contract as every IVF serve: a
+    qualifying neighbor outside the probed cells is missed at the
+    index's recall; raise n_probe to trade scan for recall. Exact
+    scoring only — ADC distances are approximations, and a RADIUS gate
+    on an approximate distance silently redefines the radius; score
+    codes with ``ann_join(scoring='adc')`` + a rank cut instead.
+    Returns (query_id, neighbor_id, cosine), unranked."""
+    if not (-1.0 <= float(min_cosine) <= 1.0):
+        raise ValueError(
+            f"min_cosine must be in [-1, 1], got {min_cosine!r} (cosine "
+            "is the index metric — see _params.json)"
+        )
+    spark = queries.sparkSession
+    rec = check_ann_index_params(path)
+    if rec is None:
+        raise ValueError(
+            f"no ANN index at {path} (missing _params.json — partial "
+            "build?); build it with write_ann_index"
+        )
+    dims = queries.agg(
+        F.min(F.size(query_vec)).alias("lo"), F.max(F.size(query_vec)).alias("hi")
+    ).first()
+    if dims["lo"] is None:
+        raise ValueError("empty query DataFrame")
+    if int(dims["lo"]) != rec["dim"] or int(dims["hi"]) != rec["dim"]:
+        raise ValueError(
+            f"ANN index at {path} was built with dim={rec['dim']}, but "
+            f"the query vectors have dims in [{int(dims['lo'])}, "
+            f"{int(dims['hi'])}]"
+        )
+    cents = read_ann_centroids(spark, path)
+    probes = ivf_probe_cells(
+        queries.select(
+            F.col(query_id).alias("query_id"),
+            F.col(query_vec).alias("_qv"),
+        ),
+        cents,
+        n_probe,
+        "_qv",
+        "_probe",
+    ).localCheckpoint()
+    want_cells = sorted(
+        r["_probe"] for r in probes.select("_probe").distinct().collect()
+    )
+    return (
+        spark.read.parquet(path)
+        .filter(F.col("cell").isin(want_cells))
+        .select(corpus_id, corpus_vec, "cell")
+        .join(probes, F.col("cell") == F.col("_probe"))
+        .select(
+            "query_id",
+            F.col(corpus_id).alias("neighbor_id"),
+            VX.cosine(F.col(corpus_vec), F.col("_qv")).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= float(min_cosine))
+    )

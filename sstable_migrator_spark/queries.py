@@ -79,6 +79,16 @@ def _scratch_dir(slot: str) -> str:
     return scratch_path(slot)
 
 
+def _sf_tag(sf_dir: str) -> str:
+    """Filesystem-safe scale-factor tag for SF-keyed scratch slots
+    ('/root/testdata/sf0.01' -> 'sf0.01')."""
+    import os
+    import re
+
+    base = os.path.basename(sf_dir.rstrip("/")) or "sf"
+    return re.sub(r"[^A-Za-z0-9._-]", "_", base)
+
+
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # one-time runtime tuning for caller-provided sessions (the driver
     # builds a vanilla one): per-call call-site capture off (~0.6s per
@@ -9731,8 +9741,15 @@ def _ensure_bm25_index(spark: SparkSession, sf_dir: str, rebuild: bool = False) 
     from sstable_migrator_spark.sinks import scratch_path
 
     # wipe=False: resolving the path must NOT destroy an index a prior
-    # q216 call built (the default _scratch_dir wipes its slot)
-    path = scratch_path("bm25-q193", wipe=False)
+    # q216 call built (the default _scratch_dir wipes its slot). The
+    # slot is SF-KEYED: persistent build/serve fixtures live across
+    # the whole process, so two harnesses sweeping DIFFERENT scale
+    # factors concurrently would otherwise clobber one shared path
+    # mid-read (observed: a background sf0.01 sweep served an index a
+    # foreground sf0.1 run had just rebuilt under it) — disjoint paths
+    # per SF remove the interference and let a multi-SF sweep reuse
+    # both builds
+    path = scratch_path(f"bm25-q193-{_sf_tag(sf_dir)}", wipe=False)
     if rebuild or _BM25_INDEX_BUILT.get(path) != sf_dir:
         docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
         # 16 buckets at fixture scale (the commit cost of a partitioned
@@ -12024,9 +12041,10 @@ def _ensure_ann_index(spark: SparkSession, sf_dir: str, rebuild: bool = False) -
     from sstable_migrator_spark.operators.simsearch import write_ann_index
     from sstable_migrator_spark.sinks import scratch_path
 
-    # wipe=False: resolving the path must NOT destroy an index a prior
-    # q228 call built (the _ensure_bm25_index contract)
-    path = scratch_path("ann-q229", wipe=False)
+    # wipe=False + SF-keyed slot: the _ensure_bm25_index contract (see
+    # the rationale there — concurrent different-SF sweeps must not
+    # clobber each other's persistent index)
+    path = scratch_path(f"ann-q229-{_sf_tag(sf_dir)}", wipe=False)
     if rebuild or _ANN_INDEX_BUILT.get(path) != sf_dir:
         emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
         write_ann_index(emb, path, _ann_fixture_centroids(spark, sf_dir))
@@ -13692,6 +13710,132 @@ QUERIES.update(
         "q251_dedup_threshold_sweep": q_dedup_threshold_sweep,
     }
 )
+
+
+def q_ann_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE (radius) serving from the shared persisted ANN index:
+    every indexed neighbor in the queries' probed cells whose cosine
+    clears 0.2 — ann_join minus the top-k window, so the serve after
+    the candidate join is shuffle-free (threshold = map-side filter).
+    The SQL twin replays the probe rule and the radius gate from raw
+    embeddings, so cell assignment, pruning, AND the threshold
+    semantics sit under one hash (self-matches included: a radius
+    query legitimately returns the query itself at cosine 1)."""
+    from sstable_migrator_spark.operators.simsearch import ann_range_join
+
+    path = _ensure_ann_index(spark, sf_dir)
+    queries = (
+        _t(spark, sf_dir, "embeddings")
+        .filter((F.col("vec_id") >= 5) & (F.col("vec_id") < 15))
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("query_vec"),
+        )
+    )
+    return ann_range_join(queries, path, min_cosine=0.2, n_probe=2)
+
+
+SQL_ANN_RANGE_JOIN = f"""
+WITH c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+cent AS (SELECT vec_id AS cell_id, CAST(embedding AS DOUBLE[]) AS cv
+         FROM embeddings WHERE vec_id % 20 = 0 AND vec_id < 160),
+q AS (SELECT vec_id AS query_id, v AS qv FROM c
+      WHERE vec_id >= 5 AND vec_id < 15),
+assign AS (
+  SELECT vec_id, cell_id FROM (
+    SELECT c.vec_id, cent.cell_id,
+           row_number() OVER (PARTITION BY c.vec_id
+                              ORDER BY {_SQL_COS.format(a='c.v', b='cent.cv')} DESC,
+                                       cent.cell_id ASC) AS rn
+    FROM c CROSS JOIN cent) WHERE rn = 1),
+probes AS (
+  SELECT query_id, cell_id FROM (
+    SELECT q.query_id, cent.cell_id,
+           row_number() OVER (PARTITION BY q.query_id
+                              ORDER BY {_SQL_COS.format(a='q.qv', b='cent.cv')} DESC,
+                                       cent.cell_id ASC) AS rn
+    FROM q CROSS JOIN cent) WHERE rn <= 2)
+SELECT p.query_id, a.vec_id AS neighbor_id,
+       {_SQL_COS.format(a='cv2.v', b='qv2.qv')} AS cosine
+FROM probes p
+JOIN assign a ON a.cell_id = p.cell_id
+JOIN c cv2 ON cv2.vec_id = a.vec_id
+JOIN q qv2 ON qv2.query_id = p.query_id
+WHERE {_SQL_COS.format(a='cv2.v', b='qv2.qv')} >= 0.2
+"""
+
+
+QUERIES.update({"q252_ann_range_join": q_ann_range_join})
+ORACLES.update({"q252_ann_range_join": SQL_ANN_RANGE_JOIN})
+
+
+def q_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The language-router QA table: q47's stopword lang-id judged
+    against the labeled ``lang`` column as a multiclass CONFUSION
+    report (quality_model.confusion_report) — per observed
+    (truth, pred) cell the exact count, row/col totals, and integer-
+    ppm recall/precision (on the diagonal: class recall/precision;
+    off it: the bleed rates that say WHICH language pair confuses the
+    router). One data-sized keyed groupBy to the bounded cell
+    relation; totals re-aggregate cells, never the corpus."""
+    from sstable_migrator_spark.operators.quality_model import (
+        confusion_report,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "lang", TX.lang_id(F.col("text")).alias("lang_guess")
+    )
+    return confusion_report(docs, "lang", "lang_guess")
+
+
+def _sql_lang_confusion() -> str:
+    score_cols = []
+    for lang, sw in sorted(TX.STOPWORDS.items()):
+        inlist = ", ".join(f"'{w}'" for w in sw)
+        score_cols.append(
+            f"len(list_filter(tk, x -> x IN ({inlist}))) AS s_{lang}"
+        )
+    langs = sorted(TX.STOPWORDS)
+    expr_sql = f"'{langs[0]}'"
+    best_sql = f"s_{langs[0]}"
+    for lang in langs[1:]:
+        expr_sql = (
+            f"(CASE WHEN s_{lang} > {best_sql} THEN '{lang}' "
+            f"ELSE {expr_sql} END)"
+        )
+        best_sql = f"greatest(s_{lang}, {best_sql})"
+    return f"""
+WITH toks AS (
+  SELECT lang,
+         CASE WHEN length(trim(lower(text))) = 0 THEN []
+              ELSE regexp_split_to_array(trim(lower(text)), '\\s+') END AS tk
+  FROM documents),
+scored AS (SELECT lang, {', '.join(score_cols)} FROM toks),
+pred AS (
+  SELECT lang AS truth,
+         CASE WHEN {best_sql} > 0 THEN {expr_sql} ELSE 'und' END AS pred
+  FROM scored),
+cells AS (
+  SELECT truth, pred, CAST(count(*) AS BIGINT) AS n
+  FROM pred GROUP BY 1, 2),
+r AS (SELECT truth, CAST(sum(n) AS BIGINT) AS row_total
+      FROM cells GROUP BY 1),
+c AS (SELECT pred, CAST(sum(n) AS BIGINT) AS col_total
+      FROM cells GROUP BY 1)
+SELECT cells.truth, cells.pred, cells.n, r.row_total, c.col_total,
+       CAST(cells.truth = cells.pred AS INT) AS is_diag,
+       CAST((1000000 * CAST(cells.n AS HUGEINT)) // r.row_total AS BIGINT)
+         AS recall_ppm,
+       CAST((1000000 * CAST(cells.n AS HUGEINT)) // c.col_total AS BIGINT)
+         AS precision_ppm
+FROM cells
+JOIN r ON r.truth = cells.truth
+JOIN c ON c.pred = cells.pred
+"""
+
+
+QUERIES.update({"q253_lang_confusion": q_lang_confusion})
+ORACLES.update({"q253_lang_confusion": _sql_lang_confusion()})
 
 ORACLES.update(
     {

@@ -248,3 +248,32 @@ def test_calibration_rejects_bad_width(spark):
     df = spark.createDataFrame([(1, 1)], "q_score long, label int")
     with pytest.raises(ValueError, match="bucket_width"):
         calibration_report(df, bucket_width=0)
+
+
+def test_confusion_report_planted(spark):
+    """Hand-checkable 3-class router: en 3/4 right (1 bleeds to de),
+    de 1/2 right, fr never predicted correctly."""
+    from sstable_migrator_spark.operators.quality_model import (
+        confusion_report,
+    )
+
+    df = spark.createDataFrame(
+        [("en", "en")] * 3 + [("en", "de")]
+        + [("de", "de"), ("de", "en")]
+        + [("fr", "en")],
+        "truth string, pred string",
+    )
+    rows = {(r["truth"], r["pred"]): r for r in confusion_report(
+        df, "truth", "pred").collect()}
+    assert rows[("en", "en")]["n"] == 3
+    assert rows[("en", "en")]["is_diag"] == 1
+    assert rows[("en", "en")]["recall_ppm"] == 750000       # 3/4
+    assert rows[("en", "en")]["precision_ppm"] == 600000    # 3/5
+    assert rows[("en", "de")]["is_diag"] == 0
+    assert rows[("en", "de")]["recall_ppm"] == 250000       # the bleed rate
+    assert rows[("de", "de")]["recall_ppm"] == 500000
+    # fr was never predicted: no (., 'fr') cell exists at all
+    assert not any(p == "fr" for _, p in rows)
+    assert rows[("fr", "en")]["row_total"] == 1
+    # row totals partition the corpus
+    assert sum(r["n"] for r in rows.values()) == 7

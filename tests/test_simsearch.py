@@ -929,3 +929,64 @@ def test_ann_index_health(spark, tmp_path):
 
     with pytest.raises(FileNotFoundError, match="_params.json"):
         ann_index_health(spark, str(tmp_path / "nothing"))
+
+
+def test_ann_range_join_matches_threshold_filter(spark, tmp_path):
+    """ann_range_join == ann_join(k=everything) filtered at the
+    threshold, on the same index and probes: the radius form is the
+    same candidate set and the same scoring, minus the top-k window."""
+    from sstable_migrator_spark.operators.simsearch import (
+        ann_join,
+        ann_range_join,
+        write_ann_index,
+    )
+
+    corpus, vecs = _corpus(spark, n=60, dim=8)
+    cents = _centroids_from(vecs, [0, 10, 20, 30])
+    path = str(tmp_path / "annrange")
+    write_ann_index(corpus, path, cents)
+    qdf = spark.createDataFrame(
+        [(0, vecs[3].tolist()), (1, vecs[33].tolist())],
+        "query_id long, query_vec array<double>",
+    )
+    thr = 0.25
+    rng = ann_range_join(qdf, path, min_cosine=thr, n_probe=2)
+    ref = (
+        ann_join(qdf, path, k=10**6, n_probe=2, scoring="exact")
+        .filter(F.col("cosine") >= thr)
+        .select("query_id", "neighbor_id", "cosine")
+    )
+    key = lambda r: (r["query_id"], r["neighbor_id"], round(r["cosine"], 12))
+    got, want = sorted(map(key, rng.collect())), sorted(map(key, ref.collect()))
+    assert got == want and len(got) > 0
+    # the serve plan has NO window/top-k shuffle: scoring + threshold
+    # are map-side over the candidate join
+    plan = rng._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan
+    assert "PartitionFilters" in plan
+
+
+def test_ann_range_join_guards(spark, tmp_path):
+    import pytest
+
+    from sstable_migrator_spark.operators.simsearch import (
+        ann_range_join,
+        write_ann_index,
+    )
+
+    corpus, vecs = _corpus(spark, n=20, dim=8)
+    cents = _centroids_from(vecs, [0, 10])
+    path = str(tmp_path / "annrange2")
+    write_ann_index(corpus, path, cents)
+    qdf = spark.createDataFrame(
+        [(0, vecs[3].tolist())], "query_id long, query_vec array<double>"
+    )
+    with pytest.raises(ValueError, match="min_cosine"):
+        ann_range_join(qdf, path, min_cosine=1.5)
+    with pytest.raises(ValueError, match="no ANN index"):
+        ann_range_join(qdf, str(tmp_path / "nothing"), min_cosine=0.5)
+    bad = spark.createDataFrame(
+        [(0, [1.0, 2.0])], "query_id long, query_vec array<double>"
+    )
+    with pytest.raises(ValueError, match="dim"):
+        ann_range_join(bad, path, min_cosine=0.5)
