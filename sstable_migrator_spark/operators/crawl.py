@@ -371,3 +371,73 @@ def parse_sitemaps(
                 yield pd.DataFrame(out)
 
     return sitemaps.mapInPandas(op, schema)
+
+
+def crawl_eta_report(
+    urls: DataFrame,
+    n_slots: int,
+    crawl_delay_ms: int = 1000,
+    url_col: str = "url",
+    host_delays: DataFrame | None = None,
+) -> DataFrame:
+    """Capacity planner over a frontier — "how long will this crawl
+    take, and which hosts dominate the tail": the question a crawl
+    operator answers BEFORE spending fetch slots, from the same inputs
+    ``crawl_schedule`` plans with (global politeness delay, per-host
+    robots ``Crawl-delay`` overrides).
+
+    Per host: ``n_urls`` and ``busy_ms = n_urls * delay`` — the wall
+    time a fetch slot is pinned to that host under the one-task-owns-
+    a-host execution model (``_fetch_pending_plan``). Every row also
+    carries the fleet summary via a single-row broadcast cross (the
+    scalar-cross discipline): ``total_urls``, ``lb_critical_ms``
+    (slowest single host — no slot count fixes a serial host: the
+    politeness chain IS the critical path), ``lb_work_ms``
+    (``ceil(total busy / n_slots)`` by integral arithmetic — the
+    work-conservation bound), and ``eta_lb_ms = greatest(both)`` — a
+    LOWER bound by construction (host-to-slot packing can only add);
+    ``is_critical`` flags the host(s) on the critical path. Plan: one
+    keyed rollup to |hosts| rows, an optional bounded delay join, one
+    single-row cross. All integers."""
+    if int(n_slots) < 1:
+        raise ValueError(f"n_slots must be >= 1, got {n_slots}")
+    host, _path = url_host_path(F.col(url_col))
+    per_host = (
+        urls.select(F.col(url_col).alias("url"))
+        .distinct()
+        .select(host.alias("host"))
+        .groupBy("host")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_urls"))
+    )
+    delay = F.lit(int(crawl_delay_ms)).cast("long")
+    if host_delays is not None:
+        per_host = per_host.join(
+            host_delays.select(
+                "host", F.col("crawl_delay_ms").alias("_host_delay")
+            ),
+            "host",
+            "left",
+        )
+        delay = F.coalesce(F.col("_host_delay"), delay)
+    per_host = per_host.select(
+        "host",
+        "n_urls",
+        (F.col("n_urls") * delay).cast("long").alias("busy_ms"),
+    )
+    totals = per_host.agg(
+        F.sum("n_urls").cast("long").alias("total_urls"),
+        F.max("busy_ms").cast("long").alias("lb_critical_ms"),
+        F.sum("busy_ms").cast("long").alias("_work_ms"),
+    )
+    s = int(n_slots)
+    return per_host.crossJoin(F.broadcast(totals)).selectExpr(
+        "host",
+        "n_urls",
+        "busy_ms",
+        "total_urls",
+        "lb_critical_ms",
+        f"CAST((_work_ms + {s} - 1) div {s} AS BIGINT) AS lb_work_ms",
+        f"CAST(greatest(lb_critical_ms, (_work_ms + {s} - 1) div {s}) "
+        "AS BIGINT) AS eta_lb_ms",
+        "CAST(busy_ms = lb_critical_ms AS INT) AS is_critical",
+    )

@@ -13837,6 +13837,64 @@ JOIN c ON c.pred = cells.pred
 QUERIES.update({"q253_lang_confusion": q_lang_confusion})
 ORACLES.update({"q253_lang_confusion": _sql_lang_confusion()})
 
+
+def q_crawl_eta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The crawl capacity planner (crawl.crawl_eta_report) under the
+    oracle: a deterministic frontier synthesized from documents (one
+    URL per doc on its source's host), robots Crawl-delay overrides
+    for the even-numbered sources (2500 ms vs the 1000 ms global), 4
+    fetch slots. Per-host busy time under the one-task-owns-a-host
+    model plus the fleet summary on every row via the scalar cross:
+    critical-path and work-conservation LOWER bounds and their max as
+    eta_lb_ms. The Spark side PARSES hosts back out of the built URLs
+    (url_host_path); the SQL twin derives them independently from the
+    base table — construction and parsing sit under one hash."""
+    from sstable_migrator_spark.operators.crawl import crawl_eta_report
+
+    d = _t(spark, sf_dir, "documents")
+    urls = d.select(
+        F.concat(
+            F.lit("https://"), F.col("source"), F.lit(".example.com/d"),
+            F.col("doc_id").cast("string"),
+        ).alias("url")
+    )
+    host_delays = (
+        d.select("source").distinct()
+        .filter(F.substring(F.col("source"), 4, 10).cast("int") % 2 == 0)
+        .select(
+            F.concat(F.col("source"), F.lit(".example.com")).alias("host"),
+            F.lit(2500).cast("long").alias("crawl_delay_ms"),
+        )
+    )
+    return crawl_eta_report(
+        urls, n_slots=4, crawl_delay_ms=1000, host_delays=host_delays
+    )
+
+
+SQL_CRAWL_ETA = """
+WITH per AS (
+  SELECT concat(source, '.example.com') AS host,
+         CAST(count(DISTINCT doc_id) AS BIGINT) AS n_urls,
+         CAST(count(DISTINCT doc_id)
+              * CASE WHEN CAST(substr(source, 4) AS INT) % 2 = 0
+                     THEN 2500 ELSE 1000 END AS BIGINT) AS busy_ms
+  FROM documents GROUP BY source),
+t AS (SELECT CAST(sum(n_urls) AS BIGINT) AS total_urls,
+             CAST(max(busy_ms) AS BIGINT) AS lb_critical_ms,
+             CAST(sum(busy_ms) AS BIGINT) AS work_ms
+      FROM per)
+SELECT per.host, per.n_urls, per.busy_ms, t.total_urls, t.lb_critical_ms,
+       CAST((t.work_ms + 3) // 4 AS BIGINT) AS lb_work_ms,
+       CAST(greatest(t.lb_critical_ms, (t.work_ms + 3) // 4) AS BIGINT)
+         AS eta_lb_ms,
+       CAST(per.busy_ms = t.lb_critical_ms AS INT) AS is_critical
+FROM per, t
+"""
+
+
+QUERIES.update({"q254_crawl_eta": q_crawl_eta})
+ORACLES.update({"q254_crawl_eta": SQL_CRAWL_ETA})
+
 ORACLES.update(
     {
         "q247_quality_auc": SQL_QUALITY_AUC,

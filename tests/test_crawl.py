@@ -324,3 +324,43 @@ def test_sitemap_to_fetch_plan_composition(spark):
     plan = crawl_schedule(allowed.select("url"), crawl_delay_ms=500).collect()
     assert len(plan) == 2
     assert sorted(r["fetch_offset_ms"] for r in plan) == [0, 500]
+
+
+# --- capacity planner -------------------------------------------------------
+
+
+def test_crawl_eta_report_hand_computed(spark):
+    """host a: 3 urls x 1000 ms = 3000 busy; host b: 1 url with a
+    declared 5000 ms delay = 5000 busy. Two slots: critical path 5000
+    beats work bound ceil(8000/2) = 4000, so b is the ETA and flags
+    critical."""
+    from sstable_migrator_spark.operators.crawl import crawl_eta_report
+
+    urls = spark.createDataFrame(
+        [("https://a.com/1",), ("https://a.com/2",), ("https://a.com/3",),
+         ("https://b.com/1",), ("https://a.com/1",)],  # dup collapses
+        "url string",
+    )
+    delays = spark.createDataFrame(
+        [("b.com", 5000)], "host string, crawl_delay_ms long"
+    )
+    rows = {r["host"]: r for r in crawl_eta_report(
+        urls, n_slots=2, crawl_delay_ms=1000, host_delays=delays).collect()}
+    assert rows["a.com"]["n_urls"] == 3 and rows["a.com"]["busy_ms"] == 3000
+    assert rows["b.com"]["busy_ms"] == 5000
+    assert rows["a.com"]["total_urls"] == 4
+    assert rows["a.com"]["lb_critical_ms"] == 5000
+    assert rows["a.com"]["lb_work_ms"] == 4000
+    assert rows["a.com"]["eta_lb_ms"] == 5000
+    assert rows["b.com"]["is_critical"] == 1
+    assert rows["a.com"]["is_critical"] == 0
+
+
+def test_crawl_eta_report_slot_guard(spark):
+    import pytest
+
+    from sstable_migrator_spark.operators.crawl import crawl_eta_report
+
+    urls = spark.createDataFrame([("https://a.com/1",)], "url string")
+    with pytest.raises(ValueError, match="n_slots"):
+        crawl_eta_report(urls, n_slots=0)
