@@ -13952,7 +13952,15 @@ _DRIVER_PRIORITY: list[str] = [
     "q05_upsert_latest",
     "q06_per_partition_limit",
     "q07_keyset_page",
-    "q09_join_enrich_region",
+    # q09_join_enrich_region rotated to local-harness coverage in the
+    # round-10 continuation (the join family keeps THREE in-head
+    # members: q08 geoip range join, q65 as-of, q137 salted); the slot
+    # carries the exact Mann-Whitney ROC-AUC — the filter-model
+    # EVALUATION family's first driver-gated member (its calibration /
+    # confusion / drift siblings q248/q249/q253 are local-harness):
+    # all-integer tie-aware rank algebra over the distributed prefix
+    # sum, one row under the hash
+    "q247_quality_auc",
     "q50_backfill_derived",
     "q51_ip_blocks",
     "q54_window_dedup",
@@ -14066,9 +14074,16 @@ _DRIVER_PRIORITY: list[str] = [
     "q175_cms_heavy_hitters",
     # q58_dup_clusters rotated to local-harness coverage in round 4
     # (clustering keeps driver evidence via the star-contraction
-    # q145, which bit-agrees with q58 by test); the slot carries the
-    # distribution-drift monitor, the only monitoring-family query
-    "q176_distribution_drift",
+    # q145, which bit-agrees with q58 by test). q176_distribution_drift
+    # rotated to local-harness coverage in the round-10 continuation:
+    # the monitoring family's in-head slot now carries the one-call
+    # corpus DATASHEET — strictly more reporting machinery under one
+    # gate (totals + mixture + length/dup-multiplicity histograms +
+    # naturalness, five rollups incl. the exact-dup fingerprint
+    # exchange, one hashed long-format table); q176's drift algebra
+    # keeps 3-SF local coverage and its mixture-drift sibling q249
+    # is local-harness too
+    "q250_corpus_datasheet",
     "q82_pii_redact",
     # LLM-extension flagships previously outside the driver's sample.
     # q78_paragraph_dedup rotated to local-harness coverage in round 6
