@@ -27,8 +27,11 @@ domain names.
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from sstable_migrator_spark.functions import text as TX
 
@@ -182,192 +185,167 @@ def repetition_flags(
       line (para) chars;
     - top n-gram char fraction = count * gram_chars of the most
       frequent word n-gram / total WORD chars (ties break
-      deterministically on (count, gram_chars, gram));
+      deterministically on (count, gram_chars, gram) — cov is
+      count * gram_chars, so any (count, gram_chars) tie yields the
+      same coverage regardless of which gram wins);
     - dup n-gram char fraction = chars of words covered by the UNION
       of all occurrences of n-grams appearing >= 2 times (no double
       counting — the interval-union fold) / total word chars.
     Chars are TOKEN characters (whitespace excluded), the exact form
     the oracle replays.
 
-    Scale shape: line/para metrics are map-only array expressions; the
-    n-gram side explodes (k, pos, gram) rows for all nine k in ONE
-    pass (~9 rows per word), aggregates on (id, k, gram) — one
-    data-sized shuffle — then one bounded per-(id, k) rollup: the
-    top-gram argmax is a max(struct), the coverage union is a fold
-    over that gram-size's duplicated positions (O(dup occurrences)
-    per doc). Two shuffles total + the final assembly joins on id.
+    Scale shape (round-10 optimization, guide §2.4/§4.2): every
+    metric here is a PER-DOCUMENT function — nothing crosses
+    documents — so the operator is one MAP-ONLY Arrow kernel over
+    ``(id, text)`` plus a native flag projection: ZERO exchanges at
+    any corpus size. The previous form exploded one (id, k, pos,
+    gram) row per gram for all nine k (~9 rows per word, each
+    carrying the gram STRING — ~50x the corpus text in shuffle
+    bytes), aggregated on (id, k, gram), pivoted twice and joined
+    three ways: two data-sized shuffles plus assembly, measured 9.8 s
+    at sf0.1 against ~1.5 s for this form (plans/r10/). Per-document
+    counting in the kernel is O(sum_k n) dict ops with O(1)
+    interval-coverage via token-length prefix sums; only the two
+    columns the kernel needs cross the Python boundary, and the
+    n-gram key is the token TUPLE (the C0 strip below guarantees the
+    \\x01-join equality the old gram key relied on).
 
-    CONSTRUCTION NOTE: the expression-dense sections build through
-    ``selectExpr``/``F.expr`` SQL strings — one py4j round trip each —
-    instead of thousands of Column calls. The q213 plan previously
-    spent seconds of pure driver time in py4j socket round trips
-    (measured: ~1.9k calls, the dominant share of the bench entry's
-    fixed term); the SQL strings parse JVM-side into the SAME analyzed
-    plan (oracle- and plan-test-pinned)."""
+    The exact token/line/paragraph semantics of the expression form
+    are preserved verbatim (test_gopher pins them against an
+    independent Python reference, the q213 oracle across three SFs):
+    C0 controls (minus whitespace) stripped first; tokens = Java
+    ``\\s+`` split of the space-trimmed text (ASCII whitespace class,
+    NOT Python's unicode ``\\s``); lines/paras = literal
+    ``\\n`` / ``\\n\\n`` splits with trailing empties kept."""
+    import pandas as pd
+
     top_ks = sorted(_TOP_NGRAM_RULES)
     dup_ks = sorted(_DUP_NGRAM_RULES)
-    all_ks = [*top_ks, *dup_ks]
 
-    # strip non-whitespace control characters up front: they are never
-    # legitimate word characters, and \x01 inside a token would collide
-    # with the gram separator (see _SEP). Tokens, char counts, and
-    # line/para metrics all measure the same cleaned text, and the SQL
-    # oracle applies the identical replace
-    # (stripping happens BEFORE tokenization, so a control-only token
-    # dissolves into the surrounding whitespace — \s+ splitting never
-    # yields an empty token).
-    # SQL literal parsing turns the \uXXXX escapes into the literal
-    # control characters, so the regex engine sees the same class
-    # _CTRL_RE spells with \xNN
-    ctrl = "[\\u0000-\\u0008\\u000e-\\u001f\\u007f]"
-    clean = f"regexp_replace({text_col}, '{ctrl}', '')"
-    tok = (
-        f"CASE WHEN length(trim({clean})) = 0 "
-        "THEN CAST(array() AS array<string>) "
-        f"ELSE split(trim({clean}), '\\\\s+') END"
-    )
-    base = docs.selectExpr(
-        id_col,
-        f"{tok} AS _ws",
-        f"split({clean}, '\\n') AS _lines",
-        f"split({clean}, '\\n\\n') AS _paras",
-    ).selectExpr(
-        "*",
-        "aggregate(_ws, CAST(0 AS BIGINT), (a, w) -> a + length(w)) AS _c",
-    )
-    # NOT checkpointed: the three consumers below re-run only map-side
-    # tokenize work per scan — materializing the token/line arrays to
-    # disk costs more than recomputing them (measured)
-
-    def _sql_frac_ok(value: str, total: str, rule: tuple[int, int]) -> str:
-        num, den = rule
-        return f"CAST(({value}) * {den} <= ({total}) * {num} AS INT)"
-
-    def _sql_arr_chars(col: str) -> str:
-        return f"aggregate({col}, CAST(0 AS BIGINT), (a, x) -> a + length(x))"
-
-    lp_exprs = []
-    for side, pre in (("_lines", "line"), ("_paras", "para")):
-        n = f"CAST(size({side}) AS BIGINT)"
-        nd = f"CAST(size(array_distinct({side})) AS BIGINT)"
-        c = _sql_arr_chars(side)
-        cd = _sql_arr_chars(f"array_distinct({side})")
-        lp_exprs.append(
-            _sql_frac_ok(f"{n} - {nd}", n, _LINE_PARA_RULES[f"ok_dup_{pre}_frac"])
-            + f" AS ok_dup_{pre}_frac"
-        )
-        lp_exprs.append(
-            _sql_frac_ok(f"{c} - {cd}", c, _LINE_PARA_RULES[f"ok_dup_{pre}_chars"])
-            + f" AS ok_dup_{pre}_chars"
-        )
-    lp = base.selectExpr(
-        id_col,
-        "_c AS n_word_chars",
-        lp_exprs[0],  # line frac
-        lp_exprs[2],  # para frac
-        lp_exprs[1],  # line chars
-        lp_exprs[3],  # para chars
+    id_field = docs.schema[id_col]
+    counter_names = [
+        "n_word_chars",
+        *[f"top_{k}gram_chars" for k in top_ks],
+        *[f"dup_{k}gram_chars" for k in dup_ks],
+    ]
+    lp_names = [
+        "_ln", "_lnd", "_lc", "_lcd",  # line count/distinct + chars
+        "_pn", "_pnd", "_pc", "_pcd",  # para count/distinct + chars
+    ]
+    kern_schema = T.StructType(
+        [id_field]
+        + [T.StructField(n, T.LongType()) for n in counter_names]
+        + [T.StructField(n, T.LongType()) for n in lp_names]
     )
 
-    # ONE (k, pos, gram) explode for all nine gram sizes; the SQL
-    # literal '\\u0001' parses to _SEP (the \\x01 gram separator)
-    empty = "CAST(array() AS array<struct<k:int,pos:bigint,gram:string>>)"
-    gram_parts = ", ".join(
-        f"CASE WHEN size(_ws) >= {k} THEN "
-        f"transform(sequence(0, size(_ws) - {k}), "
-        f"i -> struct(CAST({k} AS INT) AS k, CAST(i AS BIGINT) AS pos, "
-        f"concat_ws('\\u0001', slice(_ws, i + 1, {k})) AS gram)) "
-        f"ELSE {empty} END"
-        for k in all_ks
-    )
-    rows = base.selectExpr(
-        id_col, f"explode(flatten(array({gram_parts}))) AS g"
-    ).selectExpr(id_col, "g.k", "g.pos", "g.gram")
-    counts = rows.groupBy(id_col, "k", "gram").agg(
-        F.count(F.lit(1)).cast("long").alias("cnt"),
-        # positions matter only for the coverage-union gram sizes; the
-        # top-k grams ship empty lists through the exchange (collect_
-        # list drops the NULLs map-side, shrinking the partial states)
-        F.sort_array(
-            F.collect_list(
-                F.when(F.col("k") >= min(dup_ks), F.col("pos"))
+    # Java \s is the ASCII class [ \t\n\x0B\f\r]; Python's \s is
+    # unicode-wide, so spell the class out for split parity.
+    ctrl_re = re.compile("[\x00-\x08\x0e-\x1f\x7f]")
+    ws_re = re.compile("[ \t\n\x0b\f\r]+")
+
+    def _doc_metrics(text):
+        t = ctrl_re.sub("", text)
+        lines = t.split("\n")
+        paras = t.split("\n\n")
+        s = t.strip(" ")  # Spark trim() strips spaces only
+        ws = ws_re.split(s) if s else []
+        n = len(ws)
+        lens = [len(w) for w in ws]
+        pre = [0] * (n + 1)  # token-length prefix sums
+        for i, ln_ in enumerate(lens):
+            pre[i + 1] = pre[i] + ln_
+        row = [pre[n]]
+        for k in top_ks:
+            grams: dict = {}
+            for i in range(n - k + 1):
+                g = tuple(ws[i : i + k])
+                grams[g] = grams.get(g, 0) + 1
+            best = (0, 0)
+            for g, cnt in grams.items():
+                cand = (cnt, sum(map(len, g)))
+                if cand > best:
+                    best = cand
+            row.append(best[0] * best[1])
+        for k in dup_ks:
+            seq = [tuple(ws[i : i + k]) for i in range(n - k + 1)]
+            grams = {}
+            for g in seq:
+                grams[g] = grams.get(g, 0) + 1
+            cov = 0
+            last = 0  # interval-union fold over ascending positions
+            for i, g in enumerate(seq):
+                if grams[g] >= 2:
+                    hi = i + k
+                    cov += pre[hi] - pre[max(i, last)]
+                    last = hi
+            row.append(cov)
+        row.append(len(lines))
+        row.append(len(set(lines)))
+        row.append(sum(len(x) for x in lines))
+        row.append(sum(len(x) for x in set(lines)))
+        row.append(len(paras))
+        row.append(len(set(paras)))
+        row.append(sum(len(x) for x in paras))
+        row.append(sum(len(x) for x in set(paras)))
+        return row
+
+    n_metric = len(counter_names) + len(lp_names)
+
+    def _kernel(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            out_rows = []
+            for idv, text in zip(pdf[id_col], pdf[text_col]):
+                if text is None:
+                    out_rows.append([idv] + [None] * n_metric)
+                else:
+                    out_rows.append([idv] + _doc_metrics(text))
+            yield pd.DataFrame(out_rows, columns=[id_col, *counter_names, *lp_names])
+
+    metrics = docs.select(id_col, text_col).mapInPandas(_kernel, kern_schema)
+
+    lp_flag_cols = []
+    for side, pre_ in (("l", "line"), ("p", "para")):
+        nn, nd = F.col(f"_{side}n"), F.col(f"_{side}nd")
+        cc, cd = F.col(f"_{side}c"), F.col(f"_{side}cd")
+        lp_flag_cols.append(
+            _frac_ok(nn - nd, nn, _LINE_PARA_RULES[f"ok_dup_{pre_}_frac"]).alias(
+                f"ok_dup_{pre_}_frac"
             )
-        ).alias("positions"),
-    ).withColumn(
-        "gram_chars",
-        (F.length("gram") - (F.col("k") - 1)).cast("long"),
-    )
-
-    top = (
-        counts.filter(F.col("k").isin(top_ks))
-        .groupBy(id_col, "k")
-        .agg(
-            F.max(F.struct("cnt", "gram_chars", "gram")).alias("_m")
         )
-        .select(
-            id_col,
-            "k",
-            (F.col("_m.cnt") * F.col("_m.gram_chars")).alias("cov"),
+        lp_flag_cols.append(
+            _frac_ok(cc - cd, cc, _LINE_PARA_RULES[f"ok_dup_{pre_}_chars"]).alias(
+                f"ok_dup_{pre_}_chars"
+            )
         )
-        .groupBy(id_col)
-        .pivot("k", top_ks)
-        .agg(F.first("cov"))
-    )
-    top = top.select(
-        id_col, *[F.col(str(k)).alias(f"_top{k}") for k in top_ks]
-    )
-
-    # duplicated-gram coverage: union of [pos, pos+k) word intervals,
-    # folded over this k's sorted duplicated positions per doc
-    dup_pos = (
-        counts.filter((F.col("k").isin(dup_ks)) & (F.col("cnt") >= 2))
-        .select(id_col, "k", F.explode("positions").alias("pos"))
-        .groupBy(id_col, "k")
-        .agg(F.sort_array(F.collect_list("pos")).alias("ps"))
-        .join(base.select(id_col, "_ws"), id_col)
-    )
-    fold = F.expr(
-        "aggregate(ps, "
-        "named_struct('last', CAST(0 AS BIGINT), 'cov', CAST(0 AS BIGINT)), "
-        "(acc, p) -> named_struct("
-        "'last', p + CAST(k AS BIGINT), "
-        "'cov', acc.cov + aggregate("
-        "slice(_ws, CAST(greatest(p, acc.last) + 1 AS INT), "
-        "CAST(p + CAST(k AS BIGINT) - greatest(p, acc.last) AS INT)), "
-        "CAST(0 AS BIGINT), (a, w) -> a + length(w))), "
-        "acc -> acc.cov)"
-    )
-    dup = (
-        dup_pos.select(id_col, "k", fold.alias("cov"))
-        .groupBy(id_col)
-        .pivot("k", dup_ks)
-        .agg(F.first("cov"))
-    )
-    dup = dup.select(
-        id_col, *[F.col(str(k)).alias(f"_dup{k}") for k in dup_ks]
-    )
-
-    out = lp.join(top, id_col, "left").join(dup, id_col, "left")
     c = F.col("n_word_chars")
-    counter_cols, flag_cols = [], []
-    for k in top_ks:
-        cov = F.coalesce(F.col(f"_top{k}"), F.lit(0)).cast("long")
-        counter_cols.append(cov.alias(f"top_{k}gram_chars"))
-        flag_cols.append(
-            _frac_ok(cov, c, _TOP_NGRAM_RULES[k]).alias(f"ok_top_{k}gram")
+    flag_cols = [
+        _frac_ok(F.col(f"top_{k}gram_chars"), c, _TOP_NGRAM_RULES[k]).alias(
+            f"ok_top_{k}gram"
         )
-    for k in dup_ks:
-        cov = F.coalesce(F.col(f"_dup{k}"), F.lit(0)).cast("long")
-        counter_cols.append(cov.alias(f"dup_{k}gram_chars"))
-        flag_cols.append(
-            _frac_ok(cov, c, _DUP_NGRAM_RULES[k]).alias(f"ok_dup_{k}gram")
+        for k in top_ks
+    ] + [
+        _frac_ok(F.col(f"dup_{k}gram_chars"), c, _DUP_NGRAM_RULES[k]).alias(
+            f"ok_dup_{k}gram"
         )
+        for k in dup_ks
+    ]
+    out = metrics.select(
+        id_col,
+        "n_word_chars",
+        *[F.col(n) for n in counter_names[1:]],
+        *lp_flag_cols,
+        *flag_cols,
+    )
+    # column order of the expression form: frac flags first, then chars
     out = out.select(
         id_col,
         "n_word_chars",
-        *counter_cols,
+        *counter_names[1:],
         *[F.col(n) for n in _LINE_PARA_RULES],
-        *flag_cols,
+        *[f"ok_top_{k}gram" for k in top_ks],
+        *[f"ok_dup_{k}gram" for k in dup_ks],
     )
     keep = None
     for name in [

@@ -217,9 +217,11 @@ def _write_stats_base(
     overwrite exactly its own delta instead of double-bumping. A
     CREATING streaming batch keys its base row by its own bid (not -1)
     so its retry-through-append self-excludes it correctly."""
-    spark.createDataFrame(
-        [(n, t, n_buckets, batch)], "n long, t long, n_buckets int, batch int"
-    ).coalesce(1).write.mode("overwrite").partitionBy("batch").parquet(
+    from sstable_migrator_spark.sinks import local_rows_df
+
+    local_rows_df(
+        spark, [(n, t, n_buckets, batch)], "n long, t long, n_buckets int, batch int"
+    ).write.mode("overwrite").partitionBy("batch").parquet(
         os.path.join(path, "_corpus_stats")
     )
 
@@ -331,10 +333,13 @@ def append_postings_index(
         .first()
     )
     dn, dt = int(dn), int(dt or 0)
-    delta = spark.createDataFrame(
+    from sstable_migrator_spark.sinks import local_rows_df
+
+    delta = local_rows_df(
+        spark,
         [(dn, dt, n_buckets, -2 if batch is None else int(batch))],
         "n long, t long, n_buckets int, batch int",
-    ).coalesce(1)
+    )
     w = delta.write.partitionBy("batch")
     if batch is None:
         w.mode("append").parquet(os.path.join(path, "_corpus_stats"))

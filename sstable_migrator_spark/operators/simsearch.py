@@ -653,9 +653,11 @@ def write_ann_index(
     assigned.repartition("cell").write.mode("overwrite").partitionBy(
         "cell"
     ).parquet(path)
-    spark.createDataFrame(
-        [(c, v) for c, v in cents], "cell_id int, centroid array<double>"
-    ).coalesce(1).write.mode("overwrite").parquet(
+    from sstable_migrator_spark.sinks import local_rows_df
+
+    local_rows_df(
+        spark, [(c, v) for c, v in cents], "cell_id int, centroid array<double>"
+    ).write.mode("overwrite").parquet(
         os.path.join(path, "_centroids")
     )
     if codebooks is not None:
@@ -664,9 +666,9 @@ def write_ann_index(
             for s in range(pq_m)
             for c in range(pq_k)
         ]
-        spark.createDataFrame(
-            rows, "subspace int, code int, centroid array<double>"
-        ).coalesce(1).write.mode("overwrite").parquet(
+        local_rows_df(
+            spark, rows, "subspace int, code int, centroid array<double>"
+        ).write.mode("overwrite").parquet(
             os.path.join(path, "_codebooks")
         )
     write_ann_index_params(path, dim, len(cents), pq_m, pq_k, pq_residual)

@@ -49,6 +49,26 @@ def scratch_path(slot: str, wipe: bool = True) -> str:
     return path
 
 
+def local_rows_df(spark, rows, schema) -> DataFrame:
+    """A DataFrame over a SMALL driver-side row list (model sidecars,
+    stats deltas, run-log rows) as ONE partition.
+
+    Round-10 measurement: ``spark.createDataFrame(rows, schema)``
+    parallelizes even a single row across ``defaultParallelism``
+    Python partitions (32 locally), and the customary
+    ``.coalesce(1)`` before a sidecar write then evaluates all 32
+    parent partitions SEQUENTIALLY inside one task — ~125 ms of
+    Python-worker round trip each, ~4-6 s per one-row sidecar write
+    (vs ~0.3 s via a single source partition). Parallelizing with
+    ``numSlices=1`` gives the same single output file for a fraction
+    of the cost, on any cluster size — these row lists are KB-sized
+    models/stats by contract, so one partition is the right shape at
+    100 TB too."""
+    return spark.createDataFrame(
+        spark.sparkContext.parallelize(list(rows), 1), schema
+    )
+
+
 def cassandra_shaped_write(
     df: DataFrame,
     path: str,

@@ -54,7 +54,9 @@ def append_run_log(
             {k: int(v) for k, v in metrics.items()},
         )
     ]
-    spark.createDataFrame(row, RUN_LOG_SCHEMA).coalesce(1).write.mode("append").parquet(
+    from sstable_migrator_spark.sinks import local_rows_df
+
+    local_rows_df(spark, row, RUN_LOG_SCHEMA).write.mode("append").parquet(
         log_path
     )
 
