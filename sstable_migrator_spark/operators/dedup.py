@@ -1330,14 +1330,18 @@ def strip_duplicated_spans(
         raise ValueError(f"k must be >= 2, got {k}")
     staged = _stage_tokens(docs, text_col, id_col)
     wins = _window_keys(staged, id_col, k)
-    dup_keys = (
-        wins.groupBy("wkey")
-        .agg(F.count(F.lit(1)).alias("c"))
-        .filter(F.col("c") >= 2)
-        .select("wkey")
-    )
+    # Duplicated-window detection in ONE pass over the exploded
+    # windows (round-10, guide §2.4): a count() window partitioned by
+    # wkey marks every occurrence with its corpus-wide frequency, so
+    # the duplicate filter happens on the SAME shuffled pass that
+    # counts — the previous two-branch form (groupBy count -> filter
+    # -> join back) exploded and md5-keyed every window TWICE and paid
+    # a second wkey exchange plus a sort-merge join. Same output, one
+    # fewer data-sized exchange, one window-key pass instead of two.
+    wcnt = Window.partitionBy("wkey")
     dup_starts = (
-        wins.join(dup_keys, "wkey")
+        wins.withColumn("_c", F.count(F.lit(1)).over(wcnt))
+        .filter(F.col("_c") >= 2)
         .groupBy(id_col)
         .agg(F.collect_list("start").alias("_starts"))
     )
@@ -1354,7 +1358,14 @@ def _stage_tokens(docs: DataFrame, text_col: str, id_col: str) -> DataFrame:
 
 
 def _window_keys(staged: DataFrame, id_col: str, k: int) -> DataFrame:
-    """Explode every k-token window start with its content-md5 key."""
+    """Explode every k-token window start with its content-md5 key.
+
+    The key is the RAW 16-byte digest (``unhex(md5(...))``), not the
+    32-char hex string: the key is internal (only its equality is
+    observable), content-keyed md5 keeps the 128-bit no-collision
+    contract at 100 TB window counts where a 64-bit hash would not,
+    and halving the key halves the bytes every wkey exchange and sort
+    moves (round-10, guide §2.3)."""
     win_starts = F.when(
         F.col("_n") >= k, F.sequence(F.lit(1), (F.col("_n") - (k - 1)).cast("int"))
     ).otherwise(F.array().cast("array<int>"))
@@ -1365,8 +1376,8 @@ def _window_keys(staged: DataFrame, id_col: str, k: int) -> DataFrame:
     ).select(
         id_col,
         "start",
-        F.md5(
-            F.array_join(F.slice("_tk", F.col("start"), k), " ")
+        F.unhex(
+            F.md5(F.array_join(F.slice("_tk", F.col("start"), k), " "))
         ).alias("wkey"),
     )
 

@@ -98,24 +98,102 @@ def _bigrams(
     """Explode each document into (ctx, tok) bigram bucket pairs.
     Documents with fewer than two tokens contribute nothing — unless
     ``outer`` is set, in which case they survive as a single row with
-    NULL ctx/tok (explode_outer), so scoring can keep empty documents
-    on the row instead of re-joining a spine."""
+    NULL ctx/tok, so scoring can keep empty documents on the row
+    instead of re-joining a spine. Output columns: ``df``'s columns
+    MINUS ``text_col`` (per-bigram rows must not replicate the
+    document text), plus ``ctx``/``tok``.
+
+    The portable (md5-bucket) path runs as an Arrow kernel (round-10,
+    guide §4.2): the previous ``transform(toks, md5-bucket)`` HOF is
+    INTERPRETED per element — Spark never codegens lambda bodies — and
+    the ~6-node expression walk per token dominated scoring (measured
+    1.67 s of the q182 entry's 2.6 s at sf0.1 for the explode alone;
+    ~0.35 s as this kernel, C md5 via hashlib). Map-only either way:
+    the kernel preserves the zero-shuffle shape, only (id, text) cross
+    the boundary, and tokenize/lower/bucket semantics are pinned by
+    the q182/q231 oracle at three SFs plus test_lm."""
     from sstable_migrator_spark.functions import text as TX
 
-    toks = TX.tokens(F.lower(F.col(text_col)))
-    buckets = F.transform(toks, lambda t: _bucket(t, vocab, portable))
-    pairs = F.when(
-        F.size(buckets) >= 2,
-        F.zip_with(
-            F.slice(buckets, 1, F.greatest(F.size(buckets) - 1, F.lit(1))),
-            F.slice(buckets, 2, F.greatest(F.size(buckets) - 1, F.lit(1))),
-            lambda a, b: F.struct(a.alias("ctx"), b.alias("tok")),
-        ),
-    ).otherwise(F.array().cast("array<struct<ctx:long,tok:long>>"))
-    ex = F.explode_outer(pairs) if outer else F.explode(pairs)
-    return df.withColumn("_bg", ex).select(
-        *df.columns, F.col("_bg.ctx").alias("ctx"), F.col("_bg.tok").alias("tok")
+    if not portable:
+        toks = TX.tokens(F.lower(F.col(text_col)))
+        buckets = F.transform(toks, lambda t: _bucket(t, vocab, portable))
+        pairs = F.when(
+            F.size(buckets) >= 2,
+            F.zip_with(
+                F.slice(buckets, 1, F.greatest(F.size(buckets) - 1, F.lit(1))),
+                F.slice(buckets, 2, F.greatest(F.size(buckets) - 1, F.lit(1))),
+                lambda a, b: F.struct(a.alias("ctx"), b.alias("tok")),
+            ),
+        ).otherwise(F.array().cast("array<struct<ctx:long,tok:long>>"))
+        ex = F.explode_outer(pairs) if outer else F.explode(pairs)
+        return df.withColumn("_bg", ex).select(
+            *[c for c in df.columns if c != text_col],
+            F.col("_bg.ctx").alias("ctx"),
+            F.col("_bg.tok").alias("tok"),
+        )
+
+    import hashlib
+    import re as _re
+
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    keep_cols = [c for c in df.columns if c != text_col]
+    schema = T.StructType(
+        [df.schema[c] for c in keep_cols]
+        + [T.StructField("ctx", T.LongType()), T.StructField("tok", T.LongType())]
     )
+    seed_prefix = f"{_LM_SEED}|".encode()
+    # Java \s (ASCII class), Spark trim (spaces only) — the exact
+    # TX.tokens(F.lower(...)) semantics
+    ws_re = _re.compile("[ \\t\\n\\x0b\\f\\r]+")
+    md5 = hashlib.md5
+
+    import numpy as np
+
+    def _kernel(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            reps = np.zeros(len(pdf), dtype=np.int64)  # bigrams per row
+            ctx_parts: list[np.ndarray] = []
+            tok_parts: list[np.ndarray] = []
+            outer_idx: list[int] = []
+            for i, text in enumerate(pdf[text_col]):
+                s = (text or "").lower().strip(" ")
+                toks = ws_re.split(s) if s else []
+                if len(toks) < 2:
+                    if outer:
+                        outer_idx.append(i)
+                    continue
+                b = np.fromiter(
+                    (
+                        int(md5(seed_prefix + t.encode("utf-8")).hexdigest()[:15], 16)
+                        for t in toks
+                    ),
+                    dtype=np.int64,
+                    count=len(toks),
+                ) % vocab
+                reps[i] = len(toks) - 1
+                ctx_parts.append(b[:-1])
+                tok_parts.append(b[1:])
+            out = pd.DataFrame(
+                {c: np.repeat(pdf[c].to_numpy(), reps) for c in keep_cols}
+            )
+            out["ctx"] = (
+                np.concatenate(ctx_parts) if ctx_parts else np.empty(0, np.int64)
+            )
+            out["tok"] = (
+                np.concatenate(tok_parts) if tok_parts else np.empty(0, np.int64)
+            )
+            if outer_idx:
+                empties = pdf.iloc[outer_idx][keep_cols].copy()
+                empties["ctx"] = None
+                empties["tok"] = None
+                out = pd.concat([out, empties], ignore_index=True)
+            yield out
+
+    return df.mapInPandas(_kernel, schema)
 
 
 def train_bigram_lm(
@@ -155,7 +233,23 @@ def train_bigram_lm(
             F.lit(1).cast("long"), (F.col("ctot") + vocab).cast("long")
         ).alias("sq"),
     )
-    return seen.unionByName(backoff)
+    out = seen.unionByName(backoff)
+    # Materialize the fitted table ONCE (round-10, guide §2.4/§5):
+    # scoring filters this table twice (seen rows, backoff rows) and
+    # broadcasts each side, and Spark does not share non-identical
+    # broadcast subplans — as a lazy plan the whole training
+    # aggregation (a corpus-slice pass) re-ran once PER CONSUMER,
+    # twice per score call (measured: the q182 plan carried 18
+    # exchanges, two full train passes; 2 after this change). The
+    # table is bounded by V^2 + V rows BY CONSTRUCTION (hashed
+    # vocabulary — the reason it is broadcastable at all), so cutting
+    # the lineage here is O(V^2) executor storage at any corpus size
+    # and the train pass runs exactly once. localCheckpoint (not a
+    # driver collect: these are ~V^2 rows, and a Python round trip
+    # costs more than the job it saves) keeps the rows JVM-side;
+    # integer columns only, so the materialized rows are
+    # bit-identical to the lazy plan's.
+    return out.localCheckpoint(eager=True)
 
 
 def perplexity_score(
