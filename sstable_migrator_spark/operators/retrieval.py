@@ -228,15 +228,27 @@ def _write_stats_base(
 
 def read_corpus_stats(spark, path: str) -> dict:
     """The corpus constants scoring needs: SUM over the delta rows
-    (one base row + one per append). O(appends) rows — KBs."""
-    n, t, nb = (
-        spark.read.parquet(os.path.join(path, "_corpus_stats"))
-        .agg(F.sum("n"), F.sum("t"), F.max("n_buckets"))
-        .first()
+    (one base row + one per append). O(appends) rows — KBs, so read
+    DRIVER-side with pyarrow (round-10): the Spark scan+agg it
+    replaces cost a scheduler round trip per serve call. Same
+    shared-filesystem visibility contract as the index itself."""
+    import pyarrow.parquet as pq
+
+    tbl = pq.read_table(
+        os.path.join(path, "_corpus_stats"), columns=["n", "t", "n_buckets"]
     )
-    if nb is None:
+    if tbl.num_rows == 0:
         raise ValueError(f"postings index at {path} has empty _corpus_stats")
-    return {"n": int(n or 0), "t": int(t or 0), "n_buckets": int(nb)}
+    ns = tbl.column("n").to_pylist()
+    ts = tbl.column("t").to_pylist()
+    nbs = [x for x in tbl.column("n_buckets").to_pylist() if x is not None]
+    if not nbs:
+        raise ValueError(f"postings index at {path} has empty _corpus_stats")
+    return {
+        "n": sum(x or 0 for x in ns),
+        "t": sum(x or 0 for x in ts),
+        "n_buckets": int(max(nbs)),
+    }
 
 
 def append_postings_index(

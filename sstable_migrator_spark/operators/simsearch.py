@@ -232,6 +232,63 @@ def ivf_probe_cells(
     return queries.mapInPandas(probe, out_schema)
 
 
+def _score_candidates_cosine(
+    cand: DataFrame, corpus_id: str, corpus_vec: str
+) -> DataFrame:
+    """(query_id, neighbor_id, cosine) over joined candidate rows
+    carrying ``corpus_vec`` and the query vector ``_qv`` — the exact
+    serve-path scorer, as an Arrow kernel (round-10, guide §4.2).
+
+    The expression form (``VX.cosine``) is three interpreted
+    higher-order folds per row — Spark never codegens lambda bodies —
+    and at |queries| x |probed candidates| rows it dominated the
+    set-to-set serve (measured: 2.1 s of q236's 3.3 s at sf0.1; ~0.4 s
+    as this kernel). BIT-IDENTICAL by construction, not approximately:
+    products are elementwise IEEE doubles, and ``np.cumsum`` produces
+    every prefix sum, which forces the same left-to-right addition
+    chain as ``aggregate(zip_with(a, b, *), 0.0, +)`` — numpy's usual
+    pairwise-summation shortcut (np.sum) is exactly what this must NOT
+    use. sqrt/division are correctly-rounded IEEE ops in both engines;
+    the zero-norm guard mirrors VX.cosine's ``otherwise(0.0)``."""
+    import numpy as np
+    import pandas as pd
+
+    qid_field = cand.schema["query_id"]
+    nid_type = cand.schema[corpus_id].dataType
+    out_schema = T.StructType(
+        [
+            T.StructField("query_id", qid_field.dataType),
+            T.StructField("neighbor_id", nid_type),
+            T.StructField("cosine", T.DoubleType()),
+        ]
+    )
+
+    def score(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            v = np.stack(pdf[corpus_vec].to_numpy()).astype(np.float64)
+            q = np.stack(pdf["_qv"].to_numpy()).astype(np.float64)
+            d = np.cumsum(v * q, axis=1)[:, -1]
+            nc = np.sqrt(np.cumsum(v * v, axis=1)[:, -1])
+            nq = np.sqrt(np.cumsum(q * q, axis=1)[:, -1])
+            ok = (nc > 0) & (nq > 0)
+            # avoid 0/0 warnings; masked lanes are overwritten with 0.0
+            denom = np.where(ok, nc * nq, 1.0)
+            cos = np.where(ok, d / denom, 0.0)
+            yield pd.DataFrame(
+                {
+                    "query_id": pdf["query_id"],
+                    "neighbor_id": pdf[corpus_id],
+                    "cosine": cos,
+                }
+            )
+
+    return cand.select("query_id", corpus_id, corpus_vec, "_qv").mapInPandas(
+        score, out_schema
+    )
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -681,35 +738,45 @@ def write_ann_index(
 def read_ann_centroids(spark, path: str) -> list[tuple[int, list[float]]]:
     """The index's own centroid model — n_cells rows (bounded: the
     model is KBs at any corpus scale), in the list form every IVF
-    function here takes."""
+    function here takes.
+
+    Read DRIVER-side with pyarrow (round-10): a KB-sized sidecar does
+    not need a cluster job — the Spark read+collect it replaces cost a
+    full scheduler round trip per serve call. Same visibility contract
+    as ``_params.json`` (already plain ``open()``): the index path is
+    on the shared filesystem the driver and executors both see."""
     import os
 
-    rows = (
-        spark.read.parquet(os.path.join(path, "_centroids"))
-        .orderBy("cell_id")
-        .collect()
-    )
-    return [(int(r["cell_id"]), [float(x) for x in r["centroid"]]) for r in rows]
+    import pyarrow.parquet as pq
+
+    tbl = pq.read_table(os.path.join(path, "_centroids"))
+    pairs = zip(tbl.column("cell_id").to_pylist(), tbl.column("centroid").to_pylist())
+    return sorted((int(c), [float(x) for x in v]) for c, v in pairs)
 
 
 def read_ann_codebooks(spark, path: str):
     """The index's PQ codebooks as the (m, k, dsub) ndarray ``pq_*``
     functions take, or None for an IVF-flat index (no ``_codebooks``
-    directory — flat indexes store raw vectors instead)."""
+    directory — flat indexes store raw vectors instead). Driver-side
+    pyarrow read — see read_ann_centroids."""
     import os
 
     import numpy as np
+    import pyarrow.parquet as pq
 
     p = os.path.join(path, "_codebooks")
     if not os.path.isdir(p):
         return None
-    rows = spark.read.parquet(p).orderBy("subspace", "code").collect()
-    m = max(r["subspace"] for r in rows) + 1
-    k = max(r["code"] for r in rows) + 1
-    dsub = len(rows[0]["centroid"])
+    tbl = pq.read_table(p)
+    subs = tbl.column("subspace").to_pylist()
+    codes = tbl.column("code").to_pylist()
+    cents = tbl.column("centroid").to_pylist()
+    m = max(subs) + 1
+    k = max(codes) + 1
+    dsub = len(cents[0])
     books = np.empty((m, k, dsub))
-    for r in rows:
-        books[r["subspace"]][r["code"]] = r["centroid"]
+    for s, c, v in zip(subs, codes, cents):
+        books[s][c] = v
     return books
 
 
@@ -1132,16 +1199,13 @@ def ann_join(
     )
 
     if scoring == "exact":
-        cand = (
+        cand = _score_candidates_cosine(
             spark.read.parquet(path)
             .filter(F.col("cell").isin(want_cells))
             .select(corpus_id, corpus_vec, "cell")
-            .join(probes, F.col("cell") == F.col("_probe"))
-            .select(
-                "query_id",
-                F.col(corpus_id).alias("neighbor_id"),
-                VX.cosine(F.col(corpus_vec), F.col("_qv")).alias("cosine"),
-            )
+            .join(probes, F.col("cell") == F.col("_probe")),
+            corpus_id,
+            corpus_vec,
         )
         w = Window.partitionBy("query_id").orderBy(
             F.col("cosine").desc(), F.col("neighbor_id").asc()
@@ -1404,15 +1468,11 @@ def ann_range_join(
     want_cells = sorted(
         r["_probe"] for r in probes.select("_probe").distinct().collect()
     )
-    return (
+    return _score_candidates_cosine(
         spark.read.parquet(path)
         .filter(F.col("cell").isin(want_cells))
         .select(corpus_id, corpus_vec, "cell")
-        .join(probes, F.col("cell") == F.col("_probe"))
-        .select(
-            "query_id",
-            F.col(corpus_id).alias("neighbor_id"),
-            VX.cosine(F.col(corpus_vec), F.col("_qv")).alias("cosine"),
-        )
-        .filter(F.col("cosine") >= float(min_cosine))
-    )
+        .join(probes, F.col("cell") == F.col("_probe")),
+        corpus_id,
+        corpus_vec,
+    ).filter(F.col("cosine") >= float(min_cosine))
