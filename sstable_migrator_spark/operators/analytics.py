@@ -169,8 +169,14 @@ def global_prefix_sum(
     spark = df.sparkSession
     if parts is None:
         parts = max(spark.sparkContext.defaultParallelism, 1)
+    # Pin the INPUT before range partitioning (round-10, guide §5):
+    # repartitionByRange runs a sampling pass to pick range bounds, so
+    # an unpinned upstream (often a scoring kernel or tokenize chain)
+    # executed TWICE — once for the sample, once for the exchange.
+    # One materialization, then both passes read stored rows.
+    src = df.localCheckpoint()
     ranged = (
-        df.repartitionByRange(parts, *order_cols)
+        src.repartitionByRange(parts, *order_cols)
         .withColumn("_pid", F.spark_partition_id())
         .localCheckpoint()
     )
@@ -182,9 +188,13 @@ def global_prefix_sum(
     for pid, tot in totals:
         offsets[pid] = acc
         acc += tot
+    from sstable_migrator_spark.sinks import local_rows_df
+
     off_df = F.broadcast(
-        spark.createDataFrame(
-            [(int(p), int(o)) for p, o in offsets.items()], "_pid int, _off long"
+        local_rows_df(
+            spark,
+            [(int(p), int(o)) for p, o in offsets.items()],
+            "_pid int, _off long",
         )
     )
     w = Window.partitionBy("_pid").orderBy(*order_cols)
@@ -224,8 +234,11 @@ def grouped_prefix_sum(
     if parts is None:
         parts = max(spark.sparkContext.defaultParallelism, 1)
     keys = [*group_cols, *order_cols]
+    # pin the input once — see global_prefix_sum (the range sampler
+    # would otherwise re-run the upstream)
+    src = df.localCheckpoint()
     ranged = (
-        df.repartitionByRange(parts, *[F.col(c) for c in keys])
+        src.repartitionByRange(parts, *[F.col(c) for c in keys])
         .withColumn("_pid", F.spark_partition_id())
         .localCheckpoint()
     )
@@ -249,7 +262,9 @@ def grouped_prefix_sum(
         .schema.add("_pid", T.IntegerType())
         .add("_off", T.LongType())
     )
-    off_df = F.broadcast(spark.createDataFrame(rows, off_schema))
+    from sstable_migrator_spark.sinks import local_rows_df
+
+    off_df = F.broadcast(local_rows_df(spark, rows, off_schema))
     w = Window.partitionBy("_pid", *group_cols).orderBy(*order_cols)
     out = (
         ranged.join(off_df, ["_pid", *group_cols])

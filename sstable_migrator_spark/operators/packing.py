@@ -528,7 +528,9 @@ def systematic_sample_per_group(
             T.StructField("_t", T.LongType()),
         ]
     )
-    mdf = F.broadcast(spark.createDataFrame(meta, mschema))
+    from sstable_migrator_spark.sinks import local_rows_df
+
+    mdf = F.broadcast(local_rows_df(spark, meta, mschema))
 
     def picks(x):
         # same DECIMAL(38,0) discipline as the global sampler: 2*n_g*x
@@ -670,8 +672,11 @@ def pack_documents_greedy(
         offsets[p] = run
         run += counts[p]
     spark = docs.sparkSession
+    from sstable_migrator_spark.sinks import local_rows_df
+
     odf = F.broadcast(
-        spark.createDataFrame(
+        local_rows_df(
+            spark,
             [(p, o) for p, o in offsets.items()] or [(0, 0)],
             "_part int, _off long",
         )

@@ -194,19 +194,73 @@ def score_quality_frozen(
     m = num_features or len(weights)
     if len(weights) != m:
         raise ValueError(f"{len(weights)} weights for {m} features")
-    warr = F.array(*[F.lit(int(w)).cast("long") for w in weights])
-    toks = TX.tokens(F.lower(F.col(text_col)))
-    score = F.lit(int(bias)).cast("long") + F.aggregate(
-        toks,
-        F.lit(0).cast("long"),
-        lambda acc, t: acc
-        + F.element_at(
-            warr, (portable_feature_bucket(t, m, portable) + 1).cast("int")
-        ),
+    if not portable:
+        warr = F.array(*[F.lit(int(w)).cast("long") for w in weights])
+        toks = TX.tokens(F.lower(F.col(text_col)))
+        score = F.lit(int(bias)).cast("long") + F.aggregate(
+            toks,
+            F.lit(0).cast("long"),
+            lambda acc, t: acc
+            + F.element_at(
+                warr, (portable_feature_bucket(t, m, portable) + 1).cast("int")
+            ),
+        )
+        return df.withColumn(score_col, score).withColumn(
+            keep_col, (F.col(score_col) > threshold).cast("int")
+        )
+
+    # Portable (md5-bucket) scoring as an Arrow kernel (round-10, guide
+    # §4.2): the aggregate() fold hashes every token through an
+    # INTERPRETED lambda — Spark never codegens HOF bodies — and that
+    # per-token expression walk was the dominant term of every entry
+    # that scores with the frozen model (q181/q208/q211/q212). C md5
+    # via hashlib, integer sums — exact by construction; still a
+    # map-only projection (all input columns pass through untouched,
+    # plus the score and keep columns). Tokenization parity with
+    # TX.tokens(F.lower(...)): Spark trim strips spaces only, Java \s
+    # is the ASCII class.
+    import hashlib
+    import re as _re
+
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        list(df.schema.fields)
+        + [T.StructField(score_col, T.LongType()), T.StructField(keep_col, T.IntegerType())]
     )
-    return df.withColumn(score_col, score).withColumn(
-        keep_col, (F.col(score_col) > threshold).cast("int")
-    )
+    seed_prefix = f"{_QM_SEED}|".encode()
+    ws_re = _re.compile("[ \\t\\n\\x0b\\f\\r]+")
+    md5 = hashlib.md5
+    w_by_bucket = [int(w) for w in weights]
+    bias_i = int(bias)
+    thr = int(threshold)
+
+    def _score(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            scores = []
+            for text in pdf[text_col]:
+                if text is None:
+                    scores.append(None)
+                    continue
+                s = text.lower().strip(" ")
+                toks = ws_re.split(s) if s else []
+                acc = bias_i
+                for t in toks:
+                    acc += w_by_bucket[
+                        int(md5(seed_prefix + t.encode("utf-8")).hexdigest()[:15], 16)
+                        % m
+                    ]
+                scores.append(acc)
+            out = pdf.copy()
+            out[score_col] = scores
+            out[keep_col] = [
+                None if v is None else int(v > thr) for v in scores
+            ]
+            yield out
+
+    return df.mapInPandas(_score, schema)
 
 
 def ranked_auc(
