@@ -49,7 +49,7 @@ def scratch_path(slot: str, wipe: bool = True) -> str:
     return path
 
 
-def local_rows_df(spark, rows, schema) -> DataFrame:
+def local_rows_df(spark, rows, schema, slices: int = 1) -> DataFrame:
     """A DataFrame over a SMALL driver-side row list (model sidecars,
     stats deltas, run-log rows) as ONE partition.
 
@@ -63,9 +63,18 @@ def local_rows_df(spark, rows, schema) -> DataFrame:
     ``numSlices=1`` gives the same single output file for a fraction
     of the cost, on any cluster size — these row lists are KB-sized
     models/stats by contract, so one partition is the right shape at
-    100 TB too."""
+    100 TB too.
+
+    ``slices=len(rows)`` replaces the other recurring form,
+    ``createDataFrame(items).repartitionByRange(len(items), "i")`` (one
+    work item per task for executor-side file readers/compactors):
+    ``parallelize`` chunks the list in order — exactly one row per
+    slice — so the placement is identical without the range sampler's
+    extra pass or the exchange."""
+    rows = list(rows)
     return spark.createDataFrame(
-        spark.sparkContext.parallelize(list(rows), 1), schema
+        spark.sparkContext.parallelize(rows, max(1, min(slices, max(len(rows), 1)))),
+        schema,
     )
 
 

@@ -171,9 +171,14 @@ def read_arrow_shards(
         arrow_schema = pa.ipc.open_stream(fh).schema
     spark_schema = from_arrow_schema(arrow_schema)
 
-    dirs_df = spark.createDataFrame(
-        [(i, s) for i, s in enumerate(shards)], "i int, shard string"
-    ).repartitionByRange(len(shards), "i")
+    from . import local_rows_df
+
+    dirs_df = local_rows_df(
+        spark,
+        [(i, s) for i, s in enumerate(shards)],
+        "i int, shard string",
+        slices=len(shards),
+    )
 
     def _scan(batches):
         for pdf in batches:

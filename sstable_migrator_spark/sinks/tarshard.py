@@ -168,9 +168,14 @@ def read_tar_shards(
     shards = sorted(_glob.glob(os.path.join(path, "shard-*.tar")))
     if not shards:
         raise ValueError(f"no tar shards under {path}")
-    dirs_df = spark.createDataFrame(
-        [(i, s) for i, s in enumerate(shards)], "i int, shard string"
-    ).repartitionByRange(len(shards), "i")
+    from . import local_rows_df
+
+    dirs_df = local_rows_df(
+        spark,
+        [(i, s) for i, s in enumerate(shards)],
+        "i int, shard string",
+        slices=len(shards),
+    )
     schema = f"`{key_col}` string, " + ", ".join(
         f"`{c}` {'binary' if c in binary else 'string'}" for c in payload_cols
     )

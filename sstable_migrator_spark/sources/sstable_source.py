@@ -143,13 +143,18 @@ def read_sstables(
         f"`{n}` {_CQL_TO_SPARK[c]}" for n, c in zip(names, cqls)
     )
 
-    # repartitionByRange on a sequential index pins ONE sstable per
-    # task; hash repartition on the path would leave ~1/e tasks empty
-    # and others reading 2-3 sstables
-    dirs_df = spark.createDataFrame(
+    # one sstable per task; parallelize with one row per slice pins the
+    # placement without the range sampler's extra pass or an exchange
+    # (hash repartition on the path would leave ~1/e tasks empty and
+    # others reading 2-3 sstables)
+    from ..sinks import local_rows_df
+
+    dirs_df = local_rows_df(
+        spark,
         [(i, d, p) for i, (d, p) in enumerate(tables)],
         "i int, dir string, prefix string",
-    ).repartitionByRange(len(tables), "i")
+        slices=len(tables),
+    )
 
     def _scan(batches):
         import pandas as pd

@@ -377,9 +377,14 @@ def read_warc_responses(
     files = sorted(_glob.glob(path))
     if not files:
         raise ValueError(f"no WARC files match {path}")
-    dirs_df = spark.createDataFrame(
-        [(i, f) for i, f in enumerate(files)], "i int, file string"
-    ).repartitionByRange(len(files), "i")
+    from ..sinks import local_rows_df
+
+    dirs_df = local_rows_df(
+        spark,
+        [(i, f) for i, f in enumerate(files)],
+        "i int, file string",
+        slices=len(files),
+    )
 
     def _scan(batches):
         for pdf in batches:
@@ -443,9 +448,14 @@ def read_wet(
     files = sorted(_glob.glob(path))
     if not files:
         raise ValueError(f"no WET files match {path}")
-    dirs_df = spark.createDataFrame(
-        [(i, f) for i, f in enumerate(files)], "i int, file string"
-    ).repartitionByRange(len(files), "i")
+    from ..sinks import local_rows_df
+
+    dirs_df = local_rows_df(
+        spark,
+        [(i, f) for i, f in enumerate(files)],
+        "i int, file string",
+        slices=len(files),
+    )
     types = set(record_types)
 
     def _scan(batches):
