@@ -1318,14 +1318,14 @@ def strip_duplicated_spans(
     the text map-side: coverage = union of [start, start+k) intervals,
     kept = tokens whose position escapes it. Shuffles carry 16-byte
     keys + ids only; per-doc state is O(doc length). The default
-    in-doc filter is O(n x covered) linear scans (array_contains per
-    token) — fine for real documents, quadratic for a pathological doc
-    whose positions are mostly covered. ``merged_intervals=True``
-    swaps ONLY the final map-side rebuild for an Arrow-batched
-    mapInPandas kernel that sorts the duplicated starts and folds them
-    into disjoint intervals — O(n + s log s) per doc — with
-    hash-identical output; the corpus-side plan (the two 16-byte-key
-    shuffles) is the same either way."""
+    in-doc rebuild is O(n + covered) per doc: a hash-based
+    array_except finds the kept positions in one pass, and untouched
+    docs (no duplicated window) skip the per-element work entirely.
+    ``merged_intervals=True`` swaps ONLY the final map-side rebuild
+    for an Arrow-batched mapInPandas kernel that sorts the duplicated
+    starts and folds them into disjoint intervals — O(n + s log s)
+    per doc — with hash-identical output; the corpus-side plan (the
+    two 16-byte-key shuffles) is the same either way."""
     if k < 2:
         raise ValueError(f"k must be >= 2, got {k}")
     staged = _stage_tokens(docs, text_col, id_col)
@@ -1442,17 +1442,31 @@ def _rebuild_stripped(
             f"{id_col} {id_type}, clean_text string, "
             "n_tokens long, n_removed long",
         )
+    # O(n + covered) per doc (round-10, guide §1.2 "per-task work"):
+    # kept positions come from ONE hash-based array_except over the
+    # position range, and only docs WITH hits pay any per-element
+    # work at all (the when() hands untouched docs their token array
+    # back with zero lambda dispatches). The previous form ran an
+    # interpreted filter() whose body linearly scanned the covered
+    # array per token — O(n x covered), quadratic for mostly-covered
+    # docs (an eval doc in the decontamination path covers ALL its
+    # positions), measured 1.75 s -> 1.15 s for the q219 shape at
+    # sf0.1.
     covered = F.array_distinct(
         F.flatten(
             F.transform(
-                F.coalesce("_starts", F.array().cast("array<int>")),
+                F.col("_starts"),
                 lambda s: F.sequence(s, s + (k - 1)),
             )
         )
     )
-    kept = F.filter(
-        F.col("_tk"),
-        lambda x, i: ~F.array_contains(F.col("_cov"), i + 1),
+    kept = F.when(F.col("_starts").isNull(), F.col("_tk")).otherwise(
+        F.transform(
+            F.array_except(
+                F.sequence(F.lit(1), F.col("_n").cast("int")), F.col("_cov")
+            ),
+            lambda p: F.element_at("_tk", p),
+        )
     )
     return (
         staged.join(dup_starts, id_col, "left")
