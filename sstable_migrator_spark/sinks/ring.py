@@ -472,10 +472,13 @@ def compact_ranges(
     items = [
         (rid, json.dumps(inputs)) for rid, inputs in sorted(per_range.items())
     ]
-    # range partition on rid: one range per task (hash partitioning
-    # would leave ~1/e tasks empty and some compacting 2-3 ranges)
-    df = spark.createDataFrame(items, "rid int, inputs string").repartitionByRange(
-        len(items), "rid"
+    # one range per parallelize slice: same one-task-per-range placement
+    # as the former repartitionByRange(len, "rid") without the range
+    # sampler's extra pass or the exchange (round-10, guide §2.1)
+    from sstable_migrator_spark.sinks import local_rows_df
+
+    df = local_rows_df(
+        spark, items, "rid int, inputs string", slices=len(items)
     )
 
     def _go(batches_iter):
