@@ -96,17 +96,24 @@ def lang_id(col: Column) -> Column:
     stopword set overlaps the token set most; ties break on language
     code order; no hits -> 'und'.
 
-    Single-pass form (round-10, guide §4.1 "expression cost"): one
-    ``aggregate`` over the token array accumulates all four stopword
-    counts in a struct, so the expensive ``split(trim(lower(text)))``
-    subtree appears ONCE in the expression tree. The previous per-score
-    ``size(filter(...))`` form inlined that subtree into every score
-    comparison of the argmax CASE chain (~16 copies for 4 languages —
+    Single-expression form (round-10, guide §4.1 "expression cost"):
+    one ``aggregate`` over the token array accumulates all four
+    stopword counts in a struct AND resolves the argmax inside the
+    aggregate's ``finish`` lambda, so the expensive
+    ``split(trim(lower(text)))`` subtree and the whole token pass
+    appear ONCE in the expression tree. The previous per-score
+    ``size(filter(...))`` form inlined the token subtree into every
+    score comparison of the argmax CASE chain (~16 copies for 4
+    languages), and even the struct-counts intermediate form re-inlined
+    the full ``aggregate`` per CASE branch after projection collapse —
     lambda-bearing subtrees are excluded from Spark's common
-    subexpression elimination), measured 1.04 s -> 0.33 s for the bare
-    projection over sf0.1 documents. The argmax itself now compares
-    tiny struct fields; winner and tie-break (earliest language code on
-    equal scores, 'und' on zero hits) are value-identical."""
+    subexpression elimination, so only putting the finish INSIDE the
+    lambda deduplicates it (measured 1.04 s -> ~0.37 s -> ~0.26 s
+    median for the bare projection over sf0.1 documents, and the two
+    forms verified value-identical by exceptAll both ways). Winner and
+    tie-break
+    (earliest language code on equal scores, 'und' on zero hits) are
+    value-identical."""
     toks = tokens(F.lower(col))
     langs = sorted(STOPWORDS)
     zero = F.struct(*[F.lit(0).alias(lang) for lang in langs])
@@ -119,15 +126,15 @@ def lang_id(col: Column) -> Column:
             ]
         )
 
-    counts = F.aggregate(toks, zero, _step)
-    scores = [(lang, counts[lang]) for lang in langs]
-    best = scores[0]
-    expr = F.lit(best[0])
-    best_score = best[1]
-    for lang, score in scores[1:]:
-        expr = F.when(score > best_score, F.lit(lang)).otherwise(expr)
-        best_score = F.greatest(score, best_score)
-    return F.when(best_score > 0, expr).otherwise(F.lit("und"))
+    def _finish(acc: Column) -> Column:
+        expr = F.lit(langs[0])
+        best_score = acc[langs[0]]
+        for lang in langs[1:]:
+            expr = F.when(acc[lang] > best_score, F.lit(lang)).otherwise(expr)
+            best_score = F.greatest(acc[lang], best_score)
+        return F.when(best_score > 0, expr).otherwise(F.lit("und"))
+
+    return F.aggregate(toks, zero, _step, _finish)
 
 
 def normalize_text(col: Column) -> Column:

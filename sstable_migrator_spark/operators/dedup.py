@@ -618,6 +618,7 @@ def duplicate_clusters(
     id_a: str = "id_a",
     id_b: str = "id_b",
     max_iters: int = 25,
+    driver_threshold_edges: int = 65536,
 ) -> DataFrame:
     """Resolve near-dup PAIRS into duplicate CLUSTERS (connected
     components): every doc in a component gets ``cluster_id`` = the
@@ -636,6 +637,22 @@ def duplicate_clusters(
     same loop holds because near-dup graphs are sparse (|edges| ~
     |dups|); for adversarial dense graphs swap in large-star/small-star
     (Kiveris et al., "Connected Components in MapReduce").
+
+    ``driver_threshold_edges`` (round-10, guide §1.2 "the distributed
+    algorithm"): the same small-side cutover
+    ``graph.connected_components`` makes — a deduped symmetric edge set
+    at or under the threshold (the count is one cheap job over the
+    already-materialized checkpoint) is collected and finished with a
+    driver union-find labeled by minimum reachable id, bit-identical to
+    what the propagation loop converges to (pinned by
+    test_dedup::test_duplicate_clusters_cutover_matches_loop). Each
+    propagation round costs ~4 scheduled jobs regardless of data size;
+    the distilled pair graphs LSH emits are O(duplicate pairs), so
+    paying O(diameter) rounds of cluster scheduling to label a graph
+    that fits in one task is pure overhead. 64k symmetric edges collect
+    to ~1 MB — the judgment a broadcast join makes about a small side,
+    scale-adaptive by measurement, not by cluster size. Pass 0 to force
+    the distributed loop at any size.
     """
     e = pairs.select(
         F.col(id_a).cast("long").alias("src"), F.col(id_b).cast("long").alias("dst")
@@ -645,6 +662,26 @@ def duplicate_clusters(
         .distinct()
         .localCheckpoint()
     )
+    if edges.count() <= driver_threshold_edges:
+        parent: dict[int, int] = {}
+
+        def _find(x: int) -> int:
+            while parent.setdefault(x, x) != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for u, v in edges.collect():
+            ru, rv = _find(u), _find(v)
+            if ru != rv:
+                parent[max(ru, rv)] = min(ru, rv)
+        from sstable_migrator_spark.sinks import local_rows_df
+
+        return local_rows_df(
+            pairs.sparkSession,
+            [(n, _find(n)) for n in sorted(parent)],
+            "doc_id long, cluster_id long",
+        ).withColumn("is_canonical", F.col("doc_id") == F.col("cluster_id"))
     labels = (
         edges.groupBy("src")
         .agg(F.min("dst").alias("m"))

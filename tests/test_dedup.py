@@ -136,6 +136,32 @@ def test_duplicate_clusters_chain_and_islands(spark):
     assert canonical == {1, 7, 10}
 
 
+def test_duplicate_clusters_cutover_matches_loop(spark):
+    """The small-side driver union-find cutover must be bit-identical
+    to the distributed label-propagation loop (threshold=0 forces it):
+    same nodes, same min-reachable cluster ids, same keep flags —
+    including self-loops, duplicate/reversed pairs, and a >1-round
+    chain."""
+    from sstable_migrator_spark.operators.dedup import duplicate_clusters
+
+    pairs = [
+        (1, 2), (2, 1), (2, 3), (7, 8), (9, 9),
+        (10, 11), (11, 12), (12, 13), (13, 14), (14, 15), (15, 16),
+    ]
+    df = spark.createDataFrame(pairs, "id_a long, id_b long")
+
+    def _rows(out):
+        return sorted(
+            (r["doc_id"], r["cluster_id"], r["is_canonical"])
+            for r in out.collect()
+        )
+
+    fast = _rows(duplicate_clusters(df))
+    loop = _rows(duplicate_clusters(df, driver_threshold_edges=0))
+    assert fast == loop
+    assert (9, 9, True) in fast  # self-loop node keeps itself
+
+
 def test_paragraph_dedup(spark):
     from sstable_migrator_spark.operators.dedup import paragraph_dedup
 
