@@ -149,25 +149,44 @@ def fingerprint(col: Column) -> Column:
     return F.md5(normalize_text(col))
 
 
+def bind_once(col: Column, fn) -> Column:
+    """Evaluate ``col`` ONCE per row and hand it to ``fn`` as a bound
+    lambda variable. Lambda bodies are excluded from common-subexpression
+    elimination, so a complex Column referenced inside a higher-order
+    function's lambda re-evaluates per ELEMENT — e.g. ``shingles``
+    re-ran lower+regexp_replace+trim+split over the whole document for
+    every shingle index, O(len^2) per doc (measured 6.9 s -> 0.36 s for
+    the bare 5-shingle pass at sf0.1, round 10, guide §1.2/§4). Routing
+    the value through a 1-element array transform turns every reference
+    into a NamedLambdaVariable — computed once, then O(1) reads."""
+    return F.element_at(F.transform(F.array(col), fn), 1)
+
+
 def shingles(col: Column, k: int = 3) -> Column:
     """Word k-shingles of the normalized text -> array<string>.
     Documents shorter than k words get a single shingle of the whole
     text so they still participate in MinHash."""
-    toks = F.split(normalize_text(col), " ")
-    n = F.size(toks)
-    idx = F.sequence(F.lit(1), F.greatest(n - (k - 1), F.lit(1)))
-    return F.transform(
-        idx, lambda i: F.concat_ws(" ", F.slice(toks, i, F.least(F.lit(k), n)))
-    )
+
+    def _mk(toks: Column) -> Column:
+        n = F.size(toks)
+        idx = F.sequence(F.lit(1), F.greatest(n - (k - 1), F.lit(1)))
+        return F.transform(
+            idx, lambda i: F.concat_ws(" ", F.slice(toks, i, F.least(F.lit(k), n)))
+        )
+
+    return bind_once(F.split(normalize_text(col), " "), _mk)
 
 
 def char_ngrams(col: Column, n: int = 4) -> Column:
     """Character n-grams of normalized text -> array<string> (distinct
     not applied; caller chooses)."""
-    t = normalize_text(col)
-    ln = F.length(t)
-    idx = F.sequence(F.lit(1), F.greatest(ln - (n - 1), F.lit(1)))
-    return F.transform(idx, lambda i: t.substr(i, F.lit(n)))
+
+    def _mk(t: Column) -> Column:
+        ln = F.length(t)
+        idx = F.sequence(F.lit(1), F.greatest(ln - (n - 1), F.lit(1)))
+        return F.transform(idx, lambda i: t.substr(i, F.lit(n)))
+
+    return bind_once(normalize_text(col), _mk)
 
 
 def hash64(col: Column, seed: int = 0) -> Column:

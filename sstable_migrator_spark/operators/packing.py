@@ -319,15 +319,16 @@ def pack_sequence_texts(
     )
     aggs = [
         F.count(F.lit(1)).cast("long").alias("n_docs"),
-        F.aggregate(
+        # flatten, not an aggregate-concat fold: the fold copies the
+        # accumulator per span (quadratic in sequence length); flatten
+        # is one linear allocation with the identical result (round 10)
+        F.flatten(
             F.transform(
                 F.array_sort(
                     F.collect_list(F.struct(F.col("_pos"), F.col("_span")))
                 ),
                 lambda x: x["_span"],
-            ),
-            F.array().cast("array<string>"),
-            lambda acc, sp: F.concat(acc, sp),
+            )
         ).alias("_toks"),
     ]
     if with_boundaries:

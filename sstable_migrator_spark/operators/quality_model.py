@@ -148,12 +148,18 @@ def train_quality_classifier_portable(
     from sstable_migrator_spark.functions import text as TX
 
     toks = TX.tokens(F.lower(F.col(text_col)))
-    buckets = F.transform(
-        toks, lambda t: portable_feature_bucket(t, num_features, portable)
-    )
-    counts = F.transform(
-        F.sequence(F.lit(0), F.lit(num_features - 1)),
-        lambda b: F.size(F.filter(buckets, lambda x: x == b)).cast("double"),
+    # Bind the hashed-bucket array ONCE (round 10, TX.bind_once): the
+    # per-feature count lambda otherwise re-tokenized AND re-hashed the
+    # whole document per feature (num_features x the md5 work — lambda
+    # bodies are excluded from CSE).
+    counts = TX.bind_once(
+        F.transform(
+            toks, lambda t: portable_feature_bucket(t, num_features, portable)
+        ),
+        lambda buckets: F.transform(
+            F.sequence(F.lit(0), F.lit(num_features - 1)),
+            lambda b: F.size(F.filter(buckets, lambda x: x == b)).cast("double"),
+        ),
     )
     feat = labeled.select(
         F.col(label_col).cast("double").alias("label"),

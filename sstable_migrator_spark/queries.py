@@ -105,11 +105,32 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # reader rejects; read nanos as long and truncate to micros (the
         # same ns->us truncation DuckDB applies when surfacing values).
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        df = _read_memoized(spark, sf_dir, name)
         if dict(df.dtypes).get("ts") == "bigint":
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
         return df
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    return _read_memoized(spark, sf_dir, name)
+
+
+# (applicationId, sf_dir, table) -> inferred StructType. Static METADATA
+# of immutable input files, never data: with no schema argument every
+# `spark.read.parquet` launches a footer-inference job (~80 ms warm,
+# measured round 10); passing the once-inferred schema back makes the
+# repeat reads driver-only (~20 ms). Keyed by applicationId so a fresh
+# session (or session confs that change inference, e.g. nanosAsLong)
+# re-infers; every query execution still scans the parquet in full.
+_TSCHEMA: dict[tuple[str, str, str], object] = {}
+
+
+def _read_memoized(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    key = (spark.sparkContext.applicationId, sf_dir, name)
+    path = f"{sf_dir}/{name}.parquet"
+    schema = _TSCHEMA.get(key)
+    if schema is None:
+        df = spark.read.parquet(path)
+        _TSCHEMA[key] = df.schema
+        return df
+    return spark.read.schema(schema).parquet(path)
 
 
 def _nrows(spark: SparkSession, sf_dir: str, name: str) -> int:
@@ -1673,15 +1694,11 @@ def q_winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     the distinct-gram count. Substring windows = Rabin-Karp rolling
     windows; the min is the winnow fingerprint with window = document."""
     docs = _dense(spark, _t(spark, sf_dir, "documents"))
-    norm = TX.normalize_text(F.col("text"))
+    # TX.char_ngrams binds the normalized text once per row (round 10):
+    # the inlined substring-per-index form re-ran normalize_text over
+    # the whole document for every gram position, O(len^2) per doc.
     staged = docs.withColumn(
-        "_grams",
-        F.array_distinct(
-            F.transform(
-                F.sequence(F.lit(1), F.greatest(F.length(norm) - 3, F.lit(1))),
-                lambda i: F.substring(norm, i, 4),
-            )
-        ),
+        "_grams", F.array_distinct(TX.char_ngrams(F.col("text"), 4))
     )
     # Stage the hashed array ONCE: array_min and array_max would each
     # re-evaluate an inlined transform (2x the md5/conv work per row).
@@ -2690,9 +2707,14 @@ def q_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     skew-proof against boilerplate paragraphs), not a window sort."""
     chunk = 8
     docs = _dense(spark, _t(spark, sf_dir, "documents"))
-    words = F.split(F.col("text"), " ")
+    # Stage the split ONCE as a column: referenced inside the chunking
+    # lambda it would re-split the whole document per chunk (lambda
+    # bodies are excluded from CSE — round 10, same fix as TX.shingles).
+    words = F.col("_ws")
     n_chunks = (F.ceil(F.size(words) / F.lit(float(chunk)))).cast("int")
     paras = docs.select(
+        "doc_id", F.split(F.col("text"), " ").alias("_ws")
+    ).select(
         "doc_id",
         F.posexplode(
             F.transform(
@@ -6891,9 +6913,14 @@ def q_boilerplate_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
     chunk = 8
     df_cap = 2  # > 2 docs sharing a chunk = boilerplate at these SFs
     docs = _dense(spark, _t(spark, sf_dir, "documents"))
-    words = F.split(F.col("text"), " ")
+    # Stage the split ONCE as a column (round 10, same fix as q78): the
+    # chunking lambda otherwise re-splits the whole document per chunk
+    # (lambda bodies are excluded from CSE).
+    words = F.col("_ws")
     n_chunks = (F.ceil(F.size(words) / F.lit(float(chunk)))).cast("int")
     paras = docs.select(
+        "doc_id", F.split(F.col("text"), " ").alias("_ws")
+    ).select(
         "doc_id",
         F.posexplode(
             F.transform(
