@@ -88,24 +88,21 @@ def minhash_signatures(
     """MinHash signature per document: word-k-shingles -> per-seed min
     of a portable 60-bit hash. Pure expression work (transform +
     array_min over the shingle array) — no explode, no shuffle."""
-    def _hasher(seed: int):
-        # NOTE: closure factory, not a default arg — PySpark counts
-        # defaulted params as lambda arity and would misread (s, seed)
-        # as the (element, index) two-arg form. Delegates to TX.hash64
-        # so the engine-portable hash recipe has exactly ONE definition
-        # (the one the DuckDB oracles mirror).
-        return lambda s: TX.hash64(s, seed)
-
     # Stage the distinct shingle array ONCE as a column: the 16 per-seed
     # expressions then read one attribute instead of re-inlining (and
     # re-executing) the normalize/split/slice chain per hash function.
+    # The per-seed min-hash expressions are assembled as ONE SQL string
+    # (the TX.hash64 recipe verbatim — conv(substring(md5(concat(seed|,
+    # s)),1,15),16,10) — the definition the DuckDB oracles mirror):
+    # column-by-column F.* construction paid ~50 py4j round trips per
+    # signature (~0.37 s per call, 12 calls per catalog build).
     staged = docs.withColumn("_sh", F.array_distinct(TX.shingles(F.col(text_col), shingle_k)))
-    sig = F.array(
-        *[
-            F.array_min(F.transform(F.col("_sh"), _hasher(seed))).alias(f"h{seed}")
-            for seed in range(num_hashes)
-        ]
+    per_seed = ", ".join(
+        "array_min(transform(_sh, s -> CAST(conv(substring(md5(concat("
+        f"'{seed}|', s)), 1, 15), 16, 10) AS BIGINT)))"
+        for seed in range(num_hashes)
     )
+    sig = F.expr(f"array({per_seed})")
     return staged.select(F.col(id_col), F.col(text_col), sig.alias("signature"))
 
 
@@ -539,44 +536,43 @@ def hamming_near_dup_pairs(
     width = bits // bands
     mask = (1 << width) - 1
     # rename in its own projection: aliasing and slicing "_h" in one
-    # select would be a lateral alias reference, which explode rejects
+    # select would be a lateral alias reference, which explode rejects.
+    # Band explode and first-band arithmetic are assembled as SQL
+    # strings (one py4j round trip each instead of ~10 per band —
+    # measured ~0.3 s of construction per call, 4+ catalog entries);
+    # inline(array(struct...)) is the same generator explode() plans.
     hashes = hashes.select(F.col(id_col), F.col(hash_col).alias("_h"))
-    banded = hashes.select(
-        F.col(id_col),
-        F.col("_h"),
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        F.shiftright("_h", b * width).bitwiseAND(F.lit(mask)).alias("val"),
-                    )
-                    for b in range(bands)
-                ]
-            )
-        ).alias("bb"),
-    ).select(id_col, "_h", "bb.band", "bb.val")
+    bands_sql = ", ".join(
+        f"struct({b} AS band, (shiftright(_h, {b * width}) & {mask}) AS val)"
+        for b in range(bands)
+    )
+    banded = hashes.selectExpr(id_col, "_h", f"inline(array({bands_sql}))")
     a, b = banded.alias("a"), banded.alias("b")
     joined = a.join(
         b,
-        (F.col("a.band") == F.col("b.band"))
-        & (F.col("a.val") == F.col("b.val"))
-        & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        F.expr(f"a.band = b.band AND a.val = b.val AND a.{id_col} < b.{id_col}"),
     )
     # A pair collides in up to `bands` buckets; instead of a
     # dropDuplicates shuffle over the (large) candidate set, keep each
     # pair only at its FIRST matching band — pure bit arithmetic on the
     # xor of the two fingerprints, no extra exchange.
-    xor = F.col("a._h").bitwiseXOR(F.col("b._h"))
-    first_band = F.lit(bands - 1)
-    for bi in range(bands - 2, -1, -1):
-        slice_match = F.shiftright(xor, bi * width).bitwiseAND(F.lit(mask)) == 0
-        first_band = F.when(slice_match, F.lit(bi)).otherwise(first_band)
-    ham = F.bit_count(xor).cast("int")
-    return joined.filter((F.col("a.band") == first_band) & (ham <= max_hamming)).select(
+    xor_sql = "(a._h ^ b._h)"
+    first_band_sql = (
+        "CASE "
+        + " ".join(
+            f"WHEN (shiftright({xor_sql}, {bi * width}) & {mask}) = 0 THEN {bi}"
+            for bi in range(bands - 1)
+        )
+        + f" ELSE {bands - 1} END"
+    )
+    keep = F.expr(
+        f"a.band = ({first_band_sql}) "
+        f"AND CAST(bit_count({xor_sql}) AS INT) <= {max_hamming}"
+    )
+    return joined.filter(keep).select(
         F.col(f"a.{id_col}").alias("id_a"),
         F.col(f"b.{id_col}").alias("id_b"),
-        ham.alias("hamming"),
+        F.expr(f"CAST(bit_count({xor_sql}) AS INT)").alias("hamming"),
     )
 
 

@@ -104,33 +104,42 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # events.ts is parquet TIMESTAMP(NANOS), which Spark's vectorized
         # reader rejects; read nanos as long and truncate to micros (the
         # same ns->us truncation DuckDB applies when surfacing values).
+        # The ts-converted projection is memoized like the raw scans —
+        # plan object reuse only, execution still scans the parquet.
+        key = (spark.sparkContext.applicationId, sf_dir, "events#ts")
+        got = _TDF.get(key)
+        if got is not None:
+            return got
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = _read_memoized(spark, sf_dir, name)
         if dict(df.dtypes).get("ts") == "bigint":
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        _TDF[key] = df
         return df
     return _read_memoized(spark, sf_dir, name)
 
 
-# (applicationId, sf_dir, table) -> inferred StructType. Static METADATA
-# of immutable input files, never data: with no schema argument every
-# `spark.read.parquet` launches a footer-inference job (~80 ms warm,
-# measured round 10); passing the once-inferred schema back makes the
-# repeat reads driver-only (~20 ms). Keyed by applicationId so a fresh
-# session (or session confs that change inference, e.g. nanosAsLong)
-# re-infers; every query execution still scans the parquet in full.
-_TSCHEMA: dict[tuple[str, str, str], object] = {}
+# (applicationId, sf_dir, table) -> the analyzed scan DataFrame. Static
+# METADATA of immutable input files, never data: with no schema argument
+# every `spark.read.parquet` launches a footer-inference job (~80 ms
+# warm, measured round 10), and even a schema-armed re-read pays ~14 ms
+# of py4j/DataFrameReader construction per call (299 calls per catalog
+# build, measured). DataFrames are immutable, so handing every caller
+# the SAME analyzed scan is behavior-identical; execution still scans
+# the parquet inputs in full every time (nothing is cached or
+# persisted — only the plan object is reused). Keyed by applicationId
+# so a fresh session (or session confs that change inference, e.g.
+# nanosAsLong) re-reads.
+_TDF: dict[tuple[str, str, str], DataFrame] = {}
 
 
 def _read_memoized(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     key = (spark.sparkContext.applicationId, sf_dir, name)
-    path = f"{sf_dir}/{name}.parquet"
-    schema = _TSCHEMA.get(key)
-    if schema is None:
-        df = spark.read.parquet(path)
-        _TSCHEMA[key] = df.schema
-        return df
-    return spark.read.schema(schema).parquet(path)
+    df = _TDF.get(key)
+    if df is None:
+        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        _TDF[key] = df
+    return df
 
 
 def _nrows(spark: SparkSession, sf_dir: str, name: str) -> int:
