@@ -175,15 +175,36 @@ def global_prefix_sum(
     # executed TWICE — once for the sample, once for the exchange.
     # One materialization, then both passes read stored rows.
     src = df.localCheckpoint()
-    ranged = (
-        src.repartitionByRange(parts, *order_cols)
-        .withColumn("_pid", F.spark_partition_id())
-        .localCheckpoint()
+    staged = src.repartitionByRange(parts, *order_cols).withColumn(
+        "_pid", F.spark_partition_id()
     )
-    totals = sorted(
-        (r["_pid"], int(r["tot"] or 0))
-        for r in ranged.groupBy("_pid").agg(F.sum(value_col).alias("tot")).collect()
-    )
+    if parts <= 256:
+        # Fuse the per-partition totals into the SAME job that
+        # materializes the range partitioning: an Observation with one
+        # sum(CASE WHEN _pid=i) per partition rides the checkpoint
+        # (metrics fire on the localCheckpoint job — verified round 10),
+        # replacing a whole extra scan+shuffle+collect job. Bounded to
+        # 256 partitions so a many-thousand-core cluster doesn't carry
+        # thousands of CASE aggregates in one observe node; past that
+        # the one extra bounded rollup job is the cheaper shape.
+        from pyspark.sql import Observation
+
+        obs = Observation()
+        ranged = staged.observe(
+            obs,
+            *[
+                F.sum(F.when(F.col("_pid") == i, F.col(value_col))).alias(f"p{i}")
+                for i in range(parts)
+            ],
+        ).localCheckpoint()
+        got = obs.get
+        totals = [(i, int(got[f"p{i}"] or 0)) for i in range(parts)]
+    else:
+        ranged = staged.localCheckpoint()
+        totals = sorted(
+            (r["_pid"], int(r["tot"] or 0))
+            for r in ranged.groupBy("_pid").agg(F.sum(value_col).alias("tot")).collect()
+        )
     offsets, acc = {}, 0
     for pid, tot in totals:
         offsets[pid] = acc

@@ -136,6 +136,29 @@ def url_host_path(url: F.Column) -> tuple[F.Column, F.Column]:
     return host, path
 
 
+def _select_agent_group(rules: DataFrame, agent_lc: str) -> DataFrame:
+    """REP group selection shared by ``robots_allowed``/``crawl_delays``:
+    when a host has a group for the specific agent that group applies
+    ALONE (the ``*`` group is shadowed entirely, not merged); ``*``
+    applies only on hosts with no specific group. One windowed pass
+    over the candidate rule rows — the prior distinct + left_anti
+    self-join paid two aggregations and a sort-merge join on the same
+    host key for the same answer (round 10; a per-host window is
+    bounded because robots files are parser-bounded, so no skew
+    hazard). Row set identical to the union-of-filters form."""
+    from pyspark.sql import Window
+
+    cand = rules.filter(F.col("agent").isin(agent_lc, "*"))
+    has_spec = F.max((F.col("agent") == agent_lc).cast("int")).over(
+        Window.partitionBy("host")
+    )
+    return (
+        cand.withColumn("_hs", has_spec)
+        .filter((F.col("agent") == agent_lc) | (F.col("_hs") == 0))
+        .drop("_hs")
+    )
+
+
 def robots_allowed(
     urls: DataFrame,
     rules: DataFrame,
@@ -155,14 +178,10 @@ def robots_allowed(
         "url", host.alias("host"), path.alias("path")
     )
     a = agent.lower()
-    specific = rules.filter(F.col("agent") == a)
-    star_only = rules.filter(F.col("agent") == "*").join(
-        specific.select("host").distinct(), "host", "left_anti"
-    )
-    # group selection above uses EVERY rule kind (a group that only
-    # sets Crawl-delay still shadows *); only allow/disallow rows score
+    # group selection uses EVERY rule kind (a group that only sets
+    # Crawl-delay still shadows *); only allow/disallow rows score
     r = (
-        specific.unionByName(star_only)
+        _select_agent_group(rules, a)
         .filter(F.col("rule").isin("allow", "disallow"))
         .select(
             "host",
@@ -203,12 +222,8 @@ def crawl_delays(
     Malformed values are dropped — an unparsable directive must not
     zero out the host's politeness."""
     a = agent.lower()
-    specific = rules.filter(F.col("agent") == a)
-    star_only = rules.filter(F.col("agent") == "*").join(
-        specific.select("host").distinct(), "host", "left_anti"
-    )
     return (
-        specific.unionByName(star_only)
+        _select_agent_group(rules, a)
         .filter(
             (F.col("rule") == "crawl-delay")
             & F.col("prefix").rlike(r"^\d+(\.\d+)?$")

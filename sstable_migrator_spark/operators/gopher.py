@@ -69,55 +69,78 @@ def gopher_quality_flags(
     for further gates downstream) so the whole flag ensemble stays one
     map-side select."""
     text = F.col(text_col)
-    toks = TX.tokens(text)
-    n_words = F.size(toks).cast("long")
-    total_chars = F.aggregate(
-        toks, F.lit(0).cast("long"), lambda acc, w: acc + F.length(w)
+    # STAGED EVALUATION (round 10): the token/line arrays and the
+    # counters over them are materialized in their own projections.
+    # Lambda-bearing expressions (aggregate/filter/transform) are
+    # interpreted and excluded from codegen's common-subexpression
+    # elimination, so the single-select form re-ran split(trim(text))
+    # and the char-sum fold once PER FLAG per row (~10x the tokenize
+    # work, visible verbatim in the q208 plan). Each staged column is
+    # referenced more than once downstream, which is exactly the case
+    # CollapseProject must not inline — the projection boundaries (and
+    # the once-per-row evaluation) survive optimization. Values are
+    # identical: same expressions, factored.
+    carry = [id_col, *(keep_cols or [])]
+    staged = docs.select(
+        *carry,
+        TX.tokens(text).alias("_toks"),
+        F.split(text, "\n").alias("_lines"),
+        (
+            _count_occurrences(text, "#")
+            + _count_occurrences(text, "…")
+            + _count_occurrences(text, "...")
+        ).alias("_n_symbols"),
     )
-    n_symbols = (
-        _count_occurrences(text, "#")
-        + _count_occurrences(text, "…")
-        + _count_occurrences(text, "...")
+    toks, lines = F.col("_toks"), F.col("_lines")
+    counters = staged.select(
+        *carry,
+        F.col("_n_symbols"),
+        F.size(toks).cast("long").alias("_n_words"),
+        F.aggregate(
+            toks, F.lit(0).cast("long"), lambda acc, w: acc + F.length(w)
+        ).alias("_total_chars"),
+        F.size(lines).cast("long").alias("_n_lines"),
+        F.size(
+            F.filter(
+                lines,
+                lambda ln: F.trim(ln).startswith("•")
+                | F.trim(ln).startswith("- ")
+                | F.trim(ln).startswith("* "),
+            )
+        ).cast("long").alias("_bullet_lines"),
+        F.size(
+            F.filter(
+                lines,
+                lambda ln: F.trim(ln).endswith("…")
+                | F.trim(ln).endswith("..."),
+            )
+        ).cast("long").alias("_ellipsis_lines"),
+        F.size(
+            F.filter(toks, lambda w: w.rlike("[A-Za-z]"))
+        ).cast("long").alias("_alpha_words"),
+        F.size(
+            F.array_intersect(
+                F.transform(toks, F.lower),
+                F.array(*[F.lit(w) for w in GOPHER_STOP_SET]),
+            )
+        ).cast("long").alias("_stop_hits"),
     )
-    lines = F.split(text, "\n")
-    n_lines = F.size(lines).cast("long")
-    bullet_lines = F.size(
-        F.filter(
-            lines,
-            lambda ln: F.trim(ln).startswith("•")
-            | F.trim(ln).startswith("- ")
-            | F.trim(ln).startswith("* "),
-        )
-    ).cast("long")
-    ellipsis_lines = F.size(
-        F.filter(
-            lines,
-            lambda ln: F.trim(ln).endswith("…")
-            | F.trim(ln).endswith("..."),
-        )
-    ).cast("long")
-    alpha_words = F.size(
-        F.filter(toks, lambda w: w.rlike("[A-Za-z]"))
-    ).cast("long")
-    stop_hits = F.size(
-        F.array_intersect(
-            F.transform(toks, F.lower),
-            F.array(*[F.lit(w) for w in GOPHER_STOP_SET]),
-        )
-    ).cast("long")
-
+    n_words = F.col("_n_words")
+    total_chars = F.col("_total_chars")
+    n_symbols = F.col("_n_symbols")
+    n_lines = F.col("_n_lines")
     flags = {
         "ok_word_count": (n_words >= min_words) & (n_words <= max_words),
         # 3 <= mean <= 10  <=>  3n <= total_chars <= 10n (integer form)
         "ok_mean_word_len": (total_chars >= 3 * n_words)
         & (total_chars <= 10 * n_words),
         "ok_symbol_ratio": n_symbols * 10 <= n_words,
-        "ok_bullet_lines": bullet_lines * 10 <= n_lines,
-        "ok_ellipsis_lines": ellipsis_lines * 10 <= n_lines * 3,
-        "ok_alpha_words": alpha_words * 5 >= n_words * 4,
-        "ok_stop_words": stop_hits >= 2,
+        "ok_bullet_lines": F.col("_bullet_lines") * 10 <= n_lines,
+        "ok_ellipsis_lines": F.col("_ellipsis_lines") * 10 <= n_lines * 3,
+        "ok_alpha_words": F.col("_alpha_words") * 5 >= n_words * 4,
+        "ok_stop_words": F.col("_stop_hits") >= 2,
     }
-    out = docs.select(
+    out = counters.select(
         id_col,
         *(keep_cols or []),
         n_words.alias("n_words"),

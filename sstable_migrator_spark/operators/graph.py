@@ -201,33 +201,39 @@ def connected_components(
     paths (pinned by test_graph); pass 0 to force the distributed
     contraction at any size.
     """
-    def _sig(df: DataFrame) -> tuple:
-        row = df.groupBy().agg(
+    def _ck_with_sig(df: DataFrame) -> tuple[DataFrame, tuple]:
+        # The convergence signature (count + xor of xxhash64) rides the
+        # SAME job that materializes the round's localCheckpoint via an
+        # Observation (round 10) — previously each round paid a second
+        # full scan + collect job just to read two scalars.
+        from pyspark.sql import Observation
+
+        obs = Observation()
+        ck = df.observe(
+            obs,
             F.count(F.lit(1)).alias("n"),
             F.expr("bit_xor(xxhash64(u, v))").alias("x"),
-        ).collect()[0]
-        return (row["n"], row["x"])
+        ).localCheckpoint()
+        got = obs.get
+        return ck, (got["n"], got["x"])
 
-    e = (
+    e, prev = _ck_with_sig(
         edges.select(
             F.col(src).cast("long").alias("u"), F.col(dst).cast("long").alias("v")
         )
         .filter(F.col("u") != F.col("v"))
         .distinct()
-        .localCheckpoint()
     )
     # Seed the convergence signature with the INPUT edge set: an edge
     # set that is already a fixed point then converges after ONE star
     # round instead of two. The signature count doubles as the
     # small-side cutover test.
-    prev: tuple | None = _sig(e)
     if prev[0] <= driver_threshold_edges:
         return _driver_union_find(edges.sparkSession, e.collect())
     for _ in range(max_iters):
         # dedup=False: _small_star's orientation distinct subsumes
         # large-star's, one fewer exchange per round
-        e2 = _small_star(_large_star(e, dedup=False)).localCheckpoint()
-        sig = _sig(e2)
+        e2, sig = _ck_with_sig(_small_star(_large_star(e, dedup=False)))
         # equal counts + one-direction exceptAll empty => equal sets;
         # rules out a 64-bit checksum collision silently returning
         # partially-contracted components

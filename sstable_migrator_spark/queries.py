@@ -10402,7 +10402,11 @@ def q_robots_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         ],
         "host string, agent string, rule string, prefix string",
     )
-    return robots_allowed(_crawl_urls(spark, sf_dir), rules).select(
+    # The fixture's rule table is 4 local rows with NO stats (RDD-backed
+    # relations size as unknown), so the host join planned as a
+    # sort-merge join; the caller knows it is tiny — hint it (guide
+    # §3.1). Production rules tables come from parquet with real stats.
+    return robots_allowed(_crawl_urls(spark, sf_dir), F.broadcast(rules)).select(
         "url", "host", "path", "allowed"
     )
 
