@@ -190,15 +190,17 @@ def global_prefix_sum(
         from pyspark.sql import Observation
 
         obs = Observation()
+        # one array-valued metric instead of `parts` separate Columns:
+        # the per-Column form cost ~90 ms of py4j construction per call
+        per_pid = ", ".join(
+            f"sum(CASE WHEN _pid = {i} THEN `{value_col}` END)"
+            for i in range(parts)
+        )
         ranged = staged.observe(
-            obs,
-            *[
-                F.sum(F.when(F.col("_pid") == i, F.col(value_col))).alias(f"p{i}")
-                for i in range(parts)
-            ],
+            obs, F.expr(f"array({per_pid})").alias("tots")
         ).localCheckpoint()
-        got = obs.get
-        totals = [(i, int(got[f"p{i}"] or 0)) for i in range(parts)]
+        tots = obs.get["tots"]
+        totals = [(i, int(tots[i] or 0)) for i in range(parts)]
     else:
         ranged = staged.localCheckpoint()
         totals = sorted(

@@ -9317,46 +9317,68 @@ def q_corpus_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         "keep",
         TX.token_count(F.col("text")).cast("long").alias("n_toks"),
     )
-    base = scored.groupBy("source").agg(
-        F.count(F.lit(1)).alias("n_docs"),
-        F.sum("keep").cast("long").alias("n_keep"),
-        F.sum("n_toks").alias("total_tokens"),
-    )
-    sk = (
-        scored.select("source", log_bucket(F.col("n_toks")).alias("bucket"))
+    # ONE corpus pass, one LINEAR plan (round 10): the per-source
+    # counters and the quantile walk both derive from the bounded
+    # (source, bucket) rollup — the previous two-branch form scanned
+    # and kernel-scored the corpus once PER BRANCH (column pruning
+    # specializes the branches, so exchange reuse cannot share them).
+    # Totals become per-source window sums over the <= ~1k-bucket
+    # relation and ride to the output as carried columns; integer sums
+    # re-associate exactly, so every value is unchanged.
+    bucketed = (
+        scored.select(
+            "source", "keep", "n_toks",
+            log_bucket(F.col("n_toks")).alias("bucket"),
+        )
         .groupBy("source", "bucket")
-        .agg(F.count(F.lit(1)).alias("cnt"))
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.sum("keep").cast("long").alias("keep_sum"),
+            F.sum("n_toks").alias("tok_sum"),
+        )
     )
     w = (
         Window.partitionBy("source")
         .orderBy("bucket")
         .rowsBetween(Window.unboundedPreceding, 0)
     )
-    cum = sk.select(
+    src_w = Window.partitionBy("source")
+    cum = bucketed.select(
         "source",
         "bucket",
         F.sum("cnt").over(w).alias("cum"),
-        F.sum("cnt").over(Window.partitionBy("source")).alias("n"),
+        F.sum("cnt").over(src_w).alias("n"),
+        F.sum("keep_sum").over(src_w).cast("long").alias("n_keep"),
+        F.sum("tok_sum").over(src_w).alias("total_tokens"),
     )
     pcts = spark.createDataFrame([(50,), (90,)], "pct int")
-    hit = (
+    return (
         cum.join(F.broadcast(pcts))
         .filter(F.col("cum") * 100 >= F.col("pct") * F.col("n"))
         .groupBy("source", "pct")
-        .agg(F.min("bucket").alias("bucket"))
-        .select(
-            "source", "pct", bucket_lower_bound(F.col("bucket")).alias("lo")
+        .agg(
+            F.min("bucket").alias("bucket"),
+            F.first(F.col("n").cast("long")).alias("n_docs"),
+            F.first("n_keep").alias("n_keep"),
+            F.first("total_tokens").alias("total_tokens"),
         )
-        .groupBy("source")
+        .select(
+            "source", "n_docs", "n_keep", "total_tokens", "pct",
+            bucket_lower_bound(F.col("bucket")).alias("lo"),
+        )
+        .groupBy("source", "n_docs", "n_keep", "total_tokens")
         .pivot("pct", [50, 90])
         .agg(F.first("lo"))
         .select(
             "source",
+            "n_docs",
+            "n_keep",
+            "total_tokens",
             F.col("50").cast("long").alias("p50_tokens"),
             F.col("90").cast("long").alias("p90_tokens"),
         )
+        .orderBy("source")
     )
-    return base.join(hit, "source").orderBy("source")
 
 
 SQL_CORPUS_REPORT = f"""
