@@ -157,29 +157,93 @@ def bm25_topk(
     """Top-k documents for a bag-of-terms query under integer BM25.
     Returns ``(doc_id, score_q, n_hit)`` — the quantized integer score
     and how many query terms matched — ordered by (score desc, doc id).
+
+    The query is a FIXED, small bag of terms, so per-term tf is a
+    per-row array count — no postings explode, no (doc, term)
+    aggregation, no per-term countDistinct exchange. Two slim corpus
+    passes: one single-row aggregate (doc count, total tokens, per-term
+    document frequencies — all in ONE partial-agg pass), then scoring
+    over the docs that hit at least one term with the stats row
+    broadcast. Ranking is row-identical to the postings form (same
+    integer contribution per matching term, same tie-break).
     """
     terms = sorted(set(t.lower() for t in query_terms))
     if not terms:
         raise ValueError("empty query")
-    post = build_postings(docs, text_col=text_col, id_col=id_col)
-    # corpus constants: one row each, computed from the SAME postings
-    # pass (doc lengths are already aggregated per doc)
-    doclens = post.select("doc", "dl").distinct()
-    stats = doclens.agg(
-        F.count(F.lit(1)).alias("n"), F.sum("dl").alias("t")
+    from sstable_migrator_spark.functions import text as TX
+
+    nt = len(terms)
+    tkd = docs.select(
+        F.col(id_col).alias("doc"), TX.tokens(F.lower(F.col(text_col))).alias("tk")
     )
-    qpost = post.filter(F.col("term").isin(terms))
-    df_tab = qpost.groupBy("term").agg(F.countDistinct("doc").alias("df"))
-    idf = df_tab.crossJoin(F.broadcast(stats)).select(
-        "term",
-        "n",
-        "t",
-        _q16_col(
-            (F.col("df") * 2 + 1).cast("long"),
-            (F.col("n") * 2 + 2).cast("long"),
-        ).alias("idf_q"),
+
+    def _tf(term: str) -> Column:
+        # NB: the lambda must be unary — pyspark binds a second lambda
+        # param to the ELEMENT INDEX, not a closure slot
+        return F.size(F.filter("tk", lambda x: x == F.lit(term))).cast("long")
+
+    slim = tkd.select(
+        "doc",
+        F.size("tk").cast("long").alias("dl"),
+        *[_tf(t).alias(f"_tf{i}") for i, t in enumerate(terms)],
     )
-    return _score_topk(qpost.join(F.broadcast(idf), "term"), id_col, topk)
+    # corpus constants + per-term df in ONE bounded aggregate (docs with
+    # no tokens produce no postings, hence the dl > 0 population)
+    stats = (
+        slim.filter(F.col("dl") > 0)
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("dl").alias("t"),
+            *[
+                F.sum((F.col(f"_tf{i}") > 0).cast("long")).alias(f"_df{i}")
+                for i in range(nt)
+            ],
+        )
+        .select(
+            "n",
+            "t",
+            *[
+                _q16_col(
+                    (F.col(f"_df{i}") * 2 + 1).cast("long"),
+                    (F.col("n") * 2 + 2).cast("long"),
+                ).alias(f"_idf{i}")
+                for i in range(nt)
+            ],
+        )
+    )
+
+    def _term_contrib(i: int) -> Column:
+        num = F.col(f"_idf{i}") * F.lit(44) * F.col("t") * F.col(f"_tf{i}")
+        den = (
+            F.lit(20) * F.col("t") * F.col(f"_tf{i}")
+            + F.lit(6) * F.col("t")
+            + F.lit(18) * F.col("dl") * F.col("n")
+        ).cast("long")
+        return F.when(
+            F.col(f"_tf{i}") > 0, exact_intdiv(num, den)
+        ).otherwise(F.lit(0))
+
+    any_hit = (
+        F.col("_tf0") > 0
+        if nt == 1
+        else F.greatest(*[F.col(f"_tf{i}") for i in range(nt)]) > 0
+    )
+    score = _term_contrib(0)
+    n_hit = (F.col("_tf0") > 0).cast("long")
+    for i in range(1, nt):
+        score = score + _term_contrib(i)
+        n_hit = n_hit + (F.col(f"_tf{i}") > 0).cast("long")
+    return (
+        slim.filter(any_hit)
+        .crossJoin(F.broadcast(stats))
+        .select(
+            F.col("doc").alias(id_col),
+            score.alias("score_q"),
+            n_hit.alias("n_hit"),
+        )
+        .orderBy(F.desc("score_q"), id_col)
+        .limit(topk)
+    )
 
 
 def _contrib():

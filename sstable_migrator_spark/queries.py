@@ -5762,20 +5762,18 @@ def q_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.pmod(
             F.conv(F.substring(F.md5("b"), 1, 15), 16, 10).cast("long"), F.lit(4096)
         ).alias("bucket"),
-    ).localCheckpoint()  # feeds raw counts, target counts, totals, AND the probe
-    raw = buckets.groupBy("bucket").agg(F.count(F.lit(1)).alias("cr"))
-    tgt = (
-        buckets.filter(F.col("lang") == "en")
-        .groupBy("bucket")
-        .agg(F.count(F.lit(1)).alias("ct"))
+    ).localCheckpoint()  # feeds ONE bucket rollup AND the per-doc probe
+    # raw + target counts in one bounded (<= 4096-row) rollup pass;
+    # totals are a second agg over the ROLLUP, not the bigrams
+    rollup = buckets.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("cr"),
+        F.sum((F.col("lang") == "en").cast("long")).alias("ct"),
     )
-    totals = buckets.groupBy().agg(
-        F.count(F.lit(1)).alias("tr"),
-        F.sum((F.col("lang") == "en").cast("long")).alias("tt"),
+    totals = rollup.groupBy().agg(
+        F.sum("cr").alias("tr"), F.sum("ct").alias("tt")
     )
     scored = (
-        buckets.join(F.broadcast(raw), "bucket")
-        .join(F.broadcast(tgt), "bucket", "left")
+        buckets.join(F.broadcast(rollup), "bucket")
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("n_bigrams"),
@@ -7167,45 +7165,63 @@ def q_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     freq-rollup-plus-join shuffled full chunk texts twice), one
     rollup back to docs."""
     docs = _dense(spark, _t(spark, sf_dir, "documents"))
-    toks = docs.select(
-        "doc_id", F.posexplode(F.split(TX.normalize_text(F.col("text")), " "))
-    ).select("doc_id", F.col("pos").alias("i"), F.col("col").alias("w"))
-    # boundary AFTER word i when the trailing 3-word window hashes to 0 mod 16
-    win3 = F.concat_ws(
-        " ",
-        F.lag("w", 2).over(Window.partitionBy("doc_id").orderBy("i")),
-        F.lag("w", 1).over(Window.partitionBy("doc_id").orderBy("i")),
-        F.col("w"),
+    # Round-10 (guide §2.3/§4.1): chunking is PER-DOCUMENT, so the whole
+    # boundary/chunk computation is map-side higher-order functions over
+    # the token array — the former posexplode + two token-level windows
+    # shuffled every token twice and re-assembled chunks with a
+    # collect_list + array_sort aggregate. Only (doc, chunk-hash) rows
+    # ever shuffle now: one corpus-wide duplicate window (16-byte binary
+    # md5 keys) + the per-doc rollup. Row-identical (same md5 boundary
+    # rule, same chunk texts, same tie handling).
+    base = docs.select(
+        "doc_id", F.split(TX.normalize_text(F.col("text")), " ").alias("ws")
     )
-    flagged = toks.withColumn(
-        "boundary",
-        (F.col("i") >= 2)
-        & (F.substring(F.md5(win3), 32, 1) == "0"),
-    )
-    # chunk id = boundaries BEFORE this word (running sum, exclusive)
-    w_run = (
-        Window.partitionBy("doc_id")
-        .orderBy("i")
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    chunked = flagged.withColumn(
-        "chunk_id",
-        F.coalesce(F.sum(F.col("boundary").cast("int")).over(w_run), F.lit(0)),
-    )
-    # deterministic chunk text: collect_list order is nondeterministic,
-    # so sort the (position, word) structs before joining
-    chunks = chunked.groupBy("doc_id", "chunk_id").agg(
-        F.count(F.lit(1)).alias("n_words"),
-        F.md5(
-            F.array_join(
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("i", "w"))), lambda s: s["w"]
+    n = F.size("ws")
+    # boundary AFTER 0-based word i: trailing 3-word window md5 ends '0'
+    bounds = F.filter(
+        F.sequence(F.lit(0), n - 1),
+        lambda i: (i >= 2)
+        & (
+            F.substring(
+                F.md5(
+                    F.concat_ws(
+                        " ",
+                        F.element_at("ws", i - 1),
+                        F.element_at("ws", i),
+                        F.element_at("ws", i + 1),
+                    )
                 ),
-                " ",
+                32,
+                1,
             )
-        ).alias("h"),
+            == "0"
+        ),
     )
-    dfw = chunks.withColumn(
+    staged = base.select("doc_id", "ws", n.alias("n"), bounds.alias("_b"))
+    # a boundary on the LAST word starts no new chunk — drop it from cuts
+    cuts = F.filter(F.col("_b"), lambda b: b < F.col("n") - 1)
+    staged = staged.select("doc_id", "ws", "n", cuts.alias("_c"))
+    starts = F.concat(
+        F.array(F.lit(0)), F.transform(F.col("_c"), lambda b: b + 1)
+    )
+    ends = F.concat(F.col("_c"), F.array(F.col("n") - 1))
+    chunk = F.transform(
+        F.arrays_zip(starts.alias("s"), ends.alias("e")),
+        lambda z: F.struct(
+            (z["e"] - z["s"] + 1).cast("long").alias("n_words"),
+            F.unhex(
+                F.md5(
+                    F.array_join(
+                        F.slice(F.col("ws"), z["s"] + 1, z["e"] - z["s"] + 1), " "
+                    )
+                )
+            ).alias("h"),
+        ),
+    )
+    ch = staged.select("doc_id", F.explode(chunk).alias("c")).select(
+        "doc_id", F.col("c.n_words").alias("n_words"), F.col("c.h").alias("h")
+    )
+    dfw = ch.withColumn(
         "df_", F.count(F.lit(1)).over(Window.partitionBy("h"))
     )
     return (

@@ -69,12 +69,17 @@ def test_empty_query_raises(spark):
 
 
 def test_plan_broadcast_and_take_ordered(spark):
-    """The idf side must broadcast and the top-k must plan as
-    TakeOrderedAndProject, not a global sort."""
+    """The single-row stats side must broadcast, the top-k must plan as
+    TakeOrderedAndProject (not a global sort), and the fixed-terms form
+    must stay map-only: no postings explode, no data-sized shuffle join
+    (round 10 — per-term tf is an array count, df/N/T ride ONE bounded
+    aggregate)."""
     df = bm25_topk(_docs(spark), ["spark", "data"], topk=3)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrderedAndProject" in plan
-    assert "BroadcastHashJoin" in plan
+    assert "BroadcastExchange" in plan
+    assert "SortMergeJoin" not in plan
+    assert "Generate" not in plan  # no explode anywhere in the scoring path
 
 
 def test_postings_index_roundtrip_and_pruning(spark, tmp_path):
