@@ -128,7 +128,25 @@ def main() -> None:
 
     timings: dict[str, float] = {}
 
-    for name, fn in {"q00_flagship_ingest": flagship_ingest, **QUERIES}.items():
+    # Host-noise TIMELINE: the start-of-run canary alone cannot
+    # normalize a ~10-minute run when the ambient slowdown is BURSTY
+    # (measured: canary 0.36 s and 3.6 s twenty minutes apart on the
+    # same box, per-entry swings x2-7 with plans unchanged). Re-sample
+    # the canary between catalog entries and record the series in the
+    # sidecar — the samples run OUTSIDE the per-query timers, so
+    # `value` and every `queries` entry measure exactly what they
+    # always did.
+    canary_series: list[float] = []
+    _CANARY_EVERY = 40
+
+    for qi, (name, fn) in enumerate(
+        {"q00_flagship_ingest": flagship_ingest, **QUERIES}.items()
+    ):
+        if qi % _CANARY_EVERY == 0:
+            try:
+                canary_series.append(_canary_once())
+            except Exception:  # noqa: BLE001
+                pass
         t0 = time.perf_counter()
         try:
             _materialize(fn(spark, sf_dir))
@@ -137,6 +155,10 @@ def main() -> None:
             timings[name] = -1.0
             print(f"# bench error {name}: {e!r}"[:300], file=sys.stderr)
         gc.collect()
+    try:
+        canary_series.append(_canary_once())
+    except Exception:  # noqa: BLE001
+        pass
 
     total = round(sum(t for t in timings.values() if t >= 0), 4)
     n_err = sum(1 for t in timings.values() if t < 0)
@@ -214,6 +236,7 @@ def main() -> None:
                     "n_errors": n_err,
                     "canary_sec": canary_sec,
                     "canary_secs": canary_secs,
+                    "canary_series": canary_series,
                     "queries": timings,
                     "skew_bench": skew_bench,
                 },

@@ -176,70 +176,63 @@ def bm25_topk(
     tkd = docs.select(
         F.col(id_col).alias("doc"), TX.tokens(F.lower(F.col(text_col))).alias("tk")
     )
+    # all scoring expressions assembled as SQL strings: the deep
+    # integer-q16/contribution trees cost ~0.7 s of py4j chatter per
+    # construction as Column ops (guide §1.2 — the driver is part of
+    # the measurement), one selectExpr round-trip instead
 
-    def _tf(term: str) -> Column:
-        # NB: the lambda must be unary — pyspark binds a second lambda
-        # param to the ELEMENT INDEX, not a closure slot
-        return F.size(F.filter("tk", lambda x: x == F.lit(term))).cast("long")
+    def _sq(t: str) -> str:
+        return t.replace("'", "''")
 
-    slim = tkd.select(
+    slim = tkd.selectExpr(
         "doc",
-        F.size("tk").cast("long").alias("dl"),
-        *[_tf(t).alias(f"_tf{i}") for i, t in enumerate(terms)],
+        "CAST(size(tk) AS BIGINT) AS dl",
+        *[
+            f"CAST(size(filter(tk, x -> x = '{_sq(t)}')) AS BIGINT) AS _tf{i}"
+            for i, t in enumerate(terms)
+        ],
     )
+
     # corpus constants + per-term df in ONE bounded aggregate (docs with
     # no tokens produce no postings, hence the dl > 0 population)
+    def _idf(i: int) -> str:
+        r = f"(CAST(n*2+2 AS BIGINT) * 16) div CAST(_df{i}*2+1 AS BIGINT)"
+        bits = " + ".join(
+            f"(CASE WHEN substring(bin({r}), {j}, 1) = '1' THEN {w} ELSE 0 END)"
+            for j, w in ((2, 8), (3, 4), (4, 2), (5, 1))
+        )
+        return (
+            f"CAST((length(bin({r})) - 1) * 16 + {bits} - 64 AS BIGINT) AS _idf{i}"
+        )
+
     stats = (
-        slim.filter(F.col("dl") > 0)
+        slim.filter("dl > 0")
         .agg(
-            F.count(F.lit(1)).alias("n"),
-            F.sum("dl").alias("t"),
-            *[
-                F.sum((F.col(f"_tf{i}") > 0).cast("long")).alias(f"_df{i}")
-                for i in range(nt)
-            ],
+            F.expr("count(1) AS n"),
+            F.expr("sum(dl) AS t"),
+            *[F.expr(f"sum(CAST(_tf{i} > 0 AS BIGINT)) AS _df{i}") for i in range(nt)],
         )
-        .select(
-            "n",
-            "t",
-            *[
-                _q16_col(
-                    (F.col(f"_df{i}") * 2 + 1).cast("long"),
-                    (F.col("n") * 2 + 2).cast("long"),
-                ).alias(f"_idf{i}")
-                for i in range(nt)
-            ],
-        )
+        .selectExpr("n", "t", *[_idf(i) for i in range(nt)])
     )
 
-    def _term_contrib(i: int) -> Column:
-        num = F.col(f"_idf{i}") * F.lit(44) * F.col("t") * F.col(f"_tf{i}")
-        den = (
-            F.lit(20) * F.col("t") * F.col(f"_tf{i}")
-            + F.lit(6) * F.col("t")
-            + F.lit(18) * F.col("dl") * F.col("n")
-        ).cast("long")
-        return F.when(
-            F.col(f"_tf{i}") > 0, exact_intdiv(num, den)
-        ).otherwise(F.lit(0))
+    def _term_contrib(i: int) -> str:
+        num = f"CAST(_idf{i} * 44 * t * _tf{i} AS BIGINT)"
+        den = f"CAST(20 * t * _tf{i} + 6 * t + 18 * dl * n AS BIGINT)"
+        return (
+            f"(CASE WHEN _tf{i} > 0 THEN {num} div {den} "
+            "ELSE CAST(0 AS BIGINT) END)"
+        )
 
-    any_hit = (
-        F.col("_tf0") > 0
-        if nt == 1
-        else F.greatest(*[F.col(f"_tf{i}") for i in range(nt)]) > 0
-    )
-    score = _term_contrib(0)
-    n_hit = (F.col("_tf0") > 0).cast("long")
-    for i in range(1, nt):
-        score = score + _term_contrib(i)
-        n_hit = n_hit + (F.col(f"_tf{i}") > 0).cast("long")
+    any_hit = " OR ".join(f"_tf{i} > 0" for i in range(nt))
+    score = " + ".join(_term_contrib(i) for i in range(nt))
+    n_hit = " + ".join(f"CAST(_tf{i} > 0 AS BIGINT)" for i in range(nt))
     return (
         slim.filter(any_hit)
         .crossJoin(F.broadcast(stats))
-        .select(
-            F.col("doc").alias(id_col),
-            score.alias("score_q"),
-            n_hit.alias("n_hit"),
+        .selectExpr(
+            f"doc AS {id_col}",
+            f"{score} AS score_q",
+            f"{n_hit} AS n_hit",
         )
         .orderBy(F.desc("score_q"), id_col)
         .limit(topk)

@@ -1112,6 +1112,66 @@ def build_ann_index(
     )
 
 
+def _probe_checkpoint(
+    queries: DataFrame,
+    path: str,
+    rec: dict,
+    cents: "list[tuple[int, list[float]]]",
+    n_probe: int,
+    query_id: str,
+    query_vec: str,
+) -> "tuple[DataFrame, list[int]]":
+    """ONE job for the whole serve prelude (round 10, guide §1.2): the
+    probe kernel's localCheckpoint carries two Observations — query
+    vector width bounds BELOW the kernel, the distinct probed cells
+    ABOVE it — so the dim guard and the bounded want_cells collect no
+    longer cost one scheduled job each (three jobs -> one per serve
+    call). The loud wrong-dim refusal is preserved: a width mismatch
+    crashes the probe kernel, and the except path re-derives the
+    bounds with the cheap aggregate to raise the SAME ValueError the
+    three-job form raised."""
+    from pyspark.sql import Observation
+
+    obs_dim = Observation()
+    obs_cells = Observation()
+
+    def _dim_error(lo: int, hi: int) -> ValueError:
+        return ValueError(
+            f"ANN index at {path} was built with dim={rec['dim']}, but "
+            f"the query vectors have dims in [{lo}, {hi}]"
+        )
+
+    qsel = queries.select(
+        F.col(query_id).alias("query_id"), F.col(query_vec).alias("_qv")
+    ).observe(
+        obs_dim,
+        F.min(F.size("_qv")).alias("lo"),
+        F.max(F.size("_qv")).alias("hi"),
+    )
+    try:
+        probes = (
+            ivf_probe_cells(qsel, cents, n_probe, "_qv", "_probe")
+            .observe(obs_cells, F.collect_set("_probe").alias("cells"))
+            .localCheckpoint()
+        )
+    except Exception as e:  # noqa: BLE001 — width mismatch kills the kernel
+        dims = queries.agg(
+            F.min(F.size(query_vec)).alias("lo"),
+            F.max(F.size(query_vec)).alias("hi"),
+        ).first()
+        if dims["lo"] is not None and (
+            int(dims["lo"]) != rec["dim"] or int(dims["hi"]) != rec["dim"]
+        ):
+            raise _dim_error(int(dims["lo"]), int(dims["hi"])) from e
+        raise
+    got = obs_dim.get
+    if got["lo"] is None:
+        raise ValueError("empty query DataFrame")
+    if int(got["lo"]) != rec["dim"] or int(got["hi"]) != rec["dim"]:
+        raise _dim_error(int(got["lo"]), int(got["hi"]))
+    return probes, sorted(obs_cells.get["cells"] or [])
+
+
 def ann_join(
     queries: DataFrame,
     path: str,
@@ -1164,38 +1224,16 @@ def ann_join(
             f"no ANN index at {path} (missing _params.json — partial "
             "build?); build it with write_ann_index"
         )
-    # width guard over the WHOLE query set (the append_ann_index
-    # discipline): one map-side agg, loud refusal instead of an opaque
-    # np.stack error inside the probe kernel
-    dims = queries.agg(
-        F.min(F.size(query_vec)).alias("lo"), F.max(F.size(query_vec)).alias("hi")
-    ).first()
-    if dims["lo"] is None:
-        raise ValueError("empty query DataFrame")
-    if int(dims["lo"]) != rec["dim"] or int(dims["hi"]) != rec["dim"]:
-        raise ValueError(
-            f"ANN index at {path} was built with dim={rec['dim']}, but "
-            f"the query vectors have dims in [{int(dims['lo'])}, "
-            f"{int(dims['hi'])}]"
-        )
     cents = read_ann_centroids(spark, path)
     # same probe recipe as ivf_probe_cells / the list path (max dot
     # against unit centroids, ties -> lowest cell id), so ranking is
-    # bit-identical across serving paths
-    probes = ivf_probe_cells(
-        queries.select(
-            F.col(query_id).alias("query_id"),
-            F.col(query_vec).alias("_qv"),
-        ),
-        cents,
-        n_probe,
-        "_qv",
-        "_probe",
-    ).localCheckpoint()
-    # bounded: distinct probed cells <= n_cells regardless of |Q| —
-    # this is what keeps PartitionFilters on the scan for any query set
-    want_cells = sorted(
-        r["_probe"] for r in probes.select("_probe").distinct().collect()
+    # bit-identical across serving paths. Width guard (the
+    # append_ann_index discipline) + the bounded distinct-cells
+    # collect both ride the probe checkpoint job — want_cells stays
+    # <= n_cells regardless of |Q|, which is what keeps
+    # PartitionFilters on the scan for any query set.
+    probes, want_cells = _probe_checkpoint(
+        queries, path, rec, cents, n_probe, query_id, query_vec
     )
 
     if scoring == "exact":
@@ -1443,30 +1481,9 @@ def ann_range_join(
             f"no ANN index at {path} (missing _params.json — partial "
             "build?); build it with write_ann_index"
         )
-    dims = queries.agg(
-        F.min(F.size(query_vec)).alias("lo"), F.max(F.size(query_vec)).alias("hi")
-    ).first()
-    if dims["lo"] is None:
-        raise ValueError("empty query DataFrame")
-    if int(dims["lo"]) != rec["dim"] or int(dims["hi"]) != rec["dim"]:
-        raise ValueError(
-            f"ANN index at {path} was built with dim={rec['dim']}, but "
-            f"the query vectors have dims in [{int(dims['lo'])}, "
-            f"{int(dims['hi'])}]"
-        )
     cents = read_ann_centroids(spark, path)
-    probes = ivf_probe_cells(
-        queries.select(
-            F.col(query_id).alias("query_id"),
-            F.col(query_vec).alias("_qv"),
-        ),
-        cents,
-        n_probe,
-        "_qv",
-        "_probe",
-    ).localCheckpoint()
-    want_cells = sorted(
-        r["_probe"] for r in probes.select("_probe").distinct().collect()
+    probes, want_cells = _probe_checkpoint(
+        queries, path, rec, cents, n_probe, query_id, query_vec
     )
     return _score_candidates_cosine(
         spark.read.parquet(path)

@@ -6920,40 +6920,57 @@ def q_boilerplate_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
     chunk = 8
     df_cap = 2  # > 2 docs sharing a chunk = boilerplate at these SFs
     docs = _dense(spark, _t(spark, sf_dir, "documents"))
-    # Stage the split ONCE as a column (round 10, same fix as q78): the
-    # chunking lambda otherwise re-splits the whole document per chunk
-    # (lambda bodies are excluded from CSE).
+    # Round-10 (guide §2.3 "shuffle fewer bytes"): chunk TEXT never
+    # shuffles. The chunk-df rollup and the keep decision flow ids +
+    # 16-byte binary hashes only; each doc's kept positions come back
+    # as one int array and the clean text is REBUILT map-side by
+    # re-slicing the token array (the q219 span-rebuild discipline).
+    # The former shape shuffled every chunk's words twice (ph join +
+    # collect_list rollup) and re-assembled with array_sort of
+    # (pos, para) structs.
     words = F.col("_ws")
     n_chunks = (F.ceil(F.size(words) / F.lit(float(chunk)))).cast("int")
-    paras = docs.select(
+    staged = docs.select(
         "doc_id", F.split(F.col("text"), " ").alias("_ws")
-    ).select(
+    )
+    paras = staged.select(
         "doc_id",
         F.posexplode(
             F.transform(
                 F.sequence(F.lit(0), n_chunks - F.lit(1)),
-                lambda i: F.array_join(
-                    F.slice(words, i * chunk + F.lit(1), chunk), " "
+                lambda i: F.unhex(
+                    F.md5(
+                        F.array_join(F.slice(words, i * chunk + F.lit(1), chunk), " ")
+                    )
                 ),
             )
-        ).alias("pos", "para"),
-    ).withColumn("ph", F.md5("para"))
+        ).alias("pos", "ph"),
+    )
     chunk_df = (
         paras.select("ph", "doc_id")
         .distinct()
         .groupBy("ph")
         .agg(F.count(F.lit(1)).alias("df_"))
     )
-    kept = paras.join(chunk_df, "ph").filter(F.col("df_") <= df_cap)
-    return kept.groupBy("doc_id").agg(
-        F.array_join(
+    kept_pos = (
+        paras.join(chunk_df, "ph")
+        .filter(F.col("df_") <= df_cap)
+        .groupBy("doc_id")
+        .agg(F.array_sort(F.collect_list("pos")).alias("_keep"))
+    )
+    rebuilt = F.array_join(
+        F.flatten(
             F.transform(
-                F.array_sort(F.collect_list(F.struct("pos", "para"))),
-                lambda x: x["para"],
-            ),
-            " ",
-        ).alias("clean_text"),
-        F.count(F.lit(1)).cast("long").alias("kept_chunks"),
+                F.col("_keep"),
+                lambda i: F.slice(words, i * chunk + F.lit(1), chunk),
+            )
+        ),
+        " ",
+    )
+    return staged.join(kept_pos, "doc_id").select(
+        "doc_id",
+        rebuilt.alias("clean_text"),
+        F.size("_keep").cast("long").alias("kept_chunks"),
     )
 
 
