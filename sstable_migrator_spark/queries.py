@@ -5139,23 +5139,24 @@ def q_pagerank_step(spark: SparkSession, sf_dir: str) -> DataFrame:
     converted to a double rank at the very end."""
     orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
     li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
-    # checkpoint the distinct edge list: it feeds BOTH the out-degree
-    # rollup and the contribution join — without this the li|x|orders
-    # join + distinct runs twice (the in-session stand-in for the edge
-    # table an iterative job persists once; graph.pagerank does the same)
+    # Round-10 (guide §2.4): for a SINGLE step the out-degree is a
+    # count() window over the deduped edges — one linear pass, no
+    # localCheckpoint job, no edges-vs-outdeg join (the former shape's
+    # checkpoint is the right call only when edges are REUSED across
+    # iterations — graph.pagerank, the to-convergence loop, still
+    # persists them once). Values are bit-identical: the window count
+    # IS od, everything downstream unchanged.
     edges = (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
         .select("o_custkey", "l_suppkey")
         .distinct()
-        .localCheckpoint()
     )
-    outdeg = edges.groupBy("o_custkey").agg(F.count(F.lit(1)).alias("od"))
+    od = F.count(F.lit(1)).over(Window.partitionBy("o_custkey"))
     contrib = F.floor(
-        F.lit(1000000000000).cast("double") / F.col("od").cast("double")
+        F.lit(1000000000000).cast("double") / od.cast("double")
     ).cast("long")
     return (
-        edges.join(outdeg, "o_custkey")
-        .withColumn("contrib", contrib)
+        edges.withColumn("contrib", contrib)
         .groupBy(F.col("l_suppkey").alias("s_suppkey"))
         .agg(F.sum("contrib").alias("mass"))
         .select(
