@@ -26,7 +26,6 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from sstable_migrator_spark.functions import vectors as VX
 
 
 def brute_force_topk(
@@ -40,14 +39,21 @@ def brute_force_topk(
 ) -> DataFrame:
     """Exact top-k neighbors per query by cosine. Returns
     (query_id, neighbor_id, cosine, rank), rank 1..k, ties broken by
-    neighbor id for determinism."""
+    neighbor id for determinism. Scoring is the shared Arrow kernel
+    (round 10, guide §4.2 — the ``VX.cosine`` expression form is three
+    interpreted HOF folds per row; bit-identity argument at
+    ``_score_candidates_cosine``)."""
     from pyspark.sql import Window
 
-    scored = corpus.crossJoin(F.broadcast(queries)).select(
-        F.col(query_id),
-        F.col(corpus_id).alias("neighbor_id"),
-        VX.cosine(F.col(corpus_vec), F.col(query_vec)).alias("cosine"),
+    cand = corpus.crossJoin(F.broadcast(queries)).select(
+        F.col(query_id).alias("query_id"),
+        F.col(corpus_id),
+        F.col(corpus_vec),
+        F.col(query_vec).alias("_qv"),
     )
+    scored = _score_candidates_cosine(
+        cand, corpus_id, corpus_vec
+    ).withColumnRenamed("query_id", query_id)
     w = Window.partitionBy(query_id).orderBy(
         F.col("cosine").desc(), F.col("neighbor_id").asc()
     )
@@ -66,13 +72,41 @@ def lsh_bucketize(
     df: DataFrame, planes: list[list[float]], vec_col: str = "embedding", out_col: str = "lsh_bucket"
 ) -> DataFrame:
     """Attach a b-bit random-hyperplane signature as an int bucket id.
-    Pure expression — at scale this is a map-only pass, then writes
-    partitioned by bucket give co-located candidates."""
-    sig = None
-    for i, plane in enumerate(planes):
-        bit = VX.random_hyperplane_sign(F.col(vec_col), plane) * (1 << i)
-        sig = bit if sig is None else sig + bit
-    return df.withColumn(out_col, sig.cast("int"))
+    Map-only at any scale; partitioned-by-bucket writes then give
+    co-located candidates. Round 10 (guide §4.2): the signature is an
+    Arrow kernel — the ``random_hyperplane_sign`` expression form is
+    three interpreted HOF folds PER PLANE per row (~1 ms/row at dim
+    64, and the dim-expanded codegen form blows the 64 KB method
+    limit). Bucket-identical to the fold by construction: per plane,
+    ``np.cumsum(v * plane, axis=1)`` forces the fold's left-to-right
+    addition order (never np.sum's pairwise shortcut), the sign test
+    and bit weights are unchanged. Width contract: every vector must
+    match the planes' dim — a ragged batch fails np.stack loudly
+    (the old fold silently produced all-zero bits there, which is a
+    degenerate bucket, never a meaningful one)."""
+    import numpy as np
+    import pandas as pd
+
+    pmat = np.array(planes, dtype=np.float64)  # bits x dim
+    weights = (1 << np.arange(len(planes))).astype(np.int64)
+    out_schema = T.StructType(
+        list(df.schema.fields) + [T.StructField(out_col, T.IntegerType())]
+    )
+
+    def bucketize(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            v = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            sig = np.zeros(len(pdf), dtype=np.int64)
+            for i in range(pmat.shape[0]):
+                d = np.cumsum(v * pmat[i], axis=1)[:, -1]
+                sig += np.where(d >= 0, weights[i], 0)
+            out = pdf.copy()
+            out[out_col] = sig.astype(np.int32)
+            yield out
+
+    return df.mapInPandas(bucketize, out_schema)
 
 
 def lsh_topk(
@@ -92,11 +126,15 @@ def lsh_topk(
 
     c = lsh_bucketize(corpus, planes, corpus_vec, "_cb")
     q = lsh_bucketize(queries, planes, query_vec, "_qb")
-    scored = c.join(F.broadcast(q), F.col("_cb") == F.col("_qb")).select(
-        F.col(query_id),
-        F.col(corpus_id).alias("neighbor_id"),
-        VX.cosine(F.col(corpus_vec), F.col(query_vec)).alias("cosine"),
+    cand = c.join(F.broadcast(q), F.col("_cb") == F.col("_qb")).select(
+        F.col(query_id).alias("query_id"),
+        F.col(corpus_id),
+        F.col(corpus_vec),
+        F.col(query_vec).alias("_qv"),
     )
+    scored = _score_candidates_cosine(
+        cand, corpus_id, corpus_vec
+    ).withColumnRenamed("query_id", query_id)
     w = Window.partitionBy(query_id).orderBy(
         F.col("cosine").desc(), F.col("neighbor_id").asc()
     )
@@ -314,11 +352,15 @@ def ivf_topk(
     # n_cells x dim literal columns PER CALL — ~1s of pure plan
     # construction at 64 cells before any data moved.
     probes = ivf_probe_cells(queries, centroids, n_probe, query_vec, "_probe")
-    scored = c.join(F.broadcast(probes), F.col("_cell") == F.col("_probe")).select(
-        F.col(query_id),
-        F.col(corpus_id).alias("neighbor_id"),
-        VX.cosine(F.col(corpus_vec), F.col(query_vec)).alias("cosine"),
+    cand = c.join(F.broadcast(probes), F.col("_cell") == F.col("_probe")).select(
+        F.col(query_id).alias("query_id"),
+        F.col(corpus_id),
+        F.col(corpus_vec),
+        F.col(query_vec).alias("_qv"),
     )
+    scored = _score_candidates_cosine(
+        cand, corpus_id, corpus_vec
+    ).withColumnRenamed("query_id", query_id)
     w = Window.partitionBy(query_id).orderBy(
         F.col("cosine").desc(), F.col("neighbor_id").asc()
     )
@@ -941,16 +983,12 @@ def ann_topk_from_index(
             .select(corpus_id, corpus_vec, "cell")
             .join(probes, F.col("cell") == F.col("_probe"))
             .join(qvecs, "query_id")
-            .select(
-                "query_id",
-                F.col(corpus_id).alias("neighbor_id"),
-                VX.cosine(F.col(corpus_vec), F.col("_qv")).alias("cosine"),
-            )
         )
+        scored = _score_candidates_cosine(cand, corpus_id, corpus_vec)
         w = Window.partitionBy("query_id").orderBy(
             F.col("cosine").desc(), F.col("neighbor_id").asc()
         )
-        return cand.withColumn("rank", F.row_number().over(w)).filter(
+        return scored.withColumn("rank", F.row_number().over(w)).filter(
             F.col("rank") <= k
         )
 
