@@ -165,14 +165,34 @@ def bind_once(col: Column, fn) -> Column:
 def shingles(col: Column, k: int = 3) -> Column:
     """Word k-shingles of the normalized text -> array<string>.
     Documents shorter than k words get a single shingle of the whole
-    text so they still participate in MinHash."""
+    text so they still participate in MinHash.
+
+    Shape note (round 10): built as a zip_with fold of the k shifted
+    token slices rather than a transform over an index sequence. The
+    index form's inner lambda referenced the OUTER bind_once variable
+    (``slice(toks, i, ...)``), and ExtractPythonUDFs refuses to pull a
+    Python UDF whose input subtree contains such a cross-level lambda
+    reference — the minhash Arrow kernel then dies at runtime with
+    "Cannot evaluate expression". zip_with lambdas touch only their own
+    variables. Value-identical by construction: for n >= k, window i is
+    exactly toks[i..i+k-1] joined by a single space (tokens from split
+    are never NULL, so concat == concat_ws); for n < k — including the
+    NULL/empty-text edge, where the condition is NULL and falls through
+    — the single shingle is concat_ws(' ', toks), which reproduces the
+    index form's slice(toks, 1, least(k, n)) whole-text shingle and its
+    [""] NULL behavior. Pinned by test_minhash_kernel_bit_identity."""
 
     def _mk(toks: Column) -> Column:
         n = F.size(toks)
-        idx = F.sequence(F.lit(1), F.greatest(n - (k - 1), F.lit(1)))
-        return F.transform(
-            idx, lambda i: F.concat_ws(" ", F.slice(toks, i, F.least(F.lit(k), n)))
-        )
+        m = F.greatest(n - (k - 1), F.lit(1))
+        acc = F.slice(toks, 1, m)
+        for j in range(1, k):
+            acc = F.zip_with(
+                acc,
+                F.slice(toks, j + 1, m),
+                lambda x, y: F.concat(x, F.lit(" "), y),
+            )
+        return F.when(n >= k, acc).otherwise(F.array(F.concat_ws(" ", toks)))
 
     return bind_once(F.split(normalize_text(col), " "), _mk)
 

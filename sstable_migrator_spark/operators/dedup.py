@@ -11,6 +11,7 @@ short key and small sides broadcast.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -86,24 +87,83 @@ def minhash_signatures(
     shingle_k: int = 3,
 ) -> DataFrame:
     """MinHash signature per document: word-k-shingles -> per-seed min
-    of a portable 60-bit hash. Pure expression work (transform +
-    array_min over the shingle array) — no explode, no shuffle."""
-    # Stage the distinct shingle array ONCE as a column: the 16 per-seed
-    # expressions then read one attribute instead of re-inlining (and
-    # re-executing) the normalize/split/slice chain per hash function.
-    # The per-seed min-hash expressions are assembled as ONE SQL string
-    # (the TX.hash64 recipe verbatim — conv(substring(md5(concat(seed|,
-    # s)),1,15),16,10) — the definition the DuckDB oracles mirror):
-    # column-by-column F.* construction paid ~50 py4j round trips per
-    # signature (~0.37 s per call, 12 calls per catalog build).
+    of a portable 60-bit hash (the TX.hash64 recipe — conv(substring(
+    md5(concat(seed|, s)),1,15),16,10) — the definition the DuckDB
+    oracles mirror). Map-only: no explode, no shuffle."""
+    # Stage the distinct shingle array ONCE as a column (shingling
+    # stays a JVM expression, so every NULL/short-doc edge case is the
+    # engine's own), then hand the array to the Arrow kernel below —
+    # the 16-seed md5 fold was interpreted per element and dominated
+    # every LSH-family entry (round 10, guide §4.2).
     staged = docs.withColumn("_sh", F.array_distinct(TX.shingles(F.col(text_col), shingle_k)))
-    per_seed = ", ".join(
-        "array_min(transform(_sh, s -> CAST(conv(substring(md5(concat("
-        f"'{seed}|', s)), 1, 15), 16, 10) AS BIGINT)))"
-        for seed in range(num_hashes)
-    )
-    sig = F.expr(f"array({per_seed})")
+    sig = _minhash_sig_kernel(num_hashes)(F.col("_sh"))
     return staged.select(F.col(id_col), F.col(text_col), sig.alias("signature"))
+
+
+def _minhash_sig_kernel(num_hashes: int):
+    """Arrow kernel twin of the per-seed expression fold:
+    ``array_min(transform(_sh, s -> CAST(conv(substring(md5(concat(
+    '{seed}|', s)), 1, 15), 16, 10) AS BIGINT)))`` for each seed.
+    Higher-order-function lambdas are interpreted per ELEMENT (never
+    codegen'd), so the fold paid ~16 interpreted md5 subtrees per
+    shingle per row; here md5 runs in C (hashlib) ONCE per UNIQUE
+    shingle per batch — the corpus shingle vocabulary is far smaller
+    than the instance count, so most per-instance hashing disappears —
+    and the per-doc minima are one ``np.minimum.reduceat``.
+
+    Bit-identity argument (the recipe is ORACLE-PINNED; DuckDB twins
+    replay it verbatim): the first 15 hex chars of an md5 digest are
+    its top 60 bits, so ``int.from_bytes(digest[:8], 'big') >> 4`` ==
+    ``CAST(conv(substring(hexdigest,1,15),16,10) AS BIGINT)`` exactly
+    (both non-negative, < 2^60, no overflow); strings hash as UTF-8 in
+    both engines; min over int64 is order-independent (unlike float
+    folds, there is no accumulation-order concern). NULL semantics
+    mirrored: a NULL/empty shingle array yields 16 NULLs (array_min of
+    an empty/all-NULL transform), NULL elements are skipped exactly as
+    array_min skips the NULLs the per-element expression would emit.
+    Only the ``_sh`` column crosses the boundary (guide §4.1/§4.2) —
+    id/text stay in the JVM."""
+    import numpy as np
+
+    prefixes = [f"{seed}|".encode() for seed in range(num_hashes)]
+
+    @F.pandas_udf("array<bigint>")
+    def sig(sh: pd.Series) -> pd.Series:
+        from hashlib import md5
+
+        out: list = [None] * len(sh)
+        uniq: dict = {}
+        codes: list = []
+        counts: list = []
+        rows: list = []
+        for i, arr in enumerate(sh):
+            if arr is None:
+                out[i] = [None] * num_hashes
+                continue
+            vals = [s for s in arr if s is not None]
+            if not vals:
+                out[i] = [None] * num_hashes
+                continue
+            rows.append(i)
+            counts.append(len(vals))
+            for s in vals:
+                codes.append(uniq.setdefault(s, len(uniq)))
+        if not rows:
+            return pd.Series(out)
+        H = np.empty((len(uniq), num_hashes), dtype=np.int64)
+        for j, s in enumerate(uniq):
+            b = s.encode("utf-8")
+            row = H[j]
+            for k, pre in enumerate(prefixes):
+                row[k] = int.from_bytes(md5(pre + b).digest()[:8], "big") >> 4
+        starts = np.zeros(len(counts), dtype=np.int64)
+        np.cumsum(np.asarray(counts[:-1], dtype=np.int64), out=starts[1:])
+        mins = np.minimum.reduceat(H[np.asarray(codes, dtype=np.int64)], starts, axis=0)
+        for r, i in enumerate(rows):
+            out[i] = mins[r].tolist()
+        return pd.Series(out)
+
+    return sig
 
 
 def _check_bands(num_hashes: int, bands: int) -> int:

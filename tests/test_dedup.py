@@ -54,6 +54,44 @@ def test_minhash_recall(spark):
     assert not any({a, b} & {3, 4} and {a, b} & {0, 1, 2, 5} for a, b in found)
 
 
+def test_minhash_kernel_bit_identity(spark):
+    """The Arrow signature kernel must reproduce the oracle-pinned
+    expression fold EXACTLY — same 60-bit values, same NULL shape —
+    including the edge cases the fixtures can miss: NULL text, empty
+    text, a doc shorter than k words (single whole-text shingle),
+    unicode (multi-byte UTF-8), and duplicate shingles."""
+    rows = [
+        (0, BASE),
+        (1, None),                           # NULL text
+        (2, ""),                             # empty -> single "" shingle
+        (3, "two words"),                    # shorter than k=3
+        (4, "café naïve résumé 日本語 text here"),
+        (5, "a a a a a a"),                  # degenerate: one distinct shingle
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = minhash_signatures(docs, num_hashes=16)
+    # The pre-kernel expression form, verbatim (the DuckDB twin recipe).
+    from sstable_migrator_spark.functions import text as TX
+
+    staged = docs.withColumn(
+        "_sh", F.array_distinct(TX.shingles(F.col("text"), 3))
+    )
+    per_seed = ", ".join(
+        "array_min(transform(_sh, s -> CAST(conv(substring(md5(concat("
+        f"'{seed}|', s)), 1, 15), 16, 10) AS BIGINT)))"
+        for seed in range(16)
+    )
+    want = staged.select(
+        F.col("doc_id"), F.col("text"), F.expr(f"array({per_seed})").alias("signature")
+    )
+    assert got.exceptAll(want).count() == 0
+    assert want.exceptAll(got).count() == 0
+    sig1 = {r["doc_id"]: r["signature"] for r in got.collect()}
+    # NULL text still yields a 16-wide all-NULL signature, not NULL.
+    assert sig1[1] == [None] * 16
+    assert all(v is not None and 0 <= v < (1 << 60) for v in sig1[0])
+
+
 def test_ngram_jaccard(spark):
     pairs = {(r["id_a"], r["id_b"]): r["jaccard"]
              for r in ngram_jaccard_pairs(_docs(spark), threshold=0.3).collect()}
