@@ -176,11 +176,13 @@ def shingles(col: Column, k: int = 3) -> Column:
     "Cannot evaluate expression". zip_with lambdas touch only their own
     variables. Value-identical by construction: for n >= k, window i is
     exactly toks[i..i+k-1] joined by a single space (tokens from split
-    are never NULL, so concat == concat_ws); for n < k — including the
-    NULL/empty-text edge, where the condition is NULL and falls through
-    — the single shingle is concat_ws(' ', toks), which reproduces the
-    index form's slice(toks, 1, least(k, n)) whole-text shingle and its
-    [""] NULL behavior. Pinned by test_minhash_kernel_bit_identity."""
+    are never NULL, so concat == concat_ws); for 1 <= n < k the single
+    shingle is concat_ws(' ', toks), reproducing the index form's
+    slice(toks, 1, least(k, n)) whole-text shingle. NULL text
+    propagates to a NULL array (both ``when`` conditions are NULL /
+    false, implicit else NULL) exactly as the index form's
+    sequence(1, NULL) did — the oracle-pinned edge.
+    Pinned by test_minhash_kernel_bit_identity."""
 
     def _mk(toks: Column) -> Column:
         n = F.size(toks)
@@ -192,7 +194,9 @@ def shingles(col: Column, k: int = 3) -> Column:
                 F.slice(toks, j + 1, m),
                 lambda x, y: F.concat(x, F.lit(" "), y),
             )
-        return F.when(n >= k, acc).otherwise(F.array(F.concat_ws(" ", toks)))
+        return F.when(n >= k, acc).when(
+            toks.isNotNull(), F.array(F.concat_ws(" ", toks))
+        )
 
     return bind_once(F.split(normalize_text(col), " "), _mk)
 

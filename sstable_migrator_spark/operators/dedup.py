@@ -11,6 +11,9 @@ short key and small sides broadcast.
 
 from __future__ import annotations
 
+# Module-level on purpose: the pandas_udf decorator resolves the kernel's
+# postponed (PEP 563) ``pd.Series`` annotations against MODULE globals, so a
+# function-local import breaks type-hint inspection.
 import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
@@ -118,11 +121,13 @@ def _minhash_sig_kernel(num_hashes: int):
     (both non-negative, < 2^60, no overflow); strings hash as UTF-8 in
     both engines; min over int64 is order-independent (unlike float
     folds, there is no accumulation-order concern). NULL semantics
-    mirrored: a NULL/empty shingle array yields 16 NULLs (array_min of
-    an empty/all-NULL transform), NULL elements are skipped exactly as
-    array_min skips the NULLs the per-element expression would emit.
-    Only the ``_sh`` column crosses the boundary (guide §4.1/§4.2) —
-    id/text stay in the JVM."""
+    mirrored: a NULL shingle array (NULL text — shingles propagates the
+    NULL) yields num_hashes NULLs, matching array_min over a NULL
+    transform; the empty-array/NULL-element branches are defensive for
+    direct kernel callers (unreachable via minhash_signatures, whose
+    shingle arrays are non-empty with non-NULL elements whenever text
+    is non-NULL). Only the ``_sh`` column crosses the boundary (guide
+    §4.1/§4.2) — id/text stay in the JVM."""
     import numpy as np
 
     prefixes = [f"{seed}|".encode() for seed in range(num_hashes)]
