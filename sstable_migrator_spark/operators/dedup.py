@@ -653,6 +653,14 @@ def embedding_near_dup_pairs(
     All-pairs without blocking — use the LSH signature from
     ``simsearch.lsh_bucketize`` as ``block_col`` at scale so the
     self-join happens per bucket.
+
+    Round 11 measured the Arrow serve-path kernel
+    (``simsearch._score_candidates_cosine``) on this path and REVERTED
+    it: the catalog entry (q45) caps the block at 60 vectors (~1.8k
+    pairs), where one extra Python stage dispatch cost 0.21 -> 0.52 s
+    exec at sf0.1 — the interpreted ``VX.cosine`` fold on a few
+    thousand rows is microseconds. For unbounded pair volumes route
+    through the kernel instead (the serve paths already do).
     """
     base = embeddings.select(
         F.col(id_col), F.col(vec_col).alias("v"),

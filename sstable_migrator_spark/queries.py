@@ -6129,7 +6129,11 @@ def q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     drawn with the portable md5 hash modulo the corpus size (no RNG —
     reproducible across engines, reruns, and task retries), cosines
     computed with the sequential expression fold (bit-identical to
-    DuckDB's list_dot_product), and the hardest USABLE negative kept:
+    DuckDB's list_dot_product; round 11 measured the Arrow serve-path
+    kernel here and REVERTED it — the candidate set is 16 rows/anchor,
+    and the Python stage dispatch cost 0.19 -> 0.61 s exec at sf0.1,
+    dwarfing the fold on a few hundred rows — §4.2 cuts both ways at
+    bounded volume), and the hardest USABLE negative kept:
     max cosine below the 0.9 near-dup ceiling, ties broken by id. The
     corpus size comes from parquet footers (driver-side, no count job);
     candidate generation is a map-only explode of 16 ints; the only
@@ -8095,7 +8099,19 @@ def q_hll_sketch_mv(spark: SparkSession, sf_dir: str) -> DataFrame:
     operates under). The exact count itself is what the oracle
     hash-matches. At 100 TB the per-day sketch table is KB per key —
     re-aggregating history costs nothing, the base table is never
-    re-read."""
+    re-read.
+
+    Round-11 examined, measured, left as-is (§1.2 discipline): the two
+    branches each scan orders, and collapsing them onto one distinct
+    (priority, year, custkey) projection is register-exact (HLL state
+    is SET-determined), but BOTH sharing shapes measured SLOWER at
+    sf0.1 — original 1.02 s; distinct+localCheckpoint 1.84 s; bare
+    distinct relying on exchange reuse 1.40-1.75 s (the
+    countDistinct+sketch two-agg rewrite re-expands the subtree: 4
+    scans pre-AQE, and the full-width distinct shuffle costs more than
+    the second 3-column scan locally). At 100 TB the trade reverses
+    (scan dominates; the distinct projection is the §2.3 move) — a
+    deployment knob, not worth regressing the measured entry."""
     lg = 14
     o = _t(spark, sf_dir, "orders").select(
         "o_orderpriority", "o_custkey", F.year("o_orderdate").alias("y")
