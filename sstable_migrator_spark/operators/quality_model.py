@@ -27,7 +27,7 @@ from __future__ import annotations
 
 from typing import TYPE_CHECKING
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 if TYPE_CHECKING:  # pyspark.ml is imported lazily: this module rides
@@ -390,12 +390,15 @@ def confusion_report(
     rates a router owner reads to find WHICH pair of classes bleeds.
 
     Plan: ONE data-sized keyed groupBy to the |truth| x |pred| cell
-    relation; row/col totals re-aggregate the bounded cells (not the
-    corpus) and join back broadcast-small. Rates use integral DIV over
-    DECIMAL(38,0) — the float-`/`-never-touches-a-hashed-column
-    discipline. Output is |observed cells| rows; absent cells are
-    honest zeros by omission (a class pair never confused does not
-    exist in the report)."""
+    relation; row/col totals are SUM WINDOWS over the bounded cells
+    (round 11, §2.4: the original re-aggregate-and-broadcast-join form
+    re-planned the ``cells`` subtree into each total — THREE corpus
+    scans, each re-evaluating the caller's prediction expression;
+    windows keep one scan, and the two cell-relation exchanges move
+    dozens of rows). Rates use integral DIV over DECIMAL(38,0) — the
+    float-`/`-never-touches-a-hashed-column discipline. Output is
+    |observed cells| rows; absent cells are honest zeros by omission
+    (a class pair never confused does not exist in the report)."""
     cells = (
         df.select(
             F.col(truth_col).cast("string").alias("truth"),
@@ -404,15 +407,15 @@ def confusion_report(
         .groupBy("truth", "pred")
         .agg(F.count(F.lit(1)).cast("long").alias("n"))
     )
-    rows = cells.groupBy("truth").agg(
-        F.sum("n").cast("long").alias("row_total")
-    )
-    cols = cells.groupBy("pred").agg(
-        F.sum("n").cast("long").alias("col_total")
-    )
     return (
-        cells.join(F.broadcast(rows), "truth")
-        .join(F.broadcast(cols), "pred")
+        cells.withColumn(
+            "row_total",
+            F.sum("n").over(Window.partitionBy("truth")).cast("long"),
+        )
+        .withColumn(
+            "col_total",
+            F.sum("n").over(Window.partitionBy("pred")).cast("long"),
+        )
         .selectExpr(
             "truth",
             "pred",

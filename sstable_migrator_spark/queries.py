@@ -5146,9 +5146,16 @@ def q_pagerank_step(spark: SparkSession, sf_dir: str) -> DataFrame:
     # iterations — graph.pagerank, the to-convergence loop, still
     # persists them once). Values are bit-identical: the window count
     # IS od, everything downstream unchanged.
+    # Round-11 (§2.4): key the dedup exchange on o_custkey alone —
+    # hash(ck) co-locates equal (ck, sk) pairs, so the distinct's
+    # ClusteredDistribution([ck, sk]) is satisfied WITHOUT its own
+    # (ck, sk) exchange, and the out-degree window then reuses the
+    # same partitioning. One exchange instead of two for
+    # dedup+window; measured 1.17-1.56 -> 0.86-0.96 s at sf0.1.
     edges = (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
         .select("o_custkey", "l_suppkey")
+        .repartition("o_custkey")
         .distinct()
     )
     od = F.count(F.lit(1)).over(Window.partitionBy("o_custkey"))
