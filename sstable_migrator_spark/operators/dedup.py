@@ -1209,6 +1209,54 @@ def prefix_filter_jaccard_pairs(
     )
 
 
+def _span_window_keys(toks: DataFrame, k: int) -> DataFrame:
+    """(doc, tk) -> per-doc DISTINCT k-token window keys
+    ``(doc, wkey)`` — the Arrow twin of the oracle-pinned expression
+    ``explode(transform(sequence(1, n-k+1), i ->
+    md5(array_join(slice(tk, i, k), ' ')))) ... distinct``.
+
+    Bit-identity: tokens from ``TX.tokens`` contain no spaces, so for
+    a single-space separator ``array_join(slice(tk, i, k), ' ')`` IS
+    the substring ``joined[off_i : off_{i+k-1} + len(tk_{i+k-1})]`` of
+    the once-joined text (offset arithmetic in CHARACTERS — the
+    substring is encoded to UTF-8 only at hash time, so multi-byte
+    code points are safe); hashlib and Spark's md5 both hash UTF-8
+    bytes and print lowercase hex. Dedup per doc happens here (a set),
+    exactly the scope the old global (doc, wkey) distinct had — which
+    also deletes that exchange, the plan's biggest (every window row).
+    Pinned by tests/test_dedup.py::test_span_key_kernel_bit_identity.
+    """
+    doc_type = toks.schema["doc"].dataType.simpleString()
+
+    def _win_keys(batches):
+        from hashlib import md5
+
+        import pandas as pd
+
+        for pdf in batches:
+            out_doc: list = []
+            out_key: list = []
+            for doc, tk in zip(pdf["doc"], pdf["tk"]):
+                if tk is None or len(tk) < k:
+                    continue
+                tk = list(tk)
+                joined = " ".join(tk)
+                offs = []
+                pos = 0
+                for t in tk:
+                    offs.append(pos)
+                    pos += len(t) + 1
+                seen = set()
+                for i in range(len(tk) - k + 1):
+                    w = joined[offs[i] : offs[i + k - 1] + len(tk[i + k - 1])]
+                    seen.add(md5(w.encode("utf-8")).hexdigest())
+                out_doc.extend([doc] * len(seen))
+                out_key.extend(seen)
+            yield pd.DataFrame({"doc": out_doc, "wkey": out_key})
+
+    return toks.mapInPandas(_win_keys, f"doc {doc_type}, wkey string")
+
+
 def exact_span_pairs(
     docs: DataFrame,
     k: int = 8,
@@ -1233,32 +1281,35 @@ def exact_span_pairs(
     emit in-bucket pairs via an array comprehension — no self-join.
     Returns ``(id_a, id_b, shared_windows)``.
 
-    Scale shape: window explode is map-only; the shuffles are the
-    per-doc window distinct, the df-cap rollup, and the final pair
-    rollup — and they move 16-byte keys + ids, never text. Pair cost is
-    bounded by sum_w C(df_w, 2) <= C(max_df, 2) * |windows|, so the cap
-    is the knob, exactly like LSH bucket caps. The full Lee et al.
-    pipeline additionally merges adjacent shared windows into maximal
-    spans; ``shared_windows`` is monotone in span length (a shared run
-    of L tokens yields L-k+1 shared windows), so the count IS the span
+    Scale shape: window hashing is map-only; the shuffles are the
+    df-cap rollup and the final pair rollup — and they move 16-byte
+    keys + ids, never text. Pair cost is bounded by
+    sum_w C(df_w, 2) <= C(max_df, 2) * |windows|, so the cap is the
+    knob, exactly like LSH bucket caps. The full Lee et al. pipeline
+    additionally merges adjacent shared windows into maximal spans;
+    ``shared_windows`` is monotone in span length (a shared run of L
+    tokens yields L-k+1 shared windows), so the count IS the span
     signal at fixed k.
+
+    Round-11 (§4.2/§2.4): window keys come from an Arrow kernel
+    instead of the explode(transform(md5(array_join(slice...))))
+    expression — HOF lambdas are interpreted per WINDOW, so every
+    window paid an interpreted array_join+md5 subtree. The kernel
+    joins each doc's tokens ONCE, takes windows as substring slices of
+    the joined text (token-offset arithmetic, no per-window list
+    slicing), and runs md5 in C — bit-identical keys, since
+    array_join(slice(tk, i, k), ' ') IS joined[off_i : off_{i+k-1} +
+    len(tk_{i+k-1})] for a single-space separator and both engines
+    hash UTF-8 and print lowercase hex. Per-doc dedup happens in the
+    kernel (a set), which also deletes the old (doc, wkey) distinct —
+    the biggest exchange in the plan (every window row) — leaving the
+    df-cap groupBy as the only window-sized shuffle.
     """
     toks = docs.select(
         F.col(id_col).alias("doc"),
         TX.tokens(F.lower(F.col(text_col))).alias("tk"),
     ).filter(F.size("tk") >= k)
-    wins = (
-        toks.select(
-            "doc",
-            F.explode(
-                F.transform(
-                    F.sequence(F.lit(1), F.size("tk") - (k - 1)),
-                    lambda i: F.md5(F.array_join(F.slice("tk", i, k), " ")),
-                )
-            ).alias("wkey"),
-        )
-        .distinct()
-    )
+    wins = _span_window_keys(toks, k)
     grouped = (
         wins.groupBy("wkey")
         .agg(F.sort_array(F.collect_list("doc")).alias("ds"))

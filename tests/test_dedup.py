@@ -367,6 +367,49 @@ def test_exact_span_pairs(spark):
     assert out == {(0, 1): 2}
 
 
+def test_span_key_kernel_bit_identity(spark):
+    """The round-11 window-key kernel (dedup._span_window_keys) must
+    reproduce the oracle-pinned expression form EXACTLY —
+    md5(array_join(slice(tk, i, k), ' ')) per window, distinct per
+    doc — including multi-byte UTF-8 (char offsets vs byte offsets),
+    repeated windows (kernel-side dedup), docs of exactly k tokens,
+    and whitespace runs (tokens collapses them before either path)."""
+    from pyspark.sql import functions as F
+
+    from sstable_migrator_spark.functions import text as TX
+    from sstable_migrator_spark.operators.dedup import _span_window_keys
+
+    k = 3
+    rows = [
+        (0, "a b c d e"),
+        (1, "x  y\tz"),                          # exactly k after \s+ split
+        (2, "café naïve 日本語 résumé emoji✨ tail"),
+        (3, "r r r r r r"),                      # one distinct window
+        (4, "short two"),                        # < k tokens: no windows
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    toks = docs.select(
+        F.col("doc_id").alias("doc"),
+        TX.tokens(F.lower(F.col("text"))).alias("tk"),
+    ).filter(F.size("tk") >= k)
+    want = toks.select(
+        "doc",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("tk") - (k - 1)),
+                lambda i: F.md5(F.array_join(F.slice("tk", i, k), " ")),
+            )
+        ).alias("wkey"),
+    ).distinct()
+    got = _span_window_keys(toks, k)
+    assert got.exceptAll(want).count() == 0
+    assert want.exceptAll(got).count() == 0
+    # doc 3 has 6 tokens of "r": 4 windows, all identical -> ONE key
+    assert got.filter(F.col("doc") == 3).count() == 1
+    # doc 4 never reaches the kernel (filtered); defensive skip inside
+    assert got.filter(F.col("doc") == 4).count() == 0
+
+
 def test_winnow_fingerprints_rightmost_rule_and_density(spark):
     """Hand-model the winnow selection (window minima, rightmost tie)
     in Python over the same portable hashes and require exact
